@@ -1,0 +1,110 @@
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark import vec, read_vec
+from tidyvec_spark.embedders.base import CallableEmbedder
+from tidyvec_spark.embedders.hf import HFEmbedder
+from tidyvec_spark.embedders.tfidf import TfidfEmbedder
+
+
+def test_cluster_embeddings_basic(embeddings):
+    vf = vec(embeddings, dim=64)
+    out = vf.cluster_embeddings(n_clusters=5, seed=123)
+    rows = out.collect()
+    assert len(rows) == 500
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= set(range(5))
+    assert len(clusters) == 5
+
+
+def test_cluster_null_embeddings_get_null_cluster(spark, embeddings):
+    df = embeddings.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    out = vec(df, dim=64).cluster_embeddings(n_clusters=3)
+    # parity: NULL cluster for rows without embeddings (R/core.R:363-364)
+    nulls = out.df.filter(F.col("cluster").isNull()).count()
+    assert nulls == 50
+    assert out.count() == 500
+
+
+def test_cluster_errors(spark):
+    empty = spark.createDataFrame([], "id int, embedding array<float>")
+    with pytest.raises(ValueError, match="no rows have embeddings"):
+        vec(empty).cluster_embeddings(2)
+    few = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id int, embedding array<float>"
+    )
+    # parity: fewer embedded rows than k raises (R/core.R:351-353)
+    with pytest.raises(ValueError, match="less than"):
+        vec(few).cluster_embeddings(5)
+
+
+def test_write_read_roundtrip(tmp_path, spark, documents):
+    fitted = TfidfEmbedder(min_freq=2).fit(documents, "text")
+    vf = vec(documents, embedding_fn=fitted).embed("text")
+    path = str(tmp_path / "col1")
+    vf.write_vec(path)
+
+    back = read_vec(spark, path)
+    assert back.embedding_col == "embedding"
+    assert back.embedder is not None
+    assert back.embedder.dim == fitted.dim
+    assert back.count() == documents.count()
+    # rehydrated embedder answers queries identically
+    q1 = fitted.query_term_weights("the data table")
+    q2 = back.embedder.query_term_weights("the data table")
+    assert q1.keys() == q2.keys()
+    for k in q1:
+        assert q1[k] == pytest.approx(q2[k])
+
+
+def test_read_vec_rejects_non_collection(tmp_path, spark):
+    with pytest.raises(ValueError, match="not a VecFrame"):
+        read_vec(spark, str(tmp_path))
+
+
+def test_callable_embedder_plumbing(spark):
+    def bow(texts):
+        vocab = ["data", "spark", "vector"]
+        return [
+            None if t is None else [float(t.lower().split().count(w)) for w in vocab]
+            for t in texts
+        ]
+
+    df = spark.createDataFrame(
+        [(1, "spark spark data"), (2, None), (3, "vector")],
+        "id int, text string",
+    )
+    vf = vec(df, embedding_fn=CallableEmbedder(bow, dim=3)).embed("text")
+    rows = {r["id"]: r["embedding"] for r in vf.collect()}
+    assert rows[1] == [1.0, 2.0, 0.0]
+    assert rows[2] is None
+    assert rows[3] == [0.0, 0.0, 1.0]
+    res = vf.nearest("spark", n=1, tiebreak="id")
+    assert res.first()["id"] == 1
+
+
+def test_hf_embedder_fake_path(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "goodbye")],
+        "id int, text string",
+    )
+    emb = HFEmbedder("fake-model", modality="text", fake_dim=16)
+    vf = vec(df, embedding_fn=emb).embed("text")
+    rows = {r["id"]: r["embedding"] for r in vf.collect()}
+    # deterministic: same text -> same vector; unit norm
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    assert sum(x * x for x in rows[1]) == pytest.approx(1.0, abs=1e-5)
+    # driver-side query embedding matches the distributed path
+    assert emb.embed_query("hello world") == pytest.approx(rows[1], abs=1e-6)
+
+
+def test_hf_embedder_real_path_raises_without_torch(spark):
+    emb = HFEmbedder("bert-base-uncased", modality="text")
+    with pytest.raises(NotImplementedError, match="torch"):
+        emb.embed_query("hello")

@@ -1,0 +1,5 @@
+from tidyvec_spark.operators.embed import embed
+from tidyvec_spark.operators.nearest import nearest, similarity_join_exact
+from tidyvec_spark.operators.cluster import cluster_embeddings
+
+__all__ = ["embed", "nearest", "similarity_join_exact", "cluster_embeddings"]

@@ -1,0 +1,157 @@
+"""nearest — k-NN search over a collection (reference R/core.R:241-328).
+
+The whole operator is one lazy expression chain:
+
+    withColumn(similarity) -> filter(>= min_score) -> orderBy desc -> limit n
+
+which Catalyst compiles to a scan + TakeOrderedAndProject (per-partition
+top-k heaps merged on the driver) — strictly better than the
+reference's full sort-then-slice (R/core.R:320-325) and the shape that
+scales: no global sort shuffle, the scan reads only the columns used.
+
+Parity quirks preserved deliberately:
+- rows with NULL embeddings score 0.0 and therefore PASS
+  ``min_score=0`` (reference R/core.R:281-292,319);
+- if NO row has an embedding the result is empty (R/core.R:282-284) —
+  emerges naturally here: all scores NULL->0 only when embeddings are
+  NULL; we keep the explicit guard semantics via scoring;
+- ``n`` larger than the row count returns all rows (limit semantics).
+
+Determinism: the reference inherits R's stable order; a distributed
+engine must make ties explicit, so ``tiebreak`` (an id column) is
+threaded into the sort.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tidyvec_spark.collection import VecFrame
+from tidyvec_spark.functions.vector import (
+    METHODS,
+    array_lit,
+    keyword_score_expr,
+    similarity_expr,
+)
+
+
+def score_expr(
+    emb_col: str,
+    query_vec: Sequence[float],
+    method: str = "cosine",
+    keyword_weight: float = 0.0,
+    keyword_column: Optional[str] = None,
+    query_text: Optional[str] = None,
+) -> Column:
+    """The blended similarity score column (reference R/core.R:267-313)."""
+    if method not in METHODS:
+        raise ValueError(f"method must be one of {METHODS}, got {method!r}")
+    q = array_lit(query_vec)
+    vec_score = F.when(F.col(emb_col).isNull(), F.lit(0.0)).otherwise(
+        similarity_expr(F.col(emb_col), q, method)
+    )
+    if keyword_weight and keyword_column:
+        if query_text is None:
+            raise ValueError("keyword scoring requires the raw query text")
+        kw = keyword_score_expr(F.col(keyword_column), query_text.split())
+        return (
+            F.lit(1.0 - keyword_weight) * vec_score + F.lit(float(keyword_weight)) * kw
+        )
+    return vec_score
+
+
+def nearest(
+    vf: VecFrame,
+    query: Any,
+    n: int = 5,
+    as_embedding: bool = False,
+    method: str = "cosine",
+    min_score: float = 0.0,
+    keyword_weight: float = 0.0,
+    keyword_column: Optional[str] = None,
+    score_col: str = "similarity",
+    tiebreak: Optional[str] = None,
+) -> VecFrame:
+    if vf.embedding_col not in vf.columns:
+        # clean error instead of an unresolved-column AnalysisException:
+        # the collection was projected without its embedding column
+        # (the [.tidyvec metadata problem, reference R/core.R:98-116)
+        raise ValueError(
+            f"embedding column {vf.embedding_col!r} is not in the frame "
+            f"(columns: {vf.columns}); it was probably projected away"
+        )
+    if as_embedding:
+        qvec = [float(x) for x in query]
+        qtext = None
+    else:
+        if vf.embedder is None:
+            # parity: reference errors when no embedder is attached
+            # (R/core.R:252-260)
+            raise ValueError(
+                "collection has no embedder; pass as_embedding=True with a "
+                "raw vector or attach an embedder"
+            )
+        qtext = str(query)
+        qvec = vf.embedder.embed_query(qtext)
+
+    sc = score_expr(
+        vf.embedding_col,
+        qvec,
+        method=method,
+        keyword_weight=keyword_weight,
+        keyword_column=keyword_column,
+        query_text=qtext if qtext is not None else str(query),
+    )
+    out = vf.df.withColumn(score_col, sc).filter(
+        F.col(score_col) >= F.lit(float(min_score))
+    )
+    order = [F.desc(score_col)]
+    if tiebreak:
+        order.append(F.asc(tiebreak))
+    out = out.orderBy(*order).limit(int(n))
+    res = vf._wrap(out)
+    return res
+
+
+def similarity_join_exact(
+    left: DataFrame,
+    right: DataFrame,
+    left_vec: str,
+    right_vec: str,
+    method: str = "cosine",
+    k: Optional[int] = None,
+    threshold: Optional[float] = None,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    score_col: str = "similarity",
+) -> DataFrame:
+    """Exact collection x collection similarity join — the engine-side
+    realization of the reference's documented-but-unimplemented ``%~%``
+    operator (man/grapes-twiddle-grapes.Rd) generalized to frames.
+
+    Physical shape: broadcast the smaller side when it fits (Catalyst /
+    AQE pick the strategy), score every pair, then per-left top-k via a
+    window — no global sort. The LSH-bucketed variant for large x large
+    lives in operators/dedup.py / operators/ann.py.
+    """
+    from pyspark.sql import Window
+
+    l = left.alias("l")
+    r = right.alias("r")
+    pair = l.crossJoin(r).withColumn(
+        score_col,
+        similarity_expr(F.col(f"l.{left_vec}"), F.col(f"r.{right_vec}"), method),
+    )
+    if threshold is not None:
+        pair = pair.filter(F.col(score_col) >= F.lit(float(threshold)))
+    if k is not None:
+        w = Window.partitionBy(F.col(f"l.{left_id}")).orderBy(
+            F.desc(score_col), F.asc(F.col(f"r.{right_id}"))
+        )
+        pair = pair.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= int(k)
+        ).drop("__rn")
+    return pair
