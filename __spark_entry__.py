@@ -1,38 +1,922 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` — one entry per operator from SURVEY.md §2 plus the
+LLM-data-pipeline extensions, each implemented through the
+``tidyvec_spark`` engine; ``oracle_sql()`` — the ANSI-SQL twin DuckDB
+runs on the same parquet views for the hash comparison.
+
+Cross-engine determinism rules used throughout:
+- every similarity/score is computed in double precision, ROUNDED to 6
+  decimals BEFORE any threshold / ordering, and every top-k has an id
+  tiebreaker — so the selected row set is identical in both engines;
+- aggregates over doubles are rounded (2-6 dp) to absorb summation-order
+  differences; counts/sums of ints are cast to BIGINT on both sides;
+- timestamps are truncated to whole seconds (or whole buckets) and
+  exported as BIGINT unix seconds; the Spark session must run with
+  spark.sql.session.timeZone=UTC.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+R = 6  # similarity rounding (decimal places) shared by both engines
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+# engine-wide tokenization: lowercase, split on whitespace, drop empties
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be",
+)
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+_LANGS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "para", "con", "por"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+}
+
+_TFIDF_QUERY = "spark join filter table"
+_TFIDF_QTERMS = _TFIDF_QUERY.split()          # 4 distinct terms, count 1 each
+
+# TF-IDF model as SQL CTEs (identical semantics to tidyvec_spark.embedders
+# .tfidf: corpus-count pruning >= 2, idf = ln((N+1)/(df+1)) + 1,
+# tf = term_count / total_tokens_in_doc)
+_TFIDF_CTES = f"""
+tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+vocab AS (
+  SELECT term,
+         ln((any_value(n.n_docs) + 1.0) / (count(DISTINCT doc_id) + 1.0)) + 1.0 AS idf
+  FROM tok, n GROUP BY term HAVING count(*) >= 2
+),
+tot AS (SELECT doc_id, count(*) AS tot FROM tok GROUP BY doc_id),
+tc AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY doc_id, term),
+w AS (
+  SELECT tc.doc_id, tc.term,
+         (CAST(tc.tc AS DOUBLE) / CAST(tot.tot AS DOUBLE)) * v.idf AS weight
+  FROM tc JOIN vocab v USING (term) JOIN tot USING (doc_id)
+),
+qt AS (SELECT * FROM (VALUES {", ".join(f"('{t}', 1)" for t in _TFIDF_QTERMS)}) AS q(term, qc)),
+qw AS (SELECT qt.term, (CAST(qt.qc AS DOUBLE) / {float(len(_TFIDF_QTERMS))}) * v.idf AS qw
+       FROM qt JOIN vocab v USING (term)),
+qn AS (SELECT sqrt(sum(qw * qw)) AS qnorm FROM qw),
+dots AS (SELECT w.doc_id, sum(w.weight * qw.qw) AS dot FROM w JOIN qw USING (term) GROUP BY w.doc_id),
+norms AS (SELECT doc_id, sqrt(sum(weight * weight)) AS nrm FROM w GROUP BY doc_id),
+vecsim AS (
+  SELECT d0.doc_id,
+         COALESCE(dots.dot / (CASE WHEN norms.nrm = 0 THEN NULL ELSE norms.nrm END
+                              * (SELECT qnorm FROM qn)), 0.0) AS vsim
+  FROM documents d0
+  LEFT JOIN dots USING (doc_id) LEFT JOIN norms USING (doc_id)
+)
+"""
+
+_KW_SQL = (
+    "("
+    + " + ".join(
+        f"CASE WHEN list_contains({_TOKS}, '{t}') THEN 1.0 ELSE 0.0 END"
+        for t in sorted(set(_TFIDF_QTERMS))
+    )
+    + f") / {float(len(set(_TFIDF_QTERMS)))}"
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS); Spark 4 rejects it unless nanos
+        # are read as long (we then do all bucket math on int64 nanos,
+        # which is exact and matches the DuckDB oracle's ns precision)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The shared literal query vector: embedding of vec_id=0."""
+    row = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+# ---------------------------------------------------------------------------
+# vector search queries (embeddings table)
+# ---------------------------------------------------------------------------
+
+def _knn(method: str, n: int = 10, min_score: float = -2.0):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tidyvec_spark import vec
+        from tidyvec_spark.operators.nearest import nearest
+
+        e = _read(spark, sf_dir, "embeddings")
+        q = _query_vec(spark, sf_dir)
+        res = nearest(
+            vec(e), q, n=n, as_embedding=True, method=method,
+            min_score=min_score, tiebreak="vec_id", round_to=R,
+        )
+        return res.df.select("vec_id", "similarity")
+
+    return run
+
+
+def _knn_sql(method_expr: str, n: int = 10, min_score: float = -2.0) -> str:
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, ROUND({method_expr}, {R}) AS similarity
+  FROM embeddings e, q
+)
+SELECT vec_id, similarity FROM s
+WHERE similarity >= {min_score}
+ORDER BY similarity DESC, vec_id
+LIMIT {n}
+"""
+
+
+_COS = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)"
+_EUC = "1.0 / (1.0 + list_distance(CAST(e.embedding AS DOUBLE[]), q.qv))"
+_DOT = "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+
+
+def _knn_null_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-embedding rows score 0.0 and pass min_score=0 (reference
+    quirk, R/core.R:281-292,319). NULLs synthesized on vec_id % 10 = 0."""
+    from tidyvec_spark import vec
+    from tidyvec_spark.operators.nearest import nearest
+
+    e = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    q = _query_vec(spark, sf_dir)
+    res = nearest(
+        vec(e), q, n=1_000_000, as_embedding=True, method="cosine",
+        min_score=0.0, tiebreak="vec_id", round_to=R,
+    )
+    return res.df.select("vec_id", "similarity")
+
+
+_KNN_NULL_QUIRK_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 10 = 0 THEN NULL ELSE embedding END AS embedding
+  FROM embeddings
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         ROUND(CASE WHEN e.embedding IS NULL THEN 0.0
+               ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+               END, {R}) AS similarity
+  FROM e, q
+)
+SELECT vec_id, similarity FROM s WHERE similarity >= 0.0
+ORDER BY similarity DESC, vec_id
+"""
+
+
+def _similarity_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar %~% contract (reference man/grapes-twiddle-grapes.Rd):
+    similarity of two vectors under all three methods."""
+    from tidyvec_spark.functions.vector import array_lit, similarity_expr
+
+    e = _read(spark, sf_dir, "embeddings")
+    a = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    b = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["embedding"]]
+    return spark.range(1).select(
+        F.round(similarity_expr(array_lit(a), array_lit(b), "cosine"), R).alias("cosine"),
+        F.round(similarity_expr(array_lit(a), array_lit(b), "euclidean"), R).alias("euclidean"),
+        F.round(similarity_expr(array_lit(a), array_lit(b), "dot"), R).alias("dot"),
+    )
+
+
+_SIMILARITY_PAIR_SQL = f"""
+WITH a AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+b AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1)
+SELECT ROUND(list_cosine_similarity(a.v, b.v), {R}) AS cosine,
+       ROUND(1.0 / (1.0 + list_distance(a.v, b.v)), {R}) AS euclidean,
+       ROUND(list_dot_product(a.v, b.v), {R}) AS dot
+FROM a, b
+"""
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN: top-3 neighbors (among vec_id >= 5) for each of the
+    first 5 vectors — the exact similarity join with per-query top-k."""
+    from tidyvec_spark.operators.nearest import similarity_join_exact
+
+    e = _read(spark, sf_dir, "embeddings")
+    left = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    right = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = similarity_join_exact(
+        F.broadcast(left), right, "qv", "cv", method="cosine", k=3,
+        left_id="qid", right_id="cid", round_to=R,
+    )
+    return out.select("qid", "cid", "similarity")
+
+
+_ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id >= 5),
+s AS (SELECT qid, cid, ROUND(list_cosine_similarity(cv, qv), {R}) AS similarity FROM q, c)
+SELECT qid, cid, similarity FROM s
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) <= 3
+"""
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection. The corpus is the
+    embeddings table unioned with perturbed copies (vec_id + 100000,
+    first component += 0.1) so near-dups exist by construction; exact
+    all-pairs at this SF (the oracle-checkable path — the LSH-bucketed
+    scale path is the lsh_near_dup query)."""
+    from tidyvec_spark.functions.vector import cosine_sim_expr
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    allv = e.unionByName(pert)
+    a = allv.alias("a")
+    b = allv.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "similarity",
+            F.round(cosine_sim_expr(F.col("a.embedding"), F.col("b.embedding")), R),
+        )
+        .filter(F.col("similarity") >= 0.98)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "similarity",
+        )
+    )
+    return pairs
+
+
+_EMBEDDING_NEAR_DUP_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_prepend(embedding[1] + 0.1, embedding[2:]) AS embedding
+  FROM base
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.embedding, b.embedding), {R}) AS similarity
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, similarity FROM pairs WHERE similarity >= 0.98
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF search queries (documents table)
+# ---------------------------------------------------------------------------
+
+def _tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark.embedders.tfidf import TfidfEmbedder
+
+    docs = _read(spark, sf_dir, "documents")
+    fitted = TfidfEmbedder(min_freq=2).fit(docs, "text")
+    return fitted.search(docs, "text", "doc_id", _TFIDF_QUERY, n=10,
+                         min_score=0.0, round_to=R)
+
+
+_TFIDF_SEARCH_SQL = f"""
+WITH {_TFIDF_CTES}
+SELECT doc_id, ROUND(vsim, {R}) AS similarity FROM vecsim
+WHERE ROUND(vsim, {R}) >= 0.0
+ORDER BY ROUND(vsim, {R}) DESC, doc_id
+LIMIT 10
+"""
+
+
+def _tfidf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark.embedders.tfidf import TfidfEmbedder
+
+    docs = _read(spark, sf_dir, "documents")
+    fitted = TfidfEmbedder(min_freq=2).fit(docs, "text")
+    return fitted.search(docs, "text", "doc_id", _TFIDF_QUERY, n=10,
+                         min_score=0.0, keyword_weight=0.3, round_to=R)
+
+
+_TFIDF_HYBRID_SQL = f"""
+WITH {_TFIDF_CTES},
+hybrid AS (
+  SELECT v.doc_id,
+         ROUND(0.7 * v.vsim + 0.3 * ({_KW_SQL}), {R}) AS similarity
+  FROM vecsim v JOIN documents USING (doc_id)
+)
+SELECT doc_id, similarity FROM hybrid
+WHERE similarity >= 0.0
+ORDER BY similarity DESC, doc_id
+LIMIT 10
+"""
+
+
+def _keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure keyword-fraction scoring (keyword_weight = 1.0 limit of the
+    hybrid blend, reference R/core.R:295-312)."""
+    from tidyvec_spark.functions.vector import keyword_score_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    out = (
+        docs.withColumn(
+            "similarity",
+            F.round(keyword_score_expr(F.col("text"), _TFIDF_QTERMS), R),
+        )
+        .filter(F.col("similarity") > 0.0)
+        .orderBy(F.desc("similarity"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "similarity")
+    )
+    return out
+
+
+_KEYWORD_SEARCH_SQL = f"""
+WITH s AS (SELECT doc_id, ROUND({_KW_SQL}, {R}) AS similarity FROM documents)
+SELECT doc_id, similarity FROM s WHERE similarity > 0.0
+ORDER BY similarity DESC, doc_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis queries (documents table)
+# ---------------------------------------------------------------------------
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark.functions import text as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.distinct_token_count("text").alias("n_distinct"),
+        F.round(X.type_token_ratio("text"), R).alias("ttr"),
+        F.round(X.stopword_ratio("text"), R).alias("stop_ratio"),
+        F.round(X.mean_token_length("text"), R).alias("mean_tok_len"),
+        F.round(X.quality_score("text"), R).alias("quality"),
+    )
+
+
+_TEXT_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS ttr0,
+         CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop0,
+         CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) ELSE 0.0 END AS mlen0
+  FROM t
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(ttr0, {R}) AS ttr,
+       ROUND(stop0, {R}) AS stop_ratio,
+       ROUND(mlen0, {R}) AS mean_tok_len,
+       ROUND(0.4 * least(1.0, n_tokens / 50.0) + 0.3 * ttr0 + 0.3 * least(1.0, stop0 * 4.0), {R}) AS quality
+FROM m
+"""
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark.functions import text as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
+
+
+def _lang_sql_scores() -> str:
+    parts = []
+    for code, markers in _LANGS.items():
+        mk = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        parts.append(
+            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({mk}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_{code}"
+        )
+    return ", ".join(parts)
+
+
+_LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_lang_sql_scores()} FROM t)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def _token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark.functions import text as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_TOKEN_TOPK_SQL = f"""
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+GROUP BY term ORDER BY cnt DESC, term LIMIT 20
+"""
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark.functions import text as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+_DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication queries (documents table; dups synthesized in-query
+# because the generator produced none)
+# ---------------------------------------------------------------------------
+
+def _exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 over whitespace-normalized lowercase text,
+    group, keep groups of >1. Corpus = documents + copies of the first
+    50 docs (doc_id + 10000)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return (
+        corpus.withColumn("h", norm)
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_EXACT_DUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+),
+hashed AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM corpus
+)
+SELECT h, CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS keep_id
+FROM hashed GROUP BY h HAVING count(*) > 1
+"""
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup via 3-gram shingle Jaccard >= 0.5. Candidate pairs
+    come from an equi-join on shingle (inverted index) — NOT a cross
+    join — which is the shape that scales: shuffle on shingle,
+    aggregate common counts, filter. Near-dups synthesized: docs with
+    doc_id < 50 get a copy (id + 10000) missing their last 5 tokens."""
+    from tidyvec_spark.functions import text as X
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens("text")
+    trunc = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+    )
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), trunc.alias("text")
+    )
+    corpus = docs.unionByName(dups)
+    sh = (
+        corpus.select(
+            "doc_id", F.explode(F.array_distinct(X.ngrams("text", 3))).alias("sh")
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    out = (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+                R,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(t[1:greatest(len(t) - 5, 1)], ' ') AS text
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  WHERE doc_id < 50
+),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE), {R}) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational surface (TPC-H-ish; the dplyr-delegated half of the
+# reference, SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 2) AS sum_qty,
+       ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(avg(l_quantity), 6) AS avg_qty,
+       ROUND(avg(l_extendedprice), 6) AS avg_price,
+       ROUND(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def _q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def _topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+_TOPK_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rn <= 3
+"""
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — the batch twin of the
+    structured-streaming pipeline in tidyvec_spark.streaming (same
+    grouping expression; watermarking only matters on the stream)."""
+    ev = _read(spark, sf_dir, "events")
+    # ts arrives as int64 nanoseconds (see _read); integer DIV keeps the
+    # math exact (doubles lose precision above 2^53)
+    return (
+        ev.groupBy(
+            (F.expr("ts DIV 3600000000000") * 3600).alias("bucket_s"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a session break is a >30 min gap between a
+    user's consecutive events (lag + cumulative sum — the classic
+    Spark window idiom)."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts_s", F.expr("ts DIV 1000000000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+_EVENTS_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+                   OR ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only driver check; ML + iterative)
+# ---------------------------------------------------------------------------
+
+def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark import vec
+
+    e = _read(spark, sf_dir, "embeddings")
+    out = vec(e, dim=64).cluster_embeddings(n_clusters=8, seed=123)
+    return out.df.select("vec_id", "label", "cluster")
+
+
+def _pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark.operators.reduce import pca_project
+
+    e = _read(spark, sf_dir, "embeddings")
+    return pca_project(e, "embedding", k=2, id_cols=["vec_id"])
+
+
+def _hf_embed_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HF embedder plumbing exercised with the deterministic fake
+    encoder (torch not installed, as in the reference's Suggests)."""
+    from tidyvec_spark import vec
+    from tidyvec_spark.embedders.hf import HFEmbedder
+
+    docs = _read(spark, sf_dir, "documents").limit(100)
+    emb = HFEmbedder("fake-model", modality="text", fake_dim=32)
+    out = vec(docs, embedding_fn=emb).embed("text")
+    return out.df.select(
+        "doc_id", F.size("embedding").alias("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TF-IDF embed documents.text, search, top-10."""
+    return _tfidf_search(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # vector search (SURVEY §2.3)
+        "knn_cosine": _knn("cosine"),
+        "knn_euclidean": _knn("euclidean"),
+        "knn_dot": _knn("dot"),
+        "knn_min_score": _knn("cosine", n=100, min_score=0.15),
+        "knn_null_quirk": _knn_null_quirk,
+        "similarity_pair": _similarity_pair,
+        "ann_topk_per_query": _ann_topk,
+        "embedding_near_dup": _embedding_near_dup,
+        # tf-idf embed + search (SURVEY §2.2-2.3)
+        "tfidf_search": _tfidf_search,
+        "tfidf_hybrid": _tfidf_hybrid,
+        "keyword_search": _keyword_search,
+        # text analysis (extension §7.5)
+        "text_stats": _text_stats,
+        "lang_id": _lang_id,
+        "token_topk": _token_topk,
+        "doc_fingerprint": _doc_fingerprint,
+        # dedup (extension §7.5)
+        "exact_dup_groups": _exact_dup_groups,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        # relational surface (SURVEY §2.6)
+        "q1_pricing": _q1_pricing,
+        "q3_top_orders": _q3_top_orders,
+        "q5_region_revenue": _q5_region_revenue,
+        "topk_per_segment": _topk_per_segment,
+        "events_hourly": _events_hourly,
+        "events_sessions": _events_sessions,
+        # ML / non-SQL (rows-only check)
+        "kmeans_clusters": _kmeans_clusters,
+        "pca_2d": _pca_2d,
+        "hf_embed_fake": _hf_embed_fake,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_cosine": _knn_sql(_COS),
+        "knn_euclidean": _knn_sql(_EUC),
+        "knn_dot": _knn_sql(_DOT),
+        "knn_min_score": _knn_sql(_COS, n=100, min_score=0.15),
+        "knn_null_quirk": _KNN_NULL_QUIRK_SQL,
+        "similarity_pair": _SIMILARITY_PAIR_SQL,
+        "ann_topk_per_query": _ANN_TOPK_SQL,
+        "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
+        "tfidf_search": _TFIDF_SEARCH_SQL,
+        "tfidf_hybrid": _TFIDF_HYBRID_SQL,
+        "keyword_search": _KEYWORD_SEARCH_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "token_topk": _TOKEN_TOPK_SQL,
+        "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "exact_dup_groups": _EXACT_DUP_SQL,
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "q1_pricing": _Q1_SQL,
+        "q3_top_orders": _Q3_SQL,
+        "q5_region_revenue": _Q5_SQL,
+        "topk_per_segment": _TOPK_PER_SEGMENT_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_sessions": _EVENTS_SESSIONS_SQL,
+        # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
+        # (iterative ML, UDF-backed) -> driver rows-only check
+    }

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, schema (column names), and order-insensitive
+values (sorted columns + sorted rows).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def canon(rows, columns):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+                    if v == 0:
+                        v = 0.0  # -0.0 == 0.0
+            vals.append((type(v).__name__ if v is not None else "none", str(v)))
+        out.append(tuple(vals))
+    out.sort()
+    return [columns[i] for i in idx], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle_check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"✗ {name}: SPARK ERROR")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"~ {name}: rows-only ({len(s_rows)} rows, cols={s_cols})")
+            if len(s_rows) == 0:
+                print(f"  WARNING: zero rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = rel.columns
+            d_rows = rel.fetchall()
+        except Exception:
+            print(f"✗ {name}: DUCKDB ERROR")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        sc, sv = canon(s_rows, s_cols)
+        dc, dv = canon(d_rows, d_cols)
+        if sc != dc:
+            print(f"✗ {name}: SCHEMA {sc} vs {dc}")
+            failures.append(name)
+            continue
+        if len(sv) != len(dv):
+            print(f"✗ {name}: ROWCOUNT {len(sv)} vs {len(dv)}")
+            failures.append(name)
+            continue
+        if sv != dv:
+            bad = [(a, b) for a, b in zip(sv, dv) if a != b][:5]
+            print(f"✗ {name}: VALUES differ ({len([1 for a,b in zip(sv,dv) if a!=b])} rows)")
+            for a, b in bad:
+                print(f"    spark: {a}")
+                print(f"    duck : {b}")
+            failures.append(name)
+            continue
+        print(f"✓ {name}: {len(sv)} rows match")
+
+    print()
+    if failures:
+        print(f"FAILED: {failures}")
+        sys.exit(1)
+    print("ALL MATCH")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,12 +63,13 @@ class TfidfEmbedder(EmbedderSpec):
 
     def fit(self, df: DataFrame, content_col: str) -> "FittedTfidf":
         n_docs = df.count()
-        # one shuffle on term: corpus count (pruning) + doc frequency (idf)
-        # NB: monotonically_increasing_id is stable within this single plan;
-        # we only need "same doc" identity, not a persistent key.
+        # one shuffle on term: corpus count (pruning) + doc frequency (idf).
+        # The doc id MUST be assigned before explode — a
+        # monotonically_increasing_id in the same projection as explode
+        # would get a fresh value per token row, not per document.
         stats = (
-            df.select(F.monotonically_increasing_id().alias("_doc"),
-                      F.explode(tokens_expr(content_col)).alias("term"))
+            df.withColumn("_doc", F.monotonically_increasing_id())
+            .select("_doc", F.explode(tokens_expr(content_col)).alias("term"))
             .groupBy("term")
             .agg(
                 F.count("*").alias("corpus_count"),
@@ -172,6 +173,72 @@ class FittedTfidf(FittedEmbedder):
         for r in idx_rows:
             out[r["idx"]] = w[r["term"]]
         return out
+
+    def search(
+        self,
+        df: DataFrame,
+        content_col: str,
+        id_col: str,
+        query: str,
+        n: int = 5,
+        min_score: float = 0.0,
+        keyword_weight: float = 0.0,
+        round_to: int | None = None,
+        score_col: str = "similarity",
+    ) -> DataFrame:
+        """Sparse inverted-index cosine search — the 100 TB shape of
+        ``nearest`` over a TF-IDF collection.
+
+        Instead of materializing dense vocab-wide vectors and scanning
+        them (the reference's physical plan), score =
+        sum over the *query's* terms of w_doc * w_query — a broadcast
+        join on a handful of terms. Catalyst prunes every non-matching
+        term at the first join; the dense array column never exists.
+        Docs sharing no term with the query score 0 (same value the
+        dense cosine would give them).
+
+        Output: (id_col, score_col) — score rounded when ``round_to``
+        is set (used for oracle hash comparison), filtered by
+        ``min_score``, top-n with id tiebreak.
+        """
+        qw = self.query_term_weights(query)  # raises on OOV, parity
+        qnorm = math.sqrt(sum(w * w for w in qw.values()))
+        spark = df.sparkSession
+        qdf = spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(qw.items())], "term string, qw double"
+        )
+        weights = self.doc_term_weights(df, content_col, id_col)
+        dots = (
+            weights.join(F.broadcast(qdf), "term")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("weight") * F.col("qw")).alias("_dot"))
+        )
+        norms = self.doc_norms(weights, id_col)
+        sim = F.coalesce(
+            F.col("_dot")
+            / (F.when(F.col("norm") == 0.0, F.lit(None)).otherwise(F.col("norm"))
+               * F.lit(qnorm)),
+            F.lit(0.0),
+        )
+        if keyword_weight:
+            qterms = sorted({t for t in str(query).lower().split() if t})
+            from tidyvec_spark.functions.vector import keyword_score_expr
+            kw = keyword_score_expr(F.col(content_col), qterms)
+            sim = (F.lit(1.0 - keyword_weight) * sim
+                   + F.lit(float(keyword_weight)) * kw)
+        if round_to is not None:
+            sim = F.round(sim, round_to)
+        scored = (
+            df.select(id_col, content_col)
+            .join(dots, id_col, "left")
+            .join(norms, id_col, "left")
+            .withColumn(score_col, sim)
+            .filter(F.col(score_col) >= F.lit(float(min_score)))
+            .select(id_col, score_col)
+            .orderBy(F.desc(score_col), F.asc(id_col))
+            .limit(int(n))
+        )
+        return scored
 
     # -- dense side (reference-contract parity) -------------------------
     def embed_column(self, df: DataFrame, content_col: str, out_col: str) -> DataFrame:

@@ -74,6 +74,7 @@ def nearest(
     keyword_column: Optional[str] = None,
     score_col: str = "similarity",
     tiebreak: Optional[str] = None,
+    round_to: Optional[int] = None,
 ) -> VecFrame:
     if vf.embedding_col not in vf.columns:
         # clean error instead of an unresolved-column AnalysisException:
@@ -105,6 +106,10 @@ def nearest(
         keyword_column=keyword_column,
         query_text=qtext if qtext is not None else str(query),
     )
+    if round_to is not None:
+        # rounding BEFORE filter/sort makes the selected set reproducible
+        # across engines (oracle hash comparison)
+        sc = F.round(sc, round_to)
     out = vf.df.withColumn(score_col, sc).filter(
         F.col(score_col) >= F.lit(float(min_score))
     )
@@ -127,6 +132,7 @@ def similarity_join_exact(
     left_id: str = "left_id",
     right_id: str = "right_id",
     score_col: str = "similarity",
+    round_to: Optional[int] = None,
 ) -> DataFrame:
     """Exact collection x collection similarity join — the engine-side
     realization of the reference's documented-but-unimplemented ``%~%``
@@ -141,10 +147,10 @@ def similarity_join_exact(
 
     l = left.alias("l")
     r = right.alias("r")
-    pair = l.crossJoin(r).withColumn(
-        score_col,
-        similarity_expr(F.col(f"l.{left_vec}"), F.col(f"r.{right_vec}"), method),
-    )
+    sim = similarity_expr(F.col(f"l.{left_vec}"), F.col(f"r.{right_vec}"), method)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    pair = l.crossJoin(r).withColumn(score_col, sim)
     if threshold is not None:
         pair = pair.filter(F.col(score_col) >= F.lit(float(threshold)))
     if k is not None:
