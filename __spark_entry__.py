@@ -249,8 +249,13 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings table unioned with perturbed copies (vec_id + 100000,
     first component += 0.1) so near-dups exist by construction; exact
     all-pairs at this SF (the oracle-checkable path — the LSH-bucketed
-    scale path is the lsh_near_dup query)."""
-    from tidyvec_spark.functions.vector import cosine_sim_expr
+    scale path is the lsh_near_dup query).
+
+    Perf shape: the per-row L2 norm is hoisted map-side (computed once
+    per vector, not once per pair), so the O(n²) pair loop evaluates a
+    single higher-order dot product — same double arithmetic as
+    dot/(na*nb), bit-identical to the unhoisted cosine."""
+    from tidyvec_spark.functions.vector import dot_expr, l2_norm_expr
 
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -262,15 +267,16 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", 2, 1_000_000),
         ).alias("embedding"),
     )
-    allv = e.unionByName(pert)
+    allv = e.unionByName(pert).withColumn("nrm", l2_norm_expr("embedding"))
     a = allv.alias("a")
     b = allv.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_expr(F.col("a.embedding"), F.col("b.embedding")) / denom
+    )
     pairs = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn(
-            "similarity",
-            F.round(cosine_sim_expr(F.col("a.embedding"), F.col("b.embedding")), R),
-        )
+        .withColumn("similarity", F.round(cos, R))
         .filter(F.col("similarity") >= 0.98)
         .select(
             F.col("a.vec_id").alias("id_a"),
@@ -595,6 +601,135 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE) >= 0.5
 """
 
 
+# portable 60-bit md5 hash (see tidyvec_spark/functions/hashing.py) in
+# DuckDB dialect
+def _hex60(s: str) -> str:
+    return f"CAST(('0x' || substr(md5({s}), 1, 15)) AS UBIGINT)"
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-dup copies (doc_id < 50 → id + 10000, last 5
+    tokens dropped) — the shared synthetic corpus for near-dedup queries."""
+    from tidyvec_spark.functions import text as X
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens("text")
+    trunc = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+    )
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), trunc.alias("text")
+    )
+    return docs.unionByName(dups)
+
+
+_DUP_CORPUS_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(t[1:greatest(len(t) - 5, 1)], ' ') AS text
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  WHERE doc_id < 50
+)
+"""
+
+
+def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH banding (4×4) + exact-Jaccard verify — the
+    scale path for near-dedup: signatures map-side, candidates from an
+    equi-join on (band, band_hash), verify only candidate pairs."""
+    from tidyvec_spark.operators.dedup import minhash_lsh_pairs
+
+    corpus = _dup_corpus(spark, sf_dir)
+    return minhash_lsh_pairs(
+        corpus, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5, round_to=R,
+    )
+
+
+_MINHASH_LSH_SQL = f"""
+WITH {_DUP_CORPUS_SQL},
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks WHERE len(t) >= 3
+),
+sigs AS (
+  SELECT doc_id, sh,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(sh, s -> {_hex60("concat(i, '|', s)")}))) AS sig
+  FROM sh WHERE len(sh) > 0
+),
+banded AS (
+  SELECT doc_id, b,
+         {_hex60("concat(b, '#', array_to_string(list_transform(sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ','))")} AS bh
+  FROM sigs, range(0, 4) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE),
+               {R}) AS jaccard
+  FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5
+"""
+
+
+# SimHash in DuckDB: per-token 60-bit hash, ±1 vote per bit, bit j set
+# iff vote sum > 0 (same arithmetic as functions/hashing.py::simhash)
+def _simhash_sql(toks_expr: str, bits: int = 32) -> str:
+    return f"""CAST(COALESCE(list_sum(list_transform(range(0, {bits}),
+      j -> CASE WHEN COALESCE(list_sum(list_transform(
+                  list_transform({toks_expr}, t -> {_hex60("t")}),
+                  h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT)"""
+
+
+def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark.operators.dedup import simhash_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "text", "doc_id", bits=32)
+
+
+_SIMHASH_FP_SQL = f"""
+SELECT doc_id AS id, {_simhash_sql(_TOKS)} AS simhash FROM documents
+"""
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark.operators.dedup import simhash_pairs
+
+    corpus = _dup_corpus(spark, sf_dir)
+    return simhash_pairs(
+        corpus, "text", "doc_id", bits=32, bands=4, max_hamming=6
+    )
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_DUP_CORPUS_SQL},
+fps AS (SELECT doc_id AS id, {_simhash_sql(_TOKS)} AS fp FROM corpus),
+banded AS (
+  SELECT id, fp, b, (fp >> (b * 8)) & 255 AS bv
+  FROM fps, range(0, 4) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 6
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational surface (TPC-H-ish; the dplyr-delegated half of the
 # reference, SURVEY.md §2.6)
@@ -878,6 +1013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup (extension §7.5)
         "exact_dup_groups": _exact_dup_groups,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "simhash_fingerprints": _simhash_fingerprints,
+        "simhash_pairs": _simhash_pairs,
         # relational surface (SURVEY §2.6)
         "q1_pricing": _q1_pricing,
         "q3_top_orders": _q3_top_orders,
@@ -911,6 +1049,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "minhash_lsh_pairs": _MINHASH_LSH_SQL,
+        "simhash_fingerprints": _SIMHASH_FP_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "q1_pricing": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_region_revenue": _Q5_SQL,

@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "token_topk",
     "exact_dup_groups",
     "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
     "q1_pricing",
     "q3_top_orders",
     "q5_region_revenue",

@@ -1,0 +1,122 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark.functions.hashing import md5_long, minhash_signature, simhash
+from tidyvec_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and often"),  # near-dup of 0
+        (2, "completely different text about spark sql engines and shuffles"),
+        (3, "The  Quick   Brown fox jumps over the lazy dog again and again"),  # exact dup of 0 after norm
+        (4, "tiny"),  # too short for 3-gram shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_md5_long_matches_python(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("hello world",)], ["s"])
+    got = df.select(md5_long("s").alias("h")).first()["h"]
+    want = int(hashlib.md5(b"hello world").hexdigest()[:15], 16)
+    assert got == want
+
+
+def test_exact_dup_groups(corpus):
+    groups = dedup.exact_dup_groups(corpus, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 2
+    assert groups[0]["keep_id"] == 0
+
+
+def test_drop_exact_dups(corpus):
+    kept = dedup.drop_exact_dups(corpus, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 1, 2, 4]  # 3 dropped (dup of 0, higher id)
+
+
+def test_minhash_signature_shape(corpus):
+    from tidyvec_spark.functions import text as X
+
+    sig = (
+        corpus.filter(F.col("doc_id") == 0)
+        .select(
+            minhash_signature(
+                F.array_distinct(X.ngrams("text", 3)), num_hashes=16
+            ).alias("sig")
+        )
+        .first()["sig"]
+    )
+    assert len(sig) == 16
+    assert all(isinstance(v, int) and v >= 0 for v in sig)
+
+
+def test_minhash_lsh_finds_near_dup(corpus):
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # 0-1 share all but the last shingle; 0-3 identical after lowering
+    assert (0, 1) in found
+    assert (0, 3) in found
+    assert all(p not in found for p in [(0, 2), (1, 2), (2, 3)])
+    for r in pairs:
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash agreement rate should approximate the true Jaccard."""
+    a = set(f"tok{i}" for i in range(100))
+    b = set(f"tok{i}" for i in range(50, 150))  # true J = 50/150 = 1/3
+    df = spark.createDataFrame(
+        [(0, list(a)), (1, list(b))], ["id", "sh"]
+    ).select("id", minhash_signature("sh", num_hashes=128).alias("sig"))
+    s0, s1 = [r["sig"] for r in df.orderBy("id").collect()]
+    est = sum(x == y for x, y in zip(s0, s1)) / 128
+    assert abs(est - 1 / 3) < 0.15
+
+
+def test_simhash_near_dup_close_hamming(corpus):
+    fps = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(corpus, "text", "doc_id", bits=32).collect()
+    }
+    ham01 = bin(fps[0] ^ fps[1]).count("1")
+    ham02 = bin(fps[0] ^ fps[2]).count("1")
+    assert fps[0] == fps[3]  # exact dup after normalization
+    assert ham01 < ham02  # near-dup closer than unrelated
+    assert all(0 <= v < 2**32 for v in fps.values())
+
+
+def test_simhash_pairs(corpus):
+    pairs = dedup.simhash_pairs(
+        corpus, "text", "doc_id", bits=32, bands=4, max_hamming=6
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found.get((0, 3)) == 0
+    assert (0, 1) in found
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = dedup.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", threshold=0.5, round_to=6
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found and (0, 3) in found
+
+
+def test_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    # no shingleable docs pair up; nothing crashes on NULL/empty
+    assert dedup.minhash_lsh_pairs(df, "text", "doc_id").count() == 0
+    fps = dedup.simhash_fingerprints(df, "text", "doc_id").collect()
+    assert len(fps) == 3

@@ -135,9 +135,18 @@ def fingerprint(c: ColumnOrName) -> Column:
 
 
 def ngrams(c: ColumnOrName, n: int = 3) -> Column:
-    """Token n-gram strings (for shingle-based near-dup)."""
+    """Token n-gram strings (for shingle-based near-dup).
+
+    Documents with fewer than ``n`` tokens yield an empty array — the
+    guard matters because Spark's ``sequence(0, stop)`` produces a
+    *descending* sequence when stop < 0, which would feed slice a
+    0/negative start (ANSI error).
+    """
     toks = tokens(c)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
