@@ -305,6 +305,104 @@ SELECT id_a, id_b, similarity FROM pairs WHERE similarity >= 0.98
 
 
 # ---------------------------------------------------------------------------
+# ANN scale paths (LSH-bucketed + IVF) — deterministic, oracle-checked
+# ---------------------------------------------------------------------------
+
+_ANN_NBITS = 8
+_ANN_DIM = 64
+
+
+def _ann_planes() -> list[list[float]]:
+    from tidyvec_spark.operators.ann import random_planes
+
+    return random_planes(_ANN_DIM, nbits=_ANN_NBITS, seed=42)
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: bucket prune (Hamming<=1 multiprobe) →
+    exact cosine rerank top-10."""
+    from tidyvec_spark.operators.ann import ann_lsh_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return ann_lsh_topk(
+        e, "embedding", "vec_id", q, k=10, planes=_ann_planes(),
+        probe_hamming=1, method="cosine", round_to=R,
+    )
+
+
+def _plane_sql_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in plane) + "]"
+
+
+def _ann_lsh_sql() -> str:
+    planes = _ann_planes()
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_sql_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id, ROUND(list_cosine_similarity(b.v, q.qv), {R}) AS similarity
+  FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= 1
+)
+SELECT vec_id, similarity FROM cand
+ORDER BY similarity DESC, vec_id LIMIT 10
+"""
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: 16 fixed centroids (embeddings of vec_id < 16 — determinism
+    for the oracle; production uses ml.KMeans centers), nprobe=4, exact
+    cosine rerank top-10 over the probed lists."""
+    from tidyvec_spark.operators.ann import ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    q = _query_vec(spark, sf_dir)
+    return ivf_topk(
+        e, "embedding", "vec_id", cents, q, k=10, nprobe=4,
+        method="cosine", round_to=R,
+    )
+
+
+_ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_distance(e.v, c.cv) ^ 2, 6), c.centroid_id
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT centroid_id FROM cents, q
+  ORDER BY ROUND(list_distance(cv, q.qv) ^ 2, 6), centroid_id LIMIT 4
+),
+cand AS (
+  SELECT a.vec_id, ROUND(list_cosine_similarity(a.v, q.qv), {R}) AS similarity
+  FROM assign a JOIN probes USING (centroid_id), q
+)
+SELECT vec_id, similarity FROM cand
+ORDER BY similarity DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF search queries (documents table)
 # ---------------------------------------------------------------------------
 
@@ -1000,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_null_quirk": _knn_null_quirk,
         "similarity_pair": _similarity_pair,
         "ann_topk_per_query": _ann_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dup": _embedding_near_dup,
         # tf-idf embed + search (SURVEY §2.2-2.3)
         "tfidf_search": _tfidf_search,
@@ -1039,6 +1139,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_null_quirk": _KNN_NULL_QUIRK_SQL,
         "similarity_pair": _SIMILARITY_PAIR_SQL,
         "ann_topk_per_query": _ANN_TOPK_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
         "tfidf_search": _TFIDF_SEARCH_SQL,
         "tfidf_hybrid": _TFIDF_HYBRID_SQL,

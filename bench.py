@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "knn_cosine",
     "knn_min_score",
     "ann_topk_per_query",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_near_dup",
     "tfidf_search",
     "tfidf_hybrid",

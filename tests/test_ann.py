@@ -1,0 +1,102 @@
+"""ANN operator tests: LSH bucketing and IVF assignment/search."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark.operators import ann
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.filter(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def test_planes_deterministic():
+    a = ann.random_planes(8, nbits=4, seed=42)
+    b = ann.random_planes(8, nbits=4, seed=42)
+    assert a == b
+    assert len(a) == 4 and len(a[0]) == 8
+    assert ann.random_planes(8, nbits=4, seed=1) != a
+
+
+def test_query_bucket_matches_spark_bucket(emb, qvec):
+    planes = ann.random_planes(64, nbits=8, seed=42)
+    qb = ann.query_bucket(qvec, planes)
+    spark_b = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(ann.hyperplane_bucket_expr("embedding", planes).alias("b"))
+        .first()["b"]
+    )
+    assert spark_b == qb
+    assert 0 <= qb < 2**8
+
+
+def test_multiprobe_sizes():
+    assert len(ann.multiprobe_buckets(5, 8, hamming=0)) == 1
+    assert len(ann.multiprobe_buckets(5, 8, hamming=1)) == 9
+    assert len(ann.multiprobe_buckets(5, 8, hamming=2)) == 9 + 28
+
+
+def test_lsh_topk_finds_self(emb, qvec):
+    out = ann.ann_lsh_topk(
+        emb, "embedding", "vec_id", qvec, k=10, nbits=8, probe_hamming=1,
+        round_to=6,
+    ).collect()
+    assert 0 < len(out) <= 10
+    assert out[0]["vec_id"] == 0 and out[0]["similarity"] == 1.0
+    sims = [r["similarity"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_vs_exact(emb, qvec):
+    """With hamming<=2 multiprobe the candidate set is ~15% of a random
+    corpus; recall@10 against the exact scan should be well above the
+    scan fraction (neighbors collide preferentially)."""
+    from tidyvec_spark import vec
+    from tidyvec_spark.operators.nearest import nearest
+
+    exact = {
+        r["vec_id"]
+        for r in nearest(
+            vec(emb), qvec, n=10, as_embedding=True, tiebreak="vec_id"
+        ).df.select("vec_id").collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in ann.ann_lsh_topk(
+            emb, "embedding", "vec_id", qvec, k=10, nbits=8, probe_hamming=2
+        ).collect()
+    }
+    assert len(exact & approx) >= 3
+
+
+def test_ivf_assign_total(emb):
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = ann.ivf_assign(e, "embedding", "vec_id", cents)
+    assert assigned.count() == e.count()  # exactly one centroid per row
+    n_used = assigned.select("centroid_id").distinct().count()
+    assert 1 <= n_used <= 8
+    # each centroid vector is assigned to itself (distance 0)
+    self_rows = assigned.filter(F.col("vec_id") < 8).collect()
+    assert all(r["centroid_id"] == r["vec_id"] for r in self_rows)
+
+
+def test_ivf_topk_finds_self(emb, qvec):
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    out = ann.ivf_topk(
+        e, "embedding", "vec_id", cents, qvec, k=5, nprobe=2, round_to=6
+    ).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0 and out[0]["similarity"] == 1.0

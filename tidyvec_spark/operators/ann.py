@@ -1,0 +1,215 @@
+"""Approximate nearest-neighbor search — the scale path for ``nearest``.
+
+The reference is exact brute-force only (R/core.R:287-292, "< 100K
+items" ceiling per vignettes/getting-started.Rmd:314). At 100 TB the
+engine needs sublinear candidate generation; this module adds the two
+classic layouts on top of the exact kernels in functions/vector.py:
+
+- **Random-hyperplane LSH** (SimHash for vectors, Charikar 2002):
+  bucket id = sign-bit pattern of ``nbits`` fixed hyperplane dot
+  products. Bucketing is a map-side native expression; a query probes
+  its own bucket plus all Hamming-1 neighbors (multiprobe), then
+  exact-reranks the candidates. At scale the bucket column becomes the
+  partition/cluster key so a probe touches a handful of files.
+
+- **IVF (inverted-file / coarse quantizer)**: every vector is assigned
+  to its nearest of k centroids (broadcast join — centroid table is
+  tiny by construction); a query scans only the ``nprobe`` nearest
+  centroid lists. At scale: partition/bucket the corpus by
+  ``centroid_id`` so probes prune partitions; centroids come from
+  ``pyspark.ml`` KMeans (or any fixed set, which keeps the operator
+  deterministic and oracle-checkable).
+
+Both paths are *deterministic* given their parameters (planes/centroid
+set), so correctness is hash-checkable against DuckDB — approximation
+error is a property of the parameters, not of run-to-run randomness.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tidyvec_spark.functions.vector import (
+    array_lit,
+    dot_expr,
+    similarity_expr,
+)
+
+
+def random_planes(
+    dim: int, nbits: int = 8, seed: int = 42, round_to: int = 6
+) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (stdlib PRNG, fixed seed),
+    rounded so the same literals embed exactly in Spark and oracle SQL."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), round_to) for _ in range(dim)]
+        for _ in range(nbits)
+    ]
+
+
+def hyperplane_bucket_expr(emb_col, planes: Sequence[Sequence[float]]) -> Column:
+    """LSH bucket id: bit i = (emb · plane_i >= 0). Map-side, no shuffle;
+    ``nbits`` JVM-side dot products per row."""
+    col = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        bit = F.when(
+            dot_expr(col, array_lit(plane)) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return bucket
+
+
+def query_bucket(query_vec: Sequence[float], planes: Sequence[Sequence[float]]) -> int:
+    """Driver-side bucket of the query vector (same arithmetic)."""
+    b = 0
+    for i, plane in enumerate(planes):
+        if sum(float(x) * p for x, p in zip(query_vec, plane)) >= 0:
+            b |= 1 << i
+    return b
+
+
+def multiprobe_buckets(bucket: int, nbits: int, hamming: int = 1) -> list[int]:
+    """The probe set: all buckets within the given Hamming distance
+    (hamming=1 → nbits+1 buckets). Larger radius trades latency for
+    recall without touching the stored layout."""
+    probes = {bucket}
+    if hamming >= 1:
+        for i in range(nbits):
+            probes.add(bucket ^ (1 << i))
+    if hamming >= 2:
+        for i in range(nbits):
+            for j in range(i + 1, nbits):
+                probes.add(bucket ^ (1 << i) ^ (1 << j))
+    return sorted(probes)
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    planes: Optional[Sequence[Sequence[float]]] = None,
+    nbits: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    method: str = "cosine",
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """LSH-bucketed top-k: bucket filter (candidate pruning) → exact
+    rerank → TakeOrderedAndProject. Returns (id, similarity).
+
+    Physical shape at scale: the bucket predicate prunes before the
+    similarity kernel runs; with the corpus partitioned by bucket the
+    scan itself prunes partitions — scan cost drops from O(n) to
+    O(n · probes / 2^nbits).
+    """
+    if planes is None:
+        dim = len(query_vec)
+        planes = random_planes(dim, nbits=nbits, seed=seed)
+    nbits = len(planes)
+    qb = query_bucket(query_vec, planes)
+    probes = multiprobe_buckets(qb, nbits, probe_hamming)
+
+    sim = similarity_expr(F.col(emb_col), array_lit(query_vec), method)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        df.withColumn("__bucket", hyperplane_bucket_expr(emb_col, planes))
+        .filter(F.col("__bucket").isin(probes))
+        .withColumn("similarity", sim)
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(int(k))
+        .select(id_col, "similarity")
+    )
+
+
+def l2sq_expr(a, b) -> Column:
+    """Squared L2 distance, double-precision fold (assignment metric)."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        ac, bc,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_assign(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (broadcast join +
+    per-row argmin window over ``id_col``; ties broken by centroid id).
+
+    The centroid table is tiny by construction (k ≪ n) so Catalyst
+    broadcasts it — the assignment pass over the corpus is shuffle-free
+    except the window's hash on ``id_col`` (at scale: replace the
+    window with ``min_by(struct(dist, cent_id))`` groupBy for a
+    map-side-combinable aggregate; kept as a window here so all of the
+    corpus row's columns survive without a rejoin).
+    """
+    joined = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__dist", F.round(l2sq_expr(emb_col, cent_vec), round_to)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("__dist"), F.asc(cent_id))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__dist", cent_vec)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid",
+    method: str = "cosine",
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """IVF search: rank centroids against the query (tiny, driver-free),
+    keep the ``nprobe`` nearest, scan only vectors assigned to them,
+    exact-rerank top-k. Returns (id, similarity).
+
+    With the corpus bucketed/partitioned by assignment, the probe
+    filter becomes partition pruning — the 100 TB path scans
+    nprobe/k-ths of the data.
+    """
+    assigned = ivf_assign(df, emb_col, id_col, centroids, cent_id, cent_vec)
+    probe_ids = (
+        centroids.withColumn(
+            "__qd", F.round(l2sq_expr(cent_vec, array_lit(query_vec)), 6)
+        )
+        .orderBy(F.asc("__qd"), F.asc(cent_id))
+        .limit(int(nprobe))
+        .select(cent_id)
+    )
+    sim = similarity_expr(F.col(emb_col), array_lit(query_vec), method)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        assigned.join(F.broadcast(probe_ids), on=cent_id)
+        .withColumn("similarity", sim)
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(int(k))
+        .select(id_col, "similarity")
+    )
