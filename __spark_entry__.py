@@ -576,6 +576,83 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# multimodal columns (binary + typed metadata; codecs faked
+# deterministically — PIL/librosa/ffmpeg absent, like torch in the
+# reference's Suggests — so the Arrow/mapInPandas plumbing itself is
+# oracle-checked via byte-length arithmetic)
+# ---------------------------------------------------------------------------
+
+def _media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark.sources.binary import with_synthetic_binary
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_synthetic_binary(docs, "text").select("doc_id", "content")
+
+
+def _multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary content → mapInPandas image-meta decode (fake codec) +
+    JVM-side md5; the full multimodal ingest shape."""
+    from tidyvec_spark.operators.multimodal import decode_image_meta
+
+    media = _media_corpus(spark, sf_dir)
+    out = decode_image_meta(media, "content", fake=True)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.md5("content").alias("content_md5"),
+        "width",
+        "height",
+        "channels",
+    )
+
+
+_MULTIMODAL_IMAGE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(16 + octet_length(encode(text)) % 624 AS INTEGER) AS width,
+       CAST(16 + (octet_length(encode(text)) * 7) % 464 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels
+FROM documents
+"""
+
+
+def _multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidyvec_spark.operators.multimodal import decode_audio_meta
+
+    media = _media_corpus(spark, sf_dir)
+    out = decode_audio_meta(media, "content")
+    return out.select("doc_id", "n_bytes", "sample_rate", "channels", "duration_s")
+
+
+_MULTIMODAL_AUDIO_SQL = """
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(8000 + (n % 8) * 1000 AS INTEGER) AS sample_rate,
+       CAST(1 + n % 2 AS INTEGER) AS channels,
+       n / 16000.0 AS duration_s
+FROM m
+"""
+
+
+def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 media row → N sampled-frame rows through mapInPandas (the
+    row-count-changing batch shape)."""
+    from tidyvec_spark.operators.multimodal import sample_frames
+
+    media = _media_corpus(spark, sf_dir)
+    return sample_frames(media, "content", "doc_id", stride=30)
+
+
+_MULTIMODAL_FRAMES_SQL = """
+WITH m AS (SELECT doc_id, 1 + octet_length(encode(text)) % 240 AS nf FROM documents)
+SELECT doc_id, CAST(unnest(range(0, nf, 30)) AS INTEGER) AS frame_idx,
+       CAST(nf AS INTEGER) AS n_frames
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # deduplication queries (documents table; dups synthesized in-query
 # because the generator produced none)
 # ---------------------------------------------------------------------------
@@ -1110,6 +1187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "token_topk": _token_topk,
         "doc_fingerprint": _doc_fingerprint,
+        # multimodal columns (extension §7.5)
+        "multimodal_image_meta": _multimodal_image_meta,
+        "multimodal_audio_meta": _multimodal_audio_meta,
+        "multimodal_frame_sample": _multimodal_frame_sample,
         # dedup (extension §7.5)
         "exact_dup_groups": _exact_dup_groups,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
@@ -1149,6 +1230,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "token_topk": _TOKEN_TOPK_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "multimodal_image_meta": _MULTIMODAL_IMAGE_SQL,
+        "multimodal_audio_meta": _MULTIMODAL_AUDIO_SQL,
+        "multimodal_frame_sample": _MULTIMODAL_FRAMES_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -1,0 +1,81 @@
+"""Multimodal plumbing tests: binary columns + mapInPandas decode stages."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark.operators import multimodal as mm
+from tidyvec_spark.sources.binary import read_binary_dir, with_synthetic_binary
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    return with_synthetic_binary(docs, "text").select("doc_id", "content")
+
+
+def test_synthetic_binary_is_utf8(media, spark):
+    row = media.withColumn("t2", F.decode("content", "UTF-8")).first()
+    assert isinstance(row["content"], (bytes, bytearray))
+
+
+def test_image_meta_matches_fake_formula(media):
+    out = mm.decode_image_meta(media, "content", fake=True).collect()
+    assert len(out) == 50
+    for r in out:
+        w, h, c, fmt = mm.fake_image_meta(r["n_bytes"])
+        assert (r["width"], r["height"], r["channels"], r["format"]) == (w, h, c, fmt)
+
+
+def test_image_meta_null_content(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)], "doc_id INT, content BINARY"
+    )
+    rows = {r["doc_id"]: r for r in mm.decode_image_meta(df, fake=True).collect()}
+    assert rows[1]["n_bytes"] == 3 and rows[1]["width"] is not None
+    assert rows[2]["n_bytes"] == 0 and rows[2]["width"] is None
+
+
+def test_real_decode_raises_without_pil(media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; stub path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="pillow"):
+        mm.decode_image_meta(media, "content", fake=False)
+
+
+def test_audio_meta(media):
+    out = mm.decode_audio_meta(media, "content").collect()
+    for r in out:
+        sr, ch, dur = mm.fake_audio_meta(r["n_bytes"])
+        assert (r["sample_rate"], r["channels"]) == (sr, ch)
+        assert abs(r["duration_s"] - dur) < 1e-12
+
+
+def test_frame_sample_fanout(media):
+    out = mm.sample_frames(media, "content", "doc_id", stride=30)
+    rows = out.collect()
+    # every media row produces >= 1 frame row; frame indices stride-aligned
+    assert len({r["doc_id"] for r in rows}) == 50
+    assert len(rows) >= 50
+    for r in rows:
+        assert r["frame_idx"] % 30 == 0
+        assert 0 <= r["frame_idx"] < r["n_frames"] <= 240
+
+
+def test_read_binary_dir(spark, tmp_path):
+    p = tmp_path / "blobs"
+    p.mkdir()
+    (p / "a.bin").write_bytes(b"hello")
+    (p / "b.bin").write_bytes(b"world!!")
+    (p / "skip.txt").write_bytes(b"no")
+    df = read_binary_dir(spark, str(p), glob="*.bin")
+    rows = sorted(df.collect(), key=lambda r: r["path"])
+    assert len(rows) == 2
+    assert rows[0]["length"] == 5 and bytes(rows[0]["content"]) == b"hello"

@@ -1,0 +1,211 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The reference embeds images by *file path* through CLIP/SigLIP
+(R/embedders.R:102-150, path-existence sniffing at R/embedders.R:112).
+A distributed engine cannot rely on driver-visible paths, so the Spark
+design is: media rides as a ``binary`` content column (loaded via the
+``binaryFile`` source — sources/binary.py), and decode / feature
+extraction runs as Arrow-batched ``mapInPandas`` stages over the bytes.
+
+The actual codec work (PIL/librosa/ffmpeg) is NOT available in this
+environment, exactly like torch in the reference's Suggests; every
+operator therefore supports a clearly-marked **deterministic fake**
+decoder (pure arithmetic on byte length) and raises
+``NotImplementedError`` if the real codec is requested but missing.
+The Spark-side plumbing — schema handling, Arrow batch iteration,
+row-count-changing fan-out (frame sampling) — is real and tested, and
+because the fake is pure arithmetic the whole mapInPandas path is
+verified against a DuckDB oracle computing the same formulas.
+
+Scale notes: mapInPandas streams Arrow batches through one Python
+worker per core — no driver materialization, no shuffle; tune
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (media rows are wide)
+and store media in many small-row-group parquet files so a 100 TB
+corpus splits into codec-bound, evenly-sized tasks.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# -- deterministic fake codecs (pure functions of the byte payload) -----
+
+def fake_image_meta(n_bytes: int) -> tuple[int, int, int, str]:
+    """width, height, channels, format — arithmetic on byte length,
+    mirrored exactly by the DuckDB oracle SQL."""
+    return 16 + n_bytes % 624, 16 + (n_bytes * 7) % 464, 3, "FAKE"
+
+
+def fake_audio_meta(n_bytes: int) -> tuple[int, int, float]:
+    """sample_rate, channels, duration_s. The duration is the *exact*
+    IEEE double quotient — no rounding, because Python rounds half-even
+    while SQL engines round half-away and n/16000 lands on 6-dp halves."""
+    return 8000 + (n_bytes % 8) * 1000, 1 + n_bytes % 2, n_bytes / 16000.0
+
+
+def fake_video_n_frames(n_bytes: int) -> int:
+    return 1 + n_bytes % 240
+
+
+# -- operators -----------------------------------------------------------
+
+def decode_image_meta(
+    df: DataFrame, content_col: str = "content", fake: Optional[bool] = None
+) -> DataFrame:
+    """Decode image dimensions from the binary content column.
+
+    Appends ``n_bytes / width / height / channels / format``. With
+    ``fake=False`` (or autodetected PIL) decodes real headers; without
+    PIL, ``fake=None`` falls back to the deterministic fake and
+    ``fake=False`` raises NotImplementedError.
+    """
+    use_fake = (fake is None and not _pil_available()) or fake is True
+    if fake is False and not _pil_available():
+        raise NotImplementedError(
+            "real image decoding requires pillow, which is not installed; "
+            "pass fake=True (deterministic fake) or install PIL"
+        )
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("format", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[content_col]
+            n = blobs.map(lambda b: 0 if b is None else len(b))
+            if use_fake:
+                meta = [
+                    (None, None, None, None) if b is None else fake_image_meta(len(b))
+                    for b in blobs
+                ]
+            else:  # pragma: no cover - PIL not present in this env
+                import io
+
+                from PIL import Image
+
+                meta = []
+                for b in blobs:
+                    if b is None:
+                        meta.append((None, None, None, None))
+                        continue
+                    img = Image.open(io.BytesIO(bytes(b)))
+                    meta.append(
+                        (img.width, img.height, len(img.getbands()), img.format)
+                    )
+            pdf = pdf.copy()
+            pdf["n_bytes"] = n.astype("int64")
+            pdf["width"] = pd.array([m[0] for m in meta], dtype="Int32")
+            pdf["height"] = pd.array([m[1] for m in meta], dtype="Int32")
+            pdf["channels"] = pd.array([m[2] for m in meta], dtype="Int32")
+            pdf["format"] = [m[3] for m in meta]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def decode_audio_meta(
+    df: DataFrame, content_col: str = "content", fake: Optional[bool] = None
+) -> DataFrame:
+    """Audio header decode: sample_rate / channels / duration_s.
+
+    Real decoding (soundfile/librosa) is unavailable here — the fake is
+    the only live path; the plumbing is identical."""
+    if fake is False:
+        raise NotImplementedError(
+            "real audio decoding requires soundfile/librosa (not installed); "
+            "pass fake=True"
+        )
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [
+                (0, None, None, None)
+                if b is None
+                else (len(b),) + fake_audio_meta(len(b))
+                for b in pdf[content_col]
+            ]
+            pdf = pdf.copy()
+            pdf["n_bytes"] = pd.array([m[0] for m in meta], dtype="int64")
+            pdf["sample_rate"] = pd.array([m[1] for m in meta], dtype="Int32")
+            pdf["channels"] = pd.array([m[2] for m in meta], dtype="Int32")
+            pdf["duration_s"] = pd.array([m[3] for m in meta], dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    stride: int = 30,
+    fake: Optional[bool] = None,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame index —
+    the row-count-changing mapInPandas shape (1 media row → N frame
+    rows). Real extraction would attach the decoded frame bytes; the
+    fake attaches the frame index and byte offsets only.
+
+    Returns (id_col, frame_idx, n_frames).
+    """
+    if fake is False:
+        raise NotImplementedError(
+            "real video decoding requires ffmpeg bindings (not installed); "
+            "pass fake=True"
+        )
+    out_schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, totals = [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None:
+                    continue
+                nf = fake_video_n_frames(len(b))
+                for fi in range(0, nf, stride):
+                    ids.append(i)
+                    frames.append(fi)
+                    totals.append(nf)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": frames, "n_frames": totals}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
