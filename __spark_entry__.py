@@ -1058,22 +1058,13 @@ WHERE rn <= 3
 
 
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregation — the batch twin of the
-    structured-streaming pipeline in tidyvec_spark.streaming (same
-    grouping expression; watermarking only matters on the stream)."""
+    """Tumbling 1-hour window aggregation — THE streaming pipeline
+    (tidyvec_spark.streaming.hourly_rollup) run in batch mode; the same
+    function handles the stream with a watermark."""
+    from tidyvec_spark.streaming import hourly_rollup
+
     ev = _read(spark, sf_dir, "events")
-    # ts arrives as int64 nanoseconds (see _read); integer DIV keeps the
-    # math exact (doubles lose precision above 2^53)
-    return (
-        ev.groupBy(
-            (F.expr("ts DIV 3600000000000") * 3600).alias("bucket_s"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-    )
+    return hourly_rollup(ev, watermark=None)
 
 
 _EVENTS_HOURLY_SQL = """
@@ -1114,6 +1105,41 @@ g AS (
   SELECT user_id,
          CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
                    OR ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def _events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (the streaming pipeline in
+    batch mode), aggregated per user — must agree with the independent
+    lag+cumsum oracle formulation, which cross-validates Spark's
+    session-merge semantics against plain SQL."""
+    from tidyvec_spark.streaming import session_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    sessions = session_rollup(ev, gap="30 minutes", watermark=None)
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+_EVENTS_SESSION_WINDOWS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000
+           + CAST(microsecond(ts) % 1000000 AS BIGINT) AS ts_us
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                   OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) >= 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM e
 )
@@ -1204,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_segment": _topk_per_segment,
         "events_hourly": _events_hourly,
         "events_sessions": _events_sessions,
+        "events_session_windows": _events_session_windows,
         # ML / non-SQL (rows-only check)
         "kmeans_clusters": _kmeans_clusters,
         "pca_2d": _pca_2d,
@@ -1244,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_segment": _TOPK_PER_SEGMENT_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
+        "events_session_windows": _EVENTS_SESSION_WINDOWS_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -1,0 +1,67 @@
+"""Structured Streaming tests: the stream pipelines must produce the
+same results as their batch twins (same functions, batch DataFrame)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark import streaming as S
+
+
+@pytest.fixture(scope="module")
+def event_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, event_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.schema(S.pipelines.EVENT_SCHEMA).parquet(event_dir)
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_hourly_rollup_stream_equals_batch(spark, event_dir, batch_events):
+    batch = S.hourly_rollup(batch_events, watermark=None).collect()
+    stream = S.read_event_stream(spark, event_dir)
+    assert stream.isStreaming
+    S.run_available_now(S.hourly_rollup(stream, watermark="2 hours"), "hourly_t")
+    got = spark.table("hourly_t").collect()
+    assert _canon(got) == _canon(batch)
+    assert len(batch) > 0
+
+
+def test_session_rollup_stream_equals_batch(spark, event_dir, batch_events):
+    batch = S.session_rollup(batch_events, watermark=None).collect()
+    stream = S.read_event_stream(spark, event_dir)
+    S.run_available_now(
+        S.session_rollup(stream, gap="30 minutes", watermark="2 hours"),
+        "sessions_t",
+    )
+    got = spark.table("sessions_t").collect()
+    assert _canon(got) == _canon(batch)
+    # sanity: session bounds ordered, events counted
+    for r in batch:
+        assert r["session_start_s"] <= r["session_end_s"]
+        assert r["n_events"] >= 1
+
+
+def test_dedup_events_stream(spark, event_dir, batch_events):
+    n_unique = batch_events.select("event_id").distinct().count()
+    stream = S.read_event_stream(spark, event_dir)
+    S.run_available_now(S.dedup_events(stream, watermark="1 hour"), "dedup_t")
+    got = spark.table("dedup_t")
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_watermark_present_in_stream_plan(spark, event_dir):
+    stream = S.read_event_stream(spark, event_dir)
+    agg = S.hourly_rollup(stream, watermark="2 hours")
+    plan = agg._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" in plan

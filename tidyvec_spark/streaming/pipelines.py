@@ -1,0 +1,144 @@
+"""Event-stream pipelines: windowed rollup, session windows, dedup.
+
+The ``events`` table schema (driver fixtures): event_id BIGINT,
+ts TIMESTAMP(NANOS), user_id BIGINT, event_type STRING, value DOUBLE,
+props STRING. Spark 4 reads nano timestamps only as int64
+(``spark.sql.legacy.parquet.nanosAsLong``), so every pipeline starts
+from ``event_ts`` which restores a microsecond timestamp — exact for
+this data (the generator emits µs precision).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # int64 nanoseconds
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def event_ts(c: str = "ts") -> Column:
+    """int64-nanosecond column → TIMESTAMP (microsecond floor; integer
+    DIV — double math would lose precision above 2^53 ns)."""
+    return F.timestamp_micros(F.expr(f"{c} DIV 1000"))
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-source stream over an events parquet directory.
+
+    New files appearing under ``path`` become micro-batches — the
+    standard landing-zone pattern (object-store prefix at scale; use
+    ``maxFilesPerTrigger`` to bound batch size / latency)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def hourly_rollup(
+    events: DataFrame,
+    watermark: Optional[str] = "2 hours",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Tumbling 1-hour window: count + sum(value) per (window, keys).
+
+    Batch twin: __spark_entry__._events_hourly (same grouping, int64
+    bucket arithmetic, oracle-checked). On a stream the watermark lets
+    Spark finalize and evict window state once event time has passed
+    window_end + watermark — bounded state at any input size.
+    """
+    tsc = event_ts("ts").alias("__ts")
+    df = events.select("*", tsc)
+    if watermark is not None and events.isStreaming:
+        df = df.withWatermark("__ts", watermark)
+    return (
+        df.groupBy(F.window("__ts", "1 hour").alias("w"), *keys)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            *keys,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: Optional[str] = "2 hours",
+) -> DataFrame:
+    """Per-user session windows (native ``session_window``: a session
+    extends while consecutive events arrive within ``gap``).
+
+    Returns one row per (user_id, session): n_events, session start/end
+    epoch seconds. The batch aggregation to sessions-per-user is the
+    oracle-checked twin of the lag+cumsum formulation
+    (__spark_entry__._events_sessions).
+    """
+    tsc = event_ts("ts").alias("__ts")
+    df = events.select("*", tsc)
+    if watermark is not None and events.isStreaming:
+        df = df.withWatermark("__ts", watermark)
+    return (
+        df.groupBy(F.session_window("__ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end_s"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-event_id dedup on a stream.
+
+    ``dropDuplicatesWithinWatermark`` keeps event_id state only for the
+    watermark horizon — the unbounded-state-safe form of
+    ``dropDuplicates`` for at-least-once sources (Kafka replays, file
+    redeliveries)."""
+    df = events.select("*", event_ts("ts").alias("__ts"))
+    if events.isStreaming:
+        return df.withWatermark("__ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        ).drop("__ts")
+    return df.dropDuplicates(["event_id"]).drop("__ts")
+
+
+def run_available_now(stream_df: DataFrame, table_name: str) -> None:
+    """Drain all currently-available input through the streaming engine
+    into an in-memory table (test/dev harness; production sinks are
+    parquet/Kafka/Delta via the same writeStream call)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete" if _has_aggregation(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan
