@@ -1,0 +1,65 @@
+"""Plan-shape regression tests: the 100 TB properties, pinned.
+
+A wrong plan shape at sf0.001 is the same wrong plan at 100 TB — these
+tests fail on shape regressions (lost pushdown, lost broadcast, global
+sort instead of top-k heaps) even while answers stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from tidyvec_spark import plans as P
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def test_q1_filter_pushed_and_pruned(spark, qs):
+    df = qs["q1_pricing"](spark, SF)
+    P.assert_filter_pushed(df, "l_shipdate")
+    # scan must not read uninvolved wide columns
+    for cols in P.read_schemas(df):
+        assert "l_comment" not in cols
+
+
+def test_q3_broadcasts_customer(spark, qs):
+    df = qs["q3_top_orders"](spark, SF)
+    P.assert_broadcast(df, at_least=1)
+    P.assert_no_cartesian(df)
+    assert P.has_take_ordered(df)
+    P.assert_filter_pushed(df, "c_mktsegment")
+
+
+def test_q5_broadcasts_dims(spark, qs):
+    df = qs["q5_region_revenue"](spark, SF)
+    P.assert_broadcast(df, at_least=2)  # nation, region, supplier
+    P.assert_no_cartesian(df)
+
+
+def test_knn_is_scan_plus_topk(spark, qs):
+    df = qs["knn_cosine"](spark, SF)
+    assert P.has_take_ordered(df)  # no global sort
+    assert P.num_shuffles(df) == 0  # single scan, per-partition heaps
+
+
+def test_metadata_query_prunes_embedding(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = emb.groupBy("label").agg(F.count("*").alias("n"))
+    P.assert_column_pruned(df, "embedding")
+
+
+def test_ann_lsh_no_shuffle_before_topk(spark, qs):
+    df = qs["ann_lsh_topk"](spark, SF)
+    # bucket + filter + rerank is map-side; only TakeOrdered merges
+    assert P.has_take_ordered(df)
+    assert P.num_shuffles(df) == 0
+
+
+def test_tfidf_search_has_codegen(spark, qs):
+    df = qs["tfidf_search"](spark, SF)
+    assert P.codegen_stage_count(df) >= 1
