@@ -251,11 +251,11 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs at this SF (the oracle-checkable path — the LSH-bucketed
     scale path is the lsh_near_dup query).
 
-    Perf shape: the per-row L2 norm is hoisted map-side (computed once
-    per vector, not once per pair), so the O(n²) pair loop evaluates a
-    single higher-order dot product — same double arithmetic as
-    dot/(na*nb), bit-identical to the unhoisted cosine."""
-    from tidyvec_spark.functions.vector import dot_expr, l2_norm_expr
+    Perf shape: blocked GEMM (operators/dedup.py::embedding_near_dup_pairs)
+    — the corpus broadcast once as a float64 matrix with hoisted norms,
+    the O(n²·d) multiply-adds inside per-batch BLAS blocks instead of one
+    codegen expression per pair. Same double arithmetic as dot/(na*nb)."""
+    from tidyvec_spark.operators.dedup import embedding_near_dup_pairs
 
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -267,24 +267,10 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", 2, 1_000_000),
         ).alias("embedding"),
     )
-    allv = e.unionByName(pert).withColumn("nrm", l2_norm_expr("embedding"))
-    a = allv.alias("a")
-    b = allv.alias("b")
-    denom = F.col("a.nrm") * F.col("b.nrm")
-    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_expr(F.col("a.embedding"), F.col("b.embedding")) / denom
+    allv = e.unionByName(pert)
+    return embedding_near_dup_pairs(
+        allv, "embedding", "vec_id", threshold=0.98, round_to=R
     )
-    pairs = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("similarity", F.round(cos, R))
-        .filter(F.col("similarity") >= 0.98)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            "similarity",
-        )
-    )
-    return pairs
 
 
 _EMBEDDING_NEAR_DUP_SQL = f"""
@@ -810,6 +796,18 @@ corpus AS (
 """
 
 
+def _minhash_ab_sql() -> str:
+    """The (a_i, b_i) universal-hash coefficients as a DuckDB list-of-list
+    literal — same literals the Spark expression embeds (hashing.py)."""
+    from tidyvec_spark.functions.hashing import minhash_coeffs
+
+    return (
+        "["
+        + ", ".join(f"[{a}, {b}]" for a, b in minhash_coeffs(16))
+        + "]"
+    )
+
+
 def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH banding (4×4) + exact-Jaccard verify — the
     scale path for near-dedup: signatures map-side, candidates from an
@@ -832,11 +830,16 @@ sh AS (
                                       i -> array_to_string(t[i:i+2], ' '))) AS sh
   FROM toks WHERE len(t) >= 3
 ),
+based AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> CAST({_hex60("s")} AS BIGINT) & 1073741823) AS bh
+  FROM sh WHERE len(sh) > 0
+),
 sigs AS (
   SELECT doc_id, sh,
-         list_transform(range(0, 16),
-           i -> list_min(list_transform(sh, s -> {_hex60("concat(i, '|', s)")}))) AS sig
-  FROM sh WHERE len(sh) > 0
+         list_transform({_minhash_ab_sql()},
+           ab -> list_min(list_transform(bh, h -> (ab[1] * h + ab[2]) % 2147483647))) AS sig
+  FROM based
 ),
 banded AS (
   SELECT doc_id, b,

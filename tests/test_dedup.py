@@ -111,6 +111,42 @@ def test_ngram_jaccard_pairs(corpus):
     assert (0, 1) in found and (0, 3) in found
 
 
+def test_embedding_near_dup_pairs_matches_expression_kernel(spark):
+    """The GEMM path must agree with the codegen cosine kernel."""
+    import random
+
+    from tidyvec_spark.functions.vector import cosine_sim_expr
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rows.append((40, [v + 0.01 for v in rows[0][1]]))  # near-dup of 0
+    rows.append((41, [0.0] * 16))  # zero-norm vector
+    df = spark.createDataFrame(rows, ["vid", "emb"])
+
+    got = {
+        (r["id_a"], r["id_b"]): r["similarity"]
+        for r in dedup.embedding_near_dup_pairs(
+            df, "emb", "vid", threshold=0.9, round_to=6
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    want = {
+        (r["id_a"], r["id_b"]): r["similarity"]
+        for r in a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(
+                cosine_sim_expr(F.col("a.emb"), F.col("b.emb")), 6
+            ).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= 0.9)
+        .collect()
+    }
+    assert got == want
+    assert (0, 40) in got
+
+
 def test_empty_and_null_text(spark):
     df = spark.createDataFrame(
         [(0, None), (1, ""), (2, "one two three four five six")],

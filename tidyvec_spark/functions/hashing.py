@@ -36,35 +36,68 @@ def md5_long(c: ColumnOrName) -> Column:
     return F.conv(F.substring(F.md5(_col(c)), 1, 15), 16, 10).cast("long")
 
 
-def seeded_md5_long(c: ColumnOrName, seed: Column) -> Column:
-    """Family of independent hash functions h_i(s) = md5_long(i || '|' || s).
+MINHASH_MASK = (1 << 30) - 1          # base hash reduced to 30 bits (< P)
+MINHASH_P = (1 << 31) - 1             # Mersenne prime 2^31-1 (Carter-Wegman)
+_MINHASH_SEED = 1789
 
-    ``seed`` is a Column so the family can be generated *inside* a
-    higher-order function (one expression evaluates all k hashes without
-    k plan nodes).
+
+def minhash_coeffs(num_hashes: int, seed: int = _MINHASH_SEED) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal-hash family
+    h_i(x) = (a_i·x + b_i) mod (2^31−1) over 30-bit base hashes.
+
+    P must be SMALL relative to a_i·x so the mod wraps many times and
+    scrambles the input order — with a large P the family degenerates to
+    monotone maps that all pick the same minimum element. a_i·x + b_i <
+    2^61 + 2^31 stays exact in a signed 64-bit integer on BOTH engines,
+    so the family is bit-reproducible in DuckDB SQL with the same
+    literals.
     """
-    return md5_long(F.concat(seed.cast("string"), F.lit("|"), _col(c)))
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(int(num_hashes))
+    ]
 
 
 def minhash_signature(shingles: ColumnOrName, num_hashes: int = 16) -> Column:
     """MinHash signature: array<long> of length ``num_hashes``.
 
-    sig[i] = min over shingles s of h_i(s). Entirely JVM-side: a nested
-    ``transform``/``array_min`` over the shingle array — no shuffle, no
-    UDF, embarrassingly parallel over rows, which is what lets the
-    signature step run map-side at 100 TB.
+    sig[i] = min over shingles s of (a_i·(md5_long(s) & MASK) + b_i) mod P
+    with P = 2^31−1.
+    One md5 per shingle; the ``num_hashes`` family members are integer
+    arithmetic derived from that single base hash inside ONE fold —
+    higher-order functions are interpreted (not codegen) and re-evaluate
+    their argument expression per outer-lambda iteration, so the naive
+    "md5(seed||s) per (i, s)" formulation costs num_hashes× the md5 work.
+    Entirely JVM-side, no shuffle — the signature step stays map-side at
+    100 TB. Integer min is order-independent, so the DuckDB oracle may
+    use the simpler per-i array_min form with guaranteed bit parity.
 
     Rows with an empty shingle array get an empty signature — callers
     must filter those out before banding (they can never match).
     """
     sh = _col(shingles)
-    idx = F.sequence(F.lit(0), F.lit(int(num_hashes) - 1))
-    sig = F.transform(
-        idx, lambda i: F.array_min(F.transform(sh, lambda s: seeded_md5_long(s, i)))
+    coeffs = minhash_coeffs(num_hashes)
+    ab_lit = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in coeffs
+        ]
     )
-    return F.when(F.size(sh) > 0, sig).otherwise(
-        F.array().cast("array<bigint>")
+    base = F.transform(sh, lambda s: md5_long(s).bitwiseAND(F.lit(MINHASH_MASK)))
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), int(num_hashes))
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, hm: F.zip_with(
+            acc,
+            ab_lit,
+            lambda m, ab: F.least(m, (ab["a"] * hm + ab["b"]) % F.lit(MINHASH_P)),
+        ),
     )
+    return F.when(F.size(sh) > 0, sig).otherwise(F.array().cast("array<bigint>"))
 
 
 def band_hash(sig: ColumnOrName, band: Column, rows_per_band: int) -> Column:
@@ -88,31 +121,42 @@ def simhash(tokens: ColumnOrName, bits: int = 32) -> Column:
     md5_long hash; fingerprint bit j is 1 iff the vote sum is positive.
     Near-identical documents land within a small Hamming distance.
 
-    Pure higher-order expression: ``bits`` nested aggregates over the
-    token array per row — O(bits × tokens) arithmetic, zero shuffle.
+    Single fold over the token array: one md5 per token, then a
+    ``bits``-wide vote vector updated with integer arithmetic — the
+    nested "aggregate per bit" formulation re-evaluates the md5
+    transform once per bit (higher-order functions are interpreted and
+    re-run their argument expression), costing bits× the hash work.
+    O(bits × tokens) arithmetic, one hash per token, zero shuffle.
+    Integer vote sums are order-independent, so the DuckDB oracle's
+    per-bit list_sum formulation is bit-identical.
     """
     toks = _col(tokens)
-    hashes = F.transform(toks, lambda t: md5_long(t))
     bit_idx = F.sequence(F.lit(0), F.lit(int(bits) - 1))
 
-    # the pyspark shiftright/shiftleft wrappers only take int shift
-    # amounts; call_function passes the bit index as a Column
-    def vote(j: Column) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
+    # votes[j] = sum over tokens of ±1 by bit j of the token's hash
+    # (the pyspark shiftright wrapper only takes int shift amounts;
+    # call_function passes the bit index as a Column)
+    votes = F.aggregate(
+        F.transform(toks, lambda t: md5_long(t)),
+        F.array_repeat(F.lit(0).cast("long"), int(bits)),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda v, j: v
             + (
                 F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) * 2 - 1
             ).cast("long"),
-        )
-
+        ),
+    )
     return F.aggregate(
-        bit_idx,
+        F.zip_with(
+            votes, bit_idx, lambda v, j: F.struct(v.alias("v"), j.alias("j"))
+        ),
         F.lit(0).cast("long"),
-        lambda acc, j: acc
+        lambda acc, vj: acc
         + F.when(
-            vote(j) > 0, F.call_function("shiftleft", F.lit(1).cast("long"), j)
+            vj["v"] > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), vj["j"]),
         ).otherwise(F.lit(0).cast("long")),
     )
 

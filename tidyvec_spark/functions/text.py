@@ -10,7 +10,7 @@ path — and each has an exact ANSI-SQL twin for the DuckDB oracle.
 
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Callable, Sequence, Union
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -20,6 +20,21 @@ ColumnOrName = Union[Column, str]
 
 def _col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def let(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Let-binding for SQL expressions: evaluate ``value`` ONCE, reference
+    it freely inside ``body``.
+
+    Higher-order functions run interpreted (no codegen, no common-
+    subexpression elimination) and re-evaluate any outer expression
+    referenced inside their lambda once per element — so e.g. building
+    n-grams with ``slice(tokens(c), i, n)`` re-tokenizes the document at
+    every position (quadratic). Wrapping the value in a 1-element array
+    and binding it as a lambda variable makes every inner reference a
+    O(1) variable read: ``transform(array(v), x -> body(x))[1]``.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def tokens(c: ColumnOrName) -> Column:
@@ -36,10 +51,16 @@ def distinct_token_count(c: ColumnOrName) -> Column:
     return F.size(F.array_distinct(tokens(c))).cast("long")
 
 
+def _ttr_of(ts: Column) -> Column:
+    n = F.size(ts)
+    return F.when(
+        n > 0, F.size(F.array_distinct(ts)).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def type_token_ratio(c: ColumnOrName) -> Column:
     """distinct/total tokens — a cheap lexical-diversity quality signal."""
-    n = F.size(tokens(c))
-    return F.when(n > 0, F.size(F.array_distinct(tokens(c))).cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return let(tokens(c), _ttr_of)
 
 
 # Default English stopword sample (public, standard list prefix).
@@ -49,22 +70,29 @@ STOPWORDS = (
 )
 
 
+def _stop_of(ts: Column, stop_lit: Column) -> Column:
+    n = F.size(ts)
+    matched = F.size(F.filter(ts, lambda t: F.array_contains(stop_lit, t)))
+    return F.when(n > 0, matched.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
 def stopword_ratio(c: ColumnOrName, stopwords: Sequence[str] = STOPWORDS) -> Column:
     """Fraction of tokens (with multiplicity) that are stopwords."""
     stop_lit = F.array(*[F.lit(s) for s in stopwords])
-    toks = tokens(c)
-    n = F.size(toks)
-    matched = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
-    return F.when(n > 0, matched.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return let(tokens(c), lambda ts: _stop_of(ts, stop_lit))
 
 
 def mean_token_length(c: ColumnOrName) -> Column:
-    toks = tokens(c)
-    total = F.aggregate(
-        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-    )
-    n = F.size(toks)
-    return F.when(n > 0, total / n.cast("double")).otherwise(F.lit(0.0))
+    def body(ts: Column) -> Column:
+        total = F.aggregate(
+            ts, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        n = F.size(ts)
+        return F.when(n > 0, total / n.cast("double")).otherwise(F.lit(0.0))
+
+    return let(tokens(c), body)
 
 
 def quality_score(c: ColumnOrName) -> Column:
@@ -75,12 +103,17 @@ def quality_score(c: ColumnOrName) -> Column:
     diversity, stopword presence à la C4/Gopher rules); the exact
     weights are engine-defined and mirrored in the oracle SQL.
     """
-    n = token_count(c).cast("double")
-    return (
-        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(50.0))
-        + F.lit(0.3) * type_token_ratio(c)
-        + F.lit(0.3) * F.least(F.lit(1.0), stopword_ratio(c) * F.lit(4.0))
-    )
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    def body(ts: Column) -> Column:
+        n = F.size(ts).cast("double")
+        return (
+            F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(50.0))
+            + F.lit(0.3) * _ttr_of(ts)
+            + F.lit(0.3) * F.least(F.lit(1.0), _stop_of(ts, stop_lit) * F.lit(4.0))
+        )
+
+    return let(tokens(c), body)
 
 
 # Marker-token sets for the n-gram/stopword language-ID heuristic.
@@ -92,38 +125,43 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _lang_score_of(ts: Column, markers: Sequence[str]) -> Column:
+    mk = F.array(*[F.lit(m) for m in markers])
+    n = F.size(ts)
+    hits = F.size(F.filter(ts, lambda t: F.array_contains(mk, t)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
 def lang_scores(c: ColumnOrName) -> dict[str, Column]:
     """Per-language marker-hit fraction over the document's tokens."""
-    toks = tokens(c)
-    n = F.size(toks)
-    out = {}
-    for lang, markers in LANG_MARKERS.items():
-        mk = F.array(*[F.lit(m) for m in markers])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(mk, t)))
-        out[lang] = F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(
-            F.lit(0.0)
-        )
-    return out
+    return {
+        lang: let(tokens(c), lambda ts, m=markers: _lang_score_of(ts, m))
+        for lang, markers in LANG_MARKERS.items()
+    }
 
 
 def lang_id(c: ColumnOrName, default: str = "und") -> Column:
-    """argmax over lang_scores; ties broken by language code ascending;
-    all-zero scores -> ``default``. Pure CASE/GREATEST expression, so
-    the DuckDB oracle can reproduce it exactly."""
-    scores = lang_scores(c)
-    best = None
-    for lang in sorted(scores):  # ascending code order = tie-break winner first
-        s = scores[lang]
-        if best is None:
-            best = F.struct(s.alias("s"), F.lit(lang).alias("l"))
-        else:
-            best = F.when(
-                s > best.getField("s"),
-                F.struct(s.alias("s"), F.lit(lang).alias("l")),
-            ).otherwise(best)
-    return F.when(best.getField("s") > 0, best.getField("l")).otherwise(
-        F.lit(default)
-    )
+    """argmax over per-language marker fractions; ties broken by language
+    code ascending; all-zero scores -> ``default``. One let-bound token
+    array feeds all languages; pure CASE expression, so the DuckDB
+    oracle can reproduce it exactly."""
+
+    def body(ts: Column) -> Column:
+        best = None
+        for lang in sorted(LANG_MARKERS):  # ascending code = tie-break winner
+            s = _lang_score_of(ts, LANG_MARKERS[lang])
+            if best is None:
+                best = F.struct(s.alias("s"), F.lit(lang).alias("l"))
+            else:
+                best = F.when(
+                    s > best.getField("s"),
+                    F.struct(s.alias("s"), F.lit(lang).alias("l")),
+                ).otherwise(best)
+        return F.when(best.getField("s") > 0, best.getField("l")).otherwise(
+            F.lit(default)
+        )
+
+    return let(tokens(c), body)
 
 
 def fingerprint(c: ColumnOrName) -> Column:
@@ -141,12 +179,18 @@ def ngrams(c: ColumnOrName, n: int = 3) -> Column:
     guard matters because Spark's ``sequence(0, stop)`` produces a
     *descending* sequence when stop < 0, which would feed slice a
     0/negative start (ANSI error).
+
+    The token array is let-bound so the tokenizer runs once per row, not
+    once per n-gram position (see :func:`let`).
     """
-    toks = tokens(c)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    empty = F.array().cast("array<string>")
+    return let(
+        tokens(c),
+        lambda ts: F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ts) - n),
+                lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n)),
+            ),
+        ).otherwise(empty),
     )
