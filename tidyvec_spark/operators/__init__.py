@@ -1,5 +1,18 @@
 from tidyvec_spark.operators.embed import embed
 from tidyvec_spark.operators.nearest import nearest, similarity_join_exact
 from tidyvec_spark.operators.cluster import cluster_embeddings
+from tidyvec_spark.operators.viz import (
+    plan_image_grid,
+    viz_embeddings,
+    viz_images,
+)
 
-__all__ = ["embed", "nearest", "similarity_join_exact", "cluster_embeddings"]
+__all__ = [
+    "embed",
+    "nearest",
+    "similarity_join_exact",
+    "cluster_embeddings",
+    "plan_image_grid",
+    "viz_embeddings",
+    "viz_images",
+]
