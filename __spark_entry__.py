@@ -861,6 +861,76 @@ SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5
 """
 
 
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup tail: MinHash-LSH pairs → connected components; each
+    near-duplicate document labelled with min reachable doc_id."""
+    from tidyvec_spark.operators.dedup import near_dup_groups
+
+    corpus = _dup_corpus(spark, sf_dir)
+    return near_dup_groups(
+        corpus, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5,
+    )
+
+
+def _dedup_components_sql(iterations: int = 8) -> str:
+    """Min-label propagation unrolled to ``iterations`` rounds (graph
+    diameter of the test corpus is ≤ 3; extra rounds are idempotent at
+    the fixpoint, so any iterations ≥ diameter matches Spark's
+    run-to-convergence).
+
+    All CTEs are ``MATERIALIZED``: DuckDB inlines CTEs by default, so
+    without it each of the 2·iterations references to ``edges`` would
+    re-expand the whole MinHash-LSH pipeline (exponential blowup)."""
+    steps = []
+    for k in range(iterations):
+        steps.append(
+            f"""l{k + 1} AS MATERIALIZED (
+  SELECT v.id AS id, MIN(LEAST(v.lbl, COALESCE(u.lbl, v.lbl))) AS lbl
+  FROM l{k} v
+  LEFT JOIN edges e ON e.d = v.id
+  LEFT JOIN l{k} u ON u.id = e.s
+  GROUP BY v.id
+)"""
+        )
+    return f"""
+WITH pairs AS MATERIALIZED ({_MINHASH_LSH_SQL}),
+edges AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lbl FROM edges),
+{", ".join(steps)}
+SELECT id, lbl AS component FROM l{iterations}
+"""
+
+
+def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword piece counts next to whitespace token counts —
+    the length/budget signals a training-data pipeline filters on."""
+    from tidyvec_spark.functions import text as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_piece_count("text").alias("n_pieces"),
+    )
+
+
+def _bpe_stats_sql() -> str:
+    from tidyvec_spark.functions.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS n_pieces
+FROM documents
+"""
+
+
 # SimHash in DuckDB: per-token 60-bit hash, ±1 vote per bit, bit j set
 # iff vote sum > 0 (same arithmetic as functions/hashing.py::simhash)
 def _simhash_sql(toks_expr: str, bits: int = 32) -> str:
@@ -1226,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _minhash_lsh_pairs,
         "simhash_fingerprints": _simhash_fingerprints,
         "simhash_pairs": _simhash_pairs,
+        "dedup_components": _dedup_components,
+        "bpe_token_stats": _bpe_token_stats,
         # relational surface (SURVEY §2.6)
         "q1_pricing": _q1_pricing,
         "q3_top_orders": _q3_top_orders,
@@ -1268,6 +1340,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "simhash_fingerprints": _SIMHASH_FP_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "dedup_components": _dedup_components_sql(),
+        "bpe_token_stats": _bpe_stats_sql(),
         "q1_pricing": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_region_revenue": _Q5_SQL,

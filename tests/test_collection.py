@@ -82,3 +82,12 @@ def test_show_masks_embeddings(embeddings, capsys):
     out = capsys.readouterr().out
     assert "<embedding>" in out
     assert "VecFrame" in out
+
+
+def test_projected_away_embedding_raises_clean(embeddings):
+    vf = vec(embeddings)
+    bare = vf.select("vec_id")
+    for op in (bare.inspect, bare.first_valid_embedding, bare.inferred_dim,
+               bare.show):
+        with pytest.raises(ValueError, match="projected away"):
+            op()

@@ -156,3 +156,54 @@ def test_empty_and_null_text(spark):
     assert dedup.minhash_lsh_pairs(df, "text", "doc_id").count() == 0
     fps = dedup.simhash_fingerprints(df, "text", "doc_id").collect()
     assert len(fps) == 3
+
+
+def test_connected_components_chain_and_star(spark):
+    # components: chain 1-2-3-4 (diameter 3), star 10-{11,12,13},
+    # isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+
+def test_near_dup_groups_end_to_end(corpus):
+    groups = dedup.near_dup_groups(corpus, "text", "doc_id")
+    labels = {r["id"]: r["component"] for r in groups.collect()}
+    # 0, 1 (near-dup) and 3 (exact dup of 0) form one component rooted
+    # at min id 0; 2 (distinct) and 4 (unshingleable) stay out
+    assert labels == {0: 0, 1: 0, 3: 0}
+
+
+def test_bpe_pieces():
+    from tidyvec_spark.functions.text import bpe_pieces  # noqa: F401
+
+
+def test_bpe_piece_count(spark):
+    from tidyvec_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [(0, "Don't say GPT-4 costs $20.50, it's 2x!"), (1, None), (2, "")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n"], r["p"])
+        for r in df.select(
+            "doc_id",
+            X.bpe_piece_count("text").alias("n"),
+            X.bpe_pieces("text").alias("p"),
+        ).collect()
+    }
+    assert got[0][1] == [
+        "don", "'t", "say", "gpt", "-", "4", "costs", "$", "20", ".",
+        "50", ",", "it", "'s", "2", "x", "!",
+    ]
+    assert got[0][0] == 17
+    assert got[2] == (0, [])

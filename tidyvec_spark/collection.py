@@ -91,9 +91,23 @@ class VecFrame:
         return self._wrap(out) if isinstance(out, DataFrame) else out
 
     # -- reference API ---------------------------------------------------
+    def _require_embedding_col(self) -> None:
+        """Clean error when the embedding column was projected away —
+        the wrapper keeps metadata alive across select/drop, but the
+        vector verbs need the column itself (cf. [.tidyvec keeping
+        attrs under subsetting, R/core.R:98-116)."""
+        if self.embedding_col not in self._df.columns:
+            raise ValueError(
+                f"embedding column {self.embedding_col!r} is not present "
+                f"in the collection (columns: {self._df.columns}); it was "
+                "projected away — re-add it with vec() or keep it in "
+                "select()"
+            )
+
     def first_valid_embedding(self) -> Optional[list]:
         """First non-NULL embedding (reference R/core.R:57-62) — one
         aggregate, no full scan materialized on the driver."""
+        self._require_embedding_col()
         row = self._df.select(
             F.first(F.col(self.embedding_col), ignorenulls=True).alias("e")
         ).first()
@@ -102,6 +116,7 @@ class VecFrame:
     def inferred_dim(self) -> Optional[int]:
         if self.dim is not None:
             return self.dim
+        self._require_embedding_col()
         row = self._df.select(
             F.min(
                 F.when(
@@ -115,6 +130,7 @@ class VecFrame:
     def inspect(self) -> dict[str, Any]:
         """Collection description (reference inspect_collection,
         R/core.R:375-404) — a single aggregate pass."""
+        self._require_embedding_col()
         c = self.embedding_col
         row = self._df.select(
             F.count(F.lit(1)).alias("n_rows"),
@@ -151,6 +167,7 @@ class VecFrame:
     def show(self, n: int = 20, truncate: bool = True) -> None:
         """Print with embeddings masked as <embedding>/<NULL>
         (reference R/core.R:86-90)."""
+        self._require_embedding_col()
         c = self.embedding_col
         cols = [
             F.when(F.col(c).isNull(), F.lit("<NULL>"))

@@ -164,6 +164,23 @@ def lang_id(c: ColumnOrName, default: str = "und") -> Column:
     return let(tokens(c), body)
 
 
+# GPT-2-style pre-tokenizer, restricted to the syntax shared by Java
+# regex (Spark) and RE2 (DuckDB) — no lookahead, so the leading-space
+# merge of the original is dropped: contractions, letter runs, digit
+# runs, punctuation runs. The piece count tracks BPE token counts well
+# enough for length filtering/budgeting in a data pipeline.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_pieces(c: ColumnOrName) -> Column:
+    """Subword-ish pieces of lowercased text (BPE pre-tokenization)."""
+    return F.regexp_extract_all(F.lower(_col(c)), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_piece_count(c: ColumnOrName) -> Column:
+    return F.size(bpe_pieces(c)).cast("long")
+
+
 def fingerprint(c: ColumnOrName) -> Column:
     """Key-collision fingerprint (OpenRefine-style): sorted distinct
     tokens, space-joined, md5. Two documents with the same word *set*

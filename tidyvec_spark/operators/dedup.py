@@ -297,6 +297,91 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve near-dup pairs into groups: (id, component) where
+    ``component`` is the minimum id reachable in the pair graph.
+
+    Iterative min-label propagation — each round every node takes the
+    minimum label among itself and its neighbors; converged when the
+    global label sum stops decreasing (labels are monotone
+    non-increasing, so the sum is a sound convergence signal costing one
+    tiny agg action per round).
+
+    Scale shape: per round one shuffle (edge join on current labels) +
+    one groupBy min; lineage is cut every round with localCheckpoint so
+    the plan stays O(1) deep. Rounds needed = graph diameter, and
+    near-dup graphs are overwhelmingly star-shaped (diameter ≤ 2-3).
+    For adversarial long-chain graphs swap in the large-star/small-star
+    alternation — same join/agg building blocks, O(log n) rounds.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
+        .union(pairs.select(F.col(dst).alias("es"), F.col(src).alias("ed")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("es").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+    for _ in range(int(max_iterations)):
+        nbr_min = (
+            edges.join(labels, edges["es"] == labels["id"])
+            .groupBy(F.col("ed").alias("id"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def near_dup_groups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end fuzzy-dedup grouping: MinHash-LSH candidate pairs →
+    exact-Jaccard verify → connected components. Returns (id, component)
+    for every document that has at least one near-duplicate; documents
+    absent from the result are unique. The standard large-corpus dedup
+    tail: keep ``min(id) per component``, drop the rest."""
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    return connected_components(pairs)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
