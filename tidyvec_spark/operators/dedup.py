@@ -399,30 +399,38 @@ def ngram_jaccard_pairs(
     frequencies are capped. At true 100 TB scale prefer
     :func:`minhash_lsh_pairs`.
     """
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(X.ngrams(text_col, shingle_n))).alias("__s"),
+    # one pass computes the distinct-shingle set; its size rides along
+    # the exploded index rows (8 bytes/row) so no join back to a sizes
+    # table is ever needed; persisted so the self-join doesn't tokenize
+    # both sides again
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(X.ngrams(text_col, shingle_n)).alias("__set"),
+        )
+        .select(
+            "__id",
+            F.size("__set").alias("__n"),
+            F.explode("__set").alias("__s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
-    a = sh.select(F.col("__id").alias("id_a"), "__s")
-    b = sh.select(F.col("__id").alias("id_b"), "__s")
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s")
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s")
     common = (
         a.join(b, on="__s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "__na", "__nb")
         .agg(F.count("*").alias("__c"))
     )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     jac = F.col("__c").cast("double") / (
         F.col("__na") + F.col("__nb") - F.col("__c")
     ).cast("double")
     if round_to is not None:
         jac = F.round(jac, round_to)
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= float(threshold))
         .select("id_a", "id_b", "jaccard")
     )
