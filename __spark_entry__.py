@@ -945,11 +945,11 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.operators.dedup import simhash_fingerprints
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_fingerprints(docs, "text", "doc_id", bits=32)
+    return simhash_fingerprints(docs, "text", "doc_id", bits=48)
 
 
 _SIMHASH_FP_SQL = f"""
-SELECT doc_id AS id, {_simhash_sql(_TOKS)} AS simhash FROM documents
+SELECT doc_id AS id, {_simhash_sql(_TOKS, bits=48)} AS simhash FROM documents
 """
 
 
@@ -957,16 +957,19 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.operators.dedup import simhash_pairs
 
     corpus = _dup_corpus(spark, sf_dir)
+    # 48-bit / 12-bit bands: at 8-bit bands every bucket holds n/256
+    # docs and the band join degenerates toward all-pairs; 12-bit bands
+    # keep candidate generation proportional to true near-dups
     return simhash_pairs(
-        corpus, "text", "doc_id", bits=32, bands=4, max_hamming=6
+        corpus, "text", "doc_id", bits=48, bands=4, max_hamming=6
     )
 
 
 _SIMHASH_PAIRS_SQL = f"""
 WITH {_DUP_CORPUS_SQL},
-fps AS (SELECT doc_id AS id, {_simhash_sql(_TOKS)} AS fp FROM corpus),
+fps AS (SELECT doc_id AS id, {_simhash_sql(_TOKS, bits=48)} AS fp FROM corpus),
 banded AS (
-  SELECT id, fp, b, (fp >> (b * 8)) & 255 AS bv
+  SELECT id, fp, b, (fp >> (b * 12)) & 4095 AS bv
   FROM fps, range(0, 4) t(b)
 ),
 cand AS (
