@@ -679,6 +679,34 @@ FROM hashed GROUP BY h HAVING count(*) > 1
 """
 
 
+def _dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *sink* side: keep the lowest-id representative of each
+    exact-dup group, pass uniques through (dedup.drop_exact_dups)."""
+    from tidyvec_spark.operators.dedup import drop_exact_dups
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    return drop_exact_dups(corpus, "text", "doc_id").select("doc_id")
+
+
+_DROP_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+)
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (
+    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ORDER BY doc_id) AS rn
+  FROM corpus
+) WHERE rn = 1
+"""
+
+
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup via 3-gram shingle Jaccard >= 0.5. Candidate pairs
     come from an equi-join on shingle (inverted index) — NOT a cross
@@ -1295,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": _multimodal_frame_sample,
         # dedup (extension §7.5)
         "exact_dup_groups": _exact_dup_groups,
+        "dedup_drop_exact": _dedup_drop_exact,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "minhash_lsh_pairs": _minhash_lsh_pairs,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -1339,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_meta": _MULTIMODAL_AUDIO_SQL,
         "multimodal_frame_sample": _MULTIMODAL_FRAMES_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,
+        "dedup_drop_exact": _DROP_EXACT_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "simhash_fingerprints": _SIMHASH_FP_SQL,
