@@ -18,6 +18,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1181,6 +1182,38 @@ GROUP BY 1, 2
 """
 
 
+_STREAM_RUN_SEQ = itertools.count()
+
+
+def _events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly rollup, but driven through the real Structured
+    Streaming engine: file-source stream (events parquet staged as a
+    landing directory) → watermarked window agg → availableNow drain
+    into a memory sink. Complete output mode keeps every window, so the
+    result equals the batch rollup and the same DuckDB oracle applies —
+    an end-to-end check that the streaming pipeline is semantically
+    identical to its batch twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from tidyvec_spark.streaming import (
+        hourly_rollup,
+        read_event_stream,
+        run_available_now,
+    )
+
+    d = tempfile.mkdtemp(prefix="tv_stream_hourly_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "part-000.parquet"),
+    )
+    stream = read_event_stream(spark, d)
+    table = f"events_stream_hourly_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(hourly_rollup(stream, watermark="2 hours"), table)
+    return spark.table(table)
+
+
 def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a session break is a >30 min gap between a
     user's consecutive events (lag + cumulative sum — the classic
@@ -1338,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "events_sessions": _events_sessions,
         "events_session_windows": _events_session_windows,
+        "events_stream_hourly": _events_stream_hourly,
         # ML / non-SQL (rows-only check)
         "kmeans_clusters": _kmeans_clusters,
         "pca_2d": _pca_2d,
@@ -1382,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "events_session_windows": _EVENTS_SESSION_WINDOWS_SQL,
+        "events_stream_hourly": _EVENTS_HOURLY_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }
