@@ -87,10 +87,16 @@ def l2_normalize_expr(a: ColumnOrName) -> Column:
     """a / ||a||_2 — the embed-time normalization invariant the reference
     applies in every HF embedder branch (R/embedders.R:56,85,123,133,184,
     230,267,309). Stored normalized, cosine reduces to dot at query time.
+
+    Zero vectors pass through unchanged (ANSI mode would otherwise raise
+    DIVIDE_BY_ZERO), matching the score-0 convention of the similarity
+    kernels.
     """
     a = _col(a)
     nrm = l2_norm_expr(a)
-    return F.transform(a, lambda x: x.cast("double") / nrm)
+    return F.when(nrm == 0.0, F.transform(a, lambda x: x.cast("double"))).otherwise(
+        F.transform(a, lambda x: x.cast("double") / nrm)
+    )
 
 
 def similarity_expr(
