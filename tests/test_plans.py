@@ -63,3 +63,29 @@ def test_ann_lsh_no_shuffle_before_topk(spark, qs):
 def test_tfidf_search_has_codegen(spark, qs):
     df = qs["tfidf_search"](spark, SF)
     assert P.codegen_stage_count(df) >= 1
+
+
+def test_dedup_pair_generators_never_cartesian(spark, qs):
+    # candidate generation must stay an equi-join on a band/bucket key
+    for q in ("minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_pairs"):
+        P.assert_no_cartesian(qs[q](spark, SF))
+
+
+def test_embedding_near_dup_is_broadcast_gemm(spark, qs):
+    # the all-pairs kernel is mapInPandas over a broadcast matrix —
+    # there must be NO join and no shuffle in the plan at all
+    df = qs["embedding_near_dup"](spark, SF)
+    P.assert_no_cartesian(df)
+    assert P.num_shuffles(df) <= 1  # only the small-file parallelism guard
+
+
+def test_exact_dedup_single_shuffle(spark, qs):
+    # hash → groupBy: exactly one exchange on the content-hash key
+    df = qs["exact_dup_groups"](spark, SF)
+    assert P.num_shuffles(df) == 1
+
+
+def test_events_hourly_single_shuffle(spark, qs):
+    # tumbling-window agg: partial map-side combine, one exchange
+    df = qs["events_hourly"](spark, SF)
+    assert P.num_shuffles(df) == 1

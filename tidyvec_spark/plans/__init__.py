@@ -57,8 +57,16 @@ def has_take_ordered(df: DataFrame) -> bool:
 
 
 def num_shuffles(df: DataFrame) -> int:
-    """Exchange operators in the plan (each is a full shuffle)."""
-    return len(re.findall(r"\bExchange\b|\bShuffleExchange", explain_str(df)))
+    """Exchange operators in the plan (each is a full shuffle).
+
+    Formatted explain prints every operator twice — once in the tree
+    (``+- Exchange (7)``) and once in the details (``(7) Exchange``) —
+    so count distinct operator ids, not raw occurrences."""
+    s = explain_str(df)
+    ids = set(re.findall(r"\((\d+)\) (?:Shuffle)?Exchange\b", s))
+    if ids:
+        return len(ids)
+    return len(re.findall(r"\bExchange\b|\bShuffleExchange", s))
 
 
 def codegen_stage_count(df: DataFrame) -> int:
