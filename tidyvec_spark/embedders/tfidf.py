@@ -208,12 +208,20 @@ class FittedTfidf(FittedEmbedder):
             [(t, float(w)) for t, w in sorted(qw.items())], "term string, qw double"
         )
         weights = self.doc_term_weights(df, content_col, id_col)
-        dots = (
-            weights.join(F.broadcast(qdf), "term")
+        # ONE corpus scan: left-join the tiny broadcast query-term table
+        # and fold the query dot product and the document norm in the
+        # same aggregation (separate dots/norms branches would scan and
+        # shuffle the weights twice)
+        stats = (
+            weights.join(F.broadcast(qdf), "term", "left")
             .groupBy(id_col)
-            .agg(F.sum(F.col("weight") * F.col("qw")).alias("_dot"))
+            .agg(
+                F.sum(
+                    F.col("weight") * F.coalesce(F.col("qw"), F.lit(0.0))
+                ).alias("_dot"),
+                F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm"),
+            )
         )
-        norms = self.doc_norms(weights, id_col)
         sim = F.coalesce(
             F.col("_dot")
             / (F.when(F.col("norm") == 0.0, F.lit(None)).otherwise(F.col("norm"))
@@ -230,8 +238,7 @@ class FittedTfidf(FittedEmbedder):
             sim = F.round(sim, round_to)
         scored = (
             df.select(id_col, content_col)
-            .join(dots, id_col, "left")
-            .join(norms, id_col, "left")
+            .join(stats, id_col, "left")
             .withColumn(score_col, sim)
             .filter(F.col(score_col) >= F.lit(float(min_score)))
             .select(id_col, score_col)
