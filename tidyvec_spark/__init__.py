@@ -34,8 +34,11 @@ from tidyvec_spark.functions.vector import (
     similarity_expr,
 )
 from tidyvec_spark.sources.vec_io import write_vec, read_vec
+from tidyvec_spark.session import configure, make_session
 
 __all__ = [
+    "configure",
+    "make_session",
     "VecFrame",
     "vec",
     "EmbedderSpec",
