@@ -96,24 +96,78 @@ class _FakeEncoder:
         return out
 
 
+def _is_siglip(model_name: str) -> bool:
+    """SigLIP model-family detection by name (reference
+    R/embedders.R:16-17 uses the same regex approach)."""
+    import re
+
+    return re.search(r"siglip", model_name, re.IGNORECASE) is not None
+
+
 class _TorchEncoder:
-    """Real HF path (text modality shown; image/multimodal mirror the
-    reference's branches). Only constructed when torch+transformers
-    import, which they do not in this container."""
+    """Real HF path, one branch per modality (reference R/embedders.R):
+
+    - text: AutoModel; ``pooler_output`` if present else attention-mask
+      mean pooling (R/embedders.R:218-227);
+    - image: AutoModel + AutoImageProcessor over PIL images decoded
+      from bytes; ``pooler_output`` else global mean pooling
+      (R/embedders.R:301-306);
+    - multimodal: CLIP (CLIPModel/CLIPProcessor,
+      get_text_features/get_image_features, R/embedders.R:102-150) or
+      SigLIP (SiglipModel + AutoProcessor, padding="max_length",
+      SigLIP2 max_length=64, R/embedders.R:34-101), selected by model
+      name; each batch routes per item by *python type* — bytes →
+      image, str → text — the executor-safe analog of the reference's
+      file-path sniffing (R/embedders.R:112).
+
+    Always L2-normalized (R/embedders.R:56,85,123,133,184,230,267,309).
+    Only constructed when torch+transformers import, which they do not
+    in this container.
+    """
 
     def __init__(self, model_name: str, modality: str, device: str):
         import torch
-        from transformers import AutoModel, AutoTokenizer
 
         self.torch = torch
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
-        self.model = AutoModel.from_pretrained(model_name).to(device).eval()
         self.device = device
         self.modality = modality
+        self.model_name = model_name
+        self.siglip = _is_siglip(model_name)
+        if modality == "multimodal":
+            if self.siglip:
+                from transformers import AutoProcessor, SiglipModel
 
-    def __call__(self, items: list) -> "np.ndarray":
+                self.model = SiglipModel.from_pretrained(model_name).to(device).eval()
+                self.processor = AutoProcessor.from_pretrained(model_name)
+            else:
+                from transformers import CLIPModel, CLIPProcessor
+
+                self.model = CLIPModel.from_pretrained(model_name).to(device).eval()
+                self.processor = CLIPProcessor.from_pretrained(model_name)
+        elif modality == "image":
+            from transformers import AutoImageProcessor, AutoModel
+
+            self.model = AutoModel.from_pretrained(model_name).to(device).eval()
+            self.processor = AutoImageProcessor.from_pretrained(model_name)
+        else:
+            from transformers import AutoModel, AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+            self.model = AutoModel.from_pretrained(model_name).to(device).eval()
+
+    # -- branch kernels -------------------------------------------------
+    def _normalize(self, emb):
+        return self.torch.nn.functional.normalize(emb, p=2, dim=1)
+
+    def _pil(self, blobs: list):
+        import io
+
+        from PIL import Image
+
+        return [Image.open(io.BytesIO(b)).convert("RGB") for b in blobs]
+
+    def _encode_text(self, texts: list) -> "np.ndarray":
         torch = self.torch
-        texts = ["" if x is None else str(x) for x in items]
         batch = self.tokenizer(
             texts, truncation=True, padding=True, return_tensors="pt"
         ).to(self.device)
@@ -121,11 +175,62 @@ class _TorchEncoder:
             out = self.model(**batch)
         if getattr(out, "pooler_output", None) is not None:
             emb = out.pooler_output
-        else:  # attention-mask mean pooling (reference R/embedders.R:218-227)
+        else:  # attention-mask mean pooling (R/embedders.R:218-227)
             mask = batch["attention_mask"].unsqueeze(-1).float()
             emb = (out.last_hidden_state * mask).sum(1) / mask.sum(1).clamp(min=1e-9)
-        emb = torch.nn.functional.normalize(emb, p=2, dim=1)
-        return emb.cpu().numpy().astype("float32")
+        return self._normalize(emb).cpu().numpy().astype("float32")
+
+    def _encode_image(self, blobs: list) -> "np.ndarray":
+        torch = self.torch
+        batch = self.processor(images=self._pil(blobs), return_tensors="pt").to(
+            self.device
+        )
+        with torch.no_grad():
+            out = self.model(**batch)
+        if getattr(out, "pooler_output", None) is not None:
+            emb = out.pooler_output
+        else:  # global mean pooling over patches (R/embedders.R:301-306)
+            emb = out.last_hidden_state.mean(dim=1)
+        return self._normalize(emb).cpu().numpy().astype("float32")
+
+    def _encode_multimodal(self, items: list, is_image: list) -> "np.ndarray":
+        torch = self.torch
+        kwargs = {"padding": "max_length"} if self.siglip else {"padding": True}
+        if self.siglip and "siglip2" in self.model_name.lower():
+            kwargs["max_length"] = 64  # R/embedders.R:68-71
+        out = None
+        texts = [("" if x is None else str(x)) for x, im in zip(items, is_image) if not im]
+        blobs = [x for x, im in zip(items, is_image) if im]
+        feats: dict[str, Any] = {}
+        if texts:
+            b = self.processor(
+                text=texts, truncation=True, return_tensors="pt", **kwargs
+            ).to(self.device)
+            with torch.no_grad():
+                feats["text"] = self._normalize(self.model.get_text_features(**b))
+        if blobs:
+            b = self.processor(images=self._pil(blobs), return_tensors="pt").to(
+                self.device
+            )
+            with torch.no_grad():
+                feats["image"] = self._normalize(self.model.get_image_features(**b))
+        dim = next(iter(feats.values())).shape[1]
+        out = torch.zeros((len(items), dim))
+        ti = ii = 0
+        for i, im in enumerate(is_image):
+            if im:
+                out[i] = feats["image"][ii]; ii += 1
+            else:
+                out[i] = feats["text"][ti]; ti += 1
+        return out.cpu().numpy().astype("float32")
+
+    def __call__(self, items: list) -> "np.ndarray":
+        if self.modality == "image":
+            return self._encode_image([b"" if x is None else x for x in items])
+        if self.modality == "multimodal":
+            is_image = [isinstance(x, (bytes, bytearray)) for x in items]
+            return self._encode_multimodal(items, is_image)
+        return self._encode_text(["" if x is None else str(x) for x in items])
 
 
 class HFEmbedder(EmbedderSpec, FittedEmbedder):
