@@ -89,3 +89,11 @@ def test_events_hourly_single_shuffle(spark, qs):
     # tumbling-window agg: partial map-side combine, one exchange
     df = qs["events_hourly"](spark, SF)
     assert P.num_shuffles(df) == 1
+
+
+def test_ivf_topk_zero_shuffle(spark, qs):
+    # centroid assignment is a literal-array argmin projection; probe
+    # filter + TakeOrdered complete the plan without any exchange
+    df = qs["ann_ivf_topk"](spark, SF)
+    assert P.num_shuffles(df) == 0
+    assert P.has_take_ordered(df)

@@ -31,7 +31,7 @@ import math
 import random
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.vector import (
@@ -152,25 +152,34 @@ def ivf_assign(
     cent_vec: str = "centroid",
     round_to: int = 6,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (broadcast join +
-    per-row argmin window over ``id_col``; ties broken by centroid id).
+    """Assign every vector to its nearest centroid — a pure map-side
+    projection, no join, no shuffle.
 
-    The centroid table is tiny by construction (k ≪ n) so Catalyst
-    broadcasts it — the assignment pass over the corpus is shuffle-free
-    except the window's hash on ``id_col`` (at scale: replace the
-    window with ``min_by(struct(dist, cent_id))`` groupBy for a
-    map-side-combinable aggregate; kept as a window here so all of the
-    corpus row's columns survive without a rejoin).
+    The centroid table is tiny by construction (k ≪ n), so instead of
+    even a broadcast join it is collected once and embedded as literal
+    vectors: per row, ``array_min`` over (rounded distance, centroid id)
+    structs is the argmin with the id tiebreak (struct ordering is
+    field-wise). Every corpus column survives untouched; at 100 TB the
+    assignment pass is one scan producing the partition/bucket key.
     """
-    joined = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "__dist", F.round(l2sq_expr(emb_col, cent_vec), round_to)
+    cents = [
+        (r[cent_id], [float(x) for x in r[cent_vec]])
+        for r in centroids.select(cent_id, cent_vec).collect()
+    ]
+    if not cents:
+        raise ValueError("centroids table is empty")
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.round(l2sq_expr(emb_col, array_lit(vec)), round_to).alias("d"),
+                    F.lit(cid).alias("c"),
+                )
+                for cid, vec in cents
+            ]
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc("__dist"), F.asc(cent_id))
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__dist", cent_vec)
-    )
+    return df.withColumn(cent_id, best["c"])
 
 
 def ivf_topk(
