@@ -291,6 +291,54 @@ SELECT id_a, id_b, similarity FROM pairs WHERE similarity >= 0.98
 """
 
 
+def _lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed scale path of embedding_near_dup: hyperplane-LSH
+    bucket → self-equi-join within buckets → exact cosine verify. Same
+    corpus (embeddings + perturbed copies); candidates restricted to
+    same-bucket pairs, so results are the subset of embedding_near_dup
+    whose pair shares a bucket — deterministic given the fixed planes."""
+    from tidyvec_spark.operators.dedup import lsh_near_dup_pairs
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    allv = e.unionByName(pert)
+    return lsh_near_dup_pairs(
+        allv, "embedding", "vec_id", planes=_ann_planes(),
+        threshold=0.98, round_to=R,
+    )
+
+
+def _lsh_near_dup_sql() -> str:
+    planes = _ann_planes()
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_sql_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_prepend(v[1] + 0.1, v[2:]) AS v
+  FROM base
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM allv)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b2.v), {R}) AS similarity
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b2.v), {R}) >= 0.98
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANN scale paths (LSH-bucketed + IVF) — deterministic, oracle-checked
 # ---------------------------------------------------------------------------
@@ -1341,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dup": _embedding_near_dup,
+        "lsh_near_dup": _lsh_near_dup,
         # tf-idf embed + search (SURVEY §2.2-2.3)
         "tfidf_search": _tfidf_search,
         "tfidf_hybrid": _tfidf_hybrid,
@@ -1391,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
+        "lsh_near_dup": _lsh_near_dup_sql(),
         "tfidf_search": _TFIDF_SEARCH_SQL,
         "tfidf_hybrid": _TFIDF_HYBRID_SQL,
         "keyword_search": _KEYWORD_SEARCH_SQL,

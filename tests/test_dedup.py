@@ -207,3 +207,19 @@ def test_bpe_piece_count(spark):
     ]
     assert got[0][0] == 17
     assert got[2] == (0, [])
+
+
+def test_lsh_near_dup_pairs(spark):
+    from tidyvec_spark.operators.ann import random_planes
+
+    # two identical vectors + one opposite: identical pair must share
+    # every bucket bit and pass verify; the opposite vector lands in the
+    # complement bucket and never pairs
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]),
+            (3, [-1.0, -2.0, -3.0, -4.0])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = dedup.lsh_near_dup_pairs(
+        df, "v", "id", planes=random_planes(4, nbits=4, seed=7),
+        threshold=0.98,
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["similarity"]) for r in got] == [(1, 2, 1.0)]

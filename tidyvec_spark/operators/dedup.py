@@ -235,6 +235,53 @@ def embedding_near_dup_pairs(
     return src.mapInPandas(gen, schema=out_schema)
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    planes: list,
+    threshold: float = 0.98,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH bucketing — the 100 TB
+    path of :func:`embedding_near_dup_pairs`.
+
+    Bucket id (map-side sign-bit expression, operators/ann.py) becomes
+    the equi-join key: candidates exist only within a bucket, so the
+    O(n²) pair space shrinks to sum over buckets of |bucket|², and the
+    one shuffle is the self-join on a well-distributed key. Exact cosine
+    verifies every candidate. Recall is a property of nbits (near-dup
+    pairs at cosine ≥ 0.98 split buckets with probability
+    ≲ nbits·arccos(0.98)/π ≈ nbits·0.064); raise recall by re-running
+    with rotated plane sets and unioning, same operator.
+
+    Returns (id_a, id_b, similarity) with id_a < id_b.
+    """
+    from tidyvec_spark.functions.vector import cosine_sim_expr
+    from tidyvec_spark.operators.ann import hyperplane_bucket_expr
+
+    b = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__v"),
+    ).withColumn("__bucket", hyperplane_bucket_expr("__v", planes))
+    a_side = b.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("va"), "__bucket"
+    )
+    b_side = b.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "__bucket"
+    )
+    sim = cosine_sim_expr("va", "vb")
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        a_side.join(b_side, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("similarity", sim)
+        .filter(F.col("similarity") >= float(threshold))
+        .select("id_a", "id_b", "similarity")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:
