@@ -38,9 +38,13 @@ BENCH_QUERIES = [
     "lang_id",
     "token_topk",
     "exact_dup_groups",
+    "dedup_drop_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "lsh_near_dup",
+    "dedup_components",
+    "bpe_token_stats",
     "q1_pricing",
     "q3_top_orders",
     "q5_region_revenue",
