@@ -756,6 +756,70 @@ SELECT doc_id FROM (
 """
 
 
+def _pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composite: a full training-data curation pipeline as
+    ONE lazy plan — exact dedup (keep lowest id), language filter on the
+    predicted language, quality threshold, token budget projection.
+    Exactly the verbs a user chains; Catalyst fuses the whole thing into
+    scan → window → project/filter with no intermediate materialization.
+    """
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.dedup import drop_exact_dups
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    kept = drop_exact_dups(corpus, "text", "doc_id")
+    return (
+        kept.select(
+            "doc_id",
+            X.lang_id("text").alias("lang_pred"),
+            F.round(X.quality_score("text"), R).alias("quality"),
+            X.token_count("text").alias("n_tokens"),
+        )
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.55))
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+def _pipeline_curate_sql() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, ROW_NUMBER() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM corpus
+  ) WHERE rn = 1
+),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM kept),
+s AS (SELECT doc_id, toks, {_lang_sql_scores()} FROM t),
+m AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND(0.4 * least(1.0, len(toks) / 50.0)
+               + 0.3 * (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END)
+               + 0.3 * least(1.0, (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END) * 4.0),
+               {R}) AS quality
+  FROM s
+)
+SELECT doc_id, n_tokens, quality FROM m
+WHERE lang_pred = 'en' AND quality >= 0.55
+"""
+
+
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup via 3-gram shingle Jaccard >= 0.5. Candidate pairs
     come from an equi-join on shingle (inverted index) — NOT a cross
@@ -1406,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup (extension §7.5)
         "exact_dup_groups": _exact_dup_groups,
         "dedup_drop_exact": _dedup_drop_exact,
+        "pipeline_curate": _pipeline_curate,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "minhash_lsh_pairs": _minhash_lsh_pairs,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -1453,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": _MULTIMODAL_FRAMES_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,
         "dedup_drop_exact": _DROP_EXACT_SQL,
+        "pipeline_curate": _pipeline_curate_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "simhash_fingerprints": _SIMHASH_FP_SQL,
