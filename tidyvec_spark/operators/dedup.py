@@ -378,7 +378,7 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+    prev_sum = None  # first round always runs; no action on round 0
     for _ in range(int(max_iterations)):
         nbr_min = (
             edges.join(labels, edges["es"] == labels["id"])
