@@ -826,47 +826,12 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — which is the shape that scales: shuffle on shingle,
     aggregate common counts, filter. Near-dups synthesized: docs with
     doc_id < 50 get a copy (id + 10000) missing their last 5 tokens."""
-    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = X.tokens("text")
-    trunc = F.concat_ws(
-        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+    corpus = _dup_corpus(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        corpus, "text", "doc_id", shingle_n=3, threshold=0.5, round_to=R
     )
-    dups = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), trunc.alias("text")
-    )
-    corpus = docs.unionByName(dups)
-    sh = (
-        corpus.select(
-            "doc_id", F.explode(F.array_distinct(X.ngrams("text", 3))).alias("sh")
-        )
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
-    out = (
-        common.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("c").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
-                R,
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return out
 
 
 _NGRAM_JACCARD_SQL = f"""
