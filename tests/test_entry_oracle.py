@@ -34,6 +34,8 @@ SUBSET = [
     "bpe_token_stats",
     "q1_pricing",
     "events_sessions",
+    "lsh_near_dup",
+    "pipeline_curate",
 ]
 
 
