@@ -91,3 +91,30 @@ def test_projected_away_embedding_raises_clean(embeddings):
                bare.show):
         with pytest.raises(ValueError, match="projected away"):
             op()
+
+
+def test_similarity_scalar_and_collection_forms(spark):
+    import math
+    from tidyvec_spark import similarity
+
+    # scalar form: matches numpy-style arithmetic, euclidean 1/(1+d)
+    assert similarity([1.0, 0.0], [1.0, 0.0]) == pytest.approx(1.0)
+    assert similarity([1.0, 0.0], [0.0, 1.0], "dot") == 0.0
+    assert similarity([0.0, 0.0], [1.0, 1.0]) == 0.0  # zero-norm convention
+    assert similarity([0.0, 3.0], [4.0, 3.0], "euclidean") == pytest.approx(
+        1.0 / (1.0 + 4.0)
+    )
+    with pytest.raises(ValueError):
+        similarity([1.0], [1.0, 2.0])
+
+    # collection x vector form: per-row scores, NULLs score 0, no sort
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "id int, embedding array<double>",
+    )
+    out = vec(df).similarity([1.0, 0.0])
+    got = {r["id"]: r["similarity"] for r in out.collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.0)
+    assert got[3] == 0.0
+    assert out.count() == 3  # nothing filtered

@@ -26,6 +26,7 @@ from tidyvec_spark.collection import VecFrame, vec
 from tidyvec_spark.embedders.base import EmbedderSpec, CallableEmbedder
 from tidyvec_spark.embedders.tfidf import TfidfEmbedder
 from tidyvec_spark.functions.vector import (
+    similarity,
     dot_expr,
     l2_norm_expr,
     cosine_sim_expr,
@@ -49,6 +50,7 @@ __all__ = [
     "cosine_sim_expr",
     "euclidean_sim_expr",
     "l2_normalize_expr",
+    "similarity",
     "similarity_expr",
     "write_vec",
     "read_vec",

@@ -210,6 +210,26 @@ class VecFrame:
             tiebreak=tiebreak,
         )
 
+    def similarity(
+        self,
+        query_vec: Sequence[float],
+        method: str = "cosine",
+        score_col: str = "similarity",
+    ) -> "VecFrame":
+        """Per-row similarity against a vector — the collection x vector
+        form of the documented ``%~%`` contract (reference
+        man/grapes-twiddle-grapes.Rd:10-19): appends the score column,
+        no threshold/sort/limit (that composition is ``nearest``).
+        NULL embeddings score 0.0 (R/core.R:281-292 convention)."""
+        from tidyvec_spark.functions.vector import array_lit, similarity_expr
+
+        self._require_embedding_col()
+        c = F.col(self.embedding_col)
+        sim = F.when(c.isNull(), F.lit(0.0)).otherwise(
+            similarity_expr(c, array_lit([float(x) for x in query_vec]), method)
+        )
+        return self._wrap(self._df.withColumn(score_col, sim))
+
     def cluster_embeddings(
         self, n_clusters: int = 5, cluster_col: str = "cluster", seed: int = 123
     ) -> "VecFrame":

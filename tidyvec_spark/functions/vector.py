@@ -115,6 +115,32 @@ def similarity_expr(
     raise ValueError(f"unknown similarity method {method!r}; expected one of {METHODS}")
 
 
+def similarity(a: Sequence[float], b: Sequence[float], method: str = "cosine") -> float:
+    """Scalar similarity of two vectors — the two-vector form of the
+    documented ``%~%`` contract (man/grapes-twiddle-grapes.Rd:10-16).
+    Pure driver-side arithmetic (no Spark job), same kernels semantics:
+    zero-norm cosine scores 0.0, euclidean is 1/(1+d).
+    """
+    import math
+
+    va = [float(x) for x in a]
+    vb = [float(x) for x in b]
+    if len(va) != len(vb):
+        raise ValueError(f"dimension mismatch: {len(va)} vs {len(vb)}")
+    if method == "dot":
+        return sum(x * y for x, y in zip(va, vb))
+    if method == "cosine":
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(y * y for y in vb))
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return sum(x * y for x, y in zip(va, vb)) / (na * nb)
+    if method == "euclidean":
+        d = math.sqrt(sum((x - y) * (x - y) for x, y in zip(va, vb)))
+        return 1.0 / (1.0 + d)
+    raise ValueError(f"unknown similarity method {method!r}; expected one of {METHODS}")
+
+
 def keyword_score_expr(text_col: ColumnOrName, query_terms: Iterable[str]) -> Column:
     """Hybrid-search keyword score (reference R/core.R:295-309).
 
