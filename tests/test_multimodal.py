@@ -79,3 +79,24 @@ def test_read_binary_dir(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r["path"])
     assert len(rows) == 2
     assert rows[0]["length"] == 5 and bytes(rows[0]["content"]) == b"hello"
+
+
+def test_binary_embed_nearest_end_to_end(media, spark):
+    """Multimodal spine: binary content -> multimodal embedder (bytes
+    route to the image branch, strings to the text branch; fake encoder
+    mirrors both) -> VecFrame -> nearest by an image query vector."""
+    from tidyvec_spark import vec
+    from tidyvec_spark.embedders.hf import HFEmbedder
+
+    emb = HFEmbedder("fake/clip", modality="multimodal", fake_dim=16)
+    vf = vec(media.select("doc_id", "content"), embedding_fn=emb).embed("content")
+    rows = vf.df.select("doc_id", "embedding", "content").collect()
+    assert all(r["embedding"] is not None and len(r["embedding"]) == 16
+               for r in rows)
+    # query with the raw bytes of one document: its own row must score ~1
+    target = rows[0]
+    qvec = emb.embed_query(bytes(target["content"]))
+    res = vf.nearest(qvec, n=1, as_embedding=True, tiebreak="doc_id")
+    top = res.df.select("doc_id", "similarity").first()
+    assert top["doc_id"] == target["doc_id"]
+    assert abs(top["similarity"] - 1.0) < 1e-5
