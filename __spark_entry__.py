@@ -250,12 +250,13 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings table unioned with perturbed copies (vec_id + 100000,
     first component += 0.1) so near-dups exist by construction; exact
     all-pairs at this SF (the oracle-checkable path — the LSH-bucketed
-    scale path is the lsh_near_dup query).
+    scale path is the lsh_near_dup / bucketed_gemm_near_dup queries).
 
-    Perf shape: blocked GEMM (operators/dedup.py::embedding_near_dup_pairs)
-    — the corpus broadcast once as a float64 matrix with hoisted norms,
-    the O(n²·d) multiply-adds inside per-batch BLAS blocks instead of one
-    codegen expression per pair. Same double arithmetic as dot/(na*nb)."""
+    Perf shape: distributed block-pair GEMM
+    (operators/dedup.py::embedding_near_dup_pairs) — rows hashed to
+    blocks, each block-pair tile one BLAS ``A @ B.T`` inside
+    applyInPandas; no driver collect, no broadcast, shuffle volume
+    num_blocks × input. Same double arithmetic as dot/(na*nb)."""
     from tidyvec_spark.operators.dedup import embedding_near_dup_pairs
 
     e = _read(spark, sf_dir, "embeddings").select(
@@ -311,6 +312,31 @@ def _lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allv = e.unionByName(pert)
     return lsh_near_dup_pairs(
+        allv, "embedding", "vec_id", planes=_ann_planes(),
+        threshold=0.98, round_to=R,
+    )
+
+
+def _bucketed_gemm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB default for embedding near-dup: hyperplane-LSH bucket
+    as grouping key, the GEMM kernel run per bucket via applyInPandas —
+    one shuffle on the bucket, one BLAS tile per bucket, zero driver
+    participation. Same candidate semantics as lsh_near_dup (pairs
+    share a bucket), so the oracle SQL is identical."""
+    from tidyvec_spark.operators.dedup import bucket_gemm_near_dup_pairs
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    allv = e.unionByName(pert)
+    return bucket_gemm_near_dup_pairs(
         allv, "embedding", "vec_id", planes=_ann_planes(),
         threshold=0.98, round_to=R,
     )
@@ -1419,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dup": _embedding_near_dup,
         "lsh_near_dup": _lsh_near_dup,
+        "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
         # tf-idf embed + search (SURVEY §2.2-2.3)
         "tfidf_search": _tfidf_search,
         "tfidf_hybrid": _tfidf_hybrid,
@@ -1471,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
         "lsh_near_dup": _lsh_near_dup_sql(),
+        "bucketed_gemm_near_dup": _lsh_near_dup_sql(),
         "tfidf_search": _TFIDF_SEARCH_SQL,
         "tfidf_hybrid": _TFIDF_HYBRID_SQL,
         "keyword_search": _KEYWORD_SEARCH_SQL,

@@ -36,6 +36,8 @@ SUBSET = [
     "events_sessions",
     "lsh_near_dup",
     "pipeline_curate",
+    "embedding_near_dup",
+    "bucketed_gemm_near_dup",
 ]
 
 

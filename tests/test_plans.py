@@ -71,12 +71,42 @@ def test_dedup_pair_generators_never_cartesian(spark, qs):
         P.assert_no_cartesian(qs[q](spark, SF))
 
 
-def test_embedding_near_dup_is_broadcast_gemm(spark, qs):
-    # the all-pairs kernel is mapInPandas over a broadcast matrix —
-    # there must be NO join and no shuffle in the plan at all
+def test_embedding_near_dup_is_distributed_block_gemm(spark, qs):
+    # the exact all-pairs kernel is block-pair GEMM via applyInPandas:
+    # no join, no cartesian, and — critically — no driver collect of
+    # the corpus (the r1 scale-killer); the only exchanges are the
+    # block-pair groupBy and the small-file parallelism guard
     df = qs["embedding_near_dup"](spark, SF)
     P.assert_no_cartesian(df)
-    assert P.num_shuffles(df) <= 1  # only the small-file parallelism guard
+    assert "FlatMapGroupsInPandas" in P.explain_str(df)
+    assert P.num_shuffles(df) <= 2
+
+
+def test_embedding_near_dup_never_driver_collects():
+    # pin the fix for the r1 finding: the corpus must never pass
+    # through the driver (toPandas/collect/broadcast) in any near-dup
+    # pair generator
+    import inspect
+
+    from tidyvec_spark.operators import dedup
+
+    for fn in (
+        dedup.embedding_near_dup_pairs,
+        dedup.bucket_gemm_near_dup_pairs,
+        dedup.lsh_near_dup_pairs,
+    ):
+        src = inspect.getsource(fn)
+        for banned in ("toPandas", ".collect(", "broadcast("):
+            assert banned not in src, f"{fn.__name__} uses {banned}"
+
+
+def test_bucketed_gemm_near_dup_single_shuffle(spark, qs):
+    # bucket key is a map-side expression; the only exchanges are the
+    # bucket groupBy and the small-file parallelism guard
+    df = qs["bucketed_gemm_near_dup"](spark, SF)
+    P.assert_no_cartesian(df)
+    assert "FlatMapGroupsInPandas" in P.explain_str(df)
+    assert P.num_shuffles(df) <= 2
 
 
 def test_exact_dedup_single_shuffle(spark, qs):
