@@ -436,6 +436,56 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_topk_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at production-shaped k: 256 fixed centroids — past the
+    literal-projection ceiling (operators/ann.py::LITERAL_ASSIGN_MAX_K),
+    so assignment runs the broadcast-matrix argmin inside mapInPandas:
+    one BLAS ``‖x‖²+‖c‖²−2XCᵀ`` block per Arrow batch, centroid matrix
+    shipped once per executor, the corpus never driver-collected."""
+    from tidyvec_spark.operators.ann import ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = e.filter(F.col("vec_id") < 256).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    q = _query_vec(spark, sf_dir)
+    return ivf_topk(
+        e, "embedding", "vec_id", cents, q, k=10, nprobe=16,
+        method="cosine", round_to=R,
+    )
+
+
+def _ann_ivf_sql(n_cents: int, nprobe: int) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_cents}),
+assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_distance(e.v, c.cv) ^ 2, 6), c.centroid_id
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT centroid_id FROM cents, q
+  ORDER BY ROUND(list_distance(cv, q.qv) ^ 2, 6), centroid_id LIMIT {nprobe}
+),
+cand AS (
+  SELECT a.vec_id, ROUND(list_cosine_similarity(a.v, q.qv), {R}) AS similarity
+  FROM assign a JOIN probes USING (centroid_id), q
+)
+SELECT vec_id, similarity FROM cand
+ORDER BY similarity DESC, vec_id LIMIT 10
+"""
+
+
 _ANN_IVF_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
@@ -855,8 +905,27 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.operators.dedup import ngram_jaccard_pairs
 
     corpus = _dup_corpus(spark, sf_dir)
+    # cap comfortably above the fixture's max shingle doc-frequency
+    # (8 at sf0.01, 25 at sf0.1) — exercises the capped code path with
+    # a non-binding cap, so results equal the exact uncapped Jaccard
     return ngram_jaccard_pairs(
-        corpus, "text", "doc_id", shingle_n=3, threshold=0.5, round_to=R
+        corpus, "text", "doc_id", shingle_n=3, threshold=0.5, round_to=R,
+        max_doc_freq=1000,
+    )
+
+
+def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binding-cap variant: shingles in more than 5 documents are
+    dropped from the inverted index (join side only — denominators keep
+    full set sizes), so the computed Jaccard is a lower bound and the
+    hot-shingle join blow-up is impossible by construction. The DuckDB
+    twin mirrors the cap exactly."""
+    from tidyvec_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _dup_corpus(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        corpus, "text", "doc_id", shingle_n=3, threshold=0.5, round_to=R,
+        max_doc_freq=5,
     )
 
 
@@ -883,6 +952,44 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE), {R}) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE) >= 0.5
+"""
+
+
+_NGRAM_JACCARD_CAPPED_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(t[1:greatest(len(t) - 5, 1)], ' ') AS text
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  WHERE doc_id < 50
+),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (
+  SELECT s FROM (SELECT s, count(*) AS d FROM sh GROUP BY s) WHERE d > 5
+),
+kept AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
@@ -1443,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_per_query": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_topk_large": _ann_ivf_topk_large,
         "embedding_near_dup": _embedding_near_dup,
         "lsh_near_dup": _lsh_near_dup,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -1464,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop_exact": _dedup_drop_exact,
         "pipeline_curate": _pipeline_curate,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "ngram_jaccard_capped": _ngram_jaccard_capped,
         "minhash_lsh_pairs": _minhash_lsh_pairs,
         "simhash_fingerprints": _simhash_fingerprints,
         "simhash_pairs": _simhash_pairs,
@@ -1496,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_per_query": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "ann_ivf_topk_large": _ann_ivf_sql(256, 16),
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
         "lsh_near_dup": _lsh_near_dup_sql(),
         "bucketed_gemm_near_dup": _lsh_near_dup_sql(),
@@ -1513,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_drop_exact": _DROP_EXACT_SQL,
         "pipeline_curate": _pipeline_curate_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "simhash_fingerprints": _SIMHASH_FP_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,

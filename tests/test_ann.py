@@ -100,3 +100,42 @@ def test_ivf_topk_finds_self(emb, qvec):
     ).collect()
     assert len(out) == 5
     assert out[0]["vec_id"] == 0 and out[0]["similarity"] == 1.0
+
+
+def test_ivf_assign_broadcast_matches_literal(emb):
+    # the two physical strategies implement ONE semantic: argmin of
+    # rounded squared L2 with centroid-id tiebreak — assignments must
+    # be identical row-for-row
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    lit = ann.ivf_assign(e, "embedding", "vec_id", cents, strategy="literal")
+    bc = ann.ivf_assign(e, "embedding", "vec_id", cents, strategy="broadcast")
+    a = {r["vec_id"]: r["centroid_id"] for r in lit.select("vec_id", "centroid_id").collect()}
+    b = {r["vec_id"]: r["centroid_id"] for r in bc.select("vec_id", "centroid_id").collect()}
+    assert a == b
+
+
+def test_ivf_assign_auto_switches_on_k(emb):
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    big = e.filter(F.col("vec_id") < ann.LITERAL_ASSIGN_MAX_K + 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = ann.ivf_assign(e, "embedding", "vec_id", big)  # auto -> broadcast
+    # mapInPandas plan, not a literal-array projection
+    from tidyvec_spark import plans as P
+    assert "MapInPandas" in P.explain_str(assigned)
+    assert assigned.count() == e.count()
+
+
+def test_kmeans_centroids_feed_ivf(emb, qvec):
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = ann.kmeans_centroids(e, "embedding", k=8, seed=7)
+    assert cents.count() == 8
+    assert len(cents.first()["centroid"]) == 64
+    out = ann.ivf_topk(
+        e, "embedding", "vec_id", cents, qvec, k=5, nprobe=3, round_to=6
+    ).collect()
+    assert len(out) == 5
+    assert out[0]["similarity"] >= out[-1]["similarity"]

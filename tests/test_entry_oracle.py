@@ -38,6 +38,9 @@ SUBSET = [
     "pipeline_curate",
     "embedding_near_dup",
     "bucketed_gemm_near_dup",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "ann_ivf_topk_large",
 ]
 
 

@@ -131,6 +131,37 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    emb_col: str,
+    k: int,
+    seed: int = 42,
+    max_iter: int = 20,
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid",
+) -> DataFrame:
+    """Data-derived IVF coarse quantizer: fit ``pyspark.ml`` KMeans‖ on
+    the embedding column and return the centers as the (id, vector)
+    DataFrame shape :func:`ivf_assign` / :func:`ivf_topk` consume.
+
+    The fit is the standard distributed Lloyd's (one pass per
+    iteration, partial aggregation map-side); the returned table is k
+    rows — tiny by construction — created driver-side from the fitted
+    centers exactly like any other dimension table.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(emb_col).cast("array<double>")).alias("__f"))
+    model = KMeans(k=int(k), seed=int(seed), maxIter=int(max_iter), featuresCol="__f").fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, f"{cent_id} int, {cent_vec} array<double>"
+    )
+
+
 def l2sq_expr(a, b) -> Column:
     """Squared L2 distance, double-precision fold (assignment metric)."""
     ac = F.col(a) if isinstance(a, str) else a
@@ -143,6 +174,13 @@ def l2sq_expr(a, b) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+# literal-projection assignment stays the default up to this many
+# centroids; past it the O(k·d)-literal expression tree stops being a
+# win (codegen/constant-pool blow-up, interpreted HOF fallback) and the
+# broadcast-matrix argmin takes over
+LITERAL_ASSIGN_MAX_K = 128
+
+
 def ivf_assign(
     df: DataFrame,
     emb_col: str,
@@ -151,16 +189,29 @@ def ivf_assign(
     cent_id: str = "centroid_id",
     cent_vec: str = "centroid",
     round_to: int = 6,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid — a pure map-side
-    projection, no join, no shuffle.
+    """Assign every vector to its nearest centroid — map-side only, no
+    join, no shuffle, under either strategy.
 
-    The centroid table is tiny by construction (k ≪ n), so instead of
-    even a broadcast join it is collected once and embedded as literal
-    vectors: per row, ``array_min`` over (rounded distance, centroid id)
-    structs is the argmin with the id tiebreak (struct ordering is
-    field-wise). Every corpus column survives untouched; at 100 TB the
-    assignment pass is one scan producing the partition/bucket key.
+    Two physical strategies, same semantics (argmin of squared L2
+    rounded to ``round_to``, centroid-id tiebreak):
+
+    - ``literal`` — centroids embedded as literal vectors; per row an
+      ``array_min`` over (rounded distance, id) structs. Zero Python,
+      pure codegen projection; ideal while the expression tree stays
+      small. O(k·d) literals, so it stops scaling past a few hundred
+      centroids (Janino constant-pool limits, interpreted fallback).
+    - ``broadcast`` — the centroid matrix ships once per executor as a
+      numpy array inside a ``mapInPandas`` closure; each Arrow batch
+      computes one ``‖x‖² + ‖c‖² − 2·X@C.T`` BLAS block and takes the
+      per-row argmin (centroids pre-sorted by id, so numpy's
+      first-minimum IS the id tiebreak). O(k) centroids scale freely;
+      the corpus is never driver-collected.
+    - ``auto`` — ``literal`` iff k ≤ ``LITERAL_ASSIGN_MAX_K``.
+
+    Every corpus column survives untouched; at 100 TB the assignment
+    pass is one scan producing the partition/bucket key.
     """
     cents = [
         (r[cent_id], [float(x) for x in r[cent_vec]])
@@ -168,18 +219,56 @@ def ivf_assign(
     ]
     if not cents:
         raise ValueError("centroids table is empty")
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.round(l2sq_expr(emb_col, array_lit(vec)), round_to).alias("d"),
-                    F.lit(cid).alias("c"),
-                )
-                for cid, vec in cents
-            ]
+    if strategy == "auto":
+        strategy = "literal" if len(cents) <= LITERAL_ASSIGN_MAX_K else "broadcast"
+    if strategy == "literal":
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(
+                            l2sq_expr(emb_col, array_lit(vec)), round_to
+                        ).alias("d"),
+                        F.lit(cid).alias("c"),
+                    )
+                    for cid, vec in cents
+                ]
+            )
         )
-    )
-    return df.withColumn(cent_id, best["c"])
+        return df.withColumn(cent_id, best["c"])
+    if strategy != "broadcast":
+        raise ValueError(f"strategy must be auto|literal|broadcast, got {strategy!r}")
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cents.sort(key=lambda t: t[0])  # numpy argmin-first == smallest-id tiebreak
+    cent_ids = [c for c, _ in cents]
+    C = np.asarray([v for _, v in cents], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    nd = int(round_to)
+    id_field = centroids.schema[cent_id].dataType
+    out_schema = T.StructType(df.schema.fields + [T.StructField(cent_id, id_field, False)])
+    emb = emb_col
+
+    def assign(batches):
+        import pandas as pd
+
+        ids_arr = np.asarray(cent_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb]]
+            )
+            x2 = (X * X).sum(axis=1)
+            d2 = x2[:, None] + c2[None, :] - 2.0 * (X @ C.T)
+            d2 = np.round(np.maximum(d2, 0.0), nd)
+            out = pdf.copy()
+            out[cent_id] = ids_arr[np.argmin(d2, axis=1)]
+            yield out
+
+    return df.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_topk(
@@ -194,16 +283,22 @@ def ivf_topk(
     cent_vec: str = "centroid",
     method: str = "cosine",
     round_to: Optional[int] = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """IVF search: rank centroids against the query (tiny, driver-free),
     keep the ``nprobe`` nearest, scan only vectors assigned to them,
     exact-rerank top-k. Returns (id, similarity).
 
+    Centroids are any (id, vector) DataFrame — a fixed deterministic
+    set, or data-derived centers from :func:`kmeans_centroids`.
+
     With the corpus bucketed/partitioned by assignment, the probe
     filter becomes partition pruning — the 100 TB path scans
     nprobe/k-ths of the data.
     """
-    assigned = ivf_assign(df, emb_col, id_col, centroids, cent_id, cent_vec)
+    assigned = ivf_assign(
+        df, emb_col, id_col, centroids, cent_id, cent_vec, strategy=strategy
+    )
     probe_ids = (
         centroids.withColumn(
             "__qd", F.round(l2sq_expr(cent_vec, array_lit(query_vec)), 6)

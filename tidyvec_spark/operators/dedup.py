@@ -532,15 +532,26 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     round_to: Optional[int] = None,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup via an inverted shingle index.
 
     The candidate generator is an equi-join on the shingle string
     (shuffle on shingle, count common per pair) — exact, heavier than
     MinHash-LSH (every shared shingle becomes a join row) but with no
-    false negatives; the right tool up to ~10⁸ docs when shingle
-    frequencies are capped. At true 100 TB scale prefer
-    :func:`minhash_lsh_pairs`.
+    false negatives; the right tool up to ~10⁸ docs. At true 100 TB
+    scale prefer :func:`minhash_lsh_pairs`.
+
+    ``max_doc_freq`` caps the inverted index: shingles appearing in
+    more than that many documents are dropped *from the join only*
+    (denominators keep the full distinct-shingle counts, so the
+    computed Jaccard is a lower bound of the exact value). Without a
+    cap, one stop-shingle shared by 10⁶ documents contributes 10¹²
+    join rows; hot shingles carry ~0 discrimination, so the cap trades
+    vanishing precision for the quadratic blow-up. The hot-shingle
+    list is tiny by construction (it IS the high-frequency tail), so
+    the exclusion is a broadcast anti-join — no extra shuffle of the
+    index, and the doc-frequency count itself pre-aggregates map-side.
     """
     # one pass computes the distinct-shingle set; its size rides along
     # the exploded index rows (8 bytes/row) so no join back to a sizes
@@ -559,8 +570,19 @@ def ngram_jaccard_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s")
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s")
+    idx = sh
+    if max_doc_freq is not None:
+        # rows of sh are distinct (id, shingle), so count(*) per shingle
+        # IS document frequency; the > cap survivors are few, broadcast
+        hot = (
+            sh.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > int(max_doc_freq))
+            .select("__s")
+        )
+        idx = sh.join(F.broadcast(hot), "__s", "left_anti")
+    a = idx.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s")
+    b = idx.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s")
     common = (
         a.join(b, on="__s")
         .filter(F.col("id_a") < F.col("id_b"))
