@@ -19,6 +19,7 @@ Cross-engine determinism rules used throughout:
 from __future__ import annotations
 
 import itertools
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1515,6 +1516,72 @@ def _pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(e, "embedding", k=2, id_cols=["vec_id"])
 
 
+_HF_QUERY = "vector similarity search engine"
+_HF_FAKE_DIM = 32
+
+
+def _hf_query_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary UX path (R/core.R:252-260) end-to-end:
+    raw query STRING -> attached embedder -> nearest. Uses the
+    deterministic fake HF encoder (torch absent, as in the reference's
+    Suggests), so the full pipeline — embed_column over the corpus,
+    embed_query on the driver, cosine + top-k — is hash-checkable: the
+    oracle precomputes the same sha256-seeded embeddings in pure Python
+    and emits the expected rows as SQL literals."""
+    from tidyvec_spark import vec
+    from tidyvec_spark.embedders.hf import HFEmbedder
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    emb = HFEmbedder("fake-model", modality="text", fake_dim=_HF_FAKE_DIM)
+    vf = vec(docs, embedding_fn=emb).embed("text")
+    out = vf.nearest(_HF_QUERY, n=10, tiebreak="doc_id", round_to=R)
+    return out.df.select("doc_id", "similarity")
+
+
+def _fake_nearest_expected(sf_dir: str) -> list[tuple[int, float]]:
+    """Driver-free mirror of _hf_query_nearest: same sha256-seeded fake
+    embeddings (embedders/hf.py::_FakeEncoder), same double-precision
+    cosine, same round->filter->sort->limit order as operators/nearest."""
+    import pyarrow.parquet as pq
+
+    from tidyvec_spark.embedders.hf import _FakeEncoder
+
+    enc = _FakeEncoder("fake-model", "text", _HF_FAKE_DIM)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = [
+        (int(i), t)
+        for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if int(i) < 100
+    ]
+    mat = enc([t for _, t in rows]).astype("float64")
+    qv = enc([_HF_QUERY])[0].astype("float64")
+    qn = float((qv * qv).sum() ** 0.5)
+    out = []
+    for (doc_id, _), v in zip(rows, mat):
+        nv = float((v * v).sum() ** 0.5)
+        denom = nv * qn
+        sim = 0.0 if denom == 0.0 else float(v @ qv) / denom
+        sim = round(sim, R)
+        if sim >= 0.0:  # nearest's min_score=0.0 default (parity quirk)
+            out.append((doc_id, sim))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:10]
+
+
+def _hf_query_nearest_sql() -> str:
+    # the driver's correctness gate runs at sf0.01; the fake encoder is
+    # deterministic, so the expected top-10 is precomputed in pure
+    # Python and emitted as literals (sha256+gaussian is not
+    # SQL-expressible). tests/test_nearest.py checks the same mirror at
+    # sf0.001 against the live Spark pipeline.
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    vals = ",\n  ".join(
+        f"(CAST({d} AS BIGINT), CAST({s!r} AS DOUBLE))"
+        for d, s in _fake_nearest_expected(sf_dir)
+    )
+    return f"SELECT doc_id, similarity FROM (VALUES\n  {vals}\n) AS t(doc_id, similarity)"
+
+
 def _hf_embed_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HF embedder plumbing exercised with the deterministic fake
     encoder (torch not installed, as in the reference's Suggests)."""
@@ -1591,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "pca_2d": _pca_2d,
         "hf_embed_fake": _hf_embed_fake,
+        "hf_query_nearest": _hf_query_nearest,
     }
 
 
@@ -1637,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "events_session_windows": _EVENTS_SESSION_WINDOWS_SQL,
         "events_stream_hourly": _EVENTS_HOURLY_SQL,
+        "hf_query_nearest": _hf_query_nearest_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

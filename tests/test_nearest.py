@@ -114,3 +114,19 @@ def test_similarity_join_exact_topk(embeddings):
     for lid, grp in by_left.items():
         best = max(grp, key=lambda r: r["similarity"])
         assert best["right_id"] == lid  # self is nearest
+
+
+def test_query_string_through_embedder_matches_pure_python_mirror(spark):
+    # the reference's primary UX (R/core.R:252-260): raw query string ->
+    # attached embedder -> nearest. The fake encoder is deterministic,
+    # so the full distributed pipeline must reproduce the pure-Python
+    # mirror bit-for-bit at 6-digit rounding (same mirror generates the
+    # driver's VALUES oracle at sf0.01).
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["doc_id"], r["similarity"])
+        for r in entry._hf_query_nearest(spark, sf).collect()
+    ]
+    assert got == entry._fake_nearest_expected(sf)

@@ -201,13 +201,14 @@ class VecFrame:
         keyword_column: Optional[str] = None,
         score_col: str = "similarity",
         tiebreak: Optional[str] = None,
+        round_to: Optional[int] = None,
     ) -> "VecFrame":
         from tidyvec_spark.operators.nearest import nearest as _nearest
         return _nearest(
             self, query, n=n, as_embedding=as_embedding, method=method,
             min_score=min_score, keyword_weight=keyword_weight,
             keyword_column=keyword_column, score_col=score_col,
-            tiebreak=tiebreak,
+            tiebreak=tiebreak, round_to=round_to,
         )
 
     def similarity(
