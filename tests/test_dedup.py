@@ -174,6 +174,25 @@ def test_connected_components_chain_and_star(spark):
                    20: 20, 21: 20}
 
 
+def test_connected_components_string_ids(spark):
+    # the r1 convergence signal cast labels to decimal — under Spark 4
+    # ANSI that raises on string ids, and with ANSI off it silently
+    # returned wrong components for any diameter >= 2 graph. String ids
+    # (URLs, UUIDs, content hashes) are the COMMON dedup case; pin the
+    # id-type-agnostic changed-count signal with a diameter-3 chain.
+    pairs = spark.createDataFrame(
+        [("url-b", "url-c"), ("url-c", "url-d"), ("url-d", "url-e"),
+         ("doc-x", "doc-y")],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {"url-b": "url-b", "url-c": "url-b", "url-d": "url-b",
+                   "url-e": "url-b", "doc-x": "doc-x", "doc-y": "doc-x"}
+
+
 def test_near_dup_groups_end_to_end(corpus):
     groups = dedup.near_dup_groups(corpus, "text", "doc_id")
     labels = {r["id"]: r["component"] for r in groups.collect()}
@@ -223,3 +242,14 @@ def test_lsh_near_dup_pairs(spark):
         threshold=0.98,
     ).collect()
     assert [(r["id_a"], r["id_b"], r["similarity"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_release_frees_pair_generator_cache(spark, corpus):
+    # long-lived sessions must be able to free the persisted
+    # signature/index intermediates without a wholesale clearCache
+    pairs = dedup.minhash_lsh_pairs(corpus, "text", "doc_id")
+    pairs.count()  # materialize (and populate the persist)
+    handles = pairs._tidyvec_persisted
+    assert handles and all(h.storageLevel.useMemory for h in handles)
+    dedup.release(pairs)
+    assert all(not h.storageLevel.useMemory for h in handles)

@@ -65,6 +65,16 @@ def test_tfidf_search_has_codegen(spark, qs):
     assert P.codegen_stage_count(df) >= 1
 
 
+def test_tfidf_search_no_single_partition_sort(spark, qs):
+    # the dense vocab index (global Window.orderBy) is deferred to the
+    # dense parity path; the sparse search plan must not pay its
+    # single-partition Exchange
+    df = qs["tfidf_search"](spark, SF)
+    s = P.explain_str(df)
+    assert "SinglePartition" not in s
+    assert "Window" not in s
+
+
 def test_dedup_pair_generators_never_cartesian(spark, qs):
     # candidate generation must stay an equi-join on a band/bucket key
     for q in ("minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_pairs"):
@@ -107,6 +117,16 @@ def test_bucketed_gemm_near_dup_single_shuffle(spark, qs):
     P.assert_no_cartesian(df)
     assert "FlatMapGroupsInPandas" in P.explain_str(df)
     assert P.num_shuffles(df) <= 2
+
+
+def test_drop_exact_dups_preaggregates(spark, qs):
+    # keep-set is groupBy-min + join back: a million-copy document
+    # pre-combines map-side instead of serializing through one window
+    # partition; pin no-Window and a partial aggregation in the plan
+    df = qs["dedup_drop_exact"](spark, SF)
+    s = P.explain_str(df)
+    assert "Window" not in s
+    assert "partial_min" in s
 
 
 def test_exact_dedup_single_shuffle(spark, qs):

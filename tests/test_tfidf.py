@@ -24,7 +24,7 @@ def fitted(corpus):
 
 
 def test_vocab_pruning_is_corpus_count(fitted):
-    vocab = {r["term"]: r for r in fitted.vocab.collect()}
+    vocab = {r["term"]: r for r in fitted.vocab_dense.collect()}
     # 'the' appears 5 times, kept; 'cat' once, pruned; 'sat' twice, kept
     assert "the" in vocab
     assert "sat" in vocab
@@ -34,7 +34,7 @@ def test_vocab_pruning_is_corpus_count(fitted):
 
 
 def test_idf_formula(fitted):
-    vocab = {r["term"]: r for r in fitted.vocab.collect()}
+    vocab = {r["term"]: r for r in fitted.vocab_dense.collect()}
     # 'sat' appears in docs 1,2 -> df=2, N=4 -> idf = ln(5/3)+1
     assert vocab["sat"]["idf"] == pytest.approx(math.log(5 / 3) + 1)
 
@@ -53,7 +53,7 @@ def test_dense_embed_column(corpus, fitted):
     assert all(len(v) == fitted.dim for v in rows.values())
     # doc 4 'the quick brown fox': only 'the' in vocab;
     # tf = 1/4, idf('the') = ln(5/3)+1 (df=3 of 4 docs... check df)
-    vocab = {r["term"]: r for r in fitted.vocab.collect()}
+    vocab = {r["term"]: r for r in fitted.vocab_dense.collect()}
     the_idx = vocab["the"]["idx"]
     expected = (1 / 4) * vocab["the"]["idf"]
     assert rows[4][the_idx] == pytest.approx(expected)
@@ -64,7 +64,7 @@ def test_dense_embed_column(corpus, fitted):
 def test_embed_query_dense_matches_weights(fitted):
     qv = fitted.embed_query("the sat")
     w = fitted.query_term_weights("the sat")
-    vocab = {r["term"]: r for r in fitted.vocab.collect()}
+    vocab = {r["term"]: r for r in fitted.vocab_dense.collect()}
     assert qv[vocab["the"]["idx"]] == pytest.approx(w["the"])
     assert qv[vocab["sat"]["idx"]] == pytest.approx(w["sat"])
     assert len(qv) == fitted.dim

@@ -214,8 +214,12 @@ class _TorchEncoder:
             )
             with torch.no_grad():
                 feats["image"] = self._normalize(self.model.get_image_features(**b))
-        dim = next(iter(feats.values())).shape[1]
-        out = torch.zeros((len(items), dim))
+        ref = next(iter(feats.values()))
+        # allocate on the SAME device/dtype as the feature tensors:
+        # indexed assignment from a cuda/mps tensor into a CPU buffer
+        # raises a cross-device RuntimeError
+        out = torch.zeros((len(items), ref.shape[1]), device=ref.device,
+                          dtype=ref.dtype)
         ti = ii = 0
         for i, im in enumerate(is_image):
             if im:

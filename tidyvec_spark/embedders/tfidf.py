@@ -83,12 +83,10 @@ class TfidfEmbedder(EmbedderSpec):
             (F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + F.lit(1.0)))
              + F.lit(1.0)).alias("idf"),
         )
-        # deterministic dense index: alphabetical term order
-        from pyspark.sql import Window
-        vocab = vocab.withColumn(
-            "idx",
-            F.row_number().over(Window.orderBy("term")) - F.lit(1),
-        )
+        # NOTE: the dense index (idx) is NOT computed here — it needs a
+        # global Window.orderBy over the vocabulary (a single-partition
+        # sort), and the sparse search path never uses it. FittedTfidf
+        # builds it lazily the first time a dense-parity path asks.
         vocab = vocab.cache()
         dim = vocab.count()  # materializes the cache
         return FittedTfidf(vocab=vocab, n_docs=n_docs, dim=dim,
@@ -103,6 +101,24 @@ class FittedTfidf(FittedEmbedder):
         self.n_docs = n_docs
         self.dim = dim
         self.min_freq = min_freq
+        self._vocab_dense: DataFrame | None = None
+
+    @property
+    def vocab_dense(self) -> DataFrame:
+        """Vocabulary with the deterministic dense index (idx =
+        alphabetical term order), built lazily on first dense-path use:
+        the global ``Window.orderBy`` it needs is a single-partition
+        sort of the whole vocabulary, which the sparse search path
+        (the scale path) must never pay for."""
+        if "idx" in self.vocab.columns:  # rehydrated from an artifact
+            return self.vocab
+        if self._vocab_dense is None:
+            from pyspark.sql import Window
+
+            self._vocab_dense = self.vocab.withColumn(
+                "idx", F.row_number().over(Window.orderBy("term")) - F.lit(1)
+            ).cache()
+        return self._vocab_dense
 
     # -- sparse side (the scale path) ----------------------------------
     def doc_term_weights(
@@ -165,7 +181,7 @@ class FittedTfidf(FittedEmbedder):
         """Dense query vector over the vocabulary (alphabetical index)."""
         w = self.query_term_weights(text)
         idx_rows = (
-            self.vocab.filter(F.col("term").isin(list(w)))
+            self.vocab_dense.filter(F.col("term").isin(list(w)))
             .select("term", "idx")
             .collect()
         )
@@ -259,7 +275,7 @@ class FittedTfidf(FittedEmbedder):
         with_id = df.withColumn(id_tmp, F.monotonically_increasing_id())
         weights = self.doc_term_weights(with_id, content_col, id_tmp)
         pairs = (
-            weights.join(F.broadcast(self.vocab.select("term", "idx")), "term")
+            weights.join(F.broadcast(self.vocab_dense.select("term", "idx")), "term")
             .groupBy(id_tmp)
             .agg(
                 F.map_from_entries(

@@ -38,6 +38,26 @@ from tidyvec_spark.functions.hashing import (
 )
 
 
+def release(df: DataFrame) -> None:
+    """Unpersist the intermediate tables a pair generator cached.
+
+    ``minhash_lsh_pairs`` / ``simhash_pairs`` / ``ngram_jaccard_pairs``
+    persist their signature/fingerprint/index table so the banded
+    self-join doesn't recompute the expensive map-side expressions on
+    both sides; the handles ride on the returned DataFrame
+    (``_tidyvec_persisted``) so long-lived sessions can free them after
+    the terminal action instead of accumulating cached tables (or
+    calling ``spark.catalog.clearCache()`` wholesale, as bench.py does).
+    """
+    for h in getattr(df, "_tidyvec_persisted", []):
+        h.unpersist()
+
+
+def _with_persisted(out: DataFrame, handles: list) -> DataFrame:
+    out._tidyvec_persisted = handles
+    return out
+
+
 def normalized_text_key(c) -> F.Column:
     """Exact-dedup key: md5 of whitespace-collapsed lowercase text."""
     col = F.col(c) if isinstance(c, str) else c
@@ -61,18 +81,20 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id representative of each exact-dup group.
 
-    Window over the hash key (single shuffle); at extreme skew (one
-    document duplicated millions of times) AQE's skew-join handling or a
-    pre-aggregation of keep_ids both apply — the key is already content
-    hash, so the distribution matches the dup distribution.
+    groupBy-min(id) then join back on the hash key: the aggregation
+    pre-combines map-side, so a document duplicated millions of times
+    contributes ONE partial row per input partition instead of piling
+    every copy into a single window partition (the r1 shape — a
+    row_number window over the hash — serialized exactly the hot keys
+    dedup exists to remove). The join is skew-tolerant under AQE and
+    the keep-set is min-id per key, so results are unchanged.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(normalized_text_key(text_col)).orderBy(F.col(id_col))
+    keyed = df.withColumn("__h", normalized_text_key(text_col))
+    keep = keyed.groupBy("__h").agg(F.min(id_col).alias("__keep"))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        keyed.join(keep, "__h")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .select(*df.columns)
     )
 
 
@@ -149,7 +171,10 @@ def minhash_lsh_pairs(
     )
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= float(threshold))
-    return out.select("id_a", "id_b", "jaccard").dropDuplicates(["id_a", "id_b"])
+    return _with_persisted(
+        out.select("id_a", "id_b", "jaccard").dropDuplicates(["id_a", "id_b"]),
+        [sigs],
+    )
 
 
 def _pair_schema(id_type):
@@ -430,13 +455,14 @@ def simhash_pairs(
     # verify-then-dedup: bit_count is a pure function of the pair, so the
     # Hamming filter runs map-side on the band-join output and the dedup
     # shuffle carries only pairs that already passed it
-    return (
+    return _with_persisted(
         a.join(b, on=["__b", "__bv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming64("fp_a", "fp_b").cast("int"))
         .filter(F.col("hamming") <= int(max_hamming))
         .select("id_a", "id_b", "hamming")
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"]),
+        [fps],
     )
 
 
@@ -450,10 +476,14 @@ def connected_components(
     ``component`` is the minimum id reachable in the pair graph.
 
     Iterative min-label propagation — each round every node takes the
-    minimum label among itself and its neighbors; converged when the
-    global label sum stops decreasing (labels are monotone
-    non-increasing, so the sum is a sound convergence signal costing one
-    tiny agg action per round).
+    minimum label among itself and its neighbors; converged when no
+    row's label changed (labels are monotone non-increasing, so a
+    changed-row count of zero is a sound convergence signal). The
+    change count compares old vs new label directly, so it works for
+    ANY orderable id type — numeric, string (URLs, UUIDs, content
+    hashes), date — unlike a numeric-sum signal, which under Spark 4's
+    default ANSI mode raises CAST_INVALID_INPUT on string ids (or,
+    with ANSI off, silently NULLs and stops after one round).
 
     Scale shape: per round one shuffle (edge join on current labels) +
     one groupBy min; lineage is cut every round with localCheckpoint so
@@ -474,27 +504,25 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = None  # first round always runs; no action on round 0
     for _ in range(int(max_iterations)):
         nbr_min = (
             edges.join(labels, edges["es"] == labels["id"])
             .groupBy(F.col("ed").alias("id"))
             .agg(F.min("lbl").alias("nmin"))
         )
-        labels = (
+        stepped = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+                F.col("lbl").alias("__prev"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)"))
-        ).first()[0]
-        if cur_sum == prev_sum:
+        changed = stepped.filter(F.col("lbl") != F.col("__prev")).count()
+        labels = stepped.drop("__prev")
+        if changed == 0:
             break
-        prev_sum = cur_sum
     edges.unpersist()
     return labels.select("id", F.col("lbl").alias("component"))
 
@@ -522,7 +550,11 @@ def near_dup_groups(
         shingle_n=shingle_n,
         threshold=threshold,
     )
-    return connected_components(pairs)
+    comps = connected_components(pairs)
+    # labels are localCheckpoint-materialized by now; the signature
+    # cache the pair generator held is dead weight — free it
+    release(pairs)
+    return comps
 
 
 def ngram_jaccard_pairs(
@@ -594,8 +626,9 @@ def ngram_jaccard_pairs(
     ).cast("double")
     if round_to is not None:
         jac = F.round(jac, round_to)
-    return (
+    return _with_persisted(
         common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= float(threshold))
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        [sh],
     )
