@@ -31,7 +31,9 @@ BENCH_QUERIES = [
     "ann_topk_per_query",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_topk_large",
     "embedding_near_dup",
+    "bucketed_gemm_near_dup",
     "tfidf_search",
     "tfidf_hybrid",
     "text_stats",
@@ -40,6 +42,7 @@ BENCH_QUERIES = [
     "exact_dup_groups",
     "dedup_drop_exact",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "lsh_near_dup",
@@ -52,6 +55,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessions",
     "kmeans_clusters",
+    "hf_query_nearest",
 ]
 
 
@@ -100,6 +104,7 @@ def main() -> None:
     # the minimum of two end-to-end runs is the reproducible cost of
     # the distributed plan
     timings: dict[str, float] = {}
+    plan_metrics: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         best = float("inf")
@@ -113,6 +118,21 @@ def main() -> None:
             # memory flat
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        # plan-shape metrics: wall time on a shared VM swings 2×
+        # run-to-run, shuffle/scan counts don't — round-over-round
+        # regressions become attributable to the plan, not the weather
+        try:
+            from tidyvec_spark import plans as P
+
+            df = fn(spark, SF_DIR)
+            plan_metrics[name] = {
+                "shuffles": P.num_shuffles(df),
+                "scans": len(P.read_schemas(df)),
+                "codegen_stages": P.codegen_stage_count(df),
+            }
+        except Exception:
+            plan_metrics[name] = {}
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -120,6 +140,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "plans": plan_metrics,
         "sf": float(sf),
     }
     print(json.dumps(out))
