@@ -1113,6 +1113,27 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_components_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fuzzy-dedup tail driven through the adversarial-graph path:
+    large-star/small-star alternation (O(log n) rounds on any diameter)
+    instead of min-label propagation (diameter rounds). Components are
+    identical by construction, so the oracle SQL is shared."""
+    from tidyvec_spark.operators.dedup import (
+        connected_components_two_phase,
+        minhash_lsh_pairs,
+        release,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5,
+    )
+    comps = connected_components_two_phase(pairs)
+    release(pairs)  # comps is checkpoint-materialized past the pair plan
+    return comps
+
+
 def _dedup_components_sql(iterations: int = 8) -> str:
     """Min-label propagation unrolled to ``iterations`` rounds (graph
     diameter of the test corpus is ≤ 3; extra rounds are idempotent at
@@ -1644,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _simhash_fingerprints,
         "simhash_pairs": _simhash_pairs,
         "dedup_components": _dedup_components,
+        "dedup_components_two_phase": _dedup_components_two_phase,
         "bpe_token_stats": _bpe_token_stats,
         # relational surface (SURVEY §2.6)
         "q1_pricing": _q1_pricing,
@@ -1696,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _SIMHASH_FP_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_components": _dedup_components_sql(),
+        "dedup_components_two_phase": _dedup_components_sql(),
         "bpe_token_stats": _bpe_stats_sql(),
         "q1_pricing": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,

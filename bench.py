@@ -103,28 +103,34 @@ def main() -> None:
     # hiccups that land on arbitrary queries (GC / virtualized I/O);
     # the minimum of two end-to-end runs is the reproducible cost of
     # the distributed plan
-    timings: dict[str, float] = {}
-    plan_metrics: dict[str, dict] = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
+    # best-of-2 over INTERLEAVED sweeps: GC/virtualized-I/O hiccups on
+    # this shared VM are temporally correlated, so two back-to-back
+    # trials of one query both eat the same bad patch; a full sweep
+    # between trials decorrelates the noise and min() recovers the
+    # reproducible plan cost
+    timings: dict[str, float] = {name: float("inf") for name in BENCH_QUERIES}
+    for _sweep in range(2):
+        for name in BENCH_QUERIES:
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
+            df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
             # intra-plan persists (LSH signature tables) are scoped to
             # their query; dropping them between queries keeps executor
             # memory flat
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        # plan-shape metrics: wall time on a shared VM swings 2×
-        # run-to-run, shuffle/scan counts don't — round-over-round
-        # regressions become attributable to the plan, not the weather
+            spark.sparkContext._jvm.System.gc()
+    timings = {k: round(v, 3) for k, v in timings.items()}
+
+    # plan-shape metrics: wall time on a shared VM swings 2×
+    # run-to-run, shuffle/scan counts don't — round-over-round
+    # regressions become attributable to the plan, not the weather
+    plan_metrics: dict[str, dict] = {}
+    for name in BENCH_QUERIES:
         try:
             from tidyvec_spark import plans as P
 
-            df = fn(spark, SF_DIR)
+            df = qs[name](spark, SF_DIR)
             plan_metrics[name] = {
                 "shuffles": P.num_shuffles(df),
                 "scans": len(P.read_schemas(df)),

@@ -253,3 +253,53 @@ def test_release_frees_pair_generator_cache(spark, corpus):
     assert handles and all(h.storageLevel.useMemory for h in handles)
     dedup.release(pairs)
     assert all(not h.storageLevel.useMemory for h in handles)
+
+
+def test_two_phase_components_match_label_prop(spark):
+    # large-star/small-star must produce the same components as
+    # label propagation on every graph shape: random, chain, star,
+    # disconnected — exercised over several deterministic seeds
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 60
+        es = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        es = [(a, b) for a, b in es if a != b]
+        pairs = spark.createDataFrame(es, ["id_a", "id_b"])
+        lp = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        tp = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components_two_phase(pairs).collect()
+        }
+        assert tp == lp, f"seed={seed}"
+
+
+def test_two_phase_components_deep_chain(spark):
+    # a 40-node path: diameter 39 — label prop needs 39 rounds, the
+    # star alternation O(log n); both must agree, and every node must
+    # resolve to the chain minimum
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components_two_phase(
+            pairs, max_iterations=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_two_phase_components_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components_two_phase(pairs).collect()
+    }
+    assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}

@@ -41,6 +41,7 @@ SUBSET = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "ann_ivf_topk_large",
+    "dedup_components_two_phase",
 ]
 
 
