@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "lsh_near_dup",
     "dedup_components",
+    "dedup_components_two_phase",
     "bpe_token_stats",
     "q1_pricing",
     "q3_top_orders",

@@ -19,6 +19,24 @@ def corpus(spark):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
+@pytest.fixture(scope="module")
+def emb_corpus(spark):
+    # embeddings + perturbed near-dup copies so pairs exist by construction
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    return e.unionByName(pert)
+
+
 def test_md5_long_matches_python(spark):
     import hashlib
 
@@ -303,3 +321,25 @@ def test_two_phase_components_string_ids(spark):
         for r in dedup.connected_components_two_phase(pairs).collect()
     }
     assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+
+
+def test_block_gemm_invariant_to_num_blocks(spark, emb_corpus):
+    # the block tiling is a physical choice: any num_blocks must produce
+    # the identical pair set (each unordered pair meets in exactly one
+    # block-pair group)
+    base = {
+        (r["id_a"], r["id_b"], r["similarity"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb_corpus, "embedding", "vec_id", threshold=0.9, round_to=6,
+            num_blocks=8,
+        ).collect()
+    }
+    for nb in (1, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["similarity"])
+            for r in dedup.embedding_near_dup_pairs(
+                emb_corpus, "embedding", "vec_id", threshold=0.9, round_to=6,
+                num_blocks=nb,
+            ).collect()
+        }
+        assert got == base, f"num_blocks={nb}"
