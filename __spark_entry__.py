@@ -343,6 +343,70 @@ def _bucketed_gemm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_near_dup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-amplified LSH near-dup: two independently-rotated plane
+    tables (seeds 42, 43), per-bucket GEMM verify in each, union +
+    pair-key dedup. Candidates = pairs sharing a bucket in EITHER
+    table, so the result is a superset of the single-table query —
+    deterministic given the fixed seeds, hence hash-checkable."""
+    from tidyvec_spark.operators.ann import random_planes
+    from tidyvec_spark.operators.dedup import lsh_near_dup_pairs_multi
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    allv = e.unionByName(pert)
+    tables = [
+        random_planes(_ANN_DIM, nbits=_ANN_NBITS, seed=s) for s in (42, 43)
+    ]
+    return lsh_near_dup_pairs_multi(
+        allv, "embedding", "vec_id", tables, threshold=0.98, round_to=R
+    )
+
+
+def _lsh_near_dup_multi_sql() -> str:
+    from tidyvec_spark.operators.ann import random_planes
+
+    def bucket_expr(planes):
+        return " + ".join(
+            f"CASE WHEN list_dot_product(v, {_plane_sql_lit(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+
+    b42 = bucket_expr(random_planes(_ANN_DIM, nbits=_ANN_NBITS, seed=42))
+    b43 = bucket_expr(random_planes(_ANN_DIM, nbits=_ANN_NBITS, seed=43))
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_prepend(v[1] + 0.1, v[2:]) AS v
+  FROM base
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+b AS (SELECT vec_id, v, CAST({b42} AS BIGINT) AS b1,
+             CAST({b43} AS BIGINT) AS b2 FROM allv),
+cand AS (
+  SELECT a.vec_id AS id_a, b2_.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.v, b2_.v), {R}) AS similarity
+  FROM b a JOIN b b2_ ON a.b1 = b2_.b1 AND a.vec_id < b2_.vec_id
+  UNION
+  SELECT a.vec_id AS id_a, b2_.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.v, b2_.v), {R}) AS similarity
+  FROM b a JOIN b b2_ ON a.b2 = b2_.b2 AND a.vec_id < b2_.vec_id
+)
+SELECT DISTINCT id_a, id_b, similarity FROM cand
+WHERE similarity >= 0.98
+"""
+
+
 def _lsh_near_dup_sql() -> str:
     planes = _ann_planes()
     bucket = " + ".join(
@@ -1642,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "lsh_near_dup": _lsh_near_dup,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
+        "lsh_near_dup_multi": _lsh_near_dup_multi,
         # tf-idf embed + search (SURVEY §2.2-2.3)
         "tfidf_search": _tfidf_search,
         "tfidf_hybrid": _tfidf_hybrid,
@@ -1699,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
         "lsh_near_dup": _lsh_near_dup_sql(),
         "bucketed_gemm_near_dup": _lsh_near_dup_sql(),
+        "lsh_near_dup_multi": _lsh_near_dup_multi_sql(),
         "tfidf_search": _TFIDF_SEARCH_SQL,
         "tfidf_hybrid": _TFIDF_HYBRID_SQL,
         "keyword_search": _KEYWORD_SEARCH_SQL,

@@ -343,3 +343,38 @@ def test_block_gemm_invariant_to_num_blocks(spark, emb_corpus):
             ).collect()
         }
         assert got == base, f"num_blocks={nb}"
+
+
+def test_multi_table_lsh_recall_superset(spark, emb_corpus):
+    # extra tables can only ADD same-bucket candidate pairs; the
+    # verified similarity per pair is identical, so single-table
+    # results must be a subset of the multi-table union
+    from tidyvec_spark.operators.ann import random_planes
+
+    t42 = random_planes(64, nbits=8, seed=42)
+    t43 = random_planes(64, nbits=8, seed=43)
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.bucket_gemm_near_dup_pairs(
+            emb_corpus, "embedding", "vec_id", t42, threshold=0.98, round_to=6
+        ).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_near_dup_pairs_multi(
+            emb_corpus, "embedding", "vec_id", [t42, t43],
+            threshold=0.98, round_to=6,
+        ).collect()
+    }
+    assert single <= multi
+
+
+def test_block_gemm_empty_input(spark):
+    # the r1 broadcast formulation crashed on an empty corpus
+    # (np.vstack of nothing); the block-pair rewrite must return empty
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    assert dedup.embedding_near_dup_pairs(
+        empty, "embedding", "vec_id", threshold=0.9
+    ).count() == 0

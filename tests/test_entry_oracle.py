@@ -42,6 +42,7 @@ SUBSET = [
     "ngram_jaccard_capped",
     "ann_ivf_topk_large",
     "dedup_components_two_phase",
+    "lsh_near_dup_multi",
 ]
 
 

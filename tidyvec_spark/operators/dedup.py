@@ -403,6 +403,39 @@ def lsh_near_dup_pairs(
     )
 
 
+def lsh_near_dup_pairs_multi(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    plane_tables: list,
+    threshold: float = 0.98,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Multi-table hyperplane-LSH near-dup — the recall amplifier.
+
+    One table of ``nbits`` planes misses a cosine-θ pair with
+    probability ≈ 1−(1−θ/π)^nbits; running T independently-rotated
+    tables and unioning drives the miss rate to that quantity^T while
+    leaving precision untouched (every candidate is exact-verified).
+    Each table is the per-bucket GEMM pipeline
+    (:func:`bucket_gemm_near_dup_pairs`) — one shuffle per table, T
+    scans (or one scan reused from cache at the caller's choice) —
+    and the union dedups on the pair key, which is safe because the
+    verified similarity is a pure function of the pair.
+
+    Returns (id_a, id_b, similarity) with id_a < id_b.
+    """
+    if not plane_tables:
+        raise ValueError("plane_tables must contain at least one plane set")
+    out = None
+    for planes in plane_tables:
+        part = bucket_gemm_near_dup_pairs(
+            df, emb_col, id_col, planes, threshold=threshold, round_to=round_to
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:
