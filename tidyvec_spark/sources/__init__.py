@@ -1,3 +1,14 @@
 from tidyvec_spark.sources.vec_io import write_vec, read_vec
+from tidyvec_spark.sources.layout import (
+    ann_lsh_topk_pruned,
+    write_bucket_partitioned,
+    write_centroid_partitioned,
+)
 
-__all__ = ["write_vec", "read_vec"]
+__all__ = [
+    "write_vec",
+    "read_vec",
+    "write_bucket_partitioned",
+    "write_centroid_partitioned",
+    "ann_lsh_topk_pruned",
+]
