@@ -246,6 +246,51 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) <= 3
 """
 
 
+def _similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large × large ``%~%`` at scale: both frames bucketed by the same
+    hyperplanes, candidates from the bucket equi-join (left side
+    Hamming-1 multiprobed), exact cosine rerank, per-query top-3. The
+    oracle expresses the identical probe set as
+    bit_count(xor(qb, cb)) <= 1."""
+    from tidyvec_spark.operators.nearest import similarity_join_lsh
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = similarity_join_lsh(
+        q, c, "qv", "cv", planes=_ann_planes(), left_id="qid",
+        right_id="cid", k=3, probe_hamming=1, round_to=R,
+    )
+    return out.select("qid", "cid", "similarity")
+
+
+def _similarity_join_lsh_sql() -> str:
+    planes = _ann_planes()
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_sql_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, v AS cv, bucket AS cb FROM b WHERE vec_id >= 5),
+s AS (
+  SELECT qid, cid, ROUND(list_cosine_similarity(cv, qv), {R}) AS similarity
+  FROM q JOIN c ON bit_count(xor(qb, cb)) <= 1
+)
+SELECT qid, cid, similarity FROM s
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) <= 3
+"""
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection. The corpus is the
     embeddings table unioned with perturbed copies (vec_id + 100000,
@@ -1700,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_null_quirk": _knn_null_quirk,
         "similarity_pair": _similarity_pair,
         "ann_topk_per_query": _ann_topk,
+        "similarity_join_lsh": _similarity_join_lsh,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_topk_large": _ann_ivf_topk_large,
@@ -1758,6 +1804,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_null_quirk": _KNN_NULL_QUIRK_SQL,
         "similarity_pair": _SIMILARITY_PAIR_SQL,
         "ann_topk_per_query": _ANN_TOPK_SQL,
+        "similarity_join_lsh": _similarity_join_lsh_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ANN_IVF_SQL,
         "ann_ivf_topk_large": _ann_ivf_sql(256, 16),

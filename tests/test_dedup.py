@@ -378,3 +378,27 @@ def test_block_gemm_empty_input(spark):
     assert dedup.embedding_near_dup_pairs(
         empty, "embedding", "vec_id", threshold=0.9
     ).count() == 0
+
+
+def test_bucket_gemm_invariant_to_sub_blocks(spark, emb_corpus):
+    # sub-block tiling inside a bucket is a physical (anti-skew)
+    # choice: the pair set must not change
+    from tidyvec_spark.operators.ann import random_planes
+
+    planes = random_planes(64, nbits=6, seed=42)
+    base = {
+        (r["id_a"], r["id_b"], r["similarity"])
+        for r in dedup.bucket_gemm_near_dup_pairs(
+            emb_corpus, "embedding", "vec_id", planes,
+            threshold=0.9, round_to=6, sub_blocks=1,
+        ).collect()
+    }
+    for nb in (2, 4):
+        got = {
+            (r["id_a"], r["id_b"], r["similarity"])
+            for r in dedup.bucket_gemm_near_dup_pairs(
+                emb_corpus, "embedding", "vec_id", planes,
+                threshold=0.9, round_to=6, sub_blocks=nb,
+            ).collect()
+        }
+        assert got == base, f"sub_blocks={nb}"

@@ -43,6 +43,7 @@ SUBSET = [
     "ann_ivf_topk_large",
     "dedup_components_two_phase",
     "lsh_near_dup_multi",
+    "similarity_join_lsh",
 ]
 
 

@@ -130,3 +130,52 @@ def test_query_string_through_embedder_matches_pure_python_mirror(spark):
         for r in entry._hf_query_nearest(spark, sf).collect()
     ]
     assert got == entry._fake_nearest_expected(sf)
+
+
+def test_similarity_join_lsh_subset_of_exact_and_probe_recall(spark):
+    # bucketing only restricts candidates: every LSH pair must appear
+    # in the exact join with the same score, and raising probe radius
+    # can only add pairs
+    from tidyvec_spark.operators.ann import random_planes
+    from tidyvec_spark.operators.nearest import (
+        similarity_join_exact,
+        similarity_join_lsh,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    planes = random_planes(64, nbits=6, seed=42)
+
+    def pairs(df):
+        return {
+            (r["qid"], r["cid"]): r["similarity"]
+            for r in df.select("qid", "cid", "similarity").collect()
+        }
+
+    exact = pairs(
+        similarity_join_exact(
+            q, c, "qv", "cv", left_id="qid", right_id="cid", round_to=6
+        )
+    )
+    p0 = pairs(
+        similarity_join_lsh(
+            q, c, "qv", "cv", planes, left_id="qid", right_id="cid",
+            probe_hamming=0, round_to=6,
+        )
+    )
+    p1 = pairs(
+        similarity_join_lsh(
+            q, c, "qv", "cv", planes, left_id="qid", right_id="cid",
+            probe_hamming=1, round_to=6,
+        )
+    )
+    assert set(p0) <= set(p1) <= set(exact)
+    assert all(exact[k] == v for k, v in p1.items())  # identical scores
+    assert len(p1) > len(p0)  # multiprobe adds recall on this corpus

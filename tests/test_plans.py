@@ -110,6 +110,16 @@ def test_embedding_near_dup_never_driver_collects():
             assert banned not in src, f"{fn.__name__} uses {banned}"
 
 
+def test_similarity_join_lsh_is_equi_join(spark, qs):
+    # the large×large %~% path must candidate-generate via the bucket
+    # equi-join — a cartesian/broadcast-nested-loop here means the LSH
+    # restriction was lost and the plan is O(n·m) at scale
+    df = qs["similarity_join_lsh"](spark, SF)
+    P.assert_no_cartesian(df)
+    js = P.join_strategies(df)
+    assert not any("NestedLoop" in j for j in js), js
+
+
 def test_bucketed_gemm_near_dup_single_shuffle(spark, qs):
     # bucket key is a map-side expression; the only exchanges are the
     # bucket groupBy and the small-file parallelism guard

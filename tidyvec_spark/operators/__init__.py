@@ -1,5 +1,9 @@
 from tidyvec_spark.operators.embed import embed
-from tidyvec_spark.operators.nearest import nearest, similarity_join_exact
+from tidyvec_spark.operators.nearest import (
+    nearest,
+    similarity_join_exact,
+    similarity_join_lsh,
+)
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.viz import (
     plan_image_grid,
@@ -11,6 +15,7 @@ __all__ = [
     "embed",
     "nearest",
     "similarity_join_exact",
+    "similarity_join_lsh",
     "cluster_embeddings",
     "plan_image_grid",
     "viz_embeddings",

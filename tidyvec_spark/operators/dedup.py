@@ -313,6 +313,7 @@ def bucket_gemm_near_dup_pairs(
     planes: list,
     threshold: float = 0.98,
     round_to: Optional[int] = None,
+    sub_blocks: int = 1,
 ) -> DataFrame:
     """LSH-bucket-then-GEMM near-dup — the 100 TB default for
     embedding near-dup: hyperplane bucket (map-side sign-bit
@@ -327,6 +328,14 @@ def bucket_gemm_near_dup_pairs(
     bucket key and zero driver participation. Recall is governed by
     the plane count exactly as in :func:`lsh_near_dup_pairs`.
 
+    ``sub_blocks`` bounds per-task memory against SKEWED buckets (near-
+    dup corpora concentrate by construction — one popular template can
+    own a bucket): each bucket is additionally tiled by the same
+    block-pair decomposition as :func:`embedding_near_dup_pairs`, so a
+    task holds at most ``2·|bucket|/sub_blocks`` rows at the cost of
+    ``sub_blocks×`` replication. The pair set is invariant to the
+    choice (every same-bucket pair meets in exactly one tile).
+
     Returns (id_a, id_b, similarity) with id_a < id_b.
     """
     import numpy as np
@@ -334,6 +343,9 @@ def bucket_gemm_near_dup_pairs(
     from tidyvec_spark.operators.ann import hyperplane_bucket_expr
 
     id_type = df.schema[id_col].dataType
+    nb = int(sub_blocks)
+    if nb < 1:
+        raise ValueError(f"sub_blocks must be >= 1, got {sub_blocks}")
     src = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(emb_col).cast("array<double>").alias("v"),
@@ -342,17 +354,68 @@ def bucket_gemm_near_dup_pairs(
     thr = float(threshold)
     nd = None if round_to is None else int(round_to)
 
-    def gemm(pdf):
+    if nb == 1:
+
+        def gemm(pdf):
+            import pandas as pd
+
+            if len(pdf) < 2:
+                return pd.DataFrame(columns=["id_a", "id_b", "similarity"])
+            ids = pdf["id"].to_numpy()
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            return _cos_block(ids, M, ids, M, thr, nd, upper_only=True)
+
+        return src.groupBy("__bucket").applyInPandas(
+            gemm, schema=_pair_schema(id_type)
+        )
+
+    tasks = (
+        src.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int")
+        )
+        .select(
+            "id",
+            "v",
+            "__bucket",
+            "__blk",
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("__q"),
+        )
+        .select(
+            "id",
+            "v",
+            "__bucket",
+            "__blk",
+            F.least("__blk", "__q").alias("__lo"),
+            F.greatest("__blk", "__q").alias("__hi"),
+        )
+    )
+
+    def gemm_tile(key, pdf):
         import pandas as pd
 
-        if len(pdf) < 2:
+        _, lo, hi = key
+        if len(pdf) == 0:
             return pd.DataFrame(columns=["id_a", "id_b", "similarity"])
-        ids = pdf["id"].to_numpy()
-        M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        return _cos_block(ids, M, ids, M, thr, nd, upper_only=True)
+        if lo == hi:
+            ids = pdf["id"].to_numpy()
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            return _cos_block(ids, M, ids, M, thr, nd, upper_only=True)
+        a = pdf[pdf["__blk"] == lo]
+        b = pdf[pdf["__blk"] == hi]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(columns=["id_a", "id_b", "similarity"])
+        return _cos_block(
+            a["id"].to_numpy(),
+            np.vstack(a["v"].to_numpy()).astype(np.float64),
+            b["id"].to_numpy(),
+            np.vstack(b["v"].to_numpy()).astype(np.float64),
+            thr,
+            nd,
+            upper_only=False,
+        )
 
-    return src.groupBy("__bucket").applyInPandas(
-        gemm, schema=_pair_schema(id_type)
+    return tasks.groupBy("__bucket", "__lo", "__hi").applyInPandas(
+        gemm_tile, schema=_pair_schema(id_type)
     )
 
 

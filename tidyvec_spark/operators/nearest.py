@@ -161,3 +161,80 @@ def similarity_join_exact(
             F.col("__rn") <= int(k)
         ).drop("__rn")
     return pair
+
+
+def similarity_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    left_vec: str,
+    right_vec: str,
+    planes: Sequence[Sequence[float]],
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    method: str = "cosine",
+    k: Optional[int] = None,
+    threshold: Optional[float] = None,
+    probe_hamming: int = 0,
+    score_col: str = "similarity",
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """LSH-bucketed frame × frame similarity join — the large × large
+    path of the ``%~%`` contract that :func:`similarity_join_exact`'s
+    broadcast envelope cannot cover.
+
+    Both frames are bucketed by the SAME hyperplane set (map-side
+    expression); candidates come from an equi-join on the bucket key —
+    shuffle on a well-distributed key, never a cross join — then the
+    exact kernel scores each candidate and an optional per-left top-k
+    window / threshold prunes. ``probe_hamming`` explodes each LEFT
+    row into its Hamming-ball buckets (nbits+1 probes at radius 1),
+    trading shuffle volume for recall exactly like query-side
+    multiprobe in ``ann_lsh_topk``; the right side is never inflated.
+
+    Deterministic given the plane set; recall is a property of
+    (nbits, probe_hamming). Returns the joined columns plus
+    ``score_col``.
+    """
+    from tidyvec_spark.operators.ann import hyperplane_bucket_expr
+
+    nbits = len(planes)
+    l = left.withColumn("__bucket", hyperplane_bucket_expr(left_vec, planes))
+    if probe_hamming >= 1:
+        # explode each left row into its probe buckets: bucket XOR each
+        # single-bit mask (plus itself) — Hamming-1 ball, map-side
+        masks = [0] + [1 << i for i in range(nbits)]
+        if probe_hamming >= 2:
+            masks += [
+                (1 << i) ^ (1 << j)
+                for i in range(nbits)
+                for j in range(i + 1, nbits)
+            ]
+        probe = F.explode(F.array(*[F.lit(m).cast("long") for m in masks]))
+        l = l.withColumn("__m", probe).withColumn(
+            "__bucket", F.col("__bucket").bitwiseXOR(F.col("__m"))
+        ).drop("__m")
+    r = right.withColumn("__bucket", hyperplane_bucket_expr(right_vec, planes))
+    la, ra = l.alias("l"), r.alias("r")
+    sim = similarity_expr(F.col(f"l.{left_vec}"), F.col(f"r.{right_vec}"), method)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    pair = (
+        la.join(ra, F.col("l.__bucket") == F.col("r.__bucket"))
+        .drop("__bucket")
+        .withColumn(score_col, sim)
+    )
+    if probe_hamming >= 1:
+        # a (left, right) pair can meet in several probe buckets
+        pair = pair.dropDuplicates([f"{left_id}", f"{right_id}"])
+    if threshold is not None:
+        pair = pair.filter(F.col(score_col) >= F.lit(float(threshold)))
+    if k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.col(f"l.{left_id}")).orderBy(
+            F.desc(score_col), F.asc(F.col(f"r.{right_id}"))
+        )
+        pair = pair.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= int(k)
+        ).drop("__rn")
+    return pair
