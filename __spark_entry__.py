@@ -1555,6 +1555,51 @@ def _events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+DOC_STREAM_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def _docs_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator end-to-end: the documents corpus staged
+    as a landing directory, streamed through applyInPandasWithState
+    keep-min-id dedup (streaming/pipelines.py::stateful_dedup_stream),
+    availableNow drain, update mode. A re-emission (min improving
+    across micro-batches) is folded by the terminal groupBy-min, so
+    the result equals batch ``groupBy(hash).min(id)`` and the DuckDB
+    twin is plain SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from tidyvec_spark.streaming import run_available_now, stateful_dedup_stream
+
+    d = tempfile.mkdtemp(prefix="tv_stream_dedup_")
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(d, "part-000.parquet"),
+    )
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(d)
+    table = f"docs_stream_dedup_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(
+        stateful_dedup_stream(stream, "text", "doc_id"), table,
+        output_mode="update",
+    )
+    return (
+        spark.table(table)
+        .groupBy("h")
+        .agg(F.min("keep_id").alias("keep_id"))
+    )
+
+
+_DOCS_STREAM_DEDUP_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+"""
+
+
 def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a session break is a >30 min gap between a
     user's consecutive events (lag + cumulative sum — the classic
@@ -1787,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "events_session_windows": _events_session_windows,
         "events_stream_hourly": _events_stream_hourly,
+        "docs_stream_dedup": _docs_stream_dedup,
         # ML / non-SQL (rows-only check)
         "kmeans_clusters": _kmeans_clusters,
         "pca_2d": _pca_2d,
@@ -1841,6 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "events_session_windows": _EVENTS_SESSION_WINDOWS_SQL,
         "events_stream_hourly": _EVENTS_HOURLY_SQL,
+        "docs_stream_dedup": _DOCS_STREAM_DEDUP_SQL,
         "hf_query_nearest": _hf_query_nearest_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check

@@ -65,3 +65,56 @@ def test_watermark_present_in_stream_plan(spark, event_dir):
     agg = S.hourly_rollup(stream, watermark="2 hours")
     plan = agg._jdf.queryExecution().logical().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_stateful_dedup_stream_multi_batch_keep_min(spark, tmp_path):
+    # the applyInPandasWithState path: two micro-batches
+    # (maxFilesPerTrigger=1) where a SMALLER id for a seen content hash
+    # arrives in the second batch — state must update and re-emit, and
+    # the terminal fold must land on the true minimum
+    d = tmp_path / "docs_land"
+    d.mkdir()
+    spark.createDataFrame(
+        [(10, "same text"), (11, "other text")], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(d / "f0.parquet"))
+    spark.createDataFrame(
+        [(3, "same  text"), (12, "third text")], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(d / "f1.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    S.run_available_now(
+        S.stateful_dedup_stream(stream, "text", "doc_id"),
+        "stateful_dedup_t",
+        output_mode="update",
+    )
+    got = {
+        r["h"]: r["keep_id"]
+        for r in spark.table("stateful_dedup_t")
+        .groupBy("h")
+        .agg(F.min("keep_id").alias("keep_id"))
+        .collect()
+    }
+    batch = {
+        r["h"]: r["keep_id"]
+        for r in S.stateful_dedup_stream(
+            spark.read.parquet(str(d) + "/*"), "text", "doc_id"
+        ).collect()
+    }
+    assert got == batch
+    assert 3 in got.values()  # "same text" resolves to the late, smaller id
+    assert len(got) == 3
+
+
+def test_stateful_dedup_batch_parity_with_sql(spark):
+    df = spark.createDataFrame(
+        [(5, "a b"), (9, "A  B"), (2, "c")], "doc_id bigint, text string"
+    )
+    got = {
+        (r["h"], r["keep_id"])
+        for r in S.stateful_dedup_stream(df, "text", "doc_id").collect()
+    }
+    assert len(got) == 2 and {k for _, k in got} == {2, 5}

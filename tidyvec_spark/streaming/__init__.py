@@ -21,6 +21,7 @@ from tidyvec_spark.streaming.pipelines import (
     read_event_stream,
     run_available_now,
     session_rollup,
+    stateful_dedup_stream,
 )
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "read_event_stream",
     "run_available_now",
     "session_rollup",
+    "stateful_dedup_stream",
 ]

@@ -125,14 +125,92 @@ def dedup_events(
     return df.dropDuplicates(["event_id"]).drop("__ts")
 
 
-def run_available_now(stream_df: DataFrame, table_name: str) -> None:
+def stateful_dedup_stream(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    hash_col: str = "h",
+    keep_col: str = "keep_id",
+) -> DataFrame:
+    """Keep-min-id exact dedup as a CUSTOM stateful operator —
+    ``applyInPandasWithState``, the engine's escape hatch when no
+    built-in stateful operator (window agg, dropDuplicates*) expresses
+    the semantics.
+
+    Per content-hash group the state is one value: the minimum id seen
+    across all micro-batches. Each batch reduces its rows map-side in
+    pandas (Arrow batches — never row-at-a-time), compares with state,
+    and EMITS ONLY WHEN THE MINIMUM CHANGES (update semantics): a key
+    seen a million times across batches carries 8 bytes of state and
+    emits once unless a smaller id arrives later. Late/out-of-order
+    arrivals are therefore handled exactly — the final min wins — and
+    downstream consumers fold re-emissions with ``min(keep_col)``.
+
+    Equivalent batch semantics: ``groupBy(hash).min(id)`` — the
+    operator falls back to exactly that on a non-streaming frame, so
+    batch/stream parity is oracle-checkable (same DuckDB twin as
+    exact dedup). State never needs a timeout for correctness; wire
+    watermark-based TTL when the id space is monotone-increasing and
+    old keys can't improve (landing-zone file streams).
+    """
+    from tidyvec_spark.operators.dedup import normalized_text_key
+
+    id_field = df.schema[id_col].dataType
+    keyed = df.select(
+        normalized_text_key(text_col).alias("__h"), F.col(id_col).alias("__id")
+    )
+    if not df.isStreaming:
+        return keyed.groupBy(F.col("__h").alias(hash_col)).agg(
+            F.min("__id").alias(keep_col)
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(hash_col, T.StringType(), False),
+            T.StructField(keep_col, id_field, False),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("min_id", id_field, False)])
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        prev = state.get[0] if state.exists else None
+        mn = prev
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            m = pdf["__id"].min()
+            mn = m if mn is None else min(mn, m)
+        if mn is not None and (prev is None or mn < prev):
+            state.update((mn,))
+            yield pd.DataFrame({hash_col: [key[0]], keep_col: [mn]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return keyed.groupBy("__h").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, table_name: str, output_mode: Optional[str] = None
+) -> None:
     """Drain all currently-available input through the streaming engine
     into an in-memory table (test/dev harness; production sinks are
-    parquet/Kafka/Delta via the same writeStream call)."""
+    parquet/Kafka/Delta via the same writeStream call). ``output_mode``
+    overrides the aggregation-based default — custom stateful operators
+    declare their own mode (e.g. ``update``)."""
+    if output_mode is None:
+        output_mode = "complete" if _has_aggregation(stream_df) else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete" if _has_aggregation(stream_df) else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
