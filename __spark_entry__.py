@@ -546,6 +546,65 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8  # 64-dim -> 8 subspaces of 8 dims; 16 codes each (seed rows)
+
+
+def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized approximate top-k (operators/pq.py): encode
+    the corpus to 8 uint8 codes (32x smaller than the float vectors),
+    then score the query via driver-built lookup tables — the scan
+    reads ONLY the code column; the embedding column is pruned. The
+    oracle recomputes codebooks, codes, and ADC distances in SQL from
+    the same seed rows (vec_id < 16)."""
+    from tidyvec_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+        pq_encode,
+    )
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seeds = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    books = pq_codebooks_from_rows(seeds, m=_PQ_M)
+    q = _query_vec(spark, sf_dir)
+    codes = pq_encode(e, "embedding", books).select("vec_id", "pq_code")
+    return pq_adc_topk(codes, "pq_code", "vec_id", q, books, k=10, round_to=R)
+
+
+_PQ_ADC_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+js AS (SELECT unnest(range(8)) AS j),
+cb AS (SELECT j, vec_id AS c, v[j*8+1 : j*8+8] AS cv FROM e, js WHERE vec_id < 16),
+sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv FROM e, js),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT s.vec_id, s.j, cb.c,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY ROUND(list_distance(s.sv, cb.cv) ^ 2, 6), cb.c
+           ) AS rn
+    FROM sub s JOIN cb ON cb.j = s.j
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+lut AS (
+  SELECT cb.j, cb.c,
+         ROUND(list_distance(qv[cb.j*8+1 : cb.j*8+8], cb.cv) ^ 2, 6) AS dd
+  FROM cb, q
+),
+dist AS (
+  SELECT codes.vec_id, ROUND(SUM(lut.dd), {R}) AS adc_dist
+  FROM codes JOIN lut ON lut.j = codes.j AND lut.c = codes.code
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, adc_dist FROM dist ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
 def _ann_ivf_topk_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF at production-shaped k: 256 fixed centroids — past the
     literal-projection ceiling (operators/ann.py::LITERAL_ASSIGN_MAX_K),
@@ -1794,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_topk_large": _ann_ivf_topk_large,
+        "pq_adc_topk": _pq_adc_topk,
         "embedding_near_dup": _embedding_near_dup,
         "lsh_near_dup": _lsh_near_dup,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -1854,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ANN_IVF_SQL,
         "ann_ivf_topk_large": _ann_ivf_sql(256, 16),
+        "pq_adc_topk": _PQ_ADC_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
         "lsh_near_dup": _lsh_near_dup_sql(),
         "bucketed_gemm_near_dup": _lsh_near_dup_sql(),

@@ -5,6 +5,11 @@ from tidyvec_spark.operators.nearest import (
     similarity_join_lsh,
 )
 from tidyvec_spark.operators.cluster import cluster_embeddings
+from tidyvec_spark.operators.pq import (
+    pq_adc_topk,
+    pq_codebooks_from_rows,
+    pq_encode,
+)
 from tidyvec_spark.operators.viz import (
     plan_image_grid,
     viz_embeddings,
@@ -17,6 +22,9 @@ __all__ = [
     "similarity_join_exact",
     "similarity_join_lsh",
     "cluster_embeddings",
+    "pq_adc_topk",
+    "pq_codebooks_from_rows",
+    "pq_encode",
     "plan_image_grid",
     "viz_embeddings",
     "viz_images",

@@ -1,0 +1,151 @@
+"""Product quantization (PQ) — memory-compressed approximate search.
+
+Not in the reference (its corpus is in-memory and uncompressed); this
+is the third leg of the ANN ladder (operators/ann.py: hyperplane LSH,
+IVF) and the standard 100 TB answer to "the embedding column dominates
+scan bytes": a d-dim float vector (d·4 bytes) becomes ``m`` uint8
+codes (m bytes — 32× smaller at d=64, m=8), and query scoring reads
+ONLY the code column via per-subspace lookup tables, never the
+original vectors (Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011).
+
+Spark shape, each stage:
+
+- **encode** (map-side, no shuffle): per subspace ``j``, the code is
+  the argmin of squared L2 between the row's sub-vector and the
+  subspace codebook — the same literal-projection argmin pattern as
+  ``ivf_assign`` (array_min over (rounded distance, code) structs;
+  struct ordering gives the deterministic smallest-code tiebreak).
+  One scan produces the code column; persist it and the wide vector
+  column never needs to be read again for approximate queries.
+- **ADC top-k** (map-side + TakeOrderedAndProject): the query builds
+  ``m`` lookup tables of ``ks`` distances DRIVER-side (pure Python,
+  O(m·ks·dsub) — microseconds), ships them as array literals, and the
+  approximate distance is ``sum_j lut_j[code_j]`` — ``m`` element_at
+  calls per row, no vector arithmetic at all. Exact re-ranking of the
+  top candidates (against the stored vectors) composes on top when
+  recall demands it.
+
+Determinism: codebooks are explicit data (list[m][ks][dsub]); given
+the same codebooks both stages are pure functions, so DuckDB
+reproduces them bit-for-bit (rounded at the same digits) and the
+driver oracle hash-checks both.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tidyvec_spark.functions.vector import array_lit
+from tidyvec_spark.operators.ann import l2sq_expr
+
+
+def pq_codebooks_from_rows(
+    vectors: Sequence[Sequence[float]], m: int
+) -> list[list[list[float]]]:
+    """Deterministic codebooks: split each seed vector into ``m``
+    sub-vectors; seed i becomes code i of every subspace. Production
+    fits per-subspace k-means instead (``pyspark.ml`` on the sliced
+    column); the operator contract only needs *some* fixed codebooks.
+    """
+    if not vectors:
+        raise ValueError("need at least one seed vector")
+    d = len(vectors[0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        [[float(x) for x in vec[j * dsub:(j + 1) * dsub]] for vec in vectors]
+        for j in range(m)
+    ]
+
+
+def pq_encode_expr(
+    emb_col, codebooks: Sequence[Sequence[Sequence[float]]], round_to: int = 6
+) -> Column:
+    """``array<int>`` of ``m`` codes — pure projection, zero shuffle."""
+    col = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(col, j * dsub + 1, dsub)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(l2sq_expr(sub, array_lit(cent)), round_to).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c, cent in enumerate(book)
+                ]
+            )
+        )
+        codes.append(best["c"])
+    return F.array(*codes)
+
+
+def pq_encode(
+    df: DataFrame,
+    emb_col: str,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    code_col: str = "pq_code",
+    round_to: int = 6,
+) -> DataFrame:
+    """Attach the PQ code column. At 100 TB, write (id, pq_code) as its
+    own narrow table/column family: approximate scans then read m bytes
+    per row instead of d·4."""
+    return df.withColumn(code_col, pq_encode_expr(emb_col, codebooks, round_to))
+
+
+def pq_adc_luts(
+    query_vec: Sequence[float],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    round_to: int = 6,
+) -> list[list[float]]:
+    """Driver-side asymmetric-distance lookup tables:
+    ``lut[j][c] = round(||query_sub_j - codebook[j][c]||², round_to)``."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    luts = []
+    for j in range(m):
+        q = [float(x) for x in query_vec[j * dsub:(j + 1) * dsub]]
+        luts.append(
+            [
+                round(sum((a - b) * (a - b) for a, b in zip(q, cent)), round_to)
+                for cent in codebooks[j]
+            ]
+        )
+    return luts
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    code_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    round_to: Optional[int] = 6,
+    dist_col: str = "adc_dist",
+) -> DataFrame:
+    """Approximate top-k over the CODE column only: per row, ``m``
+    lookup-table reads and a sum — the stored vectors are never
+    touched (column pruning drops them at the scan). Ends in
+    TakeOrderedAndProject. Returns (id, adc_dist) ascending."""
+    luts = pq_adc_luts(query_vec, codebooks, round_to=round_to or 6)
+    dist = None
+    for j, lut in enumerate(luts):
+        term = F.element_at(array_lit(lut), F.element_at(F.col(code_col), j + 1) + 1)
+        dist = term if dist is None else dist + term
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return (
+        df.withColumn(dist_col, dist)
+        .orderBy(F.asc(dist_col), F.asc(id_col))
+        .limit(int(k))
+        .select(id_col, dist_col)
+    )
