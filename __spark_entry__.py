@@ -1731,6 +1731,94 @@ FROM g GROUP BY user_id
 """
 
 
+def _events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event annotated with the user's latest
+    purchase at-or-before the click (operators/joins.py::asof_join —
+    union-tag + running last, ONE shuffle, no inequality join). Tie
+    rules pinned by the oracle: inclusive at equal ts, greatest
+    purchase event_id wins at equal purchase ts."""
+    from tidyvec_spark.operators.joins import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks, purch, on="user_id", left_ts="ts",
+        right_cols=["event_id", "value"], tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("p_event_id"),
+        F.round(F.col("value_r"), 4).alias("p_value"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.event_id, c.user_id,
+         p.event_id AS p_event_id, ROUND(p.value, 4) AS p_value,
+         row_number() OVER (
+           PARTITION BY c.event_id
+           ORDER BY p.ts_ns DESC, p.event_id DESC
+         ) AS rn
+  FROM c LEFT JOIN p
+    ON p.user_id = c.user_id AND p.ts_ns <= c.ts_ns
+)
+SELECT event_id, user_id, p_event_id, p_value FROM j WHERE rn = 1
+"""
+
+
+def _events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: clicks in the hour up to each error event,
+    same user (operators/joins.py::range_join_bucketed —
+    bucket-quantized equi-join, never a nested-loop). bucket < band
+    exercises the multi-bucket explode path (fan-out 3)."""
+    from tidyvec_spark.operators.joins import range_join_bucketed
+
+    ev = _read(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join_bucketed(
+        err, clicks, on="user_id", left_ts="ts",
+        band=3_600_000_000_000, bucket=1_800_000_000_000,
+    )
+    return out.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.min("event_id_r").alias("first_click_id"),
+    )
+
+
+_EVENTS_RANGE_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       min(c.event_id) AS first_click_id
+FROM e JOIN c
+  ON c.user_id = e.user_id
+ AND c.ts_ns > e.ts_ns - 3600000000000
+ AND c.ts_ns <= e.ts_ns
+GROUP BY e.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible ops (rows-only driver check; ML + iterative)
 # ---------------------------------------------------------------------------
@@ -1891,6 +1979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "events_sessions": _events_sessions,
         "events_session_windows": _events_session_windows,
+        "events_asof_purchase": _events_asof_purchase,
+        "events_range_join": _events_range_join,
         "events_stream_hourly": _events_stream_hourly,
         "docs_stream_dedup": _docs_stream_dedup,
         # ML / non-SQL (rows-only check)
@@ -1947,6 +2037,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "events_session_windows": _EVENTS_SESSION_WINDOWS_SQL,
+        "events_asof_purchase": _EVENTS_ASOF_SQL,
+        "events_range_join": _EVENTS_RANGE_JOIN_SQL,
         "events_stream_hourly": _EVENTS_HOURLY_SQL,
         "docs_stream_dedup": _DOCS_STREAM_DEDUP_SQL,
         "hf_query_nearest": _hf_query_nearest_sql(),

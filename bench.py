@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_topk_large",
+    "pq_adc_topk",
+    "similarity_join_lsh",
     "embedding_near_dup",
     "bucketed_gemm_near_dup",
     "tfidf_search",

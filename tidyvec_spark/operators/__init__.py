@@ -5,6 +5,7 @@ from tidyvec_spark.operators.nearest import (
     similarity_join_lsh,
 )
 from tidyvec_spark.operators.cluster import cluster_embeddings
+from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
 from tidyvec_spark.operators.pq import (
     pq_adc_topk,
     pq_codebooks_from_rows,
@@ -22,6 +23,8 @@ __all__ = [
     "similarity_join_exact",
     "similarity_join_lsh",
     "cluster_embeddings",
+    "asof_join",
+    "range_join_bucketed",
     "pq_adc_topk",
     "pq_codebooks_from_rows",
     "pq_encode",
