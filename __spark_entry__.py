@@ -753,6 +753,56 @@ ORDER BY similarity DESC, doc_id LIMIT 20
 """
 
 
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/search.py::bm25_topk) — single
+    groupBy(doc) aggregation with per-query-term conditional sums; the
+    corpus constants (N, avgdl, df) come from a 1-row scalar pass."""
+    from tidyvec_spark.operators.search import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "text", "doc_id", _TFIDF_QUERY, n=10,
+        k1=1.2, b=0.75, round_to=R,
+    )
+
+
+_BM25_TERMS = sorted(set(_TFIDF_QTERMS))
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_SEARCH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+per_doc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM per_doc),
+tc AS (
+  SELECT doc_id, term, count(*) AS tc FROM tok
+  WHERE term IN ({_BM25_TERM_LIST}) GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({_BM25_TERM_LIST}) GROUP BY term
+),
+sc AS (
+  SELECT tc.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tc.tc * (1.2 + 1.0)
+           / (tc.tc + 1.2 * (1.0 - 0.75 + 0.75 * pd.dl / s.avgdl))
+         ) AS score
+  FROM tc
+  JOIN dft USING (term)
+  JOIN per_doc pd USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tc.doc_id
+)
+SELECT doc_id, ROUND(score, {R}) AS score FROM sc
+WHERE ROUND(score, {R}) >= 0.0
+ORDER BY ROUND(score, {R}) DESC, doc_id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis queries (documents table)
 # ---------------------------------------------------------------------------
@@ -1950,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_search": _tfidf_search,
         "tfidf_hybrid": _tfidf_hybrid,
         "keyword_search": _keyword_search,
+        "bm25_search": _bm25_search,
         # text analysis (extension §7.5)
         "text_stats": _text_stats,
         "lang_id": _lang_id,
@@ -2012,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_search": _TFIDF_SEARCH_SQL,
         "tfidf_hybrid": _TFIDF_HYBRID_SQL,
         "keyword_search": _KEYWORD_SEARCH_SQL,
+        "bm25_search": _BM25_SEARCH_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "lang_id": _LANG_ID_SQL,
         "token_topk": _TOKEN_TOPK_SQL,

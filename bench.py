@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "bucketed_gemm_near_dup",
     "tfidf_search",
+    "bm25_search",
     "tfidf_hybrid",
     "text_stats",
     "lang_id",

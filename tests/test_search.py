@@ -1,0 +1,77 @@
+"""BM25: brute-force parity, stats sanity, and the single-shuffle plan."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark import plans as P
+from tidyvec_spark.operators.search import bm25_stats, bm25_topk
+
+QUERY = "spark join filter table"
+K1, B = 1.2, 0.75
+
+
+def brute_bm25(texts: dict[int, str], query: str):
+    toks = {i: [t for t in s.lower().split() if t] for i, s in texts.items()}
+    toks = {i: ts for i, ts in toks.items() if ts}
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    qterms = sorted(set(query.lower().split()))
+    df = {t: sum(t in ts for ts in toks.values()) for t in qterms}
+    out = {}
+    for i, ts in toks.items():
+        s = 0.0
+        for t in qterms:
+            tc = ts.count(t)
+            if not tc:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tc * (K1 + 1.0) / (tc + K1 * (1.0 - B + B * len(ts) / avgdl))
+        if s > 0:
+            out[i] = s
+    return out
+
+
+def test_bm25_stats_are_per_document(documents):
+    """Regression: doc ids must be assigned before the token explode —
+    a per-token id silently turns df into term counts and avgdl into 1."""
+    st = bm25_stats(documents, "text", ["spark", "join"])
+    n_docs = documents.count()
+    assert st["n"] <= n_docs
+    assert st["avgdl"] > 1.0
+    for t, d in st["df"].items():
+        assert d <= st["n"]
+
+
+def test_bm25_matches_brute_force(documents):
+    texts = {
+        int(r["doc_id"]): r["text"]
+        for r in documents.select("doc_id", "text").collect()
+    }
+    exp = brute_bm25(texts, QUERY)
+    exp_top = sorted(exp.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+    got = [
+        (int(r["doc_id"]), r["score"])
+        for r in bm25_topk(
+            documents, "text", "doc_id", QUERY, n=10, round_to=6
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp_top]
+    for (gd, gs), (ed, es) in zip(got, exp_top):
+        assert abs(gs - es) < 1e-5, (gd, gs, es)
+
+
+def test_bm25_precomputed_stats_single_shuffle(documents):
+    st = bm25_stats(documents, "text", sorted(set(QUERY.split())))
+    df = bm25_topk(documents, "text", "doc_id", QUERY, n=10, stats=st)
+    # with constants precomputed the scoring plan is ONE aggregation:
+    # explode -> partial agg -> shuffle on id -> final agg -> TakeOrdered
+    assert P.num_shuffles(df) == 1
+    assert P.has_take_ordered(df)
+    P.assert_no_cartesian(df)
+
+
+def test_bm25_empty_query_raises(documents):
+    with pytest.raises(ValueError):
+        bm25_topk(documents, "text", "doc_id", "   ")

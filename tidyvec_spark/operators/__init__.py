@@ -6,6 +6,7 @@ from tidyvec_spark.operators.nearest import (
 )
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
+from tidyvec_spark.operators.search import bm25_stats, bm25_topk
 from tidyvec_spark.operators.pq import (
     pq_adc_topk,
     pq_codebooks_from_rows,
@@ -25,6 +26,8 @@ __all__ = [
     "cluster_embeddings",
     "asof_join",
     "range_join_bucketed",
+    "bm25_stats",
+    "bm25_topk",
     "pq_adc_topk",
     "pq_codebooks_from_rows",
     "pq_encode",

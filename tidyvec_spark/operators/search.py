@@ -1,0 +1,147 @@
+"""BM25 ranked retrieval over an inverted-index-shaped plan.
+
+The reference's lexical surface is a binary keyword overlap score
+(reference R/core.R:296-309); BM25 is the standard upgrade every
+retrieval pipeline reaches for (Robertson/Spärck Jones probabilistic
+weighting, the Lucene default). Same fitted-statistics shape as the
+TF-IDF embedder (embedders/tfidf.py) — term document frequencies plus
+per-document lengths — but scored with saturation (k1) and length
+normalization (b).
+
+100 TB shape: scoring is ONE groupBy(doc) aggregation over the token
+explode. The query's Q terms become Q conditional partial sums inside
+that single aggregation (map-side combined, whole-stage codegen), so
+the corpus is scanned once, shuffled once on the doc id, and the
+per-term posting lists never materialize as separate joins. Corpus
+constants (N, avgdl, per-term df) come from a 1-row scalar aggregate —
+a driver fetch of Q+2 numbers, not a corpus collect. In a production
+index those constants are computed once at build time and passed in
+via ``stats``; passing them skips the extra corpus pass entirely.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tidyvec_spark.embedders.tfidf import tokens_expr
+
+__all__ = ["bm25_stats", "bm25_topk"]
+
+
+def _query_terms(query: str) -> list[str]:
+    """Distinct query terms, sorted — deterministic expression order so
+    the score's floating-point summation order is reproducible."""
+    toks = sorted({t for t in str(query).lower().split() if t})
+    if not toks:
+        raise ValueError("query is empty after tokenization")
+    return toks
+
+
+def bm25_stats(
+    df: DataFrame, content_col: str, terms: Sequence[str]
+) -> dict:
+    """Corpus constants for BM25: N (docs with ≥1 token), avgdl, and
+    document frequency for each of ``terms`` — one aggregation pass,
+    one driver-side row of len(terms)+2 numbers.
+    """
+    # doc identity must be assigned in a projection BEFORE the explode —
+    # placed next to explode it evaluates per token row, not per doc
+    toks = df.withColumn("_doc", F.monotonically_increasing_id()).select(
+        "_doc", F.explode(tokens_expr(content_col)).alias("term")
+    )
+    per_doc = toks.groupBy("_doc").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.max(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_has{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    row = per_doc.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum(f"_has{i}").alias(f"df{i}") for i in range(len(terms))],
+    ).first()
+    return {
+        "n": int(row["n"]),
+        "avgdl": float(row["avgdl"]),
+        "df": {t: int(row[f"df{i}"] or 0) for i, t in enumerate(terms)},
+    }
+
+
+def bm25_topk(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    query: str,
+    n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_score: float = 0.0,
+    stats: dict | None = None,
+    round_to: int | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Top-n documents by BM25 score for ``query``.
+
+    score(d) = Σ_t idf(t) · tc·(k1+1) / (tc + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene formulation —
+    never negative, unlike the raw Robertson idf).
+
+    Documents matching no query term are dropped (score 0 <
+    ``min_score`` only when min_score > 0; they are excluded regardless
+    because only matching docs leave the aggregation — the inverted-
+    index convention).
+
+    ``stats`` (from :func:`bm25_stats`) skips the constants pass; the
+    production path precomputes it at index build.
+    """
+    terms = _query_terms(query)
+    if stats is None:
+        stats = bm25_stats(df, content_col, terms)
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    idf = {
+        t: math.log(
+            1.0 + (n_docs - stats["df"][t] + 0.5) / (stats["df"][t] + 0.5)
+        )
+        for t in terms
+    }
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_expr(content_col)).alias("term"),
+    )
+    # single aggregation: dl plus one conditional count per query term;
+    # partial (map-side) aggregation applies, so the shuffle carries one
+    # row per (doc × partition), not per token.
+    per_doc = toks.groupBy("_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tc{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    score = None
+    for i, t in enumerate(terms):
+        tc = F.col(f"_tc{i}").cast("double")
+        part = F.lit(idf[t]) * tc * F.lit(k1 + 1.0) / (tc + norm)
+        score = part if score is None else score + part
+    if round_to is not None:
+        score = F.round(score, round_to)
+    matched = None
+    for i in range(len(terms)):
+        has = F.col(f"_tc{i}") > 0
+        matched = has if matched is None else (matched | has)
+    return (
+        per_doc.filter(matched)
+        .select(F.col("_id").alias(id_col), score.alias(score_col))
+        .filter(F.col(score_col) >= F.lit(float(min_score)))
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(int(n))
+    )
