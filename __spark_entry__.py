@@ -1115,6 +1115,89 @@ WHERE lang_pred = 'en' AND quality >= 0.55
 """
 
 
+_QUALITY_SQL = f"""ROUND(0.4 * least(1.0, len(toks) / 50.0)
+               + 0.3 * (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END)
+               + 0.3 * least(1.0, (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END) * 4.0),
+               {R})"""
+
+
+def _budget_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation (operators/sampling.py::budget_sample):
+    per language, keep the best-quality documents while the running
+    token total stays within 3000 — the "best N tokens per stratum"
+    mixing primitive. One shuffle (window on lang)."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.sampling import budget_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        X.token_count("text").alias("n_tokens"),
+        F.round(X.quality_score("text"), R).alias("q"),
+    )
+    out = budget_sample(
+        docs, "n_tokens", budget=3000, strata="lang",
+        order_by=[F.desc("q"), F.asc("doc_id")],
+    )
+    return out.select("doc_id", "lang", "n_tokens")
+
+
+_BUDGET_SAMPLE_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         {_QUALITY_SQL} AS q
+  FROM t
+),
+r AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY q DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM m
+)
+SELECT doc_id, lang, n_tokens FROM r WHERE cum <= 3000
+"""
+
+_MIX_FRACTIONS = {"en": 0.9, "de": 0.5, "es": 0.5, "fr": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_SALT = "mix1"
+
+
+def _mix_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixing weights
+    (operators/sampling.py::hash_stratified_sample): per-language keep
+    fractions decided by a salted md5 of the doc id — zero-shuffle
+    map-side filter, reproducible across engines (the DuckDB twin
+    computes the identical hash)."""
+    from tidyvec_spark.operators.sampling import hash_stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = hash_stratified_sample(
+        docs, "doc_id", _MIX_FRACTIONS, "lang",
+        default_fraction=_MIX_DEFAULT, salt=_MIX_SALT,
+    )
+    return out.select("doc_id", "lang")
+
+
+def _mix_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {_MIX_FRACTIONS[k]}"
+        for k in sorted(_MIX_FRACTIONS)
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         CAST(CONCAT('0x', substr(md5(CONCAT('{_MIX_SALT}', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS u,
+         CASE {cases} ELSE {_MIX_DEFAULT} END AS f
+  FROM documents
+)
+SELECT doc_id, lang FROM u WHERE u < f
+"""
+
+
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup via 3-gram shingle Jaccard >= 0.5. Candidate pairs
     come from an equi-join on shingle (inverted index) — NOT a cross
@@ -2014,6 +2097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _exact_dup_groups,
         "dedup_drop_exact": _dedup_drop_exact,
         "pipeline_curate": _pipeline_curate,
+        "budget_sample_by_lang": _budget_sample_by_lang,
+        "mix_sample_langs": _mix_sample_langs,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "ngram_jaccard_capped": _ngram_jaccard_capped,
         "minhash_lsh_pairs": _minhash_lsh_pairs,
@@ -2074,6 +2159,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": _EXACT_DUP_SQL,
         "dedup_drop_exact": _DROP_EXACT_SQL,
         "pipeline_curate": _pipeline_curate_sql(),
+        "budget_sample_by_lang": _BUDGET_SAMPLE_SQL,
+        "mix_sample_langs": _mix_sample_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -6,6 +6,11 @@ from tidyvec_spark.operators.nearest import (
 )
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
+from tidyvec_spark.operators.sampling import (
+    budget_sample,
+    hash_stratified_sample,
+    hash_unit,
+)
 from tidyvec_spark.operators.search import bm25_stats, bm25_topk
 from tidyvec_spark.operators.pq import (
     pq_adc_topk,
@@ -28,6 +33,9 @@ __all__ = [
     "range_join_bucketed",
     "bm25_stats",
     "bm25_topk",
+    "budget_sample",
+    "hash_stratified_sample",
+    "hash_unit",
     "pq_adc_topk",
     "pq_codebooks_from_rows",
     "pq_encode",

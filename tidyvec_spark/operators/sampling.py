@@ -1,0 +1,117 @@
+"""Training-data mixing: token-budget selection and deterministic
+stratified sampling.
+
+A pretraining pipeline decides *what to keep* with two primitives:
+
+- :func:`budget_sample` — per stratum (language, source, domain), rank
+  by a preference (quality score) and keep documents until a token
+  budget is exhausted. The greedy prefix-by-rank selection is what a
+  curation spec means by "take the best N tokens of each language".
+- :func:`hash_stratified_sample` — keep each row with a per-stratum
+  probability, decided by a salted md5 of the row id instead of an RNG.
+  Deterministic (re-runs and engines agree — it is oracle-checkable in
+  plain SQL), stable under repartitioning, and trivially invertible for
+  holdout splits (u >= f is the complement). This is how mixing weights
+  ("2x en-wiki, 0.1x crawl") are applied at scale: a map-side filter,
+  no shuffle, no state.
+
+100 TB notes: budget_sample is a window cumsum — ONE shuffle on the
+strata key, sort within partitions; its skew profile is the stratum
+histogram (a 'web' stratum with 90 % of rows concentrates in one
+partition's sort — acceptable because sorts spill, but pre-splitting
+such a stratum by a salt and budgeting per split is the remedy when it
+matters). hash_stratified_sample is embarrassingly parallel: pure
+projection + filter, whole-stage codegen, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["budget_sample", "hash_stratified_sample", "hash_unit"]
+
+
+def budget_sample(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    strata: str | Sequence[str] | None = None,
+    order_by: Sequence[Column] | None = None,
+    keep_cum: bool = False,
+) -> DataFrame:
+    """Greedy prefix selection under a per-stratum token budget.
+
+    Rows are ranked inside each stratum by ``order_by`` (MUST be a
+    deterministic total order — end it with a unique id tiebreak) and
+    kept while the running token total (including the current row)
+    stays ≤ ``budget``. The cumsum runs over ALL rows in rank order, so
+    the kept set is a strict prefix: the first overflowing document and
+    everything ranked below it are dropped (greedy prefix, not
+    knapsack — a later smaller document never "fits back in").
+
+    ``strata=None`` ranks globally: a single-partition sort, fine for
+    bounded inputs, wrong at corpus scale — prefer strata.
+    ``keep_cum=True`` keeps the running total as ``cum_tokens``.
+    """
+    if order_by is None:
+        raise ValueError(
+            "order_by is required (end with a unique id for determinism)"
+        )
+    strata = (
+        [] if strata is None else [strata] if isinstance(strata, str) else list(strata)
+    )
+    w = (
+        (Window.partitionBy(*strata) if strata else Window.partitionBy())
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(
+        "cum_tokens", F.sum(F.col(token_col).cast("long")).over(w)
+    ).filter(F.col("cum_tokens") <= F.lit(int(budget)))
+    return out if keep_cum else out.drop("cum_tokens")
+
+
+def hash_unit(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform-ish u ∈ [0, 1) from a row id: the first 8
+    hex chars of ``md5(salt || id)`` scaled by 2^32. Engine-portable —
+    the DuckDB twin is ``hash_unit_sql`` in the oracle queries — and
+    reproducible forever, unlike ``rand(seed)`` whose value depends on
+    partitioning.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hexpart = F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8)
+    return F.conv(hexpart, 16, 10).cast("double") / F.lit(float(2**32))
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float],
+    strata_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+    keep_u: bool = False,
+) -> DataFrame:
+    """Keep each row iff ``hash_unit(id) < fractions[stratum]`` —
+    deterministic per-stratum downsampling (mixing weights as a
+    map-side filter; no shuffle, no RNG state).
+
+    Strata absent from ``fractions`` fall back to ``default_fraction``
+    (0 = drop). ``salt`` decorrelates independent sampling passes over
+    the same ids; with the same salt the selections are nested
+    (f=0.1 ⊂ f=0.5), which is exactly what you want for scaling a mix
+    down reproducibly.
+    """
+    u = hash_unit(id_col, salt)
+    frac = F.lit(float(default_fraction))
+    # fold the mapping into a CASE chain (sorted for a deterministic
+    # expression tree); fractions are literals, not a join
+    for k in sorted(fractions):
+        frac = F.when(
+            F.col(strata_col) == F.lit(k), F.lit(float(fractions[k]))
+        ).otherwise(frac)
+    out = df.withColumn("_u", u).filter(F.col("_u") < frac)
+    return out if keep_u else out.drop("_u")
