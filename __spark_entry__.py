@@ -338,6 +338,66 @@ SELECT id_a, id_b, similarity FROM pairs WHERE similarity >= 0.98
 """
 
 
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): assign to 8 fixed centroids
+    (map-side), GEMM cosine pairs within each cluster (one shuffle),
+    drop the larger id of every over-threshold pair. Same synthesized
+    near-dup corpus as the other embedding-dedup queries; pairs whose
+    members land in different clusters survive — the documented recall
+    trade the clustering buys its cost bound with."""
+    from tidyvec_spark.operators.semdedup import semantic_dedup
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    allv = e.unionByName(pert)
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    kept = semantic_dedup(
+        allv, "embedding", "vec_id", cents, threshold=0.98, round_to=R,
+    )
+    return kept.select("vec_id")
+
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_prepend(v[1] + 0.1, v[2:]) AS v
+  FROM base
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT a.vec_id, a.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND(list_distance(a.v, c.cv) ^ 2, 6), c.centroid_id
+           ) AS rn
+    FROM allv a, cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), {R}) >= 0.98
+)
+SELECT vec_id FROM allv
+WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+"""
+
+
 def _lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed scale path of embedding_near_dup: hyperplane-LSH
     bucket → self-equi-join within buckets → exact cosine verify. Same
@@ -2079,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_near_dup": _lsh_near_dup,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
         "lsh_near_dup_multi": _lsh_near_dup_multi,
+        "semantic_dedup": _semantic_dedup,
         # tf-idf embed + search (SURVEY §2.2-2.3)
         "tfidf_search": _tfidf_search,
         "tfidf_hybrid": _tfidf_hybrid,
@@ -2145,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_near_dup": _lsh_near_dup_sql(),
         "bucketed_gemm_near_dup": _lsh_near_dup_sql(),
         "lsh_near_dup_multi": _lsh_near_dup_multi_sql(),
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "tfidf_search": _TFIDF_SEARCH_SQL,
         "tfidf_hybrid": _TFIDF_HYBRID_SQL,
         "keyword_search": _KEYWORD_SEARCH_SQL,

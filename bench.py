@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "similarity_join_lsh",
     "embedding_near_dup",
     "bucketed_gemm_near_dup",
+    "semantic_dedup",
     "tfidf_search",
     "bm25_search",
     "tfidf_hybrid",

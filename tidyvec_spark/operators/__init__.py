@@ -12,6 +12,7 @@ from tidyvec_spark.operators.sampling import (
     hash_unit,
 )
 from tidyvec_spark.operators.search import bm25_stats, bm25_topk
+from tidyvec_spark.operators.semdedup import semantic_dedup, semantic_dedup_pairs
 from tidyvec_spark.operators.pq import (
     pq_adc_topk,
     pq_codebooks_from_rows,
@@ -36,6 +37,8 @@ __all__ = [
     "budget_sample",
     "hash_stratified_sample",
     "hash_unit",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
     "pq_adc_topk",
     "pq_codebooks_from_rows",
     "pq_encode",

@@ -1,0 +1,117 @@
+"""Semantic deduplication: cluster, then dedup within each cluster.
+
+The SemDeDup recipe (Abbas et al., 2023, arXiv:2303.09540): embed the
+corpus, k-means it, and drop near-identical items *within each
+cluster* — the clustering bounds the pair search so the quadratic
+cosine check never runs corpus-wide. Here the recipe is a composition
+of two operators this engine already has, which is the point of
+building them as reusable plan fragments:
+
+- assignment: :func:`tidyvec_spark.operators.ann.ivf_assign` —
+  map-side nearest-centroid (literal projection or broadcast-matrix
+  argmin; zero shuffle);
+- within-cluster pairs: the dense-GEMM block kernel from
+  ``operators/dedup.py`` applied per cluster via ``applyInPandas`` —
+  ONE shuffle on the cluster id, one BLAS tile per cluster.
+
+Keep rule (``semantic_dedup``): a row is dropped iff it is the larger
+id of any over-threshold same-cluster pair — "keep the smallest id of
+every similar pair", the same greedy convention as the exact-dedup
+operators. It is deliberately NOT transitive-component canonical
+(b dropped for resembling a does not un-drop c that resembled only b);
+the convention is deterministic and cheap, and the components variant
+is available by feeding :func:`semantic_dedup_pairs` into
+``dedup.connected_components``.
+
+Scale: cluster sizes are the skew profile — with balanced k-means the
+per-cluster GEMM tile is |cluster|²·d/…; for skewed clusters compose
+with the sub-block tiling of ``bucket_gemm_near_dup_pairs`` (same
+decomposition, bucket key = centroid id).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tidyvec_spark.operators.ann import ivf_assign
+from tidyvec_spark.operators.dedup import _cos_block, _pair_schema
+from tidyvec_spark.partitioning import ensure_parallelism
+
+__all__ = ["semantic_dedup_pairs", "semantic_dedup"]
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    round_to: Optional[int] = None,
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid",
+    assign_strategy: str = "auto",
+) -> DataFrame:
+    """(id_a, id_b, similarity) for same-cluster pairs with cosine ≥
+    ``threshold`` (id_a < id_b). Assignment is map-side; pair search is
+    one BLAS ``A @ A.T`` per cluster behind a single shuffle on the
+    centroid id."""
+    import numpy as np  # noqa: F401  (kernel dependency, fail early)
+
+    id_type = df.schema[id_col].dataType
+    assigned = ivf_assign(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).cast("array<double>").alias("v"),
+        ),
+        "v",
+        "id",
+        centroids,
+        cent_id=cent_id,
+        cent_vec=cent_vec,
+        strategy=assign_strategy,
+    )
+    thr = float(threshold)
+    nd = None if round_to is None else int(round_to)
+
+    def gemm(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "similarity"])
+        ids = pdf["id"].to_numpy()
+        M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        return _cos_block(ids, M, ids, M, thr, nd, upper_only=True)
+
+    return assigned.groupBy(cent_id).applyInPandas(
+        gemm, schema=_pair_schema(id_type)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    round_to: Optional[int] = None,
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid",
+    assign_strategy: str = "auto",
+) -> DataFrame:
+    """The corpus minus semantic duplicates: every row that is the
+    larger id of an over-threshold same-cluster pair is dropped
+    (keep-smallest-id convention; see module docstring). Output keeps
+    all input columns — an anti-join against the dropped-id set."""
+    pairs = semantic_dedup_pairs(
+        df, emb_col, id_col, centroids, threshold,
+        round_to=round_to, cent_id=cent_id, cent_vec=cent_vec,
+        assign_strategy=assign_strategy,
+    )
+    drop = pairs.select(F.col("id_b").alias("__tv_drop")).distinct()
+    return df.join(
+        drop, on=F.col(id_col) == F.col("__tv_drop"), how="left_anti"
+    )
