@@ -72,3 +72,25 @@ def test_adc_scan_reads_only_codes(emb, books, spark, tmp_path):
     P.assert_column_pruned(df, "embedding")
     assert P.has_take_ordered(df)
     assert P.num_shuffles(df) == 0
+
+
+def test_encode_strategies_agree(emb, books):
+    """The literal argmin expression and the BLAS batch encoder must
+    produce identical codes (same rounded-distance argmin, same
+    smallest-code tiebreak)."""
+    lit = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(emb, "embedding", books, strategy="literal")
+        .select("vec_id", "pq_code").collect()
+    }
+    pan = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(emb, "embedding", books, strategy="pandas")
+        .select("vec_id", "pq_code").collect()
+    }
+    assert lit == pan
+
+
+def test_encode_bad_strategy(emb, books):
+    with pytest.raises(ValueError):
+        pq_encode(emb, "embedding", books, strategy="quantum")

@@ -88,17 +88,83 @@ def pq_encode_expr(
     return F.array(*codes)
 
 
+# the literal argmin expression is m·ks interpreted L2 folds per row —
+# fine for tiny codebooks, but past this many total codebook floats the
+# BLAS batch encoder is an order of magnitude faster (measured at
+# sf0.1: 7.9 s literal vs <1 s pandas for m=8, ks=16, d=64)
+LITERAL_ENCODE_MAX_FLOATS = 256
+
+
 def pq_encode(
     df: DataFrame,
     emb_col: str,
     codebooks: Sequence[Sequence[Sequence[float]]],
     code_col: str = "pq_code",
     round_to: int = 6,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Attach the PQ code column. At 100 TB, write (id, pq_code) as its
     own narrow table/column family: approximate scans then read m bytes
-    per row instead of d·4."""
-    return df.withColumn(code_col, pq_encode_expr(emb_col, codebooks, round_to))
+    per row instead of d·4.
+
+    Same dual physical strategy as ``ivf_assign`` (operators/ann.py):
+
+    - ``literal`` — pure-projection argmin expression; zero Python but
+      the per-subspace L2 folds evaluate interpreted, so cost grows
+      with m·ks·dsub.
+    - ``pandas`` — the codebooks ship once per executor inside a
+      ``mapInPandas`` closure; each Arrow batch computes one
+      ``‖x‖²+‖c‖²−2·XCᵀ`` BLAS block per subspace and takes the row
+      argmin (numpy first-minimum == smallest-code tiebreak, matching
+      the literal path's struct ordering on rounded distance).
+    - ``auto`` — ``literal`` only while the codebooks stay tiny.
+
+    Both strategies are map-side only: no shuffle, encode parallelism
+    is scan parallelism.
+    """
+    n_floats = sum(len(b) * len(b[0]) for b in codebooks)
+    if strategy == "auto":
+        strategy = "literal" if n_floats <= LITERAL_ENCODE_MAX_FLOATS else "pandas"
+    if strategy == "literal":
+        return df.withColumn(
+            code_col, pq_encode_expr(emb_col, codebooks, round_to)
+        )
+    if strategy != "pandas":
+        raise ValueError(f"strategy must be auto|literal|pandas, got {strategy!r}")
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    b2 = [(B * B).sum(axis=1) for B in books]
+    nd = int(round_to)
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(code_col, T.ArrayType(T.IntegerType(), False), False)]
+    )
+    emb = emb_col
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[emb]])
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * dsub:(j + 1) * dsub]
+                d2 = (
+                    (Xj * Xj).sum(axis=1)[:, None]
+                    + b2[j][None, :]
+                    - 2.0 * (Xj @ books[j].T)
+                )
+                codes[:, j] = np.argmin(np.round(d2, nd), axis=1)
+            out = pdf.copy()
+            out[code_col] = [row.tolist() for row in codes]
+            yield out
+
+    return df.mapInPandas(encode, schema=out_schema)
 
 
 def pq_adc_luts(
