@@ -1807,6 +1807,44 @@ def _events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def _events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join: the events parquet staged as a
+    landing directory, read as TWO file-source streams (errors, clicks),
+    joined on user within the watermarked 1-hour band
+    (streaming/pipelines.py::interval_join_stream), availableNow drain,
+    then the same per-error aggregation as the batch range join — so
+    the identical DuckDB oracle applies. Proves the streaming interval
+    join is semantically the batch banded join."""
+    import os
+    import shutil
+    import tempfile
+
+    from tidyvec_spark.streaming import (
+        interval_join_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    d = tempfile.mkdtemp(prefix="tv_stream_ij_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "part-000.parquet"),
+    )
+    err = read_event_stream(spark, d).filter(F.col("event_type") == "error")
+    clicks = read_event_stream(spark, d).filter(F.col("event_type") == "click")
+    joined = interval_join_stream(err, clicks, on="user_id", band="1 hour")
+    table = f"events_stream_ij_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(joined, table)
+    return (
+        spark.table(table)
+        .groupBy(F.col("l_event_id").alias("event_id"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.min("r_event_id").alias("first_click_id"),
+        )
+    )
+
+
 DOC_STREAM_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
@@ -2179,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _events_asof_purchase,
         "events_range_join": _events_range_join,
         "events_stream_hourly": _events_stream_hourly,
+        "events_stream_interval_join": _events_stream_interval_join,
         "docs_stream_dedup": _docs_stream_dedup,
         # ML / non-SQL (rows-only check)
         "kmeans_clusters": _kmeans_clusters,
@@ -2241,6 +2280,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_purchase": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_JOIN_SQL,
         "events_stream_hourly": _EVENTS_HOURLY_SQL,
+        "events_stream_interval_join": _EVENTS_RANGE_JOIN_SQL,
         "docs_stream_dedup": _DOCS_STREAM_DEDUP_SQL,
         "hf_query_nearest": _hf_query_nearest_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

@@ -118,3 +118,67 @@ def test_stateful_dedup_batch_parity_with_sql(spark):
         for r in S.stateful_dedup_stream(df, "text", "doc_id").collect()
     }
     assert len(got) == 2 and {k for _, k in got} == {2, 5}
+
+
+def test_interval_join_stream_equals_batch(spark, event_dir, batch_events):
+    err = batch_events.filter(F.col("event_type") == "error")
+    clicks = batch_events.filter(F.col("event_type") == "click")
+    batch = _canon(
+        S.interval_join_stream(err, clicks).select(
+            "l_event_id", "r_event_id"
+        ).collect()
+    )
+    s_err = S.read_event_stream(spark, event_dir).filter(
+        F.col("event_type") == "error"
+    )
+    s_clicks = S.read_event_stream(spark, event_dir).filter(
+        F.col("event_type") == "click"
+    )
+    S.run_available_now(
+        S.interval_join_stream(s_err, s_clicks), "t_ij_stream"
+    )
+    got = _canon(
+        spark.table("t_ij_stream").select("l_event_id", "r_event_id").collect()
+    )
+    assert got == batch and len(got) > 0
+
+
+def test_interval_join_stream_multi_batch(spark, tmp_path, batch_events):
+    """Split the input into two files delivered as separate micro-
+    batches (maxFilesPerTrigger=1): pairs whose members arrive in
+    DIFFERENT batches must still match via the buffered join state."""
+    d = tmp_path / "ij_multi"
+    d.mkdir()
+    rows = batch_events.orderBy("event_id").collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, S.pipelines.EVENT_SCHEMA).coalesce(
+            1
+        ).write.parquet(str(d / f"b{i}"))
+    # landing dir = the part files of both chunks
+    land = tmp_path / "ij_land"
+    land.mkdir()
+    import glob
+    import shutil as sh
+
+    for i, b in enumerate(sorted(glob.glob(str(d / "b*" / "part-*.parquet")))):
+        sh.copy(b, land / f"file-{i}.parquet")
+
+    err = S.read_event_stream(spark, str(land), max_files_per_trigger=1).filter(
+        F.col("event_type") == "error"
+    )
+    clicks = S.read_event_stream(spark, str(land), max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    )
+    S.run_available_now(S.interval_join_stream(err, clicks), "t_ij_multi")
+    got = _canon(
+        spark.table("t_ij_multi").select("l_event_id", "r_event_id").collect()
+    )
+    b_err = batch_events.filter(F.col("event_type") == "error")
+    b_clicks = batch_events.filter(F.col("event_type") == "click")
+    exp = _canon(
+        S.interval_join_stream(b_err, b_clicks).select(
+            "l_event_id", "r_event_id"
+        ).collect()
+    )
+    assert got == exp and len(got) > 0

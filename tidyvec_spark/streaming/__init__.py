@@ -18,6 +18,7 @@ from tidyvec_spark.streaming.pipelines import (
     dedup_events,
     event_ts,
     hourly_rollup,
+    interval_join_stream,
     read_event_stream,
     run_available_now,
     session_rollup,
@@ -28,6 +29,7 @@ __all__ = [
     "dedup_events",
     "event_ts",
     "hourly_rollup",
+    "interval_join_stream",
     "read_event_stream",
     "run_available_now",
     "session_rollup",

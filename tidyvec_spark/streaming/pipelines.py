@@ -197,6 +197,58 @@ def stateful_dedup_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    band: str = "1 hour",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events of the same key whose time falls in ``(left.ts - band,
+    left.ts]`` — the streaming twin of
+    ``operators/joins.py::range_join_bucketed`` (same inclusive-upper
+    band convention, so the identical batch SQL is the oracle).
+
+    Both sides are watermarked: Spark buffers right-side rows in the
+    state store only until the watermark passes ``band`` behind, which
+    is what bounds state at 100 TB — without the time-range condition
+    on both event-time columns the join state would grow forever.
+    Inner join: matches emit as found (append mode); the watermark only
+    governs state eviction.
+
+    Works identically on batch frames (Spark's unified model) minus the
+    watermark, which batch ignores.
+    """
+    l = (
+        left.select(
+            F.col("event_id").alias(f"{left_prefix}event_id"),
+            F.col(on).alias(f"{left_prefix}{on}"),
+            event_ts().alias(f"{left_prefix}ts"),
+        )
+    )
+    r = (
+        right.select(
+            F.col("event_id").alias(f"{right_prefix}event_id"),
+            F.col(on).alias(f"{right_prefix}{on}"),
+            event_ts().alias(f"{right_prefix}ts"),
+        )
+    )
+    if left.isStreaming:
+        l = l.withWatermark(f"{left_prefix}ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark(f"{right_prefix}ts", watermark)
+    cond = (
+        (F.col(f"{left_prefix}{on}") == F.col(f"{right_prefix}{on}"))
+        & (F.col(f"{right_prefix}ts")
+           > F.col(f"{left_prefix}ts") - F.expr(f"INTERVAL {band}"))
+        & (F.col(f"{right_prefix}ts") <= F.col(f"{left_prefix}ts"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_available_now(
     stream_df: DataFrame, table_name: str, output_mode: Optional[str] = None
 ) -> None:
