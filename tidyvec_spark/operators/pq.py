@@ -215,3 +215,140 @@ def pq_adc_topk(
         .limit(int(k))
         .select(id_col, dist_col)
     )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    cent_col: str = "centroid_id",
+    code_col: str = "pq_code",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVFADC index build (Jégou et al., TPAMI 2011): assign each vector
+    to its nearest centroid, then PQ-encode the RESIDUAL ``x − c`` —
+    residuals concentrate near zero, so the same codebook budget buys
+    far lower quantization error than encoding raw vectors.
+
+    One fused ``mapInPandas`` kernel per Arrow batch: a BLAS block for
+    the centroid argmin, a subtract for the residual, and one BLAS
+    block per subspace for the codes. Map-side only — no shuffle; at
+    100 TB this is a single scan that produces the (centroid, codes)
+    narrow index, ideally written partitioned by ``cent_col`` so probed
+    queries prune partitions.
+
+    Ties everywhere: rounded distance, then smallest centroid/code id
+    (numpy first-minimum), matching the SQL oracle's row_number order.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    if C.ndim != 2 or not len(C):
+        raise ValueError("centroids must be a non-empty list of vectors")
+    c2 = (C * C).sum(axis=1)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    b2 = [(B * B).sum(axis=1) for B in books]
+    nd = int(round_to)
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(cent_col, T.IntegerType(), False),
+            T.StructField(code_col, T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+    emb, idc = emb_col, id_col
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[emb]])
+            d2 = (X * X).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (X @ C.T)
+            cid = np.argmin(np.round(d2, nd), axis=1)
+            R = X - C[cid]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                Rj = R[:, j * dsub:(j + 1) * dsub]
+                dd = (
+                    (Rj * Rj).sum(axis=1)[:, None]
+                    + b2[j][None, :]
+                    - 2.0 * (Rj @ books[j].T)
+                )
+                codes[:, j] = np.argmin(np.round(dd, nd), axis=1)
+            yield pd.DataFrame(
+                {
+                    idc: pdf[idc].to_numpy(),
+                    cent_col: cid.astype("int32"),
+                    code_col: [row.tolist() for row in codes],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=out_schema)
+
+
+def ivfpq_adc_topk(
+    codes: DataFrame,
+    id_col: str,
+    query_vec: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    nprobe: int = 4,
+    k: int = 10,
+    cent_col: str = "centroid_id",
+    code_col: str = "pq_code",
+    round_to: Optional[int] = 6,
+    dist_col: str = "adc_dist",
+) -> DataFrame:
+    """Probed approximate top-k over the IVFADC index: pick the
+    ``nprobe`` centroids nearest the query (driver-side — k distances),
+    build one residual lookup table per probed centroid (the query
+    residual differs per list), and scan ONLY rows whose centroid is
+    probed: a pushable ``IN`` filter (partition pruning when the index
+    is written partitioned by centroid) + per-row ``m`` table lookups
+    selected by a CASE over the probed lists, ending in
+    TakeOrderedAndProject. Returns (id, adc_dist) ascending."""
+    nd = round_to if round_to is not None else 6
+    C = [[float(x) for x in c] for c in centroids]
+    q = [float(x) for x in query_vec]
+    cdist = [
+        (round(sum((a - b) * (a - b) for a, b in zip(q, c)), 6), i)
+        for i, c in enumerate(C)
+    ]
+    probes = [i for _, i in sorted(cdist)[: int(nprobe)]]
+    luts = {
+        i: pq_adc_luts([a - b for a, b in zip(q, C[i])], codebooks, round_to=nd)
+        for i in probes
+    }
+
+    def list_dist(lut):
+        d = None
+        for j, t in enumerate(lut):
+            term = F.element_at(
+                array_lit(t), F.element_at(F.col(code_col), j + 1) + 1
+            )
+            d = term if d is None else d + term
+        return d
+
+    dist = None
+    for i in probes:
+        branch = list_dist(luts[i])
+        dist = (
+            F.when(F.col(cent_col) == i, branch)
+            if dist is None
+            else dist.when(F.col(cent_col) == i, branch)
+        )
+    out = F.round(dist, round_to) if round_to is not None else dist
+    return (
+        codes.filter(F.col(cent_col).isin([int(i) for i in probes]))
+        .withColumn(dist_col, out)
+        .orderBy(F.asc(dist_col), F.asc(id_col))
+        .limit(int(k))
+        .select(id_col, dist_col)
+    )
