@@ -1832,7 +1832,14 @@ def _events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err = read_event_stream(spark, d).filter(F.col("event_type") == "error")
     clicks = read_event_stream(spark, d).filter(F.col("event_type") == "click")
-    joined = interval_join_stream(err, clicks, on="user_id", band="1 hour")
+    joined = interval_join_stream(
+        err,
+        clicks,
+        on="user_id",
+        band="1 hour",
+        left_cols=["event_id"],
+        right_cols=["event_id"],
+    )
     table = f"events_stream_ij_{next(_STREAM_RUN_SEQ)}"
     run_available_now(joined, table)
     return (

@@ -81,6 +81,23 @@ def test_dedup_pair_generators_never_cartesian(spark, qs):
         P.assert_no_cartesian(qs[q](spark, SF))
 
 
+def test_ngram_jaccard_default_is_capped(spark):
+    # a DEFAULT call must carry the hot-shingle broadcast anti-join —
+    # the uncapped 10^12-row inverted-index self-join requires an
+    # explicit max_doc_freq=None opt-out
+    from tidyvec_spark.operators.dedup import ngram_jaccard_pairs, release
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = ngram_jaccard_pairs(docs, "text", "doc_id")
+    s = P.explain_str(df)
+    assert "LeftAnti" in s, "default ngram_jaccard_pairs lost the shingle cap"
+    assert "BroadcastHashJoin" in s or "BroadcastExchange" in s
+    uncapped = ngram_jaccard_pairs(docs, "text", "doc_id", max_doc_freq=None)
+    assert "LeftAnti" not in P.explain_str(uncapped)
+    release(df)
+    release(uncapped)
+
+
 def test_embedding_near_dup_is_distributed_block_gemm(spark, qs):
     # the exact all-pairs kernel is block-pair GEMM via applyInPandas:
     # no join, no cartesian, and — critically — no driver collect of

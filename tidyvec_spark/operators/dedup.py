@@ -600,6 +600,7 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(int(max_iterations)):
         nbr_min = (
             edges.join(labels, edges["es"] == labels["id"])
@@ -620,6 +621,18 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # exhausting the iteration cap with labels still moving means the
+        # returned labels are NOT components (e.g. a transitive chain
+        # longer than max_iterations) — silent wrong answers are worse
+        # than a loud failure here; callers with adversarial diameters
+        # should use connected_components_two_phase (O(log n) rounds)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations or use connected_components_two_phase for "
+            "long-chain graphs"
+        )
     return labels.select("id", F.col("lbl").alias("component"))
 
 
@@ -754,7 +767,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     round_to: Optional[int] = None,
-    max_doc_freq: Optional[int] = None,
+    max_doc_freq: Optional[int | str] = "auto",
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup via an inverted shingle index.
 
@@ -774,7 +787,16 @@ def ngram_jaccard_pairs(
     list is tiny by construction (it IS the high-frequency tail), so
     the exclusion is a broadcast anti-join — no extra shuffle of the
     index, and the doc-frequency count itself pre-aggregates map-side.
+
+    The cap is ON by default (``"auto"``: 0.5 % of the corpus doc
+    count, floor 100 — below that the quadratic term is harmless) so a
+    default call can never hit the 10¹²-row plan; pass an explicit
+    ``max_doc_freq=None`` to opt into the fully exact join. ``"auto"``
+    costs one column-pruned ``count()`` of the input.
     """
+    if max_doc_freq == "auto":
+        n_docs = df.count()
+        max_doc_freq = max(100, -(-n_docs // 200))  # ceil(0.5% of corpus)
     # one pass computes the distinct-shingle set; its size rides along
     # the exploded index rows (8 bytes/row) so no join back to a sizes
     # table is ever needed; persisted so the self-join doesn't tokenize

@@ -30,8 +30,9 @@ the comparison semantics identical between Spark and the DuckDB oracle
 Tie rules (pinned by the DuckDB oracle):
 - as-of is inclusive (right.ts == left.ts matches);
 - among right rows sharing the max eligible ts, the greatest
-  ``tiebreak`` value (a numeric column; default: the first of
-  ``right_cols``) wins.
+  ``tiebreak`` value (any orderable column — numeric, string,
+  timestamp; default: the first of ``right_cols``) wins; NULL
+  tiebreaks lose to any non-NULL value.
 """
 
 from __future__ import annotations
@@ -84,12 +85,16 @@ def asof_join(
     tiebreak = tiebreak or right_cols[0]
     match_type = right.select(*right_cols).schema
     left_type = left.schema
+    # the tiebreak column keeps its own type — any orderable type works
+    # (numeric, string, timestamp); casting it would truncate doubles
+    # and NULL-out strings, corrupting the "greatest tiebreak wins" rule
+    tie_type = right.schema[tiebreak].dataType
 
     lhs = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).cast("long").alias("__tv_ts"),
         F.lit(1).alias("__tv_side"),
-        F.lit(None).cast("long").alias("__tv_tie"),
+        F.lit(None).cast(tie_type).alias("__tv_tie"),
         F.lit(None).cast(match_type).alias("__tv_match"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__tv_left"),
     )
@@ -97,7 +102,7 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(right_ts).cast("long").alias("__tv_ts"),
         F.lit(0).alias("__tv_side"),
-        F.col(tiebreak).cast("long").alias("__tv_tie"),
+        F.col(tiebreak).alias("__tv_tie"),
         F.struct(*[F.col(c) for c in right_cols]).alias("__tv_match"),
         F.lit(None).cast(left_type).alias("__tv_left"),
     )
@@ -111,10 +116,11 @@ def asof_join(
 
     # right rows (side=0) sort before left rows at equal ts → inclusive
     # match; __tv_tie asc means `last` carries the greatest tiebreak
-    # among right rows sharing the winning ts.
+    # among right rows sharing the winning ts. NULL tiebreaks sort FIRST
+    # so any non-NULL tiebreak beats them (a NULL must never win a tie).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(sort_ts, F.col("__tv_side"), F.col("__tv_tie").asc_nulls_last())
+        .orderBy(sort_ts, F.col("__tv_side"), F.col("__tv_tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last(F.col("__tv_match"), ignorenulls=True).over(w)

@@ -223,11 +223,14 @@ def similarity_join_lsh(
         .drop("__bucket")
         .withColumn(score_col, sim)
     )
+    if threshold is not None:
+        # BEFORE the probe-dedup: the score is a pure function of the
+        # pair, so filtering first is hash-identical and shrinks the
+        # dropDuplicates exchange by every sub-threshold candidate
+        pair = pair.filter(F.col(score_col) >= F.lit(float(threshold)))
     if probe_hamming >= 1:
         # a (left, right) pair can meet in several probe buckets
         pair = pair.dropDuplicates([f"{left_id}", f"{right_id}"])
-    if threshold is not None:
-        pair = pair.filter(F.col(score_col) >= F.lit(float(threshold)))
     if k is not None:
         from pyspark.sql import Window
 

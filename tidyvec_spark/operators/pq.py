@@ -202,7 +202,9 @@ def pq_adc_topk(
     lookup-table reads and a sum — the stored vectors are never
     touched (column pruning drops them at the scan). Ends in
     TakeOrderedAndProject. Returns (id, adc_dist) ascending."""
-    luts = pq_adc_luts(query_vec, codebooks, round_to=round_to or 6)
+    luts = pq_adc_luts(
+        query_vec, codebooks, round_to=round_to if round_to is not None else 6
+    )
     dist = None
     for j, lut in enumerate(luts):
         term = F.element_at(array_lit(lut), F.element_at(F.col(code_col), j + 1) + 1)
@@ -318,7 +320,7 @@ def ivfpq_adc_topk(
     C = [[float(x) for x in c] for c in centroids]
     q = [float(x) for x in query_vec]
     cdist = [
-        (round(sum((a - b) * (a - b) for a, b in zip(q, c)), 6), i)
+        (round(sum((a - b) * (a - b) for a, b in zip(q, c)), nd), i)
         for i, c in enumerate(C)
     ]
     probes = [i for _, i in sorted(cdist)[: int(nprobe)]]

@@ -205,12 +205,21 @@ def interval_join_stream(
     watermark: str = "2 hours",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    ts_col: str = "ts",
+    left_cols: Optional[Sequence[str]] = None,
+    right_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Stream-stream interval join: pair each left event with the right
     events of the same key whose time falls in ``(left.ts - band,
     left.ts]`` — the streaming twin of
     ``operators/joins.py::range_join_bucketed`` (same inclusive-upper
     band convention, so the identical batch SQL is the oracle).
+
+    Schema-generic: ``on``/``ts_col`` name the key and event-time
+    columns; ``left_cols``/``right_cols`` pick the carried payload
+    columns (default: every column except the key and ts). ``ts_col``
+    may be a TIMESTAMP or an int64-nanosecond column (the engine's
+    parquet convention) — the latter is converted via ``event_ts``.
 
     Both sides are watermarked: Spark buffers right-side rows in the
     state store only until the watermark passes ``band`` behind, which
@@ -222,19 +231,26 @@ def interval_join_stream(
     Works identically on batch frames (Spark's unified model) minus the
     watermark, which batch ignores.
     """
-    l = (
-        left.select(
-            F.col("event_id").alias(f"{left_prefix}event_id"),
-            F.col(on).alias(f"{left_prefix}{on}"),
-            event_ts().alias(f"{left_prefix}ts"),
+
+    def ts_of(df: DataFrame) -> Column:
+        dt = df.schema[ts_col].dataType
+        return (
+            F.col(ts_col) if isinstance(dt, T.TimestampType) else event_ts(ts_col)
         )
+
+    if left_cols is None:
+        left_cols = [c for c in left.columns if c not in (on, ts_col)]
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, ts_col)]
+    l = left.select(
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in left_cols],
+        F.col(on).alias(f"{left_prefix}{on}"),
+        ts_of(left).alias(f"{left_prefix}ts"),
     )
-    r = (
-        right.select(
-            F.col("event_id").alias(f"{right_prefix}event_id"),
-            F.col(on).alias(f"{right_prefix}{on}"),
-            event_ts().alias(f"{right_prefix}ts"),
-        )
+    r = right.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right_cols],
+        F.col(on).alias(f"{right_prefix}{on}"),
+        ts_of(right).alias(f"{right_prefix}ts"),
     )
     if left.isStreaming:
         l = l.withWatermark(f"{left_prefix}ts", watermark)
