@@ -97,9 +97,13 @@ _KW_SQL = (
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS); Spark 4 rejects it unless nanos
-        # are read as long (we then do all bucket math on int64 nanos,
-        # which is exact and matches the DuckDB oracle's ns precision)
+        # events.ts arrives as TIMESTAMP(µs) (read as TIMESTAMP_NTZ) in
+        # current fixtures, TIMESTAMP(NANOS) (readable only as int64 ns
+        # via nanosAsLong) in older ones. Downstream event-time math is
+        # schema-aware (streaming.pipelines.event_ts_of/event_ns_of);
+        # the session zone is pinned to UTC so NTZ wall-clock epochs
+        # agree with DuckDB's naive-timestamp epoch() semantics.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1901,12 +1905,13 @@ def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a session break is a >30 min gap between a
     user's consecutive events (lag + cumulative sum — the classic
     Spark window idiom)."""
-    ev = _read(spark, sf_dir, "events").withColumn(
-        "ts_s", F.expr("ts DIV 1000000000")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-    gap = F.col("ts_s") - F.lag("ts_s").over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    from tidyvec_spark.streaming import event_ns_of
+
+    ev = _read(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ns", event_ns_of(ev, "ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000_000), 1).otherwise(0)
     return (
         ev.withColumn("new_sess", new_sess)
         .groupBy("user_id")
@@ -1917,14 +1922,13 @@ def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_SESSIONS_SQL = """
 WITH e AS (
-  SELECT user_id, event_id,
-         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns
   FROM events
 ),
 g AS (
   SELECT user_id,
-         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
-                   OR ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) > 1800
+         CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) IS NULL
+                   OR ts_ns - lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) > 1800000000000
               THEN 1 ELSE 0 END AS new_sess
   FROM e
 )

@@ -20,9 +20,21 @@ NS_HOUR = 3_600_000_000_000
 
 
 @pytest.fixture(scope="module")
-def events(spark, sf_dir):
+def events_raw(spark, sf_dir):
+    """events as the driver wrote it — ts is TIMESTAMP(µs) (read as
+    TIMESTAMP_NTZ) in current fixtures."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(events_raw):
+    """int64-ns view of events: the brute-force checks below compare ts
+    as plain integers, and this also exercises the operators' numeric
+    input path (the timestamp path is covered by the parity test)."""
+    from tidyvec_spark.streaming import event_ns_of
+
+    return events_raw.withColumn("ts", event_ns_of(events_raw, "ts"))
 
 
 @pytest.fixture(scope="module")
@@ -128,6 +140,38 @@ def test_range_join_is_equi_join(events, clicks):
     P.assert_no_cartesian(df)
     s = P.explain_str(df)
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_timestamp_input_matches_ns_input(events_raw, events):
+    """Schema-aware ts normalization: running the temporal joins on the
+    raw TIMESTAMP/TIMESTAMP_NTZ column must give exactly the int64-ns
+    answer (band/tolerance in ns for timestamp inputs)."""
+    def pairs(ev):
+        err = ev.filter(F.col("event_type") == "error")
+        clk = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        rj = {
+            (int(r["event_id"]), int(r["event_id_r"]))
+            for r in range_join_bucketed(
+                err, clk, on="user_id", band=NS_HOUR, bucket=NS_5MIN * 6
+            ).collect()
+        }
+        aj = {
+            int(r["event_id"]): (
+                None if r["event_id_r"] is None else int(r["event_id_r"])
+            )
+            for r in asof_join(
+                clk,
+                err.select("event_id", "user_id", "ts"),
+                on="user_id",
+                right_cols=["event_id"],
+                tolerance=NS_HOUR,
+            ).collect()
+        }
+        return rj, aj
+
+    assert pairs(events_raw) == pairs(events)
 
 
 def test_asof_rejects_bad_args(clicks, purchases):

@@ -18,8 +18,10 @@ def event_dir(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def batch_events(spark, event_dir):
+    # plain read — pipeline event-time handling is schema-aware
+    # (TIMESTAMP / TIMESTAMP_NTZ / int64-ns all normalize identically)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.schema(S.pipelines.EVENT_SCHEMA).parquet(event_dir)
+    return spark.read.parquet(event_dir)
 
 
 def _canon(rows):

@@ -20,12 +20,13 @@ equi-join-shaped dataflows:
   banded-join decomposition; fan-out is bounded by
   ``band/bucket + 1`` buckets per left row instead of |L|×|R|.
 
-Time columns are NUMERIC (any consistent epoch unit — the engine reads
-parquet TIMESTAMP(NANOS) as int64 ns via ``nanosAsLong``; cast
-microsecond timestamps with ``unix_micros`` first). Band/tolerance
-widths are in the same unit. Keeping the operator unit-agnostic keeps
-the comparison semantics identical between Spark and the DuckDB oracle
-(``epoch_ns``) with no precision cliff.
+Time columns are normalized schema-aware to BIGINT epoch NANOSECONDS
+(``streaming.pipelines.event_ns_of``): TIMESTAMP / TIMESTAMP_NTZ via
+``unix_micros × 1000`` (exact integer math), int64 columns pass
+through untouched in whatever epoch unit they carry. Band/tolerance
+widths are in the ts columns' unit — ns for timestamp inputs. This
+keeps the comparison semantics identical between Spark and the DuckDB
+oracle (``epoch_ns``) with no precision cliff.
 
 Tie rules (pinned by the DuckDB oracle):
 - as-of is inclusive (right.ts == left.ts matches);
@@ -41,6 +42,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from tidyvec_spark.streaming.pipelines import event_ns_of
 
 __all__ = ["asof_join", "range_join_bucketed"]
 
@@ -92,7 +95,7 @@ def asof_join(
 
     lhs = left.select(
         *[F.col(k) for k in keys],
-        F.col(left_ts).cast("long").alias("__tv_ts"),
+        event_ns_of(left, left_ts).alias("__tv_ts"),
         F.lit(1).alias("__tv_side"),
         F.lit(None).cast(tie_type).alias("__tv_tie"),
         F.lit(None).cast(match_type).alias("__tv_match"),
@@ -100,7 +103,7 @@ def asof_join(
     )
     rhs = right.select(
         *[F.col(k) for k in keys],
-        F.col(right_ts).cast("long").alias("__tv_ts"),
+        event_ns_of(right, right_ts).alias("__tv_ts"),
         F.lit(0).alias("__tv_side"),
         F.col(tiebreak).alias("__tv_tie"),
         F.struct(*[F.col(c) for c in right_cols]).alias("__tv_match"),
@@ -179,31 +182,35 @@ def range_join_bucketed(
     if band <= 0 or bucket <= 0:
         raise ValueError("band and bucket must be positive")
 
-    l_ts = F.col(left_ts).cast("long")
+    # bucket ids via integer DIV on a named column — NOT F.floor(a / b):
+    # `/` on longs is double division, and epoch-ns (~1.7e18) exceeds
+    # 2^53, so a row exactly on a bucket boundary can round into the
+    # neighboring bucket and silently miss its matches
     lhs = left.select(
+        *left.columns, event_ns_of(left, left_ts).alias("__tv_ns")
+    ).select(
         *left.columns,
+        "__tv_ns",
         F.explode(
             F.sequence(
-                F.floor((l_ts - F.lit(band)) / F.lit(bucket)),
-                F.floor(l_ts / F.lit(bucket)),
+                F.expr(f"(__tv_ns - {band}L) DIV {bucket}L"),
+                F.expr(f"__tv_ns DIV {bucket}L"),
             )
         ).alias("__tv_bucket"),
     )
     rhs = right.select(
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns],
-        F.floor(F.col(right_ts).cast("long") / F.lit(bucket)).alias(
-            "__tv_bucket_r"
-        ),
-    )
+        event_ns_of(right, right_ts).alias("__tv_ns_r"),
+    ).withColumn("__tv_bucket_r", F.expr(f"__tv_ns_r DIV {bucket}L"))
     cond = F.col("__tv_bucket") == F.col("__tv_bucket_r")
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"{k}{suffix}"))
-    r_key = F.col(f"{right_ts}{suffix}").cast("long")
-    band_pred = (r_key > l_ts - F.lit(band)) & (
-        (r_key <= l_ts) if inclusive_upper else (r_key < l_ts)
+    l_ns, r_ns = F.col("__tv_ns"), F.col("__tv_ns_r")
+    band_pred = (r_ns > l_ns - F.lit(band)) & (
+        (r_ns <= l_ns) if inclusive_upper else (r_ns < l_ns)
     )
     return (
         lhs.join(rhs, on=cond, how="inner")
         .filter(band_pred)
-        .drop("__tv_bucket", "__tv_bucket_r")
+        .drop("__tv_bucket", "__tv_bucket_r", "__tv_ns", "__tv_ns_r")
     )

@@ -16,9 +16,12 @@ partitioning on the grouping key is the same hash shuffle as batch.
 
 from tidyvec_spark.streaming.pipelines import (
     dedup_events,
+    event_ns_of,
     event_ts,
+    event_ts_of,
     hourly_rollup,
     interval_join_stream,
+    pin_utc_session,
     read_event_stream,
     run_available_now,
     session_rollup,
@@ -27,9 +30,12 @@ from tidyvec_spark.streaming.pipelines import (
 
 __all__ = [
     "dedup_events",
+    "event_ns_of",
     "event_ts",
+    "event_ts_of",
     "hourly_rollup",
     "interval_join_stream",
+    "pin_utc_session",
     "read_event_stream",
     "run_available_now",
     "session_rollup",

@@ -1,11 +1,16 @@
 """Event-stream pipelines: windowed rollup, session windows, dedup.
 
 The ``events`` table schema (driver fixtures): event_id BIGINT,
-ts TIMESTAMP(NANOS), user_id BIGINT, event_type STRING, value DOUBLE,
-props STRING. Spark 4 reads nano timestamps only as int64
-(``spark.sql.legacy.parquet.nanosAsLong``), so every pipeline starts
-from ``event_ts`` which restores a microsecond timestamp — exact for
-this data (the generator emits µs precision).
+ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE,
+props STRING. Fixture vintages differ in how ``ts`` lands in Spark —
+TIMESTAMP(µs) reads as TIMESTAMP or TIMESTAMP_NTZ (depending on the
+writer's isAdjustedToUTC flag), TIMESTAMP(NANOS) only as int64 ns via
+``spark.sql.legacy.parquet.nanosAsLong`` — so every pipeline starts
+from the schema-aware ``event_ts_of`` which normalizes any of the
+three to a plain TIMESTAMP column. NTZ wall-clock is interpreted in
+the session time zone, which ``pin_utc_session`` pins to UTC so epoch
+arithmetic agrees with engines that treat naive timestamps as UTC
+(DuckDB, pandas).
 """
 
 from __future__ import annotations
@@ -19,7 +24,7 @@ from pyspark.sql import types as T
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # int64 nanoseconds
+        T.StructField("ts", T.TimestampNTZType()),  # parquet TIMESTAMP(µs)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -28,9 +33,52 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+def pin_utc_session(spark: SparkSession) -> None:
+    """Pin the session time zone to UTC. TIMESTAMP_NTZ columns carry no
+    zone; casting them to TIMESTAMP interprets the wall-clock in the
+    session zone, and the oracle engines (DuckDB, pandas) treat naive
+    timestamps as UTC — so UTC is the only setting under which both
+    sides compute the same epoch numbers."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def event_ts_of(df: DataFrame, c: str = "ts") -> Column:
+    """Schema-aware event-time column → plain TIMESTAMP.
+
+    - TIMESTAMP: passed through.
+    - TIMESTAMP_NTZ: cast to TIMESTAMP (session zone; see
+      ``pin_utc_session``).
+    - int64 (nanoseconds, the TIMESTAMP(NANOS)+``nanosAsLong``
+      convention): microsecond floor via integer DIV — double math
+      would lose precision above 2^53 ns.
+    """
+    dt = df.schema[c].dataType
+    if isinstance(dt, T.TimestampType):
+        return F.col(c)
+    if isinstance(dt, T.TimestampNTZType):
+        pin_utc_session(df.sparkSession)
+        return F.col(c).cast("timestamp")
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        return F.timestamp_micros(F.expr(f"`{c}` DIV 1000"))
+    raise TypeError(
+        f"column {c!r} must be TIMESTAMP, TIMESTAMP_NTZ, or int64 "
+        f"nanoseconds; got {dt.simpleString()}"
+    )
+
+
+def event_ns_of(df: DataFrame, c: str = "ts") -> Column:
+    """Schema-aware event-time column → BIGINT epoch nanoseconds (the
+    unit-agnostic temporal-join convention; exact — no double math)."""
+    dt = df.schema[c].dataType
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        return F.col(c)
+    return F.unix_micros(event_ts_of(df, c)) * F.lit(1000)
+
+
 def event_ts(c: str = "ts") -> Column:
     """int64-nanosecond column → TIMESTAMP (microsecond floor; integer
-    DIV — double math would lose precision above 2^53 ns)."""
+    DIV — double math would lose precision above 2^53 ns). Prefer the
+    schema-aware ``event_ts_of`` unless the input is known-int64."""
     return F.timestamp_micros(F.expr(f"{c} DIV 1000"))
 
 
@@ -43,9 +91,19 @@ def read_event_stream(
 
     New files appearing under ``path`` become micro-batches — the
     standard landing-zone pattern (object-store prefix at scale; use
-    ``maxFilesPerTrigger`` to bound batch size / latency)."""
+    ``maxFilesPerTrigger`` to bound batch size / latency).
+
+    Streams need a declared schema; it is taken from the parquet files
+    already present (footer-only read), falling back to EVENT_SCHEMA
+    for an empty landing directory — so fixture vintages with
+    TIMESTAMP(µs) vs TIMESTAMP(NANOS) ``ts`` both stream correctly."""
+    pin_utc_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        schema = EVENT_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     return reader.parquet(path)
@@ -63,7 +121,7 @@ def hourly_rollup(
     Spark finalize and evict window state once event time has passed
     window_end + watermark — bounded state at any input size.
     """
-    tsc = event_ts("ts").alias("__ts")
+    tsc = event_ts_of(events, "ts").alias("__ts")
     df = events.select("*", tsc)
     if watermark is not None and events.isStreaming:
         df = df.withWatermark("__ts", watermark)
@@ -92,7 +150,7 @@ def session_rollup(
     oracle-checked twin of the lag+cumsum formulation
     (__spark_entry__._events_sessions).
     """
-    tsc = event_ts("ts").alias("__ts")
+    tsc = event_ts_of(events, "ts").alias("__ts")
     df = events.select("*", tsc)
     if watermark is not None and events.isStreaming:
         df = df.withWatermark("__ts", watermark)
@@ -117,7 +175,7 @@ def dedup_events(
     watermark horizon — the unbounded-state-safe form of
     ``dropDuplicates`` for at-least-once sources (Kafka replays, file
     redeliveries)."""
-    df = events.select("*", event_ts("ts").alias("__ts"))
+    df = events.select("*", event_ts_of(events, "ts").alias("__ts"))
     if events.isStreaming:
         return df.withWatermark("__ts", watermark).dropDuplicatesWithinWatermark(
             ["event_id"]
@@ -233,10 +291,7 @@ def interval_join_stream(
     """
 
     def ts_of(df: DataFrame) -> Column:
-        dt = df.schema[ts_col].dataType
-        return (
-            F.col(ts_col) if isinstance(dt, T.TimestampType) else event_ts(ts_col)
-        )
+        return event_ts_of(df, ts_col)
 
     if left_cols is None:
         left_cols = [c for c in left.columns if c not in (on, ts_col)]
