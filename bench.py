@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints TWO JSON lines — plan-shape metrics first, then the compact
+timings object as the FINAL line (the driver tail-captures and parses
+the last line):
+  {"plans": {name: {shuffles, scans, codegen_stages}}, "sf": <sf>}
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
@@ -33,6 +36,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_topk_large",
     "pq_adc_topk",
+    "ivfpq_adc_topk",
     "similarity_join_lsh",
     "embedding_near_dup",
     "bucketed_gemm_near_dup",
@@ -59,6 +63,8 @@ BENCH_QUERIES = [
     "topk_per_segment",
     "events_hourly",
     "events_sessions",
+    "events_asof_purchase",
+    "events_range_join",
     "kmeans_clusters",
     "hf_query_nearest",
 ]
@@ -146,12 +152,17 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # two lines, ON PURPOSE: the driver tail-captures stdout and parses
+    # the LAST line — the large plan-metrics dict goes on its own line
+    # first (round-over-round plan attribution), and the compact
+    # timings JSON is the final, parseable line (r2's single giant line
+    # got head-truncated and lost every wall time)
+    print(json.dumps({"plans": plan_metrics, "sf": float(sf)}))
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "plans": plan_metrics,
         "sf": float(sf),
     }
     print(json.dumps(out))

@@ -192,6 +192,14 @@ def test_connected_components_chain_and_star(spark):
                    20: 20, 21: 20}
 
 
+def test_connected_components_rejects_zero_iterations(spark):
+    # max_iterations < 1 would skip the loop and return identity labels
+    # — the silent wrong answer the convergence raise guards against
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError):
+        dedup.connected_components(pairs, max_iterations=0)
+
+
 def test_connected_components_string_ids(spark):
     # the r1 convergence signal cast labels to decimal — under Spark 4
     # ANSI that raises on string ids, and with ANSI off it silently

@@ -44,6 +44,10 @@ SUBSET = [
     "dedup_components_two_phase",
     "lsh_near_dup_multi",
     "similarity_join_lsh",
+    # demoted below the driver's 50-entry gate window -> their oracle
+    # check lives here instead (plus ivfpq, new this round)
+    "simhash_fingerprints",
+    "ivfpq_adc_topk",
 ]
 
 

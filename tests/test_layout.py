@@ -75,3 +75,70 @@ def test_centroid_layout_roundtrip(spark, emb, tmp_path_factory):
     # partition column exists and a probe filter prunes it
     probe = back.filter(F.col("centroid_id").isin([0, 1]))
     assert "PartitionFilters" in P.explain_str(probe)
+
+
+def test_sidecar_lsh_index_roundtrip(spark, emb, planes, tmp_path_factory):
+    """write_vec with an LSH index spec -> reopen from the path alone
+    -> ann_topk_sidecar reproduces the unpartitioned ann_lsh_topk
+    result, with the probe filter pruning partitions. No caller-held
+    planes: they come back out of the sidecar."""
+    from tidyvec_spark import read_vec, vec
+    from tidyvec_spark.sources import ann_topk_sidecar, write_vec
+
+    path = str(tmp_path_factory.mktemp("layout") / "veclsh")
+    write_vec(
+        vec(emb, dim=64), path,
+        index={"kind": "lsh", "planes": [list(p) for p in planes]},
+    )
+    vf = read_vec(spark, path)
+    assert vf.index_spec["kind"] == "lsh"
+    assert len(vf.index_spec["planes"]) == len(planes)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    pruned = ann_topk_sidecar(
+        spark, path, qvec, "vec_id", k=10, probe_hamming=1, round_to=6
+    )
+    s = P.explain_str(pruned)
+    assert "PartitionFilters" in s
+    full = ann.ann_lsh_topk(
+        emb, "embedding", "vec_id", qvec, k=10, planes=planes,
+        probe_hamming=1, round_to=6,
+    ).collect()
+    assert [(r["vec_id"], r["similarity"]) for r in pruned.collect()] == [
+        (r["vec_id"], r["similarity"]) for r in full
+    ]
+
+
+def test_sidecar_ivf_index_roundtrip(spark, emb, tmp_path_factory):
+    """Same contract for the IVF layout: sidecar centroids -> probed,
+    partition-pruned scan == unpartitioned ivf_topk."""
+    from tidyvec_spark import read_vec, vec
+    from tidyvec_spark.sources import ann_topk_sidecar, write_vec
+
+    cent_rows = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    path = str(tmp_path_factory.mktemp("layout") / "vecivf")
+    write_vec(
+        vec(emb, dim=64), path,
+        index={"kind": "ivf", "centroids": cent_rows, "id_col": "vec_id"},
+    )
+    vf = read_vec(spark, path)
+    assert len(vf.index_spec["centroids"]) == 8
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    pruned = ann_topk_sidecar(
+        spark, path, qvec, "vec_id", k=10, nprobe=3, round_to=6
+    )
+    assert "PartitionFilters" in P.explain_str(pruned)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cent_rows)],
+        "centroid_id int, centroid array<double>",
+    )
+    full = ann.ivf_topk(
+        emb, "embedding", "vec_id", cents, qvec, k=10, nprobe=3, round_to=6
+    ).collect()
+    assert [(r["vec_id"], r["similarity"]) for r in pruned.collect()] == [
+        (r["vec_id"], r["similarity"]) for r in full
+    ]

@@ -43,12 +43,17 @@ class VecFrame:
         embedder: Optional[FittedEmbedder] = None,
         dim: Optional[int] = None,
         normalized: bool = False,
+        index_spec: Optional[dict] = None,
     ):
         self._df = df
         self.embedding_col = embedding_col
         self.embedder = embedder
         self.dim = dim
         self.normalized = normalized
+        # ANN index artifacts (LSH planes / IVF centroids / PQ
+        # codebooks) — small literals persisted in the write_vec
+        # sidecar so probe sets are recomputable without caller state
+        self.index_spec = index_spec
 
     # -- metadata propagation ------------------------------------------
     def _wrap(self, df: DataFrame) -> "VecFrame":
@@ -58,6 +63,7 @@ class VecFrame:
             embedder=self.embedder,
             dim=self.dim,
             normalized=self.normalized,
+            index_spec=self.index_spec,
         )
 
     @property

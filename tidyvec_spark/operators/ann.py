@@ -177,8 +177,12 @@ def l2sq_expr(a, b) -> Column:
 # literal-projection assignment stays the default up to this many
 # centroids; past it the O(k·d)-literal expression tree stops being a
 # win (codegen/constant-pool blow-up, interpreted HOF fallback) and the
-# broadcast-matrix argmin takes over
-LITERAL_ASSIGN_MAX_K = 128
+# broadcast-matrix argmin takes over. Measured at sf0.1/64-dim: the
+# literal path already loses at k=16 (2.4 s vs 0.77 s for the BLAS
+# path at k=256 — the interpreted-HOF cost dominates), so the
+# crossover sits low; 32 keeps tiny-k cases codegen-pure while
+# everything production-shaped rides BLAS.
+LITERAL_ASSIGN_MAX_K = 32
 
 
 def ivf_assign(

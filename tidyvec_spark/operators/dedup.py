@@ -588,6 +588,12 @@ def connected_components(
     For adversarial long-chain graphs swap in the large-star/small-star
     alternation — same join/agg building blocks, O(log n) rounds.
     """
+    if int(max_iterations) < 1:
+        # with zero rounds the loop body never runs and `changed` stays
+        # 0, which would return identity labels (every node its own
+        # component) — exactly the silent wrong answer the
+        # non-convergence raise below exists to prevent
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     edges = (
         pairs.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
         .union(pairs.select(F.col(dst).alias("es"), F.col(src).alias("ed")))
@@ -769,13 +775,16 @@ def ngram_jaccard_pairs(
     round_to: Optional[int] = None,
     max_doc_freq: Optional[int | str] = "auto",
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup via an inverted shingle index.
+    """n-gram-Jaccard near-dup via an inverted shingle index — exact
+    when ``max_doc_freq=None``; the default ``"auto"`` cap computes a
+    lower-bound Jaccard that can drop pairs whose overlap rides on
+    stop-shingles (see below).
 
     The candidate generator is an equi-join on the shingle string
-    (shuffle on shingle, count common per pair) — exact, heavier than
-    MinHash-LSH (every shared shingle becomes a join row) but with no
-    false negatives; the right tool up to ~10⁸ docs. At true 100 TB
-    scale prefer :func:`minhash_lsh_pairs`.
+    (shuffle on shingle, count common per pair) — heavier than
+    MinHash-LSH (every shared shingle becomes a join row) but, uncapped,
+    with no false negatives; the right tool up to ~10⁸ docs. At true
+    100 TB scale prefer :func:`minhash_lsh_pairs`.
 
     ``max_doc_freq`` caps the inverted index: shingles appearing in
     more than that many documents are dropped *from the join only*

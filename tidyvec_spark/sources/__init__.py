@@ -1,6 +1,8 @@
 from tidyvec_spark.sources.vec_io import write_vec, read_vec
 from tidyvec_spark.sources.layout import (
+    ann_ivf_topk_pruned,
     ann_lsh_topk_pruned,
+    ann_topk_sidecar,
     write_bucket_partitioned,
     write_centroid_partitioned,
 )
@@ -10,5 +12,7 @@ __all__ = [
     "read_vec",
     "write_bucket_partitioned",
     "write_centroid_partitioned",
+    "ann_ivf_topk_pruned",
     "ann_lsh_topk_pruned",
+    "ann_topk_sidecar",
 ]

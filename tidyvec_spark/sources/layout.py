@@ -22,6 +22,8 @@ for partition pruning.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -111,3 +113,84 @@ def ann_lsh_topk_pruned(
         .limit(int(k))
         .select(id_col, "similarity")
     )
+
+
+def ann_ivf_topk_pruned(
+    spark: SparkSession,
+    path: str,
+    emb_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    cent_col: str = "centroid_id",
+    method: str = "cosine",
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """IVF top-k over a centroid-partitioned layout — the IVF analog of
+    :func:`ann_lsh_topk_pruned`. The ``nprobe`` nearest centroids are
+    ranked driver-side (k distances over literal centroids, same
+    round/ id-asc tie rule as ``operators.ann.ivf_topk``); the ``IN``
+    filter on the partition column prunes unprobed list directories,
+    then the exact kernel reranks."""
+    from tidyvec_spark.functions.vector import array_lit, similarity_expr
+
+    nd = 6
+    q = [float(x) for x in query_vec]
+    ranked = sorted(
+        (round(sum((a - b) * (a - b) for a, b in zip(q, c)), nd), i)
+        for i, c in enumerate(centroids)
+    )
+    probes = [i for _, i in ranked[: int(nprobe)]]
+    sim = similarity_expr(F.col(emb_col), array_lit(q), method)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col(cent_col).isin(probes))
+        .withColumn("similarity", sim)
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(int(k))
+        .select(id_col, "similarity")
+    )
+
+
+def ann_topk_sidecar(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    id_col: str,
+    k: int = 10,
+    probe_hamming: int = 1,
+    nprobe: int = 4,
+    method: str = "cosine",
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """ANN top-k over a ``write_vec(..., index=...)`` directory, with
+    ZERO caller-held index state: the sidecar carries the planes /
+    centroids (small literals), so the probe set is recomputed from the
+    persisted spec and the scan prunes to the probed partitions. This
+    is the 100 TB open-and-query path — any reader on any cluster gets
+    directory-level pruning from the path alone."""
+    with open(os.path.join(path, "_vecframe.json")) as f:
+        sidecar = json.load(f)
+    spec = sidecar.get("index")
+    if not spec:
+        raise ValueError(f"no index spec in sidecar: {path}")
+    emb_col = sidecar["embedding_col"]
+    data = os.path.join(path, "data")
+    if spec["kind"] == "lsh":
+        return ann_lsh_topk_pruned(
+            spark, data, emb_col, id_col, query_vec, spec["planes"],
+            k=k, probe_hamming=probe_hamming,
+            bucket_col=spec.get("bucket_col", "bucket"),
+            method=method, round_to=round_to,
+        )
+    if spec["kind"] in ("ivf", "ivfpq"):
+        return ann_ivf_topk_pruned(
+            spark, data, emb_col, id_col, query_vec, spec["centroids"],
+            k=k, nprobe=nprobe, cent_col=spec.get("cent_col", "centroid_id"),
+            method=method, round_to=round_to,
+        )
+    raise ValueError(f"unsupported index kind for probing: {spec['kind']!r}")

@@ -30,9 +30,69 @@ _SIDECAR = "_vecframe.json"
 _MAGIC = "tidyvec_spark/vecframe"
 
 
-def write_vec(vf: VecFrame, path: str, mode: str = "error") -> None:
+_INDEX_KINDS = ("lsh", "ivf", "pq", "ivfpq")
+
+
+def write_vec(
+    vf: VecFrame,
+    path: str,
+    mode: str = "error",
+    index: Optional[dict] = None,
+) -> None:
+    """Persist the collection; optionally with an ANN index layout.
+
+    ``index`` (else ``vf.index_spec``) is a small JSON-able dict:
+
+    - ``{"kind": "lsh", "planes": [[...], ...]}`` — data written
+      partitioned by the hyperplane-LSH bucket; probe reads prune
+      bucket directories.
+    - ``{"kind": "ivf", "centroids": [[...], ...]}`` — partitioned by
+      nearest-centroid assignment (centroid_id = list position).
+    - ``{"kind": "pq", "codebooks": [...]}`` / ``{"kind": "ivfpq",
+      "centroids": [...], "codebooks": [...]}`` — artifacts stored for
+      ADC readers (layout unchanged for pq; centroid-partitioned for
+      ivfpq).
+
+    The artifacts are tiny literals (planes/centroids/codebooks), so
+    they live in the sidecar itself — ``read_vec`` rehydrates them and
+    ``sources.layout.ann_topk_sidecar`` recomputes probe sets with no
+    caller-held state.
+    """
+    index = index if index is not None else vf.index_spec
     data_path = os.path.join(path, "data")
-    vf.df.write.mode(mode).parquet(data_path)
+    if index is not None:
+        kind = index.get("kind")
+        if kind not in _INDEX_KINDS:
+            raise ValueError(
+                f"index kind must be one of {_INDEX_KINDS}, got {kind!r}"
+            )
+        if kind == "lsh":
+            from tidyvec_spark.sources.layout import write_bucket_partitioned
+
+            write_bucket_partitioned(
+                vf.df, data_path, vf.embedding_col, index["planes"],
+                bucket_col=index.get("bucket_col", "bucket"), mode=mode,
+            )
+        elif kind in ("ivf", "ivfpq"):
+            from tidyvec_spark.sources.layout import (
+                write_centroid_partitioned,
+            )
+
+            spark = vf.df.sparkSession
+            cents = spark.createDataFrame(
+                [(i, [float(x) for x in c])
+                 for i, c in enumerate(index["centroids"])],
+                "centroid_id int, centroid array<double>",
+            )
+            id_col = index.get("id_col") or vf.df.columns[0]
+            write_centroid_partitioned(
+                vf.df, data_path, vf.embedding_col, id_col, cents,
+                cent_id=index.get("cent_col", "centroid_id"), mode=mode,
+            )
+        else:  # pq: artifacts only, plain layout
+            vf.df.write.mode(mode).parquet(data_path)
+    else:
+        vf.df.write.mode(mode).parquet(data_path)
 
     spec = None
     if vf.embedder is not None:
@@ -52,6 +112,7 @@ def write_vec(vf: VecFrame, path: str, mode: str = "error") -> None:
         "dim": vf.dim,
         "normalized": vf.normalized,
         "embedder": spec,
+        "index": index,
     }
     with open(os.path.join(path, _SIDECAR), "w") as f:
         json.dump(sidecar, f, indent=2)
@@ -77,4 +138,5 @@ def read_vec(spark: SparkSession, path: str) -> VecFrame:
         embedder=embedder,
         dim=sidecar.get("dim"),
         normalized=bool(sidecar.get("normalized", False)),
+        index_spec=sidecar.get("index"),
     )
