@@ -1343,6 +1343,238 @@ SELECT doc_id, lang FROM u WHERE u < f
 """
 
 
+_TEMP_ALPHA = 0.5
+_TEMP_SALT = "temp1"
+
+
+def _mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reshaping
+    (operators/sampling.py::temperature_sample): per-language keep
+    fractions ∝ p^(α−1) scaled so the rarest language is kept whole —
+    the mT5/XLM-R tail-boosting convention — then the same
+    deterministic salted-md5 filter as mix_sample_langs. One tiny
+    aggregate + a zero-shuffle map-side filter."""
+    from tidyvec_spark.operators.sampling import temperature_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = temperature_sample(
+        docs, "doc_id", "lang", alpha=_TEMP_ALPHA, salt=_TEMP_SALT
+    )
+    return out.select("doc_id", "lang")
+
+
+_MIX_TEMPERATURE_SQL = f"""
+WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM n),
+w AS (SELECT lang, POW(n / total, {_TEMP_ALPHA} - 1.0) AS w FROM n, t),
+f AS (SELECT lang, ROUND(w / (SELECT MAX(w) FROM w), 9) AS f FROM w),
+u AS (
+  SELECT doc_id, lang,
+         CAST(CONCAT('0x', substr(md5(CONCAT('{_TEMP_SALT}', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT u.doc_id, u.lang FROM u JOIN f USING (lang) WHERE u.u < f.f
+"""
+
+
+def _docs_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style curation rules (functions/quality.py): per-doc
+    ratios + the keep decision, all in ONE map-side projection — the
+    100 TB quality pass is a single scan."""
+    from tidyvec_spark.functions import quality as Q
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(Q.duplicate_line_ratio("text"), R).alias("dup_line_ratio"),
+        F.round(Q.bullet_line_ratio("text"), R).alias("bullet_ratio"),
+        F.round(Q.ellipsis_line_ratio("text"), R).alias("ellipsis_ratio"),
+        F.round(Q.symbol_word_ratio("text"), R).alias("symbol_ratio"),
+        F.round(Q.alpha_word_ratio("text"), R).alias("alpha_ratio"),
+        Q.gopher_keep("text", min_words=20).alias("keep"),
+    )
+
+
+_LINES_SQL = "list_filter(string_split(text, chr(10)), l -> trim(l) <> '')"
+
+_DOCS_QUALITY_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text, {_LINES_SQL} AS ls, {_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(ls) > 0
+              THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS dup0,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS bul0,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS ell0,
+         CASE WHEN len(toks) > 0
+              THEN ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                   / len(toks)
+              ELSE 0.0 END AS sym0,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS alp0,
+         CAST(len(toks) AS BIGINT) AS wc,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
+              ELSE 0.0 END AS mwl
+  FROM b
+)
+SELECT doc_id,
+       ROUND(dup0, {R}) AS dup_line_ratio,
+       ROUND(bul0, {R}) AS bullet_ratio,
+       ROUND(ell0, {R}) AS ellipsis_ratio,
+       ROUND(sym0, {R}) AS symbol_ratio,
+       ROUND(alp0, {R}) AS alpha_ratio,
+       (wc >= 20 AND wc <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        AND sym0 <= 0.1 AND bul0 <= 0.9 AND ell0 <= 0.3 AND alp0 >= 0.8)
+         AS keep
+FROM m
+"""
+
+
+def _docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal (functions/quality.py::top_ngram_fraction):
+    share of each document covered by its most frequent word bigram —
+    looped generations and boilerplate score high. Pure expression,
+    zero shuffle."""
+    from tidyvec_spark.functions import quality as Q
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(Q.top_ngram_fraction("text", 2), R).alias("top_bigram_frac"),
+    )
+
+
+_DOCS_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> concat(toks[i], ' ', toks[i+1]))
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       ROUND(CASE WHEN len(grams) > 0
+         THEN CAST(list_max(list_transform(list_distinct(grams),
+                x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
+              / len(grams)
+         ELSE 0.0 END, {R}) AS top_bigram_frac
+FROM g
+"""
+
+
+def _docs_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/quality.py::redact_pii): URLs, emails, and
+    IPv4 literals replaced by placeholder tokens. The corpus gets
+    deterministic synthetic PII appended (the fixtures are clean) so
+    the patterns demonstrably fire; chained codegen regexp_replace,
+    zero Python."""
+    from tidyvec_spark.functions import quality as Q
+
+    docs = _read(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+    )
+    return docs.select(
+        "doc_id", Q.redact_pii(dirty).alias("clean")
+    )
+
+
+_DOCS_REDACT_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or https://ex.com/d/', CAST(doc_id AS VARCHAR),
+                ' at 10.0.0.', CAST(doc_id % 256 AS VARCHAR)) AS dirty
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(dirty, 'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+FROM d
+"""
+
+
+def _docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width chunking with overlap
+    (operators/chunking.py::chunk_documents): 200-char windows every
+    150 chars. Projection + explode — chunking 100 TB is one scan."""
+    from tidyvec_spark.operators.chunking import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, "text", "doc_id", size=200, overlap=50)
+    return out.select("doc_id", "chunk_idx", "chunk")
+
+
+_DOCS_CHUNKS_SQL = """
+SELECT doc_id,
+       CAST((s - 1) // 150 AS INT) AS chunk_idx,
+       substr(text, CAST(s AS INT), 200) AS chunk
+FROM documents,
+     LATERAL unnest(generate_series(1, greatest(length(text), 1), 150)) AS u(s)
+"""
+
+
+_PACK_BUDGET = 5000
+_PACK_BUCKETS = 8
+_PACK_SALT = "pack1"
+
+
+def _docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing
+    (operators/chunking.py::pack_sequences, hash strategy):
+    concatenate-then-split at a 5000-char budget inside 8 salted-md5
+    buckets — ONE window cumsum per bucket, deterministic across
+    engines and repartitionings."""
+    from tidyvec_spark.operators.chunking import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = pack_sequences(
+        docs, "doc_id", "n_chars", budget=_PACK_BUDGET,
+        n_buckets=_PACK_BUCKETS, salt=_PACK_SALT,
+    )
+    return out.select("doc_id", "bucket", "seq_id", "seq_offset")
+
+
+_DOCS_PACK_SQL = f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(
+           CAST(CONCAT('0x', substr(md5(CONCAT('{_PACK_SALT}', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+             / 4294967296.0 * {_PACK_BUCKETS}) AS INT) AS bucket
+  FROM documents
+),
+c AS (
+  SELECT doc_id, bucket,
+         SUM(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS off
+  FROM u
+)
+SELECT doc_id, bucket,
+       CAST(off // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(off AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup via 3-gram shingle Jaccard >= 0.5. Candidate pairs
     come from an equi-join on shingle (inverted index) — NOT a cross
@@ -2321,6 +2553,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stream_dedup": _docs_stream_dedup,
         "hf_query_nearest": _hf_query_nearest,
         # --- position 51+: outside the driver's gate window ---
+        # (every oracle-backed entry below is checked by
+        # tests/test_entry_oracle.py instead)
+        "docs_quality_flags": _docs_quality_flags,
+        "docs_repetition": _docs_repetition,
+        "docs_redact": _docs_redact,
+        "docs_chunks": _docs_chunks,
+        "docs_pack": _docs_pack,
+        "mix_temperature": _mix_temperature,
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -2369,6 +2609,12 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curate": _pipeline_curate_sql(),
         "budget_sample_by_lang": _BUDGET_SAMPLE_SQL,
         "mix_sample_langs": _mix_sample_sql(),
+        "mix_temperature": _MIX_TEMPERATURE_SQL,
+        "docs_quality_flags": _DOCS_QUALITY_SQL,
+        "docs_repetition": _DOCS_REPETITION_SQL,
+        "docs_redact": _DOCS_REDACT_SQL,
+        "docs_chunks": _DOCS_CHUNKS_SQL,
+        "docs_pack": _DOCS_PACK_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

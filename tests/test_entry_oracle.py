@@ -48,6 +48,13 @@ SUBSET = [
     # check lives here instead (plus ivfpq, new this round)
     "simhash_fingerprints",
     "ivfpq_adc_topk",
+    # curation extension set (tail entries; oracle-checked here)
+    "docs_quality_flags",
+    "docs_repetition",
+    "docs_redact",
+    "docs_chunks",
+    "docs_pack",
+    "mix_temperature",
 ]
 
 

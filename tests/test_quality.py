@@ -1,0 +1,208 @@
+"""Curation primitives: Gopher-style quality rules, repetition,
+PII redaction, chunking, sequence packing, temperature mixing.
+
+Unit fixtures pin the SEMANTICS (hand-checkable answers); the
+engine-vs-DuckDB value checks live in test_entry_oracle.py
+(docs_quality_flags / docs_repetition / docs_redact / docs_chunks /
+docs_pack / mix_temperature)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark import plans as P
+from tidyvec_spark.functions import quality as Q
+from tidyvec_spark.operators.chunking import chunk_documents, pack_sequences
+from tidyvec_spark.operators.sampling import (
+    temperature_fractions,
+    temperature_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "- one\n- two\n- three\n- four"),          # all bullets
+        (3, "line\nline\nline\nother"),                 # 50% dup lines
+        (4, "wait for it... and then... more... dots..."),
+        (5, "### #tags #everywhere # # #"),              # symbol soup
+        (6, "12345 67890 11111 22222"),                  # no alpha words
+        (7, ""),                                          # empty
+        (8, "spam spam spam spam spam spam"),            # one repeated token
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _one(df, doc_id, col):
+    return df.filter(F.col("doc_id") == doc_id).first()[col]
+
+
+def test_line_ratios(spark, docs):
+    out = docs.select(
+        "doc_id",
+        Q.duplicate_line_ratio("text").alias("dup"),
+        Q.bullet_line_ratio("text").alias("bul"),
+        Q.ellipsis_line_ratio("text").alias("ell"),
+    )
+    assert _one(out, 2, "bul") == 1.0
+    assert _one(out, 3, "dup") == pytest.approx(0.5)  # 4 lines, 2 distinct
+    assert _one(out, 1, "bul") == 0.0
+    assert _one(out, 7, "dup") == 0.0  # empty text: no lines, ratio 0
+    # doc 4 is one line ending in "dots..." -> every line ends with ...
+    assert _one(out, 4, "ell") == 1.0
+
+
+def test_symbol_and_alpha_ratios(spark, docs):
+    out = docs.select(
+        "doc_id",
+        Q.symbol_word_ratio("text").alias("sym"),
+        Q.alpha_word_ratio("text").alias("alp"),
+    )
+    assert _one(out, 5, "sym") > 0.5     # 7 '#' over 6 words
+    assert _one(out, 1, "sym") == 0.0
+    assert _one(out, 6, "alp") == 0.0    # digits only
+    assert _one(out, 1, "alp") == 1.0
+    assert _one(out, 7, "alp") == 0.0
+
+
+def test_top_ngram_fraction(spark, docs):
+    out = docs.select(
+        "doc_id", Q.top_ngram_fraction("text", 2).alias("f")
+    )
+    # "spam spam" is all 5 bigrams of doc 8
+    assert _one(out, 8, "f") == 1.0
+    # doc 1: 11 bigrams, "and again"/"again and" etc. each once except
+    # none repeat -> 1/11
+    assert _one(out, 1, "f") == pytest.approx(1 / 11)
+    assert _one(out, 7, "f") == 0.0
+
+
+def test_gopher_keep_is_one_projection(spark, docs):
+    out = docs.select("doc_id", Q.gopher_keep("text", min_words=2).alias("k"))
+    got = {r["doc_id"]: r["k"] for r in out.collect()}
+    assert got[1] is True
+    assert got[2] is False  # 100% bullet lines
+    assert got[5] is False  # symbol ratio
+    assert got[6] is False  # no alphabetic words
+    assert got[7] is False  # word count
+    # quality pass must stay map-side: no shuffle anywhere
+    assert P.num_shuffles(out) == 0
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or visit https://x.io/p?q=1 from 192.168.0.1"),
+         (2, "clean text, no pii at all"),
+         (3, "ftp not matched: ftp://x.io but http://y.z/ is")],
+        ["id", "t"],
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", Q.redact_pii("t").alias("c")).collect()}
+    assert got[1] == "mail <EMAIL> or visit <URL> from <IP>"
+    assert got[2] == "clean text, no pii at all"
+    assert got[3] == "ftp not matched: ftp://x.io but <URL> is"
+
+
+def test_chunk_documents_covers_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 450), (2, "xy"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, "text", "doc_id", size=200, overlap=50)
+    rows = sorted(
+        [(r["doc_id"], r["chunk_idx"], r["chunk"]) for r in out.collect()]
+    )
+    # doc 1: starts at 1, 151, 301, 451 -> 450 chars => starts 1,151,301
+    # (sequence stops at 450 >= start); last chunk shorter
+    by_doc = {}
+    for d, i, c in rows:
+        by_doc.setdefault(d, []).append((i, c))
+    assert [i for i, _ in by_doc[1]] == [0, 1, 2]
+    assert by_doc[1][0][1] == "a" * 200
+    assert by_doc[1][2][1] == "a" * 150
+    # short and empty docs still yield exactly one chunk
+    assert by_doc[2] == [(0, "xy")]
+    assert by_doc[3] == [(0, "")]
+    # reconstruction: non-overlap prefixes concatenated = original
+    recon = "".join(c[:150] for _, c in by_doc[1][:-1]) + by_doc[1][-1][1]
+    assert recon == "a" * 450
+    assert P.num_shuffles(out) == 0
+
+
+def test_chunk_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", size=10, overlap=10)
+
+
+def test_pack_sequences_hash_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, 600) for i in range(20)], ["doc_id", "n_toks"]
+    )
+    out = pack_sequences(
+        df, "doc_id", "n_toks", budget=1000, n_buckets=2, salt="s"
+    )
+    rows = out.collect()
+    assert len(rows) == 20  # every doc assigned exactly once
+    # offsets inside a bucket are the exclusive running total in
+    # doc_id order, and seq_id = offset DIV budget
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in rs:
+            assert r["seq_offset"] == run
+            assert r["seq_id"] == run // 1000
+            run += 600
+    # single shuffle: the window over buckets
+    assert P.num_shuffles(out) == 1
+
+
+def test_pack_sequences_ffd_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([900, 800, 300, 250, 200, 100, 60, 1500])],
+        ["doc_id", "n_toks"],
+    ).coalesce(1)
+    out = pack_sequences(df, "doc_id", "n_toks", budget=1000, strategy="ffd")
+    rows = out.collect()
+    assert len(rows) == 8
+    fills = {}
+    for r in rows:
+        key = (r["bucket"], r["seq_id"])
+        fills[key] = fills.get(key, 0) + r["n_toks"]
+    # no sequence over budget except single-doc overflows
+    for (b, s), fill in fills.items():
+        members = [r for r in rows if (r["bucket"], r["seq_id"]) == (b, s)]
+        assert fill <= 1000 or len(members) == 1
+    # FFD on one partition: 900+100, 800+200, 300+250+60, 1500 alone
+    assert len(fills) == 4
+
+
+def test_pack_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "n_toks"])
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_toks", budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_toks", strategy="best-fit")
+
+
+def test_temperature_fractions_shape(spark):
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(90)] + [(i + 100, "fr") for i in range(10)],
+        ["doc_id", "lang"],
+    )
+    fr = temperature_fractions(df, "lang", alpha=0.5)
+    # rarest language kept whole; common one cut toward sqrt mixing
+    assert fr["fr"] == 1.0
+    assert 0 < fr["en"] < 1
+    # alpha=1 is the natural distribution: nothing dropped
+    fr1 = temperature_fractions(df, "lang", alpha=1.0)
+    assert fr1 == {"en": 1.0, "fr": 1.0}
+    with pytest.raises(ValueError):
+        temperature_fractions(df, "lang", alpha=1.5)
+    # the sampled mixture moves toward balance
+    kept = temperature_sample(df, "doc_id", "lang", alpha=0.5, salt="t")
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["fr"] == 10  # fraction 1.0 keeps all
+    assert counts["en"] < 90

@@ -6,7 +6,7 @@ from tidyvec_spark.functions.vector import (
     l2_normalize_expr,
     similarity_expr,
 )
-from tidyvec_spark.functions import text
+from tidyvec_spark.functions import quality, text
 
 __all__ = [
     "dot_expr",
@@ -15,5 +15,6 @@ __all__ = [
     "euclidean_sim_expr",
     "l2_normalize_expr",
     "similarity_expr",
+    "quality",
     "text",
 ]

@@ -1,0 +1,210 @@
+"""Document-quality heuristics for pretraining curation (engine
+extension; the reference has no curation surface).
+
+The rule family follows the published Gopher/C4-style filters (Rae et
+al. 2021 §A1.1; Raffel et al. 2020 §2.2): word-count bounds, mean word
+length, symbol-to-word ratio, bullet/ellipsis line shares, alphabetic
+word share, duplicate-line share, and top-n-gram repetition. Every
+function is a native Spark SQL expression builder — JVM-side,
+codegen-friendly, zero Python in the hot path — and each has an exact
+SQL twin for the DuckDB oracle (__spark_entry__ docs_quality_flags /
+docs_repetition).
+
+At 100 TB these are pure map-side projections: one scan computes every
+flag, the keep decision is a filter, nothing shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from tidyvec_spark.functions.text import (
+    ColumnOrName,
+    _col,
+    let,
+    mean_token_length,
+    token_count,
+    tokens,
+)
+
+__all__ = [
+    "lines",
+    "duplicate_line_ratio",
+    "bullet_line_ratio",
+    "ellipsis_line_ratio",
+    "symbol_word_ratio",
+    "alpha_word_ratio",
+    "top_ngram_fraction",
+    "gopher_flags",
+    "gopher_keep",
+    "redact_pii",
+]
+
+
+def lines(c: ColumnOrName) -> Column:
+    """Non-empty lines (split on newline, blanks dropped)."""
+    return F.filter(F.split(_col(c), "\n"), lambda l: F.trim(l) != "")
+
+
+def duplicate_line_ratio(c: ColumnOrName) -> Column:
+    """1 − distinct/total over non-empty lines — boilerplate and
+    template pages repeat themselves line-for-line."""
+
+    def body(ls: Column) -> Column:
+        n = F.size(ls)
+        return F.when(
+            n > 0,
+            1.0 - F.size(F.array_distinct(ls)).cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return let(lines(c), body)
+
+
+def bullet_line_ratio(c: ColumnOrName) -> Column:
+    """Share of non-empty lines starting with a bullet marker
+    (-, *, •). Gopher drops docs with > 90 % bullet lines."""
+
+    def body(ls: Column) -> Column:
+        n = F.size(ls)
+        hits = F.size(
+            F.filter(ls, lambda l: F.trim(l).rlike(r"^[-*•]"))
+        )
+        return F.when(
+            n > 0, hits.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return let(lines(c), body)
+
+
+def ellipsis_line_ratio(c: ColumnOrName) -> Column:
+    """Share of non-empty lines ending in an ellipsis — truncated
+    scrapes. Gopher drops docs above 30 %."""
+
+    def body(ls: Column) -> Column:
+        n = F.size(ls)
+        hits = F.size(F.filter(ls, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+        return F.when(
+            n > 0, hits.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return let(lines(c), body)
+
+
+def symbol_word_ratio(c: ColumnOrName) -> Column:
+    """(# + ellipsis occurrences) per word — hashtag/ellipsis soup.
+    Gopher drops docs above 0.1."""
+    col = _col(c)
+    n_hash = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / 3
+    return let(
+        token_count(c),
+        lambda n: F.when(
+            n > 0, (n_hash + n_ell).cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def alpha_word_ratio(c: ColumnOrName) -> Column:
+    """Share of words containing at least one alphabetic character.
+    Gopher requires ≥ 80 %."""
+
+    def body(ts: Column) -> Column:
+        n = F.size(ts)
+        hits = F.size(F.filter(ts, lambda t: t.rlike("[a-z]")))
+        return F.when(
+            n > 0, hits.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return let(tokens(c), body)
+
+
+def top_ngram_fraction(c: ColumnOrName, n: int = 2) -> Column:
+    """Fraction of the document covered by its single most frequent
+    word n-gram — the repetition signal (looped generations, boilerplate
+    headers). O(d·u) per document (u = distinct n-grams), still a pure
+    map-side expression."""
+    from tidyvec_spark.functions.text import ngrams
+
+    def body(g: Column) -> Column:
+        total = F.size(g)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(g),
+                lambda x: F.size(F.filter(g, lambda y: y == x)),
+            )
+        )
+        return F.when(
+            total > 0, top.cast("double") / total.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return let(ngrams(c, n), body)
+
+
+def gopher_flags(
+    c: ColumnOrName,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+) -> Column:
+    """Struct of per-rule booleans (True = rule PASSED), one expression
+    tree evaluated in a single projection."""
+    wc = token_count(c)
+    mwl = mean_token_length(c)
+    return F.struct(
+        ((wc >= min_words) & (wc <= max_words)).alias("words_ok"),
+        ((mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)).alias(
+            "word_len_ok"
+        ),
+        (symbol_word_ratio(c) <= max_symbol_ratio).alias("symbols_ok"),
+        (bullet_line_ratio(c) <= max_bullet_ratio).alias("bullets_ok"),
+        (ellipsis_line_ratio(c) <= max_ellipsis_ratio).alias("ellipsis_ok"),
+        (alpha_word_ratio(c) >= min_alpha_ratio).alias("alpha_ok"),
+    )
+
+
+def gopher_keep(c: ColumnOrName, **kwargs) -> Column:
+    """AND of every gopher_flags rule — the keep decision as one
+    boolean column (filter map-side, nothing shuffles)."""
+    flags = gopher_flags(c, **kwargs)
+    return let(
+        flags,
+        lambda f: (
+            f["words_ok"]
+            & f["word_len_ok"]
+            & f["symbols_ok"]
+            & f["bullets_ok"]
+            & f["ellipsis_ok"]
+            & f["alpha_ok"]
+        ),
+    )
+
+
+# regexes chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(
+    c: ColumnOrName,
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+    ip_token: str = "<IP>",
+) -> Column:
+    """Replace emails, URLs, and IPv4 literals with placeholder tokens
+    — the standard pre-training scrub. Order matters: URLs first (an
+    URL may embed an @ or dotted quad), then emails, then bare IPs.
+    Chained ``regexp_replace`` — codegen-side, one pass per pattern."""
+    out = F.regexp_replace(_col(c), _URL_RE, url_token)
+    out = F.regexp_replace(out, _EMAIL_RE, email_token)
+    out = F.regexp_replace(out, _IPV4_RE, ip_token)
+    return out

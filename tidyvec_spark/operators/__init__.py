@@ -6,10 +6,13 @@ from tidyvec_spark.operators.nearest import (
 )
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
+from tidyvec_spark.operators.chunking import chunk_documents, pack_sequences
 from tidyvec_spark.operators.sampling import (
     budget_sample,
     hash_stratified_sample,
     hash_unit,
+    temperature_fractions,
+    temperature_sample,
 )
 from tidyvec_spark.operators.search import bm25_stats, bm25_topk
 from tidyvec_spark.operators.semdedup import semantic_dedup, semantic_dedup_pairs
@@ -35,8 +38,12 @@ __all__ = [
     "bm25_stats",
     "bm25_topk",
     "budget_sample",
+    "chunk_documents",
     "hash_stratified_sample",
     "hash_unit",
+    "pack_sequences",
+    "temperature_fractions",
+    "temperature_sample",
     "semantic_dedup",
     "semantic_dedup_pairs",
     "pq_adc_topk",

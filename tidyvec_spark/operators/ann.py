@@ -177,12 +177,13 @@ def l2sq_expr(a, b) -> Column:
 # literal-projection assignment stays the default up to this many
 # centroids; past it the O(k·d)-literal expression tree stops being a
 # win (codegen/constant-pool blow-up, interpreted HOF fallback) and the
-# broadcast-matrix argmin takes over. Measured at sf0.1/64-dim: the
-# literal path already loses at k=16 (2.4 s vs 0.77 s for the BLAS
-# path at k=256 — the interpreted-HOF cost dominates), so the
-# crossover sits low; 32 keeps tiny-k cases codegen-pure while
-# everything production-shaped rides BLAS.
-LITERAL_ASSIGN_MAX_K = 32
+# broadcast-matrix argmin takes over. Measured at sf0.1/64-dim,
+# best-of-3 on the same fixture: literal 2.40 s vs broadcast 0.69 s at
+# k=16 — the array_min-over-structs HOF runs interpreted, so BLAS wins
+# at every tested k. The literal path stays for tiny-k/pure-JVM
+# deployments (no Arrow worker), but auto hands anything bigger to
+# BLAS.
+LITERAL_ASSIGN_MAX_K = 8
 
 
 def ivf_assign(

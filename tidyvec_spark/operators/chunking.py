@@ -1,0 +1,186 @@
+"""Document chunking and training-sequence packing (engine extension).
+
+Two shapes every LLM data pipeline needs between "curated documents"
+and "training batches":
+
+- :func:`chunk_documents` — fixed-width character windows with
+  overlap (the RAG / long-doc-splitting primitive). A pure projection:
+  ``sequence`` of window starts → ``explode`` → ``substring``; zero
+  shuffle, and the chunk count per document is ``ceil(len/stride)`` so
+  output size is predictable from input stats.
+- :func:`pack_sequences` — assign documents to fixed token-budget
+  training sequences. Strategy ``"hash"`` (default, the 100 TB path)
+  buckets documents by a salted md5 of their id, orders each bucket
+  deterministically, and cuts the running token total at budget
+  boundaries — the classic "concatenate then split at max_len" packing,
+  expressed as ONE window cumsum per bucket (single shuffle on the
+  bucket key, engine-portable, SQL-oracle-checkable). Strategy
+  ``"ffd"`` runs greedy first-fit-decreasing inside each Spark
+  partition via ``applyInPandas`` — tighter packing (fewer overflow
+  splits) at the cost of partition-dependent assignment (deterministic
+  given a fixed partitioning, not portable across engines; pytest pins
+  its invariants instead of a SQL oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tidyvec_spark.operators.sampling import hash_unit
+
+__all__ = ["chunk_documents", "pack_sequences"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int = 512,
+    overlap: int = 64,
+    chunk_id: str = "chunk_idx",
+    chunk_text: str = "chunk",
+) -> DataFrame:
+    """Split each document into ``size``-char windows starting every
+    ``size - overlap`` chars (an empty/short document yields exactly
+    one chunk). Output: every input column (text dropped) plus
+    (chunk_idx from 0, chunk substring).
+
+    Plan shape: projection + explode — no shuffle, no Python; chunking
+    100 TB is exactly one scan."""
+    size = int(size)
+    stride = size - int(overlap)
+    if size < 1 or stride < 1:
+        raise ValueError("need size >= 1 and overlap < size")
+    col = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(col), F.lit(1)), F.lit(stride)
+    )
+    keep = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*df.columns, F.explode(starts).alias("__start"))
+        .select(
+            *keep,
+            F.expr(f"(__start - 1) DIV {stride}").cast("int").alias(chunk_id),
+            F.substring(col, F.col("__start"), size).alias(chunk_text),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int = 4096,
+    n_buckets: int = 1024,
+    salt: str = "",
+    strategy: str = "hash",
+    seq_col: str = "seq_id",
+    offset_col: str = "seq_offset",
+) -> DataFrame:
+    """Assign every document a training sequence: output = input plus
+    (bucket, ``seq_col``, ``offset_col``) where ``offset_col`` is the
+    document's token offset inside its concatenated bucket stream and
+    ``seq_col = offset DIV budget`` names the sequence its FIRST token
+    lands in (concatenate-then-split packing: a document may straddle
+    the boundary into ``seq_id + 1``; the trainer's splitter handles
+    the carry, as usual for packed pretraining batches).
+
+    ``hash``: bucket = salted-md5(id) mod ``n_buckets``; inside a
+    bucket documents are ordered by id — fully deterministic, stable
+    under repartitioning, one shuffle. Buckets bound the window sort:
+    at 100 TB each bucket holds corpus/n_buckets tokens, so pick
+    n_buckets to keep per-bucket sorts executor-sized.
+
+    ``ffd``: greedy first-fit-decreasing within each Spark partition
+    (documents larger than ``budget`` get a sequence of their own).
+    Tighter packing for bounded inputs; assignment depends on the
+    input partitioning.
+    """
+    budget = int(budget)
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if strategy == "hash":
+        from pyspark.sql import Window
+
+        bucket = (hash_unit(id_col, salt) * n_buckets).cast("int")
+        w = (
+            Window.partitionBy("bucket")
+            .orderBy(F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum(F.col(token_col).cast("long")).over(w)
+        out = (
+            df.withColumn("bucket", bucket)
+            .withColumn(offset_col, (cum - F.col(token_col)).cast("long"))
+            .withColumn(
+                seq_col, F.expr(f"{offset_col} DIV {budget}L").cast("long")
+            )
+        )
+        return out
+    if strategy == "ffd":
+        return _pack_ffd(df, id_col, token_col, budget, seq_col, offset_col)
+    raise ValueError(f"strategy must be hash|ffd, got {strategy!r}")
+
+
+def _pack_ffd(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    seq_col: str,
+    offset_col: str,
+) -> DataFrame:
+    """Greedy first-fit-decreasing per partition. ``bucket`` is the
+    Spark partition id, and sequence ids are scoped to the bucket (same
+    contract as the hash strategy). The partition's rows are gathered
+    before packing — FFD needs the global (per-partition) size order —
+    so per-partition data must fit one task's memory; that's the
+    documented trade for the tighter packing."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("bucket", T.IntegerType(), False),
+            T.StructField(seq_col, T.LongType(), False),
+            T.StructField(offset_col, T.LongType(), False),
+        ]
+    )
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+
+    def pack(pdf_iter):
+        import pandas as pd
+
+        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        pid = int(pdf["__pid"].iloc[0])
+        pdf = pdf.drop(columns=["__pid"]).sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        seq_ids = []
+        offsets = []
+        for t in pdf[token_col].astype("int64"):
+            t = int(t)
+            placed = None
+            for i, fill in enumerate(fills):
+                if fill + t <= budget:
+                    placed = i
+                    break
+            if placed is None:
+                placed = len(fills)
+                fills.append(0)
+            seq_ids.append(placed)
+            offsets.append(fills[placed])
+            fills[placed] += t
+        pdf["bucket"] = pid
+        pdf[seq_col] = pd.Series(seq_ids, dtype="int64")
+        pdf[offset_col] = pd.Series(offsets, dtype="int64")
+        yield pdf
+
+    return with_pid.mapInPandas(pack, schema=out_schema)

@@ -31,7 +31,13 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["budget_sample", "hash_stratified_sample", "hash_unit"]
+__all__ = [
+    "budget_sample",
+    "hash_stratified_sample",
+    "hash_unit",
+    "temperature_fractions",
+    "temperature_sample",
+]
 
 
 def budget_sample(
@@ -115,3 +121,51 @@ def hash_stratified_sample(
         ).otherwise(frac)
     out = df.withColumn("_u", u).filter(F.col("_u") < frac)
     return out if keep_u else out.drop("_u")
+
+
+def temperature_fractions(
+    df: DataFrame, strata_col: str, alpha: float = 0.7, round_to: int = 9
+) -> dict[str, float]:
+    """Per-stratum keep fractions that re-shape the corpus mixture to
+    temperature ``alpha`` (multilingual-pretraining convention, e.g.
+    mT5/XLM-R: sampling probability ∝ p_i^α, α<1 boosting the tail).
+
+    A hash filter can only DOWN-sample, so the fractions are scaled
+    until the largest is exactly 1: f_i = p_i^(α-1) / max_j p_j^(α-1)
+    — the rarest stratum is kept whole and everything more common is
+    cut toward the tempered mix. Deterministic given the stratum
+    histogram (one tiny aggregate; strata cardinality is languages or
+    sources, not rows). Fractions are rounded so independent engines
+    (the DuckDB oracle twin) compute bit-identical thresholds.
+    """
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    total = float(sum(counts.values()))
+    if not total:
+        return {}
+    w = {k: (n / total) ** (float(alpha) - 1.0) for k, n in counts.items()}
+    mx = max(w.values())
+    return {k: round(v / mx, int(round_to)) for k, v in w.items()}
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    alpha: float = 0.7,
+    salt: str = "",
+    keep_u: bool = False,
+) -> DataFrame:
+    """:func:`temperature_fractions` + :func:`hash_stratified_sample`
+    in one call: temper the stratum mixture deterministically. Cost =
+    one count-by-stratum aggregate (map-side partial, tiny result) +
+    a zero-shuffle map-side filter."""
+    fracs = temperature_fractions(df, strata_col, alpha)
+    return hash_stratified_sample(
+        df, id_col, fracs, strata_col, default_fraction=0.0,
+        salt=salt, keep_u=keep_u,
+    )

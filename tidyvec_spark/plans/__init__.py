@@ -25,29 +25,50 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _sections(df: DataFrame) -> list[str]:
+    """Formatted explain, split into plan sections.
+
+    AQE prints ONE detailed section before execution (the whole plan
+    under ``== Initial Plan ==``'s parent), but after an action it
+    prints the FINAL plan followed by an ``== Initial Plan ==`` copy
+    with fresh node ids — so any counter matching the full text would
+    double every Exchange/scan/codegen stage once the frame has run.
+    Counters take the first section that contains their pattern: the
+    final plan when executed, the initial plan otherwise."""
+    return explain_str(df).split("== Initial Plan ==")
+
+
+def _first_matches(df: DataFrame, pattern: str) -> list:
+    for sec in _sections(df):
+        m = re.findall(pattern, sec)
+        if m:
+            return m
+    return []
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries across the plan's file scans."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_str(df)):
-        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    for grp in _first_matches(df, r"PushedFilters: \[([^\]]*)\]"):
+        out.extend(s.strip() for s in grp.split(",") if s.strip())
     return out
 
 
 def read_schemas(df: DataFrame) -> list[list[str]]:
     """Column lists read by each parquet scan (ReadSchema)."""
     schemas = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", explain_str(df)):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    for grp in _first_matches(df, r"ReadSchema: struct<([^>]*)>"):
+        cols = [c.split(":")[0].strip() for c in grp.split(",") if c.strip()]
         schemas.append(cols)
     return schemas
 
 
 def join_strategies(df: DataFrame) -> list[str]:
     """Join operator names in execution order."""
-    return re.findall(
+    return _first_matches(
+        df,
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
         r"BroadcastNestedLoopJoin|CartesianProduct)",
-        explain_str(df),
     )
 
 
@@ -57,25 +78,32 @@ def has_take_ordered(df: DataFrame) -> bool:
 
 
 def num_shuffles(df: DataFrame) -> int:
-    """Exchange operators in the plan (each is a full shuffle).
+    """Exchange operators in the plan (each is a full shuffle;
+    BroadcastExchange deliberately not counted).
 
-    Formatted explain prints every operator twice — once in the tree
-    (``+- Exchange (7)``) and once in the details (``(7) Exchange``) —
-    so count distinct operator ids, not raw occurrences."""
-    s = explain_str(df)
-    ids = set(re.findall(r"\((\d+)\) (?:Shuffle)?Exchange\b", s))
+    Counted from the FIRST plan tree (``Exchange (7)`` tree lines):
+    after execution AQE appends an ``== Initial Plan ==`` copy whose
+    detail blocks share one text region with the final plan's, so
+    detail-id counting would double every shuffle once the frame has
+    run; the first tree is the final plan when executed and the full
+    plan otherwise."""
+    tree = _sections(df)[0]
+    ids = set(re.findall(r"(?<![A-Za-z])(?:Shuffle)?Exchange \((\d+)\)", tree))
     if ids:
         return len(ids)
-    return len(re.findall(r"\bExchange\b|\bShuffleExchange", s))
+    # no tree ids (simple mode): raw occurrence count
+    return len(re.findall(r"(?<![A-Za-z])(?:Shuffle)?Exchange\b", tree))
 
 
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans — wider is better (fewer
     interpreter boundaries)."""
-    s = explain_str(df)
-    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", s))
-    ids |= set(re.findall(r"codegen id : (\d+)", s))  # formatted mode
-    return len(ids)
+    for sec in _sections(df):
+        ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", sec))
+        ids |= set(re.findall(r"codegen id : (\d+)", sec))  # formatted mode
+        if ids:
+            return len(ids)
+    return 0
 
 
 def assert_broadcast(df: DataFrame, at_least: int = 1) -> None:
