@@ -1575,6 +1575,115 @@ FROM c
 """
 
 
+def _sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization (operators/sq.py): per-dim min/max fit,
+    one-byte-per-dim codes, asymmetric L2 top-10 over the CODE column
+    only. The oracle refits, re-encodes, and rescores in SQL with the
+    identical floor(+0.5) tie rule."""
+    from tidyvec_spark.operators.sq import sq_encode, sq_fit, sq_topk
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mins, maxs = sq_fit(e, "embedding", dim=64)
+    codes = sq_encode(e, "embedding", mins, maxs).select("vec_id", "sq_code")
+    q = _query_vec(spark, sf_dir)
+    return sq_topk(codes, "vec_id", q, mins, maxs, k=10, round_to=R)
+
+
+_SQ_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+js AS (SELECT unnest(range(64)) AS j),
+mm AS (SELECT j, min(v[j+1]) AS mn, max(v[j+1]) AS mx FROM e, js GROUP BY j),
+lim AS (
+  SELECT list(mn ORDER BY j) AS mns,
+         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END ORDER BY j) AS invs,
+         list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END ORDER BY j) AS steps
+  FROM mm
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(range(1, 65),
+           i -> CAST(greatest(0, least(255,
+                floor((v[i] - mns[i]) * invs[i] + 0.5))) AS INT)) AS code
+  FROM e, lim
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+d AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, 65),
+           i -> (qv[i] - mns[i] - code[i] * steps[i])
+                * (qv[i] - mns[i] - code[i] * steps[i]))) AS dist
+  FROM codes c, q, lim
+)
+SELECT vec_id, ROUND(dist, {R}) AS sq_dist
+FROM d ORDER BY sq_dist, vec_id LIMIT 10
+"""
+
+
+def _skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py::salted_join): events join a
+    per-user dimension with the hot users' rows spread over 8 salt
+    values. The salt is a physical rewrite only — the oracle is the
+    PLAIN SQL join, proving identical semantics."""
+    from tidyvec_spark.operators.skew import salted_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        _read(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+    )
+    out = salted_join(ev, dim, on="user_id", salt_factor=8, salt_on="event_id")
+    return out.select(
+        "event_id", "user_id", F.round("value", 4).alias("value"),
+        "user_events",
+    )
+
+
+_SKEW_JOIN_SQL = """
+WITH dim AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, ROUND(e.value, 4) AS value, dim.user_events
+FROM events e JOIN dim USING (user_id)
+"""
+
+
+def _skew_agg_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skewed aggregation (operators/skew.py::two_phase_agg):
+    per-language stats with each hot language's reduce work spread over
+    8 salts, merged exactly. Oracle = the direct GROUP BY."""
+    from tidyvec_spark.operators.skew import two_phase_agg
+
+    docs = _read(spark, sf_dir, "documents")
+    return two_phase_agg(
+        docs,
+        "lang",
+        partial_aggs=[
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.min("doc_id").alias("first_doc"),
+        ],
+        final_aggs=[
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("chars").alias("chars"),
+            F.min("first_doc").alias("first_doc"),
+        ],
+        salt_factor=8,
+        salt_on="doc_id",
+    )
+
+
+_SKEW_AGG_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       min(doc_id) AS first_doc
+FROM documents GROUP BY lang
+"""
+
+
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup via 3-gram shingle Jaccard >= 0.5. Candidate pairs
     come from an equi-join on shingle (inverted index) — NOT a cross
@@ -2561,6 +2670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunks": _docs_chunks,
         "docs_pack": _docs_pack,
         "mix_temperature": _mix_temperature,
+        "skew_join_events": _skew_join_events,
+        "skew_agg_langs": _skew_agg_langs,
+        "sq_topk": _sq_topk,
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -2615,6 +2727,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_redact": _DOCS_REDACT_SQL,
         "docs_chunks": _DOCS_CHUNKS_SQL,
         "docs_pack": _DOCS_PACK_SQL,
+        "skew_join_events": _SKEW_JOIN_SQL,
+        "skew_agg_langs": _SKEW_AGG_SQL,
+        "sq_topk": _SQ_TOPK_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

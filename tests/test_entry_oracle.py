@@ -55,6 +55,9 @@ SUBSET = [
     "docs_chunks",
     "docs_pack",
     "mix_temperature",
+    "skew_join_events",
+    "skew_agg_langs",
+    "sq_topk",
 ]
 
 

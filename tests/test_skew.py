@@ -1,0 +1,101 @@
+"""Skew mitigation: salted join / two-phase agg must return exactly
+the unsalted results (the salt is a physical-plan rewrite, never a
+semantic change), spread hot keys across salt values, and keep the
+plan equi-join-shaped."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark import plans as P
+from tidyvec_spark.operators.skew import salted_join, two_phase_agg
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # hot key: 90% of rows on user 1
+    rows = [(i, 1 if i < 900 else i % 50 + 2, float(i)) for i in range(1000)]
+    return spark.createDataFrame(rows, ["row_id", "user_id", "v"])
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame(
+        [(u, f"seg{u % 3}") for u in range(1, 60)], ["user_id", "segment"]
+    )
+
+
+def canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(skewed, dim):
+    plain = skewed.join(dim, "user_id", "inner").select(
+        "user_id", "row_id", "v", "segment"
+    )
+    salted = salted_join(skewed, dim, on="user_id", salt_factor=8).select(
+        "user_id", "row_id", "v", "segment"
+    )
+    assert canon(salted) == canon(plain)
+
+
+def test_salted_left_join_keeps_unmatched(spark, dim):
+    left = spark.createDataFrame(
+        [(1, 10), (2, 999_999)], ["row_id", "user_id"]
+    )
+    out = salted_join(left, dim, on="user_id", salt_factor=4, how="left")
+    got = {r["row_id"]: r["segment"] for r in out.collect()}
+    assert got[1] is not None and got[2] is None
+    assert out.count() == 2  # exactly one salt per left row: no dup/loss
+
+
+def test_salted_join_spreads_hot_key(skewed, dim):
+    l = skewed.withColumn(
+        "s", F.pmod(F.xxhash64(F.col("row_id")), F.lit(8)).cast("int")
+    )
+    n_salts = (
+        l.filter(F.col("user_id") == 1).select("s").distinct().count()
+    )
+    assert n_salts == 8  # the hot key's rows cover every salt value
+
+
+def test_salted_join_plan_is_equi_join(skewed, dim):
+    df = salted_join(skewed, dim, on="user_id", salt_factor=8,
+                     salt_on="row_id")
+    P.assert_no_cartesian(df)
+    s = P.explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_salted_join_rejects_bad_args(skewed, dim):
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim, on="user_id", salt_factor=0)
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim, on="user_id", how="full")
+    with pytest.raises(ValueError):
+        # colliding non-key column
+        salted_join(skewed, skewed, on="user_id")
+
+
+def test_two_phase_agg_equals_direct(skewed):
+    direct = skewed.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.min("row_id").alias("first_row"),
+    )
+    two = two_phase_agg(
+        skewed,
+        "user_id",
+        partial_aggs=[
+            F.count("*").alias("n"),
+            F.sum("v").alias("sv"),
+            F.min("row_id").alias("first_row"),
+        ],
+        final_aggs=[
+            F.sum("n").alias("n"),
+            F.sum("sv").alias("sv"),
+            F.min("first_row").alias("first_row"),
+        ],
+        salt_factor=8,
+        salt_on="row_id",
+    )
+    assert canon(two) == canon(direct)

@@ -15,6 +15,8 @@ from tidyvec_spark.operators.sampling import (
     temperature_sample,
 )
 from tidyvec_spark.operators.search import bm25_stats, bm25_topk
+from tidyvec_spark.operators.skew import salted_join, two_phase_agg
+from tidyvec_spark.operators.sq import sq_encode, sq_fit, sq_topk
 from tidyvec_spark.operators.semdedup import semantic_dedup, semantic_dedup_pairs
 from tidyvec_spark.operators.pq import (
     pq_adc_topk,
@@ -49,6 +51,11 @@ __all__ = [
     "pq_adc_topk",
     "pq_codebooks_from_rows",
     "pq_encode",
+    "salted_join",
+    "sq_encode",
+    "sq_fit",
+    "sq_topk",
+    "two_phase_agg",
     "plan_image_grid",
     "viz_embeddings",
     "viz_images",
