@@ -2323,6 +2323,50 @@ GROUP BY 1
 """
 
 
+_STREAM_BUDGET = 20_000
+
+
+def _docs_stream_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online token-budget curation on a REAL stream
+    (streaming/pipelines.py::budget_filter_stream): the documents
+    corpus staged as a landing directory, one micro-batch, per-language
+    char budget enforced by 8 bytes of state per language. Single-batch
+    admission is doc_id-ordered, so the batch cumsum SQL is an exact
+    oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from tidyvec_spark.streaming import budget_filter_stream, run_available_now
+
+    d = tempfile.mkdtemp(prefix="tv_stream_budget_")
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(d, "part-000.parquet"),
+    )
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(d)
+    table = f"docs_stream_budget_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(
+        budget_filter_stream(
+            stream, "n_chars", "lang", budget=_STREAM_BUDGET, id_col="doc_id"
+        ),
+        table,
+        output_mode="append",
+    )
+    return spark.table(table).select("doc_id", "lang", "n_chars")
+
+
+_DOCS_STREAM_BUDGET_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM c WHERE cum <= {_STREAM_BUDGET}
+"""
+
+
 def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a session break is a >30 min gap between a
     user's consecutive events (lag + cumulative sum — the classic
@@ -2673,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_events": _skew_join_events,
         "skew_agg_langs": _skew_agg_langs,
         "sq_topk": _sq_topk,
+        "docs_stream_budget": _docs_stream_budget,
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -2730,6 +2775,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join_events": _SKEW_JOIN_SQL,
         "skew_agg_langs": _SKEW_AGG_SQL,
         "sq_topk": _SQ_TOPK_SQL,
+        "docs_stream_budget": _DOCS_STREAM_BUDGET_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -58,6 +58,7 @@ SUBSET = [
     "skew_join_events",
     "skew_agg_langs",
     "sq_topk",
+    "docs_stream_budget",
 ]
 
 

@@ -184,3 +184,112 @@ def test_interval_join_stream_multi_batch(spark, tmp_path, batch_events):
         ).collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_budget_filter_stream_single_batch_equals_batch(spark, tmp_path):
+    # transformWithStateInPandas path: one staged file -> one
+    # micro-batch -> admission order is doc_id order, so the result
+    # must equal the batch cumsum twin exactly
+    d = tmp_path / "budget_land"
+    d.mkdir()
+    rows = [(i, ["en", "fr"][i % 2], 30 + (i * 7) % 50) for i in range(40)]
+    bdf = spark.createDataFrame(rows, "doc_id bigint, lang string, n_toks bigint")
+    bdf.coalesce(1).write.parquet(str(d / "f0.parquet"))
+
+    stream = spark.readStream.schema("doc_id bigint, lang string, n_toks bigint").parquet(
+        str(d) + "/*"
+    )
+    S.run_available_now(
+        S.budget_filter_stream(stream, "n_toks", "lang", budget=300, id_col="doc_id"),
+        "budget_t",
+        output_mode="append",
+    )
+    got = sorted(r["doc_id"] for r in spark.table("budget_t").collect())
+    batch = sorted(
+        r["doc_id"]
+        for r in S.budget_filter_stream(
+            bdf, "n_toks", "lang", budget=300, id_col="doc_id"
+        ).collect()
+    )
+    assert got == batch
+    assert 0 < len(got) < 40
+    # budget respected per stratum
+    kept = spark.table("budget_t")
+    for r in kept.groupBy("lang").agg(F.sum("n_toks").alias("s")).collect():
+        assert r["s"] <= 300
+
+
+def test_budget_filter_stream_state_carries_across_batches(spark, tmp_path):
+    # batch 1 spends most of the budget; batch 2's rows are admitted
+    # against the carried running total (state), not a fresh budget —
+    # and the prefix rule means the first overflow closes the stratum
+    d = tmp_path / "budget_land2"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "en", 200), (2, "en", 50)], "doc_id bigint, lang string, n_toks bigint"
+    ).coalesce(1).write.parquet(str(d / "f0.parquet"))
+    spark.createDataFrame(
+        [(3, "en", 100), (4, "en", 40), (5, "fr", 10)],
+        "doc_id bigint, lang string, n_toks bigint",
+    ).coalesce(1).write.parquet(str(d / "f1.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, n_toks bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    S.run_available_now(
+        S.budget_filter_stream(stream, "n_toks", "lang", budget=300, id_col="doc_id"),
+        "budget_t2",
+        output_mode="append",
+    )
+    got = sorted(r["doc_id"] for r in spark.table("budget_t2").collect())
+    # en: 200+50 admitted in batch 1 (total 250); batch 2 doc 3 takes
+    # the running total to 350 > 300 -> dropped, and doc 4 counts after
+    # it (390) -> dropped too (strict prefix). fr: fresh stratum, kept.
+    assert got == [1, 2, 5]
+
+
+def test_budget_filter_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, "en", 5)], "doc_id bigint, lang string, n_toks bigint")
+    with pytest.raises(ValueError):
+        S.budget_filter_stream(df, "n_toks", "lang", budget=0, id_col="doc_id")
+
+
+def test_budget_filter_tws_gated_or_works(spark, tmp_path):
+    """The transformWithStateInPandas path: runs when protobuf exists,
+    raises the documented ImportError otherwise (this container has no
+    protobuf — same optional-dep policy as the HF embedders)."""
+    d = tmp_path / "budget_tws"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20)], "doc_id bigint, lang string, n_toks bigint"
+    ).coalesce(1).write.parquet(str(d / "f0.parquet"))
+    stream = spark.readStream.schema(
+        "doc_id bigint, lang string, n_toks bigint"
+    ).parquet(str(d) + "/*")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    if not has_pb:
+        with pytest.raises(ImportError):
+            S.budget_filter_stream(
+                stream, "n_toks", "lang", budget=25, id_col="doc_id", api="tws"
+            )
+    else:
+        S.run_available_now(
+            S.budget_filter_stream(
+                stream, "n_toks", "lang", budget=25, id_col="doc_id", api="tws"
+            ),
+            "budget_tws_t",
+            output_mode="append",
+        )
+        assert sorted(
+            r["doc_id"] for r in spark.table("budget_tws_t").collect()
+        ) == [1]
+    with pytest.raises(ValueError):
+        S.budget_filter_stream(
+            stream, "n_toks", "lang", budget=25, id_col="doc_id", api="arrowflight"
+        )

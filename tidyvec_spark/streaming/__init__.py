@@ -15,6 +15,7 @@ partitioning on the grouping key is the same hash shuffle as batch.
 """
 
 from tidyvec_spark.streaming.pipelines import (
+    budget_filter_stream,
     dedup_events,
     event_ns_of,
     event_ts,
@@ -29,6 +30,7 @@ from tidyvec_spark.streaming.pipelines import (
 )
 
 __all__ = [
+    "budget_filter_stream",
     "dedup_events",
     "event_ns_of",
     "event_ts",

@@ -255,6 +255,162 @@ def stateful_dedup_stream(
     )
 
 
+def _admit_under_budget(pdf, seen: int, budget: int, tok: str, idc: str):
+    """Strict-prefix admission of one Arrow batch in id order: the
+    running total counts EVERY arrived document (admitted or not), and
+    a row is kept iff the total including it stays ≤ budget — the same
+    greedy-prefix-not-knapsack rule as ``budget_sample``, and exactly
+    the SQL window cumsum, so the oracle twin is plain SQL. Returns the
+    admitted sub-frame (or None) and the new arrived-token total."""
+    pdf = pdf.sort_values(idc).reset_index(drop=True)
+    keep = []
+    for i, t in enumerate(pdf[tok].astype("int64")):
+        seen += int(t)
+        if seen <= budget:
+            keep.append(i)
+    return (pdf.iloc[keep] if keep else None), seen
+
+
+def budget_filter_stream(
+    df: DataFrame,
+    token_col: str,
+    strata_col: str,
+    budget: int,
+    id_col: str,
+    api: str = "auto",
+) -> DataFrame:
+    """Streaming per-stratum token-budget curation — the streaming twin
+    of ``operators.sampling.budget_sample``: keep admitting documents
+    to each stratum (language, source) until its running token total
+    would exceed ``budget``, then drop the stratum's overflow. This is
+    how a landing-zone ingest enforces a mixing spec online, without
+    re-ranking history.
+
+    Per stratum the state is ONE long (the running total of ALL arrived
+    tokens); batches arrive as Arrow pandas frames and are processed in
+    ``id_col`` order, so single-batch runs are fully deterministic (the
+    oracle orders by the same id). Across micro-batches admission
+    follows arrival order — the defining semantics of an online filter.
+    State is 8 bytes per stratum: bounded by the stratum vocabulary, no
+    watermark needed. The admission rule is the same strict greedy
+    prefix as ``budget_sample`` (a document is admitted iff the running
+    total including it stays ≤ budget; once the budget overflows, the
+    stratum's remainder is dropped — prefix, not knapsack), which keeps
+    stream, batch fallback, and SQL oracle exactly equivalent.
+
+    ``api`` picks the stateful engine:
+
+    - ``"apip"`` — ``applyInPandasWithState`` (no extra deps).
+    - ``"tws"`` — ``transformWithStateInPandas``, Spark 4's
+      arbitrary-state successor (ValueState / ListState / MapState,
+      TTL, timers). Its state-server protocol needs ``protobuf`` on
+      the driver; absent that it raises ImportError at plan time (this
+      container ships no protobuf — the same optional-dep gating as
+      the HF embedders).
+    - ``"auto"`` — ``tws`` when protobuf is importable, else ``apip``.
+
+    On a batch frame, falls back to the equivalent cumsum filter (one
+    window shuffle), so batch/stream parity is oracle-checkable.
+    """
+    budget = int(budget)
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if api not in ("auto", "apip", "tws"):
+        raise ValueError(f"api must be auto|apip|tws, got {api!r}")
+
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn(
+                "__cum", F.sum(F.col(token_col).cast("long")).over(w)
+            )
+            .filter(F.col("__cum") <= budget)
+            .drop("__cum")
+        )
+
+    if api == "auto":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            api = "tws"
+        except ImportError:
+            api = "apip"
+
+    out_schema = df.schema
+    tok, idc = token_col, id_col
+
+    if api == "apip":
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        state_schema = T.StructType([T.StructField("total", T.LongType(), False)])
+
+        def fn(key, pdf_iter, state):
+            spent = state.get[0] if state.exists else 0
+            for pdf in pdf_iter:
+                if len(pdf) == 0:
+                    continue
+                admitted, spent = _admit_under_budget(
+                    pdf, spent, budget, tok, idc
+                )
+                if admitted is not None:
+                    yield admitted
+            state.update((spent,))
+
+        return df.groupBy(strata_col).applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    # api == "tws"
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package for "
+            "its state-server protocol; install protobuf or use "
+            "api='apip'"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class BudgetProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._spent = handle.getValueState("spent", "total long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            spent = self._spent.get()[0] if self._spent.exists() else 0
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                admitted, spent = _admit_under_budget(
+                    pdf, spent, budget, tok, idc
+                )
+                if admitted is not None:
+                    yield admitted
+            self._spent.update((spent,))
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(strata_col).transformWithStateInPandas(
+        statefulProcessor=BudgetProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,
