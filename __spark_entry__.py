@@ -1621,6 +1621,92 @@ FROM d ORDER BY sq_dist, vec_id LIMIT 10
 """
 
 
+def _matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation search (functions/vector.py::
+    matryoshka_expr): vectors shortened to the leading 16 of 64 dims
+    and renormalized, dot-product top-10 — MRL inference-time cost
+    scaling as a pure slice projection. Oracle recomputes the same
+    prefix-normalize-dot in SQL."""
+    from tidyvec_spark.functions.vector import (
+        array_lit,
+        matryoshka_expr,
+        similarity_expr,
+    )
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    import math
+
+    q = _query_vec(spark, sf_dir)[:16]
+    nrm = math.sqrt(sum(x * x for x in q))
+    qn = [x / nrm for x in q]
+    return (
+        e.select(
+            "vec_id",
+            F.round(
+                similarity_expr(
+                    matryoshka_expr("embedding", 16), array_lit(qn), "dot"
+                ),
+                R,
+            ).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_MATRYOSHKA_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+t AS (SELECT vec_id, v[1:16] AS tv FROM e),
+n AS (
+  SELECT vec_id,
+         list_transform(tv, x -> x / sqrt(list_sum(list_transform(tv, y -> y * y)))) AS nv
+  FROM t
+),
+q AS (
+  SELECT list_transform(tv, x -> x / sqrt(list_sum(list_transform(tv, y -> y * y)))) AS qv
+  FROM t WHERE vec_id = 0
+)
+SELECT vec_id,
+       ROUND(list_sum(list_transform(range(1, 17), i -> nv[i] * qv[i])), {R}) AS similarity
+FROM n, q
+ORDER BY similarity DESC, vec_id LIMIT 10
+"""
+
+
+def _embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row embedding diagnostics (functions/vector.py::
+    embedding_stats_expr): dim, L2 norm, min/max, NaN count — the
+    one-scan health check before/after embed or quantize passes."""
+    from tidyvec_spark.functions.vector import embedding_stats_expr
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    s = embedding_stats_expr("embedding")
+    return e.select(
+        "vec_id",
+        s["dim"].alias("dim"),
+        F.round(s["l2_norm"], R).alias("l2_norm"),
+        F.round(s["min_val"], R).alias("min_val"),
+        F.round(s["max_val"], R).alias("max_val"),
+        s["n_nan"].cast("int").alias("n_nan"),
+    )
+
+
+_EMBEDDING_HEALTH_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS dim,
+       ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), {R}) AS l2_norm,
+       ROUND(list_min(v), {R}) AS min_val,
+       ROUND(list_max(v), {R}) AS max_val,
+       CAST(len(list_filter(v, x -> isnan(x))) AS INT) AS n_nan
+FROM e
+"""
+
+
 def _skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join (operators/skew.py::salted_join): events join a
     per-user dimension with the hot users' rows spread over 8 salt
@@ -2718,6 +2804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_agg_langs": _skew_agg_langs,
         "sq_topk": _sq_topk,
         "docs_stream_budget": _docs_stream_budget,
+        "matryoshka_topk": _matryoshka_topk,
+        "embedding_health": _embedding_health,
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -2776,6 +2864,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_agg_langs": _SKEW_AGG_SQL,
         "sq_topk": _SQ_TOPK_SQL,
         "docs_stream_budget": _DOCS_STREAM_BUDGET_SQL,
+        "matryoshka_topk": _MATRYOSHKA_SQL,
+        "embedding_health": _EMBEDDING_HEALTH_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

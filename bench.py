@@ -44,9 +44,14 @@ BENCH_QUERIES = [
     "tfidf_search",
     "bm25_search",
     "tfidf_hybrid",
+    "sq_topk",
     "text_stats",
     "lang_id",
     "token_topk",
+    "docs_quality_flags",
+    "docs_chunks",
+    "docs_pack",
+    "mix_temperature",
     "exact_dup_groups",
     "dedup_drop_exact",
     "ngram_jaccard_pairs",
@@ -61,6 +66,8 @@ BENCH_QUERIES = [
     "q3_top_orders",
     "q5_region_revenue",
     "topk_per_segment",
+    "skew_join_events",
+    "skew_agg_langs",
     "events_hourly",
     "events_sessions",
     "events_asof_purchase",

@@ -59,6 +59,8 @@ SUBSET = [
     "skew_agg_langs",
     "sq_topk",
     "docs_stream_budget",
+    "matryoshka_topk",
+    "embedding_health",
 ]
 
 

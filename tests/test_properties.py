@@ -118,3 +118,100 @@ def test_query_literal_kernel_matches_column_kernel(spark, pairs):
         assert math.isclose(
             r["lit_cos"], r["col_cos"], rel_tol=1e-9, abs_tol=1e-12
         )
+
+
+def test_matryoshka_prefix_is_unit_norm(spark):
+    import math
+
+    from tidyvec_spark.functions.vector import matryoshka_expr
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = emb.select(
+        "vec_id", matryoshka_expr("embedding", 16).alias("m")
+    ).limit(20).collect()
+    for r in out:
+        assert len(r["m"]) == 16
+        assert math.isclose(sum(x * x for x in r["m"]), 1.0, rel_tol=1e-9)
+    # no-renormalize keeps raw prefix values
+    raw = emb.select(
+        "vec_id",
+        matryoshka_expr("embedding", 4, renormalize=False).alias("m"),
+        "embedding",
+    ).first()
+    assert raw["m"] == [float(x) for x in raw["embedding"][:4]]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        matryoshka_expr("embedding", 0)
+
+
+def test_matryoshka_search_invariants(spark):
+    """Two MRL truncation invariants that hold for ANY vectors (the
+    recall-vs-dims curve itself needs MRL-trained embeddings — the
+    random fixtures have no information concentration to preserve):
+    (a) dot over renormalized prefixes == cosine over raw prefixes;
+    (b) the query row retrieves itself first at every prefix width."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.vector import (
+        array_lit,
+        matryoshka_expr,
+        similarity_expr,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qfull = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    for dims in (16, 48):
+        q = qfull[:dims]
+        nrm = math.sqrt(sum(x * x for x in q))
+        qn = [x / nrm for x in q]
+        renorm_dot = emb.select(
+            "vec_id",
+            F.round(
+                similarity_expr(
+                    matryoshka_expr("embedding", dims), array_lit(qn), "dot"
+                ),
+                6,
+            ).alias("s"),
+        )
+        raw_cos = emb.select(
+            "vec_id",
+            F.round(
+                similarity_expr(
+                    matryoshka_expr("embedding", dims, renormalize=False),
+                    array_lit(q),
+                    "cosine",
+                ),
+                6,
+            ).alias("s"),
+        )
+        a = {r["vec_id"]: r["s"] for r in renorm_dot.collect()}
+        b = {r["vec_id"]: r["s"] for r in raw_cos.collect()}
+        assert a == b
+        top = (
+            renorm_dot.orderBy(F.desc("s"), F.asc("vec_id")).limit(1).first()
+        )
+        assert top["vec_id"] == 0
+
+
+def test_embedding_stats_expr(spark):
+    from tidyvec_spark.functions.vector import embedding_stats_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, float("nan")])], ["id", "v"]
+    )
+    rows = {
+        r["id"]: r["s"]
+        for r in df.select("id", embedding_stats_expr("v").alias("s")).collect()
+    }
+    assert rows[1]["dim"] == 2 and abs(rows[1]["l2_norm"] - 5.0) < 1e-12
+    assert rows[1]["n_nan"] == 0 and rows[2]["n_nan"] == 1
+    assert rows[1]["min_val"] == 3.0 and rows[1]["max_val"] == 4.0

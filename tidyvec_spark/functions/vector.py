@@ -99,6 +99,34 @@ def l2_normalize_expr(a: ColumnOrName) -> Column:
     )
 
 
+def matryoshka_expr(a: ColumnOrName, dims: int, renormalize: bool = True) -> Column:
+    """Truncate a Matryoshka-trained embedding to its leading ``dims``
+    coordinates and (by default) re-normalize — MRL inference-time
+    shortening (Kusupati et al. 2022): nested prefixes of an MRL vector
+    are themselves valid embeddings, so storage/scan cost scales down
+    linearly with a controlled recall trade. Pure ``slice`` projection,
+    codegen-side, zero Python — shortening 100 TB of vectors is one
+    scan."""
+    if int(dims) < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    cut = F.slice(_col(a), 1, int(dims))
+    return l2_normalize_expr(cut) if renormalize else cut
+
+
+def embedding_stats_expr(a: ColumnOrName) -> Column:
+    """Struct of per-row embedding diagnostics (dim, l2 norm, min, max,
+    NaN count) — the health check before/after an embed or quantize
+    pass, one map-side projection."""
+    a = _col(a)
+    return F.struct(
+        F.size(a).alias("dim"),
+        l2_norm_expr(a).alias("l2_norm"),
+        F.array_min(a).cast("double").alias("min_val"),
+        F.array_max(a).cast("double").alias("max_val"),
+        F.size(F.filter(a, lambda x: x.isNaN())).alias("n_nan"),
+    )
+
+
 def similarity_expr(
     a: ColumnOrName, b: ColumnOrName, method: str = "cosine"
 ) -> Column:
