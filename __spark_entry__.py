@@ -1974,6 +1974,37 @@ SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5
 """
 
 
+def _incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dedup
+    (operators/dedup.py::incremental_near_dup_pairs): the original
+    corpus is signed ONCE into a (id, shingles, signature) index; the
+    arriving batch (the synthesized near-dup docs) signs itself and
+    joins against index ∪ batch — the historical corpus is never
+    re-shingled. Oracle: the full-corpus LSH SQL restricted to pairs
+    touching the new batch, proving incremental == full recompute on
+    the affected pairs."""
+    from tidyvec_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        minhash_sign,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") < 10000)
+    new = corpus.filter(F.col("doc_id") >= 10000)
+    index = minhash_sign(old, "text", "doc_id", num_hashes=16, shingle_n=3)
+    return incremental_near_dup_pairs(
+        new, index, "text", "doc_id", num_hashes=16, bands=4,
+        shingle_n=3, threshold=0.5, round_to=R,
+    )
+
+
+# the full-corpus pair SQL restricted to pairs touching the new batch
+# (new ids are the largest, so id_b >= 10000 <=> at least one new side)
+_INCREMENTAL_LSH_SQL = _MINHASH_LSH_SQL.replace(
+    "WHERE jaccard >= 0.5", "WHERE jaccard >= 0.5 AND id_b >= 10000"
+)
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup tail: MinHash-LSH pairs → connected components; each
     near-duplicate document labelled with min reachable doc_id."""
@@ -2806,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stream_budget": _docs_stream_budget,
         "matryoshka_topk": _matryoshka_topk,
         "embedding_health": _embedding_health,
+        "incremental_near_dup": _incremental_near_dup,
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -2866,6 +2898,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stream_budget": _DOCS_STREAM_BUDGET_SQL,
         "matryoshka_topk": _MATRYOSHKA_SQL,
         "embedding_health": _EMBEDDING_HEALTH_SQL,
+        "incremental_near_dup": _INCREMENTAL_LSH_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "bm25_search",
     "tfidf_hybrid",
     "sq_topk",
+    "matryoshka_topk",
+    "embedding_health",
     "text_stats",
     "lang_id",
     "token_topk",

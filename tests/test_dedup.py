@@ -410,3 +410,46 @@ def test_bucket_gemm_invariant_to_sub_blocks(spark, emb_corpus):
             ).collect()
         }
         assert got == base, f"sub_blocks={nb}"
+
+
+def test_incremental_near_dup_equals_full_recompute(spark, corpus):
+    """The continuous-ingest contract: pairs(old) ∪ incremental(new vs
+    index) == pairs(old ∪ new). Band membership is per-document, so the
+    incremental path must reproduce the batch pipeline's new-touching
+    pairs exactly."""
+    # new batch: a near-dup of doc 0 (last word changed) + a fresh doc
+    new = spark.createDataFrame(
+        [
+            (10000, "the quick brown fox jumps over the lazy dog again and once"),
+            (10001, "an entirely novel document about distributed joins"),
+        ],
+        ["doc_id", "text"],
+    )
+    union = corpus.unionByName(new)
+
+    def pairs(df):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.minhash_lsh_pairs(
+                df, "text", "doc_id", threshold=0.5, round_to=6
+            ).collect()
+        }
+
+    full = pairs(union)
+    old_only = pairs(corpus)
+    index = dedup.minhash_sign(corpus, "text", "doc_id")
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.incremental_near_dup_pairs(
+            new, index, "text", "doc_id", threshold=0.5, round_to=6
+        ).collect()
+    }
+    assert old_only | inc == full
+    assert inc and all(b >= 10000 for _, b, _ in inc)
+    # the incremental pairs are disjoint from the old-only pairs
+    assert not (inc & old_only)
+    # bad band split still rejected on the incremental path
+    with pytest.raises(ValueError):
+        dedup.incremental_near_dup_pairs(
+            new, index, "text", "doc_id", num_hashes=16, bands=5
+        )

@@ -61,6 +61,7 @@ SUBSET = [
     "docs_stream_budget",
     "matryoshka_topk",
     "embedding_health",
+    "incremental_near_dup",
 ]
 
 

@@ -98,6 +98,118 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def minhash_sign(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(__id, __sh, __sig): distinct shingle array + MinHash signature
+    per document — the map-side stage shared by the batch LSH pipeline
+    and the incremental-ingest path. At scale this IS the persisted
+    near-dup index: write it once (ideally bucketed by a band hash) and
+    every arriving batch signs itself and joins against it instead of
+    re-shingling the corpus."""
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(X.ngrams(text_col, shingle_n)).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .withColumn("__sig", minhash_signature("__sh", num_hashes))
+    )
+
+
+def _band(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    return sigs.select(
+        "__id",
+        "__sh",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__b"),
+        "__sig",
+    ).withColumn("__bh", band_hash("__sig", F.col("__b"), rows_per_band))
+
+
+def _verify_jaccard(cand: DataFrame, threshold, round_to) -> DataFrame:
+    """Exact-Jaccard verify on banded candidates carrying both shingle
+    arrays; threshold BEFORE the pair-dedup shuffle."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = inter / union
+    if round_to is not None:
+        jac = F.round(jac, round_to)
+    out = cand.withColumn("jaccard", jac)
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= float(threshold))
+    return out.select("id_a", "id_b", "jaccard").dropDuplicates(["id_a", "id_b"])
+
+
+def incremental_near_dup_pairs(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: Optional[float] = 0.5,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING an arriving batch, against a persisted
+    signature index (:func:`minhash_sign` output) — the continuous-
+    ingest shape: the historical corpus is never re-shingled, only its
+    (id, shingles, signature) index is banded and joined.
+
+    Returns exactly the pairs of the full-corpus run that touch ≥ 1 new
+    document (band membership is a pure per-document function, so
+    new×old and new×new candidates are identical to the batch
+    pipeline's) — union(old pairs, these pairs) == full recompute,
+    which is the oracle-checked contract.
+
+    Scale shape: sign the batch map-side, ONE banded equi-join of
+    (new) × (index ∪ new), verify-then-dedup. Cost scales with batch
+    size × collision rate, not corpus size.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_sign(
+        new_df, text_col, id_col, num_hashes, shingle_n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    new_banded = _band(new_sigs, bands, rows_per_band)
+    all_banded = _band(
+        index.select("__id", "__sh", "__sig").unionByName(new_sigs),
+        bands,
+        rows_per_band,
+    )
+    a = new_banded.select(
+        F.col("__id").alias("na"), F.col("__sh").alias("sha"), "__b", "__bh"
+    )
+    b = all_banded.select(
+        F.col("__id").alias("nb"), F.col("__sh").alias("shb"), "__b", "__bh"
+    )
+    cand = (
+        a.join(b, on=["__b", "__bh"])
+        .filter(F.col("na") != F.col("nb"))
+        .select(
+            F.least("na", "nb").alias("id_a"),
+            F.greatest("na", "nb").alias("id_b"),
+            # shingles follow the id ordering so verify sees the pair once
+            F.when(F.col("na") < F.col("nb"), F.col("sha"))
+            .otherwise(F.col("shb"))
+            .alias("sh_a"),
+            F.when(F.col("na") < F.col("nb"), F.col("shb"))
+            .otherwise(F.col("sha"))
+            .alias("sh_b"),
+        )
+    )
+    return _with_persisted(
+        _verify_jaccard(cand, threshold, round_to), [new_sigs]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
