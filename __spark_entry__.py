@@ -1974,6 +1974,82 @@ SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5
 """
 
 
+def _bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join (sources/bucketing.py): orders and
+    customer written bucketed+sorted on the join key, then joined with
+    ZERO exchanges (write-time shuffle amortized over every later
+    join) and aggregated per segment. Oracle = the plain SQL join —
+    bucketing must be invisible in the answer."""
+    import tempfile
+
+    from tidyvec_spark.sources.bucketing import write_bucketed_table
+
+    seq = next(_STREAM_RUN_SEQ)
+    d = tempfile.mkdtemp(prefix="tv_bucketed_")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    lt, rt = f"b_orders_{seq}", f"b_customer_{seq}"
+    write_bucketed_table(
+        orders, lt, "o_custkey", n_buckets=8, sort_col="o_custkey",
+        mode="overwrite", path=f"{d}/{lt}",
+    )
+    write_bucketed_table(
+        cust, rt, "o_custkey", n_buckets=8, sort_col="o_custkey",
+        mode="overwrite", path=f"{d}/{rt}",
+    )
+    return (
+        spark.table(lt)
+        .join(spark.table(rt).hint("merge"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def _corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition cube: doc counts + char totals by
+    (lang, source) with ROLLUP subtotals and a grand total — the
+    grouping-sets surface (one shuffle; Spark expands the sets
+    map-side, partial-aggregates, then one exchange)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "chars",
+        )
+    )
+
+
+_CORPUS_ROLLUP_SQL = """
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+
 def _incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest near-dedup
     (operators/dedup.py::incremental_near_dup_pairs): the original
@@ -2838,6 +2914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_topk": _matryoshka_topk,
         "embedding_health": _embedding_health,
         "incremental_near_dup": _incremental_near_dup,
+        "corpus_rollup": _corpus_rollup,
+        "bucketed_join_segments": _bucketed_join_segments,
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -2899,6 +2977,8 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_topk": _MATRYOSHKA_SQL,
         "embedding_health": _EMBEDDING_HEALTH_SQL,
         "incremental_near_dup": _INCREMENTAL_LSH_SQL,
+        "corpus_rollup": _CORPUS_ROLLUP_SQL,
+        "bucketed_join_segments": _BUCKETED_JOIN_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

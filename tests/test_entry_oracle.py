@@ -62,6 +62,8 @@ SUBSET = [
     "matryoshka_topk",
     "embedding_health",
     "incremental_near_dup",
+    "corpus_rollup",
+    "bucketed_join_segments",
 ]
 
 

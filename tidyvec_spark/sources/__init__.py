@@ -1,4 +1,8 @@
 from tidyvec_spark.sources.vec_io import write_vec, read_vec
+from tidyvec_spark.sources.bucketing import (
+    bucketed_join_ready,
+    write_bucketed_table,
+)
 from tidyvec_spark.sources.layout import (
     ann_ivf_topk_pruned,
     ann_lsh_topk_pruned,
@@ -10,6 +14,8 @@ from tidyvec_spark.sources.layout import (
 __all__ = [
     "write_vec",
     "read_vec",
+    "bucketed_join_ready",
+    "write_bucketed_table",
     "write_bucket_partitioned",
     "write_centroid_partitioned",
     "ann_ivf_topk_pruned",
