@@ -1974,6 +1974,62 @@ SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5
 """
 
 
+def _docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length quantiles per language (Spark ``percentile`` —
+    exact, not approx — one shuffle with map-side partials). The
+    DuckDB twin is ``quantile_cont``; both define the quantile by
+    linear interpolation, so values hash-match at the shared
+    rounding."""
+    docs = _read(spark, sf_dir, "documents")
+    pcts = F.expr(
+        "percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))"
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(pcts.alias("q"))
+        .select(
+            "lang",
+            F.round(F.element_at("q", 1), R).alias("p25"),
+            F.round(F.element_at("q", 2), R).alias("p50"),
+            F.round(F.element_at("q", 3), R).alias("p75"),
+            F.round(F.element_at("q", 4), R).alias("p95"),
+        )
+    )
+
+
+_DOCS_QUANTILES_SQL = f"""
+SELECT lang,
+       ROUND(quantile_cont(n_chars, 0.25), {R}) AS p25,
+       ROUND(quantile_cont(n_chars, 0.50), {R}) AS p50,
+       ROUND(quantile_cont(n_chars, 0.75), {R}) AS p75,
+       ROUND(quantile_cont(n_chars, 0.95), {R}) AS p95
+FROM documents GROUP BY lang
+"""
+
+
+def _docs_pivot_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: doc counts as a (lang × source) contingency table —
+    ``groupBy().pivot()`` compiles to one aggregation with conditional
+    sums (single shuffle), exactly the oracle's CASE formulation."""
+    docs = _read(spark, sf_dir, "documents")
+    srcs = [f"src{i}" for i in range(4)]
+    out = docs.groupBy("lang").pivot("source", srcs).count()
+    return out.select(
+        "lang",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s) for s in srcs],
+    )
+
+
+_DOCS_PIVOT_SQL = """
+SELECT lang,
+       CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS src0,
+       CAST(count(*) FILTER (source = 'src1') AS BIGINT) AS src1,
+       CAST(count(*) FILTER (source = 'src2') AS BIGINT) AS src2,
+       CAST(count(*) FILTER (source = 'src3') AS BIGINT) AS src3
+FROM documents GROUP BY lang
+"""
+
+
 def _bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located bucketed join (sources/bucketing.py): orders and
     customer written bucketed+sorted on the join key, then joined with
@@ -2916,6 +2972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": _incremental_near_dup,
         "corpus_rollup": _corpus_rollup,
         "bucketed_join_segments": _bucketed_join_segments,
+        "docs_length_quantiles": _docs_length_quantiles,
+        "docs_pivot_sources": _docs_pivot_sources,
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -2979,6 +3037,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_dup": _INCREMENTAL_LSH_SQL,
         "corpus_rollup": _CORPUS_ROLLUP_SQL,
         "bucketed_join_segments": _BUCKETED_JOIN_SQL,
+        "docs_length_quantiles": _DOCS_QUANTILES_SQL,
+        "docs_pivot_sources": _DOCS_PIVOT_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -64,6 +64,8 @@ SUBSET = [
     "incremental_near_dup",
     "corpus_rollup",
     "bucketed_join_segments",
+    "docs_length_quantiles",
+    "docs_pivot_sources",
 ]
 
 
