@@ -1974,6 +1974,115 @@ SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5
 """
 
 
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (operators/fusion.py::rrf_fuse): BM25 and
+    TF-IDF candidate lists for the shared query fused by
+    sum 1/(60+rank) — the score-scale-free hybrid combiner. Shuffles
+    touch only the candidate lists (top-10 each), never the corpus."""
+    from tidyvec_spark.operators.fusion import rrf_fuse
+
+    bm = _bm25_search(spark, sf_dir)
+    tf = _tfidf_search(spark, sf_dir)
+    return rrf_fuse(
+        [bm, tf], "doc_id", ["score", "similarity"], k=60, n=10, round_to=R
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    return f"""
+WITH b AS ({_BM25_SEARCH_SQL}),
+t AS ({_TFIDF_SEARCH_SQL}),
+rb AS (SELECT doc_id,
+              1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS rr
+       FROM b),
+rt AS (SELECT doc_id,
+              1.0 / (60 + row_number() OVER (ORDER BY similarity DESC, doc_id)) AS rr
+       FROM t),
+u AS (SELECT * FROM rb UNION ALL SELECT * FROM rt)
+SELECT doc_id, ROUND(SUM(rr), {R}) AS rrf_score
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+def _embedding_pool_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-parent mean pooling (operators/fusion.py::
+    mean_pool_embeddings): element-wise mean embedding per label
+    (standing in for chunks of a parent document), emitted as
+    (parent, dim, value) rows so the oracle compares scalars."""
+    from tidyvec_spark.operators.fusion import mean_pool_embeddings
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pooled = mean_pool_embeddings(e, "embedding", "label")
+    return pooled.select(
+        "label",
+        "n_chunks",
+        F.posexplode("embedding").alias("dim_idx", "val"),
+    ).select(
+        "label", "n_chunks", F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round("val", R).alias("val"),
+    )
+
+
+_EMBEDDING_POOL_SQL = f"""
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+js AS (SELECT unnest(range(64)) AS j)
+SELECT label,
+       CAST((SELECT count(*) FROM e e2 WHERE e2.label = e.label) AS BIGINT) AS n_chunks,
+       CAST(j AS INT) AS dim_idx,
+       ROUND(sum(v[j + 1]) / count(*), {R}) AS val
+FROM e, js
+GROUP BY label, j
+"""
+
+
+def _ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched LSH serving (operators/ann.py::ann_lsh_topk_batch):
+    top-5 for THREE query vectors in one plan — queries bucket and
+    multiprobe map-side, the probe table broadcasts, the corpus never
+    shuffles; one per-query window keeps k over candidates only."""
+    from tidyvec_spark.operators.ann import ann_lsh_topk_batch
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ann_lsh_topk_batch(
+        e, "embedding", "vec_id", qs, "q_id", "q_emb",
+        planes=_ann_planes(), k=5, probe_hamming=1, round_to=R,
+    )
+
+
+def _ann_lsh_batch_sql() -> str:
+    planes = _ann_planes()
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_sql_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 3),
+cand AS (
+  SELECT q.q_id, b.vec_id,
+         ROUND(list_cosine_similarity(b.v, q.qv), {R}) AS similarity
+  FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= 1
+),
+rk AS (
+  SELECT q_id, vec_id, similarity,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY similarity DESC, vec_id) AS INT) AS rank
+  FROM cand
+)
+SELECT q_id, vec_id, similarity, rank FROM rk WHERE rank <= 5
+"""
+
+
 def _docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact length quantiles per language (Spark ``percentile`` —
     exact, not approx — one shuffle with map-side partials). The
@@ -2974,6 +3083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_segments": _bucketed_join_segments,
         "docs_length_quantiles": _docs_length_quantiles,
         "docs_pivot_sources": _docs_pivot_sources,
+        "hybrid_rrf": _hybrid_rrf,
+        "embedding_pool_labels": _embedding_pool_labels,
+        "ann_lsh_batch": _ann_lsh_batch,
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -3039,6 +3151,9 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_segments": _BUCKETED_JOIN_SQL,
         "docs_length_quantiles": _DOCS_QUANTILES_SQL,
         "docs_pivot_sources": _DOCS_PIVOT_SQL,
+        "hybrid_rrf": _hybrid_rrf_sql(),
+        "embedding_pool_labels": _EMBEDDING_POOL_SQL,
+        "ann_lsh_batch": _ann_lsh_batch_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

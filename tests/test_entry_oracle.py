@@ -66,6 +66,9 @@ SUBSET = [
     "bucketed_join_segments",
     "docs_length_quantiles",
     "docs_pivot_sources",
+    "hybrid_rrf",
+    "embedding_pool_labels",
+    "ann_lsh_batch",
 ]
 
 

@@ -7,6 +7,7 @@ from tidyvec_spark.operators.nearest import (
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
 from tidyvec_spark.operators.chunking import chunk_documents, pack_sequences
+from tidyvec_spark.operators.fusion import mean_pool_embeddings, rrf_fuse
 from tidyvec_spark.operators.sampling import (
     budget_sample,
     hash_stratified_sample,
@@ -43,6 +44,8 @@ __all__ = [
     "chunk_documents",
     "hash_stratified_sample",
     "hash_unit",
+    "mean_pool_embeddings",
+    "rrf_fuse",
     "pack_sequences",
     "temperature_fractions",
     "temperature_sample",

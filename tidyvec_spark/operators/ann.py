@@ -31,7 +31,7 @@ import math
 import random
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.vector import (
@@ -128,6 +128,85 @@ def ann_lsh_topk(
         .orderBy(F.desc("similarity"), F.asc(id_col))
         .limit(int(k))
         .select(id_col, "similarity")
+    )
+
+
+def ann_lsh_topk_batch(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    queries: DataFrame,
+    q_id_col: str,
+    q_emb_col: str,
+    planes: Sequence[Sequence[float]],
+    k: int = 10,
+    probe_hamming: int = 1,
+    method: str = "cosine",
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Batched LSH search: top-k for EVERY query row in one plan — the
+    serving shape (a batch of user queries, a re-ranking sweep, a
+    join-by-similarity) where per-query driver loops would be N plans.
+
+    Physical shape: corpus bucketed map-side (one expression); each
+    query row explodes to its multiprobe bucket set (≤ nbits+1 probes
+    at hamming 1 — bounded fan-out); the probe table is BROADCAST, so
+    the corpus is never shuffled — candidates flow from a broadcast
+    hash join on the bucket id, the exact kernel reranks, and one
+    window per query keeps k. The only shuffle is the final per-query
+    top-k window over candidates (not the corpus).
+    """
+    nbits = len(planes)
+    masks = [0] + (
+        [1 << i for i in range(nbits)] if probe_hamming >= 1 else []
+    )
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(nbits)
+            for j in range(i + 1, nbits)
+        ]
+    probes = (
+        queries.select(
+            F.col(q_id_col).alias("__qid"),
+            F.col(q_emb_col).cast("array<double>").alias("__qv"),
+            hyperplane_bucket_expr(q_emb_col, planes).alias("__qb"),
+        )
+        .select(
+            "__qid",
+            "__qv",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[
+                            F.col("__qb").bitwiseXOR(F.lit(m))
+                            for m in masks
+                        ]
+                    )
+                )
+            ).alias("__bucket"),
+        )
+    )
+    sim = similarity_expr(F.col(emb_col), F.col("__qv"), method)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    cand = (
+        df.withColumn("__bucket", hyperplane_bucket_expr(emb_col, planes))
+        .join(F.broadcast(probes), on="__bucket")
+        .withColumn("similarity", sim)
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.desc("similarity"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select(
+            F.col("__qid").alias(q_id_col),
+            F.col(id_col),
+            "similarity",
+            F.col("__rn").cast("int").alias("rank"),
+        )
     )
 
 
