@@ -699,6 +699,14 @@ def connected_components(
     near-dup graphs are overwhelmingly star-shaped (diameter ≤ 2-3).
     For adversarial long-chain graphs swap in the large-star/small-star
     alternation — same join/agg building blocks, O(log n) rounds.
+
+    The convergence check is deliberately one round conservative: a
+    graph that reaches its fixpoint exactly on the last allowed
+    iteration still has ``changed != 0`` at the cap and raises even
+    though the labels happen to be correct — i.e. the effective
+    supported diameter is ``max_iterations - 1``. Safe-side by design
+    (an unverified fixpoint is indistinguishable from a non-fixpoint
+    without one more pass); size ``max_iterations`` accordingly.
     """
     if int(max_iterations) < 1:
         # with zero rounds the loop body never runs and `changed` stays
