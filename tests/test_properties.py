@@ -215,3 +215,35 @@ def test_embedding_stats_expr(spark):
     assert rows[1]["dim"] == 2 and abs(rows[1]["l2_norm"] - 5.0) < 1e-12
     assert rows[1]["n_nan"] == 0 and rows[2]["n_nan"] == 1
     assert rows[1]["min_val"] == 3.0 and rows[1]["max_val"] == 4.0
+
+
+@SET
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=25),
+    budget=st.integers(min_value=100, max_value=1000),
+)
+def test_pack_sequences_tiles_each_bucket(spark, toks, budget):
+    """Hash packing invariant on arbitrary inputs: within every bucket
+    the documents' token intervals [offset, offset+tok) tile the
+    concatenated stream exactly — disjoint, gap-free, starting at 0 —
+    and seq_id is the budget-quantized start offset. (This is the
+    property a training-data loader relies on to cut sequences.)"""
+    from tidyvec_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, int(t)) for i, t in enumerate(toks)], ["doc_id", "n_toks"]
+    )
+    rows = pack_sequences(
+        df, "doc_id", "n_toks", budget=budget, n_buckets=3, salt="p"
+    ).collect()
+    assert len(rows) == len(toks)  # nothing dropped or duplicated
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rs:
+            assert r["seq_offset"] == expect
+            assert r["seq_id"] == expect // budget
+            expect += r["n_toks"]
