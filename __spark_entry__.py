@@ -2312,6 +2312,73 @@ SELECT id, lbl AS component FROM l{iterations}
 """
 
 
+_SPLIT_SALT = "split1"
+_SPLIT_TEST_FRACTION = 0.2
+
+
+def _split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split
+    (operators/dedup.py::leakage_free_split): every member of a
+    near-duplicate component gets the SAME split, decided by a salted
+    hash of the component label — eval contamination via near-copies
+    is impossible by construction. Oracle: unrolled label propagation
+    + the identical md5 threshold rule."""
+    from tidyvec_spark.operators.dedup import leakage_free_split
+
+    corpus = _dup_corpus(spark, sf_dir)
+    return leakage_free_split(
+        corpus, "text", "doc_id",
+        test_fraction=_SPLIT_TEST_FRACTION, salt=_SPLIT_SALT,
+    ).select("doc_id", "split_group", "split")
+
+
+def _split_leakage_free_sql() -> str:
+    return f"""
+WITH {_DUP_CORPUS_SQL},
+comp AS MATERIALIZED ({_dedup_components_sql()}),
+j AS (
+  SELECT c.doc_id, COALESCE(k.component, c.doc_id) AS split_group
+  FROM corpus c LEFT JOIN comp k ON k.id = c.doc_id
+)
+SELECT doc_id, split_group,
+       CASE WHEN CAST(CONCAT('0x', substr(md5(CONCAT('{_SPLIT_SALT}', CAST(split_group AS VARCHAR))), 1, 8)) AS UBIGINT)
+                 / 4294967296.0 < {_SPLIT_TEST_FRACTION}
+            THEN 'test' ELSE 'train' END AS split
+FROM j
+"""
+
+
+_FIXED_N_SALT = "fix1"
+
+
+def _sample_fixed_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size per-stratum sample
+    (operators/sampling.py::stratified_fixed_n): exactly 20 docs per
+    language by salted hash rank — deterministic reservoir-sampling
+    replacement, one window shuffle."""
+    from tidyvec_spark.operators.sampling import stratified_fixed_n
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_fixed_n(docs, "doc_id", "lang", n=20, salt=_FIXED_N_SALT)
+    return out.select("doc_id", "lang")
+
+
+_SAMPLE_FIXED_SQL = f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         CAST(CONCAT('0x', substr(md5(CONCAT('{_FIXED_N_SALT}', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+  FROM u
+)
+SELECT doc_id, lang FROM r WHERE rk <= 20
+"""
+
+
 def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword piece counts next to whitespace token counts —
     the length/budget signals a training-data pipeline filters on."""
@@ -3086,6 +3153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _hybrid_rrf,
         "embedding_pool_labels": _embedding_pool_labels,
         "ann_lsh_batch": _ann_lsh_batch,
+        "split_leakage_free": _split_leakage_free,
+        "sample_fixed_per_lang": _sample_fixed_per_lang,
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -3154,6 +3223,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _hybrid_rrf_sql(),
         "embedding_pool_labels": _EMBEDDING_POOL_SQL,
         "ann_lsh_batch": _ann_lsh_batch_sql(),
+        "split_leakage_free": _split_leakage_free_sql(),
+        "sample_fixed_per_lang": _SAMPLE_FIXED_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

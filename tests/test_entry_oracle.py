@@ -69,6 +69,8 @@ SUBSET = [
     "hybrid_rrf",
     "embedding_pool_labels",
     "ann_lsh_batch",
+    "split_leakage_free",
+    "sample_fixed_per_lang",
 ]
 
 

@@ -126,3 +126,58 @@ def test_budget_sample_single_shuffle(scored):
         order_by=[F.desc("q"), F.asc("doc_id")],
     )
     assert P.num_shuffles(df) == 1
+
+
+def test_stratified_fixed_n_exact_sizes(spark):
+    from tidyvec_spark.operators.sampling import stratified_fixed_n
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_fixed_n(df, "doc_id", "lang", n=15, salt="t")
+    sizes = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, total in totals.items():
+        assert sizes.get(lang, 0) == min(15, total)
+    # deterministic: same salt -> same rows; different salt -> (almost
+    # surely) different rows
+    again = stratified_fixed_n(df, "doc_id", "lang", n=15, salt="t")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    other = stratified_fixed_n(df, "doc_id", "lang", n=15, salt="u")
+    assert sorted(r["doc_id"] for r in out.collect()) != sorted(
+        r["doc_id"] for r in other.collect()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_fixed_n(df, "doc_id", "lang", n=0)
+
+
+def test_leakage_free_split_never_straddles_components(spark):
+    """THE invariant: two near-duplicate documents can never land in
+    different splits."""
+    from tidyvec_spark.operators.dedup import leakage_free_split
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and often"),
+        (2, "completely different text about spark sql engines and shuffles"),
+        (3, "The  Quick   Brown fox jumps over the lazy dog again and again"),
+        (4, "a third unrelated document mentioning neither foxes nor dogs"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["split_group"], r["split"])
+           for r in leakage_free_split(df, "text", "doc_id",
+                                       test_fraction=0.5, salt="s").collect()}
+    assert len(out) == 5
+    # docs 0, 1, 3 are one near-dup component -> same group, same split
+    assert out[0] == out[1] == out[3]
+    # singletons hash their own id
+    assert out[2][0] == 2 and out[4][0] == 4
+    assert set(v[1] for v in out.values()) <= {"train", "test"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        leakage_free_split(df, "text", "doc_id", test_fraction=1.5)

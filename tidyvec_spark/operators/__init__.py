@@ -12,6 +12,7 @@ from tidyvec_spark.operators.sampling import (
     budget_sample,
     hash_stratified_sample,
     hash_unit,
+    stratified_fixed_n,
     temperature_fractions,
     temperature_sample,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "sq_encode",
     "sq_fit",
     "sq_topk",
+    "stratified_fixed_n",
     "two_phase_agg",
     "plan_image_grid",
     "viz_embeddings",

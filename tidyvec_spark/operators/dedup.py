@@ -210,6 +210,58 @@ def incremental_near_dup_pairs(
     )
 
 
+def leakage_free_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    test_fraction: float = 0.1,
+    salt: str = "",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: Optional[float] = 0.5,
+) -> DataFrame:
+    """Near-dup-aware train/test split: every document in the same
+    near-duplicate component lands in the SAME split, so evaluation
+    data can never leak into training via a near-copy — the
+    contamination failure plain random splits have on crawled corpora.
+
+    Pipeline: MinHash-LSH pairs → connected components → split decided
+    by a salted hash of the component label (singletons use their own
+    id). The split is a pure function of content + salt: deterministic,
+    engine-portable (SQL-oracle-checkable), stable under re-runs and
+    corpus repartitioning. Adds one left join to the dedup pipeline's
+    cost; the split itself is a map-side expression.
+
+    Returns the input columns plus ``split_group`` (the component/id
+    the decision hashed) and ``split`` ('train' | 'test').
+    """
+    from tidyvec_spark.operators.sampling import hash_unit
+
+    if not 0.0 <= float(test_fraction) <= 1.0:
+        raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    comp = connected_components(pairs)
+    out = df.join(
+        comp.select(
+            F.col("id").alias("__cid"), F.col("component").alias("__comp")
+        ),
+        df[id_col] == F.col("__cid"),
+        "left",
+    )
+    group = F.coalesce(F.col("__comp"), df[id_col])
+    split = F.when(
+        hash_unit(group, salt) < float(test_fraction), F.lit("test")
+    ).otherwise(F.lit("train"))
+    return out.select(
+        *df.columns, group.alias("split_group"), split.alias("split")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

@@ -35,6 +35,7 @@ __all__ = [
     "budget_sample",
     "hash_stratified_sample",
     "hash_unit",
+    "stratified_fixed_n",
     "temperature_fractions",
     "temperature_sample",
 ]
@@ -121,6 +122,36 @@ def hash_stratified_sample(
         ).otherwise(frac)
     out = df.withColumn("_u", u).filter(F.col("_u") < frac)
     return out if keep_u else out.drop("_u")
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    n: int,
+    salt: str = "",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by salted
+    hash rank — the deterministic replacement for per-group reservoir
+    sampling ("eyeball 100 docs per language", "cap each domain at N").
+    Unlike fraction sampling the output size is exact; unlike
+    ``ORDER BY rand()`` it is reproducible and engine-portable.
+
+    One shuffle (window over the stratum); rank ties are impossible for
+    distinct ids (the hash is salted per id, tiebreak id). Skewed
+    strata sort within their partition and spill — same profile as any
+    per-stratum window; pre-split giant strata if the sort matters.
+    """
+    if int(n) < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_unit(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    out = df.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= int(n)
+    )
+    return out if keep_rank else out.drop("_rank")
 
 
 def temperature_fractions(
