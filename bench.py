@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "tfidf_search",
     "bm25_search",
     "tfidf_hybrid",
+    "hybrid_rrf",
+    "ann_lsh_batch",
     "sq_topk",
     "matryoshka_topk",
     "embedding_health",
@@ -70,6 +72,8 @@ BENCH_QUERIES = [
     "topk_per_segment",
     "skew_join_events",
     "skew_agg_langs",
+    "bucketed_join_segments",
+    "sample_fixed_per_lang",
     "events_hourly",
     "events_sessions",
     "events_asof_purchase",
