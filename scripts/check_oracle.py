@@ -48,6 +48,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the hf_query_nearest oracle precomputes its VALUES literals for
+    # one SF (default: the driver's gate at sf0.01); sweeping another
+    # SF needs the literals recomputed for it
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+
     import duckdb
     from pyspark.sql import SparkSession
 
