@@ -2246,6 +2246,36 @@ _INCREMENTAL_LSH_SQL = _MINHASH_LSH_SQL.replace(
 )
 
 
+def _decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination
+    (operators/dedup.py::decontaminate_against): the synthesized
+    truncated copies act as an eval set; every corpus document
+    near-duplicating one is dropped (banded corpus × benchmark join —
+    never corpus × corpus — then a broadcast anti-join). Oracle: the
+    full-corpus LSH pair SQL restricted to cross pairs, anti-joined."""
+    from tidyvec_spark.operators.dedup import decontaminate_against
+
+    full = _dup_corpus(spark, sf_dir)
+    corpus = _read(spark, sf_dir, "documents")
+    benchmark = full.filter(F.col("doc_id") >= 10000)
+    clean = decontaminate_against(
+        corpus, benchmark, "text", "doc_id",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+    )
+    return clean.select("doc_id", "lang")
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED ({_MINHASH_LSH_SQL}),
+bad AS (
+  SELECT DISTINCT id_a FROM pairs WHERE id_a < 10000 AND id_b >= 10000
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT id_a FROM bad)
+"""
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup tail: MinHash-LSH pairs → connected components; each
     near-duplicate document labelled with min reachable doc_id."""
@@ -3155,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_batch": _ann_lsh_batch,
         "split_leakage_free": _split_leakage_free,
         "sample_fixed_per_lang": _sample_fixed_per_lang,
+        "decontaminate_corpus": _decontaminate_corpus,
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -3225,6 +3256,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_batch": _ann_lsh_batch_sql(),
         "split_leakage_free": _split_leakage_free_sql(),
         "sample_fixed_per_lang": _SAMPLE_FIXED_SQL,
+        "decontaminate_corpus": _decontaminate_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -453,3 +453,43 @@ def test_incremental_near_dup_equals_full_recompute(spark, corpus):
         dedup.incremental_near_dup_pairs(
             new, index, "text", "doc_id", num_hashes=16, bands=5
         )
+
+
+def test_decontaminate_against_drops_only_contaminated(spark, corpus):
+    """Benchmark decontamination: corpus docs near-duplicating an eval
+    item are dropped; everything else survives; eval-internal and
+    corpus-internal duplicates are irrelevant."""
+    benchmark = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 0 (last word changed)
+            (900, "the quick brown fox jumps over the lazy dog again and more"),
+            (901, "totally unrelated benchmark question about biology"),
+        ],
+        ["doc_id", "text"],
+    )
+    clean = dedup.decontaminate_against(
+        corpus, benchmark, "text", "doc_id", threshold=0.5
+    )
+    kept = sorted(r["doc_id"] for r in clean.collect())
+    # docs 0 and 3 (its normalized twin) near-dup benchmark 900 -> dropped;
+    # 1 is borderline-but-above at this threshold too (shares all but 2
+    # shingles) -> verify against the pair kernel instead of guessing
+    pairs = dedup.minhash_lsh_pairs(
+        corpus.unionByName(
+            benchmark.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        ),
+        "text",
+        "doc_id",
+        threshold=0.5,
+    )
+    bad = {
+        r["id_a"]
+        for r in pairs.filter(F.col("id_b") >= 100000).collect()
+    }
+    assert kept == sorted(
+        r["doc_id"] for r in corpus.collect() if r["doc_id"] not in bad
+    )
+    assert 2 in kept and 4 in kept  # unrelated + unshingleable survive
+    assert 0 not in kept
+    with pytest.raises(ValueError):
+        dedup.decontaminate_against(corpus, benchmark, "text", "doc_id", bands=5)

@@ -71,6 +71,7 @@ SUBSET = [
     "ann_lsh_batch",
     "split_leakage_free",
     "sample_fixed_per_lang",
+    "decontaminate_corpus",
 ]
 
 

@@ -262,6 +262,54 @@ def leakage_free_split(
     )
 
 
+def decontaminate_against(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: Optional[float] = 0.5,
+) -> DataFrame:
+    """Drop every corpus document that near-duplicates a benchmark/eval
+    document — training-data decontamination (the GPT-3 §C / PaLM
+    n-gram-overlap step, here with MinHash-LSH + exact-Jaccard verify
+    instead of raw n-gram hits).
+
+    Physical shape: both sides sign map-side, ONE banded equi-join of
+    corpus × benchmark (never corpus × corpus — the benchmark is the
+    small side), verify, then a broadcast anti-join removes the
+    contaminated ids. Cost scales with |benchmark| × collision rate;
+    the 100 TB corpus is scanned once.
+
+    The corpus and benchmark id spaces may overlap (ids are only used
+    within their own side); returns the clean corpus with its original
+    columns.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows_per_band = num_hashes // bands
+    c_sigs = minhash_sign(corpus, text_col, id_col, num_hashes, shingle_n)
+    b_sigs = minhash_sign(benchmark, text_col, id_col, num_hashes, shingle_n)
+    c_band = _band(c_sigs, bands, rows_per_band).select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), "__b", "__bh"
+    )
+    b_band = _band(b_sigs, bands, rows_per_band).select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"), "__b", "__bh"
+    )
+    contaminated = (
+        _verify_jaccard(c_band.join(b_band, on=["__b", "__bh"]), threshold, None)
+        .select(F.col("id_a").alias("__bad"))
+        .distinct()
+    )
+    return corpus.join(
+        F.broadcast(contaminated),
+        corpus[id_col] == F.col("__bad"),
+        "left_anti",
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
