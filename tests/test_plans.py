@@ -174,3 +174,29 @@ def test_ivf_topk_zero_shuffle(spark, qs):
     df = qs["ann_ivf_topk"](spark, SF)
     assert P.num_shuffles(df) == 0
     assert P.has_take_ordered(df)
+
+
+def test_curation_ops_stay_map_side(spark, qs):
+    """The quality/redact/temperature/fixed-n family is the 100 TB
+    'one scan' claim — pin their shuffle budgets."""
+    from tidyvec_spark import plans as P
+
+    assert P.num_shuffles(qs["docs_quality_flags"](spark, SF)) == 0
+    assert P.num_shuffles(qs["docs_redact"](spark, SF)) == 0
+    assert P.num_shuffles(qs["docs_chunks"](spark, SF)) == 0
+    # temperature: the keep-filter itself is map-side (the fraction fit
+    # runs one tiny aggregate driver-side, before this plan exists)
+    assert P.num_shuffles(qs["mix_temperature"](spark, SF)) == 0
+    # fixed-n / packing: exactly the one window shuffle
+    assert P.num_shuffles(qs["sample_fixed_per_lang"](spark, SF)) == 1
+    assert P.num_shuffles(qs["docs_pack"](spark, SF)) == 1
+
+
+def test_sq_and_matryoshka_plans(spark, qs):
+    from tidyvec_spark import plans as P
+
+    m = qs["matryoshka_topk"](spark, SF)
+    assert P.num_shuffles(m) == 0
+    assert P.has_take_ordered(m)
+    h = qs["embedding_health"](spark, SF)
+    assert P.num_shuffles(h) == 0

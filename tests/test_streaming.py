@@ -293,3 +293,36 @@ def test_budget_filter_tws_gated_or_works(spark, tmp_path):
         S.budget_filter_stream(
             stream, "n_toks", "lang", budget=25, id_col="doc_id", api="arrowflight"
         )
+
+
+def test_embed_on_stream_equals_batch(spark, tmp_path):
+    """The embedder's SCALAR_ITER pandas_udf is stream-compatible:
+    embedding a document stream micro-batch-wise must produce exactly
+    the batch embeddings (the incremental-ingest embed pipeline)."""
+    from tidyvec_spark.embedders.hf import HFEmbedder
+
+    d = tmp_path / "embed_land"
+    d.mkdir()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    docs.coalesce(1).write.parquet(str(d / "f0.parquet"))
+
+    emb = HFEmbedder("fake-model", modality="text", fake_dim=16)
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).parquet(str(d) + "/*")
+    S.run_available_now(
+        emb.embed_column(stream, "text", "embedding").select("doc_id", "embedding"),
+        "embed_stream_t",
+        output_mode="append",
+    )
+    got = {
+        r["doc_id"]: [round(float(x), 6) for x in r["embedding"]]
+        for r in spark.table("embed_stream_t").collect()
+    }
+    batch = {
+        r["doc_id"]: [round(float(x), 6) for x in r["embedding"]]
+        for r in emb.embed_column(
+            spark.read.parquet(str(d) + "/*"), "text", "embedding"
+        ).select("doc_id", "embedding").collect()
+    }
+    assert got == batch and len(got) == 50
