@@ -33,6 +33,7 @@ R = 6  # similarity rounding (decimal places) shared by both engines
 
 # engine-wide tokenization: lowercase, split on whitespace, drop empties
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+_LINES_SQL = "list_filter(string_split(text, chr(10)), l -> trim(l) <> '')"
 
 _STOPWORDS = (
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -1196,6 +1197,106 @@ SELECT doc_id FROM (
 """
 
 
+_PP_BUDGET = 50_000
+_PP_PACK_BUDGET = 5_000
+_PP_SALT = "pp1"
+
+
+def _pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 flagship composite: the FULL pretraining prep chain
+    as ONE lazy plan — Gopher quality filter (map-side) → exact dedup
+    keep-min (one groupBy + semi-join) → per-language char budget (one
+    window) → training-sequence packing (one window) — four curation
+    operators fused by Catalyst into a scan + three bounded shuffles,
+    no intermediate materialization. Output: one row per surviving
+    document with its pack assignment."""
+    from tidyvec_spark.functions import quality as Q
+    from tidyvec_spark.operators.chunking import pack_sequences
+    from tidyvec_spark.operators.dedup import drop_exact_dups
+    from tidyvec_spark.operators.sampling import budget_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = docs.filter(Q.gopher_keep("text", min_words=20))
+    deduped = drop_exact_dups(kept, "text", "doc_id")
+    budgeted = budget_sample(
+        deduped, "n_chars", _PP_BUDGET, strata="lang",
+        order_by=[F.asc("doc_id")],
+    )
+    packed = pack_sequences(
+        budgeted.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars",
+        budget=_PP_PACK_BUDGET, n_buckets=4, salt=_PP_SALT,
+    )
+    return packed.select("doc_id", "lang", "bucket", "seq_id", "seq_offset")
+
+
+_PIPELINE_PRETRAIN_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang, n_chars, text, {_LINES_SQL} AS ls, {_TOKS} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_chars, text,
+         CAST(len(toks) AS BIGINT) AS wc,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(toks) > 0
+              THEN ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3.0) / len(toks)
+              ELSE 0.0 END AS sym0,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS bul0,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS ell0,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS alp0
+  FROM b
+),
+kept AS (
+  SELECT doc_id, lang, n_chars, text FROM m
+  WHERE wc >= 20 AND wc <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+    AND sym0 <= 0.1 AND bul0 <= 0.9 AND ell0 <= 0.3 AND alp0 >= 0.8
+),
+keymin AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+         min(doc_id) AS keep_id
+  FROM kept GROUP BY 1
+),
+ded AS (
+  SELECT k.doc_id, k.lang, k.n_chars FROM kept k
+  JOIN keymin ON keymin.keep_id = k.doc_id
+),
+bud AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+           SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+    FROM ded
+  ) WHERE cum <= {_PP_BUDGET}
+),
+bkt AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(floor(
+           CAST(CONCAT('0x', substr(md5(CONCAT('{_PP_SALT}', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+             / 4294967296.0 * 4) AS INT) AS bucket
+  FROM bud
+),
+ofs AS (
+  SELECT doc_id, lang, bucket,
+         SUM(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS off
+  FROM bkt
+)
+SELECT doc_id, lang, bucket,
+       CAST(off // {_PP_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(off AS BIGINT) AS seq_offset
+FROM ofs
+"""
+
+
 def _pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship composite: a full training-data curation pipeline as
     ONE lazy plan — exact dedup (keep lowest id), language filter on the
@@ -1395,8 +1496,6 @@ def _docs_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.gopher_keep("text", min_words=20).alias("keep"),
     )
 
-
-_LINES_SQL = "list_filter(string_split(text, chr(10)), l -> trim(l) <> '')"
 
 _DOCS_QUALITY_SQL = f"""
 WITH b AS (
@@ -3186,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_free": _split_leakage_free,
         "sample_fixed_per_lang": _sample_fixed_per_lang,
         "decontaminate_corpus": _decontaminate_corpus,
+        "pipeline_pretrain": _pipeline_pretrain,
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -3257,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_free": _split_leakage_free_sql(),
         "sample_fixed_per_lang": _SAMPLE_FIXED_SQL,
         "decontaminate_corpus": _decontaminate_sql(),
+        "pipeline_pretrain": _PIPELINE_PRETRAIN_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "mix_temperature",
     "exact_dup_groups",
     "dedup_drop_exact",
+    "pipeline_pretrain",
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "minhash_lsh_pairs",

@@ -72,6 +72,7 @@ SUBSET = [
     "split_leakage_free",
     "sample_fixed_per_lang",
     "decontaminate_corpus",
+    "pipeline_pretrain",
 ]
 
 
