@@ -78,3 +78,28 @@ def test_unbucketed_join_pays_shuffles(spark):
         cust.hint("merge"), orders.o_custkey == cust.c_custkey
     )
     assert P.num_shuffles(j) >= 1
+
+
+def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
+    """Small-file compaction: a landing zone of 32 tiny files rewrites
+    to the computed target count with identical data."""
+    from tidyvec_spark.sources.maintenance import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    src = str(tmp_path / "landing")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.repartition(32).write.parquet(src)
+    n_before, total = parquet_file_stats(src)
+    assert n_before >= 32
+
+    dst = str(tmp_path / "compacted")
+    n_target = compact_parquet(spark, src, dst, target_mb=128)
+    n_after, _ = parquet_file_stats(dst)
+    assert n_target == 1  # tiny corpus fits one 128MB file
+    assert n_after < n_before
+    # identical data
+    a = sorted(r["doc_id"] for r in spark.read.parquet(dst).collect())
+    b = sorted(r["doc_id"] for r in docs.collect())
+    assert a == b

@@ -3,6 +3,10 @@ from tidyvec_spark.sources.bucketing import (
     bucketed_join_ready,
     write_bucketed_table,
 )
+from tidyvec_spark.sources.maintenance import (
+    compact_parquet,
+    parquet_file_stats,
+)
 from tidyvec_spark.sources.layout import (
     ann_ivf_topk_pruned,
     ann_lsh_topk_pruned,
@@ -15,6 +19,8 @@ __all__ = [
     "write_vec",
     "read_vec",
     "bucketed_join_ready",
+    "compact_parquet",
+    "parquet_file_stats",
     "write_bucketed_table",
     "write_bucket_partitioned",
     "write_centroid_partitioned",

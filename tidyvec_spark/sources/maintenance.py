@@ -1,0 +1,65 @@
+"""Table maintenance: small-file compaction.
+
+Streaming ingest (micro-batch sinks, per-trigger files) and
+fine-grained partitioned writes leave a 100 TB table as millions of
+KB-sized files — every subsequent scan then pays per-file open/footer
+costs that dwarf the data read, and the driver pays listing time.
+Compaction rewrites a prefix into ~``target_mb`` files; run it on cold
+partitions behind the ingest watermark (the classic
+landing-zone-then-compact layout; table formats like Delta/Iceberg
+bake this in as OPTIMIZE — this is the plain-parquet equivalent).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["compact_parquet", "parquet_file_stats"]
+
+
+def parquet_file_stats(path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) for the parquet data files under ``path``
+    (driver-side listing — the thing compaction keeps cheap)."""
+    n, total = 0, 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    partition_by: str | None = None,
+    mode: str = "errorifexists",
+) -> int:
+    """Rewrite ``src``'s parquet as ~``target_mb``-sized files at
+    ``dst``; returns the output file-count target.
+
+    Sizing uses the actual on-disk bytes (compressed), so the output
+    count is ``ceil(bytes / target)`` — no sampling pass. The rewrite
+    is one scan + one round-robin repartition (a shuffle, paid once to
+    fix every future scan). With ``partition_by`` the directory layout
+    is preserved/established and files coalesce within partitions via
+    the repartition count.
+
+    Atomicity note: writes to a NEW location (object-store rename is
+    not atomic); swap the table pointer after success, as any
+    plain-parquet compactor must.
+    """
+    _, total = parquet_file_stats(src)
+    n_out = max(1, math.ceil(total / (int(target_mb) * 1024 * 1024)))
+    df: DataFrame = spark.read.parquet(src)
+    w = df.repartition(n_out)
+    writer = w.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(dst)
+    return n_out
