@@ -591,6 +591,33 @@ ORDER BY similarity DESC, vec_id LIMIT 10
 """
 
 
+def _ann_topk_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-and-query ANN over a persisted collection: ``write_vec``
+    with an LSH index spec lays the data out partitioned by bucket and
+    stores the planes in the ``_vecframe.json`` sidecar; the query side
+    (``sources/layout.py`` ``ann_topk_sidecar``) recomputes the probe
+    set from the sidecar alone — no caller-held index state, and the
+    scan prunes to the probed bucket directories. Result is identical
+    to the unpartitioned ``ann_lsh_topk`` (same planes, same
+    Hamming<=1 multiprobe), which is what the oracle checks."""
+    import tempfile
+
+    from tidyvec_spark import vec
+    from tidyvec_spark.sources import ann_topk_sidecar, write_vec
+
+    e = _read(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="tv_sidecar_") + "/veclsh"
+    write_vec(
+        vec(e, dim=_ANN_DIM), path,
+        index={"kind": "lsh", "planes": _ann_planes()},
+    )
+    q = _query_vec(spark, sf_dir)
+    return ann_topk_sidecar(
+        spark, path, q, "vec_id", k=10, probe_hamming=1,
+        method="cosine", round_to=R,
+    )
+
+
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF: 16 fixed centroids (embeddings of vec_id < 16 — determinism
     for the oracle; production uses ml.KMeans centers), nprobe=4, exact
@@ -2129,9 +2156,9 @@ _EMBEDDING_POOL_SQL = f"""
 WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 js AS (SELECT unnest(range(64)) AS j)
 SELECT label,
-       CAST((SELECT count(*) FROM e e2 WHERE e2.label = e.label) AS BIGINT) AS n_chunks,
+       CAST((SELECT count(e2.v) FROM e e2 WHERE e2.label = e.label) AS BIGINT) AS n_chunks,
        CAST(j AS INT) AS dim_idx,
-       ROUND(sum(v[j + 1]) / count(*), {R}) AS val
+       ROUND(sum(v[j + 1]) / count(v), {R}) AS val
 FROM e, js
 GROUP BY label, j
 """
@@ -3191,77 +3218,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Every query with a DISTINCT oracle sits in the window;
-    # the tail holds (a) entries whose oracle SQL is a twin of a
-    # checked entry (bucketed_gemm_near_dup ≡ lsh_near_dup,
-    # ngram_jaccard_capped ≡ ngram_jaccard_pairs at this SF,
-    # dedup_components_two_phase ≡ dedup_components), (b) entries whose
-    # computation is a strict sub-plan of a checked entry
-    # (simhash_fingerprints ⊂ simhash_pairs, exact_dup_groups' keep-min
-    # machinery ⊂ dedup_drop_exact), and (c) the rows-only ML entries.
-    # All tail entries stay oracle-/pytest-checked in
-    # tests/test_entry_oracle.py.
+    # entries. Round-5 rotation (per the r4 verdict): the 24 round-4
+    # oracle-backed entries that had never received a driver row now
+    # occupy the window, together with 25 legacy representatives chosen
+    # for (a) having only one prior driver row (streaming trio, IVFPQ,
+    # large-IVF, hf contract) or (b) distinct semantics worth an
+    # independent re-check each round (null-quirk, as-of, components).
+    # Multi-round-stable legacy entries move to the tail; every
+    # oracle-backed tail entry stays checked by the dynamic SUBSET in
+    # tests/test_entry_oracle.py (computed as "oracle-backed and past
+    # position 50", so any future rotation keeps the invariant).
     return {
-        # vector search (SURVEY §2.3)
-        "knn_cosine": _knn("cosine"),
-        "knn_euclidean": _knn("euclidean"),
-        "knn_dot": _knn("dot"),
-        "knn_min_score": _knn("cosine", n=100, min_score=0.15),
-        "knn_null_quirk": _knn_null_quirk,
-        "similarity_pair": _similarity_pair,
-        "ann_topk_per_query": _ann_topk,
-        "similarity_join_lsh": _similarity_join_lsh,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "ann_ivf_topk_large": _ann_ivf_topk_large,
-        "pq_adc_topk": _pq_adc_topk,
-        "ivfpq_adc_topk": _ivfpq_adc_topk,
-        "embedding_near_dup": _embedding_near_dup,
-        "lsh_near_dup": _lsh_near_dup,
-        "lsh_near_dup_multi": _lsh_near_dup_multi,
-        "semantic_dedup": _semantic_dedup,
-        # tf-idf embed + search (SURVEY §2.2-2.3)
-        "tfidf_search": _tfidf_search,
-        "tfidf_hybrid": _tfidf_hybrid,
-        "keyword_search": _keyword_search,
-        "bm25_search": _bm25_search,
-        # text analysis (extension §7.5)
-        "text_stats": _text_stats,
-        "lang_id": _lang_id,
-        "token_topk": _token_topk,
-        "doc_fingerprint": _doc_fingerprint,
-        # multimodal columns (extension §7.5)
-        "multimodal_image_meta": _multimodal_image_meta,
-        "multimodal_audio_meta": _multimodal_audio_meta,
-        "multimodal_frame_sample": _multimodal_frame_sample,
-        # dedup + sampling (extension §7.5)
-        "dedup_drop_exact": _dedup_drop_exact,
-        "pipeline_curate": _pipeline_curate,
-        "budget_sample_by_lang": _budget_sample_by_lang,
-        "mix_sample_langs": _mix_sample_langs,
-        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "minhash_lsh_pairs": _minhash_lsh_pairs,
-        "simhash_pairs": _simhash_pairs,
-        "dedup_components": _dedup_components,
-        "bpe_token_stats": _bpe_token_stats,
-        # relational surface (SURVEY §2.6)
-        "q1_pricing": _q1_pricing,
-        "q3_top_orders": _q3_top_orders,
-        "q5_region_revenue": _q5_region_revenue,
-        "topk_per_segment": _topk_per_segment,
-        "events_hourly": _events_hourly,
-        "events_sessions": _events_sessions,
-        "events_session_windows": _events_session_windows,
-        "events_asof_purchase": _events_asof_purchase,
-        "events_range_join": _events_range_join,
-        # streaming engine end-to-end (batch-twin oracles)
-        "events_stream_hourly": _events_stream_hourly,
-        "events_stream_interval_join": _events_stream_interval_join,
-        "docs_stream_dedup": _docs_stream_dedup,
-        "hf_query_nearest": _hf_query_nearest,
-        # --- position 51+: outside the driver's gate window ---
-        # (every oracle-backed entry below is checked by
-        # tests/test_entry_oracle.py instead)
+        # --- gate window (1-50) ---
+        # round-4 curation / scale extension (first driver rows this round)
         "docs_quality_flags": _docs_quality_flags,
         "docs_repetition": _docs_repetition,
         "docs_redact": _docs_redact,
@@ -3286,6 +3255,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fixed_per_lang": _sample_fixed_per_lang,
         "decontaminate_corpus": _decontaminate_corpus,
         "pipeline_pretrain": _pipeline_pretrain,
+        # round-5: sidecar-persisted ANN index, opened from the path alone
+        "ann_topk_sidecar": _ann_topk_sidecar,
+        # legacy representatives (one per family / few prior driver rows)
+        "knn_cosine": _knn("cosine"),
+        "knn_null_quirk": _knn_null_quirk,
+        "similarity_join_lsh": _similarity_join_lsh,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk_large": _ann_ivf_topk_large,
+        "ivfpq_adc_topk": _ivfpq_adc_topk,
+        "embedding_near_dup": _embedding_near_dup,
+        "lsh_near_dup": _lsh_near_dup,
+        "semantic_dedup": _semantic_dedup,
+        "tfidf_hybrid": _tfidf_hybrid,
+        "bm25_search": _bm25_search,
+        "bpe_token_stats": _bpe_token_stats,
+        "dedup_drop_exact": _dedup_drop_exact,
+        "pipeline_curate": _pipeline_curate,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "dedup_components": _dedup_components,
+        "q5_region_revenue": _q5_region_revenue,
+        "topk_per_segment": _topk_per_segment,
+        "events_asof_purchase": _events_asof_purchase,
+        "events_stream_hourly": _events_stream_hourly,
+        "events_stream_interval_join": _events_stream_interval_join,
+        "docs_stream_dedup": _docs_stream_dedup,
+        "hf_query_nearest": _hf_query_nearest,
+        # --- position 51+: outside the driver's gate window ---
+        # (every oracle-backed entry below is checked by the dynamic
+        # SUBSET in tests/test_entry_oracle.py; each had driver rows in
+        # rounds 1-4)
+        "knn_euclidean": _knn("euclidean"),
+        "knn_dot": _knn("dot"),
+        "knn_min_score": _knn("cosine", n=100, min_score=0.15),
+        "similarity_pair": _similarity_pair,
+        "ann_topk_per_query": _ann_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "pq_adc_topk": _pq_adc_topk,
+        "lsh_near_dup_multi": _lsh_near_dup_multi,
+        "tfidf_search": _tfidf_search,
+        "keyword_search": _keyword_search,
+        "text_stats": _text_stats,
+        "lang_id": _lang_id,
+        "token_topk": _token_topk,
+        "doc_fingerprint": _doc_fingerprint,
+        "multimodal_image_meta": _multimodal_image_meta,
+        "multimodal_audio_meta": _multimodal_audio_meta,
+        "multimodal_frame_sample": _multimodal_frame_sample,
+        "budget_sample_by_lang": _budget_sample_by_lang,
+        "mix_sample_langs": _mix_sample_langs,
+        "q1_pricing": _q1_pricing,
+        "q3_top_orders": _q3_top_orders,
+        "events_hourly": _events_hourly,
+        "events_sessions": _events_sessions,
+        "events_session_windows": _events_session_windows,
+        "events_range_join": _events_range_join,
+        # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
@@ -3309,6 +3336,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_per_query": _ANN_TOPK_SQL,
         "similarity_join_lsh": _similarity_join_lsh_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_topk_sidecar": _ann_lsh_sql(),
         "ann_ivf_topk": _ANN_IVF_SQL,
         "ann_ivf_topk_large": _ann_ivf_sql(256, 16),
         "pq_adc_topk": _PQ_ADC_SQL,

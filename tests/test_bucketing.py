@@ -2,6 +2,8 @@
 with ZERO Exchange operators — write-time shuffle amortized over every
 subsequent join — and return exactly the plain join's rows."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -91,15 +93,38 @@ def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
     src = str(tmp_path / "landing")
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     docs.repartition(32).write.parquet(src)
-    n_before, total = parquet_file_stats(src)
+    n_before, total = parquet_file_stats(spark, src)
     assert n_before >= 32
+    # the Hadoop-FS listing agrees with a local walk (same files, same
+    # bytes) — and unlike os.walk it also works on object-store URIs
+    walk_n, walk_total = 0, 0
+    for root, _, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                walk_n += 1
+                walk_total += os.path.getsize(os.path.join(root, f))
+    assert (n_before, total) == (walk_n, walk_total)
+    # scheme-qualified URI lists identically (the os.walk version
+    # returned 0 here)
+    assert parquet_file_stats(spark, f"file://{src}") == (n_before, total)
 
     dst = str(tmp_path / "compacted")
     n_target = compact_parquet(spark, src, dst, target_mb=128)
-    n_after, _ = parquet_file_stats(dst)
+    n_after, _ = parquet_file_stats(spark, dst)
     assert n_target == 1  # tiny corpus fits one 128MB file
     assert n_after < n_before
     # identical data
     a = sorted(r["doc_id"] for r in spark.read.parquet(dst).collect())
     b = sorted(r["doc_id"] for r in docs.collect())
     assert a == b
+
+
+def test_compact_parquet_empty_path_raises(spark, tmp_path):
+    """Mis-pointed/empty src must raise, not compact 'everything' into
+    one file from a 0-byte listing."""
+    from tidyvec_spark.sources.maintenance import compact_parquet
+
+    src = str(tmp_path / "empty")
+    os.makedirs(src, exist_ok=True)
+    with pytest.raises(ValueError, match="no parquet data files"):
+        compact_parquet(spark, src, str(tmp_path / "out"))

@@ -31,6 +31,25 @@ def test_rrf_rejects_bad_args(spark):
         rrf_fuse([a], "id", ["s", "t"])
     with pytest.raises(ValueError):
         rrf_fuse([], "id", [])
+    with pytest.raises(ValueError):
+        rrf_fuse([a], "id", ["s"], n=10, max_list_size=5)
+
+
+def test_rrf_bounds_each_input(spark):
+    """A corpus-sized input must be truncated to its top
+    max_list_size rows in rank order — planned as a distributed
+    TakeOrdered, never a single-task global sort of everything — and
+    the ranks (hence RRF scores) of the survivors are unchanged."""
+    corpus = spark.range(0, 5000).select(
+        F.col("id"), (5000 - F.col("id")).cast("double").alias("s")
+    )
+    out = rrf_fuse([corpus], "id", ["s"], k=60, n=5, max_list_size=100)
+    plan = P.explain_str(out)
+    assert "TakeOrderedAndProject" in plan
+    got = {r["id"]: r["rrf_score"] for r in out.collect()}
+    # ranks preserved exactly: id 0 is rank 1, etc.
+    assert got[0] == round(1 / 61, 6)
+    assert got[4] == round(1 / 65, 6)
 
 
 def test_mean_pool_hand_checked(spark):
@@ -44,6 +63,30 @@ def test_mean_pool_hand_checked(spark):
     }
     assert got[1] == ([2.0, 3.0], 2)
     assert got[2] == ([10.0, 20.0], 1)
+
+
+def test_mean_pool_ignores_null_and_mismatched_dims(spark):
+    """NULL embeddings must not inflate the denominator (collect_list
+    already drops them from the sum), and with dim= set, wrong-length
+    vectors are excluded instead of NULLing elements via zip_with."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (1, None), (2, None)],
+        "parent int, emb array<double>",
+    )
+    got = {
+        r["parent"]: (r["embedding"], r["n_chunks"])
+        for r in mean_pool_embeddings(df, "emb", "parent").collect()
+    }
+    assert got[1] == ([2.0, 3.0], 2)  # NULL row excluded from mean AND count
+    assert got[2] == (None, 0)  # all-NULL parent: no vector, zero chunks
+    df2 = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0, 5.0])], "parent int, emb array<double>"
+    )
+    got2 = {
+        r["parent"]: (r["embedding"], r["n_chunks"])
+        for r in mean_pool_embeddings(df2, "emb", "parent", dim=2).collect()
+    }
+    assert got2[1] == ([1.0, 2.0], 1)  # 3-dim row filtered out
 
 
 def test_batch_lsh_matches_single_query_path(spark):

@@ -34,6 +34,7 @@ def rrf_fuse(
     k: int = 60,
     n: int | None = 10,
     round_to: int | None = 6,
+    max_list_size: int = 10_000,
 ) -> DataFrame:
     """Fuse ranked candidate lists into one RRF-ordered result.
 
@@ -42,16 +43,32 @@ def rrf_fuse(
     oracle mirrors. Output: (id, rrf_score) sorted desc, top ``n``.
     A document missing from a list simply contributes nothing for that
     list (the standard RRF convention).
+
+    RRF needs a GLOBAL rank per list, which plans as a one-partition
+    window — safe only because inputs are candidate lists, not corpora.
+    ``max_list_size`` enforces that: each input is truncated to its top
+    ``max_list_size`` rows *in rank order* first, via orderBy+limit —
+    Spark plans that as a distributed TakeOrderedAndProject (per-
+    partition top-N, then merge), so a caller who passes a scored
+    corpus pays a distributed top-N, never a single-task sort of
+    everything, and ranks 1..max are preserved exactly.
     """
     if len(ranked) != len(score_cols):
         raise ValueError("one score_col per ranked input")
     if not ranked:
         raise ValueError("need at least one ranked input")
+    if max_list_size < 1 or (n is not None and max_list_size < n):
+        raise ValueError("max_list_size must be >= 1 (and >= n)")
     parts = []
     for df, sc in zip(ranked, score_cols):
+        bounded = (
+            df.select(F.col(id_col), F.col(sc))
+            .orderBy(F.desc(sc), F.asc(id_col))
+            .limit(int(max_list_size))
+        )
         w = Window.orderBy(F.desc(sc), F.asc(id_col))
         parts.append(
-            df.select(
+            bounded.select(
                 F.col(id_col),
                 (1.0 / (F.lit(int(k)) + F.row_number().over(w))).alias("__rr"),
             )
@@ -87,7 +104,16 @@ def mean_pool_embeddings(
     — acceptable because chunks-per-parent is small and bounded (a
     document's chunk count), never corpus-sized. For unbounded groups
     use posexplode + groupBy(parent, pos) instead.
+
+    NULL embeddings are excluded from both the sum (``collect_list``
+    drops them) AND the denominator/``n_chunks`` (``count(emb_col)``
+    is the non-null count) — dividing by ``count(*)`` would silently
+    bias the mean low. With ``dim`` set, rows whose vector length
+    differs are dropped too (``zip_with`` over mismatched lengths
+    yields NULL elements silently).
     """
+    if dim is not None:
+        df = df.filter(F.size(F.col(emb_col)) == int(dim))
     pooled = F.aggregate(
         F.collect_list(F.col(emb_col)),
         F.lit(None).cast("array<double>"),
@@ -95,7 +121,7 @@ def mean_pool_embeddings(
             F.zip_with(acc, x, lambda a, b: a + b)
         ),
     )
-    cnt = F.count("*")
+    cnt = F.count(F.col(emb_col))  # non-null count, matching collect_list
     mean = F.transform(pooled, lambda s: s / cnt)
     if round_to is not None:
         mean = F.transform(mean, lambda v: F.round(v, round_to))

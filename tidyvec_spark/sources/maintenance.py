@@ -13,22 +13,34 @@ bake this in as OPTIMIZE — this is the plain-parquet equivalent).
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["compact_parquet", "parquet_file_stats"]
 
 
-def parquet_file_stats(path: str) -> tuple[int, int]:
-    """(n_files, total_bytes) for the parquet data files under ``path``
-    (driver-side listing — the thing compaction keeps cheap)."""
+def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) for the parquet data files under ``path``.
+
+    Lists through the Hadoop FileSystem API so the same code works on
+    every scheme Spark can read (``file:``, ``hdfs:``, ``s3a:``,
+    ``abfs:``, ...) — a local ``os.walk`` silently returns 0 files on
+    object-store paths, which is exactly where compaction matters.
+    The listing is a single recursive ``listFiles`` call (one LIST
+    round-trip per S3 page, not one stat per file).
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
     n, total = 0, 0
-    for root, _, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                n += 1
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(jpath, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            n += 1
+            total += st.getLen()
     return n, total
 
 
@@ -50,11 +62,16 @@ def compact_parquet(
     is preserved/established and files coalesce within partitions via
     the repartition count.
 
+    Raises if the listing finds no parquet files — compacting an empty
+    or mis-pointed path into one file is a sizing failure, not a no-op.
+
     Atomicity note: writes to a NEW location (object-store rename is
     not atomic); swap the table pointer after success, as any
     plain-parquet compactor must.
     """
-    _, total = parquet_file_stats(src)
+    n_files, total = parquet_file_stats(spark, src)
+    if n_files == 0:
+        raise ValueError(f"no parquet data files found under {src!r}")
     n_out = max(1, math.ceil(total / (int(target_mb) * 1024 * 1024)))
     df: DataFrame = spark.read.parquet(src)
     w = df.repartition(n_out)
