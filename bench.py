@@ -7,6 +7,9 @@ the last line):
   {"plans": {name: {shuffles, scans, codegen_stages}}, "sf": <sf>}
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+The plan metrics are ALSO written to PLANS.json next to this script —
+stdout tail-capture truncates the long first line, the file is the
+durable copy.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver transfer) so timings measure the distributed plan, not
@@ -81,6 +84,17 @@ BENCH_QUERIES = [
     "events_range_join",
     "kmeans_clusters",
     "hf_query_nearest",
+    # round-5 additions: the curation paths whose plans deserve
+    # wall-time tracking (incremental dedup and decontamination are
+    # exactly the ops a production pipeline re-runs per batch)
+    "incremental_near_dup",
+    "decontaminate_corpus",
+    "split_leakage_free",
+    "docs_redact",
+    "docs_repetition",
+    "embedding_pool_labels",
+    "ann_topk_sidecar",
+    "dsir_select",
 ]
 
 
@@ -166,12 +180,18 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # two lines, ON PURPOSE: the driver tail-captures stdout and parses
-    # the LAST line — the large plan-metrics dict goes on its own line
-    # first (round-over-round plan attribution), and the compact
-    # timings JSON is the final, parseable line (r2's single giant line
-    # got head-truncated and lost every wall time)
-    print(json.dumps({"plans": plan_metrics, "sf": float(sf)}))
+    # The full plan-metrics dict goes to a FILE: the driver tail-
+    # captures stdout, so a long plans line gets head-truncated (r4
+    # lost ~40 of 52 entries); the file is the durable round-over-round
+    # plan-attribution artifact. A (possibly truncated) stdout copy
+    # remains for quick eyeballing.
+    plans_payload = {"plans": plan_metrics, "sf": float(sf)}
+    plans_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PLANS.json"
+    )
+    with open(plans_path, "w") as f:
+        json.dump(plans_payload, f, indent=1, sort_keys=True)
+    print(json.dumps(plans_payload))
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),

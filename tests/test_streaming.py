@@ -250,6 +250,96 @@ def test_budget_filter_stream_state_carries_across_batches(spark, tmp_path):
     assert got == [1, 2, 5]
 
 
+def test_budget_filter_multi_chunk_group_stays_id_ordered(spark, tmp_path):
+    """A stratum spanning MULTIPLE Arrow chunks within one micro-batch
+    must still admit in global doc_id order. The fixture's physical row
+    order is doc_id-DESCENDING, so per-chunk admission (the bug: sort
+    each pandas chunk independently) would admit high ids from the
+    first chunk and diverge from the batch cumsum twin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "budget_chunks"
+    d.mkdir()
+    ids = list(range(40, 0, -1))  # descending physical order
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(["en"] * 40),
+            "n_toks": pa.array([10] * 40, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "f0.parquet"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        stream = spark.readStream.schema(
+            "doc_id bigint, lang string, n_toks bigint"
+        ).parquet(str(d) + "/*")
+        S.run_available_now(
+            S.budget_filter_stream(
+                stream, "n_toks", "lang", budget=100, id_col="doc_id"
+            ),
+            "budget_chunked",
+            output_mode="append",
+        )
+        got = sorted(r["doc_id"] for r in spark.table("budget_chunked").collect())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # budget 100 / 10 toks -> exactly the ten LOWEST ids, not the first
+    # chunk's high ids
+    assert got == list(range(1, 11))
+
+
+def test_budget_filter_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume: run the stream over file 1 with a checkpoint,
+    let the query terminate, stage file 2, restart from the SAME
+    checkpoint — the carried state must make the union of both runs'
+    admissions equal one continuous run over both files (the stateful
+    operator's real failure mode at scale is losing/duplicating the
+    running total across restarts)."""
+    land = tmp_path / "budget_ckpt_land"
+    land.mkdir()
+    out = str(tmp_path / "budget_ckpt_out")
+    ckpt = str(tmp_path / "budget_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "doc_id bigint, lang string, n_toks bigint"
+        ).parquet(str(land) + "/*")
+        q = (
+            S.budget_filter_stream(
+                stream, "n_toks", "lang", budget=300, id_col="doc_id"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, "en", 200), (2, "en", 50)], "doc_id bigint, lang string, n_toks bigint"
+    ).coalesce(1).write.parquet(str(land / "f0.parquet"))
+    run_once()  # first incarnation: admits 1, 2 (total 250), then stops
+
+    spark.createDataFrame(
+        [(3, "en", 100), (4, "en", 40), (5, "fr", 10)],
+        "doc_id bigint, lang string, n_toks bigint",
+    ).coalesce(1).write.parquet(str(land / "f1.parquet"))
+    run_once()  # resumed incarnation: state must carry total=250
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # identical to the continuous-run expectation in
+    # test_budget_filter_stream_state_carries_across_batches:
+    # en doc 3 overflows (350>300) and doc 4 counts after it -> both
+    # dropped; fr doc 5 is a fresh stratum
+    assert got == [1, 2, 5]
+
+
 def test_budget_filter_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, "en", 5)], "doc_id bigint, lang string, n_toks bigint")
     with pytest.raises(ValueError):

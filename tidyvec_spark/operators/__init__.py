@@ -8,6 +8,11 @@ from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
 from tidyvec_spark.operators.chunking import chunk_documents, pack_sequences
 from tidyvec_spark.operators.fusion import mean_pool_embeddings, rrf_fuse
+from tidyvec_spark.operators.importance import (
+    dsir_log_ratios,
+    dsir_top_k,
+    dsir_weights,
+)
 from tidyvec_spark.operators.sampling import (
     budget_sample,
     hash_stratified_sample,
@@ -45,6 +50,9 @@ __all__ = [
     "chunk_documents",
     "hash_stratified_sample",
     "hash_unit",
+    "dsir_log_ratios",
+    "dsir_top_k",
+    "dsir_weights",
     "mean_pool_embeddings",
     "rrf_fuse",
     "pack_sequences",

@@ -256,12 +256,18 @@ def stateful_dedup_stream(
 
 
 def _admit_under_budget(pdf, seen: int, budget: int, tok: str, idc: str):
-    """Strict-prefix admission of one Arrow batch in id order: the
+    """Strict-prefix admission of one group's rows in id order: the
     running total counts EVERY arrived document (admitted or not), and
     a row is kept iff the total including it stays ≤ budget — the same
     greedy-prefix-not-knapsack rule as ``budget_sample``, and exactly
     the SQL window cumsum, so the oracle twin is plain SQL. Returns the
-    admitted sub-frame (or None) and the new arrived-token total."""
+    admitted sub-frame (or None) and the new arrived-token total.
+
+    Callers must pass the group's ENTIRE micro-batch slice in one
+    frame: admitting per Arrow chunk would make admission order
+    chunk-order, not id-order, whenever a stratum spans more than
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows (default
+    10k) — silently diverging from the id-ordered oracle."""
     pdf = pdf.sort_values(idc).reset_index(drop=True)
     keep = []
     for i, t in enumerate(pdf[tok].astype("int64")):
@@ -287,10 +293,12 @@ def budget_filter_stream(
     re-ranking history.
 
     Per stratum the state is ONE long (the running total of ALL arrived
-    tokens); batches arrive as Arrow pandas frames and are processed in
-    ``id_col`` order, so single-batch runs are fully deterministic (the
-    oracle orders by the same id). Across micro-batches admission
-    follows arrival order — the defining semantics of an online filter.
+    tokens); within each micro-batch the stratum's rows are gathered
+    across Arrow chunks and admitted once in global ``id_col`` order —
+    NOT per-chunk — so single-micro-batch runs are fully deterministic
+    at any ``arrow.maxRecordsPerBatch`` (the oracle orders by the same
+    id). Across micro-batches admission follows arrival order — the
+    defining semantics of an online filter.
     State is 8 bytes per stratum: bounded by the stratum vocabulary, no
     watermark needed. The admission rule is the same strict greedy
     prefix as ``budget_sample`` (a document is admitted iff the running
@@ -351,12 +359,19 @@ def budget_filter_stream(
         state_schema = T.StructType([T.StructField("total", T.LongType(), False)])
 
         def fn(key, pdf_iter, state):
+            import pandas as pd
+
             spent = state.get[0] if state.exists else 0
-            for pdf in pdf_iter:
-                if len(pdf) == 0:
-                    continue
+            # Concatenate the group's Arrow chunks and admit ONCE in
+            # global id order — per-chunk admission would be
+            # chunk-ordered when the stratum spans >maxRecordsPerBatch
+            # rows. Bounded: one stratum's slice of one micro-batch,
+            # the same working set applyInPandas already materializes.
+            parts = [pdf for pdf in pdf_iter if len(pdf)]
+            if parts:
+                whole = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
                 admitted, spent = _admit_under_budget(
-                    pdf, spent, budget, tok, idc
+                    whole, spent, budget, tok, idc
                 )
                 if admitted is not None:
                     yield admitted
@@ -389,12 +404,16 @@ def budget_filter_stream(
             self._spent = handle.getValueState("spent", "total long")
 
         def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
             spent = self._spent.get()[0] if self._spent.exists() else 0
-            for pdf in rows:
-                if len(pdf) == 0:
-                    continue
+            # same concat-then-admit as the apip path (id order, not
+            # Arrow chunk order)
+            parts = [pdf for pdf in rows if len(pdf)]
+            if parts:
+                whole = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
                 admitted, spent = _admit_under_budget(
-                    pdf, spent, budget, tok, idc
+                    whole, spent, budget, tok, idc
                 )
                 if admitted is not None:
                     yield admitted
