@@ -2474,6 +2474,102 @@ ORDER BY weight DESC, doc_id LIMIT 100
 """
 
 
+def _docs_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (functions/quality.py::c4_clean_lines,
+    Raffel et al. 2020 §2.2): drop lines that lack terminal
+    punctuation, have <3 words, or mention javascript; drop pages with
+    lorem-ipsum/braces. The fixture corpus is single-line, so the entry
+    first synthesizes line structure deterministically (every literal
+    ' merge ' becomes '.\\n' — same replace in the oracle). Pure
+    map-side projection, zero shuffle."""
+    from tidyvec_spark.functions.quality import c4_clean_lines, c4_page_keep
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" merge "), F.lit(".\n")).alias("t"),
+    )
+    return (
+        lined.filter(c4_page_keep("t"))
+        .select(
+            "doc_id",
+            c4_clean_lines("t", min_words=3).alias("clean_text"),
+        )
+        .withColumn("n_clean_chars", F.length("clean_text").cast("long"))
+    )
+
+
+_DOCS_C4_CLEAN_SQL = """
+WITH lined AS (
+  SELECT doc_id, replace(text, ' merge ', '.' || chr(10)) AS t FROM documents
+),
+pages AS (
+  SELECT doc_id, t FROM lined
+  WHERE NOT contains(lower(t), 'lorem ipsum') AND NOT contains(lower(t), '{')
+),
+cleaned AS (
+  SELECT doc_id,
+         -- coalesce: DuckDB array_to_string(empty) is NULL, Spark
+         -- array_join(empty) is ''
+         coalesce(array_to_string(
+           list_filter(
+             list_transform(string_split(t, chr(10)), l -> trim(l)),
+             l -> l <> ''
+              AND regexp_matches(l, '[.!?"”]$')
+              AND len(list_filter(regexp_split_to_array(l, '\\s+'), w -> w <> '')) >= 3
+              AND NOT contains(lower(l), 'javascript')
+           ),
+           chr(10)), '') AS clean_text
+  FROM pages
+)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS BIGINT) AS n_clean_chars
+FROM cleaned
+"""
+
+
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection
+    (operators/dedup.py::drop_near_dups_keep_best): near-dup components
+    over the synthetic dup corpus, then keep the LONGEST member of each
+    component (tie → min id) plus every unique document — the
+    production dedup policy (keep the best copy, not the min-id one).
+    The original always outlives its truncated copy here, which is the
+    observable difference from ``dedup_drop_exact``'s min-id rule."""
+    from tidyvec_spark.operators.dedup import (
+        drop_near_dups_keep_best,
+        near_dup_groups,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir).withColumn(
+        "score", F.length("text").cast("long")
+    )
+    comps = near_dup_groups(
+        corpus, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5,
+    )
+    return drop_near_dups_keep_best(corpus, comps, "doc_id", "score").select(
+        "doc_id", "score"
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+WITH comp AS MATERIALIZED ({_dedup_components_sql()}),
+{_DUP_CORPUS_SQL},
+scored AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM corpus),
+ranked AS (
+  SELECT c.id AS did,
+         row_number() OVER (
+           PARTITION BY c.component ORDER BY s.score DESC, c.id ASC
+         ) AS rn
+  FROM comp c JOIN scored s ON s.doc_id = c.id
+)
+SELECT s.doc_id, s.score FROM scored s
+WHERE s.doc_id NOT IN (SELECT did FROM ranked WHERE rn > 1)
+"""
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup tail: MinHash-LSH pairs → connected components; each
     near-duplicate document labelled with min reachable doc_id."""
@@ -3387,6 +3483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions land in the tail (dynamic pytest SUBSET
         # covers them; rotate into the window next round)
         "dsir_select": _dsir_select,
+        "docs_c4_clean": _docs_c4_clean,
+        "dedup_keep_best": _dedup_keep_best,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -3462,6 +3560,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_corpus": _decontaminate_sql(),
         "pipeline_pretrain": _PIPELINE_PRETRAIN_SQL,
         "dsir_select": _dsir_sql(),
+        "docs_c4_clean": _DOCS_C4_CLEAN_SQL,
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

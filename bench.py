@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "embedding_pool_labels",
     "ann_topk_sidecar",
     "dsir_select",
+    "docs_c4_clean",
+    "dedup_keep_best",
 ]
 
 

@@ -493,3 +493,32 @@ def test_decontaminate_against_drops_only_contaminated(spark, corpus):
     assert 0 not in kept
     with pytest.raises(ValueError):
         dedup.decontaminate_against(corpus, benchmark, "text", "doc_id", bands=5)
+
+
+def test_drop_near_dups_keep_best(spark):
+    """Canonical selection keeps the highest-score member per
+    component (tie -> min id) and all unique docs; the corpus is only
+    touched by the final anti-join."""
+    from tidyvec_spark.operators.dedup import drop_near_dups_keep_best
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a copy", 50),   # best of component A
+            (3, "a copy2", 50),  # tie with 2 -> 2 wins (min id)
+            (4, "unique", 7),    # in no component -> always kept
+            (5, "b", 30),
+            (6, "b copy", 20),
+        ],
+        "doc_id bigint, text string, score bigint",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], "id bigint, component bigint"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in drop_near_dups_keep_best(
+            corpus, comps, "doc_id", "score"
+        ).collect()
+    )
+    assert kept == [2, 4, 5]

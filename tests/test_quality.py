@@ -206,3 +206,49 @@ def test_temperature_fractions_shape(spark):
               kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts["fr"] == 10  # fraction 1.0 keeps all
     assert counts["en"] < 90
+
+
+def test_c4_clean_lines_hand_checked(spark):
+    from tidyvec_spark.functions.quality import (
+        c4_clean_lines,
+        c4_page_keep,
+    )
+
+    text = (
+        "This line survives the filter.\n"
+        "too short.\n"                      # < 3 words
+        "no terminal punctuation here\n"    # no . ! ? "
+        "  Indented but fine, really!\n"    # trim before the rule
+        "Enable JavaScript to continue.\n"  # javascript mention
+        "\n"
+        'He said "stop".\n'
+    )
+    df = spark.createDataFrame([(1, text)], "id int, t string")
+    out = df.select(c4_clean_lines("t").alias("c")).first()["c"]
+    assert out == (
+        "This line survives the filter.\n"
+        "Indented but fine, really!\n"
+        'He said "stop".'
+    )
+    # empty result is '' not NULL (array_join convention)
+    empty = spark.createDataFrame([(1, "nope")], "id int, t string")
+    assert empty.select(c4_clean_lines("t").alias("c")).first()["c"] == ""
+    # page-level drops
+    pages = spark.createDataFrame(
+        [(1, "Fine page."), (2, "Lorem Ipsum dolor."), (3, "code { block }")],
+        "id int, t string",
+    )
+    kept = sorted(
+        r["id"] for r in pages.filter(c4_page_keep("t")).collect()
+    )
+    assert kept == [1]
+
+
+def test_c4_clean_is_map_side(spark):
+    from tidyvec_spark.functions.quality import c4_clean_lines, c4_page_keep
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = docs.filter(c4_page_keep("text")).select(
+        "doc_id", c4_clean_lines("text").alias("c")
+    )
+    assert P.num_shuffles(out) == 0

@@ -39,6 +39,9 @@ __all__ = [
     "gopher_flags",
     "gopher_keep",
     "redact_pii",
+    "c4_keep_line",
+    "c4_clean_lines",
+    "c4_page_keep",
 ]
 
 
@@ -208,3 +211,45 @@ def redact_pii(
     out = F.regexp_replace(out, _EMAIL_RE, email_token)
     out = F.regexp_replace(out, _IPV4_RE, ip_token)
     return out
+
+
+# --- C4 line-level cleaning (Raffel et al. 2020, §2.2) ----------------
+# C4 cleans INSIDE documents before any doc-level filter: a line
+# survives iff it ends in terminal punctuation, has >= min_words
+# words, and does not mention javascript; pages containing "lorem
+# ipsum" or a curly brace are dropped wholesale. All pure codegen
+# expressions — the cleaning pass is map-side, zero shuffle, and the
+# DuckDB oracle mirrors it with list_filter over the same split.
+
+_TERMINAL_RE = r'[.!?"”]$'
+
+
+def c4_keep_line(line: Column, min_words: int = 3) -> Column:
+    """The C4 per-line keep rule over an already-trimmed line."""
+    n_words = F.size(F.filter(F.split(line, r"\s+"), lambda t: t != ""))
+    return (
+        line.rlike(_TERMINAL_RE)
+        & (n_words >= int(min_words))
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_clean_lines(c: ColumnOrName, min_words: int = 3) -> Column:
+    """Rebuild the document from its surviving lines (joined with
+    newline). Lines are trimmed before the rule so indentation does not
+    defeat the terminal-punctuation check."""
+    kept = F.filter(
+        # NB: F.transform(col, F.trim) is a silent no-op (the direct
+        # function reference doesn't bind the lambda variable); the
+        # explicit lambda is required
+        F.transform(F.split(_col(c), "\n"), lambda l: F.trim(l)),
+        lambda l: (l != "") & c4_keep_line(l, min_words=min_words),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_page_keep(c: ColumnOrName) -> Column:
+    """C4's page-level drop: no "lorem ipsum", no curly braces (code),
+    applied to the RAW text before line cleaning."""
+    low = F.lower(_col(c))
+    return ~low.contains("lorem ipsum") & ~low.contains("{")

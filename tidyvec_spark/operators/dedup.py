@@ -986,6 +986,44 @@ def near_dup_groups(
     return comps
 
 
+def drop_near_dups_keep_best(
+    corpus: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware canonical selection: given near-dup ``components``
+    (id, component) over ``corpus``, keep the HIGHEST-``score_col``
+    member of each component (tie → min id) and every document that is
+    in no component. Production dedup keeps the best copy — longest,
+    highest quality score, freshest — not the arbitrary min-id one;
+    this is the policy layer over ``near_dup_groups``.
+
+    Plan shape at 100 TB: the window runs over the COMPONENTS table
+    (members of dup clusters — orders of magnitude smaller than the
+    corpus), one shuffle on id to attach scores + one on component for
+    the per-cluster rank; the corpus itself is touched only by the
+    final anti-join against the loser ids.
+    """
+    from pyspark.sql import Window
+
+    comp = components
+    if id_col not in comp.columns:  # near_dup_groups emits ("id", component)
+        comp = comp.withColumnRenamed("id", id_col)
+    m = comp.join(
+        corpus.select(F.col(id_col), F.col(score_col)), on=id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    losers = (
+        m.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return corpus.join(losers, on=id_col, how="left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
