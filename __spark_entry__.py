@@ -2375,6 +2375,39 @@ def _incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the full-corpus pair SQL restricted to pairs touching the new batch
 # (new ids are the largest, so id_b >= 10000 <=> at least one new side)
+def _docs_stream_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online LSH banding end-to-end
+    (streaming/pipelines.py::near_dup_pairs_stream): the synthetic dup
+    corpus staged as a landing file, streamed through the stateful
+    band-bucket operator, availableNow drain. A pair surfacing from
+    several bands is folded by the terminal distinct, so the result
+    equals the batch banded self-join's candidate set and the oracle is
+    the shared MinHash SQL stopped at the candidate stage (no Jaccard
+    verify — verification stays a downstream batch join)."""
+    import tempfile
+
+    from tidyvec_spark.streaming import near_dup_pairs_stream, run_available_now
+
+    d = tempfile.mkdtemp(prefix="tv_stream_pairs_")
+    _dup_corpus(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(d)
+    table = f"docs_stream_near_pairs_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(
+        near_dup_pairs_stream(stream, "text", "doc_id"), table,
+        output_mode="append",
+    )
+    return spark.table(table).distinct()
+
+
+# the candidate stage of the MinHash SQL (everything before the Jaccard
+# verify CTE), shared so the streaming twin checks against the exact
+# same banding
+_STREAM_NEAR_PAIRS_SQL = (
+    _MINHASH_LSH_SQL[: _MINHASH_LSH_SQL.index("ver AS (")].rstrip().rstrip(",")
+    + "\nSELECT id_a, id_b FROM cand"
+)
+
+
 _INCREMENTAL_LSH_SQL = _MINHASH_LSH_SQL.replace(
     "WHERE jaccard >= 0.5", "WHERE jaccard >= 0.5 AND id_b >= 10000"
 )
@@ -3485,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _dsir_select,
         "docs_c4_clean": _docs_c4_clean,
         "dedup_keep_best": _dedup_keep_best,
+        "docs_stream_near_pairs": _docs_stream_near_pairs,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -3562,6 +3596,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_sql(),
         "docs_c4_clean": _DOCS_C4_CLEAN_SQL,
         "dedup_keep_best": _dedup_keep_best_sql(),
+        "docs_stream_near_pairs": _STREAM_NEAR_PAIRS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -416,3 +416,44 @@ def test_embed_on_stream_equals_batch(spark, tmp_path):
         ).select("doc_id", "embedding").collect()
     }
     assert got == batch and len(got) == 50
+
+
+def test_near_dup_pairs_stream_across_batches(spark, tmp_path):
+    """Pairs whose members arrive in DIFFERENT micro-batches must still
+    be discovered via the band-bucket state: originals land in batch 1,
+    truncated near-copies in batch 2; the union of emissions (distinct
+    across bands) equals the batch banded self-join's candidate set."""
+    import __spark_entry__ as entry
+
+    corpus = entry._dup_corpus(spark, "/root/testdata/sf0.001")
+    d = tmp_path / "pairs_land"
+    d.mkdir()
+    corpus.filter(F.col("doc_id") < 10000).coalesce(1).write.parquet(
+        str(d / "f0.parquet")
+    )
+    corpus.filter(F.col("doc_id") >= 10000).coalesce(1).write.parquet(
+        str(d / "f1.parquet")
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    S.run_available_now(
+        S.near_dup_pairs_stream(stream, "text", "doc_id"),
+        "t_near_pairs",
+        output_mode="append",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.table("t_near_pairs").distinct().collect()
+    )
+    exp = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs_stream(corpus, "text", "doc_id").collect()
+    )
+    assert got == exp and len(got) > 0
+    # every original/truncated-copy pair crosses the batch boundary —
+    # proof the bucket state carried members across micro-batches
+    cross = [(a, b) for a, b in got if a < 10000 <= b]
+    assert len(cross) > 0

@@ -22,6 +22,7 @@ from tidyvec_spark.streaming.pipelines import (
     event_ts_of,
     hourly_rollup,
     interval_join_stream,
+    near_dup_pairs_stream,
     pin_utc_session,
     read_event_stream,
     run_available_now,
@@ -37,6 +38,7 @@ __all__ = [
     "event_ts_of",
     "hourly_rollup",
     "interval_join_stream",
+    "near_dup_pairs_stream",
     "pin_utc_session",
     "read_event_stream",
     "run_available_now",

@@ -255,6 +255,113 @@ def stateful_dedup_stream(
     )
 
 
+def near_dup_pairs_stream(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Online MinHash-LSH candidate discovery: as documents arrive,
+    emit (id_a, id_b) for every pair that shares an LSH band bucket —
+    the streaming twin of the batch banded self-join, with the exact
+    same signature/band expressions, so the union of all emissions
+    equals the batch candidate set (oracle-checkable after a distinct:
+    the same pair can surface from several bands).
+
+    Shape: shingle → sign → band entirely map-side (the identical
+    codegen expressions as ``operators.dedup.minhash_lsh_pairs``);
+    the single stateful hop groups by band-hash, and each bucket's
+    state is its member-id list — the LSH bucket itself, which banding
+    keeps small by construction (that is the point of banding). A new
+    document pairs with each prior member and is appended. At 100 TB
+    wire watermark/TTL state eviction for buckets older than the dedup
+    horizon; candidate verification (exact Jaccard) stays a downstream
+    batch join, exactly as in the batch pipeline.
+
+    On a batch frame, falls back to the banded self-join (distinct
+    candidate pairs), so batch/stream parity is oracle-checkable.
+    """
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.functions.hashing import band_hash, minhash_signature
+
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rpb = num_hashes // bands
+    id_field = df.schema[id_col].dataType
+
+    signed = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(X.ngrams(text_col, shingle_n)).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .withColumn("__sig", minhash_signature("__sh", num_hashes))
+        .select(
+            "__id",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__b"),
+            "__sig",
+        )
+        .withColumn("__bh", band_hash("__sig", F.col("__b"), rpb))
+        .select("__id", "__bh")
+    )
+
+    if not df.isStreaming:
+        a = signed.select(F.col("__id").alias("id_a"), "__bh")
+        b = signed.select(F.col("__id").alias("id_b"), "__bh")
+        return (
+            a.join(b, "__bh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field, False),
+            T.StructField("id_b", id_field, False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("ids", T.ArrayType(id_field), False)]
+    )
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        members = list(state.get[0]) if state.exists else []
+        known = set(members)
+        fresh = []
+        for pdf in pdf_iter:
+            for i in pdf["__id"]:
+                i = int(i)
+                if i not in known:
+                    known.add(i)
+                    fresh.append(i)
+        if not fresh:
+            return
+        pairs = []
+        fresh.sort()
+        for nid in fresh:
+            for o in members:
+                pairs.append((min(o, nid), max(o, nid)))
+            members.append(nid)
+        state.update((members,))
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return signed.groupBy("__bh").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _admit_under_budget(pdf, seen: int, budget: int, tok: str, idc: str):
     """Strict-prefix admission of one group's rows in id order: the
     running total counts EVERY arrived document (admitted or not), and
