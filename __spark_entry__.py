@@ -1514,6 +1514,98 @@ SELECT u.doc_id, u.lang FROM u JOIN f USING (lang) WHERE u.u < f.f
 """
 
 
+_CURRICULUM_BOUNDS = [419.0, 306.0, 175.0]  # ~quartiles of n_chars
+
+
+def _curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sharding (operators/curriculum.py::curriculum_assign):
+    documents assigned to 4 quality shards by literal n_chars
+    boundaries (longest first — standing in for a quality score), with
+    a deterministic best-first rank inside each shard. Shard assignment
+    is a map-side CASE chain; the only shuffle is the per-shard rank,
+    which is the per-shard sort an ordered shard file needs anyway."""
+    from tidyvec_spark.operators.curriculum import curriculum_assign
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    out = curriculum_assign(docs, "score", "doc_id", _CURRICULUM_BOUNDS)
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        "pos",
+        F.col("score").cast("long").alias("n_chars"),
+    )
+
+
+def _curriculum_sql() -> str:
+    b = _CURRICULUM_BOUNDS
+    return f"""
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+         CASE WHEN n_chars > {b[0]} THEN 0
+              WHEN n_chars > {b[1]} THEN 1
+              WHEN n_chars > {b[2]} THEN 2
+              ELSE 3 END AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY score DESC, doc_id ASC
+       ) AS BIGINT) AS pos,
+       CAST(score AS BIGINT) AS n_chars
+FROM s
+"""
+
+
+# dyadic weights on purpose: they sum EXACTLY to 1.0 in binary floating
+# point in any order, so the Python-side and SQL-side normalizations
+# are bit-identical ('zh' deliberately absent -> dropped, fraction 0)
+_MIX_TARGET = {"en": 0.5, "fr": 0.25, "de": 0.125, "es": 0.125}
+_MIX_TARGET_SALT = "mixt1"
+
+
+def _mix_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-target mixture reshaping
+    (operators/sampling.py::target_mix_sample): keep fractions
+    r_i = target_i / observed_i scaled so the most under-represented
+    language is kept whole — the mixing-spec enforcement every
+    pretraining run needs ("50% en, 25% fr, ..."); strata not in the
+    spec are dropped. Same deterministic salted-md5 admission as the
+    other mix entries; one tiny aggregate + a zero-shuffle filter."""
+    from tidyvec_spark.operators.sampling import target_mix_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = target_mix_sample(
+        docs, "doc_id", "lang", _MIX_TARGET, salt=_MIX_TARGET_SALT
+    )
+    return out.select("doc_id", "lang")
+
+
+def _mix_target_sql() -> str:
+    vals = ", ".join(f"('{k}', {v!r})" for k, v in _MIX_TARGET.items())
+    return f"""
+WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM n),
+tw AS (SELECT * FROM (VALUES {vals}) AS v(lang, tv)),
+tt AS (SELECT SUM(tv) AS tot FROM tw),
+r AS (
+  SELECT n.lang,
+         (COALESCE(tw.tv, 0.0) / (SELECT tot FROM tt)) / (n.n / (SELECT total FROM t)) AS r
+  FROM n LEFT JOIN tw ON tw.lang = n.lang
+  WHERE n.n > 0
+),
+f AS (SELECT lang, ROUND(r / (SELECT MAX(r) FROM r), 9) AS f FROM r),
+u AS (
+  SELECT doc_id, lang,
+         CAST(CONCAT('0x', substr(md5(CONCAT('{_MIX_TARGET_SALT}', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT u.doc_id, u.lang FROM u JOIN f USING (lang) WHERE u.u < f.f
+"""
+
+
 def _docs_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style curation rules (functions/quality.py): per-doc
     ratios + the keep decision, all in ONE map-side projection — the
@@ -3519,6 +3611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_c4_clean": _docs_c4_clean,
         "dedup_keep_best": _dedup_keep_best,
         "docs_stream_near_pairs": _docs_stream_near_pairs,
+        "mix_target": _mix_target,
+        "curriculum_order": _curriculum_order,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -3597,6 +3691,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_c4_clean": _DOCS_C4_CLEAN_SQL,
         "dedup_keep_best": _dedup_keep_best_sql(),
         "docs_stream_near_pairs": _STREAM_NEAR_PAIRS_SQL,
+        "mix_target": _mix_target_sql(),
+        "curriculum_order": _curriculum_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

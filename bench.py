@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "dsir_select",
     "docs_c4_clean",
     "dedup_keep_best",
+    "mix_target",
+    "curriculum_order",
 ]
 
 

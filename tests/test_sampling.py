@@ -181,3 +181,43 @@ def test_leakage_free_split_never_straddles_components(spark):
 
     with _pytest.raises(ValueError):
         leakage_free_split(df, "text", "doc_id", test_fraction=1.5)
+
+
+def test_target_mix_fractions_hand_checked(spark):
+    from tidyvec_spark.operators.sampling import (
+        target_mix_fractions,
+        target_mix_sample,
+    )
+
+    # observed: a=60, b=30, c=10 ; target: a 25%, b 25% (c absent)
+    rows = (
+        [(i, "a") for i in range(60)]
+        + [(i + 100, "b") for i in range(30)]
+        + [(i + 200, "c") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    f = target_mix_fractions(df, "lang", {"a": 0.25, "b": 0.25})
+    # ratios: a=(0.5)/(0.6), b=(0.5)/(0.3), c=0 -> scaled by max (b)
+    assert abs(f["a"] - (0.5 / 0.6) / (0.5 / 0.3)) < 1e-9
+    assert f["b"] == 1.0
+    assert f["c"] == 0.0
+    kept = target_mix_sample(df, "doc_id", "lang", {"a": 0.25, "b": 0.25})
+    by = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # b kept whole; c dropped entirely; a cut roughly in half
+    assert by["b"] == 30 and "c" not in by
+    assert 0 < by["a"] < 60
+
+
+def test_target_mix_rejects_bad_specs(spark):
+    from tidyvec_spark.operators.sampling import target_mix_fractions
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, lang string")
+    with pytest.raises(ValueError):
+        target_mix_fractions(df, "lang", {})
+    with pytest.raises(ValueError):
+        target_mix_fractions(df, "lang", {"a": -1.0})
+    with pytest.raises(ValueError):
+        target_mix_fractions(df, "lang", {"a": 0.0})

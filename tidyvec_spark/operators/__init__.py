@@ -7,6 +7,11 @@ from tidyvec_spark.operators.nearest import (
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
 from tidyvec_spark.operators.chunking import chunk_documents, pack_sequences
+from tidyvec_spark.operators.curriculum import (
+    curriculum_assign,
+    shard_boundaries,
+    write_curriculum_shards,
+)
 from tidyvec_spark.operators.fusion import mean_pool_embeddings, rrf_fuse
 from tidyvec_spark.operators.importance import (
     dsir_log_ratios,
@@ -18,6 +23,8 @@ from tidyvec_spark.operators.sampling import (
     hash_stratified_sample,
     hash_unit,
     stratified_fixed_n,
+    target_mix_fractions,
+    target_mix_sample,
     temperature_fractions,
     temperature_sample,
 )
@@ -48,6 +55,9 @@ __all__ = [
     "bm25_topk",
     "budget_sample",
     "chunk_documents",
+    "curriculum_assign",
+    "shard_boundaries",
+    "write_curriculum_shards",
     "hash_stratified_sample",
     "hash_unit",
     "dsir_log_ratios",
@@ -68,6 +78,8 @@ __all__ = [
     "sq_fit",
     "sq_topk",
     "stratified_fixed_n",
+    "target_mix_fractions",
+    "target_mix_sample",
     "two_phase_agg",
     "plan_image_grid",
     "viz_embeddings",

@@ -36,6 +36,8 @@ __all__ = [
     "hash_stratified_sample",
     "hash_unit",
     "stratified_fixed_n",
+    "target_mix_fractions",
+    "target_mix_sample",
     "temperature_fractions",
     "temperature_sample",
 ]
@@ -181,6 +183,72 @@ def temperature_fractions(
     w = {k: (n / total) ** (float(alpha) - 1.0) for k, n in counts.items()}
     mx = max(w.values())
     return {k: round(v / mx, int(round_to)) for k, v in w.items()}
+
+
+def target_mix_fractions(
+    df: DataFrame,
+    strata_col: str,
+    target: dict[str, float],
+    round_to: int = 9,
+) -> dict[str, float]:
+    """Per-stratum keep fractions that re-shape the corpus toward an
+    EXPLICIT target mixture (the mixing spec every pretraining run
+    carries: "30% web, 30% code, 20% books, 20% wiki") — the
+    generalization of :func:`temperature_fractions` from p_i^α to
+    arbitrary target weights.
+
+    A hash filter only down-samples, so fractions are the largest
+    feasible: r_i = t_i / p_i scaled until max r_i = 1 — the most
+    under-represented stratum (relative to its target) is kept whole
+    and everything else is cut to land the kept corpus ON the target
+    ratios (exactly, in expectation; the salted-hash admission makes it
+    deterministic per id). Strata absent from ``target`` are dropped
+    (fraction 0). One tiny count aggregate; the filter itself is
+    zero-shuffle map-side.
+    """
+    if not target:
+        raise ValueError("target mixture must be non-empty")
+    bad = {k: v for k, v in target.items() if v < 0}
+    if bad:
+        raise ValueError(f"negative target weights: {bad}")
+    tot_t = float(sum(target.values()))
+    if tot_t <= 0:
+        raise ValueError("target weights must sum to > 0")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    total = float(sum(counts.values()))
+    if not total:
+        return {}
+    ratios = {
+        k: (target.get(k, 0.0) / tot_t) / (n / total)
+        for k, n in counts.items()
+        if n > 0
+    }
+    mx = max(ratios.values())
+    if mx <= 0:
+        return {k: 0.0 for k in ratios}
+    return {k: round(v / mx, int(round_to)) for k, v in ratios.items()}
+
+
+def target_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    target: dict[str, float],
+    salt: str = "",
+    keep_u: bool = False,
+) -> DataFrame:
+    """:func:`target_mix_fractions` + :func:`hash_stratified_sample`:
+    deterministically re-mix the corpus to an explicit target spec.
+    Cost = one count-by-stratum aggregate (tiny result) + a
+    zero-shuffle map-side filter."""
+    fracs = target_mix_fractions(df, strata_col, target)
+    return hash_stratified_sample(
+        df, id_col, fracs, strata_col, default_fraction=0.0,
+        salt=salt, keep_u=keep_u,
+    )
 
 
 def temperature_sample(
