@@ -296,6 +296,50 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) <= 3
 """
 
 
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators/mining.py::hard_negative_pairs): per anchor, the top-3
+    most-similar embeddings with a DIFFERENT label, via the LSH
+    bucket self-join (Hamming<=1 multiprobe — never a cross join) +
+    exact cosine rerank. The training-batch construction step for
+    embedding models; the oracle expresses the identical probe set."""
+    from tidyvec_spark.operators.mining import hard_negative_pairs
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    return hard_negative_pairs(
+        e, "embedding", "vec_id", "label", k=3,
+        planes=_ann_planes(), probe_hamming=1, round_to=R,
+    )
+
+
+def _hard_negatives_sql() -> str:
+    planes = _ann_planes()
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_sql_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, label, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+s AS (
+  SELECT a.vec_id AS anchor_id, n.vec_id AS neg_id,
+         ROUND(list_cosine_similarity(n.v, a.v), {R}) AS similarity
+  FROM b a JOIN b n
+    ON bit_count(xor(a.bucket, n.bucket)) <= 1 AND a.label <> n.label
+)
+SELECT anchor_id, neg_id, similarity,
+       CAST(row_number() OVER (
+         PARTITION BY anchor_id ORDER BY similarity DESC, neg_id
+       ) AS INT) AS neg_rank
+FROM s
+QUALIFY neg_rank <= 3
+"""
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection. The corpus is the
     embeddings table unioned with perturbed copies (vec_id + 100000,
@@ -3613,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stream_near_pairs": _docs_stream_near_pairs,
         "mix_target": _mix_target,
         "curriculum_order": _curriculum_order,
+        "hard_negatives": _hard_negatives,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -3693,6 +3738,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stream_near_pairs": _STREAM_NEAR_PAIRS_SQL,
         "mix_target": _mix_target_sql(),
         "curriculum_order": _curriculum_sql(),
+        "hard_negatives": _hard_negatives_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "mix_target",
     "curriculum_order",
+    "hard_negatives",
 ]
 
 

@@ -1,0 +1,72 @@
+"""Contrastive hard-negative mining: hand-checked semantics + the
+LSH-vs-exact recall relationship on real fixture embeddings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark.operators.ann import random_planes
+from tidyvec_spark.operators.mining import hard_negative_pairs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hard_negatives_hand_checked(spark):
+    # 2-d vectors: anchors get the nearest OTHER-label vector, never a
+    # same-label one, never themselves
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.99, 0.1]),   # same label as 1 -> never its negative
+        (3, 1, [0.9, 0.2]),    # closest other-label to 1
+        (4, 1, [0.0, 1.0]),
+        (5, 2, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, label int, emb array<double>")
+    got = {
+        (r["anchor_id"], r["neg_rank"]): r["neg_id"]
+        for r in hard_negative_pairs(
+            df, "emb", "id", "label", k=2, round_to=6
+        ).collect()
+    }
+    assert got[(1, 1)] == 3          # nearest different-label
+    assert got[(2, 1)] == 3
+    assert got[(3, 1)] in (1, 2)     # anchor 3's nearest label-0
+    # no same-label pair anywhere
+    labels = {r[0]: r[1] for r in rows}
+    for (a, _), n in got.items():
+        assert labels[a] != labels[n]
+        assert a != n
+
+
+def test_hard_negatives_lsh_subset_of_exact(spark):
+    """The LSH path returns a subset of the exact candidates (recall
+    < 1 is allowed, false positives are not): every mined pair must
+    carry the exact cosine score, and every LSH pair must appear in
+    the exact pair pool for its anchor."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    ).limit(200)
+    planes = random_planes(64, nbits=6, seed=7)
+    lsh = hard_negative_pairs(
+        emb, "embedding", "vec_id", "label", k=3,
+        planes=planes, probe_hamming=1, round_to=6,
+    ).collect()
+    exact_pool = {
+        (r["anchor_id"], r["neg_id"]): r["similarity"]
+        for r in hard_negative_pairs(
+            emb, "embedding", "vec_id", "label", k=10_000, round_to=6
+        ).collect()
+    }
+    assert len(lsh) > 0
+    for r in lsh:
+        key = (r["anchor_id"], r["neg_id"])
+        assert key in exact_pool
+        assert r["similarity"] == exact_pool[key]
+
+
+def test_hard_negatives_rejects_bad_k(spark):
+    df = spark.createDataFrame(
+        [(1, 0, [1.0])], "id bigint, label int, emb array<double>"
+    )
+    with pytest.raises(ValueError):
+        hard_negative_pairs(df, "emb", "id", "label", k=0)

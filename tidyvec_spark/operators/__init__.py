@@ -13,6 +13,7 @@ from tidyvec_spark.operators.curriculum import (
     write_curriculum_shards,
 )
 from tidyvec_spark.operators.fusion import mean_pool_embeddings, rrf_fuse
+from tidyvec_spark.operators.mining import hard_negative_pairs
 from tidyvec_spark.operators.importance import (
     dsir_log_ratios,
     dsir_top_k,
@@ -63,6 +64,7 @@ __all__ = [
     "dsir_log_ratios",
     "dsir_top_k",
     "dsir_weights",
+    "hard_negative_pairs",
     "mean_pool_embeddings",
     "rrf_fuse",
     "pack_sequences",

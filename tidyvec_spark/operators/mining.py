@@ -1,0 +1,87 @@
+"""Contrastive-pair mining over an embedded corpus.
+
+Training embedding models (and re-rankers) needs batches of hard
+negatives: for each anchor, the most-similar items that are NOT of the
+anchor's class — near the decision boundary, where the gradient is.
+Random negatives are trivially separable; mining the hard ones is a
+similarity self-join with a label-disagreement predicate.
+
+Scale shape: the self-join rides the LSH-bucketed path
+(``operators/nearest.py::similarity_join_lsh``) — both sides bucketed
+map-side by the same hyperplanes, candidates from the bucket equi-join
+(never a cross join), exact rerank on candidates only, then a per-
+anchor top-k window over candidate lists. The exact variant (broadcast
+envelope) exists for small corpora and as the recall oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hard_negative_pairs"]
+
+
+def hard_negative_pairs(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    method: str = "cosine",
+    planes: Optional[Sequence[Sequence[float]]] = None,
+    probe_hamming: int = 1,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """(anchor_id, neg_id, similarity, neg_rank): per anchor, the
+    top-``k`` most-similar rows whose ``label_col`` DIFFERS (ties →
+    min neg_id). Self-pairs are excluded by construction (same row ⇒
+    same label).
+
+    With ``planes`` the candidate set comes from the LSH bucket join
+    (the 100 TB path; recall is a property of nbits/probe_hamming);
+    without, the exact join scores every pair — only for corpora whose
+    smaller side broadcasts.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from tidyvec_spark.operators.nearest import (
+        similarity_join_exact,
+        similarity_join_lsh,
+    )
+
+    anchors = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(emb_col).alias("__av"),
+    )
+    cands = df.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(emb_col).alias("__nv"),
+    )
+    if planes is None:
+        joined = similarity_join_exact(
+            anchors, cands, "__av", "__nv", method=method,
+            left_id="anchor_id", right_id="neg_id", round_to=round_to,
+        )
+    else:
+        joined = similarity_join_lsh(
+            anchors, cands, "__av", "__nv", planes=planes,
+            left_id="anchor_id", right_id="neg_id", method=method,
+            probe_hamming=probe_hamming, round_to=round_to,
+        )
+    filt = joined.filter(F.col("anchor_label") != F.col("neg_label"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("similarity"), F.asc("neg_id")
+    )
+    return (
+        filt.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= int(k))
+        .select(
+            "anchor_id", "neg_id", "similarity",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )
