@@ -1,0 +1,121 @@
+"""Corpus n-gram language-model scoring (engine extension).
+
+CCNet-style quality filtering (Wenzek et al., 2020, arXiv:1911.00359)
+ranks web documents by language-model perplexity and keeps the
+low-perplexity head. The reference engine has no LM scoring (its text
+surface is TF-IDF + keyword search only); a 100 TB curation pipeline
+needs one, so this module trains an add-alpha-smoothed bigram LM over
+the corpus *inside Spark* and scores every document with it — no
+external model artifact, fully deterministic, and exactly mirrored by
+an ANSI-SQL oracle.
+
+Model: p(w2 | w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha * V), where
+V is the corpus distinct-token count; a document's perplexity is
+exp(-mean ln p) over its interior bigrams (documents with < 2 tokens
+have no bigrams and are dropped — they carry no LM evidence).
+
+Plan shape (the 100 TB story):
+- bigram explode is a projection (no shuffle); counts are two
+  hash-aggregations with map-side partial combine, sized by the
+  *vocabulary* (Zipf-bounded), not the corpus;
+- scoring re-explodes and pre-aggregates (doc_id, bigram) -> count
+  map-side, then joins the count tables on the bigram/prefix keys —
+  shuffle width is distinct-bigrams-per-doc, not tokens;
+- the final per-document mean is one more hash-agg. Everything is
+  built-in expressions; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tidyvec_spark.functions.text import ngrams, tokens
+
+__all__ = ["bigram_counts", "bigram_lm_perplexity"]
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, bigram) — one row per interior bigram occurrence, the
+    bigram rendered ``"w1 w2"`` (tokens are whitespace-split, so the
+    space separator is unambiguous)."""
+    return df.select(
+        F.col(id_col).alias("__id"), F.explode(ngrams(text_col, 2)).alias("bigram")
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus bigram table: (bigram, w1, c2) with c2 = occurrence
+    count. One shuffle; output is vocabulary-sized."""
+    pairs = df.select(F.explode(ngrams(text_col, 2)).alias("bigram"))
+    return (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+    )
+
+
+def bigram_lm_perplexity(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+    round_to: int = 4,
+    out_col: str = "perplexity",
+) -> DataFrame:
+    """Score every document against the corpus-trained bigram LM.
+
+    Returns (id_col, n_bigrams, ``out_col``) for each document with at
+    least one bigram; ``out_col`` = exp(-mean ln p(w2|w1)), rounded to
+    ``round_to`` decimals so the DuckDB oracle hashes identically
+    (per-bigram log-probs are exact in both engines; only the mean's
+    summation order differs, absorbed by the rounding).
+
+    Filter pattern: ``lm_perplexity(df, ...).filter(F.col("perplexity")
+    <= cutoff)`` keeps the fluent head, exactly the CCNet recipe.
+    """
+    alpha = float(alpha)
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed LM assigns p=0)")
+
+    c2 = bigram_counts(df, text_col)
+    # prefix counts derived from the bigram table (c1(w1) = number of
+    # bigrams starting with w1) — a second vocabulary-sized hash-agg.
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # V: corpus distinct-token count (a scalar; cross-joined broadcast).
+    v = (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+
+    # per-document bigram multiset, pre-aggregated map-side so the join
+    # moves (doc, distinct bigram, count), not every token.
+    doc = (
+        _doc_bigrams(df, text_col, id_col)
+        .groupBy("__id", "bigram")
+        .agg(F.count(F.lit(1)).alias("dn"))
+    )
+    scored = (
+        doc.join(c2, "bigram")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "__id",
+            "dn",
+            (
+                F.log(
+                    (F.col("c2").cast("double") + F.lit(alpha))
+                    / (F.col("c1").cast("double") + F.lit(alpha) * F.col("v"))
+                )
+                * F.col("dn").cast("double")
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.sum("dn").cast("long").alias("n_bigrams"),
+            F.round(F.exp(-F.sum("lp") / F.sum("dn")), round_to).alias(out_col),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
