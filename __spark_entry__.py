@@ -340,6 +340,59 @@ QUALIFY neg_rank <= 3
 """
 
 
+def _docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus LM scoring (operators/lm.py): train an
+    add-alpha bigram LM over the documents corpus inside Spark and
+    score every document with exp(-mean ln p(w2|w1)). The quality
+    signal behind perplexity-head filtering (Wenzek et al., 2020) —
+    the reference engine has no LM surface, so this is pure extension.
+
+    Perf shape: bigram explode is a projection; the model is two
+    vocabulary-sized hash-aggs; scoring pre-aggregates (doc, bigram)
+    map-side, joins the Zipf-bounded count tables, and finishes with
+    one per-doc hash-agg. No Python anywhere."""
+    from tidyvec_spark.operators.lm import bigram_lm_perplexity
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_lm_perplexity(docs, "text", "doc_id", alpha=0.1, round_to=4)
+
+
+def _docs_lm_perplexity_sql() -> str:
+    # Same model stage for stage: engine tokenization, interior
+    # bigrams, corpus/prefix counts, distinct-token V, add-0.1
+    # smoothing — all arithmetic forced to DOUBLE so it is the same
+    # IEEE computation Spark runs (DuckDB would otherwise run the
+    # smoothed ratios in DECIMAL).
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks)
+),
+doc AS (SELECT doc_id, bigram, count(*) AS dn FROM bg GROUP BY doc_id, bigram),
+scored AS (
+  SELECT d.doc_id, d.dn,
+         ln((CAST(c2.c2 AS DOUBLE) + CAST(0.1 AS DOUBLE))
+            / (CAST(c1.c1 AS DOUBLE) + CAST(0.1 AS DOUBLE) * v.v))
+         * CAST(d.dn AS DOUBLE) AS lp
+  FROM doc d
+  JOIN c2 USING (bigram)
+  JOIN c1 ON c1.w1 = string_split(d.bigram, ' ')[1]
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(sum(dn) AS BIGINT) AS n_bigrams,
+       ROUND(exp(-sum(lp) / sum(dn)), 4) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection. The corpus is the
     embeddings table unioned with perturbed copies (vec_id + 100000,
@@ -2697,6 +2750,49 @@ FROM cleaned
 """
 
 
+def _docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style GLOBAL line dedup (operators/dedup.py::
+    dedup_lines_global): every distinct line survives only at its
+    first corpus occurrence and documents are rebuilt from surviving
+    lines — the boilerplate-removal step of C4 §2.2. The fixture
+    corpus is single-line, so line structure is synthesized the same
+    deterministic way as the c4_clean entry (every literal ' the '
+    becomes a line break — common enough that lines genuinely repeat
+    across documents). Winner table keyed by line-md5 (16 bytes
+    through the shuffle), rebuild one per-doc hash-agg."""
+    from tidyvec_spark.operators.dedup import dedup_lines_global
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"),
+    )
+    return dedup_lines_global(lined, "text", "doc_id")
+
+
+_DOCS_DEDUP_LINES_SQL = """
+WITH lined AS (
+  SELECT doc_id, replace(text, ' the ', chr(10)) AS t FROM documents
+),
+ex AS (
+  SELECT doc_id, ls[u.i] AS line, u.i AS pos
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined),
+       LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+  WHERE trim(ls[u.i]) <> ''
+),
+w AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (
+           PARTITION BY md5(trim(line)) ORDER BY doc_id, pos
+         ) AS rn
+  FROM ex
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM w WHERE rn = 1 GROUP BY doc_id
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection
     (operators/dedup.py::drop_near_dups_keep_best): near-dup components
@@ -3658,6 +3754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_target": _mix_target,
         "curriculum_order": _curriculum_order,
         "hard_negatives": _hard_negatives,
+        "docs_lm_perplexity": _docs_lm_perplexity,
+        "docs_dedup_lines": _docs_dedup_lines,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -3739,6 +3837,8 @@ def oracle_sql() -> dict[str, str]:
         "mix_target": _mix_target_sql(),
         "curriculum_order": _curriculum_sql(),
         "hard_negatives": _hard_negatives_sql(),
+        "docs_lm_perplexity": _docs_lm_perplexity_sql(),
+        "docs_dedup_lines": _DOCS_DEDUP_LINES_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "mix_target",
     "curriculum_order",
     "hard_negatives",
+    "docs_lm_perplexity",
+    "docs_dedup_lines",
 ]
 
 

@@ -522,3 +522,38 @@ def test_drop_near_dups_keep_best(spark):
         ).collect()
     )
     assert kept == [2, 4, 5]
+
+
+def test_dedup_lines_global(spark):
+    """C4-style first-occurrence line dedup: a line repeated across
+    (or within) documents survives only at the lowest (doc_id, pos);
+    documents are rebuilt in original line order; fully-deduped docs
+    drop unless keep_empty_docs."""
+    from tidyvec_spark.operators.dedup import dedup_lines_global
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha one\nshared banner\nalpha two"),
+            (2, "shared banner\nbeta one\n\nshared banner"),
+            (3, "shared banner"),          # nothing left -> dropped
+            (4, "  shared banner  \ngamma"),  # trimmed key collides too
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines"])
+        for r in dedup_lines_global(corpus, "text", "doc_id").collect()
+    }
+    assert out == {
+        1: ("alpha one\nshared banner\nalpha two", 3),
+        2: ("beta one", 1),
+        4: ("gamma", 1),
+    }
+    with_empty = {
+        r["doc_id"]: (r["text"], r["n_lines"])
+        for r in dedup_lines_global(
+            corpus, "text", "doc_id", keep_empty_docs=True
+        ).collect()
+    }
+    assert with_empty[3] == ("", 0)
+    assert set(with_empty) == {1, 2, 3, 4}

@@ -1,0 +1,68 @@
+"""Bigram-LM perplexity scoring (operators/lm.py) — hand-computed
+oracle on a 3-document corpus, guard rails, and CCNet-style filtering."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark.operators.lm import bigram_counts, bigram_lm_perplexity
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "A b c"),   # lowercased by the engine tokenizer
+            (3, "solo"),    # < 2 tokens: no bigrams, dropped from output
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_bigram_counts(corpus):
+    rows = {r["bigram"]: (r["c2"], r["w1"]) for r in bigram_counts(corpus, "text").collect()}
+    # doc1: "a b","b a","a b"; doc2: "a b","b c"
+    assert rows == {"a b": (3, "a"), "b a": (1, "b"), "b c": (1, "b")}
+
+
+def test_perplexity_hand_computed(corpus):
+    # c2: a b=3, b a=1, b c=1; c1: a=3, b=2; V=4 (a,b,c + doc3's
+    # "solo" — V is the corpus distinct-token count, bigrams or not);
+    # alpha=0.1
+    a = 0.1
+    p_ab = (3 + a) / (3 + a * 4)
+    p_ba = (1 + a) / (2 + a * 4)
+    p_bc = (1 + a) / (2 + a * 4)
+    want = {
+        1: (3, round(math.exp(-(2 * math.log(p_ab) + math.log(p_ba)) / 3), 4)),
+        2: (2, round(math.exp(-(math.log(p_ab) + math.log(p_bc)) / 2), 4)),
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["perplexity"])
+        for r in bigram_lm_perplexity(corpus, "text", "doc_id").collect()
+    }
+    assert set(got) == {1, 2}  # doc 3 has no bigrams
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-4)
+
+
+def test_alpha_validation(corpus):
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_lm_perplexity(corpus, "text", "doc_id", alpha=0.0)
+
+
+def test_ccnet_head_filter(spark, sf_dir):
+    """The CCNet recipe: score the real corpus, keep the low-perplexity
+    head; the kept fraction must match the requested cutoff."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = bigram_lm_perplexity(docs, "text", "doc_id")
+    cutoff = scored.approxQuantile("perplexity", [0.5], 0.0)[0]
+    kept = scored.filter(F.col("perplexity") <= cutoff)
+    n_all, n_kept = scored.count(), kept.count()
+    assert 0 < n_kept <= n_all
+    assert n_kept >= n_all * 0.4  # ~half, modulo ties
+    # every scored doc has at least one bigram and a positive perplexity
+    assert scored.filter((F.col("n_bigrams") < 1) | (F.col("perplexity") <= 0)).count() == 0

@@ -13,6 +13,7 @@ from tidyvec_spark.operators.curriculum import (
     write_curriculum_shards,
 )
 from tidyvec_spark.operators.fusion import mean_pool_embeddings, rrf_fuse
+from tidyvec_spark.operators.lm import bigram_counts, bigram_lm_perplexity
 from tidyvec_spark.operators.mining import hard_negative_pairs
 from tidyvec_spark.operators.importance import (
     dsir_log_ratios,
@@ -52,6 +53,8 @@ __all__ = [
     "cluster_embeddings",
     "asof_join",
     "range_join_bucketed",
+    "bigram_counts",
+    "bigram_lm_perplexity",
     "bm25_stats",
     "bm25_topk",
     "budget_sample",

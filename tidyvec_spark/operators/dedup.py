@@ -98,6 +98,69 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def dedup_lines_global(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_empty_docs: bool = False,
+) -> DataFrame:
+    """C4-style global line-level exact dedup (Raffel et al., 2020):
+    every distinct line survives only at its FIRST corpus occurrence —
+    lowest (``id_col``, line position) lexicographically — and each
+    document is rebuilt from its surviving lines. Boilerplate
+    (cookie banners, nav bars, license headers) repeated across pages
+    disappears everywhere but once.
+
+    Returns (``id_col``, ``text_col`` rebuilt, n_lines kept). Documents
+    whose every line was deduplicated away are dropped unless
+    ``keep_empty_docs`` (then they appear with empty text / 0 lines).
+
+    Scale shape: lines explode map-side; the winner table is one
+    hash-agg with map-side partial combine, keyed by the line's md5
+    (16 bytes through the shuffle regardless of line length); the
+    winner join is a key-balanced equi-join (a line repeated millions
+    of times is ONE winner row, so no skew on the build side); the
+    rebuild is one per-document hash-agg folding (pos, line) structs.
+    Three bounded shuffles total, shuffle width ∝ corpus lines — the
+    honest cost of the operator, and exactly how C4 itself was built.
+    Blank/whitespace-only lines carry no content and are dropped
+    before keying (they would otherwise all collide on one hot key).
+    """
+    ex = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        )
+        .filter(F.trim(F.col("__line")) != "")
+        .withColumn("__k", F.md5(F.trim(F.col("__line"))))
+    )
+    winners = ex.groupBy("__k").agg(
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__w")
+    )
+    kept = (
+        ex.join(winners, "__k")
+        .filter((F.col("__id") == F.col("__w.__id")) & (F.col("__pos") == F.col("__w.__pos")))
+        .select("__id", "__pos", "__line")
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    if keep_empty_docs:
+        rebuilt = (
+            df.select(F.col(id_col).alias("__id"))
+            .join(rebuilt, "__id", "left")
+            .fillna({text_col: "", "n_lines": 0})
+        )
+    return rebuilt.withColumnRenamed("__id", id_col)
+
+
 def minhash_sign(
     df: DataFrame,
     text_col: str,
