@@ -3163,6 +3163,243 @@ ORDER BY r_name, n_name
 """
 
 
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (columns adapted to the fixture schema): revenue delta
+    from a discount-band / small-quantity slice of one ship year. The
+    poster child for pushdown — every predicate reaches the parquet
+    scan (PushedFilters) and only 4 columns are read; the aggregate is
+    a map-side partial + 1-row final."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.08
+  AND l_quantity < 24
+"""
+
+
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted to the fixture (no commit/receipt dates):
+    orders per priority that had at least one LATE shipment — a
+    lineitem shipped more than 60 days after the order date. The
+    EXISTS becomes a LEFT SEMI join with a compound condition: equi on
+    the order key (the shuffle key) plus the date inequality as a
+    post-join residual, so it stays a hash join, never a nested loop;
+    each order emits at most once regardless of line count."""
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in a
+    half-year window. Fact-fact join shuffles on the order key; the
+    customer and nation dims broadcast; final top-k is a distributed
+    TakeOrdered, no global sort."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name", "revenue",
+        )
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, n_name,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (fixture p_type is a single word, so the PROMO% LIKE
+    is an equality): promo share of revenue for a 6-month ship window.
+    The part dim broadcasts (it is partkey-unique and tiny relative to
+    the fact), so the only shuffle is the 1-row final aggregate."""
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-09-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT ROUND(
+  100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-09-01 00:00:00'
+"""
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: the 100 largest orders by total quantity (> 150),
+    with their customer. The HAVING runs FIRST as a lineitem-only
+    hash-agg (map-side partial combine), so only qualifying orderkeys
+    — a tiny set — flow into the joins; orders then joins that small
+    side and the customer dim broadcasts."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, ROUND(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted to the fixture (p_size stands in for the
+    container classes): revenue over three disjunctive brand/size/
+    quantity blocks. The classic optimizer test — the OR predicate
+    must NOT force a nested loop: the join stays an equi hash join on
+    partkey (part broadcasts) with the disjunction evaluated as a
+    residual filter, and the common `l_quantity BETWEEN 1 AND 50`
+    hull is pushable to the scan."""
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    block = lambda brand, s0, s1, q0, q1: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1)
+    )
+    return (
+        j.filter(
+            block("Brand#11", 1, 15, 1, 20)
+            | block("Brand#21", 10, 30, 10, 30)
+            | block("Brand#18", 20, 50, 20, 50)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#18' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 def _topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
@@ -3756,6 +3993,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _hard_negatives,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "docs_dedup_lines": _docs_dedup_lines,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q4_order_priority": _q4_order_priority,
+        "q10_returned_items": _q10_returned_items,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -3839,6 +4082,12 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "docs_lm_perplexity": _docs_lm_perplexity_sql(),
         "docs_dedup_lines": _DOCS_DEDUP_LINES_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "q4_order_priority": _Q4_SQL,
+        "q10_returned_items": _Q10_SQL,
+        "q14_promo_revenue": _Q14_SQL,
+        "q18_large_orders": _Q18_SQL,
+        "q19_disjunctive_revenue": _Q19_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -102,6 +102,12 @@ BENCH_QUERIES = [
     "hard_negatives",
     "docs_lm_perplexity",
     "docs_dedup_lines",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
 ]
 
 

@@ -200,3 +200,42 @@ def test_sq_and_matryoshka_plans(spark, qs):
     assert P.has_take_ordered(m)
     h = qs["embedding_health"](spark, SF)
     assert P.num_shuffles(h) == 0
+
+
+def test_q6_all_predicates_pushed(spark, qs):
+    """Q6 is the pushdown poster child: every predicate reaches the
+    parquet scan and only the 4 involved columns are read."""
+    df = qs["q6_forecast_revenue"](spark, SF)
+    P.assert_filter_pushed(df, "l_shipdate")
+    P.assert_filter_pushed(df, "l_discount")
+    P.assert_filter_pushed(df, "l_quantity")
+    for cols in P.read_schemas(df):
+        assert set(cols) <= {
+            "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+        }
+
+
+def test_q4_semi_join_not_nested_loop(spark, qs):
+    """The EXISTS stays a hash LEFT SEMI on the order key; the date
+    inequality is a residual, not a nested-loop driver."""
+    df = qs["q4_order_priority"](spark, SF)
+    P.assert_no_cartesian(df)
+    assert not any(
+        "NestedLoop" in s for s in P.join_strategies(df)
+    ), P.join_strategies(df)
+
+
+def test_q10_q14_q18_broadcast_dims(spark, qs):
+    for name in ("q10_returned_items", "q14_promo_revenue", "q18_large_orders"):
+        df = qs[name](spark, SF)
+        P.assert_broadcast(df, at_least=1)
+        P.assert_no_cartesian(df)
+
+
+def test_q19_disjunction_stays_equi_join(spark, qs):
+    """The OR-block predicate must not degrade the partkey equi-join
+    to a nested loop; the quantity hull is pushable to the scan."""
+    df = qs["q19_disjunctive_revenue"](spark, SF)
+    P.assert_no_cartesian(df)
+    assert not any("NestedLoop" in s for s in P.join_strategies(df))
+    P.assert_broadcast(df, at_least=1)
