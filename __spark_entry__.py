@@ -3163,6 +3163,34 @@ ORDER BY r_name, n_name
 """
 
 
+def _serving_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/curriculum.py::
+    shuffle_assign): (shard, pos) such that reading shards in order
+    visits the corpus in a uniform pseudorandom permutation keyed by
+    md5(seed:epoch:id) — reproducible multi-epoch serving order with
+    no global sort (per-shard rank windows only). Epoch 1 of seed 7
+    here; the oracle computes the identical md5 key."""
+    from tidyvec_spark.operators.curriculum import shuffle_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    return shuffle_assign(docs, "doc_id", n_shards=8, seed=7, epoch=1)
+
+
+_SERVING_SHUFFLE_SQL = """
+WITH k AS (
+  SELECT doc_id, md5('7:1:' || CAST(doc_id AS VARCHAR)) AS kk FROM documents
+),
+s AS (
+  SELECT doc_id, kk,
+         CAST(CAST(('0x' || substr(kk, 1, 8)) AS UBIGINT) % 8 AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY kk, doc_id) AS BIGINT) AS pos
+FROM s
+"""
+
+
 def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (columns adapted to the fixture schema): revenue delta
     from a discount-band / small-quantity slice of one ship year. The
@@ -3999,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q14_promo_revenue,
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "serving_shuffle": _serving_shuffle,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -4088,6 +4117,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": _Q14_SQL,
         "q18_large_orders": _Q18_SQL,
         "q19_disjunctive_revenue": _Q19_SQL,
+        "serving_shuffle": _SERVING_SHUFFLE_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

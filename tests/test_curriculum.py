@@ -86,3 +86,53 @@ def test_write_curriculum_shards_roundtrip(spark, tmp_path):
     )
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_shuffle_assign_is_deterministic_permutation(spark, sf_dir):
+    from tidyvec_spark.operators.curriculum import shuffle_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    a = shuffle_assign(docs, "doc_id", n_shards=8, seed=7, epoch=0)
+    rows = a.collect()
+    # total order: every id appears once, pos is 1..size within shard
+    assert len(rows) == n and len({r["doc_id"] for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # uniform-ish split: no shard more than 3x the fair share
+    assert max(len(p) for p in by_shard.values()) <= 3 * (n / 8)
+    # reproducible: a second evaluation is identical
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in a.collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_shuffle_assign_epochs_differ(spark, sf_dir):
+    from tidyvec_spark.operators.curriculum import shuffle_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e0 = {(r["doc_id"], r["shard"], r["pos"])
+          for r in shuffle_assign(docs, "doc_id", 8, seed=7, epoch=0).collect()}
+    e1 = {(r["doc_id"], r["shard"], r["pos"])
+          for r in shuffle_assign(docs, "doc_id", 8, seed=7, epoch=1).collect()}
+    assert len(e0 & e1) < len(e0) * 0.2  # fresh permutation, not a tweak
+
+
+def test_write_shuffled_shards_roundtrip(spark, sf_dir, tmp_path):
+    from tidyvec_spark.operators.curriculum import shuffle_assign, write_shuffled_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    path = str(tmp_path / "epoch0")
+    write_shuffled_shards(docs, path, "doc_id", n_shards=4, seed=1, epoch=0)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert set(back.columns) >= {"doc_id", "text", "shard", "pos"}
+    # shard directories exist -> partition pruning applies
+    one = spark.read.parquet(path).filter(F.col("shard") == 0)
+    expected = shuffle_assign(docs, "doc_id", 4, seed=1, epoch=0).filter(
+        F.col("shard") == 0
+    )
+    assert one.count() == expected.count()

@@ -10,7 +10,9 @@ from tidyvec_spark.operators.chunking import chunk_documents, pack_sequences
 from tidyvec_spark.operators.curriculum import (
     curriculum_assign,
     shard_boundaries,
+    shuffle_assign,
     write_curriculum_shards,
+    write_shuffled_shards,
 )
 from tidyvec_spark.operators.fusion import mean_pool_embeddings, rrf_fuse
 from tidyvec_spark.operators.lm import bigram_counts, bigram_lm_perplexity
@@ -61,7 +63,9 @@ __all__ = [
     "chunk_documents",
     "curriculum_assign",
     "shard_boundaries",
+    "shuffle_assign",
     "write_curriculum_shards",
+    "write_shuffled_shards",
     "hash_stratified_sample",
     "hash_unit",
     "dsir_log_ratios",

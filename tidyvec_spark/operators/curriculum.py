@@ -31,7 +31,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["curriculum_assign", "shard_boundaries", "write_curriculum_shards"]
+__all__ = [
+    "curriculum_assign",
+    "shard_boundaries",
+    "shuffle_assign",
+    "write_curriculum_shards",
+    "write_shuffled_shards",
+]
 
 
 def curriculum_assign(
@@ -87,6 +93,73 @@ def shard_boundaries(
         if not out or v < out[-1]:
             out.append(float(v))
     return out
+
+
+def shuffle_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic GLOBAL training-data shuffle as (shard, pos):
+    reading shard 0 rows in pos order, then shard 1, ... visits the
+    corpus in a uniform pseudorandom permutation keyed by
+    ``md5(seed:epoch:id)``. A new ``epoch`` value is a fresh,
+    independent permutation of the SAME data — multi-epoch shuffling
+    without rewriting anything but this cheap assignment.
+
+    Unlike ``orderBy(rand())`` this is reproducible forever (``rand``
+    depends on partitioning) and engine-portable (the DuckDB oracle
+    computes the identical md5). Scale shape: the key and shard are a
+    map-side projection; the only shuffle is the per-shard rank
+    window, and each shard sorts independently — pick ``n_shards`` so
+    one shard fits an executor's sort budget, exactly the
+    ``spark.sql.shuffle.partitions`` sizing rule. No global sort task
+    anywhere.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.md5(
+        F.concat(
+            F.lit(f"{int(seed)}:{int(epoch)}:"), F.col(id_col).cast("string")
+        )
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % F.lit(int(n_shards))
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.asc("__k"), F.asc(id_col))
+    return (
+        df.select(F.col(id_col), key.alias("__k"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    epoch: int = 0,
+    mode: str = "errorifexists",
+) -> None:
+    """Materialize one epoch's serving order: ``shard=k/`` directories
+    whose files are internally sorted by ``pos`` — a trainer streams
+    the directories in shard order and gets the full pseudorandom
+    permutation with zero runtime sorting. Same write shape as
+    :func:`write_curriculum_shards` (one task per shard, partition
+    pruning for any shard subset)."""
+    assigned = shuffle_assign(df, id_col, n_shards, seed=seed, epoch=epoch)
+    out = df.join(assigned, id_col)
+    (
+        out.repartition(F.col("shard"))
+        .sortWithinPartitions(F.asc("shard"), F.asc("pos"))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
 
 
 def write_curriculum_shards(
