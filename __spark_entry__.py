@@ -3602,6 +3602,57 @@ GROUP BY 1
 """
 
 
+def _docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ingest dedup (streaming/pipelines.py::
+    ingest_dedup_stream): the documents corpus streams through a
+    landing directory while the persisted index (here: the keys of
+    doc_id < 250) anti-joins away already-known content per
+    micro-batch; in-stream duplicates collapse keep-min via the
+    stateful operator. Admitted = exactly the content a production
+    ingest would append to corpus + index."""
+    import os
+    import shutil
+    import tempfile
+
+    from tidyvec_spark.operators.dedup import normalized_text_key
+    from tidyvec_spark.streaming import ingest_dedup_stream, run_available_now
+
+    index = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select(normalized_text_key("text").alias("h"))
+    )
+    d = tempfile.mkdtemp(prefix="tv_stream_ingest_")
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(d, "part-000.parquet"),
+    )
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(d)
+    table = f"docs_stream_ingest_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(
+        ingest_dedup_stream(stream, index, "text", "doc_id"), table,
+        output_mode="update",
+    )
+    return (
+        spark.table(table)
+        .groupBy("h")
+        .agg(F.min("keep_id").alias("keep_id"))
+    )
+
+
+_DOCS_STREAM_INGEST_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT h, min(doc_id) AS keep_id
+FROM k
+WHERE NOT EXISTS (SELECT 1 FROM k i WHERE i.doc_id < 250 AND i.h = k.h)
+GROUP BY h
+"""
+
+
 _STREAM_BUDGET = 20_000
 
 
@@ -4028,6 +4079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "serving_shuffle": _serving_shuffle,
+        "docs_stream_ingest": _docs_stream_ingest,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -4118,6 +4170,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": _Q18_SQL,
         "q19_disjunctive_revenue": _Q19_SQL,
         "serving_shuffle": _SERVING_SHUFFLE_SQL,
+        "docs_stream_ingest": _DOCS_STREAM_INGEST_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

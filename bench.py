@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "serving_shuffle",
+    "docs_stream_ingest",
 ]
 
 

@@ -457,3 +457,54 @@ def test_near_dup_pairs_stream_across_batches(spark, tmp_path):
     # proof the bucket state carried members across micro-batches
     cross = [(a, b) for a, b in got if a < 10000 <= b]
     assert len(cross) > 0
+
+
+def test_ingest_dedup_stream_vs_batch(spark, tmp_path):
+    """Stream-static ingest dedup: rows already in the index never
+    emit; in-stream dups collapse to keep-min across micro-batches;
+    result equals the batch twin on the same files."""
+    d = tmp_path / "ingest_land"
+    d.mkdir()
+    spark.createDataFrame(
+        [(10, "known text"), (11, "fresh one"), (12, "fresh two")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(str(d / "f0.parquet"))
+    spark.createDataFrame(
+        [(5, "fresh  one"), (13, "known  text"), (14, "fresh three")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(str(d / "f1.parquet"))
+
+    from tidyvec_spark.operators.dedup import normalized_text_key
+
+    index = spark.createDataFrame([("known text",)], "text string").select(
+        normalized_text_key("text").alias("h")
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    S.run_available_now(
+        S.ingest_dedup_stream(stream, index, "text", "doc_id"),
+        "ingest_dedup_t",
+        output_mode="update",
+    )
+    got = {
+        r["h"]: r["keep_id"]
+        for r in spark.table("ingest_dedup_t")
+        .groupBy("h")
+        .agg(F.min("keep_id").alias("keep_id"))
+        .collect()
+    }
+    batch = {
+        r["h"]: r["keep_id"]
+        for r in S.ingest_dedup_stream(
+            spark.read.parquet(str(d) + "/*"), index, "text", "doc_id"
+        ).collect()
+    }
+    assert got == batch
+    kept = set(got.values())
+    # "known text" (ids 10, 13) is in the index -> never admitted;
+    # "fresh one" collapses across batches to the later-arriving min 5
+    assert kept == {5, 12, 14}

@@ -21,6 +21,7 @@ from tidyvec_spark.streaming.pipelines import (
     event_ts,
     event_ts_of,
     hourly_rollup,
+    ingest_dedup_stream,
     interval_join_stream,
     near_dup_pairs_stream,
     pin_utc_session,
@@ -37,6 +38,7 @@ __all__ = [
     "event_ts",
     "event_ts_of",
     "hourly_rollup",
+    "ingest_dedup_stream",
     "interval_join_stream",
     "near_dup_pairs_stream",
     "pin_utc_session",

@@ -255,6 +255,47 @@ def stateful_dedup_stream(
     )
 
 
+def ingest_dedup_stream(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_hash_col: str = "h",
+) -> DataFrame:
+    """Landing-zone ingest dedup against the EXISTING corpus: arriving
+    documents whose exact-dedup key is already in the persisted index
+    are dropped by a stream-static LEFT ANTI join (the static side is
+    the index's distinct keys — re-read per micro-batch, so a
+    concurrently-growing index is picked up without restarts), and
+    duplicates WITHIN the stream collapse to keep-min-id via the
+    stateful operator. Emits (``index_hash_col``, keep_id) for
+    admitted content — exactly the rows to append to both the corpus
+    and the index.
+
+    The batch-ingest twin is ``index-anti-join + groupBy(hash).min``,
+    which is what a non-streaming ``new_docs`` falls back to (same
+    code path), so stream/batch parity is oracle-checkable. Scale
+    shape: the anti join is an equi hash join on the 128-bit key
+    (broadcast when the index fits, shuffle otherwise — Spark picks);
+    state per in-stream key is 8 bytes, identical to
+    :func:`stateful_dedup_stream`. Complements
+    ``operators.dedup.incremental_near_dup_pairs`` (the NEAR-dup
+    batch path against a signature index) with the exact-dup
+    streaming path.
+    """
+    from tidyvec_spark.operators.dedup import normalized_text_key
+
+    keyed = new_docs.withColumn("__ih", normalized_text_key(text_col))
+    fresh = keyed.join(
+        index.select(F.col(index_hash_col).alias("__ih")).distinct(),
+        "__ih",
+        "left_anti",
+    ).drop("__ih")
+    return stateful_dedup_stream(
+        fresh, text_col, id_col, hash_col=index_hash_col
+    )
+
+
 def near_dup_pairs_stream(
     df: DataFrame,
     text_col: str,
