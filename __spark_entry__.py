@@ -357,14 +357,12 @@ def _docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_perplexity(docs, "text", "doc_id", alpha=0.1, round_to=4)
 
 
-def _docs_lm_perplexity_sql() -> str:
-    # Same model stage for stage: engine tokenization, interior
-    # bigrams, corpus/prefix counts, distinct-token V, add-0.1
-    # smoothing — all arithmetic forced to DOUBLE so it is the same
-    # IEEE computation Spark runs (DuckDB would otherwise run the
-    # smoothed ratios in DECIMAL).
-    return f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+# Same model stage for stage: engine tokenization, interior bigrams,
+# corpus/prefix counts, distinct-token V, add-0.1 smoothing — all
+# arithmetic forced to DOUBLE so it is the same IEEE computation Spark
+# runs (DuckDB would otherwise run the smoothed ratios in DECIMAL).
+# Shared by the perplexity entry and the CCNet bucket entry.
+_LM_PPL_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 bg AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
@@ -386,10 +384,62 @@ scored AS (
   JOIN c2 USING (bigram)
   JOIN c1 ON c1.w1 = string_split(d.bigram, ' ')[1]
   CROSS JOIN v
+),
+ppl AS (
+  SELECT doc_id, CAST(sum(dn) AS BIGINT) AS n_bigrams,
+         ROUND(exp(-sum(lp) / sum(dn)), 4) AS perplexity
+  FROM scored GROUP BY doc_id
+)"""
+
+
+def _docs_lm_perplexity_sql() -> str:
+    return f"""
+WITH {_LM_PPL_CTES}
+SELECT doc_id, n_bigrams, perplexity FROM ppl
+"""
+
+
+def _docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet bucketing (operators/lm.py::perplexity_buckets, Wenzek
+    et al. 2020 §4.3): per-language percent_rank over the corpus-LM
+    perplexity labels the fluent third 'head', then 'middle', 'tail'.
+    The window partitions by language — per-stratum sorts, never a
+    global sort; ranks are row-unique ((ppl, id) tiebreak) so the
+    labeling is engine-portable."""
+    from tidyvec_spark.operators.lm import (
+        bigram_lm_perplexity,
+        perplexity_buckets,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = bigram_lm_perplexity(docs, "text", "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return perplexity_buckets(
+        scored, "perplexity", "doc_id", "lang"
+    ).select("doc_id", "lang", "perplexity", "bucket")
+
+
+def _docs_ccnet_buckets_sql() -> str:
+    c1, c2 = repr(1.0 / 3.0), repr(2.0 / 3.0)
+    return f"""
+WITH {_LM_PPL_CTES},
+j AS (
+  SELECT p.doc_id, d.lang, p.perplexity
+  FROM ppl p JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, perplexity,
+         percent_rank() OVER (
+           PARTITION BY lang ORDER BY perplexity, doc_id
+         ) AS pr
+  FROM j
 )
-SELECT doc_id, CAST(sum(dn) AS BIGINT) AS n_bigrams,
-       ROUND(exp(-sum(lp) / sum(dn)), 4) AS perplexity
-FROM scored GROUP BY doc_id
+SELECT doc_id, lang, perplexity,
+       CASE WHEN pr < {c1} THEN 'head'
+            WHEN pr < {c2} THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
 """
 
 
@@ -4080,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "serving_shuffle": _serving_shuffle,
         "docs_stream_ingest": _docs_stream_ingest,
+        "docs_ccnet_buckets": _docs_ccnet_buckets,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -4171,6 +4222,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": _Q19_SQL,
         "serving_shuffle": _SERVING_SHUFFLE_SQL,
         "docs_stream_ingest": _DOCS_STREAM_INGEST_SQL,
+        "docs_ccnet_buckets": _docs_ccnet_buckets_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

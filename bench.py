@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q19_disjunctive_revenue",
     "serving_shuffle",
     "docs_stream_ingest",
+    "docs_ccnet_buckets",
 ]
 
 

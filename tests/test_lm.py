@@ -66,3 +66,44 @@ def test_ccnet_head_filter(spark, sf_dir):
     assert n_kept >= n_all * 0.4  # ~half, modulo ties
     # every scored doc has at least one bigram and a positive perplexity
     assert scored.filter((F.col("n_bigrams") < 1) | (F.col("perplexity") <= 0)).count() == 0
+
+
+def test_perplexity_buckets_deterministic_thirds(spark, sf_dir):
+    from tidyvec_spark.operators.lm import bigram_lm_perplexity, perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = bigram_lm_perplexity(docs, "text", "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    out = perplexity_buckets(scored, "perplexity", "doc_id", "lang")
+    rows = out.collect()
+    assert {r["bucket"] for r in rows} == {"head", "middle", "tail"}
+    # within each language the head must hold the LOWEST perplexities
+    import collections
+    by_lang = collections.defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append((r["perplexity"], r["bucket"]))
+    for lang, vals in by_lang.items():
+        if len(vals) < 6:
+            continue
+        vals.sort()
+        n = len(vals)
+        assert all(b == "head" for _, b in vals[: max(1, n // 4)])
+        assert all(b == "tail" for _, b in vals[-max(1, n // 4):])
+    # thirds are roughly balanced per language
+    for lang, vals in by_lang.items():
+        counts = collections.Counter(b for _, b in vals)
+        n = len(vals)
+        for lab in ("head", "middle", "tail"):
+            assert counts[lab] >= n // 5
+
+
+def test_perplexity_buckets_validation(spark):
+    from tidyvec_spark.operators.lm import perplexity_buckets
+
+    df = spark.createDataFrame([(1, 2.0, "en")], "doc_id bigint, p double, lang string")
+    import pytest as pt
+    with pt.raises(ValueError):
+        perplexity_buckets(df, "p", "doc_id", "lang", cuts=(0.5,), labels=("a",))
+    with pt.raises(ValueError):
+        perplexity_buckets(df, "p", "doc_id", "lang", cuts=(0.6, 0.4))

@@ -15,7 +15,11 @@ from tidyvec_spark.operators.curriculum import (
     write_shuffled_shards,
 )
 from tidyvec_spark.operators.fusion import mean_pool_embeddings, rrf_fuse
-from tidyvec_spark.operators.lm import bigram_counts, bigram_lm_perplexity
+from tidyvec_spark.operators.lm import (
+    bigram_counts,
+    bigram_lm_perplexity,
+    perplexity_buckets,
+)
 from tidyvec_spark.operators.mining import hard_negative_pairs
 from tidyvec_spark.operators.importance import (
     dsir_log_ratios,
@@ -75,6 +79,7 @@ __all__ = [
     "mean_pool_embeddings",
     "rrf_fuse",
     "pack_sequences",
+    "perplexity_buckets",
     "temperature_fractions",
     "temperature_sample",
     "semantic_dedup",

@@ -27,12 +27,14 @@ Plan shape (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.text import ngrams, tokens
 
-__all__ = ["bigram_counts", "bigram_lm_perplexity"]
+__all__ = ["bigram_counts", "bigram_lm_perplexity", "perplexity_buckets"]
 
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -119,3 +121,40 @@ def bigram_lm_perplexity(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    ppl_col: str,
+    id_col: str,
+    strata_col: str,
+    cuts: Sequence[float] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    out_col: str = "bucket",
+) -> DataFrame:
+    """CCNet's bucketing step (Wenzek et al., 2020 §4.3): within each
+    stratum (language), rank documents by perplexity and label the
+    lowest-perplexity third "head", then "middle", then "tail" —
+    downstream pipelines keep head+middle or reweight by bucket.
+
+    Rank is ``percent_rank`` over (``ppl_col``, ``id_col``) — the id
+    tiebreak makes ranks row-unique, so the labeling is fully
+    deterministic and engine-portable. The window partitions by
+    stratum, so at 100 TB this is one shuffle on the stratum key with
+    per-stratum sorts — never a global sort; skewed strata (one giant
+    language) are exactly the case for pre-splitting by
+    ``temperature_fractions``-style strata design, documented here
+    rather than hidden.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly len(cuts)+1 labels")
+    if any(a >= b for a, b in zip(cuts, cuts[1:])) or any(
+        not (0.0 < c < 1.0) for c in cuts
+    ):
+        raise ValueError(f"cuts must be strictly increasing in (0, 1): {cuts}")
+    w = Window.partitionBy(strata_col).orderBy(F.asc(ppl_col), F.asc(id_col))
+    pr = F.percent_rank().over(w)
+    bucket = F.lit(labels[-1])
+    for c, lab in zip(reversed(cuts), reversed(labels[:-1])):
+        bucket = F.when(pr < F.lit(float(c)), F.lit(lab)).otherwise(bucket)
+    return scored.withColumn(out_col, bucket)
