@@ -2843,6 +2843,36 @@ FROM w WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def _decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-collision decontamination (operators/dedup.py::
+    decontaminate_ngram_hits — the GPT-3 §C / PaLM 13-gram rule, here
+    8-grams at fixture length): docs sharing any 8-gram with the
+    'eval set' (doc_id < 20) are dropped, including the eval docs
+    themselves. Benchmark grams broadcast; corpus scanned once, no
+    shuffle on the gram key."""
+    from tidyvec_spark.operators.dedup import decontaminate_ngram_hits
+
+    docs = _read(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 20)
+    return decontaminate_ngram_hits(
+        docs, benchmark, "text", "doc_id", n=8
+    ).select("doc_id", "lang", "source")
+
+
+_DECONTAM_NGRAM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks WHERE len(t) >= 8
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+bad AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bg))
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection
     (operators/dedup.py::drop_near_dups_keep_best): near-dup components
@@ -4131,6 +4161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_shuffle": _serving_shuffle,
         "docs_stream_ingest": _docs_stream_ingest,
         "docs_ccnet_buckets": _docs_ccnet_buckets,
+        "decontaminate_ngram": _decontaminate_ngram,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -4223,6 +4254,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_shuffle": _SERVING_SHUFFLE_SQL,
         "docs_stream_ingest": _DOCS_STREAM_INGEST_SQL,
         "docs_ccnet_buckets": _docs_ccnet_buckets_sql(),
+        "decontaminate_ngram": _DECONTAM_NGRAM_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

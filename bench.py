@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "serving_shuffle",
     "docs_stream_ingest",
     "docs_ccnet_buckets",
+    "decontaminate_ngram",
 ]
 
 

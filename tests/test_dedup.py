@@ -557,3 +557,43 @@ def test_dedup_lines_global(spark):
     }
     assert with_empty[3] == ("", 0)
     assert set(with_empty) == {1, 2, 3, 4}
+
+
+def test_decontaminate_ngram_hits(spark):
+    """GPT-3-style exact n-gram collision: a doc quoting one benchmark
+    n-gram is contaminated even when its Jaccard to the benchmark is
+    tiny; min_hits raises the bar; short docs can never collide."""
+    from tidyvec_spark.operators.dedup import decontaminate_ngram_hits
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # long doc quoting one 5-gram of the benchmark -> dropped
+            (1, "intro words " + "quick brown fox jumps over" + " plus a very long unrelated tail " * 3),
+            (2, "completely unrelated content about spark partitions"),
+            (3, "quick brown fox"),  # < n tokens shared, only a 3-gram
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate_ngram_hits(
+            corpus, bench, "text", "doc_id", n=5
+        ).collect()
+    )
+    assert kept == [2, 3]
+    # min_hits=2: doc 1 has several colliding 5-grams? it quotes one
+    # contiguous 5-token span -> exactly one 5-gram -> survives at 2
+    kept2 = sorted(
+        r["doc_id"]
+        for r in decontaminate_ngram_hits(
+            corpus, bench, "text", "doc_id", n=5, min_hits=2
+        ).collect()
+    )
+    assert kept2 == [1, 2, 3]
+    import pytest as pt
+    with pt.raises(ValueError):
+        decontaminate_ngram_hits(corpus, bench, "text", "doc_id", n=0)

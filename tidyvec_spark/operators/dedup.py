@@ -373,6 +373,62 @@ def decontaminate_against(
     )
 
 
+def decontaminate_ngram_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """EXACT n-gram-collision decontamination — the published GPT-3
+    §C / PaLM rule verbatim: a training document is contaminated if it
+    shares at least ``min_hits`` distinct ``n``-gram(s) (13 tokens in
+    the papers) with any benchmark/eval document. Catches the case
+    MinHash-Jaccard (:func:`decontaminate_against`) structurally
+    misses: a short eval item quoted inside a long document has huge
+    containment but tiny Jaccard.
+
+    Physical shape: the benchmark's distinct n-grams are a SMALL
+    broadcast side (eval suites are MBs, not TBs); the corpus explodes
+    its n-grams map-side and the hit test is a broadcast semi/inner
+    join — the 100 TB corpus is scanned exactly once and never
+    shuffles on the gram key. With ``min_hits > 1`` a per-doc
+    hash-agg counts distinct hit grams before the threshold.
+    """
+    from tidyvec_spark.functions.text import ngrams
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1")
+    bench_grams = benchmark.select(
+        F.explode(ngrams(text_col, n)).alias("__g")
+    ).distinct()
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("__cid"), F.explode(ngrams(text_col, n)).alias("__g")
+    )
+    if min_hits == 1:
+        contaminated = (
+            corpus_grams.join(F.broadcast(bench_grams), "__g", "left_semi")
+            .select("__cid")
+            .distinct()
+        )
+    else:
+        contaminated = (
+            corpus_grams.join(F.broadcast(bench_grams), "__g")
+            .groupBy("__cid")
+            .agg(F.count_distinct("__g").alias("__hits"))
+            .filter(F.col("__hits") >= min_hits)
+            .select("__cid")
+        )
+    return corpus.join(
+        F.broadcast(contaminated),
+        corpus[id_col] == F.col("__cid"),
+        "left_anti",
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
