@@ -443,6 +443,68 @@ FROM r
 """
 
 
+_BQ_CODE_SQL = """list_sum(list_transform(range(0, 64), j ->
+  CASE WHEN v[j + 1] >= 0
+       THEN (CASE WHEN j = 63 THEN (-9223372036854775807 - 1) ELSE 1::BIGINT << j END)
+       ELSE 0::BIGINT END))::BIGINT"""
+
+
+def _bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign) quantization top-k (operators/bq.py): 1 bit per
+    dimension — 32× scan compression — and Hamming distance via
+    bit_count(xor) over packed longs, all integer codegen. Bit 63
+    lands on the long's sign bit; both engines pack it as MIN_LONG, so
+    codes are bit-identical."""
+    from tidyvec_spark.operators.bq import bq_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return bq_topk(e, "embedding", "vec_id", q, k=10, dim=64)
+
+
+def _bq_hamming_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, {_BQ_CODE_SQL} AS code FROM e),
+q AS (SELECT code AS qc FROM c WHERE vec_id = 0)
+SELECT vec_id, CAST(bit_count(xor(code, qc)) AS BIGINT) AS hamming
+FROM c, q
+ORDER BY hamming, vec_id
+LIMIT 10
+"""
+
+
+def _bq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-prefilter → exact-rerank serving pattern: 100
+    Hamming candidates (codes only — float column pruned), then exact
+    cosine top-10 among them. The float scan touches 100 rows
+    regardless of corpus size."""
+    from tidyvec_spark.operators.bq import bq_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return bq_topk(
+        e, "embedding", "vec_id", q, k=10, dim=64, prefilter=100, round_to=R
+    )
+
+
+def _bq_rerank_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, {_BQ_CODE_SQL} AS code FROM e),
+qc AS (SELECT code AS qcode FROM c WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, CAST(bit_count(xor(code, qcode)) AS BIGINT) AS hamming
+  FROM c, qc ORDER BY hamming, vec_id LIMIT 100
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT cand.vec_id, cand.hamming, ROUND({_COS}, {R}) AS similarity
+FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q
+ORDER BY similarity DESC, cand.vec_id
+LIMIT 10
+"""
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection. The corpus is the
     embeddings table unioned with perturbed copies (vec_id + 100000,
@@ -4162,6 +4224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stream_ingest": _docs_stream_ingest,
         "docs_ccnet_buckets": _docs_ccnet_buckets,
         "decontaminate_ngram": _decontaminate_ngram,
+        "bq_hamming_topk": _bq_hamming_topk,
+        "bq_rerank_topk": _bq_rerank_topk,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -4255,6 +4319,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_stream_ingest": _DOCS_STREAM_INGEST_SQL,
         "docs_ccnet_buckets": _docs_ccnet_buckets_sql(),
         "decontaminate_ngram": _DECONTAM_NGRAM_SQL,
+        "bq_hamming_topk": _bq_hamming_sql(),
+        "bq_rerank_topk": _bq_rerank_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "docs_stream_ingest",
     "docs_ccnet_buckets",
     "decontaminate_ngram",
+    "bq_hamming_topk",
+    "bq_rerank_topk",
 ]
 
 

@@ -4,6 +4,7 @@ from tidyvec_spark.operators.nearest import (
     similarity_join_exact,
     similarity_join_lsh,
 )
+from tidyvec_spark.operators.bq import bq_encode, bq_pack_py, bq_topk
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
 from tidyvec_spark.operators.chunking import chunk_documents, pack_sequences
@@ -60,6 +61,9 @@ __all__ = [
     "asof_join",
     "range_join_bucketed",
     "bigram_counts",
+    "bq_encode",
+    "bq_pack_py",
+    "bq_topk",
     "bigram_lm_perplexity",
     "bm25_stats",
     "bm25_topk",
