@@ -296,6 +296,56 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) <= 3
 """
 
 
+def _ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation (operators/evaluation.py::topk_recall): the
+    LSH-multiprobe top-3 (similarity_join_lsh's result) measured
+    against the exact top-3 per query — the tuning loop for
+    planes/probe_hamming run as a first-class operator. The
+    evaluation join is k×|queries| rows; cost lives in the two
+    searches, which are the already-benched entries."""
+    from tidyvec_spark.operators.evaluation import topk_recall
+
+    approx = _similarity_join_lsh(spark, sf_dir)
+    exact = _ann_topk(spark, sf_dir)
+    return topk_recall(approx, exact, "qid", "cid", k=3, round_to=R)
+
+
+def _ann_recall_lsh_sql() -> str:
+    planes = _ann_planes()
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_sql_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, v AS cv, bucket AS cb FROM b WHERE vec_id >= 5),
+approx AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROUND(list_cosine_similarity(cv, qv), {R}) AS similarity
+    FROM q JOIN c ON bit_count(xor(qb, cb)) <= 1
+  ) QUALIFY row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) <= 3
+),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROUND(list_cosine_similarity(cv, qv), {R}) AS similarity
+    FROM q, c
+  ) QUALIFY row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) <= 3
+),
+hits AS (
+  SELECT exact.qid, count(*) AS n_hits
+  FROM exact JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
+  GROUP BY exact.qid
+)
+SELECT q.qid, COALESCE(hits.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(hits.n_hits, 0) / 3.0, {R}) AS recall
+FROM (SELECT DISTINCT qid FROM exact) q
+LEFT JOIN hits ON q.qid = hits.qid
+"""
+
+
 def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining
     (operators/mining.py::hard_negative_pairs): per anchor, the top-3
@@ -4226,6 +4276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": _decontaminate_ngram,
         "bq_hamming_topk": _bq_hamming_topk,
         "bq_rerank_topk": _bq_rerank_topk,
+        "ann_recall_lsh": _ann_recall_lsh,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -4321,6 +4372,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": _DECONTAM_NGRAM_SQL,
         "bq_hamming_topk": _bq_hamming_sql(),
         "bq_rerank_topk": _bq_rerank_sql(),
+        "ann_recall_lsh": _ann_recall_lsh_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

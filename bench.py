@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "decontaminate_ngram",
     "bq_hamming_topk",
     "bq_rerank_topk",
+    "ann_recall_lsh",
 ]
 
 

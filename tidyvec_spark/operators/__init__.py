@@ -1,4 +1,5 @@
 from tidyvec_spark.operators.embed import embed
+from tidyvec_spark.operators.evaluation import mean_recall, topk_recall
 from tidyvec_spark.operators.nearest import (
     nearest,
     similarity_join_exact,
@@ -81,10 +82,12 @@ __all__ = [
     "dsir_weights",
     "hard_negative_pairs",
     "mean_pool_embeddings",
+    "mean_recall",
     "rrf_fuse",
     "pack_sequences",
     "perplexity_buckets",
     "temperature_fractions",
+    "topk_recall",
     "temperature_sample",
     "semantic_dedup",
     "semantic_dedup_pairs",
