@@ -2912,6 +2912,25 @@ FROM cleaned
 """
 
 
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/bpe.py::bpe_train,
+    Sennrich 2016): 16 merges learned from the documents corpus. The
+    corpus collapses once to a Zipf-bounded word-frequency table;
+    each merge is one explode+hash-agg, a 1-row argmax collect (the
+    inherently-global decision), and a map-side regexp projection.
+    Iterative ⇒ no single-SQL oracle (rows-only driver check); exact
+    merge-table equality with a pure-Python reference is pinned in
+    tests/test_bpe.py."""
+    from tidyvec_spark.operators.bpe import bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=16)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_count bigint",
+    )
+
+
 def _docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style GLOBAL line dedup (operators/dedup.py::
     dedup_lines_global): every distinct line survives only at its
@@ -4287,6 +4306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "pca_2d": _pca_2d,
         "hf_embed_fake": _hf_embed_fake,
+        "bpe_merges": _bpe_merges,
     }
 
 

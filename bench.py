@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "bq_hamming_topk",
     "bq_rerank_topk",
     "ann_recall_lsh",
+    "bpe_merges",
 ]
 
 

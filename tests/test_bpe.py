@@ -1,0 +1,93 @@
+"""Distributed BPE training pinned against a pure-Python reference
+implementation (same greedy non-overlapping merge, same count-then-
+lexicographic tie break)."""
+
+import collections
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark.operators.bpe import (
+    bpe_apply_expr,
+    bpe_train,
+    bpe_word_freq,
+)
+
+
+def _ref_bpe(word_freqs, num_merges, eow="</w>"):
+    vocab = {}
+    for w, f in word_freqs.items():
+        sym = " ".join(list(w[:-1]) + [w[-1] + eow]) if len(w) > 1 else w + eow
+        vocab[sym] = vocab.get(sym, 0) + f
+    merges = []
+    for _ in range(num_merges):
+        pairs = collections.Counter()
+        for sym, f in vocab.items():
+            s = sym.split(" ")
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        n = max(pairs.values())
+        a, b = sorted(p for p, c in pairs.items() if c == n)[0]
+        merges.append((a, b, n))
+        pat = re.compile(f"(?<![^ ]){re.escape(a)} {re.escape(b)}(?![^ ])")
+        nv = {}
+        for sym, f in vocab.items():
+            ns = pat.sub(lambda m: a + b, sym)
+            nv[ns] = nv.get(ns, 0) + f
+        vocab = nv
+    return merges
+
+
+def _word_freqs(spark, sf_dir):
+    from tidyvec_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w").count().collect()
+    )
+    return {r["w"]: r["count"] for r in rows}
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    got = bpe_train(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "text", 12
+    )
+    want = _ref_bpe(_word_freqs(spark, sf_dir), 12)
+    assert got == want
+
+
+def test_bpe_toy_classic(spark):
+    corpus = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "id bigint, text string",
+    )
+    m = bpe_train(corpus, "text", 2)
+    # 'l o' dominates (6 weighted occurrences), then 'lo w</w>' (4)
+    assert m[0][:2] == ("l", "o") and m[0][2] == 6
+    assert m[1][:2] == ("lo", "w</w>") and m[1][2] == 4
+
+
+def test_bpe_apply_expr_uses_learned_merges(spark):
+    corpus = spark.createDataFrame(
+        [(1, "aaab aaab aaab")], "id bigint, text string"
+    )
+    m = bpe_train(corpus, "text", 3)
+    out = (
+        bpe_word_freq(corpus, "text")
+        .select(bpe_apply_expr("sym", m).alias("s"))
+        .first()["s"]
+    )
+    # after 3 merges the single word collapses to at most 2 symbols
+    assert len(out.split(" ")) <= 2
+
+
+def test_bpe_validation_and_early_stop(spark):
+    corpus = spark.createDataFrame([(1, "a b")], "id bigint, text string")
+    with pytest.raises(ValueError):
+        bpe_train(corpus, "text", 0)
+    # single-char words (+eow fused) have no pairs -> early stop
+    assert bpe_train(corpus, "text", 5) == []

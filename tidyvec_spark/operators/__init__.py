@@ -5,6 +5,7 @@ from tidyvec_spark.operators.nearest import (
     similarity_join_exact,
     similarity_join_lsh,
 )
+from tidyvec_spark.operators.bpe import bpe_apply_expr, bpe_train, bpe_word_freq
 from tidyvec_spark.operators.bq import bq_encode, bq_pack_py, bq_topk
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
@@ -62,6 +63,9 @@ __all__ = [
     "asof_join",
     "range_join_bucketed",
     "bigram_counts",
+    "bpe_apply_expr",
+    "bpe_train",
+    "bpe_word_freq",
     "bq_encode",
     "bq_pack_py",
     "bq_topk",
