@@ -2912,6 +2912,46 @@ FROM cleaned
 """
 
 
+def _wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard lifecycle (sources/webdataset.py): the
+    documents corpus written as 4 tar shards of single-member samples
+    (key = zero-padded doc_id, 'txt' payload = UTF-8 text), then read
+    back through the binaryFile + stdlib-tar source. The oracle
+    computes the same keys/byte-lengths from the table directly, so a
+    hash match proves the round-trip lost nothing."""
+    import tempfile
+
+    from tidyvec_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.format_string("%06d", F.col("doc_id")).alias("key"),
+        F.create_map(F.lit("txt"), F.encode(F.col("text"), "utf-8")).alias(
+            "data"
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="tv_wds_") + "/shards"
+    write_webdataset(docs, path, "key", "data", n_shards=4)
+    back = read_webdataset(spark, path)
+    return back.select(
+        "key",
+        F.size("data").alias("n_members"),
+        F.length(F.element_at(F.col("data"), F.lit("txt")))
+        .cast("long")
+        .alias("txt_bytes"),
+    )
+
+
+_WDS_ROUNDTRIP_SQL = """
+SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,
+       CAST(1 AS INT) AS n_members,
+       CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes
+FROM documents
+"""
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (operators/bpe.py::bpe_train,
     Sennrich 2016): 16 merges learned from the documents corpus. The
@@ -4296,6 +4336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_hamming_topk": _bq_hamming_topk,
         "bq_rerank_topk": _bq_rerank_topk,
         "ann_recall_lsh": _ann_recall_lsh,
+        "wds_roundtrip": _wds_roundtrip,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -4393,6 +4434,7 @@ def oracle_sql() -> dict[str, str]:
         "bq_hamming_topk": _bq_hamming_sql(),
         "bq_rerank_topk": _bq_rerank_sql(),
         "ann_recall_lsh": _ann_recall_lsh_sql(),
+        "wds_roundtrip": _WDS_ROUNDTRIP_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "bq_rerank_topk",
     "ann_recall_lsh",
     "bpe_merges",
+    "wds_roundtrip",
 ]
 
 

@@ -14,6 +14,11 @@ from tidyvec_spark.sources.layout import (
     write_bucket_partitioned,
     write_centroid_partitioned,
 )
+from tidyvec_spark.sources.webdataset import (
+    read_webdataset,
+    wds_key_of,
+    write_webdataset,
+)
 
 __all__ = [
     "write_vec",
@@ -27,4 +32,7 @@ __all__ = [
     "ann_ivf_topk_pruned",
     "ann_lsh_topk_pruned",
     "ann_topk_sidecar",
+    "read_webdataset",
+    "wds_key_of",
+    "write_webdataset",
 ]
