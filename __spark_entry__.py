@@ -411,8 +411,11 @@ def _docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus/prefix counts, distinct-token V, add-0.1 smoothing — all
 # arithmetic forced to DOUBLE so it is the same IEEE computation Spark
 # runs (DuckDB would otherwise run the smoothed ratios in DECIMAL).
-# Shared by the perplexity entry and the CCNet bucket entry.
-_LM_PPL_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+# Shared by the perplexity entry, the CCNet bucket entry, and the
+# full-pipeline composite (which trains the LM on the DEDUPED corpus —
+# pass the CTE name as ``src``).
+def _lm_ppl_ctes(src: str = "documents") -> str:
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM {src}),
 bg AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
@@ -444,7 +447,7 @@ ppl AS (
 
 def _docs_lm_perplexity_sql() -> str:
     return f"""
-WITH {_LM_PPL_CTES}
+WITH {_lm_ppl_ctes()}
 SELECT doc_id, n_bigrams, perplexity FROM ppl
 """
 
@@ -473,7 +476,7 @@ def _docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _docs_ccnet_buckets_sql() -> str:
     c1, c2 = repr(1.0 / 3.0), repr(2.0 / 3.0)
     return f"""
-WITH {_LM_PPL_CTES},
+WITH {_lm_ppl_ctes()},
 j AS (
   SELECT p.doc_id, d.lang, p.perplexity
   FROM ppl p JOIN documents d USING (doc_id)
@@ -552,6 +555,93 @@ SELECT cand.vec_id, cand.hamming, ROUND({_COS}, {R}) AS similarity
 FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q
 ORDER BY similarity DESC, cand.vec_id
 LIMIT 10
+"""
+
+
+def _pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CCNet pipeline (Wenzek et al., 2020) as ONE lazy plan:
+    (1) global line dedup — CCNet's paragraph-hash dedup — on the
+    deterministic ' the '→newline lining; (2) language ID on the
+    DEDUPED text; (3) bigram LM trained on the deduped corpus and
+    every doc scored; (4) per-predicted-language head/middle/tail
+    perplexity buckets, tail dropped. Each stage's standalone entry is
+    oracle-checked; this composite pins that they COMPOSE — the LM
+    trains on the dedup output, not the raw corpus.
+
+    Scale: dedup 3 bounded shuffles; lang-id map-side; LM vocabulary-
+    sized aggs; buckets one per-language window. No materialization
+    between stages."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.dedup import dedup_lines_global
+    from tidyvec_spark.operators.lm import (
+        bigram_lm_perplexity,
+        perplexity_buckets,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"),
+    )
+    dd = dedup_lines_global(lined, "text", "doc_id")
+    pred = dd.select("doc_id", "text", X.lang_id("text").alias("lang_pred"))
+    scored = bigram_lm_perplexity(pred, "text", "doc_id")
+    j = scored.join(pred.select("doc_id", "lang_pred"), "doc_id")
+    out = perplexity_buckets(j, "perplexity", "doc_id", "lang_pred")
+    return out.filter(F.col("bucket") != "tail").select(
+        "doc_id", "lang_pred", "perplexity", "bucket"
+    )
+
+
+def _pipeline_ccnet_sql() -> str:
+    c1, c2 = repr(1.0 / 3.0), repr(2.0 / 3.0)
+    return f"""
+WITH lined AS (
+  SELECT doc_id, replace(text, ' the ', chr(10)) AS t FROM documents
+),
+lx AS (
+  SELECT doc_id, ls[u.i] AS line, u.i AS pos
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined),
+       LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+  WHERE trim(ls[u.i]) <> ''
+),
+lw AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (
+           PARTITION BY md5(trim(line)) ORDER BY doc_id, pos
+         ) AS rn
+  FROM lx
+),
+dedup AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM lw WHERE rn = 1 GROUP BY doc_id
+),
+lt AS (SELECT doc_id, {_TOKS} AS toks FROM dedup),
+lsc AS (SELECT doc_id, {_lang_sql_scores()} FROM lt),
+langp AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM lsc
+),
+{_lm_ppl_ctes("dedup")},
+j AS (
+  SELECT p.doc_id, l.lang_pred, p.perplexity
+  FROM ppl p JOIN langp l USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang_pred, perplexity,
+         percent_rank() OVER (
+           PARTITION BY lang_pred ORDER BY perplexity, doc_id
+         ) AS pr
+  FROM j
+)
+SELECT doc_id, lang_pred, perplexity,
+       CASE WHEN pr < {c1} THEN 'head' ELSE 'middle' END AS bucket
+FROM r WHERE pr < {c2}
 """
 
 
@@ -4337,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_rerank_topk": _bq_rerank_topk,
         "ann_recall_lsh": _ann_recall_lsh,
         "wds_roundtrip": _wds_roundtrip,
+        "pipeline_ccnet": _pipeline_ccnet,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -4435,6 +4526,7 @@ def oracle_sql() -> dict[str, str]:
         "bq_rerank_topk": _bq_rerank_sql(),
         "ann_recall_lsh": _ann_recall_lsh_sql(),
         "wds_roundtrip": _WDS_ROUNDTRIP_SQL,
+        "pipeline_ccnet": _pipeline_ccnet_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "ann_recall_lsh",
     "bpe_merges",
     "wds_roundtrip",
+    "pipeline_ccnet",
 ]
 
 

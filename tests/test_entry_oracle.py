@@ -122,4 +122,7 @@ def test_every_query_has_oracle_or_is_declared_ml():
     assert oracles <= qs, f"orphan oracles: {oracles - qs}"
     rows_only = qs - oracles
     # only genuinely non-SQL-expressible ops may skip the oracle
-    assert rows_only <= {"kmeans_clusters", "pca_2d", "hf_embed_fake"}, rows_only
+    # (model fits + the iterative BPE training loop)
+    assert rows_only <= {
+        "kmeans_clusters", "pca_2d", "hf_embed_fake", "bpe_merges"
+    }, rows_only
