@@ -558,6 +558,82 @@ LIMIT 10
 """
 
 
+def _corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/dedup.py::corpus_diff): 'new' is the
+    corpus with doc_id < 100 edited (' edited' appended), 100-119
+    removed, and 20 re-keyed additions — the entry recovers exactly
+    the added/changed/removed sets via one full-outer join on the id
+    with map-side content hashes. The re-embed worklist generator for
+    incremental pipelines."""
+    from tidyvec_spark.operators.dedup import corpus_diff
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(~((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") < 100, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, new, "text", "doc_id")
+
+
+_CORPUS_DIFF_SQL = """
+WITH norm AS (
+  SELECT doc_id, text FROM documents
+),
+n0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 100 THEN text || ' edited' ELSE text END AS text
+  FROM norm WHERE NOT (doc_id >= 100 AND doc_id < 120)
+),
+nadd AS (SELECT doc_id + 10000 AS doc_id, text FROM norm WHERE doc_id < 20),
+n AS (SELECT * FROM n0 UNION ALL SELECT * FROM nadd),
+oh AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h FROM norm),
+nh AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h FROM n),
+j AS (
+  SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
+         CASE WHEN oh.h IS NULL THEN 'added'
+              WHEN nh.h IS NULL THEN 'removed'
+              WHEN oh.h <> nh.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
+)
+SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+"""
+
+
+def _events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics (operators/skew.py::key_skew_profile): the 10
+    heaviest user_id keys in events with share and skew multiplier —
+    the measurement that decides between plain join, AQE, and
+    salting. One hash-agg + broadcast totals + TakeOrdered; safe on
+    the full input."""
+    from tidyvec_spark.operators.skew import key_skew_profile
+
+    ev = _read(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_n=10, round_to=R)
+
+
+_EVENTS_SKEW_PROFILE_SQL = f"""
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS nkeys FROM c)
+SELECT user_id, n_rows,
+       ROUND(n_rows / total, {R}) AS share,
+       ROUND(n_rows / total * nkeys, {R}) AS skew_x
+FROM c, t
+ORDER BY n_rows DESC, user_id
+LIMIT 10
+"""
+
+
 def _pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full CCNet pipeline (Wenzek et al., 2020) as ONE lazy plan:
     (1) global line dedup — CCNet's paragraph-hash dedup — on the
@@ -4428,6 +4504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_lsh": _ann_recall_lsh,
         "wds_roundtrip": _wds_roundtrip,
         "pipeline_ccnet": _pipeline_ccnet,
+        "events_skew_profile": _events_skew_profile,
+        "corpus_diff": _corpus_diff,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -4527,6 +4605,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_lsh": _ann_recall_lsh_sql(),
         "wds_roundtrip": _WDS_ROUNDTRIP_SQL,
         "pipeline_ccnet": _pipeline_ccnet_sql(),
+        "events_skew_profile": _EVENTS_SKEW_PROFILE_SQL,
+        "corpus_diff": _CORPUS_DIFF_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

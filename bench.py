@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "bpe_merges",
     "wds_roundtrip",
     "pipeline_ccnet",
+    "events_skew_profile",
+    "corpus_diff",
 ]
 
 

@@ -597,3 +597,24 @@ def test_decontaminate_ngram_hits(spark):
     import pytest as pt
     with pt.raises(ValueError):
         decontaminate_ngram_hits(corpus, bench, "text", "doc_id", n=0)
+
+
+def test_corpus_diff(spark):
+    from tidyvec_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone"), (4, "ws   same")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now different"), (4, "WS same"), (5, "brand new")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "text", "doc_id").collect()}
+    # 4 is whitespace/case-only -> unchanged -> excluded
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+    full = {r["doc_id"]: r["status"]
+            for r in corpus_diff(old, new, "text", "doc_id",
+                                 include_unchanged=True).collect()}
+    assert full[1] == "unchanged" and full[4] == "unchanged"

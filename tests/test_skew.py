@@ -99,3 +99,21 @@ def test_two_phase_agg_equals_direct(skewed):
         salt_on="row_id",
     )
     assert canon(two) == canon(direct)
+
+
+def test_key_skew_profile(spark):
+    from tidyvec_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("hot",)] * 80 + [("a",)] * 10 + [("b",)] * 10,
+        "k string",
+    )
+    prof = key_skew_profile(df, "k", top_n=2, round_to=6).collect()
+    assert [r["k"] for r in prof] == ["hot", "a"]
+    top = prof[0]
+    assert top["n_rows"] == 80
+    assert top["share"] == 0.8
+    assert top["skew_x"] == 2.4  # 0.8 share x 3 distinct keys
+    import pytest as pt
+    with pt.raises(ValueError):
+        key_skew_profile(df, "k", top_n=0)

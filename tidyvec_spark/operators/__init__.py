@@ -40,7 +40,7 @@ from tidyvec_spark.operators.sampling import (
     temperature_sample,
 )
 from tidyvec_spark.operators.search import bm25_stats, bm25_topk
-from tidyvec_spark.operators.skew import salted_join, two_phase_agg
+from tidyvec_spark.operators.skew import key_skew_profile, salted_join, two_phase_agg
 from tidyvec_spark.operators.sq import sq_encode, sq_fit, sq_topk
 from tidyvec_spark.operators.semdedup import semantic_dedup, semantic_dedup_pairs
 from tidyvec_spark.operators.pq import (
@@ -98,6 +98,7 @@ __all__ = [
     "pq_adc_topk",
     "pq_codebooks_from_rows",
     "pq_encode",
+    "key_skew_profile",
     "salted_join",
     "sq_encode",
     "sq_fit",

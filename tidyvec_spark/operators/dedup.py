@@ -373,6 +373,48 @@ def decontaminate_against(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions by content hash:
+    (``id_col``, status ∈ added | removed | changed | unchanged) — the
+    audit step between ingest runs ("what did this batch actually do")
+    and the input to incremental re-embedding (re-embed exactly the
+    added ∪ changed set, nothing else).
+
+    'changed' compares the exact-dedup NORMALIZED key
+    (:func:`normalized_text_key`), so whitespace-only edits are
+    'unchanged' — the same equivalence every dedup operator here uses.
+
+    Shape: one full-outer equi-join on the id (the id is the join key,
+    so both sides shuffle once; at 100 TB both sides are id-bucketed
+    tables and this is exchange-free); hashes are map-side. Unchanged
+    rows — the overwhelming majority — are dropped before returning
+    unless ``include_unchanged``.
+    """
+    o = old.select(
+        F.col(id_col).alias("__id"), normalized_text_key(text_col).alias("__ho")
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"), normalized_text_key(text_col).alias("__hn")
+    )
+    j = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(F.col("__id").alias(id_col), status.alias("status"))
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
 def decontaminate_ngram_hits(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -36,7 +36,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "two_phase_agg"]
+__all__ = ["key_skew_profile", "salted_join", "two_phase_agg"]
 
 
 def _salt_col(df: DataFrame, salt_factor: int, salt_on: Optional[str]) -> Column:
@@ -115,3 +115,40 @@ def two_phase_agg(
     salted = df.withColumn("__tv_salt", _salt_col(df, salt_factor, salt_on))
     partial = salted.groupBy(*keys, "__tv_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    top_n: int = 20,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Diagnose the skew BEFORE picking a mitigation: the ``top_n``
+    heaviest keys with their row count, share of the table, and the
+    ratio to a perfectly uniform key (share × distinct-key count — a
+    hot key with ``skew_x`` = 40 will run its join/agg partition 40×
+    longer than the average unless salted).
+
+    One hash-agg with map-side partial combine + a broadcast 1-row
+    totals join + TakeOrdered — safe to run on the full 100 TB input,
+    which is the point: measure there, not on a sample that can miss
+    the hot key entirely.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").cast("long").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").cast("double").alias("__total"),
+        F.count("*").cast("double").alias("__nkeys"),
+    )
+    share = F.col("n_rows") / F.col("__total")
+    skew = share * F.col("__nkeys")
+    if round_to is not None:
+        share, skew = F.round(share, round_to), F.round(skew, round_to)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(*keys, "n_rows", share.alias("share"), skew.alias("skew_x"))
+        .orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
+        .limit(int(top_n))
+    )
