@@ -239,3 +239,46 @@ def test_q19_disjunction_stays_equi_join(spark, qs):
     P.assert_no_cartesian(df)
     assert not any("NestedLoop" in s for s in P.join_strategies(df))
     P.assert_broadcast(df, at_least=1)
+
+
+def test_bq_code_scan_prunes_float_column(spark):
+    """Hamming search over precomputed codes must not read the float
+    embedding column — that pruning IS the 32x scan win."""
+    from tidyvec_spark.operators.bq import bq_encode, bq_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    import tempfile
+    path = tempfile.mkdtemp(prefix="tv_bq_") + "/codes"
+    bq_encode(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        "embedding", dim=64,
+    ).write.parquet(path)
+    coded = spark.read.parquet(path)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    df = bq_topk(coded, "embedding", "vec_id", q, k=5, code_col="bq")
+    for cols in P.read_schemas(df):
+        assert "embedding" not in cols, cols
+    assert P.has_take_ordered(df)
+
+
+def test_serving_shuffle_single_shuffle(spark, qs):
+    df = qs["serving_shuffle"](spark, SF)
+    assert P.num_shuffles(df) == 1  # only the per-shard rank window
+    P.assert_no_cartesian(df)
+
+
+def test_dedup_lines_bounded_shuffles(spark, qs):
+    df = qs["docs_dedup_lines"](spark, SF)
+    assert P.num_shuffles(df) <= 4, P.num_shuffles(df)
+    P.assert_no_cartesian(df)
+
+
+def test_decontaminate_ngram_broadcasts_benchmark(spark, qs):
+    df = qs["decontaminate_ngram"](spark, SF)
+    P.assert_broadcast(df, at_least=1)
+    P.assert_no_cartesian(df)
+
+
+def test_corpus_diff_no_cartesian(spark, qs):
+    df = qs["corpus_diff"](spark, SF)
+    P.assert_no_cartesian(df)
