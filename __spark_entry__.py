@@ -3845,6 +3845,68 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: yearly shipping volume between two nations, in both
+    directions. Supplier and customer each broadcast-join their nation
+    dim; the nation-pair disjunction is a residual on the fact joins
+    (orderkey/suppkey equi keys — never a nested loop); the yearly
+    rollup is one hash-agg."""
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _read(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem")
+    pair = (
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | (
+        (F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(sum(volume), 2) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+     OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 def _topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
@@ -4495,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q14_promo_revenue,
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q7_nation_volume": _q7_nation_volume,
         "serving_shuffle": _serving_shuffle,
         "docs_stream_ingest": _docs_stream_ingest,
         "docs_ccnet_buckets": _docs_ccnet_buckets,
@@ -4596,6 +4659,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": _Q14_SQL,
         "q18_large_orders": _Q18_SQL,
         "q19_disjunctive_revenue": _Q19_SQL,
+        "q7_nation_volume": _Q7_SQL,
         "serving_shuffle": _SERVING_SHUFFLE_SQL,
         "docs_stream_ingest": _DOCS_STREAM_INGEST_SQL,
         "docs_ccnet_buckets": _docs_ccnet_buckets_sql(),

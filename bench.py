@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q7_nation_volume",
     "serving_shuffle",
     "docs_stream_ingest",
     "docs_ccnet_buckets",
