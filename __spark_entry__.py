@@ -4541,7 +4541,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_windows": _events_session_windows,
         "events_range_join": _events_range_join,
         # round-5 additions land in the tail (dynamic pytest SUBSET
-        # covers them; rotate into the window next round)
+        # covers them; rotate into the window next round).
+        # ROUND-6 ROTATION LIST (never driver-checked yet): dsir_select,
+        # docs_c4_clean, dedup_keep_best, docs_stream_near_pairs,
+        # mix_target, curriculum_order, hard_negatives,
+        # docs_lm_perplexity, docs_dedup_lines, q6/q4/q10/q14/q18/q19/q7,
+        # serving_shuffle, docs_stream_ingest, docs_ccnet_buckets,
+        # decontaminate_ngram, bq_hamming_topk, bq_rerank_topk,
+        # ann_recall_lsh, wds_roundtrip, pipeline_ccnet,
+        # events_skew_profile, corpus_diff (+ rows-only bpe_merges);
+        # move the round-4 entries now holding the window to the tail.
         "dsir_select": _dsir_select,
         "docs_c4_clean": _docs_c4_clean,
         "dedup_keep_best": _dedup_keep_best,

@@ -247,3 +247,58 @@ def test_pack_sequences_tiles_each_bucket(spark, toks, budget):
             assert r["seq_offset"] == expect
             assert r["seq_id"] == expect // budget
             expect += r["n_toks"]
+
+
+def test_dedup_lines_idempotent(spark, sf_dir):
+    """Line dedup is a projection onto its own fixed point: running it
+    twice must equal running it once (no line survives twice, so the
+    second pass finds nothing to drop)."""
+    from pyspark.sql import functions as F
+    from tidyvec_spark.operators.dedup import dedup_lines_global
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    once = dedup_lines_global(docs, "text", "doc_id")
+    twice = dedup_lines_global(once.select("doc_id", "text"), "text", "doc_id")
+    a = {(r["doc_id"], r["text"]) for r in once.collect()}
+    b = {(r["doc_id"], r["text"]) for r in twice.collect()}
+    assert a == b
+
+
+def test_corpus_diff_self_is_empty(spark, sf_dir):
+    from tidyvec_spark.operators.dedup import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert corpus_diff(docs, docs, "text", "doc_id").count() == 0
+
+
+def test_bpe_apply_reproduces_training_fixpoint(spark):
+    """Applying the learned merge table to the raw spelled corpus must
+    reproduce the trainer's final symbolization (merge application is
+    deterministic and order-faithful)."""
+    from tidyvec_spark.operators.bpe import (
+        bpe_apply_expr,
+        bpe_train,
+        bpe_word_freq,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "id bigint, text string",
+    )
+    merges = bpe_train(corpus, "text", 4)
+    applied = {
+        r["s"]
+        for r in bpe_word_freq(corpus, "text")
+        .select(bpe_apply_expr("sym", merges).alias("s"))
+        .collect()
+    }
+    # fixpoint: re-applying any learned merge to the applied corpus
+    # changes nothing (every adjacency it targets was consumed, in
+    # order, exactly as during training)
+    import re
+    for a, b, _ in merges:
+        pat = re.compile(f"(?<![^ ]){re.escape(a)} {re.escape(b)}(?![^ ])")
+        for s in applied:
+            assert pat.sub(lambda m: a + b, s) == s, (a, b, s)
