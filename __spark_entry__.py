@@ -3959,6 +3959,121 @@ GROUP BY 1, 2
 """
 
 
+def _events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-window features: for every event, the count
+    and value-sum of the SAME USER's events in the preceding hour
+    (inclusive) — the classic online-feature backfill shape. A RANGE
+    window over integer epoch seconds: one shuffle on user_id, frames
+    evaluated with a sliding aggregate, no self-join; ties (equal
+    timestamps) are frame peers in both engines, so results are
+    order-insensitive."""
+    from tidyvec_spark.streaming import event_ns_of
+
+    ev = _read(spark, sf_dir, "events")
+    # integer ns DIV — double math loses whole seconds at 1.7e18 ns
+    df = ev.select(
+        "event_id", "user_id", "value", event_ns_of(ev, "ts").alias("__ns")
+    ).withColumn("ts_s", F.expr("__ns DIV 1000000000")).drop("__ns")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, 0)
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.count("*").over(w).cast("long").alias("n_prev_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_value_1h"),
+    )
+
+
+_EVENTS_ROLLING_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, value, epoch_ns(ts) // 1000000000 AS ts_s FROM events
+)
+SELECT event_id, user_id, ts_s,
+       CAST(count(*) OVER w AS BIGINT) AS n_prev_1h,
+       ROUND(sum(value) OVER w, 4) AS sum_value_1h
+FROM e
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts_s
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity week
+    (integer epoch-week — engine-neutral arithmetic, no calendar
+    truncation), counted at each week offset they were active.
+    Shape: one groupBy-min for cohorts (map-side partial), a shuffle
+    join back on user_id, one distinct-count agg."""
+    from tidyvec_spark.streaming import event_ns_of
+
+    ev = _read(spark, sf_dir, "events")
+    acts = (
+        ev.select("user_id", event_ns_of(ev, "ts").alias("__ns"))
+        .withColumn("week_idx", F.expr("(__ns DIV 1000000000) DIV 604800"))
+        .select("user_id", "week_idx")
+        .distinct()
+    )
+    cohort = acts.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    return (
+        acts.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_EVENTS_RETENTION_SQL = """
+WITH acts AS (
+  SELECT DISTINCT user_id, (epoch_ns(ts) // 1000000000) // 604800 AS week_idx
+  FROM events
+),
+cohort AS (SELECT user_id, min(week_idx) AS cohort_week FROM acts GROUP BY 1)
+SELECT c.cohort_week, a.week_idx - c.cohort_week AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM acts a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the JSON props payload's 'k' field
+    pulled with the JSON path expression (codegen, no UDF) and
+    aggregated per event type — the pattern for typed access into raw
+    event payloads without a pre-declared schema."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_PROPS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type, CAST(count(k) AS BIGINT) AS n,
+       min(k) AS min_k, max(k) AS max_k, ROUND(avg(k), 6) AS avg_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 _STREAM_RUN_SEQ = itertools.count()
 
 
@@ -4578,6 +4693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ccnet": _pipeline_ccnet,
         "events_skew_profile": _events_skew_profile,
         "corpus_diff": _corpus_diff,
+        "events_rolling_1h": _events_rolling_1h,
+        "events_retention": _events_retention,
+        "events_props_stats": _events_props_stats,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -4680,6 +4798,9 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_ccnet": _pipeline_ccnet_sql(),
         "events_skew_profile": _EVENTS_SKEW_PROFILE_SQL,
         "corpus_diff": _CORPUS_DIFF_SQL,
+        "events_rolling_1h": _EVENTS_ROLLING_SQL,
+        "events_retention": _EVENTS_RETENTION_SQL,
+        "events_props_stats": _EVENTS_PROPS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

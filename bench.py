@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "pipeline_ccnet",
     "events_skew_profile",
     "corpus_diff",
+    "events_rolling_1h",
+    "events_retention",
+    "events_props_stats",
 ]
 
 
