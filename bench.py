@@ -192,21 +192,29 @@ def main() -> None:
 
     # plan-shape metrics: wall time on a shared VM swings 2×
     # run-to-run, shuffle/scan counts don't — round-over-round
-    # regressions become attributable to the plan, not the weather
+    # regressions become attributable to the plan, not the weather.
+    # AQE OFF for this pass: an un-executed AdaptiveSparkPlan hides
+    # its WholeStageCodegen markers entirely (every lazy frame read
+    # codegen_stages=0 through r5's first sweep), and the static plan
+    # is the reproducible round-over-round artifact anyway.
     plan_metrics: dict[str, dict] = {}
-    for name in BENCH_QUERIES:
-        try:
-            from tidyvec_spark import plans as P
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in BENCH_QUERIES:
+            try:
+                from tidyvec_spark import plans as P
 
-            df = qs[name](spark, SF_DIR)
-            plan_metrics[name] = {
-                "shuffles": P.num_shuffles(df),
-                "scans": len(P.read_schemas(df)),
-                "codegen_stages": P.codegen_stage_count(df),
-            }
-        except Exception:
-            plan_metrics[name] = {}
-        spark.catalog.clearCache()
+                df = qs[name](spark, SF_DIR)
+                plan_metrics[name] = {
+                    "shuffles": P.num_shuffles(df),
+                    "scans": len(P.read_schemas(df)),
+                    "codegen_stages": P.codegen_stage_count(df),
+                }
+            except Exception:
+                plan_metrics[name] = {}
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The full plan-metrics dict goes to a FILE: the driver tail-

@@ -97,13 +97,23 @@ def num_shuffles(df: DataFrame) -> int:
 
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans — wider is better (fewer
-    interpreter boundaries)."""
+    interpreter boundaries).
+
+    An un-executed AQE plan's formatted explain carries NO codegen
+    markers at all (they appear only in the post-execution final
+    plan), so a formatted-only count reads 0 for every lazy frame.
+    Fall back to ``codegen`` explain mode, which compiles the plan
+    and prints "Found N WholeStageCodegen subtrees" regardless of
+    execution state."""
     for sec in _sections(df):
         ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", sec))
         ids |= set(re.findall(r"codegen id : (\d+)", sec))  # formatted mode
         if ids:
             return len(ids)
-    return 0
+    m = re.search(
+        r"Found (\d+) WholeStageCodegen subtrees", explain_str(df, "codegen")
+    )
+    return int(m.group(1)) if m else 0
 
 
 def assert_broadcast(df: DataFrame, at_least: int = 1) -> None:
