@@ -3959,6 +3959,47 @@ GROUP BY 1, 2
 """
 
 
+def _events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve values (sources/layout.py::zorder_value) over
+    (user_id, value) — the clustering key write_zorder range-
+    partitions on so each file's min/max stats go tight in EVERY listed
+    dimension. The oracle reproduces the identical scale-floor-
+    interleave integer arithmetic."""
+    from tidyvec_spark.sources.layout import zorder_value
+
+    ev = _read(spark, sf_dir, "events")
+    row = ev.agg(
+        F.min(F.col("user_id").cast("double")),
+        F.max(F.col("user_id").cast("double")),
+        F.min(F.col("value").cast("double")),
+        F.max(F.col("value").cast("double")),
+    ).first()
+    z = zorder_value(
+        ["user_id", "value"], [row[0], row[2]], [row[1], row[3]], bits=10
+    )
+    return ev.select("event_id", z.alias("z"))
+
+
+_EVENTS_ZORDER_SQL = """
+WITH b AS (
+  SELECT min(CAST(user_id AS DOUBLE)) AS lo0, max(CAST(user_id AS DOUBLE)) AS hi0,
+         min(CAST(value AS DOUBLE)) AS lo1, max(CAST(value AS DOUBLE)) AS hi1
+  FROM events
+),
+r AS (
+  SELECT event_id,
+         least(1023, greatest(0, CAST(floor((CAST(user_id AS DOUBLE) - lo0) / (hi0 - lo0) * 1024.0) AS BIGINT))) AS r0,
+         least(1023, greatest(0, CAST(floor((CAST(value AS DOUBLE) - lo1) / (hi1 - lo1) * 1024.0) AS BIGINT))) AS r1
+  FROM events, b
+)
+SELECT event_id,
+       CAST(list_sum(list_transform(range(0, 10), j ->
+             (((r0 >> j) & 1) << (j * 2))
+           + (((r1 >> j) & 1) << (j * 2 + 1)))) AS BIGINT) AS z
+FROM r
+"""
+
+
 def _events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing-window features: for every event, the count
     and value-sum of the SAME USER's events in the preceding hour
@@ -4696,6 +4737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_1h": _events_rolling_1h,
         "events_retention": _events_retention,
         "events_props_stats": _events_props_stats,
+        "events_zorder": _events_zorder,
         # oracle twins / strict sub-plans of window entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
@@ -4801,6 +4843,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_1h": _EVENTS_ROLLING_SQL,
         "events_retention": _EVENTS_RETENTION_SQL,
         "events_props_stats": _EVENTS_PROPS_SQL,
+        "events_zorder": _EVENTS_ZORDER_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "events_rolling_1h",
     "events_retention",
     "events_props_stats",
+    "events_zorder",
 ]
 
 

@@ -142,3 +142,64 @@ def test_sidecar_ivf_index_roundtrip(spark, emb, tmp_path_factory):
     assert [(r["vec_id"], r["similarity"]) for r in pruned.collect()] == [
         (r["vec_id"], r["similarity"]) for r in full
     ]
+
+
+def test_zorder_value_interleaves_and_orders(spark):
+    from tidyvec_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0), (0.5, 0.5)],
+        "x double, y double",
+    )
+    z = df.select("x", "y", zorder_value(["x", "y"], [0.0, 0.0], [1.0, 1.0], bits=4).alias("z"))
+    rows = {(r["x"], r["y"]): r["z"] for r in z.collect()}
+    # corners: (0,0) is minimal, (1,1) maximal; z respects both dims
+    assert rows[(0.0, 0.0)] == 0
+    assert rows[(1.0, 1.0)] == max(rows.values())
+    assert rows[(0.5, 0.5)] not in (rows[(0.0, 0.0)], rows[(1.0, 1.0)])
+    import pytest as pt
+    with pt.raises(ValueError):
+        zorder_value(["x"], [0.0], [1.0], bits=63)
+
+
+def test_write_zorder_tightens_file_stats(spark, tmp_path):
+    """The point of the layout: after Z-order clustering, each file's
+    per-column min/max span is far narrower than the global span, so
+    plain parquet stat pruning skips files for range predicates on
+    EITHER column."""
+    import pyarrow.parquet as pq
+    import glob as g
+    from tidyvec_spark.sources.layout import write_zorder
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "zorder")
+    write_zorder(ev, path, ["user_id", "value"], n_files=8)
+
+    spans = {"user_id": [], "value": []}
+    glob_min = {"user_id": float("inf"), "value": float("inf")}
+    glob_max = {"user_id": float("-inf"), "value": float("-inf")}
+    files = sorted(g.glob(path + "/part-*.parquet"))
+    assert len(files) >= 4
+    for f in files:
+        md = pq.read_metadata(f)
+        for col in ("user_id", "value"):
+            lo, hi = float("inf"), float("-inf")
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = min(lo, float(c.statistics.min))
+                        hi = max(hi, float(c.statistics.max))
+            spans[col].append(hi - lo)
+            glob_min[col] = min(glob_min[col], lo)
+            glob_max[col] = max(glob_max[col], hi)
+    for col in ("user_id", "value"):
+        avg_span = sum(spans[col]) / len(spans[col])
+        global_span = glob_max[col] - glob_min[col]
+        # clustered files cover well under the full range on average
+        assert avg_span < 0.8 * global_span, (col, avg_span, global_span)
+
+    # and the data itself round-trips
+    assert spark.read.parquet(path).count() == ev.count()

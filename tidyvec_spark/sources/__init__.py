@@ -13,6 +13,8 @@ from tidyvec_spark.sources.layout import (
     ann_topk_sidecar,
     write_bucket_partitioned,
     write_centroid_partitioned,
+    write_zorder,
+    zorder_value,
 )
 from tidyvec_spark.sources.webdataset import (
     read_webdataset,
@@ -35,4 +37,6 @@ __all__ = [
     "read_webdataset",
     "wds_key_of",
     "write_webdataset",
+    "write_zorder",
+    "zorder_value",
 ]

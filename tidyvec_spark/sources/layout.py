@@ -26,7 +26,7 @@ import json
 import os
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -194,3 +194,89 @@ def ann_topk_sidecar(
             method=method, round_to=round_to,
         )
     raise ValueError(f"unsupported index kind for probing: {spec['kind']!r}")
+
+
+def zorder_value(
+    cols: Sequence[str],
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    bits: int = 10,
+) -> Column:
+    """Z-order (Morton) curve value over numeric columns: each column
+    is min/max-scaled to a ``bits``-wide integer rank and the ranks'
+    bits are interleaved, so rows close in EVERY dimension get close
+    z values. Pure map-side expression.
+
+    ``mins``/``maxs`` are driver-known literals (one cheap agg to
+    fetch — or table-level stats at 100 TB); a degenerate dimension
+    (min == max) contributes rank 0 everywhere.
+    """
+    n = len(cols)
+    if n < 1 or len(mins) != n or len(maxs) != n:
+        raise ValueError("cols/mins/maxs must be non-empty and same length")
+    if bits < 1 or bits * n > 62:
+        raise ValueError(f"bits*len(cols) must be in [1, 62], got {bits * n}")
+    scale = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        lo, hi = float(lo), float(hi)
+        if hi > lo:
+            rank = F.least(
+                F.lit(scale),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo))
+                        / F.lit(hi - lo)
+                        * F.lit(float(scale + 1))
+                    ).cast("long"),
+                ),
+            )
+        else:
+            rank = F.lit(0).cast("long")
+        for j in range(bits):
+            bit = F.call_function(
+                "shiftright", rank, F.lit(j)
+            ).bitwiseAND(F.lit(1))
+            z = z + F.call_function(
+                "shiftleft", bit.cast("long"), F.lit(j * n + i)
+            )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 16,
+    bits: int = 10,
+    mode: str = "error",
+) -> None:
+    """Cluster the table on a Z-order curve over ``cols`` and write it
+    range-partitioned by z (one task → one file span). Because rows in
+    a file are then close in EVERY ``cols`` dimension, each file's
+    parquet min/max column statistics become TIGHT — a scan with a
+    range predicate on any combination of the z columns skips most
+    files/row-groups with zero reader cooperation (plain stat
+    pruning). This is the multi-column answer where single-column sort
+    layout helps only its leading column — the plain-parquet
+    equivalent of OPTIMIZE ZORDER BY.
+
+    One extra agg (global min/max per column) + one range shuffle at
+    write time, amortized over every later pruned scan.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+    row = df.agg(*aggs).first()
+    mins = [row[2 * i] for i in range(len(cols))]
+    maxs = [row[2 * i + 1] for i in range(len(cols))]
+    z = zorder_value(cols, mins, maxs, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(int(n_files), F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
