@@ -3772,10 +3772,18 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer")
+    # filter on the RAW sum (the oracle's HAVING does the same);
+    # rounding is presentation only — filtering the rounded value
+    # would disagree with the oracle on boundary orders (150.004
+    # rounds to 150.00 and would be dropped here but kept there)
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
+        .agg(
+            F.sum("l_quantity").alias("__raw_qty"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .filter(F.col("__raw_qty") > 150)
+        .drop("__raw_qty")
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)

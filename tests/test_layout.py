@@ -203,3 +203,24 @@ def test_write_zorder_tightens_file_stats(spark, tmp_path):
 
     # and the data itself round-trips
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_write_zorder_empty_and_nan_guards(spark, tmp_path):
+    import math
+    from tidyvec_spark.sources.layout import write_zorder
+
+    empty = spark.createDataFrame([], "a double, b double")
+    import pytest as pt
+    with pt.raises(ValueError, match="no non-NaN rows"):
+        write_zorder(empty, str(tmp_path / "e"), ["a", "b"])
+
+    # NaN rows must neither poison the bounds nor abort the ANSI cast
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (5.0, 2.0), (float("nan"), 3.0), (10.0, 4.0)],
+        "a double, b double",
+    )
+    path = str(tmp_path / "n")
+    write_zorder(df, path, ["a", "b"], n_files=2)
+    back = spark.read.parquet(path).collect()
+    assert len(back) == 4
+    assert sum(1 for r in back if math.isnan(r["a"])) == 1

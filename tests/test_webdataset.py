@@ -71,3 +71,19 @@ def test_shards_are_plain_tars(spark, tmp_path):
 def test_write_validation(spark, tmp_path):
     with pytest.raises(ValueError):
         write_webdataset(_sample_df(spark, 2), str(tmp_path / "x"), "key", "data", 0)
+
+
+def test_duplicate_member_last_wins(spark, tmp_path):
+    """Tar permits repeated member names (append-to-update); the
+    reader must take the LAST occurrence like tar extraction does,
+    not abort on duplicate map keys."""
+    d = tmp_path / "dup"
+    d.mkdir()
+    with tarfile.open(d / "shard-000000.tar", "w") as tf:
+        for payload in (b"old caption", b"new caption"):
+            info = tarfile.TarInfo(name="000001.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    rows = read_webdataset(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["data"]["txt"]) == b"new caption"

@@ -139,8 +139,15 @@ def bq_topk(
     sim = cosine_sim_expr(F.col(emb_col).cast("array<double>"), qlit)
     if round_to is not None:
         sim = F.round(sim, round_to)
-    rer = df.select(F.col(id_col), sim.alias("similarity")).join(
-        F.broadcast(cand), id_col
+    # join FIRST, score after: with the projection below the join the
+    # cosine (and the float-column read) would run for every corpus
+    # row before probing the broadcast hash table — the prefilter
+    # would save nothing. Scoring the joined frame keeps the float
+    # scan at `prefilter` rows, which is the operator's whole point.
+    rer = (
+        df.select(id_col, emb_col)
+        .join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.col("hamming"), sim.alias("similarity"))
     )
     return (
         rer.orderBy(F.desc("similarity"), F.asc(id_col))

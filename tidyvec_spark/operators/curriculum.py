@@ -95,6 +95,22 @@ def shard_boundaries(
     return out
 
 
+def _shuffle_key_shard(id_col: str, n_shards: int, seed: int, epoch: int):
+    """(md5 permutation key, shard) column pair shared by
+    :func:`shuffle_assign` and :func:`write_shuffled_shards` — one
+    definition so the assignment and the written layout can never
+    drift."""
+    key = F.md5(
+        F.concat(
+            F.lit(f"{int(seed)}:{int(epoch)}:"), F.col(id_col).cast("string")
+        )
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % F.lit(int(n_shards))
+    ).cast("int")
+    return key, shard
+
+
 def shuffle_assign(
     df: DataFrame,
     id_col: str,
@@ -120,14 +136,7 @@ def shuffle_assign(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    key = F.md5(
-        F.concat(
-            F.lit(f"{int(seed)}:{int(epoch)}:"), F.col(id_col).cast("string")
-        )
-    )
-    shard = (
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % F.lit(int(n_shards))
-    ).cast("int")
+    key, shard = _shuffle_key_shard(id_col, n_shards, seed, epoch)
     w = Window.partitionBy("shard").orderBy(F.asc("__k"), F.asc(id_col))
     return (
         df.select(F.col(id_col), key.alias("__k"), shard.alias("shard"))
@@ -148,14 +157,26 @@ def write_shuffled_shards(
     """Materialize one epoch's serving order: ``shard=k/`` directories
     whose files are internally sorted by ``pos`` — a trainer streams
     the directories in shard order and gets the full pseudorandom
-    permutation with zero runtime sorting. Same write shape as
-    :func:`write_curriculum_shards` (one task per shard, partition
-    pruning for any shard subset)."""
-    assigned = shuffle_assign(df, id_col, n_shards, seed=seed, epoch=epoch)
-    out = df.join(assigned, id_col)
+    permutation with zero runtime sorting.
+
+    The key/shard are computed INLINE on ``df`` (they are map-side
+    expressions of the id), so the full row payload moves through
+    exactly ONE shuffle — the per-shard rank window, whose hash
+    distribution already co-locates whole shards for the partitioned
+    write. Joining back to :func:`shuffle_assign`'s output would pay
+    a second corpus-wide shuffle for nothing."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key, shard = _shuffle_key_shard(id_col, n_shards, seed, epoch)
+    w = Window.partitionBy("shard").orderBy(F.asc("__k"), F.asc(id_col))
+    out = (
+        df.withColumn("__k", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__k")
+    )
     (
-        out.repartition(F.col("shard"))
-        .sortWithinPartitions(F.asc("shard"), F.asc("pos"))
+        out.sortWithinPartitions(F.asc("shard"), F.asc("pos"))
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)

@@ -221,16 +221,21 @@ def zorder_value(
     for i, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
         lo, hi = float(lo), float(hi)
         if hi > lo:
-            rank = F.least(
-                F.lit(scale),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (F.col(c).cast("double") - F.lit(lo))
-                        / F.lit(hi - lo)
-                        * F.lit(float(scale + 1))
-                    ).cast("long"),
-                ),
+            cd = F.col(c).cast("double")
+            # NaN rows rank 0 explicitly — floor(NaN) cast to long
+            # would raise under ANSI mode, not clamp
+            rank = F.when(F.isnan(cd), F.lit(0).cast("long")).otherwise(
+                F.least(
+                    F.lit(scale),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (cd - F.lit(lo))
+                            / F.lit(hi - lo)
+                            * F.lit(float(scale + 1))
+                        ).cast("long"),
+                    ),
+                )
             )
         else:
             rank = F.lit(0).cast("long")
@@ -265,12 +270,22 @@ def write_zorder(
     One extra agg (global min/max per column) + one range shuffle at
     write time, amortized over every later pruned scan.
     """
+    # NaN-safe bounds: Spark's max orders NaN largest, which would
+    # poison hi (and under ANSI mode a NaN rank cast would abort the
+    # write), so NaNs are excluded from the bounds and rank 0'd below.
     aggs = []
     for c in cols:
-        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+        cd = F.col(c).cast("double")
+        clean = F.when(~F.isnan(cd), cd)
+        aggs += [F.min(clean), F.max(clean)]
     row = df.agg(*aggs).first()
     mins = [row[2 * i] for i in range(len(cols))]
     maxs = [row[2 * i + 1] for i in range(len(cols))]
+    if any(v is None for v in mins + maxs):
+        raise ValueError(
+            f"write_zorder: no non-NaN rows to derive bounds for {list(cols)} "
+            "(empty input?)"
+        )
     z = zorder_value(cols, mins, maxs, bits=bits)
     (
         df.withColumn("__z", z)

@@ -49,6 +49,7 @@ _MEMBER_SCHEMA = T.StructType(
         T.StructField("key", T.StringType(), False),
         T.StructField("ext", T.StringType(), False),
         T.StructField("content", T.BinaryType(), True),
+        T.StructField("idx", T.LongType(), False),  # archive position
     ]
 )
 
@@ -90,10 +91,10 @@ def read_webdataset(
         import pandas as pd
 
         for pdf in batches:
-            rows = {"shard": [], "key": [], "ext": [], "content": []}
+            rows = {"shard": [], "key": [], "ext": [], "content": [], "idx": []}
             for shard_path, blob in zip(pdf["path"], pdf["content"]):
                 with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
-                    for m in tf.getmembers():
+                    for i, m in enumerate(tf.getmembers()):
                         if not m.isfile():
                             continue
                         key, ext = wds_key_of(m.name)
@@ -104,10 +105,18 @@ def read_webdataset(
                         rows["key"].append(key)
                         rows["ext"].append(ext)
                         rows["content"].append(f.read() if f else None)
+                        rows["idx"].append(i)
             yield pd.DataFrame(rows)
 
     members = shards.mapInPandas(parse, schema=_MEMBER_SCHEMA)
-    return members.groupBy("shard", "key").agg(
+    # tar semantics: a repeated member name is legal and the LAST
+    # occurrence wins on extraction (the append-to-update pattern).
+    # Without this dedup, map_from_entries aborts the whole job under
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION on the first such shard.
+    latest = members.groupBy("shard", "key", "ext").agg(
+        F.max_by("content", "idx").alias("content")
+    )
+    return latest.groupBy("shard", "key").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("ext", "content")))
         ).alias("data")
