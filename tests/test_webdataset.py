@@ -87,3 +87,22 @@ def test_duplicate_member_last_wins(spark, tmp_path):
     rows = read_webdataset(spark, str(d)).collect()
     assert len(rows) == 1
     assert bytes(rows[0]["data"]["txt"]) == b"new caption"
+
+
+def test_write_is_byte_deterministic(spark, tmp_path):
+    """Two writes of the same data must produce byte-identical shards
+    (zeroed mtimes + per-partition key sort) — the property that makes
+    written corpora content-addressable / diffable across rebuilds."""
+    import hashlib
+
+    df = _sample_df(spark, 30)
+    digests = []
+    for run in ("a", "b"):
+        path = str(tmp_path / run)
+        write_webdataset(df, path, "key", "data", n_shards=3)
+        h = {}
+        for fn in sorted(os.listdir(path)):
+            with open(os.path.join(path, fn), "rb") as f:
+                h[fn] = hashlib.sha256(f.read()).hexdigest()
+        digests.append(h)
+    assert digests[0] == digests[1]
