@@ -508,3 +508,63 @@ def test_ingest_dedup_stream_vs_batch(spark, tmp_path):
     # "known text" (ids 10, 13) is in the index -> never admitted;
     # "fresh one" collapses across batches to the later-arriving min 5
     assert kept == {5, 12, 14}
+
+
+def test_ingest_dedup_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume for the ingest operator: keep-min state must
+    survive the restart so a duplicate arriving in the second
+    incarnation does not re-admit (and a smaller id still re-emits)."""
+    land = tmp_path / "ingest_ckpt_land"
+    land.mkdir()
+    ckpt = str(tmp_path / "ingest_ckpt")
+
+    from tidyvec_spark.operators.dedup import normalized_text_key
+
+    index = spark.createDataFrame([("indexed doc",)], "text string").select(
+        normalized_text_key("text").alias("h")
+    )
+
+    # update-mode output (the keep-min re-emits on improvement) with
+    # checkpoint recovery -> foreachBatch appending to parquet (memory
+    # sinks cannot recover, file sinks cannot take update mode)
+    out = str(tmp_path / "ingest_ckpt_out")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+            str(land) + "/*"
+        )
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            S.ingest_dedup_stream(stream, index, "text", "doc_id")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(10, "fresh alpha"), (11, "indexed doc")], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(land / "f0.parquet"))
+    run_once()  # admits 10 only (11 is in the static index)
+
+    spark.createDataFrame(
+        [(12, "fresh  alpha"), (3, "fresh alpha"), (13, "fresh beta")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(str(land / "f1.parquet"))
+    run_once()  # dup of alpha must not re-admit at 12; 3 improves the min
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("h")
+        .agg(F.min("keep_id").alias("keep_id"))
+        .collect()
+    )
+    kept = sorted(r["keep_id"] for r in got)
+    # alpha resolved to min id 3 across incarnations; beta admitted;
+    # the indexed doc never appears
+    assert kept == [3, 13]
