@@ -568,3 +568,52 @@ def test_ingest_dedup_checkpoint_restart(spark, tmp_path):
     # alpha resolved to min id 3 across incarnations; beta admitted;
     # the indexed doc never appears
     assert kept == [3, 13]
+
+
+def test_near_dup_pairs_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume for the band-bucket state: near-copies arriving
+    AFTER the restart must still pair with originals seen BEFORE it —
+    the bucket member lists must survive in the checkpoint."""
+    import __spark_entry__ as entry
+
+    corpus = entry._dup_corpus(spark, "/root/testdata/sf0.001")
+    land = tmp_path / "pairs_ckpt_land"
+    land.mkdir()
+    out = str(tmp_path / "pairs_ckpt_out")
+    ckpt = str(tmp_path / "pairs_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+            str(land) + "/*"
+        )
+        q = (
+            S.near_dup_pairs_stream(stream, "text", "doc_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    corpus.filter(F.col("doc_id") < 10000).coalesce(1).write.parquet(
+        str(land / "f0.parquet")
+    )
+    run_once()
+    corpus.filter(F.col("doc_id") >= 10000).coalesce(1).write.parquet(
+        str(land / "f1.parquet")
+    )
+    run_once()
+
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out).distinct().collect()
+    )
+    exp = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs_stream(corpus, "text", "doc_id").collect()
+    )
+    assert got == exp and len(got) > 0
+    # cross-incarnation pairs prove the state survived the restart
+    assert any(a < 10000 <= b for a, b in got)
