@@ -3915,6 +3915,166 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (fixture-adapted): NATION_19's yearly share of PROMO
+    revenue among ASIA customers. Two independent nation roles
+    (supplier side and customer→region side) — all five dims
+    broadcast; the share is a conditional-sum ratio in one hash-agg."""
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _read(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = _read(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_19", vol).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       ROUND(sum(CASE WHEN sn.n_name = 'NATION_19'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue in a half-year
+    ship window. The revenue table aggregates once (map-side partial),
+    the scalar max broadcasts back — the argmax pattern without a
+    window or a second scan of the fact table."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def _q22_churned_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted to the fixture (no phone country codes;
+    'no orders at all' never happens in this data, so the criterion
+    is CHURN — no order since 2000): per nation, the count and
+    balance-sum of above-average-balance customers with no recent
+    order. The global average is a 1-row broadcast; the churn test is
+    a LEFT ANTI join against the date-filtered orders."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    avgbal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    recent = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_Q22_SQL = """
+WITH avgbal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       ROUND(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN avgbal
+WHERE c_acctbal > a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def _topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
@@ -4731,6 +4891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q7_nation_volume": _q7_nation_volume,
+        "q8_market_share": _q8_market_share,
+        "q15_top_supplier": _q15_top_supplier,
+        "q22_churned_value": _q22_churned_value,
         "serving_shuffle": _serving_shuffle,
         "docs_stream_ingest": _docs_stream_ingest,
         "docs_ccnet_buckets": _docs_ccnet_buckets,
@@ -4837,6 +5000,9 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": _Q18_SQL,
         "q19_disjunctive_revenue": _Q19_SQL,
         "q7_nation_volume": _Q7_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q22_churned_value": _Q22_SQL,
         "serving_shuffle": _SERVING_SHUFFLE_SQL,
         "docs_stream_ingest": _DOCS_STREAM_INGEST_SQL,
         "docs_ccnet_buckets": _docs_ccnet_buckets_sql(),

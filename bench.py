@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q7_nation_volume",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q22_churned_value",
     "serving_shuffle",
     "docs_stream_ingest",
     "docs_ccnet_buckets",

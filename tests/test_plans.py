@@ -282,3 +282,20 @@ def test_decontaminate_ngram_broadcasts_benchmark(spark, qs):
 def test_corpus_diff_no_cartesian(spark, qs):
     df = qs["corpus_diff"](spark, SF)
     P.assert_no_cartesian(df)
+
+
+def test_q8_q15_q22_shapes(spark, qs):
+    """Q8: five broadcast dims, no cartesian among facts; Q15: argmax
+    without a second fact scan; Q22: anti-join churn test."""
+    df8 = qs["q8_market_share"](spark, SF)
+    P.assert_broadcast(df8, at_least=3)
+    P.assert_no_cartesian(df8)
+    df15 = qs["q15_top_supplier"](spark, SF)
+    P.assert_broadcast(df15, at_least=1)
+    assert len(P.read_schemas(df15)) <= 3  # lineitem once + supplier (+reuse)
+    df22 = qs["q22_churned_value"](spark, SF)
+    P.assert_broadcast(df22, at_least=1)
+    assert not any(
+        "NestedLoop" in s and "Broadcast" not in s
+        for s in P.join_strategies(df22)
+    )
