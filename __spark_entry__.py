@@ -4075,6 +4075,74 @@ ORDER BY n_name
 """
 
 
+def _q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the distribution of orders-per-customer, INCLUDING
+    zero-order customers — a LEFT OUTER join (counting the order key,
+    so unmatched rows count 0, not 1) followed by a second aggregation
+    over the first's output (a tiny frame). The double-agg histogram
+    pattern."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+WITH co AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders of one brand —
+    lineitems under half their part's average quantity. The correlated
+    per-part average DECORRELATES into one aggregation over the fact
+    keyed by partkey joined back (Zipf-bounded key table, broadcast
+    under AQE), never a per-row subquery."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    lim = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("__lim")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(lim, li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q17_SQL = """
+WITH pa AS (
+  SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS lim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN pa ON l.l_partkey = pa.pk
+WHERE p.p_brand = 'Brand#11' AND l.l_quantity < lim
+"""
+
+
 def _topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
@@ -4894,6 +4962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8_market_share,
         "q15_top_supplier": _q15_top_supplier,
         "q22_churned_value": _q22_churned_value,
+        "q13_order_histogram": _q13_order_histogram,
+        "q17_small_quantity": _q17_small_quantity,
         "serving_shuffle": _serving_shuffle,
         "docs_stream_ingest": _docs_stream_ingest,
         "docs_ccnet_buckets": _docs_ccnet_buckets,
@@ -5003,6 +5073,8 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": _Q8_SQL,
         "q15_top_supplier": _Q15_SQL,
         "q22_churned_value": _Q22_SQL,
+        "q13_order_histogram": _Q13_SQL,
+        "q17_small_quantity": _Q17_SQL,
         "serving_shuffle": _SERVING_SHUFFLE_SQL,
         "docs_stream_ingest": _DOCS_STREAM_INGEST_SQL,
         "docs_ccnet_buckets": _docs_ccnet_buckets_sql(),

@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q15_top_supplier",
     "q22_churned_value",
+    "q13_order_histogram",
+    "q17_small_quantity",
     "serving_shuffle",
     "docs_stream_ingest",
     "docs_ccnet_buckets",

@@ -299,3 +299,19 @@ def test_q8_q15_q22_shapes(spark, qs):
         "NestedLoop" in s and "Broadcast" not in s
         for s in P.join_strategies(df22)
     )
+
+
+def test_q13_left_outer_counts_order_key(spark, qs):
+    """Zero-order customers must appear at c_count=0 — the LEFT OUTER
+    + count(o_orderkey) pattern, never count(*)."""
+    df = qs["q13_order_histogram"](spark, SF)
+    P.assert_no_cartesian(df)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(rows.values()) == n_cust  # every customer lands in a bucket
+
+
+def test_q17_decorrelates_per_part_average(spark, qs):
+    df = qs["q17_small_quantity"](spark, SF)
+    P.assert_no_cartesian(df)
+    assert not any("NestedLoop" in s for s in P.join_strategies(df))
