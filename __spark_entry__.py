@@ -721,6 +721,25 @@ FROM r WHERE pr < {c2}
 """
 
 
+def _bq_topk_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted binary-quantization lifecycle: write_vec with
+    {"kind": "bq"} materializes the packed sign codes next to the
+    data, and ann_topk_sidecar answers Hamming top-k FROM THE PATH
+    ALONE, scanning the code column with the float embedding pruned.
+    Same oracle as the in-memory bq_hamming_topk — a hash match proves
+    the persisted codes are bit-identical."""
+    import tempfile
+
+    from tidyvec_spark import vec
+    from tidyvec_spark.sources import ann_topk_sidecar, write_vec
+
+    e = _read(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="tv_bq_sidecar_") + "/vecbq"
+    write_vec(vec(e, dim=64), path, index={"kind": "bq", "dim": 64})
+    q = _query_vec(spark, sf_dir)
+    return ann_topk_sidecar(spark, path, q, "vec_id", k=10)
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection. The corpus is the
     embeddings table unioned with perturbed copies (vec_id + 100000,
@@ -4971,6 +4990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_hamming_topk": _bq_hamming_topk,
         "bq_rerank_topk": _bq_rerank_topk,
         "ann_recall_lsh": _ann_recall_lsh,
+        "bq_topk_sidecar": _bq_topk_sidecar,
         "wds_roundtrip": _wds_roundtrip,
         "pipeline_ccnet": _pipeline_ccnet,
         "events_skew_profile": _events_skew_profile,
@@ -5081,6 +5101,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": _DECONTAM_NGRAM_SQL,
         "bq_hamming_topk": _bq_hamming_sql(),
         "bq_rerank_topk": _bq_rerank_sql(),
+        "bq_topk_sidecar": _bq_hamming_sql(),
         "ann_recall_lsh": _ann_recall_lsh_sql(),
         "wds_roundtrip": _WDS_ROUNDTRIP_SQL,
         "pipeline_ccnet": _pipeline_ccnet_sql(),

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "decontaminate_ngram",
     "bq_hamming_topk",
     "bq_rerank_topk",
+    "bq_topk_sidecar",
     "ann_recall_lsh",
     "bpe_merges",
     "wds_roundtrip",

@@ -224,3 +224,40 @@ def test_write_zorder_empty_and_nan_guards(spark, tmp_path):
     back = spark.read.parquet(path).collect()
     assert len(back) == 4
     assert sum(1 for r in back if math.isnan(r["a"])) == 1
+
+
+def test_sidecar_bq_index_roundtrip(spark, emb, tmp_path_factory):
+    """Same open-and-query contract for binary quantization: write_vec
+    materializes the packed codes next to the data; ann_topk_sidecar
+    answers Hamming top-k from the path alone — reading the code
+    column, not the floats — and the prefilter mode reranks exactly."""
+    from tidyvec_spark import read_vec, vec
+    from tidyvec_spark.operators.bq import bq_topk
+    from tidyvec_spark.sources import ann_topk_sidecar, write_vec
+
+    path = str(tmp_path_factory.mktemp("layout") / "vecbq")
+    write_vec(vec(emb, dim=64), path, index={"kind": "bq", "dim": 64})
+    vf = read_vec(spark, path)
+    assert vf.index_spec["kind"] == "bq"
+    assert "bq" in spark.read.parquet(path + "/data").columns
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = ann_topk_sidecar(spark, path, qvec, "vec_id", k=10)
+    # code-only scan: the float column is pruned from the read
+    for cols in P.read_schemas(got):
+        assert "embedding" not in cols, cols
+    want = bq_topk(emb, "embedding", "vec_id", qvec, k=10, dim=64).collect()
+    assert [(r["vec_id"], r["hamming"]) for r in got.collect()] == [
+        (r["vec_id"], r["hamming"]) for r in want
+    ]
+
+    # prefilter -> exact rerank from the path alone
+    rer = ann_topk_sidecar(
+        spark, path, qvec, "vec_id", k=5, prefilter=100, round_to=6
+    ).collect()
+    wantr = bq_topk(
+        emb, "embedding", "vec_id", qvec, k=5, dim=64, prefilter=100, round_to=6
+    ).collect()
+    assert [(r["vec_id"], r["similarity"]) for r in rer] == [
+        (r["vec_id"], r["similarity"]) for r in wantr
+    ]

@@ -166,6 +166,7 @@ def ann_topk_sidecar(
     nprobe: int = 4,
     method: str = "cosine",
     round_to: Optional[int] = None,
+    prefilter: Optional[int] = None,
 ) -> DataFrame:
     """ANN top-k over a ``write_vec(..., index=...)`` directory, with
     ZERO caller-held index state: the sidecar carries the planes /
@@ -192,6 +193,14 @@ def ann_topk_sidecar(
             spark, data, emb_col, id_col, query_vec, spec["centroids"],
             k=k, nprobe=nprobe, cent_col=spec.get("cent_col", "centroid_id"),
             method=method, round_to=round_to,
+        )
+    if spec["kind"] == "bq":
+        from tidyvec_spark.operators.bq import bq_topk
+
+        return bq_topk(
+            spark.read.parquet(data), emb_col, id_col, query_vec, k=k,
+            code_col=spec.get("code_col", "bq"),
+            prefilter=prefilter, round_to=round_to,
         )
     raise ValueError(f"unsupported index kind for probing: {spec['kind']!r}")
 

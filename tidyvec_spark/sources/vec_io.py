@@ -30,7 +30,7 @@ _SIDECAR = "_vecframe.json"
 _MAGIC = "tidyvec_spark/vecframe"
 
 
-_INDEX_KINDS = ("lsh", "ivf", "pq", "ivfpq")
+_INDEX_KINDS = ("lsh", "ivf", "pq", "ivfpq", "bq")
 
 
 def write_vec(
@@ -89,6 +89,19 @@ def write_vec(
                 vf.df, data_path, vf.embedding_col, id_col, cents,
                 cent_id=index.get("cent_col", "centroid_id"), mode=mode,
             )
+        elif kind == "bq":
+            # binary sign codes MATERIALIZED next to the data: later
+            # Hamming scans read the packed longs and prune the float
+            # column entirely (32x fewer bytes per row)
+            from tidyvec_spark.operators.bq import bq_encode
+
+            dim = int(index.get("dim") or vf.dim)
+            if not dim:
+                raise ValueError("bq index needs 'dim' (or a VecFrame dim)")
+            bq_encode(
+                vf.df, vf.embedding_col, dim,
+                out_col=index.get("code_col", "bq"),
+            ).write.mode(mode).parquet(data_path)
         else:  # pq: artifacts only, plain layout
             vf.df.write.mode(mode).parquet(data_path)
     else:
