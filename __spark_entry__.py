@@ -4857,111 +4857,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-5 rotation (per the r4 verdict): the 24 round-4
-    # oracle-backed entries that had never received a driver row now
-    # occupy the window, together with 25 legacy representatives chosen
-    # for (a) having only one prior driver row (streaming trio, IVFPQ,
-    # large-IVF, hf contract) or (b) distinct semantics worth an
-    # independent re-check each round (null-quirk, as-of, components).
+    # entries. Round-6 rotation (per the r5 verdict item 1): the 37
+    # round-5 oracle-backed entries that had never received a driver row
+    # occupy the window, together with the 4 rows-only ML entries (which
+    # also never had a driver row — the gate's weaker rows-only check
+    # still covers them) and 9 long-stable representatives, one per
+    # spine family, re-checked every round. After this round every
+    # registry entry has at least one driver CORRECTNESS row.
     # Multi-round-stable legacy entries move to the tail; every
     # oracle-backed tail entry stays checked by the dynamic SUBSET in
     # tests/test_entry_oracle.py (computed as "oracle-backed and past
     # position 50", so any future rotation keeps the invariant).
     return {
         # --- gate window (1-50) ---
-        # round-4 curation / scale extension (first driver rows this round)
-        "docs_quality_flags": _docs_quality_flags,
-        "docs_repetition": _docs_repetition,
-        "docs_redact": _docs_redact,
-        "docs_chunks": _docs_chunks,
-        "docs_pack": _docs_pack,
-        "mix_temperature": _mix_temperature,
-        "skew_join_events": _skew_join_events,
-        "skew_agg_langs": _skew_agg_langs,
-        "sq_topk": _sq_topk,
-        "docs_stream_budget": _docs_stream_budget,
-        "matryoshka_topk": _matryoshka_topk,
-        "embedding_health": _embedding_health,
-        "incremental_near_dup": _incremental_near_dup,
-        "corpus_rollup": _corpus_rollup,
-        "bucketed_join_segments": _bucketed_join_segments,
-        "docs_length_quantiles": _docs_length_quantiles,
-        "docs_pivot_sources": _docs_pivot_sources,
-        "hybrid_rrf": _hybrid_rrf,
-        "embedding_pool_labels": _embedding_pool_labels,
-        "ann_lsh_batch": _ann_lsh_batch,
-        "split_leakage_free": _split_leakage_free,
-        "sample_fixed_per_lang": _sample_fixed_per_lang,
-        "decontaminate_corpus": _decontaminate_corpus,
-        "pipeline_pretrain": _pipeline_pretrain,
-        # round-5: sidecar-persisted ANN index, opened from the path alone
-        "ann_topk_sidecar": _ann_topk_sidecar,
-        # legacy representatives (one per family / few prior driver rows)
-        "knn_cosine": _knn("cosine"),
-        "knn_null_quirk": _knn_null_quirk,
-        "similarity_join_lsh": _similarity_join_lsh,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ann_ivf_topk_large": _ann_ivf_topk_large,
-        "ivfpq_adc_topk": _ivfpq_adc_topk,
-        "embedding_near_dup": _embedding_near_dup,
-        "lsh_near_dup": _lsh_near_dup,
-        "semantic_dedup": _semantic_dedup,
-        "tfidf_hybrid": _tfidf_hybrid,
-        "bm25_search": _bm25_search,
-        "bpe_token_stats": _bpe_token_stats,
-        "dedup_drop_exact": _dedup_drop_exact,
-        "pipeline_curate": _pipeline_curate,
-        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "minhash_lsh_pairs": _minhash_lsh_pairs,
-        "simhash_pairs": _simhash_pairs,
-        "dedup_components": _dedup_components,
-        "q5_region_revenue": _q5_region_revenue,
-        "topk_per_segment": _topk_per_segment,
-        "events_asof_purchase": _events_asof_purchase,
-        "events_stream_hourly": _events_stream_hourly,
-        "events_stream_interval_join": _events_stream_interval_join,
-        "docs_stream_dedup": _docs_stream_dedup,
-        "hf_query_nearest": _hf_query_nearest,
-        # --- position 51+: outside the driver's gate window ---
-        # (every oracle-backed entry below is checked by the dynamic
-        # SUBSET in tests/test_entry_oracle.py; each had driver rows in
-        # rounds 1-4)
-        "knn_euclidean": _knn("euclidean"),
-        "knn_dot": _knn("dot"),
-        "knn_min_score": _knn("cosine", n=100, min_score=0.15),
-        "similarity_pair": _similarity_pair,
-        "ann_topk_per_query": _ann_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "pq_adc_topk": _pq_adc_topk,
-        "lsh_near_dup_multi": _lsh_near_dup_multi,
-        "tfidf_search": _tfidf_search,
-        "keyword_search": _keyword_search,
-        "text_stats": _text_stats,
-        "lang_id": _lang_id,
-        "token_topk": _token_topk,
-        "doc_fingerprint": _doc_fingerprint,
-        "multimodal_image_meta": _multimodal_image_meta,
-        "multimodal_audio_meta": _multimodal_audio_meta,
-        "multimodal_frame_sample": _multimodal_frame_sample,
-        "budget_sample_by_lang": _budget_sample_by_lang,
-        "mix_sample_langs": _mix_sample_langs,
-        "q1_pricing": _q1_pricing,
-        "q3_top_orders": _q3_top_orders,
-        "events_hourly": _events_hourly,
-        "events_sessions": _events_sessions,
-        "events_session_windows": _events_session_windows,
-        "events_range_join": _events_range_join,
-        # round-5 additions land in the tail (dynamic pytest SUBSET
-        # covers them; rotate into the window next round).
-        # ROUND-6 ROTATION LIST (never driver-checked yet): dsir_select,
-        # docs_c4_clean, dedup_keep_best, docs_stream_near_pairs,
-        # mix_target, curriculum_order, hard_negatives,
-        # docs_lm_perplexity, docs_dedup_lines, q6/q4/q10/q14/q18/q19/q7,
-        # serving_shuffle, docs_stream_ingest, docs_ccnet_buckets,
-        # decontaminate_ngram, bq_hamming_topk, bq_rerank_topk,
-        # ann_recall_lsh, wds_roundtrip, pipeline_ccnet,
-        # events_skew_profile, corpus_diff (+ rows-only bpe_merges);
-        # move the round-4 entries now holding the window to the tail.
+        # round-5 additions (first driver rows this round): data selection,
+        # cleaning, dedup policy, serving order, LM quality
         "dsir_select": _dsir_select,
         "docs_c4_clean": _docs_c4_clean,
         "dedup_keep_best": _dedup_keep_best,
@@ -4971,6 +4881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _hard_negatives,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "docs_dedup_lines": _docs_dedup_lines,
+        # round-5 TPC-H-family adaptations
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q4_order_priority": _q4_order_priority,
         "q10_returned_items": _q10_returned_items,
@@ -4983,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_churned_value": _q22_churned_value,
         "q13_order_histogram": _q13_order_histogram,
         "q17_small_quantity": _q17_small_quantity,
+        # round-5 serving / streaming / tooling
         "serving_shuffle": _serving_shuffle,
         "docs_stream_ingest": _docs_stream_ingest,
         "docs_ccnet_buckets": _docs_ccnet_buckets,
@@ -4999,17 +4911,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _events_retention,
         "events_props_stats": _events_props_stats,
         "events_zorder": _events_zorder,
-        # oracle twins / strict sub-plans of window entries
+        # ML / non-SQL entries (driver applies the weaker rows-only
+        # check — their first driver rows too)
+        "kmeans_clusters": _kmeans_clusters,
+        "pca_2d": _pca_2d,
+        "hf_embed_fake": _hf_embed_fake,
+        "bpe_merges": _bpe_merges,
+        # long-stable representatives (one per spine family, re-checked
+        # every round: knn kernel, NULL quirk, embedder+hybrid, LSH join,
+        # near-dup, exact dedup, as-of join, stateful streaming,
+        # relational)
+        "knn_cosine": _knn("cosine"),
+        "knn_null_quirk": _knn_null_quirk,
+        "tfidf_hybrid": _tfidf_hybrid,
+        "similarity_join_lsh": _similarity_join_lsh,
+        "lsh_near_dup": _lsh_near_dup,
+        "dedup_drop_exact": _dedup_drop_exact,
+        "events_asof_purchase": _events_asof_purchase,
+        "docs_stream_dedup": _docs_stream_dedup,
+        "q5_region_revenue": _q5_region_revenue,
+        # --- position 51+: outside the driver's gate window ---
+        # (every oracle-backed entry below is checked by the dynamic
+        # SUBSET in tests/test_entry_oracle.py; each has driver rows
+        # from rounds 1-5)
+        "knn_euclidean": _knn("euclidean"),
+        "knn_dot": _knn("dot"),
+        "knn_min_score": _knn("cosine", n=100, min_score=0.15),
+        "similarity_pair": _similarity_pair,
+        "ann_topk_per_query": _ann_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_topk_large": _ann_ivf_topk_large,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_lsh_batch": _ann_lsh_batch,
+        "ann_topk_sidecar": _ann_topk_sidecar,
+        "pq_adc_topk": _pq_adc_topk,
+        "ivfpq_adc_topk": _ivfpq_adc_topk,
+        "sq_topk": _sq_topk,
+        "matryoshka_topk": _matryoshka_topk,
+        "embedding_near_dup": _embedding_near_dup,
+        "semantic_dedup": _semantic_dedup,
+        "lsh_near_dup_multi": _lsh_near_dup_multi,
+        "incremental_near_dup": _incremental_near_dup,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "dedup_components": _dedup_components,
+        "split_leakage_free": _split_leakage_free,
+        "decontaminate_corpus": _decontaminate_corpus,
+        "tfidf_search": _tfidf_search,
+        "keyword_search": _keyword_search,
+        "bm25_search": _bm25_search,
+        "bpe_token_stats": _bpe_token_stats,
+        "hf_query_nearest": _hf_query_nearest,
+        "text_stats": _text_stats,
+        "lang_id": _lang_id,
+        "token_topk": _token_topk,
+        "doc_fingerprint": _doc_fingerprint,
+        "multimodal_image_meta": _multimodal_image_meta,
+        "multimodal_audio_meta": _multimodal_audio_meta,
+        "multimodal_frame_sample": _multimodal_frame_sample,
+        "budget_sample_by_lang": _budget_sample_by_lang,
+        "mix_sample_langs": _mix_sample_langs,
+        "mix_temperature": _mix_temperature,
+        "sample_fixed_per_lang": _sample_fixed_per_lang,
+        "docs_quality_flags": _docs_quality_flags,
+        "docs_repetition": _docs_repetition,
+        "docs_redact": _docs_redact,
+        "docs_chunks": _docs_chunks,
+        "docs_pack": _docs_pack,
+        "docs_length_quantiles": _docs_length_quantiles,
+        "docs_pivot_sources": _docs_pivot_sources,
+        "hybrid_rrf": _hybrid_rrf,
+        "embedding_pool_labels": _embedding_pool_labels,
+        "embedding_health": _embedding_health,
+        "corpus_rollup": _corpus_rollup,
+        "bucketed_join_segments": _bucketed_join_segments,
+        "skew_join_events": _skew_join_events,
+        "skew_agg_langs": _skew_agg_langs,
+        "pipeline_curate": _pipeline_curate,
+        "pipeline_pretrain": _pipeline_pretrain,
+        "q1_pricing": _q1_pricing,
+        "q3_top_orders": _q3_top_orders,
+        "topk_per_segment": _topk_per_segment,
+        "events_hourly": _events_hourly,
+        "events_sessions": _events_sessions,
+        "events_session_windows": _events_session_windows,
+        "events_range_join": _events_range_join,
+        "events_stream_hourly": _events_stream_hourly,
+        "events_stream_interval_join": _events_stream_interval_join,
+        "docs_stream_budget": _docs_stream_budget,
+        # oracle twins / strict sub-plans of other entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
         "ngram_jaccard_capped": _ngram_jaccard_capped,
         "dedup_components_two_phase": _dedup_components_two_phase,
-        # ML / non-SQL (rows-only check)
-        "kmeans_clusters": _kmeans_clusters,
-        "pca_2d": _pca_2d,
-        "hf_embed_fake": _hf_embed_fake,
-        "bpe_merges": _bpe_merges,
     }
 
 

@@ -29,36 +29,49 @@ _ORDER = list(entry.queries())
 _ORACLES = entry.oracle_sql()
 _TAIL = [k for k in _ORDER[50:] if k in _ORACLES]
 
-# Window entries checked here too: the round-5 rotation moved these
-# into the gate window for their FIRST driver row — until CORRECTNESS_r05
+# Window entries checked here too: the round-6 rotation moved these
+# into the gate window for their FIRST driver row — until CORRECTNESS_r06
 # confirms them green, the local mirror is their only oracle check.
-# (Prune to a short representative list once the driver rows land.)
+# (Prune to a short representative list once the driver rows land; the
+# round-5 batch was pruned after CORRECTNESS_r05 confirmed all 25.)
 _NEWLY_WINDOWED = [
-    "docs_quality_flags",
-    "docs_repetition",
-    "docs_redact",
-    "docs_chunks",
-    "docs_pack",
-    "mix_temperature",
-    "skew_join_events",
-    "skew_agg_langs",
-    "sq_topk",
-    "docs_stream_budget",
-    "matryoshka_topk",
-    "embedding_health",
-    "incremental_near_dup",
-    "corpus_rollup",
-    "bucketed_join_segments",
-    "docs_length_quantiles",
-    "docs_pivot_sources",
-    "hybrid_rrf",
-    "embedding_pool_labels",
-    "ann_lsh_batch",
-    "split_leakage_free",
-    "sample_fixed_per_lang",
-    "decontaminate_corpus",
-    "pipeline_pretrain",
-    "ann_topk_sidecar",
+    "dsir_select",
+    "docs_c4_clean",
+    "dedup_keep_best",
+    "docs_stream_near_pairs",
+    "mix_target",
+    "curriculum_order",
+    "hard_negatives",
+    "docs_lm_perplexity",
+    "docs_dedup_lines",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q22_churned_value",
+    "q13_order_histogram",
+    "q17_small_quantity",
+    "serving_shuffle",
+    "docs_stream_ingest",
+    "docs_ccnet_buckets",
+    "decontaminate_ngram",
+    "bq_hamming_topk",
+    "bq_rerank_topk",
+    "ann_recall_lsh",
+    "bq_topk_sidecar",
+    "wds_roundtrip",
+    "pipeline_ccnet",
+    "events_skew_profile",
+    "corpus_diff",
+    "events_rolling_1h",
+    "events_retention",
+    "events_props_stats",
+    "events_zorder",
 ]
 # A few long-stable window representatives so a spine regression
 # (reader, canon compare, query-vec helper) is caught locally.
@@ -66,7 +79,7 @@ _WINDOW_REPS = [
     "knn_cosine",
     "knn_null_quirk",
     "lsh_near_dup",
-    "pipeline_curate",
+    "tfidf_hybrid",
     "q5_region_revenue",
 ]
 SUBSET = _NEWLY_WINDOWED + _WINDOW_REPS + _TAIL
