@@ -205,6 +205,7 @@ def main() -> None:
     # codegen_stages=0 through r5's first sweep), and the static plan
     # is the reproducible round-over-round artifact anyway.
     plan_metrics: dict[str, dict] = {}
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for name in BENCH_QUERIES:
@@ -221,7 +222,7 @@ def main() -> None:
                 plan_metrics[name] = {}
             spark.catalog.clearCache()
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The full plan-metrics dict goes to a FILE: the driver tail-

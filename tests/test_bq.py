@@ -69,3 +69,16 @@ def test_bq_validation(spark, emb):
         bq_topk(emb, "embedding", "vec_id", [1.0] * 32, k=3, dim=64)
     with pytest.raises(ValueError):
         bq_topk(emb, "embedding", "vec_id", [1.0] * 64, k=10, dim=64, prefilter=5)
+
+
+def test_stored_code_width_mismatch_raises(spark, emb):
+    # ADVICE r5: with code_col, a query of the wrong dim used to
+    # NULL the hamming sum (zip_with pads + bit_count(NULL)) and
+    # return arbitrary rows; it must error instead.
+    coded = bq_encode(emb, "embedding", dim=64)  # 1 word per row
+    bad_q = [1.0] * 128  # packs to 2 words
+    with pytest.raises(Exception, match="width mismatch"):
+        bq_topk(coded, "embedding", "vec_id", bad_q, k=3, code_col="bq").collect()
+    # dim + code_col: driver-side check fires before any job
+    with pytest.raises(ValueError, match="query dim"):
+        bq_topk(coded, "embedding", "vec_id", bad_q, k=3, dim=64, code_col="bq")

@@ -618,3 +618,27 @@ def test_corpus_diff(spark):
             for r in corpus_diff(old, new, "text", "doc_id",
                                  include_unchanged=True).collect()}
     assert full[1] == "unchanged" and full[4] == "unchanged"
+
+
+def test_corpus_diff_null_text(spark):
+    # ADVICE r5: NULL-text rows must compare by presence, not by the
+    # (NULL) normalized hash — NULL vs NULL is unchanged, NULL on one
+    # side with text on the other is changed, and a NULL-text doc
+    # present only in one snapshot is added/removed like any other.
+    from tidyvec_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "text"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "filled in"), (3, None), (5, None)],
+        "doc_id bigint, text string",
+    )
+    full = {r["doc_id"]: r["status"]
+            for r in corpus_diff(old, new, "text", "doc_id",
+                                 include_unchanged=True).collect()}
+    assert full == {
+        1: "unchanged", 2: "changed", 3: "changed",
+        4: "removed", 5: "added",
+    }

@@ -261,3 +261,20 @@ def test_sidecar_bq_index_roundtrip(spark, emb, tmp_path_factory):
     assert [(r["vec_id"], r["similarity"]) for r in rer] == [
         (r["vec_id"], r["similarity"]) for r in wantr
     ]
+
+
+def test_sidecar_dim_guard(spark, emb, planes, tmp_path_factory):
+    # ADVICE r5: a query whose dim disagrees with the persisted index
+    # must raise before probing (spec dim, or plane/centroid width)
+    from tidyvec_spark import vec
+    from tidyvec_spark.sources import ann_topk_sidecar, write_vec
+
+    base = tmp_path_factory.mktemp("dimguard")
+    bqp = str(base / "bq")
+    write_vec(vec(emb, dim=64), bqp, index={"kind": "bq", "dim": 64})
+    with pytest.raises(ValueError, match="query dim"):
+        ann_topk_sidecar(spark, bqp, [1.0] * 32, "vec_id", k=5)
+    lshp = str(base / "lsh")
+    write_vec(vec(emb, dim=64), lshp, index={"kind": "lsh", "planes": planes})
+    with pytest.raises(ValueError, match="query dim"):
+        ann_topk_sidecar(spark, lshp, [1.0] * 16, "vec_id", k=5)

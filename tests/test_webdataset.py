@@ -106,3 +106,13 @@ def test_write_is_byte_deterministic(spark, tmp_path):
                 h[fn] = hashlib.sha256(f.read()).hexdigest()
         digests.append(h)
     assert digests[0] == digests[1]
+
+
+def test_write_leaves_no_temp_files(spark, tmp_path):
+    # shards are written to task-unique temp names and os.replace()d
+    # into place — a finished sink directory holds only final .tar files
+    path = str(tmp_path / "atomic")
+    names = write_webdataset(_sample_df(spark, 30), path, "key", "data", n_shards=4)
+    on_disk = sorted(os.listdir(path))
+    assert on_disk == sorted(names)
+    assert all(fn.endswith(".tar") and not fn.startswith(".") for fn in on_disk)

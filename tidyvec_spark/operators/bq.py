@@ -110,14 +110,18 @@ def bq_topk(
     if k < 1:
         raise ValueError("k must be >= 1")
     qwords = bq_pack_py(list(query))
+    if dim is not None and dim != len(query):
+        raise ValueError(f"query dim {len(query)} != dim {dim}")
     if code_col is None:
         if dim is None:
             raise ValueError("dim is required when code_col is not given")
-        if dim != len(query):
-            raise ValueError(f"query dim {len(query)} != dim {dim}")
         code = bq_encode_expr(emb_col, dim)
     else:
         code = F.col(code_col)
+    # Width guard for stored codes: zip_with pads the shorter array
+    # with NULLs, bit_count(NULL) would null the Hamming sum and the
+    # ascending orderBy would surface those NULLs as the "best" rows —
+    # a dim mismatch must be an error, not an arbitrary top-k.
     ham = F.aggregate(
         F.zip_with(
             code,
@@ -127,6 +131,16 @@ def bq_topk(
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
+    if code_col is not None:
+        ham = F.when(F.size(code) == len(qwords), ham).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"bq code width mismatch: query packs to {len(qwords)} "
+                    f"word(s) but stored '{code_col}' codes differ — "
+                    "check the query dimension against the index dim"
+                )
+            ).cast("long")
+        )
     scored = df.select(F.col(id_col), ham.alias("hamming"))
     if prefilter is None:
         return scored.orderBy(F.asc("hamming"), F.asc(id_col)).limit(k)

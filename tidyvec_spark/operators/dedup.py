@@ -396,17 +396,25 @@ def corpus_diff(
     rows — the overwhelming majority — are dropped before returning
     unless ``include_unchanged``.
     """
+    # Presence flags disambiguate "row absent from that side" from
+    # "row present with NULL text" (normalized_text_key(NULL) is NULL):
+    # a NULL-text doc present in both snapshots must compare null-safely
+    # as unchanged, not read as added/removed.
     o = old.select(
-        F.col(id_col).alias("__id"), normalized_text_key(text_col).alias("__ho")
+        F.col(id_col).alias("__id"),
+        F.lit(True).alias("__po"),
+        normalized_text_key(text_col).alias("__ho"),
     )
     n = new.select(
-        F.col(id_col).alias("__id"), normalized_text_key(text_col).alias("__hn")
+        F.col(id_col).alias("__id"),
+        F.lit(True).alias("__pn"),
+        normalized_text_key(text_col).alias("__hn"),
     )
     j = o.join(n, "__id", "full_outer")
     status = (
-        F.when(F.col("__ho").isNull(), F.lit("added"))
-        .when(F.col("__hn").isNull(), F.lit("removed"))
-        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+        F.when(F.col("__po").isNull(), F.lit("added"))
+        .when(F.col("__pn").isNull(), F.lit("removed"))
+        .when(~F.col("__ho").eqNullSafe(F.col("__hn")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     out = j.select(F.col("__id").alias(id_col), status.alias("status"))

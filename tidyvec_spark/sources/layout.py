@@ -181,6 +181,19 @@ def ann_topk_sidecar(
         raise ValueError(f"no index spec in sidecar: {path}")
     emb_col = sidecar["embedding_col"]
     data = os.path.join(path, "data")
+    # Dim guard before probing: the spec knows the indexed dimension
+    # (explicit 'dim', or the width of the stored planes/centroids) —
+    # a mismatched query must error here, not silently mis-probe.
+    expect = spec.get("dim")
+    if expect is None and spec.get("planes"):
+        expect = len(spec["planes"][0])
+    if expect is None and spec.get("centroids"):
+        expect = len(spec["centroids"][0])
+    if expect is not None and int(expect) != len(query_vec):
+        raise ValueError(
+            f"query dim {len(query_vec)} != index dim {int(expect)} "
+            f"({spec['kind']} sidecar at {path})"
+        )
     if spec["kind"] == "lsh":
         return ann_lsh_topk_pruned(
             spark, data, emb_col, id_col, query_vec, spec["planes"],

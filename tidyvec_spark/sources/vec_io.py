@@ -95,9 +95,10 @@ def write_vec(
             # column entirely (32x fewer bytes per row)
             from tidyvec_spark.operators.bq import bq_encode
 
-            dim = int(index.get("dim") or vf.dim)
-            if not dim:
+            d = index.get("dim") or vf.dim
+            if not d:
                 raise ValueError("bq index needs 'dim' (or a VecFrame dim)")
+            dim = int(d)
             bq_encode(
                 vf.df, vf.embedding_col, dim,
                 out_col=index.get("code_col", "bq"),

@@ -149,15 +149,27 @@ def write_webdataset(
 
     def write_part(it: Iterator) -> Iterator:
         import collections
+        import uuid
 
+        # Task-unique temp names + atomic os.replace on success: a
+        # retried or speculatively-executed task never interleaves
+        # writes into the final file, and a failed task leaves only a
+        # .tmp the next attempt ignores. (os.replace is atomic on the
+        # same POSIX filesystem; object stores get a fresh upload.)
+        tag = uuid.uuid4().hex[:12]
         tars: dict[int, tarfile.TarFile] = {}
+        tmp_names: dict[int, str] = {}
         counts: collections.Counter = collections.Counter()
+        ok = False
         try:
             for row in it:
                 s = row["__shard"]
                 if s not in tars:
-                    fname = os.path.join(path, f"{prefix}-{s:06d}.tar")
-                    tars[s] = tarfile.open(fname, "w")
+                    tmp = os.path.join(
+                        path, f".{prefix}-{s:06d}.{tag}.tmp"
+                    )
+                    tmp_names[s] = tmp
+                    tars[s] = tarfile.open(tmp, "w")
                 tf = tars[s]
                 for ext in sorted(row["__data"].keys()):
                     payload = row["__data"][ext] or b""
@@ -167,9 +179,21 @@ def write_webdataset(
                     info.mtime = 0  # deterministic archives
                     tf.addfile(info, io.BytesIO(bytes(payload)))
                 counts[s] += 1
+            ok = True
         finally:
             for tf in tars.values():
                 tf.close()
+            if ok:
+                for s, tmp in tmp_names.items():
+                    os.replace(
+                        tmp, os.path.join(path, f"{prefix}-{s:06d}.tar")
+                    )
+            else:
+                for tmp in tmp_names.values():
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
         yield (sorted(counts.keys()),)
 
     out = assigned.rdd.mapPartitions(write_part).collect()
