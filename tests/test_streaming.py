@@ -617,3 +617,87 @@ def test_near_dup_pairs_checkpoint_restart(spark, tmp_path):
     assert got == exp and len(got) > 0
     # cross-incarnation pairs prove the state survived the restart
     assert any(a < 10000 <= b for a, b in got)
+
+
+def test_near_dup_pairs_stream_horizon_ttl(spark, tmp_path):
+    """Dedup-horizon mode (r5 verdict item 2): pairs form only within
+    |Δt| <= horizon; bucket members a full horizon behind the
+    watermark are evicted and idle buckets drop their state via an
+    event-time timeout. Checkpoint-restart between every arrival wave
+    proves in-horizon pairs survive a restart while stale members
+    never pair again. Batch twin: banded self-join + the same |Δt|
+    predicate."""
+    base = "spark streaming near duplicate horizon eviction test corpus"
+
+    def doc(i, minute):
+        return (i, f"{base} variant {i % 2}", f"2026-01-01 00:{minute:02d}:00")
+
+    rows = [
+        doc(1, 0), doc(2, 0),     # wave 1
+        doc(3, 5),                # wave 2: within 10 min of 1,2
+        doc(4, 50), doc(5, 55),   # wave 3: > 10 min after 1-3
+        doc(6, 59),               # wave 4: within 10 min of 4,5
+    ]
+    schema = "doc_id bigint, text string, ts string"
+    land = tmp_path / "ttl_land"
+    land.mkdir()
+    out = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ckpt")
+
+    def write_wave(name, sel):
+        spark.createDataFrame(sel, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(str(land / name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land) + "/*")
+        )
+        q = (
+            S.near_dup_pairs_stream(
+                stream, "text", "doc_id",
+                ts_col="ts", horizon_seconds=600,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    waves = [rows[0:2], rows[2:3], rows[3:5], rows[5:6]]
+    for i, w in enumerate(waves):
+        write_wave(f"f{i}.parquet", w)
+        run_once()  # restart per wave: state must come from the checkpoint
+
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out).distinct().collect()
+    )
+    batch = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    exp = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs_stream(
+            batch, "text", "doc_id", ts_col="ts", horizon_seconds=600
+        ).collect()
+    )
+    assert got == exp and len(got) > 0
+    # same-variant pairs inside a horizon pair up; nothing crosses it
+    in_horizon = {(4, 6), (1, 3)}  # same-variant (odd/even) & |Δt|<=10min
+    assert in_horizon <= set(got)
+    stale = [(a, b) for a, b in got if a <= 3 and b >= 4]
+    assert stale == [], f"cross-horizon pairs leaked: {stale}"
+
+
+def test_near_dup_pairs_horizon_validation(spark):
+    df = spark.createDataFrame([(1, "x", None)], "doc_id bigint, text string, ts timestamp")
+    with pytest.raises(ValueError, match="together"):
+        S.near_dup_pairs_stream(df, "text", "doc_id", horizon_seconds=60)
+    with pytest.raises(ValueError, match=">= 1"):
+        S.near_dup_pairs_stream(df, "text", "doc_id", ts_col="ts", horizon_seconds=0)

@@ -303,6 +303,9 @@ def near_dup_pairs_stream(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    ts_col: Optional[str] = None,
+    horizon_seconds: Optional[int] = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Online MinHash-LSH candidate discovery: as documents arrive,
     emit (id_a, id_b) for every pair that shares an LSH band bucket —
@@ -316,47 +319,79 @@ def near_dup_pairs_stream(
     the single stateful hop groups by band-hash, and each bucket's
     state is its member-id list — the LSH bucket itself, which banding
     keeps small by construction (that is the point of banding). A new
-    document pairs with each prior member and is appended. At 100 TB
-    wire watermark/TTL state eviction for buckets older than the dedup
-    horizon; candidate verification (exact Jaccard) stays a downstream
-    batch join, exactly as in the batch pipeline.
+    document pairs with each prior member and is appended; candidate
+    verification (exact Jaccard) stays a downstream batch join,
+    exactly as in the batch pipeline.
+
+    **Dedup horizon / state TTL** (``ts_col`` + ``horizon_seconds``):
+    two documents are candidates only when their event times lie
+    within the horizon — the semantic filter is the |Δt| ≤ H check at
+    pair time (deterministic regardless of watermark progress), and
+    the watermark is pure state GC: members whose event time has
+    fallen a full horizon behind the bucket's watermark can never pair
+    again and are evicted; a bucket with no arrivals for a horizon
+    past the watermark removes its state entirely via an event-time
+    timeout. This bounds state at (docs within one horizon) instead of
+    (all docs ever) — the unbounded-growth gap flagged in round 5.
+    Without ``horizon_seconds`` state is kept forever (exact parity
+    with the batch self-join over the whole corpus).
 
     On a batch frame, falls back to the banded self-join (distinct
-    candidate pairs), so batch/stream parity is oracle-checkable.
+    candidate pairs, same |Δt| ≤ H predicate when a horizon is given),
+    so batch/stream parity is oracle-checkable on either form.
     """
     from tidyvec_spark.functions import text as X
     from tidyvec_spark.functions.hashing import band_hash, minhash_signature
 
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    if (horizon_seconds is None) != (ts_col is None):
+        raise ValueError("ts_col and horizon_seconds must be given together")
+    if horizon_seconds is not None and horizon_seconds < 1:
+        raise ValueError("horizon_seconds must be >= 1")
     rpb = num_hashes // bands
     id_field = df.schema[id_col].dataType
 
+    cols = [
+        F.col(id_col).alias("__id"),
+        F.array_distinct(X.ngrams(text_col, shingle_n)).alias("__sh"),
+    ]
+    if ts_col is not None:
+        cols.append(event_ts_of(df, ts_col).alias("__ts"))
     signed = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(X.ngrams(text_col, shingle_n)).alias("__sh"),
-        )
+        df.select(*cols)
         .filter(F.size("__sh") > 0)
         .withColumn("__sig", minhash_signature("__sh", num_hashes))
         .select(
             "__id",
             F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__b"),
             "__sig",
+            *(["__ts"] if ts_col is not None else []),
         )
         .withColumn("__bh", band_hash("__sig", F.col("__b"), rpb))
-        .select("__id", "__bh")
+        .select(
+            "__id", "__bh", *(["__ts"] if ts_col is not None else [])
+        )
     )
 
     if not df.isStreaming:
-        a = signed.select(F.col("__id").alias("id_a"), "__bh")
-        b = signed.select(F.col("__id").alias("id_b"), "__bh")
-        return (
-            a.join(b, "__bh")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
+        a_cols = [F.col("__id").alias("id_a"), F.col("__bh")]
+        b_cols = [F.col("__id").alias("id_b"), F.col("__bh")]
+        if ts_col is not None:
+            a_cols.append(F.col("__ts").alias("__ts_a"))
+            b_cols.append(F.col("__ts").alias("__ts_b"))
+        a = signed.select(*a_cols)
+        b = signed.select(*b_cols)
+        j = a.join(b, "__bh").filter(F.col("id_a") < F.col("id_b"))
+        if ts_col is not None:
+            j = j.filter(
+                F.abs(
+                    F.col("__ts_a").cast("long")
+                    - F.col("__ts_b").cast("long")
+                )
+                <= F.lit(int(horizon_seconds))
+            )
+        return j.select("id_a", "id_b").distinct()
 
     out_schema = T.StructType(
         [
@@ -364,42 +399,105 @@ def near_dup_pairs_stream(
             T.StructField("id_b", id_field, False),
         ]
     )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if ts_col is None:
+        state_schema = T.StructType(
+            [T.StructField("ids", T.ArrayType(id_field), False)]
+        )
+
+        def fn(key, pdf_iter, state):
+            import pandas as pd
+
+            members = list(state.get[0]) if state.exists else []
+            known = set(members)
+            fresh = []
+            for pdf in pdf_iter:
+                for i in pdf["__id"]:
+                    i = int(i)
+                    if i not in known:
+                        known.add(i)
+                        fresh.append(i)
+            if not fresh:
+                return
+            pairs = []
+            fresh.sort()
+            for nid in fresh:
+                for o in members:
+                    pairs.append((min(o, nid), max(o, nid)))
+                members.append(nid)
+            state.update((members,))
+            if pairs:
+                yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+        return signed.groupBy("__bh").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    hor_ms = int(horizon_seconds) * 1000
+    signed = signed.withWatermark("__ts", watermark_delay)
     state_schema = T.StructType(
-        [T.StructField("ids", T.ArrayType(id_field), False)]
+        [
+            T.StructField("ids", T.ArrayType(id_field), False),
+            T.StructField("ts_ms", T.ArrayType(T.LongType()), False),
+        ]
     )
 
-    def fn(key, pdf_iter, state):
+    def fn_ttl(key, pdf_iter, state):
         import pandas as pd
 
-        members = list(state.get[0]) if state.exists else []
-        known = set(members)
+        if state.hasTimedOut:
+            # no arrival for a full horizon past the watermark: no
+            # future doc can pair with anything here — drop the bucket
+            state.remove()
+            return
+        if state.exists:
+            ids, tss = state.get
+            members = list(zip(ids, tss))
+        else:
+            members = []
+        wm = state.getCurrentWatermarkMs()
+        if members and wm > 0:
+            # GC: a member a full horizon behind the watermark can
+            # never satisfy |Δt| <= H against any future arrival
+            members = [(i, t) for (i, t) in members if t + hor_ms >= wm]
+        known = {i for (i, _) in members}
         fresh = []
         for pdf in pdf_iter:
-            for i in pdf["__id"]:
+            for i, t in zip(pdf["__id"], pdf["__ts"]):
                 i = int(i)
                 if i not in known:
                     known.add(i)
-                    fresh.append(i)
-        if not fresh:
-            return
+                    fresh.append((i, int(t.value // 1_000_000)))
         pairs = []
         fresh.sort()
-        for nid in fresh:
-            for o in members:
-                pairs.append((min(o, nid), max(o, nid)))
-            members.append(nid)
-        state.update((members,))
+        for nid, nts in fresh:
+            for oid, ots in members:
+                if abs(nts - ots) <= hor_ms:
+                    pairs.append((min(oid, nid), max(oid, nid)))
+            members.append((nid, nts))
+        state.update(
+            ([i for (i, _) in members], [t for (_, t) in members])
+        )
+        # clean the bucket once the watermark passes its newest member
+        # by a full horizon (timeout timestamps must sit beyond the
+        # current watermark)
+        if members:
+            newest = max(t for (_, t) in members)
+            state.setTimeoutTimestamp(max(newest + hor_ms, wm + 1))
         if pairs:
             yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
 
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     return signed.groupBy("__bh").applyInPandasWithState(
-        fn,
+        fn_ttl,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
