@@ -91,3 +91,68 @@ def test_bpe_validation_and_early_stop(spark):
         bpe_train(corpus, "text", 0)
     # single-char words (+eow fused) have no pairs -> early stop
     assert bpe_train(corpus, "text", 5) == []
+
+
+def _ref_apply(sym, merges):
+    for m in merges:
+        a, b = m[0], m[1]
+        pat = re.compile(f"(?<![^ ]){re.escape(a)} {re.escape(b)}(?![^ ])")
+        sym = pat.sub(lambda _: a + b, sym)
+    return sym
+
+
+def test_bpe_apply_engines_agree_on_learned_table(spark, sf_dir):
+    """pandas (rank-table) and chunked-expr engines must both equal the
+    sequential-regex reference on a real learned table."""
+    from tidyvec_spark.operators.bpe import bpe_apply
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = bpe_train(docs, "text", 12)
+    syms = bpe_word_freq(docs, "text").select("sym")
+    want = sorted(_ref_apply(r["sym"], m) for r in syms.collect())
+    for eng, chunk in (("pandas", 64), ("expr", 5)):
+        got = sorted(
+            r["bpe_sym"]
+            for r in bpe_apply(syms, "sym", m, engine=eng, chunk_size=chunk)
+            .select("bpe_sym").collect()
+        )
+        assert got == want, eng
+
+
+def test_bpe_apply_1000_merges_no_codegen_failure(spark):
+    """r5 verdict item 4: a production-scale merge table must apply
+    without blowing codegen limits — 1000-deep chain table, both
+    engines, equal to the pure-Python sequential reference."""
+    from tidyvec_spark.operators.bpe import bpe_apply
+
+    chars = [chr(0x4E00 + i) for i in range(1001)]
+    word = "".join(chars)
+    sym = " ".join(chars[:-1] + [chars[-1] + "</w>"])
+    merges = []
+    acc = chars[0]
+    for i in range(1, 1001):
+        nxt = chars[i] + ("</w>" if i == 1000 else "")
+        merges.append((acc, nxt, 1))
+        acc += nxt
+    # also a partial word (prefix) and an unrelated word
+    sym2 = " ".join(chars[:10])          # merges 0..8 apply, no eow
+    sym3 = "q r s t</w>"                 # no merge applies
+    df = spark.createDataFrame(
+        [(1, sym), (2, sym2), (3, sym3)], "id bigint, sym string"
+    )
+    want = {i: _ref_apply(s, merges) for i, s in ((1, sym), (2, sym2), (3, sym3))}
+    assert want[1] == word[:-1] + chars[-1] + "</w>"  # fully collapsed
+    for eng in ("pandas", "expr"):
+        rows = bpe_apply(df, "sym", merges, engine=eng, chunk_size=64).collect()
+        got = {r["id"]: r["bpe_sym"] for r in rows}
+        assert got == want, eng
+
+
+def test_bpe_apply_validation(spark):
+    from tidyvec_spark.operators.bpe import bpe_apply
+
+    df = spark.createDataFrame([(1, "a b")], "id bigint, sym string")
+    with pytest.raises(ValueError):
+        bpe_apply(df, "sym", [("a", "b")], engine="nope")
+    with pytest.raises(ValueError):
+        bpe_apply(df, "sym", [("a", "b")], chunk_size=0)

@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.text import tokens
 
-__all__ = ["bpe_train", "bpe_apply_expr", "bpe_word_freq"]
+__all__ = [
+    "bpe_train",
+    "bpe_apply_expr",
+    "bpe_apply_udf",
+    "bpe_apply",
+    "bpe_word_freq",
+]
 
 _EOW = "</w>"
 
@@ -134,9 +140,121 @@ def bpe_apply_expr(
     """Tokenize with a learned merge table: apply every merge, in
     order, to a space-separated symbol string (as produced per word by
     :func:`bpe_word_freq`'s spelling). One chained map-side projection
-    — N regexps inside a single codegen stage, zero shuffle."""
+    — N regexps inside a single codegen stage, zero shuffle.
+
+    Depth warning: every merge adds one level to the expression tree,
+    so a production-sized table (32k merges) would blow past codegen /
+    JVM limits — use :func:`bpe_apply` for anything beyond ~64 merges
+    (it chunks the chain or compiles the table into a rank-based
+    Arrow tokenizer)."""
     c = F.col(text_sym_col) if isinstance(text_sym_col, str) else text_sym_col
     for m in merges:
         a, b = m[0], m[1]
         c = F.regexp_replace(c, _pair_pattern(a, b), _replacement(a, b))
     return c
+
+
+def bpe_apply_udf(
+    merges: Sequence[Tuple[str, str, int]] | Sequence[Tuple[str, str]],
+):
+    """Compile the merge table into ONE Arrow-batched ``pandas_udf``
+    tokenizer — the large-vocabulary apply path. Instead of chaining N
+    regexps (O(N · len) per row and an N-deep codegen tree), each
+    string is merged with the standard rank-table algorithm
+    (Sennrich/GPT-2 ``get_pairs`` + lowest-rank-first): cost scales
+    with the number of symbols actually merged, independent of table
+    size. Within each Arrow batch distinct inputs are memoized —
+    Zipf-distributed words make the cache hit rate very high.
+
+    Equivalence with the sequential-regex semantics of
+    :func:`bpe_apply_expr` holds for any table produced by
+    :func:`bpe_train` (each merge's parts exist when it is learned, so
+    merging lowest-rank-first reproduces the in-order result) — pinned
+    in tests against the pure-Python sequential reference.
+    """
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def apply_(s):  # pd.Series -> pd.Series
+        cache: dict = {}
+
+        def one(x):
+            if x is None:
+                return None
+            hit = cache.get(x)
+            if hit is not None:
+                return hit
+            syms = x.split(" ")
+            while len(syms) >= 2:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                # merge every non-overlapping occurrence left-to-right
+                # (identical to one regex pass of the expr path)
+                out = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if (
+                        i < n - 1
+                        and ranks.get((syms[i], syms[i + 1])) == best
+                    ):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            res = " ".join(syms)
+            cache[x] = res
+            return res
+
+        return s.map(one)
+
+    return apply_
+
+
+def bpe_apply(
+    df: DataFrame,
+    sym_col: str,
+    merges: Sequence[Tuple[str, str, int]] | Sequence[Tuple[str, str]],
+    out_col: str = "bpe_sym",
+    engine: str = "auto",
+    chunk_size: int = 64,
+) -> DataFrame:
+    """Apply a learned merge table of ANY size to a symbol-string
+    column. Engines:
+
+    - ``"expr"`` — chunked regexp projections: at most ``chunk_size``
+      merges per projection, ``localCheckpoint`` between chunks so the
+      plan never exceeds one chunk's depth (a 32k-merge table is 500
+      bounded map-side jobs, not one 32k-deep codegen tree). Stays
+      JVM-side; right when the table is small-to-moderate.
+    - ``"pandas"`` — the rank-table Arrow tokenizer
+      (:func:`bpe_apply_udf`): one projection regardless of table
+      size; right for production vocabularies.
+    - ``"auto"`` — ``expr`` in a single un-chunked projection when the
+      table fits in one chunk, else ``pandas``.
+    """
+    if engine not in ("auto", "expr", "pandas"):
+        raise ValueError(f"unknown engine: {engine!r}")
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    if engine == "auto":
+        engine = "expr" if len(merges) <= chunk_size else "pandas"
+    if engine == "pandas":
+        return df.withColumn(out_col, bpe_apply_udf(merges)(F.col(sym_col)))
+    cur = df.withColumn(out_col, bpe_apply_expr(sym_col, merges[:chunk_size]))
+    for i in range(chunk_size, len(merges), chunk_size):
+        # truncate lineage between chunks: each projection starts from
+        # materialized rows, keeping plan depth == one chunk
+        cur = cur.localCheckpoint(eager=True).withColumn(
+            out_col, bpe_apply_expr(out_col, merges[i : i + chunk_size])
+        )
+    return cur
