@@ -118,3 +118,28 @@ def test_similarity_scalar_and_collection_forms(spark):
     assert got[2] == pytest.approx(0.0)
     assert got[3] == 0.0
     assert out.count() == 3  # nothing filtered
+
+
+def test_packaging_artifact_declares_gated_deps():
+    """SURVEY §2 #16: pyproject.toml is the Spark mapping of the
+    reference's .onLoad python-dep declaration (R/zzz.R:1-12) — every
+    import this package gates behind try/except must appear either in
+    the core dependencies or in an extra, so a cluster deployment can
+    build the executor env from the artifact alone."""
+    import os
+    import tomllib
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    proj = meta["project"]
+    core = {d.split(">=")[0].split("==")[0] for d in proj["dependencies"]}
+    extras = {
+        name: {d.split(">=")[0] for d in deps}
+        for name, deps in proj["optional-dependencies"].items()
+    }
+    assert {"pyspark", "pandas", "pyarrow", "numpy"} <= core
+    # the reference's reticulate py_require list (R/zzz.R:4-10)
+    assert {"torch", "transformers", "pillow", "sentencepiece", "protobuf"} <= extras["hf"]
+    # viz_embeddings' driver-side reducers + renderers
+    assert {"umap-learn", "scikit-learn", "matplotlib"} <= extras["viz"]
+    assert "duckdb" in extras["test"]

@@ -6,6 +6,21 @@ mostly decided by a handful of session settings. ``configure`` applies
 them to a builder; ``make_session`` is the convenience wrapper used by
 tests/benchmarks (local mode) and documents the cluster-mode rationale
 for every knob.
+
+Executor python environment (the reference declares its python deps in
+``.onLoad``, R/zzz.R:1-12, and reticulate provisions a venv; the Spark
+analog is shipping a packed environment with the job). Build it from
+this repo's ``pyproject.toml`` and attach it via ``spark.archives``::
+
+    python -m venv venv && venv/bin/pip install '.[hf]' venv-pack
+    venv/bin/venv-pack -o venv.tar.gz
+    spark-submit \
+      --conf spark.archives=venv.tar.gz#environment \
+      --conf spark.pyspark.python=./environment/bin/python app.py
+
+The heavy model/viz stacks are extras (``[hf]``, ``[viz]``) exactly as
+the reference keeps them in Suggests — the core engine ships without
+them and every optional import is try/except-gated at use sites.
 """
 
 from __future__ import annotations
