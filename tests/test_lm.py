@@ -107,3 +107,25 @@ def test_perplexity_buckets_validation(spark):
         perplexity_buckets(df, "p", "doc_id", "lang", cuts=(0.5,), labels=("a",))
     with pt.raises(ValueError):
         perplexity_buckets(df, "p", "doc_id", "lang", cuts=(0.6, 0.4))
+
+
+def test_perplexity_salted_matches_plain(spark, corpus):
+    """r5 verdict item 6: salt_buckets spreads the hot stop-bigram join
+    keys without changing a single score; the default plan stays the
+    plain un-salted shuffle join (no salt column anywhere in it)."""
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.operators.lm import bigram_lm_perplexity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = bigram_lm_perplexity(docs, "text", "doc_id")
+    salted = bigram_lm_perplexity(docs, "text", "doc_id", salt_buckets=4)
+    a = sorted((r["doc_id"], r["n_bigrams"], r["perplexity"]) for r in plain.collect())
+    b = sorted((r["doc_id"], r["n_bigrams"], r["perplexity"]) for r in salted.collect())
+    assert a == b and len(a) > 0
+    # plan pin: default has no salt machinery; salted carries it
+    plain_plan = plain._jdf.queryExecution().optimizedPlan().toString()
+    salted_plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "__tv_salt" not in plain_plan
+    assert "__tv_salt" in salted_plan
+    with pytest.raises(ValueError):
+        bigram_lm_perplexity(docs, "text", "doc_id", salt_buckets=0)

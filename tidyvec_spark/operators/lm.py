@@ -64,6 +64,7 @@ def bigram_lm_perplexity(
     alpha: float = 0.1,
     round_to: int = 4,
     out_col: str = "perplexity",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Score every document against the corpus-trained bigram LM.
 
@@ -75,10 +76,21 @@ def bigram_lm_perplexity(
 
     Filter pattern: ``lm_perplexity(df, ...).filter(F.col("perplexity")
     <= cutoff)`` keeps the fluent head, exactly the CCNet recipe.
+
+    ``salt_buckets``: the scoring joins shuffle on raw bigram / prefix
+    text, and stop-bigrams ("of the") are Zipf-hot — AQE's skew-join
+    splitting covers this at runtime, but for deterministic plans at
+    100 TB pass a salt factor and both joins run through
+    :func:`tidyvec_spark.operators.skew.salted_join` (count tables
+    replicated ``salt_buckets``×, hot keys spread over that many
+    tasks). ``None`` (default) keeps the plain un-salted shuffle join —
+    results are identical either way (the oracle is shared).
     """
     alpha = float(alpha)
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (unsmoothed LM assigns p=0)")
+    if salt_buckets is not None and int(salt_buckets) < 1:
+        raise ValueError("salt_buckets must be >= 1")
 
     c2 = bigram_counts(df, text_col)
     # prefix counts derived from the bigram table (c1(w1) = number of
@@ -97,9 +109,21 @@ def bigram_lm_perplexity(
         .groupBy("__id", "bigram")
         .agg(F.count(F.lit(1)).alias("dn"))
     )
+    if salt_buckets is None:
+        joined = doc.join(c2, "bigram").join(c1, "w1")
+    else:
+        from tidyvec_spark.operators.skew import salted_join
+
+        sb = int(salt_buckets)
+        # count tables are the vocabulary-sized (replicable) sides;
+        # the doc frame's hot stop-bigram/prefix keys spread over sb
+        # tasks per key
+        joined = salted_join(
+            salted_join(doc, c2, on="bigram", salt_factor=sb),
+            c1, on="w1", salt_factor=sb,
+        )
     scored = (
-        doc.join(c2, "bigram")
-        .join(c1, "w1")
+        joined
         .crossJoin(F.broadcast(v))
         .select(
             "__id",
