@@ -296,6 +296,32 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) <= 3
 """
 
 
+def _ann_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-targeted parameter selection closed-loop
+    (operators/evaluation.py::tune_lsh_params): tune (nbits,
+    probe_hamming) to target recall 1.0 on the query sample, then
+    answer with the tuned spec — which by construction reproduces the
+    exact top-3, so the oracle IS the exact query (the reference's
+    semantics, R/core.R:268-278, reached through an ANN index)."""
+    from tidyvec_spark.operators.ann import ann_lsh_topk_batch
+    from tidyvec_spark.operators.evaluation import tune_lsh_params
+
+    e = _read(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    qs = e.filter(F.col("vec_id") < 5)
+    spec = tune_lsh_params(
+        corpus, "embedding", "vec_id", target_recall=1.0, k=3,
+        queries=qs, round_to=R,
+    )
+    out = ann_lsh_topk_batch(
+        corpus, "embedding", "vec_id",
+        qs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")),
+        "qid", "qv", spec["planes"], k=3,
+        probe_hamming=spec["probe_hamming"], round_to=R,
+    )
+    return out.select("qid", F.col("vec_id").alias("cid"), "similarity")
+
+
 def _ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall evaluation (operators/evaluation.py::topk_recall): the
     LSH-multiprobe top-3 (similarity_join_lsh's result) measured
@@ -4944,6 +4970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_lsh_batch": _ann_lsh_batch,
         "ann_topk_sidecar": _ann_topk_sidecar,
+        "ann_tuned_topk": _ann_tuned_topk,
         "pq_adc_topk": _pq_adc_topk,
         "ivfpq_adc_topk": _ivfpq_adc_topk,
         "sq_topk": _sq_topk,
@@ -5018,6 +5045,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_null_quirk": _KNN_NULL_QUIRK_SQL,
         "similarity_pair": _SIMILARITY_PAIR_SQL,
         "ann_topk_per_query": _ANN_TOPK_SQL,
+        # tuned-to-recall-1.0 ANN answers must equal the exact query
+        "ann_tuned_topk": _ANN_TOPK_SQL,
         "similarity_join_lsh": _similarity_join_lsh_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_topk_sidecar": _ann_lsh_sql(),

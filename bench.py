@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "bq_rerank_topk",
     "bq_topk_sidecar",
     "ann_recall_lsh",
+    "ann_tuned_topk",
     "bpe_merges",
     "wds_roundtrip",
     "pipeline_ccnet",

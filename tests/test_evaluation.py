@@ -42,3 +42,53 @@ def test_lsh_recall_on_fixture(spark, sf_dir):
     # to MEASURE that instead of assuming literature numbers; assert
     # only consistency with the exact self-hit structure
     assert {r["qid"] for r in rec} == {0, 1, 2, 3, 4}
+
+
+def test_tune_lsh_params_meets_target(spark, sf_dir):
+    """r5 verdict item 7: requested recall 0.9 -> the selected
+    (nbits, probe_hamming) measures >= 0.9 on the sample, and the
+    returned spec is a ready write_vec index dict."""
+    from tidyvec_spark.operators.evaluation import tune_lsh_params
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spec = tune_lsh_params(emb, "embedding", "vec_id", target_recall=0.9, k=5)
+    assert spec["kind"] == "lsh" and spec["measured_recall"] >= 0.9
+    assert len(spec["planes"][0]) == spec["dim"] == 64
+    assert spec["probe_hamming"] in (0, 1, 2)
+    with pytest.raises(ValueError):
+        tune_lsh_params(emb, "embedding", "vec_id", target_recall=1.5)
+
+
+def test_tuned_spec_probes_from_sidecar(spark, sf_dir, tmp_path):
+    """The tuned probe radius persists through write_vec and
+    ann_topk_sidecar uses it by default; at target 1.0 the tuned
+    probe reproduces the exact top-k from the path alone."""
+    from pyspark.sql import functions as F
+    from tidyvec_spark import vec
+    from tidyvec_spark.operators.ann import exact_topk_batch
+    from tidyvec_spark.operators.evaluation import tune_lsh_params
+    from tidyvec_spark.sources import ann_topk_sidecar, write_vec
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spec = tune_lsh_params(
+        emb, "embedding", "vec_id", target_recall=1.0, k=5,
+        n_queries=8, round_to=6,
+    )
+    assert spec["measured_recall"] == 1.0
+    path = str(tmp_path / "tuned")
+    write_vec(vec(emb, dim=64), path, index=spec)
+    q = emb.orderBy("vec_id").limit(1).first()
+    got = ann_topk_sidecar(
+        spark, path, [float(x) for x in q["embedding"]], "vec_id",
+        k=5, round_to=6,
+    ).collect()
+    want = exact_topk_batch(
+        emb, "embedding", "vec_id",
+        emb.filter(F.col("vec_id") == q["vec_id"]).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ),
+        "qid", "qv", k=5, round_to=6,
+    ).collect()
+    assert [(r["vec_id"], r["similarity"]) for r in got] == [
+        (r["vec_id"], r["similarity"]) for r in want
+    ]

@@ -210,6 +210,46 @@ def ann_lsh_topk_batch(
     )
 
 
+def exact_topk_batch(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    queries: DataFrame,
+    q_id_col: str,
+    q_emb_col: str,
+    k: int = 10,
+    method: str = "cosine",
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Exact top-k for every query row — the ground-truth twin of
+    :func:`ann_lsh_topk_batch` (same output schema). The query batch
+    is broadcast (bounded — a serving batch / recall sample, never a
+    table) and the corpus is scanned ONCE for all queries; per-query
+    top-k is the same candidate window. This is the recall-evaluation
+    baseline and the small-corpus fallback."""
+    q = queries.select(
+        F.col(q_id_col).alias("__qid"),
+        F.col(q_emb_col).cast("array<double>").alias("__qv"),
+    )
+    sim = similarity_expr(F.col(emb_col), F.col("__qv"), method)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    cand = df.crossJoin(F.broadcast(q)).withColumn("similarity", sim)
+    w = Window.partitionBy("__qid").orderBy(
+        F.desc("similarity"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select(
+            F.col("__qid").alias(q_id_col),
+            F.col(id_col),
+            "similarity",
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     emb_col: str,

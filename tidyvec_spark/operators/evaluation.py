@@ -18,7 +18,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["topk_recall", "mean_recall"]
+__all__ = ["topk_recall", "mean_recall", "tune_lsh_params"]
 
 
 def topk_recall(
@@ -81,3 +81,108 @@ def mean_recall(
     row = per_q.agg(F.avg("recall").alias("m")).first()
     m = float(row["m"]) if row["m"] is not None else 0.0
     return round(m, round_to) if round_to is not None else m
+
+
+def tune_lsh_params(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    target_recall: float,
+    k: int = 10,
+    queries: Optional[DataFrame] = None,
+    n_queries: int = 20,
+    nbits_grid=(10, 8, 6, 4, 2),
+    hamming_grid=(0, 1, 2),
+    seed: int = 42,
+    method: str = "cosine",
+    round_to: Optional[int] = None,
+) -> dict:
+    """Recall-targeted LSH parameter selection: pick the CHEAPEST
+    (nbits, probe_hamming) whose measured recall@k on a query sample
+    meets ``target_recall``, and return it as a ready-to-persist
+    ``write_vec`` index spec (``{"kind": "lsh", "planes": ...,
+    "probe_hamming": ..., "measured_recall": ...}``) —
+    :func:`~tidyvec_spark.sources.layout.ann_topk_sidecar` then probes
+    with the tuned radius from the sidecar alone.
+
+    Cost model: expected scanned fraction = |probes| / 2^nbits (exact
+    under a uniform bucket load; the right ordering under any load).
+    Configs are evaluated cheapest-first and the first one meeting the
+    target wins, so tuning cost is a handful of sample-sized searches
+    — the grid's (nbits=2, hamming=2) tail probes every bucket, i.e.
+    degenerates to exact search, so a config meeting ANY target
+    always exists.
+
+    Ground truth is :func:`~tidyvec_spark.operators.ann.
+    exact_topk_batch` on the same sample; with ``target_recall=1.0``
+    the chosen config reproduces the exact result set on the sample
+    by construction (the oracle-hash trick the registry entry uses).
+    """
+    from tidyvec_spark.operators.ann import (
+        ann_lsh_topk_batch,
+        exact_topk_batch,
+        multiprobe_buckets,
+        random_planes,
+    )
+
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError("target_recall must be in (0, 1]")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if queries is None:
+        queries = df.orderBy(F.asc(id_col)).limit(int(n_queries))
+    dim = df.select(F.size(emb_col).alias("d")).first()["d"]
+    exact = exact_topk_batch(
+        df,
+        emb_col,
+        id_col,
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(emb_col).alias("qv")
+        ),
+        "qid",
+        "qv",
+        k=k,
+        method=method,
+        round_to=round_to,
+    )
+
+    def cost(nbits: int, h: int) -> float:
+        return len(multiprobe_buckets(0, nbits, h)) / float(1 << nbits)
+
+    grid = sorted(
+        ((n, h) for n in nbits_grid for h in hamming_grid),
+        key=lambda nh: (cost(*nh), -nh[0], nh[1]),
+    )
+    best = None  # (recall, spec) fallback if nothing meets target
+    for nbits, h in grid:
+        planes = random_planes(int(dim), nbits=int(nbits), seed=seed)
+        approx = ann_lsh_topk_batch(
+            df,
+            emb_col,
+            id_col,
+            queries.select(
+                F.col(id_col).alias("qid"), F.col(emb_col).alias("qv")
+            ),
+            "qid",
+            "qv",
+            planes,
+            k=k,
+            probe_hamming=int(h),
+            method=method,
+            round_to=round_to,
+        )
+        r = mean_recall(approx, exact, "qid", id_col, k)
+        spec = {
+            "kind": "lsh",
+            "planes": planes,
+            "probe_hamming": int(h),
+            "dim": int(dim),
+            "target_recall": float(target_recall),
+            "measured_recall": round(r, 6),
+            "recall_k": int(k),
+        }
+        if r >= target_recall:
+            return spec
+        if best is None or r > best[0]:
+            best = (r, spec)
+    return best[1]

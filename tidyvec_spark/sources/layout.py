@@ -162,7 +162,7 @@ def ann_topk_sidecar(
     query_vec: Sequence[float],
     id_col: str,
     k: int = 10,
-    probe_hamming: int = 1,
+    probe_hamming: Optional[int] = None,
     nprobe: int = 4,
     method: str = "cosine",
     round_to: Optional[int] = None,
@@ -195,9 +195,17 @@ def ann_topk_sidecar(
             f"({spec['kind']} sidecar at {path})"
         )
     if spec["kind"] == "lsh":
+        # tuned specs (evaluation.tune_lsh_params) persist the probe
+        # radius that met the recall target; an explicit argument
+        # overrides, absent both the default is hamming-1 multiprobe
+        ph = (
+            probe_hamming
+            if probe_hamming is not None
+            else int(spec.get("probe_hamming", 1))
+        )
         return ann_lsh_topk_pruned(
             spark, data, emb_col, id_col, query_vec, spec["planes"],
-            k=k, probe_hamming=probe_hamming,
+            k=k, probe_hamming=ph,
             bucket_col=spec.get("bucket_col", "bucket"),
             method=method, round_to=round_to,
         )
