@@ -3225,6 +3225,87 @@ FROM w WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def _docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication detection (operators/dedup.py::
+    substring_dup_spans — the distributable rolling-window form of
+    Lee et al. 2022's suffix-array dedup): maximal >= 8-token spans
+    shared verbatim across documents. The near-dup corpus guarantees
+    long shared prefixes; hash-agg + semi-join + per-doc islands, no
+    pair explosion."""
+    from tidyvec_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        _dup_corpus(spark, sf_dir), "text", "doc_id", k=8
+    )
+
+
+def _docs_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token budget (operators/dedup.py::
+    substring_dup_stats): the cut-or-drop policy input; corpus-mean
+    dup_fraction is the Lee et al. headline number."""
+    from tidyvec_spark.operators.dedup import substring_dup_stats
+
+    return substring_dup_stats(
+        _dup_corpus(spark, sf_dir), "text", "doc_id", k=8, round_to=R
+    )
+
+
+def _substring_span_cte(k: int = 8) -> str:
+    """Shared DuckDB CTE chain: window hashes -> duplicated hashes ->
+    marked positions -> gaps-and-islands spans (token offsets, end
+    exclusive) — the exact twin of substring_dup_spans."""
+    return f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+win AS (
+  SELECT doc_id, CAST(gs.i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(toks, gs.i + 1, gs.i + {k}), ' ')) AS h
+  FROM t, LATERAL unnest(generate_series(0, len(toks) - {k})) AS gs(i)
+  WHERE len(toks) >= {k}
+),
+dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM dup)),
+lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM m
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + {k} AS BIGINT) AS span_end,
+         CAST(COUNT(*) AS BIGINT) AS n_windows
+  FROM isl GROUP BY doc_id, g
+)"""
+
+
+_DOCS_DUP_SPANS_SQL = f"""
+WITH {_DUP_CORPUS_SQL},
+{_substring_span_cte(8)}
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+"""
+
+
+_DOCS_DUP_STATS_SQL = f"""
+WITH {_DUP_CORPUS_SQL},
+{_substring_span_cte(8)}
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(d.dup, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CASE WHEN len(t.toks) > 0
+             THEN CAST(COALESCE(d.dup, 0) AS DOUBLE) / len(t.toks)
+             ELSE 0.0 END, {R}) AS dup_fraction
+FROM t LEFT JOIN (
+  SELECT doc_id, SUM(span_end - span_start) AS dup FROM spans GROUP BY doc_id
+) d USING (doc_id)
+"""
+
+
 def _decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-collision decontamination (operators/dedup.py::
     decontaminate_ngram_hits — the GPT-3 §C / PaLM 13-gram rule, here
@@ -5001,6 +5082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample_langs": _mix_sample_langs,
         "mix_temperature": _mix_temperature,
         "sample_fixed_per_lang": _sample_fixed_per_lang,
+        "docs_dup_spans": _docs_dup_spans,
+        "docs_dup_stats": _docs_dup_stats,
         "docs_quality_flags": _docs_quality_flags,
         "docs_repetition": _docs_repetition,
         "docs_redact": _docs_redact,
@@ -5108,6 +5191,8 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "docs_lm_perplexity": _docs_lm_perplexity_sql(),
         "docs_dedup_lines": _DOCS_DEDUP_LINES_SQL,
+        "docs_dup_spans": _DOCS_DUP_SPANS_SQL,
+        "docs_dup_stats": _DOCS_DUP_STATS_SQL,
         "q6_forecast_revenue": _Q6_SQL,
         "q4_order_priority": _Q4_SQL,
         "q10_returned_items": _Q10_SQL,

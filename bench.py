@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "hard_negatives",
     "docs_lm_perplexity",
     "docs_dedup_lines",
+    "docs_dup_spans",
+    "docs_dup_stats",
     "q6_forecast_revenue",
     "q4_order_priority",
     "q10_returned_items",

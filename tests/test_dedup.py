@@ -642,3 +642,52 @@ def test_corpus_diff_null_text(spark):
         1: "unchanged", 2: "changed", 3: "changed",
         4: "removed", 5: "added",
     }
+
+
+def test_substring_dup_spans_hand_case(spark):
+    from tidyvec_spark.operators.dedup import (
+        substring_dup_spans,
+        substring_dup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x x a b c d e f y y"),
+            (3, "z z z z"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in substring_dup_spans(docs, "text", "doc_id", k=4).collect()
+    }
+    # shared run "a b c d e f": doc1 windows 0-2 -> [0,6); doc2 2-4 -> [2,8)
+    assert spans == {1: (0, 6, 3), 2: (2, 8, 3)}
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in substring_dup_stats(docs, "text", "doc_id", k=4).collect()
+    }
+    assert stats == {1: (8, 6, 0.75), 2: (10, 6, 0.6), 3: (4, 0, 0.0)}
+
+
+def test_substring_dup_spans_split_and_merge(spark):
+    from tidyvec_spark.operators.dedup import substring_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (4, "a b c d q q q q q a b c d"),
+            (5, "a b c d"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dup_spans(docs, "text", "doc_id", k=4).collect()
+    )
+    # doc4: two disjoint duplicated regions (gap > k), doc5: whole doc
+    assert got == [(4, 0, 4), (4, 9, 13), (5, 0, 4)]
+    with pytest.raises(ValueError):
+        substring_dup_spans(docs, "text", "doc_id", k=0)
+    with pytest.raises(ValueError):
+        substring_dup_spans(docs, "text", "doc_id", min_docs=1)

@@ -1280,3 +1280,142 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard"),
         [sh],
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT substring duplication detection — the rolling-window form
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 §3.1, which uses a suffix array
+    on one machine): every ``k``-token window of every document is
+    hashed; a window whose hash occurs in at least ``min_docs``
+    DISTINCT documents marks a duplicated region, and overlapping /
+    adjacent duplicated windows merge into maximal spans.
+
+    Returns (``id_col``, span_start, span_end, n_windows) — token
+    offsets, end exclusive, spans disjoint per document. Downstream
+    policy (cut the span, drop the doc, keep one canonical copy) stays
+    composable; :func:`substring_dup_stats` derives the per-doc
+    duplicated-token fraction.
+
+    Why not a suffix array: it is a single-machine O(corpus) RAM
+    structure. The rolling-window form is the same detector at ≥ k
+    granularity and is embarrassingly distributable:
+
+    - window hashing is one map-side explode (the token array is
+      let-bound — tokenized once per row);
+    - duplicate-hash discovery is ONE vocabulary-sized hash-agg
+      (count distinct docs per hash, Zipf-bounded);
+    - marking is a semi-join of the window table against the (small)
+      duplicated-hash set — no row explosion: boilerplate shared by
+      10^6 docs costs 10^6 marked windows, never 10^12 pairs (the
+      structural advantage over pairwise candidates);
+    - span merge is a per-document sort window (gaps-and-islands),
+      shuffle width = marked windows only.
+
+    No reference counterpart (reference has no dedup at all).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    wins = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(X.ngrams(text_col, k)).alias("__pos", "__g"),
+        )
+        .select("__id", "__pos", F.md5(F.col("__g")).alias("__h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        wins.groupBy("__h")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__h")
+    )
+    marked = wins.join(dup, "__h", "left_semi")
+    w = Window.partitionBy("__id").orderBy(F.asc("__pos"))
+    islands = (
+        marked.withColumn("__prev", F.lag("__pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__pos") - F.col("__prev") > k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return _with_persisted(
+        islands.groupBy("__id", "__isl")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + k).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            "n_windows",
+        ),
+        [wins],
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_docs: int = 2,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Per-document duplicated-token budget from
+    :func:`substring_dup_spans`: (``id_col``, n_tokens, dup_tokens,
+    dup_fraction) for EVERY document (zero spans → 0). The corpus-level
+    ``avg(dup_fraction)`` is the headline number Lee et al. report per
+    dataset; the per-doc rows feed cut-or-drop curation policy.
+
+    Spans are disjoint, so dup_tokens is a plain sum — one left join
+    of the (small) span table back onto per-doc token counts.
+    """
+    spans = substring_dup_spans(df, text_col, id_col, k=k, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("long")
+        .alias("dup_tokens")
+    )
+    base = df.select(
+        F.col(id_col), X.token_count(text_col).alias("n_tokens")
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        frac = F.round(frac, round_to)
+    return (
+        base.join(per_doc, id_col, "left")
+        .fillna({"dup_tokens": 0})
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_tokens",
+            frac.alias("dup_fraction"),
+        )
+    )
