@@ -4269,6 +4269,335 @@ WHERE p.p_brand = 'Brand#11' AND l.l_quantity < lim
 """
 
 
+def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (fixture-adapted: no partsupp table — observed unit
+    price from lineitem stands in for ps_supplycost): for every
+    size-15 part, the supplier(s) offering the minimum unit price,
+    with their nation. The correlated min decorrelates into one
+    (part, supplier) aggregation + a per-part min joined back — both
+    key tables Zipf-bounded, dims broadcast."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("__c"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("__c").alias("__best")
+    )
+    return (
+        cost.join(best, (cost.l_partkey == F.col("__pk")) & (cost.__c == F.col("__best")))
+        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("p_name"),
+            F.col("__c").alias("min_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+    )
+
+
+_Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, p_name,
+         min(l_extendedprice / l_quantity) AS c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 15
+  GROUP BY l_partkey, l_suppkey, p_name
+),
+best AS (SELECT l_partkey AS pk, min(c) AS b FROM cost GROUP BY l_partkey)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_name,
+       c AS min_cost
+FROM cost
+JOIN best ON cost.l_partkey = best.pk AND cost.c = best.b
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+def _q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (fixture-adapted: unit cost proxied by half the part's
+    retail price — no ps_supplycost): profit on widget parts by
+    supplier nation and order year. Dims broadcast; one hash-agg on
+    (nation, year)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    orders = _read(spark, sf_dir, "orders")
+    # per-line profit scaled to integer 1e-4 units before summing:
+    # the per-line double is bit-identical in both engines, so the
+    # integer sum is exact regardless of summation order (plain
+    # double sums here landed a group exactly on a half-cent tie)
+    profit_units = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("sup_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit_units) / 10000.0, 2).alias("sum_profit")
+        )
+        .orderBy(F.asc("sup_nation"), F.desc("o_year"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS sup_nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       ROUND(sum(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity) * 10000, 0) AS BIGINT))
+             / 10000.0, 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+ORDER BY sup_nation, o_year DESC
+"""
+
+
+def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (fixture-adapted: traded value from lineitem stands
+    in for ps_supplycost*ps_availqty): parts whose total traded value
+    exceeds 1.2x the mean part value (scale-free — a fixed corpus
+    fraction empties at larger part counts). The scalar threshold is
+    one extra aggregate broadcast back — the classic decorrelated
+    HAVING subquery."""
+    li = _read(spark, sf_dir, "lineitem")
+    val = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum("l_extendedprice").alias("__v")
+    )
+    total = val.agg((F.lit(1.2) * F.avg("__v")).alias("__thr"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("__v") > F.col("__thr"))
+        .select("p_partkey", F.round("__v", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+_Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey AS p_partkey, sum(l_extendedprice) AS v
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, ROUND(v, 2) AS part_value
+FROM val
+WHERE v > (SELECT 1.2 * avg(v) FROM val)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def _q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (fixture-adapted: no shipmode/commit/receipt columns
+    — lines bucket by ship lag instead): per ship-lag bucket, how many
+    lines belong to high-priority orders vs the rest. One fact-dim
+    join + one hash-agg on the derived bucket."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag <= 30, F.lit("0-30"))
+        .when(lag <= 90, F.lit("31-90"))
+        .otherwise(F.lit("90+"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("ship_lag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_lag")
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '31-90'
+            ELSE '90+' END AS ship_lag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ship_lag ORDER BY ship_lag
+"""
+
+
+def _q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (fixture-adapted: supply relation observed from
+    lineitem; the complaints exclusion becomes a low-balance supplier
+    filter): distinct suppliers per (brand, type, size) for non-PROMO
+    parts of size <= 25. Excluded suppliers are a broadcast anti-join;
+    the count-distinct is one hash-agg."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_size") <= 25)
+    )
+    bad = _read(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def _q20_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (fixture-adapted: shipped share stands in for excess
+    stock): suppliers who moved more than half of some bolt part's
+    1996 volume. Per-(part, supplier) quantities aggregate once, the
+    per-part total joins back, qualifying suppliers are a semi-join
+    into the dim."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    per = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+    )
+    tot = per.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__q").alias("__t")
+    )
+    qualifying = (
+        per.join(tot, per.l_partkey == F.col("__pk"))
+        .filter(F.col("__q") > F.lit(0.5) * F.col("__t"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(qualifying), supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%'
+    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey AS pk, sum(q) AS t FROM per GROUP BY l_partkey)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT DISTINCT l_suppkey FROM per JOIN tot ON per.l_partkey = tot.pk
+  WHERE q > 0.5 * t
+)
+ORDER BY s_name
+"""
+
+
+def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (fixture-adapted: lateness = shipped more than 90
+    days after the order date — no commit/receipt columns): suppliers
+    who were the SOLE late supplier on a finished multi-supplier
+    order. The exists/not-exists pair decorrelates into per-(order,
+    supplier) flags + per-order counts — two bounded hash-aggs, no
+    correlated subquery."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _read(spark, sf_dir, "supplier")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("__late"))
+    )
+    order_stats = per.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.count("*").alias("__nsupp"),
+        F.sum("__late").alias("__nlate"),
+    )
+    return (
+        per.join(order_stats, per.l_orderkey == F.col("__ok"))
+        .filter(
+            (F.col("__late") == 1)
+            & (F.col("__nsupp") >= 2)
+            & (F.col("__nlate") == 1)
+        )
+        .join(F.broadcast(supp), per.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+_Q21_SQL = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+os AS (
+  SELECT l_orderkey AS ok, count(*) AS nsupp, sum(late) AS nlate
+  FROM per GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per
+JOIN os ON per.l_orderkey = os.ok
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1 AND nsupp >= 2 AND nlate = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 def _topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
@@ -5001,6 +5330,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_churned_value": _q22_churned_value,
         "q13_order_histogram": _q13_order_histogram,
         "q17_small_quantity": _q17_small_quantity,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_nation_profit": _q9_nation_profit,
+        "q11_important_parts": _q11_important_parts,
+        "q12_late_lines": _q12_late_lines,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q20_share_suppliers": _q20_share_suppliers,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
         # round-5 serving / streaming / tooling
         "serving_shuffle": _serving_shuffle,
         "docs_stream_ingest": _docs_stream_ingest,
@@ -5205,6 +5541,13 @@ def oracle_sql() -> dict[str, str]:
         "q22_churned_value": _Q22_SQL,
         "q13_order_histogram": _Q13_SQL,
         "q17_small_quantity": _Q17_SQL,
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q9_nation_profit": _Q9_SQL,
+        "q11_important_parts": _Q11_SQL,
+        "q12_late_lines": _Q12_SQL,
+        "q16_supplier_counts": _Q16_SQL,
+        "q20_share_suppliers": _Q20_SQL,
+        "q21_waiting_suppliers": _Q21_SQL,
         "serving_shuffle": _SERVING_SHUFFLE_SQL,
         "docs_stream_ingest": _DOCS_STREAM_INGEST_SQL,
         "docs_ccnet_buckets": _docs_ccnet_buckets_sql(),

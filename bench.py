@@ -116,6 +116,13 @@ BENCH_QUERIES = [
     "q22_churned_value",
     "q13_order_histogram",
     "q17_small_quantity",
+    "q2_min_cost_supplier",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q12_late_lines",
+    "q16_supplier_counts",
+    "q20_share_suppliers",
+    "q21_waiting_suppliers",
     "serving_shuffle",
     "docs_stream_ingest",
     "docs_ccnet_buckets",
