@@ -372,6 +372,65 @@ LEFT JOIN hits ON q.qid = hits.qid
 """
 
 
+def _ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware retrieval quality (operators/evaluation.py::
+    rank_quality): MRR + binary nDCG@3 of the LSH-multiprobe answers
+    against the exact top-3 — position-aware where recall@k is not;
+    the other half of the ANN tuning objective."""
+    from pyspark.sql import Window as W
+
+    from tidyvec_spark.operators.evaluation import rank_quality
+
+    approx = _similarity_join_lsh(spark, sf_dir)
+    w = W.partitionBy("qid").orderBy(F.desc("similarity"), F.asc("cid"))
+    approx = approx.withColumn("rank", F.row_number().over(w))
+    exact = _ann_topk(spark, sf_dir)
+    return rank_quality(approx, exact, "qid", "cid", "rank", k=3, round_to=R)
+
+
+def _ann_rank_quality_sql() -> str:
+    planes = _ann_planes()
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_sql_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, v AS cv, bucket AS cb FROM b WHERE vec_id >= 5),
+appr AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) AS r
+  FROM (
+    SELECT qid, cid, ROUND(list_cosine_similarity(cv, qv), {R}) AS similarity
+    FROM q JOIN c ON bit_count(xor(qb, cb)) <= 1
+  ) QUALIFY r <= 3
+),
+exct AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROUND(list_cosine_similarity(cv, qv), {R}) AS similarity
+    FROM q, c
+  ) QUALIFY row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) <= 3
+),
+n AS (SELECT qid, count(*) AS ne FROM exct GROUP BY qid),
+h AS (
+  SELECT appr.qid, min(r) AS first, sum(1.0 / log2(CAST(r AS DOUBLE) + 1)) AS dcg
+  FROM appr JOIN exct ON appr.qid = exct.qid AND appr.cid = exct.cid
+  GROUP BY appr.qid
+)
+SELECT n.qid,
+       ROUND(CASE WHEN h.first IS NOT NULL THEN 1.0 / h.first ELSE 0.0 END, {R}) AS rr,
+       ROUND(COALESCE(h.dcg, 0.0) /
+             (CASE LEAST(n.ne, 3)
+               WHEN 1 THEN 1.0
+               WHEN 2 THEN 1.0 + 1.0 / log2(3.0)
+               ELSE 1.0 + 1.0 / log2(3.0) + 0.5 END), {R}) AS ndcg
+FROM n LEFT JOIN h ON n.qid = h.qid
+"""
+
+
 def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining
     (operators/mining.py::hard_negative_pairs): per anchor, the top-3
@@ -5330,13 +5389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_churned_value": _q22_churned_value,
         "q13_order_histogram": _q13_order_histogram,
         "q17_small_quantity": _q17_small_quantity,
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "q9_nation_profit": _q9_nation_profit,
-        "q11_important_parts": _q11_important_parts,
-        "q12_late_lines": _q12_late_lines,
-        "q16_supplier_counts": _q16_supplier_counts,
-        "q20_share_suppliers": _q20_share_suppliers,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
         # round-5 serving / streaming / tooling
         "serving_shuffle": _serving_shuffle,
         "docs_stream_ingest": _docs_stream_ingest,
@@ -5388,6 +5440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_batch": _ann_lsh_batch,
         "ann_topk_sidecar": _ann_topk_sidecar,
         "ann_tuned_topk": _ann_tuned_topk,
+        "ann_rank_quality": _ann_rank_quality,
         "pq_adc_topk": _pq_adc_topk,
         "ivfpq_adc_topk": _ivfpq_adc_topk,
         "sq_topk": _sq_topk,
@@ -5438,6 +5491,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pretrain": _pipeline_pretrain,
         "q1_pricing": _q1_pricing,
         "q3_top_orders": _q3_top_orders,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_nation_profit": _q9_nation_profit,
+        "q11_important_parts": _q11_important_parts,
+        "q12_late_lines": _q12_late_lines,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q20_share_suppliers": _q20_share_suppliers,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
         "topk_per_segment": _topk_per_segment,
         "events_hourly": _events_hourly,
         "events_sessions": _events_sessions,
@@ -5556,6 +5616,7 @@ def oracle_sql() -> dict[str, str]:
         "bq_rerank_topk": _bq_rerank_sql(),
         "bq_topk_sidecar": _bq_hamming_sql(),
         "ann_recall_lsh": _ann_recall_lsh_sql(),
+        "ann_rank_quality": _ann_rank_quality_sql(),
         "wds_roundtrip": _WDS_ROUNDTRIP_SQL,
         "pipeline_ccnet": _pipeline_ccnet_sql(),
         "events_skew_profile": _EVENTS_SKEW_PROFILE_SQL,

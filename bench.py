@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "bq_topk_sidecar",
     "ann_recall_lsh",
     "ann_tuned_topk",
+    "ann_rank_quality",
     "bpe_merges",
     "wds_roundtrip",
     "pipeline_ccnet",

@@ -92,3 +92,25 @@ def test_tuned_spec_probes_from_sidecar(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["similarity"]) for r in got] == [
         (r["vec_id"], r["similarity"]) for r in want
     ]
+
+
+def test_rank_quality_hand_case(spark):
+    import math
+
+    from tidyvec_spark.operators.evaluation import rank_quality
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)], "q bigint, i bigint"
+    )
+    approx = spark.createDataFrame(
+        [(1, 99, 1), (1, 11, 2), (1, 12, 3), (2, 77, 1), (2, 78, 2)],
+        "q bigint, i bigint, rank int",
+    )
+    got = {r["q"]: (r["rr"], r["ndcg"])
+           for r in rank_quality(approx, exact, "q", "i", "rank", k=3).collect()}
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1 + 1 / math.log2(3) + 1 / math.log2(4)
+    assert got[1] == (pytest.approx(0.5), pytest.approx(dcg / idcg))
+    assert got[2] == (0.0, pytest.approx(0.0))
+    with pytest.raises(ValueError):
+        rank_quality(approx, exact, "q", "i", "rank", k=0)

@@ -18,7 +18,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["topk_recall", "mean_recall", "tune_lsh_params"]
+__all__ = ["topk_recall", "mean_recall", "rank_quality", "tune_lsh_params"]
 
 
 def topk_recall(
@@ -81,6 +81,78 @@ def mean_recall(
     row = per_q.agg(F.avg("recall").alias("m")).first()
     m = float(row["m"]) if row["m"] is not None else 0.0
     return round(m, round_to) if round_to is not None else m
+
+
+def rank_quality(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str,
+    id_col: str,
+    rank_col: str,
+    k: int,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Rank-aware retrieval quality per query: MRR and binary nDCG@k
+    against the exact result as ground truth (label-free setting —
+    relevance = membership in the exact top-k, the standard ANN
+    evaluation besides recall; position-aware where recall is not).
+
+    - ``rr`` = 1 / (rank of the first exact member in the approx
+      list), 0 when none hit;
+    - ``dcg`` = Σ over hits of 1/log2(rank+1) at their APPROX ranks;
+    - ``idcg`` = Σ_{i=1..n_exact} 1/log2(i+1) (every exact member at
+      the ideal position);
+    - ``ndcg`` = dcg/idcg.
+
+    Both inputs are (query, id, rank) frames — k×|queries| rows, so
+    the evaluation is negligible next to the searches. One equi-join
+    + per-query hash-agg; the idcg closed form is a per-row fold over
+    ``sequence(1, n_exact)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = approx.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__i"),
+        F.col(rank_col).cast("long").alias("__r"),
+    ).filter(F.col("__r") <= k)
+    e = exact.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__i")
+    ).distinct()
+    hits = (
+        a.join(e, ["__q", "__i"])
+        .groupBy("__q")
+        .agg(
+            F.min("__r").alias("__first"),
+            F.sum(1.0 / F.log2(F.col("__r") + 1)).alias("__dcg"),
+        )
+    )
+    base = e.groupBy("__q").agg(F.count("*").alias("__n"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("__n"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
+    )
+    rr = F.when(
+        F.col("__first").isNotNull(), 1.0 / F.col("__first")
+    ).otherwise(F.lit(0.0))
+    dcg = F.coalesce(F.col("__dcg"), F.lit(0.0))
+    out = (
+        base.join(hits, "__q", "left")
+        .withColumn("__idcg", idcg)
+        .select(
+            F.col("__q").alias(query_col),
+            rr.alias("rr"),
+            (dcg / F.col("__idcg")).alias("ndcg"),
+        )
+    )
+    if round_to is not None:
+        out = out.select(
+            query_col,
+            F.round("rr", round_to).alias("rr"),
+            F.round("ndcg", round_to).alias("ndcg"),
+        )
+    return out
 
 
 def tune_lsh_params(
