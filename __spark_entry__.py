@@ -1100,6 +1100,55 @@ def _plane_sql_lit(plane: list[float]) -> str:
     return "[" + ", ".join(f"{v!r}" for v in plane) + "]"
 
 
+def _embedding_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (operators/reduce.py::
+    random_projection_expr): 64-dim embeddings down to 16 map-side
+    Gaussian dot products (4x cheaper exact scans, bounded distortion,
+    zero fitted state — the projection reproduces from (dim, out_dim,
+    seed) alone), then exact cosine top-10 in the projected space.
+    Query projected by the driver-side twin, same fold order."""
+    from tidyvec_spark.functions.vector import array_lit, cosine_sim_expr
+    from tidyvec_spark.operators.reduce import (
+        random_projection_expr,
+        random_projection_py,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    proj = e.select(
+        "vec_id",
+        random_projection_expr("embedding", 64, 16).alias("pv"),
+    )
+    q = random_projection_py(_query_vec(spark, sf_dir), 16)
+    sim = F.round(cosine_sim_expr(F.col("pv"), array_lit(q)), R)
+    return (
+        proj.select("vec_id", sim.alias("similarity"))
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _embedding_rp_topk_sql() -> str:
+    from tidyvec_spark.operators.ann import random_planes
+
+    planes = random_planes(64, nbits=16, seed=42)
+    pv = (
+        "["
+        + ", ".join(
+            f"list_dot_product(v, {_plane_sql_lit(p)}) * 0.25" for p in planes
+        )
+        + "]"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT vec_id, {pv} AS pv FROM e),
+q AS (SELECT pv AS qv FROM p WHERE vec_id = 0)
+SELECT p.vec_id, ROUND(list_cosine_similarity(p.pv, q.qv), {R}) AS similarity
+FROM p, q
+ORDER BY similarity DESC, vec_id
+LIMIT 10
+"""
+
+
 def _ann_lsh_sql() -> str:
     planes = _ann_planes()
     bucket = " + ".join(
@@ -5441,6 +5490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_sidecar": _ann_topk_sidecar,
         "ann_tuned_topk": _ann_tuned_topk,
         "ann_rank_quality": _ann_rank_quality,
+        "embedding_rp_topk": _embedding_rp_topk,
         "pq_adc_topk": _pq_adc_topk,
         "ivfpq_adc_topk": _ivfpq_adc_topk,
         "sq_topk": _sq_topk,
@@ -5617,6 +5667,7 @@ def oracle_sql() -> dict[str, str]:
         "bq_topk_sidecar": _bq_hamming_sql(),
         "ann_recall_lsh": _ann_recall_lsh_sql(),
         "ann_rank_quality": _ann_rank_quality_sql(),
+        "embedding_rp_topk": _embedding_rp_topk_sql(),
         "wds_roundtrip": _WDS_ROUNDTRIP_SQL,
         "pipeline_ccnet": _pipeline_ccnet_sql(),
         "events_skew_profile": _EVENTS_SKEW_PROFILE_SQL,

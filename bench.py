@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "ann_recall_lsh",
     "ann_tuned_topk",
     "ann_rank_quality",
+    "embedding_rp_topk",
     "bpe_merges",
     "wds_roundtrip",
     "pipeline_ccnet",

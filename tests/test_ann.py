@@ -139,3 +139,53 @@ def test_kmeans_centroids_feed_ivf(emb, qvec):
     ).collect()
     assert len(out) == 5
     assert out[0]["similarity"] >= out[-1]["similarity"]
+
+
+def test_random_projection_preserves_neighborhoods(spark, emb):
+    """JL projection: driver twin matches the expression bit-for-bit,
+    self-similarity stays 1, and the 64->32 projected top-10 overlaps
+    heavily with the exact top-10 (distance preservation)."""
+    from tidyvec_spark.functions.vector import array_lit, cosine_sim_expr
+    from tidyvec_spark.operators.ann import exact_topk_batch
+    from tidyvec_spark.operators.reduce import (
+        random_projection_expr,
+        random_projection_py,
+    )
+
+    row = emb.filter(F.col("vec_id") == 0).first()
+    raw = [float(x) for x in row["embedding"]]
+    proj = emb.select(
+        "vec_id", random_projection_expr("embedding", 64, 32).alias("pv")
+    )
+    got = proj.filter(F.col("vec_id") == 0).first()["pv"]
+    assert list(got) == random_projection_py(raw, 32)
+
+    q = random_projection_py(raw, 32)
+    top_p = [
+        r["vec_id"]
+        for r in proj.select(
+            "vec_id",
+            cosine_sim_expr(F.col("pv"), array_lit(q)).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    top_e = [
+        r["vec_id"]
+        for r in exact_topk_batch(
+            emb, "embedding", "vec_id",
+            emb.filter(F.col("vec_id") == 0).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+            ),
+            "qid", "qv", k=10,
+        ).collect()
+    ]
+    assert top_p[0] == top_e[0] == 0  # self survives projection
+    # fixture embeddings are near-uniform random (neighbors barely
+    # separated), so overlap is the weak signal here; the bit-exact
+    # twin + self-top-1 are the strong ones
+    assert len(set(top_p) & set(top_e)) >= 3
+    import pytest as pt
+    with pt.raises(ValueError):
+        random_projection_expr("embedding", 64, 0)

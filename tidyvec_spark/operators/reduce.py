@@ -110,3 +110,57 @@ def _driver_reduce(df, embedding_col, id_cols, method, params, seed, max_rows):
     out["x"] = coords[:, 0]
     out["y"] = coords[:, 1]
     return df.sparkSession.createDataFrame(out)
+
+
+def random_projection_expr(
+    emb_col,
+    dim: int,
+    out_dim: int,
+    seed: int = 42,
+    scale: bool = True,
+):
+    """Johnson-Lindenstrauss random projection as a PURE map-side
+    column expression: ``out_dim`` Gaussian dot products (the same
+    deterministic rounded-literal planes the LSH family embeds —
+    operators/ann.py::random_planes), scaled by 1/sqrt(out_dim) so
+    pairwise distances are preserved in expectation (JL lemma).
+
+    The scan-cost lever BEFORE quantization: a 1024-dim float corpus
+    projected to 64 dims is a 16x cheaper exact scan with bounded
+    distortion, no training pass (vs PCA), and the projection embeds
+    in the expression itself — any reader reproduces it from
+    (dim, out_dim, seed) alone, the same zero-artifact property the
+    ANN sidecars rely on. No shuffle, no Python, no fitted state.
+    """
+    from tidyvec_spark.functions.vector import array_lit, dot_expr
+    from tidyvec_spark.operators.ann import random_planes
+
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    planes = random_planes(int(dim), nbits=int(out_dim), seed=seed)
+    col = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    s = 1.0 / float(out_dim) ** 0.5 if scale else 1.0
+    return F.array(
+        *[dot_expr(col, array_lit(p)) * F.lit(s) for p in planes]
+    )
+
+
+def random_projection_py(
+    vec: Sequence[float],
+    out_dim: int,
+    seed: int = 42,
+    scale: bool = True,
+) -> list:
+    """Driver-side twin of :func:`random_projection_expr` (same planes,
+    same arithmetic order) for projecting literal query vectors."""
+    from tidyvec_spark.operators.ann import random_planes
+
+    planes = random_planes(len(vec), nbits=int(out_dim), seed=seed)
+    s = 1.0 / float(out_dim) ** 0.5 if scale else 1.0
+    out = []
+    for p in planes:
+        acc = 0.0
+        for x, w in zip(vec, p):
+            acc += float(x) * w
+        out.append(acc * s)
+    return out
