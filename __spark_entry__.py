@@ -2143,6 +2143,43 @@ _MIX_TARGET = {"en": 0.5, "fr": 0.25, "de": 0.125, "es": 0.125}
 _MIX_TARGET_SALT = "mixt1"
 
 
+def _mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (operators/sampling.py::
+    unimax_allocation — Chung et al. 2023): an 800-row budget split as
+    uniformly as the 2-epoch cap allows across languages; the paper's
+    smallest-first loop solved as closed-form water-filling with
+    window functions — one stratum-sized agg, corpus touched once."""
+    from tidyvec_spark.operators.sampling import unimax_allocation
+
+    docs = _read(spark, sf_dir, "documents")
+    return unimax_allocation(docs, "lang", 800.0, 2.0, round_to=R)
+
+
+_MIX_UNIMAX_SQL = f"""
+WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+s AS (
+  SELECT lang, n, 2.0 * n AS cap,
+         row_number() OVER (ORDER BY 2.0 * n, lang) AS i,
+         SUM(2.0 * n) OVER (ORDER BY 2.0 * n, lang
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         COUNT(*) OVER () AS nl
+  FROM c
+),
+t AS (SELECT *, cap <= (800.0 - (cum - cap)) / (nl - i + 1) AS sat FROM s),
+u AS (
+  SELECT *, SUM(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS K,
+         SUM(CASE WHEN sat THEN cap ELSE 0.0 END) OVER () AS capsum
+  FROM t
+)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN sat THEN cap
+             ELSE (800.0 - capsum) / (nl - K) END, {R}) AS alloc,
+       ROUND((CASE WHEN sat THEN cap
+             ELSE (800.0 - capsum) / (nl - K) END) / n, {R}) AS epochs
+FROM u
+"""
+
+
 def _mix_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit-target mixture reshaping
     (operators/sampling.py::target_mix_sample): keep fractions
@@ -5520,6 +5557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_sample_by_lang": _budget_sample_by_lang,
         "mix_sample_langs": _mix_sample_langs,
         "mix_temperature": _mix_temperature,
+        "mix_unimax": _mix_unimax,
         "sample_fixed_per_lang": _sample_fixed_per_lang,
         "docs_dup_spans": _docs_dup_spans,
         "docs_dup_stats": _docs_dup_stats,
@@ -5605,6 +5643,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_sample_by_lang": _BUDGET_SAMPLE_SQL,
         "mix_sample_langs": _mix_sample_sql(),
         "mix_temperature": _MIX_TEMPERATURE_SQL,
+        "mix_unimax": _MIX_UNIMAX_SQL,
         "docs_quality_flags": _DOCS_QUALITY_SQL,
         "docs_repetition": _DOCS_REPETITION_SQL,
         "docs_redact": _DOCS_REDACT_SQL,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "docs_chunks",
     "docs_pack",
     "mix_temperature",
+    "mix_unimax",
     "exact_dup_groups",
     "dedup_drop_exact",
     "pipeline_pretrain",

@@ -221,3 +221,39 @@ def test_target_mix_rejects_bad_specs(spark):
         target_mix_fractions(df, "lang", {"a": -1.0})
     with pytest.raises(ValueError):
         target_mix_fractions(df, "lang", {"a": 0.0})
+
+
+def test_unimax_allocation_waterfill(spark):
+    """Hand case: budget below every cap -> perfectly uniform; budget
+    above some caps -> small strata saturate at max_epochs and the
+    rest split the remainder evenly; total always == budget (or the
+    corpus cap when the budget exceeds it)."""
+    from tidyvec_spark.operators.sampling import (
+        unimax_allocation,
+        unimax_fractions,
+        unimax_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "small" if i < 10 else "big") for i in range(110)],
+        "id bigint, lang string",
+    )  # small=10, big=100
+    # budget 40, cap 2 epochs: fair share 20 each; small caps at 20 ==
+    # exactly its cap -> saturated; big gets 20
+    rows = {r["lang"]: r for r in
+            unimax_allocation(df, "lang", 40, 2.0).collect()}
+    assert rows["small"]["alloc"] == 20.0 and rows["small"]["epochs"] == 2.0
+    assert rows["big"]["alloc"] == 20.0 and rows["big"]["epochs"] == 0.2
+    # budget 400 > total cap 220: everyone saturates at the cap
+    rows = {r["lang"]: r for r in
+            unimax_allocation(df, "lang", 400, 2.0).collect()}
+    assert rows["small"]["alloc"] == 20.0 and rows["big"]["alloc"] == 200.0
+    fr = unimax_fractions(df, "lang", 40, 2.0)
+    assert fr == {"small": 1.0, "big": 0.2}
+    kept = unimax_sample(df, "id", "lang", 40, 2.0).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in kept.collect()}
+    assert got["small"] == 10 and 10 <= got["big"] <= 30  # hash-filter ~20
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "lang", 0)
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "lang", 10, max_epochs=0)

@@ -40,6 +40,9 @@ __all__ = [
     "target_mix_sample",
     "temperature_fractions",
     "temperature_sample",
+    "unimax_allocation",
+    "unimax_fractions",
+    "unimax_sample",
 ]
 
 
@@ -264,6 +267,126 @@ def temperature_sample(
     one count-by-stratum aggregate (map-side partial, tiny result) +
     a zero-shuffle map-side filter."""
     fracs = temperature_fractions(df, strata_col, alpha)
+    return hash_stratified_sample(
+        df, id_col, fracs, strata_col, default_fraction=0.0,
+        salt=salt, keep_u=keep_u,
+    )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    strata_col: str,
+    budget: float,
+    max_epochs: float = 2.0,
+    weight_col: Optional[str] = None,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    split a total training budget across strata (languages) as
+    UNIFORMLY as possible subject to the epoch cap — no stratum is
+    repeated more than ``max_epochs`` times. The fairness-first
+    alternative to temperature mixing: temperature still over-samples
+    the head; UniMax gives every language the same budget until its
+    cap binds.
+
+    The sequential "smallest language first" allocation of the paper
+    is exactly WATER-FILLING, so it solves in closed form with window
+    functions instead of a driver loop: sort strata by cap = max_epochs
+    x size ascending; a stratum is saturated iff its cap lies under
+    the water level computed from the remaining budget; everyone else
+    splits the rest evenly. Returns (``strata_col``, n, alloc, epochs)
+    where n/alloc are row counts (or ``weight_col`` sums — tokens),
+    epochs = alloc / n.
+
+    Shape: one stratum-sized hash-agg + windows over the (tiny)
+    stratum table — the corpus is touched once; fully deterministic
+    and engine-portable (the DuckDB oracle replays the same window
+    algebra).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    w = F.count("*") if weight_col is None else F.sum(weight_col)
+    c = df.groupBy(strata_col).agg(w.cast("double").alias("n"))
+    order = Window.orderBy(F.asc("cap"), F.asc(strata_col))
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    everything = Window.partitionBy()
+    B = F.lit(float(budget))
+    s = (
+        c.withColumn("cap", F.lit(float(max_epochs)) * F.col("n"))
+        .withColumn("i", F.row_number().over(order))
+        .withColumn("cum", F.sum("cap").over(cum))
+        .withColumn("nl", F.count("*").over(everything))
+        # water level if strata 1..i-1 are saturated; prefix property
+        # of ascending caps makes the saturation test local
+        .withColumn(
+            "sat",
+            F.col("cap")
+            <= (B - (F.col("cum") - F.col("cap")))
+            / (F.col("nl") - F.col("i") + 1),
+        )
+        .withColumn(
+            "K", F.sum(F.when(F.col("sat"), 1).otherwise(0)).over(everything)
+        )
+        .withColumn(
+            "capsum",
+            F.sum(F.when(F.col("sat"), F.col("cap")).otherwise(0.0)).over(
+                everything
+            ),
+        )
+    )
+    theta = F.when(
+        F.col("nl") > F.col("K"),
+        (B - F.col("capsum")) / (F.col("nl") - F.col("K")),
+    )
+    alloc = F.when(F.col("sat"), F.col("cap")).otherwise(theta)
+    epochs = alloc / F.col("n")
+    if round_to is not None:
+        alloc = F.round(alloc, round_to)
+        epochs = F.round(epochs, round_to)
+    return s.select(
+        strata_col,
+        F.col("n").cast("long").alias("n"),
+        alloc.alias("alloc"),
+        epochs.alias("epochs"),
+    )
+
+
+def unimax_fractions(
+    df: DataFrame,
+    strata_col: str,
+    budget: float,
+    max_epochs: float = 2.0,
+    round_to: int = 9,
+) -> dict[str, float]:
+    """Per-stratum keep fractions from :func:`unimax_allocation`
+    (clamped at 1 — a hash filter can only down-sample; epochs > 1
+    are a serving-loop concern, see ``curriculum.shuffle_assign``).
+    The allocation table is stratum-sized, so the collect is bounded.
+    """
+    rows = unimax_allocation(df, strata_col, budget, max_epochs).collect()
+    return {
+        r[strata_col]: round(min(1.0, r["alloc"] / r["n"]), int(round_to))
+        for r in rows
+        if r["n"]
+    }
+
+
+def unimax_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    budget: float,
+    max_epochs: float = 2.0,
+    salt: str = "",
+    keep_u: bool = False,
+) -> DataFrame:
+    """:func:`unimax_fractions` + :func:`hash_stratified_sample`: cut
+    the corpus to a UniMax mix deterministically — one tiny aggregate
+    plus a zero-shuffle map-side filter, like the temperature and
+    target-mix samplers."""
+    fracs = unimax_fractions(df, strata_col, budget, max_epochs)
     return hash_stratified_sample(
         df, id_col, fracs, strata_col, default_fraction=0.0,
         salt=salt, keep_u=keep_u,
