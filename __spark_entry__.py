@@ -3370,6 +3370,67 @@ FROM w WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def _docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (functions/quality.py::
+    normalize_text_expr): typographic punctuation to ASCII, control
+    chars stripped, whitespace collapsed — the pre-dedup cleanup pass,
+    pure codegen. Returns the normalized text plus a changed flag
+    (the re-embed/re-hash worklist selector)."""
+    from tidyvec_spark.functions.quality import normalize_text_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    norm = normalize_text_expr("text")
+    return docs.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        (~norm.eqNullSafe(F.col("text"))).alias("changed"),
+    )
+
+
+_DOCS_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(
+           translate(text, '‘’“”–— ', '''''""-- '),
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+           '\\s+', ' ', 'g')) AS text_norm
+  FROM documents
+)
+SELECT doc_id, text_norm,
+       NOT (text_norm IS NOT DISTINCT FROM text) AS changed
+FROM n
+"""
+
+
+def _docs_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality thresholding (operators/sampling.py::
+    keep_best_fraction): keep each language's longest half — the
+    adaptive per-stratum cutoff (a global threshold over/under-cuts
+    languages with different score distributions). Deterministic via
+    the (score, id) percent_rank."""
+    from tidyvec_spark.operators.sampling import keep_best_fraction
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "__score", F.length("text").cast("long")
+    )
+    return keep_best_fraction(docs, "__score", "lang", 0.5, "doc_id").select(
+        "doc_id", "lang", F.col("__score").alias("n_chars")
+    )
+
+
+_DOCS_KEEP_BEST_SQL = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, lang, text,
+         percent_rank() OVER (
+           PARTITION BY lang ORDER BY length(text) DESC, doc_id
+         ) AS pr
+  FROM documents
+)
+WHERE pr < 0.5
+"""
+
+
 def _docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring duplication detection (operators/dedup.py::
     substring_dup_spans — the distributable rolling-window form of
@@ -5559,6 +5620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature": _mix_temperature,
         "mix_unimax": _mix_unimax,
         "sample_fixed_per_lang": _sample_fixed_per_lang,
+        "docs_normalize": _docs_normalize,
+        "docs_keep_best": _docs_keep_best,
         "docs_dup_spans": _docs_dup_spans,
         "docs_dup_stats": _docs_dup_stats,
         "docs_quality_flags": _docs_quality_flags,
@@ -5676,6 +5739,8 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "docs_lm_perplexity": _docs_lm_perplexity_sql(),
         "docs_dedup_lines": _DOCS_DEDUP_LINES_SQL,
+        "docs_normalize": _DOCS_NORMALIZE_SQL,
+        "docs_keep_best": _DOCS_KEEP_BEST_SQL,
         "docs_dup_spans": _DOCS_DUP_SPANS_SQL,
         "docs_dup_stats": _DOCS_DUP_STATS_SQL,
         "q6_forecast_revenue": _Q6_SQL,

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "ann_topk_sidecar",
     "dsir_select",
     "docs_c4_clean",
+    "docs_normalize",
+    "docs_keep_best",
     "dedup_keep_best",
     "mix_target",
     "curriculum_order",

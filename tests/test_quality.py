@@ -252,3 +252,44 @@ def test_c4_clean_is_map_side(spark):
         "doc_id", c4_clean_lines("text").alias("c")
     )
     assert P.num_shuffles(out) == 0
+
+
+def test_normalize_text_expr(spark):
+    from tidyvec_spark.functions.quality import normalize_text_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "“Smart” ‘quotes’ — and NBSP"),
+            (2, "ctrl\x01chars\x7fgone"),
+            (3, "  runs   of\t\nspace  "),
+            (4, None),
+        ],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r["t"] for r in
+           df.select("id", normalize_text_expr("text").alias("t")).collect()}
+    assert got[1] == "\"Smart\" 'quotes' - and NBSP"
+    assert got[2] == "ctrlcharsgone"
+    assert got[3] == "runs of space"
+    assert got[4] is None
+
+
+def test_keep_best_fraction(spark):
+    from tidyvec_spark.operators.sampling import keep_best_fraction
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b", float(i)) for i in range(20)],
+        "id bigint, lang string, score double",
+    )
+    kept = keep_best_fraction(df, "score", "lang", 0.5, "id")
+    got = sorted(r["id"] for r in kept.collect())
+    # top half by score within each stratum (percent_rank < 0.5 keeps
+    # the best ceil-half including rank 0)
+    assert set(got) <= {5, 6, 7, 8, 9, 15, 16, 17, 18, 19} | {4, 14}
+    assert 9 in got and 19 in got and 0 not in got and 10 not in got
+    low = keep_best_fraction(df, "score", "lang", 0.3, "id", ascending=True)
+    lows = sorted(r["id"] for r in low.collect())
+    assert 0 in lows and 10 in lows and 9 not in lows
+    import pytest as pt
+    with pt.raises(ValueError):
+        keep_best_fraction(df, "score", "lang", 0.0, "id")

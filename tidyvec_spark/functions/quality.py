@@ -29,6 +29,7 @@ from tidyvec_spark.functions.text import (
 )
 
 __all__ = [
+    "normalize_text_expr",
     "lines",
     "duplicate_line_ratio",
     "bullet_line_ratio",
@@ -253,3 +254,24 @@ def c4_page_keep(c: ColumnOrName) -> Column:
     applied to the RAW text before line cleaning."""
     low = F.lower(_col(c))
     return ~low.contains("lorem ipsum") & ~low.contains("{")
+
+
+def normalize_text_expr(c: ColumnOrName) -> Column:
+    """Canonical text normalization — the cheap cleanup pass run
+    before hashing/dedup/tokenization so cosmetic variants collide:
+    typographic quotes/dashes/NBSP to ASCII (single translate),
+    control characters stripped, whitespace runs collapsed, ends
+    trimmed. Pure codegen expression; the DuckDB twin applies the
+    identical translate + regexes. (Full NFKC needs ICU on both
+    engines — documented out of scope; this covers the web-text
+    punctuation variants that actually break exact dedup.)"""
+    col = _col(c)
+    # curly quotes -> straight, en/em dash -> '-', NBSP -> space
+    t = F.translate(
+        col,
+        "‘’“”–— ",
+        "''\"\"-- ",
+    )
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)

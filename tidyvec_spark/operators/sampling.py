@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "budget_sample",
+    "keep_best_fraction",
     "hash_stratified_sample",
     "hash_unit",
     "stratified_fixed_n",
@@ -390,4 +391,41 @@ def unimax_sample(
     return hash_stratified_sample(
         df, id_col, fracs, strata_col, default_fraction=0.0,
         salt=salt, keep_u=keep_u,
+    )
+
+
+def keep_best_fraction(
+    df: DataFrame,
+    score_col: str,
+    strata_col: str,
+    q: float,
+    id_col: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """Per-stratum quality thresholding: keep the best ``q`` fraction
+    of each stratum by score — the adaptive form of a global cutoff
+    (a fixed perplexity/quality threshold over- or under-cuts every
+    language whose score distribution differs; CCNet's head/middle/
+    tail bucketing is the 3-way special case, this is the continuous
+    one).
+
+    ``ascending=False`` keeps high scores (quality), ``True`` keeps
+    low (perplexity). Deterministic: percent_rank over (score, id) —
+    the id tiebreak makes ranks row-unique and engine-portable.
+
+    Shape: one shuffle on the stratum key with per-stratum sorts (the
+    same profile as any per-stratum window); never a global sort.
+    """
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    order = (
+        [F.asc(score_col), F.asc(id_col)]
+        if ascending
+        else [F.desc(score_col), F.asc(id_col)]
+    )
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") < float(q))
+        .drop("_pr")
     )
