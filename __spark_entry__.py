@@ -3370,6 +3370,63 @@ FROM w WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def _docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (functions/quality.py::html_to_text_expr):
+    the web-corpus ingestion stage ahead of every cleaner. The fixture
+    corpus is plain text, so markup is synthesized deterministically
+    (paragraph breaks at ' the ', a styled header, a script block the
+    extractor must drop) and the extraction must recover structured
+    plain text — same synthesis in the oracle."""
+    from tidyvec_spark.functions.quality import html_to_text_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1;</script></head><body>"
+              "<h1>Doc &amp; title</h1><p>"),
+        F.replace(F.col("text"), F.lit(" the "), F.lit("</p><p>")),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_text_expr(html).alias("text")
+    )
+
+
+_DOCS_HTML_EXTRACT_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><script>var x = 1;</script></head><body>'
+         || '<h1>Doc &amp; title</h1><p>'
+         || replace(text, ' the ', '</p><p>') || '</p></body></html>' AS raw
+  FROM documents
+),
+x AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(raw,
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?i)</(p|div|h[1-6]|li|tr|table|blockquote)>|<br\s*/?>', chr(10), 'g'),
+      '(?s)<[^>]+>', ' ', 'g'),
+      '&amp;', '&', 'g') AS t
+  FROM h
+),
+y AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(t,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&nbsp;', ' ') AS t
+  FROM x
+)
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(t,
+    '[ \t\x0b\f\r]+', ' ', 'g'),
+    ' ?\n ?', chr(10), 'g'),
+    '\n{2,}', chr(10), 'g')) AS text
+FROM y
+"""
+
+
 def _docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (functions/quality.py::
     normalize_text_expr): typographic punctuation to ASCII, control
@@ -5620,6 +5677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature": _mix_temperature,
         "mix_unimax": _mix_unimax,
         "sample_fixed_per_lang": _sample_fixed_per_lang,
+        "docs_html_extract": _docs_html_extract,
         "docs_normalize": _docs_normalize,
         "docs_keep_best": _docs_keep_best,
         "docs_dup_spans": _docs_dup_spans,
@@ -5739,6 +5797,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "docs_lm_perplexity": _docs_lm_perplexity_sql(),
         "docs_dedup_lines": _DOCS_DEDUP_LINES_SQL,
+        "docs_html_extract": _DOCS_HTML_EXTRACT_SQL,
         "docs_normalize": _DOCS_NORMALIZE_SQL,
         "docs_keep_best": _DOCS_KEEP_BEST_SQL,
         "docs_dup_spans": _DOCS_DUP_SPANS_SQL,

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "docs_c4_clean",
     "docs_normalize",
+    "docs_html_extract",
     "docs_keep_best",
     "dedup_keep_best",
     "mix_target",

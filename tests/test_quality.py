@@ -293,3 +293,30 @@ def test_keep_best_fraction(spark):
     import pytest as pt
     with pt.raises(ValueError):
         keep_best_fraction(df, "score", "lang", 0.0, "id")
+
+
+def test_html_to_text_expr(spark):
+    from tidyvec_spark.functions.quality import html_to_text_expr
+
+    html = (
+        "<html><head><style>p {color: red}</style>"
+        "<script type='x'>var a = '<p>';</script></head>"
+        "<body><!-- nav -->"
+        "<h1>Title &amp; More</h1>"
+        "<p>First   paragraph with <b>bold</b> text.</p>"
+        "<p>A &lt;tag&gt; literal &quot;quoted&quot;&nbsp;here.</p>"
+        "<ul><li>one</li><li>two</li></ul>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "no markup"), (3, None)],
+                               "id bigint, raw string")
+    got = {r["id"]: r["t"] for r in
+           df.select("id", html_to_text_expr("raw").alias("t")).collect()}
+    lines = got[1].split("\n")
+    assert lines[0].strip() == "Title & More"
+    assert "First paragraph with bold text." in got[1]
+    assert 'A <tag> literal "quoted" here.' in got[1]
+    assert "one" in got[1] and "two" in got[1]
+    assert "color" not in got[1] and "var a" not in got[1] and "nav" not in got[1]
+    assert got[2] == "no markup"
+    assert got[3] is None

@@ -29,6 +29,7 @@ from tidyvec_spark.functions.text import (
 )
 
 __all__ = [
+    "html_to_text_expr",
     "normalize_text_expr",
     "lines",
     "duplicate_line_ratio",
@@ -274,4 +275,40 @@ def normalize_text_expr(c: ColumnOrName) -> Column:
     )
     t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
     t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)
+
+
+def html_to_text_expr(c: ColumnOrName) -> Column:
+    """Plain text from raw HTML — the extraction stage that feeds
+    every web-corpus pipeline (C4/CCNet run a full WET extraction;
+    this is the expression-only core: script/style/comment blocks
+    dropped, tags stripped, the common entities decoded, block-level
+    closers mapped to line breaks so line-based cleaners see document
+    structure, whitespace normalized per line).
+
+    Pure chained regexp/replace codegen — no parser, no Python. A
+    DOM-correct extractor (malformed nesting, CDATA, attributes
+    containing '>') needs a real parser library on executors; this
+    covers the regular 95% and is exactly mirrorable in the oracle.
+    """
+    col = _col(c)
+    # two separate patterns, not one with a backreference: the DuckDB
+    # oracle's RE2 has no backreferences
+    t = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # block-level boundaries become newlines BEFORE tag stripping
+    t = F.regexp_replace(
+        t, r"(?i)</(p|div|h[1-6]|li|tr|table|blockquote)>|<br\s*/?>", "\n"
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    # collapse horizontal space per line, drop blank lines
+    t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
     return F.trim(t)
