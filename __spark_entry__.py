@@ -3427,6 +3427,135 @@ FROM y
 """
 
 
+def _pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 composite: a full WEB-corpus ingestion pipeline as
+    ONE lazy plan — HTML→text extraction, C4 page/line cleaning,
+    canonical normalization, exact dedup (injected exact copies must
+    vanish), token-count floor. Every stage is the registry-verified
+    operator; Catalyst fuses extraction+cleaning+normalization into a
+    single map-side projection, so the only shuffles are the dedup
+    key-agg pair. The oracle replays the identical SQL chain."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.functions.quality import (
+        c4_clean_lines,
+        c4_page_keep,
+        html_to_text_expr,
+        normalize_text_expr,
+    )
+    from tidyvec_spark.operators.dedup import drop_exact_dups
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    html = F.concat(
+        F.lit(
+            "<html><head><script>var x = 1;</script></head><body>"
+            "<h1>Doc &amp; title</h1><p>"
+        ),
+        F.replace(F.col("text"), F.lit(" the "), F.lit(".</p><p>")),
+        F.lit("</p></body></html>"),
+    )
+    ext = corpus.select("doc_id", html_to_text_expr(html).alias("t"))
+    cleaned = ext.filter(c4_page_keep("t")).select(
+        "doc_id", c4_clean_lines("t", min_words=3).alias("ct")
+    )
+    norm = cleaned.select(
+        "doc_id", normalize_text_expr("ct").alias("nt")
+    )
+    kept = drop_exact_dups(norm, "nt", "doc_id")
+    return kept.select(
+        "doc_id",
+        X.token_count("nt").alias("n_tokens"),
+        F.md5("nt").alias("fp"),
+    ).filter(F.col("n_tokens") >= 10)
+
+
+_PIPELINE_WEB_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+),
+h AS (
+  SELECT doc_id,
+         '<html><head><script>var x = 1;</script></head><body>'
+         || '<h1>Doc &amp; title</h1><p>'
+         || replace(text, ' the ', '.</p><p>') || '</p></body></html>' AS raw
+  FROM corpus
+),
+x1 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(raw,
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?i)</(p|div|h[1-6]|li|tr|table|blockquote)>|<br\s*/?>', chr(10), 'g'),
+      '(?s)<[^>]+>', ' ', 'g'),
+      '&amp;', '&', 'g') AS t
+  FROM h
+),
+x2 AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(t,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&nbsp;', ' ') AS t
+  FROM x1
+),
+ext AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(regexp_replace(t,
+      '[ \t\x0b\f\r]+', ' ', 'g'),
+      ' ?\n ?', chr(10), 'g'),
+      '\n{2,}', chr(10), 'g')) AS t
+  FROM x2
+),
+pages AS (
+  SELECT doc_id, t FROM ext
+  WHERE NOT contains(lower(t), 'lorem ipsum') AND NOT contains(lower(t), '{')
+),
+cleaned AS (
+  SELECT doc_id,
+         coalesce(array_to_string(
+           list_filter(
+             list_transform(string_split(t, chr(10)), l -> trim(l)),
+             l -> l <> ''
+              AND regexp_matches(l, '[.!?"”]$')
+              AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 3
+              AND NOT contains(lower(l), 'javascript')
+           ),
+           chr(10)), '') AS ct
+  FROM pages
+),
+norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(
+      translate(ct, '‘’“”–— ', '''''""-- '),
+      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+      '\s+', ' ', 'g')) AS nt
+  FROM cleaned
+),
+kept AS (
+  SELECT doc_id, nt FROM (
+    SELECT doc_id, nt, ROW_NUMBER() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(nt), '\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM norm
+  ) WHERE rn = 1
+)
+SELECT doc_id, n_tokens, fp FROM (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(nt), '\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tokens,
+         md5(nt) AS fp
+  FROM kept
+) WHERE n_tokens >= 10
+"""
+
+
 def _docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (functions/quality.py::
     normalize_text_expr): typographic punctuation to ASCII, control
@@ -5678,6 +5807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_unimax": _mix_unimax,
         "sample_fixed_per_lang": _sample_fixed_per_lang,
         "docs_html_extract": _docs_html_extract,
+        "pipeline_web": _pipeline_web,
         "docs_normalize": _docs_normalize,
         "docs_keep_best": _docs_keep_best,
         "docs_dup_spans": _docs_dup_spans,
@@ -5798,6 +5928,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lm_perplexity": _docs_lm_perplexity_sql(),
         "docs_dedup_lines": _DOCS_DEDUP_LINES_SQL,
         "docs_html_extract": _DOCS_HTML_EXTRACT_SQL,
+        "pipeline_web": _PIPELINE_WEB_SQL,
         "docs_normalize": _DOCS_NORMALIZE_SQL,
         "docs_keep_best": _DOCS_KEEP_BEST_SQL,
         "docs_dup_spans": _DOCS_DUP_SPANS_SQL,

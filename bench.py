@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "wds_roundtrip",
     "pipeline_ccnet",
+    "pipeline_web",
     "events_skew_profile",
     "corpus_diff",
     "events_rolling_1h",
