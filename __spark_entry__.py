@@ -3698,6 +3698,58 @@ FROM t LEFT JOIN (
 """
 
 
+def _docs_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup CUT policy (operators/dedup.py::
+    substring_dedup_cut — Lee et al. 2022 §3.1 applied, not just
+    detected): duplicated >= 8-token regions survive only in the
+    lowest-id owner; every other doc is rebuilt without them. The
+    truncated near-dup copies must lose their whole shared prefix."""
+    from tidyvec_spark.operators.dedup import substring_dedup_cut
+
+    return substring_dedup_cut(
+        _dup_corpus(spark, sf_dir), "text", "doc_id", k=8
+    )
+
+
+_DOCS_DEDUP_CUT_SQL = f"""
+WITH {_DUP_CORPUS_SQL},
+t AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+win AS (
+  SELECT doc_id, CAST(gs.i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(toks, gs.i + 1, gs.i + 8), ' ')) AS h
+  FROM t, LATERAL unnest(generate_series(0, len(toks) - 8)) AS gs(i)
+  WHERE len(toks) >= 8
+),
+own AS (
+  SELECT h, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+  FROM win GROUP BY h
+),
+cut AS (
+  SELECT DISTINCT w.doc_id, w.pos + u.j AS tp
+  FROM win w
+  JOIN own ON w.h = own.h AND own.nd >= 2 AND w.doc_id <> own.owner,
+  LATERAL unnest(generate_series(0, 7)) AS u(j)
+),
+tok AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS tp, toks[u.i] AS tk
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+),
+kept AS (
+  SELECT tok.doc_id, tok.tp, tok.tk
+  FROM tok LEFT JOIN cut ON tok.doc_id = cut.doc_id AND tok.tp = cut.tp
+  WHERE cut.tp IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY tp) AS text,
+         count(*) AS n FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(r.text, '') AS text,
+       CAST(coalesce(r.n, 0) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(r.n, 0) AS BIGINT) AS n_cut
+FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 def _decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-collision decontamination (operators/dedup.py::
     decontaminate_ngram_hits — the GPT-3 §C / PaLM 13-gram rule, here
@@ -5812,6 +5864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_keep_best": _docs_keep_best,
         "docs_dup_spans": _docs_dup_spans,
         "docs_dup_stats": _docs_dup_stats,
+        "docs_dedup_cut": _docs_dedup_cut,
         "docs_quality_flags": _docs_quality_flags,
         "docs_repetition": _docs_repetition,
         "docs_redact": _docs_redact,
@@ -5933,6 +5986,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_keep_best": _DOCS_KEEP_BEST_SQL,
         "docs_dup_spans": _DOCS_DUP_SPANS_SQL,
         "docs_dup_stats": _DOCS_DUP_STATS_SQL,
+        "docs_dedup_cut": _DOCS_DEDUP_CUT_SQL,
         "q6_forecast_revenue": _Q6_SQL,
         "q4_order_priority": _Q4_SQL,
         "q10_returned_items": _Q10_SQL,

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "docs_dedup_lines",
     "docs_dup_spans",
     "docs_dup_stats",
+    "docs_dedup_cut",
     "q6_forecast_revenue",
     "q4_order_priority",
     "q10_returned_items",

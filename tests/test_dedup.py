@@ -691,3 +691,30 @@ def test_substring_dup_spans_split_and_merge(spark):
         substring_dup_spans(docs, "text", "doc_id", k=0)
     with pytest.raises(ValueError):
         substring_dup_spans(docs, "text", "doc_id", min_docs=1)
+
+
+def test_substring_dedup_cut_keeps_first_occurrence(spark):
+    from tidyvec_spark.operators.dedup import substring_dedup_cut
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # owner of the shared run
+            (2, "x x a b c d e f y y"),      # repeats it -> cut
+            (3, "z z z z"),                  # untouched
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_cut"])
+           for r in substring_dedup_cut(docs, "text", "doc_id", k=4).collect()}
+    assert got[1] == ("a b c d e f g h", 8, 0)       # owner untouched
+    assert got[2] == ("x x y y", 4, 6)               # shared run removed
+    assert got[3] == ("z z z z", 4, 0)
+    # ownership is corpus-first (lowest doc), not per-pair arbitrary:
+    # swap ids and the cut moves
+    docs2 = spark.createDataFrame(
+        [(9, "a b c d e f g h"), (2, "x x a b c d e f y y")],
+        "doc_id bigint, text string",
+    )
+    got2 = {r["doc_id"]: r["n_cut"]
+            for r in substring_dedup_cut(docs2, "text", "doc_id", k=4).collect()}
+    assert got2[2] == 0 and got2[9] == 6

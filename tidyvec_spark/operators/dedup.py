@@ -1419,3 +1419,103 @@ def substring_dup_stats(
             frac.alias("dup_fraction"),
         )
     )
+
+
+def substring_dedup_cut(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACT half of :func:`substring_dup_spans` — Lee et al. 2022's
+    dedup policy: every duplicated >= ``k``-token region survives only
+    at its corpus-FIRST occurrence (lowest (doc, position)); every
+    other document has those tokens CUT and its text rebuilt from the
+    survivors. Detection and ownership share one window table.
+
+    Returns (``id_col``, ``text_col`` rebuilt, n_tokens, n_cut) for
+    every document (n_cut = 0 when nothing was removed).
+
+    Scale shape on top of the span detector: the ownership table is
+    one min-struct per duplicated hash (vocabulary-sized); the cut
+    set explodes ONLY foreign duplicated windows (k rows per marked
+    window, never the corpus); the rebuild is one per-doc hash-agg
+    folding (pos, token) structs — the same bounded pattern as the
+    global line dedup.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            X.tokens(text_col).alias("__ts"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wins = toks.select(
+        "__id",
+        F.posexplode(
+            F.when(
+                F.size("__ts") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__ts") - k),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("__ts", i + 1, k)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__pos", "__g"),
+    ).select("__id", "__pos", F.md5("__g").alias("__h"))
+    wins = wins.persist(StorageLevel.MEMORY_AND_DISK)
+    owners = (
+        wins.groupBy("__h")
+        .agg(
+            F.countDistinct("__id").alias("__nd"),
+            F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__w"),
+        )
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__h", F.col("__w.__id").alias("__own"))
+    )
+    # foreign duplicated windows: this doc repeats content some other
+    # doc owns -> every covered token position is cut
+    cut = (
+        wins.join(owners, "__h")
+        .filter(F.col("__id") != F.col("__own"))
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
+            ).alias("__tp"),
+        )
+        .distinct()
+    )
+    exploded = toks.select(
+        "__id", F.posexplode("__ts").alias("__tp", "__tok")
+    )
+    kept = exploded.join(cut, ["__id", "__tp"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tp", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__txt"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    base = toks.select("__id", F.size("__ts").cast("long").alias("__n0"))
+    return _with_persisted(
+        base.join(rebuilt, "__id", "left")
+        .fillna({"__txt": "", "n_tokens": 0})
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__txt").alias(text_col),
+            "n_tokens",
+            (F.col("__n0") - F.col("n_tokens")).cast("long").alias("n_cut"),
+        ),
+        [toks, wins],
+    )
