@@ -3370,6 +3370,33 @@ FROM w WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def _corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable manifest (sources/maintenance.py::
+    corpus_manifest): per md5-shard doc/token counts + an order- and
+    layout-invariant content hash — re-run after any copy/migration/
+    compaction and byte-diff the tiny result instead of the corpus."""
+    from tidyvec_spark.sources.maintenance import corpus_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_manifest(docs, "doc_id", "text", n_shards=8)
+
+
+_CORPUS_MANIFEST_SQL = f"""
+WITH per AS (
+  SELECT CAST(
+           CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+           % 8 AS INT) AS shard,
+         md5(text) AS h,
+         CAST(len({_TOKS}) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       md5(string_agg(h, '' ORDER BY h)) AS content_hash
+FROM per GROUP BY shard
+"""
+
+
 def _docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→text extraction (functions/quality.py::html_to_text_expr):
     the web-corpus ingestion stage ahead of every cleaner. The fixture
@@ -5860,6 +5887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fixed_per_lang": _sample_fixed_per_lang,
         "docs_html_extract": _docs_html_extract,
         "pipeline_web": _pipeline_web,
+        "corpus_manifest": _corpus_manifest,
         "docs_normalize": _docs_normalize,
         "docs_keep_best": _docs_keep_best,
         "docs_dup_spans": _docs_dup_spans,
@@ -5981,6 +6009,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lm_perplexity": _docs_lm_perplexity_sql(),
         "docs_dedup_lines": _DOCS_DEDUP_LINES_SQL,
         "docs_html_extract": _DOCS_HTML_EXTRACT_SQL,
+        "corpus_manifest": _CORPUS_MANIFEST_SQL,
         "pipeline_web": _PIPELINE_WEB_SQL,
         "docs_normalize": _DOCS_NORMALIZE_SQL,
         "docs_keep_best": _DOCS_KEEP_BEST_SQL,

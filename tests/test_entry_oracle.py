@@ -10,13 +10,18 @@ relational, sessionization, streaming-twin).
 """
 
 import math
+import os
 
 import duckdb
 import pytest
 
-import __spark_entry__ as entry
-
 SF = "/root/testdata/sf0.001"
+# data-dependent oracles (hf_query_nearest's precomputed VALUES)
+# must build their literals for THIS sf, not the driver's sf0.01
+# default — oracle_sql() reads the env at call time
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF
+
+import __spark_entry__ as entry
 TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -16,7 +16,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["compact_parquet", "parquet_file_stats"]
+__all__ = ["compact_parquet", "corpus_manifest", "parquet_file_stats"]
 
 
 def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -80,3 +80,49 @@ def compact_parquet(
         writer = writer.partitionBy(partition_by)
     writer.parquet(dst)
     return n_out
+
+
+def corpus_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Content-addressable corpus manifest: per deterministic shard,
+    (shard, n_docs, n_tokens, content_hash) — the artifact that makes
+    a 100 TB corpus VERIFIABLE: re-run the manifest after any copy /
+    engine migration / compaction and byte-diff the tiny result
+    instead of the petabytes. Two builds of "the same" corpus agree
+    iff every shard hash agrees, and a mismatch localizes to 1/n of
+    the data.
+
+    Determinism: shard = md5(id) mod n (engine-portable, layout-
+    independent); content_hash folds the per-doc content md5s in
+    sorted order, so file layout, partitioning, and row order are all
+    invisible — only content matters. One explode-free pass + one
+    shard-sized agg.
+    """
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.hashing import md5_long
+    from tidyvec_spark.functions.text import token_count
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    per_doc = df.select(
+        F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(int(n_shards)))
+        .cast("int")
+        .alias("shard"),
+        F.md5(F.col(text_col)).alias("__h"),
+        token_count(text_col).alias("__nt"),
+    )
+    return (
+        per_doc.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("__h")), "")
+            ).alias("content_hash"),
+        )
+    )
