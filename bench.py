@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "pipeline_web",
     "events_skew_profile",
     "corpus_diff",
+    "corpus_manifest",
     "events_rolling_1h",
     "events_retention",
     "events_props_stats",
