@@ -5206,6 +5206,136 @@ WINDOW w AS (
 """
 
 
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users progress view → click →
+    purchase in TIMESTAMP order (each later step strictly after the
+    user's earliest reach of the previous one) — the sequential-
+    pattern query every product-analytics engine ships. Decorrelated
+    into three chained per-user conditional min-aggregations (all on
+    the same user_id key — AQE reuses the partitioning) + one tiny
+    final rollup; no self-join, no per-user iteration."""
+    from tidyvec_spark.streaming import event_ns_of
+
+    ev = _read(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", event_ns_of(ev, "ts").alias("__ns")
+    ).withColumn("ts_s", F.expr("__ns DIV 1000000000")).drop("__ns")
+    t1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_s"))).alias("t1")
+    )
+    t2 = (
+        e.join(t1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_s") > F.col("t1")),
+                    F.col("ts_s"),
+                )
+            ).alias("t2")
+        )
+    )
+    t3 = (
+        e.join(t2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_s") > F.col("t2")),
+                    F.col("ts_s"),
+                )
+            ).alias("t3")
+        )
+    )
+    return t3.agg(
+        F.count(F.col("t1")).cast("long").alias("step1_view"),
+        F.count(F.col("t2")).cast("long").alias("step2_click"),
+        F.count(F.col("t3")).cast("long").alias("step3_purchase"),
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_s FROM events
+),
+t1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_s END) AS t1
+  FROM e GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, t1.t1,
+         min(CASE WHEN event_type = 'click' AND ts_s > t1 THEN ts_s END) AS t2
+  FROM e JOIN t1 ON e.user_id = t1.user_id GROUP BY e.user_id, t1.t1
+),
+t3 AS (
+  SELECT e.user_id, t2.t1, t2.t2,
+         min(CASE WHEN event_type = 'purchase' AND ts_s > t2 THEN ts_s END) AS t3
+  FROM e JOIN t2 ON e.user_id = t2.user_id GROUP BY e.user_id, t2.t1, t2.t2
+)
+SELECT CAST(count(t1) AS BIGINT) AS step1_view,
+       CAST(count(t2) AS BIGINT) AS step2_click,
+       CAST(count(t3) AS BIGINT) AS step3_purchase
+FROM t3
+"""
+
+
+def _events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value against
+    the trailing 20 same-type events (frame excludes self) — the
+    monitoring query over metric streams. One shuffle on event_type;
+    sliding frames, no self-join; deterministic (ts, event_id) frame
+    order; stddev guarded against the <2-sample frames."""
+    from tidyvec_spark.streaming import event_ns_of
+
+    ev = _read(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "event_type", "value", event_ns_of(ev, "ts").alias("__ns")
+    ).withColumn("ts_s", F.expr("__ns DIV 1000000000")).drop("__ns")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = F.when(
+        sd.isNotNull() & (sd > 0), (F.col("value") - mu) / sd
+    )
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+
+
+_EVENTS_ANOMALY_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, value, epoch_ns(ts) // 1000000000 AS ts_s
+  FROM events
+),
+s AS (
+  SELECT event_id, event_type, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd
+  FROM e
+  WINDOW w AS (
+    PARTITION BY event_type ORDER BY ts_s, event_id
+    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, event_type, ROUND(value, 4) AS value,
+       ROUND((value - mu) / sd, 4) AS z
+FROM s
+WHERE sd IS NOT NULL AND sd > 0 AND abs((value - mu) / sd) > 3.0
+"""
+
+
 def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by their first-activity week
     (integer epoch-week — engine-neutral arithmetic, no calendar
@@ -5923,6 +6053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "events_session_windows": _events_session_windows,
         "events_range_join": _events_range_join,
+        "events_funnel": _events_funnel,
+        "events_anomaly": _events_anomaly,
         "events_stream_hourly": _events_stream_hourly,
         "events_stream_interval_join": _events_stream_interval_join,
         "docs_stream_budget": _docs_stream_budget,
@@ -6070,6 +6202,8 @@ def oracle_sql() -> dict[str, str]:
         "events_session_windows": _EVENTS_SESSION_WINDOWS_SQL,
         "events_asof_purchase": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_JOIN_SQL,
+        "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_anomaly": _EVENTS_ANOMALY_SQL,
         "events_stream_hourly": _EVENTS_HOURLY_SQL,
         "events_stream_interval_join": _EVENTS_RANGE_JOIN_SQL,
         "docs_stream_dedup": _DOCS_STREAM_DEDUP_SQL,

@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "corpus_diff",
     "corpus_manifest",
     "events_rolling_1h",
+    "events_funnel",
+    "events_anomaly",
     "events_retention",
     "events_props_stats",
     "events_zorder",
