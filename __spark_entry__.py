@@ -3370,6 +3370,54 @@ FROM w WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def _docs_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with corrupt-record quarantine (sources/jsonl.py):
+    the corpus serialized to JSON lines with every doc_id % 97 == 0
+    line deliberately truncated mid-record, read back under an
+    explicit schema in PERMISSIVE+capture mode, split into clean and
+    quarantined. The clean half must hash-match the original rows for
+    the surviving ids — proof that quarantine is exact (no silent
+    nulling, no lost good rows)."""
+    import tempfile
+
+    from tidyvec_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    docs = _read(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 97 == 0,
+        F.lit('{"doc_id": 123, "text": "trunca'),
+    ).otherwise(
+        F.to_json(F.struct("doc_id", "text", "lang"))
+    )
+    out = tempfile.mkdtemp(prefix="tv_jsonl_")
+    docs.select(line.alias("value")).coalesce(2).write.mode(
+        "overwrite"
+    ).text(out)
+    # cache: Spark 4 refuses direct-scan queries whose referenced
+    # columns are ONLY the corrupt column (SQLSTATE 0A000); counting
+    # the split off the cached parse is the documented pattern
+    raw = read_jsonl(
+        spark, out, "doc_id bigint, text string, lang string"
+    ).cache()
+    clean, bad = split_corrupt(raw)
+    n_bad = bad.count()
+    return clean.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.lit(int(n_bad)).cast("long").alias("n_quarantined"),
+    )
+
+
+_DOCS_JSONL_INGEST_SQL = """
+WITH bad AS (SELECT count(*) AS nb FROM documents WHERE doc_id % 97 = 0)
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(bad.nb AS BIGINT) AS n_quarantined
+FROM documents, bad
+WHERE doc_id % 97 <> 0
+"""
+
+
 def _corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressable manifest (sources/maintenance.py::
     corpus_manifest): per md5-shard doc/token counts + an order- and
@@ -6018,6 +6066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_html_extract": _docs_html_extract,
         "pipeline_web": _pipeline_web,
         "corpus_manifest": _corpus_manifest,
+        "docs_jsonl_ingest": _docs_jsonl_ingest,
         "docs_normalize": _docs_normalize,
         "docs_keep_best": _docs_keep_best,
         "docs_dup_spans": _docs_dup_spans,
@@ -6142,6 +6191,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dedup_lines": _DOCS_DEDUP_LINES_SQL,
         "docs_html_extract": _DOCS_HTML_EXTRACT_SQL,
         "corpus_manifest": _CORPUS_MANIFEST_SQL,
+        "docs_jsonl_ingest": _DOCS_JSONL_INGEST_SQL,
         "pipeline_web": _PIPELINE_WEB_SQL,
         "docs_normalize": _DOCS_NORMALIZE_SQL,
         "docs_keep_best": _DOCS_KEEP_BEST_SQL,

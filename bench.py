@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "embedding_rp_topk",
     "bpe_merges",
     "wds_roundtrip",
+    "docs_jsonl_ingest",
     "pipeline_ccnet",
     "pipeline_web",
     "events_skew_profile",

@@ -108,3 +108,25 @@ def test_hf_embedder_real_path_raises_without_torch(spark):
     emb = HFEmbedder("bert-base-uncased", modality="text")
     with pytest.raises(NotImplementedError, match="torch"):
         emb.embed_query("hello")
+
+
+def test_jsonl_ingest_quarantines_corrupt_lines(spark, tmp_path):
+    from tidyvec_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "jl"
+    p.mkdir()
+    lines = [
+        '{"id": 1, "text": "good one"}',
+        '{"id": 2, "text": "also fine"}',
+        '{"id": 3, "text": "trunca',          # corrupt
+        'not json at all',                     # corrupt
+        '{"id": 5, "text": null}',             # valid null, NOT corrupt
+    ]
+    (p / "part.jsonl").write_text("\n".join(lines))
+    raw = read_jsonl(spark, str(p), "id bigint, text string").cache()
+    clean, bad = split_corrupt(raw)
+    rows = {r["id"]: r["text"] for r in clean.collect()}
+    assert rows == {1: "good one", 2: "also fine", 5: None}
+    assert bad.count() == 2
+    assert "_corrupt_record" not in clean.columns
+    raw.unpersist()

@@ -302,3 +302,71 @@ def test_bpe_apply_reproduces_training_fixpoint(spark):
         pat = re.compile(f"(?<![^ ]){re.escape(a)} {re.escape(b)}(?![^ ])")
         for s in applied:
             assert pat.sub(lambda m: a + b, s) == s, (a, b, s)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=" aAbB.?!\t‘’“”–— \x01\n",
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_normalize_text_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) — the canonicalization
+    law that makes it safe to run the cleanup pass any number of
+    times (re-ingest, retry, composed pipelines)."""
+    from tidyvec_spark.functions.quality import normalize_text_expr
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id bigint, t string"
+    )
+    once = df.select("id", normalize_text_expr("t").alias("t"))
+    twice = once.select("id", normalize_text_expr("t").alias("t"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_substring_cut_is_idempotent(spark):
+    """Cutting duplicated spans leaves a corpus with no >= k-token
+    cross-doc duplication (owner copies remain but their duplicates
+    are gone), so a second pass is a no-op."""
+    from tidyvec_spark.operators.dedup import substring_dedup_cut
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "p q a b c d e f r s"),
+            (3, "a b c d e f x y z w"),
+        ],
+        "doc_id bigint, text string",
+    )
+    once = substring_dedup_cut(docs, "text", "doc_id", k=4)
+    again = substring_dedup_cut(
+        once.select("doc_id", "text"), "text", "doc_id", k=4
+    )
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in again.collect()}
+    assert a == b
+    assert all(r["n_cut"] == 0 for r in again.collect())
+
+
+def test_random_projection_is_linear(spark):
+    """JL projection is a linear map: P(x + y) == P(x) + P(y) and
+    P(c x) == c P(x) (same fold order on both paths, so equality is
+    exact up to double rounding in the sum order — checked to 1e-9)."""
+    from tidyvec_spark.operators.reduce import random_projection_py
+
+    x = [float((i * 37 % 19) - 9) / 7.0 for i in range(64)]
+    y = [float((i * 11 % 23) - 11) / 5.0 for i in range(64)]
+    px = random_projection_py(x, 16)
+    py_ = random_projection_py(y, 16)
+    pxy = random_projection_py([a + b for a, b in zip(x, y)], 16)
+    for got, want in zip(pxy, (a + b for a, b in zip(px, py_))):
+        assert abs(got - want) < 1e-9
+    p2x = random_projection_py([2.0 * a for a in x], 16)
+    for got, want in zip(p2x, (2.0 * a for a in px)):
+        assert abs(got - want) < 1e-9

@@ -16,6 +16,7 @@ from tidyvec_spark.sources.layout import (
     write_zorder,
     zorder_value,
 )
+from tidyvec_spark.sources.jsonl import read_jsonl, split_corrupt
 from tidyvec_spark.sources.webdataset import (
     read_webdataset,
     wds_key_of,
@@ -28,6 +29,8 @@ __all__ = [
     "bucketed_join_ready",
     "compact_parquet",
     "parquet_file_stats",
+    "read_jsonl",
+    "split_corrupt",
     "write_bucketed_table",
     "write_bucket_partitioned",
     "write_centroid_partitioned",
