@@ -29,6 +29,7 @@ from tidyvec_spark.streaming.pipelines import (
     run_available_now,
     session_rollup,
     stateful_dedup_stream,
+    zscore_anomaly_stream,
 )
 
 __all__ = [
@@ -46,4 +47,5 @@ __all__ = [
     "run_available_now",
     "session_rollup",
     "stateful_dedup_stream",
+    "zscore_anomaly_stream",
 ]

@@ -764,3 +764,112 @@ def run_available_now(
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+def zscore_anomaly_stream(
+    df: DataFrame,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    window_n: int = 20,
+    z_thresh: float = 3.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Online rolling z-score anomaly detection: each event scored
+    against the trailing ``window_n`` SAME-TYPE events (excluding
+    itself) — the monitoring alert over metric streams, as a CUSTOM
+    stateful operator (no built-in streaming op expresses a sliding
+    count-based frame).
+
+    State per type is one bounded ring buffer of the last ``window_n``
+    values — ``8 * window_n`` bytes regardless of stream length.
+    Within each micro-batch rows are processed in (event-time, id)
+    order, so given in-order arrival the emissions equal the batch
+    twin (a ROWS BETWEEN window over the same ordering) exactly —
+    parity is test-pinned. Out-of-order arrivals score against the
+    state as-of processing, the standard online-monitoring semantics.
+
+    On a batch frame, falls back to the window form (one shuffle on
+    the type key, sliding frames, no self-join).
+    """
+    if window_n < 2:
+        raise ValueError("window_n must be >= 2")
+    ts = event_ts_of(df, ts_col)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__ty"),
+        F.col(value_col).cast("double").alias("__v"),
+        ts.cast("long").alias("__ts"),
+    )
+    if not df.isStreaming:
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy("__ty")
+            .orderBy("__ts", "__id")
+            .rowsBetween(-window_n, -1)
+        )
+        mu = F.avg("__v").over(w)
+        sd = F.stddev_samp("__v").over(w)
+        z = F.when(sd.isNotNull() & (sd > 0), (F.col("__v") - mu) / sd)
+        return (
+            base.select(
+                F.col("__id").alias(id_col),
+                F.col("__ty").alias(type_col),
+                F.round(z, round_to).alias("z"),
+            )
+            .filter(F.abs(F.col("z")) > float(z_thresh))
+        )
+
+    id_field = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field, False),
+            T.StructField(type_col, T.StringType(), False),
+            T.StructField("z", T.DoubleType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("buf", T.ArrayType(T.DoubleType()), False)]
+    )
+
+    def fn(key, pdf_iter, state):
+        import math
+
+        import pandas as pd
+
+        buf = list(state.get[0]) if state.exists else []
+        out = []
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(
+                zip(pdf["__id"], pdf["__v"], pdf["__ts"])
+            )
+        rows.sort(key=lambda r: (r[2], r[0]))
+        for i, v, _ in rows:
+            n = len(buf)
+            if n >= 2:
+                mu = sum(buf) / n
+                var = sum((x - mu) ** 2 for x in buf) / (n - 1)
+                sd = math.sqrt(var)
+                if sd > 0:
+                    z = round((float(v) - mu) / sd, round_to)
+                    if abs(z) > z_thresh:
+                        out.append((int(i), key[0], z))
+            buf.append(float(v))
+            if len(buf) > window_n:
+                buf = buf[-window_n:]
+        state.update((buf,))
+        if out:
+            yield pd.DataFrame(out, columns=[id_col, type_col, "z"])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return base.groupBy("__ty").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
