@@ -278,3 +278,26 @@ def test_sidecar_dim_guard(spark, emb, planes, tmp_path_factory):
     write_vec(vec(emb, dim=64), lshp, index={"kind": "lsh", "planes": planes})
     with pytest.raises(ValueError, match="query dim"):
         ann_topk_sidecar(spark, lshp, [1.0] * 16, "vec_id", k=5)
+
+
+def test_nearest_approx_uses_attached_index(spark, emb, planes, tmp_path_factory):
+    """UX closure: the index a collection persists is usable straight
+    from nearest(approx=True) — same answers as the sidecar probe
+    (partition-pruned scan), exact options (min_score, tiebreak,
+    rounding) unchanged; approx without an index is a clean error."""
+    from tidyvec_spark import read_vec, vec
+    from tidyvec_spark.sources import ann_topk_sidecar, write_vec
+
+    path = str(tmp_path_factory.mktemp("approxnn") / "v")
+    write_vec(vec(emb, dim=64), path, index={"kind": "lsh", "planes": planes})
+    vf = read_vec(spark, path)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = vf.nearest(
+        q, n=10, as_embedding=True, tiebreak="vec_id", round_to=6, approx=True
+    ).df.select("vec_id", "similarity").collect()
+    want = ann_topk_sidecar(spark, path, q, "vec_id", k=10, round_to=6).collect()
+    assert [(r["vec_id"], r["similarity"]) for r in got] == [
+        (r["vec_id"], r["similarity"]) for r in want
+    ]
+    with pytest.raises(ValueError, match="approx=True needs"):
+        vec(emb).nearest(q, as_embedding=True, approx=True)

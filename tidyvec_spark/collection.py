@@ -208,6 +208,8 @@ class VecFrame:
         score_col: str = "similarity",
         tiebreak: Optional[str] = None,
         round_to: Optional[int] = None,
+        approx: bool = False,
+        probe_hamming: Optional[int] = None,
     ) -> "VecFrame":
         from tidyvec_spark.operators.nearest import nearest as _nearest
         return _nearest(
@@ -215,6 +217,7 @@ class VecFrame:
             min_score=min_score, keyword_weight=keyword_weight,
             keyword_column=keyword_column, score_col=score_col,
             tiebreak=tiebreak, round_to=round_to,
+            approx=approx, probe_hamming=probe_hamming,
         )
 
     def similarity(

@@ -75,6 +75,8 @@ def nearest(
     score_col: str = "similarity",
     tiebreak: Optional[str] = None,
     round_to: Optional[int] = None,
+    approx: bool = False,
+    probe_hamming: Optional[int] = None,
 ) -> VecFrame:
     if vf.embedding_col not in vf.columns:
         # clean error instead of an unresolved-column AnalysisException:
@@ -110,7 +112,41 @@ def nearest(
         # rounding BEFORE filter/sort makes the selected set reproducible
         # across engines (oracle hash comparison)
         sc = F.round(sc, round_to)
-    out = vf.df.withColumn(score_col, sc).filter(
+    base = vf.df
+    if approx:
+        # engine extension beyond the reference's always-exact scan
+        # (R/core.R:287-292): prefilter through the collection's OWN
+        # persisted LSH index (write_vec(index=...) / read_vec carries
+        # the spec) — when the data is bucket-partitioned the probe
+        # filter becomes partition pruning, otherwise a map-side bucket
+        # expression; scoring/threshold/keyword/top-k stay identical.
+        from tidyvec_spark.operators.ann import (
+            hyperplane_bucket_expr,
+            multiprobe_buckets,
+            query_bucket,
+        )
+
+        spec = vf.index_spec
+        if not spec or spec.get("kind") != "lsh" or not spec.get("planes"):
+            raise ValueError(
+                "approx=True needs an attached 'lsh' index spec "
+                "(write_vec(..., index={'kind': 'lsh', ...}) then read_vec)"
+            )
+        planes = spec["planes"]
+        ph = (
+            int(probe_hamming)
+            if probe_hamming is not None
+            else int(spec.get("probe_hamming", 1))
+        )
+        probes = multiprobe_buckets(query_bucket(qvec, planes), len(planes), ph)
+        bcol = spec.get("bucket_col", "bucket")
+        if bcol in vf.columns:
+            base = base.filter(F.col(bcol).isin(probes))
+        else:
+            base = base.filter(
+                hyperplane_bucket_expr(vf.embedding_col, planes).isin(probes)
+            )
+    out = base.withColumn(score_col, sc).filter(
         F.col(score_col) >= F.lit(float(min_score))
     )
     order = [F.desc(score_col)]
