@@ -178,22 +178,32 @@ def tune_lsh_params(
     with the tuned radius from the sidecar alone.
 
     Cost model: expected scanned fraction = |probes| / 2^nbits (exact
-    under a uniform bucket load; the right ordering under any load).
-    Configs are evaluated cheapest-first and the first one meeting the
-    target wins, so tuning cost is a handful of sample-sized searches
-    — the grid's (nbits=2, hamming=2) tail probes every bucket, i.e.
-    degenerates to exact search, so a config meeting ANY target
-    always exists.
+    under a uniform bucket load; the right ordering under any load) —
+    the cheapest config meeting the target wins; the grid's
+    (nbits=2, hamming=2) tail probes every bucket, i.e. degenerates to
+    exact search, so a config meeting ANY target always exists.
 
     Ground truth is :func:`~tidyvec_spark.operators.ann.
     exact_topk_batch` on the same sample; with ``target_recall=1.0``
     the chosen config reproduces the exact result set on the sample
     by construction (the oracle-hash trick the registry entry uses).
+
+    Cost of tuning itself: ONE exact-search Spark job (the only step
+    that touches the corpus) + one bounded collect of the true
+    neighbors' embeddings; the whole grid is then evaluated
+    DRIVER-SIDE from bucket Hamming distances. Why that is sound: a
+    true top-k neighbor is recalled at probe radius r iff its bucket
+    lies within Hamming r of the query's (any candidate outscoring it
+    is itself a true top-k member, so membership in the candidate set
+    IS membership in the approx top-k) — recall@r for every (nbits,
+    radius) falls out of the same popcounts, no per-config searches.
+    A previous per-config implementation re-ran a full Spark search
+    per grid point — 15 searches instead of 1 exact job.
     """
     from tidyvec_spark.operators.ann import (
-        ann_lsh_topk_batch,
         exact_topk_batch,
         multiprobe_buckets,
+        query_bucket,
         random_planes,
     )
 
@@ -204,6 +214,10 @@ def tune_lsh_params(
     if queries is None:
         queries = df.orderBy(F.asc(id_col)).limit(int(n_queries))
     dim = df.select(F.size(emb_col).alias("d")).first()["d"]
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(emb_col).alias("qv")
+    ).collect()
+    qvecs = {r["qid"]: [float(x) for x in r["qv"]] for r in q_rows}
     exact = exact_topk_batch(
         df,
         emb_col,
@@ -216,45 +230,45 @@ def tune_lsh_params(
         k=k,
         method=method,
         round_to=round_to,
-    )
+    ).collect()
+    pairs = [(r["qid"], r[id_col]) for r in exact]
+    n_ids = sorted({i for _, i in pairs})
+    n_rows = df.filter(F.col(id_col).isin(n_ids)).select(
+        F.col(id_col).alias("nid"), F.col(emb_col).alias("nv")
+    ).collect()
+    nvecs = {r["nid"]: [float(x) for x in r["nv"]] for r in n_rows}
+    n_q = len({q for q, _ in pairs})
 
     def cost(nbits: int, h: int) -> float:
         return len(multiprobe_buckets(0, nbits, h)) / float(1 << nbits)
 
-    grid = sorted(
-        ((n, h) for n in nbits_grid for h in hamming_grid),
-        key=lambda nh: (cost(*nh), -nh[0], nh[1]),
-    )
-    best = None  # (recall, spec) fallback if nothing meets target
-    for nbits, h in grid:
+    # one popcount table per nbits covers every radius in the grid
+    results = []  # (cost, nbits, h, recall, planes)
+    for nbits in nbits_grid:
         planes = random_planes(int(dim), nbits=int(nbits), seed=seed)
-        approx = ann_lsh_topk_batch(
-            df,
-            emb_col,
-            id_col,
-            queries.select(
-                F.col(id_col).alias("qid"), F.col(emb_col).alias("qv")
-            ),
-            "qid",
-            "qv",
-            planes,
-            k=k,
-            probe_hamming=int(h),
-            method=method,
-            round_to=round_to,
-        )
-        r = mean_recall(approx, exact, "qid", id_col, k)
-        spec = {
+        qb = {q: query_bucket(v, planes) for q, v in qvecs.items()}
+        nb = {i: query_bucket(v, planes) for i, v in nvecs.items()}
+        dist = [bin(qb[q] ^ nb[i]).count("1") for q, i in pairs]
+        for h in hamming_grid:
+            hits = sum(1 for d in dist if d <= h)
+            r = hits / float(n_q * k) if n_q else 0.0
+            results.append((cost(nbits, h), int(nbits), int(h), r, planes))
+
+    results.sort(key=lambda t: (t[0], -t[1], t[2]))
+
+    def spec_of(nbits, h, r, planes):
+        return {
             "kind": "lsh",
             "planes": planes,
-            "probe_hamming": int(h),
+            "probe_hamming": h,
             "dim": int(dim),
             "target_recall": float(target_recall),
             "measured_recall": round(r, 6),
             "recall_k": int(k),
         }
+
+    for c, nbits, h, r, planes in results:
         if r >= target_recall:
-            return spec
-        if best is None or r > best[0]:
-            best = (r, spec)
-    return best[1]
+            return spec_of(nbits, h, r, planes)
+    best = max(results, key=lambda t: t[3])
+    return spec_of(best[1], best[2], best[3], best[4])
