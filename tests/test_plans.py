@@ -315,3 +315,62 @@ def test_q17_decorrelates_per_part_average(spark, qs):
     df = qs["q17_small_quantity"](spark, SF)
     P.assert_no_cartesian(df)
     assert not any("NestedLoop" in s for s in P.join_strategies(df))
+
+
+def test_round6_map_side_passes(spark, qs):
+    """Extraction, normalization, JL projection, manifest: pure
+    map-side or single-agg plans — zero avoidable shuffles."""
+    for name, max_sh in (
+        ("docs_html_extract", 0),
+        ("docs_normalize", 0),
+        ("embedding_rp_topk", 0),
+        ("corpus_manifest", 1),
+        ("docs_keep_best", 1),
+    ):
+        df = qs[name](spark, SF)
+        assert P.num_shuffles(df) <= max_sh, name
+        P.assert_no_cartesian(df)
+
+
+def test_round6_scans_prune_uninvolved_columns(spark, qs):
+    # manifest/normalize touch only (doc_id, text); RP only
+    # (vec_id, embedding) — wide columns must not reach the scan
+    for name, banned in (
+        ("corpus_manifest", {"lang", "source"}),
+        ("docs_normalize", {"lang", "source"}),
+        ("embedding_rp_topk", {"label"}),
+    ):
+        for cols in P.read_schemas(qs[name](spark, SF)):
+            assert not (banned & set(cols)), (name, cols)
+
+
+def test_pipeline_web_fuses_to_one_shuffle_pair(spark, qs):
+    """The whole extract→clean→normalize chain must fuse map-side;
+    only the dedup groupBy+join shuffles."""
+    df = qs["pipeline_web"](spark, SF)
+    assert P.num_shuffles(df) <= 2
+    P.assert_no_cartesian(df)
+
+
+def test_new_tpch_shapes(spark, qs):
+    for name, bcast in (
+        ("q2_min_cost_supplier", 2),
+        ("q9_nation_profit", 3),
+        ("q16_supplier_counts", 2),
+        ("q20_share_suppliers", 2),
+        ("q21_waiting_suppliers", 1),
+    ):
+        df = qs[name](spark, SF)
+        P.assert_broadcast(df, at_least=bcast)
+        P.assert_no_cartesian(df)
+    P.assert_filter_pushed(qs["q16_supplier_counts"](spark, SF), "p_size")
+    P.assert_filter_pushed(qs["q20_share_suppliers"](spark, SF), "l_shipdate")
+
+
+def test_substring_dedup_no_pair_explosion(spark, qs):
+    """The marking join must be a semi/equi join on the hash — never a
+    candidate cross join — and the span merge one bounded window."""
+    for name in ("docs_dup_spans", "docs_dedup_cut"):
+        df = qs[name](spark, SF)
+        P.assert_no_cartesian(df)
+        assert P.num_shuffles(df) <= 6, name
