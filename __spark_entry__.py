@@ -6019,6 +6019,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (every oracle-backed entry below is checked by the dynamic
         # SUBSET in tests/test_entry_oracle.py; each has driver rows
         # from rounds 1-5)
+        # ROUND-7 ROTATION LIST (round-6 additions, never driver-
+        # checked yet): docs_dup_spans, docs_dup_stats, docs_dedup_cut,
+        # docs_html_extract, docs_normalize, docs_keep_best,
+        # pipeline_web, mix_unimax, ann_tuned_topk, ann_rank_quality,
+        # embedding_rp_topk, corpus_manifest, docs_jsonl_ingest,
+        # events_funnel, events_anomaly, q2_min_cost_supplier,
+        # q9_nation_profit, q11_important_parts, q12_late_lines,
+        # q16_supplier_counts, q20_share_suppliers,
+        # q21_waiting_suppliers (22 entries — fits the window with the
+        # 9 stable reps + 19 of the now-confirmed round-6 window);
+        # move this round's confirmed window entries to the tail.
         "knn_euclidean": _knn("euclidean"),
         "knn_dot": _knn("dot"),
         "knn_min_score": _knn("cosine", n=100, min_score=0.15),
