@@ -3370,6 +3370,39 @@ FROM w WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source boilerplate attribution (operators/dedup.py::
+    shared_line_matrix): distinct normalized lines shared per source
+    pair — where the boilerplate flows from. Line structure
+    synthesized like the other line entries (' the ' → newline)."""
+    from tidyvec_spark.operators.dedup import shared_line_matrix
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source",
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"),
+    )
+    return shared_line_matrix(docs, "text", "source")
+
+
+_SOURCE_OVERLAP_SQL = """
+WITH lined AS (
+  SELECT source, replace(text, ' the ', chr(10)) AS t FROM documents
+),
+ex AS (
+  SELECT DISTINCT source, md5(trim(l)) AS h
+  FROM (
+    SELECT source, unnest(string_split(t, chr(10))) AS l FROM lined
+  )
+  WHERE trim(l) <> ''
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_lines
+FROM ex a JOIN ex b ON a.h = b.h
+WHERE a.source <= b.source
+GROUP BY source_a, source_b
+"""
+
+
 def _docs_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingest with corrupt-record quarantine (sources/jsonl.py):
     the corpus serialized to JSON lines with every doc_id % 97 == 0
@@ -6078,6 +6111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_web": _pipeline_web,
         "corpus_manifest": _corpus_manifest,
         "docs_jsonl_ingest": _docs_jsonl_ingest,
+        "source_overlap": _source_overlap,
         "docs_normalize": _docs_normalize,
         "docs_keep_best": _docs_keep_best,
         "docs_dup_spans": _docs_dup_spans,
@@ -6203,6 +6237,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_html_extract": _DOCS_HTML_EXTRACT_SQL,
         "corpus_manifest": _CORPUS_MANIFEST_SQL,
         "docs_jsonl_ingest": _DOCS_JSONL_INGEST_SQL,
+        "source_overlap": _SOURCE_OVERLAP_SQL,
         "pipeline_web": _PIPELINE_WEB_SQL,
         "docs_normalize": _DOCS_NORMALIZE_SQL,
         "docs_keep_best": _DOCS_KEEP_BEST_SQL,

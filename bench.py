@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "wds_roundtrip",
     "docs_jsonl_ingest",
+    "source_overlap",
     "pipeline_ccnet",
     "pipeline_web",
     "events_skew_profile",

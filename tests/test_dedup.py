@@ -718,3 +718,27 @@ def test_substring_dedup_cut_keeps_first_occurrence(spark):
     got2 = {r["doc_id"]: r["n_cut"]
             for r in substring_dedup_cut(docs2, "text", "doc_id", k=4).collect()}
     assert got2[2] == 0 and got2[9] == 6
+
+
+def test_shared_line_matrix(spark):
+    from tidyvec_spark.operators.dedup import shared_line_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "cookie banner\nunique web one"),
+            (2, "web", "cookie banner\nunique web two"),
+            (3, "books", "cookie banner\nchapter one"),
+            (4, "wiki", "infobox\nchapter one"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    got = {(r["source_a"], r["source_b"]): r["n_shared_lines"]
+           for r in shared_line_matrix(docs, "text", "source").collect()}
+    # diagonal = distinct lines per source
+    assert got[("web", "web")] == 3     # banner + two uniques
+    assert got[("books", "books")] == 2
+    assert got[("wiki", "wiki")] == 2
+    # off-diagonal overlaps
+    assert got[("books", "web")] == 1   # cookie banner
+    assert got[("books", "wiki")] == 1  # chapter one
+    assert ("web", "wiki") not in got   # nothing shared

@@ -1519,3 +1519,39 @@ def substring_dedup_cut(
         ),
         [toks, wins],
     )
+
+
+def shared_line_matrix(
+    df: DataFrame,
+    text_col: str,
+    strata_col: str,
+) -> DataFrame:
+    """Cross-stratum boilerplate attribution: for every pair of strata
+    (sources, domains, snapshots), how many DISTINCT normalized lines
+    they share — the overlap matrix that tells a curation team where
+    the boilerplate (cookie banners, license headers, templated pages)
+    flows from, and which source pairs double-count content before
+    dedup. The diagonal is a stratum's distinct-line count.
+
+    Shape: lines explode map-side and collapse to DISTINCT
+    (stratum, line-md5) first — the matrix join then moves 16-byte
+    digests, its fan-out bounded by how many strata share a line
+    (strata count, not corpus size). Output is strata² rows — tiny.
+    """
+    ex = (
+        df.select(
+            F.col(strata_col).alias("__s"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("__l"),
+        )
+        .filter(F.trim(F.col("__l")) != "")
+        .select("__s", F.md5(F.trim(F.col("__l"))).alias("__h"))
+        .distinct()
+    )
+    a = ex.select(F.col("__s").alias("source_a"), "__h")
+    b = ex.select(F.col("__s").alias("source_b"), "__h")
+    return (
+        a.join(b, "__h")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared_lines"))
+    )
