@@ -6060,9 +6060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_funnel, events_anomaly, q2_min_cost_supplier,
         # q9_nation_profit, q11_important_parts, q12_late_lines,
         # q16_supplier_counts, q20_share_suppliers,
-        # q21_waiting_suppliers (22 entries — fits the window with the
-        # 9 stable reps + 19 of the now-confirmed round-6 window);
-        # move this round's confirmed window entries to the tail.
+        # q21_waiting_suppliers, source_overlap (23 entries — fits the
+        # window with the 9 stable reps + 18 of the now-confirmed
+        # round-6 window); move this round's confirmed window entries
+        # to the tail.
         "knn_euclidean": _knn("euclidean"),
         "knn_dot": _knn("dot"),
         "knn_min_score": _knn("cosine", n=100, min_score=0.15),
