@@ -2516,6 +2516,88 @@ ORDER BY similarity DESC, vec_id LIMIT 10
 """
 
 
+def _cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka cascade (operators/ann.py::matryoshka_cascade_topk):
+    coarse renormalized-16-dim dot over the whole corpus, top-50
+    candidates, exact 64-dim cosine rerank on those only — the
+    float-precision analog of the BQ prefilter; full-width vectors
+    are read for 50 rows, not 500."""
+    from tidyvec_spark.operators.ann import matryoshka_cascade_topk
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = _query_vec(spark, sf_dir)
+    return matryoshka_cascade_topk(
+        e, "embedding", "vec_id", q, k=10, prefix_dim=16,
+        prefilter=50, round_to=R,
+    )
+
+
+_CASCADE_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+t AS (SELECT vec_id, v, v[1:16] AS tv FROM e),
+n AS (
+  SELECT vec_id, v,
+         list_transform(tv, x -> x / sqrt(list_sum(list_transform(tv, y -> y * y)))) AS nv
+  FROM t
+),
+q AS (SELECT nv AS qp, v AS qv FROM n WHERE vec_id = 0),
+c AS (
+  SELECT n.vec_id, n.v,
+         ROUND(list_sum(list_transform(range(1, 17), i -> nv[i] * qp[i])), {R}) AS coarse
+  FROM n, q
+),
+cand AS (
+  SELECT vec_id, v, coarse FROM c
+  QUALIFY row_number() OVER (ORDER BY coarse DESC, vec_id) <= 50
+)
+SELECT cand.vec_id, cand.coarse,
+       ROUND(list_cosine_similarity(cand.v, q.qv), {R}) AS similarity
+FROM cand, q
+ORDER BY similarity DESC, vec_id LIMIT 10
+"""
+
+
+def _dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-preserving exact dedup (operators/dedup.py::
+    drop_exact_dups_weighted): lowest-id representative + copy count,
+    the duplication-aware loss-weighting input. Injected exact copies
+    must fold into their originals with n_copies = 2."""
+    from tidyvec_spark.operators.dedup import drop_exact_dups_weighted
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    return drop_exact_dups_weighted(corpus, "text", "doc_id").select(
+        "doc_id", "n_copies"
+    )
+
+
+_DEDUP_WEIGHTED_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+),
+k AS (
+  SELECT doc_id,
+         count(*) OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         ) AS n_copies,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ORDER BY doc_id
+         ) AS rn
+  FROM corpus
+)
+SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies FROM k WHERE rn = 1
+"""
+
+
 def _embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row embedding diagnostics (functions/vector.py::
     embedding_stats_expr): dim, L2 norm, min/max, NaN count — the
@@ -6060,7 +6142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_funnel, events_anomaly, q2_min_cost_supplier,
         # q9_nation_profit, q11_important_parts, q12_late_lines,
         # q16_supplier_counts, q20_share_suppliers,
-        # q21_waiting_suppliers, source_overlap (23 entries — fits the
+        # q21_waiting_suppliers, source_overlap, cascade_topk,
+        # dedup_weighted (25 entries — fits the
         # window with the 9 stable reps + 18 of the now-confirmed
         # round-6 window); move this round's confirmed window entries
         # to the tail.
@@ -6081,6 +6164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_adc_topk": _ivfpq_adc_topk,
         "sq_topk": _sq_topk,
         "matryoshka_topk": _matryoshka_topk,
+        "cascade_topk": _cascade_topk,
         "embedding_near_dup": _embedding_near_dup,
         "semantic_dedup": _semantic_dedup,
         "lsh_near_dup_multi": _lsh_near_dup_multi,
@@ -6113,6 +6197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest": _corpus_manifest,
         "docs_jsonl_ingest": _docs_jsonl_ingest,
         "source_overlap": _source_overlap,
+        "dedup_weighted": _dedup_weighted,
         "docs_normalize": _docs_normalize,
         "docs_keep_best": _docs_keep_best,
         "docs_dup_spans": _docs_dup_spans,
@@ -6239,6 +6324,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_manifest": _CORPUS_MANIFEST_SQL,
         "docs_jsonl_ingest": _DOCS_JSONL_INGEST_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,
+        "cascade_topk": _CASCADE_SQL,
+        "dedup_weighted": _DEDUP_WEIGHTED_SQL,
         "pipeline_web": _PIPELINE_WEB_SQL,
         "docs_normalize": _DOCS_NORMALIZE_SQL,
         "docs_keep_best": _DOCS_KEEP_BEST_SQL,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ann_lsh_batch",
     "sq_topk",
     "matryoshka_topk",
+    "cascade_topk",
     "embedding_health",
     "text_stats",
     "lang_id",
@@ -62,6 +63,7 @@ BENCH_QUERIES = [
     "mix_unimax",
     "exact_dup_groups",
     "dedup_drop_exact",
+    "dedup_weighted",
     "pipeline_pretrain",
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",

@@ -189,3 +189,40 @@ def test_random_projection_preserves_neighborhoods(spark, emb):
     import pytest as pt
     with pt.raises(ValueError):
         random_projection_expr("embedding", 64, 0)
+
+
+def test_cascade_topk_matches_exact_when_prefilter_covers(spark, emb):
+    """With prefilter = corpus size the cascade degenerates to exact
+    search; with a tight prefilter the top-1 (self) must survive the
+    coarse stage and the output stays ordered."""
+    from tidyvec_spark.operators.ann import (
+        exact_topk_batch,
+        matryoshka_cascade_topk,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    full = matryoshka_cascade_topk(
+        e, "embedding", "vec_id", q, k=5, prefix_dim=16,
+        prefilter=500, round_to=6,
+    ).collect()
+    want = exact_topk_batch(
+        e, "embedding", "vec_id",
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ),
+        "qid", "qv", k=5, round_to=6,
+    ).collect()
+    assert [(r["vec_id"], r["similarity"]) for r in full] == [
+        (r["vec_id"], r["similarity"]) for r in want
+    ]
+    tight = matryoshka_cascade_topk(
+        e, "embedding", "vec_id", q, k=5, prefix_dim=16,
+        prefilter=25, round_to=6,
+    ).collect()
+    assert tight[0]["vec_id"] == 0 and abs(tight[0]["similarity"] - 1.0) < 1e-6
+    sims = [r["similarity"] for r in tight]
+    assert sims == sorted(sims, reverse=True)
+    import pytest as pt
+    with pt.raises(ValueError):
+        matryoshka_cascade_topk(e, "embedding", "vec_id", q, k=10, prefilter=5)

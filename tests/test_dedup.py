@@ -742,3 +742,15 @@ def test_shared_line_matrix(spark):
     assert got[("books", "web")] == 1   # cookie banner
     assert got[("books", "wiki")] == 1  # chapter one
     assert ("web", "wiki") not in got   # nothing shared
+
+
+def test_drop_exact_dups_weighted(spark):
+    from tidyvec_spark.operators.dedup import drop_exact_dups_weighted
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "SAME  "), (3, "unique"), (9, "same")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["n_copies"]
+           for r in drop_exact_dups_weighted(df, "text", "doc_id").collect()}
+    assert got == {1: 3, 3: 1}

@@ -441,3 +441,69 @@ def ivf_topk(
         .limit(int(k))
         .select(id_col, "similarity")
     )
+
+
+def matryoshka_cascade_topk(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    prefix_dim: int = 16,
+    prefilter: int = 100,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Two-stage Matryoshka cascade (Kusupati et al. 2022 MRL
+    inference recipe): score the WHOLE corpus on the renormalized
+    leading ``prefix_dim`` dims (a prefix-slice scan — cost linear in
+    kept dims), keep ``prefilter`` candidates, then exact full-dim
+    cosine rerank on those only. The full-width column is read for
+    ``prefilter`` rows, not the corpus — the float-precision analog
+    of the binary-quantization prefilter (``bq_topk``).
+
+    Returns (id, coarse, similarity) for the final top-``k``; the
+    coarse stage rounds before cutting so the candidate SET is
+    deterministic and engine-portable.
+    """
+    from tidyvec_spark.functions.vector import (
+        cosine_sim_expr,
+        matryoshka_expr,
+        similarity_expr,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if prefilter < k:
+        raise ValueError("prefilter must be >= k")
+    if len(query) < prefix_dim:
+        raise ValueError(
+            f"query dim {len(query)} < prefix_dim {prefix_dim}"
+        )
+    qp = [float(x) for x in query[:prefix_dim]]
+    nrm = sum(x * x for x in qp) ** 0.5
+    if nrm == 0:
+        raise ValueError("query prefix has zero norm")
+    qpn = [x / nrm for x in qp]
+    coarse = similarity_expr(
+        matryoshka_expr(emb_col, prefix_dim), array_lit(qpn), "dot"
+    )
+    if round_to is not None:
+        coarse = F.round(coarse, round_to)
+    cand = (
+        df.select(F.col(id_col), coarse.alias("coarse"))
+        .orderBy(F.desc("coarse"), F.asc(id_col))
+        .limit(int(prefilter))
+    )
+    sim = cosine_sim_expr(
+        F.col(emb_col).cast("array<double>"),
+        array_lit([float(x) for x in query]),
+    )
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        df.select(id_col, emb_col)
+        .join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.col("coarse"), sim.alias("similarity"))
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(int(k))
+    )

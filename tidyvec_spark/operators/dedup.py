@@ -1555,3 +1555,31 @@ def shared_line_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("n_shared_lines"))
     )
+
+
+def drop_exact_dups_weighted(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weight_col: str = "n_copies",
+) -> DataFrame:
+    """Exact dedup that PRESERVES multiplicity: keep the lowest-id
+    representative of each group and attach how many copies it stood
+    for — the input to duplication-aware loss weighting / sampling
+    (a document seen a million times carries signal the plain drop
+    throws away; downstream can up-weight, cap, or log-scale it).
+
+    Same shape as :func:`drop_exact_dups` (map-side partial
+    aggregation on the 128-bit key, skew-tolerant join back); the
+    count rides the same aggregate for free.
+    """
+    keyed = df.withColumn("__h", normalized_text_key(text_col))
+    keep = keyed.groupBy("__h").agg(
+        F.min(id_col).alias("__keep"),
+        F.count("*").cast("long").alias(weight_col),
+    )
+    return (
+        keyed.join(keep, "__h")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .select(*df.columns, weight_col)
+    )
