@@ -1678,6 +1678,41 @@ def _media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_synthetic_binary(docs, "text").select("doc_id", "content")
 
 
+def _multimodal_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-free image metadata (operators/multimodal.py::
+    image_header_meta): valid PNG headers synthesized expression-side
+    (unhex of the magic + IHDR with doc_id-derived dimensions), then
+    parsed back by the pure-byte-read header parser — no PIL, no fake:
+    the parse must recover exactly the dimensions the oracle computes
+    from doc_id."""
+    from tidyvec_spark.operators.multimodal import image_header_meta
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(16) + F.col("doc_id") % 624).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 464).cast("int")
+    content = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+            F.lit("080200000000000000"),
+        )
+    )
+    df = docs.select("doc_id", content.alias("content"))
+    return image_header_meta(df).select(
+        "doc_id", "n_bytes", "width", "height", "format"
+    )
+
+
+_MULTIMODAL_HEADER_SQL = """
+SELECT doc_id, CAST(33 AS BIGINT) AS n_bytes,
+       CAST(16 + doc_id % 624 AS INT) AS width,
+       CAST(16 + (doc_id * 7) % 464 AS INT) AS height,
+       'PNG' AS format
+FROM documents
+"""
+
+
 def _multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary content → mapInPandas image-meta decode (fake codec) +
     JVM-side md5; the full multimodal ingest shape."""
@@ -6143,7 +6178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q9_nation_profit, q11_important_parts, q12_late_lines,
         # q16_supplier_counts, q20_share_suppliers,
         # q21_waiting_suppliers, source_overlap, cascade_topk,
-        # dedup_weighted (25 entries — fits the
+        # dedup_weighted, multimodal_header_meta (26 entries — fits the
         # window with the 9 stable reps + 18 of the now-confirmed
         # round-6 window); move this round's confirmed window entries
         # to the tail.
@@ -6185,6 +6220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _token_topk,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_image_meta": _multimodal_image_meta,
+        "multimodal_header_meta": _multimodal_header_meta,
         "multimodal_audio_meta": _multimodal_audio_meta,
         "multimodal_frame_sample": _multimodal_frame_sample,
         "budget_sample_by_lang": _budget_sample_by_lang,
@@ -6279,6 +6315,7 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": _TOKEN_TOPK_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "multimodal_image_meta": _MULTIMODAL_IMAGE_SQL,
+        "multimodal_header_meta": _MULTIMODAL_HEADER_SQL,
         "multimodal_audio_meta": _MULTIMODAL_AUDIO_SQL,
         "multimodal_frame_sample": _MULTIMODAL_FRAMES_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "cascade_topk",
     "embedding_health",
     "text_stats",
+    "multimodal_header_meta",
     "lang_id",
     "token_topk",
     "docs_quality_flags",

@@ -100,3 +100,45 @@ def test_binary_embed_nearest_end_to_end(media, spark):
     top = res.df.select("doc_id", "similarity").first()
     assert top["doc_id"] == target["doc_id"]
     assert abs(top["similarity"] - 1.0) < 1e-5
+
+
+def test_parse_image_header_real_formats():
+    import struct
+
+    from tidyvec_spark.operators.multimodal import parse_image_header
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+    assert parse_image_header(png) == (640, 480, "PNG")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert parse_image_header(gif) == (320, 200, "GIF")
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8
+    assert parse_image_header(bmp) == (100, 50, "BMP")
+    # JPEG: SOI, APP0 segment, then SOF0
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 768, 1024) + b"\x03" + b"\x00" * 2)
+    assert parse_image_header(jpeg) == (1024, 768, "JPEG")
+    assert parse_image_header(b"not an image at all") == (None, None, None)
+    assert parse_image_header(None) == (None, None, None)
+
+
+def test_image_header_meta_operator(spark):
+    import struct
+
+    from tidyvec_spark.operators.multimodal import image_header_meta
+
+    def png(w, h):
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png(12, 34))), (2, bytearray(b"junk")), (3, None)],
+        "id bigint, content binary",
+    )
+    got = {r["id"]: (r["width"], r["height"], r["format"], r["n_bytes"])
+           for r in image_header_meta(df).collect()}
+    assert got[1] == (12, 34, "PNG", 33)
+    assert got[2] == (None, None, None, 4)
+    assert got[3] == (None, None, None, 0)

@@ -209,3 +209,76 @@ def sample_frames(
             )
 
     return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
+
+
+# -- real, codec-free header parsing ------------------------------------
+
+def parse_image_header(b: bytes):
+    """(width, height, format) parsed from raw image HEADER bytes —
+    REAL metadata with zero codec dependencies (pure byte reads):
+    PNG IHDR, GIF logical screen, BMP info header, JPEG SOF scan.
+    Returns (None, None, None) when the payload matches no known
+    signature. This is the always-available half of image metadata;
+    pixel decode stays behind the PIL gate.
+    """
+    import struct
+
+    if b is None or len(b) < 10:
+        return (None, None, None)
+    b = bytes(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return (int(w), int(h), "PNG")
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return (int(w), int(h), "GIF")
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return (int(w), int(abs(h)), "BMP")
+    if b[:2] == b"\xff\xd8":  # JPEG: scan segments for a SOF marker
+        i = 2
+        n = len(b)
+        while i + 9 < n and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return (int(w), int(h), "JPEG")
+            i += 2 + seglen
+    return (None, None, None)
+
+
+def image_header_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append (n_bytes, width, height, format) parsed from real image
+    headers — no PIL, no fake: the signature/dimension fields every
+    multimodal curation filter needs (drop tiny images, split by
+    format, compute megapixel budgets) read straight from the bytes.
+    Arrow-batched mapInPandas, schema-appending, no shuffle.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("format", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[content_col]
+            meta = [parse_image_header(b) for b in blobs]
+            pdf = pdf.copy()
+            pdf["n_bytes"] = blobs.map(
+                lambda b: 0 if b is None else len(b)
+            ).astype("int64")
+            pdf["width"] = pd.array([m[0] for m in meta], dtype="Int32")
+            pdf["height"] = pd.array([m[1] for m in meta], dtype="Int32")
+            pdf["format"] = pd.array([m[2] for m in meta], dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
