@@ -1713,6 +1713,54 @@ FROM documents
 """
 
 
+def _multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-free audio metadata (operators/multimodal.py::
+    audio_header_meta): valid RIFF/WAVE headers synthesized
+    expression-side (little-endian hex assembly), parsed back by the
+    chunk-walking byte parser — rate/channels/sample-count recovered
+    exactly as the oracle computes them from doc_id."""
+    from tidyvec_spark.operators.multimodal import audio_header_meta
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    rate = (F.lit(8000) + (F.col("doc_id") % 8) * 1000).cast("long")
+    ch = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    frames = (F.lit(100) + F.col("doc_id") % 1000).cast("long")
+    data_size = frames * ch * 2  # 16-bit PCM
+    byte_rate = rate * ch * 2
+    block = ch * 2
+
+    def le(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(F.hex(F.shiftright(col, 8 * i) % 256), 2, "0")
+                for i in range(nbytes)
+            ]
+        )
+
+    content = F.unhex(
+        F.concat(
+            F.lit("52494646"), le(data_size + 36, 4),      # RIFF size
+            F.lit("57415645666D742010000000"),             # WAVE fmt 16
+            F.lit("0100"), le(ch, 2), le(rate, 4),
+            le(byte_rate, 4), le(block, 2), F.lit("1000"),  # 16 bits
+            F.lit("64617461"), le(data_size, 4),           # data chunk
+        )
+    )
+    df = docs.select("doc_id", content.alias("content"))
+    return audio_header_meta(df).select(
+        "doc_id", "sample_rate", "channels", "n_samples"
+    )
+
+
+_MULTIMODAL_WAV_SQL = """
+SELECT doc_id,
+       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(100 + doc_id % 1000 AS BIGINT) AS n_samples
+FROM documents
+"""
+
+
 def _multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary content → mapInPandas image-meta decode (fake codec) +
     JVM-side md5; the full multimodal ingest shape."""
@@ -6178,7 +6226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q9_nation_profit, q11_important_parts, q12_late_lines,
         # q16_supplier_counts, q20_share_suppliers,
         # q21_waiting_suppliers, source_overlap, cascade_topk,
-        # dedup_weighted, multimodal_header_meta (26 entries — fits the
+        # dedup_weighted, multimodal_header_meta, multimodal_wav_meta
+        # (27 entries — fits the
         # window with the 9 stable reps + 18 of the now-confirmed
         # round-6 window); move this round's confirmed window entries
         # to the tail.
@@ -6221,6 +6270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_image_meta": _multimodal_image_meta,
         "multimodal_header_meta": _multimodal_header_meta,
+        "multimodal_wav_meta": _multimodal_wav_meta,
         "multimodal_audio_meta": _multimodal_audio_meta,
         "multimodal_frame_sample": _multimodal_frame_sample,
         "budget_sample_by_lang": _budget_sample_by_lang,
@@ -6316,6 +6366,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "multimodal_image_meta": _MULTIMODAL_IMAGE_SQL,
         "multimodal_header_meta": _MULTIMODAL_HEADER_SQL,
+        "multimodal_wav_meta": _MULTIMODAL_WAV_SQL,
         "multimodal_audio_meta": _MULTIMODAL_AUDIO_SQL,
         "multimodal_frame_sample": _MULTIMODAL_FRAMES_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "embedding_health",
     "text_stats",
     "multimodal_header_meta",
+    "multimodal_wav_meta",
     "lang_id",
     "token_topk",
     "docs_quality_flags",

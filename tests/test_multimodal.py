@@ -142,3 +142,37 @@ def test_image_header_meta_operator(spark):
     assert got[1] == (12, 34, "PNG", 33)
     assert got[2] == (None, None, None, 4)
     assert got[3] == (None, None, None, 0)
+
+
+def _wav(rate=16000, ch=1, bits=16, n_frames=100):
+    import struct
+
+    data_size = n_frames * ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                      ch * bits // 8, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", data_size) + b"\x00" * data_size)
+    return b"RIFF" + struct.pack("<I", 4 + len(body) - 4) + body
+
+
+def test_parse_wav_header():
+    from tidyvec_spark.operators.multimodal import parse_wav_header
+
+    assert parse_wav_header(_wav(44100, 2, 16, 441)) == (44100, 2, 441)
+    assert parse_wav_header(_wav(8000, 1, 8, 12345)) == (8000, 1, 12345)
+    assert parse_wav_header(b"ID3\x03junk mp3-ish") == (None, None, None)
+    assert parse_wav_header(None) == (None, None, None)
+
+
+def test_audio_header_meta_operator(spark):
+    from tidyvec_spark.operators.multimodal import audio_header_meta
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav(16000, 1, 16, 320))), (2, bytearray(b"nope"))],
+        "id bigint, content binary",
+    )
+    got = {r["id"]: (r["sample_rate"], r["channels"], r["n_samples"])
+           for r in audio_header_meta(df).collect()}
+    assert got[1] == (16000, 1, 320)
+    assert got[2] == (None, None, None)

@@ -282,3 +282,64 @@ def image_header_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def parse_wav_header(b: bytes):
+    """(sample_rate, channels, n_samples) from a RIFF/WAVE header —
+    the audio half of codec-free metadata: fmt chunk fields plus the
+    data chunk size divided by the frame width. Returns
+    (None, None, None) for non-WAV payloads. Chunk-walks, so files
+    with LIST/fact chunks before data parse correctly."""
+    import struct
+
+    if b is None or len(b) < 28:
+        return (None, None, None)
+    b = bytes(b)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (None, None, None)
+    i = 12
+    rate = ch = bits = None
+    n_samples = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            ch, rate = struct.unpack("<HI", b[i + 10 : i + 16])
+            bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+        elif cid == b"data" and ch and bits:
+            n_samples = size // (ch * bits // 8) if ch * bits else None
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None:
+        return (None, None, None)
+    return (int(rate), int(ch), None if n_samples is None else int(n_samples))
+
+
+def audio_header_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append (n_bytes, sample_rate, channels, n_samples) parsed from
+    real WAV headers — Arrow-batched mapInPandas, no codec, no fake.
+    Duration in seconds is ``n_samples / sample_rate`` downstream (kept
+    as exact integers here; the division is presentation)."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[content_col]
+            meta = [parse_wav_header(b) for b in blobs]
+            pdf = pdf.copy()
+            pdf["n_bytes"] = blobs.map(
+                lambda b: 0 if b is None else len(b)
+            ).astype("int64")
+            pdf["sample_rate"] = pd.array([m[0] for m in meta], dtype="Int32")
+            pdf["channels"] = pd.array([m[1] for m in meta], dtype="Int32")
+            pdf["n_samples"] = pd.array([m[2] for m in meta], dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
