@@ -1761,6 +1761,41 @@ FROM documents
 """
 
 
+def _multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-free video metadata (operators/multimodal.py::
+    video_header_meta): minimal ISO-BMFF containers (ftyp + moov/mvhd)
+    assembled expression-side in big-endian hex, box-walked back to
+    (timescale, duration) — the trio-completing video half."""
+    from tidyvec_spark.operators.multimodal import video_header_meta
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    dur = ((F.col("doc_id") % 3600 + 1) * 600).cast("long")
+    content = F.unhex(
+        F.concat(
+            F.lit("000000106674797069736F6D00000000"),       # ftyp isom
+            F.lit("000000746D6F6F76"),                       # moov (116)
+            F.lit("0000006C6D766864"),                       # mvhd (108)
+            F.lit("00000000"),                               # ver 0 + flags
+            F.lit("0000000000000000"),                       # ctime/mtime
+            F.lit("00000258"),                               # timescale 600
+            F.lpad(F.hex(dur), 8, "0"),                      # duration BE4
+            F.lit("00" * 80),                                # rest of mvhd
+        )
+    )
+    df = docs.select("doc_id", content.alias("content"))
+    return video_header_meta(df).select(
+        "doc_id", "timescale", "duration_units", "brand"
+    )
+
+
+_MULTIMODAL_MP4_SQL = """
+SELECT doc_id, CAST(600 AS INT) AS timescale,
+       CAST((doc_id % 3600 + 1) * 600 AS BIGINT) AS duration_units,
+       'isom' AS brand
+FROM documents
+"""
+
+
 def _multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary content → mapInPandas image-meta decode (fake codec) +
     JVM-side md5; the full multimodal ingest shape."""
@@ -6226,8 +6261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q9_nation_profit, q11_important_parts, q12_late_lines,
         # q16_supplier_counts, q20_share_suppliers,
         # q21_waiting_suppliers, source_overlap, cascade_topk,
-        # dedup_weighted, multimodal_header_meta, multimodal_wav_meta
-        # (27 entries — fits the
+        # dedup_weighted, multimodal_header_meta, multimodal_wav_meta,
+        # multimodal_mp4_meta (28 entries — fits the
         # window with the 9 stable reps + 18 of the now-confirmed
         # round-6 window); move this round's confirmed window entries
         # to the tail.
@@ -6271,6 +6306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": _multimodal_image_meta,
         "multimodal_header_meta": _multimodal_header_meta,
         "multimodal_wav_meta": _multimodal_wav_meta,
+        "multimodal_mp4_meta": _multimodal_mp4_meta,
         "multimodal_audio_meta": _multimodal_audio_meta,
         "multimodal_frame_sample": _multimodal_frame_sample,
         "budget_sample_by_lang": _budget_sample_by_lang,
@@ -6367,6 +6403,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_meta": _MULTIMODAL_IMAGE_SQL,
         "multimodal_header_meta": _MULTIMODAL_HEADER_SQL,
         "multimodal_wav_meta": _MULTIMODAL_WAV_SQL,
+        "multimodal_mp4_meta": _MULTIMODAL_MP4_SQL,
         "multimodal_audio_meta": _MULTIMODAL_AUDIO_SQL,
         "multimodal_frame_sample": _MULTIMODAL_FRAMES_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "text_stats",
     "multimodal_header_meta",
     "multimodal_wav_meta",
+    "multimodal_mp4_meta",
     "lang_id",
     "token_topk",
     "docs_quality_flags",

@@ -176,3 +176,42 @@ def test_audio_header_meta_operator(spark):
            for r in audio_header_meta(df).collect()}
     assert got[1] == (16000, 1, 320)
     assert got[2] == (None, None, None)
+
+
+def _mp4(timescale=600, duration=12000, ver=0):
+    import struct
+
+    if ver == 0:
+        mvhd_body = (bytes([0]) + b"\x00" * 3 + b"\x00" * 8
+                     + struct.pack(">I", timescale) + struct.pack(">I", duration)
+                     + b"\x00" * 80)
+    else:
+        mvhd_body = (bytes([1]) + b"\x00" * 3 + b"\x00" * 16
+                     + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+                     + b"\x00" * 80)
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    return ftyp + moov
+
+
+def test_parse_mp4_header():
+    from tidyvec_spark.operators.multimodal import parse_mp4_header
+
+    assert parse_mp4_header(_mp4(600, 12000)) == (600, 12000, "isom")
+    assert parse_mp4_header(_mp4(90000, 2**33, ver=1)) == (90000, 2**33, "isom")
+    assert parse_mp4_header(b"RIFF....WAVE") == (None, None, None)
+    assert parse_mp4_header(None) == (None, None, None)
+
+
+def test_video_header_meta_operator(spark):
+    from tidyvec_spark.operators.multimodal import video_header_meta
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_mp4(1000, 42000))), (2, bytearray(b"not a video"))],
+        "id bigint, content binary",
+    )
+    got = {r["id"]: (r["timescale"], r["duration_units"], r["brand"])
+           for r in video_header_meta(df).collect()}
+    assert got[1] == (1000, 42000, "isom")
+    assert got[2] == (None, None, None)
