@@ -5720,6 +5720,56 @@ def _events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def _events_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online rolling z-score anomalies through the REAL streaming
+    engine (streaming/pipelines.py::zscore_anomaly_stream): one staged
+    file → one micro-batch processed in event-time order, so emissions
+    equal the batch window twin and the same SQL oracle applies —
+    ring-buffer state of 8*20 bytes per event type."""
+    import os
+    import shutil
+    import tempfile
+
+    from tidyvec_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+        zscore_anomaly_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="tv_stream_anom_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "part-000.parquet"),
+    )
+    stream = read_event_stream(spark, d)
+    table = f"events_stream_anomaly_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(
+        zscore_anomaly_stream(stream), table, output_mode="append"
+    )
+    return spark.table(table)
+
+
+_EVENTS_STREAM_ANOMALY_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, value, epoch_ns(ts) // 1000000000 AS ts_s
+  FROM events
+),
+s AS (
+  SELECT event_id, event_type, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd
+  FROM e
+  WINDOW w AS (
+    PARTITION BY event_type ORDER BY ts_s, event_id
+    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, event_type, ROUND((value - mu) / sd, 4) AS z
+FROM s
+WHERE sd IS NOT NULL AND sd > 0 AND abs(ROUND((value - mu) / sd, 4)) > 3.0
+"""
+
+
 def _events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream interval join: the events parquet staged as a
     landing directory, read as TWO file-source streams (errors, clicks),
@@ -6262,7 +6312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q16_supplier_counts, q20_share_suppliers,
         # q21_waiting_suppliers, source_overlap, cascade_topk,
         # dedup_weighted, multimodal_header_meta, multimodal_wav_meta,
-        # multimodal_mp4_meta (28 entries — fits the
+        # multimodal_mp4_meta, events_stream_anomaly (29 entries —
+        # fits the
         # window with the 9 stable reps + 18 of the now-confirmed
         # round-6 window); move this round's confirmed window entries
         # to the tail.
@@ -6358,6 +6409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _events_funnel,
         "events_anomaly": _events_anomaly,
         "events_stream_hourly": _events_stream_hourly,
+        "events_stream_anomaly": _events_stream_anomaly,
         "events_stream_interval_join": _events_stream_interval_join,
         "docs_stream_budget": _docs_stream_budget,
         # oracle twins / strict sub-plans of other entries
@@ -6514,6 +6566,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_anomaly": _EVENTS_ANOMALY_SQL,
         "events_stream_hourly": _EVENTS_HOURLY_SQL,
+        "events_stream_anomaly": _EVENTS_STREAM_ANOMALY_SQL,
         "events_stream_interval_join": _EVENTS_RANGE_JOIN_SQL,
         "docs_stream_dedup": _DOCS_STREAM_DEDUP_SQL,
         "hf_query_nearest": _hf_query_nearest_sql(),

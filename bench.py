@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "events_rolling_1h",
     "events_funnel",
     "events_anomaly",
+    "events_stream_anomaly",
     "events_retention",
     "events_props_stats",
     "events_zorder",
