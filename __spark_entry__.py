@@ -3864,6 +3864,47 @@ SELECT doc_id, n_tokens, fp FROM (
 """
 
 
+def _docs_dedup_lines_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document line dedup (functions/quality.py::
+    dedup_lines_within_expr): first occurrence of each distinct line
+    kept in order — the per-page boilerplate pass; zero shuffle
+    (array_distinct preserves first-occurrence order), vs the
+    3-shuffle cross-corpus dedup_lines_global. Line structure
+    synthesized as in the other line entries."""
+    from tidyvec_spark.functions.quality import dedup_lines_within_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = F.replace(F.col("text"), F.lit(" the "), F.lit("\n"))
+    return docs.select(
+        "doc_id",
+        F.coalesce(dedup_lines_within_expr(lined), F.lit("")).alias("text"),
+    )
+
+
+_DOCS_DEDUP_LINES_WITHIN_SQL = """
+WITH lined AS (
+  SELECT doc_id, replace(text, ' the ', chr(10)) AS t FROM documents
+),
+ex AS (
+  SELECT doc_id, trim(ls[u.i]) AS line, u.i AS pos
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined),
+       LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+  WHERE trim(ls[u.i]) <> ''
+),
+k AS (
+  SELECT doc_id, line, pos,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+  FROM ex
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM k WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.text, '') AS text
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 def _docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (functions/quality.py::
     normalize_text_expr): typographic punctuation to ASCII, control
@@ -6312,8 +6353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q16_supplier_counts, q20_share_suppliers,
         # q21_waiting_suppliers, source_overlap, cascade_topk,
         # dedup_weighted, multimodal_header_meta, multimodal_wav_meta,
-        # multimodal_mp4_meta, events_stream_anomaly (29 entries —
-        # fits the
+        # multimodal_mp4_meta, events_stream_anomaly,
+        # docs_dedup_lines_within (30 entries — fits the
         # window with the 9 stable reps + 18 of the now-confirmed
         # round-6 window); move this round's confirmed window entries
         # to the tail.
@@ -6372,6 +6413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _source_overlap,
         "dedup_weighted": _dedup_weighted,
         "docs_normalize": _docs_normalize,
+        "docs_dedup_lines_within": _docs_dedup_lines_within,
         "docs_keep_best": _docs_keep_best,
         "docs_dup_spans": _docs_dup_spans,
         "docs_dup_stats": _docs_dup_stats,
@@ -6505,6 +6547,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_weighted": _DEDUP_WEIGHTED_SQL,
         "pipeline_web": _PIPELINE_WEB_SQL,
         "docs_normalize": _DOCS_NORMALIZE_SQL,
+        "docs_dedup_lines_within": _DOCS_DEDUP_LINES_WITHIN_SQL,
         "docs_keep_best": _DOCS_KEEP_BEST_SQL,
         "docs_dup_spans": _DOCS_DUP_SPANS_SQL,
         "docs_dup_stats": _DOCS_DUP_STATS_SQL,

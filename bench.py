@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "hard_negatives",
     "docs_lm_perplexity",
     "docs_dedup_lines",
+    "docs_dedup_lines_within",
     "docs_dup_spans",
     "docs_dup_stats",
     "docs_dedup_cut",

@@ -320,3 +320,21 @@ def test_html_to_text_expr(spark):
     assert "color" not in got[1] and "var a" not in got[1] and "nav" not in got[1]
     assert got[2] == "no markup"
     assert got[3] is None
+
+
+def test_dedup_lines_within_expr(spark):
+    from tidyvec_spark.functions.quality import dedup_lines_within_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "banner\nbody one\nbanner\nbody two\n\nbanner"),
+            (2, "only\nlines"),
+            (3, None),
+        ],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r["t"] for r in
+           df.select("id", dedup_lines_within_expr("text").alias("t")).collect()}
+    assert got[1] == "banner\nbody one\nbody two"
+    assert got[2] == "only\nlines"
+    assert got[3] is None

@@ -29,6 +29,7 @@ from tidyvec_spark.functions.text import (
 )
 
 __all__ = [
+    "dedup_lines_within_expr",
     "html_to_text_expr",
     "normalize_text_expr",
     "lines",
@@ -312,3 +313,22 @@ def html_to_text_expr(c: ColumnOrName) -> Column:
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{2,}", "\n")
     return F.trim(t)
+
+
+def dedup_lines_within_expr(c: ColumnOrName) -> Column:
+    """WITHIN-document line dedup: each distinct non-blank line keeps
+    its first occurrence, order preserved — the per-page half of
+    boilerplate removal (`operators/dedup.py::dedup_lines_global` is
+    the cross-corpus half; this one needs no shuffle at all:
+    ``array_distinct`` keeps first occurrences in order, so the whole
+    operator is one codegen expression)."""
+    col = _col(c)
+    return F.array_join(
+        F.array_distinct(
+            F.filter(
+                F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
+        ),
+        "\n",
+    )
