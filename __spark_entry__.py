@@ -2634,6 +2634,62 @@ ORDER BY similarity DESC, vec_id LIMIT 10
 """
 
 
+def _mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/search.py::mmr_topk,
+    Carbonell & Goldstein 1998): distributed rounded-cosine top-50
+    pool, then the greedy relevance-vs-redundancy selection over the
+    bounded pool. The oracle replays the greedy loop as a DuckDB
+    recursive CTE — the full sequential algorithm, not a projection
+    of it."""
+    from tidyvec_spark.operators.search import mmr_topk
+
+    e = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 5)
+    q = _query_vec(spark, sf_dir)
+    return mmr_topk(
+        e, "embedding", "vec_id", q, k=10, pool=50, lam=0.7, round_to=R
+    )
+
+
+def _mmr_sql() -> str:
+    lam = 0.7
+    mu = 1.0 - lam  # same float the driver-side greedy uses
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id AS cid, v, ROUND(list_cosine_similarity(v, qv), {R}) AS sim
+  FROM e, q WHERE vec_id >= 5
+  ORDER BY sim DESC, cid LIMIT 50
+),
+pc AS (
+  SELECT a.cid AS ca, b.cid AS cb,
+         ROUND(list_cosine_similarity(a.v, b.v), {R}) AS s
+  FROM cand a JOIN cand b ON a.cid <> b.cid
+),
+sel AS (
+  SELECT 1 AS step,
+         [(SELECT cid FROM cand ORDER BY sim DESC, cid LIMIT 1)] AS chosen
+  UNION ALL
+  SELECT step + 1, list_append(chosen, (
+    SELECT c.cid FROM cand c
+    WHERE NOT list_contains(chosen, c.cid)
+    ORDER BY {lam!r} * c.sim - {mu!r} * coalesce((
+        SELECT max(pc.s) FROM pc
+        WHERE pc.ca = c.cid AND list_contains(chosen, pc.cb)
+      ), 0.0) DESC, c.cid
+    LIMIT 1))
+  FROM sel WHERE step < 10
+),
+final AS (SELECT chosen FROM sel WHERE step = 10)
+SELECT chosen[g.i] AS vec_id,
+       (SELECT sim FROM cand WHERE cid = chosen[g.i]) AS similarity,
+       CAST(g.i AS INT) AS mmr_rank
+FROM final, UNNEST(generate_series(1, len(chosen))) AS g(i)
+"""
+
+
 def _cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka cascade (operators/ann.py::matryoshka_cascade_topk):
     coarse renormalized-16-dim dot over the whole corpus, top-50
@@ -6354,7 +6410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q21_waiting_suppliers, source_overlap, cascade_topk,
         # dedup_weighted, multimodal_header_meta, multimodal_wav_meta,
         # multimodal_mp4_meta, events_stream_anomaly,
-        # docs_dedup_lines_within (30 entries — fits the
+        # docs_dedup_lines_within, mmr_topk (31 entries — exceeds the
         # window with the 9 stable reps + 18 of the now-confirmed
         # round-6 window); move this round's confirmed window entries
         # to the tail.
@@ -6376,6 +6432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": _sq_topk,
         "matryoshka_topk": _matryoshka_topk,
         "cascade_topk": _cascade_topk,
+        "mmr_topk": _mmr_topk,
         "embedding_near_dup": _embedding_near_dup,
         "semantic_dedup": _semantic_dedup,
         "lsh_near_dup_multi": _lsh_near_dup_multi,
@@ -6544,6 +6601,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_jsonl_ingest": _DOCS_JSONL_INGEST_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "cascade_topk": _CASCADE_SQL,
+        "mmr_topk": _mmr_sql(),
         "dedup_weighted": _DEDUP_WEIGHTED_SQL,
         "pipeline_web": _PIPELINE_WEB_SQL,
         "docs_normalize": _DOCS_NORMALIZE_SQL,

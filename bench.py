@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "sq_topk",
     "matryoshka_topk",
     "cascade_topk",
+    "mmr_topk",
     "embedding_health",
     "text_stats",
     "multimodal_header_meta",

@@ -75,3 +75,34 @@ def test_bm25_precomputed_stats_single_shuffle(documents):
 def test_bm25_empty_query_raises(documents):
     with pytest.raises(ValueError):
         bm25_topk(documents, "text", "doc_id", "   ")
+
+
+def test_mmr_topk_diversifies(spark):
+    """Hand case: two near-duplicate high-similarity items — MMR keeps
+    one and promotes the diverse third item over the redundant twin."""
+    from tidyvec_spark.operators.search import mmr_topk
+
+    # query off-axis from every candidate (a query aligned with the
+    # top pick makes penalty == similarity and MMR degenerates)
+    rows = [
+        (1, [0.91, 0.4146, 0.0]),    # most relevant (sim ~0.91)
+        (2, [0.9, 0.43, 0.05]),      # near-twin of 1 (pair cos ~0.998)
+        (3, [0.88, -0.475, 0.0]),    # relevant but diverse (pair cos ~0.60)
+        (4, [0.0, 0.0, 1.0]),        # orthogonal, irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = [
+        (r["vec_id"], r["mmr_rank"])
+        for r in mmr_topk(
+            df, "embedding", "vec_id", [1.0, 0.0, 0.0], k=3, pool=4, lam=0.6
+        ).collect()
+    ]
+    order = [v for v, _ in sorted(got, key=lambda t: t[1])]
+    assert order[0] == 1          # most relevant first
+    assert order[1] == 3          # diversity beats the near-twin
+    assert order[2] == 2
+    import pytest as pt
+    with pt.raises(ValueError):
+        mmr_topk(df, "embedding", "vec_id", [1.0, 0, 0], k=5, pool=3)
+    with pt.raises(ValueError):
+        mmr_topk(df, "embedding", "vec_id", [1.0, 0, 0], k=2, pool=4, lam=0.0)

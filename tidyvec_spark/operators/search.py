@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from tidyvec_spark.embedders.tfidf import tokens_expr
 
-__all__ = ["bm25_stats", "bm25_topk"]
+__all__ = ["bm25_stats", "bm25_topk", "mmr_topk"]
 
 
 def _query_terms(query: str) -> list[str]:
@@ -144,4 +144,91 @@ def bm25_topk(
         .filter(F.col(score_col) >= F.lit(float(min_score)))
         .orderBy(F.desc(score_col), F.asc(id_col))
         .limit(int(n))
+    )
+
+
+def mmr_topk(
+    df,
+    emb_col: str,
+    id_col: str,
+    query,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    round_to: int = 6,
+):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick items maximizing
+    ``lam * sim(query, d) - (1 - lam) * max_{s in selected} sim(d, s)``
+    — relevance traded against redundancy, the diversification stage
+    RAG retrieval pipelines put between vector search and the prompt.
+
+    Two honest stages: the POOL selection is distributed (exact
+    rounded-cosine top-``pool``, tiebreak id — the same shape as every
+    top-k here); the greedy selection is inherently sequential over a
+    BOUNDED pool (k × pool pairwise terms), so it runs driver-side on
+    the collected pool — pool × dim floats, a serving-sized payload,
+    never the corpus. Similarities round to ``round_to`` before any
+    comparison so the selection is engine-portable (the DuckDB oracle
+    replays the greedy loop as a recursive CTE).
+
+    Returns a DataFrame (``id_col``, similarity, mmr_rank).
+    """
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.vector import array_lit, cosine_sim_expr
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if pool < k:
+        raise ValueError("pool must be >= k")
+    if not (0.0 < lam <= 1.0):
+        # lam = 0 would make the first pick arbitrary (every score 0)
+        raise ValueError("lam must be in (0, 1]")
+    spark = df.sparkSession
+    qv = [float(x) for x in query]
+    sim = F.round(
+        cosine_sim_expr(F.col(emb_col).cast("array<double>"), array_lit(qv)),
+        round_to,
+    )
+    rows = (
+        df.select(
+            F.col(id_col),
+            sim.alias("__sim"),
+            F.col(emb_col).cast("array<double>").alias("__v"),
+        )
+        .orderBy(F.desc("__sim"), F.asc(id_col))
+        .limit(int(pool))
+        .collect()
+    )
+    cands = [
+        (r[id_col], float(r["__sim"]), [float(x) for x in r["__v"]])
+        for r in rows
+    ]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        d = na * nb
+        return round(num / d, round_to) if d else 0.0
+
+    selected = []
+    remaining = list(cands)
+    while remaining and len(selected) < int(k):
+        best = None
+        for cid, s, v in remaining:
+            pen = max((cos(v, sv) for _, _, sv in selected), default=0.0)
+            score = lam * s - (1.0 - lam) * pen
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, (cid, s, v))
+        selected.append(best[1])
+        remaining = [c for c in remaining if c[0] != best[1][0]]
+
+    out = [
+        (cid, s, i + 1) for i, (cid, s, _) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        out, f"{id_col} bigint, similarity double, mmr_rank int"
     )
