@@ -6410,10 +6410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q21_waiting_suppliers, source_overlap, cascade_topk,
         # dedup_weighted, multimodal_header_meta, multimodal_wav_meta,
         # multimodal_mp4_meta, events_stream_anomaly,
-        # docs_dedup_lines_within, mmr_topk (31 entries — exceeds the
-        # window with the 9 stable reps + 18 of the now-confirmed
-        # round-6 window); move this round's confirmed window entries
-        # to the tail.
+        # docs_dedup_lines_within, mmr_topk (31 entries — fits the
+        # window alongside the 9 stable reps with ~10 slots left for
+        # confirmed round-6 window entries); move the rest of this
+        # round's confirmed window to the tail.
         "knn_euclidean": _knn("euclidean"),
         "knn_dot": _knn("dot"),
         "knn_min_score": _knn("cosine", n=100, min_score=0.15),
