@@ -1546,14 +1546,16 @@ def shared_line_matrix(
         .filter(F.trim(F.col("__l")) != "")
         .select("__s", F.md5(F.trim(F.col("__l"))).alias("__h"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = ex.select(F.col("__s").alias("source_a"), "__h")
     b = ex.select(F.col("__s").alias("source_b"), "__h")
-    return (
+    return _with_persisted(
         a.join(b, "__h")
         .filter(F.col("source_a") <= F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(F.count("*").cast("long").alias("n_shared_lines"))
+        .agg(F.count("*").cast("long").alias("n_shared_lines")),
+        [ex],
     )
 
 
