@@ -6322,66 +6322,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-6 rotation (per the r5 verdict item 1): the 37
-    # round-5 oracle-backed entries that had never received a driver row
-    # occupy the window, together with the 4 rows-only ML entries (which
-    # also never had a driver row — the gate's weaker rows-only check
-    # still covers them) and 9 long-stable representatives, one per
-    # spine family, re-checked every round. After this round every
-    # registry entry has at least one driver CORRECTNESS row.
+    # entries. Round-7 rotation (per the r6 verdict item 1): the 31
+    # round-6 oracle-backed entries that had never received a driver row
+    # occupy the window, together with the 9 long-stable representatives
+    # (one per spine family, re-checked every round) and the round-7
+    # additions at positions 41-50 (locally verified at sf0.001/0.01 via
+    # scripts/check_oracle.py before landing here, so they get driver
+    # rows in the same round they are built). After this round EVERY
+    # registry entry has at least one driver CORRECTNESS row and
+    # rotation becomes pure maintenance.
     # Multi-round-stable legacy entries move to the tail; every
     # oracle-backed tail entry stays checked by the dynamic SUBSET in
     # tests/test_entry_oracle.py (computed as "oracle-backed and past
     # position 50", so any future rotation keeps the invariant).
     return {
         # --- gate window (1-50) ---
-        # round-5 additions (first driver rows this round): data selection,
-        # cleaning, dedup policy, serving order, LM quality
-        "dsir_select": _dsir_select,
-        "docs_c4_clean": _docs_c4_clean,
-        "dedup_keep_best": _dedup_keep_best,
-        "docs_stream_near_pairs": _docs_stream_near_pairs,
-        "mix_target": _mix_target,
-        "curriculum_order": _curriculum_order,
-        "hard_negatives": _hard_negatives,
-        "docs_lm_perplexity": _docs_lm_perplexity,
-        "docs_dedup_lines": _docs_dedup_lines,
-        # round-5 TPC-H-family adaptations
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "q4_order_priority": _q4_order_priority,
-        "q10_returned_items": _q10_returned_items,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "q18_large_orders": _q18_large_orders,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q7_nation_volume": _q7_nation_volume,
-        "q8_market_share": _q8_market_share,
-        "q15_top_supplier": _q15_top_supplier,
-        "q22_churned_value": _q22_churned_value,
-        "q13_order_histogram": _q13_order_histogram,
-        "q17_small_quantity": _q17_small_quantity,
-        # round-5 serving / streaming / tooling
-        "serving_shuffle": _serving_shuffle,
-        "docs_stream_ingest": _docs_stream_ingest,
-        "docs_ccnet_buckets": _docs_ccnet_buckets,
-        "decontaminate_ngram": _decontaminate_ngram,
-        "bq_hamming_topk": _bq_hamming_topk,
-        "bq_rerank_topk": _bq_rerank_topk,
-        "ann_recall_lsh": _ann_recall_lsh,
-        "bq_topk_sidecar": _bq_topk_sidecar,
-        "wds_roundtrip": _wds_roundtrip,
-        "pipeline_ccnet": _pipeline_ccnet,
-        "events_skew_profile": _events_skew_profile,
-        "corpus_diff": _corpus_diff,
-        "events_rolling_1h": _events_rolling_1h,
-        "events_retention": _events_retention,
-        "events_props_stats": _events_props_stats,
-        "events_zorder": _events_zorder,
-        # ML / non-SQL entries (driver applies the weaker rows-only
-        # check — their first driver rows too)
-        "kmeans_clusters": _kmeans_clusters,
-        "pca_2d": _pca_2d,
-        "hf_embed_fake": _hf_embed_fake,
-        "bpe_merges": _bpe_merges,
+        # round-6 additions, first driver rows this round:
+        # substring dedup family (Lee et al. 2022)
+        "docs_dup_spans": _docs_dup_spans,
+        "docs_dup_stats": _docs_dup_stats,
+        "docs_dedup_cut": _docs_dedup_cut,
+        # web-extraction / normalization / composite
+        "docs_html_extract": _docs_html_extract,
+        "docs_normalize": _docs_normalize,
+        "docs_keep_best": _docs_keep_best,
+        "pipeline_web": _pipeline_web,
+        # mixing / ANN quality / projections
+        "mix_unimax": _mix_unimax,
+        "ann_tuned_topk": _ann_tuned_topk,
+        "ann_rank_quality": _ann_rank_quality,
+        "embedding_rp_topk": _embedding_rp_topk,
+        "cascade_topk": _cascade_topk,
+        "mmr_topk": _mmr_topk,
+        # corpus tooling / ingest
+        "corpus_manifest": _corpus_manifest,
+        "docs_jsonl_ingest": _docs_jsonl_ingest,
+        "source_overlap": _source_overlap,
+        "dedup_weighted": _dedup_weighted,
+        "docs_dedup_lines_within": _docs_dedup_lines_within,
+        # event analytics (batch + streaming twin)
+        "events_funnel": _events_funnel,
+        "events_anomaly": _events_anomaly,
+        "events_stream_anomaly": _events_stream_anomaly,
+        # codec-free multimodal header parsers
+        "multimodal_header_meta": _multimodal_header_meta,
+        "multimodal_wav_meta": _multimodal_wav_meta,
+        "multimodal_mp4_meta": _multimodal_mp4_meta,
+        # round-6 TPC-H adaptations
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_nation_profit": _q9_nation_profit,
+        "q11_important_parts": _q11_important_parts,
+        "q12_late_lines": _q12_late_lines,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q20_share_suppliers": _q20_share_suppliers,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
         # long-stable representatives (one per spine family, re-checked
         # every round: knn kernel, NULL quirk, embedder+hybrid, LSH join,
         # near-dup, exact dedup, as-of join, stateful streaming,
@@ -6395,25 +6389,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _events_asof_purchase,
         "docs_stream_dedup": _docs_stream_dedup,
         "q5_region_revenue": _q5_region_revenue,
+        # round-7 additions (positions 41-50; each verified locally at
+        # sf0.001 AND sf0.01 before being placed in the window).
+        # R7_SLOT: new entries replace these placeholders as they land.
+        "dsir_select": _dsir_select,
+        "docs_c4_clean": _docs_c4_clean,
+        "dedup_keep_best": _dedup_keep_best,
+        "mix_target": _mix_target,
+        "curriculum_order": _curriculum_order,
+        "hard_negatives": _hard_negatives,
+        "docs_lm_perplexity": _docs_lm_perplexity,
+        "docs_dedup_lines": _docs_dedup_lines,
+        "serving_shuffle": _serving_shuffle,
+        "decontaminate_ngram": _decontaminate_ngram,
         # --- position 51+: outside the driver's gate window ---
         # (every oracle-backed entry below is checked by the dynamic
         # SUBSET in tests/test_entry_oracle.py; each has driver rows
-        # from rounds 1-5)
-        # ROUND-7 ROTATION LIST (round-6 additions, never driver-
-        # checked yet): docs_dup_spans, docs_dup_stats, docs_dedup_cut,
-        # docs_html_extract, docs_normalize, docs_keep_best,
-        # pipeline_web, mix_unimax, ann_tuned_topk, ann_rank_quality,
-        # embedding_rp_topk, corpus_manifest, docs_jsonl_ingest,
-        # events_funnel, events_anomaly, q2_min_cost_supplier,
-        # q9_nation_profit, q11_important_parts, q12_late_lines,
-        # q16_supplier_counts, q20_share_suppliers,
-        # q21_waiting_suppliers, source_overlap, cascade_topk,
-        # dedup_weighted, multimodal_header_meta, multimodal_wav_meta,
-        # multimodal_mp4_meta, events_stream_anomaly,
-        # docs_dedup_lines_within, mmr_topk (31 entries — fits the
-        # window alongside the 9 stable reps with ~10 slots left for
-        # confirmed round-6 window entries); move the rest of this
-        # round's confirmed window to the tail.
+        # from rounds 1-6)
+        "docs_stream_near_pairs": _docs_stream_near_pairs,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q4_order_priority": _q4_order_priority,
+        "q10_returned_items": _q10_returned_items,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q7_nation_volume": _q7_nation_volume,
+        "q8_market_share": _q8_market_share,
+        "q15_top_supplier": _q15_top_supplier,
+        "q22_churned_value": _q22_churned_value,
+        "q13_order_histogram": _q13_order_histogram,
+        "q17_small_quantity": _q17_small_quantity,
+        "docs_stream_ingest": _docs_stream_ingest,
+        "docs_ccnet_buckets": _docs_ccnet_buckets,
+        "bq_hamming_topk": _bq_hamming_topk,
+        "bq_rerank_topk": _bq_rerank_topk,
+        "ann_recall_lsh": _ann_recall_lsh,
+        "bq_topk_sidecar": _bq_topk_sidecar,
+        "wds_roundtrip": _wds_roundtrip,
+        "pipeline_ccnet": _pipeline_ccnet,
+        "events_skew_profile": _events_skew_profile,
+        "corpus_diff": _corpus_diff,
+        "events_rolling_1h": _events_rolling_1h,
+        "events_retention": _events_retention,
+        "events_props_stats": _events_props_stats,
+        "events_zorder": _events_zorder,
+        # ML / non-SQL entries (rows-only driver check; driver rows r6)
+        "kmeans_clusters": _kmeans_clusters,
+        "pca_2d": _pca_2d,
+        "hf_embed_fake": _hf_embed_fake,
+        "bpe_merges": _bpe_merges,
         "knn_euclidean": _knn("euclidean"),
         "knn_dot": _knn("dot"),
         "knn_min_score": _knn("cosine", n=100, min_score=0.15),
@@ -6424,15 +6448,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_lsh_batch": _ann_lsh_batch,
         "ann_topk_sidecar": _ann_topk_sidecar,
-        "ann_tuned_topk": _ann_tuned_topk,
-        "ann_rank_quality": _ann_rank_quality,
-        "embedding_rp_topk": _embedding_rp_topk,
         "pq_adc_topk": _pq_adc_topk,
         "ivfpq_adc_topk": _ivfpq_adc_topk,
         "sq_topk": _sq_topk,
         "matryoshka_topk": _matryoshka_topk,
-        "cascade_topk": _cascade_topk,
-        "mmr_topk": _mmr_topk,
         "embedding_near_dup": _embedding_near_dup,
         "semantic_dedup": _semantic_dedup,
         "lsh_near_dup_multi": _lsh_near_dup_multi,
@@ -6453,28 +6472,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _token_topk,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_image_meta": _multimodal_image_meta,
-        "multimodal_header_meta": _multimodal_header_meta,
-        "multimodal_wav_meta": _multimodal_wav_meta,
-        "multimodal_mp4_meta": _multimodal_mp4_meta,
         "multimodal_audio_meta": _multimodal_audio_meta,
         "multimodal_frame_sample": _multimodal_frame_sample,
         "budget_sample_by_lang": _budget_sample_by_lang,
         "mix_sample_langs": _mix_sample_langs,
         "mix_temperature": _mix_temperature,
-        "mix_unimax": _mix_unimax,
         "sample_fixed_per_lang": _sample_fixed_per_lang,
-        "docs_html_extract": _docs_html_extract,
-        "pipeline_web": _pipeline_web,
-        "corpus_manifest": _corpus_manifest,
-        "docs_jsonl_ingest": _docs_jsonl_ingest,
-        "source_overlap": _source_overlap,
-        "dedup_weighted": _dedup_weighted,
-        "docs_normalize": _docs_normalize,
-        "docs_dedup_lines_within": _docs_dedup_lines_within,
-        "docs_keep_best": _docs_keep_best,
-        "docs_dup_spans": _docs_dup_spans,
-        "docs_dup_stats": _docs_dup_stats,
-        "docs_dedup_cut": _docs_dedup_cut,
         "docs_quality_flags": _docs_quality_flags,
         "docs_repetition": _docs_repetition,
         "docs_redact": _docs_redact,
@@ -6493,22 +6496,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pretrain": _pipeline_pretrain,
         "q1_pricing": _q1_pricing,
         "q3_top_orders": _q3_top_orders,
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "q9_nation_profit": _q9_nation_profit,
-        "q11_important_parts": _q11_important_parts,
-        "q12_late_lines": _q12_late_lines,
-        "q16_supplier_counts": _q16_supplier_counts,
-        "q20_share_suppliers": _q20_share_suppliers,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
         "topk_per_segment": _topk_per_segment,
         "events_hourly": _events_hourly,
         "events_sessions": _events_sessions,
         "events_session_windows": _events_session_windows,
         "events_range_join": _events_range_join,
-        "events_funnel": _events_funnel,
-        "events_anomaly": _events_anomaly,
         "events_stream_hourly": _events_stream_hourly,
-        "events_stream_anomaly": _events_stream_anomaly,
         "events_stream_interval_join": _events_stream_interval_join,
         "docs_stream_budget": _docs_stream_budget,
         # oracle twins / strict sub-plans of other entries

@@ -34,49 +34,43 @@ _ORDER = list(entry.queries())
 _ORACLES = entry.oracle_sql()
 _TAIL = [k for k in _ORDER[50:] if k in _ORACLES]
 
-# Window entries checked here too: the round-6 rotation moved these
-# into the gate window for their FIRST driver row — until CORRECTNESS_r06
+# Window entries checked here too: the round-7 rotation moved these
+# into the gate window for their FIRST driver row — until CORRECTNESS_r07
 # confirms them green, the local mirror is their only oracle check.
-# (Prune to a short representative list once the driver rows land; the
-# round-5 batch was pruned after CORRECTNESS_r05 confirmed all 25.)
+# (Prune once the driver rows land; the round-5 and round-6 batches
+# were pruned after CORRECTNESS_r05/r06 confirmed them green.)
 _NEWLY_WINDOWED = [
-    "dsir_select",
-    "docs_c4_clean",
-    "dedup_keep_best",
-    "docs_stream_near_pairs",
-    "mix_target",
-    "curriculum_order",
-    "hard_negatives",
-    "docs_lm_perplexity",
-    "docs_dedup_lines",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q22_churned_value",
-    "q13_order_histogram",
-    "q17_small_quantity",
-    "serving_shuffle",
-    "docs_stream_ingest",
-    "docs_ccnet_buckets",
-    "decontaminate_ngram",
-    "bq_hamming_topk",
-    "bq_rerank_topk",
-    "ann_recall_lsh",
-    "bq_topk_sidecar",
-    "wds_roundtrip",
-    "pipeline_ccnet",
-    "events_skew_profile",
-    "corpus_diff",
-    "events_rolling_1h",
-    "events_retention",
-    "events_props_stats",
-    "events_zorder",
+    "docs_dup_spans",
+    "docs_dup_stats",
+    "docs_dedup_cut",
+    "docs_html_extract",
+    "docs_normalize",
+    "docs_keep_best",
+    "pipeline_web",
+    "mix_unimax",
+    "ann_tuned_topk",
+    "ann_rank_quality",
+    "embedding_rp_topk",
+    "cascade_topk",
+    "mmr_topk",
+    "corpus_manifest",
+    "docs_jsonl_ingest",
+    "source_overlap",
+    "dedup_weighted",
+    "docs_dedup_lines_within",
+    "events_funnel",
+    "events_anomaly",
+    "events_stream_anomaly",
+    "multimodal_header_meta",
+    "multimodal_wav_meta",
+    "multimodal_mp4_meta",
+    "q2_min_cost_supplier",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q12_late_lines",
+    "q16_supplier_counts",
+    "q20_share_suppliers",
+    "q21_waiting_suppliers",
 ]
 # A few long-stable window representatives so a spine regression
 # (reader, canon compare, query-vec helper) is caught locally.
