@@ -4118,7 +4118,7 @@ def _docs_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOCS_DEDUP_CUT_SQL = f"""
 WITH {_DUP_CORPUS_SQL},
-t AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+t AS (SELECT doc_id, text, {_TOKS} AS toks FROM corpus),
 win AS (
   SELECT doc_id, CAST(gs.i AS BIGINT) AS pos,
          md5(array_to_string(list_slice(toks, gs.i + 1, gs.i + 8), ' ')) AS h
@@ -4135,9 +4135,13 @@ cut AS (
   JOIN own ON w.h = own.h AND own.nd >= 2 AND w.doc_id <> own.owner,
   LATERAL unnest(generate_series(0, 7)) AS u(j)
 ),
+cutdocs AS (
+  SELECT doc_id, count(*) AS n_cut FROM cut GROUP BY doc_id
+),
 tok AS (
-  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS tp, toks[u.i] AS tk
-  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+  SELECT t.doc_id, CAST(u.i - 1 AS BIGINT) AS tp, toks[u.i] AS tk
+  FROM t JOIN cutdocs cd ON t.doc_id = cd.doc_id,
+  LATERAL unnest(generate_series(1, len(toks))) AS u(i)
 ),
 kept AS (
   SELECT tok.doc_id, tok.tp, tok.tk
@@ -4148,10 +4152,13 @@ rebuilt AS (
   SELECT doc_id, string_agg(tk, ' ' ORDER BY tp) AS text,
          count(*) AS n FROM kept GROUP BY doc_id
 )
-SELECT t.doc_id, coalesce(r.text, '') AS text,
-       CAST(coalesce(r.n, 0) AS BIGINT) AS n_tokens,
-       CAST(len(t.toks) - coalesce(r.n, 0) AS BIGINT) AS n_cut
-FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+SELECT t.doc_id,
+       CASE WHEN cd.doc_id IS NULL THEN t.text
+            ELSE coalesce(r.text, '') END AS text,
+       CAST(len(t.toks) - coalesce(cd.n_cut, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cd.n_cut, 0) AS BIGINT) AS n_cut
+FROM t LEFT JOIN cutdocs cd ON t.doc_id = cd.doc_id
+       LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 

@@ -720,6 +720,30 @@ def test_substring_dedup_cut_keeps_first_occurrence(spark):
     assert got2[2] == 0 and got2[9] == 6
 
 
+def test_substring_dedup_cut_preserves_untouched_text(spark):
+    """Documents with nothing to cut come back byte-for-byte — case,
+    whitespace, and punctuation intact — because the rebuild only
+    re-assembles documents that actually lost tokens (tokenization is
+    lowercase+split, so a rebuilt doc IS normalized, but an untouched
+    one must never be)."""
+    from tidyvec_spark.operators.dedup import substring_dedup_cut
+
+    original = "The  QUICK   Brown\tFox! [keeps]  its_Bytes"
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x x a b c d e f y y"),
+            (3, original),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["text"], r["n_cut"])
+           for r in substring_dedup_cut(docs, "text", "doc_id", k=4).collect()}
+    assert got[3] == (original, 0)
+    assert got[1] == ("a b c d e f g h", 0)  # owner also untouched
+    assert got[2] == ("x x y y", 6)
+
+
 def test_shared_line_matrix(spark):
     from tidyvec_spark.operators.dedup import shared_line_matrix
 

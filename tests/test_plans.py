@@ -374,3 +374,19 @@ def test_substring_dedup_no_pair_explosion(spark, qs):
         df = qs[name](spark, SF)
         P.assert_no_cartesian(df)
         assert P.num_shuffles(df) <= 6, name
+
+
+def test_substring_cut_rebuild_has_no_token_level_exchange(spark, qs):
+    """The CUT rebuild must never explode the corpus's tokens: the only
+    Generate nodes are the window hashing (detect) and the per-marked-
+    window cut-position sequence; the surviving text is reassembled
+    map-side by filtering the token array in place, so no shuffle in
+    the plan is corpus-token-wide."""
+    import re
+
+    df = qs["docs_dedup_cut"](spark, SF)
+    plan = P.explain_str(df)
+    assert "posexplode(__ts" not in plan, "token-level explode is back"
+    tree = plan.split("== Initial Plan ==")[0]
+    n_generate = len(set(re.findall(r"Generate \((\d+)\)", tree)))
+    assert n_generate <= 2, f"{n_generate} Generate nodes (expected 2)"

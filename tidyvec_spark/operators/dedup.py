@@ -1434,15 +1434,21 @@ def substring_dedup_cut(
     other document has those tokens CUT and its text rebuilt from the
     survivors. Detection and ownership share one window table.
 
-    Returns (``id_col``, ``text_col`` rebuilt, n_tokens, n_cut) for
-    every document (n_cut = 0 when nothing was removed).
+    Returns (``id_col``, ``text_col``, n_tokens, n_cut) for every
+    document. Documents with nothing to cut pass through with their
+    ORIGINAL text byte-for-byte (n_cut = 0); only documents that lost
+    tokens are re-assembled from the surviving tokens, which — like
+    every token-level operator here — means their text comes back
+    case-folded and single-spaced.
 
     Scale shape on top of the span detector: the ownership table is
     one min-struct per duplicated hash (vocabulary-sized); the cut
     set explodes ONLY foreign duplicated windows (k rows per marked
-    window, never the corpus); the rebuild is one per-doc hash-agg
-    folding (pos, token) structs — the same bounded pattern as the
-    global line dedup.
+    window, never the corpus) and is folded into ONE positions array
+    per affected document; the rebuild joins that (affected-docs-
+    sized) table back to the token table and filters each token array
+    in place — zero token-level explode, zero corpus-width shuffle,
+    and untouched documents never leave the map side.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -1452,6 +1458,7 @@ def substring_dedup_cut(
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__orig"),
             X.tokens(text_col).alias("__ts"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1481,8 +1488,10 @@ def substring_dedup_cut(
         .select("__h", F.col("__w.__id").alias("__own"))
     )
     # foreign duplicated windows: this doc repeats content some other
-    # doc owns -> every covered token position is cut
-    cut = (
+    # doc owns -> every covered token position is cut. Fold positions
+    # into ONE array per affected doc (collect_set dedups overlapping
+    # windows); this table is sized by docs-with-cuts, not the corpus.
+    cut_arr = (
         wins.join(owners, "__h")
         .filter(F.col("__id") != F.col("__own"))
         .select(
@@ -1491,31 +1500,27 @@ def substring_dedup_cut(
                 F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
             ).alias("__tp"),
         )
-        .distinct()
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_set("__tp")).alias("__cuts"))
     )
-    exploded = toks.select(
-        "__id", F.posexplode("__ts").alias("__tp", "__tok")
+    kept = F.filter(
+        F.col("__ts"),
+        lambda _t, i: ~F.array_contains(F.col("__cuts"), i),
     )
-    kept = exploded.join(cut, ["__id", "__tp"], "left_anti")
-    rebuilt = kept.groupBy("__id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__tp", "__tok"))),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("__txt"),
-        F.count("*").cast("long").alias("n_tokens"),
-    )
-    base = toks.select("__id", F.size("__ts").cast("long").alias("__n0"))
     return _with_persisted(
-        base.join(rebuilt, "__id", "left")
-        .fillna({"__txt": "", "n_tokens": 0})
+        toks.join(cut_arr, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            F.col("__txt").alias(text_col),
-            "n_tokens",
-            (F.col("__n0") - F.col("n_tokens")).cast("long").alias("n_cut"),
+            F.when(F.col("__cuts").isNull(), F.col("__orig"))
+            .otherwise(F.array_join(kept, " "))
+            .alias(text_col),
+            (
+                F.size("__ts")
+                - F.coalesce(F.size("__cuts"), F.lit(0))
+            ).cast("long").alias("n_tokens"),
+            F.coalesce(F.size("__cuts"), F.lit(0))
+            .cast("long")
+            .alias("n_cut"),
         ),
         [toks, wins],
     )
