@@ -3723,13 +3723,14 @@ WITH per AS (
   SELECT CAST(
            CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
            % 8 AS INT) AS shard,
-         md5(text) AS h,
+         CAST(CONCAT('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS h,
          CAST(len({_TOKS}) AS BIGINT) AS nt
   FROM documents
 )
 SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(nt) AS BIGINT) AS n_tokens,
-       md5(string_agg(h, '' ORDER BY h)) AS content_hash
+       md5(concat(CAST(bit_xor(h) AS VARCHAR), ':',
+                  CAST(sum(h) AS VARCHAR))) AS content_hash
 FROM per GROUP BY shard
 """
 

@@ -163,6 +163,11 @@ def test_parse_wav_header():
     assert parse_wav_header(_wav(8000, 1, 8, 12345)) == (8000, 1, 12345)
     assert parse_wav_header(b"ID3\x03junk mp3-ish") == (None, None, None)
     assert parse_wav_header(None) == (None, None, None)
+    # sub-byte frame width (4-bit IMA-ADPCM, 1-bit): (ch*bits)//8 == 0
+    # must yield n_samples=None, not a ZeroDivisionError that would
+    # kill the whole mapInPandas task
+    assert parse_wav_header(_wav(8000, 1, 4, 0)) == (8000, 1, None)
+    assert parse_wav_header(_wav(8000, 1, 1, 0)) == (8000, 1, None)
 
 
 def test_audio_header_meta_operator(spark):

@@ -293,6 +293,10 @@ def test_keep_best_fraction(spark):
     import pytest as pt
     with pt.raises(ValueError):
         keep_best_fraction(df, "score", "lang", 0.0, "id")
+    # q = 1.0 keeps EVERYTHING — percent_rank of a stratum's last row
+    # is exactly 1.0, so without the short-circuit the strict '<'
+    # would silently drop the worst row of every multi-row stratum
+    assert keep_best_fraction(df, "score", "lang", 1.0, "id").count() == 20
 
 
 def test_html_to_text_expr(spark):

@@ -106,3 +106,18 @@ def test_mmr_topk_diversifies(spark):
         mmr_topk(df, "embedding", "vec_id", [1.0, 0, 0], k=5, pool=3)
     with pt.raises(ValueError):
         mmr_topk(df, "embedding", "vec_id", [1.0, 0, 0], k=2, pool=4, lam=0.0)
+
+
+def test_mmr_topk_preserves_id_type(spark):
+    """String (or any non-integer) id columns must survive — the output
+    schema is built from the source id dtype, not hardcoded bigint."""
+    from tidyvec_spark.operators.search import mmr_topk
+
+    df = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.0, 1.0]), ("doc-c", [0.9, 0.1])],
+        "uri string, embedding array<double>",
+    )
+    out = mmr_topk(df, "embedding", "uri", [1.0, 0.0], k=2, pool=3)
+    assert dict(out.dtypes)["uri"] == "string"
+    ranked = {r["mmr_rank"]: r["uri"] for r in out.collect()}
+    assert ranked[1] == "doc-a"

@@ -307,7 +307,10 @@ def parse_wav_header(b: bytes):
             ch, rate = struct.unpack("<HI", b[i + 10 : i + 16])
             bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
         elif cid == b"data" and ch and bits:
-            n_samples = size // (ch * bits // 8) if ch * bits else None
+            # frame width can be 0 for sub-byte formats (4-bit
+            # IMA-ADPCM, 1-bit) — dividing would kill the task
+            fw = (ch * bits) // 8
+            n_samples = size // fw if fw > 0 else None
         i += 8 + size + (size % 2)  # chunks are word-aligned
     if rate is None:
         return (None, None, None)

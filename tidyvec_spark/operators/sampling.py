@@ -418,6 +418,11 @@ def keep_best_fraction(
     """
     if not (0.0 < q <= 1.0):
         raise ValueError(f"q must be in (0, 1], got {q}")
+    if q >= 1.0:
+        # percent_rank of a stratum's last row is exactly 1.0, so the
+        # strict '<' below would silently drop the worst row of every
+        # multi-row stratum — "keep 100%" must keep everything.
+        return df
     order = (
         [F.asc(score_col), F.asc(id_col)]
         if ascending

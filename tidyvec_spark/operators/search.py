@@ -26,6 +26,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tidyvec_spark.embedders.tfidf import tokens_expr
 
@@ -229,6 +230,13 @@ def mmr_topk(
     out = [
         (cid, s, i + 1) for i, (cid, s, _) in enumerate(selected)
     ]
-    return spark.createDataFrame(
-        out, f"{id_col} bigint, similarity double, mmr_rank int"
+    # id column keeps its source type (string ids are as common as
+    # integer ones in document corpora)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("similarity", T.DoubleType()),
+            T.StructField("mmr_rank", T.IntegerType()),
+        ]
     )
+    return spark.createDataFrame(out, out_schema)

@@ -97,10 +97,13 @@ def corpus_manifest(
     the data.
 
     Determinism: shard = md5(id) mod n (engine-portable, layout-
-    independent); content_hash folds the per-doc content md5s in
-    sorted order, so file layout, partitioning, and row order are all
-    invisible — only content matters. One explode-free pass + one
-    shard-sized agg.
+    independent); content_hash is an order-insensitive STREAMING fold
+    of the per-doc 60-bit content hashes — xor (catches any content
+    change) combined with an exact decimal sum (catches multiplicity
+    changes xor alone would cancel), digested to one md5. Constant
+    aggregation-buffer memory per shard: no collected array, so shard
+    count is a locality knob, not an OOM bound. One explode-free pass
+    + one shard-sized agg, partial-aggregated map-side.
     """
     from pyspark.sql import functions as F
 
@@ -113,7 +116,7 @@ def corpus_manifest(
         F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(int(n_shards)))
         .cast("int")
         .alias("shard"),
-        F.md5(F.col(text_col)).alias("__h"),
+        md5_long(F.col(text_col)).alias("__h"),
         token_count(text_col).alias("__nt"),
     )
     return (
@@ -122,7 +125,15 @@ def corpus_manifest(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("__nt").cast("long").alias("n_tokens"),
             F.md5(
-                F.array_join(F.array_sort(F.collect_list("__h")), "")
+                F.concat_ws(
+                    ":",
+                    F.bit_xor("__h").cast("string"),
+                    # decimal(38,0) sums ~10^19 60-bit terms exactly —
+                    # no bigint overflow, order-independent
+                    F.sum(F.col("__h").cast("decimal(38,0)"))
+                    .cast("decimal(38,0)")
+                    .cast("string"),
+                )
             ).alias("content_hash"),
         )
     )
