@@ -1,0 +1,120 @@
+"""Learned quality classifier (operators/classifier.py): determinism,
+feature parity with the Spark expression, actual separation on a
+labeled fixture, and the scoring-edge contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark.operators.classifier import (
+    classify_quality,
+    fit_logreg_py,
+    fit_quality_classifier,
+    hashed_buckets_py,
+)
+
+GOOD = [
+    "the committee published a detailed annual report on regional trade",
+    "researchers measured the effect of irrigation on crop yield over time",
+    "the library catalog lists every printed edition with its year",
+    "a thorough survey of the river delta appeared in the journal",
+]
+BAD = [
+    "click here buy now cheap cheap deals click here now",
+    "win win win free prize click subscribe now free",
+    "cheap deals now now now click buy buy buy",
+    "subscribe free win prize cheap click click win",
+]
+
+
+def _labeled_df(spark):
+    rows = [(i, 1, t) for i, t in enumerate(GOOD)] + [
+        (i + 100, 0, t) for i, t in enumerate(BAD)
+    ]
+    return spark.createDataFrame(rows, "id bigint, label int, text string")
+
+
+def test_fit_is_deterministic():
+    labeled = [(1, t) for t in GOOD] + [(0, t) for t in BAD]
+    a = fit_logreg_py(labeled, num_buckets=64)
+    b = fit_logreg_py(labeled, num_buckets=64)
+    assert a == b  # bit-identical, not approximately
+
+
+def test_feature_parity_with_spark_expression(spark):
+    """hashed_buckets_py must agree with importance.hashed_ngram_buckets
+    occurrence-for-occurrence — that parity is what makes the oracle's
+    Python-side refit produce the Spark entry's exact coefficients."""
+    from tidyvec_spark.operators.importance import hashed_ngram_buckets
+
+    from pyspark.sql import functions as FF
+
+    texts = GOOD + BAD + ["one", "", "Tabs\tand  Spaces  here"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    expr = FF.concat(
+        hashed_ngram_buckets("text", n=1, num_buckets=64),
+        hashed_ngram_buckets("text", n=2, num_buckets=64),
+    )
+    got = [[int(x) for x in r[0]] for r in df.select(expr).collect()]
+    want = [hashed_buckets_py(t, ns=(1, 2), num_buckets=64) for t in texts]
+    assert got == want
+
+
+def test_classifier_separates_and_scores(spark):
+    df = _labeled_df(spark)
+    w0, w = fit_quality_classifier(df, "text", "label", "id", num_buckets=64)
+    scored = {
+        r["id"]: (r["quality_prob"], r["keep"])
+        for r in classify_quality(
+            df, "text", "id", w0, w, round_to=6
+        ).collect()
+    }
+    for i in range(len(GOOD)):
+        assert scored[i][0] > 0.5 and scored[i][1] == 1, scored[i]
+    for i in range(len(BAD)):
+        assert scored[i + 100][0] < 0.5 and scored[i + 100][1] == 0
+
+
+def test_classifier_generalizes_to_unseen(spark):
+    df = _labeled_df(spark)
+    w0, w = fit_quality_classifier(df, "text", "label", "id", num_buckets=64)
+    unseen = spark.createDataFrame(
+        [
+            (1, "the annual report lists regional crop yield over time"),
+            (2, "free free prize click now buy cheap subscribe win"),
+        ],
+        "id bigint, text string",
+    )
+    got = {
+        r["id"]: r["keep"]
+        for r in classify_quality(unseen, "text", "id", w0, w).collect()
+    }
+    assert got == {1: 1, 2: 0}
+
+
+def test_classify_drops_docs_without_ngrams(spark):
+    df = _labeled_df(spark)
+    w0, w = fit_quality_classifier(df, "text", "label", "id", num_buckets=64)
+    edge = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens")],
+        "id bigint, text string",
+    )
+    got = [r["id"] for r in classify_quality(edge, "text", "id", w0, w).collect()]
+    assert sorted(got) == [1, 3]  # only the empty doc has zero features
+
+
+def test_fit_error_cases(spark):
+    with pytest.raises(ValueError):
+        fit_logreg_py([(1, "all same class"), (1, "still one class")])
+    with pytest.raises(ValueError):
+        fit_logreg_py([(1, ""), (0, "  ")])  # no featurizable docs
+
+
+def test_scoring_is_zero_shuffle(spark):
+    """The 100 TB contract: scoring is a map-side array-literal pass —
+    no exchange in the plan."""
+    from tidyvec_spark import plans as P
+
+    df = _labeled_df(spark)
+    w0, w = fit_quality_classifier(df, "text", "label", "id", num_buckets=64)
+    out = classify_quality(df, "text", "id", w0, w)
+    assert P.num_shuffles(out) == 0

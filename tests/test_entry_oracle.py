@@ -40,6 +40,9 @@ _TAIL = [k for k in _ORDER[50:] if k in _ORACLES]
 # (Prune once the driver rows land; the round-5 and round-6 batches
 # were pruned after CORRECTNESS_r05/r06 confirmed them green.)
 _NEWLY_WINDOWED = [
+    # round-7 additions placed directly in the window (R7_SLOTs)
+    "docs_quality_clf",
+    # round-6 rotation batch
     "docs_dup_spans",
     "docs_dup_stats",
     "docs_dedup_cut",
