@@ -42,6 +42,7 @@ _TAIL = [k for k in _ORDER[50:] if k in _ORACLES]
 _NEWLY_WINDOWED = [
     # round-7 additions placed directly in the window (R7_SLOTs)
     "docs_quality_clf",
+    "pipeline_dedup_full",
     # round-6 rotation batch
     "docs_dup_spans",
     "docs_dup_stats",

@@ -390,3 +390,16 @@ def test_substring_cut_rebuild_has_no_token_level_exchange(spark, qs):
     tree = plan.split("== Initial Plan ==")[0]
     n_generate = len(set(re.findall(r"Generate \((\d+)\)", tree)))
     assert n_generate <= 2, f"{n_generate} Generate nodes (expected 2)"
+
+
+def test_pipeline_dedup_full_plan_shape(spark, qs):
+    """The five-rung dedup ladder composite: every shuffle a bounded
+    key-agg or equi-join, no cartesian products, and the substring-cut
+    rebuild stays map-side (no token-level explode). The near-dup
+    component stage is checkpoint-materialized, so the final plan is
+    the ladder + the keep-best anti-join."""
+    df = qs["pipeline_dedup_full"](spark, SF)
+    P.assert_no_cartesian(df)
+    plan = P.explain_str(df)
+    assert "posexplode(__ts" not in plan, "token-level cut rebuild is back"
+    assert P.num_shuffles(df) <= 12
