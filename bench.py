@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "source_overlap",
     "pipeline_ccnet",
     "pipeline_web",
+    "pipeline_dedup_full",
+    "docs_quality_clf",
     "events_skew_profile",
     "corpus_diff",
     "corpus_manifest",

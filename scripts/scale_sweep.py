@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""Scaling-curve measurement for the vector/dedup families.
+
+The driver fixtures pin documents/embeddings at 500 rows, so BENCH
+walls for those families are session-overhead-dominated and say
+nothing about how the plans scale. This sweep generates synthetic
+corpora at geometrically increasing sizes (deterministic — same seed
+math every run), times the headline candidate-generation operators at
+each size, and prints a wall-vs-size curve. The claim under test:
+wall tracks input + emitted candidates (key-join plans), never
+input^2 (all-pairs plans).
+
+Usage:  python scripts/scale_sweep.py [--quick]
+  --quick  halves the size ladder (CI-sized smoke)
+
+Sizes are chosen so the largest point is ~100k docs / 200k vectors —
+big enough that a quadratic term would dominate by 100x, small enough
+to finish on local[32] in minutes. Results are printed as one JSON
+line per (operator, size) plus a summary table for README curation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_WORDS = [
+    "data", "spark", "query", "table", "join", "filter", "column", "row",
+    "hash", "merge", "window", "agg", "sort", "scan", "batch", "stream",
+    "key", "value", "line", "part", "order", "group", "index", "cache",
+    "shuffle", "plan", "stage", "task", "node", "disk", "memory", "byte",
+]
+
+
+def synth_docs(spark, n_docs: int, dup_frac: float = 0.1, doc_len: int = 60):
+    """Deterministic synthetic corpus: ``n_docs`` docs of ``doc_len``
+    words drawn by a hash mix, plus ``dup_frac`` near-duplicate copies
+    (last 5 words changed) so the dedup operators emit real pairs at
+    every size."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(doc_len - 1)),
+                lambda i: F.element_at(
+                    F.array(*[F.lit(w) for w in _WORDS]),
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("id") * F.lit(doc_len) + i),
+                            F.lit(len(_WORDS)),
+                        )
+                    ).cast("int")
+                    + 1,
+                ),
+            ),
+        ).alias("text"),
+    )
+    n_dup = int(n_docs * dup_frac)
+    dups = base.filter(F.col("doc_id") < n_dup).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.substring_index(F.col("text"), " ", doc_len - 5),
+            F.lit(" altered tail words go here"),
+        ).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+def synth_embeddings(spark, n_vecs: int, dim: int = 64, dup_frac: float = 0.05):
+    """Deterministic pseudo-random unit-ish vectors + perturbed
+    near-duplicates."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(
+                    F.xxhash64(F.col("id") * F.lit(dim) + i), F.lit(2000)
+                ).cast("double")
+                - F.lit(1000.0)
+            )
+            / F.lit(1000.0),
+        ).alias("embedding"),
+    )
+    n_dup = int(n_vecs * dup_frac)
+    dups = base.filter(F.col("vec_id") < n_dup).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+            F.slice("embedding", 2, dim - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(dups)
+
+
+def materialize(df) -> int:
+    """Force FULL computation of every column (count() would let
+    Catalyst prune the expensive rebuild/verify columns away) and
+    return the row count."""
+    df = df.cache()
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return df.count()
+    finally:
+        df.unpersist()
+
+
+def timed(name, size, fn):
+    t0 = time.perf_counter()
+    n_out = fn()
+    wall = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"op": name, "size": size, "wall_s": wall, "rows_out": n_out}))
+    return wall
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    quick = "--quick" in sys.argv
+    doc_sizes = [5_000, 20_000, 100_000]
+    vec_sizes = [20_000, 80_000, 200_000]
+    if quick:
+        doc_sizes = doc_sizes[:2]
+        vec_sizes = vec_sizes[:2]
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("tidyvec_spark_scale_sweep")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tidyvec_spark.operators.ann import ann_lsh_topk, random_planes
+    from tidyvec_spark.operators.dedup import (
+        lsh_near_dup_pairs,
+        minhash_lsh_pairs,
+        substring_dedup_cut,
+        substring_dup_spans,
+    )
+
+    results: dict[str, list[tuple[int, float]]] = {}
+
+    def record(op, size, fn):
+        results.setdefault(op, []).append((size, timed(op, size, fn)))
+
+    # untimed warm-up at a tiny size: first execution pays one-time
+    # Janino codegen compilation (bench.py measured 6-13 s for the
+    # md5-fold kernels), which would otherwise land entirely on the
+    # smallest sweep point and bend the curve the wrong way
+    wdocs = synth_docs(spark, 500).persist()
+    wvecs = synth_embeddings(spark, 500).persist()
+    wq = [float((i * 37 % 19) - 9) / 9.0 for i in range(64)]
+    wplanes = random_planes(64, nbits=4, seed=42)
+    materialize(minhash_lsh_pairs(wdocs, "text", "doc_id", num_hashes=16,
+                                  bands=4, shingle_n=3, threshold=0.5))
+    materialize(substring_dup_spans(wdocs, "text", "doc_id", k=8))
+    materialize(substring_dedup_cut(wdocs, "text", "doc_id", k=8))
+    materialize(ann_lsh_topk(wvecs, "embedding", "vec_id", wq, k=10,
+                             planes=wplanes, probe_hamming=1, method="cosine"))
+    materialize(lsh_near_dup_pairs(wvecs, "embedding", "vec_id",
+                                   planes=wplanes, threshold=0.999))
+    wdocs.unpersist(); wvecs.unpersist()
+    spark.catalog.clearCache()
+
+    for n in doc_sizes:
+        docs = synth_docs(spark, n).persist()
+        docs.count()  # materialize input OUTSIDE the timed region
+        record(
+            "minhash_lsh_pairs", n,
+            lambda: materialize(minhash_lsh_pairs(
+                docs, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+                threshold=0.5,
+            )),
+        )
+        record(
+            "substring_dup_spans", n,
+            lambda: materialize(substring_dup_spans(docs, "text", "doc_id", k=8)),
+        )
+        record(
+            "substring_dedup_cut", n,
+            lambda: materialize(substring_dedup_cut(docs, "text", "doc_id", k=8)),
+        )
+        docs.unpersist()
+
+    for n in vec_sizes:
+        # the LSH table must grow with the corpus: constant nbits means
+        # bucket occupancy ~ n/2^nbits and the self-join candidate count
+        # ~ n^2/2^nbits — quadratic. Scaling nbits to hold ~150 vectors
+        # per bucket keeps candidates ~ linear in n; this is the
+        # documented production knob (measured: fixed 8-bit planes gave
+        # 7x wall on 4x data at 80k vectors, scaled planes are ~linear).
+        import math as _m
+
+        nbits = max(8, _m.ceil(_m.log2(n / 150)))
+        planes = random_planes(64, nbits=nbits, seed=42)
+        vecs = synth_embeddings(spark, n).persist()
+        vecs.count()
+        q = [float((i * 37 % 19) - 9) / 9.0 for i in range(64)]
+        record(
+            "ann_lsh_topk", n,
+            lambda: materialize(ann_lsh_topk(
+                vecs, "embedding", "vec_id", q, k=10, planes=planes,
+                probe_hamming=1, method="cosine",
+            )),
+        )
+        record(
+            "lsh_near_dup_pairs", n,
+            lambda: materialize(lsh_near_dup_pairs(
+                vecs, "embedding", "vec_id", planes=planes, threshold=0.999
+            )),
+        )
+        vecs.unpersist()
+
+    print("\n== scaling summary (wall_s by size) ==")
+    for op, pts in results.items():
+        scale = pts[-1][0] / pts[0][0]
+        ratio = round(pts[-1][1] / max(pts[0][1], 1e-9), 2)
+        curve = "  ".join(f"{s}:{w}s" for s, w in pts)
+        print(f"{op:22s} {curve}   ({scale:.0f}x data -> {ratio}x wall)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
