@@ -2399,6 +2399,96 @@ FROM m
 """
 
 
+def _source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: doc counts, token volume,
+    Gopher keep-rate, exact-dup rate (share of docs whose normalized
+    text occurs more than once corpus-wide), and mean type-token
+    ratio — the report a curation team reads before deciding which
+    source to up/down-weight. Two bounded shuffles (dup-key agg +
+    source agg); every per-doc signal is the registry-verified
+    map-side expression. Float safety: the TTR mean is folded as
+    integer micro-units (exact, order-independent) before one final
+    division."""
+    from tidyvec_spark.functions import quality as Q
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.dedup import normalized_text_key
+
+    docs = _read(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source", "doc_id", "text", normalized_text_key("text").alias("__k")
+    )
+    dupc = keyed.groupBy("__k").agg(F.count("*").alias("__n"))
+    per = keyed.join(dupc, "__k").select(
+        "source",
+        X.token_count("text").alias("__nt"),
+        Q.gopher_keep("text", min_words=20).cast("int").alias("__keep"),
+        (F.col("__n") > 1).cast("int").alias("__dup"),
+        F.round(X.type_token_ratio("text") * F.lit(1e6))
+        .cast("long")
+        .alias("__ttr_u"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("__keep").cast("double") / F.count("*"), R
+        ).alias("keep_rate"),
+        F.round(
+            F.sum("__dup").cast("double") / F.count("*"), R
+        ).alias("dup_rate"),
+        F.round(
+            F.sum("__ttr_u").cast("double") / (F.count("*") * F.lit(1e6)), R
+        ).alias("avg_ttr"),
+    )
+
+
+_SOURCE_QUALITY_REPORT_SQL = f"""
+WITH b AS (
+  SELECT source, doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k,
+         {_TOKS} AS toks
+  FROM documents
+),
+dupc AS (SELECT k, count(*) AS n FROM b GROUP BY k),
+per AS (
+  SELECT b.source,
+         CAST(len(toks) AS BIGINT) AS nt,
+         CASE WHEN (
+           len(toks) >= 20 AND len(toks) <= 100000
+           AND (CASE WHEN len(toks) > 0
+                THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
+                ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+           AND (CASE WHEN len(toks) > 0
+                THEN ((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                     / len(toks)
+                ELSE 0.0 END) <= 0.1
+           AND (CASE WHEN len({_LINES_SQL}) > 0
+                THEN CAST(len(list_filter({_LINES_SQL}, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len({_LINES_SQL})
+                ELSE 0.0 END) <= 0.9
+           AND (CASE WHEN len({_LINES_SQL}) > 0
+                THEN CAST(len(list_filter({_LINES_SQL}, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE) / len({_LINES_SQL})
+                ELSE 0.0 END) <= 0.3
+           AND (CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END) >= 0.8
+         ) THEN 1 ELSE 0 END AS keep,
+         CASE WHEN d.n > 1 THEN 1 ELSE 0 END AS isdup,
+         CAST(ROUND((CASE WHEN len(toks) > 0
+              THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              ELSE 0.0 END) * 1000000.0) AS BIGINT) AS ttr_u
+  FROM b JOIN dupc d ON b.k = d.k
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       ROUND(CAST(sum(keep) AS DOUBLE) / count(*), {R}) AS keep_rate,
+       ROUND(CAST(sum(isdup) AS DOUBLE) / count(*), {R}) AS dup_rate,
+       ROUND(CAST(sum(ttr_u) AS DOUBLE) / (count(*) * 1000000.0), {R}) AS avg_ttr
+FROM per GROUP BY source
+"""
+
+
 def _docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signal (functions/quality.py::top_ngram_fraction):
     share of each document covered by its most frequent word bigram —
@@ -3281,6 +3371,43 @@ GROUP BY c_mktsegment
 """
 
 
+def _docs_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction
+    (operators/keywords.py::keyword_topk): top-3 terms per doc by
+    tf·ln((N+1)/(df+1)), df >= 2, rounded scores, term tiebreak — the
+    corpus-exploration/weak-labeling primitive. One (doc, term) agg +
+    one vocab-sized df join + one per-doc window."""
+    from tidyvec_spark.operators.keywords import keyword_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return keyword_topk(docs, "text", "doc_id", k=3, min_df=2, round_to=R)
+
+
+_DOCS_KEYWORD_TOPK_SQL = f"""
+WITH tt AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(CAST(tf AS DOUBLE)
+               * ln(((SELECT n FROM nd) + 1.0) / (df + 1.0)), {R}) AS score
+  FROM tf JOIN dfreq USING (term) WHERE df >= 2
+),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC
+         ) AS kw_rank
+  FROM scored
+)
+SELECT doc_id, term, score, CAST(kw_rank AS INT) AS kw_rank
+FROM r WHERE kw_rank <= 3
+"""
+
+
 def _corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition cube: doc counts + char totals by
     (lang, source) with ROLLUP subtotals and a grand total — the
@@ -3835,6 +3962,29 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
                   CAST(sum(h) AS VARCHAR))) AS content_hash
 FROM per GROUP BY shard
 """
+
+
+def _corpus_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental manifest maintenance (sources/maintenance.py::
+    combine_manifests): the corpus is manifested in two disjoint parts
+    (doc_id % 3 == 0 vs the rest — 'history' and 'arriving batch') as
+    RAW folds, then merged. Because both folds are associative and
+    commutative (xor of xors, exact decimal sum of sums), the merged
+    digest must be bit-identical to the one-shot full-corpus manifest
+    — which is exactly what the oracle computes. This is the 100 TB
+    ingest path: the petabyte manifest updates from the arriving
+    batch's manifest alone, never a recompute."""
+    from tidyvec_spark.sources.maintenance import (
+        combine_manifests,
+        corpus_manifest,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 3 == 0)
+    part_b = docs.filter(F.col("doc_id") % 3 != 0)
+    ma = corpus_manifest(part_a, "doc_id", "text", n_shards=8, digest=False)
+    mb = corpus_manifest(part_b, "doc_id", "text", n_shards=8, digest=False)
+    return combine_manifests(ma, mb)
 
 
 def _docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6313,6 +6463,75 @@ GROUP BY 1
 """
 
 
+def _docs_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-wins upsert (streaming/pipelines.py::
+    upsert_latest_stream): the corpus streams through a landing
+    directory as v1 rows plus v2 REVISIONS for every doc_id % 4 == 0
+    (a re-crawl delivering edits); the stateful operator keeps the
+    highest version per document across micro-batches, emitting only
+    on improvement. Terminal fold applies the same max-by rule to
+    re-emissions, so the result equals batch max(struct(version,
+    values)) per key — plain SQL for the oracle."""
+    import tempfile
+
+    from tidyvec_spark.streaming import (
+        run_available_now,
+        upsert_latest_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="tv_stream_upsert_")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ver = docs.select(
+        "doc_id", F.lit(1).alias("version"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            "doc_id",
+            F.lit(2).alias("version"),
+            F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+        )
+    )
+    ver.select("doc_id", "version", F.md5("text").alias("fp")).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = spark.readStream.schema(
+        "doc_id bigint, version int, fp string"
+    ).parquet(d)
+    table = f"docs_stream_upsert_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(
+        upsert_latest_stream(stream, "doc_id", "version", ["fp"]),
+        table,
+        output_mode="update",
+    )
+    packed = (
+        spark.table(table)
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("version", "fp")).alias("__w"))
+    )
+    return packed.select(
+        "doc_id",
+        F.col("__w.version").alias("version"),
+        F.col("__w.fp").alias("fp"),
+    )
+
+
+_DOCS_STREAM_UPSERT_SQL = """
+WITH ver AS (
+  SELECT doc_id, 1 AS version, text FROM documents
+  UNION ALL
+  SELECT doc_id, 2 AS version, text || ' updated' FROM documents
+  WHERE doc_id % 4 = 0
+),
+r AS (
+  SELECT doc_id, version, md5(text) AS fp,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY version DESC, md5(text) DESC
+         ) AS rn
+  FROM ver
+)
+SELECT doc_id, CAST(version AS INT) AS version, fp FROM r WHERE rn = 1
+"""
+
+
 def _docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static ingest dedup (streaming/pipelines.py::
     ingest_dedup_stream): the documents corpus streams through a
@@ -6750,19 +6969,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # R7_SLOT: new entries replace these placeholders as they land.
         "docs_quality_clf": _docs_quality_clf,
         "pipeline_dedup_full": _pipeline_dedup_full,
+        "docs_keyword_topk": _docs_keyword_topk,
+        "source_quality_report": _source_quality_report,
+        "corpus_manifest_incremental": _corpus_manifest_incremental,
+        "docs_stream_upsert": _docs_stream_upsert,
         "dsir_select": _dsir_select,
         "docs_c4_clean": _docs_c4_clean,
         "dedup_keep_best": _dedup_keep_best,
         "mix_target": _mix_target,
-        "curriculum_order": _curriculum_order,
-        "hard_negatives": _hard_negatives,
-        "docs_lm_perplexity": _docs_lm_perplexity,
-        "docs_dedup_lines": _docs_dedup_lines,
         # --- position 51+: outside the driver's gate window ---
         # (every oracle-backed entry below is checked by the dynamic
         # SUBSET in tests/test_entry_oracle.py; each has driver rows
         # from rounds 1-6)
         "docs_stream_near_pairs": _docs_stream_near_pairs,
+        "docs_dedup_lines": _docs_dedup_lines,
+        "docs_lm_perplexity": _docs_lm_perplexity,
+        "hard_negatives": _hard_negatives,
+        "curriculum_order": _curriculum_order,
         "serving_shuffle": _serving_shuffle,
         "decontaminate_ngram": _decontaminate_ngram,
         "q6_forecast_revenue": _q6_forecast_revenue,
@@ -7024,6 +7247,11 @@ def oracle_sql() -> dict[str, str]:
         "hf_query_nearest": _hf_query_nearest_sql(),
         "docs_quality_clf": _docs_quality_clf_sql(),
         "pipeline_dedup_full": _pipeline_dedup_full_sql(),
+        "docs_keyword_topk": _DOCS_KEYWORD_TOPK_SQL,
+        "source_quality_report": _SOURCE_QUALITY_REPORT_SQL,
+        # incremental merge must equal the one-shot manifest digest
+        "corpus_manifest_incremental": _CORPUS_MANIFEST_SQL,
+        "docs_stream_upsert": _DOCS_STREAM_UPSERT_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -43,6 +43,10 @@ _NEWLY_WINDOWED = [
     # round-7 additions placed directly in the window (R7_SLOTs)
     "docs_quality_clf",
     "pipeline_dedup_full",
+    "docs_keyword_topk",
+    "source_quality_report",
+    "corpus_manifest_incremental",
+    "docs_stream_upsert",
     # round-6 rotation batch
     "docs_dup_spans",
     "docs_dup_stats",

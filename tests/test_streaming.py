@@ -749,3 +749,47 @@ def test_zscore_anomaly_stream_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     with pytest.raises(ValueError):
         S.zscore_anomaly_stream(ev, window_n=1)
+
+
+def test_upsert_latest_stream_multi_batch(spark, tmp_path):
+    """Latest-wins upsert across micro-batches: a NEWER version for a
+    seen key arriving in a later batch must replace state and re-emit;
+    an OLDER (out-of-order) version must be ignored. Stream result
+    (after the terminal max-by fold) equals the batch fallback."""
+    d = tmp_path / "upsert_land"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, 2, "v2-a"), (2, 1, "v1-b")],
+        "k bigint, version int, payload string",
+    ).coalesce(1).write.parquet(str(d / "f0.parquet"))
+    spark.createDataFrame(
+        [(1, 1, "v1-a-late"), (2, 3, "v3-b"), (3, 1, "v1-c")],
+        "k bigint, version int, payload string",
+    ).coalesce(1).write.parquet(str(d / "f1.parquet"))
+
+    stream = (
+        spark.readStream.schema("k bigint, version int, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    S.run_available_now(
+        S.upsert_latest_stream(stream, "k", "version", ["payload"]),
+        "upsert_latest_t",
+        output_mode="update",
+    )
+    got = {
+        r["k"]: (r["version"], r["payload"])
+        for r in spark.table("upsert_latest_t")
+        .groupBy("k")
+        .agg(F.max(F.struct("version", "payload")).alias("w"))
+        .select("k", "w.version", "w.payload")
+        .collect()
+    }
+    assert got == {1: (2, "v2-a"), 2: (3, "v3-b"), 3: (1, "v1-c")}
+    batch = {
+        r["k"]: (r["version"], r["payload"])
+        for r in S.upsert_latest_stream(
+            spark.read.parquet(str(d) + "/*"), "k", "version", ["payload"]
+        ).collect()
+    }
+    assert batch == got

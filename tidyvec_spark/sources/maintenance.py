@@ -82,11 +82,22 @@ def compact_parquet(
     return n_out
 
 
+def _manifest_digest(F):
+    return F.md5(
+        F.concat_ws(
+            ":",
+            F.col("h_xor").cast("string"),
+            F.col("h_sum").cast("decimal(38,0)").cast("string"),
+        )
+    ).alias("content_hash")
+
+
 def corpus_manifest(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_shards: int = 16,
+    digest: bool = True,
 ) -> DataFrame:
     """Content-addressable corpus manifest: per deterministic shard,
     (shard, n_docs, n_tokens, content_hash) — the artifact that makes
@@ -104,6 +115,11 @@ def corpus_manifest(
     aggregation-buffer memory per shard: no collected array, so shard
     count is a locality knob, not an OOM bound. One explode-free pass
     + one shard-sized agg, partial-aggregated map-side.
+
+    With ``digest=False`` the raw folds come back as columns
+    (shard, n_docs, n_tokens, h_xor, h_sum) instead of the md5 digest
+    — the form :func:`combine_manifests` can merge, because xor and
+    sum are associative and commutative.
     """
     from pyspark.sql import functions as F
 
@@ -119,21 +135,45 @@ def corpus_manifest(
         md5_long(F.col(text_col)).alias("__h"),
         token_count(text_col).alias("__nt"),
     )
-    return (
-        per_doc.groupBy("shard")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("__nt").cast("long").alias("n_tokens"),
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.bit_xor("__h").cast("string"),
-                    # decimal(38,0) sums ~10^19 60-bit terms exactly —
-                    # no bigint overflow, order-independent
-                    F.sum(F.col("__h").cast("decimal(38,0)"))
-                    .cast("decimal(38,0)")
-                    .cast("string"),
-                )
-            ).alias("content_hash"),
-        )
+    raw = per_doc.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.bit_xor("__h").alias("h_xor"),
+        # decimal(38,0) sums ~10^19 60-bit terms exactly —
+        # no bigint overflow, order-independent
+        F.sum(F.col("__h").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("h_sum"),
+    )
+    if not digest:
+        return raw
+    return raw.select(
+        "shard", "n_docs", "n_tokens", _manifest_digest(F)
+    )
+
+
+def combine_manifests(*parts: DataFrame) -> DataFrame:
+    """Merge raw (``digest=False``) manifests of DISJOINT corpus parts
+    into the digested full-corpus manifest — the INCREMENTAL ingest
+    path: a petabyte corpus's manifest updates from just the arriving
+    batch's manifest, never a recompute, because both folds are
+    associative and commutative (xor of xors, sum of sums). The merged
+    digest is bit-identical to running :func:`corpus_manifest` over
+    the union of the parts.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not parts:
+        raise ValueError("need at least one manifest part")
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    merged = u.groupBy("shard").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.bit_xor("h_xor").alias("h_xor"),
+        F.sum("h_sum").cast("decimal(38,0)").alias("h_sum"),
+    )
+    return merged.select(
+        "shard", "n_docs", "n_tokens", _manifest_digest(F)
     )

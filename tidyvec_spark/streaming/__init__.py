@@ -29,6 +29,7 @@ from tidyvec_spark.streaming.pipelines import (
     run_available_now,
     session_rollup,
     stateful_dedup_stream,
+    upsert_latest_stream,
     zscore_anomaly_stream,
 )
 
@@ -47,5 +48,6 @@ __all__ = [
     "run_available_now",
     "session_rollup",
     "stateful_dedup_stream",
+    "upsert_latest_stream",
     "zscore_anomaly_stream",
 ]

@@ -741,6 +741,104 @@ def interval_join_stream(
     return l.join(r, cond, "inner")
 
 
+def upsert_latest_stream(
+    df: DataFrame,
+    key_col: str,
+    version_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """CDC-style latest-wins upsert as a custom stateful operator: per
+    key, the row with the highest ``version_col`` (ties broken by the
+    value tuple, descending — deterministic) survives across all
+    micro-batches. The ingestion primitive for corpora that receive
+    document REVISIONS: re-crawls, edits, metadata refreshes.
+
+    State per key is one (version, values) tuple; each batch reduces
+    its rows in pandas (Arrow-batched), compares with state, and emits
+    only when the winner improves — a key updated a million times
+    holds one row of state and re-emits only on change. Out-of-order
+    versions are handled exactly: the max wins regardless of arrival
+    order, so downstream folds re-emissions with the same
+    max-by-version rule.
+
+    Batch fallback (non-streaming frame): one
+    ``groupBy(key).max(struct(version, *values))`` — identical
+    semantics, which is what makes the oracle plain SQL. State carries
+    no timeout: any key may still receive a newer version. Wire a
+    watermark TTL when the key space is bounded in time (session-
+    scoped edits).
+    """
+    cols = [F.col(key_col), F.col(version_col).alias("__v")] + [
+        F.col(c) for c in value_cols
+    ]
+    keyed = df.select(*cols)
+    if not df.isStreaming:
+        packed = keyed.groupBy(key_col).agg(
+            F.max(F.struct(F.col("__v"), *[F.col(c) for c in value_cols]))
+            .alias("__w")
+        )
+        return packed.select(
+            key_col,
+            F.col("__w.__v").alias(version_col),
+            *[F.col(f"__w.{c}").alias(c) for c in value_cols],
+        )
+
+    key_field = df.schema[key_col].dataType
+    ver_field = df.schema[version_col].dataType
+    val_fields = [df.schema[c] for c in value_cols]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field, False),
+            T.StructField(version_col, ver_field, False),
+        ]
+        + [T.StructField(f.name, f.dataType) for f in val_fields]
+    )
+    state_schema = T.StructType(
+        [T.StructField("__v", ver_field, False)]
+        + [T.StructField(f.name, f.dataType) for f in val_fields]
+    )
+
+    order = ["__v"] + list(value_cols)
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            # vectorized per-batch reduction: lexicographic max row
+            top = pdf.sort_values(by=order, ascending=False).iloc[0]
+            cand = tuple(
+                x.item() if hasattr(x, "item") else x
+                for x in (top[c] for c in order)
+            )
+            if best is None or cand > best:
+                best = cand
+        prev = tuple(state.get) if state.exists else None
+        if best is not None and best != prev:
+            state.update(best)
+            yield pd.DataFrame(
+                [
+                    {
+                        key_col: key[0],
+                        version_col: best[0],
+                        **{c: v for c, v in zip(value_cols, best[1:])},
+                    }
+                ]
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, table_name: str, output_mode: Optional[str] = None
 ) -> None:
