@@ -4891,6 +4891,154 @@ FROM documents
 """
 
 
+_DRIFT_DIM = 64
+
+
+def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift per label between two corpus
+    snapshots (vec_id parity stands in for crawl A vs crawl B): cosine
+    between the snapshots' per-label centroid directions — the monitor
+    that catches an embedder version change, a source shift, or a
+    pipeline bug between re-embeds. Shape: ONE wide group-agg (2×64
+    conditional sums + 2 counts, map-side partial, zero explode) — at
+    100 TB this is a single scan producing a labels-sized table.
+
+    Float discipline: per-dim values fold as exact integer micro-units
+    (sum order irrelevant), and the cosine is evaluated in ONE fixed
+    left-to-right expression chain over the 64 dims, so both engines
+    compute bit-identical doubles before rounding. Cosine is scale-
+    invariant, so raw sums stand in for centroids (no division by n).
+    """
+    e = _read(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("__half"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    unit = [
+        F.round(F.element_at("__v", i + 1) * F.lit(1e6), 0).cast("long")
+        for i in range(_DRIFT_DIM)
+    ]
+    aggs = [
+        F.count(F.when(F.col("__half") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("__half") == 1, 1)).cast("long").alias("n_b"),
+    ]
+    for i in range(_DRIFT_DIM):
+        aggs.append(
+            F.sum(F.when(F.col("__half") == 0, unit[i]).otherwise(F.lit(0)))
+            .alias(f"__a{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("__half") == 1, unit[i]).otherwise(F.lit(0)))
+            .alias(f"__b{i}")
+        )
+    g = e.groupBy("label").agg(*aggs)
+    dot = na = nb = None
+    for i in range(_DRIFT_DIM):
+        a = F.col(f"__a{i}").cast("double")
+        b = F.col(f"__b{i}").cast("double")
+        dot = a * b if dot is None else dot + a * b
+        na = a * a if na is None else na + a * a
+        nb = b * b if nb is None else nb + b * b
+    drift = F.when(
+        (na > 0) & (nb > 0), dot / F.sqrt(na) / F.sqrt(nb)
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "label", "n_a", "n_b", F.round(drift, R).alias("drift")
+    )
+
+
+def _embedding_drift_sql() -> str:
+    d = _DRIFT_DIM
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN half = 0 THEN uv[{i + 1}] ELSE 0 END) AS a{i},\n"
+        f"         sum(CASE WHEN half = 1 THEN uv[{i + 1}] ELSE 0 END) AS b{i}"
+        for i in range(d)
+    )
+    dot = " + ".join(
+        f"CAST(a{i} AS DOUBLE) * CAST(b{i} AS DOUBLE)" for i in range(d)
+    )
+    na = " + ".join(
+        f"CAST(a{i} AS DOUBLE) * CAST(a{i} AS DOUBLE)" for i in range(d)
+    )
+    nb = " + ".join(
+        f"CAST(b{i} AS DOUBLE) * CAST(b{i} AS DOUBLE)" for i in range(d)
+    )
+    return f"""
+WITH e AS (
+  SELECT label, vec_id % 2 AS half,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS uv
+  FROM embeddings
+),
+s AS (
+  SELECT label,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         {sums}
+  FROM e GROUP BY label
+)
+SELECT label, n_a, n_b,
+       ROUND(CASE WHEN ({na}) > 0 AND ({nb}) > 0
+             THEN ({dot}) / sqrt({na}) / sqrt({nb})
+             ELSE 0.0 END, {R}) AS drift
+FROM s
+"""
+
+
+def _docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish pieces per character
+    and per whitespace word, aggregated per lang — the tokenizer-
+    efficiency signal multilingual mixing decisions weigh (a language
+    whose text costs 2x the tokens per character is 2x as expensive
+    per unit of content). Exact integer sums, one division at the end
+    — order-independent, so cross-engine parity is exact. One
+    map-side projection + one lang-sized agg."""
+    from tidyvec_spark.functions import text as X
+
+    docs = _read(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        X.bpe_piece_count("text").alias("__p"),
+        X.token_count("text").alias("__w"),
+        F.length("text").cast("long").alias("__c"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__p").cast("long").alias("n_pieces"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__c").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("__p").cast("double") / F.sum("__c").cast("double"), R
+        ).alias("pieces_per_char"),
+        F.round(
+            F.sum("__p").cast("double") / F.sum("__w").cast("double"), R
+        ).alias("pieces_per_word"),
+    )
+
+
+def _docs_tokenizer_fertility_sql() -> str:
+    from tidyvec_spark.functions.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH per AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS p,
+         CAST(len({_TOKS}) AS BIGINT) AS w,
+         CAST(length(text) AS BIGINT) AS c
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p) AS BIGINT) AS n_pieces,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(c) AS BIGINT) AS n_chars,
+       ROUND(CAST(sum(p) AS DOUBLE) / CAST(sum(c) AS DOUBLE), {R}) AS pieces_per_char,
+       ROUND(CAST(sum(p) AS DOUBLE) / CAST(sum(w) AS DOUBLE), {R}) AS pieces_per_word
+FROM per GROUP BY lang
+"""
+
+
 # SimHash in DuckDB: per-token 60-bit hash, ±1 vote per bit, bit j set
 # iff vote sum > 0 (same arithmetic as functions/hashing.py::simhash)
 def _simhash_sql(toks_expr: str, bits: int = 32) -> str:
@@ -6983,6 +7131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from rounds 1-6)
         "docs_stream_near_pairs": _docs_stream_near_pairs,
         "docs_dedup_lines": _docs_dedup_lines,
+        "docs_tokenizer_fertility": _docs_tokenizer_fertility,
+        "embedding_drift": _embedding_drift,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -7252,6 +7402,8 @@ def oracle_sql() -> dict[str, str]:
         # incremental merge must equal the one-shot manifest digest
         "corpus_manifest_incremental": _CORPUS_MANIFEST_SQL,
         "docs_stream_upsert": _DOCS_STREAM_UPSERT_SQL,
+        "docs_tokenizer_fertility": _docs_tokenizer_fertility_sql(),
+        "embedding_drift": _embedding_drift_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }
