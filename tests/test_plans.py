@@ -403,3 +403,31 @@ def test_pipeline_dedup_full_plan_shape(spark, qs):
     plan = P.explain_str(df)
     assert "posexplode(__ts" not in plan, "token-level cut rebuild is back"
     assert P.num_shuffles(df) <= 12
+
+
+def test_round7_plan_shapes(spark, qs):
+    """Round-7 additions: classifier scoring and drift are single-scan
+    plans; fertility and the manifest merge are one bounded agg each;
+    keyword extraction is the inverted-index pair of aggs + a window.
+    None may contain a cartesian product."""
+    for name, max_sh in (
+        ("docs_quality_clf", 0),       # array-literal map pass
+        ("embedding_drift", 1),        # one wide group-agg
+        ("docs_tokenizer_fertility", 1),
+        ("corpus_manifest_incremental", 2),  # two part-aggs merge
+        ("source_quality_report", 3),
+        ("docs_keyword_topk", 5),
+    ):
+        df = qs[name](spark, SF)
+        assert P.num_shuffles(df) <= max_sh, name
+        P.assert_no_cartesian(df)
+
+
+def test_round7_scans_prune_uninvolved_columns(spark, qs):
+    for name, banned in (
+        ("docs_quality_clf", {"n_chars"}),
+        ("embedding_drift", set()),
+        ("docs_keyword_topk", {"lang", "source", "n_chars"}),
+    ):
+        for cols in P.read_schemas(qs[name](spark, SF)):
+            assert not (banned & set(cols)), (name, cols)
