@@ -54,11 +54,12 @@ _TFIDF_QTERMS = _TFIDF_QUERY.split()          # 4 distinct terms, count 1 each
 # TF-IDF model as SQL CTEs (identical semantics to tidyvec_spark.embedders
 # .tfidf: corpus-count pruning >= 2, idf = ln((N+1)/(df+1)) + 1,
 # tf = term_count / total_tokens_in_doc)
-_TFIDF_CTES = f"""
+def _tfidf_ctes(src: str = "documents") -> str:
+    return f"""
 tok AS (
-  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+  SELECT doc_id, unnest({_TOKS}) AS term FROM {src}
 ),
-n AS (SELECT count(*) AS n_docs FROM documents),
+n AS (SELECT count(*) AS n_docs FROM {src}),
 vocab AS (
   SELECT term,
          ln((any_value(n.n_docs) + 1.0) / (count(DISTINCT doc_id) + 1.0)) + 1.0 AS idf
@@ -81,10 +82,13 @@ vecsim AS (
   SELECT d0.doc_id,
          COALESCE(dots.dot / (CASE WHEN norms.nrm = 0 THEN NULL ELSE norms.nrm END
                               * (SELECT qnorm FROM qn)), 0.0) AS vsim
-  FROM documents d0
+  FROM {src} d0
   LEFT JOIN dots USING (doc_id) LEFT JOIN norms USING (doc_id)
 )
 """
+
+
+_TFIDF_CTES = _tfidf_ctes()
 
 _KW_SQL = (
     "("
@@ -1457,6 +1461,56 @@ def _tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_SEARCH_SQL = f"""
 WITH {_TFIDF_CTES}
 SELECT doc_id, ROUND(vsim, {R}) AS similarity FROM vecsim
+WHERE ROUND(vsim, {R}) >= 0.0
+ORDER BY ROUND(vsim, {R}) DESC, doc_id
+LIMIT 10
+"""
+
+
+def _pipeline_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval composite: fixed-width chunking (200 chars /
+    50 overlap) → TF-IDF fit over the CHUNK corpus → query → top-10
+    chunks with document attribution — the chunk-level retrieval stage
+    every RAG pipeline puts between a corpus and a prompt, here as one
+    lazy chain of the registry-verified operators. Chunk ids encode
+    (doc_id, chunk_idx) so the id tiebreak is document-then-position.
+    The oracle replays chunking + the full TF-IDF chain over the same
+    chunk corpus."""
+    from tidyvec_spark.embedders.tfidf import TfidfEmbedder
+    from tidyvec_spark.operators.chunking import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, "text", "doc_id", size=200, overlap=50)
+    corpus = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        F.col("chunk"),
+    )
+    fitted = TfidfEmbedder(min_freq=2).fit(corpus, "chunk")
+    top = fitted.search(
+        corpus, "chunk", "cid", _TFIDF_QUERY, n=10, min_score=0.0,
+        round_to=R,
+    )
+    return top.select(
+        (F.col("cid") / 1000).cast("long").alias("doc_id"),
+        (F.col("cid") % 1000).cast("int").alias("chunk_idx"),
+        "similarity",
+    )
+
+
+def _pipeline_rag_sql() -> str:
+    chunk_src = """chunks0 AS (
+  SELECT doc_id * 1000 + CAST((s - 1) // 150 AS INT) AS doc_id,
+         substr(text, CAST(s AS INT), 200) AS text
+  FROM documents,
+       LATERAL unnest(generate_series(1, greatest(length(text), 1), 150)) AS u(s)
+)"""
+    return f"""
+WITH {chunk_src},
+{_tfidf_ctes("chunks0")}
+SELECT CAST(doc_id // 1000 AS BIGINT) AS doc_id,
+       CAST(doc_id % 1000 AS INT) AS chunk_idx,
+       ROUND(vsim, {R}) AS similarity
+FROM vecsim
 WHERE ROUND(vsim, {R}) >= 0.0
 ORDER BY ROUND(vsim, {R}) DESC, doc_id
 LIMIT 10
@@ -7133,6 +7187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_lines": _docs_dedup_lines,
         "docs_tokenizer_fertility": _docs_tokenizer_fertility,
         "embedding_drift": _embedding_drift,
+        "pipeline_rag": _pipeline_rag,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -7404,6 +7459,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stream_upsert": _DOCS_STREAM_UPSERT_SQL,
         "docs_tokenizer_fertility": _docs_tokenizer_fertility_sql(),
         "embedding_drift": _embedding_drift_sql(),
+        "pipeline_rag": _pipeline_rag_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }
