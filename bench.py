@@ -154,6 +154,13 @@ BENCH_QUERIES = [
     "pipeline_web",
     "pipeline_dedup_full",
     "docs_quality_clf",
+    "docs_keyword_topk",
+    "source_quality_report",
+    "corpus_manifest_incremental",
+    "docs_stream_upsert",
+    "docs_tokenizer_fertility",
+    "embedding_drift",
+    "pipeline_rag",
     "events_skew_profile",
     "corpus_diff",
     "corpus_manifest",
