@@ -793,3 +793,60 @@ def test_upsert_latest_stream_multi_batch(spark, tmp_path):
         ).collect()
     }
     assert batch == got
+
+
+def test_upsert_latest_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume for the latest-wins state: a key's winning
+    version from the FIRST incarnation must survive the restart, so an
+    older version arriving after resume is ignored and a newer one
+    replaces it."""
+    land = tmp_path / "upsert_ckpt_land"
+    land.mkdir()
+    ckpt = str(tmp_path / "upsert_ckpt")
+    out = str(tmp_path / "upsert_ckpt_out")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "k bigint, version int, payload string"
+        ).parquet(str(land) + "/*")
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            S.upsert_latest_stream(stream, "k", "version", ["payload"])
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, 5, "v5-a"), (2, 1, "v1-b")],
+        "k bigint, version int, payload string",
+    ).coalesce(1).write.parquet(str(land / "f0.parquet"))
+    run_once()
+
+    spark.createDataFrame(
+        [(1, 3, "v3-a-stale"), (2, 7, "v7-b")],
+        "k bigint, version int, payload string",
+    ).coalesce(1).write.parquet(str(land / "f1.parquet"))
+    run_once()  # stale v3 for key 1 must NOT re-emit; v7 replaces key 2
+
+    got = {
+        r["k"]: (r["version"], r["payload"])
+        for r in spark.read.parquet(out)
+        .groupBy("k")
+        .agg(F.max(F.struct("version", "payload")).alias("w"))
+        .select("k", "w.version", "w.payload")
+        .collect()
+    }
+    assert got == {1: (5, "v5-a"), 2: (7, "v7-b")}
+    # the stale version must not even appear in the emitted log
+    emitted = {
+        (r["k"], r["version"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 3) not in emitted
