@@ -7183,6 +7183,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (every oracle-backed entry below is checked by the dynamic
         # SUBSET in tests/test_entry_oracle.py; each has driver rows
         # from rounds 1-6)
+        # ROUND-8 ROTATION LIST (round-7 tail additions, never driver-
+        # checked): docs_tokenizer_fertility, embedding_drift,
+        # pipeline_rag. Everything else in the registry will have a
+        # driver row after CORRECTNESS_r07 — rotate those 3 in, keep
+        # the 9 stable reps, and fill the rest of the window with
+        # round-8 additions (locally verified first) per the r7
+        # pattern.
         "docs_stream_near_pairs": _docs_stream_near_pairs,
         "docs_dedup_lines": _docs_dedup_lines,
         "docs_tokenizer_fertility": _docs_tokenizer_fertility,
