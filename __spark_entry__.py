@@ -5039,6 +5039,65 @@ FROM s
 """
 
 
+def _docs_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (functions/quality.py::
+    compression_ratio_udf): zlib size over raw size per document — the
+    redundancy filter of Gopher/RedPajama-era curation (boilerplate
+    and looped text compress far below prose). One of the engine's few
+    deliberate Python boundaries (compression is not SQL-expressible):
+    Arrow-batched pandas_udf, one scan, zero shuffle. The oracle
+    precomputes the same zlib-level-6 doubles in pure Python and emits
+    them as literals (hf_query_nearest pattern)."""
+    from tidyvec_spark.functions.quality import compression_ratio_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    ratio = compression_ratio_udf()
+    return docs.select(
+        "doc_id", F.round(ratio(F.col("text")), R).alias("zratio")
+    )
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark's ``F.round`` semantics for doubles: BigDecimal HALF_UP on
+    the EXACT binary value — Python's ``round`` is banker's and
+    diverges on exact .5 ties (which compression ratios, being
+    quotients of small integers, actually hit)."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _docs_compression_ratio_sql() -> str:
+    import pyarrow.parquet as pq
+
+    from tidyvec_spark.functions.quality import compression_ratio_py
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    vals = ",\n  ".join(
+        f"(CAST({int(i)} AS BIGINT), "
+        + (
+            "CAST(NULL AS DOUBLE)"
+            if (r := compression_ratio_py(t)) is None
+            else f"CAST({_round_half_up(r, R)!r} AS DOUBLE)"
+        )
+        + ")"
+        for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    )
+    return (
+        "SELECT doc_id, zratio FROM (VALUES\n  "
+        + vals
+        + "\n) AS t(doc_id, zratio)"
+    )
+
+
 def _docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language: BPE-ish pieces per character
     and per whitespace word, aggregated per lang — the tokenizer-
@@ -7185,7 +7244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from rounds 1-6)
         # ROUND-8 ROTATION LIST (round-7 tail additions, never driver-
         # checked): docs_tokenizer_fertility, embedding_drift,
-        # pipeline_rag. Everything else in the registry will have a
+        # pipeline_rag, docs_compression_ratio. Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those 3 in, keep
         # the 9 stable reps, and fill the rest of the window with
         # round-8 additions (locally verified first) per the r7
@@ -7195,6 +7254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tokenizer_fertility": _docs_tokenizer_fertility,
         "embedding_drift": _embedding_drift,
         "pipeline_rag": _pipeline_rag,
+        "docs_compression_ratio": _docs_compression_ratio,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -7467,6 +7527,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_tokenizer_fertility": _docs_tokenizer_fertility_sql(),
         "embedding_drift": _embedding_drift_sql(),
         "pipeline_rag": _pipeline_rag_sql(),
+        "docs_compression_ratio": _docs_compression_ratio_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "docs_tokenizer_fertility",
     "embedding_drift",
     "pipeline_rag",
+    "docs_compression_ratio",
     "events_skew_profile",
     "corpus_diff",
     "corpus_manifest",

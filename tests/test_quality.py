@@ -342,3 +342,29 @@ def test_dedup_lines_within_expr(spark):
     assert got[1] == "banner\nbody one\nbody two"
     assert got[2] == "only\nlines"
     assert got[3] is None
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below varied prose; empty/NULL
+    score NULL; the Python twin matches the UDF value-for-value."""
+    from tidyvec_spark.functions.quality import (
+        compression_ratio_py,
+        compression_ratio_udf,
+    )
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "the quick brown fox jumps over a lazy dog near the riverbank"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    ratio = compression_ratio_udf()
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", ratio(F.col("text")).alias("z")).collect()
+    }
+    assert got[3] is None and got[4] is None
+    assert got[1] < got[2]  # repetition compresses harder
+    for i, t in rows[:2]:
+        assert got[i] == compression_ratio_py(t)

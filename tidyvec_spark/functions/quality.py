@@ -332,3 +332,42 @@ def dedup_lines_within_expr(c: ColumnOrName) -> Column:
         ),
         "\n",
     )
+
+
+def compression_ratio_py(text) -> float | None:
+    """Python twin of :func:`compression_ratio_udf`'s per-value rule —
+    shared so a precomputed-literal oracle reproduces the exact
+    doubles (zlib level 6 is deterministic for a fixed zlib build,
+    and entry + oracle run in the same interpreter)."""
+    import zlib
+
+    if text is None:
+        return None
+    b = str(text).encode("utf-8")
+    if not b:
+        return None
+    return len(zlib.compress(b, 6)) / len(b)
+
+
+def compression_ratio_udf() -> Column:
+    """zlib-compressed-size / raw-size per document — the redundancy
+    signal Gopher/RedPajama-era curation filters on: boilerplate and
+    looped generations compress far below prose (low ratio = highly
+    redundant), while encrypted/binary-ish noise sits near 1.0.
+
+    Compression is not SQL-expressible, so this is one of the few
+    deliberate Python boundaries in the engine — an Arrow-batched
+    ``pandas_udf`` (never row-at-a-time), one scan, zero shuffle.
+    NULL/empty text scores NULL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # annotations are stringified by `from __future__ import
+    # annotations`; build the series-to-series udf hint-free with an
+    # explicit eval type instead
+    def _ratio(s):
+        return s.map(compression_ratio_py)
+
+    from pyspark.sql.functions import PandasUDFType
+
+    return pandas_udf(_ratio, "double", PandasUDFType.SCALAR)
