@@ -6431,7 +6431,11 @@ def _events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trailing 20 same-type events (frame excludes self) — the
     monitoring query over metric streams. One shuffle on event_type;
     sliding frames, no self-join; deterministic (ts, event_id) frame
-    order; stddev guarded against the <2-sample frames."""
+    order; stddev guarded against the <2-sample frames. The threshold
+    compares the ROUNDED z (same rule as the streaming twin and both
+    oracles): rounding before the boundary decision is what keeps a
+    |z| within one ulp of 3.0 from flipping between engines — sf0.1
+    exposed exactly such an event when the oracle filtered raw."""
     from tidyvec_spark.streaming import event_ns_of
 
     ev = _read(spark, sf_dir, "events")
@@ -6477,7 +6481,7 @@ s AS (
 SELECT event_id, event_type, ROUND(value, 4) AS value,
        ROUND((value - mu) / sd, 4) AS z
 FROM s
-WHERE sd IS NOT NULL AND sd > 0 AND abs((value - mu) / sd) > 3.0
+WHERE sd IS NOT NULL AND sd > 0 AND abs(ROUND((value - mu) / sd, 4)) > 3.0
 """
 
 
