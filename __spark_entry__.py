@@ -4499,6 +4499,41 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def _decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact decontamination (operators/bloom.py::
+    decontaminate_bloom): same published rule as decontaminate_ngram
+    (drop docs sharing any exact n-gram with the eval slice) but the
+    benchmark grams travel as a ~2-bytes/gram bloom bitmap instead of
+    broadcast strings; an exact verify join over the bloom survivors
+    makes the output bit-identical to the exact rule. Here 6-grams
+    against eval slice doc_id < 30 (distinct from the exact entry's
+    8-gram/20-doc parameters so the two paths are independently
+    checked)."""
+    from tidyvec_spark.operators.bloom import decontaminate_bloom
+
+    docs = _read(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 30)
+    return decontaminate_bloom(
+        docs, benchmark, "text", "doc_id", n=6
+    ).select("doc_id", "lang", "source")
+
+
+# the oracle is the EXACT rule — the bloom stage is transport, not
+# semantics, so DuckDB replays plain exact n-gram collision
+_DECONTAM_BLOOM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 4), i -> array_to_string(t[i:i+5], ' '))) AS g
+  FROM toks WHERE len(t) >= 6
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 30),
+bad AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bg))
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection
     (operators/dedup.py::drop_near_dups_keep_best): near-dup components
@@ -7248,8 +7283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from rounds 1-6)
         # ROUND-8 ROTATION LIST (round-7 tail additions, never driver-
         # checked): docs_tokenizer_fertility, embedding_drift,
-        # pipeline_rag, docs_compression_ratio. Everything else in the registry will have a
-        # driver row after CORRECTNESS_r07 — rotate those 3 in, keep
+        # pipeline_rag, docs_compression_ratio, decontaminate_bloom.
+        # Everything else in the registry will have a
+        # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
         # round-8 additions (locally verified first) per the r7
         # pattern.
@@ -7259,6 +7295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _embedding_drift,
         "pipeline_rag": _pipeline_rag,
         "docs_compression_ratio": _docs_compression_ratio,
+        "decontaminate_bloom": _decontaminate_bloom,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -7532,6 +7569,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _embedding_drift_sql(),
         "pipeline_rag": _pipeline_rag_sql(),
         "docs_compression_ratio": _docs_compression_ratio_sql(),
+        "decontaminate_bloom": _DECONTAM_BLOOM_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }
