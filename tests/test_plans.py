@@ -431,3 +431,16 @@ def test_round7_scans_prune_uninvolved_columns(spark, qs):
     ):
         for cols in P.read_schemas(qs[name](spark, SF)):
             assert not (banned & set(cols)), (name, cols)
+
+
+def test_decontaminate_bloom_shape(spark, qs):
+    """Bloom decontamination: the corpus side must reach the verify
+    join through broadcast bit-probes only — its grams never shuffle
+    before the bloom filter has thinned them. k=4 probes + the final
+    anti-join are all broadcast hash joins; the only exchanges are the
+    bitmap build agg, the verify join of the (thinned) survivors, and
+    the contaminated-id distinct."""
+    df = qs["decontaminate_bloom"](spark, SF)
+    P.assert_no_cartesian(df)
+    P.assert_broadcast(df, at_least=5)
+    assert P.num_shuffles(df) <= 6

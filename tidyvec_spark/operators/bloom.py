@@ -142,14 +142,22 @@ def decontaminate_bloom(
         raise ValueError("n must be >= 1")
     if k < 1:
         raise ValueError("k must be >= 1")
+    from pyspark import StorageLevel
+
+    # both small-side artifacts are referenced k+1 times (one per
+    # probe + the verify join) — persist so the benchmark is read and
+    # the bitmap aggregated ONCE, not once per probe
     bench_grams = (
         benchmark.select(F.explode(ngrams(text_col, n)).alias("__g"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if num_bits is None:
         n_grams = bench_grams.count()
         num_bits = max(1024, int(math.ceil(n_grams * 14.4)))
-    words = bloom_bitmap_words(bench_grams, "__g", num_bits, k)
+    words = bloom_bitmap_words(bench_grams, "__g", num_bits, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     corpus_grams = corpus.select(
         F.col(id_col).alias("__cid"),
         F.explode(ngrams(text_col, n)).alias("__g"),
@@ -163,8 +171,10 @@ def decontaminate_bloom(
         .select("__cid")
         .distinct()
     )
-    return corpus.join(
+    out = corpus.join(
         F.broadcast(contaminated),
         corpus[id_col] == F.col("__cid"),
         "left_anti",
     )
+    out._tidyvec_persisted = [bench_grams, words]
+    return out
