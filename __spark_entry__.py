@@ -4534,6 +4534,85 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+_MAXSIM_QUERY = "shuffle partition broadcast skew watermark"
+_MAXSIM_DIM = 16
+_MAXSIM_DOC_TOKENS = 12  # small window: the fixture vocab is tiny, so
+# full docs all contain every query term and MaxSim degenerates to ties
+
+
+def _maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (operators/search.py::
+    maxsim_topk): per query token, MAX cosine over the document's
+    token vectors; summed. Token vectors are the deterministic 60-bit-
+    md5 hash projection, integer-valued so every dot/norm is exact and
+    the only floats are one sqrt + one division per pair — the scores
+    are bit-reproducible in DuckDB. Zero-shuffle map pass +
+    TakeOrdered top-10."""
+    from tidyvec_spark.operators.search import maxsim_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return maxsim_topk(
+        docs, "text", "doc_id", _MAXSIM_QUERY,
+        dim=_MAXSIM_DIM, n=10, max_doc_tokens=_MAXSIM_DOC_TOKENS,
+        round_to=R,
+    )
+
+
+def _maxsim_topk_sql() -> str:
+    """The oracle replays MaxSim with the SAME query-vector literals
+    (shared _maxsim_comp_py) — integer dots/norms grouped per (doc,
+    token), then per-doc MAX per query token, summed left-to-right in
+    fixed i order."""
+    from tidyvec_spark.operators.search import _maxsim_comp_py
+
+    qtoks = [t for t in _MAXSIM_QUERY.lower().split() if t]
+    qvecs = []
+    for t in qtoks:
+        v = [_maxsim_comp_py(t, s) for s in range(_MAXSIM_DIM)]
+        n2 = sum(x * x for x in v)
+        if n2:
+            qvecs.append((v, n2))
+    vec_cols = ",\n         ".join(
+        f"[{', '.join(str(x) for x in qv)}] AS v{i}"
+        for i, (qv, _) in enumerate(qvecs)
+    )
+    dot_cols = ",\n         ".join(
+        f"SUM(c * v{i}[s + 1]) AS d{i}" for i in range(len(qvecs))
+    )
+    best_cols = ",\n         ".join(
+        f"MAX(CASE WHEN n2 > 0 THEN CAST(d{i} AS DOUBLE)"
+        f" / sqrt(CAST(n2 * {qn} AS DOUBLE)) END) AS b{i}"
+        for i, (_, qn) in enumerate(qvecs)
+    )
+    score = "b0"
+    for i in range(1, len(qvecs)):
+        score = f"({score} + b{i})"
+    return f"""
+WITH q AS (SELECT {vec_cols}),
+toks AS (SELECT doc_id, ({_TOKS})[1:{_MAXSIM_DOC_TOKENS}] AS t FROM documents),
+dtok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+comp AS (
+  SELECT doc_id, tok, r.s,
+         CAST(CAST(('0x' || substr(md5(tok || ':' || CAST(r.s AS VARCHAR)), 1, 15)) AS UBIGINT) % 2001 AS BIGINT) - 1000 AS c,
+         q.*
+  FROM dtok, range({_MAXSIM_DIM}) r(s), q
+),
+pertok AS (
+  SELECT doc_id, tok, SUM(c * c) AS n2,
+         {dot_cols}
+  FROM comp GROUP BY doc_id, tok
+),
+best AS (
+  SELECT doc_id,
+         {best_cols}
+  FROM pertok GROUP BY doc_id
+)
+SELECT doc_id, ROUND({score}, {R}) AS score
+FROM best WHERE b0 IS NOT NULL
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection
     (operators/dedup.py::drop_near_dups_keep_best): near-dup components
@@ -7283,7 +7362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from rounds 1-6)
         # ROUND-8 ROTATION LIST (round-7 tail additions, never driver-
         # checked): docs_tokenizer_fertility, embedding_drift,
-        # pipeline_rag, docs_compression_ratio, decontaminate_bloom.
+        # pipeline_rag, docs_compression_ratio, decontaminate_bloom,
+        # maxsim_topk.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -7296,6 +7376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_rag": _pipeline_rag,
         "docs_compression_ratio": _docs_compression_ratio,
         "decontaminate_bloom": _decontaminate_bloom,
+        "maxsim_topk": _maxsim_topk,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -7570,6 +7651,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_rag": _pipeline_rag_sql(),
         "docs_compression_ratio": _docs_compression_ratio_sql(),
         "decontaminate_bloom": _DECONTAM_BLOOM_SQL,
+        "maxsim_topk": _maxsim_topk_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -121,3 +121,61 @@ def test_mmr_topk_preserves_id_type(spark):
     assert dict(out.dtypes)["uri"] == "string"
     ranked = {r["mmr_rank"]: r["uri"] for r in out.collect()}
     assert ranked[1] == "doc-a"
+
+
+def test_maxsim_exact_cover_scores_token_count(spark):
+    """A document containing every query token verbatim scores exactly
+    len(query tokens): each inner max hits cos = 1.0 on the identical
+    token's vector."""
+    from tidyvec_spark.operators.search import maxsim_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta filler filler"),
+            (3, "unrelated words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = maxsim_topk(df, "text", "doc_id", "alpha beta gamma", n=3)
+    scores = {r.doc_id: r.score for r in out.collect()}
+    assert scores[1] == 3.0
+    assert scores[1] > scores[2] > scores[3]
+
+
+def test_maxsim_duplicate_tokens_do_not_change_score(spark):
+    """MaxSim's inner max is over the token SET — repeating a token
+    cannot move the score (the distinct optimization is semantics-
+    preserving)."""
+    from tidyvec_spark.operators.search import maxsim_topk
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha alpha beta beta")],
+        "doc_id long, text string",
+    )
+    out = maxsim_topk(df, "text", "doc_id", "alpha gamma", n=2)
+    scores = {r.doc_id: r.score for r in out.collect()}
+    assert scores[1] == scores[2]
+
+
+def test_maxsim_empty_docs_dropped_and_validation(spark):
+    from tidyvec_spark.operators.search import maxsim_topk
+    import pytest as pt
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    out = maxsim_topk(df, "text", "doc_id", "alpha", n=10)
+    assert [r.doc_id for r in out.collect()] == [1]
+    with pt.raises(ValueError):
+        maxsim_topk(df, "text", "doc_id", "   ")
+
+
+def test_maxsim_is_zero_shuffle(documents):
+    from tidyvec_spark.operators.search import maxsim_topk
+    from tidyvec_spark import plans as P
+
+    out = maxsim_topk(documents, "text", "doc_id", "spark join", n=5)
+    assert P.num_shuffles(out) == 0
+    assert P.has_take_ordered(out)

@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 
 from tidyvec_spark.embedders.tfidf import tokens_expr
 
-__all__ = ["bm25_stats", "bm25_topk", "mmr_topk"]
+__all__ = ["bm25_stats", "bm25_topk", "mmr_topk", "maxsim_topk"]
 
 
 def _query_terms(query: str) -> list[str]:
@@ -240,3 +240,146 @@ def mmr_topk(
         ]
     )
     return spark.createDataFrame(out, out_schema)
+
+
+def _maxsim_comp_py(tok: str, s: int) -> int:
+    """Python twin of the Spark/DuckDB token-vector component: 60-bit
+    md5 of ``tok:s`` folded to [-1000, 1000]. Integer-valued so every
+    dot product and squared norm is EXACT on all three engines — the
+    only floats in MaxSim are one correctly-rounded sqrt and one
+    division per (query token, doc token), making scores
+    bit-reproducible without any summation-order care."""
+    import hashlib
+
+    return (
+        int(hashlib.md5(f"{tok}:{s}".encode("utf-8")).hexdigest()[:15], 16)
+        % 2001
+        - 1000
+    )
+
+
+def maxsim_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query: str,
+    dim: int = 16,
+    n: int = 10,
+    max_doc_tokens: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia
+    2020): score = Σ over query tokens of MAX over document tokens of
+    cos(q_i, d_j) — token-level matching that rewards a document for
+    covering each query term *somewhere*, where a single pooled vector
+    dilutes it. Token embeddings here are the engine's deterministic
+    hash projection (``_maxsim_comp_py``) — the operator is the
+    late-interaction SCORING machinery; swap the vector fn for a real
+    encoder's token outputs (``embedders/hf.py``) to run it learned.
+
+    100 TB shape: ONE map-side pass — the per-document expression
+    (token slice → distinct → per-token integer dot products against
+    the query literals → max/sum) is pure whole-stage-codegen work
+    with zero shuffle, followed by a TakeOrdered top-``n``. Cost per
+    doc is ``min(tokens, max_doc_tokens) × |query| × dim`` integer
+    mults; ``max_doc_tokens`` bounds it (ColBERT itself truncates doc
+    token streams). The inner max is over DISTINCT doc tokens —
+    mathematically identical for MaxSim and cheaper on repetitive
+    text.
+
+    Returns (``id_col``, score) ordered desc, ties broken by id.
+    """
+    from tidyvec_spark.functions.text import let, tokens
+
+    qtoks = [t for t in str(query).lower().split() if t]
+    if not qtoks:
+        raise ValueError("query has no tokens")
+    dim = int(dim)
+    qvecs: list[tuple[list[int], int]] = []
+    for t in qtoks:
+        v = [_maxsim_comp_py(t, s) for s in range(dim)]
+        n2 = sum(x * x for x in v)
+        if n2:
+            qvecs.append((v, n2))
+    if not qvecs:
+        raise ValueError("query tokens all hash to zero vectors")
+
+    def comp(t, s):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(t, F.lit(":"), s.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % 2001 - 1000
+
+    def vec(t):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)), lambda s: comp(t, s)
+        )
+
+    zero = F.lit(0).cast("long")
+
+    def tok_struct(t):
+        # one struct per doc token: exact integer dot against every
+        # query vector + squared norm (vector let-bound: hashed once)
+        return let(
+            vec(t),
+            lambda v: F.struct(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.array(*[F.lit(x).cast("long") for x in qv]),
+                            v,
+                            lambda a, b: a * b,
+                        ),
+                        zero,
+                        lambda acc, x: acc + x,
+                    ).alias(f"d{i}")
+                    for i, (qv, _) in enumerate(qvecs)
+                ],
+                F.aggregate(
+                    v, zero, lambda acc, x: acc + x * x
+                ).alias("n2"),
+            ),
+        )
+
+    dtoks = F.array_distinct(
+        F.slice(tokens(text_col), 1, int(max_doc_tokens))
+    )
+    dstructs = F.filter(
+        F.transform(dtoks, tok_struct), lambda st: st["n2"] > 0
+    )
+
+    def _term_sim(i, qn):
+        # closure factory, NOT default-arg capture: pyspark reads a
+        # lambda's full parameter count (defaults included) as the
+        # HOF arity, so `lambda st, i=i: ...` would bind as 3-arg
+        def f(st):
+            return st[f"d{i}"].cast("double") / F.sqrt(
+                (st["n2"] * F.lit(qn)).cast("double")
+            )
+
+        return f
+
+    def score_of(ds):
+        terms = []
+        for i, (_, qn) in enumerate(qvecs):
+            terms.append(F.array_max(F.transform(ds, _term_sim(i, qn))))
+        s = terms[0]
+        for t in terms[1:]:  # fixed left-to-right fold, engine-portable
+            s = s + t
+        return s
+
+    score = let(
+        dstructs, lambda ds: F.when(F.size(ds) > 0, score_of(ds))
+    )
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        df.select(F.col(id_col), score.alias("score"))
+        .filter(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(n))
+    )
