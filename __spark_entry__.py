@@ -2678,6 +2678,45 @@ FROM c
 """
 
 
+def _packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (operators/chunking.py::
+    packing_report): per salted bucket, how many concatenate-then-
+    split sequences the pack produces and what fraction of their
+    padded footprint is real tokens — the padding-waste metric a
+    training pipeline watches. Same bucket law and budget as
+    ``docs_pack``; one groupBy(bucket), n_buckets rows out."""
+    from tidyvec_spark.operators.chunking import packing_report
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return packing_report(
+        docs, "doc_id", "n_chars", budget=_PACK_BUDGET,
+        n_buckets=_PACK_BUCKETS, salt=_PACK_SALT, round_to=R,
+    )
+
+
+_PACKING_REPORT_SQL = f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(
+           CAST(CONCAT('0x', substr(md5(CONCAT('{_PACK_SALT}', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+             / 4294967296.0 * {_PACK_BUCKETS}) AS INT) AS bucket
+  FROM documents
+),
+per AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN n_chars > {_PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+  FROM u GROUP BY bucket
+)
+SELECT bucket, n_docs, n_tokens, n_oversize,
+       CAST((n_tokens + {_PACK_BUDGET - 1}) // {_PACK_BUDGET} AS BIGINT) AS n_seqs,
+       ROUND(CAST(n_tokens AS DOUBLE)
+             / CAST(((n_tokens + {_PACK_BUDGET - 1}) // {_PACK_BUDGET}) * {_PACK_BUDGET} AS DOUBLE), {R}) AS fill
+FROM per ORDER BY bucket
+"""
+
+
 def _sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization (operators/sq.py): per-dim min/max fit,
     one-byte-per-dim codes, asymmetric L2 top-10 over the CODE column
@@ -7363,7 +7402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND-8 ROTATION LIST (round-7 tail additions, never driver-
         # checked): docs_tokenizer_fertility, embedding_drift,
         # pipeline_rag, docs_compression_ratio, decontaminate_bloom,
-        # maxsim_topk.
+        # maxsim_topk, packing_report.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -7377,6 +7416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_compression_ratio": _docs_compression_ratio,
         "decontaminate_bloom": _decontaminate_bloom,
         "maxsim_topk": _maxsim_topk,
+        "packing_report": _packing_report,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -7652,6 +7692,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_compression_ratio": _docs_compression_ratio_sql(),
         "decontaminate_bloom": _DECONTAM_BLOOM_SQL,
         "maxsim_topk": _maxsim_topk_sql(),
+        "packing_report": _PACKING_REPORT_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "matryoshka_topk",
     "cascade_topk",
     "mmr_topk",
+    "maxsim_topk",
+    "packing_report",
     "embedding_health",
     "text_stats",
     "multimodal_header_meta",
@@ -139,6 +141,7 @@ BENCH_QUERIES = [
     "docs_stream_ingest",
     "docs_ccnet_buckets",
     "decontaminate_ngram",
+    "decontaminate_bloom",
     "bq_hamming_topk",
     "bq_rerank_topk",
     "bq_topk_sidecar",

@@ -257,3 +257,45 @@ def test_unimax_allocation_waterfill(spark):
         unimax_allocation(df, "lang", 0)
     with pytest.raises(ValueError):
         unimax_allocation(df, "lang", 10, max_epochs=0)
+
+
+def test_packing_report_matches_pack_sequences(spark, documents):
+    """The report's bucket law and totals must describe exactly what
+    pack_sequences produces: same bucket assignment, token sums equal
+    the final cumsum, n_seqs = ceil(total/budget) >= the last
+    sequence id + 1, fill in (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.chunking import pack_sequences, packing_report
+
+    docs = documents.select("doc_id", "n_chars")
+    packed = pack_sequences(
+        docs, "doc_id", "n_chars", budget=5000, n_buckets=8, salt="pack1"
+    )
+    rep = packing_report(
+        docs, "doc_id", "n_chars", budget=5000, n_buckets=8, salt="pack1"
+    )
+    from_pack = {
+        r["bucket"]: (r["n"], r["tot"])
+        for r in packed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("n_chars").cast("long")).alias("tot"),
+        )
+        .collect()
+    }
+    for r in rep.collect():
+        n, tot = from_pack[r["bucket"]]
+        assert r["n_docs"] == n
+        assert r["n_tokens"] == tot
+        assert r["n_seqs"] == -(-tot // 5000)
+        assert 0.0 < r["fill"] <= 1.0
+
+
+def test_packing_report_validation(documents):
+    import pytest as pt
+
+    from tidyvec_spark.operators.chunking import packing_report
+
+    with pt.raises(ValueError):
+        packing_report(documents, "doc_id", "n_chars", budget=0)

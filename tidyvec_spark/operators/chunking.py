@@ -184,3 +184,59 @@ def _pack_ffd(
         yield pdf
 
     return with_pid.mapInPandas(pack, schema=out_schema)
+
+
+def packing_report(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_buckets: int = 1024,
+    salt: str = "",
+    round_to: int = 6,
+) -> DataFrame:
+    """Packing-efficiency report for :func:`pack_sequences`' hash
+    strategy — the metric a training pipeline watches to know how much
+    of every batch is padding: per bucket,
+    ``n_seqs = ceil(tokens / budget)`` sequences exist and only the
+    last is partial, so ``fill = tokens / (n_seqs · budget)`` IS the
+    bucket's padded-token efficiency. Also counts oversize documents
+    (> budget tokens — the ones the trainer's splitter must carry
+    across sequence boundaries).
+
+    Shape: ONE groupBy(bucket) aggregation (the same salted-md5 bucket
+    law as ``pack_sequences``, so the report describes exactly the
+    assignment the packer would produce) — no window, no join; the
+    output is ``n_buckets`` rows regardless of corpus size.
+
+    Returns (bucket, n_docs, n_tokens, n_oversize, n_seqs, fill)
+    ordered by bucket.
+    """
+    from tidyvec_spark.operators.sampling import hash_unit
+
+    budget = int(budget)
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    bucket = (hash_unit(id_col, salt) * n_buckets).cast("int")
+    per = (
+        df.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+            F.sum(
+                (F.col(token_col).cast("long") > budget).cast("long")
+            ).alias("n_oversize"),
+        )
+    )
+    n_seqs = F.expr(f"(n_tokens + {budget - 1}) DIV {budget}")
+    fill = F.round(
+        F.col("n_tokens").cast("double")
+        / (F.col("n_seqs") * budget).cast("double"),
+        round_to,
+    )
+    return (
+        per.withColumn("n_seqs", n_seqs.cast("long"))
+        .withColumn("fill", fill)
+        .orderBy("bucket")
+    )
