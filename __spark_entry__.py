@@ -4652,6 +4652,53 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def _token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token-pair PMI (operators/cooccur.py::
+    token_pmi_topk — Church & Hanks 1990 collocation statistic): pairs
+    generated MAP-SIDE from each doc's 32 lexicographically-first
+    distinct tokens (bounded, never a token-table self-join), counted
+    on the pair key, marginals broadcast back, ranked on rounded PMI
+    with the pair tiebreak."""
+    from tidyvec_spark.operators.cooccur import token_pmi_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_pmi_topk(
+        docs, "text", "doc_id", k=20, min_pair_docs=2, max_distinct=32,
+        round_to=R,
+    )
+
+
+_TOKEN_PMI_SQL = f"""
+WITH t2 AS (
+  SELECT ts FROM (
+    SELECT (list_sort(list_distinct({_TOKS})))[1:32] AS ts FROM documents
+  ) WHERE len(ts) > 0
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM t2),
+p AS (
+  SELECT unnest(flatten(list_transform(ts,
+           a -> list_transform(list_filter(ts, b -> b > a),
+                               b -> struct_pack(a := a, b := b))))) AS pr
+  FROM t2
+),
+pc AS (
+  SELECT pr.a AS term_a, pr.b AS term_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+tc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM (SELECT unnest(ts) AS tok FROM t2) GROUP BY tok
+)
+SELECT pc.term_a, pc.term_b, pc.n_ab,
+       ROUND(ln(CAST(pc.n_ab * n.nd AS DOUBLE)
+                / CAST(ta.n_t * tb.n_t AS DOUBLE)), {R}) AS pmi
+FROM pc, n
+JOIN tc ta ON ta.tok = pc.term_a
+JOIN tc tb ON tb.tok = pc.term_b
+ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 20
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection
     (operators/dedup.py::drop_near_dups_keep_best): near-dup components
@@ -7402,7 +7449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND-8 ROTATION LIST (round-7 tail additions, never driver-
         # checked): docs_tokenizer_fertility, embedding_drift,
         # pipeline_rag, docs_compression_ratio, decontaminate_bloom,
-        # maxsim_topk, packing_report.
+        # maxsim_topk, packing_report, token_pmi.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -7417,6 +7464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": _decontaminate_bloom,
         "maxsim_topk": _maxsim_topk,
         "packing_report": _packing_report,
+        "token_pmi": _token_pmi,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -7693,6 +7741,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": _DECONTAM_BLOOM_SQL,
         "maxsim_topk": _maxsim_topk_sql(),
         "packing_report": _PACKING_REPORT_SQL,
+        "token_pmi": _TOKEN_PMI_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "mmr_topk",
     "maxsim_topk",
     "packing_report",
+    "token_pmi",
     "embedding_health",
     "text_stats",
     "multimodal_header_meta",

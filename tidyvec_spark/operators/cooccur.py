@@ -1,0 +1,122 @@
+"""Token co-occurrence statistics (PMI).
+
+Pointwise mutual information over document-level co-occurrence —
+``pmi(a,b) = ln(P(a,b) / (P(a)P(b)))`` with probabilities estimated as
+document frequencies — is the classic corpus-association analytic
+(Church & Hanks 1990): collocation mining, phrase candidate
+generation, and the statistic behind count-based embedding matrices
+(Levy & Goldberg 2014 showed skip-gram factorizes a shifted PMI
+matrix).
+
+100 TB shape:
+
+- pair generation is MAP-SIDE: each document emits unordered pairs of
+  its ``max_distinct`` lexicographically-first DISTINCT tokens as one
+  nested-transform expression — the output is bounded by
+  ``max_distinct² / 2`` rows per document, a knob, never vocabulary²;
+  no self-join of a token table (the naive formulation) ever happens.
+- pair counts and token marginals are two partial-aggregated
+  ``groupBy``s (one on the pair key, one vocabulary-sized); marginals
+  come back by broadcast join. The corpus is scanned twice — at this
+  shape both scans are shuffle-light and the pair aggregation
+  dominates, exactly proportional to emitted pairs.
+- PMI ranks on ROUNDED values with a (term_a, term_b) tiebreak, the
+  engine-portable convention every ranked operator here uses.
+
+The cap's bias is explicit and deterministic (lexicographic prefix of
+the distinct token set), not a sample: the same document always
+contributes the same pairs on every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tidyvec_spark.functions.text import let, tokens
+
+__all__ = ["token_pmi_topk"]
+
+
+def token_pmi_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_pair_docs: int = 2,
+    max_distinct: int = 32,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` token pairs by document-level PMI.
+
+    ``pmi = ln(n_ab · N / (n_a · n_b))`` where ``n_ab`` = documents
+    containing both tokens (among each doc's ``max_distinct``
+    lexicographically-first distinct tokens), ``n_a``/``n_b`` = docs
+    containing each token (same capped view), ``N`` = docs with at
+    least one token. ``min_pair_docs`` prunes noise pairs before
+    ranking. Returns (term_a, term_b, n_ab, pmi) with term_a < term_b.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_distinct < 2:
+        raise ValueError("max_distinct must be >= 2 to form pairs")
+
+    ts_expr = F.slice(
+        F.array_sort(F.array_distinct(tokens(text_col))), 1, int(max_distinct)
+    )
+    toks = df.select(ts_expr.alias("__ts")).filter(F.size("__ts") > 0)
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _pairs_of(ts):
+        def per_a(a):
+            def gt_a(b):
+                return b > a
+
+            def pair(b):
+                return F.struct(a.alias("a"), b.alias("b"))
+
+            return F.transform(F.filter(ts, gt_a), pair)
+
+        return F.flatten(F.transform(ts, per_a))
+
+    pair_counts = (
+        toks.select(F.explode(let(F.col("__ts"), _pairs_of)).alias("__p"))
+        .groupBy(F.col("__p.a").alias("term_a"), F.col("__p.b").alias("term_b"))
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_pair_docs))
+    )
+    tok_counts = (
+        toks.select(F.explode("__ts").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+    n_docs = toks.count()
+    scored = (
+        pair_counts.join(
+            F.broadcast(tok_counts.withColumnRenamed("__t", "term_a")), "term_a"
+        )
+        .withColumnRenamed("__n", "__na")
+        .join(
+            F.broadcast(tok_counts.withColumnRenamed("__t", "term_b")), "term_b"
+        )
+        .withColumnRenamed("__n", "__nb")
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.lit(int(n_docs))).cast("double")
+                    / (F.col("__na") * F.col("__nb")).cast("double")
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    out = scored.orderBy(
+        F.desc("pmi"), F.asc("term_a"), F.asc("term_b")
+    ).limit(int(k))
+    out._tidyvec_persisted = [toks]
+    return out
