@@ -4699,6 +4699,51 @@ ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 20
 """
 
 
+def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (operators/dedup.py::
+    winnow_pairs — Schleimer et al. 2003, the MOSS scheme): window
+    minima over token-5-gram hashes (w=4) guarantee any shared
+    9-token run shares a fingerprint; pairs counted on the shared-fp
+    equi-join with the hot-fp cap. The local-overlap detector MinHash
+    (whole-doc resemblance) structurally misses."""
+    from tidyvec_spark.operators.dedup import winnow_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_pairs(
+        docs, "text", "doc_id", k=5, w=4, min_shared=2, max_doc_freq=1000
+    )
+
+
+_WINNOW_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5 THEN
+           list_transform(range(1, len(t) - 3),
+             i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)) AS UBIGINT))
+         ELSE [] END AS hs
+  FROM toks
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+                list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))
+              WHEN len(hs) > 0 THEN [list_min(hs)]
+              ELSE [] END AS mins
+  FROM h
+),
+fps AS (
+  SELECT DISTINCT doc_id, CAST(unnest(mins) AS BIGINT) AS fp FROM m
+),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 1000),
+keep AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection
     (operators/dedup.py::drop_near_dups_keep_best): near-dup components
@@ -7449,7 +7494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND-8 ROTATION LIST (round-7 tail additions, never driver-
         # checked): docs_tokenizer_fertility, embedding_drift,
         # pipeline_rag, docs_compression_ratio, decontaminate_bloom,
-        # maxsim_topk, packing_report, token_pmi.
+        # maxsim_topk, packing_report, token_pmi, winnow_pairs.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -7465,6 +7510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": _maxsim_topk,
         "packing_report": _packing_report,
         "token_pmi": _token_pmi,
+        "winnow_pairs": _winnow_pairs,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -7742,6 +7788,7 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_topk": _maxsim_topk_sql(),
         "packing_report": _PACKING_REPORT_SQL,
         "token_pmi": _TOKEN_PMI_SQL,
+        "winnow_pairs": _WINNOW_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "maxsim_topk",
     "packing_report",
     "token_pmi",
+    "winnow_pairs",
     "embedding_health",
     "text_stats",
     "multimodal_header_meta",

@@ -778,3 +778,69 @@ def test_drop_exact_dups_weighted(spark):
     got = {r["doc_id"]: r["n_copies"]
            for r in drop_exact_dups_weighted(df, "text", "doc_id").collect()}
     assert got == {1: 3, 3: 1}
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """The winnowing guarantee: two documents sharing a run of
+    w + k - 1 tokens share at least one fingerprint."""
+    from tidyvec_spark.operators.dedup import winnow_pairs
+
+    shared = "one two three four five six seven eight"  # 8 = 4 + 5 - 1
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta epsilon zeta"),
+            (2, f"completely different prefix {shared} and a different tail"),
+            (3, "no overlap with anything here at all whatsoever truly"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_pairs(df, "text", "doc_id", k=5, w=4, min_shared=1)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_winnow_short_doc_single_window(spark):
+    """A doc with fewer than w k-grams still fingerprints (its global
+    min); an empty doc contributes nothing."""
+    from tidyvec_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "text", "doc_id", k=5, w=4)
+    rows = fp.collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert len(rows) == 1  # 2 grams < w -> exactly one global-min fp
+
+
+def test_winnow_hot_cap_drops_boilerplate(spark):
+    """A fingerprint present in every doc is excluded from the join by
+    max_doc_freq, so pairs riding only on it disappear."""
+    from tidyvec_spark.operators.dedup import winnow_pairs
+
+    boiler = "this footer appears on every single page here"
+    df = spark.createDataFrame(
+        [(i, f"unique{i} content{i} words{i} {boiler}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    capped = winnow_pairs(
+        df, "text", "doc_id", k=5, w=4, min_shared=1, max_doc_freq=3
+    )
+    uncapped = winnow_pairs(
+        df, "text", "doc_id", k=5, w=4, min_shared=1, max_doc_freq=None
+    )
+    assert capped.count() == 0
+    assert uncapped.count() == 15  # all C(6,2) pairs share the boilerplate
+
+
+def test_winnow_validation(documents):
+    import pytest as pt
+
+    from tidyvec_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    with pt.raises(ValueError):
+        winnow_fingerprints(documents, "text", "doc_id", k=0)
+    with pt.raises(ValueError):
+        winnow_pairs(documents, "text", "doc_id", min_shared=0)

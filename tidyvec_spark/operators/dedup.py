@@ -1590,3 +1590,99 @@ def drop_exact_dups_weighted(
         .filter(F.col(id_col) == F.col("__keep"))
         .select(*df.columns, weight_col)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every token ``k``-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's MINIMUM —
+    the guarantee is that any shared run of ``w + k - 1`` tokens
+    between two documents shares at least one selected fingerprint,
+    which MinHash (whole-doc resemblance) and SimHash (global
+    near-ness) cannot promise for local overlaps. The third published
+    fingerprint family here, tuned for quote/plagiarism-style partial
+    duplication.
+
+    Documents with fewer than ``w`` k-grams (but at least one)
+    contribute their single global minimum; empty documents none.
+
+    100 TB shape: selection is ONE map-side expression per document
+    (O(grams × w) integer work, no shuffle); output is the exploded
+    DISTINCT (``id_col``, fp) set, ~|tokens|/w rows per doc — the
+    density guarantee of winnowing — feeding an equi-join candidate
+    generator. Returns (``id_col``, fp).
+    """
+    if k < 1 or w < 1:
+        raise ValueError("need k >= 1 and w >= 1")
+    from tidyvec_spark.functions.hashing import md5_long
+
+    def mins_of(hs):
+        windows = F.transform(
+            F.sequence(F.lit(0), F.size(hs) - w),
+            lambda i: F.array_min(F.slice(hs, i + 1, w)),
+        )
+        return F.when(F.size(hs) >= w, windows).when(
+            F.size(hs) > 0, F.array(F.array_min(hs))
+        )
+
+    hashes = F.transform(X.ngrams(text_col, k), md5_long)
+    fps = F.array_distinct(X.let(hashes, mins_of))
+    return (
+        df.select(F.col(id_col), F.explode(fps).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: Optional[int] = 1000,
+) -> DataFrame:
+    """Candidate near-dup/overlap pairs from shared winnowing
+    fingerprints: equi-join of the fingerprint table with itself,
+    counting shared fingerprints per (id_a < id_b) pair. A pair
+    sharing ``s`` fingerprints shares (with winnowing's guarantee)
+    material overlapping runs — ``min_shared`` prunes incidental
+    single-window collisions.
+
+    ``max_doc_freq`` drops fingerprints present in more than that many
+    documents from the join (boilerplate windows — the same
+    hot-shingle cap as :func:`ngram_jaccard_pairs`, same rationale:
+    one fp shared by 10⁶ docs is 10¹² join rows of zero
+    discrimination). The fingerprint table is persisted across the
+    self-join so selection runs once.
+    """
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    fps = ensure_parallelism(fps).persist(StorageLevel.MEMORY_AND_DISK)
+    if max_doc_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > int(max_doc_freq))
+            .select("fp")
+        )
+        fps_join = fps.join(F.broadcast(hot), "fp", "left_anti")
+    else:
+        fps_join = fps
+    a = fps_join.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps_join.select(F.col(id_col).alias("id_b"), "fp")
+    out = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    return _with_persisted(out, [fps])
