@@ -4786,6 +4786,51 @@ WHERE s.doc_id NOT IN (SELECT did FROM ranked WHERE rn > 1)
 """
 
 
+_SOFT_DEDUP_SALT = "soft1"
+
+
+def _soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (operators/dedup.py::soft_dedup_sample):
+    near-dup clusters are DOWN-WEIGHTED, not dropped — each member
+    keeps an independent salted-hash Bernoulli trial at p = 1/cluster
+    size, so every cluster survives once in expectation with no
+    deterministic favorite. Components come from the same
+    near_dup_groups table keep-best uses; the oracle replays the
+    component propagation, sizes, and the md5-unit trial."""
+    from tidyvec_spark.operators.dedup import (
+        near_dup_groups,
+        soft_dedup_sample,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    comps = near_dup_groups(
+        corpus, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5,
+    )
+    return soft_dedup_sample(corpus, comps, "doc_id", salt=_SOFT_DEDUP_SALT)
+
+
+def _soft_dedup_sql() -> str:
+    return f"""
+WITH comp AS MATERIALIZED ({_dedup_components_sql()}),
+{_DUP_CORPUS_SQL},
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cs
+  FROM comp GROUP BY component
+),
+sized AS (
+  SELECT c.id AS did, s.cs FROM comp c JOIN sizes s USING (component)
+)
+SELECT corpus.doc_id,
+       CAST(COALESCE(z.cs, 1) AS BIGINT) AS cluster_size,
+       ROUND(1.0 / CAST(COALESCE(z.cs, 1) AS DOUBLE), {R}) AS weight
+FROM corpus LEFT JOIN sized z ON z.did = corpus.doc_id
+WHERE CAST(CONCAT('0x', substr(md5(CONCAT('{_SOFT_DEDUP_SALT}', CAST(corpus.doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+        / 4294967296.0
+      < 1.0 / CAST(COALESCE(z.cs, 1) AS DOUBLE)
+"""
+
+
 def _pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline "dedup a 100 TB crawl" composite: the FULL dedup
     ladder as one lazy plan, each rung the registry-verified operator —
@@ -7494,7 +7539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND-8 ROTATION LIST (round-7 tail additions, never driver-
         # checked): docs_tokenizer_fertility, embedding_drift,
         # pipeline_rag, docs_compression_ratio, decontaminate_bloom,
-        # maxsim_topk, packing_report, token_pmi, winnow_pairs.
+        # maxsim_topk, packing_report, token_pmi, winnow_pairs,
+        # soft_dedup.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -7511,6 +7557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_report": _packing_report,
         "token_pmi": _token_pmi,
         "winnow_pairs": _winnow_pairs,
+        "soft_dedup": _soft_dedup,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -7789,6 +7836,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_report": _PACKING_REPORT_SQL,
         "token_pmi": _TOKEN_PMI_SQL,
         "winnow_pairs": _WINNOW_SQL,
+        "soft_dedup": _soft_dedup_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "packing_report",
     "token_pmi",
     "winnow_pairs",
+    "soft_dedup",
     "embedding_health",
     "text_stats",
     "multimodal_header_meta",

@@ -844,3 +844,47 @@ def test_winnow_validation(documents):
         winnow_fingerprints(documents, "text", "doc_id", k=0)
     with pt.raises(ValueError):
         winnow_pairs(documents, "text", "doc_id", min_shared=0)
+
+
+def test_soft_dedup_unique_docs_always_kept(spark):
+    """Docs outside any component have weight 1 and always survive the
+    unit-hash trial (u < 1.0 for every u)."""
+    from tidyvec_spark.operators.dedup import soft_dedup_sample
+
+    df = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    comps = spark.createDataFrame([], "id long, component long")
+    out = soft_dedup_sample(df, comps, "doc_id")
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.cluster_size == 1 and r.weight == 1.0 for r in rows)
+
+
+def test_soft_dedup_expected_one_per_cluster(spark):
+    """Over many 4-member clusters, ~1/4 of members survive — and the
+    selection is deterministic under the salt (same result twice)."""
+    from tidyvec_spark.operators.dedup import soft_dedup_sample
+
+    n_clusters = 200
+    rows = [
+        (c * 10 + m, f"cluster {c}") for c in range(n_clusters)
+        for m in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    comps = spark.createDataFrame(
+        [(r[0], r[0] // 10) for r in rows], "id long, component long"
+    )
+    out = soft_dedup_sample(df, comps, "doc_id", salt="s")
+    kept = sorted(r.doc_id for r in out.collect())
+    # E[kept] = 200; binomial(800, 1/4) is within +-4 sigma of 200
+    assert 150 <= len(kept) <= 250
+    again = sorted(
+        r.doc_id
+        for r in soft_dedup_sample(df, comps, "doc_id", salt="s").collect()
+    )
+    assert kept == again
+    assert all(
+        r.weight == 0.25 and r.cluster_size == 4 for r in out.collect()
+    )

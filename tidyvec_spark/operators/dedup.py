@@ -1686,3 +1686,64 @@ def winnow_pairs(
         .filter(F.col("n_shared") >= int(min_shared))
     )
     return _with_persisted(out, [fps])
+
+
+def soft_dedup_sample(
+    df: DataFrame,
+    comps: DataFrame,
+    id_col: str,
+    salt: str = "",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Soft deduplication: DOWN-WEIGHT duplicate clusters instead of
+    hard-dropping them — every document keeps an independent Bernoulli
+    trial with p = 1 / cluster_size (unique documents: p = 1), so each
+    near-dup cluster survives ONCE in expectation while which copy
+    survives stays unbiased. This is the sampling-based alternative to
+    keep-min-id / keep-best curation (cf. the soft-dedup reweighting
+    in D4/SlimPajama-era pipelines): repeated content's influence on
+    the training mix is normalized without deterministically favoring
+    any single copy.
+
+    The trial is the engine's salted md5 unit hash — reproducible
+    across runs, engines, and repartitionings (never ``rand()``).
+
+    ``comps`` is :func:`near_dup_groups` output (id, component) —
+    passed in, not recomputed, so one component table can feed
+    keep-best, soft sampling, and leakage-free splitting without
+    re-running LSH.
+
+    Shape: one component-sized groupBy for cluster sizes, one join
+    back to the corpus on the id (docs absent from ``comps`` are
+    unique and pass the join as weight 1), map-side trial — no
+    corpus-wide extra shuffle beyond the id join.
+
+    Returns kept rows: (``id_col``, cluster_size, weight).
+    """
+    from tidyvec_spark.operators.sampling import hash_unit
+
+    sizes = comps.groupBy("component").agg(
+        F.count("*").cast("long").alias("__cs")
+    )
+    # co-partitioned on the component key straight out of the groupBy;
+    # no broadcast hint — cluster count is corpus-dependent and AQE
+    # picks broadcast itself when the size table is small
+    sized = comps.join(sizes, "component").select(
+        F.col("id").alias("__id"), "__cs"
+    )
+    u = hash_unit(id_col, salt)
+    w = F.lit(1.0) / F.coalesce(F.col("__cs"), F.lit(1)).cast("double")
+    out = (
+        df.join(sized, df[id_col] == F.col("__id"), "left")
+        .filter(u < w)
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__cs"), F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+            (F.round(w, round_to) if round_to is not None else w).alias(
+                "weight"
+            ),
+        )
+    )
+    return out
