@@ -4029,6 +4029,54 @@ WHERE doc_id % 97 <> 0
 """
 
 
+def _docs_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with quarantine (sources/delimited.py::
+    read_csv_quarantine): the corpus serialized to CSV lines with
+    every doc_id % 89 == 0 line given an unparseable id (type-cast
+    failure — CSV's characteristic malformation, where JSONL's is
+    truncation), read back under an explicit schema in
+    PERMISSIVE+capture mode, split with the same jsonl.split_corrupt.
+    Clean rows must hash-match the originals for surviving ids."""
+    import tempfile
+
+    from tidyvec_spark.sources.delimited import read_csv_quarantine
+    from tidyvec_spark.sources.jsonl import split_corrupt
+
+    docs = _read(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 89 == 0,
+        F.concat(F.lit("xERR,"), F.col("lang"), F.lit(","), F.col("text")),
+    ).otherwise(
+        F.concat_ws(
+            ",", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
+        )
+    )
+    out = tempfile.mkdtemp(prefix="tv_csv_")
+    docs.select(line.alias("value")).coalesce(2).write.mode(
+        "overwrite"
+    ).text(out)
+    raw = read_csv_quarantine(
+        spark, out, "doc_id bigint, lang string, text string"
+    ).cache()
+    clean, bad = split_corrupt(raw)
+    n_bad = bad.count()
+    return clean.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.lit(int(n_bad)).cast("long").alias("n_quarantined"),
+    )
+
+
+_DOCS_CSV_INGEST_SQL = """
+WITH bad AS (SELECT count(*) AS nb FROM documents WHERE doc_id % 89 = 0)
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(bad.nb AS BIGINT) AS n_quarantined
+FROM documents, bad
+WHERE doc_id % 89 <> 0
+"""
+
+
 def _corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressable manifest (sources/maintenance.py::
     corpus_manifest): per md5-shard doc/token counts + an order- and
@@ -7540,7 +7588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked): docs_tokenizer_fertility, embedding_drift,
         # pipeline_rag, docs_compression_ratio, decontaminate_bloom,
         # maxsim_topk, packing_report, token_pmi, winnow_pairs,
-        # soft_dedup.
+        # soft_dedup, docs_csv_ingest.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -7558,6 +7606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi": _token_pmi,
         "winnow_pairs": _winnow_pairs,
         "soft_dedup": _soft_dedup,
+        "docs_csv_ingest": _docs_csv_ingest,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -7837,6 +7886,7 @@ def oracle_sql() -> dict[str, str]:
         "token_pmi": _TOKEN_PMI_SQL,
         "winnow_pairs": _WINNOW_SQL,
         "soft_dedup": _soft_dedup_sql(),
+        "docs_csv_ingest": _DOCS_CSV_INGEST_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

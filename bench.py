@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "wds_roundtrip",
     "docs_jsonl_ingest",
+    "docs_csv_ingest",
     "source_overlap",
     "pipeline_ccnet",
     "pipeline_web",

@@ -368,3 +368,24 @@ def test_compression_ratio_signal(spark):
     assert got[1] < got[2]  # repetition compresses harder
     for i, t in rows[:2]:
         assert got[i] == compression_ratio_py(t)
+
+
+def test_csv_quarantine_roundtrip(spark, tmp_path):
+    """Malformed CSV lines (bad type cast, ragged quote) are captured
+    whole; clean rows parse exactly."""
+    from tidyvec_spark.sources.delimited import read_csv_quarantine
+    from tidyvec_spark.sources.jsonl import split_corrupt
+
+    p = str(tmp_path / "c.csv")
+    with open(p, "w") as f:
+        f.write("1,en,hello world\n")
+        f.write("notanint,en,bad id line\n")
+        f.write("3,de,guten tag\n")
+    raw = read_csv_quarantine(
+        spark, p, "doc_id bigint, lang string, text string"
+    ).cache()
+    clean, bad = split_corrupt(raw)
+    rows = {r.doc_id: (r.lang, r.text) for r in clean.collect()}
+    assert rows == {1: ("en", "hello world"), 3: ("de", "guten tag")}
+    quarantined = [r[0] for r in bad.collect()]
+    assert quarantined == ["notanint,en,bad id line"]
