@@ -4077,6 +4077,34 @@ WHERE doc_id % 89 <> 0
 """
 
 
+_BLOCKLIST = ("slow", "broken")
+
+
+def _docs_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 word-blocklist page filter (functions/quality.py::
+    blocklist_hits/keep — Raffel et al. 2020 drop any page containing
+    a blocklisted word; here a 2-hit budget shows the relaxed form).
+    The list is an array literal inside the expression: pure map-side
+    codegen, no join, no shuffle."""
+    from tidyvec_spark.functions import quality as Q
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        Q.blocklist_hits("text", _BLOCKLIST).alias("hits"),
+        Q.blocklist_keep("text", _BLOCKLIST, max_hits=2).alias("keep"),
+    )
+
+
+_DOCS_BLOCKLIST_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> x IN ('slow', 'broken'))) AS BIGINT) AS hits,
+       len(list_filter(toks, x -> x IN ('slow', 'broken'))) <= 2 AS keep
+FROM t
+"""
+
+
 def _corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressable manifest (sources/maintenance.py::
     corpus_manifest): per md5-shard doc/token counts + an order- and
@@ -7588,7 +7616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked): docs_tokenizer_fertility, embedding_drift,
         # pipeline_rag, docs_compression_ratio, decontaminate_bloom,
         # maxsim_topk, packing_report, token_pmi, winnow_pairs,
-        # soft_dedup, docs_csv_ingest.
+        # soft_dedup, docs_csv_ingest, docs_blocklist.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -7607,6 +7635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _winnow_pairs,
         "soft_dedup": _soft_dedup,
         "docs_csv_ingest": _docs_csv_ingest,
+        "docs_blocklist": _docs_blocklist,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -7887,6 +7916,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _WINNOW_SQL,
         "soft_dedup": _soft_dedup_sql(),
         "docs_csv_ingest": _DOCS_CSV_INGEST_SQL,
+        "docs_blocklist": _DOCS_BLOCKLIST_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "wds_roundtrip",
     "docs_jsonl_ingest",
     "docs_csv_ingest",
+    "docs_blocklist",
     "source_overlap",
     "pipeline_ccnet",
     "pipeline_web",

@@ -389,3 +389,37 @@ def test_csv_quarantine_roundtrip(spark, tmp_path):
     assert rows == {1: ("en", "hello world"), 3: ("de", "guten tag")}
     quarantined = [r[0] for r in bad.collect()]
     assert quarantined == ["notanint,en,bad id line"]
+
+
+def test_blocklist_rule(spark):
+    from tidyvec_spark.functions.quality import blocklist_hits, blocklist_keep
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean text entirely fine"),
+            (2, "one BAD word here"),
+            (3, "bad bad bad everywhere"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        blocklist_hits("text", ["bad"]).alias("h"),
+        blocklist_keep("text", ["bad"]).alias("strict"),
+        blocklist_keep("text", ["bad"], max_hits=1).alias("budget1"),
+    ).collect()
+    got = {r.doc_id: (r.h, r.strict, r.budget1) for r in out}
+    assert got[1] == (0, True, True)
+    assert got[2] == (1, False, True)   # case-insensitive match
+    assert got[3] == (3, False, False)
+    assert got[4] == (0, True, True)
+
+
+def test_blocklist_is_map_side(documents):
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.functions.quality import blocklist_keep
+
+    out = documents.select(blocklist_keep("text", ["slow"]).alias("k"))
+    assert P.num_shuffles(out) == 0

@@ -16,6 +16,8 @@ flag, the keep decision is a filter, nothing shuffles.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -45,6 +47,8 @@ __all__ = [
     "c4_keep_line",
     "c4_clean_lines",
     "c4_page_keep",
+    "blocklist_hits",
+    "blocklist_keep",
 ]
 
 
@@ -371,3 +375,26 @@ def compression_ratio_udf() -> Column:
     from pyspark.sql.functions import PandasUDFType
 
     return pandas_udf(_ratio, "double", PandasUDFType.SCALAR)
+
+
+def blocklist_hits(c: ColumnOrName, words: Sequence[str]) -> Column:
+    """Count of tokens on the blocklist — the C4 "bad words" page
+    filter's evidence (Raffel et al. 2020 remove any page containing a
+    word from a public blocklist). The list travels as an array
+    literal inside the expression (blocklists are hundreds to a few
+    thousand words — literal-sized), so the test is a pure map-side
+    codegen pass: no join, no shuffle, no Python."""
+    wl = F.array(*[F.lit(str(w).lower()) for w in words])
+    return F.size(
+        F.filter(tokens(c), lambda t: F.array_contains(wl, t))
+    ).cast("long")
+
+
+def blocklist_keep(
+    c: ColumnOrName, words: Sequence[str], max_hits: int = 0
+) -> Column:
+    """True iff the document has at most ``max_hits`` blocklisted
+    tokens — ``max_hits=0`` is the published C4 rule (any hit drops
+    the page); a small positive budget is the common relaxation for
+    medical/educational corpora where isolated matches are benign."""
+    return blocklist_hits(c, words) <= int(max_hits)
