@@ -850,3 +850,30 @@ def test_upsert_latest_checkpoint_restart(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert (1, 3) not in emitted
+
+
+def test_upsert_null_value_columns_survive(spark, tmp_path):
+    """A NULL value column must not kill the state comparison: the
+    non-null revision wins regardless of arrival order."""
+    import pandas as pd
+
+    from tidyvec_spark.streaming import run_available_now, upsert_latest_stream
+
+    d = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, "real"), (2, 1, None)],
+        "k long, version int, v string",
+    )
+    df.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("k long, version int, v string").parquet(d)
+    run_available_now(
+        upsert_latest_stream(stream, "k", "version", ["v"]),
+        "upsert_null_test",
+        output_mode="update",
+    )
+    rows = {
+        r.k: (r.version, r.v)
+        for r in spark.table("upsert_null_test").collect()
+    }
+    assert rows[1] == (2, "real")
+    assert rows[2] == (1, None)

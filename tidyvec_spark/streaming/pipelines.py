@@ -803,20 +803,28 @@ def upsert_latest_stream(
     def fn(key, pdf_iter, state):
         import pandas as pd
 
-        best = tuple(state.get) if state.exists else None
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            # vectorized per-batch reduction: lexicographic max row
-            top = pdf.sort_values(by=order, ascending=False).iloc[0]
-            cand = tuple(
-                x.item() if hasattr(x, "item") else x
-                for x in (top[c] for c in order)
-            )
-            if best is None or cand > best:
-                best = cand
+        # state + candidates compared through ONE pandas sort so NULL
+        # value columns order consistently (na_position='last' = max
+        # prefers non-null, matching Spark's struct max in the batch
+        # fallback) — a raw Python tuple compare would raise on
+        # None-vs-str. A NaN-valued winner re-emits each batch (NaN !=
+        # NaN); the terminal max-by fold absorbs the duplicates.
+        frames = [pdf[order] for pdf in pdf_iter if len(pdf)]
         prev = tuple(state.get) if state.exists else None
-        if best is not None and best != prev:
+        if not frames:
+            return
+        if prev is not None:
+            frames.append(pd.DataFrame([prev], columns=order))
+        top = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(by=order, ascending=False, na_position="last")
+            .iloc[0]
+        )
+        best = tuple(
+            x.item() if hasattr(x, "item") else x
+            for x in (top[c] for c in order)
+        )
+        if best != prev:
             state.update(best)
             yield pd.DataFrame(
                 [
