@@ -444,3 +444,20 @@ def test_decontaminate_bloom_shape(spark, qs):
     P.assert_no_cartesian(df)
     P.assert_broadcast(df, at_least=5)
     assert P.num_shuffles(df) <= 6
+
+
+def test_session_late_round7_plan_shapes(spark, qs):
+    """Late round-7 additions: blocklist and maxsim are pure map
+    passes; packing report is one bounded agg; PMI, winnowing, and
+    soft dedup are bounded key-aggs/joins with no cartesian."""
+    for name, max_sh in (
+        ("docs_blocklist", 0),
+        ("maxsim_topk", 0),
+        ("packing_report", 2),  # bucket agg + the n_buckets-row sort
+        ("token_pmi", 4),
+        ("winnow_pairs", 5),    # fp distinct + hot agg + pair agg, all fp-sized
+    ):
+        df = qs[name](spark, SF)
+        assert P.num_shuffles(df) <= max_sh, name
+        P.assert_no_cartesian(df)
+    P.assert_no_cartesian(qs["soft_dedup"](spark, SF))
