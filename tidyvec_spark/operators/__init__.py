@@ -9,7 +9,11 @@ from tidyvec_spark.operators.bpe import bpe_apply_expr, bpe_train, bpe_word_freq
 from tidyvec_spark.operators.bq import bq_encode, bq_pack_py, bq_topk
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
-from tidyvec_spark.operators.chunking import chunk_documents, pack_sequences
+from tidyvec_spark.operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+    packing_report,
+)
 from tidyvec_spark.operators.curriculum import (
     curriculum_assign,
     shard_boundaries,
@@ -39,7 +43,9 @@ from tidyvec_spark.operators.sampling import (
     temperature_fractions,
     temperature_sample,
 )
-from tidyvec_spark.operators.search import bm25_stats, bm25_topk
+from tidyvec_spark.operators.bloom import decontaminate_bloom
+from tidyvec_spark.operators.cooccur import token_pmi_topk
+from tidyvec_spark.operators.search import bm25_stats, bm25_topk, maxsim_topk, mmr_topk
 from tidyvec_spark.operators.skew import key_skew_profile, salted_join, two_phase_agg
 from tidyvec_spark.operators.sq import sq_encode, sq_fit, sq_topk
 from tidyvec_spark.operators.semdedup import semantic_dedup, semantic_dedup_pairs
@@ -72,6 +78,10 @@ __all__ = [
     "bigram_lm_perplexity",
     "bm25_stats",
     "bm25_topk",
+    "maxsim_topk",
+    "mmr_topk",
+    "decontaminate_bloom",
+    "token_pmi_topk",
     "budget_sample",
     "chunk_documents",
     "curriculum_assign",
@@ -89,6 +99,7 @@ __all__ = [
     "mean_recall",
     "rrf_fuse",
     "pack_sequences",
+    "packing_report",
     "perplexity_buckets",
     "temperature_fractions",
     "topk_recall",

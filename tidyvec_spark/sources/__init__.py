@@ -16,6 +16,7 @@ from tidyvec_spark.sources.layout import (
     write_zorder,
     zorder_value,
 )
+from tidyvec_spark.sources.delimited import read_csv_quarantine
 from tidyvec_spark.sources.jsonl import read_jsonl, split_corrupt
 from tidyvec_spark.sources.webdataset import (
     read_webdataset,
@@ -29,6 +30,7 @@ __all__ = [
     "bucketed_join_ready",
     "compact_parquet",
     "parquet_file_stats",
+    "read_csv_quarantine",
     "read_jsonl",
     "split_corrupt",
     "write_bucketed_table",
