@@ -146,11 +146,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from tidyvec_spark.operators.ann import ann_lsh_topk, random_planes
+    from tidyvec_spark.operators.bloom import decontaminate_bloom
     from tidyvec_spark.operators.dedup import (
         lsh_near_dup_pairs,
         minhash_lsh_pairs,
         substring_dedup_cut,
         substring_dup_spans,
+        winnow_pairs,
     )
 
     results: dict[str, list[tuple[int, float]]] = {}
@@ -170,6 +172,10 @@ def main() -> None:
                                   bands=4, shingle_n=3, threshold=0.5))
     materialize(substring_dup_spans(wdocs, "text", "doc_id", k=8))
     materialize(substring_dedup_cut(wdocs, "text", "doc_id", k=8))
+    materialize(winnow_pairs(wdocs, "text", "doc_id", k=5, w=4,
+                             min_shared=1))
+    materialize(decontaminate_bloom(wdocs, wdocs.limit(100), "text",
+                                    "doc_id", n=8))
     materialize(ann_lsh_topk(wvecs, "embedding", "vec_id", wq, k=10,
                              planes=wplanes, probe_hamming=1, method="cosine"))
     materialize(lsh_near_dup_pairs(wvecs, "embedding", "vec_id",
@@ -195,6 +201,24 @@ def main() -> None:
             "substring_dedup_cut", n,
             lambda: materialize(substring_dedup_cut(docs, "text", "doc_id", k=8)),
         )
+        record(
+            "winnow_pairs", n,
+            lambda: materialize(winnow_pairs(
+                docs, "text", "doc_id", k=5, w=4, min_shared=1,
+            )),
+        )
+        # benchmark side fixed at 1000 docs (the first 1000 ids of the
+        # same generator — guaranteed true contamination hits): the
+        # curve isolates the corpus-side map cost of the bloom probes
+        bench = synth_docs(spark, 1000, dup_frac=0.0).persist()
+        bench.count()
+        record(
+            "decontaminate_bloom", n,
+            lambda: materialize(decontaminate_bloom(
+                docs, bench, "text", "doc_id", n=8,
+            )),
+        )
+        bench.unpersist()
         docs.unpersist()
 
     for n in vec_sizes:
