@@ -7517,6 +7517,69 @@ def _hf_embed_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph centrality over a deterministic synthetic link graph
+    (fixtures carry no link column): 3 out-links per doc by the
+    LCG law in ``graph.synthetic_link_graph``, 10 PageRank rounds in
+    fixed-point integer units (``operators/graph.py``) — exact BIGINT
+    arithmetic end-to-end, so cross-engine parity is bit-exact with a
+    recursive-CTE oracle running the same integer recurrence. Per
+    round: one edge join + one groupBy-sum, lineage cut per round."""
+    from tidyvec_spark.operators.graph import pagerank, synthetic_link_graph
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs, "doc_id", out_links=3)
+    return pagerank(edges, iterations=10).select(
+        F.col("id").alias("doc_id"), "rank", "outdeg", "indeg"
+    )
+
+
+# the oracle replays the identical integer recurrence as a recursive
+# CTE; the zero-weight SELF-LOOP on every node keeps nodes with no
+# inbound edges in the working table (the recursive term may reference
+# `pr` only once, so the node set must ride along with contributions)
+_DOCS_PAGERANK_SQL = """
+WITH RECURSIVE
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+e AS (
+  SELECT DISTINCT CAST(d.doc_id AS BIGINT) AS src,
+         (d.doc_id * 7919 + t.j * 104729) % (SELECT n FROM nn) AS dst
+  FROM documents d, (SELECT unnest(range(1, 4)) AS j) t
+  WHERE d.doc_id <> (d.doc_id * 7919 + t.j * 104729) % (SELECT n FROM nn)
+),
+odeg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+ideg AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS indeg FROM e GROUP BY dst),
+nodes AS (
+  SELECT u.id, COALESCE(o.outdeg, 0) AS outdeg, COALESCE(i.indeg, 0) AS indeg
+  FROM (SELECT src AS id FROM e UNION SELECT dst FROM e) u
+  LEFT JOIN odeg o ON o.id = u.id
+  LEFT JOIN ideg i ON i.id = u.id
+),
+ea AS (
+  SELECT src, dst, FALSE AS selfloop FROM e
+  UNION ALL
+  SELECT id, id, TRUE FROM nodes
+),
+pr AS (
+  SELECT 0 AS iter, id, CAST(1000000 AS BIGINT) AS ru FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, ea.dst AS id,
+         150000 + (850000 * COALESCE(SUM(
+             CASE WHEN ea.selfloop THEN 0 ELSE p.ru // o.outdeg END), 0))
+           // 1000000 AS ru
+  FROM pr p
+  JOIN ea ON ea.src = p.id
+  LEFT JOIN odeg o ON o.id = p.id
+  WHERE p.iter < 10
+  GROUP BY p.iter, ea.dst
+)
+SELECT n2.id AS doc_id, CAST(ru AS DOUBLE) / 1000000.0 AS rank,
+       n2.outdeg, n2.indeg
+FROM pr JOIN nodes n2 ON n2.id = pr.id
+WHERE iter = 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7744,6 +7807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
         "ngram_jaccard_capped": _ngram_jaccard_capped,
         "dedup_components_two_phase": _dedup_components_two_phase,
+        # round-7 late tail (rotation targets for round 8, with the
+        # list in the comment above)
+        "docs_pagerank": _docs_pagerank,
     }
 
 
@@ -7917,6 +7983,7 @@ def oracle_sql() -> dict[str, str]:
         "soft_dedup": _soft_dedup_sql(),
         "docs_csv_ingest": _DOCS_CSV_INGEST_SQL,
         "docs_blocklist": _DOCS_BLOCKLIST_SQL,
+        "docs_pagerank": _DOCS_PAGERANK_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -1,0 +1,105 @@
+"""PageRank / link-graph tests.
+
+Pins the fixed-point integer recurrence against a plain-Python twin
+(same integer arithmetic → must be bit-identical), plus structural
+invariants: determinism across partitionings, sink/dangling handling,
+and the synthetic graph law.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark.operators.graph import pagerank, synthetic_link_graph
+
+
+def _pagerank_py(edges, damping=0.85, iterations=10, scale=1_000_000):
+    """Driver twin: identical integer recurrence, plain dicts."""
+    d_den = 1_000_000
+    d_num = round(damping * d_den)
+    base_u = (d_den - d_num) * scale // d_den
+    out = sorted(set(edges))
+    nodes = sorted({s for s, _ in out} | {d for _, d in out})
+    outdeg = {}
+    for s, _ in out:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {v: scale for v in nodes}
+    for _ in range(iterations):
+        inflow = {}
+        for s, d in out:
+            inflow[d] = inflow.get(d, 0) + ranks[s] // outdeg[s]
+        ranks = {
+            v: base_u + (d_num * inflow.get(v, 0)) // d_den for v in nodes
+        }
+    return {v: r / scale for v, r in ranks.items()}
+
+
+EDGES = [
+    (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 0), (4, 3),
+    # 5 is a sink (in-edges only); 6 -> 5 dangling-ish chain
+    (4, 5), (6, 5),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_pagerank_matches_python_twin_exactly(spark, edge_df):
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(edge_df, iterations=10).collect()
+    }
+    want = _pagerank_py(EDGES, iterations=10)
+    assert got == want  # integer arithmetic -> exact equality
+
+
+def test_pagerank_partitioning_invariance(spark, edge_df):
+    a = pagerank(edge_df.repartition(1), iterations=7).collect()
+    b = pagerank(edge_df.repartition(13, "dst"), iterations=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pagerank_sink_and_degrees(spark, edge_df):
+    rows = {r["id"]: r for r in pagerank(edge_df, iterations=5).collect()}
+    # node 6 has no in-edges: rank settles at 1 - d
+    assert rows[6]["rank"] == pytest.approx(0.15, abs=1e-6)
+    assert rows[6]["indeg"] == 0 and rows[6]["outdeg"] == 1
+    # node 5 is a sink: no out-edges, receives from 4 and 6
+    assert rows[5]["outdeg"] == 0 and rows[5]["indeg"] == 2
+    # the 0<->2 cycle concentrates the mass: those two outrank the rest
+    ordered = sorted(rows.values(), key=lambda r: -r["rank"])
+    assert {ordered[0]["id"], ordered[1]["id"]} == {0, 2}
+
+
+def test_pagerank_zero_iterations_is_initial_rank(spark, edge_df):
+    rows = pagerank(edge_df, iterations=0).collect()
+    assert all(r["rank"] == 1.0 for r in rows)
+
+
+def test_pagerank_rejects_bad_params(spark, edge_df):
+    with pytest.raises(ValueError):
+        pagerank(edge_df, iterations=-1)
+    with pytest.raises(ValueError):
+        pagerank(edge_df, damping=1.5)
+
+
+def test_synthetic_link_graph_law(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    got = sorted(
+        map(
+            tuple,
+            synthetic_link_graph(
+                df, "doc_id", out_links=2, mult=3, step=7
+            ).collect(),
+        )
+    )
+    want = sorted(
+        {
+            (i, (i * 3 + j * 7) % 10)
+            for i in range(10)
+            for j in (1, 2)
+            if i != (i * 3 + j * 7) % 10
+        }
+    )
+    assert got == want

@@ -1,0 +1,184 @@
+"""Link-graph centrality for crawl curation.
+
+Web-scale corpus curation ranks pages by link structure before (or
+alongside) content quality: Common-Crawl-derived corpora routinely
+keep the high-centrality slice of the host/page graph. The reference
+engine scores items by content only (`R/quality.R` has no graph
+signal); this module adds the standard centrality, PageRank, in a
+Spark-iterative form that composes with the existing quality stack
+(`functions/quality.py` rules, `operators/classifier.py`,
+`operators/lm.py` perplexity).
+
+Determinism is a design requirement, not a nicety: curation decisions
+("keep the top 40% by rank") must be reproducible across runs,
+partitionings, and engines, and floating-point summation is
+order-dependent under Spark's parallel aggregation. The iteration
+therefore runs in **fixed-point integer units** (``scale`` units = a
+rank of 1.0): contributions are integer-divided, sums are exact
+BIGINT arithmetic, and every engine that implements the same integer
+recurrence — including the DuckDB oracle — produces bit-identical
+ranks. Precision is 1/scale per term (default 1e-6), far below any
+curation threshold anyone would set.
+
+Scale shape (per iteration): ONE shuffle joining the rank table to
+the out-edge table on the source id + ONE groupBy-sum on the
+destination id. The edge table is persisted once and reused every
+round; lineage is cut per round with ``localCheckpoint`` so the plan
+stays O(1) deep regardless of ``iterations``. Rank state is one
+(id, bigint) row per node — 16 bytes/node before overhead, so 1e9
+nodes ≈ 16 GB spread across the cluster, well inside shuffle budgets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Unnormalized PageRank (the GraphX/Pregel convention) over a
+    directed edge list: ``rank(v) = (1-d) + d * sum(rank(u)/outdeg(u))``
+    over in-edges ``u -> v``, iterated a FIXED number of rounds from
+    ``rank0 = 1.0``.
+
+    Returns one row per node: ``(id, rank double, outdeg bigint,
+    indeg bigint)``. Nodes are the union of sources and destinations;
+    dangling nodes (no out-edges) contribute nothing (their mass
+    leaks, as in GraphX) and sink nodes (no in-edges) settle at
+    ``1-d``.
+
+    Fixed-point arithmetic: ranks are carried as BIGINT multiples of
+    ``1/scale``; per-edge contribution is ``rank_units div outdeg``
+    and the update is ``(1-d)·scale + (d_num · sum) div d_den`` with
+    ``damping`` read as a ratio of integers (e.g. 0.85 → 85/100).
+    All sums are exact integers — results are independent of
+    partitioning, parallelism, and engine. ``damping`` must therefore
+    be expressible in at most 6 decimal places.
+
+    ``scale`` bounds the value range: the total in-flow of one node is
+    at most ``n_nodes * scale`` units, and the update multiplies by
+    ``d_num ≤ 10^6``; keep ``n_nodes * scale * d_num < 2^63`` (the
+    default scale supports ~9.7e6 nodes per *single* receiving node's
+    worst-case in-flow; real graphs are nowhere near one node
+    receiving all mass, but drop ``scale`` to 1e4 for extreme graphs).
+    """
+    if int(iterations) < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    # damping as an exact integer ratio so both engines do the same
+    # integer arithmetic (0.85 -> 850000/1000000)
+    d_den = 1_000_000
+    d_num = round(float(damping) * d_den)
+    if not (0 <= d_num <= d_den):
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    base_u = ((d_den - d_num) * int(scale)) // d_den  # (1-d) in units
+
+    out = (
+        edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg = out.groupBy(F.col("es").alias("id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    indeg = out.groupBy(F.col("ed").alias("id")).agg(
+        F.count("*").alias("indeg")
+    )
+    nodes = (
+        out.select(F.col("es").alias("id"))
+        .union(out.select(F.col("ed").alias("id")))
+        .distinct()
+        .join(outdeg, "id", "left")
+        .join(indeg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = nodes.select(
+        "id", "outdeg", F.lit(int(scale)).cast("long").alias("rank_u")
+    ).localCheckpoint(eager=True)
+    for _ in range(int(iterations)):
+        contrib = (
+            out.join(ranks, out["es"] == ranks["id"])
+            # outdeg >= 1 by construction for every row of `out`
+            .select(
+                F.col("ed").alias("id"),
+                F.expr("rank_u div outdeg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.select("id", "outdeg")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                "outdeg",
+                (
+                    F.lit(base_u)
+                    + F.expr(
+                        f"({d_num} * coalesce(inflow, 0L)) div {d_den}"
+                    )
+                ).cast("long").alias("rank_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    result = (
+        ranks.select("id", "rank_u")
+        .join(nodes, "id")
+        .select(
+            "id",
+            (F.col("rank_u").cast("double") / F.lit(float(scale))).alias(
+                "rank"
+            ),
+            "outdeg",
+            "indeg",
+        )
+    )
+    out.unpersist()
+    return result
+
+
+def synthetic_link_graph(
+    df: DataFrame,
+    id_col: str,
+    out_links: int = 3,
+    mult: int = 7919,
+    step: int = 104729,
+) -> DataFrame:
+    """Deterministic synthetic edge list over a table's CONTIGUOUS
+    integer ids (``0..n-1``): node ``i`` links to
+    ``(i * mult + j * step) % n`` for ``j = 1..out_links``, self-loops
+    dropped.
+
+    The fixtures have no link column, so graph operators are exercised
+    on this LCG-style graph — the same closed form is replayed in the
+    DuckDB oracles (plain modular arithmetic, no engine-specific hash).
+    Multipliers are primes so successive ``j`` land far apart.
+    """
+    n = df.select(F.countDistinct(id_col).alias("n"))
+    return (
+        df.select(F.col(id_col).cast("long").alias("src"))
+        .distinct()
+        .crossJoin(F.broadcast(n))
+        .select(
+            "src",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {int(out_links)}), "
+                    f"j -> pmod(src * {int(mult)} + j * {int(step)}, n))"
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
