@@ -7580,6 +7580,269 @@ WHERE iter = 10
 """
 
 
+def _events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-Saving heavy hitters (streaming/pipelines.py:
+    heavy_hitters_stream), batch twin: exact top-25 users by event
+    count with deterministic tiebreak (count desc, key asc) and err=0
+    — the summary the streaming sketch converges to when capacity
+    covers the key set. One groupBy + one bounded window."""
+    from tidyvec_spark.streaming.pipelines import heavy_hitters_stream
+
+    ev = _read(spark, sf_dir, "events")
+    return heavy_hitters_stream(ev, "user_id", capacity=25)
+
+
+_EVENTS_HEAVY_HITTERS_SQL = """
+SELECT user_id AS key, CAST(count(*) AS BIGINT) AS est,
+       CAST(0 AS BIGINT) AS err
+FROM events GROUP BY user_id
+ORDER BY est DESC, key ASC LIMIT 25
+"""
+
+
+# deterministic synthetic URL per doc (fixtures carry no URL column);
+# consecutive id pairs (2k, 2k+1) spell the same page differently in
+# EVERY rule the canonicalizer owns — scheme/host case, default port,
+# tracking params, param order, fragment — so the merge count checks
+# all of them at once
+def _synth_url_expr() -> Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(F.pmod(did, 2) == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.pmod(did, 3) == 0, F.lit("WWW.Site")).otherwise(
+            F.lit("www.site")
+        ),
+        F.pmod(F.expr("doc_id div 2"), F.lit(5)).cast("string"),
+        F.lit(".com"),
+        F.when(F.pmod(did, 4) == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        F.expr("doc_id div 2").cast("string"),
+        F.when(F.pmod(did, 2) == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(F.pmod(did, 5) == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+
+
+def _docs_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py) ahead of exact dedup:
+    per site (host minus www.), raw fetch count vs distinct canonical
+    URLs — the merge count is duplicates the canonical rewrite alone
+    removes. Map-side rewrite + one host-keyed aggregation."""
+    from tidyvec_spark.functions.urls import canonicalize_url, url_host_key
+
+    docs = _read(spark, sf_dir, "documents")
+    canon = docs.select(
+        _synth_url_expr().alias("url")
+    ).select(
+        canonicalize_url("url").alias("curl"),
+        url_host_key("url").alias("host"),
+    )
+    return canon.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("curl").cast("long").alias("n_canonical"),
+        (F.count("*") - F.countDistinct("curl")).cast("long").alias("n_merged"),
+    )
+
+
+def _docs_url_canonical_sql() -> str:
+    from tidyvec_spark.functions.urls import canonical_url_sql
+
+    synth = """
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+      || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'www.site' END
+      || CAST((doc_id // 2) % 5 AS VARCHAR) || '.com'
+      || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+      || '/page/' || CAST(doc_id // 2 AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+              ELSE '?a=1&b=2' END
+      || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END
+    """
+    host_key = (
+        "regexp_replace(lower(COALESCE(regexp_extract(url, "
+        "'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]*)', 2), '')), "
+        "'^www\\.', '')"
+    )
+    return f"""
+WITH raw AS (SELECT {synth} AS url FROM documents),
+c AS (
+  SELECT {canonical_url_sql('url')} AS curl, {host_key} AS host FROM raw
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+       CAST(count(*) - count(DISTINCT curl) AS BIGINT) AS n_merged
+FROM c GROUP BY host
+"""
+
+
+def _docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching (operators/chunking.py:
+    length_buckets): 8 equal-count token-length buckets via the exact
+    length-histogram CDF (no corpus-wide sort; the only corpus-wide
+    shuffle is the histogram groupBy) + per-bucket padding economics."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.chunking import length_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return length_buckets(
+        docs.select(token_count("text").alias("ntok")), "ntok", n_buckets=8
+    )
+
+
+_DOCS_LENGTH_BUCKETS_SQL = f"""
+WITH t AS (SELECT CAST(len({_TOKS}) AS BIGINT) AS len FROM documents),
+h AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY len),
+a AS (
+  SELECT len, cnt,
+         (COALESCE(sum(cnt) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED
+            PRECEDING AND 1 PRECEDING), 0) * 8) // (sum(cnt) OVER ())
+           AS bucket
+  FROM h
+)
+SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       min(len) AS min_tokens, max(len) AS max_tokens,
+       CAST(sum(len * cnt) AS BIGINT) AS sum_tokens,
+       ROUND(CASE WHEN max(len) > 0
+             THEN 1.0 - CAST(sum(len * cnt) AS DOUBLE)
+                        / (CAST(sum(cnt) AS DOUBLE) * max(len))
+             ELSE 0.0 END, {R}) AS pad_frac
+FROM a GROUP BY bucket
+"""
+
+
+_VOCAB_THRESHOLDS = [50, 100, 250, 499]
+
+
+def _docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-curve corpus report (operators/reports.py:vocab_growth):
+    distinct token types and occurrences over id-prefixes — flattening
+    growth is the early over-crawl/duplication smell. One bounded
+    explode+groupBy(token) + one map-side conditional aggregation."""
+    from tidyvec_spark.operators.reports import vocab_growth
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_growth(docs, "text", "doc_id", _VOCAB_THRESHOLDS)
+
+
+def _docs_vocab_growth_sql() -> str:
+    vals = ", ".join(str(t) for t in _VOCAB_THRESHOLDS)
+    return f"""
+WITH dc AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+fo AS (SELECT t, min(doc_id) AS fid FROM tok GROUP BY t),
+th AS (SELECT unnest([{vals}]) AS v),
+m AS (
+  SELECT CAST(th.v AS BIGINT) AS max_doc_id,
+         (SELECT CAST(count(*) AS BIGINT) FROM dc WHERE doc_id <= th.v)
+           AS n_docs,
+         (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM dc
+           WHERE doc_id <= th.v) AS n_tokens,
+         (SELECT CAST(count(*) AS BIGINT) FROM fo WHERE fid <= th.v)
+           AS vocab
+  FROM th
+)
+SELECT max_doc_id, n_docs, n_tokens, vocab,
+       ROUND(CASE WHEN n_tokens > 0
+             THEN CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             ELSE 0.0 END, {R}) AS ttr
+FROM m
+"""
+
+
+def _docs_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble keep/drop (functions/quality.py:quality_ensemble):
+    Gopher + C4 page rules as hard vetoes, rule-based quality and a
+    length prior as weighted soft scores, plus the audit trail of WHY
+    each document died. ONE zero-shuffle projection."""
+    from tidyvec_spark.functions import quality as Q
+    from tidyvec_spark.functions import text as X
+
+    docs = _read(spark, sf_dir, "documents")
+    ens = Q.quality_ensemble(
+        hard_gates={
+            "gopher": Q.gopher_keep("text", min_words=20),
+            "c4_page": Q.c4_page_keep("text"),
+        },
+        soft_scores={
+            "rules": (X.quality_score("text"), 2.0),
+            "length": (
+                F.least(
+                    F.lit(1.0),
+                    X.token_count("text").cast("double") / F.lit(80.0),
+                ),
+                1.0,
+            ),
+        },
+        threshold=0.5,
+    )
+    return docs.select(
+        "doc_id",
+        ens["score"].alias("score"),
+        ens["keep"].alias("keep"),
+        F.array_join(ens["fail_reasons"], ",").alias("why"),
+    )
+
+
+def _docs_quality_ensemble_sql() -> str:
+    # unrounded quality formula (the ensemble rounds only the final
+    # weighted score), same left-to-right float order as Spark
+    q_raw = f"""(0.4 * least(1.0, len(toks) / 50.0)
+       + 0.3 * (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END)
+       + 0.3 * least(1.0, (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END) * 4.0))"""
+    return f"""
+WITH b AS (
+  SELECT doc_id, text, {_LINES_SQL} AS ls, {_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS wc,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(toks) > 0
+              THEN ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                   / len(toks)
+              ELSE 0.0 END AS sym0,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS bul0,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS ell0,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS alp0,
+         {q_raw} AS q_raw,
+         least(1.0, CAST(len(toks) AS DOUBLE) / 80.0) AS len_prior,
+         (NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(lower(text), '{{')) AS c4_ok
+  FROM b
+),
+g AS (
+  SELECT doc_id,
+         (wc >= 20 AND wc <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+          AND sym0 <= 0.1 AND bul0 <= 0.9 AND ell0 <= 0.3 AND alp0 >= 0.8)
+           AS gopher_ok,
+         c4_ok,
+         ROUND((q_raw * 2.0 + len_prior * 1.0) / 3.0, {R}) AS score
+  FROM m
+)
+SELECT doc_id, score,
+       (gopher_ok AND c4_ok AND score >= 0.5) AS keep,
+       COALESCE(array_to_string(list_sort(
+         list_filter([
+           CASE WHEN NOT gopher_ok THEN 'gopher' ELSE NULL END,
+           CASE WHEN NOT c4_ok THEN 'c4_page' ELSE NULL END,
+           CASE WHEN score < 0.5 THEN 'low_score' ELSE NULL END
+         ], x -> x IS NOT NULL)), ','), '') AS why
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7679,7 +7942,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked): docs_tokenizer_fertility, embedding_drift,
         # pipeline_rag, docs_compression_ratio, decontaminate_bloom,
         # maxsim_topk, packing_report, token_pmi, winnow_pairs,
-        # soft_dedup, docs_csv_ingest, docs_blocklist.
+        # soft_dedup, docs_csv_ingest, docs_blocklist, docs_pagerank,
+        # events_heavy_hitters, docs_url_canonical,
+        # docs_length_buckets, docs_vocab_growth,
+        # docs_quality_ensemble.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -7810,6 +8076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 late tail (rotation targets for round 8, with the
         # list in the comment above)
         "docs_pagerank": _docs_pagerank,
+        "events_heavy_hitters": _events_heavy_hitters,
+        "docs_url_canonical": _docs_url_canonical,
+        "docs_length_buckets": _docs_length_buckets,
+        "docs_vocab_growth": _docs_vocab_growth,
+        "docs_quality_ensemble": _docs_quality_ensemble,
     }
 
 
@@ -7984,6 +8255,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_csv_ingest": _DOCS_CSV_INGEST_SQL,
         "docs_blocklist": _DOCS_BLOCKLIST_SQL,
         "docs_pagerank": _DOCS_PAGERANK_SQL,
+        "events_heavy_hitters": _EVENTS_HEAVY_HITTERS_SQL,
+        "docs_url_canonical": _docs_url_canonical_sql(),
+        "docs_length_buckets": _DOCS_LENGTH_BUCKETS_SQL,
+        "docs_vocab_growth": _docs_vocab_growth_sql(),
+        "docs_quality_ensemble": _docs_quality_ensemble_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -423,3 +423,62 @@ def test_blocklist_is_map_side(documents):
 
     out = documents.select(blocklist_keep("text", ["slow"]).alias("k"))
     assert P.num_shuffles(out) == 0
+
+
+def test_quality_ensemble_gates_and_scores(spark, documents):
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.quality import gopher_keep, quality_ensemble
+    from tidyvec_spark.functions.text import quality_score
+
+    ens = quality_ensemble(
+        hard_gates={"gopher": gopher_keep("text")},
+        soft_scores={"rules": (quality_score("text"), 1.0)},
+        threshold=0.3,
+    )
+    out = documents.select(
+        "doc_id",
+        gopher_keep("text").alias("g"),
+        quality_score("text").alias("q"),
+        ens["score"].alias("score"),
+        ens["keep"].alias("keep"),
+        ens["fail_reasons"].alias("why"),
+    ).collect()
+    for r in out:
+        # tolerance, not round(): Python rounds half-even, Spark half-up
+        assert abs(r["score"] - r["q"]) <= 5e-7
+        assert r["keep"] == (r["g"] and r["score"] >= 0.3)
+        want = sorted(
+            (["gopher"] if not r["g"] else [])
+            + (["low_score"] if r["score"] < 0.3 else [])
+        )
+        assert r["why"] == want
+    # at least one kept and one vetoed on the fixture
+    assert any(r["keep"] for r in out) and any(not r["keep"] for r in out)
+
+
+def test_quality_ensemble_weights_and_validation(spark, documents):
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.quality import quality_ensemble
+    from tidyvec_spark.functions.text import quality_score
+
+    # two identical signals at any weights == the signal itself
+    ens = quality_ensemble(
+        hard_gates={},
+        soft_scores={
+            "a": (quality_score("text"), 3.0),
+            "b": (quality_score("text"), 1.0),
+        },
+        threshold=0.0,
+    )
+    rows = documents.select(
+        quality_score("text").alias("q"), ens["score"].alias("s")
+    ).collect()
+    for r in rows:
+        assert abs(r["s"] - r["q"]) < 1e-6
+    with pt.raises(ValueError):
+        quality_ensemble({}, {}, 0.5)
+    with pt.raises(ValueError):
+        quality_ensemble({}, {"a": (F.lit(1.0), 0.0)}, 0.5)

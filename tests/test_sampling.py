@@ -299,3 +299,61 @@ def test_packing_report_validation(documents):
 
     with pt.raises(ValueError):
         packing_report(documents, "doc_id", "n_chars", budget=0)
+
+
+def test_length_buckets_law_and_padding(spark, documents):
+    """Equal lengths share a bucket, buckets are contiguous length
+    ranges, per-bucket counts stay near n/k, and totals reconcile."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.chunking import length_buckets
+
+    toks = documents.select(token_count("text").alias("ntok"))
+    rep = length_buckets(toks, "ntok", n_buckets=4).collect()
+    assert [r["bucket"] for r in rep] == sorted(r["bucket"] for r in rep)
+    # contiguous, non-overlapping length ranges
+    for a, b in zip(rep, rep[1:]):
+        assert a["max_tokens"] < b["min_tokens"]
+    total = toks.count()
+    assert sum(r["n_docs"] for r in rep) == total
+    assert sum(r["sum_tokens"] for r in rep) == toks.agg(
+        F.sum("ntok")
+    ).collect()[0][0]
+    # near-equal occupancy (equal lengths can't split, so allow slack)
+    for r in rep:
+        assert r["n_docs"] >= total // 8
+    # padding fraction is sane and defined by the bucket max
+    for r in rep:
+        want = 1.0 - r["sum_tokens"] / (r["n_docs"] * r["max_tokens"])
+        assert abs(r["pad_frac"] - round(want, 6)) < 1e-9
+
+
+def test_length_buckets_beats_global_padding(spark, documents):
+    """The whole point: bucketed batches pad less than one global
+    pad-to-max batch."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.chunking import length_buckets
+
+    toks = documents.select(token_count("text").alias("ntok"))
+    rep = length_buckets(toks, "ntok", n_buckets=8).collect()
+    padded = sum(r["n_docs"] * r["max_tokens"] for r in rep)
+    useful = sum(r["sum_tokens"] for r in rep)
+    g = toks.agg(
+        F.max("ntok").alias("mx"), F.sum("ntok").alias("tot"),
+        F.count("*").alias("n")
+    ).collect()[0]
+    bucketed_waste = 1 - useful / padded
+    global_waste = 1 - g["tot"] / (g["n"] * g["mx"])
+    assert bucketed_waste < global_waste
+
+
+def test_length_buckets_single_bucket_is_global(spark, documents):
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.chunking import length_buckets
+
+    toks = documents.select(token_count("text").alias("ntok"))
+    rep = length_buckets(toks, "ntok", n_buckets=1).collect()
+    assert len(rep) == 1 and rep[0]["bucket"] == 0

@@ -877,3 +877,87 @@ def test_upsert_null_value_columns_survive(spark, tmp_path):
     }
     assert rows[1] == (2, "real")
     assert rows[2] == (1, None)
+
+
+def test_heavy_hitters_stream_exact_when_capacity_suffices(spark, tmp_path):
+    """With capacity >= distinct keys the Space-Saving summary is
+    exact: after both micro-batches the latest per-key estimate equals
+    the batch groupBy count, with err = 0."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    d = tmp_path / "hh_land"
+    d.mkdir()
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        str(d / "f0.parquet")
+    )
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(
+        str(d / "f1.parquet")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    S.run_available_now(
+        S.heavy_hitters_stream(stream, "user_id", capacity=n_users + 10),
+        "hh_exact_t",
+        output_mode="update",
+    )
+    emitted = spark.sql("select * from hh_exact_t").collect()
+    # update-mode memory sink appends every batch's emission; counts
+    # only grow, so the final summary is the max est per key
+    got = {}
+    for r in emitted:
+        got[r["key"]] = max(got.get(r["key"], 0), r["est"])
+    want = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
+    assert all(r["err"] == 0 for r in emitted)
+
+
+def test_heavy_hitters_stream_sketch_bounds_under_pressure(spark, tmp_path):
+    """capacity << distinct keys: Space-Saving invariants hold —
+    sum(est) over the summary equals the items processed, every
+    est >= its err, and the top true key is tracked with
+    est - err <= true <= est."""
+    rows = [(i, "k%d" % (i % 37)) for i in range(400)]
+    # heavy key: k1 gets 200 extra
+    rows += [(1000 + i, "k1") for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, k string")
+    d = tmp_path / "hh2_land"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "f0.parquet"))
+    stream = spark.readStream.schema(df.schema).parquet(str(d) + "/*")
+    S.run_available_now(
+        S.heavy_hitters_stream(stream, "k", capacity=8),
+        "hh_sketch_t",
+        output_mode="update",
+    )
+    got = spark.sql("select * from hh_sketch_t").collect()
+    assert len(got) == 8
+    assert sum(r["est"] for r in got) == 600  # counters conserve mass
+    assert all(0 <= r["err"] <= r["est"] for r in got)
+    top = max(got, key=lambda r: r["est"])
+    true_k1 = 200 + len([1 for i in range(400) if i % 37 == 1])
+    assert top["key"] == "k1"
+    assert top["est"] - top["err"] <= true_k1 <= top["est"]
+
+
+def test_heavy_hitters_batch_twin_topk(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = S.heavy_hitters_stream(ev, "event_type", capacity=3).collect()
+    want = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "event_type")
+        .limit(3)
+        .collect()
+    )
+    assert [(r["key"], r["est"], r["err"]) for r in got] == [
+        (r["event_type"], r["c"], 0) for r in want
+    ]
+    with pytest.raises(ValueError):
+        S.heavy_hitters_stream(ev, "event_type", capacity=0)

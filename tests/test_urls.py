@@ -1,0 +1,87 @@
+"""URL canonicalization tests: rule-by-rule cases + DuckDB twin parity."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tidyvec_spark.functions.urls import (
+    canonical_url_sql,
+    canonicalize_url,
+    url_host,
+    url_host_key,
+    url_path,
+    url_query,
+    url_scheme,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://Example.COM/Path", "http://example.com/Path"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://example.com/", "https://example.com"),
+    ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+    ("https://example.com/a?utm_source=x&a=1", "https://example.com/a?a=1"),
+    ("https://example.com/a?fbclid=zz", "https://example.com/a"),
+    ("https://example.com/a?gclid=1&utm_campaign=c&z=9&b=2",
+     "https://example.com/a?b=2&z=9"),
+    ("  https://example.com/a  ", "https://example.com/a"),
+    ("not a url", "not a url"),
+    ("HTTPS://WWW.Example.com:443/A/B?utm_medium=m&x=1#top",
+     "https://www.example.com/A/B?x=1"),
+]
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    return spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "id long, url string"
+    )
+
+
+def test_canonicalize_url_cases(spark, url_df):
+    got = {
+        r["id"]: r["c"]
+        for r in url_df.select(
+            "id", canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, f"case {i}: {CASES[i][0]!r} -> {got[i]!r}"
+
+
+def test_canonical_url_duckdb_twin_parity(spark, url_df):
+    spark_rows = sorted(
+        (r["id"], r["c"])
+        for r in url_df.select(
+            "id", canonicalize_url("url").alias("c")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("urls", url_df.toPandas())
+    duck_rows = sorted(
+        con.execute(
+            f"SELECT id, {canonical_url_sql('url')} AS c FROM urls"
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+def test_url_parts(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Ex.COM:8443/A/b?q=1#f",)], "url string"
+    )
+    r = df.select(
+        url_scheme("url").alias("s"),
+        url_host("url").alias("h"),
+        url_host_key("url").alias("hk"),
+        url_path("url").alias("p"),
+        url_query("url").alias("q"),
+    ).collect()[0]
+    assert r["s"] == "https"
+    assert r["h"] == "www.ex.com"
+    assert r["hk"] == "ex.com"
+    assert r["p"] == "/A/b"
+    assert r["q"] == "q=1"

@@ -16,6 +16,7 @@ flag, the keep decision is a filter, nothing shuffles.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import Column
@@ -398,3 +399,69 @@ def blocklist_keep(
     the page); a small positive budget is the common relaxation for
     medical/educational corpora where isolated matches are benign."""
     return blocklist_hits(c, words) <= int(max_hits)
+
+
+def quality_ensemble(
+    hard_gates: "dict[str, Column]",
+    soft_scores: "dict[str, tuple[Column, float]]",
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> "dict[str, Column]":
+    """Ensemble keep/drop decision over heterogeneous quality signals
+    — the production shape of corpus filtering, where no single signal
+    (rules, learned classifier, LM perplexity, compressibility) is
+    trusted alone (CCNet pairs perplexity with a classifier; Gopher
+    stacks rules on top).
+
+    - ``hard_gates``: name → BOOLEAN column; ANY failing gate vetoes
+      the document outright (rules like Gopher/C4 are calibrated as
+      vetoes, not gradations).
+    - ``soft_scores``: name → (column in [0, 1], weight); combined as
+      the weight-normalized sum — the document's graded quality.
+    - keep = all gates pass AND score >= threshold.
+
+    Returns three expression columns (compose into ONE zero-shuffle
+    projection; every input here is itself a map-side expression):
+    ``score`` (rounded weighted mean), ``keep`` (boolean), and
+    ``fail_reasons`` (array of failed gate names, sorted — the audit
+    trail telling a curation run WHY a document died; score-only
+    rejections carry the sentinel ``"low_score"``).
+    """
+    if not soft_scores:
+        raise ValueError("soft_scores must be non-empty")
+    wsum = sum(w for _, w in soft_scores.values())
+    if wsum <= 0:
+        raise ValueError("soft score weights must sum positive")
+    score = F.round(
+        sum(
+            (c.cast("double") * F.lit(float(w)) for c, w in soft_scores.values()),
+            F.lit(0.0),
+        )
+        / F.lit(float(wsum)),
+        round_to,
+    )
+    gates_pass = (
+        F.lit(True)
+        if not hard_gates
+        else reduce(lambda a, b: a & b, hard_gates.values())
+    )
+    keep = gates_pass & (score >= F.lit(float(threshold)))
+    reasons = F.array_sort(
+        F.concat(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(~g, F.lit(name)).otherwise(F.lit(None))
+                        for name, g in hard_gates.items()
+                    ]
+                )
+                if hard_gates
+                else F.array().cast("array<string>"),
+                lambda x: x.isNotNull(),
+            ),
+            F.when(
+                score < F.lit(float(threshold)), F.array(F.lit("low_score"))
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    return {"score": score, "keep": keep, "fail_reasons": reasons}

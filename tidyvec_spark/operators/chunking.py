@@ -240,3 +240,77 @@ def packing_report(
         .withColumn("fill", fill)
         .orderBy("bucket")
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    token_col: str,
+    n_buckets: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Length-bucketed inference batching: group documents into
+    ``n_buckets`` equal-count buckets by token length and report each
+    bucket's padding economics — the standard serving-side trick
+    (batch similar lengths together so the pad-to-max waste collapses).
+
+    Bucket law, fully integer and engine-portable: build the exact
+    length histogram, cumulative-sum it in length order, and assign
+    every LENGTH (hence every document of that length) to
+    ``floor(docs_before_this_length * n_buckets / total_docs)``.
+    Equal lengths always share a bucket — which is exactly what
+    padding wants, since same-length rows pad to zero waste.
+
+    Scale shape: the histogram groupBy is the only corpus-wide
+    shuffle; the cumsum window runs over DISTINCT LENGTHS (bounded by
+    max sequence length, thousands of rows at most, irrelevant at any
+    corpus size). No global sort of the corpus, no single-partition
+    window. A serving pipeline joins the returned length→bucket map
+    (broadcast-sized) back to the corpus for the actual batch routing.
+
+    Returns one row per non-empty bucket: ``(bucket, n_docs,
+    min_tokens, max_tokens, sum_tokens, pad_frac)`` where ``pad_frac =
+    1 - sum/(n·max)`` is the fraction of a pad-to-bucket-max batch
+    that is padding; ordered by bucket.
+    """
+    if int(n_buckets) < 1:
+        raise ValueError("n_buckets must be >= 1")
+    hist = (
+        df.select(F.col(token_col).cast("long").alias("len"))
+        .groupBy("len")
+        .agg(F.count("*").alias("cnt"))
+    )
+    assigned = hist.select(
+        "len",
+        "cnt",
+        F.expr(
+            f"(coalesce(sum(cnt) over (order by len rows between "
+            f"unbounded preceding and 1 preceding), 0L) * {int(n_buckets)})"
+            f" div (sum(cnt) over ())"
+        ).alias("bucket"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.min("len").alias("min_tokens"),
+            F.max("len").alias("max_tokens"),
+            F.sum(F.col("len") * F.col("cnt")).alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            "sum_tokens",
+            F.round(
+                F.when(
+                    F.col("max_tokens") > 0,
+                    F.lit(1.0)
+                    - F.col("sum_tokens").cast("double")
+                    / (F.col("n_docs") * F.col("max_tokens")).cast("double"),
+                ).otherwise(0.0),  # all-empty bucket: nothing to pad
+                round_to,
+            ).alias("pad_frac"),
+        )
+        .orderBy("bucket")
+    )

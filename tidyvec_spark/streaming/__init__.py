@@ -20,6 +20,7 @@ from tidyvec_spark.streaming.pipelines import (
     event_ns_of,
     event_ts,
     event_ts_of,
+    heavy_hitters_stream,
     hourly_rollup,
     ingest_dedup_stream,
     interval_join_stream,
@@ -39,6 +40,7 @@ __all__ = [
     "event_ns_of",
     "event_ts",
     "event_ts_of",
+    "heavy_hitters_stream",
     "hourly_rollup",
     "ingest_dedup_stream",
     "interval_join_stream",

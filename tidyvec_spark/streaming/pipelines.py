@@ -979,3 +979,143 @@ def zscore_anomaly_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    key_col: str = "user_id",
+    capacity: int = 64,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Top-frequency keys under BOUNDED memory: the Space-Saving
+    summary (Metwally, Agrawal & El Abbadi, "Efficient computation of
+    frequent and top-k elements in data streams", ICDT 2005) as a
+    custom stateful operator — the monitoring question "which users /
+    pages / tokens dominate this stream right now" where the key
+    domain is unbounded and an exact groupBy would grow state without
+    limit.
+
+    State is exactly ``capacity`` counters per group: on arrival a
+    tracked key increments; an untracked key evicts the minimum
+    counter and inherits its count as its error bound. Guarantees (the
+    paper's Thm. 3.1): every true count is within ``[est - err, est]``,
+    and any key with true frequency above the minimum counter is
+    tracked. With ``capacity >=`` the number of distinct keys the
+    summary is EXACT (err = 0 for all rows) — which is how the oracle
+    entry pins it against a plain groupBy count.
+
+    Streaming emits the full current summary each micro-batch (update
+    mode), ordered (est desc, key asc); ties in the eviction step
+    break on the SMALLEST key so replays are deterministic. On a batch
+    frame, falls back to the exact groupBy-count top-``capacity`` —
+    identical output whenever the sketch is exact, and the sketch's
+    est/err interval contains the batch twin's exact counts otherwise
+    (property-pinned in tests).
+
+    Returns ``(group_col?, key, est bigint, err bigint)``.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    key_field = df.schema[key_col].dataType
+    gcols = [group_col] if group_col else []
+
+    if not df.isStreaming:
+        from pyspark.sql import Window as W
+
+        counts = df.groupBy(
+            *(gcols + [key_col])
+        ).agg(F.count("*").alias("est"))
+        w = W.partitionBy(*gcols if gcols else [F.lit(1)]).orderBy(
+            F.desc("est"), F.asc(key_col)
+        )
+        return (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= int(capacity))
+            .select(
+                *gcols,
+                F.col(key_col).alias("key"),
+                "est",
+                F.lit(0).cast("long").alias("err"),
+            )
+        )
+
+    base = df.select(
+        (F.col(group_col) if group_col else F.lit("__all__")).alias("__g"),
+        F.col(key_col).alias("__k"),
+    )
+    out_fields = (
+        [T.StructField(group_col, df.schema[group_col].dataType, False)]
+        if group_col
+        else []
+    )
+    out_schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("key", key_field, False),
+            T.StructField("est", T.LongType(), False),
+            T.StructField("err", T.LongType(), False),
+        ]
+    )
+    # state: parallel arrays (keys as strings for schema stability,
+    # cast back on emit), counts, errors
+    state_schema = T.StructType(
+        [
+            T.StructField("ks", T.ArrayType(T.StringType()), False),
+            T.StructField("cs", T.ArrayType(T.LongType()), False),
+            T.StructField("es", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    key_is_long = isinstance(key_field, (T.LongType, T.IntegerType))
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            ks, cs, es = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+            )
+        else:
+            ks, cs, es = [], [], []
+        summary = {k: (c, e) for k, c, e in zip(ks, cs, es)}
+        for pdf in pdf_iter:
+            for k in pdf["__k"]:
+                sk = str(k)
+                if sk in summary:
+                    c, e = summary[sk]
+                    summary[sk] = (c + 1, e)
+                elif len(summary) < capacity:
+                    summary[sk] = (1, 0)
+                else:
+                    # evict the minimum counter; smallest key on ties
+                    # so replays are order-independent within a batch
+                    mk = min(summary, key=lambda x: (summary[x][0], x))
+                    mc, _ = summary.pop(mk)
+                    summary[sk] = (mc + 1, mc)
+        items = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [k for k, _ in items],
+                [c for _, (c, _) in items],
+                [e for _, (_, e) in items],
+            )
+        )
+        rows = [
+            (int(k) if key_is_long else k, c, e) for k, (c, e) in items
+        ]
+        cols = ["key", "est", "err"]
+        out = pd.DataFrame(rows, columns=cols)
+        if group_col:
+            out.insert(0, group_col, key[0])
+        yield out
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return base.groupBy("__g").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
