@@ -461,3 +461,34 @@ def test_session_late_round7_plan_shapes(spark, qs):
         assert P.num_shuffles(df) <= max_sh, name
         P.assert_no_cartesian(df)
     P.assert_no_cartesian(qs["soft_dedup"](spark, SF))
+
+
+def test_session2_round7_plan_shapes(spark, qs):
+    """Second round-7 wave: the ensemble is a pure map pass; heavy
+    hitters is one agg + one bounded window; URL canonicalization is
+    map-side into one host agg; length buckets shuffle the length
+    HISTOGRAM (distinct lengths), never a corpus sort; vocab growth is
+    one token agg + one map-side conditional agg."""
+    for name, max_sh in (
+        ("docs_quality_ensemble", 0),
+        ("events_heavy_hitters", 2),
+        ("docs_url_canonical", 2),   # host agg (+ distinct-merge agg)
+        ("docs_length_buckets", 3),  # histogram + cdf window + bucket agg
+        ("docs_vocab_growth", 3),    # token agg + 1-row joins
+    ):
+        df = qs[name](spark, SF)
+        assert P.num_shuffles(df) <= max_sh, name
+        P.assert_no_cartesian(df)
+    # ensemble/url scans must not read the embedding-wide columns
+    for name in ("docs_quality_ensemble", "docs_url_canonical"):
+        txt = P.explain_str(qs[name](spark, SF))
+        assert "embedding" not in txt, name
+
+
+def test_pagerank_per_round_shape(spark, qs):
+    """The iterated plan must stay O(1) deep (lineage cut per round):
+    the FINAL frame's plan contains the last round's join/agg plus the
+    result join only — not 10 rounds of nested exchanges."""
+    df = qs["docs_pagerank"](spark, SF)
+    assert P.num_shuffles(df) <= 6
+    P.assert_no_cartesian(df)

@@ -8,7 +8,7 @@ from tidyvec_spark.functions.vector import (
     matryoshka_expr,
     similarity_expr,
 )
-from tidyvec_spark.functions import quality, text
+from tidyvec_spark.functions import quality, text, urls
 
 __all__ = [
     "dot_expr",
@@ -21,4 +21,5 @@ __all__ = [
     "similarity_expr",
     "quality",
     "text",
+    "urls",
 ]

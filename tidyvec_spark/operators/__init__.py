@@ -11,6 +11,7 @@ from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
 from tidyvec_spark.operators.chunking import (
     chunk_documents,
+    length_buckets,
     pack_sequences,
     packing_report,
 )
@@ -22,6 +23,7 @@ from tidyvec_spark.operators.curriculum import (
     write_shuffled_shards,
 )
 from tidyvec_spark.operators.fusion import mean_pool_embeddings, rrf_fuse
+from tidyvec_spark.operators.graph import pagerank, synthetic_link_graph
 from tidyvec_spark.operators.lm import (
     bigram_counts,
     bigram_lm_perplexity,
@@ -44,6 +46,7 @@ from tidyvec_spark.operators.sampling import (
     temperature_sample,
 )
 from tidyvec_spark.operators.bloom import decontaminate_bloom
+from tidyvec_spark.operators.reports import vocab_growth
 from tidyvec_spark.operators.cooccur import token_pmi_topk
 from tidyvec_spark.operators.search import bm25_stats, bm25_topk, maxsim_topk, mmr_topk
 from tidyvec_spark.operators.skew import key_skew_profile, salted_join, two_phase_agg
@@ -100,6 +103,10 @@ __all__ = [
     "rrf_fuse",
     "pack_sequences",
     "packing_report",
+    "pagerank",
+    "synthetic_link_graph",
+    "length_buckets",
+    "vocab_growth",
     "perplexity_buckets",
     "temperature_fractions",
     "topk_recall",
