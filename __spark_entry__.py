@@ -7843,6 +7843,116 @@ FROM g
 """
 
 
+def _wds_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource path for WebDataset
+    (sources/wds_datasource.py): same shards as ``wds_roundtrip``,
+    read via ``spark.read.format("webdataset")`` — one native input
+    partition per tar, members streamed task-side instead of riding a
+    whole-shard binaryFile blob. Must equal the same oracle as the
+    mapInPandas reader (and does; parity also pinned in
+    tests/test_webdataset.py)."""
+    import tempfile
+
+    from tidyvec_spark.sources.wds_datasource import (
+        register_webdataset_source,
+    )
+    from tidyvec_spark.sources.webdataset import write_webdataset
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.format_string("%06d", F.col("doc_id")).alias("key"),
+        F.create_map(F.lit("txt"), F.encode(F.col("text"), "utf-8")).alias(
+            "data"
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="tv_wdsds_") + "/shards"
+    write_webdataset(docs, path, "key", "data", n_shards=4)
+    register_webdataset_source(spark)
+    back = spark.read.format("webdataset").load(path)
+    return back.select(
+        "key",
+        F.size("data").alias("n_members"),
+        F.length(F.element_at(F.col("data"), F.lit("txt")))
+        .cast("long")
+        .alias("txt_bytes"),
+    )
+
+
+def _events_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Space-Saving sketch driven through the REAL streaming
+    engine (streaming/pipelines.py::heavy_hitters_stream): events
+    staged as a file-source stream, per-batch summaries drained into a
+    memory sink, terminal max-per-key fold (estimates only grow).
+    Capacity is sized off the batch key count, so the sketch is exact
+    and the plain groupBy-count oracle applies — the end-to-end proof
+    the stateful path equals its batch twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from tidyvec_spark.streaming import (
+        heavy_hitters_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    n_keys = ev.select("user_id").distinct().count()
+    d = tempfile.mkdtemp(prefix="tv_stream_hh_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "part-000.parquet"),
+    )
+    stream = read_event_stream(spark, d)
+    table = f"events_stream_hh_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(
+        heavy_hitters_stream(stream, "user_id", capacity=n_keys + 10),
+        table,
+        output_mode="update",
+    )
+    return (
+        spark.table(table)
+        .groupBy("key")
+        .agg(F.max("est").alias("est"), F.max("err").alias("err"))
+    )
+
+
+_EVENTS_STREAM_HH_SQL = """
+SELECT user_id AS key, CAST(count(*) AS BIGINT) AS est,
+       CAST(0 AS BIGINT) AS err
+FROM events GROUP BY user_id
+"""
+
+
+def _docs_template_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-page detection (operators/dedup.py::overlap_degree
+    over winnowing pairs): a page whose local runs overlap MANY other
+    pages is boilerplate/template, not a one-off near-dup. Degree agg
+    over the bounded pair table + one left join; corpus never
+    exploded."""
+    from tidyvec_spark.operators.dedup import overlap_degree, winnow_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = winnow_pairs(
+        docs, "text", "doc_id", k=5, w=4, min_shared=2, max_doc_freq=1000
+    )
+    return overlap_degree(docs, pairs, "doc_id", min_partners=3)
+
+
+def _docs_template_pages_sql() -> str:
+    return f"""
+WITH p AS MATERIALIZED ({_WINNOW_SQL}),
+d AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT id_a AS id FROM p UNION ALL SELECT id_b AS id FROM p
+  ) GROUP BY id
+)
+SELECT u.doc_id AS id, COALESCE(d.n, 0) AS n_partners,
+       COALESCE(d.n, 0) >= 3 AS is_template
+FROM (SELECT DISTINCT doc_id FROM documents) u
+LEFT JOIN d ON d.id = u.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7945,7 +8055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # soft_dedup, docs_csv_ingest, docs_blocklist, docs_pagerank,
         # events_heavy_hitters, docs_url_canonical,
         # docs_length_buckets, docs_vocab_growth,
-        # docs_quality_ensemble.
+        # docs_quality_ensemble, docs_template_pages,
+        # wds_datasource_read, events_stream_heavy_hitters.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -8081,6 +8192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_buckets": _docs_length_buckets,
         "docs_vocab_growth": _docs_vocab_growth,
         "docs_quality_ensemble": _docs_quality_ensemble,
+        "docs_template_pages": _docs_template_pages,
+        "wds_datasource_read": _wds_datasource_read,
+        "events_stream_heavy_hitters": _events_stream_heavy_hitters,
     }
 
 
@@ -8260,6 +8374,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_buckets": _DOCS_LENGTH_BUCKETS_SQL,
         "docs_vocab_growth": _docs_vocab_growth_sql(),
         "docs_quality_ensemble": _docs_quality_ensemble_sql(),
+        "docs_template_pages": _docs_template_pages_sql(),
+        "wds_datasource_read": _WDS_ROUNDTRIP_SQL,
+        "events_stream_heavy_hitters": _EVENTS_STREAM_HH_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -888,3 +888,29 @@ def test_soft_dedup_expected_one_per_cluster(spark):
     assert all(
         r.weight == 0.25 and r.cluster_size == 4 for r in out.collect()
     )
+
+
+def test_overlap_degree_template_flags(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 2), (1, 4, 2), (2, 3, 2)],
+        "id_a long, id_b long, n_shared long",
+    )
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    from tidyvec_spark.operators.dedup import overlap_degree
+
+    got = {
+        r["id"]: (r["n_partners"], r["is_template"])
+        for r in overlap_degree(docs, pairs, "doc_id", min_partners=3).collect()
+    }
+    assert got == {
+        1: (3, True),   # partners 2,3,4
+        2: (2, False),  # partners 1,3
+        3: (2, False),
+        4: (1, False),
+        5: (0, False),
+        6: (0, False),
+    }
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        overlap_degree(docs, pairs, "doc_id", min_partners=0)

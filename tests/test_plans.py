@@ -492,3 +492,12 @@ def test_pagerank_per_round_shape(spark, qs):
     df = qs["docs_pagerank"](spark, SF)
     assert P.num_shuffles(df) <= 6
     P.assert_no_cartesian(df)
+
+
+def test_template_pages_plan_shape(spark, qs):
+    """Degree profile: the pair-generation shuffles are the winnow
+    ones (fp-table-sized); the degree agg + id left join add at most
+    three more. No cartesian anywhere."""
+    df = qs["docs_template_pages"](spark, SF)
+    assert P.num_shuffles(df) <= 8
+    P.assert_no_cartesian(df)

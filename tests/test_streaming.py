@@ -961,3 +961,53 @@ def test_heavy_hitters_batch_twin_topk(spark):
     ]
     with pytest.raises(ValueError):
         S.heavy_hitters_stream(ev, "event_type", capacity=0)
+
+
+def test_heavy_hitters_checkpoint_recovery(spark, tmp_path):
+    """Counter state must survive a restart: wave 1 runs to
+    completion, the query stops, wave 2 lands, a NEW query on the same
+    checkpoint resumes — final estimates equal the all-data exact
+    counts (capacity covers the keys, so any state loss would show as
+    undercounts)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    land = tmp_path / "hh_ckpt_land"
+    land.mkdir()
+    out = str(tmp_path / "hh_ckpt_out")
+    ckpt = str(tmp_path / "hh_ckpt")
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        str(land / "f0.parquet")
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(land) + "/*")
+        hh = S.heavy_hitters_stream(stream, "user_id", capacity=n_users + 10)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            hh.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(
+        str(land / "f1.parquet")
+    )
+    run_once()
+
+    emitted = spark.read.parquet(out).collect()
+    got = {}
+    for r in emitted:
+        got[r["key"]] = max(got.get(r["key"], 0), r["est"])
+    want = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want

@@ -116,3 +116,98 @@ def test_write_leaves_no_temp_files(spark, tmp_path):
     on_disk = sorted(os.listdir(path))
     assert on_disk == sorted(names)
     assert all(fn.endswith(".tar") and not fn.startswith(".") for fn in on_disk)
+
+
+def test_python_datasource_matches_mapinpandas_reader(spark, tmp_path):
+    """spark.read.format('webdataset') (Spark 4 Python DataSource) and
+    read_webdataset (binaryFile + mapInPandas) must produce identical
+    samples; one input partition per shard."""
+    import os
+
+    from tidyvec_spark.sources.wds_datasource import (
+        register_webdataset_source,
+    )
+    from tidyvec_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    out = str(tmp_path / "wds_ds")
+    write_webdataset(_sample_df(spark, 60), out, "key", "data", n_shards=3)
+
+    register_webdataset_source(spark)
+    via_ds = spark.read.format("webdataset").load(out)
+    via_mp = read_webdataset(spark, out)
+
+    def canon(df):
+        rows = {}
+        for r in df.collect():
+            rows[(os.path.basename(r["shard"]), r["key"])] = {
+                k: bytes(v) for k, v in r["data"].items()
+            }
+        return rows
+
+    a, b = canon(via_ds), canon(via_mp)
+    assert a == b and len(a) == 60
+    assert via_ds.rdd.getNumPartitions() == 3  # one per shard
+
+
+def test_python_datasource_exts_pruning_and_empty(spark, tmp_path):
+    from tidyvec_spark.sources.wds_datasource import (
+        register_webdataset_source,
+    )
+    from tidyvec_spark.sources.webdataset import write_webdataset
+
+    out = str(tmp_path / "wds_ds2")
+    write_webdataset(_sample_df(spark, 10), out, "key", "data", n_shards=2)
+    register_webdataset_source(spark)
+    pruned = spark.read.format("webdataset").option("exts", "bin").load(out)
+    rows = pruned.collect()
+    assert len(rows) == 10
+    assert all(set(r["data"].keys()) == {"bin"} for r in rows)
+    empty_dir = str(tmp_path / "nothing")
+    import os as _os
+
+    _os.makedirs(empty_dir)
+    assert spark.read.format("webdataset").load(empty_dir).count() == 0
+
+
+def test_python_datasource_writer_roundtrip_and_atomicity(spark, tmp_path):
+    """df.write.format('webdataset') emits one tar per input
+    partition, readable by BOTH readers with identical samples; no
+    .inprogress temp files survive the commit."""
+    import os
+
+    from tidyvec_spark.sources.wds_datasource import (
+        register_webdataset_source,
+    )
+    from tidyvec_spark.sources.webdataset import read_webdataset
+
+    register_webdataset_source(spark)
+    out = str(tmp_path / "wds_written")
+    df = _sample_df(spark, 30).repartition(3, "key")
+    # Python DataSources only accept append/overwrite save modes
+    df.write.format("webdataset").mode("append").save(out)
+
+    tars = sorted(
+        f for f in os.listdir(out) if f.endswith(".tar")
+    )
+    assert len(tars) == 3
+    assert not [f for f in os.listdir(out) if f.startswith(".inprogress")]
+
+    back = read_webdataset(spark, out)
+    want = {
+        r["key"]: {k: bytes(v) for k, v in r["data"].items()}
+        for r in _sample_df(spark, 30).collect()
+    }
+    got = {
+        r["key"]: {k: bytes(v) for k, v in r["data"].items()}
+        for r in back.collect()
+    }
+    assert got == want
+    # and the DataSource reader agrees with itself
+    got2 = {
+        r["key"]: {k: bytes(v) for k, v in r["data"].items()}
+        for r in spark.read.format("webdataset").load(out).collect()
+    }
+    assert got2 == want

@@ -1747,3 +1747,53 @@ def soft_dedup_sample(
         )
     )
     return out
+
+
+def overlap_degree(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    min_partners: int = 3,
+) -> DataFrame:
+    """Partner-degree profile over ANY near-dup/overlap pair table
+    (winnowing, MinHash, SimHash, embedding — whatever produced the
+    pairs): per document, how many distinct partners it overlaps
+    with, and a ``is_template`` flag at ``min_partners`` — the
+    templated-page detector (navigation shells, listing pages, mirror
+    farms share local runs with MANY documents, where a genuine
+    near-dup has one or two).
+
+    Every document of ``df`` appears (degree 0 when unpaired), so the
+    output is a per-corpus-row feature joinable into quality
+    ensembles. Shape: one degree aggregation over the (bounded) pair
+    table + one left join back to the id set — the corpus is never
+    exploded.
+    """
+    if int(min_partners) < 1:
+        raise ValueError("min_partners must be >= 1")
+    # explode both endpoints in ONE pass — a union of two selects
+    # would evaluate the (possibly expensive) pair-generation subtree
+    # twice
+    deg = (
+        pairs.select(
+            F.explode(F.array(F.col(src), F.col(dst))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_partners"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_partners", F.lit(0).cast("long")).alias(
+                "n_partners"
+            ),
+            (
+                F.coalesce("n_partners", F.lit(0)) >= int(min_partners)
+            ).alias("is_template"),
+        )
+    )
