@@ -7953,6 +7953,131 @@ LEFT JOIN d ON d.id = u.doc_id
 """
 
 
+def _pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-curation ladder as ONE lazy composite — the order a
+    production pipeline runs it, cheapest rung first:
+
+    1. URL-canonical dedup (functions/urls.py): keep the min-id fetch
+       per canonical URL — map-side key rewrite + one groupBy;
+    2. ensemble quality gate (quality_ensemble, same config as
+       docs_quality_ensemble): hard Gopher/C4 vetoes + weighted soft
+       score ≥ 0.5 — zero shuffle;
+    3. template filter (overlap_degree over winnowing pairs of the
+       SURVIVORS): drop pages overlapping ≥ 3 others — bounded
+       fingerprint shuffles;
+    4. exact-text dedup (normalized-key min-id) — one groupBy.
+
+    Returns (doc_id, score) of the fully curated set. Every rung's
+    SQL twin already exists; the oracle chains them in the same
+    order, so the hash checks rung ORDER, not just each rung."""
+    from tidyvec_spark.functions import quality as Q
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.functions.urls import canonicalize_url
+    from tidyvec_spark.operators.dedup import (
+        drop_exact_dups,
+        overlap_degree,
+        winnow_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id", "text", canonicalize_url(_synth_url_expr()).alias("curl")
+    )
+    w = Window.partitionBy("curl")
+    s1 = (
+        with_url.withColumn("__min", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min"))
+        .drop("__min", "curl")
+    )
+    ens = Q.quality_ensemble(
+        hard_gates={
+            "gopher": Q.gopher_keep("text", min_words=20),
+            "c4_page": Q.c4_page_keep("text"),
+        },
+        soft_scores={
+            "rules": (X.quality_score("text"), 2.0),
+            "length": (
+                F.least(
+                    F.lit(1.0),
+                    X.token_count("text").cast("double") / F.lit(80.0),
+                ),
+                1.0,
+            ),
+        },
+        threshold=0.5,
+    )
+    # the gate survivors feed TWO consumers (the winnow pair join and
+    # the template anti-join back) — persist so the URL-window +
+    # ensemble subtree runs once, exactly what a production run does
+    # between rungs
+    s2 = s1.withColumn("score", ens["score"]).filter(ens["keep"]).persist()
+    pairs = winnow_pairs(
+        s2, "text", "doc_id", k=5, w=4, min_shared=2, max_doc_freq=1000
+    )
+    deg = overlap_degree(s2, pairs, "doc_id", min_partners=3)
+    s3 = s2.join(
+        deg.filter(~F.col("is_template")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+    )
+    s4 = drop_exact_dups(s3, "text", "doc_id")
+    return s4.select("doc_id", "score")
+
+
+def _pipeline_crawl_sql() -> str:
+    from tidyvec_spark.functions.urls import canonical_url_sql
+
+    synth = """
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+      || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'www.site' END
+      || CAST((doc_id // 2) % 5 AS VARCHAR) || '.com'
+      || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+      || '/page/' || CAST(doc_id // 2 AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+              ELSE '?a=1&b=2' END
+      || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END
+    """
+    ens = _docs_quality_ensemble_sql().replace("FROM documents", "FROM s1")
+    winnow_on_s2 = _WINNOW_SQL.replace("FROM documents", "FROM s2")
+    return f"""
+WITH u AS (
+  SELECT doc_id, text, {canonical_url_sql(f"({synth})")} AS curl
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY curl) AS mn
+    FROM u
+  ) WHERE doc_id = mn
+),
+e AS MATERIALIZED ({ens}),
+s2 AS (
+  SELECT s1.doc_id, s1.text, e.score
+  FROM s1 JOIN e ON e.doc_id = s1.doc_id
+  WHERE e.keep
+),
+p AS MATERIALIZED ({winnow_on_s2}),
+d AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT id_a AS id FROM p UNION ALL SELECT id_b AS id FROM p
+  ) GROUP BY id
+),
+s3 AS (
+  SELECT s2.* FROM s2 LEFT JOIN d ON d.id = s2.doc_id
+  WHERE COALESCE(d.n, 0) < 3
+),
+s4 AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, score, ROW_NUMBER() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM s3
+  ) WHERE rn = 1
+)
+SELECT doc_id, score FROM s4
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8056,7 +8181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_heavy_hitters, docs_url_canonical,
         # docs_length_buckets, docs_vocab_growth,
         # docs_quality_ensemble, docs_template_pages,
-        # wds_datasource_read, events_stream_heavy_hitters.
+        # wds_datasource_read, events_stream_heavy_hitters,
+        # pipeline_crawl.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -8195,6 +8321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_template_pages": _docs_template_pages,
         "wds_datasource_read": _wds_datasource_read,
         "events_stream_heavy_hitters": _events_stream_heavy_hitters,
+        "pipeline_crawl": _pipeline_crawl,
     }
 
 
@@ -8377,6 +8504,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_template_pages": _docs_template_pages_sql(),
         "wds_datasource_read": _WDS_ROUNDTRIP_SQL,
         "events_stream_heavy_hitters": _EVENTS_STREAM_HH_SQL,
+        "pipeline_crawl": _pipeline_crawl_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -180,6 +180,17 @@ BENCH_QUERIES = [
     "events_retention",
     "events_props_stats",
     "events_zorder",
+    # second round-7 wave
+    "docs_pagerank",
+    "events_heavy_hitters",
+    "events_stream_heavy_hitters",
+    "docs_url_canonical",
+    "docs_length_buckets",
+    "docs_vocab_growth",
+    "docs_quality_ensemble",
+    "docs_template_pages",
+    "wds_datasource_read",
+    "pipeline_crawl",
 ]
 
 

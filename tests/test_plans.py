@@ -501,3 +501,13 @@ def test_template_pages_plan_shape(spark, qs):
     df = qs["docs_template_pages"](spark, SF)
     assert P.num_shuffles(df) <= 8
     P.assert_no_cartesian(df)
+
+
+def test_pipeline_crawl_plan_shape(spark, qs):
+    """Four-rung crawl ladder in one lazy plan: URL-dedup window +
+    winnow fingerprint aggs + template join + exact-dedup agg. Bounded
+    shuffles, no cartesian, embedding column never read."""
+    df = qs["pipeline_crawl"](spark, SF)
+    assert P.num_shuffles(df) <= 12
+    P.assert_no_cartesian(df)
+    assert "embedding" not in P.explain_str(df)

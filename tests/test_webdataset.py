@@ -211,3 +211,51 @@ def test_python_datasource_writer_roundtrip_and_atomicity(spark, tmp_path):
         for r in spark.read.format("webdataset").load(out).collect()
     }
     assert got2 == want
+
+
+def test_python_datasource_stream_two_waves(spark, tmp_path):
+    """spark.readStream.format('webdataset'): wave-1 shards are one
+    micro-batch, shards appearing later (higher watermark names) form
+    the next — samples accumulate exactly once each."""
+    import os
+    import shutil
+    import time
+
+    from tidyvec_spark.sources.wds_datasource import (
+        register_webdataset_source,
+    )
+    from tidyvec_spark.sources.webdataset import write_webdataset
+
+    register_webdataset_source(spark)
+    stage = str(tmp_path / "wds_stage")
+    land = str(tmp_path / "wds_stream_land")
+    os.makedirs(land)
+    write_webdataset(_sample_df(spark, 20), stage, "key", "data",
+                     n_shards=4)
+    shards = sorted(f for f in os.listdir(stage) if f.endswith(".tar"))
+    for f in shards[:2]:
+        shutil.copy(os.path.join(stage, f), os.path.join(land, f))
+
+    stream = spark.readStream.format("webdataset").load(land)
+    q = (
+        stream.selectExpr("key")
+        .writeStream.format("memory")
+        .queryName("wds_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["key"] for r in spark.sql(
+            "select key from wds_stream_t").collect()}
+        for f in shards[2:]:
+            shutil.copy(os.path.join(stage, f), os.path.join(land, f))
+        q.processAllAvailable()
+        rows = [r["key"] for r in spark.sql(
+            "select key from wds_stream_t").collect()]
+    finally:
+        q.stop()
+    want = {r["key"] for r in _sample_df(spark, 20).collect()}
+    assert set(rows) == want
+    assert len(rows) == len(want)        # exactly once
+    assert 0 < len(first) < len(want)    # wave split actually happened

@@ -44,6 +44,7 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -60,6 +61,26 @@ _SCHEMA_DDL = "shard string, key string, data map<string,binary>"
 class _ShardPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
+
+
+def _read_shard(path: str, exts) -> "Iterator[tuple]":
+    """Yield (shard, key, {ext: bytes}) samples from one tar — shared
+    by the batch and stream readers. Accumulates per shard so
+    non-adjacent same-key members merge into one row (tar last-wins),
+    matching the mapInPandas reader's groupBy + max_by(idx) rule."""
+    shard = os.path.abspath(path)
+    samples: dict[str, dict[str, bytes]] = {}
+    with tarfile.open(shard) as tf:
+        for m in tf:
+            if not m.isfile():
+                continue
+            key, ext = wds_key_of(m.name)
+            if exts is not None and ext not in exts:
+                continue
+            f = tf.extractfile(m)
+            samples.setdefault(key, {})[ext] = f.read() if f else None
+    for key, data in samples.items():
+        yield (shard, key, data)
 
 
 class _WDSReader(DataSourceReader):
@@ -86,26 +107,7 @@ class _WDSReader(DataSourceReader):
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
         if not partition.path:
             return
-        shard = os.path.abspath(partition.path)
-        # accumulate per shard rather than flushing on key change:
-        # non-adjacent same-key members (legal tar, unconventional
-        # WDS) must still merge into ONE sample row, exactly like the
-        # mapInPandas reader's groupBy — and later occurrences
-        # overwrite earlier ones, which is tar's last-wins extraction
-        # rule. Peak memory = the kept members of one shard, the same
-        # bound as the binaryFile whole-shard blob.
-        samples: dict[str, dict[str, bytes]] = {}
-        with tarfile.open(shard) as tf:
-            for m in tf:
-                if not m.isfile():
-                    continue
-                key, ext = wds_key_of(m.name)
-                if self.exts is not None and ext not in self.exts:
-                    continue
-                f = tf.extractfile(m)
-                samples.setdefault(key, {})[ext] = f.read() if f else None
-        for key, data in samples.items():
-            yield (shard, key, data)
+        yield from _read_shard(partition.path, self.exts)
 
 
 class WebDatasetSource(DataSource):
@@ -124,6 +126,9 @@ class WebDatasetSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "DataSourceWriter":
         return _WDSWriter(self.options, overwrite)
+
+    def streamReader(self, schema: StructType) -> "DataSourceStreamReader":
+        return _WDSStreamReader(self.options)
 
 
 def register_webdataset_source(spark) -> None:
@@ -200,3 +205,60 @@ class _WDSWriter(DataSourceWriter):
                     os.unlink(m.tmp)
                 except OSError:
                     pass
+
+
+class _WDSStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("webdataset")`` — continuous ingest of
+    an append-only shard directory (the multimodal landing-zone shape:
+    an upstream crawler drops numbered tars; this source turns each
+    new shard into one micro-batch partition).
+
+    Offset law: the lexicographic HIGH-WATERMARK of processed shard
+    basenames — a primitive-valued dict as the API requires, constant
+    size no matter how many shards have passed. The contract this
+    buys is the WebDataset convention itself: shards arrive with
+    lexicographically increasing names (``shard-000000.tar``,
+    ``shard-000001.tar``, ...; date-stamped prefixes also work). A
+    late shard sorting BELOW the watermark is skipped — use the batch
+    reader to backfill out-of-order history.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("webdataset stream source requires a path")
+        self.glob = options.get("glob", "*.tar")
+        exts = options.get("exts")
+        self.exts = (
+            frozenset(e.strip() for e in exts.split(",") if e.strip())
+            if exts
+            else None
+        )
+
+    def _shards(self) -> "list[str]":
+        return sorted(
+            globlib.glob(os.path.join(self.path, "**", self.glob),
+                         recursive=True),
+            key=os.path.basename,
+        )
+
+    def initialOffset(self) -> dict:
+        return {"watermark": ""}
+
+    def latestOffset(self) -> dict:
+        shards = self._shards()
+        return {
+            "watermark": os.path.basename(shards[-1]) if shards else ""
+        }
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo = start.get("watermark", "")
+        hi = end.get("watermark", "")
+        return [
+            _ShardPartition(p)
+            for p in self._shards()
+            if lo < os.path.basename(p) <= hi
+        ]
+
+    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+        yield from _read_shard(partition.path, self.exts)

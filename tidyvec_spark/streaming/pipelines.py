@@ -1018,6 +1018,10 @@ def heavy_hitters_stream(
         raise ValueError("capacity must be >= 1")
     key_field = df.schema[key_col].dataType
     gcols = [group_col] if group_col else []
+    # NULL keys are dropped in BOTH twins: a NULL is not a trackable
+    # identity (and would collide with the string 'None' in the
+    # sketch's state encoding)
+    df = df.filter(F.col(key_col).isNotNull())
 
     if not df.isStreaming:
         from pyspark.sql import Window as W
