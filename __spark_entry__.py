@@ -8078,6 +8078,154 @@ SELECT doc_id, score FROM s4
 """
 
 
+def _lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled ``lang`` vs the n-gram
+    heuristic's prediction, with per-cell counts and the labeled
+    row-total share — the eval report that tells a multilingual
+    pipeline where its router misroutes. ONE map-side projection +
+    one bounded (|langs|²) aggregation; the share is an exact integer
+    ratio rounded once."""
+    from tidyvec_spark.functions import text as X
+
+    docs = _read(spark, sf_dir, "documents")
+    per = docs.select("lang", X.lang_id("text").alias("lang_pred"))
+    cell = per.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(w).cast("double"),
+            R,
+        ).alias("share"),
+    )
+
+
+_LANG_CONFUSION_SQL = f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT lang, {_lang_sql_scores()} FROM t),
+p AS (
+  SELECT lang,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM s
+),
+c AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY lang, lang_pred
+)
+SELECT lang, lang_pred, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), {R})
+         AS share
+FROM c
+"""
+
+
+def _crawl_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl budgeting: within each site (canonical host
+    key), keep the best-quality documents while the running token
+    total stays under 2000 — the anti-domination rule that stops one
+    mirror farm from filling the corpus. Pure composition:
+    functions/urls.py host key (map-side) + operators/sampling.py::
+    budget_sample (one window shuffle on the host)."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.functions.urls import url_host_key
+    from tidyvec_spark.operators.sampling import budget_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    with_host = docs.select(
+        "doc_id",
+        url_host_key(_synth_url_expr()).alias("host"),
+        X.token_count("text").alias("n_tokens"),
+        F.round(X.quality_score("text"), R).alias("q"),
+    )
+    out = budget_sample(
+        with_host, "n_tokens", budget=2000, strata="host",
+        order_by=[F.desc("q"), F.asc("doc_id")],
+    )
+    return out.select("doc_id", "host", "n_tokens")
+
+
+def _crawl_host_budget_sql() -> str:
+    synth = """
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+      || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'www.site' END
+      || CAST((doc_id // 2) % 5 AS VARCHAR) || '.com'
+      || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+      || '/page/' || CAST(doc_id // 2 AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+              ELSE '?a=1&b=2' END
+      || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END
+    """
+    host_key = (
+        "regexp_replace(lower(COALESCE(regexp_extract(({u}), "
+        "'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]*)', 2), '')), "
+        "'^www\\.', '')"
+    ).format(u=synth)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {host_key} AS host, {_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, host, CAST(len(toks) AS BIGINT) AS n_tokens,
+         {_QUALITY_SQL} AS q
+  FROM t
+),
+r AS (
+  SELECT doc_id, host, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY host ORDER BY q DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM m
+)
+SELECT doc_id, host, n_tokens FROM r WHERE cum <= 2000
+"""
+
+
+def _rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank (operators/search.py::rerank_topk): BM25
+    proposes 50 candidates over the whole corpus, the cross-encoder
+    seam re-scores ONLY those through an Arrow-batched pandas_udf
+    (the deterministic overlap scorer standing in for a gated HF
+    model, same posture as the fake bi-encoder). Model cost is
+    O(candidates), independent of corpus size; the candidate id list
+    broadcasts."""
+    from tidyvec_spark.operators.search import rerank_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return rerank_topk(
+        docs, "text", "doc_id", _TFIDF_QUERY, k=10, candidates_n=50,
+        round_to=R,
+    )
+
+
+def _rerank_search_sql() -> str:
+    cand = _BM25_SEARCH_SQL.replace("LIMIT 10", "LIMIT 50")
+    qlist = ", ".join(f"'{t}'" for t in sorted(set(_TFIDF_QTERMS)))
+    denom = len(set(_TFIDF_QTERMS))
+    return f"""
+WITH cand AS MATERIALIZED ({cand}),
+rr AS (
+  SELECT d.doc_id,
+         ROUND(CAST(len(list_intersect(list_distinct({_TOKS}),
+                                       [{qlist}])) AS DOUBLE)
+               / {denom}.0, {R}) AS rr_score
+  FROM documents d JOIN cand ON cand.doc_id = d.doc_id
+)
+SELECT doc_id, rr_score FROM rr
+ORDER BY rr_score DESC, doc_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8182,7 +8330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docs_length_buckets, docs_vocab_growth,
         # docs_quality_ensemble, docs_template_pages,
         # wds_datasource_read, events_stream_heavy_hitters,
-        # pipeline_crawl.
+        # pipeline_crawl, lang_confusion, crawl_host_budget,
+        # rerank_search.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -8322,6 +8471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_datasource_read": _wds_datasource_read,
         "events_stream_heavy_hitters": _events_stream_heavy_hitters,
         "pipeline_crawl": _pipeline_crawl,
+        "lang_confusion": _lang_confusion,
+        "crawl_host_budget": _crawl_host_budget,
+        "rerank_search": _rerank_search,
     }
 
 
@@ -8505,6 +8657,9 @@ def oracle_sql() -> dict[str, str]:
         "wds_datasource_read": _WDS_ROUNDTRIP_SQL,
         "events_stream_heavy_hitters": _EVENTS_STREAM_HH_SQL,
         "pipeline_crawl": _pipeline_crawl_sql(),
+        "lang_confusion": _LANG_CONFUSION_SQL,
+        "crawl_host_budget": _crawl_host_budget_sql(),
+        "rerank_search": _rerank_search_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "docs_template_pages",
     "wds_datasource_read",
     "pipeline_crawl",
+    "lang_confusion",
+    "crawl_host_budget",
+    "rerank_search",
 ]
 
 

@@ -511,3 +511,18 @@ def test_pipeline_crawl_plan_shape(spark, qs):
     assert P.num_shuffles(df) <= 12
     P.assert_no_cartesian(df)
     assert "embedding" not in P.explain_str(df)
+
+
+def test_session3_round7_plan_shapes(spark, qs):
+    """Third wave: confusion matrix is one bounded agg + window; host
+    budget one window shuffle; rerank = BM25's shuffles + a BROADCAST
+    candidate join (no extra corpus shuffle for the expensive stage)."""
+    for name, max_sh in (
+        ("lang_confusion", 3),
+        ("crawl_host_budget", 2),
+        ("rerank_search", 6),
+    ):
+        df = qs[name](spark, SF)
+        assert P.num_shuffles(df) <= max_sh, name
+        P.assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in P.explain_str(qs["rerank_search"](spark, SF))

@@ -179,3 +179,47 @@ def test_maxsim_is_zero_shuffle(documents):
     out = maxsim_topk(documents, "text", "doc_id", "spark join", n=5)
     assert P.num_shuffles(out) == 0
     assert P.has_take_ordered(out)
+
+
+def test_rerank_topk_candidates_bound_and_order(spark, documents):
+    """The reranker may only return BM25-candidate documents, ordered
+    by overlap score desc with id tiebreak; k > candidates rejected."""
+    import pytest as pt
+
+    from tidyvec_spark.operators.search import bm25_topk, rerank_topk
+
+    q = "spark join filter table"
+    out = rerank_topk(
+        documents, "text", "doc_id", q, k=10, candidates_n=25, round_to=6
+    ).collect()
+    assert len(out) == 10
+    cands = {
+        r["doc_id"]
+        for r in bm25_topk(documents, "text", "doc_id", q, n=25).collect()
+    }
+    assert all(r["doc_id"] in cands for r in out)
+    scores = [r["rr_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # overlap scorer law: |q ∩ doc| / |q|
+    row = out[0]
+    text = {
+        r["text"]
+        for r in documents.filter(F.col("doc_id") == row["doc_id"]).collect()
+    }.pop()
+    qs = set(q.split())
+    want = len(qs & set(text.lower().split())) / len(qs)
+    assert abs(row["rr_score"] - want) < 1e-9
+    with pt.raises(ValueError):
+        rerank_topk(documents, "text", "doc_id", q, k=10, candidates_n=5)
+
+
+def test_rerank_custom_scorer_seam(spark, documents):
+    """Any Column-producing callable drops into the scorer seam."""
+    from tidyvec_spark.operators.search import rerank_topk
+
+    out = rerank_topk(
+        documents, "text", "doc_id", "spark table", k=3,
+        candidates_n=10, scorer=lambda c: F.length(c).cast("double"),
+    ).collect()
+    assert len(out) == 3
+    assert out[0]["rr_score"] >= out[-1]["rr_score"]

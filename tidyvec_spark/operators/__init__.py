@@ -48,7 +48,14 @@ from tidyvec_spark.operators.sampling import (
 from tidyvec_spark.operators.bloom import decontaminate_bloom
 from tidyvec_spark.operators.reports import vocab_growth
 from tidyvec_spark.operators.cooccur import token_pmi_topk
-from tidyvec_spark.operators.search import bm25_stats, bm25_topk, maxsim_topk, mmr_topk
+from tidyvec_spark.operators.search import (
+    bm25_stats,
+    bm25_topk,
+    maxsim_topk,
+    mmr_topk,
+    overlap_scorer,
+    rerank_topk,
+)
 from tidyvec_spark.operators.skew import key_skew_profile, salted_join, two_phase_agg
 from tidyvec_spark.operators.sq import sq_encode, sq_fit, sq_topk
 from tidyvec_spark.operators.semdedup import semantic_dedup, semantic_dedup_pairs
@@ -83,6 +90,8 @@ __all__ = [
     "bm25_topk",
     "maxsim_topk",
     "mmr_topk",
+    "overlap_scorer",
+    "rerank_topk",
     "decontaminate_bloom",
     "token_pmi_topk",
     "budget_sample",

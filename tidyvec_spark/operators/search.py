@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -382,4 +383,68 @@ def maxsim_topk(
         .filter(F.col("score").isNotNull())
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(int(n))
+    )
+
+
+def overlap_scorer(query: str):
+    """Deterministic stand-in for a cross-encoder: score(q, d) =
+    |distinct query tokens present in d| / |distinct query tokens| —
+    Arrow-batched through a pandas_udf exactly like a real model
+    scorer would be, and exactly replayable in SQL for the oracle.
+
+    A real cross-encoder (e.g. an HF sequence-classification head on
+    "[CLS] q [SEP] d") drops into the same seam: any callable
+    returning a Column of doubles given the text Column works as
+    ``rerank_topk(..., scorer=)``; keep the model gated behind an
+    import-try like ``embedders/hf.py`` does for bi-encoders.
+    """
+    qset = frozenset(query.lower().split())
+    denom = float(len(qset)) or 1.0
+
+    @F.pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(qset.intersection((t or "").lower().split()))
+            / denom
+        )
+
+    return lambda c: _score(c)
+
+
+def rerank_topk(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    query: str,
+    k: int = 10,
+    candidates_n: int = 50,
+    scorer=None,
+    round_to: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Two-stage retrieval: a cheap high-recall stage (BM25 over the
+    whole corpus) proposes ``candidates_n`` documents, then an
+    expensive per-pair scorer (cross-encoder seam; default
+    :func:`overlap_scorer`) re-scores ONLY those — the standard
+    retrieve-then-rerank architecture.
+
+    Scale shape: the corpus pays exactly the BM25 cost (one explode +
+    one groupBy(doc)); the expensive scorer touches ``candidates_n``
+    rows fetched by a BROADCAST semi-join of the candidate id list —
+    model inference cost is O(candidates_n), independent of corpus
+    size. Returns (id, rr_score) ordered desc with id tiebreak.
+    """
+    if k < 1 or candidates_n < k:
+        raise ValueError("need candidates_n >= k >= 1")
+    cands = bm25_topk(
+        df, content_col, id_col, query, n=candidates_n, stats=stats
+    ).select(id_col)
+    pool = df.join(F.broadcast(cands), id_col)
+    score = (scorer or overlap_scorer(query))(F.col(content_col))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        pool.select(F.col(id_col), score.alias("rr_score"))
+        .orderBy(F.desc("rr_score"), F.asc(id_col))
+        .limit(k)
     )
