@@ -8226,6 +8226,64 @@ ORDER BY rr_score DESC, doc_id LIMIT 10
 """
 
 
+def _ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup (operators/dedup.py::ngram_containment_pairs):
+    c / min(|A|,|B|) catches documents EMBEDDED in larger ones —
+    synthesized here as 25-token snippets (doc_id+20000) whose Jaccard
+    to their source is far below any resemblance threshold but whose
+    containment is ~1.0. Same inverted-index plan as the Jaccard
+    entry; only the denominator changes."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens("text")
+    snippet = F.concat_ws(" ", F.slice(toks, 1, 25))
+    snips = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), snippet.alias("text")
+    )
+    corpus = docs.unionByName(snips)
+    return ngram_containment_pairs(
+        corpus, "text", "doc_id", shingle_n=3, threshold=0.8, round_to=R,
+        max_doc_freq=1000,
+    )
+
+
+_NGRAM_CONTAINMENT_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id,
+         array_to_string(t[1:25], ' ') AS text
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  WHERE doc_id < 50
+),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE),
+             {R}) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.8
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8331,7 +8389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docs_quality_ensemble, docs_template_pages,
         # wds_datasource_read, events_stream_heavy_hitters,
         # pipeline_crawl, lang_confusion, crawl_host_budget,
-        # rerank_search.
+        # rerank_search, ngram_containment.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -8474,6 +8532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": _lang_confusion,
         "crawl_host_budget": _crawl_host_budget,
         "rerank_search": _rerank_search,
+        "ngram_containment": _ngram_containment,
     }
 
 
@@ -8660,6 +8719,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _LANG_CONFUSION_SQL,
         "crawl_host_budget": _crawl_host_budget_sql(),
         "rerank_search": _rerank_search_sql(),
+        "ngram_containment": _NGRAM_CONTAINMENT_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "lang_confusion",
     "crawl_host_budget",
     "rerank_search",
+    "ngram_containment",
 ]
 
 

@@ -914,3 +914,43 @@ def test_overlap_degree_template_flags(spark):
 
     with pt.raises(ValueError):
         overlap_degree(docs, pairs, "doc_id", min_partners=0)
+
+
+def test_containment_catches_embedded_snippets_jaccard_misses(spark, documents):
+    """A 25-token snippet of a 90-token doc has containment ~1.0 to
+    its source but Jaccard well under 0.5 — the embedded-duplication
+    class only containment detects."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.text import tokens
+    from tidyvec_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = documents.select("doc_id", "text").filter(
+        F.size(tokens("text")) >= 60
+    )
+    snips = docs.limit(20).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 1, 25)).alias("text"),
+    )
+    corpus = docs.unionByName(snips)
+    cont = ngram_containment_pairs(
+        corpus, "text", "doc_id", threshold=0.8, max_doc_freq=None
+    ).collect()
+    cont_pairs = {(r["id_a"], r["id_b"]) for r in cont}
+    # every snippet pairs with its source at high containment
+    snip_ids = {r["doc_id"] for r in snips.collect()}
+    own = {
+        (a, b) for a, b in cont_pairs if b in snip_ids and a == b - 20000
+    }
+    assert len(own) >= 15  # nearly every snippet found with its source
+    for r in cont:
+        assert 0.8 <= r["containment"] <= 1.0
+    # jaccard at the usual 0.5 threshold misses those same pairs
+    jac = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", threshold=0.5, max_doc_freq=None
+    ).collect()
+    jac_pairs = {(r["id_a"], r["id_b"]) for r in jac}
+    assert not (own & jac_pairs)

@@ -1797,3 +1797,74 @@ def overlap_degree(
             ).alias("is_template"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    round_to: Optional[int] = None,
+    max_doc_freq: Optional[int | str] = "auto",
+) -> DataFrame:
+    """Shingle CONTAINMENT pairs: ``c / min(|A|, |B|)`` — Broder's
+    containment of the smaller document in the larger, the measure
+    that catches a document EMBEDDED inside a bigger one. Resemblance
+    (Jaccard, what MinHash estimates) structurally misses those: a
+    1k-shingle doc fully contained in a 100k-shingle doc has
+    containment 1.0 but Jaccard ≈ 0.01 — quote-and-extend pages,
+    aggregators, and boilerplate-wrapped reposts all look like THIS,
+    not like near-identical twins.
+
+    Same inverted-shingle-index plan as :func:`ngram_jaccard_pairs`
+    (one explode + equi-join on the shingle + per-pair count; hot
+    shingles broadcast-excluded under ``max_doc_freq``, making the
+    score a lower bound exactly as documented there), only the
+    denominator differs. Returns (id_a, id_b, containment) at or
+    above ``threshold``.
+    """
+    if max_doc_freq == "auto":
+        n_docs = df.count()
+        max_doc_freq = max(100, -(-n_docs // 200))
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(X.ngrams(text_col, shingle_n)).alias("__set"),
+        )
+        .select(
+            "__id",
+            F.size("__set").alias("__n"),
+            F.explode("__set").alias("__s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    idx = sh
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > int(max_doc_freq))
+            .select("__s")
+        )
+        idx = sh.join(F.broadcast(hot), "__s", "left_anti")
+    a = idx.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s")
+    b = idx.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s")
+    common = (
+        a.join(b, on="__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count("*").alias("__c"))
+    )
+    cont = F.col("__c").cast("double") / F.least(
+        F.col("__na"), F.col("__nb")
+    ).cast("double")
+    if round_to is not None:
+        cont = F.round(cont, round_to)
+    return _with_persisted(
+        common.withColumn("containment", cont)
+        .filter(F.col("containment") >= float(threshold))
+        .select("id_a", "id_b", "containment"),
+        [sh],
+    )
