@@ -1193,6 +1193,59 @@ def drop_near_dups_keep_best(
     return corpus.join(losers, on=id_col, how="left_anti")
 
 
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_doc_freq: Optional[int | str],
+):
+    """Shared candidate stage of the exact shingle-overlap family
+    (:func:`ngram_jaccard_pairs` / :func:`ngram_containment_pairs`):
+    inverted shingle index (persisted), optional hot-shingle
+    broadcast exclusion, equi-join on the shingle, per-pair common
+    count riding both docs' distinct-shingle sizes. Returns
+    ``(common, sh)`` — the (id_a, id_b, __na, __nb, __c) frame plus
+    the persisted index to release after materialization."""
+    if max_doc_freq == "auto":
+        n_docs = df.count()
+        max_doc_freq = max(100, -(-n_docs // 200))  # ceil(0.5% of corpus)
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(X.ngrams(text_col, shingle_n)).alias("__set"),
+        )
+        .select(
+            "__id",
+            F.size("__set").alias("__n"),
+            F.explode("__set").alias("__s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    idx = sh
+    if max_doc_freq is not None:
+        # rows of sh are distinct (id, shingle), so count(*) per shingle
+        # IS document frequency; the > cap survivors are few, broadcast
+        hot = (
+            sh.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > int(max_doc_freq))
+            .select("__s")
+        )
+        idx = sh.join(F.broadcast(hot), "__s", "left_anti")
+    a = idx.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s")
+    b = idx.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s")
+    common = (
+        a.join(b, on="__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count("*").alias("__c"))
+    )
+    return common, sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -1230,44 +1283,8 @@ def ngram_jaccard_pairs(
     ``max_doc_freq=None`` to opt into the fully exact join. ``"auto"``
     costs one column-pruned ``count()`` of the input.
     """
-    if max_doc_freq == "auto":
-        n_docs = df.count()
-        max_doc_freq = max(100, -(-n_docs // 200))  # ceil(0.5% of corpus)
-    # one pass computes the distinct-shingle set; its size rides along
-    # the exploded index rows (8 bytes/row) so no join back to a sizes
-    # table is ever needed; persisted so the self-join doesn't tokenize
-    # both sides again
-    sh = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(X.ngrams(text_col, shingle_n)).alias("__set"),
-        )
-        .select(
-            "__id",
-            F.size("__set").alias("__n"),
-            F.explode("__set").alias("__s"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    idx = sh
-    if max_doc_freq is not None:
-        # rows of sh are distinct (id, shingle), so count(*) per shingle
-        # IS document frequency; the > cap survivors are few, broadcast
-        hot = (
-            sh.groupBy("__s")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > int(max_doc_freq))
-            .select("__s")
-        )
-        idx = sh.join(F.broadcast(hot), "__s", "left_anti")
-    a = idx.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s")
-    b = idx.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s")
-    common = (
-        a.join(b, on="__s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(F.count("*").alias("__c"))
+    common, sh = _shingle_pair_counts(
+        df, text_col, id_col, shingle_n, max_doc_freq
     )
     jac = F.col("__c").cast("double") / (
         F.col("__na") + F.col("__nb") - F.col("__c")
@@ -1824,38 +1841,8 @@ def ngram_containment_pairs(
     denominator differs. Returns (id_a, id_b, containment) at or
     above ``threshold``.
     """
-    if max_doc_freq == "auto":
-        n_docs = df.count()
-        max_doc_freq = max(100, -(-n_docs // 200))
-    sh = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(X.ngrams(text_col, shingle_n)).alias("__set"),
-        )
-        .select(
-            "__id",
-            F.size("__set").alias("__n"),
-            F.explode("__set").alias("__s"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    idx = sh
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("__s")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > int(max_doc_freq))
-            .select("__s")
-        )
-        idx = sh.join(F.broadcast(hot), "__s", "left_anti")
-    a = idx.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s")
-    b = idx.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s")
-    common = (
-        a.join(b, on="__s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(F.count("*").alias("__c"))
+    common, sh = _shingle_pair_counts(
+        df, text_col, id_col, shingle_n, max_doc_freq
     )
     cont = F.col("__c").cast("double") / F.least(
         F.col("__na"), F.col("__nb")

@@ -191,11 +191,23 @@ class _WDSWriter(DataSourceWriter):
         return _WDSCommit(tmp, final, n)
 
     def commit(self, messages) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            if os.path.exists(m.final) and not self.overwrite:
-                raise FileExistsError(m.final)
+        live = [m for m in messages if m is not None]
+        # validate the WHOLE set before renaming anything: a collision
+        # found halfway through would otherwise leave a half-committed
+        # directory AND orphan the remaining temps (commit exceptions
+        # do not route through abort)
+        if not self.overwrite:
+            clash = [m.final for m in live if os.path.exists(m.final)]
+            if clash:
+                for m in live:
+                    try:
+                        os.unlink(m.tmp)
+                    except OSError:
+                        pass
+                raise FileExistsError(
+                    f"webdataset shards already exist: {clash[:3]}"
+                )
+        for m in live:
             os.replace(m.tmp, m.final)
 
     def abort(self, messages) -> None:
