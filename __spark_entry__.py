@@ -8284,6 +8284,58 @@ WHERE CAST(c AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.8
 """
 
 
+def _docs_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT LM evaluation (operators/lm.py::bigram_lm_perplexity
+    with ``train_df``): the bigram LM fits on even doc_ids and scores
+    the odd ones it never saw — the honest perplexity (in-corpus
+    scoring is optimistic since every bigram contributed to its own
+    counts). Unseen bigrams smooth to alpha/(c1 + alpha·V) through
+    the left-join path."""
+    from tidyvec_spark.operators.lm import bigram_lm_perplexity
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    test = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    return bigram_lm_perplexity(test, "text", "doc_id", train_df=train)
+
+
+_DOCS_LM_HELDOUT_SQL = f"""
+WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+toks_tr AS (SELECT doc_id, {_TOKS} AS t FROM tr),
+bg_tr AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks_tr WHERE len(t) >= 2
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM bg_tr GROUP BY bigram),
+c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks_tr)
+),
+toks_te AS (SELECT doc_id, {_TOKS} AS t FROM te),
+bg_te AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks_te WHERE len(t) >= 2
+),
+doc AS (SELECT doc_id, bigram, count(*) AS dn FROM bg_te GROUP BY doc_id, bigram),
+scored AS (
+  SELECT d.doc_id, d.dn,
+         ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + CAST(0.1 AS DOUBLE))
+            / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + CAST(0.1 AS DOUBLE) * v.v))
+         * CAST(d.dn AS DOUBLE) AS lp
+  FROM doc d
+  LEFT JOIN c2 USING (bigram)
+  LEFT JOIN c1 ON c1.w1 = string_split(d.bigram, ' ')[1]
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(sum(dn) AS BIGINT) AS n_bigrams,
+       ROUND(exp(-sum(lp) / sum(dn)), 4) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8389,7 +8441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docs_quality_ensemble, docs_template_pages,
         # wds_datasource_read, events_stream_heavy_hitters,
         # pipeline_crawl, lang_confusion, crawl_host_budget,
-        # rerank_search, ngram_containment.
+        # rerank_search, ngram_containment, docs_lm_heldout.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -8533,6 +8585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_host_budget": _crawl_host_budget,
         "rerank_search": _rerank_search,
         "ngram_containment": _ngram_containment,
+        "docs_lm_heldout": _docs_lm_heldout,
     }
 
 
@@ -8720,6 +8773,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_budget": _crawl_host_budget_sql(),
         "rerank_search": _rerank_search_sql(),
         "ngram_containment": _NGRAM_CONTAINMENT_SQL,
+        "docs_lm_heldout": _DOCS_LM_HELDOUT_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

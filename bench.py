@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "crawl_host_budget",
     "rerank_search",
     "ngram_containment",
+    "docs_lm_heldout",
 ]
 
 

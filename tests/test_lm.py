@@ -129,3 +129,56 @@ def test_perplexity_salted_matches_plain(spark, corpus):
     assert "__tv_salt" in salted_plan
     with pytest.raises(ValueError):
         bigram_lm_perplexity(docs, "text", "doc_id", salt_buckets=0)
+
+
+def test_heldout_perplexity_smooths_unseen_and_exceeds_incorpus(spark, documents):
+    """Held-out scoring must (a) assign a doc of entirely UNSEEN
+    tokens perplexity exactly V (p = alpha/(alpha*V) = 1/V per
+    bigram), and (b) on average exceed the optimistic in-corpus
+    number on the same docs."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.lm import bigram_lm_perplexity
+
+    train = documents.filter(F.col("doc_id") % 2 == 0)
+    test = documents.filter(F.col("doc_id") % 2 == 1)
+
+    novel = spark.createDataFrame(
+        [(999999, "zzq qxv wvp zzq qxv")], "doc_id long, text string"
+    )
+    got = bigram_lm_perplexity(
+        novel, "text", "doc_id", train_df=train
+    ).collect()[0]
+    v = (
+        train.select(F.explode_outer(F.split(F.lower("text"), r"\s+")))
+        .filter(F.col("col") != "")
+        .distinct()
+        .count()
+    )
+    assert got["perplexity"] == round(float(v), 4)
+
+    held = {
+        r["doc_id"]: r["perplexity"]
+        for r in bigram_lm_perplexity(
+            test, "text", "doc_id", train_df=train
+        ).collect()
+    }
+    incorp = {
+        r["doc_id"]: r["perplexity"]
+        for r in bigram_lm_perplexity(test, "text", "doc_id").collect()
+    }
+    assert set(held) == set(incorp)
+    mean_held = sum(held.values()) / len(held)
+    mean_in = sum(incorp.values()) / len(incorp)
+    assert mean_held > mean_in
+
+
+def test_heldout_salt_mutually_exclusive(documents):
+    import pytest as pt
+
+    from tidyvec_spark.operators.lm import bigram_lm_perplexity
+
+    with pt.raises(ValueError):
+        bigram_lm_perplexity(
+            documents, "text", "doc_id", train_df=documents, salt_buckets=4
+        )

@@ -65,8 +65,18 @@ def bigram_lm_perplexity(
     round_to: int = 4,
     out_col: str = "perplexity",
     salt_buckets: int | None = None,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document against the corpus-trained bigram LM.
+
+    ``train_df``: fit the counts on a DIFFERENT frame and score ``df``
+    against it — held-out evaluation (the honest number; in-corpus
+    perplexity is optimistic because every scored bigram contributed
+    to its own counts) or scoring fresh batches against a frozen
+    reference LM. Bigrams/prefixes unseen in training smooth to
+    ``alpha / (c1 + alpha·V)`` via the left joins below (with
+    ``train_df=None`` every scored bigram is in-corpus, so the joins
+    never produce NULLs and results are unchanged).
 
     Returns (id_col, n_bigrams, ``out_col``) for each document with at
     least one bigram; ``out_col`` = exp(-mean ln p(w2|w1)), rounded to
@@ -91,14 +101,19 @@ def bigram_lm_perplexity(
         raise ValueError("alpha must be > 0 (unsmoothed LM assigns p=0)")
     if salt_buckets is not None and int(salt_buckets) < 1:
         raise ValueError("salt_buckets must be >= 1")
+    if salt_buckets is not None and train_df is not None:
+        # salted_join is an inner join; held-out scoring needs the
+        # left-join smoothing path for unseen bigrams
+        raise ValueError("salt_buckets and train_df are mutually exclusive")
 
-    c2 = bigram_counts(df, text_col)
+    fit = train_df if train_df is not None else df
+    c2 = bigram_counts(fit, text_col)
     # prefix counts derived from the bigram table (c1(w1) = number of
     # bigrams starting with w1) — a second vocabulary-sized hash-agg.
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # V: corpus distinct-token count (a scalar; cross-joined broadcast).
     v = (
-        df.select(F.explode(tokens(text_col)).alias("t"))
+        fit.select(F.explode(tokens(text_col)).alias("t"))
         .agg(F.countDistinct("t").cast("double").alias("v"))
     )
 
@@ -110,7 +125,14 @@ def bigram_lm_perplexity(
         .agg(F.count(F.lit(1)).alias("dn"))
     )
     if salt_buckets is None:
-        joined = doc.join(c2, "bigram").join(c1, "w1")
+        # left joins so held-out bigrams survive with NULL counts
+        # (coalesced to 0 in the smoothed probability); w1 must exist
+        # on every row for the prefix join, so derive it from the
+        # bigram itself rather than from c2's matched row
+        doc = doc.withColumn("w1", F.split("bigram", " ")[0])
+        joined = doc.join(c2.drop("w1"), "bigram", "left").join(
+            c1, "w1", "left"
+        )
     else:
         from tidyvec_spark.operators.skew import salted_join
 
@@ -130,8 +152,10 @@ def bigram_lm_perplexity(
             "dn",
             (
                 F.log(
-                    (F.col("c2").cast("double") + F.lit(alpha))
-                    / (F.col("c1").cast("double") + F.lit(alpha) * F.col("v"))
+                    (F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+                     + F.lit(alpha))
+                    / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                       + F.lit(alpha) * F.col("v"))
                 )
                 * F.col("dn").cast("double")
             ).alias("lp"),
