@@ -8336,6 +8336,68 @@ FROM scored GROUP BY doc_id
 """
 
 
+def _docs_dedup_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment ACT stage (operators/dedup.py::drop_contained_docs)
+    over the snippet corpus: every embedded 25-token snippet dies, its
+    source survives — detect/act symmetry with `ngram_containment`.
+    Returns the surviving (doc_id, n_chars-as-len) rows."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.dedup import drop_contained_docs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens("text")
+    snips = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 25)).alias("text"),
+    )
+    corpus = docs.unionByName(snips)
+    kept = drop_contained_docs(
+        corpus, "text", "doc_id", shingle_n=3, threshold=0.8,
+        max_doc_freq=1000,
+    )
+    return kept.select("doc_id", F.length("text").cast("long").alias("n"))
+
+
+_DOCS_DEDUP_CONTAINED_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id,
+         array_to_string(t[1:25], ' ') AS text
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  WHERE doc_id < 50
+),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+victims AS (
+  SELECT DISTINCT CASE WHEN sa.n_sh < sb.n_sh THEN id_a
+                       WHEN sb.n_sh < sa.n_sh THEN id_b
+                       ELSE greatest(id_a, id_b) END AS victim
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.8
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+FROM corpus
+WHERE doc_id NOT IN (SELECT victim FROM victims)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8441,7 +8503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docs_quality_ensemble, docs_template_pages,
         # wds_datasource_read, events_stream_heavy_hitters,
         # pipeline_crawl, lang_confusion, crawl_host_budget,
-        # rerank_search, ngram_containment, docs_lm_heldout.
+        # rerank_search, ngram_containment, docs_lm_heldout,
+        # docs_dedup_contained.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -8586,6 +8649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_search": _rerank_search,
         "ngram_containment": _ngram_containment,
         "docs_lm_heldout": _docs_lm_heldout,
+        "docs_dedup_contained": _docs_dedup_contained,
     }
 
 
@@ -8774,6 +8838,7 @@ def oracle_sql() -> dict[str, str]:
         "rerank_search": _rerank_search_sql(),
         "ngram_containment": _NGRAM_CONTAINMENT_SQL,
         "docs_lm_heldout": _DOCS_LM_HELDOUT_SQL,
+        "docs_dedup_contained": _DOCS_DEDUP_CONTAINED_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "rerank_search",
     "ngram_containment",
     "docs_lm_heldout",
+    "docs_dedup_contained",
 ]
 
 

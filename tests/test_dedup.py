@@ -954,3 +954,45 @@ def test_containment_catches_embedded_snippets_jaccard_misses(spark, documents):
     ).collect()
     jac_pairs = {(r["id_a"], r["id_b"]) for r in jac}
     assert not (own & jac_pairs)
+
+
+def test_drop_contained_docs_keeps_supersets(spark, documents):
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.text import tokens
+    from tidyvec_spark.operators.dedup import drop_contained_docs
+
+    docs = documents.select("doc_id", "text").filter(
+        F.size(tokens("text")) >= 60
+    )
+    snips = docs.limit(15).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 1, 25)).alias("text"),
+    )
+    corpus = docs.unionByName(snips)
+    kept = {
+        r["doc_id"]
+        for r in drop_contained_docs(
+            corpus, "text", "doc_id", threshold=0.8, max_doc_freq=None
+        ).collect()
+    }
+    snip_ids = {r["doc_id"] for r in snips.collect()}
+    # every snippet dies
+    assert not (kept & snip_ids)
+    # a dropped SOURCE is legitimate only when it is itself embedded
+    # in another non-snippet doc (the sf0.001 fixture really has such
+    # pairs: e.g. doc 8 ⊂ docs 12/120/360) — verify each casualty
+    from tidyvec_spark.operators.dedup import ngram_containment_pairs
+
+    dropped_sources = {i - 20000 for i in snip_ids} - kept
+    if dropped_sources:
+        pairs = ngram_containment_pairs(
+            corpus, "text", "doc_id", threshold=0.8, max_doc_freq=None
+        ).collect()
+        for s in dropped_sources:
+            partners = [
+                r for r in pairs
+                if s in (r["id_a"], r["id_b"])
+                and (r["id_b"] if r["id_a"] == s else r["id_a"]) < 20000
+            ]
+            assert partners, f"source {s} dropped with no superset"

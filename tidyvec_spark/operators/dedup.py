@@ -1855,3 +1855,49 @@ def ngram_containment_pairs(
         .select("id_a", "id_b", "containment"),
         [sh],
     )
+
+
+def drop_contained_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: Optional[int | str] = "auto",
+) -> DataFrame:
+    """Act stage of containment dedup: drop every document EMBEDDED in
+    a larger one (containment ≥ ``threshold``), keeping the superset
+    document — snippets, quote-pages, and boilerplate-wrapped reposts
+    die; their sources survive. The victim of a pair is the SMALLER
+    shingle set (the contained side); equal sizes keep the lower id,
+    matching the engine's keep-min-id convention everywhere else.
+
+    Same bounded candidate plan as :func:`ngram_containment_pairs`;
+    the corpus is touched once more by ONE anti-join against the
+    (small) victim id set. A document contained in several supersets
+    is dropped once; a chain a ⊂ b ⊂ c keeps exactly c (victims are
+    decided per-pair against the largest partner, and b loses to c
+    regardless of the a-b pair).
+    """
+    common, sh = _shingle_pair_counts(
+        df, text_col, id_col, shingle_n, max_doc_freq
+    )
+    cont = F.col("__c").cast("double") / F.least(
+        F.col("__na"), F.col("__nb")
+    ).cast("double")
+    victims = (
+        common.filter(cont >= float(threshold))
+        .select(
+            F.when(F.col("__na") < F.col("__nb"), F.col("id_a"))
+            .when(F.col("__nb") < F.col("__na"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("__victim")
+        )
+        .distinct()
+    )
+    return _with_persisted(
+        df.join(
+            victims, df[id_col] == victims["__victim"], "left_anti"
+        ),
+        [sh],
+    )
