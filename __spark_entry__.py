@@ -4930,6 +4930,14 @@ def _pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian, no token-level exchange in the cut rebuild; components
     run the iterative min-label propagation over the (tiny) pair
     graph only."""
+    _, _, _, _, _, best = _dedup_ladder_frames(spark, sf_dir)
+    return best.select("doc_id", "n_tokens", F.md5("text").alias("fp"))
+
+
+def _dedup_ladder_frames(spark: SparkSession, sf_dir: str):
+    """The five-rung ladder's stage frames, shared by the composite
+    result entry and the funnel report: (lined, ex, wd, gl, cut,
+    best)."""
     from tidyvec_spark.functions import text as X
     from tidyvec_spark.functions.quality import dedup_lines_within_expr
     from tidyvec_spark.operators.dedup import (
@@ -4978,7 +4986,7 @@ def _pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
     )
     best = drop_near_dups_keep_best(scored, comps, "doc_id", "n_tokens")
-    return best.select("doc_id", "n_tokens", F.md5("text").alias("fp"))
+    return lined, ex, wd, gl, cut, best
 
 
 def _pipeline_dedup_full_sql(iterations: int = 8) -> str:
@@ -8398,6 +8406,76 @@ WHERE doc_id NOT IN (SELECT victim FROM victims)
 """
 
 
+def _docs_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Where did my data go": per-rung attrition of the full dedup
+    ladder — docs and characters surviving after each of the five
+    rungs (exact drops DOCS; within-doc/global/cut rewrite CONTENT so
+    chars fall while docs hold; keep-best drops docs again). The
+    report a curation run publishes next to its output. Each stage
+    frame persists (the production pipeline checkpoints between rungs
+    anyway), so the chain is computed once, not once per stage
+    count."""
+    lined, ex, wd, gl, cut, best = _dedup_ladder_frames(spark, sf_dir)
+    stages = [
+        ("0_input", lined),
+        ("1_exact", ex),
+        ("2_lines_within", wd),
+        ("3_lines_global", gl),
+        ("4_substring_cut", cut),
+    ]
+    parts = []
+    for name, frame in stages:
+        parts.append(
+            frame.persist().agg(
+                F.lit(name).alias("stage"),
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("n_chars"),
+            )
+        )
+    parts.append(
+        best.agg(
+            F.lit("5_keep_best").alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _docs_dedup_funnel_sql() -> str:
+    base = _pipeline_dedup_full_sql()
+    final = (
+        "SELECT s.doc_id, s.n_tokens, md5(s.text) AS fp FROM scored s\n"
+        "WHERE s.doc_id NOT IN (SELECT did FROM ranked WHERE rn > 1)"
+    )
+    assert final in base
+    counts = """
+SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars FROM lined
+UNION ALL
+SELECT '1_exact', CAST(count(*) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT) FROM ex1
+UNION ALL
+SELECT '2_lines_within', CAST(count(*) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT) FROM wd
+UNION ALL
+SELECT '3_lines_global', CAST(count(*) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT) FROM gl
+UNION ALL
+SELECT '4_substring_cut', CAST(count(*) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT) FROM cut
+UNION ALL
+SELECT '5_keep_best', CAST(count(*) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT)
+FROM scored s
+WHERE s.doc_id NOT IN (SELECT did FROM ranked WHERE rn > 1)
+"""
+    return base.replace(final, counts)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8504,7 +8582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wds_datasource_read, events_stream_heavy_hitters,
         # pipeline_crawl, lang_confusion, crawl_host_budget,
         # rerank_search, ngram_containment, docs_lm_heldout,
-        # docs_dedup_contained.
+        # docs_dedup_contained, docs_dedup_funnel.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -8650,6 +8728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _ngram_containment,
         "docs_lm_heldout": _docs_lm_heldout,
         "docs_dedup_contained": _docs_dedup_contained,
+        "docs_dedup_funnel": _docs_dedup_funnel,
     }
 
 
@@ -8839,6 +8918,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment": _NGRAM_CONTAINMENT_SQL,
         "docs_lm_heldout": _DOCS_LM_HELDOUT_SQL,
         "docs_dedup_contained": _DOCS_DEDUP_CONTAINED_SQL,
+        "docs_dedup_funnel": _docs_dedup_funnel_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "ngram_containment",
     "docs_lm_heldout",
     "docs_dedup_contained",
+    "docs_dedup_funnel",
 ]
 
 
