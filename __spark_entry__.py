@@ -8212,7 +8212,7 @@ def _rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return rerank_topk(
         docs, "text", "doc_id", _TFIDF_QUERY, k=10, candidates_n=50,
-        round_to=R,
+        round_to=R, candidates_round_to=R,
     )
 
 

@@ -29,6 +29,11 @@ CASES = [
      "https://example.com/a?b=2&z=9"),
     ("  https://example.com/a  ", "https://example.com/a"),
     ("not a url", "not a url"),
+    # '?' inside a fragment is part of the fragment, not a query
+    ("https://example.com/a#f?x=1", "https://example.com/a"),
+    # userinfo / IPv6 authorities: conservative pass-through (trimmed)
+    ("http://u:p@site.com/x", "http://u:p@site.com/x"),
+    ("http://[2001:db8::1]:8080/x", "http://[2001:db8::1]:8080/x"),
     ("HTTPS://WWW.Example.com:443/A/B?utm_medium=m&x=1#top",
      "https://www.example.com/A/B?x=1"),
 ]

@@ -259,3 +259,54 @@ def test_python_datasource_stream_two_waves(spark, tmp_path):
     assert set(rows) == want
     assert len(rows) == len(want)        # exactly once
     assert 0 < len(first) < len(want)    # wave split actually happened
+
+
+def test_python_datasource_writer_overwrite_clears_stale_shards(spark, tmp_path):
+    """overwrite must leave EXACTLY the new dataset's shards: a
+    narrower re-write removes the stale wider shards, or a reader
+    would mix old and new data."""
+    import os
+
+    from tidyvec_spark.sources.wds_datasource import (
+        register_webdataset_source,
+    )
+
+    register_webdataset_source(spark)
+    out = str(tmp_path / "wds_ow")
+    _sample_df(spark, 40).repartition(5, "key").write.format(
+        "webdataset"
+    ).mode("append").save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".tar")]) == 5
+    small = _sample_df(spark, 12).repartition(2, "key")
+    small.write.format("webdataset").mode("overwrite").save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".tar")]) == 2
+    got = {
+        r["key"] for r in spark.read.format("webdataset").load(out).collect()
+    }
+    assert got == {r["key"] for r in _sample_df(spark, 12).collect()}
+    # append onto existing names refuses and leaves no temps
+    import pytest as pt
+
+    with pt.raises(Exception):
+        small.write.format("webdataset").mode("append").save(out)
+    assert not [f for f in os.listdir(out) if f.startswith(".inprogress")]
+
+
+def test_python_datasource_writer_merges_duplicate_keys(spark, tmp_path):
+    """Rows sharing a key union their members (the mapInPandas writer
+    emits both as tar members); shard bytes stay deterministic."""
+    from tidyvec_spark.sources.wds_datasource import (
+        register_webdataset_source,
+    )
+    from tidyvec_spark.sources.webdataset import read_webdataset
+
+    register_webdataset_source(spark)
+    out = str(tmp_path / "wds_dupk")
+    df = spark.createDataFrame(
+        [("k1", {"txt": b"a"}), ("k1", {"json": b"b"}), ("k2", {"txt": b"c"})],
+        "key string, data map<string, binary>",
+    ).coalesce(1)
+    df.write.format("webdataset").mode("append").save(out)
+    rows = {r["key"]: dict(r["data"]) for r in read_webdataset(spark, out).collect()}
+    assert set(rows["k1"]) == {"txt", "json"}
+    assert bytes(rows["k1"]["txt"]) == b"a" and bytes(rows["k2"]["txt"]) == b"c"

@@ -13,16 +13,23 @@ the rules below follow the conservative, always-safe subset of RFC
 3986 §6 syntax-based normalization plus the de-facto tracking-param
 strip used by crawl pipelines:
 
+- drop the fragment FIRST (never sent to the server) — every other
+  component is parsed from the pre-fragment string, so a ``?`` hiding
+  inside a fragment can never resurrect as a query;
 - lowercase the scheme and the host (case-insensitive per RFC);
 - drop the default port (``:80`` for http, ``:443`` for https);
-- drop the fragment (never sent to the server);
 - drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``);
 - sort the surviving query parameters (order is almost never
   semantic; sorting merges permutations);
 - collapse a bare ``/`` path to empty.
 
-Path case and percent-encodings are left untouched — path case IS
-semantic on most servers, so rewriting it would merge distinct pages.
+Conservative by contract: values without a ``scheme://`` pass through
+trimmed, and so do URLs whose authority contains userinfo (``@``) or
+an IPv6 literal (``[``) — the simple host grammar below cannot parse
+those, and a canonicalizer that guesses merges DISTINCT pages, which
+is strictly worse than leaving a few spellings unmerged. Path case
+and percent-encodings are likewise left untouched — path case IS
+semantic on most servers.
 
 Every function is a native Spark SQL expression (codegen, zero
 Python); the regexes are RE2-compatible (no lookaround, no
@@ -31,6 +38,7 @@ backreferences) so the DuckDB oracle can replay them verbatim.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence, Union
 
 from pyspark.sql import Column
@@ -51,21 +59,34 @@ def _col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _pre_fragment(c: Column) -> Column:
+    """Everything before the first ``#`` (the whole value if none)."""
+    return F.substring_index(c, "#", 1)
+
+
 def url_scheme(c: ColumnOrName) -> Column:
     """Lowercased scheme, '' when the value has no ``scheme://``."""
     return F.lower(F.regexp_extract(_col(c), _SCHEME_RE, 1))
 
 
 def url_authority(c: ColumnOrName) -> Column:
-    """``host[:port]`` exactly as written (case preserved, port kept)."""
-    return F.regexp_extract(_col(c), _SCHEME_RE + r"([^/?#]*)", 2)
+    """``[userinfo@]host[:port]`` exactly as written."""
+    return F.regexp_extract(
+        _pre_fragment(_col(c)), _SCHEME_RE + r"([^/?#]*)", 2
+    )
 
 
 def url_host(c: ColumnOrName) -> Column:
-    """Lowercased host with any ``:port`` removed."""
-    return F.lower(
-        F.regexp_extract(_col(c), _SCHEME_RE + r"([^/?#:]*)", 2)
-    )
+    """Lowercased host with any ``:port`` removed. Simple-grammar
+    hosts only: authorities with userinfo or IPv6 literals return the
+    raw (unsplit) fragmentless authority lowercased — see the module
+    contract."""
+    pre = _pre_fragment(_col(c))
+    auth = F.regexp_extract(pre, _SCHEME_RE + r"([^/?#]*)", 2)
+    simple = F.lower(F.regexp_extract(pre, _SCHEME_RE + r"([^/?#:]*)", 2))
+    return F.when(
+        auth.contains("@") | auth.contains("["), F.lower(auth)
+    ).otherwise(simple)
 
 
 def url_host_key(c: ColumnOrName) -> Column:
@@ -79,13 +100,25 @@ def url_path(c: ColumnOrName) -> Column:
     """Path component (leading ``/`` included), '' when absent. Case
     preserved — path case is semantic."""
     return F.regexp_extract(
-        _col(c), _SCHEME_RE + r"[^/?#]*(/[^?#]*)", 2
+        _pre_fragment(_col(c)), _SCHEME_RE + r"[^/?#]*(/[^?#]*)", 2
     )
 
 
 def url_query(c: ColumnOrName) -> Column:
-    """Raw query string (no ``?``), '' when absent."""
-    return F.regexp_extract(_col(c), r"\?([^#]*)", 1)
+    """Raw query string (no ``?``), '' when absent. Extracted from the
+    pre-fragment string, so ``page#frag?x`` has NO query."""
+    return F.regexp_extract(_pre_fragment(_col(c)), r"\?(.*)$", 1)
+
+
+def _is_param_tracking(p: Column) -> Column:
+    name = F.split(p, "=")[0]
+    exact = reduce(
+        lambda a, b: a | b, [name == t for t in TRACKING_PARAMS]
+    )
+    prefixed = reduce(
+        lambda a, b: a | b, [name.startswith(pref) for pref in TRACKING_PREFIXES]
+    )
+    return exact | prefixed
 
 
 def _clean_query(q: Column) -> Column:
@@ -93,16 +126,7 @@ def _clean_query(q: Column) -> Column:
     kept = F.array_sort(
         F.filter(
             F.split(q, "&"),
-            lambda p: (
-                (p != "")
-                & ~F.arrays_overlap(
-                    F.array(
-                        *[F.lit(t) for t in TRACKING_PARAMS]
-                    ),
-                    F.array(F.split(p, "=")[0]),
-                )
-                & ~F.split(p, "=")[0].startswith(TRACKING_PREFIXES[0])
-            ),
+            lambda p: (p != "") & ~_is_param_tracking(p),
         )
     )
     return F.array_join(kept, "&")
@@ -110,8 +134,9 @@ def _clean_query(q: Column) -> Column:
 
 def canonicalize_url(c: ColumnOrName) -> Column:
     """Apply every normalization rule in the module docstring; values
-    without a ``scheme://`` pass through trimmed but otherwise
-    untouched (they are not URLs; don't guess)."""
+    without a ``scheme://`` — and authorities with userinfo/IPv6
+    literals the simple grammar can't parse — pass through trimmed
+    but otherwise untouched (don't guess)."""
     raw = F.trim(_col(c))
 
     def build(u: Column) -> Column:
@@ -119,7 +144,7 @@ def canonicalize_url(c: ColumnOrName) -> Column:
         host = F.lower(F.regexp_extract(u, _SCHEME_RE + r"([^/?#:]*)", 2))
         port = F.regexp_extract(u, _SCHEME_RE + r"[^/?#:]*:(\d+)", 2)
         path = F.regexp_extract(u, _SCHEME_RE + r"[^/?#]*(/[^?#]*)", 2)
-        query = F.regexp_extract(u, r"\?([^#]*)", 1)
+        query = F.regexp_extract(u, r"\?(.*)$", 1)
         default_port = (
             ((scheme == "http") & (port == "80"))
             | ((scheme == "https") & (port == "443"))
@@ -136,23 +161,36 @@ def canonicalize_url(c: ColumnOrName) -> Column:
             scheme, F.lit("://"), host, port_part, path_part, query_part
         )
 
-    return F.when(
-        F.regexp_extract(raw, _SCHEME_RE, 1) == "", raw
-    ).otherwise(let(raw, build))
+    pre = _pre_fragment(raw)
+    auth = F.regexp_extract(pre, _SCHEME_RE + r"([^/?#]*)", 2)
+    not_a_url = F.regexp_extract(raw, _SCHEME_RE, 1) == ""
+    unparseable = auth.contains("@") | auth.contains("[")
+    return F.when(not_a_url | unparseable, raw).otherwise(let(pre, build))
 
 
 def canonical_url_sql(col: str) -> str:
     """DuckDB twin of :func:`canonicalize_url` for oracle queries —
-    same regexes (RE2 both sides), same rule order. ``col`` is spliced
-    in as-is; pre-trim upstream if needed. Every ``regexp_extract``
-    is COALESCE'd: DuckDB returns NULL on no match where Spark
-    returns ''."""
+    same regexes (RE2 both sides), same rule order, fragment stripped
+    first via ``split_part``. ``col`` is spliced in as-is; pre-trim
+    upstream if needed. Every ``regexp_extract`` is COALESCE'd:
+    DuckDB returns NULL on no match where Spark returns ''."""
     scheme_re = "^([A-Za-z][A-Za-z0-9+.-]*)://"
     port = f"COALESCE(regexp_extract(u, '{scheme_re}[^/?#:]*:(\\d+)', 2), '')"
     path = f"COALESCE(regexp_extract(u, '{scheme_re}[^/?#]*(/[^?#]*)', 2), '')"
     scheme = f"lower(COALESCE(regexp_extract(u, '{scheme_re}', 1), ''))"
+    exact = ", ".join(f"'{t}'" for t in TRACKING_PARAMS)
+    pref_conds = " OR ".join(
+        f"starts_with(str_split(p, '=')[1], '{pref}')"
+        for pref in TRACKING_PREFIXES
+    )
     return f"""
     CASE WHEN COALESCE(regexp_extract(trim({col}), '{scheme_re}', 1), '') = ''
+           OR contains(COALESCE(regexp_extract(
+                split_part(trim({col}), '#', 1),
+                '{scheme_re}([^/?#]*)', 2), ''), '@')
+           OR contains(COALESCE(regexp_extract(
+                split_part(trim({col}), '#', 1),
+                '{scheme_re}([^/?#]*)', 2), ''), '[')
          THEN trim({col})
          ELSE (
            SELECT {scheme} || '://'
@@ -167,17 +205,18 @@ def canonical_url_sql(col: str) -> str:
                || CASE WHEN {path} = '/' THEN '' ELSE {path} END
                || CASE WHEN cq = '' THEN '' ELSE '?' || cq END
            FROM (
-             SELECT trim({col}) AS u,
+             SELECT split_part(trim({col}), '#', 1) AS u,
                     -- array_to_string([]) is NULL in DuckDB, '' in Spark
                     COALESCE(array_to_string(
                       list_sort(
                         list_filter(
                           str_split(COALESCE(regexp_extract(
-                              trim({col}), '\\?([^#]*)', 1), ''), '&'),
+                              split_part(trim({col}), '#', 1),
+                              '\\?(.*)$', 1), ''), '&'),
                           p -> p <> ''
                                AND NOT list_contains(
-                                     ['fbclid', 'gclid'], str_split(p, '=')[1])
-                               AND NOT starts_with(str_split(p, '=')[1], 'utm_')
+                                     [{exact}], str_split(p, '=')[1])
+                               AND NOT ({pref_conds})
                         )
                       ), '&'), '') AS cq
            )

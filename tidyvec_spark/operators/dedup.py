@@ -1790,15 +1790,27 @@ def overlap_degree(
     """
     if int(min_partners) < 1:
         raise ValueError("min_partners must be >= 1")
-    # explode both endpoints in ONE pass — a union of two selects
-    # would evaluate the (possibly expensive) pair-generation subtree
-    # twice
+    # explode both (endpoint, partner) directions in ONE pass — a
+    # union of two selects would evaluate the (possibly expensive)
+    # pair-generation subtree twice — and count DISTINCT partners, so
+    # a symmetric or non-deduped pair table ((a,b) AND (b,a), or
+    # repeats) cannot inflate the degree
     deg = (
         pairs.select(
-            F.explode(F.array(F.col(src), F.col(dst))).alias("id")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("id"), F.col(dst).alias("p")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("id"), F.col(src).alias("p")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.id", "e.p")
         .groupBy("id")
-        .agg(F.count("*").cast("long").alias("n_partners"))
+        .agg(F.countDistinct("p").cast("long").alias("n_partners"))
     )
     return (
         df.select(F.col(id_col).alias("id"))

@@ -398,13 +398,22 @@ def overlap_scorer(query: str):
     ``rerank_topk(..., scorer=)``; keep the model gated behind an
     import-try like ``embedders/hf.py`` does for bi-encoders.
     """
-    qset = frozenset(query.lower().split())
+    import re
+
+    # the ENGINE tokenization law, not str.split(): Java/RE2 \s is
+    # ASCII-only while Python str.split() treats Unicode whitespace
+    # (NBSP etc.) as separators — a divergence both from the BM25
+    # stage feeding this scorer and from the DuckDB oracle
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    qset = frozenset(t for t in _ws.split(query.lower()) if t)
     denom = float(len(qset)) or 1.0
 
     @F.pandas_udf("double")
     def _score(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda t: len(qset.intersection((t or "").lower().split()))
+            lambda t: len(
+                qset.intersection(_ws.split((t or "").lower()))
+            )
             / denom
         )
 
@@ -421,6 +430,7 @@ def rerank_topk(
     scorer=None,
     round_to: int | None = None,
     stats: dict | None = None,
+    candidates_round_to: int | None = None,
 ) -> DataFrame:
     """Two-stage retrieval: a cheap high-recall stage (BM25 over the
     whole corpus) proposes ``candidates_n`` documents, then an
@@ -436,8 +446,13 @@ def rerank_topk(
     """
     if k < 1 or candidates_n < k:
         raise ValueError("need candidates_n >= k >= 1")
+    # candidates_round_to: tie handling at the candidate cutoff must
+    # match whatever replays this query (the oracle rounds before the
+    # ORDER BY ... LIMIT, so raw-double ordering could pick a
+    # different pool when scores differ below the rounding step)
     cands = bm25_topk(
-        df, content_col, id_col, query, n=candidates_n, stats=stats
+        df, content_col, id_col, query, n=candidates_n, stats=stats,
+        round_to=candidates_round_to,
     ).select(id_col)
     pool = df.join(F.broadcast(cands), id_col)
     score = (scorer or overlap_scorer(query))(F.col(content_col))

@@ -10,16 +10,21 @@ tests); the DataSource path has two scale advantages:
   the shard list and schedules one task per shard — the format's
   intended parallel unit — with no intermediate whole-shard ``binary``
   row riding through a scan + Arrow batch first;
-- **streaming member reads**: each task opens its tar from the
-  filesystem and iterates members sequentially; peak memory is one
-  SAMPLE's payloads (plus tarfile's 512-byte block buffer), not the
-  whole shard blob.
+- **one copy of the kept members**: each task opens its tar from the
+  filesystem and accumulates only the members it keeps — the blob
+  path holds the entire raw shard bytes in the scan AND a parsed
+  copy in the Arrow batch, so its peak is ~2× shard size regardless
+  of ``exts``; here it is exactly the kept payloads (with an
+  ``exts`` keep-list, a fraction of the shard).
 
 Samples are grouped per shard in one pass (a dict keyed by the WDS
-basename key), so even non-adjacent same-key members merge into one
-row; repeated member names follow tar extraction semantics (LAST
-occurrence wins), matching the ``max_by(content, idx)`` rule in the
-mapInPandas reader.
+basename key) rather than flushed on key change: non-adjacent
+same-key members — legal tar, unconventional WDS — must merge into
+ONE row to match the mapInPandas reader's groupBy exactly, and that
+parity is worth more than the bounded-to-one-sample memory an
+adjacency flush would buy. Repeated member names follow tar
+extraction semantics (LAST occurrence wins), matching the
+``max_by(content, idx)`` rule in the mapInPandas reader.
 
 The write half (``df.write.format("webdataset").save(dir)``) emits
 one tar per input partition with an atomic driver-side commit — see
@@ -175,18 +180,30 @@ class _WDSWriter(DataSourceWriter):
         tmp = os.path.join(
             self.path, f".inprogress.{attempt}.{self.prefix}-{pid:06d}.tar"
         )
-        buf: dict[str, dict[str, bytes]] = {}
-        n = 0
+        # rows sharing a key MERGE their members (the mapInPandas
+        # writer emits both and tar last-wins on read); a (key, ext)
+        # collision resolves by SORTED payload order so shard bytes
+        # stay a pure function of the row SET, independent of
+        # post-shuffle row order within the partition
+        triples: list[tuple[str, str, bytes]] = []
         for r in rows:
-            buf[r["key"]] = dict(r["data"] or {})
+            for ext, payload in (r["data"] or {}).items():
+                triples.append(
+                    (r["key"], ext, bytes(payload) if payload else b"")
+                )
+        triples.sort()
+        buf: dict[str, dict[str, bytes]] = {}
+        for key, ext, payload in triples:
+            buf.setdefault(key, {})[ext] = payload
+        n = 0
         with tarfile.open(tmp, "w") as tf:
             for key in sorted(buf):
                 for ext in sorted(buf[key]):
-                    payload = buf[key][ext] or b""
+                    payload = buf[key][ext]
                     info = tarfile.TarInfo(name=f"{key}.{ext}")
                     info.size = len(payload)
                     info.mtime = 0  # deterministic shard bytes
-                    tf.addfile(info, io.BytesIO(bytes(payload)))
+                    tf.addfile(info, io.BytesIO(payload))
                     n += 1
         return _WDSCommit(tmp, final, n)
 
@@ -207,6 +224,21 @@ class _WDSWriter(DataSourceWriter):
                 raise FileExistsError(
                     f"webdataset shards already exist: {clash[:3]}"
                 )
+        finals = {m.final for m in live}
+        if self.overwrite and live:
+            # overwrite means the directory AFTER the write holds
+            # exactly this dataset's shards: stale same-prefix tars
+            # from a previous (possibly wider) write must go, or a
+            # reader would return a mix of old and new data
+            d = os.path.dirname(live[0].final)
+            for fn in os.listdir(d):
+                p = os.path.join(d, fn)
+                if (
+                    fn.startswith(f"{self.prefix}-")
+                    and fn.endswith(".tar")
+                    and p not in finals
+                ):
+                    os.unlink(p)
         for m in live:
             os.replace(m.tmp, m.final)
 

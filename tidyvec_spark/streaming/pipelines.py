@@ -1017,6 +1017,15 @@ def heavy_hitters_stream(
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
     key_field = df.schema[key_col].dataType
+    if not isinstance(
+        key_field, (T.StringType, T.LongType, T.IntegerType)
+    ):
+        # sketch state encodes keys as strings and decodes on emit;
+        # anything else would crash mid-stream at Arrow conversion
+        raise ValueError(
+            f"heavy_hitters_stream supports string/long/int keys, "
+            f"got {key_field.simpleString()} for {key_col!r}"
+        )
     gcols = [group_col] if group_col else []
     # NULL keys are dropped in BOTH twins: a NULL is not a trackable
     # identity (and would collide with the string 'None' in the
