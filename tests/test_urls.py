@@ -90,3 +90,27 @@ def test_url_parts(spark):
     assert r["hk"] == "ex.com"
     assert r["p"] == "/A/b"
     assert r["q"] == "q=1"
+
+
+def test_canonicalize_url_is_idempotent(spark, url_df):
+    """canonical(canonical(u)) == canonical(u) — the defining property
+    of a canonicalizer; a second pass must find nothing to change."""
+    once = url_df.select("id", canonicalize_url("url").alias("c1"))
+    twice = once.select(
+        "id", "c1", canonicalize_url("c1").alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c2"] == r["c1"], r
+
+
+def test_canonicalize_url_synthetic_fixture_idempotent(spark):
+    """The registry's synthetic URL generator output is likewise a
+    fixpoint after one pass — over every doc_id shape mod class."""
+    from __spark_entry__ import _synth_url_expr
+
+    docs = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    out = docs.select(
+        canonicalize_url(_synth_url_expr()).alias("c1")
+    ).select("c1", canonicalize_url("c1").alias("c2")).collect()
+    for r in out:
+        assert r["c2"] == r["c1"], r
