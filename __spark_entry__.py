@@ -8476,6 +8476,64 @@ WHERE s.doc_id NOT IN (SELECT did FROM ranked WHERE rn > 1)
     return base.replace(final, counts)
 
 
+def _dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-MinHash RECALL against exact shingle-Jaccard ground
+    truth on the dup corpus — the dedup twin of ``ann_recall_lsh``:
+    what fraction of true >=0.5-Jaccard pairs does the 4-band LSH
+    candidate path keep? One row: (n_true, n_lsh, n_hit, recall).
+    Both sides are the registry-verified operators; the report is a
+    pair-set intersection + one aggregation."""
+    from tidyvec_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    truth = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", shingle_n=3, threshold=0.5,
+        max_doc_freq=None,
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        corpus, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    t = truth.persist()
+    hit = t.join(lsh, ["id_a", "id_b"], "left_semi")
+    return (
+        t.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(lsh.agg(F.count("*").cast("long").alias("n_lsh")))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+        .select(
+            "n_true",
+            "n_lsh",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.col("n_true").cast("double"),
+                R,
+            ).alias("recall"),
+        )
+    )
+
+
+def _dedup_recall_lsh_sql() -> str:
+    return f"""
+WITH truth AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_NGRAM_JACCARD_SQL})
+),
+lsh AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_MINHASH_LSH_SQL})
+),
+hit AS (SELECT t.* FROM truth t JOIN lsh USING (id_a, id_b))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+       ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE), {R})
+         AS recall
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8582,7 +8640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wds_datasource_read, events_stream_heavy_hitters,
         # pipeline_crawl, lang_confusion, crawl_host_budget,
         # rerank_search, ngram_containment, docs_lm_heldout,
-        # docs_dedup_contained, docs_dedup_funnel.
+        # docs_dedup_contained, docs_dedup_funnel, dedup_recall_lsh.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -8729,6 +8787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_heldout": _docs_lm_heldout,
         "docs_dedup_contained": _docs_dedup_contained,
         "docs_dedup_funnel": _docs_dedup_funnel,
+        "dedup_recall_lsh": _dedup_recall_lsh,
     }
 
 
@@ -8919,6 +8978,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lm_heldout": _DOCS_LM_HELDOUT_SQL,
         "docs_dedup_contained": _DOCS_DEDUP_CONTAINED_SQL,
         "docs_dedup_funnel": _docs_dedup_funnel_sql(),
+        "dedup_recall_lsh": _dedup_recall_lsh_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "docs_lm_heldout",
     "docs_dedup_contained",
     "docs_dedup_funnel",
+    "dedup_recall_lsh",
 ]
 
 
