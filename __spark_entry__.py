@@ -8534,6 +8534,62 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
 """
 
 
+def _mix_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-weighted sampling — the actual USE of the graph
+    signal: keep each document with probability rank/max_rank, so
+    high-centrality pages dominate the mix the way crawl-derived
+    corpora weight them. Acceptance is decided in EXACT integers
+    (20-bit salted-md5 draw cross-multiplied against the fixed-point
+    rank units: ``h20 · max_u < rank_u · 2^20``), so the kept set is
+    bit-reproducible across engines — no float threshold anywhere.
+    Zero-shuffle filter on top of the pagerank frame."""
+    from tidyvec_spark.operators.graph import pagerank, synthetic_link_graph
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs, "doc_id", out_links=3)
+    pr = pagerank(edges, iterations=10).select(
+        F.col("id").alias("doc_id"),
+        # the true value is integral (rank IS rank_u/1e6); ROUND
+        # recovers it exactly in both engines, whereas a bare cast
+        # diverges (Spark truncates, DuckDB rounds) at the ulp the
+        # divide/multiply round-trip can leave
+        F.round(F.col("rank") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("rank_u"),
+    )
+    # conv(hex, 16, 10) -> decimal string -> long (ANSI cast of an
+    # '0x..' literal string raises; this is the hash_unit convention)
+    h20 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rankmix1"), F.col("doc_id").cast("string"))),
+            1,
+            5,
+        ),
+        16,
+        10,
+    ).cast("long")
+    mx = pr.agg(F.max("rank_u").alias("max_u"))
+    return (
+        pr.crossJoin(F.broadcast(mx))
+        .filter(h20 * F.col("max_u") < F.col("rank_u") * F.lit(1048576))
+        .select("doc_id", "rank_u")
+    )
+
+
+_MIX_RANK_WEIGHTED_SQL = f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_id, CAST(ROUND(rank * 1000000.0, 0) AS BIGINT) AS rank_u
+  FROM ({_DOCS_PAGERANK_SQL})
+),
+mx AS (SELECT max(rank_u) AS max_u FROM pr)
+SELECT doc_id, rank_u
+FROM pr CROSS JOIN mx
+WHERE CAST(CONCAT('0x', substr(md5(CONCAT('rankmix1',
+        CAST(doc_id AS VARCHAR))), 1, 5)) AS BIGINT) * max_u
+      < rank_u * 1048576
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8640,7 +8696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wds_datasource_read, events_stream_heavy_hitters,
         # pipeline_crawl, lang_confusion, crawl_host_budget,
         # rerank_search, ngram_containment, docs_lm_heldout,
-        # docs_dedup_contained, docs_dedup_funnel, dedup_recall_lsh.
+        # docs_dedup_contained, docs_dedup_funnel, dedup_recall_lsh,
+        # mix_rank_weighted.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -8788,6 +8845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_contained": _docs_dedup_contained,
         "docs_dedup_funnel": _docs_dedup_funnel,
         "dedup_recall_lsh": _dedup_recall_lsh,
+        "mix_rank_weighted": _mix_rank_weighted,
     }
 
 
@@ -8979,6 +9037,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dedup_contained": _DOCS_DEDUP_CONTAINED_SQL,
         "docs_dedup_funnel": _docs_dedup_funnel_sql(),
         "dedup_recall_lsh": _dedup_recall_lsh_sql(),
+        "mix_rank_weighted": _MIX_RANK_WEIGHTED_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

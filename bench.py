@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "docs_dedup_contained",
     "docs_dedup_funnel",
     "dedup_recall_lsh",
+    "mix_rank_weighted",
 ]
 
 
