@@ -8590,6 +8590,61 @@ WHERE CAST(CONCAT('0x', substr(md5(CONCAT('rankmix1',
 """
 
 
+def _dedup_recall_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-banding recall against the same exact-Jaccard ground
+    truth as ``dedup_recall_lsh`` — the cross-family comparison
+    (cosine-of-term-vectors banding vs resemblance banding) a dedup
+    run reads before picking its fingerprint. Same one-row report."""
+    from tidyvec_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    truth = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", shingle_n=3, threshold=0.5,
+        max_doc_freq=None,
+    ).select("id_a", "id_b")
+    sh = simhash_pairs(
+        corpus, "text", "doc_id", bits=48, bands=4, max_hamming=6
+    ).select("id_a", "id_b")
+    t = truth.persist()
+    hit = t.join(sh, ["id_a", "id_b"], "left_semi")
+    return (
+        t.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(sh.agg(F.count("*").cast("long").alias("n_simhash")))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+        .select(
+            "n_true",
+            "n_simhash",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.col("n_true").cast("double"),
+                R,
+            ).alias("recall"),
+        )
+    )
+
+
+def _dedup_recall_simhash_sql() -> str:
+    return f"""
+WITH truth AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_NGRAM_JACCARD_SQL})
+),
+sh AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_SIMHASH_PAIRS_SQL})
+),
+hit AS (SELECT t.* FROM truth t JOIN sh USING (id_a, id_b))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM sh) AS n_simhash,
+       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+       ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE), {R})
+         AS recall
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8697,7 +8752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline_crawl, lang_confusion, crawl_host_budget,
         # rerank_search, ngram_containment, docs_lm_heldout,
         # docs_dedup_contained, docs_dedup_funnel, dedup_recall_lsh,
-        # mix_rank_weighted.
+        # mix_rank_weighted, dedup_recall_simhash.
         # Everything else in the registry will have a
         # driver row after CORRECTNESS_r07 — rotate those in, keep
         # the 9 stable reps, and fill the rest of the window with
@@ -8846,6 +8901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_funnel": _docs_dedup_funnel,
         "dedup_recall_lsh": _dedup_recall_lsh,
         "mix_rank_weighted": _mix_rank_weighted,
+        "dedup_recall_simhash": _dedup_recall_simhash,
     }
 
 
@@ -9038,6 +9094,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dedup_funnel": _docs_dedup_funnel_sql(),
         "dedup_recall_lsh": _dedup_recall_lsh_sql(),
         "mix_rank_weighted": _MIX_RANK_WEIGHTED_SQL,
+        "dedup_recall_simhash": _dedup_recall_simhash_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

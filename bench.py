@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "docs_dedup_funnel",
     "dedup_recall_lsh",
     "mix_rank_weighted",
+    "dedup_recall_simhash",
 ]
 
 
