@@ -526,3 +526,25 @@ def test_session3_round7_plan_shapes(spark, qs):
         assert P.num_shuffles(df) <= max_sh, name
         P.assert_no_cartesian(df)
     assert "BroadcastHashJoin" in P.explain_str(qs["rerank_search"](spark, SF))
+
+
+def test_final_round7_plan_shapes(spark, qs):
+    """Closing wave: containment shares the jaccard candidate plan
+    (inverted index, no cross join); the recall evals join two bounded
+    pair sets; held-out LM keeps the count-table join shape with left
+    joins; rank-weighted mixing is the pagerank plan + a broadcast
+    max + a map-side filter."""
+    for name in (
+        "ngram_containment",
+        "docs_dedup_contained",
+        "dedup_recall_lsh",
+        "dedup_recall_simhash",
+        "docs_lm_heldout",
+        "mix_rank_weighted",
+        "docs_dedup_funnel",
+    ):
+        P.assert_no_cartesian(qs[name](spark, SF))
+    assert P.num_shuffles(qs["docs_lm_heldout"](spark, SF)) <= 7
+    # the expensive acceptance filter must NOT add a corpus shuffle on
+    # top of pagerank's iteration joins
+    assert P.num_shuffles(qs["mix_rank_weighted"](spark, SF)) <= 8
