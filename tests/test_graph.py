@@ -103,3 +103,18 @@ def test_synthetic_link_graph_law(spark):
         }
     )
     assert got == want
+
+
+def test_pagerank_mass_conservation_without_dangling(spark):
+    """On a graph where every node has out-edges (no dangling mass
+    leak) the unnormalized total starts at n and the update
+    0.15·n + 0.85·total keeps it there — only integer-division
+    remainders may shave ulps. The synthetic generator produces such
+    graphs (every id 0..n-1 is a source)."""
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    edges = synthetic_link_graph(df, "doc_id", out_links=3)
+    ranks = pagerank(edges, iterations=10)
+    n = ranks.count()
+    total = sum(r["rank"] for r in ranks.collect())
+    assert n == 200
+    assert 0.99 * n <= total <= n + 1e-6
