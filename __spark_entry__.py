@@ -496,6 +496,82 @@ def _docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_perplexity(docs, "text", "doc_id", alpha=0.1, round_to=4)
 
 
+def _docs_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (operators/lm.py::
+    kn_bigram_perplexity; Kneser & Ney 1995, Chen & Goodman 1998 §2.7):
+    absolute discounting with the Ney count-of-counts estimate D =
+    n1/(n1+2·n2) plus a continuation-unigram backoff — the standard
+    upgrade over add-alpha for perplexity-based quality filtering.
+
+    Perf shape: four vocabulary-sized hash-aggs (bigram / prefix /
+    suffix / count-of-counts scalars), scalars broadcast, scoring joins
+    on Zipf-bounded keys with map-side (doc, bigram) pre-aggregation —
+    shuffle width ∝ distinct bigrams per doc, never tokens."""
+    from tidyvec_spark.operators.lm import kn_bigram_perplexity
+
+    docs = _read(spark, sf_dir, "documents")
+    return kn_bigram_perplexity(docs, "text", "doc_id", alpha=0.1, round_to=4)
+
+
+def _docs_lm_kn_sql() -> str:
+    # expression shapes mirror operators/lm.py::kn_bigram_perplexity
+    # term for term (IEEE bit parity; final ROUND absorbs sum order)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+c2w AS (
+  SELECT bigram, c2,
+         string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2
+  FROM c2
+),
+fwd AS (
+  SELECT w1, sum(c2) AS c1, CAST(count(*) AS DOUBLE) AS nf
+  FROM c2w GROUP BY w1
+),
+bwd AS (SELECT w2, CAST(count(*) AS DOUBLE) AS nb FROM c2w GROUP BY w2),
+n12 AS (
+  SELECT CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(count(*) AS DOUBLE) AS tt
+  FROM c2
+),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks)
+),
+scal AS (
+  SELECT CASE WHEN n1 + 2.0 * n2 > 0 THEN n1 / (n1 + 2.0 * n2)
+              ELSE 0.5 END AS d,
+         tt, v
+  FROM n12 CROSS JOIN v
+),
+doc AS (SELECT doc_id, bigram, count(*) AS dn FROM bg GROUP BY doc_id, bigram),
+scored AS (
+  SELECT d.doc_id, d.dn,
+         ln(
+           greatest(CAST(c2.c2 AS DOUBLE) - s.d, 0.0) / CAST(f.c1 AS DOUBLE)
+           + (s.d * f.nf / CAST(f.c1 AS DOUBLE))
+             * ((b.nb + CAST(0.1 AS DOUBLE))
+                / (s.tt + CAST(0.1 AS DOUBLE) * (s.v + 1.0)))
+         ) * CAST(d.dn AS DOUBLE) AS lp
+  FROM doc d
+  JOIN c2 USING (bigram)
+  JOIN fwd f ON f.w1 = string_split(d.bigram, ' ')[1]
+  JOIN bwd b ON b.w2 = string_split(d.bigram, ' ')[2]
+  CROSS JOIN scal s
+)
+SELECT doc_id, CAST(sum(dn) AS BIGINT) AS n_bigrams,
+       ROUND(exp(-sum(lp) / sum(dn)), 4) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
 # Same model stage for stage: engine tokenization, interior bigrams,
 # corpus/prefix counts, distinct-token V, add-0.1 smoothing — all
 # arithmetic forced to DOUBLE so it is the same IEEE computation Spark
@@ -8902,6 +8978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_lsh": _dedup_recall_lsh,
         "mix_rank_weighted": _mix_rank_weighted,
         "dedup_recall_simhash": _dedup_recall_simhash,
+        # round-8 additions (rotation targets alongside the list in the
+        # comment above; each locally verified at sf0.001 AND sf0.01
+        # via scripts/check_oracle.py before landing)
+        "docs_lm_kn": _docs_lm_kn,
     }
 
 
@@ -9095,6 +9175,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_recall_lsh": _dedup_recall_lsh_sql(),
         "mix_rank_weighted": _MIX_RANK_WEIGHTED_SQL,
         "dedup_recall_simhash": _dedup_recall_simhash_sql(),
+        "docs_lm_kn": _docs_lm_kn_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

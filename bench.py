@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "curriculum_order",
     "hard_negatives",
     "docs_lm_perplexity",
+    "docs_lm_kn",
     "docs_dedup_lines",
     "docs_dedup_lines_within",
     "docs_dup_spans",

@@ -182,3 +182,64 @@ def test_heldout_salt_mutually_exclusive(documents):
         bigram_lm_perplexity(
             documents, "text", "doc_id", train_df=documents, salt_buckets=4
         )
+
+
+def test_kn_hand_computed(corpus):
+    """Interpolated Kneser-Ney on the 3-doc corpus, worked by hand.
+
+    c2: "a b"=3, "b a"=1, "b c"=1 -> n1=2, n2=0, D = 2/(2+0) = 1.0;
+    c1: a=3, b=2; nf: a=1, b=2; nb: a=1, b=1, c=1; T=3; V=4.
+    p_cont(w) = (nb + .1) / (3 + .1*5); lambda(w1) = D*nf/c1.
+    """
+    import math
+
+    from tidyvec_spark.operators.lm import kn_bigram_perplexity
+
+    pc = lambda nb: (nb + 0.1) / (3 + 0.1 * 5)
+    p_ab = max(3 - 1.0, 0) / 3 + (1.0 * 1 / 3) * pc(1)
+    p_ba = 0.0 / 2 + (1.0 * 2 / 2) * pc(1)
+    p_bc = p_ba
+    want = {
+        1: round(math.exp(-(2 * math.log(p_ab) + math.log(p_ba)) / 3), 4),
+        2: round(math.exp(-(math.log(p_ab) + math.log(p_bc)) / 2), 4),
+    }
+    got = {
+        r["doc_id"]: r["perplexity"]
+        for r in kn_bigram_perplexity(corpus, "text", "doc_id").collect()
+    }
+    assert set(got) == {1, 2}
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-4)
+
+
+def test_kn_heldout_unseen_prefix_backs_off_to_continuation(spark, corpus):
+    """A bigram whose prefix never appeared in training scores the
+    smoothed continuation probability alone — finite, deterministic."""
+    import math
+
+    from tidyvec_spark.operators.lm import kn_bigram_perplexity
+
+    novel = spark.createDataFrame(
+        [(99, "zz c")], "doc_id long, text string"
+    )
+    got = kn_bigram_perplexity(
+        novel, "text", "doc_id", train_df=corpus
+    ).collect()[0]
+    # prefix "zz" unseen -> p = p_cont(c) = (1 + .1)/(3 + .1*(4+1))
+    p = (1 + 0.1) / (3 + 0.1 * 5)
+    assert got["perplexity"] == pytest.approx(round(1.0 / p, 4), abs=1e-4)
+
+    # unseen suffix too: p = (0 + .1)/3.5 via the OOV slot
+    oov = spark.createDataFrame([(98, "zz qq")], "doc_id long, text string")
+    got2 = kn_bigram_perplexity(
+        oov, "text", "doc_id", train_df=corpus
+    ).collect()[0]
+    p2 = 0.1 / (3 + 0.1 * 5)
+    assert got2["perplexity"] == pytest.approx(round(1.0 / p2, 4), abs=1e-4)
+
+
+def test_kn_alpha_validation(corpus):
+    from tidyvec_spark.operators.lm import kn_bigram_perplexity
+
+    with pytest.raises(ValueError, match="alpha"):
+        kn_bigram_perplexity(corpus, "text", "doc_id", alpha=0.0)

@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.text import ngrams, tokens
 
-__all__ = ["bigram_counts", "bigram_lm_perplexity", "perplexity_buckets"]
+__all__ = [
+    "bigram_counts",
+    "bigram_lm_perplexity",
+    "kn_bigram_perplexity",
+    "perplexity_buckets",
+]
 
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -160,6 +165,128 @@ def bigram_lm_perplexity(
                 * F.col("dn").cast("double")
             ).alias("lp"),
         )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.sum("dn").cast("long").alias("n_bigrams"),
+            F.round(F.exp(-F.sum("lp") / F.sum("dn")), round_to).alias(out_col),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def kn_bigram_perplexity(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+    round_to: int = 4,
+    out_col: str = "perplexity",
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1998 §2.7) — the standard upgrade over add-alpha
+    smoothing for CCNet-style quality ranking: absolute discounting
+    plus a *continuation* unigram that asks "in how many contexts does
+    this word appear?" rather than "how often?", so boilerplate tokens
+    frequent in one context ("francisco") stop looking fluent
+    everywhere.
+
+    Model (all quantities from the fit corpus = ``train_df`` or ``df``):
+
+    - ``c2(w1,w2)``, ``c1(w1) = Σ_w2 c2``
+    - ``nf(w1) = |{w2 : c2 > 0}|`` (distinct continuations of w1)
+    - ``nb(w2) = |{w1 : c2 > 0}|`` (distinct left-contexts of w2)
+    - ``T = Σ nf`` (total bigram types), ``V`` = distinct tokens
+    - discount ``D = n1 / (n1 + 2·n2)`` from the count-of-counts
+      (Ney's estimate; 0.5 if the corpus has no 1- or 2-count bigrams)
+    - continuation ``p_cont(w2) = (nb(w2) + α) / (T + α·(V+1))`` —
+      add-alpha over V+1 slots so a held-out w2 never scores zero
+      (α→0 recovers the textbook ``nb/T``; the +1 slot is the OOV
+      bucket)
+    - seen prefix: ``p(w2|w1) = max(c2−D, 0)/c1 + D·nf(w1)/c1 ·
+      p_cont(w2)``; unseen prefix (held-out only): ``p = p_cont(w2)``
+
+    Perplexity per document = ``exp(−Σ dn·ln p / Σ dn)`` over its
+    interior bigrams, rounded to ``round_to`` so the DuckDB oracle
+    hashes identically (per-bigram terms are bit-equal — identical
+    IEEE expression shapes on both engines — and the rounding absorbs
+    the summation-order difference, exactly as
+    :func:`bigram_lm_perplexity` does).
+
+    Plan shape at 100 TB: the four model tables (c2 / prefix / suffix /
+    scalars) are vocabulary-sized hash-aggs with map-side combine; the
+    scalars (D, T, V) broadcast; scoring pre-aggregates (doc, bigram)
+    map-side then joins the count tables on bigram/prefix/suffix keys —
+    shuffle width ∝ distinct bigrams per doc, never tokens. No Python
+    anywhere.
+    """
+    alpha = float(alpha)
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (zero-prob continuations)")
+    fit = train_df if train_df is not None else df
+
+    c2 = bigram_counts(fit, text_col).withColumn(
+        "w2", F.split(F.col("bigram"), " ")[1]
+    )
+    # prefix table: total count + distinct-continuation count per w1
+    fwd = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("nf"),
+    )
+    # suffix table: distinct-left-context count per w2
+    bwd = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    # scalar frame: discount D, total bigram types T, vocab size V
+    n12 = c2.agg(
+        F.sum(F.when(F.col("c2") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("c2") == 2, 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+        F.count(F.lit(1)).cast("double").alias("tt"),
+    )
+    v = fit.select(F.explode(tokens(text_col)).alias("t")).agg(
+        F.countDistinct("t").cast("double").alias("v")
+    )
+    scal = n12.crossJoin(v).select(
+        F.when(
+            F.col("n1") + F.lit(2.0) * F.col("n2") > 0,
+            F.col("n1") / (F.col("n1") + F.lit(2.0) * F.col("n2")),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("d"),
+        "tt",
+        "v",
+    )
+
+    doc = (
+        _doc_bigrams(df, text_col, id_col)
+        .groupBy("__id", "bigram")
+        .agg(F.count(F.lit(1)).alias("dn"))
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .withColumn("w2", F.split("bigram", " ")[1])
+    )
+    joined = (
+        doc.join(c2.select("bigram", "c2"), "bigram", "left")
+        .join(fwd, "w1", "left")
+        .join(bwd, "w2", "left")
+        .crossJoin(F.broadcast(scal))
+    )
+    # expression shapes mirrored verbatim in the DuckDB oracle — keep
+    # the arithmetic order stable for bit parity
+    pc = (F.coalesce(F.col("nb"), F.lit(0.0)) + F.lit(alpha)) / (
+        F.col("tt") + F.lit(alpha) * (F.col("v") + F.lit(1.0))
+    )
+    c1d = F.col("c1").cast("double")
+    p_seen = (
+        F.greatest(F.col("c2").cast("double") - F.col("d"), F.lit(0.0)) / c1d
+        + (F.col("d") * F.col("nf") / c1d) * pc
+    )
+    p = F.when(F.col("c1").isNotNull(), p_seen).otherwise(pc)
+    scored = joined.select(
+        "__id", "dn", (F.log(p) * F.col("dn").cast("double")).alias("lp")
     )
     return (
         scored.groupBy("__id")
