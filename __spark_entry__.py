@@ -255,6 +255,41 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) <= 3
 """
 
 
+def _radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (epsilon-neighborhood) search: ALL corpus vectors within
+    cosine >= tau of each query — the top-k join's unbounded sibling
+    (every retrieval stack needs both; radius is the dedup-audit /
+    recall-sweep shape where k is unknowable a priori).
+
+    Perf shape: broadcast the (small) query side, score map-side,
+    filter — a BroadcastNestedLoopJoin with ZERO shuffles end-to-end;
+    no per-query window because nothing is ranked. At 100 TB the scan
+    parallelism is the only cost, and the threshold filter runs inside
+    the same codegen stage as the dot product."""
+    from tidyvec_spark.operators.nearest import similarity_join_exact
+
+    e = _read(spark, sf_dir, "embeddings")
+    left = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    right = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = similarity_join_exact(
+        F.broadcast(left), right, "qv", "cv", method="cosine",
+        threshold=0.2, left_id="qid", right_id="cid", round_to=R,
+    )
+    return out.select("qid", "cid", "similarity")
+
+
+_RADIUS_SEARCH_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id >= 5),
+s AS (SELECT qid, cid, ROUND(list_cosine_similarity(cv, qv), {R}) AS similarity FROM q, c)
+SELECT qid, cid, similarity FROM s WHERE similarity >= 0.2
+"""
+
+
 def _similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large × large ``%~%`` at scale: both frames bucketed by the same
     hyperplanes, candidates from the bucket equi-join (left side
@@ -8982,6 +9017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comment above; each locally verified at sf0.001 AND sf0.01
         # via scripts/check_oracle.py before landing)
         "docs_lm_kn": _docs_lm_kn,
+        "radius_search": _radius_search,
     }
 
 
@@ -9176,6 +9212,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_rank_weighted": _MIX_RANK_WEIGHTED_SQL,
         "dedup_recall_simhash": _dedup_recall_simhash_sql(),
         "docs_lm_kn": _docs_lm_kn_sql(),
+        "radius_search": _RADIUS_SEARCH_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "knn_cosine",
     "knn_min_score",
     "ann_topk_per_query",
+    "radius_search",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_topk_large",

@@ -548,3 +548,19 @@ def test_final_round7_plan_shapes(spark, qs):
     # the expensive acceptance filter must NOT add a corpus shuffle on
     # top of pagerank's iteration joins
     assert P.num_shuffles(qs["mix_rank_weighted"](spark, SF)) <= 8
+
+
+def test_round8_plan_shapes(spark, qs):
+    """Round-8 wave: KN scoring is vocabulary-sized joins (no token
+    shuffle, scalars broadcast); radius search is a pure broadcast
+    nested-loop scan — ZERO shuffles, nothing ranked."""
+    kn = qs["docs_lm_kn"](spark, SF)
+    P.assert_no_cartesian(kn)
+    P.assert_broadcast(kn, at_least=1)  # (D, T, V) scalar frame
+    # bigram/prefix/suffix/count-of-counts tables + scoring joins +
+    # per-doc aggs: each shuffle is a distinct vocabulary- or doc-
+    # bounded aggregation (11 at present; the add-alpha LM has 7)
+    assert P.num_shuffles(kn) <= 11
+
+    rs = qs["radius_search"](spark, SF)
+    assert P.num_shuffles(rs) == 0
