@@ -1989,6 +1989,33 @@ FROM documents
 """
 
 
+def _multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup (operators/dedup.py::
+    dedup_binary_exact with the length prefilter): keep the lowest-id
+    copy of each blob. The length histogram broadcasts and only
+    size-colliding blobs are md5-hashed — at 100 TB of media the
+    unique-size majority never pays the hash CPU, and the winner
+    aggregation moves 24-byte keys, never blob bytes."""
+    from tidyvec_spark.operators.dedup import dedup_binary_exact
+
+    media = _media_corpus(spark, sf_dir)
+    kept = dedup_binary_exact(media, "content", "doc_id", length_prefilter=True)
+    return kept.select(
+        "doc_id", F.length("content").cast("long").alias("n_bytes")
+    )
+
+
+_MULTIMODAL_DEDUP_SQL = """
+WITH k AS (
+  SELECT doc_id, octet_length(encode(text)) AS len, md5(text) AS h
+  FROM documents
+),
+keep AS (SELECT len, h, min(doc_id) AS keep_id FROM k GROUP BY len, h)
+SELECT a.doc_id, CAST(a.len AS BIGINT) AS n_bytes
+FROM k a JOIN keep b ON a.len = b.len AND a.h = b.h AND a.doc_id = b.keep_id
+"""
+
+
 def _multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.operators.multimodal import decode_audio_meta
 
@@ -9018,6 +9045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via scripts/check_oracle.py before landing)
         "docs_lm_kn": _docs_lm_kn,
         "radius_search": _radius_search,
+        "multimodal_dedup_exact": _multimodal_dedup_exact,
     }
 
 
@@ -9213,6 +9241,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_recall_simhash": _dedup_recall_simhash_sql(),
         "docs_lm_kn": _docs_lm_kn_sql(),
         "radius_search": _RADIUS_SEARCH_SQL,
+        "multimodal_dedup_exact": _MULTIMODAL_DEDUP_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

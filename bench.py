@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "embedding_health",
     "text_stats",
     "multimodal_header_meta",
+    "multimodal_dedup_exact",
     "multimodal_wav_meta",
     "multimodal_mp4_meta",
     "lang_id",

@@ -996,3 +996,52 @@ def test_drop_contained_docs_keeps_supersets(spark, documents):
                 and (r["id_b"] if r["id_a"] == s else r["id_a"]) < 20000
             ]
             assert partners, f"source {s} dropped with no superset"
+
+
+class TestBinaryDedup:
+    """dedup_binary_exact: byte-identical media dedup, both paths."""
+
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            (1, bytearray(b"\x89PNG\x01\x02")),
+            (2, bytearray(b"\x89PNG\x01\x02")),   # dup of 1 (same bytes)
+            (3, bytearray(b"\x89PNG\x01\x03")),   # same length, different bytes
+            (4, bytearray(b"RIFFxxxxWAVE")),      # unique length
+            (5, bytearray(b"\x89PNG\x01\x02")),   # another dup of 1
+        ]
+        return spark.createDataFrame(rows, "doc_id long, content binary")
+
+    def test_keeps_min_id_per_blob(self, media):
+        from tidyvec_spark.operators.dedup import dedup_binary_exact
+
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_binary_exact(media, "content", "doc_id").collect()
+        )
+        assert kept == [1, 3, 4]
+
+    def test_prefilter_path_identical(self, media):
+        from tidyvec_spark.operators.dedup import dedup_binary_exact
+
+        plain = sorted(
+            r["doc_id"]
+            for r in dedup_binary_exact(media, "content", "doc_id").collect()
+        )
+        pre = sorted(
+            r["doc_id"]
+            for r in dedup_binary_exact(
+                media, "content", "doc_id", length_prefilter=True
+            ).collect()
+        )
+        assert plain == pre == [1, 3, 4]
+
+    def test_prefilter_skips_unique_lengths(self, spark, media):
+        """The unique-length blob must survive without being hashed —
+        its plan branch is a broadcast anti-join, not an md5 project."""
+        from tidyvec_spark.operators.dedup import dedup_binary_exact
+
+        out = dedup_binary_exact(
+            media, "content", "doc_id", length_prefilter=True
+        )
+        assert {r["doc_id"] for r in out.collect()} >= {4}

@@ -64,6 +64,58 @@ def normalized_text_key(c) -> F.Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
 
 
+def dedup_binary_exact(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    length_prefilter: bool = False,
+) -> DataFrame:
+    """Exact dedup over an opaque binary column (image / audio / video
+    blobs): keep the lowest-id copy of each byte-identical blob — the
+    multimodal twin of :func:`drop_exact_dups`.
+
+    Key is (byte_length, md5): the 8-byte length disambiguates md5
+    collisions for free and gives the aggregation an integer leading
+    key. Same groupBy-min + equi-join shape as the text path — partial
+    aggregation map-side, so a blob duplicated millions of times is ONE
+    winner row per input partition (skew-immune), and only 24 bytes of
+    key ride the shuffle regardless of blob size.
+
+    ``length_prefilter=True``: hash only blobs whose byte length
+    collides with another blob's. The length histogram (distinct sizes,
+    a tiny table) broadcasts; blobs with a unique length pass through
+    un-hashed. At 100 TB of media this skips the md5 CPU over the
+    (typically large) unique-size majority for one extra integer
+    aggregation — results are identical either way.
+    """
+    wl = df.withColumn("__len", F.length(F.col(content_col)).cast("long"))
+    if not length_prefilter:
+        keyed = wl.withColumn("__k", F.md5(F.col(content_col)))
+        keep = keyed.groupBy("__len", "__k").agg(F.min(id_col).alias("__keep"))
+        return (
+            keyed.join(keep, ["__len", "__k"])
+            .filter(F.col(id_col) == F.col("__keep"))
+            .select(*df.columns)
+        )
+    multi = (
+        wl.groupBy("__len")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("__len")
+    )
+    uniq = wl.join(F.broadcast(multi), "__len", "left_anti")
+    cand = wl.join(F.broadcast(multi), "__len").withColumn(
+        "__k", F.md5(F.col(content_col))
+    )
+    keep = cand.groupBy("__len", "__k").agg(F.min(id_col).alias("__keep"))
+    kept = (
+        cand.join(keep, ["__len", "__k"])
+        .filter(F.col(id_col) == F.col("__keep"))
+        .select(*df.columns)
+    )
+    return uniq.select(*df.columns).unionByName(kept)
+
+
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Groups of byte-identical (post-normalization) documents.
 
