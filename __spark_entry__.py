@@ -7150,6 +7150,73 @@ WHERE sd IS NOT NULL AND sd > 0 AND abs(ROUND((value - mu) / sd, 4)) > 3.0
 """
 
 
+def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization as a custom stateful operator
+    (streaming/pipelines.py::sessionize_stream): per-user 24-byte
+    state, a session emitted the moment a later event for the same
+    user proves it closed (>30 min gap), watermark-timeout eviction
+    bounding state at one open session per active user. One staged
+    file → one micro-batch, so emissions are exactly the batch
+    sessionization minus each user's (still-open) final session — the
+    SQL-oracle contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from tidyvec_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="tv_stream_sess_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "part-000.parquet"),
+    )
+    stream = read_event_stream(spark, d)
+    table = f"events_stream_sess_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(sessionize_stream(stream), table, output_mode="append")
+    return spark.table(table)
+
+
+_EVENTS_STREAM_SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ns FROM events),
+wm AS (SELECT (max(ns) // 1000000) - 7200000 AS wm_ms FROM e),
+g AS (
+  SELECT user_id, ns,
+         CASE WHEN ns - lag(ns) OVER (PARTITION BY user_id ORDER BY ns) IS NULL
+                   OR ns - lag(ns) OVER (PARTITION BY user_id ORDER BY ns) > 1800000000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+s AS (
+  SELECT user_id, ns,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ns ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id, sid, min(ns) AS start_ns, max(ns) AS end_ns,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rn
+  FROM sess
+)
+-- every non-final session closes by a later event; the FINAL session
+-- closes by watermark timeout iff the final event-time watermark
+-- (max event ms - 2 h delay) passed its last_event + 30 min gap
+SELECT user_id, start_ns, end_ns, n_events,
+       CASE WHEN rn > 1 THEN 'event' ELSE 'watermark' END AS closed_by
+FROM r CROSS JOIN wm
+WHERE rn > 1 OR ((end_ns + 1800000000000) // 1000000 < wm_ms)
+"""
+
+
 def _events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream interval join: the events parquet staged as a
     landing directory, read as TWO file-source streams (errors, clicks),
@@ -9046,6 +9113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_kn": _docs_lm_kn,
         "radius_search": _radius_search,
         "multimodal_dedup_exact": _multimodal_dedup_exact,
+        "events_stream_sessionize": _events_stream_sessionize,
     }
 
 
@@ -9242,6 +9310,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lm_kn": _docs_lm_kn_sql(),
         "radius_search": _RADIUS_SEARCH_SQL,
         "multimodal_dedup_exact": _MULTIMODAL_DEDUP_SQL,
+        "events_stream_sessionize": _EVENTS_STREAM_SESSIONIZE_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_anomaly",
     "events_stream_anomaly",
+    "events_stream_sessionize",
     "events_retention",
     "events_props_stats",
     "events_zorder",

@@ -1011,3 +1011,82 @@ def test_heavy_hitters_checkpoint_recovery(spark, tmp_path):
         for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
     }
     assert got == want
+
+
+def _sess_events(spark, rows):
+    """rows: (user_id, epoch_seconds) -> DataFrame with TIMESTAMP ts."""
+    return spark.createDataFrame(
+        [(u, s) for u, s in rows], "user_id bigint, secs bigint"
+    ).select("user_id", F.timestamp_seconds("secs").alias("ts"))
+
+
+def test_sessionize_stream_closes_on_later_event(spark, tmp_path):
+    """A >gap follow-up event in a LATER micro-batch must close the
+    session carried in state (closed_by='event'); still-open sessions
+    are withheld."""
+    t0 = 1_700_000_000
+    d = tmp_path / "sess_land"
+    d.mkdir()
+    _sess_events(spark, [(1, t0), (1, t0 + 60), (2, t0)]).coalesce(1).write.parquet(
+        str(d / "f0.parquet")
+    )
+    _sess_events(spark, [(1, t0 + 4000), (2, t0 + 100)]).coalesce(1).write.parquet(
+        str(d / "f1.parquet")
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    S.run_available_now(
+        S.sessionize_stream(stream), "sess_cross_batch", output_mode="append"
+    )
+    got = [
+        (r["user_id"], r["start_ns"], r["end_ns"], r["n_events"], r["closed_by"])
+        for r in spark.table("sess_cross_batch").collect()
+    ]
+    ns = 1_000_000_000
+    assert got == [(1, t0 * ns, (t0 + 60) * ns, 2, "event")]
+
+
+def test_sessionize_stream_watermark_timeout_evicts_and_emits(spark, tmp_path):
+    """Once the event-time watermark provably passes last_event + gap,
+    the open session is emitted as closed_by='watermark' and its state
+    evicted; sessions inside the horizon stay withheld."""
+    t0 = 1_700_000_000
+    d = tmp_path / "sess_wm_land"
+    d.mkdir()
+    _sess_events(spark, [(1, t0)]).coalesce(1).write.parquet(str(d / "f0.parquet"))
+    # a far-future event for ANOTHER user advances the watermark to
+    # t0+6h-2h = t0+4h > t0+30min
+    _sess_events(spark, [(9, t0 + 6 * 3600)]).coalesce(1).write.parquet(
+        str(d / "f1.parquet")
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    S.run_available_now(
+        S.sessionize_stream(stream), "sess_wm", output_mode="append"
+    )
+    got = [
+        (r["user_id"], r["n_events"], r["closed_by"])
+        for r in spark.table("sess_wm").collect()
+    ]
+    assert got == [(1, 1, "watermark")]  # user 9 is inside the horizon
+
+
+def test_sessionize_batch_fallback_drops_each_users_open_session(spark):
+    t0 = 1_700_000_000
+    df = _sess_events(
+        spark,
+        [(1, t0), (1, t0 + 10), (1, t0 + 4000), (2, t0), (2, t0 + 5)],
+    )
+    got = sorted(
+        (r["user_id"], r["n_events"], r["closed_by"])
+        for r in S.sessionize_stream(df).collect()
+    )
+    # user 1: first session (2 events) closed by the t0+4000 event;
+    # the t0+4000 session and user 2's only session are open -> withheld
+    assert got == [(1, 2, "event")]

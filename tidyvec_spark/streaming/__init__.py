@@ -29,6 +29,7 @@ from tidyvec_spark.streaming.pipelines import (
     read_event_stream,
     run_available_now,
     session_rollup,
+    sessionize_stream,
     stateful_dedup_stream,
     upsert_latest_stream,
     zscore_anomaly_stream,
@@ -49,6 +50,7 @@ __all__ = [
     "read_event_stream",
     "run_available_now",
     "session_rollup",
+    "sessionize_stream",
     "stateful_dedup_stream",
     "upsert_latest_stream",
     "zscore_anomaly_stream",

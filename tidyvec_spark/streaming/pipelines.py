@@ -1132,3 +1132,153 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization as a custom stateful operator: one
+    CLOSED session per output row — ``(user, start_ns, end_ns,
+    n_events, closed_by)``.
+
+    A session closes two ways:
+
+    - ``'event'``: a later event for the same user arrives more than
+      ``gap_s`` after the session's last event (detected in-batch or
+      across micro-batches via the 24-byte per-user state);
+    - ``'watermark'``: the event-time watermark passes
+      ``last_event + gap_s`` — no earlier event can ever arrive, so the
+      session is PROVABLY closed; the state times out, emits, and is
+      evicted. This bounds state at one open session per active user
+      within the watermark horizon (the TTL pattern of
+      :func:`near_dup_pairs_stream`).
+
+    Sessions still open at query stop are withheld (they are not
+    closed facts yet) — exactly the semantics of the batch twin minus
+    each user's final session, which makes stream/batch parity
+    oracle-checkable: on a non-streaming frame this falls back to the
+    lag+cumsum sessionization (``closed_by='event'``) with each user's
+    last session dropped.
+
+    Ordering: within a micro-batch, events sort by event time inside
+    the pandas group (Arrow batches, never row-at-a-time); across
+    batches the watermark bounds disorder the same way the other
+    event-time operators here do.
+    """
+    gap_ns = int(gap_s) * 1_000_000_000
+
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user").orderBy("__ns")
+        ns = event_ns_of(df, ts_col)
+        ev = df.select(F.col(user_col).alias("user"), ns.alias("__ns"))
+        gap = F.col("__ns") - F.lag("__ns").over(w)
+        sess = (
+            ev.withColumn(
+                "__new", F.when(gap.isNull() | (gap > gap_ns), 1).otherwise(0)
+            )
+            .withColumn("__sid", F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ))
+            .groupBy("user", "__sid")
+            .agg(
+                F.min("__ns").alias("start_ns"),
+                F.max("__ns").alias("end_ns"),
+                F.count("*").alias("n_events"),
+            )
+        )
+        last = Window.partitionBy("user").orderBy(F.desc("__sid"))
+        return (
+            sess.withColumn("__rn", F.row_number().over(last))
+            .filter(F.col("__rn") > 1)
+            .select(
+                F.col("user").alias(user_col),
+                "start_ns",
+                "end_ns",
+                "n_events",
+                F.lit("event").alias("closed_by"),
+            )
+        )
+
+    user_field = df.schema[user_col].dataType
+    base = (
+        df.withColumn("__ts", event_ts_of(df, ts_col))
+        .withWatermark("__ts", watermark)
+        .select(
+            F.col(user_col).alias("__u"),
+            "__ts",
+            event_ns_of(df, ts_col).alias("__ns"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, user_field, False),
+            T.StructField("start_ns", T.LongType(), False),
+            T.StructField("end_ns", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("closed_by", T.StringType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_ns", T.LongType(), False),
+            T.StructField("last_ns", T.LongType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        cols = [user_col, "start_ns", "end_ns", "n_events", "closed_by"]
+        if state.hasTimedOut:
+            st, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], st, last, n, "watermark")], columns=cols
+            )
+            return
+        ns_vals = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ns_vals.extend(int(v) for v in pdf["__ns"])
+        ns_vals.sort()
+        cur = tuple(state.get) if state.exists else None
+        closed = []
+        for t in ns_vals:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_ns:
+                closed.append((key[0], cur[0], cur[1], cur[2], "event"))
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            # provably closed once the watermark passes last + gap;
+            # clamp above the current watermark (Spark rejects a
+            # timeout already in the past — a late-arriving batch for
+            # an old session would otherwise kill the query)
+            state.setTimeoutTimestamp(
+                max(
+                    (cur[1] + gap_ns) // 1_000_000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return base.groupBy("__u").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
