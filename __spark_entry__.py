@@ -4243,6 +4243,53 @@ FROM t
 """
 
 
+def _corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC MERGE (sources/maintenance.py::merge_upsert): fold a
+    change feed (updates + tombstone deletes) into the corpus snapshot,
+    latest version per id winning — the plain-parquet equivalent of
+    Delta/Iceberg MERGE INTO and the batch twin of
+    ``docs_stream_upsert``. One union + one groupBy-max-of-struct:
+    partial agg map-side (hot ids collapse per input partition), one
+    shuffle of width distinct-ids, no window."""
+    from tidyvec_spark.sources.maintenance import merge_upsert
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn("version", F.lit(1).cast("long")).withColumn(
+        "deleted", F.lit(False)
+    )
+    changes = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.upper("text").alias("text"))
+        .withColumn("version", F.lit(2).cast("long"))
+        .withColumn("deleted", F.col("doc_id") % 10 == 0)
+    )
+    merged = merge_upsert(base, changes, "doc_id", "version", "deleted")
+    return merged.select(
+        "doc_id", "version", F.length("text").cast("long").alias("n_chars_merged")
+    )
+
+
+_CORPUS_MERGE_SQL = """
+WITH base AS (
+  SELECT doc_id, text, CAST(1 AS BIGINT) AS version, false AS deleted
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, upper(text) AS text, CAST(2 AS BIGINT) AS version,
+         (doc_id % 10 = 0) AS deleted
+  FROM documents WHERE doc_id % 5 = 0
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+w AS (
+  SELECT doc_id, text, version, deleted,
+         row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+  FROM u
+)
+SELECT doc_id, version, CAST(length(text) AS BIGINT) AS n_chars_merged
+FROM w WHERE rn = 1 AND NOT deleted
+"""
+
+
 def _corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressable manifest (sources/maintenance.py::
     corpus_manifest): per md5-shard doc/token counts + an order- and
@@ -9114,6 +9161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_search": _radius_search,
         "multimodal_dedup_exact": _multimodal_dedup_exact,
         "events_stream_sessionize": _events_stream_sessionize,
+        "corpus_merge": _corpus_merge,
     }
 
 
@@ -9311,6 +9359,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_search": _RADIUS_SEARCH_SQL,
         "multimodal_dedup_exact": _MULTIMODAL_DEDUP_SQL,
         "events_stream_sessionize": _EVENTS_STREAM_SESSIONIZE_SQL,
+        "corpus_merge": _CORPUS_MERGE_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "source_quality_report",
     "corpus_manifest_incremental",
     "docs_stream_upsert",
+    "corpus_merge",
     "docs_tokenizer_fertility",
     "embedding_drift",
     "pipeline_rag",

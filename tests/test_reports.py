@@ -42,3 +42,48 @@ def test_vocab_growth_validation(spark, documents):
 
     with pt.raises(ValueError):
         vocab_growth(documents, "text", "doc_id", [])
+
+
+class TestMergeUpsert:
+    """sources/maintenance.py::merge_upsert — batch CDC MERGE."""
+
+    def test_latest_wins_and_tombstones_drop(self, spark):
+        from tidyvec_spark.sources.maintenance import merge_upsert
+
+        base = spark.createDataFrame(
+            [(1, "a", 1, False), (2, "b", 1, False), (3, "c", 1, False)],
+            "id long, text string, version long, deleted boolean",
+        )
+        ch = spark.createDataFrame(
+            [(1, "a2", 2, False), (2, "b2", 2, True), (4, "d", 1, False)],
+            "id long, text string, version long, deleted boolean",
+        )
+        got = {
+            r["id"]: (r["text"], r["version"])
+            for r in merge_upsert(base, ch, "id", "version", "deleted").collect()
+        }
+        assert got == {1: ("a2", 2), 3: ("c", 1), 4: ("d", 1)}
+
+    def test_version_tie_resolves_to_changes(self, spark):
+        from tidyvec_spark.sources.maintenance import merge_upsert
+
+        base = spark.createDataFrame(
+            [(1, "old", 1)], "id long, text string, version long"
+        )
+        ch = spark.createDataFrame(
+            [(1, "new", 1)], "id long, text string, version long"
+        )
+        got = merge_upsert(base, ch, "id", "version").collect()
+        assert [(r["id"], r["text"]) for r in got] == [(1, "new")]
+
+    def test_schema_mismatch_raises(self, spark):
+        import pytest as pt
+
+        from tidyvec_spark.sources.maintenance import merge_upsert
+
+        base = spark.createDataFrame([(1, 1)], "id long, version long")
+        ch = spark.createDataFrame(
+            [(1, 1, "x")], "id long, version long, extra string"
+        )
+        with pt.raises(ValueError, match="schemas differ"):
+            merge_upsert(base, ch, "id", "version")

@@ -16,7 +16,12 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["compact_parquet", "corpus_manifest", "parquet_file_stats"]
+__all__ = [
+    "compact_parquet",
+    "corpus_manifest",
+    "merge_upsert",
+    "parquet_file_stats",
+]
 
 
 def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -177,3 +182,49 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
     return merged.select(
         "shard", "n_docs", "n_tokens", _manifest_digest(F)
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str,
+    version_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Batch MERGE (the CDC-compaction half of the streaming
+    ``upsert_latest_stream``): latest version per id across
+    ``base ∪ changes`` wins; a winning tombstone (``delete_col`` true)
+    drops the id. The plain-parquet equivalent of Delta/Iceberg
+    ``MERGE INTO`` for the periodic "fold the change feed into the
+    snapshot" job.
+
+    Shape: one union (no shuffle), one groupBy(id) max-of-struct —
+    partial aggregation map-side, so an id updated a million times in
+    the feed contributes one partial row per input partition; ties on
+    ``version_col`` resolve to the CHANGES side (the feed is newer by
+    definition). One shuffle total, width = distinct ids. No window —
+    a row_number formulation would serialize hot ids.
+    """
+    from pyspark.sql import functions as F
+
+    if delete_col is None:
+        delete_col = "__deleted"
+        base = base.withColumn(delete_col, F.lit(False))
+        changes = changes.withColumn(delete_col, F.lit(False))
+    cols = base.columns
+    if set(cols) != set(changes.columns):
+        raise ValueError(
+            f"base and changes schemas differ: {sorted(cols)} vs "
+            f"{sorted(changes.columns)}"
+        )
+    payload = [c for c in cols if c != id_col]
+    u = base.withColumn("__src", F.lit(0)).unionByName(
+        changes.select(*cols).withColumn("__src", F.lit(1))
+    )
+    win = u.groupBy(id_col).agg(
+        F.max(F.struct(version_col, "__src", *[p for p in payload if p != version_col])).alias("__w")
+    )
+    out = win.select(
+        id_col, *[F.col(f"__w.{p}").alias(p) for p in payload]
+    ).filter(~F.col(delete_col))
+    return out.drop("__deleted") if delete_col == "__deleted" else out
