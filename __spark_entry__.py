@@ -3984,6 +3984,44 @@ FROM cleaned
 """
 
 
+def _docs_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source lifecycle: the documents corpus written as
+    zstd-compressed ORC partitioned by ``lang`` (Spark's second
+    built-in columnar format — interop surface for Hive/Trino
+    ecosystems that standardize on ORC), read back with a partition-
+    pruning filter, aggregated. A hash match against the oracle's
+    direct-table aggregate proves the round-trip lost nothing: schema,
+    values, and partition keys survive; the ``lang`` predicate on the
+    read side resolves via directory pruning, never a file scan."""
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="tv_orc_") + "/docs_orc"
+    (
+        docs.write.format("orc")
+        .option("compression", "zstd")
+        .partitionBy("lang")
+        .save(path)
+    )
+    back = spark.read.orc(path).filter(F.col("lang") != "xx")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_DOCS_ORC_ROUNDTRIP_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE lang <> 'xx'
+GROUP BY lang
+"""
+
+
 def _wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard lifecycle (sources/webdataset.py): the
     documents corpus written as 4 tar shards of single-member samples
@@ -9162,6 +9200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup_exact": _multimodal_dedup_exact,
         "events_stream_sessionize": _events_stream_sessionize,
         "corpus_merge": _corpus_merge,
+        "docs_orc_roundtrip": _docs_orc_roundtrip,
     }
 
 
@@ -9360,6 +9399,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_dedup_exact": _MULTIMODAL_DEDUP_SQL,
         "events_stream_sessionize": _EVENTS_STREAM_SESSIONIZE_SQL,
         "corpus_merge": _CORPUS_MERGE_SQL,
+        "docs_orc_roundtrip": _DOCS_ORC_ROUNDTRIP_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

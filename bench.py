@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "embedding_rp_topk",
     "bpe_merges",
     "wds_roundtrip",
+    "docs_orc_roundtrip",
     "docs_jsonl_ingest",
     "docs_csv_ingest",
     "docs_blocklist",

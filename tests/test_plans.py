@@ -564,3 +564,13 @@ def test_round8_plan_shapes(spark, qs):
 
     rs = qs["radius_search"](spark, SF)
     assert P.num_shuffles(rs) == 0
+
+    # merge is union + ONE groupBy shuffle, no window
+    cm = qs["corpus_merge"](spark, SF)
+    P.assert_no_cartesian(cm)
+    assert P.num_shuffles(cm) == 1
+
+    # binary dedup: length histogram broadcasts; no blob-wide window
+    md = qs["multimodal_dedup_exact"](spark, SF)
+    P.assert_broadcast(md, at_least=1)
+    P.assert_no_cartesian(md)
