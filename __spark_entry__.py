@@ -7235,6 +7235,43 @@ WHERE sd IS NOT NULL AND sd > 0 AND abs(ROUND((value - mu) / sd, 4)) > 3.0
 """
 
 
+def _events_hll_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-audited distinct counting (operators/sketches.py):
+    exact distinct users per day, gated by TWO HLL contracts — the
+    direct DataSketches estimate within 2% of exact, and the
+    hourly-sketch rollup estimate EQUAL to the direct estimate (merge
+    consistency: union of sketches ≡ sketch of union, the property
+    that makes incremental rollups trustworthy). Violating days are
+    dropped, so the driver's row count catches sketch drift; the
+    values hashed are the exact counts.
+
+    Perf shape: sketches build with map-side partial aggregation and
+    move KBs per group through the shuffle; at 100 TB the exact side
+    exists only for this audit — production serves from the stored
+    hourly sketches via ``hll_rollup`` (never re-scanning history)."""
+    from tidyvec_spark.operators.sketches import (
+        distinct_with_accuracy_contract,
+    )
+    from tidyvec_spark.streaming import event_ts_of
+
+    ev = _read(spark, sf_dir, "events")
+    ts = event_ts_of(ev, "ts")
+    e = ev.select(
+        F.to_date(ts).alias("day"), F.hour(ts).alias("hr"), "user_id"
+    )
+    return distinct_with_accuracy_contract(
+        e, ["day"], "user_id", ["day", "hr"], lg_k=14, rel_tol=0.02,
+        out_col="n_users",
+    )
+
+
+_EVENTS_HLL_ACCURACY_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization as a custom stateful operator
     (streaming/pipelines.py::sessionize_stream): per-user 24-byte
@@ -9201,6 +9238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessionize": _events_stream_sessionize,
         "corpus_merge": _corpus_merge,
         "docs_orc_roundtrip": _docs_orc_roundtrip,
+        "events_hll_accuracy": _events_hll_accuracy,
     }
 
 
@@ -9400,6 +9438,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_sessionize": _EVENTS_STREAM_SESSIONIZE_SQL,
         "corpus_merge": _CORPUS_MERGE_SQL,
         "docs_orc_roundtrip": _DOCS_ORC_ROUNDTRIP_SQL,
+        "events_hll_accuracy": _EVENTS_HLL_ACCURACY_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     # second round-7 wave
     "docs_pagerank",
     "events_heavy_hitters",
+    "events_hll_accuracy",
     "events_stream_heavy_hitters",
     "docs_url_canonical",
     "docs_length_buckets",

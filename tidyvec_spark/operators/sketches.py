@@ -1,0 +1,110 @@
+"""Mergeable distinct-count sketches (engine extension).
+
+Exact ``countDistinct`` at 100 TB forces a full shuffle of every
+distinct key per group; an HLL sketch is a few KB per group, builds
+with map-side partial aggregation, and — critically — MERGES: the
+union of two HLL sketches (same ``lgConfigK``) is byte-identical to
+the sketch of the unioned inputs, so per-hour (or per-file, per-day,
+per-partition) sketches can be persisted and rolled up incrementally
+without ever re-scanning history. Spark ships the Apache DataSketches
+HLL implementation as native expressions (``hll_sketch_agg`` /
+``hll_union_agg`` / ``hll_sketch_estimate``) — everything here stays
+JVM-side codegen; no Python.
+
+The reference engine has no sketch surface (R/*.R); this is the
+approximate-analytics layer a crawl/clickstream pipeline needs for
+"distinct users/URLs/docs per X" at scales where exact is a shuffle
+bottleneck. Estimates are deterministic for a given input multiset
+(the sketch is hash-based, not sampled), which is what makes the
+merge-consistency and accuracy contracts below testable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_sketch_by", "hll_rollup", "distinct_with_accuracy_contract"]
+
+
+def hll_sketch_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lg_k: int = 14,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """One HLL sketch of ``value_col`` per ``keys`` group —
+    (keys..., ``sketch_col`` binary). The persistable unit: write these
+    next to each ingest batch and any coarser rollup is a cheap
+    ``hll_rollup`` over the stored sketches, never a re-scan."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(int(lg_k))).alias(sketch_col)
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    sketch_col: str = "sketch",
+    out_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Merge finer-grained sketches up to ``keys`` and estimate —
+    (keys..., ``out_col`` long). Sketch union is lossless (same lg_k):
+    rolling hourly sketches to days equals sketching days directly."""
+    return sketches.groupBy(*keys).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col), F.lit(True))
+        ).alias(out_col)
+    )
+
+
+def distinct_with_accuracy_contract(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    fine_keys: Sequence[str],
+    lg_k: int = 14,
+    rel_tol: float = 0.02,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact distinct counts per ``keys``, GATED by the sketch
+    contracts — the self-auditing shape for promoting a sketch-based
+    pipeline:
+
+    1. the direct HLL estimate per group is within ``rel_tol`` of the
+       exact count, and
+    2. the estimate from merging ``fine_keys``-grained sketches equals
+       the direct estimate (merge consistency — the property that
+       makes incremental rollups trustworthy).
+
+    Groups violating either contract are DROPPED, so a downstream
+    row-count check catches sketch drift. At tested lg_k/cardinality
+    the output is all groups; at 100 TB you keep the exact side only
+    at audit time and serve from sketches.
+    """
+    keys = list(keys)
+    exact = df.groupBy(*keys).agg(
+        F.countDistinct(value_col).alias("__exact")
+    )
+    direct = hll_rollup(
+        hll_sketch_by(df, keys, value_col, lg_k), keys, out_col="__direct"
+    )
+    merged = hll_rollup(
+        hll_sketch_by(df, list(fine_keys), value_col, lg_k),
+        keys,
+        out_col="__merged",
+    )
+    err = F.abs(F.col("__direct") - F.col("__exact")) / F.col("__exact")
+    return (
+        exact.join(direct, keys)
+        .join(merged, keys)
+        .filter(
+            (F.col("__exact") > 0)
+            & (err <= F.lit(float(rel_tol)))
+            & (F.col("__merged") == F.col("__direct"))
+        )
+        .select(*keys, F.col("__exact").alias(out_col))
+    )
