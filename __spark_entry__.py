@@ -7711,6 +7711,57 @@ SELECT event_id, user_id, p_event_id, p_value FROM j WHERE rn = 1
 """
 
 
+def _events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance: each error event annotated with
+    the user's next purchase within one hour (operators/joins.py::
+    asof_join direction='forward', tolerance=1h). Same union-tag +
+    running-last plan as backward — the time axis is mirrored, so ONE
+    shuffle on the key and no inequality join; the tolerance is a
+    residual condition that voids too-distant matches without changing
+    plan shape. Tie rules: inclusive at equal ts, greatest purchase
+    event_id wins among purchases sharing the earliest eligible ts."""
+    from tidyvec_spark.operators.joins import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        err, purch, on="user_id", left_ts="ts",
+        right_cols=["event_id", "value"], tiebreak="event_id",
+        direction="forward", tolerance=3_600_000_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("p_event_id"),
+        F.round(F.col("value_r"), 4).alias("p_value"),
+    )
+
+
+_EVENTS_ASOF_FORWARD_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT e.event_id, e.user_id,
+         p.event_id AS p_event_id, ROUND(p.value, 4) AS p_value,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY p.ts_ns ASC, p.event_id DESC
+         ) AS rn
+  FROM e LEFT JOIN p
+    ON p.user_id = e.user_id AND p.ts_ns >= e.ts_ns
+   AND p.ts_ns - e.ts_ns <= 3600000000000
+)
+SELECT event_id, user_id, p_event_id, p_value FROM j WHERE rn = 1
+"""
+
+
 def _events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join: clicks in the hour up to each error event,
     same user (operators/joins.py::range_join_bucketed —
@@ -9239,6 +9290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_merge": _corpus_merge,
         "docs_orc_roundtrip": _docs_orc_roundtrip,
         "events_hll_accuracy": _events_hll_accuracy,
+        "events_asof_forward": _events_asof_forward,
     }
 
 
@@ -9439,6 +9491,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_merge": _CORPUS_MERGE_SQL,
         "docs_orc_roundtrip": _DOCS_ORC_ROUNDTRIP_SQL,
         "events_hll_accuracy": _EVENTS_HLL_ACCURACY_SQL,
+        "events_asof_forward": _EVENTS_ASOF_FORWARD_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

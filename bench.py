@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessions",
     "events_asof_purchase",
+    "events_asof_forward",
     "events_range_join",
     "kmeans_clusters",
     "hf_query_nearest",
