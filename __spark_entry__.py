@@ -9040,9 +9040,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (one per spine family, re-checked every round) and the round-7
     # additions at positions 41-50 (locally verified at sf0.001/0.01 via
     # scripts/check_oracle.py before landing here, so they get driver
-    # rows in the same round they are built). After this round EVERY
-    # registry entry has at least one driver CORRECTNESS row and
-    # rotation becomes pure maintenance.
+    # rows in the same round they are built).
+    #
+    # ROUND-8 STATUS: CORRECTNESS_r07 was never delivered (no "round 7"
+    # driver-artifact commit exists, unlike rounds 1-6), so the window
+    # below has NO driver rows yet. The window is therefore HELD
+    # UNCHANGED for round 8 — CORRECTNESS_r08 will cover exactly what
+    # r07 was supposed to. Rotating now would leave these 41 entries
+    # permanently uncovered. The ROUND-9 rotation list is the round-7
+    # tail (32 entries, see the position-51 comment) plus the round-8
+    # additions at the end of this dict; all are locally verified at
+    # sf0.001 AND sf0.01 via scripts/check_oracle.py and mirrored by
+    # the dynamic SUBSET in tests/test_entry_oracle.py meanwhile.
     # Multi-round-stable legacy entries move to the tail; every
     # oracle-backed tail entry stays checked by the dynamic SUBSET in
     # tests/test_entry_oracle.py (computed as "oracle-backed and past
@@ -9118,8 +9127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (every oracle-backed entry below is checked by the dynamic
         # SUBSET in tests/test_entry_oracle.py; each has driver rows
         # from rounds 1-6)
-        # ROUND-8 ROTATION LIST (round-7 tail additions, never driver-
-        # checked): docs_tokenizer_fertility, embedding_drift,
+        # ROUND-9 ROTATION LIST (round-7 tail additions, never driver-
+        # checked; held one round because CORRECTNESS_r07 was never
+        # delivered — see the window comment above):
+        # docs_tokenizer_fertility, embedding_drift,
         # pipeline_rag, docs_compression_ratio, decontaminate_bloom,
         # maxsim_topk, packing_report, token_pmi, winnow_pairs,
         # soft_dedup, docs_csv_ingest, docs_blocklist, docs_pagerank,
@@ -9132,9 +9143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docs_dedup_contained, docs_dedup_funnel, dedup_recall_lsh,
         # mix_rank_weighted, dedup_recall_simhash.
         # Everything else in the registry will have a
-        # driver row after CORRECTNESS_r07 — rotate those in, keep
-        # the 9 stable reps, and fill the rest of the window with
-        # round-8 additions (locally verified first) per the r7
+        # driver row after CORRECTNESS_r08 (the held window) — rotate
+        # the list above in for round 9, keep the 9 stable reps, and
+        # fill remaining slots with round-8 additions per the r7
         # pattern.
         "docs_stream_near_pairs": _docs_stream_near_pairs,
         "docs_dedup_lines": _docs_dedup_lines,
@@ -9280,9 +9291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_lsh": _dedup_recall_lsh,
         "mix_rank_weighted": _mix_rank_weighted,
         "dedup_recall_simhash": _dedup_recall_simhash,
-        # round-8 additions (rotation targets alongside the list in the
-        # comment above; each locally verified at sf0.001 AND sf0.01
-        # via scripts/check_oracle.py before landing)
+        # round-8 additions (round-9 rotation targets alongside the
+        # list in the comment above; each locally verified at sf0.001
+        # AND sf0.01 via scripts/check_oracle.py before landing)
         "docs_lm_kn": _docs_lm_kn,
         "radius_search": _radius_search,
         "multimodal_dedup_exact": _multimodal_dedup_exact,
