@@ -87,3 +87,168 @@ class TestMergeUpsert:
         )
         with pt.raises(ValueError, match="schemas differ"):
             merge_upsert(base, ch, "id", "version")
+
+
+class TestPsiDrift:
+    """operators/reports.py::psi_drift — fixed-bin PSI monitor."""
+
+    EDGES = [10.0, 20.0, 30.0]
+
+    def test_identical_distributions_zero(self, spark):
+        from tidyvec_spark.operators.reports import psi_drift
+
+        df = spark.createDataFrame(
+            [(float(v),) for v in range(1, 40)], ["x"]
+        )
+        row = psi_drift(df, df, "x", self.EDGES).first()
+        # eps-smoothed: identical proportions → every term exactly 0
+        assert row["psi"] == 0.0
+        assert row["n_ref"] == row["n_cur"] == 39
+
+    def test_shift_detected_and_matches_python(self, spark):
+        import math
+
+        from tidyvec_spark.operators.reports import psi_drift
+
+        ref_vals = [5.0] * 50 + [15.0] * 30 + [25.0] * 15 + [35.0] * 5
+        cur_vals = [5.0] * 10 + [15.0] * 20 + [25.0] * 30 + [35.0] * 40
+        ref = spark.createDataFrame([(v,) for v in ref_vals], ["x"])
+        cur = spark.createDataFrame([(v,) for v in cur_vals], ["x"])
+        got = psi_drift(ref, cur, "x", self.EDGES, eps=1e-6).first()["psi"]
+        eps = 1e-6
+        want = 0.0
+        for pr, pc in ((0.5, 0.1), (0.3, 0.2), (0.15, 0.3), (0.05, 0.4)):
+            pr, pc = pr + eps, pc + eps
+            want += (pc - pr) * math.log(pc / pr)
+        assert abs(got - round(want, 6)) < 1e-9
+        assert got > 0.25  # reads as "shifted"
+
+    def test_grouped_and_empty_bins(self, spark):
+        from tidyvec_spark.operators.reports import psi_drift
+
+        ref = spark.createDataFrame(
+            [("a", 5.0)] * 10 + [("b", 5.0)] * 10, ["src", "x"]
+        )
+        cur = spark.createDataFrame(
+            [("a", 5.0)] * 10 + [("b", 35.0)] * 10, ["src", "x"]
+        )
+        rows = {
+            r["src"]: r["psi"]
+            for r in psi_drift(ref, cur, "x", self.EDGES, by=["src"]).collect()
+        }
+        assert rows["a"] == 0.0
+        assert rows["b"] > 1.0  # total mass moved across empty bins
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tidyvec_spark.operators.reports import psi_drift
+
+        df = spark.createDataFrame([(1.0,)], ["x"])
+        with _pytest.raises(ValueError, match="edges"):
+            psi_drift(df, df, "x", [])
+
+
+class TestDropAttribution:
+    """operators/reports.py::drop_attribution — first-failing-rule
+    exclusive funnel."""
+
+    def _docs(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "good text here", 10),
+            (2, "", 0),            # fails non_empty
+            (3, "x", 1),           # passes non_empty, fails min_len
+            (4, "spam spam", 2),   # fails min_len (first), also spam
+            (5, "clean doc ok", 3),
+        ]
+        return spark.createDataFrame(rows, ["id", "text", "n"]), F
+
+    def test_exclusive_attribution_sums(self, spark):
+        from tidyvec_spark.operators.reports import drop_attribution
+
+        df, F = self._docs(spark)
+        rules = [
+            ("non_empty", F.length("text") > 0),
+            ("min_len", F.col("n") >= 3),
+            ("no_spam", ~F.col("text").contains("spam")),
+        ]
+        rows = drop_attribution(df, rules).collect()
+        got = {r["rule"]: (r["n_dropped"], r["n_remaining"]) for r in rows}
+        # doc4 fails min_len AND no_spam → charged to min_len only
+        assert got["non_empty"] == (1, 4)
+        assert got["min_len"] == (2, 2)
+        assert got["no_spam"] == (0, 2)  # zero-drop rule still listed
+        assert got["__kept__"] == (2, 2)
+        assert sum(n for n, _ in got.values()) == 5
+        assert [r["rule_order"] for r in rows] == [0, 1, 2, 3]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tidyvec_spark.operators.reports import drop_attribution
+
+        df, _ = self._docs(spark)
+        with _pytest.raises(ValueError, match="rules"):
+            drop_attribution(df, [])
+
+
+class TestScd2History:
+    """sources/maintenance.py::scd2_history — type-2 dimension from a
+    change feed."""
+
+    def test_runs_collapse_and_intervals_chain(self, spark):
+        from tidyvec_spark.sources.maintenance import scd2_history
+
+        rows = [
+            (1, 10, "a", False),
+            (1, 20, "a", False),   # re-asserted: same run
+            (1, 30, "b", False),   # change
+            (2, 10, "x", False),
+            (2, 25, "x", True),    # tombstone closes, no new interval
+            (2, 40, "y", False),   # re-insert opens fresh interval
+        ]
+        df = spark.createDataFrame(rows, ["id", "v", "val", "del"])
+        got = sorted(
+            (
+                (r["id"], r["val"], r["effective_from"], r["effective_to"], r["is_current"])
+                for r in scd2_history(df, "id", "v", ["val"], "del").collect()
+            )
+        )
+        assert got == [
+            (1, "a", 10, 30, False),
+            (1, "b", 30, None, True),
+            (2, "x", 10, 25, False),
+            (2, "y", 40, None, True),
+        ]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tidyvec_spark.sources.maintenance import scd2_history
+
+        df = spark.createDataFrame([(1, 1, "a")], ["id", "v", "val"])
+        with _pytest.raises(ValueError, match="payload_cols"):
+            scd2_history(df, "id", "v", [])
+
+def test_psi_group_in_one_snapshot_only(spark):
+    # ANSI guard: a source that appears/vanishes between snapshots
+    # must read as maximal drift, not kill the job with /0
+    from tidyvec_spark.operators.reports import psi_drift
+
+    ref = spark.createDataFrame(
+        [("a", 5.0)] * 5 + [("gone", 5.0)] * 5, ["src", "x"]
+    )
+    cur = spark.createDataFrame(
+        [("a", 5.0)] * 5 + [("new", 5.0)] * 5, ["src", "x"]
+    )
+    rows = {
+        r["src"]: r
+        for r in psi_drift(
+            ref, cur, "x", TestPsiDrift.EDGES, by=["src"]
+        ).collect()
+    }
+    assert rows["a"]["psi"] == 0.0
+    assert rows["gone"]["psi"] > 5.0 and rows["gone"]["n_cur"] == 0
+    assert rows["new"]["psi"] > 5.0 and rows["new"]["n_ref"] == 0

@@ -117,3 +117,55 @@ def test_key_skew_profile(spark):
     import pytest as pt
     with pt.raises(ValueError):
         key_skew_profile(df, "k", top_n=0)
+
+
+class TestSplitJoin:
+    """operators/skew.py::split_join — hot/cold hybrid must equal the
+    plain join, route hot keys through a broadcast, and cap the
+    hot-key fetch."""
+
+    def test_equals_plain_join(self, skewed, dim):
+        from tidyvec_spark.operators.skew import split_join
+
+        plain = skewed.join(dim, "user_id", "inner").select(
+            "user_id", "row_id", "v", "segment"
+        )
+        split = split_join(
+            skewed, dim, on="user_id", hot_threshold=100
+        ).select("user_id", "row_id", "v", "segment")
+        assert canon(split) == canon(plain)
+
+    def test_left_join_preserved(self, skewed, dim):
+        from tidyvec_spark.operators.skew import split_join
+
+        plain = skewed.join(dim, "user_id", "left").select(
+            "user_id", "row_id", "segment"
+        )
+        split = split_join(
+            skewed, dim, on="user_id", hot_threshold=100, how="left"
+        ).select("user_id", "row_id", "segment")
+        assert canon(split) == canon(plain)
+
+    def test_hot_path_broadcasts(self, skewed, dim):
+        from tidyvec_spark.operators.skew import split_join
+
+        out = split_join(skewed, dim, on="user_id", hot_threshold=100)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_no_hot_keys_is_plain(self, skewed, dim):
+        from tidyvec_spark.operators.skew import split_join
+
+        out = split_join(skewed, dim, on="user_id", hot_threshold=10_000)
+        plain = skewed.join(dim, "user_id", "inner")
+        assert canon(out.select(*plain.columns)) == canon(plain)
+
+    def test_too_many_hot_keys_raises(self, skewed, dim):
+        import pytest as _pytest
+
+        from tidyvec_spark.operators.skew import split_join
+
+        with _pytest.raises(ValueError, match="hot_threshold"):
+            split_join(
+                skewed, dim, on="user_id", hot_threshold=1, max_hot_keys=3
+            )

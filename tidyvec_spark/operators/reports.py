@@ -11,14 +11,14 @@ metadata only, R/core.R); these compose the engine's tokenization law
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.text import tokens
 
-__all__ = ["vocab_growth"]
+__all__ = ["vocab_growth", "psi_drift", "drop_attribution"]
 
 
 def vocab_growth(
@@ -112,3 +112,152 @@ def vocab_growth(
             round_to,
         ).alias("ttr"),
     ).orderBy("max_doc_id")
+
+
+def _bin_index(value: Column, edges: Sequence[float]) -> Column:
+    """Fixed-edge bin index 0..len(edges): Σ_i (value > eᵢ) — a pure
+    codegen expression (no histogram UDF, no quantile pass)."""
+    idx: Column = F.lit(0)
+    for e in edges:
+        idx = idx + (value > F.lit(float(e))).cast("int")
+    return idx
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    edges: Sequence[float],
+    by: Sequence[str] = (),
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index of ``value_col`` between a reference
+    snapshot and the current one — (by..., psi, n_ref, n_cur), one row
+    per group.
+
+    PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref) over FIXED bins
+    given by ``edges`` (k edges → k+1 bins; NULL values are excluded).
+    Conventional reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    shifted — the one-number monitor for "did this source's length /
+    quality-score distribution move between crawls", run before a new
+    snapshot joins the training mix.
+
+    Fixed caller-supplied edges (not per-run quantiles) are what make
+    the number comparable across runs and the plan cheap: binning is a
+    map-side expression, so the whole report is one groupBy per
+    snapshot over (by, bin) — shuffle width = groups × bins — plus an
+    outer join of those two tiny tables. ``eps`` smooths empty bins
+    (the standard guard: an empty-vs-occupied bin is strong evidence,
+    not a division error).
+    """
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    es = sorted(float(e) for e in edges)
+    keys = list(by)
+
+    def _binned(df: DataFrame, out: str) -> DataFrame:
+        b = df.filter(F.col(value_col).isNotNull()).select(
+            *keys, _bin_index(F.col(value_col), es).alias("__bin")
+        )
+        return b.groupBy(*keys, "__bin").agg(F.count(F.lit(1)).alias(out))
+
+    r = _binned(ref, "__nr")
+    c = _binned(cur, "__nc")
+    joined = r.join(c, on=keys + ["__bin"], how="full").select(
+        *keys,
+        F.coalesce("__nr", F.lit(0)).alias("__nr"),
+        F.coalesce("__nc", F.lit(0)).alias("__nc"),
+    )
+    tot = joined.groupBy(*keys).agg(
+        F.sum("__nr").alias("__tr"), F.sum("__nc").alias("__tc")
+    )
+    # a group present in only ONE snapshot has a zero total on the
+    # other side — ANSI mode makes the plain division a job-killing
+    # error; every bin proportion collapses to eps and the group reads
+    # as maximal drift, which is the right verdict for appear/vanish
+    pr = F.coalesce(
+        F.try_divide(F.col("__nr"), F.col("__tr")), F.lit(0.0)
+    ) + F.lit(float(eps))
+    pc = F.coalesce(
+        F.try_divide(F.col("__nc"), F.col("__tc")), F.lit(0.0)
+    ) + F.lit(float(eps))
+    term = (pc - pr) * F.log(pc / pr)
+    # ungrouped: totals are ONE row — a broadcast cross join, not a
+    # keyed join on an empty key list
+    withtot = (
+        joined.join(tot, on=keys)
+        if keys
+        else joined.crossJoin(F.broadcast(tot))
+    )
+    out = (
+        withtot.groupBy(*keys)
+        .agg(
+            F.round(F.sum(term), round_to).alias("psi"),
+            F.first("__tr").alias("n_ref"),
+            F.first("__tc").alias("n_cur"),
+        )
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def drop_attribution(
+    df: DataFrame,
+    rules: Sequence[Tuple[str, Column]],
+    round_to: int = 6,
+) -> DataFrame:
+    """First-failing-rule attribution for an ordered filter chain —
+    one row per rule plus a final ``__kept__`` row:
+    (rule, rule_order, n_dropped, drop_rate, n_remaining).
+
+    Every curation pipeline is an ordered AND of keep-predicates; when
+    yield collapses, "which rule ate the corpus?" must be answerable
+    without re-running the chain N times. Each document is charged to
+    the FIRST rule it fails (exclusive attribution, so the counts sum
+    to exactly the drop total), computed as ONE map-side CASE chain
+    over all rules in order + one tiny groupBy — a single corpus scan
+    regardless of chain length. ``n_remaining`` is the survivor count
+    after that rule in chain order; ``drop_rate`` is n_dropped over
+    the corpus.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    first_fail = F.lit(None).cast("string")
+    # build the CASE in reverse so earlier rules take precedence
+    for name, keep in reversed(rules):
+        first_fail = F.when(~keep, F.lit(name)).otherwise(first_fail)
+    tagged = df.select(F.coalesce(first_fail, F.lit("__kept__")).alias("rule"))
+    counts = tagged.groupBy("rule").agg(F.count(F.lit(1)).alias("n"))
+    # literal (rule, rule_order) spine so rules that dropped NOTHING
+    # still appear as zero rows — a groupBy alone omits them
+    spine = df.sparkSession.createDataFrame(
+        [(name, i) for i, (name, _) in enumerate(rules)]
+        + [("__kept__", len(rules))],
+        "rule string, rule_order int",
+    )
+    counts = spine.join(counts, on="rule", how="left").select(
+        "rule", "rule_order", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    # the windows below run on a ≤ len(rules)+1-row frame — the
+    # single-partition global window is bounded by the chain length
+    w = Window.orderBy("rule_order").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy()
+    return (
+        counts.withColumn("__total", F.sum("n").over(total))
+        .withColumn(
+            "n_remaining", F.col("__total") - F.sum("n").over(w)
+        )
+        .select(
+            "rule",
+            "rule_order",
+            F.col("n").alias("n_dropped"),
+            F.round(F.col("n") / F.col("__total"), round_to).alias("drop_rate"),
+            # the kept row "drops" nobody; its remaining is itself
+            F.when(F.col("rule") == "__kept__", F.col("n"))
+            .otherwise(F.col("n_remaining"))
+            .alias("n_remaining"),
+        )
+        .orderBy("rule_order")
+    )

@@ -36,7 +36,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["key_skew_profile", "salted_join", "two_phase_agg"]
+__all__ = ["key_skew_profile", "salted_join", "split_join", "two_phase_agg"]
 
 
 def _salt_col(df: DataFrame, salt_factor: int, salt_on: Optional[str]) -> Column:
@@ -152,3 +152,63 @@ def key_skew_profile(
         .orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
         .limit(int(top_n))
     )
+
+
+def split_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    hot_threshold: int = 100_000,
+    max_hot_keys: int = 1_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot/cold hybrid equi-join: keys whose LEFT frequency exceeds
+    ``hot_threshold`` join via BROADCAST of the right side's (tiny)
+    hot-key slice; everything else takes the normal shuffle join. Rows
+    out equal the plain join (the oracle twin IS the plain join).
+
+    This is the other standard skew weapon next to :func:`salted_join`
+    — better when the right side is too big to replicate
+    ``salt_factor``× but its hot-key SLICE is broadcast-sized (the
+    usual case: a handful of Zipfian keys, each with modest dimension
+    payload). The hot keys come from one count-aggregation on the left
+    (bounded driver fetch, capped at ``max_hot_keys`` — the cap
+    protects the broadcast, and overflowing it raises rather than
+    silently broadcasting an unbounded slice). The cold path's shuffle
+    then has NO key above ``hot_threshold`` by construction, so no
+    straggler task.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if int(hot_threshold) < 1:
+        raise ValueError("hot_threshold must be >= 1")
+    hot = (
+        left.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > int(hot_threshold))
+        .select(*keys)
+        .limit(int(max_hot_keys) + 1)
+        .collect()
+    )
+    if len(hot) > int(max_hot_keys):
+        raise ValueError(
+            f"more than {max_hot_keys} keys exceed hot_threshold="
+            f"{hot_threshold}; raise the threshold or use salted_join"
+        )
+    if not hot:
+        return left.join(right, on=keys, how=how)
+    hot_pred = None
+    for row in hot:
+        k_eq = None
+        for k in keys:
+            e = F.col(k).eqNullSafe(F.lit(row[k]))
+            k_eq = e if k_eq is None else (k_eq & e)
+        hot_pred = k_eq if hot_pred is None else (hot_pred | k_eq)
+    cold = left.filter(~F.coalesce(hot_pred, F.lit(False))).join(
+        right, on=keys, how=how
+    )
+    hot_side = left.filter(hot_pred).join(
+        F.broadcast(right.filter(hot_pred)), on=keys, how=how
+    )
+    return cold.unionByName(hot_side)

@@ -21,6 +21,7 @@ __all__ = [
     "corpus_manifest",
     "merge_upsert",
     "parquet_file_stats",
+    "scd2_history",
 ]
 
 
@@ -228,3 +229,70 @@ def merge_upsert(
         id_col, *[F.col(f"__w.{p}").alias(p) for p in payload]
     ).filter(~F.col(delete_col))
     return out.drop("__deleted") if delete_col == "__deleted" else out
+
+
+def scd2_history(
+    changes: DataFrame,
+    id_col: str,
+    version_col: str,
+    payload_cols: "list[str]",
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change feed —
+    (id, payload..., effective_from, effective_to, is_current), one
+    row per DISTINCT payload run per id.
+
+    :func:`merge_upsert` answers "what is true now"; SCD2 answers
+    "what was true when" — the shape joins against fact tables as-of
+    any timestamp (pair with ``operators.joins.asof_join`` on
+    ``effective_from``). Semantics:
+
+    - versions order each id's timeline; ``effective_to`` is the NEXT
+      change's version (NULL = open interval);
+    - consecutive versions with an UNCHANGED payload collapse into one
+      interval (re-asserting a value is not a change);
+    - a tombstone (``delete_col`` true) CLOSES the interval without
+      opening one, so a deleted id has no current row; re-inserting
+      later opens a fresh interval.
+
+    Shape: one shuffle on the id (window partition); per-id sort cost
+    is bounded by that id's change count. The payload-change test is a
+    lag over the same window — no self-join, no second shuffle.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not payload_cols:
+        raise ValueError("payload_cols must be non-empty")
+    deleted = (
+        F.col(delete_col) if delete_col else F.lit(False)
+    ).cast("boolean")
+    w = Window.partitionBy(id_col).orderBy(version_col)
+    # change-run detection: a row STARTS a run when its (payload,
+    # deleted) state differs from the previous version's state
+    state = F.struct(
+        *[F.col(p) for p in payload_cols], deleted.alias("__del")
+    )
+    runs = (
+        changes.withColumn("__state", state)
+        .withColumn("__prev", F.lag("__state").over(w))
+        .filter(
+            F.col("__prev").isNull()
+            | (F.col("__state") != F.col("__prev"))
+        )
+    )
+    # windows over the FILTERED run-starts: next run start closes this
+    # interval; same partitioning, Catalyst keeps it one exchange
+    w2 = Window.partitionBy(id_col).orderBy(version_col)
+    out = (
+        runs.withColumn("effective_to", F.lead(version_col).over(w2))
+        .filter(~F.col("__state.__del"))  # tombstone rows only close
+        .select(
+            id_col,
+            *payload_cols,
+            F.col(version_col).alias("effective_from"),
+            "effective_to",
+            F.col("effective_to").isNull().alias("is_current"),
+        )
+    )
+    return out
