@@ -9024,6 +9024,331 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
 
 
 # ---------------------------------------------------------------------------
+# round-8 wave: entity resolution / inverted index / drift & funnel
+# reports / SCD2 / hot-cold split join
+# ---------------------------------------------------------------------------
+
+def _entity_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers plus dirty variants: for custkey < 200 a truncated
+    copy of the name (one trailing char dropped → edit distance 1 from
+    every name in its decade block) under id+100000. TPC-H names are
+    'Customer#NNNNNNNNN', so records sharing the first 17 chars — a
+    decade of keys plus their variants — form one true entity clique."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    variants = cust.filter(F.col("id") < 200).select(
+        (F.col("id") + 100000).alias("id"),
+        F.substring("name", 1, 17).alias("name"),
+    )
+    return cust.unionByName(variants)
+
+
+_ENTITY_BLOCK = "substr(lower(name), 1, 17)"
+_ENTITY_CORPUS_SQL = """
+  SELECT c_custkey AS id, c_name AS name FROM customer
+  UNION ALL
+  SELECT c_custkey + 100000, substr(c_name, 1, 17)
+  FROM customer WHERE c_custkey < 200
+"""
+
+
+def _entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage candidates+verify (operators/entities.py::
+    entity_match_pairs): blocking equi-join on the 17-char name prefix
+    (never all-pairs), native levenshtein(threshold=1) verify. The
+    truncated variants must match every member of their decade."""
+    from tidyvec_spark.operators.entities import entity_match_pairs
+
+    corpus = _entity_corpus(spark, sf_dir)
+    return entity_match_pairs(
+        corpus,
+        "id",
+        "name",
+        [F.expr(_ENTITY_BLOCK)],
+        max_edit=1,
+    )
+
+
+_ENTITY_MATCH_PAIRS_SQL = f"""
+WITH corpus AS ({_ENTITY_CORPUS_SQL}),
+k AS (
+  SELECT id, {_ENTITY_BLOCK} AS bk,
+         trim(regexp_replace(lower(name), '\\s+', ' ', 'g')) AS nn
+  FROM corpus
+)
+SELECT a.id AS id_l, b.id AS id_r,
+       CAST(levenshtein(a.nn, b.nn) AS INT) AS edit_distance
+FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id
+WHERE levenshtein(a.nn, b.nn) <= 1
+"""
+
+
+def _entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive entity resolution (operators/entities.py::
+    resolve_entities): min-label propagation over the verified pair
+    graph. On this corpus every block is a distance-≤1 clique, so the
+    oracle's min-id-per-block IS the component label — the Spark side
+    still earns it through the iterative components machinery."""
+    from tidyvec_spark.operators.entities import resolve_entities
+
+    corpus = _entity_corpus(spark, sf_dir)
+    return resolve_entities(
+        corpus, "id", "name", [F.expr(_ENTITY_BLOCK)], max_edit=1
+    )
+
+
+_ENTITY_RESOLVE_SQL = f"""
+WITH corpus AS ({_ENTITY_CORPUS_SQL})
+SELECT id, min(id) OVER (PARTITION BY {_ENTITY_BLOCK}) AS entity_id
+FROM corpus
+"""
+
+
+def _entity_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key cost audit (operators/entities.py::block_stats):
+    the 20 largest blocks with implied pair counts — the pre-flight
+    check that catches an over-coarse key before the linkage job."""
+    from tidyvec_spark.operators.entities import block_stats
+
+    corpus = _entity_corpus(spark, sf_dir)
+    return block_stats(corpus, [F.expr(_ENTITY_BLOCK)], top_n=20)
+
+
+_ENTITY_BLOCK_AUDIT_SQL = f"""
+WITH corpus AS ({_ENTITY_CORPUS_SQL}),
+b AS (
+  SELECT {_ENTITY_BLOCK} AS block_key_0, CAST(count(*) AS BIGINT) AS n_records
+  FROM corpus GROUP BY 1
+)
+SELECT block_key_0, n_records,
+       CAST(n_records * (n_records - 1) / 2 AS BIGINT) AS n_pairs
+FROM b
+ORDER BY n_pairs DESC, block_key_0
+LIMIT 20
+"""
+
+
+def _bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted index (operators/index.py): postings written
+    partitionBy(term-hash bucket) + stats sidecar, then BM25 answered
+    from the query terms' postings alone — bit-identical scores to the
+    full-scan bm25_search, verified here against the direct-formula
+    oracle at n=15."""
+    import tempfile
+
+    from tidyvec_spark.operators.index import (
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="tv_invidx_") + "/idx"
+    write_inverted_index(docs, "text", "doc_id", path, n_buckets=16)
+    return bm25_topk_indexed(
+        spark,
+        path,
+        _TFIDF_QUERY,
+        n=15,
+        n_buckets=16,
+        round_to=R,
+        id_col="doc_id",
+    )
+
+
+_PSI_EDGES = (200.0, 400.0, 800.0)
+
+
+def _source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift (operators/reports.py::psi_drift):
+    PSI of n_chars between the first and second half of the corpus by
+    doc_id — fixed bins, one groupBy per snapshot, tiny outer join."""
+    from tidyvec_spark.operators.reports import psi_drift
+
+    docs = _read(spark, sf_dir, "documents")
+    return psi_drift(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+        "n_chars",
+        list(_PSI_EDGES),
+        by=["source"],
+        round_to=R,
+    )
+
+
+_SOURCE_PSI_DRIFT_SQL = f"""
+WITH binned AS (
+  SELECT source, (doc_id >= 250) AS cur,
+         (CASE WHEN n_chars > {_PSI_EDGES[0]} THEN 1 ELSE 0 END
+          + CASE WHEN n_chars > {_PSI_EDGES[1]} THEN 1 ELSE 0 END
+          + CASE WHEN n_chars > {_PSI_EDGES[2]} THEN 1 ELSE 0 END) AS bin
+  FROM documents WHERE n_chars IS NOT NULL
+),
+rb AS (SELECT source, bin, count(*) AS nr FROM binned WHERE NOT cur GROUP BY 1, 2),
+cb AS (SELECT source, bin, count(*) AS nc FROM binned WHERE cur GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(rb.source, cb.source) AS source,
+         coalesce(rb.bin, cb.bin) AS bin,
+         coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+  FROM rb FULL JOIN cb ON rb.source = cb.source AND rb.bin = cb.bin
+),
+t AS (
+  SELECT source, CAST(sum(nr) AS DOUBLE) AS tr, CAST(sum(nc) AS DOUBLE) AS tc
+  FROM j GROUP BY 1
+)
+SELECT j.source,
+       ROUND(sum((nc / tc + 1e-6 - nr / tr - 1e-6)
+                 * ln((nc / tc + 1e-6) / (nr / tr + 1e-6))), {R}) AS psi,
+       CAST(min(tr) AS BIGINT) AS n_ref,
+       CAST(min(tc) AS BIGINT) AS n_cur
+FROM j JOIN t USING (source)
+GROUP BY j.source
+"""
+
+
+def _docs_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-failing-rule funnel (operators/reports.py::
+    drop_attribution): every document charged to the first keep-rule
+    it fails — exclusive counts that sum to the drop total, one corpus
+    scan for the whole chain, zero-drop rules still reported."""
+    from tidyvec_spark.operators.reports import drop_attribution
+
+    docs = _read(spark, sf_dir, "documents")
+    rules = [
+        ("non_empty", F.length(F.trim(F.col("text"))) > 0),
+        ("min_chars", F.col("n_chars") >= 200),
+        ("has_period", F.col("text").contains(".")),
+    ]
+    return drop_attribution(docs, rules, round_to=R)
+
+
+_DOCS_DROP_ATTRIBUTION_SQL = f"""
+WITH tagged AS (
+  SELECT CASE
+    WHEN NOT (length(trim(text)) > 0) THEN 'non_empty'
+    WHEN NOT (n_chars >= 200) THEN 'min_chars'
+    WHEN NOT contains(text, '.') THEN 'has_period'
+    ELSE '__kept__' END AS rule
+  FROM documents
+),
+spine(rule, rule_order) AS (
+  VALUES ('non_empty', 0), ('min_chars', 1), ('has_period', 2),
+         ('__kept__', 3)
+),
+c AS (
+  SELECT spine.rule, spine.rule_order, coalesce(t.n, 0) AS n
+  FROM spine LEFT JOIN (
+    SELECT rule, count(*) AS n FROM tagged GROUP BY 1
+  ) t ON spine.rule = t.rule
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT rule, rule_order, CAST(n AS BIGINT) AS n_dropped,
+       ROUND(n / total, {R}) AS drop_rate,
+       CAST(CASE WHEN rule = '__kept__' THEN n
+            ELSE total - sum(n) OVER (ORDER BY rule_order) END AS BIGINT)
+         AS n_remaining
+FROM c, tot
+ORDER BY rule_order
+"""
+
+
+def _docs_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history from a CDC feed (sources/maintenance.py::
+    scd2_history): per doc, v1 asserts source, v2 re-asserts (must
+    collapse), v3 moves every 3rd doc, v4 tombstones every 5th —
+    intervals chain, tombstones close without reopening."""
+    from tidyvec_spark.sources.maintenance import scd2_history
+
+    base = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    ).select("doc_id", "source")
+    f = F.lit(False)
+
+    def ver(v, val, tomb=None):
+        b = base if tomb is None else base.filter(tomb)
+        return b.select(
+            "doc_id",
+            F.lit(v).alias("v"),
+            val.alias("val"),
+            (F.lit(True) if tomb is not None else f).alias("del"),
+        )
+
+    feed = (
+        ver(1, F.col("source"))
+        .unionByName(ver(2, F.col("source")))
+        .unionByName(
+            ver(
+                3,
+                F.when(F.col("doc_id") % 3 == 0, F.lit("moved")).otherwise(
+                    F.col("source")
+                ),
+            )
+        )
+        .unionByName(ver(4, F.lit("x"), tomb=F.col("doc_id") % 5 == 0))
+    )
+    return scd2_history(feed, "doc_id", "v", ["val"], "del")
+
+
+_DOCS_SCD2_SQL = """
+WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id < 300),
+feed AS (
+  SELECT doc_id, 1 AS v, source AS val, FALSE AS del FROM base
+  UNION ALL SELECT doc_id, 2, source, FALSE FROM base
+  UNION ALL SELECT doc_id, 3,
+    CASE WHEN doc_id % 3 = 0 THEN 'moved' ELSE source END, FALSE FROM base
+  UNION ALL SELECT doc_id, 4, 'x', TRUE FROM base WHERE doc_id % 5 = 0
+),
+runs AS (
+  SELECT *, lag(val) OVER w AS pval, lag(del) OVER w AS pdel
+  FROM feed WINDOW w AS (PARTITION BY doc_id ORDER BY v)
+),
+starts AS (
+  SELECT doc_id, v, val, del FROM runs
+  WHERE pval IS NULL OR val <> pval OR del <> pdel
+),
+iv AS (
+  SELECT doc_id, val, del, v AS effective_from,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY v) AS effective_to
+  FROM starts
+)
+SELECT doc_id, val, effective_from, effective_to,
+       effective_to IS NULL AS is_current
+FROM iv WHERE NOT del
+"""
+
+
+def _skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/cold hybrid join (operators/skew.py::split_join): user keys
+    above 80 events route through a broadcast of the dimension's hot
+    slice, the rest shuffle — result must equal the plain join, here
+    folded to per-segment totals."""
+    from tidyvec_spark.operators.skew import split_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("seg", F.pmod(F.col("user_id"), F.lit(5)))
+    )
+    joined = split_join(ev, dim, on="user_id", hot_threshold=80)
+    return joined.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), R).alias("total_value"),
+    )
+
+
+_SKEW_SPLIT_JOIN_SQL = f"""
+WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS seg FROM events)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), {R}) AS total_value
+FROM events JOIN dim USING (user_id)
+GROUP BY seg
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -9302,6 +9627,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_orc_roundtrip": _docs_orc_roundtrip,
         "events_hll_accuracy": _events_hll_accuracy,
         "events_asof_forward": _events_asof_forward,
+        "entity_match_pairs": _entity_match_pairs,
+        "entity_resolve": _entity_resolve,
+        "entity_block_audit": _entity_block_audit,
+        "bm25_indexed_topk": _bm25_indexed_topk,
+        "source_psi_drift": _source_psi_drift,
+        "docs_drop_attribution": _docs_drop_attribution,
+        "docs_scd2": _docs_scd2,
+        "skew_split_join": _skew_split_join,
     }
 
 
@@ -9503,6 +9836,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_orc_roundtrip": _DOCS_ORC_ROUNDTRIP_SQL,
         "events_hll_accuracy": _EVENTS_HLL_ACCURACY_SQL,
         "events_asof_forward": _EVENTS_ASOF_FORWARD_SQL,
+        "entity_match_pairs": _ENTITY_MATCH_PAIRS_SQL,
+        "entity_resolve": _ENTITY_RESOLVE_SQL,
+        "entity_block_audit": _ENTITY_BLOCK_AUDIT_SQL,
+        "bm25_indexed_topk": _BM25_SEARCH_SQL.replace("LIMIT 10", "LIMIT 15"),
+        "source_psi_drift": _SOURCE_PSI_DRIFT_SQL,
+        "docs_drop_attribution": _DOCS_DROP_ATTRIBUTION_SQL,
+        "docs_scd2": _DOCS_SCD2_SQL,
+        "skew_split_join": _SKEW_SPLIT_JOIN_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -209,6 +209,14 @@ BENCH_QUERIES = [
     "dedup_recall_lsh",
     "mix_rank_weighted",
     "dedup_recall_simhash",
+    "entity_match_pairs",
+    "entity_resolve",
+    "entity_block_audit",
+    "bm25_indexed_topk",
+    "source_psi_drift",
+    "docs_drop_attribution",
+    "docs_scd2",
+    "skew_split_join",
 ]
 
 

@@ -574,3 +574,33 @@ def test_round8_plan_shapes(spark, qs):
     md = qs["multimodal_dedup_exact"](spark, SF)
     P.assert_broadcast(md, at_least=1)
     P.assert_no_cartesian(md)
+
+
+def test_round8_wave_plan_shapes(spark, qs):
+    """Round-8 wave: blocking-join linkage, indexed retrieval, drift /
+    funnel reports, SCD2, hot-cold split join — all bounded-shuffle,
+    no cartesian anywhere."""
+    mp = qs["entity_match_pairs"](spark, SF)
+    P.assert_no_cartesian(mp)
+    # blocking equi-join: one exchange per side; verify is map-side
+    assert P.num_shuffles(mp) <= 2
+
+    ps = qs["source_psi_drift"](spark, SF)
+    P.assert_no_cartesian(ps)
+    # two snapshot groupBys + outer join + totals join + final agg,
+    # every one bounded by groups × bins
+    assert P.num_shuffles(ps) <= 8
+
+    da = qs["docs_drop_attribution"](spark, SF)
+    P.assert_no_cartesian(da)
+    # ONE corpus groupBy; spine join and windows run on ≤5 rows
+    assert P.num_shuffles(da) <= 4
+
+    sc = qs["docs_scd2"](spark, SF)
+    P.assert_no_cartesian(sc)
+    # run-detection lag and interval lead share one id partitioning
+    assert P.num_shuffles(sc) <= 2
+
+    sj = qs["skew_split_join"](spark, SF)
+    P.assert_no_cartesian(sj)
+    P.assert_broadcast(sj, at_least=1)  # the hot-key slice
