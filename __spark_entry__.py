@@ -1961,6 +1961,128 @@ FROM documents
 """
 
 
+def _multimodal_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-level audio decode (operators/multimodal.py::
+    audio_pcm_stats): complete PCM16 WAV files are assembled
+    expression-side — header AND a deterministic doc_id-seeded sample
+    payload — then decoded back by ``np.frombuffer`` and reduced to
+    integer-exact loudness stats. The oracle recomputes the same stats
+    from the closed-form sample law, so the byte-level encode→decode
+    round trip is what the hash check certifies. Step beyond the
+    header parsers: this one touches every sample."""
+    from tidyvec_spark.operators.multimodal import audio_pcm_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    frames = (F.lit(100) + F.col("doc_id") % 400).cast("long")
+    data_size = frames * 2  # mono, 16-bit
+
+    def le(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(F.hex(F.shiftright(col, 8 * i) % 256), 2, "0")
+                for i in range(nbytes)
+            ]
+        )
+
+    payload = F.expr(
+        "array_join(transform(sequence(0, int(100 + doc_id % 400) - 1),"
+        " i -> concat("
+        "lpad(hex(((doc_id*7919 + i*48271) % 65536) % 256), 2, '0'),"
+        "lpad(hex(((doc_id*7919 + i*48271) % 65536) div 256), 2, '0')"
+        ")), '')"
+    )
+    content = F.unhex(
+        F.concat(
+            F.lit("52494646"), le(data_size + 36, 4),       # RIFF size
+            F.lit("57415645666D742010000000"),              # WAVE fmt 16
+            F.lit("0100"), F.lit("0100"),                   # PCM, mono
+            F.lit("803E0000"), F.lit("007D0000"),           # 16 kHz rate
+            F.lit("0200"), F.lit("1000"),                   # block, 16 bit
+            F.lit("64617461"), le(data_size, 4),            # data chunk
+            payload,
+        )
+    )
+    df = docs.select("doc_id", content.alias("content"))
+    return audio_pcm_stats(df).select(
+        "doc_id", "n_samples", "peak", "sum_abs", "n_clipped", "n_silence"
+    )
+
+
+_MULTIMODAL_PCM_SQL = """
+WITH s AS (
+  SELECT doc_id, 100 + doc_id % 400 AS frames FROM documents
+), v AS (
+  SELECT doc_id, frames,
+    list_transform(generate_series(0, frames - 1),
+      i -> CASE WHEN (doc_id*7919 + i*48271) % 65536 >= 32768
+                THEN (doc_id*7919 + i*48271) % 65536 - 65536
+                ELSE (doc_id*7919 + i*48271) % 65536 END) AS smp
+  FROM s
+)
+SELECT doc_id,
+  CAST(frames AS BIGINT) AS n_samples,
+  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+  CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs,
+  CAST(len(list_filter(smp, x -> abs(x) >= 32000)) AS BIGINT) AS n_clipped,
+  CAST(len(list_filter(smp, x -> abs(x) <= 100)) AS BIGINT) AS n_silence
+FROM v
+"""
+
+
+def _multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level image decode (operators/multimodal.py::
+    image_ahash): complete uncompressed 24-bpp BMPs assembled
+    expression-side — header AND bottom-up BGR pixel rows seeded from
+    doc_id — decoded back via ``np.frombuffer`` row restriding and
+    reduced to the 64-bit perceptual average-hash (integer-exact form
+    ``bit_i = 64·gray_i > Σgray``). The oracle recomputes gray and the
+    bit string from the pixel law in top-down order, so the
+    bottom-up→top-down flip and BGR channel order are both certified
+    by the hash match."""
+    from tidyvec_spark.operators.multimodal import image_ahash
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    # byte j of the 192-byte pixel area: pixel p=j div 3 (bottom-up),
+    # top-down index i=(7 - p div 8)*8 + p%8, channel j%3 = B,G,R
+    payload = F.expr(
+        "array_join(transform(sequence(0, 191), j -> lpad(hex("
+        "CASE j % 3"
+        " WHEN 0 THEN (doc_id*3 + ((7 - (j div 3) div 8)*8 + (j div 3) % 8)*7) % 256"
+        " WHEN 1 THEN (doc_id*5 + ((7 - (j div 3) div 8)*8 + (j div 3) % 8)*11) % 256"
+        " ELSE (doc_id*7 + ((7 - (j div 3) div 8)*8 + (j div 3) % 8)*13) % 256"
+        " END), 2, '0')), '')"
+    )
+    content = F.unhex(
+        F.concat(
+            F.lit("424DF60000000000000036000000"),  # BM, size, offset 54
+            F.lit("28000000080000000800000001001800"),  # 40B hdr, 8x8x24
+            F.lit("00000000C0000000"),               # BI_RGB, 192 bytes
+            F.lit("00" * 16),                        # ppm + palette counts
+            payload,
+        )
+    )
+    df = docs.select("doc_id", content.alias("content"))
+    return image_ahash(df).select("doc_id", "n_px", "sum_gray", "ahash")
+
+
+_MULTIMODAL_AHASH_SQL = """
+WITH g AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 63), i ->
+      ((doc_id*3 + i*7) % 256 + (doc_id*5 + i*11) % 256
+       + (doc_id*7 + i*13) % 256) // 3) AS gray
+  FROM documents
+), t AS (
+  SELECT doc_id, gray, list_sum(gray) AS sum_gray FROM g
+)
+SELECT doc_id, CAST(64 AS BIGINT) AS n_px,
+       CAST(sum_gray AS BIGINT) AS sum_gray,
+       array_to_string(list_transform(gray,
+         x -> CASE WHEN 64 * x > sum_gray THEN '1' ELSE '0' END), '') AS ahash
+FROM t
+"""
+
+
 def _multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary content → mapInPandas image-meta decode (fake codec) +
     JVM-side md5; the full multimodal ingest shape."""
@@ -9024,7 +9146,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
 
 
 # ---------------------------------------------------------------------------
-# round-8 wave: entity resolution / inverted index / drift & funnel
+# late-round-7 wave: entity resolution / inverted index / drift & funnel
 # reports / SCD2 / hot-cold split join
 # ---------------------------------------------------------------------------
 
@@ -9367,13 +9489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracle.py before landing here, so they get driver
     # rows in the same round they are built).
     #
-    # ROUND-8 STATUS: CORRECTNESS_r07 was never delivered (no "round 7"
-    # driver-artifact commit exists, unlike rounds 1-6), so the window
-    # below has NO driver rows yet. The window is therefore HELD
-    # UNCHANGED for round 8 — CORRECTNESS_r08 will cover exactly what
-    # r07 was supposed to. Rotating now would leave these 41 entries
-    # permanently uncovered. The ROUND-9 rotation list is the round-7
-    # tail (32 entries, see the position-51 comment) plus the round-8
+    # STATUS: this window is the round-7 rotation and is HELD UNCHANGED
+    # through the end of round 7 so CORRECTNESS_r07 (produced by the
+    # driver when the round closes) covers exactly these 50 entries.
+    # The ROUND-8 rotation list is the round-7 mid-round tail (32
+    # entries, see the position-51 comment) plus the late-round-7
     # additions at the end of this dict; all are locally verified at
     # sf0.001 AND sf0.01 via scripts/check_oracle.py and mirrored by
     # the dynamic SUBSET in tests/test_entry_oracle.py meanwhile.
@@ -9452,9 +9572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (every oracle-backed entry below is checked by the dynamic
         # SUBSET in tests/test_entry_oracle.py; each has driver rows
         # from rounds 1-6)
-        # ROUND-9 ROTATION LIST (round-7 tail additions, never driver-
-        # checked; held one round because CORRECTNESS_r07 was never
-        # delivered — see the window comment above):
+        # ROUND-8 ROTATION LIST (round-7 mid-round additions, never
+        # driver-checked — the gate window was already full when they
+        # landed; see the window comment above):
         # docs_tokenizer_fertility, embedding_drift,
         # pipeline_rag, docs_compression_ratio, decontaminate_bloom,
         # maxsim_topk, packing_report, token_pmi, winnow_pairs,
@@ -9468,10 +9588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docs_dedup_contained, docs_dedup_funnel, dedup_recall_lsh,
         # mix_rank_weighted, dedup_recall_simhash.
         # Everything else in the registry will have a
-        # driver row after CORRECTNESS_r08 (the held window) — rotate
-        # the list above in for round 9, keep the 9 stable reps, and
-        # fill remaining slots with round-8 additions per the r7
-        # pattern.
+        # driver row after CORRECTNESS_r07 (the window above) — rotate
+        # the list above in for round 8, keep the 9 stable reps, and
+        # fill remaining slots with late-round-7 additions per the
+        # established pattern.
         "docs_stream_near_pairs": _docs_stream_near_pairs,
         "docs_dedup_lines": _docs_dedup_lines,
         "docs_tokenizer_fertility": _docs_tokenizer_fertility,
@@ -9616,9 +9736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_lsh": _dedup_recall_lsh,
         "mix_rank_weighted": _mix_rank_weighted,
         "dedup_recall_simhash": _dedup_recall_simhash,
-        # round-8 additions (round-9 rotation targets alongside the
-        # list in the comment above; each locally verified at sf0.001
-        # AND sf0.01 via scripts/check_oracle.py before landing)
+        # late-round-7 additions (round-8 rotation targets alongside
+        # the list in the comment above; each locally verified at
+        # sf0.001 AND sf0.01 via scripts/check_oracle.py before landing)
         "docs_lm_kn": _docs_lm_kn,
         "radius_search": _radius_search,
         "multimodal_dedup_exact": _multimodal_dedup_exact,
@@ -9635,6 +9755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_drop_attribution": _docs_drop_attribution,
         "docs_scd2": _docs_scd2,
         "skew_split_join": _skew_split_join,
+        "multimodal_pcm_stats": _multimodal_pcm_stats,
+        "multimodal_image_ahash": _multimodal_image_ahash,
     }
 
 
@@ -9844,6 +9966,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_drop_attribution": _DOCS_DROP_ATTRIBUTION_SQL,
         "docs_scd2": _DOCS_SCD2_SQL,
         "skew_split_join": _SKEW_SPLIT_JOIN_SQL,
+        "multimodal_pcm_stats": _MULTIMODAL_PCM_SQL,
+        "multimodal_image_ahash": _MULTIMODAL_AHASH_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

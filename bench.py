@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "multimodal_dedup_exact",
     "multimodal_wav_meta",
     "multimodal_mp4_meta",
+    "multimodal_pcm_stats",
+    "multimodal_image_ahash",
     "lang_id",
     "token_topk",
     "docs_quality_flags",

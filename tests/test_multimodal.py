@@ -220,3 +220,101 @@ def test_video_header_meta_operator(spark):
            for r in video_header_meta(df).collect()}
     assert got[1] == (1000, 42000, "isom")
     assert got[2] == (None, None, None)
+
+
+def _wav_pcm16(samples, rate=16000, ch=1):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                rate * ch * 2, ch * 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def test_decode_pcm16_roundtrip():
+    samples = [0, 100, -100, 32767, -32768, 5]
+    arr = mm.decode_pcm16(_wav_pcm16(samples))
+    assert list(arr) == samples
+    # non-PCM (format 3 = float) refuses rather than mis-decoding
+    import struct
+
+    b = bytearray(_wav_pcm16(samples))
+    b[20:22] = struct.pack("<H", 3)
+    assert mm.decode_pcm16(bytes(b)) is None
+    assert mm.decode_pcm16(b"garbage") is None
+    assert mm.decode_pcm16(None) is None
+
+
+def test_audio_pcm_stats_operator(spark):
+    samples = [0, 50, -200, 32500, -32768, 100]
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_pcm16(samples))), (2, None),
+         (3, bytearray(b"not a wav"))],
+        "doc_id INT, content BINARY",
+    )
+    rows = {r["doc_id"]: r for r in mm.audio_pcm_stats(df).collect()}
+    r = rows[1]
+    assert r["n_samples"] == 6
+    assert r["peak"] == 32768
+    assert r["sum_abs"] == sum(abs(s) for s in samples)
+    assert r["n_clipped"] == 2      # |s| >= 32000
+    assert r["n_silence"] == 3      # |s| <= 100
+    assert rows[2]["n_samples"] is None
+    assert rows[3]["n_samples"] is None
+
+
+def _bmp24(gray_rows, scale=1):
+    """Build an uncompressed 24bpp BMP whose mean-gray equals
+    gray_rows (top-down), optionally upscaled by an integer factor so
+    the pooling path gets exercised. Rows are stored bottom-up, like
+    every real BMP writer."""
+    import struct
+
+    h = len(gray_rows) * scale
+    w = len(gray_rows[0]) * scale
+    stride = ((w * 3 + 3) // 4) * 4
+    px = bytearray()
+    for r in range(h - 1, -1, -1):          # bottom-up
+        row = bytearray()
+        for c in range(w):
+            g = gray_rows[r // scale][c // scale]
+            row += bytes((g, g, g))          # B=G=R=g
+        row += b"\x00" * (stride - len(row))
+        px += row
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                      0, 0, 0, 0)
+    )
+    return bytes(hdr) + bytes(px)
+
+
+def test_decode_bmp_gray_exact():
+    rows = [[(r * 8 + c) % 256 for c in range(8)] for r in range(8)]
+    g = mm.decode_bmp_gray(_bmp24(rows))
+    assert g.shape == (8, 8)
+    assert g.tolist() == rows
+    assert mm.decode_bmp_gray(b"BMxx") is None
+    assert mm.decode_bmp_gray(None) is None
+
+
+def test_image_ahash_operator_and_pooling(spark):
+    rows = [[255 if (r + c) % 2 else 0 for c in range(8)] for r in range(8)]
+    flat = [v for row in rows for v in row]
+    total = sum(flat)
+    expect = "".join("1" if 64 * v > total else "0" for v in flat)
+    df = spark.createDataFrame(
+        [(1, bytearray(_bmp24(rows))),            # native 8x8
+         (2, bytearray(_bmp24(rows, scale=2))),   # 16x16, pooled
+         (3, bytearray(b"\x00\x01")), (4, None)],
+        "doc_id INT, content BINARY",
+    )
+    out = {r["doc_id"]: r for r in mm.image_ahash(df).collect()}
+    assert out[1]["ahash"] == expect
+    assert out[2]["ahash"] == expect          # pooling preserves blocks
+    assert out[1]["sum_gray"] == total and out[1]["n_px"] == 64
+    assert out[3]["ahash"] is None and out[4]["ahash"] is None

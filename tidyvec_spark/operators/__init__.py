@@ -64,6 +64,10 @@ from tidyvec_spark.operators.pq import (
     pq_codebooks_from_rows,
     pq_encode,
 )
+from tidyvec_spark.operators.multimodal import (
+    audio_pcm_stats,
+    image_ahash,
+)
 from tidyvec_spark.operators.viz import (
     plan_image_grid,
     viz_embeddings,
@@ -134,6 +138,8 @@ __all__ = [
     "target_mix_fractions",
     "target_mix_sample",
     "two_phase_agg",
+    "audio_pcm_stats",
+    "image_ahash",
     "plan_image_grid",
     "viz_embeddings",
     "viz_images",

@@ -425,3 +425,189 @@ def video_header_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def decode_pcm16(b: bytes):
+    """int16 sample array from a PCM16 RIFF/WAVE payload — the first
+    REAL sample-level decode in the multimodal stack (the header
+    parsers above stop at metadata). Pure byte work: chunk-walk to
+    ``fmt `` (require audio_format=1, bits=16) and ``data``, then one
+    ``np.frombuffer('<i2')`` over the payload — no librosa, no codec.
+    Returns None for anything that is not 16-bit integer PCM (float,
+    ADPCM, mu-law payloads need a real codec and stay gated)."""
+    import struct
+
+    import numpy as np
+
+    if b is None or len(b) < 28:
+        return None
+    b = bytes(b)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt_ok = False
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            audio_format, _ch = struct.unpack("<HH", b[i + 8 : i + 12])
+            bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+            fmt_ok = audio_format == 1 and bits == 16
+        elif cid == b"data" and fmt_ok:
+            payload = b[i + 8 : i + 8 + size]
+            return np.frombuffer(
+                payload[: len(payload) - (len(payload) % 2)], dtype="<i2"
+            )
+        i += 8 + size + (size % 2)
+    return None
+
+
+def audio_pcm_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    clip_level: int = 32000,
+    silence_level: int = 100,
+) -> DataFrame:
+    """Append integer-exact loudness stats decoded from REAL PCM16
+    samples: ``(n_samples, peak, sum_abs, n_clipped, n_silence)`` —
+    the quality gates an audio-corpus pipeline filters on (dead-air
+    ratio, clipping ratio, level). Integer outputs keep the operator
+    engine-portable and oracle-checkable (no float summation order
+    issues). NULL row-wise for non-PCM16 payloads.
+
+    Plan: Arrow-batched mapInPandas over the bytes — one scan, zero
+    shuffle; numpy does the per-batch work, so throughput is memory-
+    bandwidth-bound exactly like the header parsers."""
+    clip_level = int(clip_level)
+    silence_level = int(silence_level)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("n_clipped", T.LongType()),
+            T.StructField("n_silence", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                s = decode_pcm16(b)
+                if s is None:
+                    rows.append((None, None, None, None, None))
+                    continue
+                a = np.abs(s.astype(np.int64))
+                rows.append(
+                    (
+                        int(a.size),
+                        int(a.max()) if a.size else 0,
+                        int(a.sum()),
+                        int((a >= clip_level).sum()),
+                        int((a <= silence_level).sum()),
+                    )
+                )
+            pdf = pdf.copy()
+            for j, name in enumerate(
+                ("n_samples", "peak", "sum_abs", "n_clipped", "n_silence")
+            ):
+                pdf[name] = pd.array([r[j] for r in rows], dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def decode_bmp_gray(b: bytes):
+    """Top-down row-major integer grayscale matrix from an
+    uncompressed 24-bpp BMP — REAL pixel decode with zero codec
+    dependencies (BMP stores raw BGR rows, so ``np.frombuffer`` plus
+    row restriding IS the decoder). gray = (B+G+R) // 3, exact
+    integers. Returns None for anything but BI_RGB 24-bpp (compressed
+    BMPs and other formats need a codec and stay gated)."""
+    import struct
+
+    import numpy as np
+
+    if b is None or len(b) < 54 or bytes(b[:2]) != b"BM":
+        return None
+    b = bytes(b)
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    width, height = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0 or width <= 0:
+        return None
+    flip = height > 0  # positive height = bottom-up pixel rows
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    need = data_off + stride * height
+    if height == 0 or len(b) < need:
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, count=stride * height,
+                       offset=data_off)
+    px = px.reshape(height, stride)[:, : width * 3].reshape(
+        height, width, 3
+    )
+    if flip:
+        px = px[::-1]
+    return px.astype(np.int64).sum(axis=2) // 3
+
+
+def image_ahash(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append a perceptual average-hash computed from REAL decoded
+    pixels: ``(n_px, sum_gray, ahash)`` where ``ahash`` is the 64-char
+    bit string over the 8x8 grayscale (bit i set iff
+    ``64*gray_i > sum(gray)`` — the integer-exact form of
+    ``gray_i > mean``). Non-8x8 images are integer block-mean pooled
+    to 8x8 when both dimensions divide evenly; anything else (or a
+    non-BMP payload) yields NULLs. The near-dup banding machinery in
+    ``operators/dedup.py`` consumes the hash exactly like SimHash —
+    Hamming-close hashes = visually-near-identical images.
+
+    Plan: mapInPandas over bytes, one scan, zero shuffle."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sum_gray", T.LongType()),
+            T.StructField("ahash", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                g = decode_bmp_gray(b)
+                if g is None:
+                    rows.append((None, None, None))
+                    continue
+                h, w = g.shape
+                if (h, w) != (8, 8):
+                    if h % 8 or w % 8:
+                        rows.append((None, None, None))
+                        continue
+                    bh, bw = h // 8, w // 8
+                    g = (
+                        g.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+                        // (bh * bw)
+                    )
+                flat = g.reshape(-1)
+                total = int(flat.sum())
+                bits = "".join(
+                    "1" if 64 * int(v) > total else "0" for v in flat
+                )
+                rows.append((int(flat.size), total, bits))
+            pdf = pdf.copy()
+            pdf["n_px"] = pd.array([r[0] for r in rows], dtype="Int64")
+            pdf["sum_gray"] = pd.array([r[1] for r in rows], dtype="Int64")
+            pdf["ahash"] = pd.array([r[2] for r in rows], dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
