@@ -9145,6 +9145,156 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
 """
 
 
+def _dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-hash dedup (operators/dedup.py::prefix_dup_groups): md5
+    of the first-12-token normalized prefix, the cheap rung between
+    exact hashing and MinHash for tail-mutated copies. Clones with the
+    same head but a grown footer are synthesized for every
+    doc_id%5==0 document (both engines build the same union), so the
+    groups the operator must find provably exist in the fixture."""
+    from tidyvec_spark.operators.dedup import prefix_dup_groups
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" appended mirror footer tail")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(clones)
+    return prefix_dup_groups(corpus, "text", "doc_id", n_tokens=12)
+
+
+_DEDUP_PREFIX_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         text || ' appended mirror footer tail' AS text
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5(array_to_string(list_slice({_TOKS}, 1, 12), ' ')) AS h,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM corpus
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+def _docs_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health audit (functions/quality.py::mojibake_count /
+    replacement_char_count / control_char_count / encoding_clean):
+    the ftfy failure class — UTF-8 misdecoded as cp1252 ('cafÃ©'),
+    U+FFFD loss markers, stray C0 control bytes — counted by pure
+    codegen length-diff expressions. Corruption is injected
+    deterministically by doc_id residue (both engines apply the same
+    CASE) so every detector fires on a known subset."""
+    from tidyvec_spark.functions import quality as Q
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" cafÃ©")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("â€œ"), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit("\u0007")),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.col("text"), F.lit("\ufffd")),
+        )
+        .otherwise(F.col("text"))
+    )
+    df = docs.select("doc_id", t.alias("t"))
+    return df.select(
+        "doc_id",
+        Q.mojibake_count("t").alias("n_mojibake"),
+        Q.replacement_char_count("t").alias("n_repl"),
+        Q.control_char_count("t").alias("n_ctrl"),
+        Q.encoding_clean("t").alias("clean"),
+    )
+
+
+_DOCS_MOJIBAKE_SQL = """
+WITH c AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(195) || chr(169)
+         WHEN doc_id % 11 = 0 THEN chr(226) || chr(8364) || chr(339) || text
+         WHEN doc_id % 13 = 0 THEN text || chr(7)
+         WHEN doc_id % 17 = 0 THEN text || chr(65533)
+         ELSE text END AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    (length(t) - length(replace(t, chr(195), '')))
+      + (length(t) - length(replace(t, chr(194), '')))
+      + (length(t) - length(replace(t, chr(226) || chr(8364), ''))) // 2
+      AS n_mojibake,
+    length(t) - length(replace(t, chr(65533), '')) AS n_repl,
+    length(t) - length(regexp_replace(t,
+      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS n_ctrl
+  FROM c
+)
+SELECT doc_id,
+  CAST(n_mojibake AS BIGINT) AS n_mojibake,
+  CAST(n_repl AS BIGINT) AS n_repl,
+  CAST(n_ctrl AS BIGINT) AS n_ctrl,
+  (n_mojibake = 0 AND n_repl = 0 AND n_ctrl = 0) AS clean
+FROM m
+"""
+
+
+def _events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/reports.py::k_anonymity) over the
+    events fixture: quasi-identifiers = (event_type, hour-of-day,
+    value decade bucket) — the binning itself is the generalization
+    knob — individuals = user_id, k = 5. One groupBy with two-phase
+    distinct aggregation; output bounded by the QI domain."""
+    from tidyvec_spark.operators.reports import k_anonymity
+    from tidyvec_spark.streaming import event_ns_of
+
+    ev = _read(spark, sf_dir, "events")
+    df = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "value",
+            event_ns_of(ev, "ts").alias("__ns"),
+        )
+        .withColumn("hour", F.expr("(__ns DIV 1000000000 DIV 3600) % 24"))
+        .withColumn("vbucket", F.floor(F.col("value") / 10).cast("long"))
+        .select("user_id", "event_type", "hour", "vbucket")
+    )
+    out = k_anonymity(df, ["event_type", "hour", "vbucket"], "user_id", k=5)
+    return out.select(
+        "event_type", "hour", "vbucket", "n_ids", "n_rows", "at_risk"
+    )
+
+
+_EVENTS_K_ANONYMITY_SQL = """
+WITH e AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000 // 3600) % 24 AS hour,
+         CAST(floor(value / 10) AS BIGINT) AS vbucket,
+         user_id
+  FROM events
+)
+SELECT event_type, CAST(hour AS BIGINT) AS hour, vbucket,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_ids,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       count(DISTINCT user_id) < 5 AS at_risk
+FROM e
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # late-round-7 wave: entity resolution / inverted index / drift & funnel
 # reports / SCD2 / hot-cold split join
@@ -9757,6 +9907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_split_join": _skew_split_join,
         "multimodal_pcm_stats": _multimodal_pcm_stats,
         "multimodal_image_ahash": _multimodal_image_ahash,
+        "dedup_prefix": _dedup_prefix,
+        "docs_mojibake": _docs_mojibake,
+        "events_k_anonymity": _events_k_anonymity,
     }
 
 
@@ -9968,6 +10121,9 @@ def oracle_sql() -> dict[str, str]:
         "skew_split_join": _SKEW_SPLIT_JOIN_SQL,
         "multimodal_pcm_stats": _MULTIMODAL_PCM_SQL,
         "multimodal_image_ahash": _MULTIMODAL_AHASH_SQL,
+        "dedup_prefix": _DEDUP_PREFIX_SQL,
+        "docs_mojibake": _DOCS_MOJIBAKE_SQL,
+        "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML, UDF-backed) -> driver rows-only check
     }

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "exact_dup_groups",
     "dedup_drop_exact",
     "dedup_weighted",
+    "dedup_prefix",
     "pipeline_pretrain",
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
@@ -164,6 +165,7 @@ BENCH_QUERIES = [
     "docs_jsonl_ingest",
     "docs_csv_ingest",
     "docs_blocklist",
+    "docs_mojibake",
     "source_overlap",
     "pipeline_ccnet",
     "pipeline_web",
@@ -187,6 +189,7 @@ BENCH_QUERIES = [
     "events_stream_anomaly",
     "events_stream_sessionize",
     "events_retention",
+    "events_k_anonymity",
     "events_props_stats",
     "events_zorder",
     # second round-7 wave

@@ -1045,3 +1045,32 @@ class TestBinaryDedup:
             media, "content", "doc_id", length_prefilter=True
         )
         assert {r["doc_id"] for r in out.collect()} >= {4}
+
+
+def test_prefix_dup_groups_catches_tail_mutations(spark):
+    from tidyvec_spark.operators.dedup import prefix_dup_groups
+
+    head = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, head + " original ending"),
+        (2, head + " mirrored with a brand new footer"),
+        (3, "a completely different document body here"),
+        (4, head + " third copy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    groups = prefix_dup_groups(df, "text", "doc_id", n_tokens=12).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 3 and groups[0]["keep_id"] == 1
+
+    # documents shorter than the prefix group on their whole text
+    short = spark.createDataFrame(
+        [(1, "same words"), (2, "same words"), (3, "other")],
+        "doc_id INT, text STRING",
+    )
+    g2 = prefix_dup_groups(short, "text", "doc_id", n_tokens=20).collect()
+    assert len(g2) == 1 and g2[0]["n_copies"] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        prefix_dup_groups(df, "text", "doc_id", n_tokens=0)

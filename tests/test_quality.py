@@ -482,3 +482,38 @@ def test_quality_ensemble_weights_and_validation(spark, documents):
         quality_ensemble({}, {}, 0.5)
     with pt.raises(ValueError):
         quality_ensemble({}, {"a": (F.lit(1.0), 0.0)}, 0.5)
+
+
+def test_mojibake_counters(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "clean ascii text"),
+            (2, "caf\u00c3\u00a9 menu"),
+            (3, "\u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d"),
+            (4, "lost \ufffd bytes \ufffd"),
+            (5, "bell\u0007and\u0000null"),
+            (6, "tab\tand\nnewline are fine"),
+        ],
+        "id INT, t STRING",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            Q.mojibake_count("t").alias("m"),
+            Q.replacement_char_count("t").alias("r"),
+            Q.control_char_count("t").alias("c"),
+            Q.encoding_clean("t").alias("ok"),
+        ).collect()
+    }
+    assert rows[1]["m"] == 0 and rows[1]["ok"] is True
+    assert rows[2]["m"] == 1 and rows[2]["ok"] is False
+    assert rows[3]["m"] == 2          # two mojibake-quote openers
+    assert rows[4]["r"] == 2 and rows[4]["m"] == 0
+    assert rows[5]["c"] == 2 and rows[5]["ok"] is False
+    assert rows[6]["c"] == 0 and rows[6]["ok"] is True
+
+
+def test_mojibake_is_map_side(documents):
+    out = documents.select(Q.encoding_clean("text").alias("ok"))
+    assert P.num_shuffles(out) == 0

@@ -252,3 +252,32 @@ def test_psi_group_in_one_snapshot_only(spark):
     assert rows["a"]["psi"] == 0.0
     assert rows["gone"]["psi"] > 5.0 and rows["gone"]["n_cur"] == 0
     assert rows["new"]["psi"] > 5.0 and rows["new"]["n_ref"] == 0
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from tidyvec_spark.operators.reports import k_anonymity
+
+    rows = [
+        # qi=(a,1): users 1,2,3 -> safe at k=3
+        ("a", 1, 1), ("a", 1, 2), ("a", 1, 3), ("a", 1, 1),
+        # qi=(a,2): users 1,2 -> at risk at k=3
+        ("a", 2, 1), ("a", 2, 2),
+        # qi=(b,1): single user, many rows -> at risk
+        ("b", 1, 9), ("b", 1, 9), ("b", 1, 9),
+    ]
+    df = spark.createDataFrame(rows, "seg STRING, hour INT, user_id INT")
+    out = {
+        (r["seg"], r["hour"]): r
+        for r in k_anonymity(df, ["seg", "hour"], "user_id", k=3).collect()
+    }
+    assert out[("a", 1)]["n_ids"] == 3 and out[("a", 1)]["at_risk"] is False
+    assert out[("a", 1)]["n_rows"] == 4
+    assert out[("a", 2)]["at_risk"] is True
+    assert out[("b", 1)]["n_ids"] == 1 and out[("b", 1)]["at_risk"] is True
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], "user_id")
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["seg"], "user_id", k=0)

@@ -17,7 +17,7 @@ flag, the keep decision is a filter, nothing shuffles.
 from __future__ import annotations
 
 from functools import reduce
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -48,6 +48,10 @@ __all__ = [
     "c4_keep_line",
     "c4_clean_lines",
     "c4_page_keep",
+    "mojibake_count",
+    "replacement_char_count",
+    "control_char_count",
+    "encoding_clean",
     "blocklist_hits",
     "blocklist_keep",
 ]
@@ -376,6 +380,64 @@ def compression_ratio_udf() -> Column:
     from pyspark.sql.functions import PandasUDFType
 
     return pandas_udf(_ratio, "double", PandasUDFType.SCALAR)
+
+
+# cp1252-misdecoded-UTF-8 leaders: 'Ã' / 'Â' open almost every
+# two-byte mojibake pair (Ã© Ã¨ Ã¤ Â° Â£ ...), 'â€' opens the
+# three-byte punctuation family (â€™ â€œ â€" ...)
+_MOJIBAKE_MARKS = ("Ã", "Â", "â€")
+_CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """Occurrence count of a literal substring via the length-diff
+    trick — stays in codegen, no regex engine."""
+    shrunk = F.length(col) - F.length(
+        F.replace(col, F.lit(needle), F.lit(""))
+    )
+    return (shrunk / len(needle)).cast("long")
+
+
+def mojibake_count(c: ColumnOrName) -> Column:
+    """Count of encoding-corruption artifacts: the characteristic
+    lead characters UTF-8 bytes acquire when misdecoded as
+    cp1252/Latin-1 (the ftfy failure class — 'cafÃ©', 'â€œquoteâ€').
+    Legit uses of these code points in clean text are rare enough
+    that any nonzero count is a strong re-decode/drop signal. Pure
+    codegen length-diff counting, zero shuffle."""
+    col = _col(c)
+    total: Optional[Column] = None
+    for mark in _MOJIBAKE_MARKS:
+        cnt = _occurrences(col, mark)
+        total = cnt if total is None else total + cnt
+    return total
+
+
+def replacement_char_count(c: ColumnOrName) -> Column:
+    """Count of U+FFFD REPLACEMENT CHARACTER — the decoder already
+    admitted it lost bytes; any document carrying them has been
+    through a lossy decode."""
+    return _occurrences(_col(c), "\ufffd")
+
+
+def control_char_count(c: ColumnOrName) -> Column:
+    """Count of C0 control characters other than tab/newline/CR —
+    binary-contamination evidence in a text column."""
+    col = _col(c)
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, _CONTROL_RE, ""))
+    ).cast("long")
+
+
+def encoding_clean(c: ColumnOrName) -> Column:
+    """True iff the document shows no mojibake artifacts, no
+    replacement characters, and no stray control bytes — the
+    encoding-health gate of the quality ladder."""
+    return (
+        (mojibake_count(c) == 0)
+        & (replacement_char_count(c) == 0)
+        & (control_char_count(c) == 0)
+    )
 
 
 def blocklist_hits(c: ColumnOrName, words: Sequence[str]) -> Column:

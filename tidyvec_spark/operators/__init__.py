@@ -46,7 +46,7 @@ from tidyvec_spark.operators.sampling import (
     temperature_sample,
 )
 from tidyvec_spark.operators.bloom import decontaminate_bloom
-from tidyvec_spark.operators.reports import vocab_growth
+from tidyvec_spark.operators.reports import k_anonymity, vocab_growth
 from tidyvec_spark.operators.cooccur import token_pmi_topk
 from tidyvec_spark.operators.search import (
     bm25_stats,
@@ -120,6 +120,7 @@ __all__ = [
     "synthetic_link_graph",
     "length_buckets",
     "vocab_growth",
+    "k_anonymity",
     "perplexity_buckets",
     "temperature_fractions",
     "topk_recall",

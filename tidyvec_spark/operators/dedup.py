@@ -130,6 +130,35 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def prefix_dup_groups(
+    df: DataFrame, text_col: str, id_col: str, n_tokens: int = 20
+) -> DataFrame:
+    """Groups sharing the same first-``n_tokens`` normalized-token
+    prefix — the cheap rung between exact hashing and MinHash for
+    catching tail-mutated copies (truncated mirrors, re-crawls that
+    grew a footer, pages sharing a long boilerplate head) that exact
+    keys miss entirely. md5 over the joined prefix, then the same
+    groupBy shape as :func:`exact_dup_groups`: ONE shuffle on the
+    128-bit key with map-side partials; the prefix slice itself is a
+    codegen expression, so the key costs O(n_tokens) per doc
+    regardless of document length — at 100 TB the scan reads only
+    ``text`` and moves 16-byte digests.
+
+    Returns (h, n_copies, keep_id = min id) for groups of >= 2.
+    """
+    if int(n_tokens) < 1:
+        raise ValueError("n_tokens must be >= 1")
+    key = F.md5(
+        F.concat_ws(" ", F.slice(X.tokens(text_col), 1, int(n_tokens)))
+    )
+    return (
+        df.withColumn("h", key)
+        .groupBy("h")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id representative of each exact-dup group.
 

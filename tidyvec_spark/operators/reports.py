@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.text import tokens
 
-__all__ = ["vocab_growth", "psi_drift", "drop_attribution"]
+__all__ = ["vocab_growth", "psi_drift", "drop_attribution", "k_anonymity"]
 
 
 def vocab_growth(
@@ -260,4 +260,43 @@ def drop_attribution(
             .alias("n_remaining"),
         )
         .orderBy("rule_order")
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns — the
+    data-governance gate a corpus with per-user records needs before
+    release: every combination of quasi-identifiers (the columns an
+    attacker could link on) must be shared by at least ``k`` distinct
+    individuals, or those rows re-identify their users (Sweeney 2002).
+
+    Returns one row per OBSERVED QI combination:
+    ``(*qi_cols, n_ids, n_rows, at_risk)`` with ``n_ids`` = distinct
+    ``id_col`` values in the group and ``at_risk = n_ids < k``. The
+    caller suppresses or generalizes the at-risk groups (and the QI
+    binning itself — hour-of-day instead of timestamp, value bucket
+    instead of value — IS the generalization knob).
+
+    Shape: ONE groupBy on the QI tuple; the distinct-count runs as
+    Spark's standard two-phase partial-distinct aggregation, so the
+    shuffle carries (qi, id) pairs once and group count is bounded by
+    the QI domain product, not the row count — audit output stays
+    tiny at any corpus size.
+    """
+    if not qi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_ids"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .withColumn("at_risk", F.col("n_ids") < int(k))
     )
