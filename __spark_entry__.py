@@ -9145,6 +9145,39 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
 """
 
 
+def _knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-kNN pair graph (operators/mining.py::
+    mutual_topk_pairs): (a,b) survives iff each is in the other's
+    top-5 by rounded cosine — the mutual-nearest-neighbor structure
+    SemDeDup-style clustering seeds from. Directed edges here take
+    the exact broadcast path (500-row fixture); at scale any ANN
+    (a,b,sim) edge frame drops in via ``edges=`` and the mutual
+    filter stays one n·k self-join."""
+    from tidyvec_spark.operators.mining import mutual_topk_pairs
+
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return mutual_topk_pairs(
+        e, "vec_id", "embedding", k=5, method="cosine", round_to=R
+    )
+
+
+_KNN_MUTUAL_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         ROUND(list_cosine_similarity(a.v, b.v), {R}) AS sim
+  FROM v a, v b WHERE a.vec_id <> b.vec_id
+), t AS (
+  SELECT a, b, sim,
+         row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+  FROM p
+), e AS (SELECT a, b, sim FROM t WHERE rn <= 5)
+SELECT e1.a AS a, e1.b AS b, e1.sim AS sim
+FROM e e1 JOIN e e2 ON e1.a = e2.b AND e1.b = e2.a
+WHERE e1.a < e1.b
+"""
+
+
 def _dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-hash dedup (operators/dedup.py::prefix_dup_groups): md5
     of the first-12-token normalized prefix, the cheap rung between
@@ -9908,6 +9941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pcm_stats": _multimodal_pcm_stats,
         "multimodal_image_ahash": _multimodal_image_ahash,
         "dedup_prefix": _dedup_prefix,
+        "knn_mutual_pairs": _knn_mutual_pairs,
         "docs_mojibake": _docs_mojibake,
         "events_k_anonymity": _events_k_anonymity,
     }
@@ -10122,6 +10156,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_pcm_stats": _MULTIMODAL_PCM_SQL,
         "multimodal_image_ahash": _MULTIMODAL_AHASH_SQL,
         "dedup_prefix": _DEDUP_PREFIX_SQL,
+        "knn_mutual_pairs": _KNN_MUTUAL_SQL,
         "docs_mojibake": _DOCS_MOJIBAKE_SQL,
         "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "matryoshka_topk",
     "cascade_topk",
     "mmr_topk",
+    "knn_mutual_pairs",
     "maxsim_topk",
     "packing_report",
     "token_pmi",

@@ -70,3 +70,44 @@ def test_hard_negatives_rejects_bad_k(spark):
     )
     with pytest.raises(ValueError):
         hard_negative_pairs(df, "emb", "id", "label", k=0)
+
+
+def test_mutual_topk_pairs_hand_checked(spark):
+    from tidyvec_spark.operators.mining import mutual_topk_pairs
+
+    # 1 and 2 point the same way (mutual #1); 3 is orthogonal to both;
+    # 4 is close to 3 -> (3,4) mutual; with k=1 no cross-group pair
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.9, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "id INT, v ARRAY<DOUBLE>")
+    got = {
+        (r["a"], r["b"])
+        for r in mutual_topk_pairs(df, "id", "v", k=1).collect()
+    }
+    assert got == {(1, 2), (3, 4)}
+
+    # k large enough: every pair becomes mutual; all emitted a < b
+    all_pairs = mutual_topk_pairs(df, "id", "v", k=3).collect()
+    assert len(all_pairs) == 6
+    assert all(r["a"] < r["b"] for r in all_pairs)
+
+
+def test_mutual_topk_pairs_edges_injection(spark):
+    from tidyvec_spark.operators.mining import mutual_topk_pairs
+
+    # precomputed directed edges: 1->2 and 2->1 mutual, 3->1 one-way
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 1, 0.9), (3, 1, 0.5)],
+        "a INT, b INT, sim DOUBLE",
+    )
+    got = mutual_topk_pairs(
+        spark.range(0), "id", "v", k=2, edges=edges
+    ).collect()
+    assert [(r["a"], r["b"], r["sim"]) for r in got] == [(1, 2, 0.9)]
+
+    with pytest.raises(ValueError):
+        mutual_topk_pairs(spark.range(1), "id", "id", k=0)

@@ -604,3 +604,36 @@ def test_round8_wave_plan_shapes(spark, qs):
     sj = qs["skew_split_join"](spark, SF)
     P.assert_no_cartesian(sj)
     P.assert_broadcast(sj, at_least=1)  # the hot-key slice
+
+
+def test_decode_and_governance_plan_shapes(spark, qs):
+    """Sample/pixel decode, prefix dedup, encoding audit, k-anonymity,
+    mutual-kNN: the decode and audit passes are pure scans; the dedup
+    and governance aggregations are single bounded shuffles."""
+    # byte decode stages: mapInPandas over a projection — ZERO shuffle
+    assert P.num_shuffles(qs["multimodal_pcm_stats"](spark, SF)) == 0
+    assert P.num_shuffles(qs["multimodal_image_ahash"](spark, SF)) == 0
+    # encoding audit: pure codegen length-diff projection
+    assert P.num_shuffles(qs["docs_mojibake"](spark, SF)) == 0
+
+    # prefix dedup: the exact-dedup shape — ONE groupBy on the digest
+    dp = qs["dedup_prefix"](spark, SF)
+    P.assert_no_cartesian(dp)
+    assert P.num_shuffles(dp) == 1
+
+    # k-anonymity: two-phase distinct agg on the QI tuple only
+    ka = qs["events_k_anonymity"](spark, SF)
+    P.assert_no_cartesian(ka)
+    assert P.num_shuffles(ka) <= 2
+
+    # mutual kNN: broadcast-nested-loop scoring (the documented
+    # small-side exact join — NOT an unplanned cartesian), per-anchor
+    # window, then ONE canonical-pair groupBy — no self-join, so the
+    # scoring stage appears exactly once in the plan
+    mk = qs["knn_mutual_pairs"](spark, SF)
+    P.assert_no_cartesian(mk)
+    # 2 = window exchange + canonical-pair groupBy; a reversed-key
+    # self-join formulation would re-run the scoring lineage and show
+    # up here as extra exchanges + a sort-merge join
+    assert P.num_shuffles(mk) <= 2
+    assert "SortMergeJoin" not in P.join_strategies(mk)

@@ -21,7 +21,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hard_negative_pairs"]
+__all__ = ["hard_negative_pairs", "mutual_topk_pairs"]
 
 
 def hard_negative_pairs(
@@ -84,4 +84,76 @@ def hard_negative_pairs(
             "anchor_id", "neg_id", "similarity",
             F.col("neg_rank").cast("int").alias("neg_rank"),
         )
+    )
+
+
+def mutual_topk_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    method: str = "cosine",
+    round_to: Optional[int] = None,
+    edges: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Reciprocal-kNN pair graph: (a, b) survives iff b is in a's
+    top-k AND a is in b's top-k — the mutual-nearest-neighbor
+    structure SemDeDup-style clustering, agglomerative community
+    steps, and duplicate-cluster seeding all build on (mutuality
+    prunes the hub/asymmetry artifacts a plain directed kNN graph is
+    full of).
+
+    Two stages with different scale stories, deliberately decoupled:
+
+    - Directed top-k edges. Default: exact broadcast scoring + a
+      per-anchor row_number window (tie law: score desc rounded to
+      ``round_to``, then neighbor id asc — the engine-wide knn tie
+      rule). For corpora past broadcast size pass ``edges=`` — any
+      (a, b, sim) frame from the ANN family (LSH, IVF, BQ rerank)
+      drops in, so the mutual filter composes with every index this
+      engine has instead of hard-wiring one.
+    - Mutual filter: canonicalize each directed edge to (min, max)
+      and keep pairs seen TWICE — one groupBy over the n·k edge list
+      (bounded by the k budget, not n²), no self-join, and crucially
+      no double evaluation of the scoring stage (a self-join on the
+      reversed key re-runs the whole directed-edge lineage on both
+      sides). Similarity is symmetric for cosine/dot/euclidean so
+      either direction carries the same score. Injected ``edges``
+      must contain each directed (a, b) at most once and no
+      self-edges (a != b is enforced, uniqueness is the contract of
+      any top-k producer).
+
+    Returns (a, b, sim) with a < b.
+    """
+    from tidyvec_spark.functions.vector import similarity_expr
+
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    if edges is None:
+        a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+        b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+        sim = similarity_expr(F.col("__va"), F.col("__vb"), method)
+        if round_to is not None:
+            sim = F.round(sim, int(round_to))
+        pair = (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("a") != F.col("b"))
+            .withColumn("sim", sim)
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("sim"), F.asc("b"))
+        edges = (
+            pair.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(k))
+            .select("a", "b", "sim")
+        )
+    und = edges.filter(F.col("a") != F.col("b")).select(
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+        F.col("sim").alias("sim"),
+    )
+    return (
+        und.groupBy("a", "b")
+        .agg(F.count("*").alias("__n"), F.max("sim").alias("sim"))
+        .filter(F.col("__n") == 2)
+        .select("a", "b", "sim")
     )
