@@ -9145,6 +9145,75 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
 """
 
 
+def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup discovery end to end (operators/dedup.py::
+    image_near_dup_pairs): REAL pixel decode → perceptual average-hash
+    → SimHash-style banding → Hamming verify. The fixture synthesizes
+    5 grayscale variants per image group (doc_id div 5), each variant
+    brightening ONE pixel by 128 — the sum is invariant so variants
+    differ in at most two hash bits, and the banded join must recover
+    exactly the C(5,2) pairs per group (the quadratic pixel law keeps
+    distinct groups out of each other's bands)."""
+    from tidyvec_spark.operators.dedup import image_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    # byte j of the 192-byte 8x8 BGR area: pixel p = j div 3 stored
+    # bottom-up; top-down index idx = (7 - p div 8)*8 + p%8; all three
+    # channels carry the same value so gray == v exactly
+    v = (
+        "((doc_id div 5) * 37 + IDX * 13 + (doc_id div 5) * IDX * IDX"
+        " + IF(IDX = doc_id % 5, 128, 0)) % 256"
+    )
+    payload = F.expr(
+        "array_join(transform(sequence(0, 191), j -> lpad(hex("
+        + v.replace("IDX", "((7 - (j div 3) div 8) * 8 + (j div 3) % 8)")
+        + "), 2, '0')), '')"
+    )
+    content = F.unhex(
+        F.concat(
+            F.lit("424DF60000000000000036000000"),
+            F.lit("28000000080000000800000001001800"),
+            F.lit("00000000C0000000"),
+            F.lit("00" * 16),
+            payload,
+        )
+    )
+    df = docs.select("doc_id", content.alias("content"))
+    return image_near_dup_pairs(
+        df, "content", "doc_id", bands=4, max_hamming=6
+    )
+
+
+_MULTIMODAL_NEAR_DUP_SQL = """
+WITH g AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 63), i ->
+      ((doc_id // 5) * 37 + i * 13 + (doc_id // 5) * i * i
+       + CASE WHEN i = doc_id % 5 THEN 128 ELSE 0 END) % 256) AS v
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    array_to_string(list_transform(v,
+      x -> CASE WHEN 64 * x > list_sum(v) THEN '1' ELSE '0' END), '') AS fp
+  FROM g
+), bands AS (
+  SELECT doc_id, fp, b, substr(fp, b * 16 + 1, 16) AS bv
+  FROM h, (SELECT unnest([0, 1, 2, 3]) AS b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                  x.fp AS fa, y.fp AS fb
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+    CAST(len(list_filter(generate_series(1, 64),
+      i -> substr(fa, i, 1) <> substr(fb, i, 1))) AS INT) AS hamming
+  FROM cand
+)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 6
+"""
+
+
 def _knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-kNN pair graph (operators/mining.py::
     mutual_topk_pairs): (a,b) survives iff each is in the other's
@@ -9942,6 +10011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_ahash": _multimodal_image_ahash,
         "dedup_prefix": _dedup_prefix,
         "knn_mutual_pairs": _knn_mutual_pairs,
+        "multimodal_near_dup": _multimodal_near_dup,
         "docs_mojibake": _docs_mojibake,
         "events_k_anonymity": _events_k_anonymity,
     }
@@ -10157,6 +10227,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_ahash": _MULTIMODAL_AHASH_SQL,
         "dedup_prefix": _DEDUP_PREFIX_SQL,
         "knn_mutual_pairs": _KNN_MUTUAL_SQL,
+        "multimodal_near_dup": _MULTIMODAL_NEAR_DUP_SQL,
         "docs_mojibake": _DOCS_MOJIBAKE_SQL,
         "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

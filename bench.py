@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "multimodal_mp4_meta",
     "multimodal_pcm_stats",
     "multimodal_image_ahash",
+    "multimodal_near_dup",
     "lang_id",
     "token_topk",
     "docs_quality_flags",

@@ -318,3 +318,28 @@ def test_image_ahash_operator_and_pooling(spark):
     assert out[2]["ahash"] == expect          # pooling preserves blocks
     assert out[1]["sum_gray"] == total and out[1]["n_px"] == 64
     assert out[3]["ahash"] is None and out[4]["ahash"] is None
+
+
+def test_image_near_dup_pairs(spark):
+    from tidyvec_spark.operators.dedup import image_near_dup_pairs
+
+    base = [[(r * 7 + c * 13) % 256 for c in range(8)] for r in range(8)]
+    tweak = [row[:] for row in base]
+    tweak[3][4] = (tweak[3][4] + 128) % 256      # one-pixel edit
+    other = [[(255 - (r * 31 + c * 3)) % 256 for c in range(8)]
+             for r in range(8)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_bmp24(base))), (2, bytearray(_bmp24(tweak))),
+         (3, bytearray(_bmp24(other))), (4, None)],
+        "doc_id INT, content BINARY",
+    )
+    pairs = image_near_dup_pairs(df, "content", "doc_id",
+                                 bands=4, max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] <= 2
+    assert all(k == (1, 2) for k in got)  # the unrelated image stays out
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        image_near_dup_pairs(df, "content", "doc_id", bands=5)

@@ -637,3 +637,13 @@ def test_decode_and_governance_plan_shapes(spark, qs):
     # up here as extra exchanges + a sort-merge join
     assert P.num_shuffles(mk) <= 2
     assert "SortMergeJoin" not in P.join_strategies(mk)
+
+
+def test_image_near_dup_plan_shape(spark, qs):
+    """Visual near-dup: banded equi-join on hash substrings — never an
+    image x image cross join; the Arrow decode frame is persisted so
+    the pixel pass is not re-run per side per band."""
+    nd = qs["multimodal_near_dup"](spark, SF)
+    P.assert_no_cartesian(nd)
+    # band self-join + pair dedup, both on bounded keys
+    assert P.num_shuffles(nd) <= 4

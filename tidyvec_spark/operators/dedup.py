@@ -1994,3 +1994,67 @@ def drop_contained_docs(
         ),
         [sh],
     )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Visual near-dup pairs: perceptual average-hash (REAL pixel
+    decode — operators/multimodal.py::image_ahash) banded exactly like
+    SimHash. Two 64-bit hashes within Hamming distance < ``bands``
+    must agree exactly in one of the ``bands`` bit-blocks
+    (pigeonhole), so the banded equi-join finds every close pair
+    without an image×image cross join; re-encoded, slightly
+    re-compressed, or single-region-edited copies land within a few
+    bits of each other and surface here.
+
+    The hash rides as the 64-char bit string ``image_ahash`` emits —
+    banding is a substring, verification a 64-step character compare
+    (codegen ``filter`` over a literal sequence, pairs only). The
+    decoded fingerprint frame is persisted across the self-join so
+    the Arrow decode pass runs ONCE, not once per side per band.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b; rows whose
+    payload fails to decode (NULL hash) are dropped before banding.
+    """
+    from tidyvec_spark.operators.multimodal import image_ahash
+
+    if 64 % int(bands) != 0:
+        raise ValueError(f"bands={bands} must divide 64")
+    bw = 64 // int(bands)
+    fps = (
+        image_ahash(
+            ensure_parallelism(df).select(id_col, content_col), content_col
+        )
+        .filter(F.col("ahash").isNotNull())
+        .select(F.col(id_col).alias("id"), F.col("ahash").alias("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded = fps.select(
+        "id",
+        "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(int(bands) - 1))).alias("__b"),
+    ).withColumn("__bv", F.expr(f"substring(fp, __b * {bw} + 1, {bw})"))
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "__b", "__bv"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "__b", "__bv"
+    )
+    ham = F.expr(
+        "size(filter(sequence(1, 64),"
+        " i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1)))"
+    )
+    return _with_persisted(
+        a.join(b, on=["__b", "__bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"]),
+        [fps],
+    )
