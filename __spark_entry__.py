@@ -9145,6 +9145,69 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
 """
 
 
+def _token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch round trip (operators/sketches.py::cms_build /
+    cms_estimate): the 4×256 mergeable counting sketch is built over
+    every corpus token, then point-estimates for the 20 most frequent
+    terms ride back next to their exact counts — ``overcount`` is the
+    sketch's one-sided error, non-negative by construction. The md5
+    bucket idiom makes the whole table engine-portable, so the oracle
+    replays build AND probe exactly."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(X.tokens("text")).alias("term"))
+    cms = cms_build(tok, "term", depth=4, width=256, salt="cms7")
+    exact = tok.groupBy("term").agg(F.count("*").alias("n_exact"))
+    est = cms_estimate(
+        exact.select("term"), "term", cms, depth=4, width=256, salt="cms7"
+    )
+    return (
+        exact.join(est, "term")
+        .select(
+            "term",
+            "n_exact",
+            F.col("n_est").cast("long").alias("n_est"),
+            (F.col("n_est") - F.col("n_exact")).cast("long").alias(
+                "overcount"
+            ),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_TOKEN_CMS_SQL = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cms AS (
+  SELECT r,
+    CAST(CONCAT('0x', substr(md5(CONCAT('cms7', CAST(r AS VARCHAR), ':',
+      term)), 1, 8)) AS UBIGINT) % 256 AS bucket,
+    count(*) AS cnt
+  FROM tok, rows_
+  GROUP BY 1, 2
+),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+          FROM tok GROUP BY term),
+probe AS (
+  SELECT e.term, e.n_exact, r.r,
+    CAST(CONCAT('0x', substr(md5(CONCAT('cms7', CAST(r.r AS VARCHAR), ':',
+      e.term)), 1, 8)) AS UBIGINT) % 256 AS bucket
+  FROM exact e, rows_ r
+),
+est AS (
+  SELECT p.term, p.n_exact,
+         CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
+  FROM probe p LEFT JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+  GROUP BY 1, 2
+)
+SELECT term, n_exact, n_est, n_est - n_exact AS overcount
+FROM est ORDER BY n_exact DESC, term LIMIT 20
+"""
+
+
 def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-dup discovery end to end (operators/dedup.py::
     image_near_dup_pairs): REAL pixel decode → perceptual average-hash
@@ -10012,6 +10075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix": _dedup_prefix,
         "knn_mutual_pairs": _knn_mutual_pairs,
         "multimodal_near_dup": _multimodal_near_dup,
+        "token_cms_topk": _token_cms_topk,
         "docs_mojibake": _docs_mojibake,
         "events_k_anonymity": _events_k_anonymity,
     }
@@ -10228,6 +10292,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix": _DEDUP_PREFIX_SQL,
         "knn_mutual_pairs": _KNN_MUTUAL_SQL,
         "multimodal_near_dup": _MULTIMODAL_NEAR_DUP_SQL,
+        "token_cms_topk": _TOKEN_CMS_SQL,
         "docs_mojibake": _DOCS_MOJIBAKE_SQL,
         "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "docs_pagerank",
     "events_heavy_hitters",
     "events_hll_accuracy",
+    "token_cms_topk",
     "events_stream_heavy_hitters",
     "docs_url_canonical",
     "docs_length_buckets",

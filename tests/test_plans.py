@@ -647,3 +647,13 @@ def test_image_near_dup_plan_shape(spark, qs):
     P.assert_no_cartesian(nd)
     # band self-join + pair dedup, both on bounded keys
     assert P.num_shuffles(nd) <= 4
+
+
+def test_cms_plan_shape(spark, qs):
+    """Count-Min round trip: the build groupBy is bounded by
+    depth x width, the probe side broadcasts the tiny sketch — no
+    corpus-wide join anywhere."""
+    cq = qs["token_cms_topk"](spark, SF)
+    P.assert_no_cartesian(cq)
+    P.assert_broadcast(cq, at_least=1)  # sketch side of the probe join
+    assert P.has_take_ordered(cq)       # top-20, no global sort

@@ -66,3 +66,58 @@ def test_contract_drops_on_impossible_tolerance(clicks):
         clicks, ["day"], "user", ["day", "hr"], rel_tol=-1.0
     ).collect()
     assert out == []
+
+
+class TestCountMin:
+    def test_estimates_never_undercount(self, spark, documents):
+        from tidyvec_spark.functions import text as X
+        from tidyvec_spark.operators.sketches import cms_build, cms_estimate
+
+        tok = documents.select(F.explode(X.tokens("text")).alias("t"))
+        cms = cms_build(tok, "t", depth=4, width=128, salt="s")
+        exact = tok.groupBy("t").agg(F.count("*").alias("n"))
+        est = cms_estimate(exact.select("t"), "t", cms,
+                           depth=4, width=128, salt="s")
+        joined = exact.join(est, "t").collect()
+        assert len(joined) > 0
+        assert all(r["n_est"] >= r["n"] for r in joined)
+
+    def test_merge_equals_whole(self, spark, documents):
+        from tidyvec_spark.functions import text as X
+        from tidyvec_spark.operators.sketches import cms_build, cms_merge
+
+        tok = documents.select(
+            "doc_id", F.explode(X.tokens("text")).alias("t")
+        )
+        whole = cms_build(tok, "t", depth=4, width=64, salt="m")
+        half1 = cms_build(tok.filter("doc_id % 2 = 0"), "t",
+                          depth=4, width=64, salt="m")
+        half2 = cms_build(tok.filter("doc_id % 2 = 1"), "t",
+                          depth=4, width=64, salt="m")
+        merged = cms_merge(half1, half2)
+        w = {(r["r"], r["bucket"]): r["cnt"] for r in whole.collect()}
+        m = {(r["r"], r["bucket"]): r["cnt"] for r in merged.collect()}
+        assert w == m
+
+    def test_unseen_value_estimates_can_be_zero(self, spark):
+        from tidyvec_spark.operators.sketches import cms_build, cms_estimate
+
+        base = spark.createDataFrame([("a",), ("a",), ("b",)], "v STRING")
+        probe = spark.createDataFrame([("zzz-unseen",)], "v STRING")
+        cms = cms_build(base, "v", depth=4, width=4096, salt="z")
+        got = cms_estimate(probe, "v", cms, depth=4, width=4096,
+                           salt="z").collect()
+        # wide sketch, 2 distinct keys: some of the 4 probe buckets is
+        # empty with overwhelming certainty -> min = 0
+        assert got[0]["n_est"] == 0
+
+    def test_validation(self, spark):
+        import pytest
+
+        from tidyvec_spark.operators.sketches import cms_build, cms_merge
+
+        df = spark.createDataFrame([("a",)], "v STRING")
+        with pytest.raises(ValueError):
+            cms_build(df, "v", depth=0)
+        with pytest.raises(ValueError):
+            cms_merge()

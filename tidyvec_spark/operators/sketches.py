@@ -26,7 +26,14 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_sketch_by", "hll_rollup", "distinct_with_accuracy_contract"]
+__all__ = [
+    "hll_sketch_by",
+    "hll_rollup",
+    "distinct_with_accuracy_contract",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+]
 
 
 def hll_sketch_by(
@@ -107,4 +114,119 @@ def distinct_with_accuracy_contract(
             & (F.col("__merged") == F.col("__direct"))
         )
         .select(*keys, F.col("__exact").alias(out_col))
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "",
+) -> DataFrame:
+    """Count-Min sketch of ``value_col`` as a (r, bucket, cnt) table —
+    the mergeable COUNTING twin of the HLL sketches above (Cormode &
+    Muthukrishnan 2005): point-frequency estimates with one-sided
+    error (never under-counts, over-counts by at most εN with
+    probability 1−δ, ε = e/width, δ = e^−depth).
+
+    Bucketing is the engine-portable md5 idiom (``conv(substr(md5(r:v)
+    ,1,8),16,10) % width``), so sketches built by ANY engine agree
+    bit-for-bit and the DuckDB oracle replays the table exactly.
+
+    Scale shape: ONE groupBy bounded by depth×width output rows with
+    full map-side partial aggregation — a 100 TB stream collapses to a
+    4×256 table per build. MERGEABLE: tables from disjoint inputs sum
+    per (r, bucket) (:func:`cms_merge`), so per-hour/per-shard
+    sketches roll up without re-scanning history.
+    """
+    if int(depth) < 1 or int(width) < 1:
+        raise ValueError("depth and width must be >= 1")
+    r = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("r")
+    keyed = df.select(F.col(value_col).cast("string").alias("__v")).select(
+        "__v", r
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("__v"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(width)
+    )
+    return (
+        keyed.withColumn("bucket", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Sum per (r, bucket) across sketch tables built with the same
+    (depth, width, salt) — the union-then-one-groupBy merge law that
+    makes per-shard sketches roll up incrementally."""
+    if not tables:
+        raise ValueError("need at least one sketch table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    values: DataFrame,
+    value_col: str,
+    cms: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "",
+    est_col: str = "n_est",
+) -> DataFrame:
+    """Point-estimate the frequency of every row of ``values``:
+    min over the ``depth`` hash rows of the bucket counter (0 when a
+    bucket is empty — the value never occurred). The probe frame is
+    values×depth joined to the depth×width table, so cost scales with
+    the query set, never the sketched corpus; Catalyst broadcasts the
+    tiny sketch side."""
+    probes = values.select(
+        F.col(value_col),
+        F.col(value_col).cast("string").alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("r"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("__v"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(width)
+    )
+    probed = probes.withColumn("bucket", bucket).join(
+        F.broadcast(cms), ["r", "bucket"], "left"
+    )
+    return (
+        probed.groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
     )
