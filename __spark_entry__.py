@@ -9145,6 +9145,81 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
 """
 
 
+def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup discovery end to end (operators/dedup.py::
+    audio_near_dup_pairs): REAL PCM16 sample decode → 64-bit energy-
+    envelope fingerprint → SimHash-style banding → Hamming verify,
+    completing the text/image/audio near-dup triple on one shared
+    candidate/verify stage. The fixture synthesizes 5 variants per
+    track group (doc_id div 5), each boosting ONE 2-sample window by
+    a constant — the envelope shifts by at most a few bits and the
+    banded join must recover exactly the C(5,2) pairs per group (the
+    quadratic sample law keeps distinct groups apart)."""
+    from tidyvec_spark.operators.dedup import audio_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    # 128 mono PCM16 samples; v in [0, 31999] so no int16 overflow and
+    # |sample| == sample on both engines
+    v = (
+        "(((doc_id div 5) * 977 + IDX * 3331"
+        " + (doc_id div 5) * IDX * IDX) % 30000"
+        " + IF(IDX div 2 = doc_id % 5, 2000, 0))"
+    )
+    payload = F.expr(
+        "array_join(transform(sequence(0, 127), i -> concat("
+        "lpad(hex(" + v.replace("IDX", "i") + " % 256), 2, '0'),"
+        "lpad(hex(" + v.replace("IDX", "i") + " div 256), 2, '0')"
+        ")), '')"
+    )
+    content = F.unhex(
+        F.concat(
+            F.lit("52494646"), F.lit("24010000"),            # RIFF, 292
+            F.lit("57415645666D742010000000"),               # WAVE fmt 16
+            F.lit("0100"), F.lit("0100"),                    # PCM, mono
+            F.lit("803E0000"), F.lit("007D0000"),            # 16 kHz
+            F.lit("0200"), F.lit("1000"),                    # block, 16b
+            F.lit("64617461"), F.lit("00010000"),            # data, 256
+            payload,
+        )
+    )
+    df = docs.select("doc_id", content.alias("content"))
+    return audio_near_dup_pairs(
+        df, "content", "doc_id", windows=64, bands=4, max_hamming=6
+    )
+
+
+_MULTIMODAL_AUDIO_NEAR_DUP_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 127), i ->
+      ((doc_id // 5) * 977 + i * 3331 + (doc_id // 5) * i * i) % 30000
+      + CASE WHEN i // 2 = doc_id % 5 THEN 2000 ELSE 0 END) AS smp
+  FROM documents
+), e AS (SELECT doc_id, smp, list_sum(smp) AS total FROM s),
+h AS (
+  SELECT doc_id,
+    array_to_string(list_transform(generate_series(0, 63),
+      w -> CASE WHEN 64 * (smp[2*w+1] + smp[2*w+2]) > total
+                THEN '1' ELSE '0' END), '') AS fp
+  FROM e
+), bands AS (
+  SELECT doc_id, fp, b, substr(fp, b * 16 + 1, 16) AS bv
+  FROM h, (SELECT unnest([0, 1, 2, 3]) AS b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                  x.fp AS fa, y.fp AS fb
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+    CAST(len(list_filter(generate_series(1, 64),
+      i -> substr(fa, i, 1) <> substr(fb, i, 1))) AS INT) AS hamming
+  FROM cand
+)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 6
+"""
+
+
 def _token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch round trip (operators/sketches.py::cms_build /
     cms_estimate): the 4×256 mergeable counting sketch is built over
@@ -10075,6 +10150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix": _dedup_prefix,
         "knn_mutual_pairs": _knn_mutual_pairs,
         "multimodal_near_dup": _multimodal_near_dup,
+        "multimodal_audio_near_dup": _multimodal_audio_near_dup,
         "token_cms_topk": _token_cms_topk,
         "docs_mojibake": _docs_mojibake,
         "events_k_anonymity": _events_k_anonymity,
@@ -10292,6 +10368,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix": _DEDUP_PREFIX_SQL,
         "knn_mutual_pairs": _KNN_MUTUAL_SQL,
         "multimodal_near_dup": _MULTIMODAL_NEAR_DUP_SQL,
+        "multimodal_audio_near_dup": _MULTIMODAL_AUDIO_NEAR_DUP_SQL,
         "token_cms_topk": _TOKEN_CMS_SQL,
         "docs_mojibake": _DOCS_MOJIBAKE_SQL,
         "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "multimodal_pcm_stats",
     "multimodal_image_ahash",
     "multimodal_near_dup",
+    "multimodal_audio_near_dup",
     "lang_id",
     "token_topk",
     "docs_quality_flags",

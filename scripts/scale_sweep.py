@@ -104,6 +104,73 @@ def synth_embeddings(spark, n_vecs: int, dim: int = 64, dup_frac: float = 0.05):
     return base.unionByName(dups)
 
 
+def synth_bmps(spark, n_docs: int):
+    """Deterministic synthetic image corpus: complete 8x8 24-bpp BMPs
+    assembled expression-side, 5 one-pixel-brightened variants per
+    group (id div 5). Pixels are xxhash64-seeded so DISTINCT groups
+    are iid-random in hash space — the oracle entry's arithmetic law
+    is fine at 500 fixture rows but concentrates at 10^4+ groups and
+    would emit quadratically many TRUE pairs, turning the sweep into
+    an output-volume measurement instead of a linearity check. Every
+    group still contributes exactly C(5,2) true near-dup pairs."""
+    from pyspark.sql import functions as F
+
+    v = (
+        "(pmod(xxhash64((doc_id div 5) * 64 + IDX), 256)"
+        " + IF(IDX = doc_id % 5, 128, 0)) % 256"
+    )
+    payload = F.expr(
+        "array_join(transform(sequence(0, 191), j -> lpad(hex("
+        + v.replace("IDX", "((7 - (j div 3) div 8) * 8 + (j div 3) % 8)")
+        + "), 2, '0')), '')"
+    )
+    content = F.unhex(
+        F.concat(
+            F.lit("424DF60000000000000036000000"),
+            F.lit("28000000080000000800000001001800"),
+            F.lit("00000000C0000000"),
+            F.lit("00" * 16),
+            payload,
+        )
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), content.alias("content")
+    )
+
+
+def synth_wavs(spark, n_docs: int):
+    """Deterministic synthetic audio corpus: 128-sample mono PCM16
+    WAVs, 5 variants per group (id div 5) each boosting one 2-sample
+    window; xxhash64-seeded samples keep distinct groups iid-random in
+    envelope space (same rationale as :func:`synth_bmps`)."""
+    from pyspark.sql import functions as F
+
+    v = (
+        "(pmod(xxhash64((doc_id div 5) * 128 + IDX), 30000)"
+        " + IF(IDX div 2 = doc_id % 5, 2000, 0))"
+    )
+    payload = F.expr(
+        "array_join(transform(sequence(0, 127), i -> concat("
+        "lpad(hex(" + v.replace("IDX", "i") + " % 256), 2, '0'),"
+        "lpad(hex(" + v.replace("IDX", "i") + " div 256), 2, '0')"
+        ")), '')"
+    )
+    content = F.unhex(
+        F.concat(
+            F.lit("52494646"), F.lit("24010000"),
+            F.lit("57415645666D742010000000"),
+            F.lit("0100"), F.lit("0100"),
+            F.lit("803E0000"), F.lit("007D0000"),
+            F.lit("0200"), F.lit("1000"),
+            F.lit("64617461"), F.lit("00010000"),
+            payload,
+        )
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), content.alias("content")
+    )
+
+
 def materialize(df) -> int:
     """Force FULL computation of every column (count() would let
     Catalyst prune the expensive rebuild/verify columns away) and
@@ -249,6 +316,51 @@ def main() -> None:
             )),
         )
         vecs.unpersist()
+
+    # visual near-dup: decode + banding. Band width is the production
+    # knob here exactly like nbits is for vector LSH: candidate count
+    # per band ~ C(n_distinct_fp, 2) / 2^band_bits, so a 64-bit hash at
+    # 16-bit bands stays linear while distinct fingerprints << 2^16
+    # per band-value; past ~10^5 distinct images widen the bands (or
+    # move to a wider perceptual hash) to hold occupancy.
+    from tidyvec_spark.operators.dedup import image_near_dup_pairs
+
+    img_sizes = [5_000, 20_000, 80_000]
+    if quick:
+        img_sizes = img_sizes[:2]
+    wimgs = synth_bmps(spark, 500).persist()
+    materialize(image_near_dup_pairs(wimgs, "content", "doc_id",
+                                     bands=4, max_hamming=6))
+    wimgs.unpersist()
+    for n in img_sizes:
+        imgs = synth_bmps(spark, n).persist()
+        imgs.count()
+        record(
+            "image_near_dup_pairs", n,
+            lambda: materialize(image_near_dup_pairs(
+                imgs, "content", "doc_id", bands=4, max_hamming=6,
+            )),
+        )
+        imgs.unpersist()
+
+    # audio twin: same banding core, PCM16 decode in front
+    from tidyvec_spark.operators.dedup import audio_near_dup_pairs
+
+    waud = synth_wavs(spark, 500).persist()
+    materialize(audio_near_dup_pairs(waud, "content", "doc_id",
+                                     windows=64, bands=4, max_hamming=6))
+    waud.unpersist()
+    for n in img_sizes:
+        auds = synth_wavs(spark, n).persist()
+        auds.count()
+        record(
+            "audio_near_dup_pairs", n,
+            lambda: materialize(audio_near_dup_pairs(
+                auds, "content", "doc_id", windows=64, bands=4,
+                max_hamming=6,
+            )),
+        )
+        auds.unpersist()
 
     print("\n== scaling summary (wall_s by size) ==")
     for op, pts in results.items():

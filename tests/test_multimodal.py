@@ -343,3 +343,46 @@ def test_image_near_dup_pairs(spark):
 
     with pytest.raises(ValueError):
         image_near_dup_pairs(df, "content", "doc_id", bands=5)
+
+
+def test_audio_envelope_hash_and_near_dup(spark):
+    from tidyvec_spark.operators.dedup import audio_near_dup_pairs
+    from tidyvec_spark.operators import multimodal as mm2
+
+    # two near-identical tracks (one window boosted), one noise track
+    base = [(i * 997) % 16000 for i in range(128)]
+    tweak = base[:]
+    tweak[10] += 2000
+    tweak[11] += 2000
+    other = [((i * 53 + 7) ** 2) % 30000 for i in range(128)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_pcm16(base))), (2, bytearray(_wav_pcm16(tweak))),
+         (3, bytearray(_wav_pcm16(other))), (4, None),
+         (5, bytearray(_wav_pcm16(base[:32])))],   # shorter than windows
+        "doc_id INT, content BINARY",
+    )
+    env = {r["doc_id"]: r for r in
+           mm2.audio_envelope_hash(df, windows=64).collect()}
+    assert len(env[1]["envelope"]) == 64
+    assert env[4]["envelope"] is None
+    assert env[5]["envelope"] is None and env[5]["n_samples"] == 32
+    # constant-gain invariance: doubling every sample keeps the bits
+    doubled = [s * 2 for s in base if True]
+    df2 = spark.createDataFrame(
+        [(1, bytearray(_wav_pcm16(base))), (2, bytearray(_wav_pcm16(doubled)))],
+        "doc_id INT, content BINARY",
+    )
+    env2 = {r["doc_id"]: r["envelope"] for r in
+            mm2.audio_envelope_hash(df2, windows=64).collect()}
+    assert env2[1] == env2[2]
+
+    pairs = audio_near_dup_pairs(df, "content", "doc_id",
+                                 windows=64, bands=4, max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] <= 2
+    assert all(k == (1, 2) for k in got)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm2.audio_envelope_hash(df, windows=0)

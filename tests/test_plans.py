@@ -657,3 +657,11 @@ def test_cms_plan_shape(spark, qs):
     P.assert_no_cartesian(cq)
     P.assert_broadcast(cq, at_least=1)  # sketch side of the probe join
     assert P.has_take_ordered(cq)       # top-20, no global sort
+
+
+def test_audio_near_dup_plan_shape(spark, qs):
+    """Audio near-dup rides the same banded equi-join stage as the
+    visual twin — never track x track."""
+    nd = qs["multimodal_audio_near_dup"](spark, SF)
+    P.assert_no_cartesian(nd)
+    assert P.num_shuffles(nd) <= 4

@@ -65,6 +65,7 @@ from tidyvec_spark.operators.pq import (
     pq_encode,
 )
 from tidyvec_spark.operators.multimodal import (
+    audio_envelope_hash,
     audio_pcm_stats,
     image_ahash,
 )
@@ -139,6 +140,7 @@ __all__ = [
     "target_mix_fractions",
     "target_mix_sample",
     "two_phase_agg",
+    "audio_envelope_hash",
     "audio_pcm_stats",
     "image_ahash",
     "plan_image_grid",

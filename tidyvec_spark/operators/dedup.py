@@ -2023,17 +2023,30 @@ def image_near_dup_pairs(
     """
     from tidyvec_spark.operators.multimodal import image_ahash
 
-    if 64 % int(bands) != 0:
-        raise ValueError(f"bands={bands} must divide 64")
-    bw = 64 // int(bands)
     fps = (
         image_ahash(
             ensure_parallelism(df).select(id_col, content_col), content_col
         )
         .filter(F.col("ahash").isNotNull())
         .select(F.col(id_col).alias("id"), F.col("ahash").alias("fp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return _bitstring_banded_pairs(fps, 64, bands, max_hamming)
+
+
+def _bitstring_banded_pairs(
+    fps: DataFrame, bits: int, bands: int, max_hamming: int
+) -> DataFrame:
+    """SimHash banding over an N-char '0'/'1' fingerprint column —
+    the shared candidate/verify stage behind the visual and audio
+    near-dup operators: band = substring, candidates from the banded
+    equi-join (pigeonhole-complete below ``bands`` bits), Hamming
+    verified with a codegen character compare over pairs only. The
+    fingerprint frame (the expensive Arrow decode) is persisted so it
+    computes once, not once per side per band. Input: (id, fp)."""
+    if bits % int(bands) != 0:
+        raise ValueError(f"bands={bands} must divide {bits}")
+    bw = bits // int(bands)
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     banded = fps.select(
         "id",
         "fp",
@@ -2046,7 +2059,7 @@ def image_near_dup_pairs(
         F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "__b", "__bv"
     )
     ham = F.expr(
-        "size(filter(sequence(1, 64),"
+        f"size(filter(sequence(1, {bits}),"
         " i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1)))"
     )
     return _with_persisted(
@@ -2058,3 +2071,38 @@ def image_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"]),
         [fps],
     )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    windows: int = 64,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Audio near-dup pairs from REAL decoded PCM16 samples: the
+    energy-envelope fingerprint (operators/multimodal.py::
+    audio_envelope_hash — per-window |sample| mass vs the track mean,
+    ``windows`` bits) banded exactly like SimHash/aHash. Re-encoded,
+    trimmed-silence, or single-section-edited copies keep their
+    energy shape and land within a few envelope bits; the banded
+    equi-join surfaces them without a track x track cross join. The
+    text / image / audio near-dup triple shares one candidate/verify
+    stage (:func:`_bitstring_banded_pairs`).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b; non-PCM16
+    payloads (NULL fingerprint) are dropped before banding.
+    """
+    from tidyvec_spark.operators.multimodal import audio_envelope_hash
+
+    fps = (
+        audio_envelope_hash(
+            ensure_parallelism(df).select(id_col, content_col),
+            content_col,
+            windows=windows,
+        )
+        .filter(F.col("envelope").isNotNull())
+        .select(F.col(id_col).alias("id"), F.col("envelope").alias("fp"))
+    )
+    return _bitstring_banded_pairs(fps, int(windows), bands, max_hamming)

@@ -611,3 +611,70 @@ def image_ahash(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_envelope_hash(
+    df: DataFrame,
+    content_col: str = "content",
+    windows: int = 64,
+) -> DataFrame:
+    """Append an energy-envelope fingerprint from REAL PCM16 samples:
+    split the track into ``windows`` equal sample blocks, bit i set
+    iff block i carries more than its even share of the total
+    absolute-sample mass (``windows·block_sum > total_sum`` — the
+    integer-exact form of ``block_mean > track_mean``). The result is
+    a ``windows``-char '0'/'1' string: loudness shape, invariant to
+    constant gain, the baseline acoustic fingerprint the near-dup
+    banding machinery consumes exactly like SimHash/aHash.
+
+    Output columns: ``n_samples`` (NULL for non-PCM16 payloads) and
+    ``envelope`` (NULL when not decodable or shorter than
+    ``windows`` samples). Block boundaries are ``floor(i·n/W)`` so
+    any track length splits deterministically.
+
+    Plan: Arrow-batched mapInPandas, one scan, zero shuffle; numpy
+    reduces each batch."""
+    windows = int(windows)
+    if windows < 1:
+        raise ValueError("windows must be >= 1")
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("envelope", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ns, env = [], []
+            for blob in pdf[content_col]:
+                s = decode_pcm16(blob)
+                if s is None:
+                    ns.append(None)
+                    env.append(None)
+                    continue
+                a = np.abs(s.astype(np.int64))
+                n = int(a.size)
+                ns.append(n)
+                if n < windows:
+                    env.append(None)
+                    continue
+                bounds = (np.arange(windows + 1) * n) // windows
+                cs = np.concatenate(([0], np.cumsum(a)))
+                block = cs[bounds[1:]] - cs[bounds[:-1]]
+                total = int(cs[-1])
+                env.append(
+                    "".join(
+                        "1" if windows * int(b) > total else "0"
+                        for b in block
+                    )
+                )
+            pdf = pdf.copy()
+            pdf["n_samples"] = pd.array(ns, dtype="Int64")
+            pdf["envelope"] = pd.array(env, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
