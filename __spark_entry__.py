@@ -9145,6 +9145,116 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
 """
 
 
+def _pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality ingest composite (operators/multimodal.py::
+    media_type_of + the three header parsers): one synthesized corpus
+    carries PNG, WAV, and MP4 payloads by doc_id residue; the
+    magic-byte sniff routes each row to its parser and the typed
+    metadata unions into one uniform (doc_id, modality, m1, m2)
+    frame. This is the executor-safe replacement for the reference's
+    driver-path modality sniffing (R/embedders.R:112) as a runnable
+    plan: three filtered map-side branches over the same frame, ZERO
+    shuffles end to end."""
+    from tidyvec_spark.operators.multimodal import (
+        audio_header_meta,
+        image_header_meta,
+        media_type_of,
+        video_header_meta,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(16) + F.col("doc_id") % 624).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 464).cast("int")
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+            F.lit("080200000000000000"),
+        )
+    )
+    rate = (F.lit(8000) + (F.col("doc_id") % 8) * 1000).cast("long")
+    ch = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    frames = (F.lit(100) + F.col("doc_id") % 1000).cast("long")
+    data_size = frames * ch * 2
+
+    def le(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(F.hex(F.shiftright(col, 8 * i) % 256), 2, "0")
+                for i in range(nbytes)
+            ]
+        )
+
+    wav = F.unhex(
+        F.concat(
+            F.lit("52494646"), le(data_size + 36, 4),
+            F.lit("57415645666D742010000000"),
+            F.lit("0100"), le(ch, 2), le(rate, 4),
+            le(rate * ch * 2, 4), le(ch * 2, 2), F.lit("1000"),
+            F.lit("64617461"), le(data_size, 4),
+        )
+    )
+    dur = ((F.col("doc_id") % 3600 + 1) * 600).cast("long")
+    mp4 = F.unhex(
+        F.concat(
+            F.lit("000000106674797069736F6D00000000"),
+            F.lit("000000746D6F6F76"),
+            F.lit("0000006C6D766864"),
+            F.lit("00000000"), F.lit("0000000000000000"),
+            F.lit("00000258"), F.lpad(F.hex(dur), 8, "0"),
+            F.lit("00" * 80),
+        )
+    )
+    content = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, wav)
+        .otherwise(mp4)
+    )
+    media = docs.select(
+        "doc_id",
+        content.alias("content"),
+        media_type_of("content").alias("modality"),
+    )
+    img = image_header_meta(media.filter(F.col("modality") == "image")).select(
+        "doc_id",
+        "modality",
+        F.col("width").cast("long").alias("m1"),
+        F.col("height").cast("long").alias("m2"),
+    )
+    aud = audio_header_meta(media.filter(F.col("modality") == "audio")).select(
+        "doc_id",
+        "modality",
+        F.col("sample_rate").cast("long").alias("m1"),
+        F.col("n_samples").cast("long").alias("m2"),
+    )
+    vid = video_header_meta(media.filter(F.col("modality") == "video")).select(
+        "doc_id",
+        "modality",
+        F.col("timescale").cast("long").alias("m1"),
+        F.col("duration_units").cast("long").alias("m2"),
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+_PIPELINE_MEDIA_SQL = """
+SELECT doc_id, 'image' AS modality,
+       CAST(16 + doc_id % 624 AS BIGINT) AS m1,
+       CAST(16 + (doc_id * 7) % 464 AS BIGINT) AS m2
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'audio' AS modality,
+       CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS m1,
+       CAST(100 + doc_id % 1000 AS BIGINT) AS m2
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT doc_id, 'video' AS modality,
+       CAST(600 AS BIGINT) AS m1,
+       CAST((doc_id % 3600 + 1) * 600 AS BIGINT) AS m2
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
 def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup discovery end to end (operators/dedup.py::
     audio_near_dup_pairs): REAL PCM16 sample decode → 64-bit energy-
@@ -10151,6 +10261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_mutual_pairs": _knn_mutual_pairs,
         "multimodal_near_dup": _multimodal_near_dup,
         "multimodal_audio_near_dup": _multimodal_audio_near_dup,
+        "pipeline_media": _pipeline_media,
         "token_cms_topk": _token_cms_topk,
         "docs_mojibake": _docs_mojibake,
         "events_k_anonymity": _events_k_anonymity,
@@ -10369,6 +10480,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_mutual_pairs": _KNN_MUTUAL_SQL,
         "multimodal_near_dup": _MULTIMODAL_NEAR_DUP_SQL,
         "multimodal_audio_near_dup": _MULTIMODAL_AUDIO_NEAR_DUP_SQL,
+        "pipeline_media": _PIPELINE_MEDIA_SQL,
         "token_cms_topk": _TOKEN_CMS_SQL,
         "docs_mojibake": _DOCS_MOJIBAKE_SQL,
         "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,

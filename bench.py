@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "multimodal_image_ahash",
     "multimodal_near_dup",
     "multimodal_audio_near_dup",
+    "pipeline_media",
     "lang_id",
     "token_topk",
     "docs_quality_flags",

@@ -386,3 +386,28 @@ def test_audio_envelope_hash_and_near_dup(spark):
 
     with pytest.raises(ValueError):
         mm2.audio_envelope_hash(df, windows=0)
+
+
+def test_media_type_of_sniffs_all_modalities(spark):
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    gif = b"GIF89a" + b"\x00" * 10
+    jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 10
+    bmp = _bmp24([[0] * 8 for _ in range(8)])
+    wav = _wav_pcm16([0, 1, 2])
+    avi = b"RIFF" + struct.pack("<I", 100) + b"AVI " + b"\x00" * 20
+    mp4 = b"\x00\x00\x00\x10ftypisom" + b"\x00" * 8
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(jpg)),
+         (4, bytearray(bmp)), (5, bytearray(wav)), (6, bytearray(mp4)),
+         (7, bytearray(avi)), (8, bytearray(b"plain text")), (9, None)],
+        "doc_id INT, content BINARY",
+    )
+    got = {r["doc_id"]: r["m"] for r in
+           df.select("doc_id", mm.media_type_of("content").alias("m")).collect()}
+    assert got[1] == got[2] == got[3] == got[4] == "image"
+    assert got[5] == "audio"
+    assert got[6] == "video"
+    assert got[7] == "unknown"   # RIFF but not WAVE
+    assert got[8] == "unknown" and got[9] == "unknown"

@@ -665,3 +665,10 @@ def test_audio_near_dup_plan_shape(spark, qs):
     nd = qs["multimodal_audio_near_dup"](spark, SF)
     P.assert_no_cartesian(nd)
     assert P.num_shuffles(nd) <= 4
+
+
+def test_pipeline_media_zero_shuffle(spark, qs):
+    """Mixed-modality routing: three filtered map-side parser branches
+    unioned — no exchange anywhere in the composite."""
+    pm = qs["pipeline_media"](spark, SF)
+    assert P.num_shuffles(pm) == 0

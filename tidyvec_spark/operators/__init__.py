@@ -68,6 +68,7 @@ from tidyvec_spark.operators.multimodal import (
     audio_envelope_hash,
     audio_pcm_stats,
     image_ahash,
+    media_type_of,
 )
 from tidyvec_spark.operators.viz import (
     plan_image_grid,
@@ -143,6 +144,7 @@ __all__ = [
     "audio_envelope_hash",
     "audio_pcm_stats",
     "image_ahash",
+    "media_type_of",
     "plan_image_grid",
     "viz_embeddings",
     "viz_images",

@@ -678,3 +678,33 @@ def audio_envelope_hash(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def media_type_of(content_col: str = "content"):
+    """Magic-byte modality sniff as ONE codegen expression: 'image'
+    (PNG/GIF/BMP/JPEG), 'audio' (RIFF/WAVE), 'video' (ISO-BMFF ftyp at
+    offset 4), else 'unknown' (NULL payloads included). This is the
+    explicit, executor-safe replacement for the reference's
+    driver-path file sniffing (R/embedders.R:112 routes CLIP batches
+    by file-path existence, which a distributed engine cannot see):
+    the bytes themselves carry the modality, so routing is a map-side
+    projection any executor can evaluate.
+
+    Hex prefixes: PNG 89504E47, GIF 474946, BMP 424D, JPEG FFD8FF,
+    RIFF....WAVE, ....66747970 (ftyp)."""
+    c = F.col(content_col)
+    head = F.upper(F.hex(F.substring(c, 1, 12)))
+    return (
+        F.when(c.isNull(), F.lit("unknown"))
+        .when(head.startswith("89504E47"), F.lit("image"))
+        .when(head.startswith("474946"), F.lit("image"))
+        .when(head.startswith("424D"), F.lit("image"))
+        .when(head.startswith("FFD8FF"), F.lit("image"))
+        .when(
+            head.startswith("52494646")
+            & (F.substring(head, 17, 8) == "57415645"),
+            F.lit("audio"),
+        )
+        .when(F.substring(head, 9, 8) == "66747970", F.lit("video"))
+        .otherwise(F.lit("unknown"))
+    )
