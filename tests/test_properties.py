@@ -370,3 +370,68 @@ def test_random_projection_is_linear(spark):
     p2x = random_projection_py([2.0 * a for a in x], 16)
     for got, want in zip(p2x, (2.0 * a for a in px)):
         assert abs(got - want) < 1e-9
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=0, max_size=300,
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_pcm16_decode_is_inverse_of_encode(samples, rate):
+    import struct
+
+    from tidyvec_spark.operators.multimodal import (
+        decode_pcm16,
+        parse_wav_header,
+    )
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert list(decode_pcm16(wav)) == samples
+    hdr = parse_wav_header(wav)
+    assert hdr == (rate, 1, len(samples))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=11),
+    h=st.integers(min_value=1, max_value=11),
+    seed=st.integers(min_value=0, max_value=10_000),
+    topdown=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_gray_decode_handles_any_stride_and_row_order(w, h, seed, topdown):
+    """Row padding to 4-byte multiples and both row orders (positive
+    height = bottom-up, negative = top-down) must decode to the same
+    top-down gray matrix."""
+    import struct
+
+    from tidyvec_spark.operators.multimodal import decode_bmp_gray
+
+    gray = [[(seed + r * 31 + c * 7) % 256 for c in range(w)]
+            for r in range(h)]
+    stride = ((w * 3 + 3) // 4) * 4
+    px = bytearray()
+    rows = range(h) if topdown else range(h - 1, -1, -1)
+    for r in rows:
+        row = bytearray()
+        for c in range(w):
+            g = gray[r][c]
+            row += bytes((g, g, g))
+        row += b"\x00" * (stride - len(row))
+        px += row
+    signed_h = -h if topdown else h
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, signed_h, 1, 24, 0,
+                      len(px), 0, 0, 0, 0)
+    )
+    out = decode_bmp_gray(bytes(hdr) + bytes(px))
+    assert out.tolist() == gray
