@@ -9145,6 +9145,63 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
 """
 
 
+def _media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary corrupt-payload quarantine (operators/multimodal.py::
+    media_quarantine) — the binary counterpart of the JSONL/CSV
+    quarantine ingests: valid PNG / valid WAV / truncated PNG (magic
+    only) / non-media bytes / NULL are classified by doc_id residue
+    and every row must land in the right (modality, status, reason)
+    cell instead of killing the scan."""
+    from tidyvec_spark.operators.multimodal import media_quarantine
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(16) + F.col("doc_id") % 624).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 464).cast("int")
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+            F.lit("080200000000000000"),
+        )
+    )
+    wav = F.unhex(
+        F.concat(
+            F.lit("52494646A4010000"),                   # RIFF, size
+            F.lit("57415645666D742010000000"),
+            F.lit("01000100803E0000007D000002001000"),
+            F.lit("6461746180010000"),                   # data, 384
+        )
+    )
+    truncated = F.unhex(F.lit("89504E470D0A1A0A"))       # magic only
+    garbage = F.unhex(F.lit("6E6F742061206D656469612066696C65"))
+    content = (
+        F.when(F.col("doc_id") % 5 == 0, png)
+        .when(F.col("doc_id") % 5 == 1, wav)
+        .when(F.col("doc_id") % 5 == 2, truncated)
+        .when(F.col("doc_id") % 5 == 3, garbage)
+        # residue 4: NULL (no otherwise)
+    )
+    df = docs.select("doc_id", content.alias("content"))
+    return media_quarantine(df).select(
+        "doc_id", "modality", "status", "reason"
+    )
+
+
+_MEDIA_QUARANTINE_SQL = """
+SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'image'
+    ELSE 'unknown' END AS modality,
+  CASE WHEN doc_id % 5 IN (0, 1) THEN 'ok' ELSE 'quarantined'
+    END AS status,
+  CASE doc_id % 5
+    WHEN 2 THEN 'parse_failed' WHEN 3 THEN 'unknown_format'
+    WHEN 4 THEN 'empty' ELSE NULL END AS reason
+FROM documents
+"""
+
+
 def _pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-modality ingest composite (operators/multimodal.py::
     media_type_of + the three header parsers): one synthesized corpus
@@ -10262,6 +10319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_near_dup": _multimodal_near_dup,
         "multimodal_audio_near_dup": _multimodal_audio_near_dup,
         "pipeline_media": _pipeline_media,
+        "media_quarantine": _media_quarantine,
         "token_cms_topk": _token_cms_topk,
         "docs_mojibake": _docs_mojibake,
         "events_k_anonymity": _events_k_anonymity,
@@ -10481,6 +10539,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_near_dup": _MULTIMODAL_NEAR_DUP_SQL,
         "multimodal_audio_near_dup": _MULTIMODAL_AUDIO_NEAR_DUP_SQL,
         "pipeline_media": _PIPELINE_MEDIA_SQL,
+        "media_quarantine": _MEDIA_QUARANTINE_SQL,
         "token_cms_topk": _TOKEN_CMS_SQL,
         "docs_mojibake": _DOCS_MOJIBAKE_SQL,
         "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "multimodal_near_dup",
     "multimodal_audio_near_dup",
     "pipeline_media",
+    "media_quarantine",
     "lang_id",
     "token_topk",
     "docs_quality_flags",

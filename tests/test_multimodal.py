@@ -411,3 +411,38 @@ def test_media_type_of_sniffs_all_modalities(spark):
     assert got[6] == "video"
     assert got[7] == "unknown"   # RIFF but not WAVE
     assert got[8] == "unknown" and got[9] == "unknown"
+
+
+def test_sniff_matches_expression_and_quarantine(spark):
+    import struct
+
+    samples = [
+        (1, bytes.fromhex(
+            "89504E470D0A1A0A0000000D49484452"
+            "0000001000000010080200000000000000")),
+        (2, _wav_pcm16([1, 2, 3])),
+        (3, b"\x89PNG\r\n\x1a\n"),                 # truncated
+        (4, b"RIFF" + struct.pack("<I", 8) + b"AVI "),
+        (5, b"not media"),
+        (6, None),
+        (7, b""),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b) if b is not None else None) for i, b in samples],
+        "doc_id INT, content BINARY",
+    )
+    # python sniff == expression sniff, row for row
+    expr = {r["doc_id"]: r["m"] for r in
+            df.select("doc_id", mm.media_type_of("content").alias("m"))
+              .collect()}
+    for i, b in samples:
+        assert mm.sniff_media_type(b) == expr[i], i
+
+    rows = {r["doc_id"]: r for r in mm.media_quarantine(df).collect()}
+    assert rows[1]["status"] == "ok" and rows[1]["reason"] is None
+    assert rows[2]["status"] == "ok" and rows[2]["modality"] == "audio"
+    assert rows[3]["status"] == "quarantined"
+    assert rows[3]["reason"] == "parse_failed"
+    assert rows[4]["reason"] == "unknown_format"  # RIFF but not WAVE
+    assert rows[5]["reason"] == "unknown_format"
+    assert rows[6]["reason"] == "empty" and rows[7]["reason"] == "empty"

@@ -672,3 +672,9 @@ def test_pipeline_media_zero_shuffle(spark, qs):
     unioned — no exchange anywhere in the composite."""
     pm = qs["pipeline_media"](spark, SF)
     assert P.num_shuffles(pm) == 0
+
+
+def test_media_quarantine_zero_shuffle(spark, qs):
+    """Binary quarantine is one Arrow scan: classify, never throw."""
+    mq = qs["media_quarantine"](spark, SF)
+    assert P.num_shuffles(mq) == 0

@@ -68,7 +68,9 @@ from tidyvec_spark.operators.multimodal import (
     audio_envelope_hash,
     audio_pcm_stats,
     image_ahash,
+    media_quarantine,
     media_type_of,
+    sniff_media_type,
 )
 from tidyvec_spark.operators.viz import (
     plan_image_grid,
@@ -144,7 +146,9 @@ __all__ = [
     "audio_envelope_hash",
     "audio_pcm_stats",
     "image_ahash",
+    "media_quarantine",
     "media_type_of",
+    "sniff_media_type",
     "plan_image_grid",
     "viz_embeddings",
     "viz_images",

@@ -708,3 +708,77 @@ def media_type_of(content_col: str = "content"):
         .when(F.substring(head, 9, 8) == "66747970", F.lit("video"))
         .otherwise(F.lit("unknown"))
     )
+
+
+def sniff_media_type(b) -> str:
+    """Pure-Python twin of :func:`media_type_of` (same magic laws, for
+    use inside mapInPandas stages); equality with the expression
+    version is pinned in tests."""
+    if b is None or len(b) == 0:
+        return "unknown"
+    b = bytes(b[:12])
+    if (
+        b.startswith(b"\x89PNG")
+        or b.startswith(b"GIF")
+        or b.startswith(b"BM")
+        or b.startswith(b"\xff\xd8\xff")
+    ):
+        return "image"
+    if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+        return "audio"
+    if b[4:8] == b"ftyp":
+        return "video"
+    return "unknown"
+
+
+def media_quarantine(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Corrupt-payload quarantine for binary media — the binary
+    counterpart of the JSONL/CSV corrupt-record quarantine sources:
+    every row is classified instead of failing the job (an uncaught
+    parser exception in one task would otherwise kill a 100 TB
+    ingest). Appends:
+
+    - ``modality``: magic-byte sniff ('image'/'audio'/'video'/'unknown')
+    - ``status``: 'ok' when the modality's header parser recovers the
+      critical fields, else 'quarantined'
+    - ``reason``: NULL when ok; 'empty' (NULL/zero bytes),
+      'unknown_format' (no known magic), or 'parse_failed' (magic
+      matched but the header is truncated/invalid)
+
+    Downstream: ``filter(status = 'ok')`` proceeds, the quarantine
+    slice is persisted for audit — same contract as the text-side
+    quarantine ingests. One Arrow-batched scan, zero shuffle."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("modality", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("reason", T.StringType()),
+        ]
+    )
+
+    def classify(b):
+        if b is None or len(b) == 0:
+            return ("unknown", "quarantined", "empty")
+        kind = sniff_media_type(b)
+        if kind == "unknown":
+            return ("unknown", "quarantined", "unknown_format")
+        if kind == "image":
+            ok = parse_image_header(bytes(b))[0] is not None
+        elif kind == "audio":
+            ok = parse_wav_header(bytes(b))[0] is not None
+        else:
+            ok = parse_mp4_header(bytes(b))[0] is not None
+        if ok:
+            return (kind, "ok", None)
+        return (kind, "quarantined", "parse_failed")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [classify(b) for b in pdf[content_col]]
+            pdf = pdf.copy()
+            for j, name in enumerate(("modality", "status", "reason")):
+                pdf[name] = pd.array([r[j] for r in rows], dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
