@@ -9996,6 +9996,58 @@ FROM iv WHERE NOT del
 """
 
 
+def _docs_asof_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the Type-2 history (sources/maintenance.py::
+    snapshot_asof): the same CDC feed as ``docs_scd2``, read back AS OF
+    version 3 (every doc present, movers showing 'moved') and AS OF
+    version 4 (tombstoned ids gone) — both snapshots are one map-side
+    filter over the one-time-built history."""
+    from tidyvec_spark.sources.maintenance import scd2_history, snapshot_asof
+
+    hist = _docs_scd2(spark, sf_dir)
+    s3 = snapshot_asof(hist, 3).select(
+        "doc_id", "val", F.lit(3).cast("int").alias("asof")
+    )
+    s4 = snapshot_asof(hist, 4).select(
+        "doc_id", "val", F.lit(4).cast("int").alias("asof")
+    )
+    return s3.unionByName(s4)
+
+
+_DOCS_ASOF_SQL = """
+WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id < 300),
+feed AS (
+  SELECT doc_id, 1 AS v, source AS val, FALSE AS del FROM base
+  UNION ALL SELECT doc_id, 2, source, FALSE FROM base
+  UNION ALL SELECT doc_id, 3,
+    CASE WHEN doc_id % 3 = 0 THEN 'moved' ELSE source END, FALSE FROM base
+  UNION ALL SELECT doc_id, 4, 'x', TRUE FROM base WHERE doc_id % 5 = 0
+),
+runs AS (
+  SELECT *, lag(val) OVER w AS pval, lag(del) OVER w AS pdel
+  FROM feed WINDOW w AS (PARTITION BY doc_id ORDER BY v)
+),
+starts AS (
+  SELECT doc_id, v, val, del FROM runs
+  WHERE pval IS NULL OR val <> pval OR del <> pdel
+),
+iv AS (
+  SELECT doc_id, val, del, v AS effective_from,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY v) AS effective_to
+  FROM starts
+),
+hist AS (SELECT doc_id, val, effective_from, effective_to
+         FROM iv WHERE NOT del)
+SELECT doc_id, val, CAST(3 AS INT) AS asof FROM hist
+WHERE effective_from <= 3
+  AND (effective_to IS NULL OR 3 < effective_to)
+UNION ALL
+SELECT doc_id, val, CAST(4 AS INT) AS asof FROM hist
+WHERE effective_from <= 4
+  AND (effective_to IS NULL OR 4 < effective_to)
+"""
+
+
 def _skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot/cold hybrid join (operators/skew.py::split_join): user keys
     above 80 events route through a broadcast of the dimension's hot
@@ -10311,6 +10363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_psi_drift": _source_psi_drift,
         "docs_drop_attribution": _docs_drop_attribution,
         "docs_scd2": _docs_scd2,
+        "docs_asof_version": _docs_asof_version,
         "skew_split_join": _skew_split_join,
         "multimodal_pcm_stats": _multimodal_pcm_stats,
         "multimodal_image_ahash": _multimodal_image_ahash,
@@ -10531,6 +10584,7 @@ def oracle_sql() -> dict[str, str]:
         "source_psi_drift": _SOURCE_PSI_DRIFT_SQL,
         "docs_drop_attribution": _DOCS_DROP_ATTRIBUTION_SQL,
         "docs_scd2": _DOCS_SCD2_SQL,
+        "docs_asof_version": _DOCS_ASOF_SQL,
         "skew_split_join": _SKEW_SPLIT_JOIN_SQL,
         "multimodal_pcm_stats": _MULTIMODAL_PCM_SQL,
         "multimodal_image_ahash": _MULTIMODAL_AHASH_SQL,

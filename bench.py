@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "source_psi_drift",
     "docs_drop_attribution",
     "docs_scd2",
+    "docs_asof_version",
     "skew_split_join",
 ]
 

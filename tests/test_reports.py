@@ -281,3 +281,27 @@ def test_k_anonymity_flags_small_groups(spark):
         k_anonymity(df, [], "user_id")
     with pytest.raises(ValueError):
         k_anonymity(df, ["seg"], "user_id", k=0)
+
+
+def test_snapshot_asof_time_travel(spark):
+    from tidyvec_spark.sources.maintenance import scd2_history, snapshot_asof
+
+    feed = spark.createDataFrame(
+        [
+            (1, 1, "a", False), (1, 3, "b", False),   # changes at 1, 3
+            (2, 1, "x", False), (2, 2, None, True),   # tombstoned at 2
+            (3, 2, "m", False),                        # born at 2
+        ],
+        "id INT, v INT, val STRING, del BOOLEAN",
+    )
+    hist = scd2_history(feed, "id", "v", ["val"], "del")
+
+    def snap(v):
+        return {
+            r["id"]: r["val"] for r in snapshot_asof(hist, v).collect()
+        }
+
+    assert snap(1) == {1: "a", 2: "x"}          # 3 not yet born
+    assert snap(2) == {1: "a", 3: "m"}          # 2 deleted at 2
+    assert snap(3) == {1: "b", 3: "m"}          # 1 moved to b
+    assert snap(99) == {1: "b", 3: "m"}         # open intervals persist

@@ -22,6 +22,7 @@ __all__ = [
     "merge_upsert",
     "parquet_file_stats",
     "scd2_history",
+    "snapshot_asof",
 ]
 
 
@@ -296,3 +297,30 @@ def scd2_history(
         )
     )
     return out
+
+
+def snapshot_asof(
+    history: "DataFrame",
+    version,
+    version_from: str = "effective_from",
+    version_to: str = "effective_to",
+):
+    """Time-travel read over a Type-2 history: the rows valid AT
+    ``version`` — ``effective_from <= v`` and (open interval OR
+    ``v < effective_to``). Pairs with :func:`scd2_history`: the
+    history is built once, then ANY past corpus state is one map-side
+    filter over it — time travel costs a scan, never a replay of the
+    change feed. Tombstoned ids fall out naturally (their last closed
+    interval ends at the tombstone version).
+
+    At 100 TB: partition the stored history by ``effective_to`` range
+    (open intervals in their own partition) and this filter prunes to
+    the intervals spanning ``v``.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.lit(version)
+    return history.filter(
+        (F.col(version_from) <= v)
+        & (F.col(version_to).isNull() | (v < F.col(version_to)))
+    )
