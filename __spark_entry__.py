@@ -9145,6 +9145,75 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
 """
 
 
+def _knn_mutual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN on the SCALE path: directed edges come from the
+    LSH-bucketed self-join (operators/nearest.py::similarity_join_lsh
+    — bucket equi-join + Hamming-1 multiprobe, never a broadcast
+    cross join), per-anchor top-5 excluding self, then the mutual
+    filter through mutual_topk_pairs' ``edges=`` seam — the documented
+    ANN-injection composition, driver-checked end to end. Same output
+    contract as ``knn_mutual_pairs``; the oracle replays the identical
+    probe law. Recall note: mutual-pair recall compounds the directed
+    edge recall in BOTH directions, and the fixture embeddings are
+    near-uniform (LSH's worst case — measured 0.12 pair recall vs the
+    exact graph here, while true near-dup distributions sit near 1.0,
+    see `dedup_recall_lsh`); production tunes the plane set with
+    `evaluation.tune_lsh_params` exactly as `ann_tuned_topk` does."""
+    from pyspark.sql import Window
+
+    from tidyvec_spark.operators.mining import mutual_topk_pairs
+    from tidyvec_spark.operators.nearest import similarity_join_lsh
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = e.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av"))
+    b = e.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    cand = similarity_join_lsh(
+        a, b, "av", "bv", planes=_ann_planes(), left_id="aid",
+        right_id="bid", probe_hamming=1, round_to=R,
+    ).filter(F.col("aid") != F.col("bid"))
+    w = Window.partitionBy("aid").orderBy(
+        F.desc("similarity"), F.asc("bid")
+    )
+    edges = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select(
+            F.col("aid").alias("a"),
+            F.col("bid").alias("b"),
+            F.col("similarity").alias("sim"),
+        )
+    )
+    return mutual_topk_pairs(e, "vec_id", "embedding", k=5, edges=edges)
+
+
+def _knn_mutual_ann_sql() -> str:
+    planes = _ann_planes()
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_sql_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+s AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         ROUND(list_cosine_similarity(y.v, x.v), {R}) AS sim
+  FROM b x JOIN b y
+    ON bit_count(xor(x.bucket, y.bucket)) <= 1 AND x.vec_id <> y.vec_id
+), t AS (
+  SELECT a, b, sim,
+         row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+  FROM s
+), ed AS (SELECT a, b, sim FROM t WHERE rn <= 5),
+und AS (SELECT least(a, b) AS a, greatest(a, b) AS b, sim FROM ed)
+SELECT a, b, CAST(max(sim) AS DOUBLE) AS sim
+FROM und GROUP BY a, b HAVING count(*) = 2
+"""
+
+
 def _media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary corrupt-payload quarantine (operators/multimodal.py::
     media_quarantine) — the binary counterpart of the JSONL/CSV
@@ -10369,6 +10438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_ahash": _multimodal_image_ahash,
         "dedup_prefix": _dedup_prefix,
         "knn_mutual_pairs": _knn_mutual_pairs,
+        "knn_mutual_ann": _knn_mutual_ann,
         "multimodal_near_dup": _multimodal_near_dup,
         "multimodal_audio_near_dup": _multimodal_audio_near_dup,
         "pipeline_media": _pipeline_media,
@@ -10590,6 +10660,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_ahash": _MULTIMODAL_AHASH_SQL,
         "dedup_prefix": _DEDUP_PREFIX_SQL,
         "knn_mutual_pairs": _KNN_MUTUAL_SQL,
+        "knn_mutual_ann": _knn_mutual_ann_sql(),
         "multimodal_near_dup": _MULTIMODAL_NEAR_DUP_SQL,
         "multimodal_audio_near_dup": _MULTIMODAL_AUDIO_NEAR_DUP_SQL,
         "pipeline_media": _PIPELINE_MEDIA_SQL,

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "cascade_topk",
     "mmr_topk",
     "knn_mutual_pairs",
+    "knn_mutual_ann",
     "maxsim_topk",
     "packing_report",
     "token_pmi",

@@ -678,3 +678,12 @@ def test_media_quarantine_zero_shuffle(spark, qs):
     """Binary quarantine is one Arrow scan: classify, never throw."""
     mq = qs["media_quarantine"](spark, SF)
     assert P.num_shuffles(mq) == 0
+
+
+def test_knn_mutual_ann_is_equi_join(spark, qs):
+    """The scale-path mutual graph must candidate-generate via the
+    LSH bucket equi-join: no nested-loop, no cartesian."""
+    mk = qs["knn_mutual_ann"](spark, SF)
+    P.assert_no_cartesian(mk)
+    js = P.join_strategies(mk)
+    assert not any("NestedLoop" in j for j in js), js
