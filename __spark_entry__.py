@@ -9524,10 +9524,13 @@ def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     image_near_dup_pairs): REAL pixel decode → perceptual average-hash
     → SimHash-style banding → Hamming verify. The fixture synthesizes
     5 grayscale variants per image group (doc_id div 5), each variant
-    brightening ONE pixel by 128 — the sum is invariant so variants
-    differ in at most two hash bits, and the banded join must recover
-    exactly the C(5,2) pairs per group (the quadratic pixel law keeps
-    distinct groups out of each other's bands)."""
+    shifting ONE pixel by +128 mod 256 — within-group fingerprints
+    stay within a few bits (the one changed pixel plus any
+    bits whose margin is inside the mod-wrapped sum shift), and the
+    banded join must recover exactly the C(5,2) pairs per group at
+    both gate scales — pinned empirically by the oracle hash, while
+    the quadratic pixel law keeps distinct groups out of each
+    other's bands."""
     from tidyvec_spark.operators.dedup import image_near_dup_pairs
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
@@ -10070,8 +10073,11 @@ def _docs_asof_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_asof): the same CDC feed as ``docs_scd2``, read back AS OF
     version 3 (every doc present, movers showing 'moved') and AS OF
     version 4 (tombstoned ids gone) — both snapshots are one map-side
-    filter over the one-time-built history."""
-    from tidyvec_spark.sources.maintenance import scd2_history, snapshot_asof
+    filter over the history. (In this fixture-sized entry the two
+    union branches re-evaluate the small history lineage; production
+    runs snapshot_asof over the PERSISTED history table, which is the
+    operator's design point — build once, filter per read.)"""
+    from tidyvec_spark.sources.maintenance import snapshot_asof
 
     hist = _docs_scd2(spark, sf_dir)
     s3 = snapshot_asof(hist, 3).select(
@@ -10170,6 +10176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STATUS: this window is the round-7 rotation and is HELD UNCHANGED
     # through the end of round 7 so CORRECTNESS_r07 (produced by the
     # driver when the round closes) covers exactly these 50 entries.
+    # Evidence for "round 7 is still open": CORRECTNESS_r01..r06.json
+    # exist in the repo and CORRECTNESS_r07.json does not — the driver
+    # writes the artifact at round close, exactly as for rounds 1-6.
+    # DO NOT rotate this window until CORRECTNESS_r07 rows exist.
     # The ROUND-8 rotation list is the round-7 mid-round tail (32
     # entries, see the position-51 comment) plus the late-round-7
     # additions at the end of this dict; all are locally verified at
@@ -10416,7 +10426,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_simhash": _dedup_recall_simhash,
         # late-round-7 additions (round-8 rotation targets alongside
         # the list in the comment above; each locally verified at
-        # sf0.001 AND sf0.01 via scripts/check_oracle.py before landing)
+        # sf0.001 AND sf0.01 via scripts/check_oracle.py before
+        # landing). The final session-7 wave appended at the very end:
+        # multimodal_pcm_stats, multimodal_image_ahash, dedup_prefix,
+        # knn_mutual_pairs, knn_mutual_ann, docs_mojibake,
+        # events_k_anonymity, multimodal_near_dup,
+        # multimodal_audio_near_dup, token_cms_topk, pipeline_media,
+        # media_quarantine, docs_asof_version — same local
+        # verification, same rotation queue.
         "docs_lm_kn": _docs_lm_kn,
         "radius_search": _radius_search,
         "multimodal_dedup_exact": _multimodal_dedup_exact,

@@ -113,15 +113,16 @@ def mutual_topk_pairs(
       drops in, so the mutual filter composes with every index this
       engine has instead of hard-wiring one.
     - Mutual filter: canonicalize each directed edge to (min, max)
-      and keep pairs seen TWICE — one groupBy over the n·k edge list
-      (bounded by the k budget, not n²), no self-join, and crucially
-      no double evaluation of the scoring stage (a self-join on the
-      reversed key re-runs the whole directed-edge lineage on both
-      sides). Similarity is symmetric for cosine/dot/euclidean so
-      either direction carries the same score. Injected ``edges``
-      must contain each directed (a, b) at most once and no
-      self-edges (a != b is enforced, uniqueness is the contract of
-      any top-k producer).
+      and keep pairs observed in BOTH directions — one groupBy over
+      the n·k edge list (bounded by the k budget, not n²), no
+      self-join, and crucially no double evaluation of the scoring
+      stage (a self-join on the reversed key re-runs the whole
+      directed-edge lineage on both sides). The direction flag rides
+      the canonical key, so duplicate directed edges (e.g. a
+      duplicated id in the input) cannot fake mutuality — two
+      same-direction observations stay one-directional. Similarity
+      is symmetric for cosine/dot/euclidean so either direction
+      carries the same score; self-edges are dropped defensively.
 
     Returns (a, b, sim) with a < b.
     """
@@ -150,10 +151,15 @@ def mutual_topk_pairs(
         F.least("a", "b").alias("a"),
         F.greatest("a", "b").alias("b"),
         F.col("sim").alias("sim"),
+        (F.col("a") < F.col("b")).alias("__fwd"),
     )
     return (
         und.groupBy("a", "b")
-        .agg(F.count("*").alias("__n"), F.max("sim").alias("sim"))
-        .filter(F.col("__n") == 2)
+        .agg(
+            F.max(F.col("__fwd").cast("int")).alias("__has_f"),
+            F.max((~F.col("__fwd")).cast("int")).alias("__has_r"),
+            F.max("sim").alias("sim"),
+        )
+        .filter((F.col("__has_f") == 1) & (F.col("__has_r") == 1))
         .select("a", "b", "sim")
     )

@@ -146,7 +146,19 @@ def cms_build(
     keyed = df.select(F.col(value_col).cast("string").alias("__v")).select(
         "__v", r
     )
-    bucket = (
+    return (
+        keyed.withColumn("bucket", _cms_bucket(width, salt))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _cms_bucket(width: int, salt: str):
+    """The ONE bucket law shared by build and probe (never-undercount
+    holds only if both hash identically): md5 over 'salt r : value'
+    for columns ``r`` and ``__v`` in scope, first 8 hex chars, mod
+    width — the engine-portable idiom the DuckDB oracle replays."""
+    return (
         F.conv(
             F.substring(
                 F.md5(
@@ -164,11 +176,6 @@ def cms_build(
             10,
         ).cast("long")
         % int(width)
-    )
-    return (
-        keyed.withColumn("bucket", bucket)
-        .groupBy("r", "bucket")
-        .agg(F.count("*").alias("cnt"))
     )
 
 
@@ -204,26 +211,7 @@ def cms_estimate(
         F.col(value_col).cast("string").alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("r"),
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt),
-                        F.col("r").cast("string"),
-                        F.lit(":"),
-                        F.col("__v"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % int(width)
-    )
-    probed = probes.withColumn("bucket", bucket).join(
+    probed = probes.withColumn("bucket", _cms_bucket(width, salt)).join(
         F.broadcast(cms), ["r", "bucket"], "left"
     )
     return (
