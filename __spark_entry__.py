@@ -9420,7 +9420,7 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = docs.select("doc_id", content.alias("content"))
     return audio_near_dup_pairs(
-        df, "content", "doc_id", windows=64, bands=4, max_hamming=6
+        df, "content", "doc_id", windows=64, bands=8, max_hamming=6
     )
 
 
@@ -9439,8 +9439,8 @@ h AS (
                 THEN '1' ELSE '0' END), '') AS fp
   FROM e
 ), bands AS (
-  SELECT doc_id, fp, b, substr(fp, b * 16 + 1, 16) AS bv
-  FROM h, (SELECT unnest([0, 1, 2, 3]) AS b)
+  SELECT doc_id, fp, b, substr(fp, b * 8 + 1, 8) AS bv
+  FROM h, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b)
 ), cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
                   x.fp AS fa, y.fp AS fb
@@ -9557,7 +9557,7 @@ def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = docs.select("doc_id", content.alias("content"))
     return image_near_dup_pairs(
-        df, "content", "doc_id", bands=4, max_hamming=6
+        df, "content", "doc_id", bands=8, max_hamming=6
     )
 
 
@@ -9574,8 +9574,8 @@ WITH g AS (
       x -> CASE WHEN 64 * x > list_sum(v) THEN '1' ELSE '0' END), '') AS fp
   FROM g
 ), bands AS (
-  SELECT doc_id, fp, b, substr(fp, b * 16 + 1, 16) AS bv
-  FROM h, (SELECT unnest([0, 1, 2, 3]) AS b)
+  SELECT doc_id, fp, b, substr(fp, b * 8 + 1, 8) AS bv
+  FROM h, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b)
 ), cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
                   x.fp AS fa, y.fp AS fb
@@ -9712,8 +9712,8 @@ WITH c AS (
   FROM documents
 ), m AS (
   SELECT doc_id,
-    (length(t) - length(replace(t, chr(195), '')))
-      + (length(t) - length(replace(t, chr(194), '')))
+    (length(t) - length(regexp_replace(t,
+      '[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00BF}]', '', 'g'))) // 2
       + (length(t) - length(replace(t, chr(226) || chr(8364), ''))) // 2
       AS n_mojibake,
     length(t) - length(replace(t, chr(65533), '')) AS n_repl,
@@ -9725,7 +9725,7 @@ SELECT doc_id,
   CAST(n_mojibake AS BIGINT) AS n_mojibake,
   CAST(n_repl AS BIGINT) AS n_repl,
   CAST(n_ctrl AS BIGINT) AS n_ctrl,
-  (n_mojibake = 0 AND n_repl = 0 AND n_ctrl = 0) AS clean
+  COALESCE(n_mojibake = 0 AND n_repl = 0 AND n_ctrl = 0, FALSE) AS clean
 FROM m
 """
 

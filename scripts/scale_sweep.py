@@ -330,7 +330,7 @@ def main() -> None:
         img_sizes = img_sizes[:2]
     wimgs = synth_bmps(spark, 500).persist()
     materialize(image_near_dup_pairs(wimgs, "content", "doc_id",
-                                     bands=4, max_hamming=6))
+                                     bands=8, max_hamming=6))
     wimgs.unpersist()
     for n in img_sizes:
         imgs = synth_bmps(spark, n).persist()
@@ -338,7 +338,7 @@ def main() -> None:
         record(
             "image_near_dup_pairs", n,
             lambda: materialize(image_near_dup_pairs(
-                imgs, "content", "doc_id", bands=4, max_hamming=6,
+                imgs, "content", "doc_id", bands=8, max_hamming=6,
             )),
         )
         imgs.unpersist()
@@ -348,7 +348,7 @@ def main() -> None:
 
     waud = synth_wavs(spark, 500).persist()
     materialize(audio_near_dup_pairs(waud, "content", "doc_id",
-                                     windows=64, bands=4, max_hamming=6))
+                                     windows=64, bands=8, max_hamming=6))
     waud.unpersist()
     for n in img_sizes:
         auds = synth_wavs(spark, n).persist()
@@ -356,7 +356,7 @@ def main() -> None:
         record(
             "audio_near_dup_pairs", n,
             lambda: materialize(audio_near_dup_pairs(
-                auds, "content", "doc_id", windows=64, bands=4,
+                auds, "content", "doc_id", windows=64, bands=8,
                 max_hamming=6,
             )),
         )

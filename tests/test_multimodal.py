@@ -334,7 +334,7 @@ def test_image_near_dup_pairs(spark):
         "doc_id INT, content BINARY",
     )
     pairs = image_near_dup_pairs(df, "content", "doc_id",
-                                 bands=4, max_hamming=6).collect()
+                                 bands=8, max_hamming=6).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert (1, 2) in got and got[(1, 2)] <= 2
     assert all(k == (1, 2) for k in got)  # the unrelated image stays out
@@ -342,7 +342,16 @@ def test_image_near_dup_pairs(spark):
     import pytest
 
     with pytest.raises(ValueError):
-        image_near_dup_pairs(df, "content", "doc_id", bands=5)
+        image_near_dup_pairs(df, "content", "doc_id", bands=5,
+                             max_hamming=3)
+    # completeness law: max_hamming >= bands is only probabilistic
+    # recall past bands-1 bits, so it raises unless opted into
+    with pytest.raises(ValueError):
+        image_near_dup_pairs(df, "content", "doc_id", bands=4,
+                             max_hamming=6)
+    lossy = image_near_dup_pairs(df, "content", "doc_id", bands=4,
+                                 max_hamming=6, complete=False).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lossy} == {(1, 2)}
 
 
 def test_audio_envelope_hash_and_near_dup(spark):
@@ -377,7 +386,7 @@ def test_audio_envelope_hash_and_near_dup(spark):
     assert env2[1] == env2[2]
 
     pairs = audio_near_dup_pairs(df, "content", "doc_id",
-                                 windows=64, bands=4, max_hamming=6).collect()
+                                 windows=64, bands=8, max_hamming=6).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert (1, 2) in got and got[(1, 2)] <= 2
     assert all(k == (1, 2) for k in got)

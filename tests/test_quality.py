@@ -493,6 +493,10 @@ def test_mojibake_counters(spark):
             (4, "lost \ufffd bytes \ufffd"),
             (5, "bell\u0007and\u0000null"),
             (6, "tab\tand\nnewline are fine"),
+            # bare lead chars in clean Latin-script text are NOT
+            # mojibake — the pair law must pass them (ADVICE r7)
+            (7, "JOÃO lives in SÃO PAULO"),
+            (8, None),
         ],
         "id INT, t STRING",
     )
@@ -512,6 +516,11 @@ def test_mojibake_counters(spark):
     assert rows[4]["r"] == 2 and rows[4]["m"] == 0
     assert rows[5]["c"] == 2 and rows[5]["ok"] is False
     assert rows[6]["c"] == 0 and rows[6]["ok"] is True
+    # 'Ã' followed by ASCII is legit text, not a misdecode pair
+    assert rows[7]["m"] == 0 and rows[7]["ok"] is True
+    # NULL text is False on the gate (not NULL) so it lands on exactly
+    # one side of a keep/quarantine split
+    assert rows[8]["ok"] is False
 
 
 def test_mojibake_is_map_side(documents):

@@ -121,3 +121,26 @@ class TestCountMin:
             cms_build(df, "v", depth=0)
         with pytest.raises(ValueError):
             cms_merge()
+
+    def test_nulls_excluded_on_both_paths(self, spark):
+        """NULL values never enter the sketch and never probe it: a
+        NULL hashes to a NULL bucket no probe could join, so counting
+        NULLs would silently break never-under-counts (ADVICE r7)."""
+        from tidyvec_spark.operators.sketches import cms_build, cms_estimate
+
+        base = spark.createDataFrame(
+            [("a",), ("a",), (None,), (None,), ("b",)], "v STRING"
+        )
+        cms = cms_build(base, "v", depth=4, width=64, salt="n")
+        # total sketched mass per hash row == non-NULL row count
+        per_row = {
+            r["r"]: r["tot"]
+            for r in cms.groupBy("r").agg(F.sum("cnt").alias("tot")).collect()
+        }
+        assert per_row == {0: 3, 1: 3, 2: 3, 3: 3}
+        probe = spark.createDataFrame([("a",), (None,)], "v STRING")
+        got = cms_estimate(probe, "v", cms, depth=4, width=64,
+                           salt="n").collect()
+        # the NULL probe is dropped, the real one still never undercounts
+        assert len(got) == 1
+        assert got[0]["v"] == "a" and got[0]["n_est"] >= 2

@@ -17,7 +17,7 @@ flag, the keep decision is a filter, nothing shuffles.
 from __future__ import annotations
 
 from functools import reduce
-from typing import Optional, Sequence
+from typing import Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -382,10 +382,17 @@ def compression_ratio_udf() -> Column:
     return pandas_udf(_ratio, "double", PandasUDFType.SCALAR)
 
 
-# cp1252-misdecoded-UTF-8 leaders: 'Ã' / 'Â' open almost every
-# two-byte mojibake pair (Ã© Ã¨ Ã¤ Â° Â£ ...), 'â€' opens the
-# three-byte punctuation family (â€™ â€œ â€" ...)
-_MOJIBAKE_MARKS = ("Ã", "Â", "â€")
+# cp1252/Latin-1-misdecoded-UTF-8 is detected as PAIRS, not bare lead
+# characters: 'Ã' (0xC3) / 'Â' (0xC2) open almost every two-byte
+# mojibake sequence (Ã© Ã¨ Ã¤ Â° Â£ ...), but only count when followed
+# by a char in the misdecoded continuation range U+0080-U+00BF —
+# bare 'Ã'/'Â' are legitimate in clean Latin-script corpora
+# ('JOÃO', 'SÃO PAULO', Romanian/Vietnamese 'Â') and counting them
+# alone is a systematic language-skewed false positive.
+_MOJIBAKE_PAIR_RE = "[\u00c2\u00c3][\u0080-\u00bf]"
+# 'â€' opens the three-byte punctuation family (â€™ â€œ â€" ...) and
+# is already a two-char test on its own
+_MOJIBAKE_MARKS = ("â€",)
 _CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
 
 
@@ -400,16 +407,19 @@ def _occurrences(col: Column, needle: str) -> Column:
 
 def mojibake_count(c: ColumnOrName) -> Column:
     """Count of encoding-corruption artifacts: the characteristic
-    lead characters UTF-8 bytes acquire when misdecoded as
-    cp1252/Latin-1 (the ftfy failure class — 'cafÃ©', 'â€œquoteâ€').
-    Legit uses of these code points in clean text are rare enough
-    that any nonzero count is a strong re-decode/drop signal. Pure
-    codegen length-diff counting, zero shuffle."""
+    PAIRS UTF-8 bytes acquire when misdecoded as cp1252/Latin-1 (the
+    ftfy failure class — 'cafÃ©', 'â€œquoteâ€'). The two-byte family
+    counts only when the 'Ã'/'Â' lead is followed by a char in the
+    misdecoded continuation range U+0080-U+00BF — a bare lead char is
+    legitimate Latin-script text ('JOÃO', 'SÃO PAULO') and counting
+    it alone systematically flags clean Portuguese/French/Vietnamese
+    documents. Codegen regexp + length-diff counting, zero shuffle."""
     col = _col(c)
-    total: Optional[Column] = None
+    total: Column = F.regexp_count(col, F.lit(_MOJIBAKE_PAIR_RE)).cast(
+        "long"
+    )
     for mark in _MOJIBAKE_MARKS:
-        cnt = _occurrences(col, mark)
-        total = cnt if total is None else total + cnt
+        total = total + _occurrences(col, mark)
     return total
 
 
@@ -432,11 +442,15 @@ def control_char_count(c: ColumnOrName) -> Column:
 def encoding_clean(c: ColumnOrName) -> Column:
     """True iff the document shows no mojibake artifacts, no
     replacement characters, and no stray control bytes — the
-    encoding-health gate of the quality ladder."""
-    return (
+    encoding-health gate of the quality ladder. NULL text yields
+    False (not NULL): a document with no text has no evidence of
+    clean encoding, and the coalesce keeps it from vanishing from
+    BOTH sides of a keep/quarantine split under three-valued logic."""
+    return F.coalesce(
         (mojibake_count(c) == 0)
         & (replacement_char_count(c) == 0)
-        & (control_char_count(c) == 0)
+        & (control_char_count(c) == 0),
+        F.lit(False),
     )
 
 

@@ -2000,17 +2000,23 @@ def image_near_dup_pairs(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "doc_id",
-    bands: int = 4,
+    bands: int = 8,
     max_hamming: int = 6,
+    complete: bool = True,
 ) -> DataFrame:
     """Visual near-dup pairs: perceptual average-hash (REAL pixel
     decode — operators/multimodal.py::image_ahash) banded exactly like
     SimHash. Two 64-bit hashes within Hamming distance < ``bands``
     must agree exactly in one of the ``bands`` bit-blocks
-    (pigeonhole), so the banded equi-join finds every close pair
-    without an image×image cross join; re-encoded, slightly
-    re-compressed, or single-region-edited copies land within a few
-    bits of each other and surface here.
+    (pigeonhole), so the banded equi-join finds EVERY pair at
+    Hamming ≤ bands-1 without an image×image cross join; re-encoded,
+    slightly re-compressed, or single-region-edited copies land
+    within a few bits of each other and surface here. The default
+    (bands=8, max_hamming=6) keeps the output contract complete:
+    ``max_hamming >= bands`` would make recall above bands-1 bits
+    probabilistic (a pair surfaces only on a coincidental band
+    match), so it raises unless ``complete=False`` opts in to the
+    lossy regime explicitly.
 
     The hash rides as the 64-char bit string ``image_ahash`` emits —
     banding is a substring, verification a 64-step character compare
@@ -2023,6 +2029,7 @@ def image_near_dup_pairs(
     """
     from tidyvec_spark.operators.multimodal import image_ahash
 
+    _validate_banding(64, bands, max_hamming, complete)
     fps = (
         image_ahash(
             ensure_parallelism(df).select(id_col, content_col), content_col
@@ -2030,21 +2037,48 @@ def image_near_dup_pairs(
         .filter(F.col("ahash").isNotNull())
         .select(F.col(id_col).alias("id"), F.col("ahash").alias("fp"))
     )
-    return _bitstring_banded_pairs(fps, 64, bands, max_hamming)
+    return _bitstring_banded_pairs(
+        fps, 64, bands, max_hamming, complete=complete
+    )
+
+
+def _validate_banding(
+    bits: int, bands: int, max_hamming: int, complete: bool
+) -> None:
+    """Eager argument check shared by the bitstring near-dup family —
+    runs BEFORE any plan is built so a bad knob combination surfaces
+    as the real error, not behind a downstream analysis failure."""
+    if bits % int(bands) != 0:
+        raise ValueError(f"bands={bands} must divide {bits}")
+    if complete and int(max_hamming) >= int(bands):
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the banded "
+            "join is only pigeonhole-complete for Hamming <= bands-1. "
+            "Raise bands (it must divide the fingerprint width) or "
+            "pass complete=False to accept probabilistic recall past "
+            "bands-1 bits."
+        )
 
 
 def _bitstring_banded_pairs(
-    fps: DataFrame, bits: int, bands: int, max_hamming: int
+    fps: DataFrame,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    complete: bool = True,
 ) -> DataFrame:
     """SimHash banding over an N-char '0'/'1' fingerprint column —
     the shared candidate/verify stage behind the visual and audio
     near-dup operators: band = substring, candidates from the banded
     equi-join (pigeonhole-complete below ``bands`` bits), Hamming
-    verified with a codegen character compare over pairs only. The
+    verified with a codegen character compare over pairs only. When
+    ``complete`` (the default) the banding must cover the verify
+    threshold — ``max_hamming < bands`` — or the call raises; with
+    ``complete=False`` pairs past bands-1 bits are returned only on a
+    coincidental band match (documented lossy recall). The
     fingerprint frame (the expensive Arrow decode) is persisted so it
     computes once, not once per side per band. Input: (id, fp)."""
-    if bits % int(bands) != 0:
-        raise ValueError(f"bands={bands} must divide {bits}")
+    _validate_banding(bits, bands, max_hamming, complete)
     bw = bits // int(bands)
     fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     banded = fps.select(
@@ -2078,8 +2112,9 @@ def audio_near_dup_pairs(
     content_col: str = "content",
     id_col: str = "doc_id",
     windows: int = 64,
-    bands: int = 4,
+    bands: int = 8,
     max_hamming: int = 6,
+    complete: bool = True,
 ) -> DataFrame:
     """Audio near-dup pairs from REAL decoded PCM16 samples: the
     energy-envelope fingerprint (operators/multimodal.py::
@@ -2089,13 +2124,17 @@ def audio_near_dup_pairs(
     energy shape and land within a few envelope bits; the banded
     equi-join surfaces them without a track x track cross join. The
     text / image / audio near-dup triple shares one candidate/verify
-    stage (:func:`_bitstring_banded_pairs`).
+    stage (:func:`_bitstring_banded_pairs`), including its
+    completeness law: the default (bands=8, max_hamming=6) finds
+    EVERY pair at the threshold; ``max_hamming >= bands`` raises
+    unless ``complete=False`` opts in to probabilistic recall.
 
     Returns (id_a, id_b, hamming) with id_a < id_b; non-PCM16
     payloads (NULL fingerprint) are dropped before banding.
     """
     from tidyvec_spark.operators.multimodal import audio_envelope_hash
 
+    _validate_banding(int(windows), bands, max_hamming, complete)
     fps = (
         audio_envelope_hash(
             ensure_parallelism(df).select(id_col, content_col),
@@ -2105,4 +2144,6 @@ def audio_near_dup_pairs(
         .filter(F.col("envelope").isNotNull())
         .select(F.col(id_col).alias("id"), F.col("envelope").alias("fp"))
     )
-    return _bitstring_banded_pairs(fps, int(windows), bands, max_hamming)
+    return _bitstring_banded_pairs(
+        fps, int(windows), bands, max_hamming, complete=complete
+    )

@@ -139,12 +139,20 @@ def cms_build(
     4×256 table per build. MERGEABLE: tables from disjoint inputs sum
     per (r, bucket) (:func:`cms_merge`), so per-hour/per-shard
     sketches roll up without re-scanning history.
+
+    NULL values are excluded from the sketch (and from
+    :func:`cms_estimate` probes): hashing NULL yields a NULL bucket
+    that no probe can ever hit, so counting NULL rows would silently
+    break the one-sided never-under-counts guarantee for them. Count
+    NULLs separately if they matter.
     """
     if int(depth) < 1 or int(width) < 1:
         raise ValueError("depth and width must be >= 1")
     r = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("r")
-    keyed = df.select(F.col(value_col).cast("string").alias("__v")).select(
-        "__v", r
+    keyed = (
+        df.select(F.col(value_col).cast("string").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .select("__v", r)
     )
     return (
         keyed.withColumn("bucket", _cms_bucket(width, salt))
@@ -205,8 +213,10 @@ def cms_estimate(
     bucket is empty — the value never occurred). The probe frame is
     values×depth joined to the depth×width table, so cost scales with
     the query set, never the sketched corpus; Catalyst broadcasts the
-    tiny sketch side."""
-    probes = values.select(
+    tiny sketch side. NULL probe values are dropped — they are never
+    counted by :func:`cms_build` either (same exclusion law on both
+    sides of the sketch), and a NULL bucket could not join anyway."""
+    probes = values.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col),
         F.col(value_col).cast("string").alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("r"),
