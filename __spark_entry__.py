@@ -4190,9 +4190,12 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus collapses once to a Zipf-bounded word-frequency table;
     each merge is one explode+hash-agg, a 1-row argmax collect (the
     inherently-global decision), and a map-side regexp projection.
-    Iterative ⇒ no single-SQL oracle (rows-only driver check); exact
-    merge-table equality with a pure-Python reference is pinned in
-    tests/test_bpe.py."""
+    Training is bit-reproducible (count-then-lexicographic tie law),
+    so the oracle is the expected merge table precomputed by the
+    pure-Python twin (_bpe_merges_expected — the same reference law
+    tests/test_bpe.py pins bpe_train against) emitted as VALUES
+    literals, the hf_query_nearest pattern for non-SQL-expressible
+    but deterministic computations."""
     from tidyvec_spark.operators.bpe import bpe_train
 
     docs = _read(spark, sf_dir, "documents")
@@ -4200,6 +4203,81 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, pair_count bigint",
+    )
+
+
+_BPE_EXPECTED_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges_expected(sf_dir: str) -> list[tuple[str, str, int]]:
+    """Driver-free pure-Python twin of _bpe_merges: the same tokens
+    law (lowercase, split on ASCII whitespace — Java regex \\s),
+    the same char-spelling with the fused </w>, and the same greedy
+    non-overlapping merge with the count-then-lexicographic tie
+    break as operators/bpe.py::bpe_train."""
+    hit = _BPE_EXPECTED_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    import collections
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    split = _re.compile("[ \\t\\n\\x0b\\f\\r]+").split
+    wf: collections.Counter = collections.Counter()
+    for t in tbl["text"].to_pylist():
+        if t is None:
+            continue
+        for w in split(t.lower()):
+            if w:
+                wf[w] += 1
+    vocab: dict[str, int] = {}
+    for w, f in wf.items():
+        sym = (
+            " ".join(list(w[:-1]) + [w[-1] + "</w>"])
+            if len(w) > 1
+            else w + "</w>"
+        )
+        vocab[sym] = vocab.get(sym, 0) + f
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(16):
+        pairs: collections.Counter = collections.Counter()
+        for sym, f in vocab.items():
+            s = sym.split(" ")
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        n = max(pairs.values())
+        a, b = sorted(p for p, c in pairs.items() if c == n)[0]
+        merges.append((a, b, int(n)))
+        pat = _re.compile(f"(?<![^ ]){_re.escape(a)} {_re.escape(b)}(?![^ ])")
+        nv: dict[str, int] = {}
+        for sym, f in vocab.items():
+            ns = pat.sub(lambda m: a + b, sym)
+            nv[ns] = nv.get(ns, 0) + f
+        vocab = nv
+    _BPE_EXPECTED_CACHE[sf_dir] = merges
+    return merges
+
+
+def _bpe_merges_sql() -> str:
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n  ".join(
+        f"(CAST({i} AS INT), {q(a)}, {q(b)}, CAST({n} AS BIGINT))"
+        for i, (a, b, n) in enumerate(_bpe_merges_expected(sf_dir))
+    )
+    return (
+        'SELECT rank, "left", "right", pair_count FROM (VALUES\n  '
+        + vals
+        + '\n) AS t(rank, "left", "right", pair_count)'
     )
 
 
@@ -10165,75 +10243,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-7 rotation (per the r6 verdict item 1): the 31
-    # round-6 oracle-backed entries that had never received a driver row
-    # occupy the window, together with the 9 long-stable representatives
-    # (one per spine family, re-checked every round) and the round-7
-    # additions at positions 41-50 (locally verified at sf0.001/0.01 via
-    # scripts/check_oracle.py before landing here, so they get driver
-    # rows in the same round they are built).
+    # entries. Round-8 rotation (per the r7 verdict item 1): the 9
+    # long-stable spine representatives + bpe_merges (first hash check
+    # of its new precomputed-VALUES oracle) + 40 of the 61 round-7
+    # oracle-backed entries that never had a driver row. The remaining
+    # 21 never-checked entries are queued in the window comment below
+    # for the ROUND-9 rotation.
     #
-    # STATUS: this window is the round-7 rotation and is HELD UNCHANGED
-    # through the end of round 7 so CORRECTNESS_r07 (produced by the
+    # STATUS: this window is the round-8 rotation and is HELD UNCHANGED
+    # through the end of round 8 so CORRECTNESS_r08 (produced by the
     # driver when the round closes) covers exactly these 50 entries.
-    # Evidence for "round 7 is still open": CORRECTNESS_r01..r06.json
-    # exist in the repo and CORRECTNESS_r07.json does not — the driver
-    # writes the artifact at round close, exactly as for rounds 1-6.
-    # DO NOT rotate this window until CORRECTNESS_r07 rows exist.
-    # The ROUND-8 rotation list is the round-7 mid-round tail (32
-    # entries, see the position-51 comment) plus the late-round-7
-    # additions at the end of this dict; all are locally verified at
-    # sf0.001 AND sf0.01 via scripts/check_oracle.py and mirrored by
-    # the dynamic SUBSET in tests/test_entry_oracle.py meanwhile.
-    # Multi-round-stable legacy entries move to the tail; every
+    # Evidence for "round 8 is still open": CORRECTNESS_r01..r07.json
+    # exist in the repo and CORRECTNESS_r08.json does not — the driver
+    # writes the artifact at round close. DO NOT rotate this window
+    # until CORRECTNESS_r08 rows exist.
+    # Multi-round-stable legacy entries sit in the tail; every
     # oracle-backed tail entry stays checked by the dynamic SUBSET in
     # tests/test_entry_oracle.py (computed as "oracle-backed and past
     # position 50", so any future rotation keeps the invariant).
     return {
-        # --- gate window (1-50) ---
-        # round-6 additions, first driver rows this round:
-        # substring dedup family (Lee et al. 2022)
-        "docs_dup_spans": _docs_dup_spans,
-        "docs_dup_stats": _docs_dup_stats,
-        "docs_dedup_cut": _docs_dedup_cut,
-        # web-extraction / normalization / composite
-        "docs_html_extract": _docs_html_extract,
-        "docs_normalize": _docs_normalize,
-        "docs_keep_best": _docs_keep_best,
-        "pipeline_web": _pipeline_web,
-        # mixing / ANN quality / projections
-        "mix_unimax": _mix_unimax,
-        "ann_tuned_topk": _ann_tuned_topk,
-        "ann_rank_quality": _ann_rank_quality,
-        "embedding_rp_topk": _embedding_rp_topk,
-        "cascade_topk": _cascade_topk,
-        "mmr_topk": _mmr_topk,
-        # corpus tooling / ingest
-        "corpus_manifest": _corpus_manifest,
-        "docs_jsonl_ingest": _docs_jsonl_ingest,
-        "source_overlap": _source_overlap,
-        "dedup_weighted": _dedup_weighted,
-        "docs_dedup_lines_within": _docs_dedup_lines_within,
-        # event analytics (batch + streaming twin)
-        "events_funnel": _events_funnel,
-        "events_anomaly": _events_anomaly,
-        "events_stream_anomaly": _events_stream_anomaly,
-        # codec-free multimodal header parsers
-        "multimodal_header_meta": _multimodal_header_meta,
-        "multimodal_wav_meta": _multimodal_wav_meta,
-        "multimodal_mp4_meta": _multimodal_mp4_meta,
-        # round-6 TPC-H adaptations
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "q9_nation_profit": _q9_nation_profit,
-        "q11_important_parts": _q11_important_parts,
-        "q12_late_lines": _q12_late_lines,
-        "q16_supplier_counts": _q16_supplier_counts,
-        "q20_share_suppliers": _q20_share_suppliers,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
-        # long-stable representatives (one per spine family, re-checked
-        # every round: knn kernel, NULL quirk, embedder+hybrid, LSH join,
-        # near-dup, exact dedup, as-of join, stateful streaming,
-        # relational)
+        # --- gate window (1-50), rotated for ROUND 8 ---
+        # 9 long-stable spine reps (one per family, re-checked every
+        # round) + bpe_merges (first hash check of its new precomputed-
+        # VALUES oracle) + 40 of the 61 round-7 entries that never had
+        # a driver row (prioritized per the r7 verdict: composites,
+        # scale-path twins, entity resolution, indexed BM25, decoded
+        # media, SCD2/time-travel, streaming heavy hitters). Every
+        # window entry is locally verified at sf0.001 AND sf0.01 via
+        # scripts/check_oracle.py before landing here.
+        # ROUND-9 ROTATION QUEUE (the 21 remaining never-checked
+        # entries — rotate them in next round, keep the 9 spine reps):
+        #   docs_tokenizer_fertility, embedding_drift, docs_compression_ratio,
+        #   packing_report, docs_csv_ingest, docs_blocklist,
+        #   events_heavy_hitters, docs_length_buckets, docs_vocab_growth,
+        #   wds_datasource_read, docs_lm_heldout, radius_search,
+        #   multimodal_dedup_exact, events_stream_sessionize, corpus_merge,
+        #   docs_orc_roundtrip, events_hll_accuracy, events_asof_forward,
+        #   source_psi_drift, docs_drop_attribution, skew_split_join.
+        # spine reps:
         "knn_cosine": _knn("cosine"),
         "knn_null_quirk": _knn_null_quirk,
         "tfidf_hybrid": _tfidf_hybrid,
@@ -10243,9 +10290,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _events_asof_purchase,
         "docs_stream_dedup": _docs_stream_dedup,
         "q5_region_revenue": _q5_region_revenue,
-        # round-7 additions (positions 41-50; each verified locally at
-        # sf0.001 AND sf0.01 before being placed in the window).
-        # R7_SLOT: new entries replace these placeholders as they land.
+        # deterministic BPE training, new precomputed-VALUES oracle:
+        "bpe_merges": _bpe_merges,
+        # round-7 backlog, first driver rows this round:
+        "pipeline_crawl": _pipeline_crawl,
+        "pipeline_rag": _pipeline_rag,
+        "docs_pagerank": _docs_pagerank,
+        "docs_dedup_funnel": _docs_dedup_funnel,
+        "dedup_recall_lsh": _dedup_recall_lsh,
+        "dedup_recall_simhash": _dedup_recall_simhash,
+        "mix_rank_weighted": _mix_rank_weighted,
+        "entity_match_pairs": _entity_match_pairs,
+        "entity_resolve": _entity_resolve,
+        "entity_block_audit": _entity_block_audit,
+        "bm25_indexed_topk": _bm25_indexed_topk,
+        "knn_mutual_pairs": _knn_mutual_pairs,
+        "knn_mutual_ann": _knn_mutual_ann,
+        "multimodal_pcm_stats": _multimodal_pcm_stats,
+        "multimodal_image_ahash": _multimodal_image_ahash,
+        "pipeline_media": _pipeline_media,
+        "media_quarantine": _media_quarantine,
+        "docs_scd2": _docs_scd2,
+        "docs_asof_version": _docs_asof_version,
+        "events_stream_heavy_hitters": _events_stream_heavy_hitters,
+        "decontaminate_bloom": _decontaminate_bloom,
+        "maxsim_topk": _maxsim_topk,
+        "rerank_search": _rerank_search,
+        "ngram_containment": _ngram_containment,
+        "docs_dedup_contained": _docs_dedup_contained,
+        "docs_template_pages": _docs_template_pages,
+        "docs_lm_kn": _docs_lm_kn,
+        "docs_quality_ensemble": _docs_quality_ensemble,
+        "docs_mojibake": _docs_mojibake,
+        "token_cms_topk": _token_cms_topk,
+        "events_k_anonymity": _events_k_anonymity,
+        "docs_url_canonical": _docs_url_canonical,
+        "crawl_host_budget": _crawl_host_budget,
+        "lang_confusion": _lang_confusion,
+        "multimodal_near_dup": _multimodal_near_dup,
+        "multimodal_audio_near_dup": _multimodal_audio_near_dup,
+        "dedup_prefix": _dedup_prefix,
+        "soft_dedup": _soft_dedup,
+        "winnow_pairs": _winnow_pairs,
+        "token_pmi": _token_pmi,
+        # --- position 51+: outside the driver's gate window ---
+        # every oracle-backed entry below is checked by the dynamic
+        # SUBSET in tests/test_entry_oracle.py (computed as 'oracle-
+        # backed and past position 50'); entries rotated out this
+        # round all have green CORRECTNESS_r07 rows.
+        "docs_dup_spans": _docs_dup_spans,
+        "docs_dup_stats": _docs_dup_stats,
+        "docs_dedup_cut": _docs_dedup_cut,
+        "docs_html_extract": _docs_html_extract,
+        "docs_normalize": _docs_normalize,
+        "docs_keep_best": _docs_keep_best,
+        "pipeline_web": _pipeline_web,
+        "mix_unimax": _mix_unimax,
+        "ann_tuned_topk": _ann_tuned_topk,
+        "ann_rank_quality": _ann_rank_quality,
+        "embedding_rp_topk": _embedding_rp_topk,
+        "cascade_topk": _cascade_topk,
+        "mmr_topk": _mmr_topk,
+        "corpus_manifest": _corpus_manifest,
+        "docs_jsonl_ingest": _docs_jsonl_ingest,
+        "source_overlap": _source_overlap,
+        "dedup_weighted": _dedup_weighted,
+        "docs_dedup_lines_within": _docs_dedup_lines_within,
+        "events_funnel": _events_funnel,
+        "events_anomaly": _events_anomaly,
+        "events_stream_anomaly": _events_stream_anomaly,
+        "multimodal_header_meta": _multimodal_header_meta,
+        "multimodal_wav_meta": _multimodal_wav_meta,
+        "multimodal_mp4_meta": _multimodal_mp4_meta,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_nation_profit": _q9_nation_profit,
+        "q11_important_parts": _q11_important_parts,
+        "q12_late_lines": _q12_late_lines,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q20_share_suppliers": _q20_share_suppliers,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
         "docs_quality_clf": _docs_quality_clf,
         "pipeline_dedup_full": _pipeline_dedup_full,
         "docs_keyword_topk": _docs_keyword_topk,
@@ -10256,42 +10379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_c4_clean": _docs_c4_clean,
         "dedup_keep_best": _dedup_keep_best,
         "mix_target": _mix_target,
-        # --- position 51+: outside the driver's gate window ---
-        # (every oracle-backed entry below is checked by the dynamic
-        # SUBSET in tests/test_entry_oracle.py; each has driver rows
-        # from rounds 1-6)
-        # ROUND-8 ROTATION LIST (round-7 mid-round additions, never
-        # driver-checked — the gate window was already full when they
-        # landed; see the window comment above):
-        # docs_tokenizer_fertility, embedding_drift,
-        # pipeline_rag, docs_compression_ratio, decontaminate_bloom,
-        # maxsim_topk, packing_report, token_pmi, winnow_pairs,
-        # soft_dedup, docs_csv_ingest, docs_blocklist, docs_pagerank,
-        # events_heavy_hitters, docs_url_canonical,
-        # docs_length_buckets, docs_vocab_growth,
-        # docs_quality_ensemble, docs_template_pages,
-        # wds_datasource_read, events_stream_heavy_hitters,
-        # pipeline_crawl, lang_confusion, crawl_host_budget,
-        # rerank_search, ngram_containment, docs_lm_heldout,
-        # docs_dedup_contained, docs_dedup_funnel, dedup_recall_lsh,
-        # mix_rank_weighted, dedup_recall_simhash.
-        # Everything else in the registry will have a
-        # driver row after CORRECTNESS_r07 (the window above) — rotate
-        # the list above in for round 8, keep the 9 stable reps, and
-        # fill remaining slots with late-round-7 additions per the
-        # established pattern.
         "docs_stream_near_pairs": _docs_stream_near_pairs,
         "docs_dedup_lines": _docs_dedup_lines,
         "docs_tokenizer_fertility": _docs_tokenizer_fertility,
         "embedding_drift": _embedding_drift,
-        "pipeline_rag": _pipeline_rag,
         "docs_compression_ratio": _docs_compression_ratio,
-        "decontaminate_bloom": _decontaminate_bloom,
-        "maxsim_topk": _maxsim_topk,
         "packing_report": _packing_report,
-        "token_pmi": _token_pmi,
-        "winnow_pairs": _winnow_pairs,
-        "soft_dedup": _soft_dedup,
         "docs_csv_ingest": _docs_csv_ingest,
         "docs_blocklist": _docs_blocklist,
         "docs_lm_perplexity": _docs_lm_perplexity,
@@ -10325,11 +10418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _events_retention,
         "events_props_stats": _events_props_stats,
         "events_zorder": _events_zorder,
-        # ML / non-SQL entries (rows-only driver check; driver rows r6)
         "kmeans_clusters": _kmeans_clusters,
         "pca_2d": _pca_2d,
         "hf_embed_fake": _hf_embed_fake,
-        "bpe_merges": _bpe_merges,
         "knn_euclidean": _knn("euclidean"),
         "knn_dot": _knn("dot"),
         "knn_min_score": _knn("cosine", n=100, min_score=0.15),
@@ -10396,45 +10487,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_hourly": _events_stream_hourly,
         "events_stream_interval_join": _events_stream_interval_join,
         "docs_stream_budget": _docs_stream_budget,
-        # oracle twins / strict sub-plans of other entries
         "exact_dup_groups": _exact_dup_groups,
         "simhash_fingerprints": _simhash_fingerprints,
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
         "ngram_jaccard_capped": _ngram_jaccard_capped,
         "dedup_components_two_phase": _dedup_components_two_phase,
-        # round-7 late tail (rotation targets for round 8, with the
-        # list in the comment above)
-        "docs_pagerank": _docs_pagerank,
         "events_heavy_hitters": _events_heavy_hitters,
-        "docs_url_canonical": _docs_url_canonical,
         "docs_length_buckets": _docs_length_buckets,
         "docs_vocab_growth": _docs_vocab_growth,
-        "docs_quality_ensemble": _docs_quality_ensemble,
-        "docs_template_pages": _docs_template_pages,
         "wds_datasource_read": _wds_datasource_read,
-        "events_stream_heavy_hitters": _events_stream_heavy_hitters,
-        "pipeline_crawl": _pipeline_crawl,
-        "lang_confusion": _lang_confusion,
-        "crawl_host_budget": _crawl_host_budget,
-        "rerank_search": _rerank_search,
-        "ngram_containment": _ngram_containment,
         "docs_lm_heldout": _docs_lm_heldout,
-        "docs_dedup_contained": _docs_dedup_contained,
-        "docs_dedup_funnel": _docs_dedup_funnel,
-        "dedup_recall_lsh": _dedup_recall_lsh,
-        "mix_rank_weighted": _mix_rank_weighted,
-        "dedup_recall_simhash": _dedup_recall_simhash,
-        # late-round-7 additions (round-8 rotation targets alongside
-        # the list in the comment above; each locally verified at
-        # sf0.001 AND sf0.01 via scripts/check_oracle.py before
-        # landing). The final session-7 wave appended at the very end:
-        # multimodal_pcm_stats, multimodal_image_ahash, dedup_prefix,
-        # knn_mutual_pairs, knn_mutual_ann, docs_mojibake,
-        # events_k_anonymity, multimodal_near_dup,
-        # multimodal_audio_near_dup, token_cms_topk, pipeline_media,
-        # media_quarantine, docs_asof_version — same local
-        # verification, same rotation queue.
-        "docs_lm_kn": _docs_lm_kn,
         "radius_search": _radius_search,
         "multimodal_dedup_exact": _multimodal_dedup_exact,
         "events_stream_sessionize": _events_stream_sessionize,
@@ -10442,27 +10504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_orc_roundtrip": _docs_orc_roundtrip,
         "events_hll_accuracy": _events_hll_accuracy,
         "events_asof_forward": _events_asof_forward,
-        "entity_match_pairs": _entity_match_pairs,
-        "entity_resolve": _entity_resolve,
-        "entity_block_audit": _entity_block_audit,
-        "bm25_indexed_topk": _bm25_indexed_topk,
         "source_psi_drift": _source_psi_drift,
         "docs_drop_attribution": _docs_drop_attribution,
-        "docs_scd2": _docs_scd2,
-        "docs_asof_version": _docs_asof_version,
         "skew_split_join": _skew_split_join,
-        "multimodal_pcm_stats": _multimodal_pcm_stats,
-        "multimodal_image_ahash": _multimodal_image_ahash,
-        "dedup_prefix": _dedup_prefix,
-        "knn_mutual_pairs": _knn_mutual_pairs,
-        "knn_mutual_ann": _knn_mutual_ann,
-        "multimodal_near_dup": _multimodal_near_dup,
-        "multimodal_audio_near_dup": _multimodal_audio_near_dup,
-        "pipeline_media": _pipeline_media,
-        "media_quarantine": _media_quarantine,
-        "token_cms_topk": _token_cms_topk,
-        "docs_mojibake": _docs_mojibake,
-        "events_k_anonymity": _events_k_anonymity,
     }
 
 
@@ -10685,6 +10729,9 @@ def oracle_sql() -> dict[str, str]:
         "token_cms_topk": _TOKEN_CMS_SQL,
         "docs_mojibake": _DOCS_MOJIBAKE_SQL,
         "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,
+        # bit-reproducible training -> precomputed-VALUES oracle
+        "bpe_merges": _bpe_merges_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
-        # (iterative ML, UDF-backed) -> driver rows-only check
+        # (iterative ML / nondeterministic-sign PCA / env-gated HF)
+        # -> driver rows-only check
     }

@@ -1074,3 +1074,25 @@ def test_prefix_dup_groups_catches_tail_mutations(spark):
 
     with pytest.raises(ValueError):
         prefix_dup_groups(df, "text", "doc_id", n_tokens=0)
+
+
+def test_ngram_jaccard_exact_path_row_bound(spark):
+    """max_doc_freq=None is eval-only: quadratic in hot-shingle doc
+    frequency, so the exact path counts the input and raises past
+    exact_row_bound (r7 verdict watch item)."""
+    from tidyvec_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(5)], "doc_id INT, text STRING"
+    )
+    with pytest.raises(ValueError, match="exact_row_bound"):
+        ngram_jaccard_pairs(
+            df, "text", "doc_id", max_doc_freq=None, exact_row_bound=2
+        )
+    # opting out of the guard (or a corpus under the bound) still works
+    assert (
+        ngram_jaccard_pairs(
+            df, "text", "doc_id", max_doc_freq=None, exact_row_bound=None
+        ).count()
+        == 10
+    )

@@ -34,52 +34,15 @@ _ORDER = list(entry.queries())
 _ORACLES = entry.oracle_sql()
 _TAIL = [k for k in _ORDER[50:] if k in _ORACLES]
 
-# Window entries checked here too: the round-7 rotation moved these
-# into the gate window for their FIRST driver row — until CORRECTNESS_r07
+# Window entries checked here too: the round-8 rotation moved these
+# into the gate window for their FIRST driver row — until CORRECTNESS_r08
 # confirms them green, the local mirror is their only oracle check.
-# (Prune once the driver rows land; the round-5 and round-6 batches
-# were pruned after CORRECTNESS_r05/r06 confirmed them green.)
-_NEWLY_WINDOWED = [
-    # round-7 additions placed directly in the window (R7_SLOTs)
-    "docs_quality_clf",
-    "pipeline_dedup_full",
-    "docs_keyword_topk",
-    "source_quality_report",
-    "corpus_manifest_incremental",
-    "docs_stream_upsert",
-    # round-6 rotation batch
-    "docs_dup_spans",
-    "docs_dup_stats",
-    "docs_dedup_cut",
-    "docs_html_extract",
-    "docs_normalize",
-    "docs_keep_best",
-    "pipeline_web",
-    "mix_unimax",
-    "ann_tuned_topk",
-    "ann_rank_quality",
-    "embedding_rp_topk",
-    "cascade_topk",
-    "mmr_topk",
-    "corpus_manifest",
-    "docs_jsonl_ingest",
-    "source_overlap",
-    "dedup_weighted",
-    "docs_dedup_lines_within",
-    "events_funnel",
-    "events_anomaly",
-    "events_stream_anomaly",
-    "multimodal_header_meta",
-    "multimodal_wav_meta",
-    "multimodal_mp4_meta",
-    "q2_min_cost_supplier",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "q12_late_lines",
-    "q16_supplier_counts",
-    "q20_share_suppliers",
-    "q21_waiting_suppliers",
-]
+# (Prune once the driver rows land; the round-5/r6/r7 batches were
+# pruned after CORRECTNESS_r05/r06/r07 confirmed them green.)
+# Computed dynamically: window positions 10-50 are exactly the round-8
+# rotation batch (bpe_merges + the 40 round-7 backlog entries); the
+# first 9 are the long-stable spine reps, covered by _WINDOW_REPS.
+_NEWLY_WINDOWED = [k for k in _ORDER[9:50] if k in _ORACLES]
 # A few long-stable window representatives so a spine regression
 # (reader, canon compare, query-vec helper) is caught locally.
 _WINDOW_REPS = [
@@ -142,7 +105,8 @@ def test_every_query_has_oracle_or_is_declared_ml():
     assert oracles <= qs, f"orphan oracles: {oracles - qs}"
     rows_only = qs - oracles
     # only genuinely non-SQL-expressible ops may skip the oracle
-    # (model fits + the iterative BPE training loop)
+    # (model fits; bpe_merges is deterministic and carries a
+    # precomputed-VALUES oracle since round 8)
     assert rows_only <= {
-        "kmeans_clusters", "pca_2d", "hf_embed_fake", "bpe_merges"
+        "kmeans_clusters", "pca_2d", "hf_embed_fake"
     }, rows_only

@@ -1335,11 +1335,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     round_to: Optional[int] = None,
     max_doc_freq: Optional[int | str] = "auto",
+    exact_row_bound: Optional[int] = 250_000,
 ) -> DataFrame:
     """n-gram-Jaccard near-dup via an inverted shingle index — exact
     when ``max_doc_freq=None``; the default ``"auto"`` cap computes a
     lower-bound Jaccard that can drop pairs whose overlap rides on
     stop-shingles (see below).
+
+    EVAL-ONLY ENVELOPE of the exact path: ``max_doc_freq=None`` is
+    quadratic in hot-shingle document frequency — one stop-shingle
+    shared by 10⁶ documents contributes 10¹² join rows — so it is for
+    recall evals on bounded corpora (the dedup_recall_* entries),
+    never for a raw 100 TB corpus. To keep that a visible decision,
+    the exact path counts the input first (one column-pruned job, the
+    same cost ``"auto"`` already pays) and raises past
+    ``exact_row_bound`` rows; raise the bound explicitly — or pass
+    ``exact_row_bound=None`` — to opt a larger corpus in.
 
     The candidate generator is an equi-join on the shingle string
     (shuffle on shingle, count common per pair) — heavier than
@@ -1364,6 +1375,18 @@ def ngram_jaccard_pairs(
     ``max_doc_freq=None`` to opt into the fully exact join. ``"auto"``
     costs one column-pruned ``count()`` of the input.
     """
+    if max_doc_freq is None and exact_row_bound is not None:
+        n = df.select(id_col).count()
+        if n > int(exact_row_bound):
+            raise ValueError(
+                f"ngram_jaccard_pairs(max_doc_freq=None) on {n} rows "
+                f"exceeds exact_row_bound={exact_row_bound}: the "
+                "uncapped inverted-index join is quadratic in "
+                "hot-shingle frequency and is meant for recall evals "
+                "on bounded corpora. Use the default max_doc_freq="
+                "'auto' cap (or minhash_lsh_pairs) for raw corpora, "
+                "or raise exact_row_bound explicitly to opt in."
+            )
     common, sh = _shingle_pair_counts(
         df, text_col, id_col, shingle_n, max_doc_freq
     )
