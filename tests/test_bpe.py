@@ -156,3 +156,12 @@ def test_bpe_apply_validation(spark):
         bpe_apply(df, "sym", [("a", "b")], engine="nope")
     with pytest.raises(ValueError):
         bpe_apply(df, "sym", [("a", "b")], chunk_size=0)
+
+
+def test_driver_finish_equals_distributed(spark, sf_dir):
+    """The collect-threshold driver finish must be bit-identical to
+    the per-merge distributed loop (same merge law, same tie law)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dist = bpe_train(docs, "text", 12, collect_threshold=0)
+    local = bpe_train(docs, "text", 12)  # fixture vocab << threshold
+    assert dist == local

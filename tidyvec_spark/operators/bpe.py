@@ -73,20 +73,71 @@ def _replacement(a: str, b: str) -> str:
     return (a + b).replace("\\", "\\\\").replace("$", "\\$")
 
 
+def _bpe_train_local(
+    vocab: dict, num_merges: int
+) -> List[Tuple[str, str, int]]:
+    """Driver-side finish: run the merge loop in-process over the
+    collected (sym, freq) table. The SAME law as the distributed loop
+    — greedy non-overlapping leftmost merge, count-then-lexicographic
+    tie break (UTF-8 byte order equals code-point order for valid
+    UTF-8, so Python string comparison matches Spark's) — pinned
+    bit-identical to the distributed path in tests/test_bpe.py."""
+    import collections
+
+    merges: List[Tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs: collections.Counter = collections.Counter()
+        for sym, f in vocab.items():
+            s = sym.split(" ")
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        n = max(pairs.values())
+        a, b = sorted(p for p, c in pairs.items() if c == n)[0]
+        merges.append((a, b, int(n)))
+        pat = re.compile(_pair_pattern(a, b))
+        nv: dict = {}
+        for sym, f in vocab.items():
+            ns = pat.sub(lambda m: a + b, sym)
+            nv[ns] = nv.get(ns, 0) + f
+        vocab = nv
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
     num_merges: int,
     eow: str = _EOW,
     checkpoint_every: int = 10,
+    collect_threshold: int = 500_000,
 ) -> List[Tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns
     [(left, right, pair_count), ...] in merge order. Stops early when
-    no adjacent pair remains."""
+    no adjacent pair remains.
+
+    The merge argmax is inherently global — each merge is one Spark
+    job — so a production 32k-merge vocabulary would be 32k sequential
+    jobs over the (small, Zipf-bounded) word-frequency table. The
+    corpus pass already collapses everything to that table, so when it
+    has at most ``collect_threshold`` rows it is collected ONCE and
+    the merge loop finishes on the driver under the identical merge /
+    tie law (:func:`_bpe_train_local`; bit-equality with the
+    distributed loop is pinned in tests). That makes large
+    vocabularies one corpus job + an in-process loop instead of
+    num_merges cluster round-trips; set ``collect_threshold=0`` to
+    force every merge through Spark (the vocabulary table no longer
+    fits on the driver, or you want cluster-parallel pair counting
+    for a truly huge vocabulary)."""
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     vocab = bpe_word_freq(df, text_col, eow=eow).persist()
-    vocab.count()  # materialize the corpus pass once
+    n_vocab = vocab.count()  # materialize the corpus pass once
+    if collect_threshold and n_vocab <= int(collect_threshold):
+        local = {r["sym"]: int(r["freq"]) for r in vocab.collect()}
+        vocab.unpersist()
+        return _bpe_train_local(local, num_merges)
     merges: List[Tuple[str, str, int]] = []
     try:
         for i in range(num_merges):
