@@ -846,7 +846,10 @@ def _pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: dedup 3 bounded shuffles; lang-id map-side; LM vocabulary-
     sized aggs; buckets one per-language window. No materialization
-    between stages."""
+    between stages. The language label rides through scoring via the
+    LM's ``carry=`` seam, so the dedup + lang-id subtree computes
+    ONCE — the r7 plan re-joined the scored frame back to its own
+    input, recomputing that whole subtree."""
     from tidyvec_spark.functions import text as X
     from tidyvec_spark.operators.dedup import dedup_lines_global
     from tidyvec_spark.operators.lm import (
@@ -861,9 +864,10 @@ def _pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dd = dedup_lines_global(lined, "text", "doc_id")
     pred = dd.select("doc_id", "text", X.lang_id("text").alias("lang_pred"))
-    scored = bigram_lm_perplexity(pred, "text", "doc_id")
-    j = scored.join(pred.select("doc_id", "lang_pred"), "doc_id")
-    out = perplexity_buckets(j, "perplexity", "doc_id", "lang_pred")
+    scored = bigram_lm_perplexity(
+        pred, "text", "doc_id", carry=("lang_pred",)
+    )
+    out = perplexity_buckets(scored, "perplexity", "doc_id", "lang_pred")
     return out.filter(F.col("bucket") != "tail").select(
         "doc_id", "lang_pred", "perplexity", "bucket"
     )

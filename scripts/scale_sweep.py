@@ -362,6 +362,186 @@ def main() -> None:
         )
         auds.unpersist()
 
+    # --- round-7 families ------------------------------------------
+
+    # full dedup ladder end-to-end: exact -> within-doc lines ->
+    # global lines -> substring cut -> minhash keep-best, as ONE lazy
+    # plan. The claim: the composite tracks the sum of its rungs
+    # (every shuffle a bounded key-agg/equi-join), no cross-rung blowup.
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.functions.quality import dedup_lines_within_expr
+    from tidyvec_spark.operators.dedup import (
+        dedup_lines_global,
+        drop_exact_dups,
+        drop_near_dups_keep_best,
+        near_dup_groups,
+        substring_dedup_cut,
+    )
+
+    def dedup_ladder(docs):
+        lined = docs.select(
+            "doc_id",
+            F.replace(F.col("text"), F.lit(" scan "), F.lit("\n")).alias(
+                "text"
+            ),
+        )
+        ex = drop_exact_dups(lined, "text", "doc_id")
+        wd = ex.select("doc_id", dedup_lines_within_expr("text").alias("text"))
+        gl = dedup_lines_global(wd, "text", "doc_id").select("doc_id", "text")
+        cut = substring_dedup_cut(gl, "text", "doc_id", k=8).select(
+            "doc_id", "text"
+        )
+        scored = cut.withColumn("n_tokens", X.token_count("text").cast("long"))
+        comps = near_dup_groups(
+            scored, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+            threshold=0.5,
+        )
+        return drop_near_dups_keep_best(scored, comps, "doc_id", "n_tokens")
+
+    wl = synth_docs(spark, 500).persist()
+    materialize(dedup_ladder(wl))
+    wl.unpersist()
+    for n in doc_sizes:
+        docs = synth_docs(spark, n).persist()
+        docs.count()
+        record(
+            "pipeline_dedup_full", n,
+            lambda: materialize(dedup_ladder(docs)),
+        )
+        docs.unpersist()
+
+    # PageRank: 10 fixed-point iterations, nodes x 3 out-links. The
+    # claim: wall ~ edges (per round one edge join + one groupBy-sum;
+    # localCheckpoint bounds lineage, so 10 rounds cost 10 short jobs).
+    from tidyvec_spark.operators.graph import pagerank, synthetic_link_graph
+
+    pr_sizes = [10_000, 40_000, 160_000]
+    if quick:
+        pr_sizes = pr_sizes[:2]
+    wn = spark.range(500).select(F.col("id").alias("doc_id")).persist()
+    materialize(pagerank(synthetic_link_graph(wn, "doc_id"), iterations=10))
+    wn.unpersist()
+    for n in pr_sizes:
+        nodes = spark.range(n).select(F.col("id").alias("doc_id")).persist()
+        nodes.count()
+        record(
+            "pagerank_10it", n,
+            lambda: materialize(
+                pagerank(synthetic_link_graph(nodes, "doc_id"), iterations=10)
+            ),
+        )
+        nodes.unpersist()
+
+    # entity resolution: blocking join + bounded levenshtein verify.
+    # BLOCK SIZE is the production knob (pair count = sum_b C(|b|,2)):
+    # at fixed n, halving the number of blocks doubles mean block size
+    # and ~doubles candidates — measured below as ent_res_blocks_<k>.
+    from tidyvec_spark.operators.entities import entity_match_pairs
+
+    def synth_entities(n, n_blocks):
+        return spark.range(n).select(
+            F.col("id"),
+            F.pmod(F.xxhash64("id"), F.lit(n_blocks)).alias("blk"),
+            F.concat(
+                F.lit("entity name "),
+                F.pmod(F.xxhash64(F.col("id") * 3), F.lit(max(n // 4, 1)))
+                .cast("string"),
+                # 20% get a 1-char tail perturbation so matches exist
+                F.when(F.col("id") % 5 == 0, F.lit("x")).otherwise(F.lit("")),
+            ).alias("name"),
+        )
+    we = synth_entities(500, 50).persist()
+    materialize(entity_match_pairs(we, "id", "name", ["blk"], max_edit=2))
+    we.unpersist()
+    ent_sizes = [10_000, 40_000, 160_000]
+    if quick:
+        ent_sizes = ent_sizes[:2]
+    for n in ent_sizes:
+        ents = synth_entities(n, n // 20).persist()  # ~20 rows per block
+        ents.count()
+        record(
+            "entity_match_pairs", n,
+            lambda: materialize(
+                entity_match_pairs(ents, "id", "name", ["blk"], max_edit=2)
+            ),
+        )
+        ents.unpersist()
+    # block-size sensitivity at fixed n: pairs ~ n * block_size
+    n_fix = ent_sizes[-1]
+    for per_block in (10, 40, 160):
+        ents = synth_entities(n_fix, n_fix // per_block).persist()
+        ents.count()
+        record(
+            f"ent_res_block_{per_block}", n_fix,
+            lambda: materialize(
+                entity_match_pairs(ents, "id", "name", ["blk"], max_edit=2)
+            ),
+        )
+        ents.unpersist()
+
+    # indexed BM25 vs full scan: the claim is that query wall against
+    # the persisted index is ~flat in corpus size (scan ~ the query
+    # terms' postings via bucket-directory + row-group pruning) while
+    # the full scan grows ~linearly.
+    import shutil
+    import tempfile
+
+    from tidyvec_spark.operators.index import (
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+    from tidyvec_spark.operators.search import bm25_topk
+
+    bm_query = "shuffle plan stage"
+    # warm-up: first indexed query pays one-time codegen (~9 s measured)
+    wix = tempfile.mkdtemp(prefix="sweep_ix_")
+    try:
+        wb = synth_docs(spark, 500).persist()
+        materialize(bm25_topk(wb, "text", "doc_id", bm_query, n=10))
+        write_inverted_index(wb, "text", "doc_id", wix, n_buckets=64)
+        materialize(bm25_topk_indexed(spark, wix, bm_query, n=10))
+        wb.unpersist()
+    finally:
+        shutil.rmtree(wix, ignore_errors=True)
+    for n in doc_sizes:
+        docs = synth_docs(spark, n).persist()
+        docs.count()
+        record(
+            "bm25_full_scan", n,
+            lambda: materialize(
+                bm25_topk(docs, "text", "doc_id", bm_query, n=10)
+            ),
+        )
+        ixdir = tempfile.mkdtemp(prefix="sweep_ix_")
+        try:
+            write_inverted_index(docs, "text", "doc_id", ixdir, n_buckets=64)
+            record(
+                "bm25_indexed_topk", n,
+                lambda: materialize(
+                    bm25_topk_indexed(spark, ixdir, bm_query, n=10)
+                ),
+            )
+        finally:
+            shutil.rmtree(ixdir, ignore_errors=True)
+        docs.unpersist()
+
+    # BPE: distributed per-merge loop vs the collect-threshold driver
+    # finish (identical merge table) — the driver finish turns
+    # num_merges cluster round-trips into one corpus job + local loop.
+    from tidyvec_spark.operators.bpe import bpe_train
+
+    bdocs = synth_docs(spark, 20_000).persist()
+    bdocs.count()
+    record(
+        "bpe_train_distributed", 20_000,
+        lambda: len(bpe_train(bdocs, "text", 16, collect_threshold=0)),
+    )
+    record(
+        "bpe_train_driver_finish", 20_000,
+        lambda: len(bpe_train(bdocs, "text", 16)),
+    )
+    bdocs.unpersist()
+
     print("\n== scaling summary (wall_s by size) ==")
     for op, pts in results.items():
         scale = pts[-1][0] / pts[0][0]

@@ -243,3 +243,28 @@ def test_kn_alpha_validation(corpus):
 
     with pytest.raises(ValueError, match="alpha"):
         kn_bigram_perplexity(corpus, "text", "doc_id", alpha=0.0)
+
+
+def test_carry_columns_match_join(spark, corpus):
+    """carry= rides per-doc columns through scoring with values
+    identical to the re-join a caller would otherwise write — minus
+    the extra pass over the input subtree."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.lm import bigram_lm_perplexity
+
+    labeled = corpus.withColumn(
+        "lab", F.concat(F.lit("L"), (F.col("doc_id") % 3).cast("string"))
+    )
+    carried = bigram_lm_perplexity(labeled, "text", "doc_id", carry=("lab",))
+    joined = bigram_lm_perplexity(labeled, "text", "doc_id").join(
+        labeled.select("doc_id", "lab"), "doc_id"
+    )
+    a = {(r["doc_id"], r["lab"], r["n_bigrams"], r["perplexity"])
+         for r in carried.collect()}
+    b = {(r["doc_id"], r["lab"], r["n_bigrams"], r["perplexity"])
+         for r in joined.collect()}
+    assert a == b and a
+
+    with pytest.raises(ValueError, match="collide"):
+        bigram_lm_perplexity(labeled, "text", "doc_id", carry=("bigram",))

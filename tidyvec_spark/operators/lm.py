@@ -71,8 +71,19 @@ def bigram_lm_perplexity(
     out_col: str = "perplexity",
     salt_buckets: int | None = None,
     train_df: DataFrame | None = None,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """Score every document against the corpus-trained bigram LM.
+
+    ``carry``: per-document columns of ``df`` to ride through scoring
+    (each must be functionally dependent on ``id_col`` — they join the
+    grouping key). Without it a caller needing, say, a language label
+    next to the perplexity must re-join the scored frame back to its
+    own input, which recomputes the entire upstream subtree when that
+    input is itself a derived plan (the CCNet composite's dedup +
+    lang-id stages) — carrying widens the per-bigram shuffle rows by
+    the carried columns instead, one narrow column versus a whole
+    extra pass.
 
     ``train_df``: fit the counts on a DIFFERENT frame and score ``df``
     against it — held-out evaluation (the honest number; in-corpus
@@ -122,11 +133,21 @@ def bigram_lm_perplexity(
         .agg(F.countDistinct("t").cast("double").alias("v"))
     )
 
+    carry = tuple(carry)
+    reserved = {"__id", "bigram", "w1", "dn", "c1", "c2", "v", "lp"}
+    bad = [c for c in carry if c in reserved or c == id_col]
+    if bad:
+        raise ValueError(f"carry columns collide with internals: {bad}")
+
     # per-document bigram multiset, pre-aggregated map-side so the join
     # moves (doc, distinct bigram, count), not every token.
     doc = (
-        _doc_bigrams(df, text_col, id_col)
-        .groupBy("__id", "bigram")
+        df.select(
+            F.col(id_col).alias("__id"),
+            *[F.col(c) for c in carry],
+            F.explode(ngrams(text_col, 2)).alias("bigram"),
+        )
+        .groupBy("__id", *carry, "bigram")
         .agg(F.count(F.lit(1)).alias("dn"))
     )
     if salt_buckets is None:
@@ -154,6 +175,7 @@ def bigram_lm_perplexity(
         .crossJoin(F.broadcast(v))
         .select(
             "__id",
+            *carry,
             "dn",
             (
                 F.log(
@@ -167,7 +189,7 @@ def bigram_lm_perplexity(
         )
     )
     return (
-        scored.groupBy("__id")
+        scored.groupBy("__id", *carry)
         .agg(
             F.sum("dn").cast("long").alias("n_bigrams"),
             F.round(F.exp(-F.sum("lp") / F.sum("dn")), round_to).alias(out_col),
