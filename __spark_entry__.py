@@ -5076,6 +5076,89 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def _decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate train-vs-benchmark decontamination (operators/
+    dedup.py::fuzzy_contamination_hits): the fuzzy upgrade of the
+    exact n-gram rule — the benchmark here is a 5-token-truncated
+    copy of every doc_id%9==0 document (bench ids offset by 500000),
+    which shares NO long exact n-gram suffix but ~80-95% of its
+    shingles, exactly the paraphrase/truncation case the exact rule
+    misses. MinHash(16) signatures both sides, 4x4 banding, asymmetric
+    corpus x benchmark band equi-join, exact-Jaccard verify on
+    candidates only. The oracle replays signatures, banding, and
+    verification for both sides."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.dedup import fuzzy_contamination_hits
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toksr = X.tokens("text")
+    trunc = F.concat_ws(
+        " ", F.slice(toksr, 1, F.greatest(F.size(toksr) - 5, F.lit(1)))
+    )
+    bench = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), trunc.alias("text")
+    )
+    return fuzzy_contamination_hits(
+        docs, bench, "text", "doc_id", num_hashes=16, bands=4,
+        shingle_n=3, threshold=0.5, round_to=R,
+    )
+
+
+_DECONTAM_FUZZY_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bencht AS (
+  SELECT doc_id + 500000 AS doc_id, t[1:greatest(len(t) - 5, 1)] AS t
+  FROM toks WHERE doc_id % 9 = 0
+),
+all_ AS (
+  SELECT 'c' AS side, doc_id, t FROM toks
+  UNION ALL
+  SELECT 'b' AS side, doc_id, t FROM bencht
+),
+sh AS (
+  SELECT side, doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM all_ WHERE len(t) >= 3
+),
+based AS (
+  SELECT side, doc_id, sh,
+         list_transform(sh, s -> CAST({_hex60("s")} AS BIGINT) & 1073741823) AS bh
+  FROM sh WHERE len(sh) > 0
+),
+sigs AS (
+  SELECT side, doc_id, sh,
+         list_transform({{AB}},
+           ab -> list_min(list_transform(bh, h -> (ab[1] * h + ab[2]) % 2147483647))) AS sig
+  FROM based
+),
+banded AS (
+  SELECT side, doc_id, b,
+         {_hex60("concat(b, '#', array_to_string(list_transform(sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ','))")} AS bh
+  FROM sigs, range(0, 4) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.bh = b.bh AND a.side = 'c' AND b.side = 'b'
+),
+ver AS (
+  SELECT cand.doc_id, cand.bench_id,
+         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE),
+               {R}) AS jaccard
+  FROM cand
+  JOIN sigs sa ON sa.side = 'c' AND sa.doc_id = cand.doc_id
+  JOIN sigs sb ON sb.side = 'b' AND sb.doc_id = cand.bench_id
+)
+SELECT doc_id, bench_id, jaccard FROM ver WHERE jaccard >= 0.5
+"""
+
+
+def _decontaminate_fuzzy_sql() -> str:
+    return _DECONTAM_FUZZY_SQL.replace("{AB}", _minhash_ab_sql())
+
+
 _MAXSIM_QUERY = "shuffle partition broadcast skew watermark"
 _MAXSIM_DIM = 16
 _MAXSIM_DOC_TOKENS = 12  # small window: the fixture vocab is tiny, so
@@ -10511,6 +10594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_psi_drift": _source_psi_drift,
         "docs_drop_attribution": _docs_drop_attribution,
         "skew_split_join": _skew_split_join,
+        # round-8 additions (rotation targets for round 9, after the
+        # 21-entry queue in the window comment; each locally verified
+        # at sf0.001 AND sf0.01 via scripts/check_oracle.py)
+        "decontaminate_fuzzy": _decontaminate_fuzzy,
     }
 
 
@@ -10733,6 +10820,7 @@ def oracle_sql() -> dict[str, str]:
         "token_cms_topk": _TOKEN_CMS_SQL,
         "docs_mojibake": _DOCS_MOJIBAKE_SQL,
         "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,
+        "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),
         # bit-reproducible training -> precomputed-VALUES oracle
         "bpe_merges": _bpe_merges_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

@@ -1096,3 +1096,41 @@ def test_ngram_jaccard_exact_path_row_bound(spark):
         ).count()
         == 10
     )
+
+
+def test_fuzzy_decontamination_catches_near_copies(spark):
+    """The fuzzy rule must catch truncated/paraphrased benchmark
+    copies that share most shingles; decontaminate_fuzzy drops
+    exactly the hit ids; unrelated docs are untouched."""
+    from tidyvec_spark.operators.dedup import (
+        decontaminate_fuzzy,
+        fuzzy_contamination_hits,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different text about spark shuffle partitions and joins here"),
+            (3, base.replace("lazy", "sleepy")),  # 1-word edit of base
+        ],
+        "doc_id INT, text STRING",
+    )
+    # benchmark: base truncated by 3 words — no long exact n-gram
+    # SUFFIX shared, but most shingles survive
+    bench = spark.createDataFrame(
+        [(100, " ".join(base.split()[:-3]))], "doc_id INT, text STRING"
+    )
+    hits = fuzzy_contamination_hits(
+        corpus, bench, "text", "doc_id", threshold=0.5
+    )
+    got = {(r["doc_id"], r["bench_id"]) for r in hits.collect()}
+    assert (1, 100) in got
+    assert all(c != 2 for c, _ in got)
+    kept = decontaminate_fuzzy(corpus, bench, "text", "doc_id")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 2 in kept_ids and 1 not in kept_ids
+    assert kept_ids | {r[0] for r in got} == {1, 2, 3}
+
+    with pytest.raises(ValueError, match="divide"):
+        fuzzy_contamination_hits(corpus, bench, "text", "doc_id", bands=5)

@@ -560,6 +560,39 @@ def decontaminate_ngram_hits(
     )
 
 
+def _minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+):
+    """Shared MinHash signature + banding stage behind the self-join
+    (:func:`minhash_lsh_pairs`) and the asymmetric train-vs-benchmark
+    join (:func:`fuzzy_contamination_hits`): returns ``(sigs,
+    banded)`` — the PERSISTED (__id, __sh, __sig) signature frame
+    (the banded join would otherwise recompute the md5 minhash
+    expressions on both sides, once per band after Catalyst
+    project-collapse; at scale this table is written once and joined)
+    and its per-band explosion with the (__b, __bh) join key."""
+    rows_per_band = num_hashes // bands
+    docs = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(X.ngrams(text_col, shingle_n)).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    sigs = docs.withColumn("__sig", minhash_signature("__sh", num_hashes)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = sigs.select(
+        "__id",
+        "__sh",
+        "__sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__b"),
+    ).withColumn("__bh", band_hash("__sig", F.col("__b"), rows_per_band))
+    return sigs, banded
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -585,26 +618,7 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    rows_per_band = num_hashes // bands
-
-    docs = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(X.ngrams(text_col, shingle_n)).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
-    # persist the signature table: the banded self-join below would
-    # otherwise recompute the md5 minhash expressions on BOTH join sides
-    # (and once per band after Catalyst project-collapse) — at scale this
-    # table is written to storage once and joined against itself
-    sigs = docs.withColumn("__sig", minhash_signature("__sh", num_hashes)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
-    banded = sigs.select(
-        "__id",
-        "__sh",
-        "__sig",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__b"),
-    ).withColumn("__bh", band_hash("__sig", F.col("__b"), rows_per_band))
+    sigs, banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
     # carrying __sh through the band join lets verification run without
     # a second join back to the corpus
     a = banded.select(
@@ -636,6 +650,96 @@ def minhash_lsh_pairs(
     return _with_persisted(
         out.select("id_a", "id_b", "jaccard").dropDuplicates(["id_a", "id_b"]),
         [sigs],
+    )
+
+
+def fuzzy_contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """NEAR-duplicate contamination between a training corpus and an
+    evaluation benchmark — the fuzzy upgrade of the exact n-gram rule
+    (:func:`decontaminate_ngram_hits`): paraphrased, truncated, or
+    lightly-edited benchmark copies share most shingles but no long
+    exact n-gram, so the exact rule misses them. Same MinHash + LSH
+    banding + exact-Jaccard verify as :func:`minhash_lsh_pairs`, but
+    the band join is ASYMMETRIC (corpus side × benchmark side), so
+    cost scales with corpus + benchmark + verified candidates — never
+    corpus × benchmark. The benchmark side is typically broadcast-
+    sized; AQE picks the broadcast automatically.
+
+    Returns (``id_col``, bench_id, jaccard) — one row per (corpus
+    doc, benchmark doc) pair with verified shingle-Jaccard ≥
+    ``threshold``.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    csigs, cbanded = _minhash_banded(
+        corpus, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    bsigs, bbanded = _minhash_banded(
+        benchmark, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    a = cbanded.select(
+        F.col("__id").alias("__cid"), F.col("__sh").alias("sh_a"), "__b", "__bh"
+    )
+    b = bbanded.select(
+        F.col("__id").alias("__bid"), F.col("__sh").alias("sh_b"), "__b", "__bh"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - F.size(
+        F.array_intersect("sh_a", "sh_b")
+    ).cast("double")
+    jac = inter / union
+    if round_to is not None:
+        jac = F.round(jac, round_to)
+    out = (
+        a.join(b, on=["__b", "__bh"])
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= float(threshold))
+    )
+    return _with_persisted(
+        out.select(
+            F.col("__cid").alias(id_col),
+            F.col("__bid").alias("bench_id"),
+            "jaccard",
+        ).dropDuplicates([id_col, "bench_id"]),
+        [csigs, bsigs],
+    )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop every corpus document with a verified near-duplicate in
+    the benchmark (``fuzzy_contamination_hits`` ≥ ``threshold``) —
+    the act stage: one anti-join against the (small) contaminated-id
+    set. Keeps all corpus columns."""
+    victims = (
+        fuzzy_contamination_hits(
+            corpus, benchmark, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            threshold=threshold,
+        )
+        .select(F.col(id_col).alias("__victim"))
+        .distinct()
+    )
+    return corpus.join(
+        victims, corpus[id_col] == victims["__victim"], "left_anti"
     )
 
 
