@@ -1188,6 +1188,73 @@ WHERE ROUND(list_cosine_similarity(a.v, b2.v), {R}) >= 0.98
 """
 
 
+def _dedup_recall_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup RECALL against the exact
+    all-pairs GEMM truth — completes the recall-eval triple next to
+    dedup_recall_lsh (MinHash) and dedup_recall_simhash: what fraction
+    of true cosine>=0.98 pairs does bucketing keep? One row:
+    (n_true, n_lsh, n_hit, recall). The truth side is the exact
+    block-pair GEMM (bounded perturbed corpus — eval-only, like the
+    other recall truths); the candidate side is the registry-verified
+    lsh_near_dup operator with the shared 8-bit planes."""
+    from tidyvec_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    allv = e.unionByName(pert)
+    truth = embedding_near_dup_pairs(
+        allv, "embedding", "vec_id", threshold=0.98
+    ).select("id_a", "id_b").persist()
+    lsh = lsh_near_dup_pairs(
+        allv, "embedding", "vec_id", planes=_ann_planes(), threshold=0.98
+    ).select("id_a", "id_b")
+    hit = truth.join(lsh, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(lsh.agg(F.count("*").cast("long").alias("n_lsh")))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+        .select(
+            "n_true",
+            "n_lsh",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.col("n_true").cast("double"),
+                R,
+            ).alias("recall"),
+        )
+    )
+
+
+def _dedup_recall_embedding_sql() -> str:
+    return f"""
+WITH truth AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_EMBEDDING_NEAR_DUP_SQL})
+),
+lsh AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_lsh_near_dup_sql()})
+),
+hit AS (SELECT t.* FROM truth t JOIN lsh USING (id_a, id_b))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+       ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE), {R})
+         AS recall
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANN scale paths (LSH-bucketed + IVF) — deterministic, oracle-checked
 # ---------------------------------------------------------------------------
@@ -9756,6 +9823,81 @@ SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 6
 """
 
 
+def _multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual quality gate from REAL decoded pixels (operators/
+    multimodal.py::image_quality_stats + image_quality_flags): blank
+    frames, near-constant fills, and over/under-exposed images carry
+    their defect in four exact integers (min/max/sum/Σ² of gray), so
+    the gate is one decode scan plus codegen arithmetic. The fixture
+    synthesizes one 8x8 BMP per doc with deterministic defects —
+    doc_id%7==0 blank (constant 128), else doc_id%11==0 low-contrast
+    (100 + law%8), else doc_id%13==0 dark (law%24), else the
+    full-range quadratic pixel law — and the oracle replays the pixel
+    law and every integer in DuckDB."""
+    from tidyvec_spark.operators.multimodal import (
+        image_quality_flags,
+        image_quality_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    v = (
+        "CASE WHEN doc_id % 7 = 0 THEN 128 "
+        "WHEN doc_id % 11 = 0 THEN 100 + (doc_id * 37 + IDX * 13) % 8 "
+        "WHEN doc_id % 13 = 0 THEN (doc_id * 37 + IDX * 13) % 24 "
+        "ELSE (doc_id * 37 + IDX * 13 + doc_id * IDX * IDX) % 256 END"
+    )
+    payload = F.expr(
+        "array_join(transform(sequence(0, 191), j -> lpad(hex("
+        + v.replace("IDX", "((7 - (j div 3) div 8) * 8 + (j div 3) % 8)")
+        + "), 2, '0')), '')"
+    )
+    content = F.unhex(
+        F.concat(
+            F.lit("424DF60000000000000036000000"),
+            F.lit("28000000080000000800000001001800"),
+            F.lit("00000000C0000000"),
+            F.lit("00" * 16),
+            payload,
+        )
+    )
+    df = docs.select("doc_id", content.alias("content"))
+    out = image_quality_flags(image_quality_stats(df, "content"))
+    return out.select(
+        "doc_id", "n_px", "sum_gray", "min_gray", "max_gray",
+        "sum_sq_gray", "is_blank", "low_contrast", "too_dark",
+        "too_bright", "keep",
+    )
+
+
+_MULTIMODAL_IMAGE_QUALITY_SQL = """
+WITH g AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 63), i ->
+      CASE WHEN doc_id % 7 = 0 THEN 128
+           WHEN doc_id % 11 = 0 THEN 100 + (doc_id * 37 + i * 13) % 8
+           WHEN doc_id % 13 = 0 THEN (doc_id * 37 + i * 13) % 24
+           ELSE (doc_id * 37 + i * 13 + doc_id * i * i) % 256 END) AS v
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(64 AS BIGINT) AS n_px,
+    CAST(list_sum(v) AS BIGINT) AS sum_gray,
+    CAST(list_min(v) AS BIGINT) AS min_gray,
+    CAST(list_max(v) AS BIGINT) AS max_gray,
+    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sum_sq_gray
+  FROM g
+)
+SELECT doc_id, n_px, sum_gray, min_gray, max_gray, sum_sq_gray,
+  (max_gray - min_gray = 0) AS is_blank,
+  (max_gray - min_gray < 16) AS low_contrast,
+  (sum_gray < n_px * 32) AS too_dark,
+  (sum_gray > n_px * 224) AS too_bright,
+  NOT (max_gray - min_gray = 0 OR max_gray - min_gray < 16
+       OR sum_gray < n_px * 32 OR sum_gray > n_px * 224) AS keep
+FROM s
+"""
+
+
 def _knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-kNN pair graph (operators/mining.py::
     mutual_topk_pairs): (a,b) survives iff each is in the other's
@@ -10598,6 +10740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 21-entry queue in the window comment; each locally verified
         # at sf0.001 AND sf0.01 via scripts/check_oracle.py)
         "decontaminate_fuzzy": _decontaminate_fuzzy,
+        "dedup_recall_embedding": _dedup_recall_embedding,
+        "multimodal_image_quality": _multimodal_image_quality,
     }
 
 
@@ -10821,6 +10965,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_mojibake": _DOCS_MOJIBAKE_SQL,
         "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,
         "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),
+        "dedup_recall_embedding": _dedup_recall_embedding_sql(),
+        "multimodal_image_quality": _MULTIMODAL_IMAGE_QUALITY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
         "bpe_merges": _bpe_merges_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

@@ -455,3 +455,54 @@ def test_sniff_matches_expression_and_quarantine(spark):
     assert rows[4]["reason"] == "unknown_format"  # RIFF but not WAVE
     assert rows[5]["reason"] == "unknown_format"
     assert rows[6]["reason"] == "empty" and rows[7]["reason"] == "empty"
+
+
+def test_image_quality_stats_and_flags(spark):
+    from tidyvec_spark.operators.multimodal import (
+        image_quality_flags,
+        image_quality_stats,
+    )
+
+    full = [[(r * 29 + c * 31) % 256 for c in range(8)] for r in range(8)]
+    blank = [[128] * 8 for _ in range(8)]
+    lowc = [[100 + (r + c) % 8 for c in range(8)] for r in range(8)]
+    dark = [[(r + c) % 20 for c in range(8)] for r in range(8)]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_bmp24(full))),
+            (2, bytearray(_bmp24(blank))),
+            (3, bytearray(_bmp24(lowc))),
+            (4, bytearray(_bmp24(dark))),
+            (5, None),
+        ],
+        "doc_id INT, content BINARY",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in image_quality_flags(image_quality_stats(df)).collect()
+    }
+    # integer-exact stats on the full-range image
+    flat = [v for row in full for v in row]
+    assert out[1]["n_px"] == 64 and out[1]["sum_gray"] == sum(flat)
+    assert out[1]["min_gray"] == min(flat) and out[1]["max_gray"] == max(flat)
+    assert out[1]["sum_sq_gray"] == sum(v * v for v in flat)
+    assert out[1]["keep"] is True
+    assert out[2]["is_blank"] is True and out[2]["keep"] is False
+    assert out[3]["low_contrast"] is True and out[3]["is_blank"] is False
+    assert out[4]["too_dark"] is True and out[4]["keep"] is False
+    # non-decodable payload: NULL stats, keep=False (one-side-of-split)
+    assert out[5]["n_px"] is None and out[5]["keep"] is False
+
+
+def test_image_quality_is_one_scan(spark):
+    from tidyvec_spark import plans
+    from tidyvec_spark.operators.multimodal import (
+        image_quality_flags,
+        image_quality_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_bmp24([[0] * 8] * 8)))], "doc_id INT, content BINARY"
+    )
+    out = image_quality_flags(image_quality_stats(df))
+    assert plans.num_shuffles(out) == 0

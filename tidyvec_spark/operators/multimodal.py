@@ -613,6 +613,101 @@ def image_ahash(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def image_quality_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append integer-exact pixel statistics from REAL decoded
+    grayscale pixels — the visual-quality counterpart of the text
+    quality ladder: blank frames, near-constant fills, and
+    over/under-exposed scans are the image corpus's boilerplate, and
+    every one of them is visible in four integers per image.
+
+    Columns appended: ``n_px`` (pixel count), ``sum_gray``,
+    ``min_gray``, ``max_gray``, ``sum_sq_gray`` (Σ gray²). All exact
+    integers, so the population variance is the engine-portable
+    ``(n·Σg² − (Σg)²) / n²`` and every downstream gate
+    (:func:`image_quality_flags`) is pure codegen arithmetic — the
+    oracle replays everything bit-for-bit. Non-decodable payloads
+    yield NULLs (route them through ``media_quarantine``).
+
+    Plan: one mapInPandas decode scan, zero shuffle — at 100 TB this
+    is embarrassingly parallel over whatever partitioning the binary
+    column already has."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sum_gray", T.LongType()),
+            T.StructField("min_gray", T.LongType()),
+            T.StructField("max_gray", T.LongType()),
+            T.StructField("sum_sq_gray", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                g = decode_bmp_gray(b)
+                if g is None:
+                    rows.append((None, None, None, None, None))
+                    continue
+                flat = g.reshape(-1)
+                rows.append(
+                    (
+                        int(flat.size),
+                        int(flat.sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                        int((flat * flat).sum()),
+                    )
+                )
+            pdf = pdf.copy()
+            for i, c in enumerate(
+                ("n_px", "sum_gray", "min_gray", "max_gray", "sum_sq_gray")
+            ):
+                pdf[c] = pd.array([r[i] for r in rows], dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_quality_flags(
+    stats: DataFrame,
+    min_contrast: int = 16,
+    min_mean: int = 32,
+    max_mean: int = 224,
+) -> DataFrame:
+    """Gate columns over :func:`image_quality_stats` output — pure
+    codegen integer arithmetic, no second decode pass:
+
+    - ``is_blank``: every pixel identical (max == min);
+    - ``low_contrast``: dynamic range below ``min_contrast`` levels;
+    - ``too_dark`` / ``too_bright``: mean outside
+      [``min_mean``, ``max_mean``] (integer cross-multiplied, no
+      division);
+    - ``keep``: decoded and none of the above. NULL stats (payload
+      did not decode) coalesce to keep=False, the same
+      exactly-one-side-of-the-split law as ``encoding_clean``.
+    """
+    rng = F.col("max_gray") - F.col("min_gray")
+    is_blank = rng == 0
+    low_contrast = rng < int(min_contrast)
+    too_dark = F.col("sum_gray") < F.col("n_px") * int(min_mean)
+    too_bright = F.col("sum_gray") > F.col("n_px") * int(max_mean)
+    return (
+        stats.withColumn("is_blank", F.coalesce(is_blank, F.lit(False)))
+        .withColumn("low_contrast", F.coalesce(low_contrast, F.lit(False)))
+        .withColumn("too_dark", F.coalesce(too_dark, F.lit(False)))
+        .withColumn("too_bright", F.coalesce(too_bright, F.lit(False)))
+        .withColumn(
+            "keep",
+            F.coalesce(
+                ~(is_blank | low_contrast | too_dark | too_bright),
+                F.lit(False),
+            ),
+        )
+    )
+
+
 def audio_envelope_hash(
     df: DataFrame,
     content_col: str = "content",
