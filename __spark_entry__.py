@@ -9823,6 +9823,50 @@ SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 6
 """
 
 
+def _docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/chunking.py::cdc_chunks —
+    the rsync/LBFS rolling-hash boundary law): cut positions depend
+    only on the local ``window`` chars, so edits do not shift
+    downstream chunk identities — the alignment-stable alternative to
+    fixed-width windows for chunk-level dedup and snapshot diffing.
+    One map-side expression per doc; the oracle replays the md5-mod
+    cut law, the slicing, and the chunk hashes bit-for-bit."""
+    from tidyvec_spark.operators.chunking import cdc_chunks
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunks(docs, "text", "doc_id", window=8, divisor=64)
+
+
+_DOCS_CDC_CHUNKS_SQL = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE length(text) > 0
+),
+cutsrc AS (
+  SELECT doc_id, text,
+    CASE WHEN length(text) >= 9 THEN
+      list_filter(generate_series(8, length(text) - 1), i ->
+        {_hex60("substring(text, CAST(i - 7 AS INT), 8)")} % 64 = 0)
+    ELSE [] END AS interior
+  FROM src
+),
+cuts AS (
+  SELECT doc_id, text,
+    list_concat(list_concat([CAST(0 AS BIGINT)],
+                            list_transform(interior, x -> CAST(x AS BIGINT))),
+                [CAST(length(text) AS BIGINT)]) AS c
+  FROM cutsrc
+),
+ch AS (
+  SELECT doc_id, u.j - 1 AS chunk_idx,
+    substring(text, CAST(c[u.j] + 1 AS INT), CAST(c[u.j + 1] - c[u.j] AS INT)) AS chunk
+  FROM cuts, LATERAL unnest(generate_series(1, len(c) - 1)) AS u(j)
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk,
+       CAST(length(chunk) AS BIGINT) AS n_chars, md5(chunk) AS chunk_hash
+FROM ch
+"""
+
+
 def _multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual quality gate from REAL decoded pixels (operators/
     multimodal.py::image_quality_stats + image_quality_flags): blank
@@ -10742,6 +10786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": _decontaminate_fuzzy,
         "dedup_recall_embedding": _dedup_recall_embedding,
         "multimodal_image_quality": _multimodal_image_quality,
+        "docs_cdc_chunks": _docs_cdc_chunks,
     }
 
 
@@ -10967,6 +11012,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),
         "dedup_recall_embedding": _dedup_recall_embedding_sql(),
         "multimodal_image_quality": _MULTIMODAL_IMAGE_QUALITY_SQL,
+        "docs_cdc_chunks": _DOCS_CDC_CHUNKS_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
         "bpe_merges": _bpe_merges_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

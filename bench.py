@@ -230,6 +230,11 @@ BENCH_QUERIES = [
     "docs_scd2",
     "docs_asof_version",
     "skew_split_join",
+    # round-8 additions
+    "decontaminate_fuzzy",
+    "dedup_recall_embedding",
+    "multimodal_image_quality",
+    "docs_cdc_chunks",
 ]
 
 

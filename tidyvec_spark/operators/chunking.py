@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from tidyvec_spark.operators.sampling import hash_unit
 
-__all__ = ["chunk_documents", "pack_sequences"]
+__all__ = ["chunk_documents", "pack_sequences", "cdc_chunks"]
 
 
 def chunk_documents(
@@ -65,6 +65,78 @@ def chunk_documents(
             *keep,
             F.expr(f"(__start - 1) DIV {stride}").cast("int").alias(chunk_id),
             F.substring(col, F.col("__start"), size).alias(chunk_text),
+        )
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    divisor: int = 64,
+    chunk_idx: str = "chunk_idx",
+    chunk_text: str = "chunk",
+) -> DataFrame:
+    """Content-defined chunking — rolling-hash boundaries (the
+    rsync / LBFS / restic law; Muthitacharoen et al. 2001): position
+    ``i`` is a cut iff the 60-bit md5 hash of the ``window`` chars
+    ending at ``i`` is ≡ 0 (mod ``divisor``). Boundaries depend only
+    on LOCAL content, so an edit early in a document shifts the bytes
+    but not the downstream cut points — chunks re-align after the
+    edit, which is what makes chunk-level dedup / incremental diff
+    stable where :func:`chunk_documents`'s fixed windows lose
+    alignment after one inserted character. Expected chunk length ≈
+    ``divisor`` chars (geometric).
+
+    Output: one row per chunk — (``id_col``, ``chunk_idx``,
+    ``chunk_text``, n_chars, chunk_hash) with chunk_hash = md5 of the
+    chunk text, the key for cross-document boilerplate-chunk mining
+    (groupBy chunk_hash) and snapshot diffing. Empty documents yield
+    no rows.
+
+    Scale: boundary detection + slicing is ONE map-side expression
+    (O(len · window) hashing per document, zero shuffle); the explode
+    emits ~len/divisor rows per doc. The md5-mod law is the engine-
+    portable idiom every oracle replays bit-for-bit.
+    """
+    if int(window) < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if int(divisor) < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
+    w, d = int(window), int(divisor)
+    t = text_col
+    # interior candidates stop one short of the end (a cut at the last
+    # position is the end-of-document cut, listing it twice would make
+    # an empty chunk); guard: sequence(a, b) DESCENDS when b < a, so
+    # texts shorter than window+1 must yield no candidates at all
+    interior = (
+        f"IF(length({t}) >= {w} + 1, filter(CAST(sequence({w}, "
+        f"length({t}) - 1) AS ARRAY<BIGINT>), i -> "
+        f"CAST(conv(substr(md5(substring({t}, CAST(i - {w} + 1 AS INT), {w})), 1, 15), 16, 10) AS BIGINT) "
+        f"% {d} = 0), CAST(array() AS ARRAY<BIGINT>))"
+    )
+    cuts = (
+        f"concat(array(0L), {interior}, "
+        f"array(CAST(length({t}) AS BIGINT)))"
+    )
+    piece = F.expr(
+        f"transform(sequence(1, size({cuts}) - 1), j -> struct("
+        f"j - 1 AS idx, substring({t}, CAST(element_at({cuts}, j) + 1 AS INT), "
+        f"CAST(element_at({cuts}, j + 1) - element_at({cuts}, j) AS INT)) AS chunk))"
+    )
+    return (
+        df.filter(F.length(t) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(piece).alias("__p"),
+        )
+        .select(
+            id_col,
+            F.col("__p.idx").cast("int").alias(chunk_idx),
+            F.col("__p.chunk").alias(chunk_text),
+            F.length("__p.chunk").cast("long").alias("n_chars"),
+            F.md5("__p.chunk").alias("chunk_hash"),
         )
     )
 
