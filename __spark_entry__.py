@@ -9214,7 +9214,9 @@ def _dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     what fraction of true >=0.5-Jaccard pairs does the 4-band LSH
     candidate path keep? One row: (n_true, n_lsh, n_hit, recall).
     Both sides are the registry-verified operators; the report is a
-    pair-set intersection + one aggregation."""
+    pair-set intersection + one aggregation. EVAL-ONLY truth side:
+    max_doc_freq=None is quadratic in hot shingles and guarded by the
+    operator's exact_row_bound — never point it at a raw corpus."""
     from tidyvec_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
@@ -9326,7 +9328,10 @@ def _dedup_recall_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-banding recall against the same exact-Jaccard ground
     truth as ``dedup_recall_lsh`` — the cross-family comparison
     (cosine-of-term-vectors banding vs resemblance banding) a dedup
-    run reads before picking its fingerprint. Same one-row report."""
+    run reads before picking its fingerprint. Same one-row report.
+    EVAL-ONLY truth side: max_doc_freq=None is quadratic in hot
+    shingles and guarded by the operator's exact_row_bound — never
+    point it at a raw corpus."""
     from tidyvec_spark.operators.dedup import (
         ngram_jaccard_pairs,
         simhash_pairs,

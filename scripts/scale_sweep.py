@@ -317,20 +317,20 @@ def main() -> None:
         )
         vecs.unpersist()
 
-    # visual near-dup: decode + banding. Band width is the production
-    # knob here exactly like nbits is for vector LSH: candidate count
-    # per band ~ C(n_distinct_fp, 2) / 2^band_bits, so a 64-bit hash at
-    # 16-bit bands stays linear while distinct fingerprints << 2^16
-    # per band-value; past ~10^5 distinct images widen the bands (or
-    # move to a wider perceptual hash) to hold occupancy.
+    # visual near-dup: decode + banding. Band WIDTH is the production
+    # knob here exactly like nbits is for vector LSH: candidates ~
+    # bands * n^2 / 2^band_bits. The default (bands=4 -> 16-bit bands,
+    # complete to Hamming 3) stays linear while distinct fingerprints
+    # << 2^16 per band-value; bands=8 (complete to Hamming 7) has only
+    # 256 band values and goes QUADRATIC past ~10^4 distinct images —
+    # measured below as image_near_dup_b8 at one mid size.
     from tidyvec_spark.operators.dedup import image_near_dup_pairs
 
     img_sizes = [5_000, 20_000, 80_000]
     if quick:
         img_sizes = img_sizes[:2]
     wimgs = synth_bmps(spark, 500).persist()
-    materialize(image_near_dup_pairs(wimgs, "content", "doc_id",
-                                     bands=8, max_hamming=6))
+    materialize(image_near_dup_pairs(wimgs, "content", "doc_id"))
     wimgs.unpersist()
     for n in img_sizes:
         imgs = synth_bmps(spark, n).persist()
@@ -338,17 +338,27 @@ def main() -> None:
         record(
             "image_near_dup_pairs", n,
             lambda: materialize(image_near_dup_pairs(
-                imgs, "content", "doc_id", bands=8, max_hamming=6,
+                imgs, "content", "doc_id",
             )),
         )
         imgs.unpersist()
+    # the occupancy cliff, one point: radius-7-complete 8-bit bands
+    imgs = synth_bmps(spark, 20_000).persist()
+    imgs.count()
+    record(
+        "image_near_dup_b8", 20_000,
+        lambda: materialize(image_near_dup_pairs(
+            imgs, "content", "doc_id", bands=8, max_hamming=6,
+        )),
+    )
+    imgs.unpersist()
 
     # audio twin: same banding core, PCM16 decode in front
     from tidyvec_spark.operators.dedup import audio_near_dup_pairs
 
     waud = synth_wavs(spark, 500).persist()
     materialize(audio_near_dup_pairs(waud, "content", "doc_id",
-                                     windows=64, bands=8, max_hamming=6))
+                                     windows=64))
     waud.unpersist()
     for n in img_sizes:
         auds = synth_wavs(spark, n).persist()
@@ -356,8 +366,7 @@ def main() -> None:
         record(
             "audio_near_dup_pairs", n,
             lambda: materialize(audio_near_dup_pairs(
-                auds, "content", "doc_id", windows=64, bands=8,
-                max_hamming=6,
+                auds, "content", "doc_id", windows=64,
             )),
         )
         auds.unpersist()
@@ -482,7 +491,10 @@ def main() -> None:
     # indexed BM25 vs full scan: the claim is that query wall against
     # the persisted index is ~flat in corpus size (scan ~ the query
     # terms' postings via bucket-directory + row-group pruning) while
-    # the full scan grows ~linearly.
+    # the full scan grows ~linearly. The corpus here needs a REALISTIC
+    # vocabulary (20k terms, each query term in ~0.3% of docs) — with
+    # the 32-word synth_docs vocabulary every term is a stop word,
+    # postings ~ the whole corpus, and pruning can't prune.
     import shutil
     import tempfile
 
@@ -492,11 +504,29 @@ def main() -> None:
     )
     from tidyvec_spark.operators.search import bm25_topk
 
-    bm_query = "shuffle plan stage"
+    def synth_docs_wide(n_docs, vocab=20_000, doc_len=60):
+        return spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(doc_len - 1)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(
+                            F.xxhash64(F.col("id") * doc_len + i),
+                            F.lit(vocab),
+                        ).cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+
+    bm_query = "w17 w4242 w9999"
     # warm-up: first indexed query pays one-time codegen (~9 s measured)
     wix = tempfile.mkdtemp(prefix="sweep_ix_")
     try:
-        wb = synth_docs(spark, 500).persist()
+        wb = synth_docs_wide(2000).persist()
         materialize(bm25_topk(wb, "text", "doc_id", bm_query, n=10))
         write_inverted_index(wb, "text", "doc_id", wix, n_buckets=64)
         materialize(bm25_topk_indexed(spark, wix, bm_query, n=10))
@@ -504,7 +534,7 @@ def main() -> None:
     finally:
         shutil.rmtree(wix, ignore_errors=True)
     for n in doc_sizes:
-        docs = synth_docs(spark, n).persist()
+        docs = synth_docs_wide(n).persist()
         docs.count()
         record(
             "bm25_full_scan", n,

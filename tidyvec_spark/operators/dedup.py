@@ -2127,8 +2127,8 @@ def image_near_dup_pairs(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "doc_id",
-    bands: int = 8,
-    max_hamming: int = 6,
+    bands: int = 4,
+    max_hamming: int = 3,
     complete: bool = True,
 ) -> DataFrame:
     """Visual near-dup pairs: perceptual average-hash (REAL pixel
@@ -2138,12 +2138,20 @@ def image_near_dup_pairs(
     (pigeonhole), so the banded equi-join finds EVERY pair at
     Hamming ≤ bands-1 without an image×image cross join; re-encoded,
     slightly re-compressed, or single-region-edited copies land
-    within a few bits of each other and surface here. The default
-    (bands=8, max_hamming=6) keeps the output contract complete:
-    ``max_hamming >= bands`` would make recall above bands-1 bits
-    probabilistic (a pair surfaces only on a coincidental band
-    match), so it raises unless ``complete=False`` opts in to the
-    lossy regime explicitly.
+    within a few bits of each other and surface here.
+
+    THE TWO-SIDED KNOB (completeness vs occupancy): candidates ≈
+    bands · n²/2^(64/bands), so completeness at a larger radius costs
+    narrower bands and quadratically more candidates — measured in
+    scripts/scale_sweep.py: bands=4 (16-bit bands, complete to
+    Hamming 3) stays linear to ~10⁶ distinct fingerprints, while
+    bands=8 (8-bit bands, complete to Hamming 7) holds only 256
+    distinct band values and goes quadratic past ~10⁴. The default
+    (bands=4, max_hamming=3) is the linear-at-scale contract; ask for
+    a bigger radius with bands=8 (accepting the occupancy cliff on
+    large corpora) or with ``complete=False`` (wide bands, recall
+    above bands-1 bits probabilistic). ``max_hamming >= bands``
+    raises unless ``complete=False`` opts in explicitly.
 
     The hash rides as the 64-char bit string ``image_ahash`` emits —
     banding is a substring, verification a 64-step character compare
@@ -2239,8 +2247,8 @@ def audio_near_dup_pairs(
     content_col: str = "content",
     id_col: str = "doc_id",
     windows: int = 64,
-    bands: int = 8,
-    max_hamming: int = 6,
+    bands: int = 4,
+    max_hamming: int = 3,
     complete: bool = True,
 ) -> DataFrame:
     """Audio near-dup pairs from REAL decoded PCM16 samples: the
@@ -2251,10 +2259,13 @@ def audio_near_dup_pairs(
     energy shape and land within a few envelope bits; the banded
     equi-join surfaces them without a track x track cross join. The
     text / image / audio near-dup triple shares one candidate/verify
-    stage (:func:`_bitstring_banded_pairs`), including its
-    completeness law: the default (bands=8, max_hamming=6) finds
-    EVERY pair at the threshold; ``max_hamming >= bands`` raises
-    unless ``complete=False`` opts in to probabilistic recall.
+    stage (:func:`_bitstring_banded_pairs`) and one knob law (see
+    :func:`image_near_dup_pairs`): the default (bands=4,
+    max_hamming=3) is pigeonhole-complete at 16-bit band occupancy —
+    linear at scale; a larger radius costs narrower bands
+    (quadratic occupancy cliff, measured in the sweep) or
+    ``complete=False`` probabilistic recall. ``max_hamming >= bands``
+    raises unless ``complete=False`` opts in.
 
     Returns (id_a, id_b, hamming) with id_a < id_b; non-PCM16
     payloads (NULL fingerprint) are dropped before banding.
