@@ -5804,6 +5804,80 @@ SELECT id, lbl AS component FROM l{iterations}
 """
 
 
+def _dedup_components_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clique-safe grouping path (operators/dedup.py::
+    lsh_bucket_star_edges + near_dup_groups(method='bucket')): docs
+    sharing ANY LSH band bucket group together via bucket-star edges —
+    O(n·bands) edges with no per-pair verification, the published
+    large-scale MinHashLSH-dedup behavior and the only viable regime
+    when duplicates form large clusters (a 6k-member clique emits 19M
+    verified pairs but 6k star edges; measured in the sweep). The
+    oracle replays signatures, banding, the per-bucket min, and the
+    same unrolled min-label propagation as dedup_components."""
+    from tidyvec_spark.operators.dedup import near_dup_groups
+
+    corpus = _dup_corpus(spark, sf_dir)
+    return near_dup_groups(
+        corpus, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+        method="bucket",
+    )
+
+
+def _dedup_components_bucket_sql(iterations: int = 8) -> str:
+    steps = []
+    for k in range(iterations):
+        steps.append(
+            f"""l{k + 1} AS MATERIALIZED (
+  SELECT v.id AS id, MIN(LEAST(v.lbl, COALESCE(u.lbl, v.lbl))) AS lbl
+  FROM l{k} v
+  LEFT JOIN edges e ON e.d = v.id
+  LEFT JOIN l{k} u ON u.id = e.s
+  GROUP BY v.id
+)"""
+        )
+    return f"""
+WITH {_DUP_CORPUS_SQL},
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks WHERE len(t) >= 3
+),
+based AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> CAST({_hex60("s")} AS BIGINT) & 1073741823) AS bh
+  FROM sh WHERE len(sh) > 0
+),
+sigs AS (
+  SELECT doc_id, sh,
+         list_transform({_minhash_ab_sql()},
+           ab -> list_min(list_transform(bh, h -> (ab[1] * h + ab[2]) % 2147483647))) AS sig
+  FROM based
+),
+banded AS (
+  SELECT doc_id, b,
+         {_hex60("concat(b, '#', array_to_string(list_transform(sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ','))")} AS bh
+  FROM sigs, range(0, 4) t(b)
+),
+bstar AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY b, bh) AS root
+  FROM banded
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT root AS id_a, doc_id AS id_b FROM bstar WHERE doc_id <> root
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lbl FROM edges),
+{", ".join(steps)}
+SELECT id, lbl AS component FROM l{iterations}
+"""
+
+
 _SPLIT_SALT = "split1"
 _SPLIT_TEST_FRACTION = 0.2
 
@@ -10792,6 +10866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_embedding": _dedup_recall_embedding,
         "multimodal_image_quality": _multimodal_image_quality,
         "docs_cdc_chunks": _docs_cdc_chunks,
+        "dedup_components_bucket": _dedup_components_bucket,
     }
 
 
@@ -11018,6 +11093,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_recall_embedding": _dedup_recall_embedding_sql(),
         "multimodal_image_quality": _MULTIMODAL_IMAGE_QUALITY_SQL,
         "docs_cdc_chunks": _DOCS_CDC_CHUNKS_SQL,
+        "dedup_components_bucket": _dedup_components_bucket_sql(),
         # bit-reproducible training -> precomputed-VALUES oracle
         "bpe_merges": _bpe_merges_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

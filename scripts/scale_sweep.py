@@ -419,6 +419,27 @@ def main() -> None:
         )
         docs.unpersist()
 
+    # near-dup GROUPING, both regimes: verified pairs are quadratic in
+    # clique size (the dup-dense corpus forms real cliques), bucket-star
+    # edges are O(n·bands) — the published large-scale MinHashLSH-dedup
+    # behavior. Same corpus, same banding.
+    from tidyvec_spark.operators.dedup import near_dup_groups
+
+    wg = synth_docs(spark, 500).persist()
+    materialize(near_dup_groups(wg, "text", "doc_id", method="bucket"))
+    wg.unpersist()
+    for n in doc_sizes:
+        docs = synth_docs(spark, n).persist()
+        docs.count()
+        record(
+            "dedup_groups_bucket", n,
+            lambda: materialize(near_dup_groups(
+                docs, "text", "doc_id", num_hashes=16, bands=4,
+                shingle_n=3, method="bucket",
+            )),
+        )
+        docs.unpersist()
+
     # PageRank: 10 fixed-point iterations, nodes x 3 out-links. The
     # claim: wall ~ edges (per round one edge join + one groupBy-sum;
     # localCheckpoint bounds lineage, so 10 rounds cost 10 short jobs).

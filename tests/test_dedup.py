@@ -1134,3 +1134,38 @@ def test_fuzzy_decontamination_catches_near_copies(spark):
 
     with pytest.raises(ValueError, match="divide"):
         fuzzy_contamination_hits(corpus, bench, "text", "doc_id", bands=5)
+
+
+def test_bucket_grouping_superset_of_verified(spark):
+    """method='bucket' groups anything sharing a band bucket (no
+    verify), so its components are a coarsening of the verified ones:
+    every verified group sits inside one bucket group; bucket-star
+    edge count is bounded by n*bands."""
+    from tidyvec_spark.operators.dedup import (
+        lsh_bucket_star_edges,
+        near_dup_groups,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [(i, base + f" tail {i}") for i in range(6)]
+    rows += [(100 + i, f"completely unrelated text number {i} about "
+              f"spark shuffles and joins partition {i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    ver = near_dup_groups(df, "text", "doc_id", method="verify")
+    buc = near_dup_groups(df, "text", "doc_id", method="bucket")
+    vmap = {r["id"]: r["component"] for r in ver.collect()}
+    bmap = {r["id"]: r["component"] for r in buc.collect()}
+    # every verified group member is grouped (same partner set or
+    # coarser) in the bucket components
+    assert set(vmap) <= set(bmap)
+    for a in vmap:
+        for b in vmap:
+            if vmap[a] == vmap[b]:
+                assert bmap[a] == bmap[b]
+    edges = lsh_bucket_star_edges(df, "text", "doc_id")
+    assert edges.count() <= df.count() * 4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        near_dup_groups(df, "text", "doc_id", method="nope")

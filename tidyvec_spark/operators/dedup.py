@@ -1310,6 +1310,49 @@ def connected_components_two_phase(
     return members.unionByName(centers).distinct()
 
 
+def lsh_bucket_star_edges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """O(n·bands) near-dup candidate edges: each document connects to
+    the MINIMUM id of every (band, band-hash) bucket it lands in —
+    the bucket-star sparsification. Connectivity within a bucket is
+    preserved (every member reaches the bucket min), so connected
+    components over these edges equal components over the full
+    all-pairs-per-bucket candidate graph, with O(n·bands) edges
+    instead of O(Σ bucket²) rows.
+
+    This is THE pair-explosion weapon for clique-dense corpora:
+    duplicates cluster (mirror farms, template pages), and a single
+    6k-member duplicate clique emits 19M verified pairs through
+    :func:`minhash_lsh_pairs` but only 6k bucket-star edges here —
+    measured in scripts/scale_sweep.py. One window shuffle on the
+    (band, hash) key, one distinct bounded by n·bands rows.
+
+    Returns (id_a, id_b) with id_a = the bucket root (min id).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    from pyspark.sql import Window
+
+    sigs, banded = _minhash_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    wroot = Window.partitionBy("__b", "__bh")
+    edges = (
+        banded.select("__id", "__b", "__bh")
+        .withColumn("__root", F.min("__id").over(wroot))
+        .filter(F.col("__id") != F.col("__root"))
+        .select(F.col("__root").alias("id_a"), F.col("__id").alias("id_b"))
+        .distinct()
+    )
+    return _with_persisted(edges, [sigs])
+
+
 def near_dup_groups(
     df: DataFrame,
     text_col: str,
@@ -1318,12 +1361,41 @@ def near_dup_groups(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    method: str = "verify",
 ) -> DataFrame:
-    """End-to-end fuzzy-dedup grouping: MinHash-LSH candidate pairs →
-    exact-Jaccard verify → connected components. Returns (id, component)
-    for every document that has at least one near-duplicate; documents
+    """End-to-end fuzzy-dedup grouping. Returns (id, component) for
+    every document that has at least one near-duplicate; documents
     absent from the result are unique. The standard large-corpus dedup
-    tail: keep ``min(id) per component``, drop the rest."""
+    tail: keep ``min(id) per component``, drop the rest.
+
+    ``method="verify"`` (default): MinHash-LSH candidate pairs →
+    exact-Jaccard ≥ ``threshold`` verify → connected components. The
+    precise grouping — but pair enumeration is quadratic IN CLIQUE
+    SIZE: a single 6k-member duplicate cluster (mirror farms,
+    boilerplate template pages — exactly what dedup exists to kill)
+    emits C(6k,2) ≈ 19M verified pairs. Measured in
+    scripts/scale_sweep.py: ~200 s at 100k docs on the dup-dense
+    sweep corpus.
+
+    ``method="bucket"``: group documents that share ANY LSH band
+    bucket, via :func:`lsh_bucket_star_edges` — O(n·bands) edges, no
+    per-pair verification; precision is governed by the banding
+    S-curve alone (num_hashes/bands pick the effective threshold).
+    This is the published large-scale MinHashLSH-dedup behavior
+    (SlimPajama, BigCode) and the only viable regime when duplicates
+    form large clusters; ``threshold`` is ignored. ~Linear on the
+    same sweep corpus.
+    """
+    if method == "bucket":
+        edges = lsh_bucket_star_edges(
+            df, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        )
+        comps = connected_components(edges)
+        release(edges)
+        return comps
+    if method != "verify":
+        raise ValueError(f"unknown method: {method!r}")
     pairs = minhash_lsh_pairs(
         df,
         text_col,
