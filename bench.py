@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "dedup_recall_embedding",
     "multimodal_image_quality",
     "docs_cdc_chunks",
+    "dedup_components_bucket",
 ]
 
 
