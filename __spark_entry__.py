@@ -5511,10 +5511,24 @@ def _pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select("doc_id", "n_tokens", F.md5("text").alias("fp"))
 
 
-def _dedup_ladder_frames(spark: SparkSession, sf_dir: str):
+def _pipeline_dedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same five-rung ladder with rung 5 on the CLIQUE-SAFE
+    grouping path (near_dup_groups(method='bucket') — bucket-star
+    edges, O(n·bands), no per-pair verification): the configuration
+    you actually run against a 100 TB crawl, where duplicates cluster
+    and verified pair enumeration is quadratic in clique size
+    (measured in the sweep: verified groups 159 s at 100k docs on the
+    dup-dense corpus, bucket grouping ~flat at 2.4 s). The oracle is
+    the same chained SQL with the pair stage swapped for the
+    bucket-star law."""
+    _, _, _, _, _, best = _dedup_ladder_frames(spark, sf_dir, method="bucket")
+    return best.select("doc_id", "n_tokens", F.md5("text").alias("fp"))
+
+
+def _dedup_ladder_frames(spark: SparkSession, sf_dir: str, method: str = "verify"):
     """The five-rung ladder's stage frames, shared by the composite
-    result entry and the funnel report: (lined, ex, wd, gl, cut,
-    best)."""
+    result entry, its bucket-grouping twin, and the funnel report:
+    (lined, ex, wd, gl, cut, best)."""
     from tidyvec_spark.functions import text as X
     from tidyvec_spark.functions.quality import dedup_lines_within_expr
     from tidyvec_spark.operators.dedup import (
@@ -5560,17 +5574,49 @@ def _dedup_ladder_frames(spark: SparkSession, sf_dir: str):
     )
     comps = near_dup_groups(
         scored, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
-        threshold=0.5,
+        threshold=0.5, method=method,
     )
     best = drop_near_dups_keep_best(scored, comps, "doc_id", "n_tokens")
     return lined, ex, wd, gl, cut, best
 
 
-def _pipeline_dedup_full_sql(iterations: int = 8) -> str:
+def _pipeline_dedup_full_sql(
+    iterations: int = 8, grouping: str = "verify"
+) -> str:
     """The five-rung ladder re-expressed as one SQL chain; the minhash
     + component stages mirror ``_MINHASH_LSH_SQL`` /
     ``_dedup_components_sql`` but read the post-cut stage instead of
-    the shared dup corpus."""
+    the shared dup corpus. ``grouping="bucket"`` swaps rung 5's
+    verified-pair stage for the bucket-star edge law (the
+    dedup_components_bucket oracle's), everything else identical."""
+    if grouping == "verify":
+        pair_block = f"""pcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pbanded a JOIN pbanded b
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+pver AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM (
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE),
+                 {R}) AS jaccard
+    FROM pcand JOIN psigs sa ON sa.doc_id = id_a
+               JOIN psigs sb ON sb.doc_id = id_b
+  ) WHERE jaccard >= 0.5
+),"""
+    elif grouping == "bucket":
+        pair_block = """pstar AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY b, bh) AS root
+  FROM pbanded
+),
+pver AS MATERIALIZED (
+  SELECT DISTINCT root AS id_a, doc_id AS id_b FROM pstar
+  WHERE doc_id <> root
+),"""
+    else:
+        raise ValueError(f"unknown grouping: {grouping!r}")
     steps = []
     for k in range(iterations):
         steps.append(
@@ -5699,22 +5745,7 @@ pbanded AS (
          {_hex60("concat(b, '#', array_to_string(list_transform(sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ','))")} AS bh
   FROM psigs, range(0, 4) t(b)
 ),
-pcand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM pbanded a JOIN pbanded b
-    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-),
-pver AS MATERIALIZED (
-  SELECT id_a, id_b
-  FROM (
-    SELECT id_a, id_b,
-           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE),
-                 {R}) AS jaccard
-    FROM pcand JOIN psigs sa ON sa.doc_id = id_a
-               JOIN psigs sb ON sb.doc_id = id_b
-  ) WHERE jaccard >= 0.5
-),
+{pair_block}
 pedges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM pver
   UNION
@@ -10867,6 +10898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_quality": _multimodal_image_quality,
         "docs_cdc_chunks": _docs_cdc_chunks,
         "dedup_components_bucket": _dedup_components_bucket,
+        "pipeline_dedup_bucket": _pipeline_dedup_bucket,
     }
 
 
@@ -11094,6 +11126,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_quality": _MULTIMODAL_IMAGE_QUALITY_SQL,
         "docs_cdc_chunks": _DOCS_CDC_CHUNKS_SQL,
         "dedup_components_bucket": _dedup_components_bucket_sql(),
+        "pipeline_dedup_bucket": _pipeline_dedup_full_sql(grouping="bucket"),
         # bit-reproducible training -> precomputed-VALUES oracle
         "bpe_merges": _bpe_merges_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "multimodal_image_quality",
     "docs_cdc_chunks",
     "dedup_components_bucket",
+    "pipeline_dedup_bucket",
 ]
 
 
