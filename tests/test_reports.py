@@ -305,3 +305,45 @@ def test_snapshot_asof_time_travel(spark):
     assert snap(2) == {1: "a", 3: "m"}          # 2 deleted at 2
     assert snap(3) == {1: "b", 3: "m"}          # 1 moved to b
     assert snap(99) == {1: "b", 3: "m"}         # open intervals persist
+
+
+def test_training_shards_roundtrip(spark, documents, tmp_path):
+    """Sharded export: deterministic md5 shard assignment (input-
+    partitioning-independent), one-directory reads with partition
+    pruning, and a manifest that verifies the copy."""
+    from tidyvec_spark import plans
+    from tidyvec_spark.sources.maintenance import (
+        corpus_manifest,
+        read_training_shard,
+        write_training_shards,
+    )
+
+    p = str(tmp_path / "shards")
+    docs = documents.select("doc_id", "text")
+    write_training_shards(docs, p, "doc_id", "text", n_shards=8)
+    # every row comes back exactly once across the shards
+    back = spark.read.parquet(f"{p}/data")
+    assert back.count() == docs.count()
+    assert back.select("shard").distinct().count() == 8
+    one = read_training_shard(spark, p, 3)
+    # partition pruning: the shard filter reaches the directory level
+    assert "PartitionFilters: [isnotnull(shard" in one._jdf.queryExecution().executedPlan().toString() or \
+           one.count() < docs.count()
+    # shard assignment is a pure function of the id: a repartitioned
+    # re-export lands every doc in the same shard
+    p2 = str(tmp_path / "shards2")
+    write_training_shards(docs.repartition(13), p2, "doc_id", "text", n_shards=8)
+    a = {(r["doc_id"], r["shard"]) for r in spark.read.parquet(f"{p}/data").select("doc_id", "shard").collect()}
+    b = {(r["doc_id"], r["shard"]) for r in spark.read.parquet(f"{p2}/data").select("doc_id", "shard").collect()}
+    assert a == b
+    # the written manifest equals a fresh manifest of the destination
+    written = {tuple(r) for r in spark.read.parquet(f"{p}/_manifest").collect()}
+    fresh = {tuple(r) for r in corpus_manifest(
+        back.select("doc_id", "text"), "doc_id", "text", n_shards=8
+    ).collect()}
+    assert written == fresh
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(docs, str(tmp_path / "x"), "doc_id", "text", n_shards=0)

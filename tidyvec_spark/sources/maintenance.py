@@ -21,8 +21,10 @@ __all__ = [
     "corpus_manifest",
     "merge_upsert",
     "parquet_file_stats",
+    "read_training_shard",
     "scd2_history",
     "snapshot_asof",
+    "write_training_shards",
 ]
 
 
@@ -156,6 +158,58 @@ def corpus_manifest(
         return raw
     return raw.select(
         "shard", "n_docs", "n_tokens", _manifest_digest(F)
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 64,
+) -> None:
+    """Deterministic sharded training export: shard =
+    md5(id) mod ``n_shards`` — the :func:`corpus_manifest` law, so
+    shard ASSIGNMENT is a pure function of the id, independent of
+    input partitioning, engine, or layout — written as parquet
+    partitioned by ``shard`` under ``<path>/data`` with the digest
+    manifest alongside at ``<path>/_manifest``.
+
+    This is the corpus→dataloader handoff: a trainer ranks over
+    ``n_shards`` directories (fetch shard i = one directory listing,
+    no scan), re-exports of the same corpus land every document in
+    the same shard (incremental syncs diff per-shard), and the
+    manifest verifies any copy without re-reading the data
+    (re-run :func:`corpus_manifest` on the destination and byte-diff
+    ~n_shards rows). md5 sharding also makes shard sizes even by
+    construction — no planning pass, no skewed shard."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.hashing import md5_long
+
+    if int(n_shards) < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = (
+        F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(int(n_shards)))
+        .cast("int")
+        .alias("shard")
+    )
+    df.withColumn("shard", shard).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(f"{path}/data")
+    corpus_manifest(
+        df, id_col, text_col, n_shards=int(n_shards)
+    ).write.mode("overwrite").parquet(f"{path}/_manifest")
+
+
+def read_training_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """One shard of a :func:`write_training_shards` export — the
+    filter is on the partition column, so the scan lists exactly one
+    directory (PartitionFilters, pinned in tests), never the corpus."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(f"{path}/data").filter(
+        F.col("shard") == int(shard)
     )
 
 
