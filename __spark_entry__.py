@@ -1837,6 +1837,51 @@ FROM m
 """
 
 
+def _docs_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration (operators/reports.py::
+    zscore_by_group): raw quality heuristics are not comparable
+    across sources, so a global threshold drains whole sources;
+    z-scoring within source first makes 'top X%' mean the same thing
+    everywhere (the CCNet per-bucket idea generalized to any score).
+    One bounded per-source agg broadcast back, z map-side; the oracle
+    replays the same population stats as window functions."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.reports import zscore_by_group
+
+    docs = _read(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", X.quality_score("text").alias("q")
+    )
+    return zscore_by_group(q, "q", "source", out_col="z", round_to=R).select(
+        "doc_id", "source", F.round("q", R).alias("q"), "z"
+    )
+
+
+_DOCS_QUALITY_ZSCORE_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS ttr0,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop0
+  FROM t
+),
+q AS (
+  SELECT doc_id, source,
+    0.4 * least(1.0, n / 50.0) + 0.3 * ttr0 + 0.3 * least(1.0, stop0 * 4.0) AS q
+  FROM m
+),
+s AS (
+  SELECT doc_id, source, q,
+    AVG(q) OVER (PARTITION BY source) AS mu,
+    STDDEV_POP(q) OVER (PARTITION BY source) AS sd
+  FROM q
+)
+SELECT doc_id, source, ROUND(q, {R}) AS q,
+  ROUND(CASE WHEN sd > 0 THEN (q - mu) / sd ELSE 0.0 END, {R}) AS z
+FROM s
+"""
+
+
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.functions import text as X
 
@@ -10899,6 +10944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cdc_chunks": _docs_cdc_chunks,
         "dedup_components_bucket": _dedup_components_bucket,
         "pipeline_dedup_bucket": _pipeline_dedup_bucket,
+        "docs_quality_zscore": _docs_quality_zscore,
     }
 
 
@@ -11127,6 +11173,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_cdc_chunks": _DOCS_CDC_CHUNKS_SQL,
         "dedup_components_bucket": _dedup_components_bucket_sql(),
         "pipeline_dedup_bucket": _pipeline_dedup_full_sql(grouping="bucket"),
+        "docs_quality_zscore": _DOCS_QUALITY_ZSCORE_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
         "bpe_merges": _bpe_merges_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "docs_cdc_chunks",
     "dedup_components_bucket",
     "pipeline_dedup_bucket",
+    "docs_quality_zscore",
 ]
 
 

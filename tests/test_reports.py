@@ -347,3 +347,29 @@ def test_training_shards_roundtrip(spark, documents, tmp_path):
 
     with pytest.raises(ValueError, match="n_shards"):
         write_training_shards(docs, str(tmp_path / "x"), "doc_id", "text", n_shards=0)
+
+
+def test_zscore_by_group_calibrates_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark import plans
+    from tidyvec_spark.operators.reports import zscore_by_group
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 100.0), ("b", 200.0), ("b", 300.0),
+         ("c", 7.0)],                      # single row: degenerate
+        "src STRING, v DOUBLE",
+    )
+    out = {(r["src"], r["v"]): r["z"]
+           for r in zscore_by_group(df, "v", "src", round_to=6).collect()}
+    import math
+    sd_a = math.sqrt(((1-2)**2 + 0 + (3-2)**2) / 3)
+    assert abs(out[("a", 1.0)] - round((1-2)/sd_a, 6)) < 1e-9
+    # the same shape in a 100x-scaled group gets the same z
+    assert out[("a", 3.0)] == out[("b", 300.0)]
+    # degenerate group: neutral 0.0, not NULL or /0
+    assert out[("c", 7.0)] == 0.0
+    # the stats side broadcasts: no extra full-width shuffle
+    j = zscore_by_group(df, "v", "src")
+    assert plans.num_shuffles(j) <= 1

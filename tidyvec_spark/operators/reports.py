@@ -18,7 +18,53 @@ from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.text import tokens
 
-__all__ = ["vocab_growth", "psi_drift", "drop_attribution", "k_anonymity"]
+__all__ = [
+    "vocab_growth",
+    "psi_drift",
+    "drop_attribution",
+    "k_anonymity",
+    "zscore_by_group",
+]
+
+
+def zscore_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str = "z",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-group standard-score calibration: z = (x − μ_g) / σ_g with
+    population stats per ``group_col`` — the cross-source leveling
+    step before any global quality threshold. Raw quality scores are
+    not comparable across sources (academic text out-scores forums on
+    every length/diversity heuristic), so one global cutoff
+    systematically drains whole sources; calibrating within source
+    first makes "keep the top X%" mean the same thing everywhere —
+    the CCNet-style per-language/per-domain bucketing generalized to
+    any score.
+
+    Degenerate groups (single row, zero variance) get z = 0.0 — no
+    evidence either way, so the neutral score, and never a /0 under
+    ANSI mode.
+
+    Scale: one bounded agg (rows = groups) broadcast-joined back, the
+    z itself map-side — two narrow passes, no per-row shuffle."""
+    stats = df.groupBy(group_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sd"),
+    )
+    z = F.when(
+        F.col("__sd") > 0,
+        (F.col(value_col) - F.col("__mu")) / F.col("__sd"),
+    ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        z = F.round(z, int(round_to))
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn(out_col, z)
+        .drop("__mu", "__sd")
+    )
 
 
 def vocab_growth(
