@@ -10,6 +10,7 @@ from tidyvec_spark.operators.bq import bq_encode, bq_pack_py, bq_topk
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
 from tidyvec_spark.operators.chunking import (
+    cdc_chunks,
     chunk_documents,
     length_buckets,
     pack_sequences,
@@ -46,7 +47,11 @@ from tidyvec_spark.operators.sampling import (
     temperature_sample,
 )
 from tidyvec_spark.operators.bloom import decontaminate_bloom
-from tidyvec_spark.operators.reports import k_anonymity, vocab_growth
+from tidyvec_spark.operators.reports import (
+    k_anonymity,
+    vocab_growth,
+    zscore_by_group,
+)
 from tidyvec_spark.operators.cooccur import token_pmi_topk
 from tidyvec_spark.operators.search import (
     bm25_stats,
@@ -68,6 +73,8 @@ from tidyvec_spark.operators.multimodal import (
     audio_envelope_hash,
     audio_pcm_stats,
     image_ahash,
+    image_quality_flags,
+    image_quality_stats,
     media_quarantine,
     media_type_of,
     sniff_media_type,
@@ -79,6 +86,10 @@ from tidyvec_spark.operators.viz import (
 )
 
 __all__ = [
+    "cdc_chunks",
+    "image_quality_flags",
+    "image_quality_stats",
+    "zscore_by_group",
     "embed",
     "nearest",
     "similarity_join_exact",
