@@ -4322,6 +4322,77 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/unigram.py — the
+    hard-EM SentencePiece variant, Kudo 2018): one Spark pass
+    collapses the corpus to the word-frequency table, EM + prune
+    finish driver-side (every M-step/prune is a global sync over a
+    driver-sized piece table — the bpe_train(collect_threshold=)
+    argument one step further). Training is bit-reproducible (explicit
+    Viterbi and prune tie laws), so the oracle is the expected piece
+    table precomputed by the pure-Python twin and emitted as VALUES
+    literals — the bpe_merges pattern."""
+    from tidyvec_spark.operators.unigram import unigram_train
+
+    docs = _read(spark, sf_dir, "documents")
+    pieces = unigram_train(docs, "text", vocab_size=64, seed_size=2000)
+    return spark.createDataFrame(
+        [(i, p, c, lp) for i, (p, c, lp) in enumerate(pieces)],
+        "rank int, piece string, n bigint, logprob double",
+    )
+
+
+_UNIGRAM_EXPECTED_CACHE: dict[str, list] = {}
+
+
+def _unigram_vocab_expected(sf_dir: str) -> list:
+    """Driver-free pure-Python twin of _unigram_vocab: same tokens
+    law (lowercase, ASCII-whitespace split), same trainer
+    (unigram_train_local — shared by construction, the law under
+    test is the Spark corpus pass feeding it identical counts)."""
+    hit = _UNIGRAM_EXPECTED_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from tidyvec_spark.operators.unigram import unigram_train_local
+
+    split = _re.compile("[ \\t\\n\\x0b\\f\\r]+").split
+    wf: dict[str, int] = {}
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    for t in tbl["text"].to_pylist():
+        if t is None:
+            continue
+        for w in split(t.lower()):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    out = unigram_train_local(wf, vocab_size=64, seed_size=2000)
+    _UNIGRAM_EXPECTED_CACHE[sf_dir] = out
+    return out
+
+
+def _unigram_vocab_sql() -> str:
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n  ".join(
+        f"(CAST({i} AS INT), {q(p)}, CAST({c} AS BIGINT), "
+        f"CAST({lp!r} AS DOUBLE))"
+        for i, (p, c, lp) in enumerate(_unigram_vocab_expected(sf_dir))
+    )
+    return (
+        "SELECT rank, piece, n, logprob FROM (VALUES\n  "
+        + vals
+        + "\n) AS t(rank, piece, n, logprob)"
+    )
+
+
 _BPE_EXPECTED_CACHE: dict[str, list] = {}
 
 
@@ -10945,6 +11016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_bucket": _dedup_components_bucket,
         "pipeline_dedup_bucket": _pipeline_dedup_bucket,
         "docs_quality_zscore": _docs_quality_zscore,
+        "unigram_vocab": _unigram_vocab,
     }
 
 
@@ -11174,6 +11246,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components_bucket": _dedup_components_bucket_sql(),
         "pipeline_dedup_bucket": _pipeline_dedup_full_sql(grouping="bucket"),
         "docs_quality_zscore": _DOCS_QUALITY_ZSCORE_SQL,
+        # bit-reproducible training -> precomputed-VALUES oracle
+        "unigram_vocab": _unigram_vocab_sql(),
         # bit-reproducible training -> precomputed-VALUES oracle
         "bpe_merges": _bpe_merges_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

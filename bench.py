@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "dedup_components_bucket",
     "pipeline_dedup_bucket",
     "docs_quality_zscore",
+    "unigram_vocab",
 ]
 
 

@@ -6,6 +6,11 @@ from tidyvec_spark.operators.nearest import (
     similarity_join_lsh,
 )
 from tidyvec_spark.operators.bpe import bpe_apply_expr, bpe_train, bpe_word_freq
+from tidyvec_spark.operators.unigram import (
+    unigram_tokenize,
+    unigram_train,
+    viterbi_segment,
+)
 from tidyvec_spark.operators.bq import bq_encode, bq_pack_py, bq_topk
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
@@ -87,6 +92,9 @@ from tidyvec_spark.operators.viz import (
 
 __all__ = [
     "cdc_chunks",
+    "unigram_tokenize",
+    "unigram_train",
+    "viterbi_segment",
     "image_quality_flags",
     "image_quality_stats",
     "zscore_by_group",
