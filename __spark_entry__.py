@@ -6025,6 +6025,86 @@ SELECT id, lbl AS component FROM l{iterations}
 """
 
 
+def _dedup_bucket_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the bucket-grouping coarsening costs, measured: pairs
+    implied by near_dup_groups(method='bucket') components vs the
+    exact >=0.5-Jaccard truth on the bounded dup corpus — one row
+    (n_grouped_pairs, n_true, n_hit, precision, recall). The
+    precision side is the S-curve's false-merge rate, the recall side
+    shows bucket grouping keeps everything the verified path keeps
+    (a superset by construction). Eval-only truth side, same envelope
+    as the other recall entries."""
+    from tidyvec_spark.operators.dedup import (
+        near_dup_groups,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    comps = near_dup_groups(
+        corpus, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+        method="bucket",
+    ).persist()
+    a = comps.select(
+        F.col("id").alias("id_a"), F.col("component").alias("__c")
+    )
+    b = comps.select(
+        F.col("id").alias("id_b"), F.col("component").alias("__c")
+    )
+    gp = (
+        a.join(b, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .persist()
+    )
+    truth = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", shingle_n=3, threshold=0.5,
+        max_doc_freq=None,
+    ).select("id_a", "id_b").persist()
+    hit = gp.join(truth, ["id_a", "id_b"], "left_semi")
+    return (
+        gp.agg(F.count("*").cast("long").alias("n_grouped_pairs"))
+        .crossJoin(truth.agg(F.count("*").cast("long").alias("n_true")))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+        .select(
+            "n_grouped_pairs",
+            "n_true",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.col("n_grouped_pairs").cast("double"),
+                R,
+            ).alias("precision"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+                R,
+            ).alias("recall"),
+        )
+    )
+
+
+def _dedup_bucket_precision_sql() -> str:
+    return f"""
+WITH comps AS MATERIALIZED (
+  SELECT id, component FROM ({_dedup_components_bucket_sql()})
+),
+gp AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM comps a JOIN comps b ON a.component = b.component AND a.id < b.id
+),
+truth AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_NGRAM_JACCARD_SQL})
+),
+hit AS (SELECT g.* FROM gp g JOIN truth USING (id_a, id_b))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM gp) AS n_grouped_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+       ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / CAST((SELECT count(*) FROM gp) AS DOUBLE), {R}) AS precision,
+       ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE), {R}) AS recall
+"""
+
+
 _SPLIT_SALT = "split1"
 _SPLIT_TEST_FRACTION = 0.2
 
@@ -11017,6 +11097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dedup_bucket": _pipeline_dedup_bucket,
         "docs_quality_zscore": _docs_quality_zscore,
         "unigram_vocab": _unigram_vocab,
+        "dedup_bucket_precision": _dedup_bucket_precision,
     }
 
 
@@ -11248,6 +11329,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_zscore": _DOCS_QUALITY_ZSCORE_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
         "unigram_vocab": _unigram_vocab_sql(),
+        "dedup_bucket_precision": _dedup_bucket_precision_sql(),
         # bit-reproducible training -> precomputed-VALUES oracle
         "bpe_merges": _bpe_merges_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

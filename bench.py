@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "pipeline_dedup_bucket",
     "docs_quality_zscore",
     "unigram_vocab",
+    "dedup_bucket_precision",
 ]
 
 
