@@ -6025,6 +6025,38 @@ SELECT id, lbl AS component FROM l{iterations}
 """
 
 
+def _docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (operators/reports.py::
+    ngram_novelty): fraction of a doc's distinct 3-grams appearing in
+    no other document — boilerplate's inverse, and visible even when
+    the overlap is smeared across many partners (the case pairwise
+    dedup can't see). On the dup corpus the copies provably drag each
+    other's novelty down. No candidate generation: one inverted-index
+    doc-frequency agg + join back, bounded by shingle occurrences."""
+    from tidyvec_spark.operators.reports import ngram_novelty
+
+    corpus = _dup_corpus(spark, sf_dir)
+    return ngram_novelty(corpus, "text", "doc_id", n=3, round_to=R)
+
+
+_DOCS_NOVELTY_SQL = f"""
+WITH {_DUP_CORPUS_SQL},
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                i -> array_to_string(t[i:i+2], ' ')))) AS g
+  FROM toks WHERE len(t) >= 3
+),
+dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS nd FROM sh GROUP BY g)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), {R}) AS novelty
+FROM sh JOIN dfreq USING (g) GROUP BY doc_id
+"""
+
+
 def _dedup_bucket_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What the bucket-grouping coarsening costs, measured: pairs
     implied by near_dup_groups(method='bucket') components vs the
@@ -11098,6 +11130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_zscore": _docs_quality_zscore,
         "unigram_vocab": _unigram_vocab,
         "dedup_bucket_precision": _dedup_bucket_precision,
+        "docs_novelty": _docs_novelty,
     }
 
 
@@ -11330,6 +11363,7 @@ def oracle_sql() -> dict[str, str]:
         # bit-reproducible training -> precomputed-VALUES oracle
         "unigram_vocab": _unigram_vocab_sql(),
         "dedup_bucket_precision": _dedup_bucket_precision_sql(),
+        "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
         "bpe_merges": _bpe_merges_sql(),
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin

@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "docs_quality_zscore",
     "unigram_vocab",
     "dedup_bucket_precision",
+    "docs_novelty",
 ]
 
 

@@ -373,3 +373,22 @@ def test_zscore_by_group_calibrates_per_group(spark):
     # the stats side broadcasts: no extra full-width shuffle
     j = zscore_by_group(df, "v", "src")
     assert plans.num_shuffles(j) <= 1
+
+
+def test_ngram_novelty_separates_copies_from_originals(spark):
+    from tidyvec_spark.operators.reports import ngram_novelty
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base),                       # exact copies
+         (3, "one two three four five six seven eight nine ten"),
+         (4, "ab")],                                 # < n tokens
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(df, "text", "doc_id", n=3).collect()}
+    # copies share every 3-gram -> zero novelty; the original is fully
+    # novel; too-short docs are absent
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0 and out[3]["n_novel"] == out[3]["n_ngrams"]
+    assert 4 not in out

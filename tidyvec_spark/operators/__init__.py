@@ -54,6 +54,7 @@ from tidyvec_spark.operators.sampling import (
 from tidyvec_spark.operators.bloom import decontaminate_bloom
 from tidyvec_spark.operators.reports import (
     k_anonymity,
+    ngram_novelty,
     vocab_growth,
     zscore_by_group,
 )
@@ -97,6 +98,7 @@ __all__ = [
     "viterbi_segment",
     "image_quality_flags",
     "image_quality_stats",
+    "ngram_novelty",
     "zscore_by_group",
     "embed",
     "nearest",

@@ -23,8 +23,59 @@ __all__ = [
     "psi_drift",
     "drop_attribution",
     "k_anonymity",
+    "ngram_novelty",
     "zscore_by_group",
 ]
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct n-grams that appear in no other document — the inverse
+    of boilerplate. Template pages, syndicated reposts, and
+    quote-heavy pages score near 0 even when no single partner
+    crosses a near-dup threshold (their overlap is smeared across
+    many documents — the case pairwise dedup structurally cannot
+    see); original prose scores near 1. The corpus-level mean is the
+    freshness curve a crawl owner tracks release over release.
+
+    Returns (``id_col``, n_ngrams, n_novel, novelty); documents with
+    no n-gram (shorter than ``n`` tokens) are absent.
+
+    Scale: one distinct-shingle explode, one vocabulary-sized
+    doc-frequency agg (map-side partial), one join back on the
+    shingle key, one per-doc agg — all bounded by total shingle
+    occurrences, never pairs. Unlike the pairwise operators there is
+    no candidate generation at all, so no clique blow-up either.
+    """
+    from tidyvec_spark.functions.text import ngrams
+
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(ngrams(text_col, int(n)))).alias("__g"),
+    )
+    dfreq = sh.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__nd")
+    )
+    nov = (
+        F.sum(F.when(F.col("__nd") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel")
+    )
+    ratio = F.col("n_novel").cast("double") / F.col("n_ngrams").cast("double")
+    if round_to is not None:
+        ratio = F.round(ratio, int(round_to))
+    return (
+        sh.join(dfreq, "__g")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(F.count("*").cast("long").alias("n_ngrams"), nov)
+        .select(id_col, "n_ngrams", "n_novel", ratio.alias("novelty"))
+    )
 
 
 def zscore_by_group(
