@@ -687,3 +687,32 @@ def test_knn_mutual_ann_is_equi_join(spark, qs):
     P.assert_no_cartesian(mk)
     js = P.join_strategies(mk)
     assert not any("NestedLoop" in j for j in js), js
+
+
+def test_round8_entry_plan_shapes(spark, qs):
+    """Round-8 additions: the 100 TB shapes, pinned.
+
+    - fuzzy decontamination: banded equi-join, never corpus x bench
+    - cdc chunks: pure map-side projection, zero shuffle
+    - image quality gate: one decode scan, zero shuffle
+    - bucket components: no cartesian, edges bounded by n*bands
+    - per-source zscore: stats side broadcasts
+    """
+    df = qs["decontaminate_fuzzy"](spark, SF)
+    P.assert_no_cartesian(df)
+
+    df = qs["docs_cdc_chunks"](spark, SF)
+    assert P.num_shuffles(df) == 0
+
+    df = qs["multimodal_image_quality"](spark, SF)
+    assert P.num_shuffles(df) == 0
+
+    df = qs["dedup_components_bucket"](spark, SF)
+    P.assert_no_cartesian(df)
+
+    df = qs["docs_quality_zscore"](spark, SF)
+    P.assert_broadcast(df, at_least=1)
+    P.assert_no_cartesian(df)
+
+    df = qs["docs_novelty"](spark, SF)
+    P.assert_no_cartesian(df)
