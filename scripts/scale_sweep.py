@@ -576,6 +576,42 @@ def main() -> None:
             shutil.rmtree(ixdir, ignore_errors=True)
         docs.unpersist()
 
+    # round-8 families: CDC chunking (map-side, expect linear),
+    # n-gram novelty (inverted-index DF agg, linear in shingle
+    # occurrences), fuzzy decontamination (corpus side grows, bench
+    # fixed at 1000 — isolates the corpus-side cost like the bloom
+    # curve above)
+    from tidyvec_spark.operators.chunking import cdc_chunks
+    from tidyvec_spark.operators.dedup import fuzzy_contamination_hits
+    from tidyvec_spark.operators.reports import ngram_novelty
+
+    w8 = synth_docs(spark, 500).persist()
+    materialize(cdc_chunks(w8, "text", "doc_id"))
+    materialize(ngram_novelty(w8, "text", "doc_id"))
+    materialize(fuzzy_contamination_hits(w8, w8.limit(100), "text", "doc_id"))
+    w8.unpersist()
+    for n in doc_sizes:
+        docs = synth_docs(spark, n).persist()
+        docs.count()
+        record(
+            "cdc_chunks", n,
+            lambda: materialize(cdc_chunks(docs, "text", "doc_id")),
+        )
+        record(
+            "ngram_novelty", n,
+            lambda: materialize(ngram_novelty(docs, "text", "doc_id")),
+        )
+        bench8 = synth_docs(spark, 1000, dup_frac=0.0).persist()
+        bench8.count()
+        record(
+            "decontaminate_fuzzy", n,
+            lambda: materialize(fuzzy_contamination_hits(
+                docs, bench8, "text", "doc_id",
+            )),
+        )
+        bench8.unpersist()
+        docs.unpersist()
+
     # BPE: distributed per-merge loop vs the collect-threshold driver
     # finish (identical merge table) — the driver finish turns
     # num_merges cluster round-trips into one corpus job + local loop.
