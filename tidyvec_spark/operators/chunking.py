@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tidyvec_spark.operators.sampling import hash_unit
@@ -106,6 +106,8 @@ def cdc_chunks(
         raise ValueError(f"divisor must be >= 1, got {divisor}")
     w, d = int(window), int(divisor)
     t = text_col
+    from tidyvec_spark.functions.text import let
+
     # interior candidates stop one short of the end (a cut at the last
     # position is the end-of-document cut, listing it twice would make
     # an empty chunk); guard: sequence(a, b) DESCENDS when b < a, so
@@ -120,11 +122,29 @@ def cdc_chunks(
         f"concat(array(0L), {interior}, "
         f"array(CAST(length({t}) AS BIGINT)))"
     )
-    piece = F.expr(
-        f"transform(sequence(1, size({cuts}) - 1), j -> struct("
-        f"j - 1 AS idx, substring({t}, CAST(element_at({cuts}, j) + 1 AS INT), "
-        f"CAST(element_at({cuts}, j + 1) - element_at({cuts}, j) AS INT)) AS chunk))"
-    )
+
+    # the cut array MUST be let-bound: higher-order functions run
+    # interpreted and re-evaluate outer expressions per element, so
+    # referencing the O(len·window) hash scan inside the per-chunk
+    # transform would cost O(chunks · len · window) per document
+    # (measured: 16x the let-bound plan at sf0.1, 50.3s -> 3.1s)
+    def body(c: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(c) - 1),
+            lambda j: F.struct(
+                (j - F.lit(1)).cast("int").alias("idx"),
+                F.col(t)
+                .substr(
+                    (F.element_at(c, j) + F.lit(1)).cast("int"),
+                    (F.element_at(c, j + F.lit(1)) - F.element_at(c, j)).cast(
+                        "int"
+                    ),
+                )
+                .alias("chunk"),
+            ),
+        )
+
+    piece = let(F.expr(cuts), body)
     return (
         df.filter(F.length(t) > 0)
         .select(
