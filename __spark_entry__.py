@@ -10882,15 +10882,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media, SCD2/time-travel, streaming heavy hitters). Every
         # window entry is locally verified at sf0.001 AND sf0.01 via
         # scripts/check_oracle.py before landing here.
-        # ROUND-9 ROTATION QUEUE (the 21 remaining never-checked
-        # entries — rotate them in next round, keep the 9 spine reps):
+        # ROUND-9 ROTATION QUEUE (31 never-driver-checked entries for
+        # the 41 rotating slots — rotate them in next round, keep the
+        # 9 spine reps). The 21 carried from round 7:
         #   docs_tokenizer_fertility, embedding_drift, docs_compression_ratio,
         #   packing_report, docs_csv_ingest, docs_blocklist,
         #   events_heavy_hitters, docs_length_buckets, docs_vocab_growth,
         #   wds_datasource_read, docs_lm_heldout, radius_search,
         #   multimodal_dedup_exact, events_stream_sessionize, corpus_merge,
         #   docs_orc_roundtrip, events_hll_accuracy, events_asof_forward,
-        #   source_psi_drift, docs_drop_attribution, skew_split_join.
+        #   source_psi_drift, docs_drop_attribution, skew_split_join;
+        # plus the 10 round-8 additions (at the dict tail, each locally
+        # verified at sf0.001 AND sf0.01 when it landed):
+        #   decontaminate_fuzzy, dedup_recall_embedding,
+        #   multimodal_image_quality, docs_cdc_chunks,
+        #   dedup_components_bucket, pipeline_dedup_bucket,
+        #   docs_quality_zscore, unigram_vocab, dedup_bucket_precision,
+        #   docs_novelty — and bpe_merges' rows-only sibling checks
+        #   stay where they are.
         # spine reps:
         "knn_cosine": _knn("cosine"),
         "knn_null_quirk": _knn_null_quirk,
