@@ -4347,7 +4347,8 @@ _UNIGRAM_EXPECTED_CACHE: dict[str, list] = {}
 
 def _unigram_vocab_expected(sf_dir: str) -> list:
     """Driver-free pure-Python twin of _unigram_vocab: same tokens
-    law (lowercase, ASCII-whitespace split), same trainer
+    law (lowercase, ASCII-whitespace split), same min_freq=2 hapax
+    pruning as unigram_train's Spark agg, same trainer
     (unigram_train_local — shared by construction, the law under
     test is the Spark corpus pass feeding it identical counts)."""
     hit = _UNIGRAM_EXPECTED_CACHE.get(sf_dir)
@@ -4368,6 +4369,7 @@ def _unigram_vocab_expected(sf_dir: str) -> list:
         for w in split(t.lower()):
             if w:
                 wf[w] = wf.get(w, 0) + 1
+    wf = {w: c for w, c in wf.items() if c >= 2}  # min_freq=2 law
     out = unigram_train_local(wf, vocab_size=64, seed_size=2000)
     _UNIGRAM_EXPECTED_CACHE[sf_dir] = out
     return out
@@ -6062,10 +6064,12 @@ def _dedup_bucket_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     implied by near_dup_groups(method='bucket') components vs the
     exact >=0.5-Jaccard truth on the bounded dup corpus — one row
     (n_grouped_pairs, n_true, n_hit, precision, recall). The
-    precision side is the S-curve's false-merge rate, the recall side
-    shows bucket grouping keeps everything the verified path keeps
-    (a superset by construction). Eval-only truth side, same envelope
-    as the other recall entries."""
+    precision side is the S-curve's false-merge rate; the recall side
+    is MEASURED against the exact truth — bucket components are a
+    superset of the verified-LSH pairs only, so recall vs truth
+    inherits banding's S-curve misses (pairs sharing no band) and is
+    not 1.0 as a law. Eval-only truth side, same envelope as the
+    other recall entries."""
     from tidyvec_spark.operators.dedup import (
         near_dup_groups,
         ngram_jaccard_pairs,

@@ -111,3 +111,33 @@ def test_mutual_topk_pairs_edges_injection(spark):
 
     with pytest.raises(ValueError):
         mutual_topk_pairs(spark.range(1), "id", "id", k=0)
+
+
+def test_mutual_topk_pairs_null_and_empty_and_bound(spark):
+    """The GEMM scoring stage's envelope guards: NULL embeddings are
+    excluded on both sides (the engine-wide NULL-embedding law), an
+    empty / all-NULL corpus yields an empty frame instead of a numpy
+    axis error, and the driver collect is bounded by
+    collect_row_bound (the ngram_jaccard_pairs exact_row_bound
+    pattern)."""
+    from tidyvec_spark.operators.mining import mutual_topk_pairs
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, None),  # must be neither anchor nor candidate
+    ]
+    df = spark.createDataFrame(rows, "id INT, v ARRAY<DOUBLE>")
+    got = {
+        (r["a"], r["b"])
+        for r in mutual_topk_pairs(df, "id", "v", k=2).collect()
+    }
+    assert got == {(1, 2)}
+
+    empty = spark.createDataFrame([], "id INT, v ARRAY<DOUBLE>")
+    assert mutual_topk_pairs(empty, "id", "v", k=1).count() == 0
+    all_null = spark.createDataFrame([(1, None)], "id INT, v ARRAY<DOUBLE>")
+    assert mutual_topk_pairs(all_null, "id", "v", k=1).count() == 0
+
+    with pytest.raises(ValueError, match="collect_row_bound"):
+        mutual_topk_pairs(df, "id", "v", k=1, collect_row_bound=1).count()

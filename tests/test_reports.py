@@ -326,9 +326,12 @@ def test_training_shards_roundtrip(spark, documents, tmp_path):
     assert back.count() == docs.count()
     assert back.select("shard").distinct().count() == 8
     one = read_training_shard(spark, p, 3)
-    # partition pruning: the shard filter reaches the directory level
-    assert "PartitionFilters: [isnotnull(shard" in one._jdf.queryExecution().executedPlan().toString() or \
-           one.count() < docs.count()
+    # partition pruning: the shard filter reaches the DIRECTORY level
+    # (PartitionFilters on the scan — asserted alone, no row-count
+    # fallback, so a filtered-but-unpruned read fails here)
+    plan_str = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan_str, plan_str
+    assert one.count() < docs.count()
     # shard assignment is a pure function of the id: a repartitioned
     # re-export lands every doc in the same shard
     p2 = str(tmp_path / "shards2")
@@ -392,3 +395,19 @@ def test_ngram_novelty_separates_copies_from_originals(spark):
     assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
     assert out[3]["novelty"] == 1.0 and out[3]["n_novel"] == out[3]["n_ngrams"]
     assert 4 not in out
+
+
+def test_zscore_by_group_keeps_null_groups(spark):
+    """Rows with a NULL group key form ONE calibration group (the SQL
+    window's NULL partition) and survive the join back — the join is
+    null-safe, not a plain inner equi-join that would drop them."""
+    from tidyvec_spark.operators.reports import zscore_by_group
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 30.0)],
+        "g STRING, x DOUBLE",
+    )
+    out = zscore_by_group(df, "x", "g", round_to=6).collect()
+    assert len(out) == 4  # NULL-group rows kept
+    nulls = sorted(r["z"] for r in out if r["g"] is None)
+    assert nulls == [-1.0, 1.0]  # calibrated against each other

@@ -57,7 +57,7 @@ def test_train_spark_matches_local_twin(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     got = unigram_train(docs, "text", vocab_size=200, seed_size=2000)
     # pure-Python twin: same tokens law (ASCII whitespace on lowered
-    # text), same trainer
+    # text), same min_freq=2 hapax pruning, same trainer
     split = re.compile("[ \\t\\n\\x0b\\f\\r]+").split
     wf = {}
     for t in pq.read_table(
@@ -66,8 +66,25 @@ def test_train_spark_matches_local_twin(spark, sf_dir):
         for w in split(t.lower()):
             if w:
                 wf[w] = wf.get(w, 0) + 1
+    wf = {w: c for w, c in wf.items() if c >= 2}
     want = unigram_train_local(wf, vocab_size=200, seed_size=2000)
     assert got == want
+
+
+def test_train_collect_threshold_raises(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i} common") for i in range(40)],
+        "doc_id INT, text STRING",
+    )
+    with pytest.raises(ValueError, match="collect_threshold"):
+        unigram_train(df, "text", vocab_size=30, seed_size=200,
+                      collect_threshold=5)
+    # min_freq pruning shrinks the table under the same threshold:
+    # 40 hapax-pair words ("wN" appears twice — survives min_freq=2)
+    # vs min_freq=3 keeping only "common"
+    pieces = unigram_train(df, "text", vocab_size=10, seed_size=50,
+                           min_freq=3, collect_threshold=5)
+    assert pieces  # trained from the single surviving word
 
 
 def test_tokenize_roundtrip(spark):
@@ -75,7 +92,9 @@ def test_tokenize_roundtrip(spark):
         [(1, "low lower lowest"), (2, "new newer"), (3, None)],
         "doc_id INT, text STRING",
     )
-    pieces = unigram_train(df, "text", vocab_size=30, seed_size=200)
+    # min_freq=1: the toy corpus is all hapaxes; opt them in explicitly
+    pieces = unigram_train(df, "text", vocab_size=30, seed_size=200,
+                           min_freq=1)
     out = {r["doc_id"]: r["pieces"]
            for r in unigram_tokenize(df, "text", pieces).collect()}
     # detokenization is lossless: strip piece separators, split words

@@ -94,6 +94,7 @@ def _exact_topk_edges_gemm(
     k: int,
     method: str,
     round_to: Optional[int],
+    collect_row_bound: Optional[int] = 250_000,
 ) -> DataFrame:
     """Directed exact top-k edges via Arrow-batched BLAS — the scoring
     stage of :func:`mutual_topk_pairs`'s default path. The corpus
@@ -105,17 +106,22 @@ def _exact_topk_edges_gemm(
     'interpreted HOF similarity × n² cross-join rows + window
     shuffle' plan — measured 127 s → ~2 s at 500×500 on sf0.1 — with
     two BLAS calls per batch and NO shuffle at all. Zero-norm cosine
-    scores 0.0, euclidean is 1/(1+d) (functions/vector.py laws)."""
+    scores 0.0, euclidean is 1/(1+d) (functions/vector.py laws).
+
+    NULL embeddings are excluded on BOTH sides (the engine-wide
+    NULL-embedding law: a NULL vector is neither anchor nor
+    candidate), an empty corpus returns an empty edge frame, and the
+    driver collect is bounded by ``collect_row_bound`` (raise the
+    bound explicitly — or pass ``None`` — to opt a larger corpus in;
+    past broadcast size pass ``edges=`` to mutual_topk_pairs
+    instead) — mirroring ``ngram_jaccard_pairs``' exact_row_bound
+    guard."""
     import numpy as np
 
     from pyspark.sql import types as T
 
     fields = {f.name: f.dataType for f in df.schema.fields}
     id_type = fields[id_col]
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows])
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
     kk, nd, meth = int(k), round_to, str(method)
     if meth not in ("cosine", "euclidean", "dot"):
         raise ValueError(f"unknown similarity method {meth!r}")
@@ -127,6 +133,22 @@ def _exact_topk_edges_gemm(
             T.StructField("sim", T.DoubleType()),
         ]
     )
+
+    valid = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    if collect_row_bound is not None:
+        n = valid.count()
+        if n > int(collect_row_bound):
+            raise ValueError(
+                f"mutual_topk_pairs exact path would collect {n} rows "
+                f"(> collect_row_bound={collect_row_bound}); pass an "
+                f"ANN edge frame via edges= or raise collect_row_bound"
+            )
+    rows = valid.collect()
+    if not rows:
+        return df.sparkSession.createDataFrame([], out_schema)
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
 
     def run(batches):
         import numpy as np
@@ -167,7 +189,7 @@ def _exact_topk_edges_gemm(
                 out_s.extend(sims[order])
             yield pd.DataFrame({"a": out_a, "b": out_b, "sim": out_s})
 
-    return df.select(
+    return valid.select(
         F.col(id_col).alias("__a"), F.col(vec_col).alias("__v")
     ).mapInPandas(run, schema=out_schema)
 
@@ -180,6 +202,7 @@ def mutual_topk_pairs(
     method: str = "cosine",
     round_to: Optional[int] = None,
     edges: Optional[DataFrame] = None,
+    collect_row_bound: Optional[int] = 250_000,
 ) -> DataFrame:
     """Reciprocal-kNN pair graph: (a, b) survives iff b is in a's
     top-k AND a is in b's top-k — the mutual-nearest-neighbor
@@ -215,7 +238,8 @@ def mutual_topk_pairs(
         raise ValueError("k must be >= 1")
     if edges is None:
         edges = _exact_topk_edges_gemm(
-            df, id_col, vec_col, int(k), method, round_to
+            df, id_col, vec_col, int(k), method, round_to,
+            collect_row_bound=collect_row_bound,
         )
     und = edges.filter(F.col("a") != F.col("b")).select(
         F.least("a", "b").alias("a"),

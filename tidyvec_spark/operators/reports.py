@@ -100,11 +100,16 @@ def zscore_by_group(
     ANSI mode.
 
     Scale: one bounded agg (rows = groups) broadcast-joined back, the
-    z itself map-side — two narrow passes, no per-row shuffle."""
+    z itself map-side — two narrow passes, no per-row shuffle.
+
+    NULL group keys form ONE group (Spark groupBy keeps NULL keys,
+    same as a SQL window's NULL partition), and the join back is
+    null-safe — rows with a NULL group calibrate against each other
+    instead of silently vanishing from the output."""
     stats = df.groupBy(group_col).agg(
         F.avg(value_col).alias("__mu"),
         F.stddev_pop(value_col).alias("__sd"),
-    )
+    ).withColumnRenamed(group_col, "__g")
     z = F.when(
         F.col("__sd") > 0,
         (F.col(value_col) - F.col("__mu")) / F.col("__sd"),
@@ -112,9 +117,12 @@ def zscore_by_group(
     if round_to is not None:
         z = F.round(z, int(round_to))
     return (
-        df.join(F.broadcast(stats), group_col)
+        df.join(
+            F.broadcast(stats),
+            F.col(group_col).eqNullSafe(F.col("__g")),
+        )
         .withColumn(out_col, z)
-        .drop("__mu", "__sd")
+        .drop("__g", "__mu", "__sd")
     )
 
 

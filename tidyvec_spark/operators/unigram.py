@@ -36,7 +36,7 @@ linear in the corpus.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -206,6 +206,8 @@ def unigram_train(
     seed_size: int = 20_000,
     em_rounds: int = 2,
     prune_frac: float = 0.2,
+    min_freq: int = 2,
+    collect_threshold: Optional[int] = 2_000_000,
 ) -> List[Tuple[str, int, float]]:
     """Train a unigram tokenizer vocabulary from a corpus: ONE Spark
     pass collapses the corpus to the Zipf-bounded word-frequency
@@ -214,16 +216,38 @@ def unigram_train(
     hard-EM on the driver — see the module docstring for why the EM
     loop belongs driver-side (every M-step/prune is a global sync
     over a driver-sized piece table; the corpus-sized work is the one
-    Spark job)."""
-    wf = {
-        r["w"]: int(r["freq"])
-        for r in (
-            df.select(F.explode(tokens(text_col)).alias("w"))
-            .groupBy("w")
-            .agg(F.count("*").cast("long").alias("freq"))
-            .collect()
-        )
-    }
+    Spark job).
+
+    Driver envelope (mirrors ``bpe_train``'s ``collect_threshold``):
+    words with corpus frequency below ``min_freq`` (default 2 —
+    hapaxes) are pruned IN THE SPARK AGG, before anything reaches the
+    driver. This is a law change relative to an unpruned trainer, but
+    a vacuous one for the seed path: seed selection keeps the
+    ``seed_size`` most frequent substrings, and a substring seen only
+    inside hapax words cannot outrank one backed by repeated words at
+    any realistic ``seed_size`` — while the hapax tail dominates the
+    word-table's row count (Zipf: roughly half of distinct words are
+    hapaxes). After pruning, if the surviving table still exceeds
+    ``collect_threshold`` rows the collect RAISES instead of OOMing
+    the driver (``min_freq=1, collect_threshold=None`` restores the
+    old unbounded behavior explicitly)."""
+    wf_df = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    if int(min_freq) > 1:
+        wf_df = wf_df.filter(F.col("freq") >= int(min_freq))
+    if collect_threshold is not None:
+        n = wf_df.count()
+        if n > int(collect_threshold):
+            raise ValueError(
+                f"unigram_train would collect {n} word-frequency rows "
+                f"(> collect_threshold={collect_threshold}); raise "
+                f"min_freq to prune a longer tail, or raise the "
+                f"threshold explicitly"
+            )
+    wf = {r["w"]: int(r["freq"]) for r in wf_df.collect()}
     return unigram_train_local(
         wf,
         vocab_size,
@@ -242,9 +266,18 @@ def unigram_tokenize_udf(
     single space within the word boundary marker ``\\u2581`` fused to
     the first piece of each word (the SentencePiece convention, so
     detokenization is lossless). Per-batch memoization — Zipf reuse
-    makes the cache hit rate very high. Zero shuffle."""
+    makes the cache hit rate very high. Zero shuffle.
+
+    Word splitting uses the SAME ASCII-whitespace class as the engine
+    ``tokens()`` law (Java ``\\s`` = ``[ \\t\\n\\x0b\\f\\r]``) —
+    NOT Python ``str.split()``'s full-Unicode whitespace — so a
+    document containing NBSP/U+2028 tokenizes with exactly the word
+    boundaries the trainer counted."""
+    import re
+
     logp = {p: lp for p, _, lp in pieces}
     mpl = int(max_piece_len)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     from pyspark.sql.functions import pandas_udf
 
@@ -262,7 +295,7 @@ def unigram_tokenize_udf(
         def one(x):
             if x is None:
                 return None
-            words = [w for w in x.lower().split() if w]
+            words = [w for w in ws.split(x.lower()) if w]
             return " ".join(
                 "▁" + one_word(w) for w in words
             )
