@@ -10858,52 +10858,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-8 rotation (per the r7 verdict item 1): the 9
-    # long-stable spine representatives + bpe_merges (first hash check
-    # of its new precomputed-VALUES oracle) + 40 of the 61 round-7
-    # oracle-backed entries that never had a driver row. The remaining
-    # 21 never-checked entries are queued in the window comment below
-    # for the ROUND-9 rotation.
+    # entries. Round-9 rotation (per the r8 verdict item 1): the 9
+    # long-stable spine representatives + ALL 31 entries that never had
+    # a driver row (the 21 carried from round 7 + the 10 round-8
+    # additions — this retires the driver-coverage debt completely;
+    # after CORRECTNESS_r09 lands, ZERO registry entries lack a driver
+    # row) + 10 re-check slots for post-fix semantics entries and
+    # high-churn composites.
     #
-    # STATUS: this window is the round-8 rotation and is HELD UNCHANGED
-    # through the end of round 8 so CORRECTNESS_r08 (produced by the
+    # STATUS: this window is the round-9 rotation and is HELD UNCHANGED
+    # through the end of round 9 so CORRECTNESS_r09 (produced by the
     # driver when the round closes) covers exactly these 50 entries.
-    # Evidence for "round 8 is still open": CORRECTNESS_r01..r07.json
-    # exist in the repo and CORRECTNESS_r08.json does not — the driver
+    # Evidence for "round 9 is still open": CORRECTNESS_r01..r08.json
+    # exist in the repo and CORRECTNESS_r09.json does not — the driver
     # writes the artifact at round close. DO NOT rotate this window
-    # until CORRECTNESS_r08 rows exist.
+    # until CORRECTNESS_r09 rows exist.
     # Multi-round-stable legacy entries sit in the tail; every
     # oracle-backed tail entry stays checked by the dynamic SUBSET in
     # tests/test_entry_oracle.py (computed as "oracle-backed and past
     # position 50", so any future rotation keeps the invariant).
     return {
-        # --- gate window (1-50), rotated for ROUND 8 ---
-        # 9 long-stable spine reps (one per family, re-checked every
-        # round) + bpe_merges (first hash check of its new precomputed-
-        # VALUES oracle) + 40 of the 61 round-7 entries that never had
-        # a driver row (prioritized per the r7 verdict: composites,
-        # scale-path twins, entity resolution, indexed BM25, decoded
-        # media, SCD2/time-travel, streaming heavy hitters). Every
-        # window entry is locally verified at sf0.001 AND sf0.01 via
-        # scripts/check_oracle.py before landing here.
-        # ROUND-9 ROTATION QUEUE (31 never-driver-checked entries for
-        # the 41 rotating slots — rotate them in next round, keep the
-        # 9 spine reps). The 21 carried from round 7:
-        #   docs_tokenizer_fertility, embedding_drift, docs_compression_ratio,
-        #   packing_report, docs_csv_ingest, docs_blocklist,
-        #   events_heavy_hitters, docs_length_buckets, docs_vocab_growth,
-        #   wds_datasource_read, docs_lm_heldout, radius_search,
-        #   multimodal_dedup_exact, events_stream_sessionize, corpus_merge,
-        #   docs_orc_roundtrip, events_hll_accuracy, events_asof_forward,
-        #   source_psi_drift, docs_drop_attribution, skew_split_join;
-        # plus the 10 round-8 additions (at the dict tail, each locally
-        # verified at sf0.001 AND sf0.01 when it landed):
-        #   decontaminate_fuzzy, dedup_recall_embedding,
-        #   multimodal_image_quality, docs_cdc_chunks,
-        #   dedup_components_bucket, pipeline_dedup_bucket,
-        #   docs_quality_zscore, unigram_vocab, dedup_bucket_precision,
-        #   docs_novelty — and bpe_merges' rows-only sibling checks
-        #   stay where they are.
+        # --- gate window (1-50), rotated for ROUND 9 ---
+        # 9 spine reps + the 31 never-driver-checked entries + 10
+        # re-checks. Every window entry is locally verified at sf0.001
+        # AND sf0.01 via scripts/check_oracle.py before landing here.
         # spine reps:
         "knn_cosine": _knn("cosine"),
         "knn_null_quirk": _knn_null_quirk,
@@ -10914,49 +10892,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _events_asof_purchase,
         "docs_stream_dedup": _docs_stream_dedup,
         "q5_region_revenue": _q5_region_revenue,
-        # deterministic BPE training, new precomputed-VALUES oracle:
-        "bpe_merges": _bpe_merges,
-        # round-7 backlog, first driver rows this round:
-        "pipeline_crawl": _pipeline_crawl,
-        "pipeline_rag": _pipeline_rag,
-        "docs_pagerank": _docs_pagerank,
-        "docs_dedup_funnel": _docs_dedup_funnel,
-        "dedup_recall_lsh": _dedup_recall_lsh,
-        "dedup_recall_simhash": _dedup_recall_simhash,
-        "mix_rank_weighted": _mix_rank_weighted,
-        "entity_match_pairs": _entity_match_pairs,
-        "entity_resolve": _entity_resolve,
-        "entity_block_audit": _entity_block_audit,
-        "bm25_indexed_topk": _bm25_indexed_topk,
-        "knn_mutual_pairs": _knn_mutual_pairs,
-        "knn_mutual_ann": _knn_mutual_ann,
-        "multimodal_pcm_stats": _multimodal_pcm_stats,
-        "multimodal_image_ahash": _multimodal_image_ahash,
-        "pipeline_media": _pipeline_media,
-        "media_quarantine": _media_quarantine,
-        "docs_scd2": _docs_scd2,
-        "docs_asof_version": _docs_asof_version,
-        "events_stream_heavy_hitters": _events_stream_heavy_hitters,
-        "decontaminate_bloom": _decontaminate_bloom,
-        "maxsim_topk": _maxsim_topk,
-        "rerank_search": _rerank_search,
-        "ngram_containment": _ngram_containment,
-        "docs_dedup_contained": _docs_dedup_contained,
-        "docs_template_pages": _docs_template_pages,
-        "docs_lm_kn": _docs_lm_kn,
-        "docs_quality_ensemble": _docs_quality_ensemble,
+        # the 21 never-checked entries carried from round 7:
+        "docs_tokenizer_fertility": _docs_tokenizer_fertility,
+        "embedding_drift": _embedding_drift,
+        "docs_compression_ratio": _docs_compression_ratio,
+        "packing_report": _packing_report,
+        "docs_csv_ingest": _docs_csv_ingest,
+        "docs_blocklist": _docs_blocklist,
+        "events_heavy_hitters": _events_heavy_hitters,
+        "docs_length_buckets": _docs_length_buckets,
+        "docs_vocab_growth": _docs_vocab_growth,
+        "wds_datasource_read": _wds_datasource_read,
+        "docs_lm_heldout": _docs_lm_heldout,
+        "radius_search": _radius_search,
+        "multimodal_dedup_exact": _multimodal_dedup_exact,
+        "events_stream_sessionize": _events_stream_sessionize,
+        "corpus_merge": _corpus_merge,
+        "docs_orc_roundtrip": _docs_orc_roundtrip,
+        "events_hll_accuracy": _events_hll_accuracy,
+        "events_asof_forward": _events_asof_forward,
+        "source_psi_drift": _source_psi_drift,
+        "docs_drop_attribution": _docs_drop_attribution,
+        "skew_split_join": _skew_split_join,
+        # the 10 never-checked round-8 additions:
+        "decontaminate_fuzzy": _decontaminate_fuzzy,
+        "dedup_recall_embedding": _dedup_recall_embedding,
+        "multimodal_image_quality": _multimodal_image_quality,
+        "docs_cdc_chunks": _docs_cdc_chunks,
+        "dedup_components_bucket": _dedup_components_bucket,
+        "pipeline_dedup_bucket": _pipeline_dedup_bucket,
+        "docs_quality_zscore": _docs_quality_zscore,
+        "unigram_vocab": _unigram_vocab,
+        "dedup_bucket_precision": _dedup_bucket_precision,
+        "docs_novelty": _docs_novelty,
+        # 10 re-check slots: post-fix semantics entries (docs_mojibake
+        # and token_cms_topk carry the r7-ADVICE fixes; knn_mutual_*
+        # gained NULL/empty/collect-bound guards and docs_quality_zscore
+        # a null-safe join THIS round — zscore and unigram_vocab, whose
+        # min_freq=2 law also changed this round, sit in the
+        # never-checked block above) and high-churn composites
+        # (pipeline_ccnet is the r8 drift item):
         "docs_mojibake": _docs_mojibake,
         "token_cms_topk": _token_cms_topk,
-        "events_k_anonymity": _events_k_anonymity,
-        "docs_url_canonical": _docs_url_canonical,
-        "crawl_host_budget": _crawl_host_budget,
-        "lang_confusion": _lang_confusion,
-        "multimodal_near_dup": _multimodal_near_dup,
-        "multimodal_audio_near_dup": _multimodal_audio_near_dup,
-        "dedup_prefix": _dedup_prefix,
-        "soft_dedup": _soft_dedup,
-        "winnow_pairs": _winnow_pairs,
-        "token_pmi": _token_pmi,
+        "knn_mutual_pairs": _knn_mutual_pairs,
+        "knn_mutual_ann": _knn_mutual_ann,
+        "pipeline_ccnet": _pipeline_ccnet,
+        "pipeline_dedup_full": _pipeline_dedup_full,
+        "docs_dedup_funnel": _docs_dedup_funnel,
+        "pipeline_crawl": _pipeline_crawl,
+        "pipeline_rag": _pipeline_rag,
+        "dedup_recall_lsh": _dedup_recall_lsh,
         # --- position 51+: outside the driver's gate window ---
         # every oracle-backed entry below is checked by the dynamic
         # SUBSET in tests/test_entry_oracle.py (computed as 'oracle-
@@ -10994,7 +10979,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_share_suppliers": _q20_share_suppliers,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
         "docs_quality_clf": _docs_quality_clf,
-        "pipeline_dedup_full": _pipeline_dedup_full,
         "docs_keyword_topk": _docs_keyword_topk,
         "source_quality_report": _source_quality_report,
         "corpus_manifest_incremental": _corpus_manifest_incremental,
@@ -11005,12 +10989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_target": _mix_target,
         "docs_stream_near_pairs": _docs_stream_near_pairs,
         "docs_dedup_lines": _docs_dedup_lines,
-        "docs_tokenizer_fertility": _docs_tokenizer_fertility,
-        "embedding_drift": _embedding_drift,
-        "docs_compression_ratio": _docs_compression_ratio,
-        "packing_report": _packing_report,
-        "docs_csv_ingest": _docs_csv_ingest,
-        "docs_blocklist": _docs_blocklist,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
@@ -11035,7 +11013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_lsh": _ann_recall_lsh,
         "bq_topk_sidecar": _bq_topk_sidecar,
         "wds_roundtrip": _wds_roundtrip,
-        "pipeline_ccnet": _pipeline_ccnet,
         "events_skew_profile": _events_skew_profile,
         "corpus_diff": _corpus_diff,
         "events_rolling_1h": _events_rolling_1h,
@@ -11116,34 +11093,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
         "ngram_jaccard_capped": _ngram_jaccard_capped,
         "dedup_components_two_phase": _dedup_components_two_phase,
-        "events_heavy_hitters": _events_heavy_hitters,
-        "docs_length_buckets": _docs_length_buckets,
-        "docs_vocab_growth": _docs_vocab_growth,
-        "wds_datasource_read": _wds_datasource_read,
-        "docs_lm_heldout": _docs_lm_heldout,
-        "radius_search": _radius_search,
-        "multimodal_dedup_exact": _multimodal_dedup_exact,
-        "events_stream_sessionize": _events_stream_sessionize,
-        "corpus_merge": _corpus_merge,
-        "docs_orc_roundtrip": _docs_orc_roundtrip,
-        "events_hll_accuracy": _events_hll_accuracy,
-        "events_asof_forward": _events_asof_forward,
-        "source_psi_drift": _source_psi_drift,
-        "docs_drop_attribution": _docs_drop_attribution,
-        "skew_split_join": _skew_split_join,
-        # round-8 additions (rotation targets for round 9, after the
-        # 21-entry queue in the window comment; each locally verified
-        # at sf0.001 AND sf0.01 via scripts/check_oracle.py)
-        "decontaminate_fuzzy": _decontaminate_fuzzy,
-        "dedup_recall_embedding": _dedup_recall_embedding,
-        "multimodal_image_quality": _multimodal_image_quality,
-        "docs_cdc_chunks": _docs_cdc_chunks,
-        "dedup_components_bucket": _dedup_components_bucket,
-        "pipeline_dedup_bucket": _pipeline_dedup_bucket,
-        "docs_quality_zscore": _docs_quality_zscore,
-        "unigram_vocab": _unigram_vocab,
-        "dedup_bucket_precision": _dedup_bucket_precision,
-        "docs_novelty": _docs_novelty,
+        # rotated out of the round-9 window (all have green
+        # CORRECTNESS_r08 rows; the dynamic SUBSET in
+        # tests/test_entry_oracle.py keeps them oracle-checked):
+        "bpe_merges": _bpe_merges,
+        "docs_pagerank": _docs_pagerank,
+        "dedup_recall_simhash": _dedup_recall_simhash,
+        "mix_rank_weighted": _mix_rank_weighted,
+        "entity_match_pairs": _entity_match_pairs,
+        "entity_resolve": _entity_resolve,
+        "entity_block_audit": _entity_block_audit,
+        "bm25_indexed_topk": _bm25_indexed_topk,
+        "multimodal_pcm_stats": _multimodal_pcm_stats,
+        "multimodal_image_ahash": _multimodal_image_ahash,
+        "pipeline_media": _pipeline_media,
+        "media_quarantine": _media_quarantine,
+        "docs_scd2": _docs_scd2,
+        "docs_asof_version": _docs_asof_version,
+        "events_stream_heavy_hitters": _events_stream_heavy_hitters,
+        "decontaminate_bloom": _decontaminate_bloom,
+        "maxsim_topk": _maxsim_topk,
+        "rerank_search": _rerank_search,
+        "ngram_containment": _ngram_containment,
+        "docs_dedup_contained": _docs_dedup_contained,
+        "docs_template_pages": _docs_template_pages,
+        "docs_lm_kn": _docs_lm_kn,
+        "docs_quality_ensemble": _docs_quality_ensemble,
+        "events_k_anonymity": _events_k_anonymity,
+        "docs_url_canonical": _docs_url_canonical,
+        "crawl_host_budget": _crawl_host_budget,
+        "lang_confusion": _lang_confusion,
+        "multimodal_near_dup": _multimodal_near_dup,
+        "multimodal_audio_near_dup": _multimodal_audio_near_dup,
+        "dedup_prefix": _dedup_prefix,
+        "soft_dedup": _soft_dedup,
+        "winnow_pairs": _winnow_pairs,
+        "token_pmi": _token_pmi,
     }
 
 
