@@ -104,6 +104,59 @@ def synth_embeddings(spark, n_vecs: int, dim: int = 64, dup_frac: float = 0.05):
     return base.unionByName(dups)
 
 
+def synth_skewed_embeddings(spark, n_vecs: int, dim: int = 64,
+                            hot_frac: float = 0.5, n_blobs: int = 8,
+                            dup_frac: float = 0.05):
+    """Skewed cluster profile for the SemDeDup tiling sweep: half the
+    corpus lands in ONE blob (the near-dup-farm regime the operator
+    exists for — the hot centroid makes the hot GEMM tile), the rest
+    spreads over the other blobs. Per-dim noise is ±0.1 so ORDINARY
+    same-blob pairs sit well below a 0.99 threshold (the pair OUTPUT
+    must stay linear — a corpus where every same-cluster pair matches
+    measures Arrow row emission, not the tile decomposition); true
+    near-dups are injected as explicit twins of ``dup_frac`` of the
+    ids. Returns (vectors, centroids)."""
+    from pyspark.sql import functions as F
+
+    def blob_center(b):
+        # deterministic well-separated centers: one-hot-ish direction
+        return [1.0 if i == b * (dim // n_blobs) else 0.05
+                for i in range(dim)]
+
+    hot = int(n_vecs * hot_frac)
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") < hot, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_blobs - 1)) + 1)
+        .cast("int")
+        .alias("__b"),
+    )
+    centers = spark.createDataFrame(
+        [(b, blob_center(b)) for b in range(n_blobs)],
+        "centroid_id INT, centroid ARRAY<DOUBLE>",
+    )
+    base = vecs.join(F.broadcast(centers),
+                     vecs["__b"] == centers["centroid_id"]).select(
+        "vec_id",
+        F.transform(
+            F.col("centroid"),
+            lambda v, i: v + (
+                F.pmod(F.xxhash64(F.col("vec_id") * F.lit(dim) + i),
+                       F.lit(200)).cast("double") - F.lit(100.0)
+            ) / F.lit(1_000.0),
+        ).alias("embedding"),
+    )
+    n_dup = int(n_vecs * dup_frac)
+    twins = base.filter(F.col("vec_id") < n_dup).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.001)),
+            F.slice("embedding", 2, dim - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins), centers
+
+
 def synth_bmps(spark, n_docs: int):
     """Deterministic synthetic image corpus: complete 8x8 24-bpp BMPs
     assembled expression-side, 5 one-pixel-brightened variants per
@@ -610,6 +663,92 @@ def main() -> None:
             )),
         )
         bench8.unpersist()
+        docs.unpersist()
+
+    # SemDeDup skewed-cluster tiling: half the corpus in ONE hot
+    # cluster. The untiled kernel's hot task is |cluster|²·d — run it
+    # only at the smallest size (8GB of similarity matrix at 80k); the
+    # tiled default (per-cluster block count from the measured size)
+    # bounds every task at ~2·tile_rows rows and should stay near-linear.
+    from tidyvec_spark.operators.semdedup import semantic_dedup_pairs
+
+    wsk, wskc = synth_skewed_embeddings(spark, 2000)
+    wsk = wsk.persist(); wsk.count()
+    materialize(semantic_dedup_pairs(
+        wsk, "embedding", "vec_id", wskc, threshold=0.99, tile_rows=2048))
+    wsk.unpersist()
+    for n in vec_sizes:
+        sk, skc = synth_skewed_embeddings(spark, n)
+        sk = sk.persist(); sk.count()
+        record(
+            "semdedup_tiled", n,
+            lambda: materialize(semantic_dedup_pairs(
+                sk, "embedding", "vec_id", skc,
+                threshold=0.99, tile_rows=2048,
+            )),
+        )
+        if n == vec_sizes[0]:
+            record(
+                "semdedup_untiled", n,
+                lambda: materialize(semantic_dedup_pairs(
+                    sk, "embedding", "vec_id", skc,
+                    threshold=0.99, tile_rows=None,
+                )),
+            )
+        sk.unpersist()
+
+    # pipeline_ccnet A/B: the carry= seam (lang label rides the LM's
+    # per-bigram shuffle) vs the old re-join plan (scored frame joined
+    # back to its own derived input, recomputing the dedup + lang-id
+    # subtree). Settles the r6→r8 fixture-wall drift question: if the
+    # carry path is flat/below the re-join curve at 10×/20× fixture
+    # scale, the drift was VM noise, not a plan regression.
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.dedup import dedup_lines_global
+    from tidyvec_spark.operators.lm import (
+        bigram_lm_perplexity,
+        perplexity_buckets,
+    )
+
+    def ccnet(docs, use_carry):
+        lined = docs.select(
+            "doc_id",
+            F.replace(
+                F.col("text"), F.lit(" the "), F.lit("\n")
+            ).alias("text"),
+        )
+        dd = dedup_lines_global(lined, "text", "doc_id")
+        pred = dd.select(
+            "doc_id", "text", X.lang_id("text").alias("lang_pred")
+        )
+        if use_carry:
+            scored = bigram_lm_perplexity(
+                pred, "text", "doc_id", carry=("lang_pred",)
+            )
+        else:
+            scored = bigram_lm_perplexity(pred, "text", "doc_id").join(
+                pred.select("doc_id", "lang_pred"), "doc_id"
+            )
+        out = perplexity_buckets(
+            scored, "perplexity", "doc_id", "lang_pred"
+        )
+        return out.filter(F.col("bucket") != "tail")
+
+    wcc = synth_docs(spark, 500).persist()
+    materialize(ccnet(wcc, True))
+    materialize(ccnet(wcc, False))
+    wcc.unpersist()
+    for n in doc_sizes:
+        docs = synth_docs(spark, n).persist()
+        docs.count()
+        record(
+            "pipeline_ccnet_carry", n,
+            lambda: materialize(ccnet(docs, True)),
+        )
+        record(
+            "pipeline_ccnet_rejoin", n,
+            lambda: materialize(ccnet(docs, False)),
+        )
         docs.unpersist()
 
     # BPE: distributed per-merge loop vs the collect-threshold driver

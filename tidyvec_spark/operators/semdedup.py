@@ -23,10 +23,16 @@ the convention is deterministic and cheap, and the components variant
 is available by feeding :func:`semantic_dedup_pairs` into
 ``dedup.connected_components``.
 
-Scale: cluster sizes are the skew profile — with balanced k-means the
-per-cluster GEMM tile is |cluster|²·d/…; for skewed clusters compose
-with the sub-block tiling of ``bucket_gemm_near_dup_pairs`` (same
-decomposition, bucket key = centroid id).
+Scale: cluster sizes are the skew profile, and near-dup farms CLUSTER
+TOGETHER — that is the point of the operator — so the hot centroid is
+the expected case, not the tail. ``tile_rows`` bounds the per-task
+GEMM against it: clusters above the threshold are tiled by the same
+block-pair decomposition as ``bucket_gemm_near_dup_pairs``, with the
+block count chosen PER CLUSTER from its measured size (one bounded
+agg, rows = k), so a task holds at most ~2·tile_rows vectors no
+matter how skewed the assignment is, clusters under the threshold pay
+zero replication, and the pair set is invariant to the choice (every
+same-cluster pair meets in exactly one tile).
 """
 
 from __future__ import annotations
@@ -53,11 +59,19 @@ def semantic_dedup_pairs(
     cent_id: str = "centroid_id",
     cent_vec: str = "centroid",
     assign_strategy: str = "auto",
+    tile_rows: Optional[int] = 8192,
 ) -> DataFrame:
     """(id_a, id_b, similarity) for same-cluster pairs with cosine ≥
     ``threshold`` (id_a < id_b). Assignment is map-side; pair search is
     one BLAS ``A @ A.T`` per cluster behind a single shuffle on the
-    centroid id."""
+    centroid id.
+
+    ``tile_rows``: clusters larger than this are sub-block-tiled (the
+    ``bucket_gemm_near_dup_pairs`` decomposition, block count =
+    ceil(|cluster| / tile_rows) chosen per cluster from the measured
+    size — one k-row agg broadcast back), so one hot centroid cannot
+    make one |cluster|²·d task. ``None`` disables tiling (one tile per
+    cluster regardless of size)."""
     import numpy as np  # noqa: F401  (kernel dependency, fail early)
 
     id_type = df.schema[id_col].dataType
@@ -76,18 +90,85 @@ def semantic_dedup_pairs(
     thr = float(threshold)
     nd = None if round_to is None else int(round_to)
 
-    def gemm(pdf):
+    if tile_rows is None:
+
+        def gemm(pdf):
+            import numpy as np
+            import pandas as pd
+
+            if len(pdf) < 2:
+                return pd.DataFrame(
+                    columns=["id_a", "id_b", "similarity"]
+                )
+            ids = pdf["id"].to_numpy()
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            return _cos_block(ids, M, ids, M, thr, nd, upper_only=True)
+
+        return assigned.groupBy(cent_id).applyInPandas(
+            gemm, schema=_pair_schema(id_type)
+        )
+
+    tr = int(tile_rows)
+    if tr < 2:
+        raise ValueError(f"tile_rows must be >= 2, got {tile_rows}")
+    # per-cluster block count from the measured size: bounded agg
+    # (rows = k clusters) broadcast back; small clusters get __nb=1
+    # (single tile, zero replication)
+    sizes = assigned.groupBy(cent_id).agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(tr)).cast("int").alias("__nb")
+    )
+    tasks = (
+        assigned.join(F.broadcast(sizes), cent_id)
+        .withColumn(
+            "__blk",
+            F.pmod(F.xxhash64(F.col("id")), F.col("__nb")).cast("int"),
+        )
+        .select(
+            "id",
+            "v",
+            cent_id,
+            "__blk",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__nb") - 1)
+            ).alias("__q"),
+        )
+        .select(
+            "id",
+            "v",
+            cent_id,
+            "__blk",
+            F.least("__blk", "__q").alias("__lo"),
+            F.greatest("__blk", "__q").alias("__hi"),
+        )
+    )
+
+    def gemm_tile(key, pdf):
         import numpy as np
         import pandas as pd
 
-        if len(pdf) < 2:
+        _, lo, hi = key
+        if len(pdf) < 2 and lo == hi:
             return pd.DataFrame(columns=["id_a", "id_b", "similarity"])
-        ids = pdf["id"].to_numpy()
-        M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        return _cos_block(ids, M, ids, M, thr, nd, upper_only=True)
+        if lo == hi:
+            ids = pdf["id"].to_numpy()
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            return _cos_block(ids, M, ids, M, thr, nd, upper_only=True)
+        a = pdf[pdf["__blk"] == lo]
+        b = pdf[pdf["__blk"] == hi]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(columns=["id_a", "id_b", "similarity"])
+        return _cos_block(
+            a["id"].to_numpy(),
+            np.vstack(a["v"].to_numpy()).astype(np.float64),
+            b["id"].to_numpy(),
+            np.vstack(b["v"].to_numpy()).astype(np.float64),
+            thr,
+            nd,
+            upper_only=False,
+        )
 
-    return assigned.groupBy(cent_id).applyInPandas(
-        gemm, schema=_pair_schema(id_type)
+    return tasks.groupBy(cent_id, "__lo", "__hi").applyInPandas(
+        gemm_tile, schema=_pair_schema(id_type)
     )
 
 
@@ -101,6 +182,7 @@ def semantic_dedup(
     cent_id: str = "centroid_id",
     cent_vec: str = "centroid",
     assign_strategy: str = "auto",
+    tile_rows: Optional[int] = 8192,
 ) -> DataFrame:
     """The corpus minus semantic duplicates: every row that is the
     larger id of an over-threshold same-cluster pair is dropped
@@ -109,7 +191,7 @@ def semantic_dedup(
     pairs = semantic_dedup_pairs(
         df, emb_col, id_col, centroids, threshold,
         round_to=round_to, cent_id=cent_id, cent_vec=cent_vec,
-        assign_strategy=assign_strategy,
+        assign_strategy=assign_strategy, tile_rows=tile_rows,
     )
     drop = pairs.select(F.col("id_b").alias("__tv_drop")).distinct()
     return df.join(
