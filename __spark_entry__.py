@@ -4395,6 +4395,121 @@ def _unigram_vocab_sql() -> str:
     )
 
 
+def _unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer APPLY-path parity: per-language fertility
+    (pieces per word) of the trained unigram tokenizer next to the
+    BPE-ish regex tokenizer on the same corpus — the second
+    tokenizer's apply path gets the same oracle coverage as the
+    first's (docs_tokenizer_fertility pattern). Training is the
+    deterministic unigram_vocab recipe (vocab 64, seed 2000,
+    min_freq=2); the Arrow-batched Viterbi apply produces a
+    space-separated piece string whose token count is exactly
+    Σ per-word piece counts (the boundary marker fuses to each word's
+    first piece), so the per-lang sums are exact integers and
+    cross-engine parity is exact. Scale: training's one corpus pass +
+    one map-side tokenize projection + one lang-sized agg."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.unigram import (
+        unigram_tokenize,
+        unigram_train,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pieces = unigram_train(docs, "text", vocab_size=64, seed_size=2000)
+    tok = unigram_tokenize(docs, "text", pieces, out_col="__pc")
+    per = tok.select(
+        "lang",
+        F.when(F.length("__pc") == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.col("__pc"), " ")))
+        .cast("long")
+        .alias("__up"),
+        X.bpe_piece_count("text").alias("__bp"),
+        X.token_count("text").alias("__w"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__up").cast("long").alias("unigram_pieces"),
+        F.sum("__bp").cast("long").alias("bpe_pieces"),
+        F.round(
+            F.sum("__up").cast("double") / F.sum("__w").cast("double"), R
+        ).alias("unigram_ppw"),
+        F.round(
+            F.sum("__bp").cast("double") / F.sum("__w").cast("double"), R
+        ).alias("bpe_ppw"),
+    )
+
+
+def _unigram_fertility_sql() -> str:
+    """Hybrid oracle: n_docs / n_words / BPE pieces in real SQL over
+    the parquet (the docs_tokenizer_fertility expressions); the
+    unigram piece sums from the pure-Python twin (shared trainer +
+    shared Viterbi law — the unigram_vocab VALUES pattern applied to
+    the APPLY path) joined in per lang."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from tidyvec_spark.functions.text import BPE_PATTERN
+    from tidyvec_spark.operators.unigram import viterbi_segment
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    logp = {p: lp for p, _, lp in _unigram_vocab_expected(sf_dir)}
+    split = _re.compile("[ \\t\\n\\x0b\\f\\r]+").split
+    cache: dict[str, int] = {}
+
+    def word_pieces(w: str) -> int:
+        hit = cache.get(w)
+        if hit is None:
+            hit = len(viterbi_segment(w, logp, 8))
+            cache[w] = hit
+        return hit
+
+    sums: dict[str, int] = {}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    for lang, t in zip(tbl["lang"].to_pylist(), tbl["text"].to_pylist()):
+        if t is None:
+            continue
+        sums[lang] = sums.get(lang, 0) + sum(
+            word_pieces(w) for w in split(t.lower()) if w
+        )
+    vals = ",\n  ".join(
+        f"('{lang}', CAST({n} AS BIGINT))"
+        for lang, n in sorted(sums.items())
+    )
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH up AS (
+  SELECT * FROM (VALUES
+  {vals}
+  ) AS t(lang, unigram_pieces)
+),
+per AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS bp,
+         CAST(len({_TOKS}) AS BIGINT) AS w
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(bp) AS BIGINT) AS bpe_pieces
+  FROM per GROUP BY lang
+)
+SELECT agg.lang, n_docs, n_words, unigram_pieces, bpe_pieces,
+       ROUND(CAST(unigram_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), {R})
+         AS unigram_ppw,
+       ROUND(CAST(bpe_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), {R})
+         AS bpe_ppw
+FROM agg JOIN up ON agg.lang = up.lang
+"""
+
+
 _BPE_EXPECTED_CACHE: dict[str, list] = {}
 
 
@@ -11129,6 +11244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": _soft_dedup,
         "winnow_pairs": _winnow_pairs,
         "token_pmi": _token_pmi,
+        # round-9 additions (tail — the round-9 window is HELD; these
+        # get driver rows in a future rotation, the dynamic SUBSET
+        # checks them now; each locally verified at sf0.001 AND sf0.01
+        # via scripts/check_oracle.py when it landed):
+        "unigram_fertility": _unigram_fertility,
     }
 
 
@@ -11360,6 +11480,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_zscore": _DOCS_QUALITY_ZSCORE_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
         "unigram_vocab": _unigram_vocab_sql(),
+        "unigram_fertility": _unigram_fertility_sql(),
         "dedup_bucket_precision": _dedup_bucket_precision_sql(),
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
