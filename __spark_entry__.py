@@ -4322,6 +4322,85 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge training (operators/wordpiece.py, Schuster &
+    Nakajima 2012 / Devlin 2019): 12 likelihood-scored merges learned
+    from the documents corpus — the trainer trio's third objective
+    (count argmax = BPE, hard-EM prune = unigram, likelihood argmax =
+    WordPiece) over the same one-corpus-pass collapse. Scores are
+    exact-integer divisions (identical IEEE doubles in JVM and
+    CPython) and ties break lexicographically, so training is
+    bit-reproducible and the oracle is the expected merge table
+    precomputed by the pure-Python twin as VALUES literals — the
+    bpe_merges pattern."""
+    from tidyvec_spark.operators.wordpiece import wordpiece_train
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = wordpiece_train(docs, "text", num_merges=12)
+    return spark.createDataFrame(
+        [
+            (i, a, b, n, round(s, 10))
+            for i, (a, b, n, s) in enumerate(merges)
+        ],
+        "rank int, left string, right string, pair_count bigint,"
+        " score double",
+    )
+
+
+_WORDPIECE_EXPECTED_CACHE: dict[str, list] = {}
+
+
+def _wordpiece_merges_expected(sf_dir: str) -> list:
+    """Driver-free pure-Python twin of _wordpiece_merges: same tokens
+    law, same ##-continuation spelling, same trainer
+    (_wordpiece_train_local — shared by construction; the law under
+    test is the Spark corpus pass feeding it identical counts)."""
+    hit = _WORDPIECE_EXPECTED_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from tidyvec_spark.operators.wordpiece import _wordpiece_train_local
+
+    split = _re.compile("[ \\t\\n\\x0b\\f\\r]+").split
+    wf: dict[str, int] = {}
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    for t in tbl["text"].to_pylist():
+        if t is None:
+            continue
+        for w in split(t.lower()):
+            if w:
+                sym = " ".join(
+                    c if i == 0 else "##" + c for i, c in enumerate(w)
+                )
+                wf[sym] = wf.get(sym, 0) + 1
+    out = _wordpiece_train_local(wf, 12)
+    _WORDPIECE_EXPECTED_CACHE[sf_dir] = out
+    return out
+
+
+def _wordpiece_merges_sql() -> str:
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n  ".join(
+        f"(CAST({i} AS INT), {q(a)}, {q(b)}, CAST({n} AS BIGINT), "
+        f"CAST({round(s, 10)!r} AS DOUBLE))"
+        for i, (a, b, n, s) in enumerate(_wordpiece_merges_expected(sf_dir))
+    )
+    return (
+        'SELECT rank, "left", "right", pair_count, score FROM (VALUES\n  '
+        + vals
+        + '\n) AS t(rank, "left", "right", pair_count, score)'
+    )
+
+
 def _unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (operators/unigram.py — the
     hard-EM SentencePiece variant, Kudo 2018): one Spark pass
@@ -11249,6 +11328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks them now; each locally verified at sf0.001 AND sf0.01
         # via scripts/check_oracle.py when it landed):
         "unigram_fertility": _unigram_fertility,
+        "wordpiece_merges": _wordpiece_merges,
     }
 
 
@@ -11481,6 +11561,7 @@ def oracle_sql() -> dict[str, str]:
         # bit-reproducible training -> precomputed-VALUES oracle
         "unigram_vocab": _unigram_vocab_sql(),
         "unigram_fertility": _unigram_fertility_sql(),
+        "wordpiece_merges": _wordpiece_merges_sql(),
         "dedup_bucket_precision": _dedup_bucket_precision_sql(),
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle

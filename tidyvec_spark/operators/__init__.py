@@ -11,6 +11,11 @@ from tidyvec_spark.operators.unigram import (
     unigram_train,
     viterbi_segment,
 )
+from tidyvec_spark.operators.wordpiece import (
+    wordpiece_tokenize,
+    wordpiece_train,
+    wordpiece_vocab,
+)
 from tidyvec_spark.operators.bq import bq_encode, bq_pack_py, bq_topk
 from tidyvec_spark.operators.cluster import cluster_embeddings
 from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
@@ -95,6 +100,9 @@ __all__ = [
     "cdc_chunks",
     "unigram_tokenize",
     "unigram_train",
+    "wordpiece_tokenize",
+    "wordpiece_train",
+    "wordpiece_vocab",
     "viterbi_segment",
     "image_quality_flags",
     "image_quality_stats",
