@@ -4788,6 +4788,80 @@ WHERE doc_id % 97 <> 0
 """
 
 
+def _docs_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingest with malformed-record quarantine
+    (sources/warc.py): the corpus serialized as WARC response records
+    (minimal HTTP message payloads, ISO 28500 grammar) across 4
+    files, with every doc_id % 101 == 0 record emitted WITHOUT its
+    Content-Length header — the parser must quarantine exactly those
+    and RESYNC at the next record magic, so one bad record costs one
+    record. Clean rows must hash-match the originals for surviving
+    ids. Staging is fixture-side (WARC is binary; Spark has no binary
+    sink) — the READER is the distributed piece: one binaryFile scan
+    + one Arrow-batched mapInPandas, zero shuffle, file-granular
+    parallelism (the published Common Crawl processing model)."""
+    import os as _os
+    import tempfile
+
+    from tidyvec_spark.sources.warc import (
+        read_warc,
+        split_warc_corrupt,
+        warc_record_bytes,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="tv_warc_")
+    handles = [
+        open(_os.path.join(out, f"part-{i}.warc"), "wb") for i in range(4)
+    ]
+    try:
+        for r in docs.select("doc_id", "text").toLocalIterator():
+            did = int(r["doc_id"])
+            body = r["text"].encode("utf-8")
+            if did % 101 == 0:
+                rec = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    + f"WARC-Target-URI: http://corpus.local/doc/{did}"
+                    .encode()
+                    + b"\r\n\r\n"
+                    + body
+                    + b"\r\n\r\n"
+                )
+            else:
+                rec = warc_record_bytes(
+                    f"http://corpus.local/doc/{did}",
+                    body,
+                    f"urn:uuid:{did}",
+                )
+            handles[did % 4].write(rec)
+    finally:
+        for h in handles:
+            h.close()
+    raw = read_warc(spark, out).cache()
+    clean, bad = split_warc_corrupt(raw)
+    n_bad = bad.count()
+    return clean.select(
+        F.element_at(F.split("target_uri", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length(F.decode("payload", "UTF-8"))
+        .cast("long")
+        .alias("n_chars"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.lit(int(n_bad)).cast("long").alias("n_quarantined"),
+    )
+
+
+_DOCS_WARC_INGEST_SQL = """
+WITH bad AS (SELECT count(*) AS nb FROM documents WHERE doc_id % 101 = 0)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(200 AS INT) AS http_status,
+       CAST(bad.nb AS BIGINT) AS n_quarantined
+FROM documents, bad
+WHERE doc_id % 101 <> 0
+"""
+
+
 def _docs_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingest with quarantine (sources/delimited.py::
     read_csv_quarantine): the corpus serialized to CSV lines with
@@ -11329,6 +11403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via scripts/check_oracle.py when it landed):
         "unigram_fertility": _unigram_fertility,
         "wordpiece_merges": _wordpiece_merges,
+        "docs_warc_ingest": _docs_warc_ingest,
     }
 
 
@@ -11562,6 +11637,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_vocab": _unigram_vocab_sql(),
         "unigram_fertility": _unigram_fertility_sql(),
         "wordpiece_merges": _wordpiece_merges_sql(),
+        "docs_warc_ingest": _DOCS_WARC_INGEST_SQL,
         "dedup_bucket_precision": _dedup_bucket_precision_sql(),
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
