@@ -4788,6 +4788,65 @@ WHERE doc_id % 97 <> 0
 """
 
 
+def _docs_dedup_homoglyph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial exact dedup (functions/quality.py::
+    confusable_fold_expr): every doc_id % 7 == 0 document gets a
+    spoofed twin with Cyrillic а/е/о substituted for Latin a/e/o —
+    the classic hash-evasion trick that defeats every exact/MinHash/
+    SimHash stage at once while rendering identically. Dedup keyed on
+    the confusable-FOLDED text must collapse each twin onto its
+    original (group of 2, nonzero confusable count); the fold is one
+    translate() under the ordinary md5 key, zero extra plan cost."""
+    from tidyvec_spark.functions.quality import (
+        confusable_count,
+        confusable_fold_expr,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spoof = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.translate("text", "aeo", "аео").alias("text"),
+    )
+    corpus = docs.unionByName(spoof)
+    per = corpus.select(
+        "doc_id",
+        F.md5(confusable_fold_expr("text")).alias("__k"),
+        confusable_count("text").alias("__nc"),
+    )
+    return per.groupBy("__k").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").cast("long").alias("n_copies"),
+        F.sum("__nc").cast("long").alias("n_confusables"),
+    ).drop("__k")
+
+
+def _docs_dedup_homoglyph_sql() -> str:
+    from tidyvec_spark.functions.quality import (
+        CONFUSABLE_FROM,
+        CONFUSABLE_TO,
+    )
+
+    f = CONFUSABLE_FROM.replace("'", "''")
+    t = CONFUSABLE_TO.replace("'", "''")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, translate(text, 'aeo', 'аео')
+  FROM documents WHERE doc_id % 7 = 0
+),
+per AS (
+  SELECT doc_id, md5(translate(text, '{f}', '{t}')) AS k,
+         CAST(length(text) - length(translate(text, '{f}', ''))
+              AS BIGINT) AS nc
+  FROM corpus
+)
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(sum(nc) AS BIGINT) AS n_confusables
+FROM per GROUP BY k
+"""
+
+
 def _docs_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC crawl-archive ingest with malformed-record quarantine
     (sources/warc.py): the corpus serialized as WARC response records
@@ -11404,6 +11463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_fertility": _unigram_fertility,
         "wordpiece_merges": _wordpiece_merges,
         "docs_warc_ingest": _docs_warc_ingest,
+        "docs_dedup_homoglyph": _docs_dedup_homoglyph,
     }
 
 
@@ -11638,6 +11698,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_fertility": _unigram_fertility_sql(),
         "wordpiece_merges": _wordpiece_merges_sql(),
         "docs_warc_ingest": _DOCS_WARC_INGEST_SQL,
+        "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),
         "dedup_bucket_precision": _dedup_bucket_precision_sql(),
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle

@@ -526,3 +526,77 @@ def test_mojibake_counters(spark):
 def test_mojibake_is_map_side(documents):
     out = documents.select(Q.encoding_clean("text").alias("ok"))
     assert P.num_shuffles(out) == 0
+
+
+class TestConfusableFold:
+    """functions/quality.py::confusable_fold_expr / confusable_count —
+    the homoglyph-spoof counter-measure."""
+
+    def test_fold_collides_spoof_with_original(self, spark):
+        from pyspark.sql import functions as F
+
+        from tidyvec_spark.functions.quality import confusable_fold_expr
+
+        df = spark.createDataFrame(
+            [(1, "page with spam"),
+             (2, "раgе with sраm"),     # Cyrillic р/а/е
+             (3, "ｐａｇｅ with spam"),  # fullwidth
+             (4, "other text")],
+            "id INT, text STRING",
+        )
+        keys = {
+            r["id"]: r["k"]
+            for r in df.select(
+                "id", confusable_fold_expr("text").alias("k")
+            ).collect()
+        }
+        assert keys[1] == keys[2] == keys[3] == "page with spam"
+        assert keys[4] == "other text"
+
+    def test_count_flags_spoofed_latin(self, spark):
+        from tidyvec_spark.functions.quality import confusable_count
+
+        df = spark.createDataFrame(
+            [(1, "clean ascii"), (2, "sраm"), (3, None)],
+            "id INT, text STRING",
+        )
+        got = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id", confusable_count("text").alias("n")
+            ).collect()
+        }
+        assert got[1] == 0
+        assert got[2] == 2  # Cyrillic р and а
+        assert got[3] is None
+
+    def test_fold_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from tidyvec_spark.functions.quality import (
+            CONFUSABLE_FROM,
+            CONFUSABLE_TO,
+            confusable_fold_expr,
+        )
+
+        samples = ["раgе ｗith ｓрam", "Ηеllο Ѡоrld", "plain", "Ζ３х"]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "id INT, t STRING"
+        )
+        got = [
+            r["f"]
+            for r in df.select(confusable_fold_expr("t").alias("f"))
+            .orderBy("f").collect()
+        ]
+        f = CONFUSABLE_FROM.replace("'", "''")
+        t = CONFUSABLE_TO.replace("'", "''")
+        want = sorted(
+            duckdb.sql(
+                "SELECT translate(s, '" + f + "', '" + t + "') FROM ("
+                + " UNION ALL ".join(
+                    f"SELECT '{s}' AS s" for s in samples
+                )
+                + ")"
+            ).df().iloc[:, 0]
+        )
+        assert got == want

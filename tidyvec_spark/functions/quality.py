@@ -54,6 +54,8 @@ __all__ = [
     "encoding_clean",
     "blocklist_hits",
     "blocklist_keep",
+    "confusable_fold_expr",
+    "confusable_count",
 ]
 
 
@@ -286,6 +288,62 @@ def normalize_text_expr(c: ColumnOrName) -> Column:
     t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
     t = F.regexp_replace(t, "\\s+", " ")
     return F.trim(t)
+
+
+# Homoglyph confusables: the curated web-spam subset of Unicode
+# TR #39's confusables table — Cyrillic and Greek letters that render
+# identically to Basic Latin (the standard exact-dedup evasion: swap
+# 'a' U+0061 for 'а' U+0430 and every hash changes while every reader
+# sees the same page), plus the fullwidth Latin block U+FF01-FF5E
+# (another common spoof surface). Full TR39 needs ICU on both engines
+# — documented out of scope, same posture as normalize_text_expr's
+# NFKC note; this map covers the substitutions that occur in real
+# crawl spam. Each entry folds TO the Latin character it is confused
+# with; single translate(), so the fold composes with every existing
+# key function at zero plan cost.
+_CONF_PAIRS = (
+    # Cyrillic lowercase -> Latin
+    ("а", "a"), ("е", "e"), ("о", "o"), ("р", "p"), ("с", "c"),
+    ("у", "y"), ("х", "x"), ("ѕ", "s"), ("і", "i"), ("ј", "j"),
+    ("ԁ", "d"), ("ѡ", "w"), ("һ", "h"), ("ԛ", "q"), ("ᴦ", "r"),
+    # Cyrillic uppercase -> Latin
+    ("А", "A"), ("В", "B"), ("Е", "E"), ("З", "3"), ("К", "K"),
+    ("М", "M"), ("Н", "H"), ("О", "O"), ("Р", "P"), ("С", "C"),
+    ("Т", "T"), ("Х", "X"), ("Ѕ", "S"), ("І", "I"), ("Ј", "J"),
+    # Greek -> Latin
+    ("ο", "o"), ("ν", "v"), ("Α", "A"), ("Β", "B"), ("Ε", "E"),
+    ("Ζ", "Z"), ("Η", "H"), ("Ι", "I"), ("Κ", "K"), ("Μ", "M"),
+    ("Ν", "N"), ("Ο", "O"), ("Ρ", "P"), ("Τ", "T"), ("Υ", "Y"),
+    ("Χ", "X"),
+) + tuple(
+    # fullwidth ASCII block: ！..～ (U+FF01..U+FF5E) -> !..~
+    (chr(0xFF01 + i), chr(0x21 + i)) for i in range(0x5E)
+)
+
+CONFUSABLE_FROM = "".join(p[0] for p in _CONF_PAIRS)
+CONFUSABLE_TO = "".join(p[1] for p in _CONF_PAIRS)
+
+
+def confusable_fold_expr(c: ColumnOrName) -> Column:
+    """Text with homoglyph confusables folded to their Latin
+    look-alikes — run it under any dedup/fingerprint key so spoofed
+    duplicates (Cyrillic-а substitution farms, fullwidth spam)
+    collide with their originals instead of evading every
+    exact/MinHash/SimHash stage at once. One translate(), pure
+    codegen; the DuckDB twin applies the identical character map."""
+    return F.translate(_col(c), CONFUSABLE_FROM, CONFUSABLE_TO)
+
+
+def confusable_count(c: ColumnOrName) -> Column:
+    """How many confusable characters the text contains (length delta
+    against the text with confusables REMOVED) — a quality signal on
+    its own: Latin-script text with a nonzero count is overwhelmingly
+    spoofed or mis-encoded."""
+    col = _col(c)
+    return (
+        F.length(col)
+        - F.length(F.translate(col, CONFUSABLE_FROM, ""))
+    ).cast("long")
 
 
 def html_to_text_expr(c: ColumnOrName) -> Column:
