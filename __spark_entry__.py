@@ -1912,6 +1912,95 @@ FROM s
 """
 
 
+def _docs_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language mixture: line-level lang-id rolled up to
+    (n_lines, n_langs, dominant_lang, mixed) — mixed-language pages
+    are disproportionately boilerplate/navigation/spam, and a
+    document-level lang label hides them (CCNet §4.1 scores per
+    paragraph for exactly this reason). Lines are synthesized with
+    the engine's deterministic lining convention (' the ' → newline,
+    the c4_clean/dedup_lines fixture law); dominance is the per-doc
+    mode with the engine tie law (count desc, language code asc —
+    'und' counts as a label, so an undetectable page is dominantly
+    'und', not dropped). One map-side explode + two bounded aggs, no
+    data-sized shuffle beyond the per-doc rollup."""
+    from tidyvec_spark.functions import text as X
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.replace(
+                        F.col("text"), F.lit(" the "), F.lit("\n")
+                    ),
+                    "\n",
+                ),
+                lambda l: F.trim(l) != "",
+            )
+        ).alias("line"),
+    )
+    per_line = lined.select(
+        "doc_id", X.lang_id("line").alias("ll")
+    )
+    counts = per_line.groupBy("doc_id", "ll").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("ll"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_lines"),
+            F.count("*").cast("long").alias("n_langs"),
+            F.max(F.when(F.col("__rn") == 1, F.col("ll"))).alias(
+                "dominant_lang"
+            ),
+            (F.count("*") > 1).alias("mixed"),
+        )
+    )
+
+
+_DOCS_LANG_MIX_SQL = f"""
+WITH lined AS (
+  SELECT doc_id, replace(text, ' the ', chr(10)) AS t FROM documents
+),
+lx AS (
+  SELECT doc_id, ls[u.i] AS line
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined),
+       LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+  WHERE trim(ls[u.i]) <> ''
+),
+lt AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(lower(line), '\\s+'),
+                   t -> t <> '') AS toks FROM lx),
+s AS (SELECT doc_id, {_lang_sql_scores()} FROM lt),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS ll
+  FROM s
+),
+cnt AS (
+  SELECT doc_id, ll, count(*) AS c,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY count(*) DESC, ll ASC
+         ) AS rn
+  FROM lab GROUP BY doc_id, ll
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       max(CASE WHEN rn = 1 THEN ll END) AS dominant_lang,
+       count(*) > 1 AS mixed
+FROM cnt GROUP BY doc_id
+"""
+
+
 def _token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.functions import text as X
 
@@ -11464,6 +11553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_merges": _wordpiece_merges,
         "docs_warc_ingest": _docs_warc_ingest,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph,
+        "docs_lang_mix": _docs_lang_mix,
     }
 
 
@@ -11699,6 +11789,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_merges": _wordpiece_merges_sql(),
         "docs_warc_ingest": _DOCS_WARC_INGEST_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),
+        "docs_lang_mix": _DOCS_LANG_MIX_SQL,
         "dedup_bucket_precision": _dedup_bucket_precision_sql(),
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
