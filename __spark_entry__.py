@@ -9027,6 +9027,69 @@ def _docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via deterministic synchronous label
+    propagation (graph.py::label_propagation, Raghavan 2007) on the
+    out_links=1 LCG link graph — a sparse functional graph whose
+    undirected view is chains and cycles, so 4 rounds produce many
+    real communities (out_links=3 gives a near-expander that
+    collapses to one label — correct but non-discriminating). Where
+    the connected-components operators answer reachability, LPA's
+    majority vote resists single-bridge over-merges; the explicit
+    tie law (count desc, label asc) and fixed rounds make results
+    engine-portable, so the oracle replays the identical recurrence
+    as 4 generated CTE stages."""
+    from tidyvec_spark.operators.graph import (
+        label_propagation,
+        synthetic_link_graph,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs, "doc_id", out_links=1)
+    return label_propagation(edges, rounds=4).select(
+        F.col("id").alias("doc_id"), "community"
+    )
+
+
+def _docs_lpa_sql(rounds: int = 4) -> str:
+    head = """
+WITH
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+e AS (
+  SELECT DISTINCT CAST(d.doc_id AS BIGINT) AS src,
+         (d.doc_id * 7919 + t.j * 104729) % (SELECT n FROM nn) AS dst
+  FROM documents d, (SELECT unnest(range(1, 2)) AS j) t
+  WHERE d.doc_id <> (d.doc_id * 7919 + t.j * 104729) % (SELECT n FROM nn)
+),
+und AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT dst, src FROM e
+),
+l0 AS (SELECT DISTINCT a AS id, a AS community FROM und)"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+v{r} AS (
+  SELECT u.a AS id, l.community FROM und u JOIN l{p} l ON l.id = u.b
+  UNION ALL
+  SELECT id, community FROM l{p}
+),
+c{r} AS (
+  SELECT id, community, count(*) AS c,
+         row_number() OVER (
+           PARTITION BY id ORDER BY count(*) DESC, community ASC
+         ) AS rn
+  FROM v{r} GROUP BY id, community
+),
+l{r} AS (SELECT id, community FROM c{r} WHERE rn = 1)""")
+    parts.append(
+        f"\nSELECT id AS doc_id, community FROM l{rounds}"
+    )
+    return "".join(parts)
+
+
 # the oracle replays the identical integer recurrence as a recursive
 # CTE; the zero-weight SELF-LOOP on every node keeps nodes with no
 # inbound edges in the working table (the recursive term may reference
@@ -11554,6 +11617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_warc_ingest": _docs_warc_ingest,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph,
         "docs_lang_mix": _docs_lang_mix,
+        "docs_lpa_communities": _docs_lpa_communities,
     }
 
 
@@ -11790,6 +11854,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_warc_ingest": _DOCS_WARC_INGEST_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),
         "docs_lang_mix": _DOCS_LANG_MIX_SQL,
+        "docs_lpa_communities": _docs_lpa_sql(),
         "dedup_bucket_precision": _dedup_bucket_precision_sql(),
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle

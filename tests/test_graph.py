@@ -118,3 +118,64 @@ def test_pagerank_mass_conservation_without_dangling(spark):
     total = sum(r["rank"] for r in ranks.collect())
     assert n == 200
     assert 0.99 * n <= total <= n + 1e-6
+
+
+class TestLabelPropagation:
+    """graph.py::label_propagation — deterministic synchronous LPA."""
+
+    def test_two_triangles_bridge_split(self, spark):
+        from tidyvec_spark.operators.graph import label_propagation
+
+        # two triangles {1,2,3} and {10,11,12} joined by ONE bridge
+        # 3-10: the dense cores keep distinct communities because the
+        # single bridge vote never outvotes the internal majority
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12),
+             (3, 10)],
+            "src LONG, dst LONG",
+        )
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(edges, rounds=4).collect()
+        }
+        assert got[1] == got[2] == got[3] == 1
+        assert got[10] == got[11] == got[12] == 10
+        # a connected-components pass would merge all six
+
+    def test_deterministic_and_tie_law(self, spark):
+        from tidyvec_spark.operators.graph import label_propagation
+
+        # single edge: after round 1 both nodes hold {own, other} with
+        # equal counts -> tie law picks the SMALLEST label for both
+        edges = spark.createDataFrame([(5, 9)], "src LONG, dst LONG")
+        one = {
+            r["id"]: r["community"]
+            for r in label_propagation(edges, rounds=1).collect()
+        }
+        assert one == {5: 5, 9: 5}
+        # same input, same answer, any round count
+        for rounds in (2, 4):
+            again = {
+                r["id"]: r["community"]
+                for r in label_propagation(edges, rounds=rounds).collect()
+            }
+            assert again == {5: 5, 9: 5}
+
+    def test_rounds_zero_is_identity(self, spark):
+        from tidyvec_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame([(1, 2)], "src LONG, dst LONG")
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(edges, rounds=0).collect()
+        }
+        assert got == {1: 1, 2: 2}
+
+    def test_validation(self, spark):
+        import pytest as pt
+
+        from tidyvec_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame([(1, 2)], "src LONG, dst LONG")
+        with pt.raises(ValueError):
+            label_propagation(edges, rounds=-1)

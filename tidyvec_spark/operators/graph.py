@@ -193,3 +193,73 @@ def synthetic_link_graph(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007,
+    arXiv:0709.2938) over an undirected view of the edge list —
+    community detection as ``rounds`` fixed synchronous updates:
+    every node adopts the most frequent label among its neighbors
+    PLUS its own current label (the self-vote stabilizes oscillation
+    on bipartite-ish structure), ties broken by SMALLEST label.
+
+    Where connected components answer "what touches what", LPA
+    answers "what is DENSELY tied to what": a near-dup component
+    over-merged through one accidental bridge pair splits back into
+    its dense cores, because one bridge vote never outvotes a
+    community's internal majority. The deterministic synchronous form
+    (fixed rounds, explicit tie law, integer labels) is chosen over
+    the async converge-until-stable variant so results are
+    reproducible across runs, partitionings, and engines — the same
+    argument as pagerank's fixed-point arithmetic above.
+
+    Scale shape per round: ONE join of the label table to the
+    undirected edge list + ONE (node, label) count + a per-node
+    argmax window — the same bounded recurrence as a PageRank round;
+    label state is one (id, label) row per node and lineage is cut
+    per round. Labels start as the node's own id, so the output
+    community key is the smallest id that won each node's
+    neighborhood vote.
+
+    Returns ``(id, community)``.
+    """
+    if int(rounds) < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    from pyspark.sql import Window
+
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("community"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("c"), F.asc("community")
+    )
+    for _ in range(int(rounds)):
+        neigh = und.join(
+            labels, und["b"] == labels["id"]
+        ).select(F.col("a").alias("id"), "community")
+        votes = neigh.unionByName(labels)  # self-vote
+        labels = (
+            votes.groupBy("id", "community")
+            .agg(F.count("*").alias("c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "community")
+            .localCheckpoint(eager=False)
+        )
+    und.unpersist()
+    return labels
