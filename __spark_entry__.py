@@ -4490,6 +4490,155 @@ def _wordpiece_merges_sql() -> str:
     )
 
 
+def _wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece APPLY-path parity (the unigram_fertility pattern for
+    the trio's third tokenizer): per-language pieces-per-word of the
+    trained WordPiece vocabulary (12 merges, greedy longest-match
+    inference, [UNK] = 1 piece) next to the BPE-ish regex tokenizer.
+    The vocabulary is derived from the same word-frequency collapse
+    the trainer already collects (driver-finish envelope); the apply
+    itself is one Arrow-batched projection, the per-lang sums exact
+    integers."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.wordpiece import (
+        wordpiece_tokenize,
+        wordpiece_train,
+        wordpiece_vocab,
+        wordpiece_word_freq,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = wordpiece_train(docs, "text", num_merges=12)
+    wf = {
+        r["sym"]: int(r["freq"])
+        for r in wordpiece_word_freq(docs, "text").collect()
+    }
+    vocab = wordpiece_vocab(wf, merges)
+    tok = wordpiece_tokenize(docs, "text", vocab, out_col="__pc")
+    per = tok.select(
+        "lang",
+        F.when(F.length("__pc") == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.col("__pc"), " ")))
+        .cast("long")
+        .alias("__wp"),
+        X.bpe_piece_count("text").alias("__bp"),
+        X.token_count("text").alias("__w"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__wp").cast("long").alias("wordpiece_pieces"),
+        F.sum("__bp").cast("long").alias("bpe_pieces"),
+        F.round(
+            F.sum("__wp").cast("double") / F.sum("__w").cast("double"), R
+        ).alias("wordpiece_ppw"),
+        F.round(
+            F.sum("__bp").cast("double") / F.sum("__w").cast("double"), R
+        ).alias("bpe_ppw"),
+    )
+
+
+def _wordpiece_fertility_sql() -> str:
+    """Hybrid oracle (the unigram_fertility pattern): doc/word/BPE
+    sums in real SQL; WordPiece piece sums from a pure-Python twin
+    sharing the trainer, vocabulary derivation, and the greedy
+    longest-match law."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from tidyvec_spark.functions.text import BPE_PATTERN
+    from tidyvec_spark.operators.wordpiece import wordpiece_vocab
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    merges = _wordpiece_merges_expected(sf_dir)
+    split = _re.compile("[ \\t\\n\\x0b\\f\\r]+").split
+    wf: dict[str, int] = {}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    for t in tbl["text"].to_pylist():
+        if t is None:
+            continue
+        for w in split(t.lower()):
+            if w:
+                sym = " ".join(
+                    c if i == 0 else "##" + c for i, c in enumerate(w)
+                )
+                wf[sym] = wf.get(sym, 0) + 1
+    vocab = wordpiece_vocab(wf, merges)
+
+    cache: dict[str, int] = {}
+
+    def word_pieces(w: str) -> int:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        if len(w) > 100:
+            cache[w] = 1  # [UNK]
+            return 1
+        n, start = 0, 0
+        while start < len(w):
+            end = len(w)
+            found = None
+            while end > start:
+                piece = w[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                if piece in vocab:
+                    found = end
+                    break
+                end -= 1
+            if found is None:
+                cache[w] = 1  # [UNK]
+                return 1
+            n += 1
+            start = found
+        cache[w] = n
+        return n
+
+    sums: dict[str, int] = {}
+    for lang, t in zip(tbl["lang"].to_pylist(), tbl["text"].to_pylist()):
+        if t is None:
+            continue
+        sums[lang] = sums.get(lang, 0) + sum(
+            word_pieces(w) for w in split(t.lower()) if w
+        )
+    vals = ",\n  ".join(
+        f"('{lang}', CAST({n} AS BIGINT))"
+        for lang, n in sorted(sums.items())
+    )
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH wp AS (
+  SELECT * FROM (VALUES
+  {vals}
+  ) AS t(lang, wordpiece_pieces)
+),
+per AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS bp,
+         CAST(len({_TOKS}) AS BIGINT) AS w
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(bp) AS BIGINT) AS bpe_pieces
+  FROM per GROUP BY lang
+)
+SELECT agg.lang, n_docs, n_words, wordpiece_pieces, bpe_pieces,
+       ROUND(CAST(wordpiece_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), {R})
+         AS wordpiece_ppw,
+       ROUND(CAST(bpe_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), {R})
+         AS bpe_ppw
+FROM agg JOIN wp ON agg.lang = wp.lang
+"""
+
+
 def _unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (operators/unigram.py — the
     hard-EM SentencePiece variant, Kudo 2018): one Spark pass
@@ -11618,6 +11767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_homoglyph": _docs_dedup_homoglyph,
         "docs_lang_mix": _docs_lang_mix,
         "docs_lpa_communities": _docs_lpa_communities,
+        "wordpiece_fertility": _wordpiece_fertility,
     }
 
 
@@ -11855,6 +12005,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),
         "docs_lang_mix": _DOCS_LANG_MIX_SQL,
         "docs_lpa_communities": _docs_lpa_sql(),
+        "wordpiece_fertility": _wordpiece_fertility_sql(),
         "dedup_bucket_precision": _dedup_bucket_precision_sql(),
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
