@@ -766,6 +766,20 @@ def main() -> None:
         "bpe_train_driver_finish", 20_000,
         lambda: len(bpe_train(bdocs, "text", 16)),
     )
+    # WordPiece: same A/B — the likelihood argmax needs a second agg
+    # (symbol counts) per distributed merge, so the driver finish
+    # saves even more cluster round-trips than BPE's
+    from tidyvec_spark.operators.wordpiece import wordpiece_train
+
+    record(
+        "wordpiece_train_distributed", 20_000,
+        lambda: len(wordpiece_train(bdocs, "text", 16,
+                                    collect_threshold=0)),
+    )
+    record(
+        "wordpiece_train_driver_finish", 20_000,
+        lambda: len(wordpiece_train(bdocs, "text", 16)),
+    )
     bdocs.unpersist()
 
     print("\n== scaling summary (wall_s by size) ==")
