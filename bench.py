@@ -241,6 +241,14 @@ BENCH_QUERIES = [
     "unigram_vocab",
     "dedup_bucket_precision",
     "docs_novelty",
+    # round-9 additions
+    "wordpiece_merges",
+    "wordpiece_fertility",
+    "unigram_fertility",
+    "docs_warc_ingest",
+    "docs_dedup_homoglyph",
+    "docs_lang_mix",
+    "docs_lpa_communities",
 ]
 
 

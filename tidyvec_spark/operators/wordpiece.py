@@ -116,9 +116,10 @@ def _wordpiece_train_local(
         merges.append((a, b, n, top_score))
         pat = re.compile(_pair_pattern(a, b))
         repl = _merge_symbol(a, b)
+        probe = f"{a} {b}"  # cheap prefilter; the regex decides
         nv: dict = {}
         for sym, fq in vocab.items():
-            ns = pat.sub(lambda m: repl, sym)
+            ns = pat.sub(lambda m: repl, sym) if probe in sym else sym
             nv[ns] = nv.get(ns, 0) + fq
         vocab = nv
     return merges
