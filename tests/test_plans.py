@@ -716,3 +716,38 @@ def test_round8_entry_plan_shapes(spark, qs):
 
     df = qs["docs_novelty"](spark, SF)
     P.assert_no_cartesian(df)
+
+
+def test_round9_entry_plan_shapes(spark, qs):
+    """Round-9 additions: the 100 TB shapes, pinned.
+
+    - homoglyph dedup: the fold is map-side under the ordinary
+      groupBy — exactly one data-sized shuffle, no cartesian
+    - lang mix: explode + two bounded aggs (the per-doc window reuses
+      the (doc_id, lang) partitioning)
+    - WARC ingest: the READ side is one binaryFile scan + one Arrow
+      pass (file-granular parallelism) — zero shuffle before the
+      quarantine count
+    - fertility entries: map-side tokenize + one lang-sized agg
+    """
+    df = qs["docs_dedup_homoglyph"](spark, SF)
+    P.assert_no_cartesian(df)
+    assert P.num_shuffles(df) <= 2
+
+    df = qs["docs_lang_mix"](spark, SF)
+    P.assert_no_cartesian(df)
+    assert P.num_shuffles(df) <= 3
+
+    from tidyvec_spark.sources.warc import read_warc
+    import tempfile, os
+    from tidyvec_spark.sources.warc import warc_record_bytes
+
+    d = tempfile.mkdtemp(prefix="tv_warc_plan_")
+    with open(os.path.join(d, "p.warc"), "wb") as fh:
+        fh.write(warc_record_bytes("http://x/1", b"a", "u:1"))
+    assert P.num_shuffles(read_warc(spark, d)) == 0
+
+    df = qs["unigram_fertility"](spark, SF)
+    assert P.num_shuffles(df) <= 2
+    df = qs["wordpiece_fertility"](spark, SF)
+    assert P.num_shuffles(df) <= 2
