@@ -11757,10 +11757,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": _soft_dedup,
         "winnow_pairs": _winnow_pairs,
         "token_pmi": _token_pmi,
-        # round-9 additions (tail — the round-9 window is HELD; these
-        # get driver rows in a future rotation, the dynamic SUBSET
-        # checks them now; each locally verified at sf0.001 AND sf0.01
-        # via scripts/check_oracle.py when it landed):
+        # round-9 additions (tail — the round-9 window is HELD; the
+        # dynamic SUBSET checks them now; each locally verified at
+        # sf0.001 AND sf0.01 via scripts/check_oracle.py when it
+        # landed). ROUND-10 ROTATION QUEUE: these 7 are the only
+        # entries without driver rows once CORRECTNESS_r09 lands —
+        # rotate them into the round-10 window alongside the 9 spine
+        # reps; that leaves 34 slots for re-checks (post-fix
+        # semantics, high-churn composites, oldest-row entries):
         "unigram_fertility": _unigram_fertility,
         "wordpiece_merges": _wordpiece_merges,
         "docs_warc_ingest": _docs_warc_ingest,
