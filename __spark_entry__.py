@@ -5085,6 +5085,53 @@ FROM per GROUP BY k
 """
 
 
+def _docs_ict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse Cloze Task pair generation (operators/mining.py::
+    ict_pairs, Lee et al. 2019 §3.1): per document one hash-picked
+    sentence becomes the pseudo-query, the rest its positive context —
+    the self-supervised (query, passage) generator for retrieval
+    pre-training, closing the loop with hard_negative_pairs. Entirely
+    map-side codegen; the oracle replays the identical split / pick /
+    join laws with DuckDB list functions. The fixture corpus carries
+    no sentence punctuation, so sentence boundaries are synthesized
+    with the engine's deterministic lining convention (' the ' →
+    '. ', the c4_clean/dedup_lines law adapted to the operator's
+    period-split) — the operator itself runs its real default law."""
+    from tidyvec_spark.operators.mining import ict_pairs
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit(". ")).alias(
+            "text"
+        ),
+    )
+    return ict_pairs(docs, "text", "doc_id")
+
+
+_DOCS_ICT_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(replace(text, ' the ', '. '),
+                                 '\\.\\s+|\\.$'),
+           x -> trim(x) <> '') AS ss
+  FROM documents
+),
+p AS (
+  SELECT doc_id, ss, len(ss) AS n,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS UBIGINT) % len(ss) AS INT) AS qi
+  FROM s WHERE len(ss) >= 2
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_sentences,
+       trim(ss[qi + 1]) AS query,
+       trim(array_to_string(list_concat(ss[1:qi], ss[qi + 2:]), ' '))
+         AS context
+FROM p
+"""
+
+
 def _docs_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC crawl-archive ingest with malformed-record quarantine
     (sources/warc.py): the corpus serialized as WARC response records
@@ -11772,6 +11819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_mix": _docs_lang_mix,
         "docs_lpa_communities": _docs_lpa_communities,
         "wordpiece_fertility": _wordpiece_fertility,
+        "docs_ict_pairs": _docs_ict_pairs,
     }
 
 
@@ -12010,6 +12058,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_mix": _DOCS_LANG_MIX_SQL,
         "docs_lpa_communities": _docs_lpa_sql(),
         "wordpiece_fertility": _wordpiece_fertility_sql(),
+        "docs_ict_pairs": _DOCS_ICT_SQL,
         "dedup_bucket_precision": _dedup_bucket_precision_sql(),
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle

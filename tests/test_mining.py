@@ -141,3 +141,56 @@ def test_mutual_topk_pairs_null_and_empty_and_bound(spark):
 
     with pytest.raises(ValueError, match="collect_row_bound"):
         mutual_topk_pairs(df, "id", "v", k=1, collect_row_bound=1).count()
+
+
+def test_ict_pairs_hand_checked(spark):
+    """Inverse Cloze Task: the hash-picked sentence leaves the
+    context; remaining sentences join in order; short docs drop."""
+    from tidyvec_spark.functions.hashing import md5_long
+    from tidyvec_spark.operators.mining import ict_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha one. beta two. gamma three."),
+         (2, "only sentence"),          # n=1 -> dropped
+         (3, None)],                    # NULL -> dropped
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in ict_pairs(df, "text", "doc_id").collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert r["n_sentences"] == 3
+    sents = ["alpha one", "beta two", "gamma three"]
+    qi = df.sparkSession.range(1).select(
+        (md5_long(F.lit("1")) % 3).alias("q")
+    ).first()["q"]
+    assert r["query"] == sents[qi]
+    assert r["context"] == " ".join(s for i, s in enumerate(sents) if i != qi)
+
+
+def test_ict_pairs_salt_changes_pick_and_validation(spark):
+    from tidyvec_spark.operators.mining import ict_pairs
+
+    df = spark.createDataFrame(
+        [(7, "a one. b two. c three. d four. e five. f six. g seven. h eight.")],
+        "doc_id INT, text STRING",
+    )
+    picks = {
+        salt: ict_pairs(df, "text", "doc_id", salt=salt).first()["query"]
+        for salt in ("", "epoch1", "epoch2", "epoch3")
+    }
+    assert len(set(picks.values())) >= 2  # re-salting moves the pick
+    # deterministic per salt
+    assert picks[""] == ict_pairs(df, "text", "doc_id").first()["query"]
+
+    with pytest.raises(ValueError):
+        ict_pairs(df, "text", "doc_id", min_sentences=1)
+
+
+def test_ict_pairs_zero_shuffle(spark):
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.operators.mining import ict_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a one. b two.")], "doc_id INT, text STRING"
+    )
+    assert P.num_shuffles(ict_pairs(df, "text", "doc_id")) == 0

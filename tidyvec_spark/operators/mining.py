@@ -18,10 +18,10 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hard_negative_pairs", "mutual_topk_pairs"]
+__all__ = ["hard_negative_pairs", "ict_pairs", "mutual_topk_pairs"]
 
 
 def hard_negative_pairs(
@@ -256,4 +256,78 @@ def mutual_topk_pairs(
         )
         .filter((F.col("__has_f") == 1) & (F.col("__has_r") == 1))
         .select("a", "b", "sim")
+    )
+
+
+def ict_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_sentences: int = 2,
+    salt: str = "",
+) -> DataFrame:
+    """Inverse Cloze Task pairs (Lee et al. 2019, arXiv:1906.00300
+    §3.1): per document, one sentence becomes the pseudo-QUERY and the
+    remaining sentences its positive CONTEXT — the standard
+    self-supervised (query, passage) pair generator for retrieval /
+    embedding pre-training, no labels needed. Together with
+    :func:`hard_negative_pairs` this closes the loop: ICT makes the
+    positives, the miner makes the negatives.
+
+    Laws (identical in the DuckDB twin):
+    - sentence split: ``\\.\\s+|\\.$`` (period + whitespace, or the
+      text-final period; RE2-safe — no lookbehind, so the split eats
+      the periods and ``context`` joins surviving sentences with one
+      space);
+    - query pick: sentence index ``md5_long(salt || id) % n`` — the
+      engine-portable deterministic choice (``rand(seed)`` depends on
+      partitioning; the hash does not), re-saltable for fresh epochs;
+    - documents with fewer than ``min_sentences`` sentences yield no
+      pair (a query with an empty context teaches nothing).
+
+    Returns (``id_col``, n_sentences, query, context). Entirely
+    map-side single-pass codegen — zero shuffle, no Python."""
+    if int(min_sentences) < 2:
+        raise ValueError(
+            f"min_sentences must be >= 2, got {min_sentences}"
+        )
+    from tidyvec_spark.functions.hashing import md5_long
+    from tidyvec_spark.functions.text import let
+
+    def body(ss: Column) -> Column:
+        n = F.size(ss)
+        qi = F.pmod(
+            md5_long(
+                F.concat(F.lit(salt), F.col(id_col).cast("string"))
+            ),
+            n.cast("long"),
+        ).cast("int")
+        query = F.trim(F.element_at(ss, qi + 1))
+        context = F.trim(
+            F.array_join(
+                F.concat(
+                    F.slice(ss, 1, qi),
+                    F.slice(ss, qi + 2, F.greatest(n - qi - 1, F.lit(0))),
+                ),
+                " ",
+            )
+        )
+        return F.struct(
+            n.cast("long").alias("n_sentences"),
+            query.alias("query"),
+            context.alias("context"),
+        )
+
+    sentences = F.filter(
+        F.split(F.col(text_col), r"\.\s+|\.$"),
+        lambda s: F.trim(s) != "",
+    )
+    out = df.select(
+        id_col, let(sentences, body).alias("__ict")
+    ).filter(F.col("__ict.n_sentences") >= int(min_sentences))
+    return out.select(
+        id_col,
+        F.col("__ict.n_sentences").alias("n_sentences"),
+        F.col("__ict.query").alias("query"),
+        F.col("__ict.context").alias("context"),
     )
