@@ -1410,6 +1410,57 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (operators/sampling.py::
+    cluster_balanced_sample): every IVF cell capped at 20 rows by
+    salted-hash rank — dense embedding regions (template farms) stop
+    dominating the mixture, sparse regions survive whole. 16 fixed
+    centroids (vec_id < 16, the IVF-entry determinism convention);
+    the oracle replays assignment + the per-cell hash-rank quota."""
+    from tidyvec_spark.operators.sampling import cluster_balanced_sample
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return cluster_balanced_sample(
+        e, "embedding", "vec_id", cents, n_per_cluster=20, salt="bal9"
+    ).select("vec_id", "centroid_id")
+
+
+_EMBEDDING_BALANCED_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_distance(e.v, c.cv) ^ 2, 6), c.centroid_id
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (
+           PARTITION BY centroid_id
+           ORDER BY CAST(('0x' || substr(md5('bal9' ||
+                     CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT) ASC,
+                    vec_id ASC
+         ) AS rk
+  FROM assign
+)
+SELECT vec_id, centroid_id FROM ranked WHERE rk <= 20
+"""
+
+
 _PQ_M = 8  # 64-dim -> 8 subspaces of 8 dims; 16 codes each (seed rows)
 
 
@@ -11820,6 +11871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lpa_communities": _docs_lpa_communities,
         "wordpiece_fertility": _wordpiece_fertility,
         "docs_ict_pairs": _docs_ict_pairs,
+        "embedding_balanced_sample": _embedding_balanced_sample,
     }
 
 
@@ -12059,6 +12111,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lpa_communities": _docs_lpa_sql(),
         "wordpiece_fertility": _wordpiece_fertility_sql(),
         "docs_ict_pairs": _DOCS_ICT_SQL,
+        "embedding_balanced_sample": _EMBEDDING_BALANCED_SQL,
         "dedup_bucket_precision": _dedup_bucket_precision_sql(),
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle

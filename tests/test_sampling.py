@@ -357,3 +357,64 @@ def test_length_buckets_single_bucket_is_global(spark, documents):
     toks = documents.select(token_count("text").alias("ntok"))
     rep = length_buckets(toks, "ntok", n_buckets=1).collect()
     assert len(rep) == 1 and rep[0]["bucket"] == 0
+
+
+class TestClusterBalancedSample:
+    """sampling.py::cluster_balanced_sample — per-cell diversity quota."""
+
+    def test_quota_and_determinism(self, spark):
+        from pyspark.sql import functions as F
+
+        from tidyvec_spark.operators.sampling import cluster_balanced_sample
+
+        # two tight clusters of very different sizes: quota caps the
+        # dense one, keeps the sparse one whole
+        rows = [(i, [1.0 + (i % 5) * 1e-3, 0.0]) for i in range(40)]
+        rows += [(100 + i, [0.0, 1.0 + i * 1e-3]) for i in range(3)]
+        df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "centroid_id INT, centroid ARRAY<DOUBLE>",
+        )
+        out = cluster_balanced_sample(
+            df, "embedding", "vec_id", cents, n_per_cluster=5, salt="t"
+        )
+        per = {
+            r["centroid_id"]: r["n"]
+            for r in out.groupBy("centroid_id").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert per == {0: 5, 1: 3}  # dense capped, sparse whole
+        a = sorted(r["vec_id"] for r in out.collect())
+        b = sorted(
+            r["vec_id"]
+            for r in cluster_balanced_sample(
+                df, "embedding", "vec_id", cents, n_per_cluster=5, salt="t"
+            ).collect()
+        )
+        assert a == b  # deterministic
+        resalted = sorted(
+            r["vec_id"]
+            for r in cluster_balanced_sample(
+                df, "embedding", "vec_id", cents, n_per_cluster=5,
+                salt="other"
+            ).collect()
+        )
+        assert resalted != a  # a fresh draw moves the picks
+
+    def test_single_window_shuffle(self, spark):
+        from tidyvec_spark import plans as P
+        from tidyvec_spark.operators.sampling import cluster_balanced_sample
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "centroid_id INT, centroid ARRAY<DOUBLE>"
+        )
+        out = cluster_balanced_sample(
+            df, "embedding", "vec_id", cents, n_per_cluster=2
+        )
+        # assignment is map-side; the quota window is the ONE shuffle
+        assert P.num_shuffles(out) <= 1

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cluster_balanced_sample",
     "budget_sample",
     "keep_best_fraction",
     "hash_stratified_sample",
@@ -434,3 +435,46 @@ def keep_best_fraction(
         .filter(F.col("_pr") < float(q))
         .drop("_pr")
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    n_per_cluster: int,
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid",
+    salt: str = "",
+    assign_strategy: str = "auto",
+    keep_cluster: bool = True,
+) -> DataFrame:
+    """Diversity-first selection: cap every embedding-space REGION at
+    ``n_per_cluster`` rows — coverage over redundancy, the
+    cluster-balanced sampling step of diversity-aware data selection
+    (the sampling counterpart of ``semantic_dedup``: instead of
+    dropping near-identical pairs, each k-means cell keeps a fixed
+    quota, so dense template farms stop dominating the mixture while
+    sparse regions survive whole).
+
+    Pure composition of two existing laws — ``ann.ivf_assign``
+    (map-side nearest-centroid, zero shuffle) feeding
+    ``stratified_fixed_n`` on the centroid id (salted-hash rank, exact
+    per-stratum n, deterministic and engine-portable; re-salt for a
+    fresh draw). One scan + one per-cluster window; no corpus collect.
+    """
+    from tidyvec_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(
+        df,
+        emb_col,
+        id_col,
+        centroids,
+        cent_id=cent_id,
+        cent_vec=cent_vec,
+        strategy=assign_strategy,
+    )
+    out = stratified_fixed_n(
+        assigned, id_col, cent_id, int(n_per_cluster), salt=salt
+    )
+    return out if keep_cluster else out.drop(cent_id)
