@@ -11858,7 +11858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9 additions (tail — the round-9 window is HELD; the
         # dynamic SUBSET checks them now; each locally verified at
         # sf0.001 AND sf0.01 via scripts/check_oracle.py when it
-        # landed). ROUND-10 ROTATION QUEUE: these 7 are the only
+        # landed). ROUND-10 ROTATION QUEUE: the entries below are the only
         # entries without driver rows once CORRECTNESS_r09 lands —
         # rotate them into the round-10 window alongside the 9 spine
         # reps; that leaves 34 slots for re-checks (post-fix

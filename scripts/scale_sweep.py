@@ -751,6 +751,37 @@ def main() -> None:
         )
         docs.unpersist()
 
+    # WARC parse throughput: N records spread over 8 files (the
+    # file-granular parallelism model) — expect ~linear in total bytes;
+    # the per-record cost is one header scan + one payload slice.
+    import os as _os
+    import tempfile as _tempfile
+
+    from tidyvec_spark.sources.warc import read_warc, warc_record_bytes
+
+    def stage_warc(n_records):
+        d = _tempfile.mkdtemp(prefix="tv_warc_sweep_")
+        body = (b"x" * 900)  # ~1 KB records
+        handles = [
+            open(_os.path.join(d, f"p{i}.warc"), "wb") for i in range(8)
+        ]
+        for i in range(n_records):
+            handles[i % 8].write(
+                warc_record_bytes(f"http://h/{i}", body, f"u:{i}")
+            )
+        for h in handles:
+            h.close()
+        return d
+
+    wd = stage_warc(500)
+    materialize(read_warc(spark, wd))
+    for n in (20_000, 80_000, 320_000):
+        d = stage_warc(n)
+        record(
+            "warc_parse", n,
+            lambda: materialize(read_warc(spark, d)),
+        )
+
     # BPE: distributed per-merge loop vs the collect-threshold driver
     # finish (identical merge table) — the driver finish turns
     # num_merges cluster round-trips into one corpus job + local loop.
