@@ -435,3 +435,90 @@ def test_bmp_gray_decode_handles_any_stride_and_row_order(w, h, seed, topdown):
     )
     out = decode_bmp_gray(bytes(hdr) + bytes(px))
     assert out.tolist() == gray
+
+
+# ---------------------------------------------------------------------------
+# round-9 law properties: confusable fold, WordPiece roundtrip, ICT slots
+# ---------------------------------------------------------------------------
+
+words = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll",), max_codepoint=0x24F
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=5))
+@SET
+def test_confusable_fold_idempotent(spark, texts):
+    """fold(fold(x)) == fold(x): every fold target is Basic Latin /
+    ASCII, which the confusable map never maps FROM — so one pass is a
+    fixed point (a second cleaning pass can't change keys)."""
+    from tidyvec_spark.functions.quality import confusable_fold_expr
+
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    rows = df.select(
+        confusable_fold_expr("t").alias("one"),
+        confusable_fold_expr(confusable_fold_expr("t")).alias("two"),
+    ).collect()
+    for r in rows:
+        assert r["one"] == r["two"]
+
+
+@given(st.lists(words, min_size=1, max_size=6))
+@SET
+def test_wordpiece_tokenize_roundtrip_when_chars_covered(spark, ws):
+    """Whenever the vocabulary covers every character form of the
+    corpus, greedy longest-match never emits [UNK] and detokenization
+    is lossless (strip markers, join)."""
+    from tidyvec_spark.operators.wordpiece import (
+        _wordpiece_train_local,
+        wordpiece_tokenize,
+        wordpiece_vocab,
+    )
+
+    text = " ".join(ws)
+    wf: dict = {}
+    for w in ws:
+        sym = " ".join(c if i == 0 else "##" + c for i, c in enumerate(w))
+        wf[sym] = wf.get(sym, 0) + 1
+    merges = _wordpiece_train_local(dict(wf), 3)
+    vocab = wordpiece_vocab(wf, merges)
+    df = spark.createDataFrame([(1, text)], "id INT, text STRING")
+    out = wordpiece_tokenize(df, "text", vocab).first()["pieces"]
+    assert "[UNK]" not in out
+    rebuilt = " ".join(
+        p for p in out.replace(" ##", "").split(" ") if p
+    )
+    assert rebuilt == text.lower()
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc xyz", min_size=3, max_size=12).filter(
+            lambda s: s.strip()
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@SET
+def test_ict_pairs_slot_laws(spark, sents):
+    """The query is exactly one sentence slot; the context is the
+    in-order join of the others; n_sentences matches the split."""
+    from tidyvec_spark.operators.mining import ict_pairs
+
+    cleaned = [" ".join(s.split()) for s in sents if s.strip()]
+    if len(cleaned) < 2 or len(set(cleaned)) != len(cleaned):
+        return  # duplicate sentences make the slot index ambiguous
+    text = ". ".join(cleaned) + "."
+    df = spark.createDataFrame([(1, text)], "doc_id INT, text STRING")
+    r = ict_pairs(df, "text", "doc_id").first()
+    assert r["n_sentences"] == len(cleaned)
+    assert r["query"] in cleaned
+    qi = cleaned.index(r["query"])
+    assert r["context"] == " ".join(
+        s for i, s in enumerate(cleaned) if i != qi
+    )
