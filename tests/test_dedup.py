@@ -1169,3 +1169,30 @@ def test_bucket_grouping_superset_of_verified(spark):
 
     with pytest.raises(ValueError, match="method"):
         near_dup_groups(df, "text", "doc_id", method="nope")
+
+
+def test_exact_dedup_key_fn_seam_catches_homoglyph_spoofs(spark):
+    """The key_fn seam: exact dedup under the confusable-folded key
+    collapses a Cyrillic-spoofed copy the default law keeps."""
+    from tidyvec_spark.functions.quality import confusable_fold_expr
+    from tidyvec_spark.operators.dedup import (
+        drop_exact_dups,
+        exact_dup_groups,
+        normalized_text_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "page with spam"), (2, "раgе with sраm"), (3, "other")],
+        "doc_id INT, text STRING",
+    )
+    assert exact_dup_groups(df, "text", "doc_id").count() == 0
+    folded = lambda c: normalized_text_key(confusable_fold_expr(c))
+    g = exact_dup_groups(df, "text", "doc_id", key_fn=folded).collect()
+    assert len(g) == 1 and g[0]["n_copies"] == 2 and g[0]["keep_id"] == 1
+    kept = {
+        r["doc_id"]
+        for r in drop_exact_dups(
+            df, "text", "doc_id", key_fn=folded
+        ).collect()
+    }
+    assert kept == {1, 3}

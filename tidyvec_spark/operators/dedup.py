@@ -116,14 +116,22 @@ def dedup_binary_exact(
     return uniq.select(*df.columns).unionByName(kept)
 
 
-def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_dup_groups(
+    df: DataFrame, text_col: str, id_col: str, key_fn=None
+) -> DataFrame:
     """Groups of byte-identical (post-normalization) documents.
 
     hash → groupBy → filter: one shuffle on the 128-bit key, partial
     aggregation map-side. Returns (h, n_copies, keep_id = min id).
+
+    ``key_fn``: the canonicalization law (column fn text → key;
+    default :func:`normalized_text_key`) — plug e.g.
+    ``lambda c: normalized_text_key(confusable_fold_expr(c))`` to
+    catch homoglyph-spoofed copies without touching the plan shape.
     """
+    key_fn = key_fn or normalized_text_key
     return (
-        df.withColumn("h", normalized_text_key(text_col))
+        df.withColumn("h", key_fn(text_col))
         .groupBy("h")
         .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_copies") > 1)
@@ -159,8 +167,12 @@ def prefix_dup_groups(
     )
 
 
-def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def drop_exact_dups(
+    df: DataFrame, text_col: str, id_col: str, key_fn=None
+) -> DataFrame:
     """Keep the lowest-id representative of each exact-dup group.
+    ``key_fn`` plugs an alternative canonicalization law (see
+    :func:`exact_dup_groups`).
 
     groupBy-min(id) then join back on the hash key: the aggregation
     pre-combines map-side, so a document duplicated millions of times
@@ -170,7 +182,8 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     dedup exists to remove). The join is skew-tolerant under AQE and
     the keep-set is min-id per key, so results are unchanged.
     """
-    keyed = df.withColumn("__h", normalized_text_key(text_col))
+    key_fn = key_fn or normalized_text_key
+    keyed = df.withColumn("__h", key_fn(text_col))
     keep = keyed.groupBy("__h").agg(F.min(id_col).alias("__keep"))
     return (
         keyed.join(keep, "__h")

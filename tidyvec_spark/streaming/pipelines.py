@@ -261,6 +261,7 @@ def ingest_dedup_stream(
     text_col: str,
     id_col: str,
     index_hash_col: str = "h",
+    key_fn=None,
 ) -> DataFrame:
     """Landing-zone ingest dedup against the EXISTING corpus: arriving
     documents whose exact-dedup key is already in the persisted index
@@ -285,7 +286,10 @@ def ingest_dedup_stream(
     """
     from tidyvec_spark.operators.dedup import normalized_text_key
 
-    keyed = new_docs.withColumn("__ih", normalized_text_key(text_col))
+    # key_fn plugs an alternative canonicalization (e.g. the homoglyph
+    # confusable fold) — the index must be built under the SAME law
+    key_fn = key_fn or normalized_text_key
+    keyed = new_docs.withColumn("__ih", key_fn(text_col))
     fresh = keyed.join(
         index.select(F.col(index_hash_col).alias("__ih")).distinct(),
         "__ih",
