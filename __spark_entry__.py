@@ -4552,18 +4552,23 @@ def _wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers."""
     from tidyvec_spark.functions import text as X
     from tidyvec_spark.operators.wordpiece import (
+        _wordpiece_train_local,
         wordpiece_tokenize,
-        wordpiece_train,
         wordpiece_vocab,
         wordpiece_word_freq,
     )
 
     docs = _read(spark, sf_dir, "documents")
-    merges = wordpiece_train(docs, "text", num_merges=12)
+    # ONE corpus collapse + ONE collect: the driver-finish trainer is
+    # the documented identical law (wordpiece_train's own path under
+    # collect_threshold), so training reuses the same wf dict the
+    # vocabulary derivation needs instead of re-running the corpus
+    # pass inside wordpiece_train
     wf = {
         r["sym"]: int(r["freq"])
         for r in wordpiece_word_freq(docs, "text").collect()
     }
+    merges = _wordpiece_train_local(dict(wf), 12)
     vocab = wordpiece_vocab(wf, merges)
     tok = wordpiece_tokenize(docs, "text", vocab, out_col="__pc")
     per = tok.select(

@@ -194,3 +194,18 @@ def test_ict_pairs_zero_shuffle(spark):
         [(1, "a one. b two.")], "doc_id INT, text STRING"
     )
     assert P.num_shuffles(ict_pairs(df, "text", "doc_id")) == 0
+
+
+def test_ict_pairs_zero_sentence_docs_drop_cleanly(spark):
+    """ANSI-mode regression pin: an empty/whitespace/'...' document
+    (zero sentences) must DROP, never raise REMAINDER_BY_ZERO from the
+    hash pick or INVALID_ARRAY_INDEX from the slot lookup."""
+    from tidyvec_spark.operators.mining import ict_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "..."), (4, ". . ."),
+         (5, "one good. two good.")],
+        "doc_id INT, text STRING",
+    )
+    got = {r["doc_id"] for r in ict_pairs(df, "text", "doc_id").collect()}
+    assert got == {5}

@@ -37,6 +37,14 @@ def let(value: Column, body: Callable[[Column], Column]) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+# The engine word-boundary class, for PYTHON-side code that must match
+# tokens() exactly: Java/RE2 \s is ASCII-only, while Python str.split()
+# treats Unicode whitespace (NBSP, U+2028, ...) as separators — a
+# silent train/apply divergence. Every pandas_udf tokenizer splits with
+# this pattern, never str.split().
+ASCII_WS_PATTERN = r"[ \t\n\x0b\f\r]+"
+
+
 def tokens(c: ColumnOrName) -> Column:
     """Lowercased whitespace tokens, empties dropped (engine-wide
     tokenization; matches reference keyword scorer R/core.R:301-303)."""

@@ -261,5 +261,8 @@ def label_propagation(
             .select("id", "community")
             .localCheckpoint(eager=False)
         )
-    und.unpersist()
+    # deliberately NOT unpersisting `und` here: the whole function is
+    # lazy, so an unpersist now would drop the cache intent BEFORE the
+    # caller's first action and recompute the union+distinct edge
+    # build once per round — the same trap pagerank documents above
     return labels

@@ -134,10 +134,21 @@ def _exact_topk_edges_gemm(
         ]
     )
 
-    valid = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    # persisted so the guard count, the collect, and the lazy
+    # mapInPandas input below share ONE evaluation of df's lineage
+    # (which may be an expensive derived frame); deliberately left
+    # persisted — the frame is bounded by collect_row_bound rows and
+    # an eager unpersist here would drop the cache intent before the
+    # caller's action re-reads it as the anchor stream
+    valid = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .persist()
+    )
     if collect_row_bound is not None:
         n = valid.count()
         if n > int(collect_row_bound):
+            valid.unpersist()
             raise ValueError(
                 f"mutual_topk_pairs exact path would collect {n} rows "
                 f"(> collect_row_bound={collect_row_bound}); pass an "
@@ -145,6 +156,7 @@ def _exact_topk_edges_gemm(
             )
     rows = valid.collect()
     if not rows:
+        valid.unpersist()
         return df.sparkSession.createDataFrame([], out_schema)
     ids = np.array([r[0] for r in rows])
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
@@ -294,23 +306,36 @@ def ict_pairs(
     from tidyvec_spark.functions.hashing import md5_long
     from tidyvec_spark.functions.text import let
 
+    ms = int(min_sentences)
+
     def body(ss: Column) -> Column:
         n = F.size(ss)
+        # every law below sits inside WHEN(ok, ...): CaseWhen evaluates
+        # only the matched branch, so a zero-sentence document never
+        # reaches pmod(x, 0) / element_at past the end (both ANSI
+        # errors under Spark 4 defaults) — it produces NULL fields and
+        # the filter below drops it, as documented
+        ok = n >= F.lit(ms)
         qi = F.pmod(
             md5_long(
                 F.concat(F.lit(salt), F.col(id_col).cast("string"))
             ),
             n.cast("long"),
         ).cast("int")
-        query = F.trim(F.element_at(ss, qi + 1))
-        context = F.trim(
-            F.array_join(
-                F.concat(
-                    F.slice(ss, 1, qi),
-                    F.slice(ss, qi + 2, F.greatest(n - qi - 1, F.lit(0))),
-                ),
-                " ",
-            )
+        query = F.when(ok, F.trim(F.element_at(ss, qi + 1)))
+        context = F.when(
+            ok,
+            F.trim(
+                F.array_join(
+                    F.concat(
+                        F.slice(ss, 1, qi),
+                        F.slice(
+                            ss, qi + 2, F.greatest(n - qi - 1, F.lit(0))
+                        ),
+                    ),
+                    " ",
+                )
+            ),
         )
         return F.struct(
             n.cast("long").alias("n_sentences"),

@@ -400,11 +400,11 @@ def overlap_scorer(query: str):
     """
     import re
 
-    # the ENGINE tokenization law, not str.split(): Java/RE2 \s is
-    # ASCII-only while Python str.split() treats Unicode whitespace
-    # (NBSP etc.) as separators — a divergence both from the BM25
-    # stage feeding this scorer and from the DuckDB oracle
-    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    from tidyvec_spark.functions.text import ASCII_WS_PATTERN
+
+    # the ENGINE tokenization law, not str.split() (see the constant's
+    # note in functions/text.py)
+    _ws = re.compile(ASCII_WS_PATTERN)
     qset = frozenset(t for t in _ws.split(query.lower()) if t)
     denom = float(len(qset)) or 1.0
 

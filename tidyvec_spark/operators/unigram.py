@@ -239,8 +239,12 @@ def unigram_train(
     if int(min_freq) > 1:
         wf_df = wf_df.filter(F.col("freq") >= int(min_freq))
     if collect_threshold is not None:
+        # persist so the guard's count and the collect share ONE
+        # corpus pass (the bpe_train 'materialize once' idiom)
+        wf_df = wf_df.persist()
         n = wf_df.count()
         if n > int(collect_threshold):
+            wf_df.unpersist()
             raise ValueError(
                 f"unigram_train would collect {n} word-frequency rows "
                 f"(> collect_threshold={collect_threshold}); raise "
@@ -248,6 +252,8 @@ def unigram_train(
                 f"threshold explicitly"
             )
     wf = {r["w"]: int(r["freq"]) for r in wf_df.collect()}
+    if collect_threshold is not None:
+        wf_df.unpersist()
     return unigram_train_local(
         wf,
         vocab_size,
@@ -275,9 +281,11 @@ def unigram_tokenize_udf(
     boundaries the trainer counted."""
     import re
 
+    from tidyvec_spark.functions.text import ASCII_WS_PATTERN
+
     logp = {p: lp for p, _, lp in pieces}
     mpl = int(max_piece_len)
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    ws = re.compile(ASCII_WS_PATTERN)
 
     from pyspark.sql.functions import pandas_udf
 

@@ -270,7 +270,9 @@ def wordpiece_tokenize_udf(
 
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    from tidyvec_spark.functions.text import ASCII_WS_PATTERN
+
+    ws = re.compile(ASCII_WS_PATTERN)
 
     def segment(w: str) -> str:
         if len(w) > mwc:

@@ -141,7 +141,13 @@ def _walk_records(path: str, buf: bytes):
                 "file": path,
                 "record_offset": start,
                 "warc_type": headers.get("warc-type"),
-                "record_id": headers.get("warc-record-id"),
+                # same spelling law as clean rows (strip <>, empty ->
+                # NULL) so quarantine rows join back to re-fetched
+                # clean rows on record_id
+                "record_id": (
+                    headers.get("warc-record-id") or ""
+                ).strip("<>")
+                or None,
                 "target_uri": headers.get("warc-target-uri"),
                 "http_status": None,
                 "payload": None,
