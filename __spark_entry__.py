@@ -6621,6 +6621,55 @@ SELECT id, lbl AS component FROM l{iterations}
 """
 
 
+def _dedup_components_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bridge-resistant grouping path (near_dup_groups(
+    method='lpa')): the same verified MinHash-LSH pair graph, grouped
+    by 4 rounds of deterministic synchronous label propagation
+    instead of connected components — one accidental over-threshold
+    pair between two genuinely distinct dense groups merges them
+    under reachability but never outvotes either group's internal
+    majority under LPA. The oracle replays the pair pipeline plus the
+    identical vote/tie recurrence as 4 generated CTE stages (the
+    docs_lpa_communities pattern over the minhash edges)."""
+    from tidyvec_spark.operators.dedup import near_dup_groups
+
+    corpus = _dup_corpus(spark, sf_dir)
+    return near_dup_groups(
+        corpus, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5, method="lpa",
+    )
+
+
+def _dedup_lpa_sql(rounds: int = 4) -> str:
+    steps = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        steps.append(f"""v{r} AS MATERIALIZED (
+  SELECT u.a AS id, l.community FROM und u JOIN l{p} l ON l.id = u.b
+  UNION ALL
+  SELECT id, community FROM l{p}
+),
+c{r} AS MATERIALIZED (
+  SELECT id, community, count(*) AS c,
+         row_number() OVER (
+           PARTITION BY id ORDER BY count(*) DESC, community ASC
+         ) AS rn
+  FROM v{r} GROUP BY id, community
+),
+l{r} AS MATERIALIZED (SELECT id, community FROM c{r} WHERE rn = 1)""")
+    return f"""
+WITH pairs AS MATERIALIZED ({_MINHASH_LSH_SQL}),
+und AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS community FROM und),
+{", ".join(steps)}
+SELECT id, community AS component FROM l{rounds}
+"""
+
+
 def _dedup_components_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The clique-safe grouping path (operators/dedup.py::
     lsh_bucket_star_edges + near_dup_groups(method='bucket')): docs
@@ -11877,6 +11926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_fertility": _wordpiece_fertility,
         "docs_ict_pairs": _docs_ict_pairs,
         "embedding_balanced_sample": _embedding_balanced_sample,
+        "dedup_components_lpa": _dedup_components_lpa,
     }
 
 
@@ -12117,6 +12167,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_fertility": _wordpiece_fertility_sql(),
         "docs_ict_pairs": _DOCS_ICT_SQL,
         "embedding_balanced_sample": _EMBEDDING_BALANCED_SQL,
+        "dedup_components_lpa": _dedup_lpa_sql(),
         "dedup_bucket_precision": _dedup_bucket_precision_sql(),
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle

@@ -1196,3 +1196,41 @@ def test_exact_dedup_key_fn_seam_catches_homoglyph_spoofs(spark):
         ).collect()
     }
     assert kept == {1, 3}
+
+
+def test_near_dup_groups_lpa_resists_bridge_merge(spark):
+    """method='lpa': two dense near-dup groups joined by one bridge
+    document stay DISTINCT communities (the bridge vote never outvotes
+    a group's internal majority), where method='verify' (connected
+    components) merges everything reachable into one."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.dedup import near_dup_groups
+
+    a_words = "alpha beta gamma delta epsilon zeta eta theta"
+    b_words = "red orange yellow green blue indigo violet pink"
+    rows = [(i, f"{a_words} tail{i % 2}") for i in range(5)]
+    rows += [(10 + i, f"{b_words} tail{i % 2}") for i in range(5)]
+    # the bridge shares ~a third of its shingles with EACH side; at
+    # 16x1 banding it verifiably pairs with all ten core docs
+    rows += [(
+        99,
+        "gamma delta epsilon zeta eta theta "
+        "red orange yellow green blue indigo",
+    )]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    kw = dict(num_hashes=16, bands=16, shingle_n=2, threshold=0.2)
+    cc = near_dup_groups(df, "text", "doc_id", method="verify", **kw)
+    assert cc.select("component").distinct().count() == 1  # CC merged
+    got = {
+        r["id"]: r["component"]
+        for r in near_dup_groups(
+            df, "text", "doc_id", method="lpa", **kw
+        ).collect()
+    }
+    a_comms = {got[i] for i in range(5)}
+    b_comms = {got[10 + i] for i in range(5)}
+    assert len(a_comms) == 1 and len(b_comms) == 1
+    assert a_comms != b_comms    # LPA keeps the cores apart
+    assert got[99] in a_comms | b_comms  # the bridge joins ONE side

@@ -1375,6 +1375,7 @@ def near_dup_groups(
     shingle_n: int = 3,
     threshold: float = 0.5,
     method: str = "verify",
+    lpa_rounds: int = 4,
 ) -> DataFrame:
     """End-to-end fuzzy-dedup grouping. Returns (id, component) for
     every document that has at least one near-duplicate; documents
@@ -1398,7 +1399,32 @@ def near_dup_groups(
     (SlimPajama, BigCode) and the only viable regime when duplicates
     form large clusters; ``threshold`` is ignored. ~Linear on the
     same sweep corpus.
+
+    ``method="lpa"``: the verified pair graph grouped by
+    ``graph.label_propagation`` (``lpa_rounds`` synchronous rounds)
+    instead of connected components — the BRIDGE-RESISTANT middle
+    ground: one accidental over-threshold pair between two genuinely
+    distinct dense groups merges them under reachability, but never
+    outvotes either group's internal majority under LPA. Same pair
+    cost as ``verify``; the grouping stage is the PageRank recurrence
+    shape per round. Community keys are the winning member id, so the
+    keep-min-id tail works unchanged.
     """
+    if method == "lpa":
+        from tidyvec_spark.operators.graph import label_propagation
+
+        pairs = minhash_lsh_pairs(
+            df, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            threshold=threshold,
+        )
+        comps = label_propagation(
+            pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst")),
+            rounds=lpa_rounds,
+        ).select("id", F.col("community").alias("component"))
+        release(pairs)
+        return comps
     if method == "bucket":
         edges = lsh_bucket_star_edges(
             df, text_col, id_col,
