@@ -6641,33 +6641,18 @@ def _dedup_components_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_lpa_sql(rounds: int = 4) -> str:
-    steps = []
-    for r in range(1, rounds + 1):
-        p = r - 1
-        steps.append(f"""v{r} AS MATERIALIZED (
-  SELECT u.a AS id, l.community FROM und u JOIN l{p} l ON l.id = u.b
-  UNION ALL
-  SELECT id, community FROM l{p}
-),
-c{r} AS MATERIALIZED (
-  SELECT id, community, count(*) AS c,
-         row_number() OVER (
-           PARTITION BY id ORDER BY count(*) DESC, community ASC
-         ) AS rn
-  FROM v{r} GROUP BY id, community
-),
-l{r} AS MATERIALIZED (SELECT id, community FROM c{r} WHERE rn = 1)""")
-    return f"""
+    return (
+        f"""
 WITH pairs AS MATERIALIZED ({_MINHASH_LSH_SQL}),
 und AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b AS a, id_a AS b FROM pairs
 ),
-l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS community FROM und),
-{", ".join(steps)}
-SELECT id, community AS component FROM l{rounds}
-"""
+l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS community FROM und)"""
+        + _lpa_stages_sql(rounds, materialized=True)
+        + f"\nSELECT id, community AS component FROM l{rounds}\n"
+    )
 
 
 def _dedup_components_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9352,6 +9337,34 @@ def _docs_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_stages_sql(rounds: int, materialized: bool = False) -> str:
+    """The ONE generator of graph.label_propagation's vote/tie
+    recurrence as chained CTE stages (expects an ``und(a, b)``
+    undirected-edge CTE and an ``l0(id, community)`` init CTE in
+    scope; load-bearing laws: the self-vote UNION ALL and the
+    'count(*) DESC, community ASC' tie) — shared by every LPA oracle
+    so the law can never diverge between them."""
+    m = " MATERIALIZED" if materialized else ""
+    parts = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+v{r} AS{m} (
+  SELECT u.a AS id, l.community FROM und u JOIN l{p} l ON l.id = u.b
+  UNION ALL
+  SELECT id, community FROM l{p}
+),
+c{r} AS{m} (
+  SELECT id, community, count(*) AS c,
+         row_number() OVER (
+           PARTITION BY id ORDER BY count(*) DESC, community ASC
+         ) AS rn
+  FROM v{r} GROUP BY id, community
+),
+l{r} AS{m} (SELECT id, community FROM c{r} WHERE rn = 1)""")
+    return "".join(parts)
+
+
 def _docs_lpa_sql(rounds: int = 4) -> str:
     head = """
 WITH
@@ -9368,27 +9381,11 @@ und AS (
   SELECT dst, src FROM e
 ),
 l0 AS (SELECT DISTINCT a AS id, a AS community FROM und)"""
-    parts = [head]
-    for r in range(1, rounds + 1):
-        p = r - 1
-        parts.append(f""",
-v{r} AS (
-  SELECT u.a AS id, l.community FROM und u JOIN l{p} l ON l.id = u.b
-  UNION ALL
-  SELECT id, community FROM l{p}
-),
-c{r} AS (
-  SELECT id, community, count(*) AS c,
-         row_number() OVER (
-           PARTITION BY id ORDER BY count(*) DESC, community ASC
-         ) AS rn
-  FROM v{r} GROUP BY id, community
-),
-l{r} AS (SELECT id, community FROM c{r} WHERE rn = 1)""")
-    parts.append(
-        f"\nSELECT id AS doc_id, community FROM l{rounds}"
+    return (
+        head
+        + _lpa_stages_sql(rounds)
+        + f"\nSELECT id AS doc_id, community FROM l{rounds}"
     )
-    return "".join(parts)
 
 
 # the oracle replays the identical integer recurrence as a recursive

@@ -1418,13 +1418,26 @@ def near_dup_groups(
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
             threshold=threshold,
         )
-        comps = label_propagation(
+        labels = label_propagation(
             pairs.select(F.col("id_a").alias("src"),
                          F.col("id_b").alias("dst")),
             rounds=lpa_rounds,
-        ).select("id", F.col("community").alias("component"))
-        release(pairs)
-        return comps
+        )
+        # LPA is fully lazy (localCheckpoint(eager=False)): releasing
+        # the pair generator's signature cache HERE would drop it
+        # before the caller's first action re-runs the banded self-
+        # join (the trap graph.py documents). Ride every handle —
+        # the signature table AND LPA's undirected edge table — on
+        # the returned frame for release() after the terminal action.
+        # (the handle attribute does not survive .select, so collect
+        # handles BEFORE projecting)
+        handles = getattr(pairs, "_tidyvec_persisted", []) + getattr(
+            labels, "_tidyvec_persisted", []
+        )
+        return _with_persisted(
+            labels.select("id", F.col("community").alias("component")),
+            handles,
+        )
     if method == "bucket":
         edges = lsh_bucket_star_edges(
             df, text_col, id_col,

@@ -264,5 +264,9 @@ def label_propagation(
     # deliberately NOT unpersisting `und` here: the whole function is
     # lazy, so an unpersist now would drop the cache intent BEFORE the
     # caller's first action and recompute the union+distinct edge
-    # build once per round — the same trap pagerank documents above
+    # build once per round — the same trap pagerank documents above.
+    # Instead the handle rides on the result (the dedup.py pair-
+    # generator convention) so long-lived sessions can free it with
+    # operators.dedup.release(labels) after the terminal action.
+    labels._tidyvec_persisted = [und]
     return labels

@@ -136,10 +136,11 @@ def _exact_topk_edges_gemm(
 
     # persisted so the guard count, the collect, and the lazy
     # mapInPandas input below share ONE evaluation of df's lineage
-    # (which may be an expensive derived frame); deliberately left
-    # persisted — the frame is bounded by collect_row_bound rows and
-    # an eager unpersist here would drop the cache intent before the
-    # caller's action re-reads it as the anchor stream
+    # (which may be an expensive derived frame); an eager unpersist
+    # here would drop the cache intent before the caller's action
+    # re-reads it as the anchor stream, so the handle rides on the
+    # result (_tidyvec_persisted, the dedup pair-generator convention)
+    # for operators.dedup.release() after the terminal action
     valid = (
         df.filter(F.col(vec_col).isNotNull())
         .select(id_col, vec_col)
@@ -201,9 +202,11 @@ def _exact_topk_edges_gemm(
                 out_s.extend(sims[order])
             yield pd.DataFrame({"a": out_a, "b": out_b, "sim": out_s})
 
-    return valid.select(
+    out = valid.select(
         F.col(id_col).alias("__a"), F.col(vec_col).alias("__v")
     ).mapInPandas(run, schema=out_schema)
+    out._tidyvec_persisted = [valid]
+    return out
 
 
 def mutual_topk_pairs(
@@ -259,7 +262,7 @@ def mutual_topk_pairs(
         F.col("sim").alias("sim"),
         (F.col("a") < F.col("b")).alias("__fwd"),
     )
-    return (
+    out = (
         und.groupBy("a", "b")
         .agg(
             F.max(F.col("__fwd").cast("int")).alias("__has_f"),
@@ -269,6 +272,10 @@ def mutual_topk_pairs(
         .filter((F.col("__has_f") == 1) & (F.col("__has_r") == 1))
         .select("a", "b", "sim")
     )
+    # the GEMM stage's anchor cache rides through so callers can
+    # operators.dedup.release(out) after the terminal action
+    out._tidyvec_persisted = getattr(edges, "_tidyvec_persisted", [])
+    return out
 
 
 def ict_pairs(
