@@ -6772,6 +6772,30 @@ def _dedup_bucket_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherits banding's S-curve misses (pairs sharing no band) and is
     not 1.0 as a law. Eval-only truth side, same envelope as the
     other recall entries."""
+    return _grouping_precision(spark, sf_dir, "bucket")
+
+
+def _dedup_lpa_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same measured precision/recall eval for the LPA grouping
+    (near_dup_groups(method='lpa')) vs the exact >=0.5-Jaccard truth —
+    quantifying what the bridge-resistant majority vote gains over
+    reachability: LPA's implied pair set excludes cross-community
+    pairs that connected components would imply through bridges, so
+    its precision is >= the verify path's on bridge-y corpora, at the
+    cost of recall on pairs the vote splits. On THIS fixture dup
+    corpus (clean planted duplicates, no bridge structure) LPA and
+    reachability agree, so the row coincides with the bucket twin's —
+    the discriminating two-cores-one-bridge case is pinned in
+    tests/test_dedup.py. Eval-only truth side, same envelope as the
+    bucket twin."""
+    return _grouping_precision(spark, sf_dir, "lpa")
+
+
+def _grouping_precision(
+    spark: SparkSession, sf_dir: str, method: str
+) -> DataFrame:
+    """Shared builder for the grouping-quality evals: pairs implied by
+    near_dup_groups(method=...) components vs the exact truth."""
     from tidyvec_spark.operators.dedup import (
         near_dup_groups,
         ngram_jaccard_pairs,
@@ -6780,7 +6804,7 @@ def _dedup_bucket_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
     comps = near_dup_groups(
         corpus, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
-        method="bucket",
+        method=method,
     ).persist()
     a = comps.select(
         F.col("id").alias("id_a"), F.col("component").alias("__c")
@@ -6820,10 +6844,10 @@ def _dedup_bucket_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_bucket_precision_sql() -> str:
+def _grouping_precision_sql(comps_sql: str) -> str:
     return f"""
 WITH comps AS MATERIALIZED (
-  SELECT id, component FROM ({_dedup_components_bucket_sql()})
+  SELECT id, component FROM ({comps_sql})
 ),
 gp AS MATERIALIZED (
   SELECT a.id AS id_a, b.id AS id_b
@@ -11924,6 +11948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ict_pairs": _docs_ict_pairs,
         "embedding_balanced_sample": _embedding_balanced_sample,
         "dedup_components_lpa": _dedup_components_lpa,
+        "dedup_lpa_precision": _dedup_lpa_precision,
     }
 
 
@@ -12165,7 +12190,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_ict_pairs": _DOCS_ICT_SQL,
         "embedding_balanced_sample": _EMBEDDING_BALANCED_SQL,
         "dedup_components_lpa": _dedup_lpa_sql(),
-        "dedup_bucket_precision": _dedup_bucket_precision_sql(),
+        "dedup_bucket_precision": _grouping_precision_sql(
+            _dedup_components_bucket_sql()
+        ),
+        "dedup_lpa_precision": _grouping_precision_sql(_dedup_lpa_sql()),
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
         "bpe_merges": _bpe_merges_sql(),
