@@ -249,6 +249,10 @@ BENCH_QUERIES = [
     "docs_dedup_homoglyph",
     "docs_lang_mix",
     "docs_lpa_communities",
+    "docs_ict_pairs",
+    "embedding_balanced_sample",
+    "dedup_components_lpa",
+    "dedup_lpa_precision",
 ]
 
 
