@@ -491,6 +491,22 @@ def main() -> None:
                 shingle_n=3, method="bucket",
             )),
         )
+        # the bridge-resistant twin: verified pairs + 4 LPA rounds —
+        # pair cost dominates (same as verify); the grouping stage is
+        # the PageRank recurrence shape
+        if n <= doc_sizes[min(1, len(doc_sizes) - 1)]:
+            from tidyvec_spark.operators.dedup import release as _rel
+
+            def _lpa_run():
+                out = near_dup_groups(
+                    docs, "text", "doc_id", num_hashes=16, bands=4,
+                    shingle_n=3, method="lpa",
+                )
+                r = materialize(out)
+                _rel(out)
+                return r
+
+            record("dedup_groups_lpa", n, _lpa_run)
         docs.unpersist()
 
     # PageRank: 10 fixed-point iterations, nodes x 3 out-links. The
