@@ -34,13 +34,21 @@ from tidyvec_spark.operators.curriculum import (
     write_shuffled_shards,
 )
 from tidyvec_spark.operators.fusion import mean_pool_embeddings, rrf_fuse
-from tidyvec_spark.operators.graph import pagerank, synthetic_link_graph
+from tidyvec_spark.operators.graph import (
+    label_propagation,
+    pagerank,
+    synthetic_link_graph,
+)
 from tidyvec_spark.operators.lm import (
     bigram_counts,
     bigram_lm_perplexity,
     perplexity_buckets,
 )
-from tidyvec_spark.operators.mining import hard_negative_pairs
+from tidyvec_spark.operators.mining import (
+    hard_negative_pairs,
+    ict_pairs,
+    mutual_topk_pairs,
+)
 from tidyvec_spark.operators.importance import (
     dsir_log_ratios,
     dsir_top_k,
@@ -48,6 +56,7 @@ from tidyvec_spark.operators.importance import (
 )
 from tidyvec_spark.operators.sampling import (
     budget_sample,
+    cluster_balanced_sample,
     hash_stratified_sample,
     hash_unit,
     stratified_fixed_n,
@@ -144,6 +153,10 @@ __all__ = [
     "dsir_top_k",
     "dsir_weights",
     "hard_negative_pairs",
+    "ict_pairs",
+    "mutual_topk_pairs",
+    "label_propagation",
+    "cluster_balanced_sample",
     "mean_pool_embeddings",
     "mean_recall",
     "rrf_fuse",

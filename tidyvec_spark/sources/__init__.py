@@ -18,6 +18,11 @@ from tidyvec_spark.sources.layout import (
 )
 from tidyvec_spark.sources.delimited import read_csv_quarantine
 from tidyvec_spark.sources.jsonl import read_jsonl, split_corrupt
+from tidyvec_spark.sources.warc import (
+    read_warc,
+    split_warc_corrupt,
+    warc_record_bytes,
+)
 from tidyvec_spark.sources.webdataset import (
     read_webdataset,
     wds_key_of,
@@ -32,6 +37,9 @@ __all__ = [
     "parquet_file_stats",
     "read_csv_quarantine",
     "read_jsonl",
+    "read_warc",
+    "split_warc_corrupt",
+    "warc_record_bytes",
     "split_corrupt",
     "write_bucketed_table",
     "write_bucket_partitioned",
