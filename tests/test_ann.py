@@ -226,3 +226,52 @@ def test_cascade_topk_matches_exact_when_prefilter_covers(spark, emb):
     import pytest as pt
     with pt.raises(ValueError):
         matryoshka_cascade_topk(e, "embedding", "vec_id", q, k=10, prefilter=5)
+
+
+def test_ivf_assign_null_embedding_gets_null_cell(spark):
+    """The engine NULL-embedding law in assignment: a NULL vector gets
+    a NULL cent_id under BOTH strategies (no crash in the broadcast
+    path's vstack, no arbitrary pick from the literal path's NULL-field
+    struct ordering), and the row itself survives."""
+    from tidyvec_spark.operators.ann import ivf_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id INT, centroid ARRAY<DOUBLE>",
+    )
+    for strat in ("literal", "broadcast"):
+        got = {
+            r["vec_id"]: r["centroid_id"]
+            for r in ivf_assign(
+                df, "embedding", "vec_id", cents, strategy=strat
+            ).collect()
+        }
+        assert got == {1: 0, 2: None, 3: 1}, (strat, got)
+
+
+def test_semdedup_and_balanced_sample_skip_null_embeddings(spark):
+    from tidyvec_spark.operators.sampling import cluster_balanced_sample
+    from tidyvec_spark.operators.semdedup import semantic_dedup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, None)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id INT, centroid ARRAY<DOUBLE>"
+    )
+    pairs = semantic_dedup_pairs(
+        df, "embedding", "vec_id", cents, threshold=0.9
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    kept = {
+        r["vec_id"]
+        for r in cluster_balanced_sample(
+            df, "embedding", "vec_id", cents, n_per_cluster=5
+        ).collect()
+    }
+    assert kept == {1, 2}  # the NULL row is excluded, not quota'd

@@ -336,6 +336,11 @@ def ivf_assign(
 
     Every corpus column survives untouched; at 100 TB the assignment
     pass is one scan producing the partition/bucket key.
+
+    NULL embeddings get a NULL ``cent_id`` under BOTH strategies (the
+    engine-wide NULL-embedding law applied without dropping rows —
+    assignment is a projection, so the row survives and downstream
+    per-cluster consumers filter the NULL cell explicitly).
     """
     cents = [
         (r[cent_id], [float(x) for x in r[cent_vec]])
@@ -359,7 +364,12 @@ def ivf_assign(
                 ]
             )
         )
-        return df.withColumn(cent_id, best["c"])
+        # NULL embedding -> every distance NULL; struct ordering would
+        # otherwise pick an arbitrary centroid (NULL fields sort first)
+        return df.withColumn(
+            cent_id,
+            F.when(F.col(emb_col).isNotNull(), best["c"]),
+        )
     if strategy != "broadcast":
         raise ValueError(f"strategy must be auto|literal|broadcast, got {strategy!r}")
 
@@ -372,7 +382,9 @@ def ivf_assign(
     c2 = (C * C).sum(axis=1)
     nd = int(round_to)
     id_field = centroids.schema[cent_id].dataType
-    out_schema = T.StructType(df.schema.fields + [T.StructField(cent_id, id_field, False)])
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(cent_id, id_field, True)]
+    )
     emb = emb_col
 
     def assign(batches):
@@ -382,14 +394,25 @@ def ivf_assign(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.vstack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[emb]]
-            )
-            x2 = (X * X).sum(axis=1)
-            d2 = x2[:, None] + c2[None, :] - 2.0 * (X @ C.T)
-            d2 = np.round(np.maximum(d2, 0.0), nd)
             out = pdf.copy()
-            out[cent_id] = ids_arr[np.argmin(d2, axis=1)]
+            # NULL embeddings: NULL cent_id (the law above); np.vstack
+            # over a batch containing None would otherwise raise
+            mask = pdf[emb].notna().to_numpy()
+            out[cent_id] = pd.Series([None] * len(pdf), dtype=object)
+            if mask.any():
+                X = np.vstack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in pdf[emb][mask]
+                    ]
+                )
+                x2 = (X * X).sum(axis=1)
+                d2 = x2[:, None] + c2[None, :] - 2.0 * (X @ C.T)
+                d2 = np.round(np.maximum(d2, 0.0), nd)
+                picked = ids_arr[np.argmin(d2, axis=1)]
+                col = out[cent_id].to_numpy(dtype=object)
+                col[mask] = picked
+                out[cent_id] = col
             yield out
 
     return df.mapInPandas(assign, schema=out_schema)

@@ -465,8 +465,10 @@ def cluster_balanced_sample(
     """
     from tidyvec_spark.operators.ann import ivf_assign
 
+    # NULL embeddings cannot be placed in a cell (engine NULL law) —
+    # excluded explicitly rather than quota'd into a NULL stratum
     assigned = ivf_assign(
-        df,
+        df.filter(F.col(emb_col).isNotNull()),
         emb_col,
         id_col,
         centroids,

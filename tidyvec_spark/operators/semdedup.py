@@ -75,8 +75,13 @@ def semantic_dedup_pairs(
     import numpy as np  # noqa: F401  (kernel dependency, fail early)
 
     id_type = df.schema[id_col].dataType
+    # the engine-wide NULL-embedding law: a NULL vector is neither
+    # anchor nor candidate (it cannot be scored), so it never enters
+    # a cluster tile — and never reaches the GEMM's np.vstack
     assigned = ivf_assign(
-        ensure_parallelism(df).select(
+        ensure_parallelism(
+            df.filter(F.col(emb_col).isNotNull())
+        ).select(
             F.col(id_col).alias("id"),
             F.col(emb_col).cast("array<double>").alias("v"),
         ),
