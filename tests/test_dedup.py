@@ -1234,3 +1234,31 @@ def test_near_dup_groups_lpa_resists_bridge_merge(spark):
     assert len(a_comms) == 1 and len(b_comms) == 1
     assert a_comms != b_comms    # LPA keeps the cores apart
     assert got[99] in a_comms | b_comms  # the bridge joins ONE side
+
+
+def test_gemm_near_dup_paths_skip_null_embeddings(spark):
+    from tidyvec_spark.operators.ann import random_planes
+    from tidyvec_spark.operators.dedup import (
+        bucket_gemm_near_dup_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, None)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.9, num_blocks=2
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    planes = random_planes(2, nbits=2, seed=7)
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in bucket_gemm_near_dup_pairs(
+            df, "embedding", "vec_id", planes, threshold=0.9,
+        ).collect()
+    }
+    assert got2 == {(1, 2)}

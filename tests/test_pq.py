@@ -179,3 +179,35 @@ def test_ivfpq_scan_prunes_unprobed_lists(ivfpq_index, spark, tmp_path, emb):
     assert "PartitionFilters" in s and "centroid_id" in s
     assert P.num_shuffles(df) == 0
     assert P.has_take_ordered(df)
+
+
+def test_pq_encode_null_embedding_null_code_both_strategies(spark):
+    """Engine NULL law in the encoders: a NULL embedding gets a NULL
+    code under BOTH pq_encode strategies (parity — the literal path
+    would otherwise pick an arbitrary struct-min code through NULL
+    distances, the pandas path would crash vstack), and ivfpq_encode
+    simply has no index row for it."""
+    from tidyvec_spark.operators.pq import (
+        ivfpq_encode,
+        pq_codebooks_from_rows,
+        pq_encode,
+    )
+
+    seeds = [[float(i + j) for j in range(8)] for i in range(4)]
+    books = pq_codebooks_from_rows(seeds, m=2)
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    for strat in ("literal", "pandas"):
+        got = {
+            r["vec_id"]: r["pq_code"]
+            for r in pq_encode(
+                df, "embedding", books, strategy=strat
+            ).collect()
+        }
+        assert got[2] is None, strat
+        assert got[1] is not None and len(got[1]) == 2, strat
+    idx = ivfpq_encode(
+        df, "embedding", "vec_id", [[0.0] * 8], books
+    ).collect()
+    assert [r["vec_id"] for r in idx] == [1]

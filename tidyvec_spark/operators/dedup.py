@@ -831,8 +831,10 @@ def embedding_near_dup_pairs(
     nb = int(num_blocks)
     if nb < 1:
         raise ValueError(f"num_blocks must be >= 1, got {num_blocks}")
+    # NULL embeddings are not candidates (the engine NULL law) and
+    # would crash the tile GEMM's vstack
     src = ensure_parallelism(
-        df.select(
+        df.filter(F.col(emb_col).isNotNull()).select(
             F.col(id_col).alias("id"),
             F.col(emb_col).cast("array<double>").alias("v"),
         )
@@ -925,7 +927,11 @@ def bucket_gemm_near_dup_pairs(
     nb = int(sub_blocks)
     if nb < 1:
         raise ValueError(f"sub_blocks must be >= 1, got {sub_blocks}")
-    src = ensure_parallelism(df).select(
+    # NULL embeddings are not candidates (the engine NULL law) and
+    # would crash the per-bucket GEMM's vstack
+    src = ensure_parallelism(
+        df.filter(F.col(emb_col).isNotNull())
+    ).select(
         F.col(id_col).alias("id"),
         F.col(emb_col).cast("array<double>").alias("v"),
     ).withColumn("__bucket", hyperplane_bucket_expr("v", planes))

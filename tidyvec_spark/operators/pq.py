@@ -126,8 +126,15 @@ def pq_encode(
     if strategy == "auto":
         strategy = "literal" if n_floats <= LITERAL_ENCODE_MAX_FLOATS else "pandas"
     if strategy == "literal":
+        # NULL embedding -> NULL code (not an arbitrary struct-min
+        # pick through NULL distance fields) — strategy parity with
+        # the pandas path below
         return df.withColumn(
-            code_col, pq_encode_expr(emb_col, codebooks, round_to)
+            code_col,
+            F.when(
+                F.col(emb_col).isNotNull(),
+                pq_encode_expr(emb_col, codebooks, round_to),
+            ),
         )
     if strategy != "pandas":
         raise ValueError(f"strategy must be auto|literal|pandas, got {strategy!r}")
@@ -142,7 +149,7 @@ def pq_encode(
     nd = int(round_to)
     out_schema = T.StructType(
         df.schema.fields
-        + [T.StructField(code_col, T.ArrayType(T.IntegerType(), False), False)]
+        + [T.StructField(code_col, T.ArrayType(T.IntegerType(), False), True)]
     )
     emb = emb_col
 
@@ -150,18 +157,30 @@ def pq_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[emb]])
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for j in range(m):
-                Xj = X[:, j * dsub:(j + 1) * dsub]
-                d2 = (
-                    (Xj * Xj).sum(axis=1)[:, None]
-                    + b2[j][None, :]
-                    - 2.0 * (Xj @ books[j].T)
-                )
-                codes[:, j] = np.argmin(np.round(d2, nd), axis=1)
             out = pdf.copy()
-            out[code_col] = [row.tolist() for row in codes]
+            # NULL embedding -> NULL code (engine NULL law; vstack
+            # over a batch containing None would otherwise raise)
+            mask = pdf[emb].notna().to_numpy()
+            col = [None] * len(pdf)
+            if mask.any():
+                X = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[emb][mask]]
+                )
+                codes = np.empty((int(mask.sum()), m), dtype=np.int32)
+                for j in range(m):
+                    Xj = X[:, j * dsub:(j + 1) * dsub]
+                    d2 = (
+                        (Xj * Xj).sum(axis=1)[:, None]
+                        + b2[j][None, :]
+                        - 2.0 * (Xj @ books[j].T)
+                    )
+                    codes[:, j] = np.argmin(np.round(d2, nd), axis=1)
+                ki = 0
+                for i, ok in enumerate(mask):
+                    if ok:
+                        col[i] = codes[ki].tolist()
+                        ki += 1
+            out[code_col] = col
             yield out
 
     return df.mapInPandas(encode, schema=out_schema)
@@ -269,6 +288,10 @@ def ivfpq_encode(
         import pandas as pd
 
         for pdf in batches:
+            # NULL embeddings cannot be indexed (engine NULL law): the
+            # index row simply doesn't exist, like a NULL key in any
+            # other index build — and vstack would otherwise raise
+            pdf = pdf[pdf[emb].notna()]
             if len(pdf) == 0:
                 continue
             X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[emb]])
