@@ -477,6 +477,7 @@ def main() -> None:
     # edges are O(n·bands) — the published large-scale MinHashLSH-dedup
     # behavior. Same corpus, same banding.
     from tidyvec_spark.operators.dedup import near_dup_groups
+    from tidyvec_spark.operators.dedup import release as _rel
 
     wg = synth_docs(spark, 500).persist()
     materialize(near_dup_groups(wg, "text", "doc_id", method="bucket"))
@@ -495,7 +496,6 @@ def main() -> None:
         # pair cost dominates (same as verify); the grouping stage is
         # the PageRank recurrence shape
         if n <= doc_sizes[min(1, len(doc_sizes) - 1)]:
-            from tidyvec_spark.operators.dedup import release as _rel
 
             def _lpa_run():
                 out = near_dup_groups(

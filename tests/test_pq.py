@@ -211,3 +211,27 @@ def test_pq_encode_null_embedding_null_code_both_strategies(spark):
         df, "embedding", "vec_id", [[0.0] * 8], books
     ).collect()
     assert [r["vec_id"] for r in idx] == [1]
+
+
+def test_pq_adc_topk_excludes_null_codes(spark):
+    """The NULL-code law propagates to scoring: a NULL-embedding row
+    must never rank (previously a NULL LUT index could fabricate a
+    rank-1 distance)."""
+    from tidyvec_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+        pq_encode,
+    )
+
+    seeds = [[float(i + j) for j in range(8)] for i in range(4)]
+    books = pq_codebooks_from_rows(seeds, m=2)
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None), (3, [2.0] * 8)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    codes = pq_encode(df, "embedding", books).select("vec_id", "pq_code")
+    got = pq_adc_topk(
+        codes, "pq_code", "vec_id", [3.0] * 8, books, k=3
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 2 not in ids and set(ids) == {1, 3}

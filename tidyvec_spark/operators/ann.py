@@ -398,7 +398,7 @@ def ivf_assign(
             # NULL embeddings: NULL cent_id (the law above); np.vstack
             # over a batch containing None would otherwise raise
             mask = pdf[emb].notna().to_numpy()
-            out[cent_id] = pd.Series([None] * len(pdf), dtype=object)
+            col = np.full(len(pdf), None, dtype=object)
             if mask.any():
                 X = np.vstack(
                     [
@@ -409,10 +409,8 @@ def ivf_assign(
                 x2 = (X * X).sum(axis=1)
                 d2 = x2[:, None] + c2[None, :] - 2.0 * (X @ C.T)
                 d2 = np.round(np.maximum(d2, 0.0), nd)
-                picked = ids_arr[np.argmin(d2, axis=1)]
-                col = out[cent_id].to_numpy(dtype=object)
-                col[mask] = picked
-                out[cent_id] = col
+                col[mask] = ids_arr[np.argmin(d2, axis=1)]
+            out[cent_id] = col
             yield out
 
     return df.mapInPandas(assign, schema=out_schema)

@@ -175,11 +175,8 @@ def pq_encode(
                         - 2.0 * (Xj @ books[j].T)
                     )
                     codes[:, j] = np.argmin(np.round(d2, nd), axis=1)
-                ki = 0
-                for i, ok in enumerate(mask):
-                    if ok:
-                        col[i] = codes[ki].tolist()
-                        ki += 1
+                for i, row in zip(np.flatnonzero(mask), codes):
+                    col[i] = row.tolist()
             out[code_col] = col
             yield out
 
@@ -220,7 +217,11 @@ def pq_adc_topk(
     """Approximate top-k over the CODE column only: per row, ``m``
     lookup-table reads and a sum — the stored vectors are never
     touched (column pruning drops them at the scan). Ends in
-    TakeOrderedAndProject. Returns (id, adc_dist) ascending."""
+    TakeOrderedAndProject. Returns (id, adc_dist) ascending.
+
+    NULL codes (pq_encode's law for NULL embeddings) are excluded —
+    a row with no code has no distance and must never rank (a NULL
+    index into the LUT would otherwise fabricate one)."""
     luts = pq_adc_luts(
         query_vec, codebooks, round_to=round_to if round_to is not None else 6
     )
@@ -231,7 +232,8 @@ def pq_adc_topk(
     if round_to is not None:
         dist = F.round(dist, round_to)
     return (
-        df.withColumn(dist_col, dist)
+        df.filter(F.col(code_col).isNotNull())
+        .withColumn(dist_col, dist)
         .orderBy(F.asc(dist_col), F.asc(id_col))
         .limit(int(k))
         .select(id_col, dist_col)
