@@ -1520,6 +1520,57 @@ SELECT vec_id, adc_dist FROM dist ORDER BY adc_dist, vec_id LIMIT 10
 """
 
 
+def _pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-error eval (operators/pq.py::
+    pq_reconstruction_err_expr): per-vector L2 distance between the
+    original and its PQ-decoded approximation under the same m=8 /
+    16-codeword budget as pq_adc_topk — the quantization-quality
+    number next to the speed number. Subspace distances share the
+    encoder's rounded-argmin law and sum in fixed subspace order, so
+    parity is exact; one map-side projection."""
+    from tidyvec_spark.operators.pq import (
+        pq_codebooks_from_rows,
+        pq_reconstruction_err_expr,
+    )
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seeds = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    books = pq_codebooks_from_rows(seeds, m=_PQ_M)
+    return e.select(
+        "vec_id",
+        F.round(
+            pq_reconstruction_err_expr("embedding", books), R
+        ).alias("recon_err"),
+    )
+
+
+_PQ_RECON_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+js AS (SELECT unnest(range(8)) AS j),
+cb AS (SELECT j, vec_id AS c, v[j*8+1 : j*8+8] AS cv FROM e, js WHERE vec_id < 16),
+sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv FROM e, js),
+md AS (
+  SELECT s.vec_id, s.j,
+         min(ROUND(list_distance(s.sv, cb.cv) ^ 2, 6)) AS d
+  FROM sub s JOIN cb ON cb.j = s.j
+  GROUP BY s.vec_id, s.j
+),
+tot AS (
+  -- fixed subspace order: fold the j-ordered list left-to-right,
+  -- matching the Spark expression's j-ascending sum
+  SELECT vec_id,
+         list_sum(list(d ORDER BY j)) AS t
+  FROM md GROUP BY vec_id
+)
+SELECT vec_id, ROUND(sqrt(t), {R}) AS recon_err FROM tot
+"""
+
+
 def _ann_ivf_topk_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF at production-shaped k: 256 fixed centroids — past the
     literal-projection ceiling (operators/ann.py::LITERAL_ASSIGN_MAX_K),
@@ -11949,6 +12000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_balanced_sample": _embedding_balanced_sample,
         "dedup_components_lpa": _dedup_components_lpa,
         "dedup_lpa_precision": _dedup_lpa_precision,
+        "pq_reconstruction": _pq_reconstruction,
     }
 
 
@@ -12194,6 +12246,7 @@ def oracle_sql() -> dict[str, str]:
             _dedup_components_bucket_sql()
         ),
         "dedup_lpa_precision": _grouping_precision_sql(_dedup_lpa_sql()),
+        "pq_reconstruction": _PQ_RECON_SQL,
         "docs_novelty": _DOCS_NOVELTY_SQL,
         # bit-reproducible training -> precomputed-VALUES oracle
         "bpe_merges": _bpe_merges_sql(),

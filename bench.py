@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "embedding_balanced_sample",
     "dedup_components_lpa",
     "dedup_lpa_precision",
+    "pq_reconstruction",
 ]
 
 

@@ -235,3 +235,56 @@ def test_pq_adc_topk_excludes_null_codes(spark):
     ).collect()
     ids = [r["vec_id"] for r in got]
     assert 2 not in ids and set(ids) == {1, 3}
+
+
+def test_pq_reconstruction_err_expr_matches_numpy(spark):
+    """The reconstruction-error expression equals an independent numpy
+    decode-and-measure, and zero error on a vector that IS a codeword
+    concatenation."""
+    import math
+
+    import numpy as np
+
+    from tidyvec_spark.operators.pq import (
+        pq_codebooks_from_rows,
+        pq_encode,
+        pq_reconstruction_err_expr,
+    )
+
+    rng = np.random.RandomState(3)
+    seeds = [list(map(float, rng.randn(8))) for _ in range(4)]
+    books = pq_codebooks_from_rows(seeds, m=2)
+    # vec 1: random; vec 2: exactly codeword 0 || codeword 1 (err 0)
+    exact = list(books[0][0]) + list(books[1][1])
+    df = spark.createDataFrame(
+        [(1, list(map(float, rng.randn(8)))), (2, exact), (3, None)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r["vec_id"]: r["e"]
+        for r in df.select(
+            "vec_id",
+            F.round(
+                pq_reconstruction_err_expr("embedding", books), 6
+            ).alias("e"),
+        ).collect()
+    }
+    assert got[2] == 0.0
+    assert got[3] is None
+    # independent check: decode via the encoder's codes, measure L2
+    codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(df, "embedding", books).collect()
+    }
+    x = np.array(df.filter(F.col("vec_id") == 1).first()["embedding"])
+    dec = np.concatenate(
+        [np.array(books[j][codes[1][j]]) for j in range(2)]
+    )
+    # the expression sums ROUNDED subspace distances; reproduce that
+    want = math.sqrt(
+        sum(
+            round(float(((x[j*4:(j+1)*4] - dec[j*4:(j+1)*4]) ** 2).sum()), 6)
+            for j in range(2)
+        )
+    )
+    assert abs(got[1] - round(want, 6)) <= 1e-6

@@ -379,3 +379,37 @@ def ivfpq_adc_topk(
         .limit(int(k))
         .select(id_col, dist_col)
     )
+
+
+def pq_reconstruction_err_expr(
+    emb_col,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    round_to: int = 6,
+) -> Column:
+    """Per-row L2 reconstruction error of the PQ approximation —
+    the eval companion of :func:`pq_adc_topk` (ann_rank_quality's
+    pattern applied to quantization): how far the decoded vector sits
+    from the original, the number that justifies (or indicts) the
+    32× code compression for a given codebook budget.
+
+    Because the subspaces partition the dimensions,
+    ``l2(x, decode(encode(x)))² = Σ_j l2(x_j, c_j)²`` where ``c_j`` is
+    the chosen codeword — so the expression is just the MIN (rounded)
+    subspace distance per codebook, summed in fixed subspace order and
+    square-rooted, sharing the encoder's argmin law by construction.
+    Pure codegen projection; NULL embeddings yield NULL."""
+    col = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    dsub = len(codebooks[0][0])
+    total = None
+    for j, book in enumerate(codebooks):
+        sub = F.slice(col, j * dsub + 1, dsub)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.round(l2sq_expr(sub, array_lit(cent)), round_to)
+                    for cent in book
+                ]
+            )
+        )
+        total = best if total is None else total + best
+    return F.sqrt(total)
