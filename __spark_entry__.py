@@ -9624,9 +9624,9 @@ WITH t AS (SELECT CAST(len({_TOKS}) AS BIGINT) AS len FROM documents),
 h AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY len),
 a AS (
   SELECT len, cnt,
-         (COALESCE(sum(cnt) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED
+         CAST((COALESCE(sum(cnt) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED
             PRECEDING AND 1 PRECEDING), 0) * 8) // (sum(cnt) OVER ())
-           AS bucket
+           AS BIGINT) AS bucket
   FROM h
 )
 SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_docs,

@@ -101,10 +101,19 @@ def main():
         try:
             rel = con.sql(oracles[name])
             d_cols = rel.columns
+            d_types = [str(t) for t in rel.types]
             d_rows = rel.fetchall()
         except Exception:
             print(f"✗ {name}: DUCKDB ERROR")
             traceback.print_exc()
+            failures.append(name)
+            continue
+        # canon() converts values to Python objects, which masks dtype
+        # drift (DuckDB promotes sum(BIGINT) to HUGEINT) that the
+        # driver's dtype-sensitive hash DOES see — fail it here.
+        wide = [c for c, t in zip(d_cols, d_types) if "HUGEINT" in t.upper()]
+        if wide:
+            print(f"✗ {name}: ORACLE HUGEINT columns {wide} — add CAST(... AS BIGINT)")
             failures.append(name)
             continue
         sc, sv = canon(s_rows, s_cols)

@@ -99,6 +99,28 @@ def test_query_matches_oracle(spark, duck, name):
     assert sv == dv
 
 
+def test_no_oracle_emits_hugeint(duck):
+    """DuckDB promotes sum(BIGINT) to HUGEINT; Spark's LongType hashes
+    differently in the driver's dtype-sensitive compare even when the
+    values are identical (the round-9 `docs_length_buckets` red row).
+    canon() converts to Python ints and so can never catch it — assert
+    on the relation's bound types instead, for EVERY oracle.  Binding
+    is plan-only (no execution), so this stays cheap at full registry
+    width."""
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = duck.sql(sql)
+        wide = [
+            c for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper()
+        ]
+        if wide:
+            offenders[name] = wide
+    assert not offenders, (
+        f"oracles emit HUGEINT (add CAST(... AS BIGINT)): {offenders}"
+    )
+
+
 def test_every_query_has_oracle_or_is_declared_ml():
     qs = set(entry.queries())
     oracles = set(entry.oracle_sql())
