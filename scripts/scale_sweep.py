@@ -789,12 +789,46 @@ def main() -> None:
             h.close()
         return d
 
+    def stage_warc_gz(n_records):
+        # same records, Common Crawl wire format: one gzip member per
+        # record. Text bodies (not b"x"*900, which gzip collapses to
+        # nothing and would understate decompression cost).
+        import gzip as _gzip
+
+        d = _tempfile.mkdtemp(prefix="tv_warcgz_sweep_")
+        handles = [
+            open(_os.path.join(d, f"p{i}.warc.gz"), "wb")
+            for i in range(8)
+        ]
+        for i in range(n_records):
+            body = (f"document {i} " * 64).encode()[:900]
+            handles[i % 8].write(
+                _gzip.compress(
+                    warc_record_bytes(f"http://h/{i}", body, f"u:{i}"), 6
+                )
+            )
+        for h in handles:
+            h.close()
+        return d
+
+    warc_sizes = [20_000, 80_000, 320_000]
+    if quick:
+        warc_sizes = warc_sizes[:2]
     wd = stage_warc(500)
     materialize(read_warc(spark, wd))
-    for n in (20_000, 80_000, 320_000):
+    for n in warc_sizes:
         d = stage_warc(n)
         record(
             "warc_parse", n,
+            lambda: materialize(read_warc(spark, d)),
+        )
+    # .gz vs staged: the member split adds one decompressobj per
+    # record — expect a constant-factor overhead over the staged
+    # parse, still linear in records and file-granular parallel
+    for n in warc_sizes:
+        d = stage_warc_gz(n)
+        record(
+            "warc_gz_parse", n,
             lambda: materialize(read_warc(spark, d)),
         )
 

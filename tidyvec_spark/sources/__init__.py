@@ -21,6 +21,7 @@ from tidyvec_spark.sources.jsonl import read_jsonl, split_corrupt
 from tidyvec_spark.sources.warc import (
     read_warc,
     split_warc_corrupt,
+    warc_gz_bytes,
     warc_record_bytes,
 )
 from tidyvec_spark.sources.webdataset import (
@@ -39,6 +40,7 @@ __all__ = [
     "read_jsonl",
     "read_warc",
     "split_warc_corrupt",
+    "warc_gz_bytes",
     "warc_record_bytes",
     "split_corrupt",
     "write_bucketed_table",
