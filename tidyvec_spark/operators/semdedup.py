@@ -116,6 +116,10 @@ def semantic_dedup_pairs(
     tr = int(tile_rows)
     if tr < 2:
         raise ValueError(f"tile_rows must be >= 2, got {tile_rows}")
+    # the assignment subtree feeds BOTH the size histogram and the
+    # tasks join — persist it so the corpus is assigned once, and ride
+    # the handle on the result (the dedup.py release() convention)
+    assigned = assigned.persist()
     # per-cluster block count from the measured size: bounded agg
     # (rows = k clusters) broadcast back; small clusters get __nb=1
     # (single tile, zero replication)
@@ -172,9 +176,11 @@ def semantic_dedup_pairs(
             upper_only=False,
         )
 
-    return tasks.groupBy(cent_id, "__lo", "__hi").applyInPandas(
+    out = tasks.groupBy(cent_id, "__lo", "__hi").applyInPandas(
         gemm_tile, schema=_pair_schema(id_type)
     )
+    out._tidyvec_persisted = [assigned]
+    return out
 
 
 def semantic_dedup(
@@ -199,6 +205,10 @@ def semantic_dedup(
         assign_strategy=assign_strategy, tile_rows=tile_rows,
     )
     drop = pairs.select(F.col("id_b").alias("__tv_drop")).distinct()
-    return df.join(
+    out = df.join(
         drop, on=F.col(id_col) == F.col("__tv_drop"), how="left_anti"
     )
+    # ride the pair generator's persisted assignment handle through
+    # so callers can release() after their terminal action
+    out._tidyvec_persisted = getattr(pairs, "_tidyvec_persisted", [])
+    return out

@@ -209,11 +209,20 @@ def unigram_train(
     min_freq: int = 2,
     collect_threshold: Optional[int] = 2_000_000,
 ) -> List[Tuple[str, int, float]]:
-    """Train a unigram tokenizer vocabulary from a corpus: ONE Spark
-    pass collapses the corpus to the Zipf-bounded word-frequency
-    table (the same law as ``bpe_word_freq``'s tokenization, without
-    the end-of-word sentinel), then :func:`unigram_train_local` runs
-    hard-EM on the driver — see the module docstring for why the EM
+    """Train a unigram tokenizer vocabulary from a corpus.
+
+    .. warning:: ``min_freq`` defaults to **2**: words seen once in
+       the corpus (hapaxes) are pruned from the frequency table
+       BEFORE training, so vocabularies differ from an unpruned
+       trainer's. On large corpora this is the scale-correct default
+       (the hapax tail is ~half the distinct-word rows and cannot
+       influence seed selection); on toy/small corpora where hapaxes
+       ARE the signal, pass ``min_freq=1`` explicitly.
+
+    ONE Spark pass collapses the corpus to the Zipf-bounded
+    word-frequency table (the same law as ``bpe_word_freq``'s
+    tokenization, without the end-of-word sentinel), then
+    :func:`unigram_train_local` runs hard-EM on the driver — see the module docstring for why the EM
     loop belongs driver-side (every M-step/prune is a global sync
     over a driver-sized piece table; the corpus-sized work is the one
     Spark job).
