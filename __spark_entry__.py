@@ -5313,6 +5313,92 @@ WHERE doc_id % 101 <> 0
 """
 
 
+def _docs_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.warc.gz`` crawl ingest — Common Crawl's actual wire format
+    (one gzip MEMBER per record) — with BOTH quarantine layers
+    exercised deterministically (sources/warc.py::_walk_gz_records):
+    every doc_id % 101 == 0 record is serialized WITHOUT its
+    Content-Length header inside a perfectly valid gzip member (the
+    record GRAMMAR quarantines it after decompression), and each of
+    the 4 files ends with a TRUNCATED gzip member wrapping a dummy
+    record (the MEMBER splitter quarantines it and stops at file end)
+    — so n_quarantined = |%101 docs| + 4 exactly. Clean rows must
+    hash-match the originals for surviving ids. The reader is the
+    distributed piece: one binaryFile scan + one mapInPandas, zero
+    shuffle, members decompressed ONE AT A TIME (peak task memory =
+    compressed file + one record, never the 3-5× whole-file
+    decompression)."""
+    import gzip as _gzip
+    import os as _os
+    import tempfile
+
+    from tidyvec_spark.sources.warc import (
+        read_warc,
+        split_warc_corrupt,
+        warc_record_bytes,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="tv_warcgz_")
+    handles = [
+        open(_os.path.join(out, f"part-{i}.warc.gz"), "wb")
+        for i in range(4)
+    ]
+    try:
+        for r in docs.select("doc_id", "text").toLocalIterator():
+            did = int(r["doc_id"])
+            body = r["text"].encode("utf-8")
+            if did % 101 == 0:
+                rec = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    + f"WARC-Target-URI: http://corpus.local/doc/{did}"
+                    .encode()
+                    + b"\r\n\r\n"
+                    + body
+                    + b"\r\n\r\n"
+                )
+            else:
+                rec = warc_record_bytes(
+                    f"http://corpus.local/doc/{did}",
+                    body,
+                    f"urn:uuid:{did}",
+                )
+            handles[did % 4].write(_gzip.compress(rec, 6))
+        trunc = warc_record_bytes(
+            "http://corpus.local/sentinel", b"sentinel", "urn:uuid:x"
+        )
+        for h in handles:
+            h.write(_gzip.compress(trunc, 6)[:-6])
+    finally:
+        for h in handles:
+            h.close()
+    raw = read_warc(spark, out).cache()
+    clean, bad = split_warc_corrupt(raw)
+    n_bad = bad.count()
+    return clean.select(
+        F.element_at(F.split("target_uri", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length(F.decode("payload", "UTF-8"))
+        .cast("long")
+        .alias("n_chars"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.lit(int(n_bad)).cast("long").alias("n_quarantined"),
+    )
+
+
+_DOCS_WARC_GZ_INGEST_SQL = """
+WITH bad AS (
+  SELECT count(*) + 4 AS nb FROM documents WHERE doc_id % 101 = 0
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(200 AS INT) AS http_status,
+       CAST(bad.nb AS BIGINT) AS n_quarantined
+FROM documents, bad
+WHERE doc_id % 101 <> 0
+"""
+
+
 def _docs_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingest with quarantine (sources/delimited.py::
     read_csv_quarantine): the corpus serialized to CSV lines with
@@ -11710,30 +11796,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-9 rotation (per the r8 verdict item 1): the 9
-    # long-stable spine representatives + ALL 31 entries that never had
-    # a driver row (the 21 carried from round 7 + the 10 round-8
-    # additions — this retires the driver-coverage debt completely;
-    # after CORRECTNESS_r09 lands, ZERO registry entries lack a driver
-    # row) + 10 re-check slots for post-fix semantics entries and
-    # high-churn composites.
+    # entries. Round-10 rotation (per the r9 verdict item 2): the 9
+    # long-stable spine representatives + the 12 round-9 additions
+    # (first driver row) + the docs_length_buckets re-check (its r9 red
+    # row was an oracle-side HUGEINT, fixed this round) + the 28 oldest
+    # driver rows (r3/r4 cohorts) so no entry's last check ages past
+    # ~5 rounds.
     #
-    # STATUS: this window is the round-9 rotation and is HELD UNCHANGED
-    # through the end of round 9 so CORRECTNESS_r09 (produced by the
-    # driver when the round closes) covers exactly these 50 entries.
-    # Evidence for "round 9 is still open": CORRECTNESS_r01..r08.json
-    # exist in the repo and CORRECTNESS_r09.json does not — the driver
-    # writes the artifact at round close. DO NOT rotate this window
-    # until CORRECTNESS_r09 rows exist.
+    # STATUS: this window is the round-10 rotation and is HELD
+    # UNCHANGED through the end of round 10 so CORRECTNESS_r10
+    # (produced by the driver when the round closes) covers exactly
+    # these 50 entries. Evidence for "round 10 is still open":
+    # CORRECTNESS_r01..r09.json exist in the repo and
+    # CORRECTNESS_r10.json does not — the driver writes the artifact at
+    # round close. DO NOT rotate this window until CORRECTNESS_r10 rows
+    # exist.
     # Multi-round-stable legacy entries sit in the tail; every
     # oracle-backed tail entry stays checked by the dynamic SUBSET in
     # tests/test_entry_oracle.py (computed as "oracle-backed and past
     # position 50", so any future rotation keeps the invariant).
     return {
-        # --- gate window (1-50), rotated for ROUND 9 ---
-        # 9 spine reps + the 31 never-driver-checked entries + 10
-        # re-checks. Every window entry is locally verified at sf0.001
-        # AND sf0.01 via scripts/check_oracle.py before landing here.
+        # --- gate window (1-50), rotated for ROUND 10 ---
+        # 9 spine reps + the 12 round-9 additions getting their FIRST
+        # driver row + docs_length_buckets re-check (post-oracle-dtype
+        # fix, the r9 red row) + the 28 oldest driver rows (the full r3
+        # cohort + the r4 cohort minus q1_pricing/q3_top_orders, which
+        # are pure built-in relational plans riding the q5 spine path
+        # and the least drift-prone — they rotate in next round).
+        # Every window entry is locally verified at sf0.001 AND sf0.01
+        # via scripts/check_oracle.py before the round closes.
         # spine reps:
         "knn_cosine": _knn("cosine"),
         "knn_null_quirk": _knn_null_quirk,
@@ -11744,7 +11835,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _events_asof_purchase,
         "docs_stream_dedup": _docs_stream_dedup,
         "q5_region_revenue": _q5_region_revenue,
-        # the 21 never-checked entries carried from round 7:
+        # the 12 round-9 additions (first driver row):
+        "unigram_fertility": _unigram_fertility,
+        "wordpiece_merges": _wordpiece_merges,
+        "wordpiece_fertility": _wordpiece_fertility,
+        "docs_warc_ingest": _docs_warc_ingest,
+        "docs_dedup_homoglyph": _docs_dedup_homoglyph,
+        "docs_lang_mix": _docs_lang_mix,
+        "docs_lpa_communities": _docs_lpa_communities,
+        "docs_ict_pairs": _docs_ict_pairs,
+        "embedding_balanced_sample": _embedding_balanced_sample,
+        "dedup_components_lpa": _dedup_components_lpa,
+        "dedup_lpa_precision": _dedup_lpa_precision,
+        "pq_reconstruction": _pq_reconstruction,
+        # re-check: the round-9 red row, oracle-side dtype fixed:
+        "docs_length_buckets": _docs_length_buckets,
+        # the 28 oldest driver rows (last checked r3/r4):
+        "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
+        "dedup_components_two_phase": _dedup_components_two_phase,
+        "exact_dup_groups": _exact_dup_groups,
+        "ngram_jaccard_capped": _ngram_jaccard_capped,
+        "simhash_fingerprints": _simhash_fingerprints,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "ann_topk_per_query": _ann_topk,
+        "budget_sample_by_lang": _budget_sample_by_lang,
+        "doc_fingerprint": _doc_fingerprint,
+        "events_hourly": _events_hourly,
+        "events_range_join": _events_range_join,
+        "events_session_windows": _events_session_windows,
+        "events_sessions": _events_sessions,
+        "keyword_search": _keyword_search,
+        "knn_dot": _knn("dot"),
+        "knn_euclidean": _knn("euclidean"),
+        "knn_min_score": _knn("cosine", n=100, min_score=0.15),
+        "lang_id": _lang_id,
+        "lsh_near_dup_multi": _lsh_near_dup_multi,
+        "mix_sample_langs": _mix_sample_langs,
+        "multimodal_audio_meta": _multimodal_audio_meta,
+        "multimodal_frame_sample": _multimodal_frame_sample,
+        "multimodal_image_meta": _multimodal_image_meta,
+        "pq_adc_topk": _pq_adc_topk,
+        "similarity_pair": _similarity_pair,
+        "text_stats": _text_stats,
+        "tfidf_search": _tfidf_search,
+        "token_topk": _token_topk,
+        # --- position 51+: outside the driver's gate window ---
+        # every oracle-backed entry below is checked by the dynamic
+        # SUBSET in tests/test_entry_oracle.py (computed as 'oracle-
+        # backed and past position 50'); entries rotated out this
+        # round all have green CORRECTNESS_r09 rows. ROUND-11 ROTATION
+        # QUEUE: new round-10 additions are appended at the very end
+        # of this dict with their own comment — rotate them in next
+        # round along with q1_pricing, q3_top_orders, and the oldest
+        # remaining r4/r5 rows.
         "docs_tokenizer_fertility": _docs_tokenizer_fertility,
         "embedding_drift": _embedding_drift,
         "docs_compression_ratio": _docs_compression_ratio,
@@ -11752,7 +11895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_csv_ingest": _docs_csv_ingest,
         "docs_blocklist": _docs_blocklist,
         "events_heavy_hitters": _events_heavy_hitters,
-        "docs_length_buckets": _docs_length_buckets,
         "docs_vocab_growth": _docs_vocab_growth,
         "wds_datasource_read": _wds_datasource_read,
         "docs_lm_heldout": _docs_lm_heldout,
@@ -11766,7 +11908,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_psi_drift": _source_psi_drift,
         "docs_drop_attribution": _docs_drop_attribution,
         "skew_split_join": _skew_split_join,
-        # the 10 never-checked round-8 additions:
         "decontaminate_fuzzy": _decontaminate_fuzzy,
         "dedup_recall_embedding": _dedup_recall_embedding,
         "multimodal_image_quality": _multimodal_image_quality,
@@ -11777,13 +11918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_vocab": _unigram_vocab,
         "dedup_bucket_precision": _dedup_bucket_precision,
         "docs_novelty": _docs_novelty,
-        # 10 re-check slots: post-fix semantics entries (docs_mojibake
-        # and token_cms_topk carry the r7-ADVICE fixes; knn_mutual_*
-        # gained NULL/empty/collect-bound guards and docs_quality_zscore
-        # a null-safe join THIS round — zscore and unigram_vocab, whose
-        # min_freq=2 law also changed this round, sit in the
-        # never-checked block above) and high-churn composites
-        # (pipeline_ccnet is the r8 drift item):
         "docs_mojibake": _docs_mojibake,
         "token_cms_topk": _token_cms_topk,
         "knn_mutual_pairs": _knn_mutual_pairs,
@@ -11794,11 +11928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_crawl": _pipeline_crawl,
         "pipeline_rag": _pipeline_rag,
         "dedup_recall_lsh": _dedup_recall_lsh,
-        # --- position 51+: outside the driver's gate window ---
-        # every oracle-backed entry below is checked by the dynamic
-        # SUBSET in tests/test_entry_oracle.py (computed as 'oracle-
-        # backed and past position 50'); entries rotated out this
-        # round all have green CORRECTNESS_r07 rows.
         "docs_dup_spans": _docs_dup_spans,
         "docs_dup_stats": _docs_dup_stats,
         "docs_dedup_cut": _docs_dedup_cut,
@@ -11874,23 +12003,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "pca_2d": _pca_2d,
         "hf_embed_fake": _hf_embed_fake,
-        "knn_euclidean": _knn("euclidean"),
-        "knn_dot": _knn("dot"),
-        "knn_min_score": _knn("cosine", n=100, min_score=0.15),
-        "similarity_pair": _similarity_pair,
-        "ann_topk_per_query": _ann_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_topk_large": _ann_ivf_topk_large,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_lsh_batch": _ann_lsh_batch,
         "ann_topk_sidecar": _ann_topk_sidecar,
-        "pq_adc_topk": _pq_adc_topk,
         "ivfpq_adc_topk": _ivfpq_adc_topk,
         "sq_topk": _sq_topk,
         "matryoshka_topk": _matryoshka_topk,
         "embedding_near_dup": _embedding_near_dup,
         "semantic_dedup": _semantic_dedup,
-        "lsh_near_dup_multi": _lsh_near_dup_multi,
         "incremental_near_dup": _incremental_near_dup,
         "minhash_lsh_pairs": _minhash_lsh_pairs,
         "simhash_pairs": _simhash_pairs,
@@ -11898,20 +12019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _dedup_components,
         "split_leakage_free": _split_leakage_free,
         "decontaminate_corpus": _decontaminate_corpus,
-        "tfidf_search": _tfidf_search,
-        "keyword_search": _keyword_search,
         "bm25_search": _bm25_search,
         "bpe_token_stats": _bpe_token_stats,
         "hf_query_nearest": _hf_query_nearest,
-        "text_stats": _text_stats,
-        "lang_id": _lang_id,
-        "token_topk": _token_topk,
-        "doc_fingerprint": _doc_fingerprint,
-        "multimodal_image_meta": _multimodal_image_meta,
-        "multimodal_audio_meta": _multimodal_audio_meta,
-        "multimodal_frame_sample": _multimodal_frame_sample,
-        "budget_sample_by_lang": _budget_sample_by_lang,
-        "mix_sample_langs": _mix_sample_langs,
         "mix_temperature": _mix_temperature,
         "sample_fixed_per_lang": _sample_fixed_per_lang,
         "docs_quality_flags": _docs_quality_flags,
@@ -11933,21 +12043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": _q1_pricing,
         "q3_top_orders": _q3_top_orders,
         "topk_per_segment": _topk_per_segment,
-        "events_hourly": _events_hourly,
-        "events_sessions": _events_sessions,
-        "events_session_windows": _events_session_windows,
-        "events_range_join": _events_range_join,
         "events_stream_hourly": _events_stream_hourly,
         "events_stream_interval_join": _events_stream_interval_join,
         "docs_stream_budget": _docs_stream_budget,
-        "exact_dup_groups": _exact_dup_groups,
-        "simhash_fingerprints": _simhash_fingerprints,
-        "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
-        "ngram_jaccard_capped": _ngram_jaccard_capped,
-        "dedup_components_two_phase": _dedup_components_two_phase,
-        # rotated out of the round-9 window (all have green
-        # CORRECTNESS_r08 rows; the dynamic SUBSET in
-        # tests/test_entry_oracle.py keeps them oracle-checked):
         "bpe_merges": _bpe_merges,
         "docs_pagerank": _docs_pagerank,
         "dedup_recall_simhash": _dedup_recall_simhash,
@@ -11981,26 +12079,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": _soft_dedup,
         "winnow_pairs": _winnow_pairs,
         "token_pmi": _token_pmi,
-        # round-9 additions (tail — the round-9 window is HELD; the
-        # dynamic SUBSET checks them now; each locally verified at
-        # sf0.001 AND sf0.01 via scripts/check_oracle.py when it
-        # landed). ROUND-10 ROTATION QUEUE: the entries below are the only
-        # entries without driver rows once CORRECTNESS_r09 lands —
-        # rotate them into the round-10 window alongside the 9 spine
-        # reps; that leaves 34 slots for re-checks (post-fix
-        # semantics, high-churn composites, oldest-row entries):
-        "unigram_fertility": _unigram_fertility,
-        "wordpiece_merges": _wordpiece_merges,
-        "docs_warc_ingest": _docs_warc_ingest,
-        "docs_dedup_homoglyph": _docs_dedup_homoglyph,
-        "docs_lang_mix": _docs_lang_mix,
-        "docs_lpa_communities": _docs_lpa_communities,
-        "wordpiece_fertility": _wordpiece_fertility,
-        "docs_ict_pairs": _docs_ict_pairs,
-        "embedding_balanced_sample": _embedding_balanced_sample,
-        "dedup_components_lpa": _dedup_components_lpa,
-        "dedup_lpa_precision": _dedup_lpa_precision,
-        "pq_reconstruction": _pq_reconstruction,
+        # round-10 additions (tail — the round-10 window is HELD; the
+        # dynamic SUBSET in tests/test_entry_oracle.py checks them now;
+        # each locally verified at sf0.001 AND sf0.01 via
+        # scripts/check_oracle.py when it landed). They join the
+        # ROUND-11 ROTATION QUEUE named in the window comment:
+        "docs_warc_gz_ingest": _docs_warc_gz_ingest,
     }
 
 
@@ -12235,6 +12319,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_fertility": _unigram_fertility_sql(),
         "wordpiece_merges": _wordpiece_merges_sql(),
         "docs_warc_ingest": _DOCS_WARC_INGEST_SQL,
+        "docs_warc_gz_ingest": _DOCS_WARC_GZ_INGEST_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),
         "docs_lang_mix": _DOCS_LANG_MIX_SQL,
         "docs_lpa_communities": _docs_lpa_sql(),

@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "dedup_components_lpa",
     "dedup_lpa_precision",
     "pq_reconstruction",
+    # round-10 additions
+    "docs_warc_gz_ingest",
 ]
 
 
