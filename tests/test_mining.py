@@ -209,3 +209,188 @@ def test_ict_pairs_zero_sentence_docs_drop_cleanly(spark):
     )
     got = {r["doc_id"] for r in ict_pairs(df, "text", "doc_id").collect()}
     assert got == {5}
+
+
+# ---------------------------------------------------------------- margin
+
+
+def _margin_numpy(src, tgt, k):
+    """Independent pure-numpy twin of the margin law (ratio criterion,
+    Artetxe & Schwenk 2019): top-k by cosine each way, avg of each
+    anchor's top-k, margin = sim / mean(avg_x, avg_y)."""
+    import numpy as np
+
+    sids, S = zip(*src)
+    tids, T = zip(*tgt)
+    S, T = np.array(S, float), np.array(T, float)
+
+    def cos(A, B):
+        na = np.linalg.norm(A, axis=1)[:, None]
+        nb = np.linalg.norm(B, axis=1)[None, :]
+        d = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(d == 0, 0.0, (A @ B.T) / d)
+
+    M = np.round(cos(S, T), 6)
+    fwd, avg_s, cand = {}, {}, set()
+    for i, a in enumerate(sids):
+        order = np.lexsort((tids, -M[i]))[:k]
+        avg_s[a] = M[i][order].mean()
+        cand |= {(a, tids[j]) for j in order}
+    avg_t = {}
+    for j, b in enumerate(tids):
+        order = np.lexsort((sids, -M[:, j]))[:k]
+        avg_t[b] = M[:, j][order].mean()
+        cand |= {(sids[i], b) for i in order}
+    out = {}
+    for a, b in cand:
+        s = M[list(sids).index(a)][list(tids).index(b)]
+        den = (avg_s[a] + avg_t[b]) / 2
+        out[(a, b)] = (s, round(s / den, 6) if den > 0 else 0.0)
+    return out
+
+
+def test_margin_pairs_match_numpy_twin(spark):
+    import numpy as np
+
+    from tidyvec_spark.operators.dedup import release
+    from tidyvec_spark.operators.mining import margin_pairs
+
+    rng = np.random.default_rng(7)
+    src = [(i, rng.normal(size=8).tolist()) for i in range(10)]
+    tgt = [(i + 100, rng.normal(size=8).tolist()) for i in range(12)]
+    sdf = spark.createDataFrame(src, "id bigint, v array<double>")
+    tdf = spark.createDataFrame(tgt, "id bigint, v array<double>")
+    got = margin_pairs(
+        sdf, tdf, "id", "v", k=3, threshold=0.0, round_to=6
+    )
+    rows = {
+        (r["src_id"], r["tgt_id"]): (r["sim"], r["margin"])
+        for r in got.collect()
+    }
+    release(got)
+    # the engine applies threshold>=0.0 AFTER scoring; mirror it
+    want = {
+        k: v for k, v in _margin_numpy(src, tgt, 3).items() if v[1] >= 0.0
+    }
+    assert rows.keys() == want.keys()
+    for key in want:
+        assert rows[key][0] == pytest.approx(want[key][0], abs=1e-6)
+        assert rows[key][1] == pytest.approx(want[key][1], abs=1e-6)
+
+
+def test_margin_downweights_hubs(spark):
+    """The discriminating case for the RATIO criterion: a hub target
+    near EVERY source scores high absolute cosine everywhere, but its
+    neighborhood average is equally high, so its margins hug 1.0 —
+    while an isolated true pair with lower absolute cosine clears the
+    threshold. An absolute-cosine threshold cannot separate these."""
+    from tidyvec_spark.operators.dedup import release
+    from tidyvec_spark.operators.mining import margin_pairs
+
+    src = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    # hub 100 ~ equally near all sources; 101 pairs with source 3 only
+    tgt = [
+        (100, [0.58, 0.58, 0.58]),
+        (101, [0.05, 0.05, 0.99]),
+    ]
+    sdf = spark.createDataFrame(src, "id bigint, v array<double>")
+    tdf = spark.createDataFrame(tgt, "id bigint, v array<double>")
+    got = margin_pairs(sdf, tdf, "id", "v", k=2, threshold=0.0, round_to=6)
+    rows = {
+        (r["src_id"], r["tgt_id"]): (r["sim"], r["margin"])
+        for r in got.collect()
+    }
+    release(got)
+    # absolute cosine ranks (1,100) ABOVE (3,101)... margin flips it
+    assert rows[(1, 100)][0] > 0.5
+    assert rows[(3, 101)][1] > rows[(1, 100)][1]
+    # the hub's margins hug 1.0
+    for s in (1, 2):
+        assert rows[(s, 100)][1] < rows[(3, 101)][1]
+
+
+def test_margin_best_selection_and_threshold(spark):
+    from tidyvec_spark.operators.dedup import release
+    from tidyvec_spark.operators.mining import margin_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    src = [(i, rng.normal(size=6).tolist()) for i in range(8)]
+    tgt = [(i + 50, rng.normal(size=6).tolist()) for i in range(8)]
+    sdf = spark.createDataFrame(src, "id bigint, v array<double>")
+    tdf = spark.createDataFrame(tgt, "id bigint, v array<double>")
+    all_pairs = margin_pairs(
+        sdf, tdf, "id", "v", k=3, threshold=0.0, round_to=6
+    )
+    best = margin_pairs(
+        sdf, tdf, "id", "v", k=3, threshold=0.0, round_to=6,
+        select="best",
+    )
+    a = all_pairs.collect()
+    b = best.collect()
+    release(all_pairs)
+    release(best)
+    # best = per-src argmax of the threshold output (margin desc, tgt asc)
+    want = {}
+    for r in sorted(a, key=lambda r: (r["src_id"], -r["margin"], r["tgt_id"])):
+        want.setdefault(r["src_id"], (r["tgt_id"], r["margin"]))
+    got = {r["src_id"]: (r["tgt_id"], r["margin"]) for r in b}
+    assert got == want
+    # threshold filters in both modes
+    thr = margin_pairs(sdf, tdf, "id", "v", k=3, threshold=1.02, round_to=6)
+    assert all(r["margin"] >= 1.02 for r in thr.collect())
+    release(thr)
+
+
+def test_margin_null_embeddings_and_bounds(spark):
+    from tidyvec_spark.operators.mining import margin_pairs
+
+    sdf = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "id bigint, v array<double>"
+    )
+    tdf = spark.createDataFrame(
+        [(9, [1.0, 0.1]), (10, None)], "id bigint, v array<double>"
+    )
+    rows = margin_pairs(sdf, tdf, "id", "v", k=2, threshold=0.0).collect()
+    ids = {(r["src_id"], r["tgt_id"]) for r in rows}
+    assert ids == {(1, 9)}  # NULL rows are neither anchor nor candidate
+    with pytest.raises(ValueError, match="collect_row_bound"):
+        margin_pairs(
+            sdf, tdf, "id", "v", k=1, collect_row_bound=0
+        )
+
+
+def test_margin_ann_edge_seam_matches_exact(spark):
+    """Drop-in ANN seam: feeding the exact edges back through
+    edges_fwd=/edges_bwd= must reproduce the computed path exactly."""
+    import numpy as np
+
+    from tidyvec_spark.operators.dedup import release
+    from tidyvec_spark.operators.mining import (
+        _exact_cross_topk_edges_gemm,
+        margin_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    src = [(i, rng.normal(size=5).tolist()) for i in range(6)]
+    tgt = [(i + 20, rng.normal(size=5).tolist()) for i in range(6)]
+    sdf = spark.createDataFrame(src, "id bigint, v array<double>")
+    tdf = spark.createDataFrame(tgt, "id bigint, v array<double>")
+    ef = _exact_cross_topk_edges_gemm(sdf, "id", "v", tdf, "id", "v", 3, round_to=6)
+    eb = _exact_cross_topk_edges_gemm(tdf, "id", "v", sdf, "id", "v", 3, round_to=6)
+    via_seam = margin_pairs(
+        sdf, tdf, "id", "v", k=3, threshold=0.0, round_to=6,
+        edges_fwd=ef, edges_bwd=eb,
+    )
+    direct = margin_pairs(sdf, tdf, "id", "v", k=3, threshold=0.0, round_to=6)
+    s = sorted(map(tuple, via_seam.collect()))
+    d = sorted(map(tuple, direct.collect()))
+    release(via_seam)
+    release(direct)
+    assert s == d

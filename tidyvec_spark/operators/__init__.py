@@ -22,6 +22,7 @@ from tidyvec_spark.operators.joins import asof_join, range_join_bucketed
 from tidyvec_spark.operators.chunking import (
     cdc_chunks,
     chunk_documents,
+    fim_split,
     length_buckets,
     pack_sequences,
     packing_report,
@@ -47,6 +48,7 @@ from tidyvec_spark.operators.lm import (
 from tidyvec_spark.operators.mining import (
     hard_negative_pairs,
     ict_pairs,
+    margin_pairs,
     mutual_topk_pairs,
 )
 from tidyvec_spark.operators.importance import (
@@ -142,6 +144,7 @@ __all__ = [
     "token_pmi_topk",
     "budget_sample",
     "chunk_documents",
+    "fim_split",
     "curriculum_assign",
     "shard_boundaries",
     "shuffle_assign",
@@ -154,6 +157,7 @@ __all__ = [
     "dsir_weights",
     "hard_negative_pairs",
     "ict_pairs",
+    "margin_pairs",
     "mutual_topk_pairs",
     "label_propagation",
     "cluster_balanced_sample",

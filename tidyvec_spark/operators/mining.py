@@ -21,7 +21,36 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hard_negative_pairs", "ict_pairs", "mutual_topk_pairs"]
+__all__ = [
+    "hard_negative_pairs",
+    "ict_pairs",
+    "margin_pairs",
+    "mutual_topk_pairs",
+]
+
+
+def _sim_block(A, B, meth: str):
+    """Dense similarity block between row matrices ``A`` (m×d) and
+    ``B`` (n×d) under the engine similarity laws (functions/vector.py):
+    zero-norm cosine scores 0.0, euclidean is 1/(1+d). Shared by the
+    self- and cross-collection GEMM edge generators so the two paths
+    cannot drift."""
+    import numpy as np
+
+    if meth == "cosine":
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        denom = np.outer(na, nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(denom == 0.0, 0.0, (A @ B.T) / denom)
+    if meth == "dot":
+        return A @ B.T
+    d2 = (
+        (A * A).sum(axis=1)[:, None]
+        + (B * B).sum(axis=1)[None, :]
+        - 2.0 * (A @ B.T)
+    )
+    return 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
 
 
 def hard_negative_pairs(
@@ -168,27 +197,12 @@ def _exact_topk_edges_gemm(
         import pandas as pd
 
         ids_b, B = bc.value
-        nb = np.sqrt((B * B).sum(axis=1))
-        sq_b = (B * B).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             A = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
             aid = pdf["__a"].to_numpy()
-            if meth == "cosine":
-                na = np.sqrt((A * A).sum(axis=1))
-                denom = np.outer(na, nb)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    S = np.where(denom == 0.0, 0.0, (A @ B.T) / denom)
-            elif meth == "dot":
-                S = A @ B.T
-            else:
-                d2 = (
-                    (A * A).sum(axis=1)[:, None]
-                    + sq_b[None, :]
-                    - 2.0 * (A @ B.T)
-                )
-                S = 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
+            S = _sim_block(A, B, meth)
             if nd is not None:
                 S = np.round(S, nd)
             out_a, out_b, out_s = [], [], []
@@ -276,6 +290,209 @@ def mutual_topk_pairs(
     # operators.dedup.release(out) after the terminal action
     out._tidyvec_persisted = getattr(edges, "_tidyvec_persisted", [])
     return out
+
+
+def _exact_cross_topk_edges_gemm(
+    anchors: DataFrame,
+    aid: str,
+    avec: str,
+    corpus: DataFrame,
+    cid: str,
+    cvec: str,
+    k: int,
+    method: str = "cosine",
+    round_to: Optional[int] = None,
+    collect_row_bound: Optional[int] = 250_000,
+) -> DataFrame:
+    """Directed exact top-k edges ANCHORS→CORPUS across two
+    collections (the two-frame sibling of :func:`_exact_topk_edges_gemm`
+    with no self-exclusion — the id namespaces are independent). The
+    CORPUS side is collected once (bounded by ``collect_row_bound`` —
+    past broadcast size pass ANN ``edges=`` to the caller instead) and
+    broadcast; anchors stream through one Arrow-batched ``mapInPandas``
+    scoring one BLAS tile per batch. Zero shuffle. NULL embeddings are
+    excluded on both sides (the engine-wide NULL-embedding law).
+
+    Returns (a, b, sim): a from ``anchors``, b its rank-ordered
+    corpus neighbors under the engine tie law (rounded sim desc, id
+    asc)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    kk, nd, meth = int(k), round_to, str(method)
+    if meth not in ("cosine", "euclidean", "dot"):
+        raise ValueError(f"unknown similarity method {meth!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField("a", anchors.schema[aid].dataType),
+            T.StructField("b", corpus.schema[cid].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    side = corpus.filter(F.col(cvec).isNotNull()).select(cid, cvec)
+    if collect_row_bound is not None:
+        side = side.persist()
+        n = side.count()
+        if n > int(collect_row_bound):
+            side.unpersist()
+            raise ValueError(
+                f"margin_pairs exact path would collect {n} corpus "
+                f"rows (> collect_row_bound={collect_row_bound}); pass "
+                f"ANN edge frames via edges_fwd=/edges_bwd= or raise "
+                f"collect_row_bound"
+            )
+    rows = side.collect()
+    if collect_row_bound is not None:
+        side.unpersist()
+    if not rows:
+        return anchors.sparkSession.createDataFrame([], out_schema)
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    bc = anchors.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_b, B = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+            aid_arr = pdf["__a"].to_numpy()
+            S = _sim_block(A, B, meth)
+            if nd is not None:
+                S = np.round(S, nd)
+            out_a, out_b, out_s = [], [], []
+            for i in range(S.shape[0]):
+                order = np.lexsort((ids_b, -S[i]))[:kk]
+                out_a.extend([aid_arr[i]] * len(order))
+                out_b.extend(ids_b[order])
+                out_s.extend(S[i][order])
+            yield pd.DataFrame({"a": out_a, "b": out_b, "sim": out_s})
+
+    return (
+        anchors.filter(F.col(avec).isNotNull())
+        .select(F.col(aid).alias("__a"), F.col(avec).alias("__v"))
+        .mapInPandas(run, schema=out_schema)
+    )
+
+
+def margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    src_id: str,
+    src_vec: str,
+    tgt_id: Optional[str] = None,
+    tgt_vec: Optional[str] = None,
+    k: int = 4,
+    threshold: float = 1.05,
+    select: str = "threshold",
+    round_to: Optional[int] = None,
+    edges_fwd: Optional[DataFrame] = None,
+    edges_bwd: Optional[DataFrame] = None,
+    collect_row_bound: Optional[int] = 250_000,
+) -> DataFrame:
+    """Margin-based bitext/pair mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136 §3.2, the CCMatrix/LASER miner): score every
+    candidate cross-collection pair by its cosine RATIO to the two
+    anchors' neighborhood averages,
+
+        margin(x, y) = cos(x, y) / ((avgk(x) + avgk(y)) / 2),
+
+    where ``avgk(x)`` is the mean similarity of x's k nearest
+    neighbors in the OTHER collection. Absolute cosine thresholds
+    fail on hubness (some vectors are near everything); the margin
+    normalizes each pair by how promiscuous its endpoints are, which
+    is what made mining 4.5B parallel sentences tractable. The same
+    criterion mines (query, document) and (caption, image) pairs.
+
+    Candidates are the union of forward (src→tgt) and reversed
+    backward top-k edges; ``select="threshold"`` keeps every pair with
+    margin ≥ ``threshold``, ``select="best"`` additionally keeps only
+    each src anchor's argmax-margin pair (margin desc, tgt id asc —
+    the CCMatrix forward selection).
+
+    Laws: margin is 0.0 when the denominator is ≤ 0 (zero/negative
+    neighborhoods — never a candidate worth keeping, and it keeps the
+    expression ANSI-safe); similarities and margins round to
+    ``round_to`` when given; NULL embeddings excluded on all sides.
+
+    Scale shape: two directed GEMM edge passes (each broadcasts the
+    OTHER side, bounded by ``collect_row_bound``) — or drop in ANN
+    (a, b, sim) frames via ``edges_fwd=``/``edges_bwd=`` exactly as
+    :func:`mutual_topk_pairs` does, making the mining one bounded
+    n·k aggregation + two n·k joins past broadcast scale. Both edge
+    frames are persisted (each feeds its avg AND the candidate
+    union); handles ride the result for ``operators.dedup.release``.
+
+    Returns (src_id, tgt_id, sim, margin)."""
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    if select not in ("threshold", "best"):
+        raise ValueError(f"unknown select mode {select!r}")
+    tid = tgt_id if tgt_id is not None else src_id
+    tvec = tgt_vec if tgt_vec is not None else src_vec
+    inherited: list = []
+    if edges_fwd is None:
+        edges_fwd = _exact_cross_topk_edges_gemm(
+            src, src_id, src_vec, tgt, tid, tvec, int(k),
+            round_to=round_to, collect_row_bound=collect_row_bound,
+        )
+    if edges_bwd is None:
+        edges_bwd = _exact_cross_topk_edges_gemm(
+            tgt, tid, tvec, src, src_id, src_vec, int(k),
+            round_to=round_to, collect_row_bound=collect_row_bound,
+        )
+    inherited += getattr(edges_fwd, "_tidyvec_persisted", [])
+    inherited += getattr(edges_bwd, "_tidyvec_persisted", [])
+    # each edge frame feeds its neighborhood average AND the candidate
+    # union — persist so the GEMM runs once per direction
+    edges_fwd = edges_fwd.persist()
+    edges_bwd = edges_bwd.persist()
+    avg_f = edges_fwd.groupBy("a").agg(F.avg("sim").alias("__avg_src"))
+    avg_b = edges_bwd.groupBy("a").agg(F.avg("sim").alias("__avg_tgt"))
+    cands = (
+        edges_fwd.select(
+            F.col("a").alias("src_id"),
+            F.col("b").alias("tgt_id"),
+            "sim",
+        )
+        .unionByName(
+            edges_bwd.select(
+                F.col("b").alias("src_id"),
+                F.col("a").alias("tgt_id"),
+                "sim",
+            )
+        )
+        .groupBy("src_id", "tgt_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    denom = (F.col("__avg_src") + F.col("__avg_tgt")) / F.lit(2.0)
+    margin = F.when(denom > 0, F.col("sim") / denom).otherwise(F.lit(0.0))
+    if round_to is not None:
+        margin = F.round(margin, int(round_to))
+    scored = (
+        cands.join(
+            avg_f.withColumnRenamed("a", "src_id"), "src_id"
+        )
+        .join(avg_b.withColumnRenamed("a", "tgt_id"), "tgt_id")
+        .withColumn("margin", margin)
+        .filter(F.col("margin") >= float(threshold))
+        .select("src_id", "tgt_id", "sim", "margin")
+    )
+    if select == "best":
+        w = Window.partitionBy("src_id").orderBy(
+            F.desc("margin"), F.asc("tgt_id")
+        )
+        scored = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    scored._tidyvec_persisted = inherited + [edges_fwd, edges_bwd]
+    return scored
 
 
 def ict_pairs(
