@@ -18,6 +18,10 @@ from tidyvec_spark.sources.layout import (
 )
 from tidyvec_spark.sources.delimited import read_csv_quarantine
 from tidyvec_spark.sources.jsonl import read_jsonl, split_corrupt
+from tidyvec_spark.sources.tokenbin import (
+    read_token_shards,
+    write_token_shards,
+)
 from tidyvec_spark.sources.warc import (
     read_warc,
     split_warc_corrupt,
@@ -38,6 +42,8 @@ __all__ = [
     "parquet_file_stats",
     "read_csv_quarantine",
     "read_jsonl",
+    "read_token_shards",
+    "write_token_shards",
     "read_warc",
     "split_warc_corrupt",
     "warc_gz_bytes",
