@@ -48,3 +48,53 @@ def test_cdc_chunks_zero_shuffle(documents):
 
     out = cdc_chunks(documents, "text", "doc_id")
     assert plans.num_shuffles(out) == 0
+
+
+# ------------------------------------------------------------------- FIM
+
+
+def test_fim_split_reassembles_and_respects_rate(spark):
+    from tidyvec_spark.operators.chunking import fim_split
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with some chars") for i in range(200)]
+        + [(900, "")],  # empty doc: three empty strings, no ANSI error
+        "doc_id bigint, text string",
+    )
+    rows = fim_split(docs, "text", "doc_id", rate=0.5, salt="t").collect()
+    texts = {i: f"document body number {i} with some chars" for i in range(200)}
+    texts[900] = ""
+    n_fim = 0
+    for r in rows:
+        orig = texts[r["doc_id"]]
+        if r["fim"]:
+            n_fim += 1
+            assert r["prefix"] + r["middle"] + r["suffix"] == orig
+        else:
+            assert (r["prefix"], r["middle"], r["suffix"]) == (orig, "", "")
+    # hash coin ~ rate (binomial tolerance on 201 docs)
+    assert 0.35 <= n_fim / len(rows) <= 0.65
+    # deterministic: same salt → identical output, new salt → different picks
+    again = fim_split(docs, "text", "doc_id", rate=0.5, salt="t").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    other = fim_split(docs, "text", "doc_id", rate=0.5, salt="u").collect()
+    assert {r["doc_id"] for r in other if r["fim"]} != {
+        r["doc_id"] for r in rows if r["fim"]
+    }
+
+
+def test_fim_split_rate_bounds_and_plan(spark):
+    import pytest as _pytest
+
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.operators.chunking import fim_split
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="rate"):
+        fim_split(docs, "text", "doc_id", rate=1.5)
+    assert P.num_shuffles(fim_split(docs, "text", "doc_id")) == 0
+    # rate=0: pure passthrough shape; rate=1: every row transformed
+    all_on = fim_split(docs, "text", "doc_id", rate=1.0).collect()[0]
+    assert all_on["fim"] and all_on["prefix"] + all_on["middle"] + all_on["suffix"] == "abc"
+    off = fim_split(docs, "text", "doc_id", rate=0.0).collect()[0]
+    assert not off["fim"] and off["prefix"] == "abc"

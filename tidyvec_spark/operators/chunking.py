@@ -31,7 +31,64 @@ from pyspark.sql import functions as F
 
 from tidyvec_spark.operators.sampling import hash_unit
 
-__all__ = ["chunk_documents", "pack_sequences", "cdc_chunks"]
+__all__ = ["chunk_documents", "fim_split", "pack_sequences", "cdc_chunks"]
+
+
+def fim_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rate: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    arXiv:2207.14255): a ``rate`` fraction of documents is split into
+    (prefix, middle, suffix) at two uniform character cuts so the
+    trainer can rearrange them into PSM/SPM order and learn infilling;
+    the rest pass through untransformed (``fim = false``, the paper's
+    joint AR+FIM objective — §4.1 finds FIM-for-free up to ~90%).
+
+    Laws (identical in the DuckDB twin):
+    - transform iff ``hash_unit(id, salt||'fim') < rate`` — the
+      engine-portable deterministic coin (``rand(seed)`` depends on
+      partitioning; the hash does not), re-saltable per epoch;
+    - cuts: ``c_i = floor(hash_unit(id, salt||'a'|'b') * (L+1))``
+      over the character length L, lo = min, hi = max — so empty
+      prefix/middle/suffix are all reachable, as the paper requires
+      (the model must learn degenerate infills too);
+    - untransformed rows carry (text, '', '') so every row has the
+      same shape and downstream packing treats both objectives
+      uniformly.
+
+    Returns (``id_col``, fim, prefix, middle, suffix). Entirely
+    map-side single-pass codegen — zero shuffle, no Python; documents
+    of length 0 split into three empty strings, never an ANSI error
+    (the cut is a multiply-floor, not a modulo)."""
+    if not (0.0 <= float(rate) <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    t = F.col(text_col)
+    length = F.length(t)
+    pick = hash_unit(F.col(id_col), salt + "fim") < F.lit(float(rate))
+    c1 = F.floor(
+        hash_unit(F.col(id_col), salt + "a")
+        * (length + F.lit(1)).cast("double")
+    ).cast("int")
+    c2 = F.floor(
+        hash_unit(F.col(id_col), salt + "b")
+        * (length + F.lit(1)).cast("double")
+    ).cast("int")
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    return df.select(
+        id_col,
+        pick.alias("fim"),
+        F.when(pick, t.substr(F.lit(1), lo)).otherwise(t).alias("prefix"),
+        F.when(pick, t.substr(lo + 1, hi - lo))
+        .otherwise(F.lit(""))
+        .alias("middle"),
+        F.when(pick, t.substr(hi + 1, length - hi))
+        .otherwise(F.lit(""))
+        .alias("suffix"),
+    )
 
 
 def chunk_documents(
