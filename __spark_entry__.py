@@ -11255,6 +11255,179 @@ WHERE e1.a < e1.b
 """
 
 
+def _docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed token-shard sink/source roundtrip (sources/tokenbin.py
+    — the Megatron-style .bin + doc-index layout LM trainers consume):
+    the corpus is hash-tokenized to ids (md5_long(token) mod 50000,
+    the engine-portable deterministic vocab stand-in), written as 8
+    packed uint16 shards (shard = md5 law, one streaming task per
+    shard, atomic replace) and READ BACK through the shard-granular
+    binaryFile + frombuffer path; the returned per-doc (n_tokens,
+    token_sum) is computed from the REHYDRATED bytes, so the oracle
+    match proves write→read fidelity end-to-end, not just the
+    tokenization."""
+    import tempfile
+
+    from tidyvec_spark.functions.hashing import md5_long
+    from tidyvec_spark.functions.text import tokens
+    from tidyvec_spark.sources.tokenbin import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    ids = docs.select(
+        "doc_id",
+        F.transform(
+            tokens("text"),
+            lambda t: F.pmod(md5_long(t), F.lit(50_000)),
+        ).alias("toks"),
+    )
+    out = tempfile.mkdtemp(prefix="tv_tokbin_")
+    write_token_shards(ids, out, "doc_id", "toks", n_shards=8)
+    back = read_token_shards(spark, out)
+    return back.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("token_sum"),
+    )
+
+
+_DOCS_TOKEN_SHARDS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(list_sum(list_transform(toks,
+              tok -> CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT)
+                     % 50000)), 0) AS BIGINT) AS token_sum
+FROM t
+"""
+
+
+_FIM_SALT = "r10"
+
+
+def _docs_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (operators/chunking.py::fim_split
+    — Bavarian et al. 2022 joint AR+FIM objective): half the corpus is
+    split at two hash-uniform character cuts into (prefix, middle,
+    suffix), the rest passes through AR-shaped — the standard
+    code/LM-corpus infilling prep. Every law (coin, cuts) is the
+    engine-portable hash_unit, so the transform is bit-reproducible
+    and re-saltable per epoch. Zero shuffle."""
+    from tidyvec_spark.operators.chunking import fim_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return fim_split(docs, "text", "doc_id", rate=0.5, salt=_FIM_SALT)
+
+
+def _hu_sql(salt: str, expr: str = "CAST(doc_id AS VARCHAR)") -> str:
+    return (
+        f"CAST(CONCAT('0x', substr(md5(CONCAT('{salt}', {expr})), 1, 8)) "
+        f"AS UBIGINT) / 4294967296.0"
+    )
+
+
+_DOCS_FIM_SPLIT_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text, length(text) AS L,
+         {_hu_sql(_FIM_SALT + 'fim')} < 0.5 AS fim,
+         CAST(floor({_hu_sql(_FIM_SALT + 'a')} * (length(text) + 1))
+              AS INT) AS c1,
+         CAST(floor({_hu_sql(_FIM_SALT + 'b')} * (length(text) + 1))
+              AS INT) AS c2
+  FROM documents
+)
+SELECT doc_id, fim,
+       CASE WHEN fim THEN substr(text, 1, least(c1, c2))
+            ELSE text END AS prefix,
+       CASE WHEN fim THEN substr(text, least(c1, c2) + 1,
+                                 greatest(c1, c2) - least(c1, c2))
+            ELSE '' END AS middle,
+       CASE WHEN fim THEN substr(text, greatest(c1, c2) + 1,
+                                 L - greatest(c1, c2))
+            ELSE '' END AS suffix
+FROM c
+"""
+
+
+def _bitext_margin(select: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tidyvec_spark.operators.mining import margin_pairs
+
+        e = _read(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        return margin_pairs(
+            e.filter(F.col("vec_id") % 2 == 0),
+            e.filter(F.col("vec_id") % 2 == 1),
+            "vec_id",
+            "v",
+            k=3,
+            threshold=1.0,
+            select=select,
+            round_to=R,
+        )
+
+    run.__doc__ = (
+        "Margin-based bitext/pair mining (operators/mining.py::"
+        "margin_pairs — Artetxe & Schwenk 2019 ratio criterion, the "
+        "CCMatrix miner): candidate cross-collection pairs scored by "
+        "cosine over the mean of the two anchors' top-k neighborhood "
+        "averages, which cancels hubness where absolute thresholds "
+        "can't. Fixture splits embeddings into src (even vec_id) and "
+        "tgt (odd); exact GEMM edges here, ANN frames drop in via "
+        "edges_fwd=/edges_bwd= at scale. select="
+        + repr(select)
+        + (
+            " keeps every pair with margin >= 1.0"
+            if select == "threshold"
+            else " keeps each src anchor's argmax-margin pair"
+        )
+    )
+    return run
+
+
+def _bitext_margin_sql(select: str) -> str:
+    best = (
+        """
+QUALIFY row_number() OVER (
+  PARTITION BY src_id ORDER BY margin DESC, tgt_id) = 1"""
+        if select == "best"
+        else ""
+    )
+    return f"""
+WITH s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+t AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+p AS (SELECT s.id AS sa, t.id AS tb,
+             ROUND(list_cosine_similarity(s.v, t.v), {R}) AS sim
+      FROM s, t),
+fe AS (SELECT sa, tb, sim FROM (
+  SELECT sa, tb, sim,
+         row_number() OVER (PARTITION BY sa ORDER BY sim DESC, tb) AS rn
+  FROM p) WHERE rn <= 3),
+be AS (SELECT sa, tb, sim FROM (
+  SELECT sa, tb, sim,
+         row_number() OVER (PARTITION BY tb ORDER BY sim DESC, sa) AS rn
+  FROM p) WHERE rn <= 3),
+af AS (SELECT sa, avg(sim) AS a FROM fe GROUP BY sa),
+ab AS (SELECT tb, avg(sim) AS a FROM be GROUP BY tb),
+cand AS (SELECT sa, tb, max(sim) AS sim FROM (
+  SELECT * FROM fe UNION ALL SELECT * FROM be) GROUP BY sa, tb)
+SELECT cand.sa AS src_id, cand.tb AS tgt_id, cand.sim AS sim,
+       ROUND(CASE WHEN (af.a + ab.a) / 2 > 0
+             THEN cand.sim / ((af.a + ab.a) / 2) ELSE 0.0 END, {R})
+         AS margin
+FROM cand JOIN af ON cand.sa = af.sa JOIN ab ON cand.tb = ab.tb
+WHERE ROUND(CASE WHEN (af.a + ab.a) / 2 > 0
+            THEN cand.sim / ((af.a + ab.a) / 2) ELSE 0.0 END, {R}) >= 1.0
+{best}
+"""
+
+
 def _dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-hash dedup (operators/dedup.py::prefix_dup_groups): md5
     of the first-12-token normalized prefix, the cheap rung between
@@ -12085,6 +12258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/check_oracle.py when it landed). They join the
         # ROUND-11 ROTATION QUEUE named in the window comment:
         "docs_warc_gz_ingest": _docs_warc_gz_ingest,
+        "bitext_margin_pairs": _bitext_margin("threshold"),
+        "bitext_margin_best": _bitext_margin("best"),
+        "docs_token_shards": _docs_token_shards,
+        "docs_fim_split": _docs_fim_split,
     }
 
 
@@ -12320,6 +12497,10 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_merges": _wordpiece_merges_sql(),
         "docs_warc_ingest": _DOCS_WARC_INGEST_SQL,
         "docs_warc_gz_ingest": _DOCS_WARC_GZ_INGEST_SQL,
+        "bitext_margin_pairs": _bitext_margin_sql("threshold"),
+        "bitext_margin_best": _bitext_margin_sql("best"),
+        "docs_token_shards": _DOCS_TOKEN_SHARDS_SQL,
+        "docs_fim_split": _DOCS_FIM_SPLIT_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),
         "docs_lang_mix": _DOCS_LANG_MIX_SQL,
         "docs_lpa_communities": _docs_lpa_sql(),

@@ -256,6 +256,9 @@ BENCH_QUERIES = [
     "pq_reconstruction",
     # round-10 additions
     "docs_warc_gz_ingest",
+    "bitext_margin_pairs",
+    "docs_token_shards",
+    "docs_fim_split",
 ]
 
 

@@ -863,6 +863,74 @@ def main() -> None:
     )
     bdocs.unpersist()
 
+    # Blocklist membership A/B at a realistic 5,000-word list: the
+    # shipped blocklist_hits uses isin (Catalyst InSet — O(1) hash
+    # probe per token); the inline twin below is the pre-round-10
+    # array_contains literal scan (O(|list|) per token), kept here so
+    # the README claim stays MEASURED round over round.
+    from tidyvec_spark.functions.quality import blocklist_hits
+    from tidyvec_spark.functions.text import tokens as _toks_fn
+
+    bl_words = [f"badword{i}" for i in range(5_000)]
+    bl_lit = F.array(*[F.lit(w) for w in bl_words])
+    bl_docs = synth_docs(spark, 50_000).persist()
+    bl_docs.count()
+    record(
+        "blocklist_inset", 50_000,
+        lambda: materialize(
+            bl_docs.select(blocklist_hits("text", bl_words).alias("h"))
+        ),
+    )
+    record(
+        "blocklist_array_scan", 50_000,
+        lambda: materialize(
+            bl_docs.select(
+                F.size(
+                    F.filter(
+                        _toks_fn("text"),
+                        lambda t: F.array_contains(bl_lit, t),
+                    )
+                ).alias("h")
+            )
+        ),
+    )
+    bl_docs.unpersist()
+
+    # Packed token shards: write + read throughput by corpus size —
+    # shard-granular parallelism on both sides; expect ~linear
+    import tempfile as _tf2
+
+    from tidyvec_spark.functions.hashing import md5_long as _md5l
+    from tidyvec_spark.sources.tokenbin import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    tb_sizes = [20_000, 80_000]
+    if quick:
+        tb_sizes = tb_sizes[:1]
+    for n in tb_sizes:
+        tdocs = synth_docs(spark, n).select(
+            "doc_id",
+            F.transform(
+                _toks_fn("text"),
+                lambda t: F.pmod(_md5l(t), F.lit(50_000)),
+            ).alias("toks"),
+        ).persist()
+        tdocs.count()
+        d = _tf2.mkdtemp(prefix="tv_tokbin_sweep_")
+        record(
+            "token_shards_write", n,
+            lambda: write_token_shards(
+                tdocs, d, "doc_id", "toks", n_shards=16
+            ).count(),
+        )
+        record(
+            "token_shards_read", n,
+            lambda: materialize(read_token_shards(spark, d)),
+        )
+        tdocs.unpersist()
+
     print("\n== scaling summary (wall_s by size) ==")
     for op, pts in results.items():
         scale = pts[-1][0] / pts[0][0]
