@@ -11352,6 +11352,85 @@ FROM c
 """
 
 
+def _docs_crop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent-cropping positive pairs (operators/mining.py::
+    crop_pairs — Contriever, Izacard et al. 2021 §4.1): per doc two
+    hash-uniform token spans become a contrastive (crop_a, crop_b)
+    positive, the label-free generator that lets views overlap where
+    ICT forces complements. Span-length and start laws are hash_unit
+    (engine-portable, re-saltable per epoch); zero shuffle."""
+    from tidyvec_spark.operators.mining import crop_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return crop_pairs(
+        docs, "text", "doc_id", min_frac=0.1, max_frac=0.5, salt=_FIM_SALT
+    )
+
+
+def _crop_sql_one(tag: str) -> str:
+    u1 = _hu_sql(_FIM_SALT + tag + "len")
+    u2 = _hu_sql(_FIM_SALT + tag + "start")
+    return f"""
+  greatest(1, CAST(floor(CAST(n AS DOUBLE)
+      * (CAST(0.1 AS DOUBLE) + ({u1}) * CAST(0.4 AS DOUBLE))) AS INT))
+    AS ln_{tag},
+  CAST(floor(({u2})
+      * CAST(n - greatest(1, CAST(floor(CAST(n AS DOUBLE)
+          * (CAST(0.1 AS DOUBLE) + ({u1}) * CAST(0.4 AS DOUBLE)))
+        AS INT)) + 1 AS DOUBLE)) AS INT) AS st_{tag}"""
+
+
+_DOCS_CROP_PAIRS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks,
+                  len({_TOKS}) AS n FROM documents),
+c AS (
+  SELECT doc_id, toks, n,
+  {_crop_sql_one('a')},
+  {_crop_sql_one('b')}
+  FROM t WHERE n >= 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, st_a + 1, st_a + ln_a), ' ')
+         AS crop_a,
+       array_to_string(list_slice(toks, st_b + 1, st_b + ln_b), ' ')
+         AS crop_b
+FROM c
+"""
+
+
+def _docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sampling without replacement (operators/
+    sampling.py::weighted_sample_n — Efraimidis & Spirakis 2006 A-ES
+    key law, key = u^(1/w) top-n): 100 docs sampled proportional to
+    token count, deterministic via hash_unit. The global path plans
+    TakeOrderedAndProject — per-partition heaps + one n-row merge,
+    never a full sort — so the selection is one scan at any corpus
+    size."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.sampling import weighted_sample_n
+
+    docs = _read(spark, sf_dir, "documents")
+    ids = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return weighted_sample_n(
+        ids, "doc_id", "n_tokens", 100, salt=_FIM_SALT + "w"
+    )
+
+
+_DOCS_WEIGHTED_SAMPLE_SQL = f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+k AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN ({_hu_sql(_FIM_SALT + 'w')}) > 0
+              THEN exp(ln({_hu_sql(_FIM_SALT + 'w')})
+                       / CAST(n_tokens AS DOUBLE))
+              ELSE 0.0 END AS key
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens FROM k ORDER BY key DESC, doc_id LIMIT 100
+"""
+
+
 def _bitext_margin(select: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from tidyvec_spark.operators.mining import margin_pairs
@@ -12262,6 +12341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_margin_best": _bitext_margin("best"),
         "docs_token_shards": _docs_token_shards,
         "docs_fim_split": _docs_fim_split,
+        "docs_crop_pairs": _docs_crop_pairs,
+        "docs_weighted_sample": _docs_weighted_sample,
     }
 
 
@@ -12501,6 +12582,8 @@ def oracle_sql() -> dict[str, str]:
         "bitext_margin_best": _bitext_margin_sql("best"),
         "docs_token_shards": _DOCS_TOKEN_SHARDS_SQL,
         "docs_fim_split": _DOCS_FIM_SPLIT_SQL,
+        "docs_crop_pairs": _DOCS_CROP_PAIRS_SQL,
+        "docs_weighted_sample": _DOCS_WEIGHTED_SAMPLE_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),
         "docs_lang_mix": _DOCS_LANG_MIX_SQL,
         "docs_lpa_communities": _docs_lpa_sql(),

@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "bitext_margin_pairs",
     "docs_token_shards",
     "docs_fim_split",
+    "docs_crop_pairs",
+    "docs_weighted_sample",
 ]
 
 

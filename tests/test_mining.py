@@ -394,3 +394,72 @@ def test_margin_ann_edge_seam_matches_exact(spark):
     release(via_seam)
     release(direct)
     assert s == d
+
+
+# ------------------------------------------------------------ crop pairs
+
+
+def test_crop_pairs_match_pure_python_twin(spark):
+    """Independent twin of the cropping law: hash_unit lengths/starts
+    over whitespace tokens, exact string comparison."""
+    import hashlib
+
+    from tidyvec_spark.operators.mining import crop_pairs
+
+    def hu(i, salt):
+        h = hashlib.md5((salt + str(i)).encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32
+
+    texts = {
+        i: " ".join(f"w{i}x{j}" for j in range(1 + i % 12)) for i in range(30)
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["crop_a"], r["crop_b"])
+        for r in crop_pairs(
+            df, "text", "doc_id", min_frac=0.2, max_frac=0.6, salt="cp"
+        ).collect()
+    }
+    import math
+
+    for i, text in texts.items():
+        toks = text.lower().split()
+        n = len(toks)
+        want = [n]
+        for tag in ("a", "b"):
+            ln = max(
+                1, math.floor(n * (0.2 + hu(i, "cp" + tag + "len") * 0.4))
+            )
+            start = math.floor(hu(i, "cp" + tag + "start") * (n - ln + 1))
+            want.append(" ".join(toks[start:start + ln]))
+        assert got[i] == tuple(want), (i, got[i], want)
+
+
+def test_crop_pairs_edges(spark):
+    import pytest as _pytest
+
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.operators.mining import crop_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "single"), (4, "two tokens here now")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in crop_pairs(df, "text", "doc_id").collect()}
+    assert set(rows) == {3, 4}  # zero-token docs yield no pair
+    assert rows[3]["crop_a"] == rows[3]["crop_b"] == "single"
+    assert P.num_shuffles(crop_pairs(df, "text", "doc_id")) == 0
+    with _pytest.raises(ValueError, match="min_frac"):
+        crop_pairs(df, "text", "doc_id", min_frac=0.0)
+    with _pytest.raises(ValueError, match="min_frac"):
+        crop_pairs(df, "text", "doc_id", min_frac=0.6, max_frac=0.5)
+    # salt changes the views (on a corpus with enough feasible windows)
+    big = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(30))) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    a = crop_pairs(big, "text", "doc_id", salt="e1").collect()
+    b = crop_pairs(big, "text", "doc_id", salt="e2").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, b))

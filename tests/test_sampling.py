@@ -418,3 +418,86 @@ class TestClusterBalancedSample:
         )
         # assignment is map-side; the quota window is the ONE shuffle
         assert P.num_shuffles(out) <= 1
+
+
+# --------------------------------------------------- weighted_sample_n
+
+
+def test_weighted_sample_matches_pure_python_twin(spark):
+    """Independent A-ES twin: key = u^(1/w) with u = hash_unit, top-n
+    by key desc / id asc — exact selection must agree."""
+    import hashlib
+    import math
+
+    from tidyvec_spark.operators.sampling import weighted_sample_n
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+
+    def hu(i, salt):
+        h = hashlib.md5((salt + str(i)).encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32
+
+    keyed = [
+        (math.exp(math.log(hu(i, "tw")) / w) if hu(i, "tw") > 0 else 0.0, i)
+        for i, w in rows
+    ]
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    want = {i for _, i in keyed[:40]}
+    got = {
+        r["id"]
+        for r in weighted_sample_n(df, "id", "w", 40, salt="tw").collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_pps_marginals(spark):
+    """Probability-proportional-to-size: heavy rows (4x weight, 1/5 of
+    the population) should take ~half the sample mass."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.sampling import weighted_sample_n
+
+    df = spark.createDataFrame(
+        [(i, 10.0 if i % 5 == 0 else 2.5) for i in range(5000)],
+        "id bigint, w double",
+    )
+    got = weighted_sample_n(df, "id", "w", 500, salt="pps")
+    heavy = got.filter(F.col("id") % 5 == 0).count()
+    assert got.count() == 500
+    assert 190 <= heavy <= 310  # ~250 expected, generous binomial band
+
+
+def test_weighted_sample_excludes_nonpositive_and_null(spark):
+    from tidyvec_spark.operators.sampling import weighted_sample_n
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -2.0), (4, None), (5, 3.0)],
+        "id bigint, w double",
+    )
+    got = {r["id"] for r in weighted_sample_n(df, "id", "w", 10).collect()}
+    assert got == {1, 5}  # n past the eligible count keeps all eligible
+
+
+def test_weighted_sample_per_group(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.sampling import weighted_sample_n
+
+    df = spark.createDataFrame(
+        [(i, 1.0 + (i % 3), f"g{i % 4}") for i in range(400)],
+        "id bigint, w double, g string",
+    )
+    got = weighted_sample_n(df, "id", "w", 7, salt="gr", by="g")
+    counts = {r["g"]: r["count"] for r in got.groupBy("g").count().collect()}
+    assert counts == {f"g{k}": 7 for k in range(4)}
+    # each group's selection equals running the global law on it alone
+    g2 = df.filter(F.col("g") == "g2")
+    solo = {
+        r["id"]
+        for r in weighted_sample_n(g2, "id", "w", 7, salt="gr").collect()
+    }
+    assert {r["id"] for r in got.filter(F.col("g") == "g2").collect()} == solo
+    with _pytest.raises(ValueError, match="n must be"):
+        weighted_sample_n(df, "id", "w", 0)

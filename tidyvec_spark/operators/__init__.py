@@ -47,6 +47,7 @@ from tidyvec_spark.operators.lm import (
 )
 from tidyvec_spark.operators.mining import (
     hard_negative_pairs,
+    crop_pairs,
     ict_pairs,
     margin_pairs,
     mutual_topk_pairs,
@@ -66,6 +67,7 @@ from tidyvec_spark.operators.sampling import (
     target_mix_sample,
     temperature_fractions,
     temperature_sample,
+    weighted_sample_n,
 )
 from tidyvec_spark.operators.bloom import decontaminate_bloom
 from tidyvec_spark.operators.reports import (
@@ -156,6 +158,7 @@ __all__ = [
     "dsir_top_k",
     "dsir_weights",
     "hard_negative_pairs",
+    "crop_pairs",
     "ict_pairs",
     "margin_pairs",
     "mutual_topk_pairs",
@@ -175,6 +178,7 @@ __all__ = [
     "temperature_fractions",
     "topk_recall",
     "temperature_sample",
+    "weighted_sample_n",
     "semantic_dedup",
     "semantic_dedup_pairs",
     "pq_adc_topk",

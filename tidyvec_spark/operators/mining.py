@@ -22,11 +22,81 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "crop_pairs",
     "hard_negative_pairs",
     "ict_pairs",
     "margin_pairs",
     "mutual_topk_pairs",
 ]
+
+
+def crop_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_frac: float = 0.1,
+    max_frac: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Independent-cropping positive pairs (Contriever — Izacard et
+    al. 2021, arXiv:2112.09118 §4.1): per document, TWO independent
+    token spans become a positive (crop_a, crop_b) pair — the
+    label-free contrastive generator that beat ICT on BEIR by letting
+    the two views overlap arbitrarily instead of being complementary.
+    Together with :func:`ict_pairs` (complementary views) and
+    :func:`hard_negative_pairs` this completes the standard positive-
+    pair menu.
+
+    Laws (identical in the DuckDB twin, all via the engine-portable
+    ``hash_unit`` — deterministic under any partitioning, re-saltable
+    per epoch):
+    - span length ``len_i = max(1, floor(n · (min_frac + u_i1 ·
+      (max_frac − min_frac))))`` over the doc's n whitespace tokens;
+    - span start ``start_i = floor(u_i2 · (n − len_i + 1))``
+      (0-based), so every feasible window is equally likely;
+    - crops join their tokens with one space; docs with zero tokens
+      yield no pair.
+
+    Zero shuffle, no Python — one map-side projection."""
+    if not (0.0 < float(min_frac) <= float(max_frac) <= 1.0):
+        raise ValueError(
+            f"need 0 < min_frac <= max_frac <= 1, got "
+            f"({min_frac}, {max_frac})"
+        )
+    from tidyvec_spark.functions.text import let, tokens
+    from tidyvec_spark.operators.sampling import hash_unit
+
+    lo, hi = float(min_frac), float(max_frac)
+
+    def crop(ts: Column, n: Column, tag: str) -> Column:
+        u1 = hash_unit(F.col(id_col), salt + tag + "len")
+        u2 = hash_unit(F.col(id_col), salt + tag + "start")
+        ln = F.greatest(
+            F.lit(1),
+            F.floor(n.cast("double") * (F.lit(lo) + u1 * F.lit(hi - lo)))
+            .cast("int"),
+        )
+        start = F.floor(
+            u2 * (n - ln + F.lit(1)).cast("double")
+        ).cast("int")
+        return F.array_join(F.slice(ts, start + 1, ln), " ")
+
+    def body(ts: Column) -> Column:
+        n = F.size(ts)
+        ok = n >= F.lit(1)
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.when(ok, crop(ts, n, "a")).alias("crop_a"),
+            F.when(ok, crop(ts, n, "b")).alias("crop_b"),
+        )
+
+    out = df.select(id_col, let(tokens(text_col), body).alias("__cp"))
+    return out.filter(F.col("__cp.n_tokens") >= 1).select(
+        id_col,
+        F.col("__cp.n_tokens").alias("n_tokens"),
+        F.col("__cp.crop_a").alias("crop_a"),
+        F.col("__cp.crop_b").alias("crop_b"),
+    )
 
 
 def _sim_block(A, B, meth: str):

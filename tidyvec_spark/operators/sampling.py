@@ -26,7 +26,7 @@ projection + filter, whole-stage codegen, zero shuffle.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -45,7 +45,62 @@ __all__ = [
     "unimax_allocation",
     "unimax_fractions",
     "unimax_sample",
+    "weighted_sample_n",
 ]
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+    by: Optional[str] = None,
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement of ``n`` rows —
+    the Efraimidis–Spirakis A-ES one-pass reservoir law (IPL 2006):
+    every row draws key ``u^(1/w)`` for u uniform in [0,1) and the
+    top-``n`` keys ARE an exact weighted sample without replacement.
+    The fraction-based samplers above deliver expected counts; this
+    delivers exact counts under true probability-proportional-to-size
+    inclusion (a row with twice the weight is exactly twice as likely
+    at the margin), which is what mixture recipes with hard budgets
+    want.
+
+    Laws (identical in the DuckDB twin):
+    - u = ``hash_unit(id, salt)`` — deterministic, partitioning-
+      independent, re-saltable per epoch (``rand(seed)`` is neither);
+    - key = ``u^(1/w)`` computed as ``exp(ln(u)/w)`` with the u=0
+      corner pinned to key 0 (pow would raise under ANSI on 0^x only
+      for negative x, but the log form needs the explicit pin);
+    - rows with ``w <= 0`` or NULL weight are excluded (zero-weight
+      rows must have zero inclusion probability — and it keeps the
+      1/w ANSI-safe);
+    - ties (astronomically unlikely but hash-deterministic) break by
+      id ascending.
+
+    Shape: with ``by=None`` a global top-n — Catalyst plans
+    TakeOrderedAndProject (per-partition heaps + one n-row merge,
+    never a full sort). With ``by=`` a per-group row_number window
+    (one shuffle on the group key), n rows per group."""
+    if int(n) < 1:
+        raise ValueError("n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = hash_unit(F.col(id_col), salt)
+    key = F.when(u > 0, F.exp(F.log(u) / w)).otherwise(F.lit(0.0))
+    scored = df.filter(w.isNotNull() & (w > 0)).withColumn("__es", key)
+    if by is None:
+        out = scored.orderBy(F.desc("__es"), F.asc(id_col)).limit(int(n))
+    else:
+        win = Window.partitionBy(by).orderBy(
+            F.desc("__es"), F.asc(id_col)
+        )
+        out = (
+            scored.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= int(n))
+            .drop("__rn")
+        )
+    return out.drop("__es")
 
 
 def budget_sample(
