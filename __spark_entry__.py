@@ -11352,6 +11352,169 @@ FROM c
 """
 
 
+def _docs_url_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical URL spam scoring (functions/urls.py::url_spam_features
+    — the Ma et al. 2009 lexical family): digit-heavy hosts, deep
+    auto-generated paths, and parameter spam are scored from the URL
+    STRING alone, the pre-fetch crawl-curation gate. URLs synthesized
+    from doc_id with link-farm variety (hyphen-digit hosts every 3rd,
+    depth/padding/params cycling) so the fixture spans the score
+    range; one zero-shuffle codegen projection."""
+    from tidyvec_spark.functions.urls import url_spam_features
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("h"), did.cast("string"), F.lit("-x9.")),
+        ).otherwise(F.lit("www.")),
+        F.lit("site"),
+        (did % 7).cast("string"),
+        F.lit(".com"),
+        F.repeat(F.lit("/seg"), (did % 8).cast("int")),
+        F.lit("/"),
+        F.repeat(F.lit("z"), ((did % 4) * 30).cast("int")),
+        F.lit("?a=1"),
+        F.repeat(F.lit("&utm_x=1"), (did % 5).cast("int")),
+    )
+    return docs.select(
+        "doc_id", url_spam_features(url).alias("f")
+    ).select("doc_id", "f.*")
+
+
+_URL_SPAM_SYNTH_SQL = """
+  'https://'
+  || CASE WHEN doc_id % 3 = 0
+          THEN 'h' || CAST(doc_id AS VARCHAR) || '-x9.' ELSE 'www.' END
+  || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+  || repeat('/seg', CAST(doc_id % 8 AS INT))
+  || '/'
+  || repeat('z', CAST((doc_id % 4) * 30 AS INT))
+  || '?a=1'
+  || repeat('&utm_x=1', CAST(doc_id % 5 AS INT))
+"""
+
+_DOCS_URL_SPAM_SQL = f"""
+WITH raw AS (SELECT doc_id, trim({_URL_SPAM_SYNTH_SQL}) AS url
+             FROM documents),
+p AS (
+  SELECT doc_id, url, split_part(url, '#', 1) AS u FROM raw
+),
+f AS (
+  SELECT doc_id,
+    length(url) AS url_len,
+    lower(COALESCE(regexp_extract(u,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]*)', 2), '')) AS host,
+    COALESCE(regexp_extract(u,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*(/[^?#]*)', 2), '') AS path,
+    COALESCE(regexp_extract(u, '\\?(.*)$', 1), '') AS q
+  FROM p
+),
+g AS (
+  SELECT doc_id, url_len, length(host) AS host_len,
+    length(host) - length(regexp_replace(host, '[0-9]', '', 'g'))
+      AS host_digits,
+    length(host) - length(replace(host, '-', '')) AS host_hyphens,
+    length(host) - length(replace(host, '.', '')) AS n_subdomains,
+    length(path) - length(replace(path, '/', '')) AS path_depth,
+    len(list_filter(str_split(q, '&'), x -> x <> '')) AS n_params
+  FROM f
+)
+SELECT doc_id, CAST(url_len AS BIGINT) AS url_len,
+       CAST(host_len AS BIGINT) AS host_len,
+       CAST(host_digits AS BIGINT) AS host_digits,
+       CAST(host_hyphens AS BIGINT) AS host_hyphens,
+       CAST(n_subdomains AS BIGINT) AS n_subdomains,
+       CAST(path_depth AS BIGINT) AS path_depth,
+       CAST(n_params AS BIGINT) AS n_params,
+       ROUND(
+         CASE WHEN host_len > 0
+              THEN CAST(host_digits AS DOUBLE) / CAST(host_len AS DOUBLE)
+              ELSE 0.0 END * CAST(2.0 AS DOUBLE)
+         + CAST(host_hyphens AS DOUBLE) * CAST(0.25 AS DOUBLE)
+         + CAST(greatest(n_subdomains - 2, 0) AS DOUBLE)
+           * CAST(0.5 AS DOUBLE)
+         + CAST(greatest(path_depth - 4, 0) AS DOUBLE)
+           * CAST(0.25 AS DOUBLE)
+         + CAST(greatest(url_len - 80, 0) AS DOUBLE)
+           * CAST(0.01 AS DOUBLE)
+         + CAST(greatest(n_params - 3, 0) AS DOUBLE)
+           * CAST(0.3 AS DOUBLE), 6) AS spam_score
+FROM g
+"""
+
+
+def _corpus_overlap_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-audited corpus overlap (operators/sketches.py::
+    hll_overlap): |A∩B| by HLL inclusion–exclusion — the 100 TB
+    first-pass of decontamination/merge planning, one scan per corpus
+    (or none, from stored per-shard sketches) before any exact
+    anti-join is paid. Fixture: A = doc_id %% 4 < 3, B = even doc_ids
+    (true overlap = half of A's even ids). The emitted row carries the
+    EXACT counts, gated by the sketch estimates agreeing within 2%
+    (5% for the differenced intersection) — the
+    events_hll_accuracy self-auditing shape, so sketch drift empties
+    the result and the driver's row count catches it."""
+    from tidyvec_spark.operators.sketches import hll_overlap
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    a = docs.filter(F.col("doc_id") % 4 < 3)
+    b = docs.filter(F.col("doc_id") % 2 == 0)
+    est = hll_overlap(a, b, "doc_id", lg_k=14)
+    ex = (
+        a.agg(F.countDistinct("doc_id").alias("n_a"))
+        .crossJoin(b.agg(F.countDistinct("doc_id").alias("n_b")))
+        .crossJoin(
+            a.join(b, "doc_id").agg(
+                F.countDistinct("doc_id").alias("n_intersection")
+            )
+        )
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_intersection"))
+    )
+    tol = lambda e, x, t: (  # noqa: E731
+        F.abs(F.col(e) - F.col(x)) <= F.lit(t) * F.col(x)
+    )
+    return (
+        ex.crossJoin(est)
+        .filter(
+            tol("n_a_est", "n_a", 0.02)
+            & tol("n_b_est", "n_b", 0.02)
+            & tol("n_union_est", "n_union", 0.02)
+            & tol("n_intersection_est", "n_intersection", 0.05)
+        )
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_union").cast("long").alias("n_union"),
+            F.col("n_intersection").cast("long").alias("n_intersection"),
+            F.round(
+                F.col("n_intersection").cast("double")
+                / F.col("n_union").cast("double"),
+                R,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_CORPUS_OVERLAP_SQL = f"""
+WITH a AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 < 3),
+b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 0),
+x AS (
+  SELECT (SELECT count(*) FROM a) AS n_a,
+         (SELECT count(*) FROM b) AS n_b,
+         (SELECT count(*) FROM a JOIN b USING (doc_id)) AS n_intersection
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_a + n_b - n_intersection AS BIGINT) AS n_union,
+       CAST(n_intersection AS BIGINT) AS n_intersection,
+       ROUND(CAST(n_intersection AS DOUBLE)
+             / CAST(n_a + n_b - n_intersection AS DOUBLE), {R}) AS jaccard
+FROM x
+"""
+
+
 def _docs_crop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independent-cropping positive pairs (operators/mining.py::
     crop_pairs — Contriever, Izacard et al. 2021 §4.1): per doc two
@@ -12343,6 +12506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fim_split": _docs_fim_split,
         "docs_crop_pairs": _docs_crop_pairs,
         "docs_weighted_sample": _docs_weighted_sample,
+        "docs_url_spam": _docs_url_spam,
+        "corpus_overlap_est": _corpus_overlap_est,
     }
 
 
@@ -12584,6 +12749,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_fim_split": _DOCS_FIM_SPLIT_SQL,
         "docs_crop_pairs": _DOCS_CROP_PAIRS_SQL,
         "docs_weighted_sample": _DOCS_WEIGHTED_SAMPLE_SQL,
+        "docs_url_spam": _DOCS_URL_SPAM_SQL,
+        "corpus_overlap_est": _CORPUS_OVERLAP_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),
         "docs_lang_mix": _DOCS_LANG_MIX_SQL,
         "docs_lpa_communities": _docs_lpa_sql(),

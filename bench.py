@@ -261,6 +261,8 @@ BENCH_QUERIES = [
     "docs_fim_split",
     "docs_crop_pairs",
     "docs_weighted_sample",
+    "docs_url_spam",
+    "corpus_overlap_est",
 ]
 
 

@@ -144,3 +144,42 @@ class TestCountMin:
         # the NULL probe is dropped, the real one still never undercounts
         assert len(got) == 1
         assert got[0]["v"] == "a" and got[0]["n_est"] >= 2
+
+
+# ------------------------------------------------------------ hll overlap
+
+
+def test_hll_overlap_estimates_track_exact(spark):
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.sketches import hll_overlap
+
+    a = spark.range(0, 8000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(4000, 12000).select(
+        F.col("id").cast("string").alias("v")
+    )
+    r = hll_overlap(a, b, "v", lg_k=14).first()
+    assert abs(r["n_a_est"] - 8000) / 8000 < 0.05
+    assert abs(r["n_b_est"] - 8000) / 8000 < 0.05
+    assert abs(r["n_union_est"] - 12000) / 12000 < 0.05
+    assert abs(r["n_intersection_est"] - 4000) / 4000 < 0.15
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.05
+
+
+def test_hll_overlap_disjoint_clamps_and_empty_guards(spark):
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.sketches import hll_overlap
+
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(50000, 53000).select(
+        F.col("id").cast("string").alias("v")
+    )
+    r = hll_overlap(a, b, "v").first()
+    # inclusion-exclusion on disjoint sets can go slightly negative;
+    # the clamp pins it at >= 0
+    assert r["n_intersection_est"] >= 0
+    assert r["n_intersection_est"] < 0.02 * 6000
+    empty = spark.createDataFrame([], "v string")
+    r2 = hll_overlap(empty, empty, "v").first()
+    assert r2["n_union_est"] == 0 and r2["jaccard_est"] == 0.0

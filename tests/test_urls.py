@@ -114,3 +114,48 @@ def test_canonicalize_url_synthetic_fixture_idempotent(spark):
     ).select("c1", canonicalize_url("c1").alias("c2")).collect()
     for r in out:
         assert r["c2"] == r["c1"], r
+
+
+# ------------------------------------------------------------ spam score
+
+
+def test_url_spam_features_hand_checked(spark):
+    from tidyvec_spark.functions.urls import url_spam_features
+
+    urls = {
+        0: "https://www.example.com/page/1?a=1",
+        1: (
+            "http://a1b2-c3.x99.spam-farm123.biz"
+            "/a/b/c/d/e/f/long?p1=1&p2=2&p3=3&p4=4&p5=5"
+        ),
+        2: "https://clean.org/",
+        3: "not a url",
+    }
+    df = spark.createDataFrame(list(urls.items()), "id int, url string")
+    got = {
+        r["id"]: tuple(r)[1:]
+        for r in df.select(
+            "id", url_spam_features("url").alias("f")
+        ).select("id", "f.*").collect()
+    }
+    # (url_len, host_len, host_digits, host_hyphens, n_subdomains,
+    #  path_depth, n_params, spam_score)
+    assert got[0] == (34, 15, 0, 0, 2, 2, 1, 0.0)
+    assert got[2] == (18, 9, 0, 0, 1, 1, 0, 0.0)
+    assert got[3] == (9, 0, 0, 0, 0, 0, 0, 0.0)  # non-URL: all zero
+    spam = got[1]
+    assert spam[2] == 8 and spam[3] == 2 and spam[6] == 5
+    assert spam[7] > 2.5  # link-farm shape scores far above clean
+
+
+def test_url_spam_zero_shuffle_and_fragment_law(spark):
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.functions.urls import url_spam_features
+
+    df = spark.createDataFrame(
+        [(1, "https://h.com/p#frag?fake=1&fake=2")], "id int, url string"
+    )
+    out = df.select(url_spam_features("url").alias("f")).select("f.*")
+    assert P.num_shuffles(out) == 0
+    r = out.first()
+    assert r["n_params"] == 0  # ?-inside-fragment is NOT a query

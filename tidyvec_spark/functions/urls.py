@@ -168,6 +168,81 @@ def canonicalize_url(c: ColumnOrName) -> Column:
     return F.when(not_a_url | unparseable, raw).otherwise(let(pre, build))
 
 
+#: weights for the lexical spam score — engine defaults, not learned
+#: (the FEATURE SET is Ma et al. 2009's lexical family; tune or feed
+#: the features to operators/classifier.py for a learned score)
+SPAM_WEIGHTS = {
+    "host_digit_frac": 2.0,
+    "host_hyphens": 0.25,
+    "excess_subdomains": 0.5,   # dots in host beyond 2
+    "excess_depth": 0.25,       # path segments beyond 4
+    "excess_len": 0.01,         # url chars beyond 80
+    "excess_params": 0.3,       # query params beyond 3
+}
+
+
+def url_spam_features(c: ColumnOrName) -> Column:
+    """Lexical URL spam/quality features (the feature family of Ma et
+    al. 2009, "Beyond Blacklists" — lexical features alone separate
+    most spammy URLs): STRUCT(url_len, host_len, host_digits,
+    host_hyphens, n_subdomains, path_depth, n_params, spam_score).
+    Crawl curation uses the score to down-rank link-farm shapes
+    (digit-heavy hosts, deep auto-generated paths, parameter spam)
+    before any content is fetched or scored — it costs one codegen
+    projection, no Python, no shuffle.
+
+    ``spam_score`` is the :data:`SPAM_WEIGHTS` linear combination of
+    the hinge-normalized features, rounded to 6; deterministic and
+    replayed verbatim by the DuckDB oracle."""
+    raw = F.trim(_col(c))
+
+    def build(u: Column) -> Column:
+        host = F.lower(F.regexp_extract(u, _SCHEME_RE + r"([^/?#:]*)", 2))
+        path = F.regexp_extract(u, _SCHEME_RE + r"[^/?#]*(/[^?#]*)", 2)
+        query = F.regexp_extract(u, r"\?(.*)$", 1)
+        url_len = F.length(raw)
+        host_len = F.length(host)
+        host_digits = host_len - F.length(
+            F.regexp_replace(host, r"[0-9]", "")
+        )
+        host_hyphens = host_len - F.length(F.replace(host, F.lit("-")))
+        n_sub = F.length(host) - F.length(F.replace(host, F.lit(".")))
+        depth = F.length(path) - F.length(F.replace(path, F.lit("/")))
+        n_params = F.size(
+            F.filter(F.split(query, "&"), lambda p: p != "")
+        )
+        w = SPAM_WEIGHTS
+        score = F.round(
+            F.when(
+                host_len > 0,
+                host_digits.cast("double") / host_len.cast("double"),
+            ).otherwise(F.lit(0.0))
+            * F.lit(w["host_digit_frac"])
+            + host_hyphens.cast("double") * F.lit(w["host_hyphens"])
+            + F.greatest(n_sub - 2, F.lit(0)).cast("double")
+            * F.lit(w["excess_subdomains"])
+            + F.greatest(depth - 4, F.lit(0)).cast("double")
+            * F.lit(w["excess_depth"])
+            + F.greatest(url_len - 80, F.lit(0)).cast("double")
+            * F.lit(w["excess_len"])
+            + F.greatest(n_params - 3, F.lit(0)).cast("double")
+            * F.lit(w["excess_params"]),
+            6,
+        )
+        return F.struct(
+            url_len.cast("long").alias("url_len"),
+            host_len.cast("long").alias("host_len"),
+            host_digits.cast("long").alias("host_digits"),
+            host_hyphens.cast("long").alias("host_hyphens"),
+            n_sub.cast("long").alias("n_subdomains"),
+            depth.cast("long").alias("path_depth"),
+            n_params.cast("long").alias("n_params"),
+            score.alias("spam_score"),
+        )
+
+    return let(_pre_fragment(raw), build)
+
+
 def canonical_url_sql(col: str) -> str:
     """DuckDB twin of :func:`canonicalize_url` for oracle queries —
     same regexes (RE2 both sides), same rule order, fragment stripped

@@ -29,11 +29,72 @@ from pyspark.sql import functions as F
 __all__ = [
     "hll_sketch_by",
     "hll_rollup",
+    "hll_overlap",
     "distinct_with_accuracy_contract",
     "cms_build",
     "cms_merge",
     "cms_estimate",
 ]
+
+
+def hll_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Sketch-level corpus overlap estimate — ONE row
+    (n_a_est, n_b_est, n_union_est, n_intersection_est, jaccard_est)
+    via inclusion–exclusion over HLL sketches: |A∩B| ≈ |A| + |B| −
+    |A∪B|, with the union estimated from ``hll_union_agg`` (lossless
+    sketch merge, never a re-scan of either side).
+
+    This is the 100 TB FIRST PASS of decontamination/merge planning:
+    before paying the exact anti-join of ``decontaminate_corpus`` or
+    a full ``corpus_merge``, two corpora that each fit in a few-KB
+    sketch answer "how much do these overlap?" in one scan per side —
+    and per-shard sketches stored at ingest answer it with NO scan.
+    Inclusion–exclusion stacks three estimate errors, so the relative
+    error on a SMALL intersection is large (the difference of two big
+    numbers); use it to rank/triage overlaps, and pay an exact join
+    only where the estimate says contamination is material.
+
+    Shape: two 1-row sketch aggregations + crossJoins of 1-row frames
+    (the guarded broadcast-literal pattern); the intersection clamps
+    at 0 and jaccard guards the empty-union ANSI division."""
+    sa = a.agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(int(lg_k))).alias("s")
+    )
+    sb = b.agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(int(lg_k))).alias("s")
+    )
+    ea = sa.select(F.hll_sketch_estimate("s").alias("n_a_est"))
+    eb = sb.select(F.hll_sketch_estimate("s").alias("n_b_est"))
+    eu = (
+        sa.unionByName(sb)
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("s"), F.lit(True))
+            ).alias("n_union_est")
+        )
+    )
+    inter = F.greatest(
+        F.col("n_a_est") + F.col("n_b_est") - F.col("n_union_est"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .withColumn("n_intersection_est", inter)
+        .withColumn(
+            "jaccard_est",
+            F.when(
+                F.col("n_union_est") > 0,
+                F.col("n_intersection_est").cast("double")
+                / F.col("n_union_est").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
 
 
 def hll_sketch_by(
