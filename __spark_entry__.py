@@ -5239,109 +5239,24 @@ FROM p
 """
 
 
-def _docs_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC crawl-archive ingest with malformed-record quarantine
-    (sources/warc.py): the corpus serialized as WARC response records
-    (minimal HTTP message payloads, ISO 28500 grammar) across 4
-    files, with every doc_id % 101 == 0 record emitted WITHOUT its
-    Content-Length header — the parser must quarantine exactly those
-    and RESYNC at the next record magic, so one bad record costs one
-    record. Clean rows must hash-match the originals for surviving
-    ids. Staging is fixture-side (WARC is binary; Spark has no binary
-    sink) — the READER is the distributed piece: one binaryFile scan
-    + one Arrow-batched mapInPandas, zero shuffle, file-granular
-    parallelism (the published Common Crawl processing model)."""
+def _stage_warc_fixture(docs, suffix, wrap, sentinel=None):
+    """Shared fixture stager for the WARC entries: the corpus as WARC
+    response records across 4 files (file i takes doc_id %% 4 == i),
+    every doc_id %% 101 == 0 record emitted WITHOUT its Content-Length
+    header (the record-grammar quarantine class), each record passed
+    through ``wrap`` (identity for .warc; one-gzip-member-per-record
+    for .warc.gz), and ``sentinel`` bytes (if any) appended to every
+    file — the .gz entry uses a truncated member there. ONE staging
+    law for both entries so the URI shape / %%101 rule / projection
+    can never drift between them."""
     import os as _os
     import tempfile
 
-    from tidyvec_spark.sources.warc import (
-        read_warc,
-        split_warc_corrupt,
-        warc_record_bytes,
-    )
+    from tidyvec_spark.sources.warc import warc_record_bytes
 
-    docs = _read(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="tv_warc_")
     handles = [
-        open(_os.path.join(out, f"part-{i}.warc"), "wb") for i in range(4)
-    ]
-    try:
-        for r in docs.select("doc_id", "text").toLocalIterator():
-            did = int(r["doc_id"])
-            body = r["text"].encode("utf-8")
-            if did % 101 == 0:
-                rec = (
-                    b"WARC/1.0\r\nWARC-Type: response\r\n"
-                    + f"WARC-Target-URI: http://corpus.local/doc/{did}"
-                    .encode()
-                    + b"\r\n\r\n"
-                    + body
-                    + b"\r\n\r\n"
-                )
-            else:
-                rec = warc_record_bytes(
-                    f"http://corpus.local/doc/{did}",
-                    body,
-                    f"urn:uuid:{did}",
-                )
-            handles[did % 4].write(rec)
-    finally:
-        for h in handles:
-            h.close()
-    raw = read_warc(spark, out).cache()
-    clean, bad = split_warc_corrupt(raw)
-    n_bad = bad.count()
-    return clean.select(
-        F.element_at(F.split("target_uri", "/"), -1)
-        .cast("long")
-        .alias("doc_id"),
-        F.length(F.decode("payload", "UTF-8"))
-        .cast("long")
-        .alias("n_chars"),
-        F.col("http_status").cast("int").alias("http_status"),
-        F.lit(int(n_bad)).cast("long").alias("n_quarantined"),
-    )
-
-
-_DOCS_WARC_INGEST_SQL = """
-WITH bad AS (SELECT count(*) AS nb FROM documents WHERE doc_id % 101 = 0)
-SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(200 AS INT) AS http_status,
-       CAST(bad.nb AS BIGINT) AS n_quarantined
-FROM documents, bad
-WHERE doc_id % 101 <> 0
-"""
-
-
-def _docs_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``.warc.gz`` crawl ingest — Common Crawl's actual wire format
-    (one gzip MEMBER per record) — with BOTH quarantine layers
-    exercised deterministically (sources/warc.py::_walk_gz_records):
-    every doc_id % 101 == 0 record is serialized WITHOUT its
-    Content-Length header inside a perfectly valid gzip member (the
-    record GRAMMAR quarantines it after decompression), and each of
-    the 4 files ends with a TRUNCATED gzip member wrapping a dummy
-    record (the MEMBER splitter quarantines it and stops at file end)
-    — so n_quarantined = |%101 docs| + 4 exactly. Clean rows must
-    hash-match the originals for surviving ids. The reader is the
-    distributed piece: one binaryFile scan + one mapInPandas, zero
-    shuffle, members decompressed ONE AT A TIME (peak task memory =
-    compressed file + one record, never the 3-5× whole-file
-    decompression)."""
-    import gzip as _gzip
-    import os as _os
-    import tempfile
-
-    from tidyvec_spark.sources.warc import (
-        read_warc,
-        split_warc_corrupt,
-        warc_record_bytes,
-    )
-
-    docs = _read(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="tv_warcgz_")
-    handles = [
-        open(_os.path.join(out, f"part-{i}.warc.gz"), "wb")
+        open(_os.path.join(out, f"part-{i}{suffix}"), "wb")
         for i in range(4)
     ]
     try:
@@ -5363,16 +5278,23 @@ def _docs_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     body,
                     f"urn:uuid:{did}",
                 )
-            handles[did % 4].write(_gzip.compress(rec, 6))
-        trunc = warc_record_bytes(
-            "http://corpus.local/sentinel", b"sentinel", "urn:uuid:x"
-        )
-        for h in handles:
-            h.write(_gzip.compress(trunc, 6)[:-6])
+            handles[did % 4].write(wrap(rec))
+        if sentinel is not None:
+            for h in handles:
+                h.write(sentinel)
     finally:
         for h in handles:
             h.close()
-    raw = read_warc(spark, out).cache()
+    return out
+
+
+def _warc_clean_projection(spark, staged_dir):
+    """Shared read-back + projection for the WARC entries: parse,
+    split, count the quarantine, emit per-surviving-doc
+    (doc_id, n_chars, http_status, n_quarantined)."""
+    from tidyvec_spark.sources.warc import read_warc, split_warc_corrupt
+
+    raw = read_warc(spark, staged_dir).cache()
     clean, bad = split_warc_corrupt(raw)
     n_bad = bad.count()
     return clean.select(
@@ -5387,9 +5309,11 @@ def _docs_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOCS_WARC_GZ_INGEST_SQL = """
+def _warc_ingest_sql(extra_quarantined: int) -> str:
+    return f"""
 WITH bad AS (
-  SELECT count(*) + 4 AS nb FROM documents WHERE doc_id % 101 = 0
+  SELECT count(*) + {extra_quarantined} AS nb
+  FROM documents WHERE doc_id % 101 = 0
 )
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
        CAST(200 AS INT) AS http_status,
@@ -5397,6 +5321,62 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
 FROM documents, bad
 WHERE doc_id % 101 <> 0
 """
+
+
+def _docs_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingest with malformed-record quarantine
+    (sources/warc.py): the corpus serialized as WARC response records
+    (minimal HTTP message payloads, ISO 28500 grammar) across 4
+    files, with every doc_id % 101 == 0 record emitted WITHOUT its
+    Content-Length header — the parser must quarantine exactly those
+    and RESYNC at the next record magic, so one bad record costs one
+    record. Clean rows must hash-match the originals for surviving
+    ids. Staging is fixture-side (WARC is binary; Spark has no binary
+    sink) — the READER is the distributed piece: one binaryFile scan
+    + one Arrow-batched mapInPandas, zero shuffle, file-granular
+    parallelism (the published Common Crawl processing model)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = _stage_warc_fixture(docs, ".warc", lambda rec: rec)
+    return _warc_clean_projection(spark, out)
+
+
+_DOCS_WARC_INGEST_SQL = _warc_ingest_sql(0)
+
+
+def _docs_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.warc.gz`` crawl ingest — Common Crawl's actual wire format
+    (one gzip MEMBER per record) — with BOTH quarantine layers
+    exercised deterministically (sources/warc.py::_walk_gz_records):
+    the same staging law as ``docs_warc_ingest`` (shared stager, so
+    the two entries cannot drift) with every record wrapped as its
+    own gzip member (the grammar-corrupt %101 records decompress fine
+    and quarantine at the RECORD layer) and each of the 4 files ended
+    by a TRUNCATED gzip member wrapping a dummy record (the MEMBER
+    splitter quarantines it and stops at file end) — so
+    n_quarantined = |%101 docs| + 4 exactly. The reader is the
+    distributed piece: one binaryFile scan + one mapInPandas, zero
+    shuffle, members decompressed ONE AT A TIME (peak task memory =
+    compressed file + one record, never the 3-5× whole-file
+    decompression)."""
+    import gzip as _gzip
+
+    from tidyvec_spark.sources.warc import warc_record_bytes
+
+    docs = _read(spark, sf_dir, "documents")
+    trunc = _gzip.compress(
+        warc_record_bytes(
+            "http://corpus.local/sentinel", b"sentinel", "urn:uuid:x"
+        ),
+        6,
+    )[:-6]
+    out = _stage_warc_fixture(
+        docs, ".warc.gz", lambda rec: _gzip.compress(rec, 6),
+        sentinel=trunc,
+    )
+    return _warc_clean_projection(spark, out)
+
+
+_DOCS_WARC_GZ_INGEST_SQL = _warc_ingest_sql(4)
 
 
 def _docs_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11451,8 +11431,11 @@ def _corpus_overlap_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_overlap): |A∩B| by HLL inclusion–exclusion — the 100 TB
     first-pass of decontamination/merge planning, one scan per corpus
     (or none, from stored per-shard sketches) before any exact
-    anti-join is paid. Fixture: A = doc_id %% 4 < 3, B = even doc_ids
-    (true overlap = half of A's even ids). The emitted row carries the
+    anti-join is paid. Fixture: A = doc_id %% 4 < 3, B = doc_id %% 3
+    == 0 — a TRUE partial overlap (each side has members outside the
+    intersection: A keeps non-multiples-of-3, B keeps ids ≡ 3 mod 4),
+    so the inclusion–exclusion differencing is exercised in the
+    regime where it actually loses precision. The emitted row carries the
     EXACT counts, gated by the sketch estimates agreeing within 2%
     (5% for the differenced intersection) — the
     events_hll_accuracy self-auditing shape, so sketch drift empties
@@ -11461,7 +11444,7 @@ def _corpus_overlap_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     a = docs.filter(F.col("doc_id") % 4 < 3)
-    b = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
     est = hll_overlap(a, b, "doc_id", lg_k=14)
     ex = (
         a.agg(F.countDistinct("doc_id").alias("n_a"))
@@ -11500,7 +11483,7 @@ def _corpus_overlap_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORPUS_OVERLAP_SQL = f"""
 WITH a AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 < 3),
-b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 = 0),
 x AS (
   SELECT (SELECT count(*) FROM a) AS n_a,
          (SELECT count(*) FROM b) AS n_b,
@@ -11526,20 +11509,29 @@ def _docs_crop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return crop_pairs(
-        docs, "text", "doc_id", min_frac=0.1, max_frac=0.5, salt=_FIM_SALT
+        docs, "text", "doc_id",
+        min_frac=_CROP_LO, max_frac=_CROP_HI, salt=_FIM_SALT,
     )
+
+
+# the entry's crop fractions — the SQL multipliers below are DERIVED
+# from these with the same Python float subtraction crop_pairs itself
+# performs (F.lit(hi - lo)), so the oracle tracks the engine bit-for-
+# bit even when (hi - lo) is not exactly representable (e.g. 0.6-0.2)
+_CROP_LO, _CROP_HI = 0.1, 0.5
 
 
 def _crop_sql_one(tag: str) -> str:
     u1 = _hu_sql(_FIM_SALT + tag + "len")
     u2 = _hu_sql(_FIM_SALT + tag + "start")
+    lo, delta = repr(_CROP_LO), repr(_CROP_HI - _CROP_LO)
     return f"""
   greatest(1, CAST(floor(CAST(n AS DOUBLE)
-      * (CAST(0.1 AS DOUBLE) + ({u1}) * CAST(0.4 AS DOUBLE))) AS INT))
+      * (CAST({lo} AS DOUBLE) + ({u1}) * CAST({delta} AS DOUBLE))) AS INT))
     AS ln_{tag},
   CAST(floor(({u2})
       * CAST(n - greatest(1, CAST(floor(CAST(n AS DOUBLE)
-          * (CAST(0.1 AS DOUBLE) + ({u1}) * CAST(0.4 AS DOUBLE)))
+          * (CAST({lo} AS DOUBLE) + ({u1}) * CAST({delta} AS DOUBLE)))
         AS INT)) + 1 AS DOUBLE)) AS INT) AS st_{tag}"""
 
 

@@ -686,30 +686,37 @@ def main() -> None:
     # only at the smallest size (8GB of similarity matrix at 80k); the
     # tiled default (per-cluster block count from the measured size)
     # bounds every task at ~2·tile_rows rows and should stay near-linear.
+    from tidyvec_spark.operators.dedup import release as _release
     from tidyvec_spark.operators.semdedup import semantic_dedup_pairs
+
+    def _run_semdedup(frame, cents, tile_rows):
+        # the tiled path persists its assignment subtree (round-10
+        # change) and rides the handle on the result — release it
+        # after the terminal action or each timed point leaks one
+        # cached assignment frame into the next
+        pairs = semantic_dedup_pairs(
+            frame, "embedding", "vec_id", cents,
+            threshold=0.99, tile_rows=tile_rows,
+        )
+        n_out = materialize(pairs)
+        _release(pairs)
+        return n_out
 
     wsk, wskc = synth_skewed_embeddings(spark, 2000)
     wsk = wsk.persist(); wsk.count()
-    materialize(semantic_dedup_pairs(
-        wsk, "embedding", "vec_id", wskc, threshold=0.99, tile_rows=2048))
+    _run_semdedup(wsk, wskc, 2048)
     wsk.unpersist()
     for n in vec_sizes:
         sk, skc = synth_skewed_embeddings(spark, n)
         sk = sk.persist(); sk.count()
         record(
             "semdedup_tiled", n,
-            lambda: materialize(semantic_dedup_pairs(
-                sk, "embedding", "vec_id", skc,
-                threshold=0.99, tile_rows=2048,
-            )),
+            lambda: _run_semdedup(sk, skc, 2048),
         )
         if n == vec_sizes[0]:
             record(
                 "semdedup_untiled", n,
-                lambda: materialize(semantic_dedup_pairs(
-                    sk, "embedding", "vec_id", skc,
-                    threshold=0.99, tile_rows=None,
-                )),
+                lambda: _run_semdedup(sk, skc, None),
             )
         sk.unpersist()
 

@@ -428,9 +428,13 @@ def test_crop_pairs_match_pure_python_twin(spark):
         toks = text.lower().split()
         n = len(toks)
         want = [n]
+        # delta computed the same way crop_pairs does (hi - lo in
+        # Python floats): 0.6 - 0.2 is NOT double(0.4), and the twin
+        # must track the engine's literal, not the pretty one
+        delta = 0.6 - 0.2
         for tag in ("a", "b"):
             ln = max(
-                1, math.floor(n * (0.2 + hu(i, "cp" + tag + "len") * 0.4))
+                1, math.floor(n * (0.2 + hu(i, "cp" + tag + "len") * delta))
             )
             start = math.floor(hu(i, "cp" + tag + "start") * (n - ln + 1))
             want.append(" ".join(toks[start:start + ln]))
@@ -463,3 +467,35 @@ def test_crop_pairs_edges(spark):
     a = crop_pairs(big, "text", "doc_id", salt="e1").collect()
     b = crop_pairs(big, "text", "doc_id", salt="e2").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, b))
+
+
+def test_margin_ann_seam_partial_edges_not_dropped(spark):
+    """An anchor present only on the reversed side (ANN miss in one
+    direction) must still be scored — its missing neighborhood average
+    falls back to the other endpoint's, never a silent inner-join
+    drop."""
+    from tidyvec_spark.operators.dedup import release
+    from tidyvec_spark.operators.mining import margin_pairs
+
+    sdf = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id bigint, v array<double>"
+    )
+    tdf = spark.createDataFrame(
+        [(9, [1.0, 0.1])], "id bigint, v array<double>"
+    )
+    # forward edges exist only for src 1; src 2 appears ONLY as the
+    # target of a backward edge
+    ef = spark.createDataFrame([(1, 9, 0.9)], "a bigint, b bigint, sim double")
+    eb = spark.createDataFrame(
+        [(9, 1, 0.9), (9, 2, 0.4)], "a bigint, b bigint, sim double"
+    )
+    got = margin_pairs(
+        sdf, tdf, "id", "v", k=2, threshold=0.0, round_to=6,
+        edges_fwd=ef, edges_bwd=eb,
+    )
+    rows = {(r["src_id"], r["tgt_id"]): r["margin"] for r in got.collect()}
+    release(got)
+    assert (2, 9) in rows  # the one-sided anchor survives
+    # avg_src(2) falls back to avg_tgt(9) = (0.9+0.4)/2 = 0.65
+    assert rows[(2, 9)] == pytest.approx(0.4 / 0.65, abs=1e-6)
+    assert rows[(1, 9)] == pytest.approx(0.9 / ((0.9 + 0.65) / 2), abs=1e-6)

@@ -109,3 +109,23 @@ def test_bad_params_raise(spark, tmp_path):
         write_token_shards(
             df, str(tmp_path / "z"), "doc_id", "toks", 2, dtype="int8"
         )
+
+
+def test_rewrite_removes_stale_shards(spark, tmp_path):
+    rows, df = _corpus(spark, 60)
+    d = str(tmp_path / "s")
+    write_token_shards(df, d, "doc_id", "toks", n_shards=16)
+    assert len(
+        [f for f in os.listdir(os.path.join(d, "data")) if f.endswith(".bin")]
+    ) > 8
+    # re-write the SAME path with fewer shards: no stale .bin survives
+    write_token_shards(df, d, "doc_id", "toks", n_shards=4)
+    bins = sorted(
+        f for f in os.listdir(os.path.join(d, "data")) if f.endswith(".bin")
+    )
+    assert bins == [f"shard-{i:05d}.bin" for i in range(4)]
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in read_token_shards(spark, d).collect()
+    }
+    assert got == dict(rows)

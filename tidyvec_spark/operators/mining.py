@@ -99,25 +99,41 @@ def crop_pairs(
     )
 
 
-def _sim_block(A, B, meth: str):
+def _b_side_cache(B, meth: str):
+    """Per-task precompute for the broadcast side of :func:`_sim_block`
+    — hoisted OUT of the per-Arrow-batch loop so the (possibly
+    250k-row) broadcast matrix is reduced once per task, not once per
+    batch."""
+    import numpy as np
+
+    if meth == "cosine":
+        return np.sqrt((B * B).sum(axis=1))
+    if meth == "euclidean":
+        return (B * B).sum(axis=1)
+    return None
+
+
+def _sim_block(A, B, meth: str, b_cache=None):
     """Dense similarity block between row matrices ``A`` (m×d) and
     ``B`` (n×d) under the engine similarity laws (functions/vector.py):
     zero-norm cosine scores 0.0, euclidean is 1/(1+d). Shared by the
     self- and cross-collection GEMM edge generators so the two paths
-    cannot drift."""
+    cannot drift. ``b_cache`` is :func:`_b_side_cache`'s per-task
+    precompute (recomputed here when absent)."""
     import numpy as np
 
+    if b_cache is None:
+        b_cache = _b_side_cache(B, meth)
     if meth == "cosine":
         na = np.sqrt((A * A).sum(axis=1))
-        nb = np.sqrt((B * B).sum(axis=1))
-        denom = np.outer(na, nb)
+        denom = np.outer(na, b_cache)
         with np.errstate(divide="ignore", invalid="ignore"):
             return np.where(denom == 0.0, 0.0, (A @ B.T) / denom)
     if meth == "dot":
         return A @ B.T
     d2 = (
         (A * A).sum(axis=1)[:, None]
-        + (B * B).sum(axis=1)[None, :]
+        + b_cache[None, :]
         - 2.0 * (A @ B.T)
     )
     return 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
@@ -267,12 +283,13 @@ def _exact_topk_edges_gemm(
         import pandas as pd
 
         ids_b, B = bc.value
+        b_cache = _b_side_cache(B, meth)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             A = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
             aid = pdf["__a"].to_numpy()
-            S = _sim_block(A, B, meth)
+            S = _sim_block(A, B, meth, b_cache)
             if nd is not None:
                 S = np.round(S, nd)
             out_a, out_b, out_s = [], [], []
@@ -426,12 +443,13 @@ def _exact_cross_topk_edges_gemm(
         import pandas as pd
 
         ids_b, B = bc.value
+        b_cache = _b_side_cache(B, meth)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             A = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
             aid_arr = pdf["__a"].to_numpy()
-            S = _sim_block(A, B, meth)
+            S = _sim_block(A, B, meth, b_cache)
             if nd is not None:
                 S = np.round(S, nd)
             out_a, out_b, out_s = [], [], []
@@ -539,15 +557,25 @@ def margin_pairs(
         .groupBy("src_id", "tgt_id")
         .agg(F.max("sim").alias("sim"))
     )
-    denom = (F.col("__avg_src") + F.col("__avg_tgt")) / F.lit(2.0)
+    # LEFT joins, not inner: with user-supplied ANN edge frames an
+    # anchor can appear only on the reversed side (ANN found nothing
+    # FROM it but something TO it), so its neighborhood average is
+    # absent in one direction. An inner join would silently drop those
+    # candidates; instead each missing average falls back to the
+    # other endpoint's (at least one side exists by construction — a
+    # candidate implies an edge). The exact path always has both, so
+    # this changes nothing there.
+    a_src = F.coalesce(F.col("__avg_src"), F.col("__avg_tgt"))
+    a_tgt = F.coalesce(F.col("__avg_tgt"), F.col("__avg_src"))
+    denom = (a_src + a_tgt) / F.lit(2.0)
     margin = F.when(denom > 0, F.col("sim") / denom).otherwise(F.lit(0.0))
     if round_to is not None:
         margin = F.round(margin, int(round_to))
     scored = (
         cands.join(
-            avg_f.withColumnRenamed("a", "src_id"), "src_id"
+            avg_f.withColumnRenamed("a", "src_id"), "src_id", "left"
         )
-        .join(avg_b.withColumnRenamed("a", "tgt_id"), "tgt_id")
+        .join(avg_b.withColumnRenamed("a", "tgt_id"), "tgt_id", "left")
         .withColumn("margin", margin)
         .filter(F.col("margin") >= float(threshold))
         .select("src_id", "tgt_id", "sim", "margin")

@@ -80,6 +80,20 @@ def write_token_shards(
         )
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
+    # overwrite semantics: remove every previous shard file (and any
+    # stale tempfile from a failed attempt) BEFORE writing — a
+    # re-write with fewer shards, or one where a shard became empty,
+    # must not leave stale .bin files that a trainer globbing
+    # data/*.bin (the layout's whole point) would silently ingest.
+    # A write that dies mid-job leaves a REMOVED layout + partial
+    # shards with no index parquet commit — unreadable, not silently
+    # wrong; re-run the write.
+    for old in os.listdir(data_dir):
+        if old.endswith(".bin") or ".tmp" in old:
+            try:
+                os.remove(os.path.join(data_dir, old))
+            except OSError:
+                pass
     id_type = df.schema[id_col].dataType
     lim, dt = _DTYPES[dtype], dtype
 

@@ -289,11 +289,20 @@ def _walk_gz_records(path: str, buf: bytes):
 
 
 def read_warc(
-    spark: SparkSession, path: str, glob: str = "*.{warc,warc.gz}"
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.{warc,warc.gz,warc.wet.gz,warc.wat.gz}",
 ) -> DataFrame:
-    """Parse every record of every ``.warc`` / ``.warc.gz`` file under
-    ``path`` (filename filter = ``glob``, a Hadoop glob passed as
-    ``pathGlobFilter`` so stray non-WARC files are never loaded) into
+    """Parse every record of every WARC-family file under ``path``
+    (filename filter = ``glob``, a Hadoop glob passed as
+    ``pathGlobFilter`` so stray non-WARC files are never loaded; the
+    default covers the Common Crawl family — ``.warc``, ``.warc.gz``,
+    and the extracted-text/metadata ``.warc.wet.gz`` /
+    ``.warc.wat.gz`` sidecar names. NOTE: before the glob existed this
+    reader loaded EVERY file under ``path``; extensionless or
+    unconventionally-named archives now need an explicit ``glob=`` —
+    compression is still detected from magic bytes, never the name)
+    into
     (file, record_offset, warc_type, record_id, target_uri,
     http_status, payload, error). Response payloads are split into
     HTTP status + body; non-HTTP payloads pass through whole.
