@@ -11309,16 +11309,11 @@ def _hu_sql(salt: str, expr: str = "CAST(doc_id AS VARCHAR)") -> str:
     )
 
 
-_DOCS_FIM_SPLIT_SQL = f"""
-WITH c AS (
-  SELECT doc_id, text, length(text) AS L,
-         {_hu_sql(_FIM_SALT + 'fim')} < 0.5 AS fim,
-         CAST(floor({_hu_sql(_FIM_SALT + 'a')} * (length(text) + 1))
-              AS INT) AS c1,
-         CAST(floor({_hu_sql(_FIM_SALT + 'b')} * (length(text) + 1))
-              AS INT) AS c2
-  FROM documents
-)
+def _fim_split_sql(src: str, salt: str) -> str:
+    """The fim_split laws as a SELECT over ``src`` (a table or CTE
+    with doc_id, text) — shared by the standalone entry and the
+    pipeline_fim_pack composite so the laws cannot drift."""
+    return f"""
 SELECT doc_id, fim,
        CASE WHEN fim THEN substr(text, 1, least(c1, c2))
             ELSE text END AS prefix,
@@ -11328,7 +11323,116 @@ SELECT doc_id, fim,
        CASE WHEN fim THEN substr(text, greatest(c1, c2) + 1,
                                  L - greatest(c1, c2))
             ELSE '' END AS suffix
-FROM c
+FROM (
+  SELECT doc_id, text, length(text) AS L,
+         {_hu_sql(salt + 'fim')} < 0.5 AS fim,
+         CAST(floor({_hu_sql(salt + 'a')} * (length(text) + 1))
+              AS INT) AS c1,
+         CAST(floor({_hu_sql(salt + 'b')} * (length(text) + 1))
+              AS INT) AS c2
+  FROM {src}
+)
+"""
+
+
+_DOCS_FIM_SPLIT_SQL = _fim_split_sql("documents", _FIM_SALT)
+
+
+_FIMPACK_SALT = "r10fp"
+_FIMPACK_BUDGET = 256
+_FIMPACK_BUCKETS = 32
+
+
+def _pipeline_fim_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 additions composed end-to-end, documents →
+    trainer-shaped packing report: exact dedup (keep-min-id, the
+    whitespace-collapse canonical law) → fim_split(rate=0.5) → PSM
+    reassembly ('<fim_pre> P <fim_suf> S <fim_mid> M', the Bavarian
+    et al. 2022 §2 ordering; AR rows pass through) → whitespace token
+    count → pack_sequences (hash strategy, budget 256, 32 buckets) →
+    per-bucket packing report (docs, sequences started, token mass,
+    stream length). One lazy plan: dedup's groupBy + packing's bucket
+    window are the only shuffles; FIM/PSM/counting are codegen."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.chunking import fim_split, pack_sequences
+    from tidyvec_spark.operators.dedup import drop_exact_dups
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    uniq = drop_exact_dups(docs, "text", "doc_id")
+    fim = fim_split(
+        uniq, "text", "doc_id", rate=0.5, salt=_FIMPACK_SALT
+    )
+    psm = fim.select(
+        "doc_id",
+        F.when(
+            F.col("fim"),
+            F.concat(
+                F.lit("<fim_pre> "), F.col("prefix"),
+                F.lit(" <fim_suf> "), F.col("suffix"),
+                F.lit(" <fim_mid> "), F.col("middle"),
+            ),
+        )
+        .otherwise(F.col("prefix"))
+        .alias("seq"),
+    )
+    toks = psm.select("doc_id", token_count("seq").alias("ntok"))
+    packed = pack_sequences(
+        toks, "doc_id", "ntok",
+        budget=_FIMPACK_BUDGET, n_buckets=_FIMPACK_BUCKETS,
+        salt=_FIMPACK_SALT,
+    )
+    return packed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("seq_id").cast("long").alias("n_seqs_started"),
+        F.sum("ntok").cast("long").alias("sum_tokens"),
+        F.max(F.col("seq_offset") + F.col("ntok"))
+        .cast("long")
+        .alias("stream_len"),
+    )
+
+
+def _pipeline_fim_pack_sql() -> str:
+    toks_of = (
+        "len(list_filter(regexp_split_to_array(lower(s), '\\s+'), "
+        "t -> t <> ''))"
+    )
+    return f"""
+WITH uniq AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, ROW_NUMBER() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+f AS ({_fim_split_sql("uniq", _FIMPACK_SALT)}),
+psm AS (
+  SELECT doc_id,
+         CASE WHEN fim
+              THEN '<fim_pre> ' || prefix || ' <fim_suf> ' || suffix
+                   || ' <fim_mid> ' || middle
+              ELSE prefix END AS s
+  FROM f
+),
+tok AS (SELECT doc_id, CAST({toks_of} AS BIGINT) AS ntok FROM psm),
+pk AS (
+  SELECT doc_id, ntok,
+         CAST(floor({_hu_sql(_FIMPACK_SALT)} * {_FIMPACK_BUCKETS})
+              AS INT) AS bucket
+  FROM tok
+),
+o AS (
+  SELECT bucket, ntok,
+         CAST(SUM(ntok) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - ntok
+              AS BIGINT) AS off
+  FROM pk
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT off // {_FIMPACK_BUDGET}) AS BIGINT)
+         AS n_seqs_started,
+       CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+       CAST(max(off + ntok) AS BIGINT) AS stream_len
+FROM o GROUP BY bucket
 """
 
 
@@ -12500,6 +12604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_url_spam": _docs_url_spam,
         "corpus_overlap_est": _corpus_overlap_est,
+        "pipeline_fim_pack": _pipeline_fim_pack,
     }
 
 
@@ -12743,6 +12848,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_weighted_sample": _DOCS_WEIGHTED_SAMPLE_SQL,
         "docs_url_spam": _DOCS_URL_SPAM_SQL,
         "corpus_overlap_est": _CORPUS_OVERLAP_SQL,
+        "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),
         "docs_lang_mix": _DOCS_LANG_MIX_SQL,
         "docs_lpa_communities": _docs_lpa_sql(),

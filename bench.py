@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "docs_weighted_sample",
     "docs_url_spam",
     "corpus_overlap_est",
+    "pipeline_fim_pack",
 ]
 
 
