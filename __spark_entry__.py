@@ -11675,6 +11675,44 @@ def _docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_weighted_sample_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-stratum path of weighted_sample_n (operators/
+    sampling.py — the ``by=`` row_number window): exactly 20 docs per
+    language, each language sampled proportional to token count under
+    the same A-ES key law as the global entry. One shuffle on the
+    stratum key; exact per-group counts are what hard per-language
+    budgets need."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.sampling import weighted_sample_n
+
+    docs = _read(spark, sf_dir, "documents")
+    ids = docs.select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    return weighted_sample_n(
+        ids, "doc_id", "n_tokens", 20, salt=_FIM_SALT + "wl", by="lang"
+    )
+
+
+_DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL = f"""
+WITH t AS (SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+k AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE WHEN ({_hu_sql(_FIM_SALT + 'wl')}) > 0
+              THEN exp(ln({_hu_sql(_FIM_SALT + 'wl')})
+                       / CAST(n_tokens AS DOUBLE))
+              ELSE 0.0 END AS key
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, lang, n_tokens FROM k
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY key DESC, doc_id) <= 20
+"""
+
+
 _DOCS_WEIGHTED_SAMPLE_SQL = f"""
 WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
            FROM documents),
@@ -12605,6 +12643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_spam": _docs_url_spam,
         "corpus_overlap_est": _corpus_overlap_est,
         "pipeline_fim_pack": _pipeline_fim_pack,
+        "docs_weighted_sample_by_lang": _docs_weighted_sample_by_lang,
     }
 
 
@@ -12849,6 +12888,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_url_spam": _DOCS_URL_SPAM_SQL,
         "corpus_overlap_est": _CORPUS_OVERLAP_SQL,
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
+        "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),
         "docs_lang_mix": _DOCS_LANG_MIX_SQL,
         "docs_lpa_communities": _docs_lpa_sql(),

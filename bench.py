@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "docs_url_spam",
     "corpus_overlap_est",
     "pipeline_fim_pack",
+    "docs_weighted_sample_by_lang",
 ]
 
 
