@@ -34,13 +34,11 @@ _ORDER = list(entry.queries())
 _ORACLES = entry.oracle_sql()
 _TAIL = [k for k in _ORDER[50:] if k in _ORACLES]
 
-# Window entries checked here too: the round-8 rotation moved these
-# into the gate window for their FIRST driver row — until CORRECTNESS_r08
-# confirms them green, the local mirror is their only oracle check.
-# (Prune once the driver rows land; the round-5/r6/r7 batches were
-# pruned after CORRECTNESS_r05/r06/r07 confirmed them green.)
-# Computed dynamically: window positions 10-50 are exactly the round-8
-# rotation batch (bpe_merges + the 40 round-7 backlog entries); the
+# Window entries checked here too: until the current round's
+# CORRECTNESS artifact confirms them green, the local mirror is the
+# only oracle check for freshly-windowed entries. Computed
+# dynamically as positions 10-50 (round 10: the 12 round-9 additions
+# + the docs_length_buckets re-check + the 28 oldest r3/r4 rows); the
 # first 9 are the long-stable spine reps, covered by _WINDOW_REPS.
 _NEWLY_WINDOWED = [k for k in _ORDER[9:50] if k in _ORACLES]
 # A few long-stable window representatives so a spine regression
