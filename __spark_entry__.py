@@ -11550,15 +11550,20 @@ def _corpus_overlap_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.filter(F.col("doc_id") % 4 < 3)
     b = docs.filter(F.col("doc_id") % 3 == 0)
     est = hll_overlap(a, b, "doc_id", lg_k=14)
-    ex = (
-        a.agg(F.countDistinct("doc_id").alias("n_a"))
-        .crossJoin(b.agg(F.countDistinct("doc_id").alias("n_b")))
-        .crossJoin(
-            a.join(b, "doc_id").agg(
-                F.countDistinct("doc_id").alias("n_intersection")
-            )
-        )
-        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_intersection"))
+    # exact audit in ONE scan: both sides derive from the same table,
+    # so flag membership per row instead of re-scanning per side
+    # (the operator itself is the one-scan-per-corpus contract; the
+    # scaffold should not triple the entry's scan count)
+    in_a = F.col("doc_id") % 4 < 3
+    in_b = F.col("doc_id") % 3 == 0
+    ex = docs.agg(
+        F.countDistinct(F.when(in_a, F.col("doc_id"))).alias("n_a"),
+        F.countDistinct(F.when(in_b, F.col("doc_id"))).alias("n_b"),
+        F.countDistinct(F.when(in_a & in_b, F.col("doc_id"))).alias(
+            "n_intersection"
+        ),
+    ).withColumn(
+        "n_union", F.col("n_a") + F.col("n_b") - F.col("n_intersection")
     )
     tol = lambda e, x, t: (  # noqa: E731
         F.abs(F.col(e) - F.col(x)) <= F.lit(t) * F.col(x)

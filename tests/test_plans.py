@@ -751,3 +751,29 @@ def test_round9_entry_plan_shapes(spark, qs):
     assert P.num_shuffles(df) <= 2
     df = qs["wordpiece_fertility"](spark, SF)
     assert P.num_shuffles(df) <= 2
+
+
+def test_hll_overlap_scans_each_corpus_once(spark, qs):
+    """corpus_overlap_est's one-scan-per-side contract, pinned.
+
+    The r10 verdict's one `weak` item: the old hll_overlap fed each
+    1-row sketch frame into TWO branches (own estimate + union), so
+    Catalyst re-evaluated both full-corpus sketch aggs — 2x the
+    dominant term of the 100 TB triage. The rewrite reads the per-side
+    estimates and the union off ONE final aggregate over the 2-row
+    union of (side, sketch, estimate) rows, so each corpus subtree is
+    referenced exactly once. Pin the operator at exactly one scan per
+    corpus and the entry (operator + one-scan exact audit) at 3.
+    """
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.sketches import hll_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    a = docs.filter(F.col("doc_id") % 4 < 3)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    assert P.num_scans(hll_overlap(a, b, "doc_id")) == 2
+
+    df = qs["corpus_overlap_est"](spark, SF)
+    assert P.num_scans(df) == 3
+    P.assert_no_cartesian(df)

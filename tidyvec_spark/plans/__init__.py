@@ -63,6 +63,15 @@ def read_schemas(df: DataFrame) -> list[list[str]]:
     return schemas
 
 
+def num_scans(df: DataFrame) -> int:
+    """File scans in the plan (one per ReadSchema entry). The
+    scan-count twin of :func:`num_shuffles` — pin it where an
+    operator's contract is "one scan per input" (e.g. sketch-based
+    overlap triage must never re-scan a corpus for a second branch of
+    the same inclusion–exclusion)."""
+    return len(read_schemas(df))
+
+
 def join_strategies(df: DataFrame) -> list[str]:
     """Join operator names in execution order."""
     return _first_matches(
