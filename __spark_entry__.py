@@ -1677,8 +1677,10 @@ def _ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFPQ_ADC_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# shared CTE body: the full IVFADC replay (assignment, residual codes,
+# probed LUTs, ADC sums) — _IVFPQ_ADC_SQL takes the top-10 off `dist`;
+# _ANN_RECALL_IVFPQ_SQL additionally compares it to the exact L2 top-10
+_IVFPQ_CTES = f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
 assign AS (
   SELECT vec_id, v, cid, cv FROM (
@@ -1724,8 +1726,58 @@ dist AS (
   SELECT c.vec_id, ROUND(SUM(l.dd), {R}) AS adc_dist
   FROM codes c JOIN lut l ON l.cid = c.cid AND l.j = c.j AND l.code = c.code
   GROUP BY c.vec_id
-)
+)"""
+
+_IVFPQ_ADC_SQL = f"""
+WITH {_IVFPQ_CTES}
 SELECT vec_id, adc_dist FROM dist ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
+def _ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVFADC path (operators/evaluation.py::
+    topk_recall over operators/pq.py::ivfpq_adc_topk) against the
+    exact L2 top-10 — the eval that closes the quantization loop:
+    pq_reconstruction measures codeword error, ann_recall_lsh measures
+    the hash index, and this measures what the COMBINED
+    coarse-probe + residual-ADC approximation actually costs in
+    retrieval terms (nprobe=4 of 16 lists, m=8 codebooks). The
+    evaluation join is k rows; cost lives in the two searches. Truth
+    side is one corpus scan ending in TakeOrderedAndProject (distance
+    asc == euclidean-similarity desc, same top-k set)."""
+    from tidyvec_spark.operators.ann import l2sq_expr
+    from tidyvec_spark.operators.evaluation import topk_recall
+    from tidyvec_spark.functions.vector import array_lit
+
+    approx = _ivfpq_adc_topk(spark, sf_dir).select(
+        F.lit(0).alias("qid"), "vec_id"
+    )
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = _query_vec(spark, sf_dir)
+    exact = (
+        e.withColumn(
+            "__d", F.round(l2sq_expr(F.col("embedding"), array_lit(q)), R)
+        )
+        .orderBy(F.asc("__d"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.lit(0).alias("qid"), "vec_id")
+    )
+    return topk_recall(approx, exact, "qid", "vec_id", k=10, round_to=R)
+
+
+_ANN_RECALL_IVFPQ_SQL = f"""
+WITH {_IVFPQ_CTES},
+approx AS (SELECT vec_id FROM dist ORDER BY adc_dist, vec_id LIMIT 10),
+exact AS (
+  SELECT e.vec_id FROM e, q
+  ORDER BY ROUND(list_distance(e.v, q.qv) ^ 2, {R}), e.vec_id LIMIT 10
+),
+hits AS (SELECT count(*) AS n_hits FROM exact JOIN approx USING (vec_id))
+SELECT CAST(0 AS INT) AS qid, CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(n_hits / 10.0, {R}) AS recall
+FROM hits
 """
 
 
@@ -12649,6 +12701,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap_est": _corpus_overlap_est,
         "pipeline_fim_pack": _pipeline_fim_pack,
         "docs_weighted_sample_by_lang": _docs_weighted_sample_by_lang,
+        # round-11 additions (tail — the round-11 window was rotated
+        # before these landed; the dynamic SUBSET in
+        # tests/test_entry_oracle.py checks them now; each locally
+        # verified at sf0.001 AND sf0.01 via scripts/check_oracle.py
+        # when it landed). ROUND-12 ROTATION QUEUE:
+        "ann_recall_ivfpq": _ann_recall_ivfpq,
     }
 
 
@@ -12670,6 +12728,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_large": _ann_ivf_sql(256, 16),
         "pq_adc_topk": _PQ_ADC_SQL,
         "ivfpq_adc_topk": _IVFPQ_ADC_SQL,
+        "ann_recall_ivfpq": _ANN_RECALL_IVFPQ_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
         "lsh_near_dup": _lsh_near_dup_sql(),
         "bucketed_gemm_near_dup": _lsh_near_dup_sql(),

@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     # round-10 additions
     "docs_warc_gz_ingest",
     "bitext_margin_pairs",
+    "bitext_margin_best",
     "docs_token_shards",
     "docs_fim_split",
     "docs_crop_pairs",
@@ -265,6 +266,8 @@ BENCH_QUERIES = [
     "corpus_overlap_est",
     "pipeline_fim_pack",
     "docs_weighted_sample_by_lang",
+    # round-11 additions
+    "ann_recall_ivfpq",
 ]
 
 

@@ -114,3 +114,20 @@ def test_rank_quality_hand_case(spark):
     assert got[2] == (0.0, pytest.approx(0.0))
     with pytest.raises(ValueError):
         rank_quality(approx, exact, "q", "i", "rank", k=0)
+
+
+def test_ivfpq_recall_on_fixture(spark, sf_dir):
+    """r10 verdict item 3 (carried from r9 #7): the ADC path gets a
+    recall-vs-exact entry. The self-query (vec_id=0's own embedding)
+    must be recovered — its residual quantizes to the zero-distance
+    codeword, its list is always probed — and the eval row is
+    structurally a recall@10."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    rec = qs["ann_recall_ivfpq"](spark, sf_dir).collect()
+    assert len(rec) == 1
+    r = rec[0]
+    assert r["qid"] == 0
+    assert 1 <= r["n_hits"] <= 10
+    assert abs(r["recall"] - r["n_hits"] / 10.0) < 1e-9
