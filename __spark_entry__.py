@@ -12402,35 +12402,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-10 rotation (per the r9 verdict item 2): the 9
-    # long-stable spine representatives + the 12 round-9 additions
-    # (first driver row) + the docs_length_buckets re-check (its r9 red
-    # row was an oracle-side HUGEINT, fixed this round) + the 28 oldest
-    # driver rows (r3/r4 cohorts) so no entry's last check ages past
+    # entries. Round-11 rotation (per the r10 verdict item 1): the 9
+    # long-stable spine representatives + the 11 round-10 additions
+    # (first driver row) + q1_pricing/q3_top_orders (last checked r4)
+    # + the 14 verdict-named r5/r6 composite/relational rows + the 14
+    # oldest remaining r5 rows, so no entry's last check ages past
     # ~5 rounds.
     #
-    # STATUS: this window is the round-10 rotation and is HELD
-    # UNCHANGED through the end of round 10 so CORRECTNESS_r10
+    # STATUS: this window is the round-11 rotation and is HELD
+    # UNCHANGED through the end of round 11 so CORRECTNESS_r11
     # (produced by the driver when the round closes) covers exactly
-    # these 50 entries. Evidence for "round 10 is still open":
-    # CORRECTNESS_r01..r09.json exist in the repo and
-    # CORRECTNESS_r10.json does not — the driver writes the artifact at
-    # round close. DO NOT rotate this window until CORRECTNESS_r10 rows
+    # these 50 entries. Evidence for "round 11 is still open":
+    # CORRECTNESS_r01..r10.json exist in the repo and
+    # CORRECTNESS_r11.json does not — the driver writes the artifact at
+    # round close. DO NOT rotate this window until CORRECTNESS_r11 rows
     # exist.
     # Multi-round-stable legacy entries sit in the tail; every
     # oracle-backed tail entry stays checked by the dynamic SUBSET in
     # tests/test_entry_oracle.py (computed as "oracle-backed and past
     # position 50", so any future rotation keeps the invariant).
     return {
-        # --- gate window (1-50), rotated for ROUND 10 ---
-        # 9 spine reps + the 12 round-9 additions getting their FIRST
-        # driver row + docs_length_buckets re-check (post-oracle-dtype
-        # fix, the r9 red row) + the 28 oldest driver rows (the full r3
-        # cohort + the r4 cohort minus q1_pricing/q3_top_orders, which
-        # are pure built-in relational plans riding the q5 spine path
-        # and the least drift-prone — they rotate in next round).
-        # Every window entry is locally verified at sf0.001 AND sf0.01
-        # via scripts/check_oracle.py before the round closes.
+        # --- gate window (1-50), rotated for ROUND 11 ---
+        # 9 spine reps + the 11 round-10 additions getting their FIRST
+        # driver row + q1_pricing/q3_top_orders (deferred from the r10
+        # window, last checked r4 — the oldest rows anywhere) + the 14
+        # r5/r6 composite/relational cohort named by the r10 verdict +
+        # the 14 oldest remaining r5 rows, so no entry's last check
+        # ages past ~5 rounds. Every window entry is locally verified
+        # at sf0.001 AND sf0.01 via scripts/check_oracle.py before the
+        # round closes.
         # spine reps:
         "knn_cosine": _knn("cosine"),
         "knn_null_quirk": _knn_null_quirk,
@@ -12441,7 +12441,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _events_asof_purchase,
         "docs_stream_dedup": _docs_stream_dedup,
         "q5_region_revenue": _q5_region_revenue,
-        # the 12 round-9 additions (first driver row):
+        # the 11 round-10 additions (first driver row):
+        "docs_warc_gz_ingest": _docs_warc_gz_ingest,
+        "bitext_margin_pairs": _bitext_margin("threshold"),
+        "bitext_margin_best": _bitext_margin("best"),
+        "docs_token_shards": _docs_token_shards,
+        "docs_fim_split": _docs_fim_split,
+        "docs_crop_pairs": _docs_crop_pairs,
+        "docs_weighted_sample": _docs_weighted_sample,
+        "docs_weighted_sample_by_lang": _docs_weighted_sample_by_lang,
+        "docs_url_spam": _docs_url_spam,
+        "corpus_overlap_est": _corpus_overlap_est,
+        "pipeline_fim_pack": _pipeline_fim_pack,
+        # the two oldest rows anywhere (last checked r4):
+        "q1_pricing": _q1_pricing,
+        "q3_top_orders": _q3_top_orders,
+        # the r5/r6 composite/relational cohort named by the verdict:
+        "pipeline_curate": _pipeline_curate,
+        "pipeline_pretrain": _pipeline_pretrain,
+        "topk_per_segment": _topk_per_segment,
+        "q4_order_priority": _q4_order_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q7_nation_volume": _q7_nation_volume,
+        "q10_returned_items": _q10_returned_items,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "docs_dedup_lines": _docs_dedup_lines,
+        "serving_shuffle": _serving_shuffle,
+        "curriculum_order": _curriculum_order,
+        "hard_negatives": _hard_negatives,
+        # the 14 oldest remaining r5 rows:
+        "ann_lsh_topk": _ann_lsh_topk,
+        "embedding_near_dup": _embedding_near_dup,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "dedup_components": _dedup_components,
+        "bpe_token_stats": _bpe_token_stats,
+        "events_stream_hourly": _events_stream_hourly,
+        "ann_ivf_topk_large": _ann_ivf_topk_large,
+        "semantic_dedup": _semantic_dedup,
+        "bm25_search": _bm25_search,
+        "ivfpq_adc_topk": _ivfpq_adc_topk,
+        "events_stream_interval_join": _events_stream_interval_join,
+        "hf_query_nearest": _hf_query_nearest,
+        # --- position 51+: outside the driver's gate window ---
+        # every oracle-backed entry below is checked by the dynamic
+        # SUBSET in tests/test_entry_oracle.py (computed as 'oracle-
+        # backed and past position 50', so any future rotation keeps
+        # the invariant); entries rotated out this round all have
+        # green CORRECTNESS_r10 rows. ROUND-12 ROTATION QUEUE: the
+        # round-11 additions at the very end of this dict (own
+        # comment) rotate in next round along with the oldest
+        # surviving r5/r6 rows.
         "unigram_fertility": _unigram_fertility,
         "wordpiece_merges": _wordpiece_merges,
         "wordpiece_fertility": _wordpiece_fertility,
@@ -12454,9 +12507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_lpa": _dedup_components_lpa,
         "dedup_lpa_precision": _dedup_lpa_precision,
         "pq_reconstruction": _pq_reconstruction,
-        # re-check: the round-9 red row, oracle-side dtype fixed:
         "docs_length_buckets": _docs_length_buckets,
-        # the 28 oldest driver rows (last checked r3/r4):
         "bucketed_gemm_near_dup": _bucketed_gemm_near_dup,
         "dedup_components_two_phase": _dedup_components_two_phase,
         "exact_dup_groups": _exact_dup_groups,
@@ -12485,15 +12536,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _text_stats,
         "tfidf_search": _tfidf_search,
         "token_topk": _token_topk,
-        # --- position 51+: outside the driver's gate window ---
-        # every oracle-backed entry below is checked by the dynamic
-        # SUBSET in tests/test_entry_oracle.py (computed as 'oracle-
-        # backed and past position 50'); entries rotated out this
-        # round all have green CORRECTNESS_r09 rows. ROUND-11 ROTATION
-        # QUEUE: new round-10 additions are appended at the very end
-        # of this dict with their own comment — rotate them in next
-        # round along with q1_pricing, q3_top_orders, and the oldest
-        # remaining r4/r5 rows.
         "docs_tokenizer_fertility": _docs_tokenizer_fertility,
         "embedding_drift": _embedding_drift,
         "docs_compression_ratio": _docs_compression_ratio,
@@ -12575,19 +12617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _dedup_keep_best,
         "mix_target": _mix_target,
         "docs_stream_near_pairs": _docs_stream_near_pairs,
-        "docs_dedup_lines": _docs_dedup_lines,
         "docs_lm_perplexity": _docs_lm_perplexity,
-        "hard_negatives": _hard_negatives,
-        "curriculum_order": _curriculum_order,
-        "serving_shuffle": _serving_shuffle,
         "decontaminate_ngram": _decontaminate_ngram,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "q4_order_priority": _q4_order_priority,
-        "q10_returned_items": _q10_returned_items,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "q18_large_orders": _q18_large_orders,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q7_nation_volume": _q7_nation_volume,
         "q8_market_share": _q8_market_share,
         "q15_top_supplier": _q15_top_supplier,
         "q22_churned_value": _q22_churned_value,
@@ -12609,25 +12640,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "pca_2d": _pca_2d,
         "hf_embed_fake": _hf_embed_fake,
-        "ann_ivf_topk_large": _ann_ivf_topk_large,
-        "ann_lsh_topk": _ann_lsh_topk,
         "ann_lsh_batch": _ann_lsh_batch,
         "ann_topk_sidecar": _ann_topk_sidecar,
-        "ivfpq_adc_topk": _ivfpq_adc_topk,
         "sq_topk": _sq_topk,
         "matryoshka_topk": _matryoshka_topk,
-        "embedding_near_dup": _embedding_near_dup,
-        "semantic_dedup": _semantic_dedup,
         "incremental_near_dup": _incremental_near_dup,
-        "minhash_lsh_pairs": _minhash_lsh_pairs,
-        "simhash_pairs": _simhash_pairs,
-        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "dedup_components": _dedup_components,
         "split_leakage_free": _split_leakage_free,
         "decontaminate_corpus": _decontaminate_corpus,
-        "bm25_search": _bm25_search,
-        "bpe_token_stats": _bpe_token_stats,
-        "hf_query_nearest": _hf_query_nearest,
         "mix_temperature": _mix_temperature,
         "sample_fixed_per_lang": _sample_fixed_per_lang,
         "docs_quality_flags": _docs_quality_flags,
@@ -12644,13 +12663,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_segments": _bucketed_join_segments,
         "skew_join_events": _skew_join_events,
         "skew_agg_langs": _skew_agg_langs,
-        "pipeline_curate": _pipeline_curate,
-        "pipeline_pretrain": _pipeline_pretrain,
-        "q1_pricing": _q1_pricing,
-        "q3_top_orders": _q3_top_orders,
-        "topk_per_segment": _topk_per_segment,
-        "events_stream_hourly": _events_stream_hourly,
-        "events_stream_interval_join": _events_stream_interval_join,
         "docs_stream_budget": _docs_stream_budget,
         "bpe_merges": _bpe_merges,
         "docs_pagerank": _docs_pagerank,
@@ -12685,27 +12697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": _soft_dedup,
         "winnow_pairs": _winnow_pairs,
         "token_pmi": _token_pmi,
-        # round-10 additions (tail — the round-10 window is HELD; the
-        # dynamic SUBSET in tests/test_entry_oracle.py checks them now;
-        # each locally verified at sf0.001 AND sf0.01 via
-        # scripts/check_oracle.py when it landed). They join the
-        # ROUND-11 ROTATION QUEUE named in the window comment:
-        "docs_warc_gz_ingest": _docs_warc_gz_ingest,
-        "bitext_margin_pairs": _bitext_margin("threshold"),
-        "bitext_margin_best": _bitext_margin("best"),
-        "docs_token_shards": _docs_token_shards,
-        "docs_fim_split": _docs_fim_split,
-        "docs_crop_pairs": _docs_crop_pairs,
-        "docs_weighted_sample": _docs_weighted_sample,
-        "docs_url_spam": _docs_url_spam,
-        "corpus_overlap_est": _corpus_overlap_est,
-        "pipeline_fim_pack": _pipeline_fim_pack,
-        "docs_weighted_sample_by_lang": _docs_weighted_sample_by_lang,
-        # round-11 additions (tail — the round-11 window was rotated
-        # before these landed; the dynamic SUBSET in
-        # tests/test_entry_oracle.py checks them now; each locally
-        # verified at sf0.001 AND sf0.01 via scripts/check_oracle.py
-        # when it landed). ROUND-12 ROTATION QUEUE:
         "ann_recall_ivfpq": _ann_recall_ivfpq,
     }
 
