@@ -11659,6 +11659,96 @@ FROM x
 """
 
 
+def _corpus_overlap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-scan overlap triage from MANIFEST sketches
+    (sources/maintenance.py::corpus_manifest(sketch=True) +
+    operators/sketches.py::hll_overlap_from_sketches): the per-shard
+    HLL binaries stored at ingest fold losslessly into each corpus's
+    sketch, so the inclusion–exclusion corpus_overlap_est pays one
+    scan per side for costs NOTHING once manifests exist — the
+    exact promise of hll_overlap's docstring, made a first-class
+    operator. This overlap is CONTENT-level (the manifest sketches the
+    per-doc 60-bit content hash), so the exact audit must flag
+    membership PER HASH, not per row: the same text can enter A and B
+    through different doc_ids. The entry pays 2 scans only to build
+    the in-flight manifests + 1 for the exact audit; the triage itself
+    reads 2×n_shards sketch rows. Gated like corpus_overlap_est: the
+    emitted exact counts survive only if the sketch estimates agree
+    (2%, 5% for the differenced intersection)."""
+    from tidyvec_spark.functions.hashing import md5_long
+    from tidyvec_spark.operators.sketches import hll_overlap_from_sketches
+    from tidyvec_spark.sources.maintenance import corpus_manifest
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 4 < 3)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    ma = corpus_manifest(a, "doc_id", "text", n_shards=8, digest=False,
+                         sketch=True)
+    mb = corpus_manifest(b, "doc_id", "text", n_shards=8, digest=False,
+                         sketch=True)
+    est = hll_overlap_from_sketches(ma, mb, "sketch")
+    per_h = (
+        docs.select(
+            md5_long(F.col("text")).alias("__h"),
+            F.when(F.col("doc_id") % 4 < 3, 1).otherwise(0).alias("__ia"),
+            F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("__ib"),
+        )
+        .groupBy("__h")
+        .agg(F.max("__ia").alias("ia"), F.max("__ib").alias("ib"))
+    )
+    ex = per_h.agg(
+        F.sum("ia").cast("long").alias("n_a"),
+        F.sum("ib").cast("long").alias("n_b"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_intersection"),
+    ).withColumn(
+        "n_union", F.col("n_a") + F.col("n_b") - F.col("n_intersection")
+    )
+    tol = lambda e, x, t: (  # noqa: E731
+        F.abs(F.col(e) - F.col(x)) <= F.lit(t) * F.col(x)
+    )
+    return (
+        ex.crossJoin(est)
+        .filter(
+            tol("n_a_est", "n_a", 0.02)
+            & tol("n_b_est", "n_b", 0.02)
+            & tol("n_union_est", "n_union", 0.02)
+            & tol("n_intersection_est", "n_intersection", 0.05)
+        )
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_union").cast("long").alias("n_union"),
+            F.col("n_intersection").cast("long").alias("n_intersection"),
+            F.round(
+                F.col("n_intersection").cast("double")
+                / F.col("n_union").cast("double"),
+                R,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_CORPUS_OVERLAP_MANIFEST_SQL = f"""
+WITH h AS (
+  SELECT substr(md5(text), 1, 15) AS hh,
+         max(CASE WHEN doc_id % 4 < 3 THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS ib
+  FROM documents GROUP BY 1
+),
+x AS (
+  SELECT sum(ia) AS n_a, sum(ib) AS n_b,
+         sum(ia * ib) AS n_intersection
+  FROM h
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_a + n_b - n_intersection AS BIGINT) AS n_union,
+       CAST(n_intersection AS BIGINT) AS n_intersection,
+       ROUND(CAST(n_intersection AS DOUBLE)
+             / CAST(n_a + n_b - n_intersection AS DOUBLE), {R}) AS jaccard
+FROM x
+"""
+
+
 def _docs_crop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independent-cropping positive pairs (operators/mining.py::
     crop_pairs — Contriever, Izacard et al. 2021 §4.1): per doc two
@@ -12697,7 +12787,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": _soft_dedup,
         "winnow_pairs": _winnow_pairs,
         "token_pmi": _token_pmi,
+        # round-11 additions (tail — the round-11 window above is
+        # HELD; the dynamic SUBSET in tests/test_entry_oracle.py
+        # checks them now; each locally verified at sf0.001 AND
+        # sf0.01 via scripts/check_oracle.py when it landed). They
+        # form the ROUND-12 ROTATION QUEUE:
         "ann_recall_ivfpq": _ann_recall_ivfpq,
+        "corpus_overlap_manifest": _corpus_overlap_manifest,
     }
 
 
@@ -12942,6 +13038,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_weighted_sample": _DOCS_WEIGHTED_SAMPLE_SQL,
         "docs_url_spam": _DOCS_URL_SPAM_SQL,
         "corpus_overlap_est": _CORPUS_OVERLAP_SQL,
+        "corpus_overlap_manifest": _CORPUS_OVERLAP_MANIFEST_SQL,
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

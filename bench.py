@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "docs_weighted_sample_by_lang",
     # round-11 additions
     "ann_recall_ivfpq",
+    "corpus_overlap_manifest",
 ]
 
 

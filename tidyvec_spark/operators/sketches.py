@@ -3,8 +3,10 @@
 Exact ``countDistinct`` at 100 TB forces a full shuffle of every
 distinct key per group; an HLL sketch is a few KB per group, builds
 with map-side partial aggregation, and — critically — MERGES: the
-union of two HLL sketches (same ``lgConfigK``) is byte-identical to
-the sketch of the unioned inputs, so per-hour (or per-file, per-day,
+union of two HLL sketches (same ``lgConfigK``) carries exactly the
+register state of sketching the unioned inputs (serialization bytes
+may differ in internal mode; every estimate is identical), so
+per-hour (or per-file, per-day,
 per-partition) sketches can be persisted and rolled up incrementally
 without ever re-scanning history. Spark ships the Apache DataSketches
 HLL implementation as native expressions (``hll_sketch_agg`` /
@@ -30,11 +32,46 @@ __all__ = [
     "hll_sketch_by",
     "hll_rollup",
     "hll_overlap",
+    "hll_overlap_from_sketches",
     "distinct_with_accuracy_contract",
     "cms_build",
     "cms_merge",
     "cms_estimate",
 ]
+
+
+def _overlap_of_sides(both: DataFrame) -> DataFrame:
+    """The shared inclusion–exclusion tail of :func:`hll_overlap` and
+    :func:`hll_overlap_from_sketches`: given (side ∈ {a,b}, s sketch,
+    est long) rows — one per side — read the per-side estimates AND
+    the union estimate off ONE final aggregate, clamp the differenced
+    intersection at 0, and guard the empty-union ANSI division."""
+    inter = F.greatest(
+        F.col("n_a_est") + F.col("n_b_est") - F.col("n_union_est"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        both.agg(
+            F.max(F.when(F.col("side") == "a", F.col("est"))).alias(
+                "n_a_est"
+            ),
+            F.max(F.when(F.col("side") == "b", F.col("est"))).alias(
+                "n_b_est"
+            ),
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("s"), F.lit(True))
+            ).alias("n_union_est"),
+        )
+        .withColumn("n_intersection_est", inter)
+        .withColumn(
+            "jaccard_est",
+            F.when(
+                F.col("n_union_est") > 0,
+                F.col("n_intersection_est").cast("double")
+                / F.col("n_union_est").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
 
 
 def hll_overlap(
@@ -78,33 +115,36 @@ def hll_overlap(
             F.hll_sketch_estimate("s").alias("est"),
         )
 
-    both = side(a, "a").unionByName(side(b, "b"))
-    inter = F.greatest(
-        F.col("n_a_est") + F.col("n_b_est") - F.col("n_union_est"),
-        F.lit(0).cast("long"),
-    )
-    return (
-        both.agg(
-            F.max(F.when(F.col("side") == "a", F.col("est"))).alias(
-                "n_a_est"
-            ),
-            F.max(F.when(F.col("side") == "b", F.col("est"))).alias(
-                "n_b_est"
-            ),
-            F.hll_sketch_estimate(
-                F.hll_union_agg(F.col("s"), F.lit(True))
-            ).alias("n_union_est"),
+    return _overlap_of_sides(side(a, "a").unionByName(side(b, "b")))
+
+
+def hll_overlap_from_sketches(
+    a: DataFrame,
+    b: DataFrame,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """:func:`hll_overlap` answered from STORED sketches — ZERO corpus
+    scans: ``a``/``b`` are frames of per-shard (or per-hour, per-file)
+    HLL binaries, e.g. a ``corpus_manifest(..., sketch=True)``, each a
+    few KB per shard. Because sketch union is lossless at equal lg_k,
+    folding a side's shard sketches reproduces the register state of
+    sketching that whole corpus, so the estimate equals what
+    :func:`hll_overlap` would compute by scanning — this is the
+    "per-shard sketches stored at ingest answer it with NO scan"
+    promise made concrete. Same output row and laws as
+    :func:`hll_overlap` (clamped intersection, guarded jaccard)."""
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        s = df.agg(
+            F.hll_union_agg(F.col(sketch_col), F.lit(True)).alias("s")
         )
-        .withColumn("n_intersection_est", inter)
-        .withColumn(
-            "jaccard_est",
-            F.when(
-                F.col("n_union_est") > 0,
-                F.col("n_intersection_est").cast("double")
-                / F.col("n_union_est").cast("double"),
-            ).otherwise(F.lit(0.0)),
+        return s.select(
+            F.lit(tag).alias("side"),
+            "s",
+            F.hll_sketch_estimate("s").alias("est"),
         )
-    )
+
+    return _overlap_of_sides(side(a, "a").unionByName(side(b, "b")))
 
 
 def hll_sketch_by(

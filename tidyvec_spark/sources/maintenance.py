@@ -107,6 +107,8 @@ def corpus_manifest(
     text_col: str,
     n_shards: int = 16,
     digest: bool = True,
+    sketch: bool = False,
+    lg_k: int = 14,
 ) -> DataFrame:
     """Content-addressable corpus manifest: per deterministic shard,
     (shard, n_docs, n_tokens, content_hash) — the artifact that makes
@@ -129,6 +131,17 @@ def corpus_manifest(
     (shard, n_docs, n_tokens, h_xor, h_sum) instead of the md5 digest
     — the form :func:`combine_manifests` can merge, because xor and
     sum are associative and commutative.
+
+    With ``sketch=True`` each shard row also carries the HLL sketch
+    (binary, a few KB) of the per-doc 60-bit CONTENT hashes — stored
+    at ingest, these answer cross-corpus overlap triage
+    (:func:`~tidyvec_spark.operators.sketches.hll_overlap_from_sketches`)
+    with ZERO corpus scans, because sketch union is lossless: folding
+    the shard sketches reproduces the estimates of sketching the
+    corpus directly.
+    ``hll_union_agg`` is associative/commutative like the other folds,
+    so :func:`combine_manifests` extends naturally and incremental
+    maintenance is unchanged.
     """
     from pyspark.sql import functions as F
 
@@ -144,7 +157,7 @@ def corpus_manifest(
         md5_long(F.col(text_col)).alias("__h"),
         token_count(text_col).alias("__nt"),
     )
-    raw = per_doc.groupBy("shard").agg(
+    aggs = [
         F.count("*").cast("long").alias("n_docs"),
         F.sum("__nt").cast("long").alias("n_tokens"),
         F.bit_xor("__h").alias("h_xor"),
@@ -153,12 +166,18 @@ def corpus_manifest(
         F.sum(F.col("__h").cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .alias("h_sum"),
-    )
+    ]
+    if sketch:
+        aggs.append(
+            F.hll_sketch_agg(F.col("__h"), F.lit(int(lg_k))).alias("sketch")
+        )
+    raw = per_doc.groupBy("shard").agg(*aggs)
     if not digest:
         return raw
-    return raw.select(
-        "shard", "n_docs", "n_tokens", _manifest_digest(F)
-    )
+    cols = ["shard", "n_docs", "n_tokens", _manifest_digest(F)]
+    if sketch:
+        cols.append("sketch")
+    return raw.select(*cols)
 
 
 def write_training_shards(
@@ -221,6 +240,13 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
     associative and commutative (xor of xors, sum of sums). The merged
     digest is bit-identical to running :func:`corpus_manifest` over
     the union of the parts.
+
+    Parts built with ``sketch=True`` merge their per-shard HLL
+    binaries via lossless sketch union (``hll_union_agg`` is the
+    fourth associative/commutative fold), so the merged manifest's
+    sketch equals the whole-corpus sketch — incremental ingest keeps
+    the zero-scan overlap-triage capability. All parts must agree on
+    having (or not having) the sketch column.
     """
     from functools import reduce
 
@@ -228,16 +254,26 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
 
     if not parts:
         raise ValueError("need at least one manifest part")
+    with_sketch = ["sketch" in p.columns for p in parts]
+    if any(with_sketch) and not all(with_sketch):
+        raise ValueError(
+            "cannot merge sketchless and sketch-bearing manifest parts: "
+            "the merged sketch would silently under-count the sketchless "
+            "part; rebuild it with corpus_manifest(..., sketch=True)"
+        )
     u = reduce(lambda a, b: a.unionByName(b), parts)
-    merged = u.groupBy("shard").agg(
+    aggs = [
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.bit_xor("h_xor").alias("h_xor"),
         F.sum("h_sum").cast("decimal(38,0)").alias("h_sum"),
-    )
-    return merged.select(
-        "shard", "n_docs", "n_tokens", _manifest_digest(F)
-    )
+    ]
+    cols = ["shard", "n_docs", "n_tokens", _manifest_digest(F)]
+    if all(with_sketch):
+        aggs.append(F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch"))
+        cols.append("sketch")
+    merged = u.groupBy("shard").agg(*aggs)
+    return merged.select(*cols)
 
 
 def merge_upsert(
