@@ -11390,6 +11390,38 @@ FROM (
 _DOCS_FIM_SPLIT_SQL = _fim_split_sql("documents", _FIM_SALT)
 
 
+def _docs_fim_spm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPM-order FIM assembly (operators/chunking.py::fim_order —
+    Bavarian et al. 2022 §2/App. D): the paper trains on a PSM+SPM
+    MIXTURE, and pipeline_fim_pack pins only PSM; this entry pins the
+    other half. SPM announces the suffix up front
+    (``<fim_pre> <fim_suf> S <fim_mid> P·M``) and the prefix runs
+    straight into the middle with NO sentinel between — the
+    cache-friendly inference layout, where decoding continues the
+    prefix exactly as in AR. AR rows pass through bare. Same
+    fim_split laws (hash coin + two uniform cuts), pure map-side
+    concat — one scan, zero shuffle."""
+    from tidyvec_spark.operators.chunking import fim_order, fim_split
+
+    docs = _read(spark, sf_dir, "documents")
+    fim = fim_split(docs, "text", "doc_id", rate=0.5, salt=_FIM_SALT)
+    return fim_order(
+        fim.select("doc_id", "fim", "prefix", "middle", "suffix"),
+        mode="spm",
+    ).select("doc_id", "seq")
+
+
+_DOCS_FIM_SPM_SQL = f"""
+WITH f AS ({_fim_split_sql("documents", _FIM_SALT)})
+SELECT doc_id,
+       CASE WHEN fim
+            THEN '<fim_pre> <fim_suf> ' || suffix || ' <fim_mid> '
+                 || prefix || middle
+            ELSE prefix END AS seq
+FROM f
+"""
+
+
 _FIMPACK_SALT = "r10fp"
 _FIMPACK_BUDGET = 256
 _FIMPACK_BUCKETS = 32
@@ -11406,7 +11438,11 @@ def _pipeline_fim_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream length). One lazy plan: dedup's groupBy + packing's bucket
     window are the only shuffles; FIM/PSM/counting are codegen."""
     from tidyvec_spark.functions.text import token_count
-    from tidyvec_spark.operators.chunking import fim_split, pack_sequences
+    from tidyvec_spark.operators.chunking import (
+        fim_order,
+        fim_split,
+        pack_sequences,
+    )
     from tidyvec_spark.operators.dedup import drop_exact_dups
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -11414,19 +11450,8 @@ def _pipeline_fim_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     fim = fim_split(
         uniq, "text", "doc_id", rate=0.5, salt=_FIMPACK_SALT
     )
-    psm = fim.select(
-        "doc_id",
-        F.when(
-            F.col("fim"),
-            F.concat(
-                F.lit("<fim_pre> "), F.col("prefix"),
-                F.lit(" <fim_suf> "), F.col("suffix"),
-                F.lit(" <fim_mid> "), F.col("middle"),
-            ),
-        )
-        .otherwise(F.col("prefix"))
-        .alias("seq"),
-    )
+    psm = fim_order(fim.select("doc_id", "fim", "prefix", "middle",
+                               "suffix"), mode="psm")
     toks = psm.select("doc_id", token_count("seq").alias("ntok"))
     packed = pack_sequences(
         toks, "doc_id", "ntok",
@@ -12794,6 +12819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # form the ROUND-12 ROTATION QUEUE:
         "ann_recall_ivfpq": _ann_recall_ivfpq,
         "corpus_overlap_manifest": _corpus_overlap_manifest,
+        "docs_fim_spm": _docs_fim_spm,
     }
 
 
@@ -13039,6 +13065,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_url_spam": _DOCS_URL_SPAM_SQL,
         "corpus_overlap_est": _CORPUS_OVERLAP_SQL,
         "corpus_overlap_manifest": _CORPUS_OVERLAP_MANIFEST_SQL,
+        "docs_fim_spm": _DOCS_FIM_SPM_SQL,
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     # round-11 additions
     "ann_recall_ivfpq",
     "corpus_overlap_manifest",
+    "docs_fim_spm",
 ]
 
 

@@ -98,3 +98,42 @@ def test_fim_split_rate_bounds_and_plan(spark):
     assert all_on["fim"] and all_on["prefix"] + all_on["middle"] + all_on["suffix"] == "abc"
     off = fim_split(docs, "text", "doc_id", rate=0.0).collect()[0]
     assert not off["fim"] and off["prefix"] == "abc"
+
+
+def test_fim_order_psm_spm_laws(spark):
+    """fim_order: PSM and SPM assemble the paper's §2/App. D layouts;
+    SPM's prefix runs straight into the middle (no sentinel — the
+    reassembly property that makes it the AR-compatible inference
+    layout); AR rows pass through bare in both modes; zero shuffle."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.operators.chunking import fim_order, fim_split
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo {i}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    fim = fim_split(docs, "text", "doc_id", rate=0.5, salt="t")
+    psm = {r["doc_id"]: r["seq"] for r in fim_order(fim, "psm").collect()}
+    spm = {r["doc_id"]: r["seq"] for r in fim_order(fim, "spm").collect()}
+    by_id = {r["doc_id"]: r for r in fim.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n_fim = 0
+    for i, r in by_id.items():
+        if not r["fim"]:
+            assert psm[i] == spm[i] == texts[i]
+            continue
+        n_fim += 1
+        p, m, s = r["prefix"], r["middle"], r["suffix"]
+        assert psm[i] == f"<fim_pre> {p} <fim_suf> {s} <fim_mid> {m}"
+        # SPM: prefix·middle contiguous — stripping the sentinels
+        # reassembles the document exactly
+        assert spm[i] == f"<fim_pre> <fim_suf> {s} <fim_mid> {p}{m}"
+        assert spm[i].split(" <fim_mid> ", 1)[1] == p + m
+        assert p + m + s == texts[i]
+    assert n_fim > 0
+    assert P.num_shuffles(fim_order(fim, "spm")) == 0
+    with pytest.raises(ValueError, match="FIM order"):
+        fim_order(fim, "msp")

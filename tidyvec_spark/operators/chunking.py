@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from tidyvec_spark.operators.sampling import hash_unit
 
-__all__ = ["chunk_documents", "fim_split", "pack_sequences", "cdc_chunks"]
+__all__ = [
+    "chunk_documents",
+    "fim_split",
+    "fim_order",
+    "pack_sequences",
+    "cdc_chunks",
+]
 
 
 def fim_split(
@@ -88,6 +94,55 @@ def fim_split(
         F.when(pick, t.substr(hi + 1, length - hi))
         .otherwise(F.lit(""))
         .alias("suffix"),
+    )
+
+
+def fim_order(
+    df: DataFrame,
+    mode: str = "psm",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Assemble :func:`fim_split` output into the training sequence —
+    the sentinel orderings of Bavarian et al. 2022 §2 / App. D, which
+    trains on a PSM+SPM MIXTURE (neither alone):
+
+    - ``psm``: ``<fim_pre> P <fim_suf> S <fim_mid> M`` — the
+      canonical prefix-suffix-middle layout;
+    - ``spm``: ``<fim_pre> <fim_suf> S <fim_mid> P·M`` — suffix
+      announced up front, then the prefix runs STRAIGHT INTO the
+      middle with no sentinel between (App. D: the middle must
+      continue the prefix exactly as in AR decoding, which is what
+      makes SPM the cache-friendly inference layout).
+
+    AR rows (``fim = false``) pass through as the bare document in
+    both modes, so the joint objective stays one uniform column.
+    Input keeps every column except (fim, prefix, middle, suffix),
+    which collapse into ``seq_col``. Pure map-side concat — zero
+    shuffle, extends whatever codegen stage feeds it."""
+    modes = {
+        "psm": F.concat(
+            F.lit("<fim_pre> "), F.col("prefix"),
+            F.lit(" <fim_suf> "), F.col("suffix"),
+            F.lit(" <fim_mid> "), F.col("middle"),
+        ),
+        "spm": F.concat(
+            F.lit("<fim_pre> <fim_suf> "), F.col("suffix"),
+            F.lit(" <fim_mid> "), F.col("prefix"), F.col("middle"),
+        ),
+    }
+    if mode not in modes:
+        raise ValueError(
+            f"unknown FIM order {mode!r}; expected one of {sorted(modes)}"
+        )
+    rest = [
+        c for c in df.columns
+        if c not in ("fim", "prefix", "middle", "suffix")
+    ]
+    return df.select(
+        *rest,
+        F.when(F.col("fim"), modes[mode])
+        .otherwise(F.col("prefix"))
+        .alias(seq_col),
     )
 
 
