@@ -11774,6 +11774,117 @@ FROM x
 """
 
 
+def _corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs overlap triage (operators/sketches.py::
+    hll_overlap_matrix): k per-corpus sketches → the k(k−1)/2 pairwise
+    (n_a, n_b, n_union, n_intersection, jaccard) matrix — the
+    planning view over a FLEET of corpora/snapshots ("which pairs
+    overlap enough to pay exact decontamination?"), where the one-pair
+    hll_overlap would need k(k−1)/2 separate scans-or-lookups. The
+    pairwise unions come from the BINARY hll_union over the k stored
+    few-KB sketches — k² arithmetic, zero additional corpus reads.
+    Fixture: four corpora g0..g3 = doc_id%%6 residue WINDOWS
+    {k,k+1,k+2}, so adjacent pairs overlap in 2 of 3 residues,
+    distance-2 pairs in 1, and the extreme pair (g0,g3) is disjoint —
+    the clamp and the empty-intersection row are both exercised. Gated like corpus_overlap_est: exact counts survive
+    only if the sketch estimates agree (2%, 5% for the differenced
+    intersection; at fixture cardinality the sparse-mode sketches are
+    exact)."""
+    from tidyvec_spark.functions.hashing import md5_long
+    from tidyvec_spark.operators.sketches import (
+        hll_overlap_matrix,
+        hll_sketch_by,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    r = F.col("doc_id") % 6
+    tags = F.array(
+        *[
+            F.when(F.pmod(r - F.lit(k), F.lit(6)) < 3, F.lit(f"g{k}"))
+            for k in range(4)
+        ]
+    )
+    mem = (
+        docs.select(md5_long(F.col("text")).alias("h"), F.explode(tags).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    sketches = hll_sketch_by(mem, ["g"], "h", lg_k=14)
+    est = hll_overlap_matrix(sketches, "g", "sketch")
+    ex = mem.distinct()
+    cnt = ex.groupBy("g").agg(F.count("*").cast("long").alias("n"))
+    ca = cnt.select(F.col("g").alias("g_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("g").alias("g_b"), F.col("n").alias("n_b"))
+    inter = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.h") == F.col("y.h")) & (F.col("x.g") < F.col("y.g")),
+        )
+        .groupBy(F.col("x.g").alias("g_a"), F.col("y.g").alias("g_b"))
+        .agg(F.count("*").cast("long").alias("ni"))
+    )
+    allp = (
+        ca.join(F.broadcast(cb), F.col("g_a") < F.col("g_b"))
+        .join(inter, ["g_a", "g_b"], "left")
+        .fillna({"ni": 0})
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("ni"))
+    )
+    tol = lambda e, x, t: (  # noqa: E731
+        F.abs(F.col(e) - F.col(x)) <= F.lit(t) * F.col(x)
+    )
+    return (
+        allp.join(
+            est,
+            (F.col("g_a") == F.col("key_a")) & (F.col("g_b") == F.col("key_b")),
+        )
+        .filter(
+            tol("n_a_est", "n_a", 0.02)
+            & tol("n_b_est", "n_b", 0.02)
+            & tol("n_union_est", "n_union", 0.02)
+            & tol("n_intersection_est", "ni", 0.05)
+        )
+        .select(
+            "g_a",
+            "g_b",
+            "n_a",
+            "n_b",
+            F.col("n_union").cast("long").alias("n_union"),
+            F.col("ni").alias("n_intersection"),
+            F.round(
+                F.col("ni").cast("double") / F.col("n_union").cast("double"),
+                R,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_CORPUS_OVERLAP_MATRIX_SQL = f"""
+WITH d AS (SELECT doc_id % 6 AS r, substr(md5(text), 1, 15) AS h
+           FROM documents),
+mem AS (
+  SELECT 'g' || CAST(k AS VARCHAR) AS g, h
+  FROM d, (SELECT unnest(range(4)) AS k)
+  WHERE ((r - k) % 6 + 6) % 6 < 3
+),
+ex AS (SELECT DISTINCT g, h FROM mem),
+cnt AS (SELECT g, count(*) AS n FROM ex GROUP BY 1),
+inter AS (
+  SELECT a.g AS ga, b.g AS gb, count(*) AS ni
+  FROM ex a JOIN ex b ON a.h = b.h AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT ca.g AS g_a, cb.g AS g_b,
+       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       CAST(ca.n + cb.n - COALESCE(ni, 0) AS BIGINT) AS n_union,
+       CAST(COALESCE(ni, 0) AS BIGINT) AS n_intersection,
+       ROUND(CAST(COALESCE(ni, 0) AS DOUBLE)
+             / CAST(ca.n + cb.n - COALESCE(ni, 0) AS DOUBLE), {R})
+         AS jaccard
+FROM cnt ca JOIN cnt cb ON ca.g < cb.g
+LEFT JOIN inter ON inter.ga = ca.g AND inter.gb = cb.g
+"""
+
+
 def _docs_crop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independent-cropping positive pairs (operators/mining.py::
     crop_pairs — Contriever, Izacard et al. 2021 §4.1): per doc two
@@ -12820,6 +12931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivfpq": _ann_recall_ivfpq,
         "corpus_overlap_manifest": _corpus_overlap_manifest,
         "docs_fim_spm": _docs_fim_spm,
+        "corpus_overlap_matrix": _corpus_overlap_matrix,
     }
 
 
@@ -13066,6 +13178,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_overlap_est": _CORPUS_OVERLAP_SQL,
         "corpus_overlap_manifest": _CORPUS_OVERLAP_MANIFEST_SQL,
         "docs_fim_spm": _DOCS_FIM_SPM_SQL,
+        "corpus_overlap_matrix": _CORPUS_OVERLAP_MATRIX_SQL,
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

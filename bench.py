@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "ann_recall_ivfpq",
     "corpus_overlap_manifest",
     "docs_fim_spm",
+    "corpus_overlap_matrix",
 ]
 
 

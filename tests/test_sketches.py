@@ -183,3 +183,36 @@ def test_hll_overlap_disjoint_clamps_and_empty_guards(spark):
     empty = spark.createDataFrame([], "v string")
     r2 = hll_overlap(empty, empty, "v").first()
     assert r2["n_union_est"] == 0 and r2["jaccard_est"] == 0.0
+
+
+def test_hll_overlap_matrix_all_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.sketches import (
+        hll_overlap_matrix,
+        hll_sketch_by,
+    )
+
+    # g0 = [0, 6000), g1 = [3000, 9000), g2 = [20000, 23000) (disjoint)
+    rows = (
+        spark.range(0, 6000).select(F.lit("g0").alias("g"), "id")
+        .unionByName(
+            spark.range(3000, 9000).select(F.lit("g1").alias("g"), "id")
+        )
+        .unionByName(
+            spark.range(20000, 23000).select(F.lit("g2").alias("g"), "id")
+        )
+        .select("g", F.col("id").cast("string").alias("v"))
+    )
+    sk = hll_sketch_by(rows, ["g"], "v", lg_k=14)
+    got = {
+        (r["key_a"], r["key_b"]): r
+        for r in hll_overlap_matrix(sk, "g", "sketch").collect()
+    }
+    assert set(got) == {("g0", "g1"), ("g0", "g2"), ("g1", "g2")}
+    r01 = got[("g0", "g1")]
+    assert abs(r01["n_intersection_est"] - 3000) / 3000 < 0.15
+    assert abs(r01["n_union_est"] - 9000) / 9000 < 0.05
+    r02 = got[("g0", "g2")]
+    assert r02["n_intersection_est"] < 0.02 * 9000  # clamped near zero
+    assert 0.0 <= r02["jaccard_est"] <= 1.0

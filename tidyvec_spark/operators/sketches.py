@@ -33,6 +33,7 @@ __all__ = [
     "hll_rollup",
     "hll_overlap",
     "hll_overlap_from_sketches",
+    "hll_overlap_matrix",
     "distinct_with_accuracy_contract",
     "cms_build",
     "cms_merge",
@@ -145,6 +146,69 @@ def hll_overlap_from_sketches(
         )
 
     return _overlap_of_sides(side(a, "a").unionByName(side(b, "b")))
+
+
+def hll_overlap_matrix(
+    sketches: DataFrame,
+    key_col: str,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """ALL-PAIRS overlap triage from per-group sketches: k sketch rows
+    (one per source / snapshot / shard-group, e.g. a
+    :func:`hll_sketch_by` result or a sketch-bearing manifest rolled
+    up per corpus) → k(k−1)/2 rows
+    (key_a, key_b, n_a_est, n_b_est, n_union_est, n_intersection_est,
+    jaccard_est), ``key_a < key_b``.
+
+    This is the planning view :func:`hll_overlap` gives one pair at a
+    time: which of my k corpora/snapshots overlap enough to pay exact
+    decontamination between them? Cost is k² arithmetic over few-KB
+    sketches — the inputs are ZERO corpus scans when the sketches were
+    stored at ingest, and the self-join broadcasts a k-row frame, so
+    k in the hundreds is still driver-trivial. The pairwise union
+    comes from the BINARY ``hll_union`` (no re-aggregation), and the
+    usual laws hold: intersection clamps at 0, jaccard guards the
+    empty union.
+    """
+    s = sketches.select(
+        F.col(key_col).alias("__k"),
+        F.col(sketch_col).alias("__s"),
+        F.hll_sketch_estimate(sketch_col).alias("__e"),
+    )
+    a = s.select(
+        F.col("__k").alias("key_a"),
+        F.col("__s").alias("__sa"),
+        F.col("__e").alias("n_a_est"),
+    )
+    b = s.select(
+        F.col("__k").alias("key_b"),
+        F.col("__s").alias("__sb"),
+        F.col("__e").alias("n_b_est"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    union = F.hll_sketch_estimate(
+        F.hll_union(F.col("__sa"), F.col("__sb"), True)
+    )
+    inter = F.greatest(
+        F.col("n_a_est") + F.col("n_b_est") - F.col("n_union_est"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        pairs.withColumn("n_union_est", union)
+        .withColumn("n_intersection_est", inter)
+        .withColumn(
+            "jaccard_est",
+            F.when(
+                F.col("n_union_est") > 0,
+                F.col("n_intersection_est").cast("double")
+                / F.col("n_union_est").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "key_a", "key_b", "n_a_est", "n_b_est",
+            "n_union_est", "n_intersection_est", "jaccard_est",
+        )
+    )
 
 
 def hll_sketch_by(
