@@ -11422,6 +11422,78 @@ FROM f
 """
 
 
+_PAD_SALT = "r11pad"
+_PAD_BATCH = 16
+_PAD_BUCKETS = 8
+
+
+def _docs_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste A/B (operators/chunking.py::padding_report):
+    length-sorted batching vs the hash-order arrival baseline over
+    the real corpus length distribution — the measurement behind the
+    'sorted batching saves X% padding' serving/training decision,
+    computed as ONE corpus scan (both assignments per row, unpivoted,
+    aggregated once; the two windows share the bucket partitioning).
+    Batch = 16 docs inside 8 hash buckets (pack_sequences' bucket law:
+    deterministic, repartition-stable, bounds the sorts at 100 TB)."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.chunking import padding_report
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("ntok")
+    )
+    rep = padding_report(
+        docs, "doc_id", "ntok",
+        batch_size=_PAD_BATCH, n_buckets=_PAD_BUCKETS, salt=_PAD_SALT,
+    )
+    return rep.select(
+        "strategy", "n_batches", "n_docs", "sum_len", "padded",
+        F.round("waste_frac", R).alias("waste_frac"),
+    )
+
+
+def _docs_batch_padding_sql() -> str:
+    toks_of = (
+        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "t -> t <> ''))"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, CAST({toks_of} AS BIGINT) AS l FROM documents),
+b AS (
+  SELECT doc_id, l,
+         CAST(floor({_hu_sql(_PAD_SALT)} * {_PAD_BUCKETS}) AS INT)
+           AS bucket,
+         {_hu_sql(_PAD_SALT + 'o')} AS u
+  FROM d
+),
+s AS (
+  SELECT bucket, l, 'sorted' AS strategy,
+         CAST(floor((row_number() OVER (
+           PARTITION BY bucket ORDER BY l, doc_id) - 1)
+           / {_PAD_BATCH}) AS BIGINT) AS batch
+  FROM b
+  UNION ALL
+  SELECT bucket, l, 'arrival' AS strategy,
+         CAST(floor((row_number() OVER (
+           PARTITION BY bucket ORDER BY u, doc_id) - 1)
+           / {_PAD_BATCH}) AS BIGINT) AS batch
+  FROM b
+),
+pb AS (
+  SELECT strategy, bucket, batch, max(l) AS mx, sum(l) AS sl,
+         count(*) AS c
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(sl) AS BIGINT) AS sum_len,
+       CAST(sum(mx * c) AS BIGINT) AS padded,
+       ROUND(CAST(sum(mx * c) - sum(sl) AS DOUBLE)
+             / CAST(sum(mx * c) AS DOUBLE), {R}) AS waste_frac
+FROM pb GROUP BY 1
+"""
+
+
 _FIMPACK_SALT = "r10fp"
 _FIMPACK_BUDGET = 256
 _FIMPACK_BUCKETS = 32
@@ -12932,6 +13004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap_manifest": _corpus_overlap_manifest,
         "docs_fim_spm": _docs_fim_spm,
         "corpus_overlap_matrix": _corpus_overlap_matrix,
+        "docs_batch_padding": _docs_batch_padding,
     }
 
 
@@ -13179,6 +13252,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_overlap_manifest": _CORPUS_OVERLAP_MANIFEST_SQL,
         "docs_fim_spm": _DOCS_FIM_SPM_SQL,
         "corpus_overlap_matrix": _CORPUS_OVERLAP_MATRIX_SQL,
+        "docs_batch_padding": _docs_batch_padding_sql(),
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

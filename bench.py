@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "corpus_overlap_manifest",
     "docs_fim_spm",
     "corpus_overlap_matrix",
+    "docs_batch_padding",
 ]
 
 

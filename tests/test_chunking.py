@@ -137,3 +137,33 @@ def test_fim_order_psm_spm_laws(spark):
     assert P.num_shuffles(fim_order(fim, "spm")) == 0
     with pytest.raises(ValueError, match="FIM order"):
         fim_order(fim, "msp")
+
+
+def test_padding_report_sorted_beats_arrival(spark):
+    """padding_report: identities hold per strategy (n_docs, sum_len
+    invariant across orders; padded >= sum_len), length-sorted
+    batching strictly reduces waste on a spread length distribution,
+    and the whole A/B is ONE corpus scan with the bucket exchange
+    shared by both windows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.operators.chunking import padding_report
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(97)) + 3).alias("ntok"),
+    )
+    rep = padding_report(docs, "doc_id", "ntok", batch_size=8, n_buckets=4)
+    rows = {r["strategy"]: r for r in rep.collect()}
+    assert set(rows) == {"sorted", "arrival"}
+    for r in rows.values():
+        assert r["n_docs"] == 400
+        assert r["padded"] >= r["sum_len"]
+        assert 0.0 <= r["waste_frac"] < 1.0
+    assert rows["sorted"]["sum_len"] == rows["arrival"]["sum_len"]
+    assert rows["sorted"]["padded"] < rows["arrival"]["padded"]
+    assert P.num_scans(rep) <= 1  # one pass, not one per strategy
+    with pytest.raises(ValueError, match="batch_size"):
+        padding_report(docs, "doc_id", "ntok", batch_size=0)

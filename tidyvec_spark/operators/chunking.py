@@ -36,8 +36,104 @@ __all__ = [
     "fim_split",
     "fim_order",
     "pack_sequences",
+    "padding_report",
     "cdc_chunks",
 ]
+
+
+def padding_report(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    batch_size: int = 32,
+    n_buckets: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Padding-waste A/B of batch assembly orders — the measurement
+    that justifies (or rejects) length-sorted batching for
+    variable-length training/serving, run on the ACTUAL corpus instead
+    of assumed length distributions.
+
+    Every row is padded to its batch's max length, so waste depends
+    entirely on how rows are grouped into size-``batch_size`` batches.
+    Two deterministic orders are assembled inside hash buckets
+    (bucket = salted-md5(id) · n_buckets — :func:`pack_sequences`' law,
+    stable under repartitioning; buckets bound the window sorts
+    executor-sized at 100 TB):
+
+    - ``arrival``: hash order — the unsorted-dataloader baseline;
+    - ``sorted``: by (length, id) — length-bucketed batching.
+
+    Returns one row per strategy: (strategy, n_batches, n_docs,
+    sum_len, padded, waste_frac) where padded = Σ_batches max_len ·
+    n_rows and waste_frac = (padded − sum_len) / padded. ONE corpus
+    scan: both assignments are computed per row, unpivoted, and
+    aggregated in a single pass (the two windows share the bucket
+    partitioning, so Catalyst reuses one exchange).
+    """
+    from pyspark.sql import Window
+
+    from tidyvec_spark.operators.sampling import hash_unit
+
+    if int(batch_size) < 1:
+        raise ValueError("batch_size must be >= 1")
+    if int(n_buckets) < 1:
+        raise ValueError("n_buckets must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(len_col).cast("long").alias("__len"),
+        (hash_unit(F.col(id_col), salt) * n_buckets)
+        .cast("int")
+        .alias("bucket"),
+        hash_unit(F.col(id_col), salt + "o").alias("__u"),
+    )
+    w_sorted = Window.partitionBy("bucket").orderBy("__len", "__id")
+    w_arrival = Window.partitionBy("bucket").orderBy("__u", "__id")
+    b = int(batch_size)
+    assigned = base.select(
+        "bucket",
+        "__len",
+        F.floor((F.row_number().over(w_sorted) - 1) / b).alias("__bs"),
+        F.floor((F.row_number().over(w_arrival) - 1) / b).alias("__ba"),
+    )
+    long = assigned.select(
+        "bucket",
+        "__len",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("arrival").alias("strategy"),
+                    F.col("__ba").alias("batch"),
+                ),
+                F.struct(
+                    F.lit("sorted").alias("strategy"),
+                    F.col("__bs").alias("batch"),
+                ),
+            )
+        ).alias("x"),
+    ).select("bucket", "__len", "x.strategy", "x.batch")
+    per_batch = long.groupBy("strategy", "bucket", "batch").agg(
+        F.max("__len").alias("mx"),
+        F.sum("__len").alias("s"),
+        F.count("*").alias("c"),
+    )
+    return (
+        per_batch.groupBy("strategy")
+        .agg(
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum("s").cast("long").alias("sum_len"),
+            F.sum(F.col("mx") * F.col("c")).cast("long").alias("padded"),
+        )
+        .withColumn(
+            "waste_frac",
+            F.when(
+                F.col("padded") > 0,
+                (F.col("padded") - F.col("sum_len")).cast("double")
+                / F.col("padded").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
 
 
 def fim_split(
