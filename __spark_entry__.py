@@ -9799,6 +9799,49 @@ FROM m
 """
 
 
+_ZIPF_TOP_K = 500
+
+
+def _docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law head fit (operators/reports.py::zipf_fit): OLS of
+    ln(freq) ~ ln(rank) over the top-500 terms — the frequency-
+    spectrum twin of the Heaps curve (docs_vocab_growth): natural
+    text slopes ≈ −1, boilerplate flattens the head, noise scatters
+    it (r2). One corpus scan → vocab hash-agg → top-k heaps → a
+    500-row regression."""
+    from tidyvec_spark.operators.reports import zipf_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    fit = zipf_fit(docs, "text", top_k=_ZIPF_TOP_K)
+    return fit.select(
+        "n_terms",
+        F.round("slope", R).alias("slope"),
+        F.round("intercept", R).alias("intercept"),
+        F.round("r2", R).alias("r2"),
+    )
+
+
+_DOCS_ZIPF_FIT_SQL = f"""
+WITH tf AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+  GROUP BY term
+),
+top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+  FROM tf ORDER BY cnt DESC, term LIMIT {_ZIPF_TOP_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                        ln(CAST(rnk AS DOUBLE))), {R}) AS slope,
+       ROUND(regr_intercept(ln(CAST(cnt AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), {R}) AS intercept,
+       ROUND(regr_r2(ln(CAST(cnt AS DOUBLE)),
+                     ln(CAST(rnk AS DOUBLE))), {R}) AS r2
+FROM top
+"""
+
+
 def _docs_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ensemble keep/drop (functions/quality.py:quality_ensemble):
     Gopher + C4 page rules as hard vetoes, rule-based quality and a
@@ -13005,6 +13048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fim_spm": _docs_fim_spm,
         "corpus_overlap_matrix": _corpus_overlap_matrix,
         "docs_batch_padding": _docs_batch_padding,
+        "docs_zipf_fit": _docs_zipf_fit,
     }
 
 
@@ -13253,6 +13297,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fim_spm": _DOCS_FIM_SPM_SQL,
         "corpus_overlap_matrix": _CORPUS_OVERLAP_MATRIX_SQL,
         "docs_batch_padding": _docs_batch_padding_sql(),
+        "docs_zipf_fit": _DOCS_ZIPF_FIT_SQL,
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "docs_fim_spm",
     "corpus_overlap_matrix",
     "docs_batch_padding",
+    "docs_zipf_fit",
 ]
 
 

@@ -486,3 +486,25 @@ def test_manifest_sketch_merge_lossless_and_zero_scan(spark, documents, tmp_path
             parts[0],
             corpus_manifest(a2, "doc_id", "text", n_shards=4, digest=False),
         )
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """zipf_fit: a corpus synthesized with an exact 1/rank frequency
+    spectrum fits slope ~ -1 with r2 ~ 1; top_k caps the fitted head;
+    validation raises below 2 points."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.reports import zipf_fit
+
+    # term k occurs floor(200/k) times, k = 1..50 -> freq ∝ 1/rank
+    rows = []
+    for k in range(1, 51):
+        rows.extend([(f"w{k:03d}",)] * (200 // k))
+    docs = spark.createDataFrame(rows, "text string")
+    r = zipf_fit(docs, "text", top_k=40).first()
+    assert r["n_terms"] == 40
+    assert abs(r["slope"] - (-1.0)) < 0.1
+    assert r["r2"] > 0.98
+    with pytest.raises(ValueError, match="top_k"):
+        zipf_fit(docs, "text", top_k=1)

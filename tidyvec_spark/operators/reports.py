@@ -20,12 +20,57 @@ from tidyvec_spark.functions.text import tokens
 
 __all__ = [
     "vocab_growth",
+    "zipf_fit",
     "psi_drift",
     "drop_attribution",
     "k_anonymity",
     "ngram_novelty",
     "zscore_by_group",
 ]
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 1000,
+) -> DataFrame:
+    """OLS fit of ``ln(freq) ~ ln(rank)`` over the HEAD of the token
+    frequency spectrum — the Zipf's-law health check next to
+    :func:`vocab_growth`'s Heaps curve: natural text slopes ≈ −1;
+    template/boilerplate-heavy corpora flatten the head (a few
+    phrases dominate every rank) and OCR/mojibake noise steepens and
+    scatters it, so (slope, r2) is a cheap corpus-level quality
+    fingerprint that needs no reference model.
+
+    Fit is on the top-``top_k`` terms by (freq desc, term) — the head
+    is where the law holds and where the fit is stable; the long tail
+    deviates by construction (rank ties at freq 1). Returns ONE row
+    (n_terms, slope, intercept, r2).
+
+    Shape: explode → vocab-bounded hash agg (map-side partial) →
+    top-k heaps (TakeOrderedAndProject, never a global vocab sort) →
+    rank + regression over K driver-bounded rows. The corpus is
+    touched exactly once.
+    """
+    if int(top_k) < 2:
+        raise ValueError("top_k must be >= 2 to fit a line")
+    tf = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(int(top_k))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    y = F.log(F.col("cnt").cast("double"))
+    x = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.regr_r2(y, x).alias("r2"),
+    )
 
 
 def ngram_novelty(
