@@ -938,6 +938,54 @@ def main() -> None:
         )
         tdocs.unpersist()
 
+    # Overlap triage three ways by corpus size: the r11 hll_overlap
+    # rewrite (one scan per corpus, was two), vs exact distinct-count
+    # inclusion-exclusion, vs ZERO-scan answering from stored
+    # manifest sketches — the last should be near-constant in corpus
+    # size (it reads 2 x n_shards sketch rows)
+    import tempfile as _tf3
+
+    from tidyvec_spark.operators.sketches import (
+        hll_overlap,
+        hll_overlap_from_sketches,
+    )
+    from tidyvec_spark.sources.maintenance import corpus_manifest
+
+    ov_sizes = [20_000, 100_000]
+    if quick:
+        ov_sizes = ov_sizes[:1]
+    for n in ov_sizes:
+        ovd = synth_docs(spark, n).select("doc_id", "text").persist()
+        ovd.count()
+        oa = ovd.filter(F.col("doc_id") % 4 < 3)
+        ob = ovd.filter(F.col("doc_id") % 3 == 0)
+        record(
+            "overlap_hll_scan", n,
+            lambda: materialize(hll_overlap(oa, ob, "doc_id", lg_k=14)),
+        )
+        record(
+            "overlap_exact", n,
+            lambda: materialize(
+                oa.select("doc_id").distinct()
+                .join(ob.select("doc_id").distinct(), "doc_id")
+                .agg(F.count("*").alias("n_intersection"))
+            ),
+        )
+        da, db = _tf3.mkdtemp(prefix="tv_ov_a_"), _tf3.mkdtemp(prefix="tv_ov_b_")
+        corpus_manifest(oa, "doc_id", "text", n_shards=16,
+                        sketch=True).write.mode("overwrite").parquet(da)
+        corpus_manifest(ob, "doc_id", "text", n_shards=16,
+                        sketch=True).write.mode("overwrite").parquet(db)
+        record(
+            "overlap_manifest_zero_scan", n,
+            lambda: materialize(
+                hll_overlap_from_sketches(
+                    spark.read.parquet(da), spark.read.parquet(db), "sketch"
+                )
+            ),
+        )
+        ovd.unpersist()
+
     print("\n== scaling summary (wall_s by size) ==")
     for op, pts in results.items():
         scale = pts[-1][0] / pts[0][0]
