@@ -9842,6 +9842,40 @@ FROM top
 """
 
 
+def _embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance upper triangle (operators/reduce.py::
+    embedding_covariance): the spectral-health primitive behind
+    anisotropy diagnosis and ZCA whitening — d(d+1)/2 numbers from ONE
+    corpus scan of BLAS partials per Arrow batch (never an n·d² row
+    explosion; the final agg is 2080 rows at d=64 regardless of corpus
+    size). Rounded to a coarser 4 decimals: the partial sums are
+    BLAS-ordered on the Spark side and sequential on the DuckDB side,
+    and cov stacks three O(n)-term sums, so agreement is to float
+    accumulation order, not bit-exact."""
+    from tidyvec_spark.operators.reduce import embedding_covariance
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_covariance(e, "embedding", dim=64, round_to=4)
+
+
+_EMBEDDING_COVARIANCE_SQL = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+idx AS (SELECT CAST(unnest(range(64)) AS INT) AS i),
+p AS (
+  SELECT a.i, b.i AS j,
+         avg(v[a.i + 1] * v[b.i + 1])
+           - avg(v[a.i + 1]) * avg(v[b.i + 1]) AS c
+  FROM e, idx a, idx b
+  WHERE a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT i, j, ROUND(c, 4) AS cov FROM p
+"""
+
+
 def _docs_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ensemble keep/drop (functions/quality.py:quality_ensemble):
     Gopher + C4 page rules as hard vetoes, rule-based quality and a
@@ -13049,6 +13083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap_matrix": _corpus_overlap_matrix,
         "docs_batch_padding": _docs_batch_padding,
         "docs_zipf_fit": _docs_zipf_fit,
+        "embedding_covariance": _embedding_covariance,
     }
 
 
@@ -13298,6 +13333,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_overlap_matrix": _CORPUS_OVERLAP_MATRIX_SQL,
         "docs_batch_padding": _docs_batch_padding_sql(),
         "docs_zipf_fit": _DOCS_ZIPF_FIT_SQL,
+        "embedding_covariance": _EMBEDDING_COVARIANCE_SQL,
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     "corpus_overlap_matrix",
     "docs_batch_padding",
     "docs_zipf_fit",
+    "embedding_covariance",
 ]
 
 

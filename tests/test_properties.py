@@ -522,3 +522,62 @@ def test_ict_pairs_slot_laws(spark, sents):
     assert r["context"] == " ".join(
         s for i, s in enumerate(cleaned) if i != qi
     )
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """embedding_covariance: the distributed BLAS-partial path equals
+    numpy's population covariance; NULLs are excluded; wrong-length
+    rows raise rather than silently bias."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.reduce import embedding_covariance
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(200, 5) * [1.0, 2.0, 0.5, 3.0, 1.5] + rng.randn(5)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(200)]
+    rows.append((200, None))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    got = np.zeros((5, 5))
+    for r in embedding_covariance(df, "embedding", dim=5).collect():
+        got[r["i"], r["j"]] = got[r["j"], r["i"]] = r["cov"]
+    want = np.cov(X, rowvar=False, bias=True)
+    assert np.allclose(got, want, atol=1e-9)
+
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="embedding length"):
+        embedding_covariance(bad, "embedding", dim=5).collect()
+    with pytest.raises(ValueError, match="dim"):
+        embedding_covariance(df, "embedding", dim=0)
+
+
+def test_whiten_embeddings_identity_covariance(spark):
+    """whiten_embeddings: ZCA output has (numerically) identity
+    covariance and zero mean — the operator's defining property —
+    measured by running embedding_covariance ON its own output."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.reduce import (
+        embedding_covariance,
+        whiten_embeddings,
+    )
+
+    rng = np.random.RandomState(11)
+    # anisotropic: one dominant direction drowning the rest
+    base = rng.randn(300, 4) @ np.diag([5.0, 1.0, 0.3, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    w = whiten_embeddings(df, "embedding", dim=4, id_cols=["id"])
+    assert w.columns == ["id", "whitened"]
+    got = np.zeros((4, 4))
+    for r in embedding_covariance(w, "whitened", dim=4).collect():
+        got[r["i"], r["j"]] = got[r["j"], r["i"]] = r["cov"]
+    assert np.allclose(got, np.eye(4), atol=1e-2)
+    mu = w.select(
+        *[F.avg(F.col("whitened")[i]).alias(f"m{i}") for i in range(4)]
+    ).first()
+    assert all(abs(mu[f"m{i}"]) < 1e-9 for i in range(4))

@@ -22,6 +22,162 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def embedding_covariance(
+    df: DataFrame,
+    emb_col: str,
+    dim: int,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Population covariance of an embedding column as the UPPER
+    TRIANGLE (i, j, cov), i ≤ j < ``dim`` — the spectral health
+    primitive behind anisotropy diagnosis (Ethayarajh 2019: contextual
+    embeddings concentrate in a narrow cone; Mu & Viswanath 2018
+    remove the top components) and the input to
+    :func:`whiten_embeddings`.
+
+    ONE corpus scan: each Arrow batch contributes BLAS partials
+    (n, Σx per dim, XᵀX upper triangle) via ``mapInPandas`` — never a
+    row explosion into n·d² records — and the final aggregate is
+    d(d+1)/2 rows regardless of corpus size, fully map-side-combined.
+    NULL embeddings are excluded (they carry no coordinates). Rows
+    with a different length than ``dim`` raise — a silent skip would
+    bias every entry."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    d = int(dim)
+    if d < 1:
+        raise ValueError("dim must be >= 1")
+    iu = np.triu_indices(d)
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType(), False),
+            T.StructField("j", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("sx", T.DoubleType(), False),
+            T.StructField("sy", T.DoubleType(), False),
+            T.StructField("sxy", T.DoubleType(), False),
+        ]
+    )
+    col = emb_col
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals = pdf[col].dropna()
+            if not len(vals):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+            if X.shape[1] != d:
+                raise ValueError(
+                    f"embedding length {X.shape[1]} != dim {d}"
+                )
+            g = X.T @ X
+            s = X.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "n": np.full(len(iu[0]), len(X), dtype="int64"),
+                    "sx": s[iu[0]],
+                    "sy": s[iu[1]],
+                    "sxy": g[iu],
+                }
+            )
+
+    agg = (
+        df.select(F.col(emb_col).cast("array<double>").alias(col))
+        .filter(F.col(col).isNotNull())
+        .mapInPandas(partials, schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxy").alias("sxy"),
+        )
+    )
+    cov = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (
+        F.col("sy") / F.col("n")
+    )
+    if round_to is not None:
+        cov = F.round(cov, int(round_to))
+    return agg.select("i", "j", cov.alias("cov"))
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    emb_col: str,
+    dim: int,
+    id_cols: Optional[Sequence[str]] = None,
+    out_col: str = "whitened",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """ZCA-whiten an embedding column: x ↦ C^{-1/2}(x − μ) so the
+    output covariance is (numerically) the identity — the fix for
+    anisotropic embedding spaces where a few dominant directions
+    drown cosine similarity (Mu & Viswanath 2018's all-but-the-top is
+    the rank-k cousin; ZCA is the full correction and stays closest
+    to the original basis).
+
+    Two passes: :func:`embedding_covariance` + a mean aggregate (one
+    scan together — the d(d+1)/2 + d numbers are a BOUNDED driver
+    artifact, like PQ codebooks), eigendecomposition on the driver
+    (d×d, microseconds), then one map-side BLAS projection per Arrow
+    batch. ``eps`` floors the eigenvalues so near-singular directions
+    do not explode."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    d = int(dim)
+    id_cols = list(id_cols or [])
+    tri = embedding_covariance(df, emb_col, d).collect()
+    C = np.zeros((d, d))
+    for r in tri:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    mean_row = (
+        df.filter(F.col(emb_col).isNotNull())
+        .select(
+            F.array(
+                *[
+                    F.avg(F.col(emb_col)[i].cast("double"))
+                    for i in range(d)
+                ]
+            ).alias("mu")
+        )
+        .first()
+    )
+    mu = np.asarray(mean_row["mu"], dtype=np.float64)
+    lam, U = np.linalg.eigh(C)
+    W = U @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + float(eps))) @ U.T
+    fields = [df.schema[c] for c in id_cols]
+    fields.append(
+        T.StructField(out_col, T.ArrayType(T.DoubleType(), False), False)
+    )
+    schema = T.StructType(fields)
+    col = emb_col
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf[col].notna()]
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[col]]
+            )
+            Y = (X - mu) @ W.T
+            out = {c: pdf[c].values for c in id_cols}
+            out[out_col] = list(Y)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        *id_cols, F.col(emb_col).cast("array<double>").alias(col)
+    ).mapInPandas(project, schema)
+
+
 def pca_project(
     df: DataFrame,
     embedding_col: str,
