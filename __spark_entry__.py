@@ -9876,6 +9876,70 @@ SELECT i, j, ROUND(c, 4) AS cov FROM p
 """
 
 
+_BOOT_SALT = "r11bs"
+_BOOT_N = 200
+
+
+def _docs_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI (operators/sampling.py::bootstrap_ci —
+    Chamandy et al. 2012) on the mean document token count: error
+    bars on a corpus metric WITHOUT collecting the corpus. 200
+    replicates reweight every row by a deterministic inverse-CDF
+    Poisson(1) draw over hash_unit(id:replicate) — the same ladder
+    literals on both engines — and the CI is the exact percentile
+    interval over the replicate means. One scan (the point estimate
+    rides the same groupBy), one n_boot-sized shuffle."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.sampling import bootstrap_ci
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("ntok")
+    )
+    return bootstrap_ci(
+        docs, "doc_id", "ntok",
+        n_boot=_BOOT_N, level=0.95, salt=_BOOT_SALT, round_to=R,
+    )
+
+
+def _docs_bootstrap_ci_sql() -> str:
+    from tidyvec_spark.operators.sampling import _POISSON1_CDF
+
+    toks_of = (
+        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "t -> t <> ''))"
+    )
+    u = _hu_sql(
+        _BOOT_SALT,
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)",
+    )
+    ladder = " ".join(
+        f"WHEN u < {_POISSON1_CDF[k]!r} THEN {k}"
+        for k in range(len(_POISSON1_CDF))
+    )
+    return f"""
+WITH d AS (SELECT doc_id, CAST({toks_of} AS DOUBLE) AS v FROM documents),
+rep AS (SELECT doc_id, v, unnest(range({_BOOT_N})) AS r FROM d),
+wt AS (
+  SELECT r, v, CAST(CASE {ladder} ELSE 6 END AS DOUBLE) AS w
+  FROM (SELECT doc_id, v, r, {u} AS u FROM rep)
+),
+s AS (
+  SELECT r, sum(w) AS sw, sum(w * v) AS swv, sum(v) AS sv,
+         count(*) AS c
+  FROM wt GROUP BY r
+),
+m AS (
+  SELECT CASE WHEN sw > 0 THEN swv / sw END AS m, sv, c FROM s
+)
+SELECT CAST(max(c) AS BIGINT) AS n_rows,
+       ROUND(max(sv) / max(c), {R}) AS point_est,
+       ROUND(quantile_cont(m, 0.025), {R}) AS lo,
+       ROUND(quantile_cont(m, 0.975), {R}) AS hi,
+       CAST({_BOOT_N} AS BIGINT) AS n_boot
+FROM m
+"""
+
+
 def _docs_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ensemble keep/drop (functions/quality.py:quality_ensemble):
     Gopher + C4 page rules as hard vetoes, rule-based quality and a
@@ -13084,6 +13148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_batch_padding": _docs_batch_padding,
         "docs_zipf_fit": _docs_zipf_fit,
         "embedding_covariance": _embedding_covariance,
+        "docs_bootstrap_ci": _docs_bootstrap_ci,
     }
 
 
@@ -13334,6 +13399,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_batch_padding": _docs_batch_padding_sql(),
         "docs_zipf_fit": _DOCS_ZIPF_FIT_SQL,
         "embedding_covariance": _EMBEDDING_COVARIANCE_SQL,
+        "docs_bootstrap_ci": _docs_bootstrap_ci_sql(),
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "docs_batch_padding",
     "docs_zipf_fit",
     "embedding_covariance",
+    "docs_bootstrap_ci",
 ]
 
 

@@ -501,3 +501,43 @@ def test_weighted_sample_per_group(spark):
     assert {r["id"] for r in got.filter(F.col("g") == "g2").collect()} == solo
     with _pytest.raises(ValueError, match="n must be"):
         weighted_sample_n(df, "id", "w", 0)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    """bootstrap_ci: the interval brackets the true mean of an iid
+    sample, narrows roughly as 1/sqrt(n), re-salting moves the
+    replicate draws, and the whole operator is one corpus scan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.operators.sampling import bootstrap_ci
+
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        (F.pmod(F.col("id") * 131, F.lit(1000)).cast("double") / 100.0)
+        .alias("v"),  # near-uniform on [0, 10), mean ~= 5
+    )
+    r = bootstrap_ci(df, "id", "v", n_boot=100, salt="t", round_to=6).first()
+    assert r["n_rows"] == 2000 and r["n_boot"] == 100
+    assert r["lo"] <= r["point_est"] <= r["hi"]
+    assert r["lo"] <= 5.0 <= r["hi"]
+    width = r["hi"] - r["lo"]
+    assert 0.0 < width < 1.0  # sd ~= 2.89 -> 95% CI width ~= 0.25
+
+    # same salt reproduces bit-identically; a re-salt moves the draws
+    r2 = bootstrap_ci(df, "id", "v", n_boot=100, salt="t", round_to=6).first()
+    assert (r["lo"], r["hi"]) == (r2["lo"], r2["hi"])
+    r3 = bootstrap_ci(df, "id", "v", n_boot=100, salt="u", round_to=6).first()
+    assert (r3["lo"], r3["hi"]) != (r["lo"], r["hi"])
+
+    small = bootstrap_ci(
+        df.limit(100), "id", "v", n_boot=100, salt="t", round_to=6
+    ).first()
+    assert (small["hi"] - small["lo"]) > width  # narrower with more data
+
+    assert P.num_scans(bootstrap_ci(df, "id", "v", n_boot=50)) <= 1
+    with pytest.raises(ValueError, match="n_boot"):
+        bootstrap_ci(df, "id", "v", n_boot=1)
+    with pytest.raises(ValueError, match="level"):
+        bootstrap_ci(df, "id", "v", level=1.5)

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bootstrap_ci",
     "cluster_balanced_sample",
     "budget_sample",
     "keep_best_fraction",
@@ -141,6 +142,108 @@ def budget_sample(
         "cum_tokens", F.sum(F.col(token_col).cast("long")).over(w)
     ).filter(F.col("cum_tokens") <= F.lit(int(budget)))
     return out if keep_cum else out.drop("cum_tokens")
+
+
+# P(Poisson(1) <= k), k = 0..5 — hard-coded literals so BOTH engines
+# compare the identical doubles against the identical hash_unit value
+# (the ladder is the engine-portable inverse CDF; k is capped at 6,
+# which truncates < 1e-4 of the mass and keeps the ladder bounded)
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_boot: int = 100,
+    level: float = 0.95,
+    salt: str = "",
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the MEAN of
+    ``value_col`` — error bars on any corpus metric (mean document
+    length, mean quality score, dedup rate…) without collecting the
+    corpus: each of ``n_boot`` replicates reweights every row by an
+    independent Poisson(1) draw (the streaming-friendly resample —
+    Chamandy et al. 2012, "Estimating uncertainty for massive data
+    streams"; equivalent to the multinomial bootstrap as n → ∞), the
+    replicate means are computed in one pass, and the CI is the exact
+    percentile interval over the ``n_boot`` replicate statistics.
+
+    Deterministic and engine-portable: the draw is the inverse-CDF
+    ladder over ``hash_unit(id, salt + replicate)``, so the same rows
+    produce the same replicates on any engine or partitioning, and a
+    re-salt gives an independent bootstrap.
+
+    Shape: ONE corpus scan exploded ×``n_boot`` map-side (the ladder
+    is a CASE chain inside codegen), partial-aggregated to ``n_boot``
+    (sum w, sum w·v) partials per task, one tiny shuffle, and a
+    driver-sized percentile over ``n_boot`` rows. Returns ONE row
+    (n_rows, point_est, lo, hi, n_boot).
+    """
+    nb = int(n_boot)
+    if nb < 2:
+        raise ValueError("n_boot must be >= 2")
+    if not (0.0 < float(level) < 1.0):
+        raise ValueError(f"level must be in (0, 1), got {level}")
+    alpha = (1.0 - float(level)) / 2.0
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    rep = base.select(
+        "__id",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("__r"),
+    )
+    u = hash_unit(
+        F.concat(F.col("__id").cast("string"), F.lit(":"),
+                 F.col("__r").cast("string")),
+        salt,
+    )
+    w = F.lit(6)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    # the unweighted sums ride the same groupBy (identical in every
+    # replicate; max() reads them back), so the WHOLE operator is one
+    # corpus scan — no second pass for the point estimate
+    stats = (
+        rep.withColumn("__w", w.cast("double"))
+        .groupBy("__r")
+        .agg(
+            F.sum("__w").alias("sw"),
+            F.sum(F.col("__w") * F.col("__v")).alias("swv"),
+            F.sum("__v").alias("sv"),
+            F.count("*").alias("c"),
+        )
+        .select(
+            F.when(F.col("sw") > 0, F.col("swv") / F.col("sw"))
+            .otherwise(F.lit(None))
+            .alias("m"),
+            "sv",
+            "c",
+        )
+    )
+    point = F.max("sv") / F.max("c")
+    lo = F.percentile(F.col("m"), F.lit(alpha))
+    hi = F.percentile(F.col("m"), F.lit(1.0 - alpha))
+    if round_to is not None:
+        nd = int(round_to)
+        point, lo, hi = (F.round(c, nd) for c in (point, lo, hi))
+    return stats.agg(
+        F.max("c").cast("long").alias("n_rows"),
+        point.alias("point_est"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+        F.lit(nb).cast("long").alias("n_boot"),
+    )
 
 
 def hash_unit(id_col: Column | str, salt: str = "") -> Column:
