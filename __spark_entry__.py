@@ -4411,6 +4411,112 @@ FROM p
 """
 
 
+def _clf_holdout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared eval fixture for the classifier-quality entries: train
+    the deterministic logreg on the 20%% labeled split (exactly
+    _docs_quality_clf's model), score the corpus, join the
+    text-derived label back, and keep the 80%% HOLDOUT — evaluating on
+    training rows would flatter every number."""
+    from tidyvec_spark.operators.classifier import (
+        classify_quality,
+        fit_quality_classifier,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    label = (
+        F.array_contains(F.split(F.lower("text"), r"\s+"), "spark")
+        .cast("int")
+        .alias("y")
+    )
+    labeled = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", label, "text"
+    )
+    w0, w = fit_quality_classifier(
+        labeled, "text", "y", "doc_id", num_buckets=_CLF_B,
+    )
+    scored = classify_quality(docs, "text", "doc_id", w0, w, round_to=R)
+    labs = docs.select("doc_id", label)
+    return scored.join(labs, "doc_id").filter(F.col("doc_id") % 5 != 0)
+
+
+def _docs_clf_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the learned quality classifier on the holdout
+    (operators/evaluation.py::auc_score — Mann–Whitney with average
+    ranks over ties): the threshold-free number that accuracy-at-0.5
+    hides. Rank statistics run over DISTINCT rounded scores (bounded
+    hash-agg + a distinct-score window), never a per-row global
+    sort."""
+    from tidyvec_spark.operators.evaluation import auc_score
+
+    j = _clf_holdout_scores(spark, sf_dir)
+    return auc_score(j, "quality_prob", "y", round_to=R)
+
+
+def _docs_clf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the learned quality classifier on the
+    holdout (operators/evaluation.py::calibration_bins): 10
+    equal-width score bins, each (n, mean_score, frac_pos) — the gap
+    between the last two is what turns a good AUC into a usable keep
+    threshold. One bounded hash-agg over the scored holdout."""
+    from tidyvec_spark.operators.evaluation import calibration_bins
+
+    j = _clf_holdout_scores(spark, sf_dir)
+    return calibration_bins(j, "quality_prob", "y", n_bins=10, round_to=R)
+
+
+def _clf_eval_sql(tail: str) -> str:
+    """The scored-holdout CTEs shared by the AUC and calibration
+    oracles: the full (nested) classifier replay + the text-derived
+    label + the 80% holdout filter, then ``tail`` reads from ``j``
+    (columns p = rounded score, y = label)."""
+    return f"""
+WITH scored AS ({_docs_quality_clf_sql()}),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN list_contains({_TOKS}, 'spark') THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+j AS (
+  SELECT s.quality_prob AS p, lab.y
+  FROM scored s JOIN lab USING (doc_id)
+  WHERE doc_id % 5 <> 0
+),
+{tail}
+"""
+
+
+_DOCS_CLF_AUC_TAIL = f"""
+g AS (SELECT p, count(*) AS n_eq, sum(y) AS np FROM j GROUP BY p),
+o AS (
+  SELECT n_eq, np,
+         COALESCE(sum(n_eq) OVER (ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_less
+  FROM g
+),
+s AS (
+  SELECT sum(np) AS npos, sum(n_eq) - sum(np) AS nneg,
+         sum(np * (n_less + (n_eq + 1) / 2.0)) AS S
+  FROM o
+)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       ROUND((S - npos * (npos + 1) / 2.0) / (npos * nneg), {R}) AS auc
+FROM s
+"""
+
+
+_DOCS_CLF_CALIBRATION_TAIL = f"""
+c AS (
+  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         ROUND(avg(p), {R}) AS mean_score,
+         ROUND(avg(CAST(y AS DOUBLE)), {R}) AS frac_pos
+  FROM j GROUP BY 1
+)
+SELECT bin, n, mean_score, frac_pos FROM c
+"""
+
+
 def _docs_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (functions/quality.py::c4_clean_lines,
     Raffel et al. 2020 §2.2): drop lines that lack terminal
@@ -13149,6 +13255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zipf_fit": _docs_zipf_fit,
         "embedding_covariance": _embedding_covariance,
         "docs_bootstrap_ci": _docs_bootstrap_ci,
+        "docs_clf_auc": _docs_clf_auc,
+        "docs_clf_calibration": _docs_clf_calibration,
     }
 
 
@@ -13400,6 +13508,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_zipf_fit": _DOCS_ZIPF_FIT_SQL,
         "embedding_covariance": _EMBEDDING_COVARIANCE_SQL,
         "docs_bootstrap_ci": _docs_bootstrap_ci_sql(),
+        "docs_clf_auc": _clf_eval_sql(_DOCS_CLF_AUC_TAIL),
+        "docs_clf_calibration": _clf_eval_sql(_DOCS_CLF_CALIBRATION_TAIL),
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

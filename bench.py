@@ -275,6 +275,8 @@ BENCH_QUERIES = [
     "docs_zipf_fit",
     "embedding_covariance",
     "docs_bootstrap_ci",
+    "docs_clf_auc",
+    "docs_clf_calibration",
 ]
 
 

@@ -131,3 +131,49 @@ def test_ivfpq_recall_on_fixture(spark, sf_dir):
     assert r["qid"] == 0
     assert 1 <= r["n_hits"] <= 10
     assert abs(r["recall"] - r["n_hits"] / 10.0) < 1e-9
+
+
+def test_auc_score_matches_sklearn_free_reference(spark):
+    """auc_score: exact Mann-Whitney AUC with tie handling — checked
+    against a hand-computed reference on a tiny fixture with ties,
+    plus the perfect/random/degenerate envelope."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.evaluation import auc_score
+
+    # scores with a tie spanning both classes:
+    # y=1: .9 .8 .5 | y=0: .5 .3
+    # ranks: .3->1, .5->(2,3 avg 2.5), .8->4, .9->5
+    # S = 5 + 4 + 2.5 = 11.5 ; AUC = (11.5 - 6) / 6 = 0.916666...
+    rows = [(0.9, 1), (0.8, 1), (0.5, 1), (0.5, 0), (0.3, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = auc_score(df, "s", "y", round_to=6).first()
+    assert (r["n_pos"], r["n_neg"]) == (3, 2)
+    assert r["auc"] == round((11.5 - 6) / 6, 6)
+
+    perfect = spark.createDataFrame(
+        [(float(i) / 10, 1 if i >= 5 else 0) for i in range(10)],
+        "s double, y int",
+    )
+    assert auc_score(perfect, "s", "y").first()["auc"] == 1.0
+
+    degenerate = spark.createDataFrame([(0.5, 1)], "s double, y int")
+    assert auc_score(degenerate, "s", "y").first()["auc"] is None
+
+
+def test_calibration_bins_identities(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.evaluation import calibration_bins
+
+    rows = [(0.05, 0), (0.08, 0), (0.95, 1), (0.99, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {r["bin"]: r for r in
+           calibration_bins(df, "s", "y", n_bins=10).collect()}
+    assert set(got) == {0, 9}  # 1.0 clamps into the last bin
+    assert got[0]["n"] == 2 and got[0]["frac_pos"] == 0.0
+    assert got[9]["n"] == 3 and got[9]["frac_pos"] == 1.0
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "s", "y", n_bins=0)

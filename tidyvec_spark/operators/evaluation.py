@@ -18,7 +18,111 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["topk_recall", "mean_recall", "rank_quality", "tune_lsh_params"]
+__all__ = [
+    "topk_recall",
+    "mean_recall",
+    "rank_quality",
+    "tune_lsh_params",
+    "auc_score",
+    "calibration_bins",
+]
+
+
+def auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """EXACT ROC AUC via the Mann–Whitney rank statistic with average
+    ranks over ties — the threshold-free eval for any scorer in the
+    quality stack (learned classifier, spam score, LM perplexity sign-
+    flipped…), where accuracy-at-0.5 hides miscalibration. Returns ONE
+    row (n_pos, n_neg, auc); degenerate inputs (no positives or no
+    negatives) yield NULL auc rather than a misleading number.
+
+    Shape: one hash-agg per DISTINCT score (scores are typically
+    rounded, so this is bounded far below row count), one window over
+    the distinct-score rows for the cumulative below-count — never a
+    per-row global sort — then a 1-row reduction:
+    ``AUC = (Σ_pos avgrank − n_pos(n_pos+1)/2) / (n_pos·n_neg)``.
+    """
+    from pyspark.sql import Window
+
+    g = (
+        df.select(
+            F.col(score_col).cast("double").alias("__s"),
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__s")
+        .agg(
+            F.count("*").alias("n_eq"),
+            F.sum("__y").alias("np"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    o = g.withColumn(
+        "n_less", F.coalesce(F.sum("n_eq").over(w), F.lit(0))
+    )
+    s = o.agg(
+        F.sum("np").alias("npos"),
+        (F.sum("n_eq") - F.sum("np")).alias("nneg"),
+        F.sum(
+            F.col("np")
+            * (F.col("n_less") + (F.col("n_eq") + 1) / F.lit(2.0))
+        ).alias("S"),
+    )
+    auc = F.when(
+        (F.col("npos") > 0) & (F.col("nneg") > 0),
+        (
+            F.col("S")
+            - F.col("npos") * (F.col("npos") + 1) / F.lit(2.0)
+        )
+        / (F.col("npos") * F.col("nneg")),
+    )
+    if round_to is not None:
+        auc = F.round(auc, int(round_to))
+    return s.select(
+        F.col("npos").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        auc.alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Reliability diagram as a table: scores in [0, 1] bucketed into
+    ``n_bins`` equal-width bins, each reporting (bin, n, mean_score,
+    frac_pos) — a calibrated scorer has mean_score ≈ frac_pos per bin,
+    and the gap is what converts a good AUC into a usable keep
+    threshold. Scores ≥ 1.0 clamp into the last bin. One bounded
+    hash-agg; empty bins are simply absent."""
+    nb = int(n_bins)
+    if nb < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * nb), F.lit(nb - 1)).cast("int")
+    ms = F.avg(s)
+    fp = F.avg(F.col(label_col).cast("double"))
+    if round_to is not None:
+        ms, fp = F.round(ms, int(round_to)), F.round(fp, int(round_to))
+    return (
+        df.filter(s.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            ms.alias("mean_score"),
+            fp.alias("frac_pos"),
+        )
+    )
 
 
 def topk_recall(
