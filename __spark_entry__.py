@@ -2155,6 +2155,97 @@ FROM cnt GROUP BY doc_id
 """
 
 
+def _docs_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous same-language line runs (operators/chunking.py::
+    segment_runs over the per-line lang-id law): the islands view of
+    docs_lang_mix — instead of a per-doc mixture summary, EXTRACT the
+    monolingual segments, which is how a multilingual curation
+    pipeline actually salvages the English islands from mixed pages
+    (CCNet's per-paragraph scoring argument taken to its conclusion).
+    Lines use the deterministic lining convention (' the ' → newline);
+    indices are 1-based positions among kept (non-blank) lines. One
+    explode + one per-doc window partitioning + the run rollup."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.chunking import segment_runs
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.replace(F.col("text"), F.lit(" the "), F.lit("\n")),
+                    "\n",
+                ),
+                lambda l: F.trim(l) != "",
+            )
+        ).alias("i", "line"),
+    )
+    per = lined.select(
+        "doc_id",
+        (F.col("i") + 1).alias("line_idx"),
+        X.lang_id("line").alias("lang"),
+    )
+    segs = segment_runs(per, "doc_id", "line_idx", "lang")
+    return segs.select(
+        "doc_id",
+        "seg_idx",
+        "lang",
+        F.col("n").alias("n_lines"),
+        F.col("idx_lo").alias("line_lo"),
+        F.col("idx_hi").alias("line_hi"),
+    )
+
+
+def _docs_lang_segments_sql() -> str:
+    return f"""
+WITH lined AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(replace(text, ' the ', chr(10)), chr(10)),
+           l -> trim(l) <> ''
+         ) AS ls
+  FROM documents
+),
+lx AS (
+  SELECT doc_id, CAST(u.i AS INT) AS line_idx, ls[u.i] AS line
+  FROM lined, LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+),
+lt AS (SELECT doc_id, line_idx,
+       list_filter(regexp_split_to_array(lower(line), '\\s+'),
+                   t -> t <> '') AS toks FROM lx),
+s AS (SELECT doc_id, line_idx, {_lang_sql_scores()} FROM lt),
+lab AS (
+  SELECT doc_id, line_idx,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS lang
+  FROM s
+),
+chg AS (
+  SELECT doc_id, line_idx, lang,
+         CASE WHEN lang IS NOT DISTINCT FROM lag(lang) OVER (
+                PARTITION BY doc_id ORDER BY line_idx)
+              THEN 0 ELSE 1 END AS c
+  FROM lab
+),
+seg AS (
+  SELECT doc_id, line_idx, lang,
+         CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY line_idx
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS seg_idx
+  FROM chg
+)
+SELECT doc_id, seg_idx, min(lang) AS lang,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(min(line_idx) AS INT) AS line_lo,
+       CAST(max(line_idx) AS INT) AS line_hi
+FROM seg GROUP BY doc_id, seg_idx
+"""
+
+
 def _token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.functions import text as X
 
@@ -13257,6 +13348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bootstrap_ci": _docs_bootstrap_ci,
         "docs_clf_auc": _docs_clf_auc,
         "docs_clf_calibration": _docs_clf_calibration,
+        "docs_lang_segments": _docs_lang_segments,
     }
 
 
@@ -13510,6 +13602,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bootstrap_ci": _docs_bootstrap_ci_sql(),
         "docs_clf_auc": _clf_eval_sql(_DOCS_CLF_AUC_TAIL),
         "docs_clf_calibration": _clf_eval_sql(_DOCS_CLF_CALIBRATION_TAIL),
+        "docs_lang_segments": _docs_lang_segments_sql(),
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "docs_bootstrap_ci",
     "docs_clf_auc",
     "docs_clf_calibration",
+    "docs_lang_segments",
 ]
 
 

@@ -167,3 +167,30 @@ def test_padding_report_sorted_beats_arrival(spark):
     assert P.num_scans(rep) <= 1  # one pass, not one per strategy
     with pytest.raises(ValueError, match="batch_size"):
         padding_report(docs, "doc_id", "ntok", batch_size=0)
+
+
+def test_segment_runs_islands_and_null_safety(spark):
+    """segment_runs: consecutive equal labels collapse into one run,
+    runs re-open on change, NULL stretches form their own runs (null-
+    safe comparison), and per-id segments are independent."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.chunking import segment_runs
+
+    rows = [
+        (1, 1, "en"), (1, 2, "en"), (1, 3, "de"),
+        (1, 4, None), (1, 5, None), (1, 6, "en"),
+        (2, 1, "fr"),
+    ]
+    df = spark.createDataFrame(rows, "id int, idx int, lab string")
+    got = sorted(
+        (r["id"], r["seg_idx"], r["lab"], r["n"], r["idx_lo"], r["idx_hi"])
+        for r in segment_runs(df, "id", "idx", "lab").collect()
+    )
+    assert got == [
+        (1, 0, "en", 2, 1, 2),
+        (1, 1, "de", 1, 3, 3),
+        (1, 2, None, 2, 4, 5),
+        (1, 3, "en", 1, 6, 6),
+        (2, 0, "fr", 1, 1, 1),
+    ]

@@ -37,8 +37,59 @@ __all__ = [
     "fim_order",
     "pack_sequences",
     "padding_report",
+    "segment_runs",
     "cdc_chunks",
 ]
+
+
+def segment_runs(
+    df: DataFrame,
+    id_col: str,
+    idx_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Collapse consecutive equal labels along ``idx_col`` into runs —
+    the gaps-and-islands operator behind language-segment extraction
+    (pull the English islands out of mixed-language pages, the
+    per-paragraph refinement CCNet argues for), speaker turns, and
+    quality-run trimming. Returns one row per run:
+    (``id_col``, seg_idx from 0, ``label_col``, n, idx_lo, idx_hi).
+
+    Labels compare NULL-safely (a NULL stretch is its own run, not
+    glued to its neighbours). Shape: the lag and the running sum share
+    ONE per-id window partitioning (a single shuffle), and the run
+    rollup groups by (id, seg) — per-id state never exceeds the
+    document's own rows, so 100 TB parallelism is document-granular.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    prev = F.lag(F.col(label_col)).over(w)
+    chg = F.when(
+        F.col(label_col).eqNullSafe(prev), F.lit(0)
+    ).otherwise(F.lit(1))
+    run = (
+        df.select(id_col, idx_col, label_col)
+        .withColumn("__chg", chg)
+        .withColumn("__seg", (F.sum("__chg").over(w) - 1).cast("long"))
+    )
+    return (
+        run.groupBy(id_col, "__seg")
+        .agg(
+            F.min(F.col(label_col)).alias(label_col),
+            F.count("*").cast("long").alias("n"),
+            F.min(idx_col).alias("idx_lo"),
+            F.max(idx_col).alias("idx_hi"),
+        )
+        .select(
+            id_col,
+            F.col("__seg").alias("seg_idx"),
+            label_col,
+            "n",
+            "idx_lo",
+            "idx_hi",
+        )
+    )
 
 
 def padding_report(
