@@ -2246,6 +2246,58 @@ FROM seg GROUP BY doc_id, seg_idx
 """
 
 
+def _docs_english_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salvage decision on top of docs_lang_segments: per document,
+    how much ENGLISH survives as contiguous islands — (n_en_segments,
+    n_en_lines, n_lines, en_frac, salvageable = any English island of
+    ≥ 2 lines). This is the number a multilingual curation pipeline
+    acts on: pages below the salvage bar are dropped whole, pages
+    above it keep only their English segments instead of the usual
+    all-or-nothing doc-level lang filter. One extra bounded rollup
+    over the segments frame; the lang/segment laws are exactly
+    docs_lang_segments'."""
+    segs = _docs_lang_segments(spark, sf_dir)
+    en = F.col("lang") == "en"
+    return (
+        segs.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(en, 1).otherwise(0)).cast("long").alias(
+                "n_en_segments"
+            ),
+            F.sum(F.when(en, F.col("n_lines")).otherwise(0))
+            .cast("long")
+            .alias("n_en_lines"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.max(en & (F.col("n_lines") >= 2)).alias("salvageable"),
+        )
+        .withColumn(
+            "en_frac",
+            F.round(
+                F.col("n_en_lines").cast("double")
+                / F.col("n_lines").cast("double"),
+                R,
+            ),
+        )
+    )
+
+
+def _docs_english_salvage_sql() -> str:
+    return f"""
+WITH segs AS ({_docs_lang_segments_sql()})
+SELECT doc_id,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_en_segments,
+       CAST(sum(CASE WHEN lang = 'en' THEN n_lines ELSE 0 END) AS BIGINT)
+         AS n_en_lines,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       max(lang = 'en' AND n_lines >= 2) AS salvageable,
+       ROUND(CAST(sum(CASE WHEN lang = 'en' THEN n_lines ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(n_lines) AS DOUBLE), {R})
+         AS en_frac
+FROM segs GROUP BY doc_id
+"""
+
+
 def _token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.functions import text as X
 
@@ -13349,6 +13401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_auc": _docs_clf_auc,
         "docs_clf_calibration": _docs_clf_calibration,
         "docs_lang_segments": _docs_lang_segments,
+        "docs_english_salvage": _docs_english_salvage,
     }
 
 
@@ -13603,6 +13656,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_clf_auc": _clf_eval_sql(_DOCS_CLF_AUC_TAIL),
         "docs_clf_calibration": _clf_eval_sql(_DOCS_CLF_CALIBRATION_TAIL),
         "docs_lang_segments": _docs_lang_segments_sql(),
+        "docs_english_salvage": _docs_english_salvage_sql(),
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

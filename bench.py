@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "docs_clf_auc",
     "docs_clf_calibration",
     "docs_lang_segments",
+    "docs_english_salvage",
 ]
 
 
