@@ -1918,6 +1918,103 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = sorted(set(_TFIDF_QTERMS))
 _BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
+
+def _rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (operators/search.py::rm3_topk —
+    Lavrenko & Croft 2001 / Abdul-Jaleel et al. 2004): BM25 top-5
+    become pseudo-relevant, an 8-term relevance model is estimated
+    from their (tf/dl)-weighted-by-score token mass, and the final
+    ranking is BM25 with λ=0.5-interpolated term weights — the
+    query-EXPANSION stage between plain BM25 and the rerank/fusion
+    operators. Every intermediate is rounded to 6 before selection so
+    both engines pick identical feedback docs and expansion terms."""
+    from tidyvec_spark.operators.search import rm3_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return rm3_topk(
+        docs, "text", "doc_id", _TFIDF_QUERY, n=10,
+        fb_k=5, fb_terms=8, lam=0.5, k1=1.2, b=0.75, round_to=R,
+    )
+
+
+_RM3_SEARCH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+per_doc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM per_doc),
+tc1 AS (
+  SELECT doc_id, term, count(*) AS tc FROM tok
+  WHERE term IN ({_BM25_TERM_LIST}) GROUP BY doc_id, term
+),
+df1 AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({_BM25_TERM_LIST}) GROUP BY term
+),
+s1 AS (
+  SELECT tc1.doc_id,
+         ROUND(sum(
+           ln(1.0 + (s.n - df1.df + 0.5) / (df1.df + 0.5))
+           * tc1.tc * (1.2 + 1.0)
+           / (tc1.tc + 1.2 * (1.0 - 0.75 + 0.75 * pd.dl / s.avgdl))
+         ), 6) AS s
+  FROM tc1 JOIN df1 USING (term)
+  JOIN per_doc pd USING (doc_id) CROSS JOIN stats s
+  GROUP BY tc1.doc_id
+),
+fb AS (SELECT doc_id, s FROM s1 ORDER BY s DESC, doc_id LIMIT 5),
+fs AS (SELECT sum(s) AS big_s FROM fb),
+fbtok AS (SELECT tok.doc_id, term FROM tok JOIN fb USING (doc_id)),
+fbdl AS (SELECT doc_id, count(*) AS dl FROM fbtok GROUP BY doc_id),
+w AS (
+  SELECT term,
+         ROUND(sum(t.tf / fbdl.dl * (fb.s / fs.big_s)), 6) AS w
+  FROM (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM fbtok GROUP BY doc_id, term) t
+  JOIN fbdl USING (doc_id)
+  JOIN fb USING (doc_id)
+  CROSS JOIN fs
+  GROUP BY term
+),
+sel AS (SELECT term, w FROM w ORDER BY w DESC, term LIMIT 8),
+wn AS (SELECT sum(w) AS big_w FROM sel),
+vocab AS (
+  SELECT unnest([{_BM25_TERM_LIST}]) AS term
+  UNION
+  SELECT term FROM sel
+),
+fwt AS (
+  SELECT v.term,
+         0.5 * (CASE WHEN v.term IN ({_BM25_TERM_LIST})
+                THEN 1.0 / {len(_BM25_TERMS)} ELSE 0.0 END)
+         + 0.5 * (COALESCE(sel.w, 0.0) / wn.big_w) AS fw
+  FROM vocab v LEFT JOIN sel USING (term) CROSS JOIN wn
+),
+tc2 AS (
+  SELECT doc_id, term, count(*) AS tc FROM tok
+  JOIN vocab USING (term) GROUP BY doc_id, term
+),
+df2 AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  JOIN vocab USING (term) GROUP BY term
+),
+sc AS (
+  SELECT tc2.doc_id,
+         sum(
+           fwt.fw
+           * ln(1.0 + (s.n - df2.df + 0.5) / (df2.df + 0.5))
+           * tc2.tc * (1.2 + 1.0)
+           / (tc2.tc + 1.2 * (1.0 - 0.75 + 0.75 * pd.dl / s.avgdl))
+         ) AS score
+  FROM tc2 JOIN df2 USING (term) JOIN fwt USING (term)
+  JOIN per_doc pd USING (doc_id) CROSS JOIN stats s
+  GROUP BY tc2.doc_id
+)
+SELECT doc_id, ROUND(score, {R}) AS score FROM sc
+ORDER BY ROUND(score, {R}) DESC, doc_id
+LIMIT 10
+"""
+
 _BM25_SEARCH_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
@@ -13402,6 +13499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_calibration": _docs_clf_calibration,
         "docs_lang_segments": _docs_lang_segments,
         "docs_english_salvage": _docs_english_salvage,
+        "rm3_search": _rm3_search,
     }
 
 
@@ -13657,6 +13755,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_clf_calibration": _clf_eval_sql(_DOCS_CLF_CALIBRATION_TAIL),
         "docs_lang_segments": _docs_lang_segments_sql(),
         "docs_english_salvage": _docs_english_salvage_sql(),
+        "rm3_search": _RM3_SEARCH_SQL,
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

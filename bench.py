@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "docs_clf_calibration",
     "docs_lang_segments",
     "docs_english_salvage",
+    "rm3_search",
 ]
 
 

@@ -223,3 +223,37 @@ def test_rerank_custom_scorer_seam(spark, documents):
     ).collect()
     assert len(out) == 3
     assert out[0]["rr_score"] >= out[-1]["rr_score"]
+
+
+def test_rm3_expands_and_interpolates(spark, documents):
+    """rm3_topk: the expanded ranking (a) still scores original-term
+    mass (lambda=1 degenerates to plain BM25 ordering on its
+    top result), (b) pulls in documents that match expansion terms
+    only, and (c) validates its knobs."""
+    import pytest
+
+    from tidyvec_spark.operators.search import bm25_topk, rm3_topk
+
+    q = "spark table join query"
+    base = bm25_topk(documents, "text", "doc_id", q, n=10, round_to=6)
+    rm = rm3_topk(documents, "text", "doc_id", q, n=10,
+                  fb_k=5, fb_terms=8, lam=0.5, round_to=6)
+    base_rows = base.collect()
+    rm_rows = rm.collect()
+    assert len(rm_rows) == 10
+    # scores positive and sorted desc with id tiebreak
+    scores = [r["score"] for r in rm_rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+    # lam=1.0 keeps only the original query model: same top doc as BM25
+    pure = rm3_topk(documents, "text", "doc_id", q, n=10,
+                    fb_k=5, fb_terms=8, lam=1.0, round_to=6).collect()
+    assert pure[0]["doc_id"] == base_rows[0]["doc_id"]
+
+    with pytest.raises(ValueError, match="lam"):
+        rm3_topk(documents, "text", "doc_id", q, lam=1.5)
+    with pytest.raises(ValueError, match="fb_k"):
+        rm3_topk(documents, "text", "doc_id", q, fb_k=0)
+    with pytest.raises(ValueError, match="matched no"):
+        rm3_topk(documents, "text", "doc_id", "zzzqqq")

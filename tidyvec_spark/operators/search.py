@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from tidyvec_spark.embedders.tfidf import tokens_expr
 
-__all__ = ["bm25_stats", "bm25_topk", "mmr_topk", "maxsim_topk"]
+__all__ = ["bm25_stats", "bm25_topk", "rm3_topk", "mmr_topk", "maxsim_topk"]
 
 
 def _query_terms(query: str) -> list[str]:
@@ -144,6 +144,142 @@ def bm25_topk(
         per_doc.filter(matched)
         .select(F.col("_id").alias(id_col), score.alias(score_col))
         .filter(F.col(score_col) >= F.lit(float(min_score)))
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(int(n))
+    )
+
+
+def rm3_topk(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    query: str,
+    n: int = 10,
+    fb_k: int = 5,
+    fb_terms: int = 8,
+    lam: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback retrieval (Lavrenko & Croft 2001
+    relevance models; the RM3 interpolation of Abdul-Jaleel et al.
+    2004) — the query-expansion stage missing between plain BM25 and
+    the rerank/fusion operators: run the query, treat the top ``fb_k``
+    results as pseudo-relevant, estimate an expansion language model
+    from them, and re-run a WEIGHTED query.
+
+    Laws (identical in the SQL oracle):
+    - feedback set: BM25 top-``fb_k`` (rounded score desc, id asc);
+    - RM1 weight: w(t) = Σ_{{d∈F}} (tf_{{t,d}}/dl_d) · (s_d/S) with
+      s_d the ROUNDED feedback scores and S their sum — rounded to 6
+      before selection so both engines pick identical terms;
+    - expansion vocabulary: top ``fb_terms`` by (w desc, term asc);
+    - RM3 interpolation: final(t) = λ·1/|q| for original terms
+      (``_query_terms`` dedupes, so the original model is uniform
+      over distinct terms) + (1−λ)·w(t)/W with W the sum over the
+      SELECTED vocabulary (standard RM3 truncation);
+    - final ranking: BM25 with each term's contribution scaled by
+      final(t), fresh df/idf for the expanded term set.
+
+    Cost: plain BM25 pays a stats pass + a scoring pass; RM3 adds one
+    bounded weight pass over ``fb_k`` documents (the isin filter
+    pushes down) and a second stats pass for the expanded terms. The
+    driver handles only bounded artifacts: fb_k (id, score) rows and
+    ≤ fb_terms + |q| term weights."""
+    if not (0.0 <= float(lam) <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if int(fb_k) < 1 or int(fb_terms) < 1:
+        raise ValueError("fb_k and fb_terms must be >= 1")
+    qterms = _query_terms(query)
+    fb_rows = bm25_topk(
+        df, content_col, id_col, query, n=int(fb_k), k1=k1, b=b,
+        round_to=6,
+    ).collect()
+    if not fb_rows:
+        raise ValueError(f"query {query!r} matched no documents")
+    fb = {r[id_col]: float(r["score"]) for r in fb_rows}
+    S = sum(fb[d] for d in sorted(fb))
+    fbdocs = df.filter(F.col(id_col).isin(list(fb)))
+    toks = fbdocs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_expr(content_col)).alias("term"),
+    )
+    dl = toks.groupBy("_id").agg(F.count("*").alias("dl"))
+    nsd = F.create_map(
+        *[
+            x
+            for d in sorted(fb)
+            for x in (F.lit(d), F.lit(fb[d] / S))
+        ]
+    )
+    picked = (
+        toks.groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(dl, "_id")
+        .withColumn("_nsd", F.element_at(nsd, F.col("_id")))
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf").cast("double")
+                    / F.col("dl").cast("double")
+                    * F.col("_nsd")
+                ),
+                6,
+            ).alias("w")
+        )
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(int(fb_terms))
+        .collect()
+    )
+    wr = {r["term"]: float(r["w"]) for r in picked}
+    W = sum(wr[t] for t in sorted(wr))
+    scoring = sorted(set(qterms) | set(wr))
+    fw = {
+        t: float(lam) * (1.0 / len(qterms) if t in qterms else 0.0)
+        + (1.0 - float(lam)) * (wr.get(t, 0.0) / W if W > 0 else 0.0)
+        for t in scoring
+    }
+    stats = bm25_stats(df, content_col, scoring)
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    idf = {
+        t: math.log(
+            1.0 + (n_docs - stats["df"][t] + 0.5) / (stats["df"][t] + 0.5)
+        )
+        for t in scoring
+    }
+    toks2 = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_expr(content_col)).alias("term"),
+    )
+    per_doc = toks2.groupBy("_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tc{i}")
+            for i, t in enumerate(scoring)
+        ],
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    score = None
+    for i, t in enumerate(scoring):
+        tc = F.col(f"_tc{i}").cast("double")
+        part = (
+            F.lit(fw[t]) * F.lit(idf[t]) * tc * F.lit(k1 + 1.0) / (tc + norm)
+        )
+        score = part if score is None else score + part
+    if round_to is not None:
+        score = F.round(score, round_to)
+    matched = None
+    for i in range(len(scoring)):
+        has = F.col(f"_tc{i}") > 0
+        matched = has if matched is None else (matched | has)
+    return (
+        per_doc.filter(matched)
+        .select(F.col("_id").alias(id_col), score.alias(score_col))
         .orderBy(F.desc(score_col), F.asc(id_col))
         .limit(int(n))
     )
