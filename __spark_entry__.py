@@ -2343,6 +2343,45 @@ FROM seg GROUP BY doc_id, seg_idx
 """
 
 
+def _token_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional skip-gram pair counts (operators/cooccur.py::
+    skipgram_pairs, window ±2 — Mikolov et al. 2013): the word2vec/
+    GloVe training-pair prep, positional where token_pmi is
+    document-level. Pair generation is 2w·n_tokens rows by
+    construction (offset explode + EQUI-join on (doc, position)),
+    never a quadratic self-join; entry emits the top-50 pairs with
+    the (n desc, center, context) tie law."""
+    from tidyvec_spark.operators.cooccur import skipgram_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = skipgram_pairs(docs, "text", "doc_id", window=2)
+    return pairs.orderBy(
+        F.desc("n"), F.asc("center"), F.asc("context")
+    ).limit(50)
+
+
+_TOKEN_SKIPGRAMS_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS p, t[u.i] AS term
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+       LATERAL unnest(generate_series(1, len(t))) AS u(i)
+),
+probes AS (
+  SELECT doc_id, term AS center, p + o.o AS q
+  FROM pos, (SELECT unnest(range(-2, 3)) AS o) o
+  WHERE o.o <> 0
+),
+pairs AS (
+  SELECT center, ctx.term AS context
+  FROM probes JOIN pos ctx
+    ON ctx.doc_id = probes.doc_id AND ctx.p = probes.q
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY center, context
+ORDER BY n DESC, center, context LIMIT 50
+"""
+
+
 def _docs_english_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salvage decision on top of docs_lang_segments: per document,
     how much ENGLISH survives as contiguous islands — (n_en_segments,
@@ -13500,6 +13539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_segments": _docs_lang_segments,
         "docs_english_salvage": _docs_english_salvage,
         "rm3_search": _rm3_search,
+        "token_skipgrams": _token_skipgrams,
     }
 
 
@@ -13756,6 +13796,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_segments": _docs_lang_segments_sql(),
         "docs_english_salvage": _docs_english_salvage_sql(),
         "rm3_search": _RM3_SEARCH_SQL,
+        "token_skipgrams": _TOKEN_SKIPGRAMS_SQL,
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "docs_lang_segments",
     "docs_english_salvage",
     "rm3_search",
+    "token_skipgrams",
 ]
 
 

@@ -64,3 +64,32 @@ def test_pmi_no_cartesian_and_bounded_shuffles(documents):
     out = token_pmi_topk(documents, "text", "doc_id", k=10)
     P.assert_no_cartesian(out)
     assert P.num_shuffles(out) <= 4
+
+
+def test_skipgram_pairs_window_law(spark):
+    """skipgram_pairs: exact window semantics on a tiny doc — each
+    token pairs with neighbours within +/-w positions, occurrences
+    accumulate, and pair volume is 2*w*n_tokens minus boundary
+    truncation; validation raises on w < 1."""
+    import pytest
+
+    from tidyvec_spark.operators.cooccur import skipgram_pairs
+
+    df = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in skipgram_pairs(df, "text", "doc_id", window=1).collect()
+    }
+    # positions: a0 b1 a2 c3 -> adjacent pairs, both directions
+    assert got == {
+        ("a", "b"): 2, ("b", "a"): 2,
+        ("a", "c"): 1, ("c", "a"): 1,
+    }
+    tot = sum(
+        r["n"] for r in
+        skipgram_pairs(df, "text", "doc_id", window=2).collect()
+    )
+    # w=2: each of 4 tokens probes <=4 neighbours; boundary-truncated
+    assert tot == 10
+    with pytest.raises(ValueError, match="window"):
+        skipgram_pairs(df, "text", "doc_id", window=0)

@@ -35,7 +35,55 @@ from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.text import let, tokens
 
-__all__ = ["token_pmi_topk"]
+__all__ = ["token_pmi_topk", "skipgram_pairs"]
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 2,
+) -> DataFrame:
+    """Positional skip-gram (center, context) pair counts — the
+    word2vec/GloVe training-data prep (Mikolov et al. 2013): every
+    token pairs with its neighbours within ``±window`` POSITIONS
+    (where :func:`token_pmi_topk` uses document-level co-occurrence).
+    Returns (center, context, n) aggregated corpus-wide; n counts
+    occurrences, so repeated collocations weigh more, as training
+    wants.
+
+    Shape: each token row explodes into ≤ 2·window (position+offset)
+    probes — output is 2·window·n_tokens rows BY CONSTRUCTION, never
+    a quadratic self-join — and the probe resolves by EQUI-join on
+    (doc, position) (a range join would defeat hash partitioning).
+    One shuffle for the join, one for the final pair count; both
+    partial-aggregated."""
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    pos = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokens(text_col)).alias("__p", "__t"),
+    )
+    offsets = F.filter(
+        F.sequence(F.lit(-w), F.lit(w)), lambda o: o != 0
+    )
+    probes = pos.select(
+        "__doc",
+        F.col("__t").alias("center"),
+        F.explode(offsets).alias("__o"),
+        "__p",
+    ).select(
+        "__doc", "center", (F.col("__p") + F.col("__o")).alias("__q")
+    )
+    ctx = pos.select(
+        "__doc", F.col("__p").alias("__q"), F.col("__t").alias("context")
+    )
+    return (
+        probes.join(ctx, ["__doc", "__q"])
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
 
 
 def token_pmi_topk(
