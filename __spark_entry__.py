@@ -12402,13 +12402,17 @@ def _corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(4)
         ]
     )
+    # mem feeds the sketch build AND the exact audit; ex feeds three
+    # audit branches (counts + both self-join sides) — persist both so
+    # the corpus is read ONCE (handles ride the release() convention)
     mem = (
         docs.select(md5_long(F.col("text")).alias("h"), F.explode(tags).alias("g"))
         .filter(F.col("g").isNotNull())
+        .persist()
     )
     sketches = hll_sketch_by(mem, ["g"], "h", lg_k=14)
     est = hll_overlap_matrix(sketches, "g", "sketch")
-    ex = mem.distinct()
+    ex = mem.distinct().persist()
     cnt = ex.groupBy("g").agg(F.count("*").cast("long").alias("n"))
     ca = cnt.select(F.col("g").alias("g_a"), F.col("n").alias("n_a"))
     cb = cnt.select(F.col("g").alias("g_b"), F.col("n").alias("n_b"))
@@ -12430,7 +12434,7 @@ def _corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tol = lambda e, x, t: (  # noqa: E731
         F.abs(F.col(e) - F.col(x)) <= F.lit(t) * F.col(x)
     )
-    return (
+    out = (
         allp.join(
             est,
             (F.col("g_a") == F.col("key_a")) & (F.col("g_b") == F.col("key_b")),
@@ -12454,6 +12458,8 @@ def _corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    out._tidyvec_persisted = [mem, ex]
+    return out
 
 
 _CORPUS_OVERLAP_MATRIX_SQL = f"""
