@@ -2382,6 +2382,81 @@ ORDER BY n DESC, center, context LIMIT 50
 """
 
 
+_NEG_SALT = "r11neg"
+_NEG_T = 2048
+
+
+def _token_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word2vec negative sampling (operators/cooccur.py::
+    negative_sampling_table + sample_negatives — Mikolov et al. 2013
+    §2.2): the top-50 skip-gram pairs each draw 2 negatives from the
+    unigram^0.75 slot table via hash_unit(center:context:i) →
+    floor(u·T) — O(1) per draw, zero shuffle, re-saltable per epoch.
+    The table is a bounded driver artifact built with the
+    cumulative-floor law the oracle replays (last term's range
+    extended to T, mirroring the float-shortfall padding)."""
+    from tidyvec_spark.operators.cooccur import (
+        negative_sampling_table,
+        sample_negatives,
+        skipgram_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = (
+        skipgram_pairs(docs, "text", "doc_id", window=2)
+        .orderBy(F.desc("n"), F.asc("center"), F.asc("context"))
+        .limit(50)
+    )
+    table = negative_sampling_table(
+        docs, "text", power=0.75, table_size=_NEG_T
+    )
+    out = sample_negatives(
+        pairs,
+        F.concat(F.col("center"), F.lit(":"), F.col("context")),
+        table,
+        k=2,
+        salt=_NEG_SALT,
+    )
+    return out.select("center", "context", "neg_idx", "neg")
+
+
+def _token_negatives_sql() -> str:
+    u = _hu_sql(
+        _NEG_SALT,
+        "center || ':' || context || ':' || CAST(i AS VARCHAR)",
+    )
+    return f"""
+WITH pairs AS ({_TOKEN_SKIPGRAMS_SQL}),
+tfreq AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents) GROUP BY term
+),
+wv AS (SELECT term, c, POW(c, 0.75) AS w FROM tfreq),
+z AS (SELECT sum(w) AS z FROM wv),
+cumt AS (
+  SELECT term,
+         CAST(floor(COALESCE(sum(w) OVER (ORDER BY c DESC, term
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / z.z * {_NEG_T}) AS BIGINT) AS lo,
+         CASE WHEN row_number() OVER (ORDER BY c DESC, term)
+                   = count(*) OVER ()
+              THEN {_NEG_T}
+              ELSE CAST(floor(sum(w) OVER (ORDER BY c DESC, term
+                     ROWS UNBOUNDED PRECEDING) / z.z * {_NEG_T})
+                   AS BIGINT) END AS hi
+  FROM wv CROSS JOIN z
+),
+draws AS (
+  SELECT center, context, CAST(i AS INT) AS neg_idx,
+         CAST(least(floor({u} * {_NEG_T}), {_NEG_T} - 1) AS BIGINT)
+           AS slot
+  FROM pairs, (SELECT unnest(range(2)) AS i)
+)
+SELECT d.center, d.context, d.neg_idx, c.term AS neg
+FROM draws d JOIN cumt c ON d.slot >= c.lo AND d.slot < c.hi
+"""
+
+
 def _docs_english_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salvage decision on top of docs_lang_segments: per document,
     how much ENGLISH survives as contiguous islands — (n_en_segments,
@@ -13546,6 +13621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_english_salvage": _docs_english_salvage,
         "rm3_search": _rm3_search,
         "token_skipgrams": _token_skipgrams,
+        "token_negatives": _token_negatives,
     }
 
 
@@ -13803,6 +13879,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_english_salvage": _docs_english_salvage_sql(),
         "rm3_search": _RM3_SEARCH_SQL,
         "token_skipgrams": _TOKEN_SKIPGRAMS_SQL,
+        "token_negatives": _token_negatives_sql(),
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

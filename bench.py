@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "docs_english_salvage",
     "rm3_search",
     "token_skipgrams",
+    "token_negatives",
 ]
 
 

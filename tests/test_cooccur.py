@@ -93,3 +93,53 @@ def test_skipgram_pairs_window_law(spark):
     assert tot == 10
     with pytest.raises(ValueError, match="window"):
         skipgram_pairs(df, "text", "doc_id", window=0)
+
+
+def test_negative_sampling_table_and_draws(spark):
+    """negative_sampling_table: slot shares track count^0.75; the
+    table fills exactly to size; sample_negatives is deterministic,
+    re-salts move draws, and frequent terms dominate negatives."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.cooccur import (
+        negative_sampling_table,
+        sample_negatives,
+    )
+
+    # 'a' 80x, 'b' 16x, 'c' 4x
+    docs = spark.createDataFrame(
+        [(0, " ".join(["a"] * 80 + ["b"] * 16 + ["c"] * 4))],
+        "doc_id long, text string",
+    )
+    table = negative_sampling_table(docs, "text", power=0.75,
+                                    table_size=1000)
+    assert len(table) == 1000
+    share = {t: table.count(t) / 1000 for t in ("a", "b", "c")}
+    w = {"a": 80 ** 0.75, "b": 16 ** 0.75, "c": 4 ** 0.75}
+    z = sum(w.values())
+    for t in share:
+        assert abs(share[t] - w[t] / z) < 0.002  # floor granularity
+
+    pairs = spark.createDataFrame(
+        [(f"k{i}",) for i in range(200)], "key string"
+    )
+    drawn = sample_negatives(pairs, "key", table, k=3, salt="s")
+    rows = drawn.collect()
+    assert len(rows) == 600
+    again = {(r["key"], r["neg_idx"]): r["neg"]
+             for r in sample_negatives(pairs, "key", table, k=3,
+                                       salt="s").collect()}
+    assert all(again[(r["key"], r["neg_idx"])] == r["neg"] for r in rows)
+    other = {(r["key"], r["neg_idx"]): r["neg"]
+             for r in sample_negatives(pairs, "key", table, k=3,
+                                       salt="t").collect()}
+    assert any(other[k2] != v for k2, v in again.items())
+    from collections import Counter
+    freq = Counter(r["neg"] for r in rows)
+    assert freq["a"] > freq["b"] > freq["c"] > 0
+
+    with pytest.raises(ValueError, match="table_size"):
+        negative_sampling_table(docs, "text", table_size=0)
+    with pytest.raises(ValueError, match="k must"):
+        sample_negatives(pairs, "key", table, k=0)

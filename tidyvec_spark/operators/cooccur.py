@@ -35,7 +35,100 @@ from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.text import let, tokens
 
-__all__ = ["token_pmi_topk", "skipgram_pairs"]
+__all__ = [
+    "token_pmi_topk",
+    "skipgram_pairs",
+    "negative_sampling_table",
+    "sample_negatives",
+]
+
+
+def negative_sampling_table(
+    df: DataFrame,
+    text_col: str,
+    power: float = 0.75,
+    table_size: int = 2048,
+) -> list:
+    """word2vec negative-sampling table (Mikolov et al. 2013 §2.2):
+    each vocabulary term occupies slots of a ``table_size`` array in
+    proportion to ``count^power`` (0.75 flattens the unigram
+    distribution so frequent terms are not ALL the negatives), built
+    with the cumulative-floor law — term t in canonical (count desc,
+    term) order owns slots [floor(cum_{{t-1}}·T), floor(cum_t·T)).
+
+    The table is a BOUNDED driver artifact (like PQ codebooks): one
+    vocabulary-sized aggregation pass, then Python builds the T-slot
+    list. Terms whose probability mass rounds below one slot simply
+    never appear — exactly word2vec's behaviour. Feed it to
+    :func:`sample_negatives` for O(1)-per-draw distributed sampling."""
+    T = int(table_size)
+    if T < 1:
+        raise ValueError("table_size must be >= 1")
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count("*").alias("__c"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("corpus has no tokens")
+    vocab = sorted(
+        ((int(r["__c"]), r["__t"]) for r in rows),
+        key=lambda x: (-x[0], x[1]),
+    )
+    weights = [c ** float(power) for c, _ in vocab]
+    z = sum(weights)
+    table: list = []
+    cum_w = 0.0
+    for (c, t), w in zip(vocab, weights):
+        # (Σw)/z, NOT Σ(w/z): the one float law shared with the SQL
+        # oracle's window-sum-then-divide, so slot boundaries agree
+        # bit-for-bit
+        cum_w += w
+        hi = min(int(cum_w / z * T), T)
+        table.extend([t] * max(hi - len(table), 0))
+    while len(table) < T:  # float shortfall at the very end
+        table.append(vocab[-1][1])
+    return table
+
+
+def sample_negatives(
+    df: DataFrame,
+    key_col,
+    table: list,
+    k: int = 5,
+    salt: str = "",
+    out_col: str = "neg",
+    idx_col: str = "neg_idx",
+) -> DataFrame:
+    """Draw ``k`` deterministic negatives per row from a
+    :func:`negative_sampling_table`: draw i uses
+    ``hash_unit(key:i, salt)`` to index the broadcast slot array —
+    O(1) per draw, zero shuffle, engine-portable (the oracle replays
+    the same floor(u·T) law), re-saltable per epoch. ``key_col`` is
+    any string expression unique-ish per row (e.g.
+    ``concat(center, ':', context)``); collisions only correlate the
+    draws of identical keys, which is word2vec-correct (same pair,
+    same epoch, same negatives). Output = input + (idx, neg)."""
+    from tidyvec_spark.operators.sampling import hash_unit
+
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    if not table:
+        raise ValueError("empty sampling table")
+    T = len(table)
+    arr = F.array(*[F.lit(t) for t in table])
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    out = df.withColumn(
+        idx_col, F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1)))
+    )
+    u = hash_unit(
+        F.concat(key.cast("string"), F.lit(":"),
+                 F.col(idx_col).cast("string")),
+        salt,
+    )
+    slot = F.least(F.floor(u * T).cast("int"), F.lit(T - 1))
+    return out.withColumn(out_col, F.element_at(arr, slot + 1))
 
 
 def skipgram_pairs(
