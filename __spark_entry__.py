@@ -2382,6 +2382,34 @@ ORDER BY n DESC, center, context LIMIT 50
 """
 
 
+def _events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral sequences (operators/mining.py::
+    event_sequences): the log→training-data step of sequential-
+    recommendation / next-event modeling — first 20 event types per
+    user in (ts, event_id) order, with the total count so truncation
+    is visible. Sequence is array_sort-deterministic (pure function of
+    the data, not partitioning); entry emits it '|'-joined so the
+    cross-engine hash compares strings, not list encodings."""
+    from tidyvec_spark.operators.mining import event_sequences
+
+    ev = _read(spark, sf_dir, "events")
+    seqs = event_sequences(
+        ev, "user_id", ["ts", "event_id"], "event_type", max_len=20
+    )
+    return seqs.select(
+        "user_id", "n_events", F.concat_ws("|", "seq").alias("seq")
+    )
+
+
+_EVENTS_USER_SEQUENCES_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       array_to_string(
+         list_slice(list(event_type ORDER BY ts, event_id), 1, 20), '|')
+         AS seq
+FROM events GROUP BY user_id
+"""
+
+
 _NEG_SALT = "r11neg"
 _NEG_T = 2048
 
@@ -13622,6 +13650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_search": _rm3_search,
         "token_skipgrams": _token_skipgrams,
         "token_negatives": _token_negatives,
+        "events_user_sequences": _events_user_sequences,
     }
 
 
@@ -13880,6 +13909,7 @@ def oracle_sql() -> dict[str, str]:
         "rm3_search": _RM3_SEARCH_SQL,
         "token_skipgrams": _TOKEN_SKIPGRAMS_SQL,
         "token_negatives": _token_negatives_sql(),
+        "events_user_sequences": _EVENTS_USER_SEQUENCES_SQL,
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

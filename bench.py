@@ -282,6 +282,7 @@ BENCH_QUERIES = [
     "rm3_search",
     "token_skipgrams",
     "token_negatives",
+    "events_user_sequences",
 ]
 
 

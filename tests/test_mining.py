@@ -499,3 +499,25 @@ def test_margin_ann_seam_partial_edges_not_dropped(spark):
     # avg_src(2) falls back to avg_tgt(9) = (0.9+0.4)/2 = 0.65
     assert rows[(2, 9)] == pytest.approx(0.4 / 0.65, abs=1e-6)
     assert rows[(1, 9)] == pytest.approx(0.9 / ((0.9 + 0.65) / 2), abs=1e-6)
+
+
+def test_event_sequences_order_and_cap(spark):
+    """event_sequences: partitioning-independent order (array_sort on
+    the order-struct), cap keeps the FIRST max_len items, n_events
+    counts the uncapped total."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.mining import event_sequences
+
+    rows = [(1, i, f"e{i}") for i in range(30)] + [(2, 0, "x")]
+    df = spark.createDataFrame(
+        rows, "u int, t int, ev string"
+    ).repartition(7)
+    got = {r["u"]: r for r in
+           event_sequences(df, "u", ["t"], "ev", max_len=5).collect()}
+    assert got[1]["n_events"] == 30
+    assert got[1]["seq"] == ["e0", "e1", "e2", "e3", "e4"]
+    assert got[2]["seq"] == ["x"] and got[2]["n_events"] == 1
+    with pytest.raises(ValueError, match="max_len"):
+        event_sequences(df, "u", ["t"], "ev", max_len=0)

@@ -23,11 +23,56 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "crop_pairs",
+    "event_sequences",
     "hard_negative_pairs",
     "ict_pairs",
     "margin_pairs",
     "mutual_topk_pairs",
 ]
+
+
+def event_sequences(
+    df: DataFrame,
+    key_col: str,
+    order_cols,
+    item_col: str,
+    max_len: int = 20,
+) -> DataFrame:
+    """Ordered per-key item sequences — the log→training-data step of
+    behavioral/sequential-recommendation modeling (SASRec-style next-
+    item prediction, session-based recsys): per ``key_col``, the first
+    ``max_len`` ``item_col`` values in ``order_cols`` order, plus the
+    total event count (so truncation is visible downstream).
+
+    Determinism: items are collected as (order_cols..., item) structs
+    and ``array_sort``-ed, so the sequence is a pure function of the
+    data, not of partitioning — the final tie law is the full
+    ``order_cols`` tuple, which should end in a unique id.
+
+    Shape: ONE groupBy(key); per-key aggregation state is the key's
+    own events (bounded by the cap only after sort — at 100 TB
+    pre-filter to the modeling window first, e.g. last-90-days, which
+    also bounds state). Returns (key, n_events, seq array)."""
+    if int(max_len) < 1:
+        raise ValueError("max_len must be >= 1")
+    order_cols = list(order_cols)
+    s = F.struct(
+        *[F.col(c) for c in order_cols], F.col(item_col).alias("__it")
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.slice(
+                F.array_sort(F.collect_list(s)), 1, int(max_len)
+            ).alias("__arr"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            F.transform(F.col("__arr"), lambda x: x["__it"]).alias("seq"),
+        )
+    )
 
 
 def crop_pairs(
