@@ -2382,6 +2382,51 @@ ORDER BY n DESC, center, context LIMIT 50
 """
 
 
+def _docs_source_lang_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level corpus dashboard in ONE scan (operators/reports.py::
+    dimensional_report — Spark CUBE/Expand): per source×lang, per
+    source, per lang, and the grand total, each with doc/token counts
+    and mean length, where the naive report is 4 separate groupBys and
+    4 corpus reads. gid disambiguates rollup NULLs from real NULL
+    dimension values with a pinned bit convention (grouping(source)·2
+    + grouping(lang))."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.reports import dimensional_report
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", "lang", token_count("text").alias("nt")
+    )
+    return dimensional_report(
+        docs,
+        ["source", "lang"],
+        [
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.round(F.avg(F.col("nt").cast("double")), R).alias(
+                "avg_tokens"
+            ),
+        ],
+    )
+
+
+def _docs_source_lang_cube_sql() -> str:
+    toks_of = (
+        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "t -> t <> ''))"
+    )
+    return f"""
+WITH d AS (
+  SELECT source, lang, CAST({toks_of} AS BIGINT) AS nt FROM documents
+)
+SELECT source, lang,
+       CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       ROUND(avg(CAST(nt AS DOUBLE)), {R}) AS avg_tokens
+FROM d GROUP BY CUBE (source, lang)
+"""
+
+
 def _events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral sequences (operators/mining.py::
     event_sequences): the log→training-data step of sequential-
@@ -13651,6 +13696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_skipgrams": _token_skipgrams,
         "token_negatives": _token_negatives,
         "events_user_sequences": _events_user_sequences,
+        "docs_source_lang_cube": _docs_source_lang_cube,
     }
 
 
@@ -13910,6 +13956,7 @@ def oracle_sql() -> dict[str, str]:
         "token_skipgrams": _TOKEN_SKIPGRAMS_SQL,
         "token_negatives": _token_negatives_sql(),
         "events_user_sequences": _EVENTS_USER_SEQUENCES_SQL,
+        "docs_source_lang_cube": _docs_source_lang_cube_sql(),
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

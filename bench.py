@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "token_skipgrams",
     "token_negatives",
     "events_user_sequences",
+    "docs_source_lang_cube",
 ]
 
 

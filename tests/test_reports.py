@@ -508,3 +508,29 @@ def test_zipf_fit_recovers_power_law(spark):
     assert r["r2"] > 0.98
     with pytest.raises(ValueError, match="top_k"):
         zipf_fit(docs, "text", top_k=1)
+
+
+def test_dimensional_report_cube_levels(spark):
+    """dimensional_report: one pass produces all 2^n levels with
+    consistent totals, and gid separates rollup NULLs from real NULL
+    dimension values (the CUBE footgun)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.reports import dimensional_report
+
+    rows = [("a", "en", 1), ("a", "de", 2), ("b", "en", 3),
+            ("b", None, 4)]  # a REAL null lang value
+    df = spark.createDataFrame(rows, "src string, lang string, v long")
+    out = dimensional_report(
+        df, ["src", "lang"], [F.sum("v").cast("long").alias("s")]
+    ).collect()
+    by = {(r["src"], r["lang"], r["gid"]): r["s"] for r in out}
+    assert by[("a", "en", 0)] == 1 and by[("b", "en", 0)] == 3
+    assert by[("b", None, 0)] == 4      # real NULL: gid 0
+    assert by[("b", None, 1)] == 7      # rollup over lang: gid 1
+    assert by[(None, "en", 2)] == 4     # rollup over src
+    assert by[(None, None, 3)] == 10    # grand total
+    assert len(out) == 4 + 2 + 3 + 1    # cells + src(a,b) + lang(en,de,NULL) + total
+    with pytest.raises(ValueError, match="dims"):
+        dimensional_report(df, [], [F.count("*").alias("n")])

@@ -21,12 +21,43 @@ from tidyvec_spark.functions.text import tokens
 __all__ = [
     "vocab_growth",
     "zipf_fit",
+    "dimensional_report",
     "psi_drift",
     "drop_attribution",
     "k_anonymity",
     "ngram_novelty",
     "zscore_by_group",
 ]
+
+
+def dimensional_report(
+    df: DataFrame,
+    dims: Sequence[str],
+    aggs: Sequence[Column],
+    gid_col: str = "gid",
+) -> DataFrame:
+    """All aggregation levels of ``dims`` in ONE pass via ``CUBE`` —
+    the corpus dashboard query (per source×lang, per source, per
+    lang, grand total) that is otherwise 2^|dims| separate groupBys
+    and 2^|dims| corpus scans. Spark's Expand operator replicates
+    each input row once per grouping set MAP-SIDE and a single
+    hash-agg (partial-aggregated) does the rest, so the corpus is
+    read exactly once no matter how many levels the report carries.
+
+    Subtotal rows carry NULL in the rolled-up dimension columns, and
+    ``gid_col`` disambiguates a real NULL dimension value from a
+    rollup (the classic CUBE footgun): gid = Σ grouping(dim_i) ·
+    2^(n−1−i) — computed EXPLICITLY from ``grouping()`` so the bit
+    convention is pinned, not engine-default."""
+    dims = list(dims)
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    n = len(dims)
+    gid = None
+    for i, d in enumerate(dims):
+        bit = F.grouping(d).cast("int") * F.lit(2 ** (n - 1 - i))
+        gid = bit if gid is None else gid + bit
+    return df.cube(*dims).agg(gid.alias(gid_col), *aggs)
 
 
 def zipf_fit(
