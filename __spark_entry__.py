@@ -2382,6 +2382,51 @@ ORDER BY n DESC, center, context LIMIT 50
 """
 
 
+_TRUNC_LENGTHS = (32, 64, 96, 128)
+
+
+def _docs_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length cost table (operators/chunking.py::
+    truncation_report): for each candidate max_seq_len, how many
+    documents truncate and what token mass is lost — the exact number
+    behind the usual histogram eyeball when picking a context length.
+    One conditional-aggregation pass (4·|lengths| sums), no explode,
+    no shuffle beyond the 1-row reduction."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.chunking import truncation_report
+
+    docs = _read(spark, sf_dir, "documents").select(
+        token_count("text").alias("ntok")
+    )
+    rep = truncation_report(docs, "ntok", _TRUNC_LENGTHS)
+    return rep.select(
+        "max_len", "n_docs", "n_truncated", "tokens_kept", "tokens_lost",
+        F.round("lost_frac", R).alias("lost_frac"),
+    )
+
+
+def _docs_truncation_report_sql() -> str:
+    toks_of = (
+        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "t -> t <> ''))"
+    )
+    vals = ", ".join(str(x) for x in _TRUNC_LENGTHS)
+    return f"""
+WITH d AS (SELECT CAST({toks_of} AS BIGINT) AS n FROM documents),
+l AS (SELECT unnest([{vals}]) AS L)
+SELECT CAST(l.L AS INT) AS max_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n > l.L THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(sum(least(n, l.L)) AS BIGINT) AS tokens_kept,
+       CAST(sum(n - least(n, l.L)) AS BIGINT) AS tokens_lost,
+       ROUND(CASE WHEN sum(n) > 0
+             THEN CAST(sum(n - least(n, l.L)) AS DOUBLE) / sum(n)
+             ELSE 0.0 END, {R}) AS lost_frac
+FROM d, l GROUP BY l.L
+"""
+
+
 def _docs_source_lang_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level corpus dashboard in ONE scan (operators/reports.py::
     dimensional_report — Spark CUBE/Expand): per source×lang, per
@@ -13697,6 +13742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_negatives": _token_negatives,
         "events_user_sequences": _events_user_sequences,
         "docs_source_lang_cube": _docs_source_lang_cube,
+        "docs_truncation_report": _docs_truncation_report,
     }
 
 
@@ -13957,6 +14003,7 @@ def oracle_sql() -> dict[str, str]:
         "token_negatives": _token_negatives_sql(),
         "events_user_sequences": _EVENTS_USER_SEQUENCES_SQL,
         "docs_source_lang_cube": _docs_source_lang_cube_sql(),
+        "docs_truncation_report": _docs_truncation_report_sql(),
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "token_negatives",
     "events_user_sequences",
     "docs_source_lang_cube",
+    "docs_truncation_report",
 ]
 
 

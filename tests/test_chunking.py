@@ -194,3 +194,27 @@ def test_segment_runs_islands_and_null_safety(spark):
         (1, 3, "en", 1, 6, 6),
         (2, 0, "fr", 1, 1, 1),
     ]
+
+
+def test_truncation_report_exact_costs(spark):
+    """truncation_report: exact kept/lost identities on a known
+    length multiset; zero shuffle beyond the 1-row reduction."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.chunking import truncation_report
+
+    df = spark.createDataFrame(
+        [(10,), (20,), (30,), (40,)], "n long"
+    )
+    got = {r["max_len"]: r for r in
+           truncation_report(df, "n", [25, 100]).collect()}
+    r25 = got[25]
+    assert r25["n_docs"] == 4 and r25["n_truncated"] == 2
+    assert r25["tokens_kept"] == 10 + 20 + 25 + 25
+    assert r25["tokens_lost"] == 5 + 15
+    assert abs(r25["lost_frac"] - 20 / 100) < 1e-9
+    r100 = got[100]
+    assert r100["n_truncated"] == 0 and r100["tokens_lost"] == 0
+    with pytest.raises(ValueError, match="lengths"):
+        truncation_report(df, "n", [])

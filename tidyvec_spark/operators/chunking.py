@@ -24,7 +24,7 @@ and "training batches":
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,8 +38,67 @@ __all__ = [
     "pack_sequences",
     "padding_report",
     "segment_runs",
+    "truncation_report",
     "cdc_chunks",
 ]
+
+
+def truncation_report(
+    df: DataFrame,
+    len_col: str,
+    lengths: Sequence[int],
+) -> DataFrame:
+    """What each candidate context length costs — for every L in
+    ``lengths``: documents truncated, tokens kept, tokens lost, and
+    the lost fraction, from ONE conditional-aggregation pass (the
+    max_seq_len decision is usually made from a histogram eyeball;
+    this is the exact number). Rows come back one per L ascending.
+
+    Shape: a single map-side-combined aggregate — 4·|lengths|
+    conditional sums over one scan; no explode, no shuffle beyond the
+    1-row reduction."""
+    Ls = sorted({int(x) for x in lengths})
+    if not Ls or Ls[0] < 1:
+        raise ValueError("lengths must be non-empty, all >= 1")
+    n = F.col(len_col).cast("long")
+    aggs = []
+    for L in Ls:
+        kept = F.least(n, F.lit(L))
+        aggs += [
+            F.count("*").cast("long").alias(f"__n{L}"),
+            F.sum(F.when(n > L, 1).otherwise(0)).cast("long").alias(
+                f"__t{L}"
+            ),
+            F.sum(kept).cast("long").alias(f"__k{L}"),
+            F.sum(n - kept).cast("long").alias(f"__l{L}"),
+        ]
+    row = df.filter(n.isNotNull()).agg(*aggs)
+    per = F.array(
+        *[
+            F.struct(
+                F.lit(L).alias("max_len"),
+                F.col(f"__n{L}").alias("n_docs"),
+                F.col(f"__t{L}").alias("n_truncated"),
+                F.col(f"__k{L}").alias("tokens_kept"),
+                F.col(f"__l{L}").alias("tokens_lost"),
+            )
+            for L in Ls
+        ]
+    )
+    return (
+        row.select(F.explode(per).alias("x"))
+        .select("x.*")
+        .withColumn(
+            "lost_frac",
+            F.when(
+                F.col("tokens_kept") + F.col("tokens_lost") > 0,
+                F.col("tokens_lost").cast("double")
+                / (F.col("tokens_kept") + F.col("tokens_lost")).cast(
+                    "double"
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
 
 
 def segment_runs(
