@@ -12171,13 +12171,16 @@ def _docs_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _docs_batch_padding_sql() -> str:
+def _docs_batch_padding_sql(src: str = "documents") -> str:
+    """The padding-waste SQL over ``src`` (a table or CTE with doc_id,
+    text) — shared by the standalone entry and pipeline_seq_prep so
+    the bucketing/batching laws cannot drift."""
     toks_of = (
         "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
         "t -> t <> ''))"
     )
     return f"""
-WITH d AS (SELECT doc_id, CAST({toks_of} AS BIGINT) AS l FROM documents),
+WITH d AS (SELECT doc_id, CAST({toks_of} AS BIGINT) AS l FROM {src}),
 b AS (
   SELECT doc_id, l,
          CAST(floor({_hu_sql(_PAD_SALT)} * {_PAD_BUCKETS}) AS INT)
@@ -12210,6 +12213,46 @@ SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
        ROUND(CAST(sum(mx * c) - sum(sl) AS DOUBLE)
              / CAST(sum(mx * c) AS DOUBLE), {R}) AS waste_frac
 FROM pb GROUP BY 1
+"""
+
+
+def _pipeline_seq_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 composite: exact dedup (keep-min-id, the whitespace-
+    collapse canonical law) → token count → sorted-vs-arrival padding
+    A/B over the DEDUPED corpus, as ONE lazy plan — the measurement a
+    sequence-prep pipeline makes right before committing to a batching
+    strategy, where measuring on the raw corpus would let duplicate
+    mass skew the length distribution. Shapes: dedup's groupBy + the
+    shared-bucket windows; the padding laws are exactly
+    docs_batch_padding's (shared SQL builder, so they cannot
+    drift)."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.chunking import padding_report
+    from tidyvec_spark.operators.dedup import drop_exact_dups
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    uniq = drop_exact_dups(docs, "text", "doc_id")
+    toks = uniq.select("doc_id", token_count("text").alias("ntok"))
+    rep = padding_report(
+        toks, "doc_id", "ntok",
+        batch_size=_PAD_BATCH, n_buckets=_PAD_BUCKETS, salt=_PAD_SALT,
+    )
+    return rep.select(
+        "strategy", "n_batches", "n_docs", "sum_len", "padded",
+        F.round("waste_frac", R).alias("waste_frac"),
+    )
+
+
+def _pipeline_seq_prep_sql() -> str:
+    return f"""
+WITH uniq AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, ROW_NUMBER() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+)
+SELECT * FROM ({_docs_batch_padding_sql("uniq")})
 """
 
 
@@ -13743,6 +13786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_sequences": _events_user_sequences,
         "docs_source_lang_cube": _docs_source_lang_cube,
         "docs_truncation_report": _docs_truncation_report,
+        "pipeline_seq_prep": _pipeline_seq_prep,
     }
 
 
@@ -14004,6 +14048,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_sequences": _EVENTS_USER_SEQUENCES_SQL,
         "docs_source_lang_cube": _docs_source_lang_cube_sql(),
         "docs_truncation_report": _docs_truncation_report_sql(),
+        "pipeline_seq_prep": _pipeline_seq_prep_sql(),
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "events_user_sequences",
     "docs_source_lang_cube",
     "docs_truncation_report",
+    "pipeline_seq_prep",
 ]
 
 
