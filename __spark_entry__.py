@@ -10084,6 +10084,76 @@ def _docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the LCG link graph (operators/graph.py::
+    triangle_stats — Schank & Wagner degree-oriented node-iterator):
+    n_nodes/n_edges/n_wedges/n_triangles/global clustering in one row
+    — the cohesion triad-closer next to pagerank (flow) and LPA
+    (communities); mirror farms read cliquish (→1), organic link
+    structure reads sparse. Every wedge enumerates at its lowest-
+    degree vertex, so join work is O(m^1.5) regardless of hub skew;
+    the oracle replays the same orientation."""
+    from tidyvec_spark.operators.graph import (
+        synthetic_link_graph,
+        triangle_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs, "doc_id", out_links=3)
+    return triangle_stats(edges, round_to=R)
+
+
+_DOCS_TRIANGLE_STATS_SQL = f"""
+WITH nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS a,
+         (doc_id * 7919 + j.j * 104729) % nn.n AS b
+  FROM (SELECT DISTINCT doc_id FROM documents), nn,
+       (SELECT unnest(range(1, 4)) AS j) j
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+fwd AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+              THEN u ELSE v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+              THEN v ELSE u END AS t
+  FROM und
+  JOIN deg du ON du.node = und.u
+  JOIN deg dv ON dv.node = und.v
+),
+wedge AS (
+  SELECT p1.t AS b, p2.t AS c
+  FROM fwd p1 JOIN fwd p2 ON p1.s = p2.s AND p1.t < p2.t
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM wedge JOIN und ON und.u = wedge.b AND und.v = wedge.c
+),
+st AS (
+  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         (SELECT count(*) FROM und) AS n_edges,
+         (SELECT sum(d * (d - 1) / 2) FROM deg) AS n_wedges,
+         (SELECT t FROM tri) AS n_triangles
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN n_wedges > 0
+             THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, {R})
+         AS global_clustering
+FROM st
+"""
+
+
 def _docs_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection via deterministic synchronous label
     propagation (graph.py::label_propagation, Raghavan 2007) on the
@@ -13787,6 +13857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_lang_cube": _docs_source_lang_cube,
         "docs_truncation_report": _docs_truncation_report,
         "pipeline_seq_prep": _pipeline_seq_prep,
+        "docs_triangle_stats": _docs_triangle_stats,
     }
 
 
@@ -14049,6 +14120,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_lang_cube": _docs_source_lang_cube_sql(),
         "docs_truncation_report": _docs_truncation_report_sql(),
         "pipeline_seq_prep": _pipeline_seq_prep_sql(),
+        "docs_triangle_stats": _DOCS_TRIANGLE_STATS_SQL,
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "docs_source_lang_cube",
     "docs_truncation_report",
     "pipeline_seq_prep",
+    "docs_triangle_stats",
 ]
 
 

@@ -179,3 +179,29 @@ class TestLabelPropagation:
         edges = spark.createDataFrame([(1, 2)], "src LONG, dst LONG")
         with pt.raises(ValueError):
             label_propagation(edges, rounds=-1)
+
+
+def test_triangle_stats_known_graphs(spark):
+    """triangle_stats: exact counts on K4 (clustering 1.0), a path
+    (no triangles), and a triangle with a pendant (3T/W = 0.6);
+    direction/duplicate edges collapse into the undirected view."""
+    from tidyvec_spark.operators.graph import triangle_stats
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+        "src long, dst long",  # both directions: must dedup to 6 edges
+    )
+    r = triangle_stats(k4).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) \
+        == (4, 6, 12, 4)
+    assert r["global_clustering"] == 1.0
+
+    path = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    r = triangle_stats(path).first()
+    assert r["n_triangles"] == 0 and r["global_clustering"] == 0.0
+
+    pend = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long"
+    )
+    r = triangle_stats(pend).first()
+    assert r["n_triangles"] == 1 and abs(r["global_clustering"] - 0.6) < 1e-9

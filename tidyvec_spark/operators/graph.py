@@ -159,6 +159,106 @@ def pagerank(
     )
 
 
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact triangle census of the UNDIRECTED view of an edge list —
+    ONE row (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering = 3T/W): the cohesion number that separates a
+    mirror-farm link graph (cliquish, clustering → 1) from organic
+    link structure, and the triad completing pagerank (flow
+    centrality) and label_propagation (communities).
+
+    Algorithm is the degree-oriented node-iterator (Schank & Wagner
+    2005 "forward"): each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher, so every wedge is
+    enumerated at its LOWEST-degree vertex — join work is O(m^1.5)
+    regardless of skew (a hub of degree d never expands d² paths; the
+    orientation caps each node's out-degree at ~√m). Two equi-joins:
+    path enumeration + closure check. The same orientation is replayed
+    in the SQL oracle.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"),
+        F.col(dst).cast("long").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        e.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient each edge from the smaller (d, id) endpoint to the larger
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    p1 = fwd.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    p2 = fwd.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    wedge = p1.join(p2, "a").filter(F.col("b") < F.col("c"))
+    # a wedge (b, c) with b < c closes iff (b, c) is an undirected
+    # edge — und is already in canonical u < v form
+    tri = wedge.join(
+        und.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
+    ).agg(F.count("*").cast("long").alias("n_triangles"))
+    stats = und.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+    )
+    out = (
+        stats.crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0)
+                    * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    round_to,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )
+    out._tidyvec_persisted = [und, fwd]
+    return out
+
+
 def synthetic_link_graph(
     df: DataFrame,
     id_col: str,
