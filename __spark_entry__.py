@@ -2500,6 +2500,64 @@ FROM events GROUP BY user_id
 """
 
 
+_GREEDY_SEEDS = ("spark", "join", "data", "window", "merge")
+_GREEDY_STEPS = 6
+
+
+def _lm_greedy_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy bigram continuations (operators/lm.py::
+    greedy_continuation): the "what does the corpus think comes next"
+    probe — template corpora produce long deterministic rails,
+    diverse ones dead-end fast. Argmax-next computed once
+    (vocab-sized rank-1 window), then 6 broadcast self-joins extend
+    all seeds in lockstep; the corpus is scanned once. Oracle chains
+    the same 6 steps as CTEs."""
+    from tidyvec_spark.operators.lm import greedy_continuation
+
+    docs = _read(spark, sf_dir, "documents")
+    seeds = spark.createDataFrame(
+        [(s,) for s in _GREEDY_SEEDS], "seed string"
+    )
+    return greedy_continuation(
+        docs, "text", seeds, "seed", steps=_GREEDY_STEPS
+    )
+
+
+def _lm_greedy_continuation_sql() -> str:
+    seeds = ", ".join(f"'{s}'" for s in _GREEDY_SEEDS)
+    steps = []
+    for i in range(_GREEDY_STEPS):
+        steps.append(f"""
+s{i + 1} AS (
+  SELECT seed, COALESCE(nxt, last) AS last,
+         CASE WHEN nxt IS NOT NULL THEN list_append(toks, nxt)
+              ELSE toks END AS toks
+  FROM s{i} LEFT JOIN best ON s{i}.last = best.prev
+)""")
+    return f"""
+WITH tok AS (SELECT {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT t[u.i] AS w1, t[u.i + 1] AS w2, count(*) AS c2
+  FROM tok, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT w1 AS prev, w2 AS nxt FROM (
+    SELECT w1, w2,
+           row_number() OVER (PARTITION BY w1 ORDER BY c2 DESC, w2) AS rn
+    FROM bg
+  ) WHERE rn = 1
+),
+s0 AS (
+  SELECT seed, seed AS last, CAST([] AS VARCHAR[]) AS toks
+  FROM (SELECT unnest([{seeds}]) AS seed)
+),{",".join(steps)}
+SELECT seed, array_to_string(toks, ' ') AS continuation,
+       CAST(len(toks) AS INT) AS n_steps
+FROM s{_GREEDY_STEPS}
+"""
+
+
 _NEG_SALT = "r11neg"
 _NEG_T = 2048
 
@@ -13858,6 +13916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_truncation_report": _docs_truncation_report,
         "pipeline_seq_prep": _pipeline_seq_prep,
         "docs_triangle_stats": _docs_triangle_stats,
+        "lm_greedy_continuation": _lm_greedy_continuation,
     }
 
 
@@ -14121,6 +14180,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_truncation_report": _docs_truncation_report_sql(),
         "pipeline_seq_prep": _pipeline_seq_prep_sql(),
         "docs_triangle_stats": _DOCS_TRIANGLE_STATS_SQL,
+        "lm_greedy_continuation": _lm_greedy_continuation_sql(),
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

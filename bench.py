@@ -287,6 +287,7 @@ BENCH_QUERIES = [
     "docs_truncation_report",
     "pipeline_seq_prep",
     "docs_triangle_stats",
+    "lm_greedy_continuation",
 ]
 
 

@@ -268,3 +268,29 @@ def test_carry_columns_match_join(spark, corpus):
 
     with pytest.raises(ValueError, match="collide"):
         bigram_lm_perplexity(labeled, "text", "doc_id", carry=("bigram",))
+
+
+def test_greedy_continuation_rails_and_dead_ends(spark):
+    """greedy_continuation: follows the argmax chain with the
+    (count desc, token asc) tie law, stops at tokens with no outgoing
+    bigram, and unknown seeds dead-end at step 0."""
+    import pytest
+
+    from tidyvec_spark.operators.lm import greedy_continuation
+
+    # corpus: 'a b' x3, 'a c' x1, 'b c' x2; c has no outgoing bigram
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a b"), (3, "a c"), (4, "b c")],
+        "doc_id long, text string",
+    )
+    seeds = spark.createDataFrame(
+        [("a",), ("c",), ("zzz",)], "seed string"
+    )
+    got = {r["seed"]: r for r in
+           greedy_continuation(docs, "text", seeds, steps=4).collect()}
+    assert got["a"]["continuation"] == "b c"      # a->b (3>1), b->c, stop
+    assert got["a"]["n_steps"] == 2
+    assert got["c"]["n_steps"] == 0 and got["c"]["continuation"] == ""
+    assert got["zzz"]["n_steps"] == 0
+    with pytest.raises(ValueError, match="steps"):
+        greedy_continuation(docs, "text", seeds, steps=0)

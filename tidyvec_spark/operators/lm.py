@@ -37,6 +37,7 @@ from tidyvec_spark.functions.text import ngrams, tokens
 __all__ = [
     "bigram_counts",
     "bigram_lm_perplexity",
+    "greedy_continuation",
     "kn_bigram_perplexity",
     "perplexity_buckets",
 ]
@@ -60,6 +61,72 @@ def bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c2"))
         .withColumn("w1", F.split(F.col("bigram"), " ")[0])
     )
+
+
+def greedy_continuation(
+    df: DataFrame,
+    text_col: str,
+    seeds: DataFrame,
+    seed_col: str = "seed",
+    steps: int = 6,
+) -> DataFrame:
+    """Greedy bigram-LM continuation: from each seed token, repeatedly
+    append the corpus's most likely next token (count desc, token asc
+    tie law) for ``steps`` steps — the "what does the corpus think
+    comes next" probe used to eyeball LM training data (template and
+    boilerplate corpora produce long deterministic rails; diverse
+    corpora dead-end fast). Returns (seed, continuation, n_steps):
+    continuation is space-joined, n_steps counts tokens actually
+    appended (a token with no outgoing bigram stops early).
+
+    Shape: the argmax-next table is computed ONCE (vocabulary-sized
+    groupBy + one rank-1 window over per-prev groups), then ``steps``
+    broadcast self-joins extend all seeds in lockstep — the iteration
+    is over a VOCAB-sized table, the corpus is scanned once."""
+    from pyspark.sql import Window
+
+    if int(steps) < 1:
+        raise ValueError("steps must be >= 1")
+    bg = bigram_counts(df, text_col).select(
+        "w1",
+        F.split(F.col("bigram"), " ")[1].alias("w2"),
+        "c2",
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("c2"), F.asc("w2"))
+    best = (
+        bg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("w1").alias("prev"), F.col("w2").alias("nxt"))
+        .persist()
+    )
+    cur = seeds.select(
+        F.col(seed_col).alias("seed"),
+        F.col(seed_col).alias("__last"),
+        F.array().cast("array<string>").alias("__toks"),
+    )
+    for _ in range(int(steps)):
+        cur = (
+            cur.join(
+                F.broadcast(best), cur["__last"] == best["prev"], "left"
+            )
+            .select(
+                "seed",
+                F.coalesce(F.col("nxt"), F.col("__last")).alias("__last"),
+                F.when(
+                    F.col("nxt").isNotNull(),
+                    F.concat(F.col("__toks"), F.array(F.col("nxt"))),
+                )
+                .otherwise(F.col("__toks"))
+                .alias("__toks"),
+            )
+        )
+    out = cur.select(
+        "seed",
+        F.concat_ws(" ", "__toks").alias("continuation"),
+        F.size("__toks").cast("int").alias("n_steps"),
+    )
+    out._tidyvec_persisted = [best]
+    return out
 
 
 def bigram_lm_perplexity(
