@@ -2500,6 +2500,45 @@ FROM events GROUP BY user_id
 """
 
 
+def _docs_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/MassiveText within-doc repetition filter
+    (operators/dedup.py::dup_ngram_coverage, n=2): fraction of each
+    document's tokens covered by ANY bigram occurring ≥2 times in
+    that document — catches looped generations and listicle
+    boilerplate even when no single n-gram dominates
+    (top_ngram_fraction's blind spot). Doc-keyed shuffles only."""
+    from tidyvec_spark.operators.dedup import dup_ngram_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_ngram_coverage(docs, "text", "doc_id", n=2, round_to=R)
+
+
+_DOCS_DUP_NGRAM_FRAC_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len, toks FROM t),
+p AS (
+  SELECT doc_id, len, u.i - 1 AS p,
+         array_to_string(toks[u.i : u.i + 1], ' ') AS g
+  FROM b, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+dupes AS (
+  SELECT doc_id, g FROM p GROUP BY doc_id, g HAVING count(*) >= 2
+),
+covered AS (
+  SELECT p.doc_id, CAST(count(DISTINCT c.cp) AS BIGINT) AS n_covered
+  FROM p JOIN dupes USING (doc_id, g),
+       LATERAL unnest(generate_series(p.p, p.p + 1)) AS c(cp)
+  GROUP BY p.doc_id
+)
+SELECT b.doc_id, b.len AS n_tokens,
+       COALESCE(covered.n_covered, 0) AS n_covered,
+       ROUND(CASE WHEN b.len > 0
+             THEN CAST(COALESCE(covered.n_covered, 0) AS DOUBLE) / b.len
+             ELSE 0.0 END, {R}) AS dup_frac
+FROM b LEFT JOIN covered USING (doc_id)
+"""
+
+
 _GREEDY_SEEDS = ("spark", "join", "data", "window", "merge")
 _GREEDY_STEPS = 6
 
@@ -13917,6 +13956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_seq_prep": _pipeline_seq_prep,
         "docs_triangle_stats": _docs_triangle_stats,
         "lm_greedy_continuation": _lm_greedy_continuation,
+        "docs_dup_ngram_frac": _docs_dup_ngram_frac,
     }
 
 
@@ -14181,6 +14221,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_seq_prep": _pipeline_seq_prep_sql(),
         "docs_triangle_stats": _DOCS_TRIANGLE_STATS_SQL,
         "lm_greedy_continuation": _lm_greedy_continuation_sql(),
+        "docs_dup_ngram_frac": _DOCS_DUP_NGRAM_FRAC_SQL,
         "pipeline_fim_pack": _pipeline_fim_pack_sql(),
         "docs_weighted_sample_by_lang": _DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
         "docs_dedup_homoglyph": _docs_dedup_homoglyph_sql(),

@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "pipeline_seq_prep",
     "docs_triangle_stats",
     "lm_greedy_continuation",
+    "docs_dup_ngram_frac",
 ]
 
 

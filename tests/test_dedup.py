@@ -1262,3 +1262,27 @@ def test_gemm_near_dup_paths_skip_null_embeddings(spark):
         ).collect()
     }
     assert got2 == {(1, 2)}
+
+
+def test_dup_ngram_coverage_exact(spark):
+    """dup_ngram_coverage: exact positional coverage — 'a b a b c'
+    has bigram 'a b' twice covering tokens 0..1 and 2..3 (4 of 5);
+    a doc with all-unique bigrams scores 0; short docs never emit a
+    descending sequence."""
+    import pytest
+
+    from tidyvec_spark.operators.dedup import dup_ngram_coverage
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "x y z"), (2, "w"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           dup_ngram_coverage(docs, "text", "doc_id", n=2).collect()}
+    assert got[0]["n_tokens"] == 5 and got[0]["n_covered"] == 4
+    assert abs(got[0]["dup_frac"] - 0.8) < 1e-9
+    assert got[1]["n_covered"] == 0 and got[1]["dup_frac"] == 0.0
+    assert got[2]["n_covered"] == 0  # no bigram at all
+    assert got[3]["n_tokens"] == 0 and got[3]["dup_frac"] == 0.0
+    with pytest.raises(ValueError, match="n must"):
+        dup_ngram_coverage(docs, "text", "doc_id", n=0)

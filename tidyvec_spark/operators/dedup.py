@@ -1637,6 +1637,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_ngram_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """WITHIN-document duplicated-n-gram token coverage — the
+    RefinedWeb/MassiveText doc-level repetition filter (Penedo et al.
+    2023 Table 2; Rae et al. 2021 A.1.1): the fraction of a document's
+    tokens covered by any word n-gram that occurs ≥ 2 times IN THAT
+    DOCUMENT. Complements ``top_ngram_fraction`` (share of the single
+    most frequent n-gram) and the corpus-level Lee-et-al span ops:
+    looped generations and listicle boilerplate score high here even
+    when no single n-gram dominates.
+
+    Returns (``id_col``, n_tokens, n_covered, dup_frac). Shape: the
+    n-gram positions explode map-side (n·tokens rows), duplicates
+    resolve in one (doc, gram) hash-agg, coverage is a position-set
+    union via explode + per-doc distinct — every shuffle is keyed by
+    doc (or doc+gram), so parallelism is document-granular and no
+    all-pairs structure exists."""
+    if int(n) < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = df.select(
+        F.col(id_col).alias("__id"), X.tokens(text_col).alias("__t")
+    )
+    base = toks.select(
+        "__id",
+        F.size("__t").cast("long").alias("__len"),
+        # guard short docs: Spark's sequence(0, -1) would DESCEND
+        F.expr(
+            f"CASE WHEN size(__t) >= {int(n)} THEN "
+            f"transform(sequence(0, size(__t) - {int(n)}), "
+            f"i -> concat_ws(' ', slice(__t, i + 1, {int(n)}))) "
+            f"ELSE array() END"
+        ).alias("__grams"),
+    )
+    pos = base.select(
+        "__id",
+        "__len",
+        F.posexplode("__grams").alias("__p", "__g"),
+    )
+    dupes = (
+        pos.groupBy("__id", "__g")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__id", "__g")
+    )
+    covered = (
+        pos.join(dupes, ["__id", "__g"])
+        .select(
+            "__id",
+            "__len",
+            F.explode(
+                F.sequence(
+                    F.col("__p"), F.col("__p") + F.lit(int(n) - 1)
+                )
+            ).alias("__cp"),
+        )
+        .groupBy("__id", "__len")
+        .agg(F.countDistinct("__cp").cast("long").alias("n_covered"))
+    )
+    frac = F.when(
+        F.col("__len") > 0,
+        F.col("n_covered").cast("double") / F.col("__len").cast("double"),
+    ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        frac = F.round(frac, int(round_to))
+    return (
+        base.select("__id", "__len")
+        .join(covered, ["__id", "__len"], "left")
+        .fillna({"n_covered": 0})
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__len").alias("n_tokens"),
+            "n_covered",
+            frac.alias("dup_frac"),
+        )
+    )
+
+
 def substring_dup_spans(
     df: DataFrame,
     text_col: str,
