@@ -207,15 +207,27 @@ def ngrams(c: ColumnOrName, n: int = 3) -> Column:
 
     The token array is let-bound so the tokenizer runs once per row, not
     once per n-gram position (see :func:`let`).
+
+    Construction is ``n`` whole-array slices + ``n−1`` ``zip_with``
+    joins (each gram string built by element-wise concat), NOT a
+    per-position ``slice`` inside ``transform`` — the latter allocates
+    an array copy per gram and measured ~8× slower on the r11 sweep
+    (the shingle cost every MinHash/winnowing/containment op pays).
     """
     empty = F.array().cast("array<string>")
+
+    def grams(ts):
+        cnt = F.size(ts) - n + 1
+        g = F.slice(ts, 1, cnt)
+        for k in range(1, int(n)):
+            g = F.zip_with(
+                g,
+                F.slice(ts, k + 1, cnt),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return g
+
     return let(
         tokens(c),
-        lambda ts: F.when(
-            F.size(ts) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(ts) - n),
-                lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n)),
-            ),
-        ).otherwise(empty),
+        lambda ts: F.when(F.size(ts) >= n, grams(ts)).otherwise(empty),
     )

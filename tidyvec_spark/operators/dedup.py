@@ -1654,51 +1654,52 @@ def dup_ngram_coverage(
     when no single n-gram dominates.
 
     Returns (``id_col``, n_tokens, n_covered, dup_frac). Shape: the
-    n-gram positions explode map-side (n·tokens rows), duplicates
-    resolve in one (doc, gram) hash-agg, coverage is a position-set
-    union via explode + per-doc distinct — every shuffle is keyed by
-    doc (or doc+gram), so parallelism is document-granular and no
-    all-pairs structure exists."""
+    n-gram positions explode map-side ONCE (the position frame is
+    persisted — it feeds both the duplicate hash-agg and the coverage
+    probe, and the gram construction is the expensive expression),
+    duplicates resolve in one (doc, gram) hash-agg, and coverage is an
+    INTERVAL UNION over the sorted duplicate positions (fixed-length
+    intervals: each contributes min(n, gap-to-next); the last
+    contributes n) — one per-doc window, no position explode, no
+    distinct. Every shuffle is keyed by doc (or doc+gram), so
+    parallelism is document-granular and no all-pairs structure
+    exists; handles ride the release() convention."""
+    from pyspark.sql import Window
+
     if int(n) < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = df.select(
-        F.col(id_col).alias("__id"), X.tokens(text_col).alias("__t")
-    )
-    base = toks.select(
-        "__id",
-        F.size("__t").cast("long").alias("__len"),
-        # guard short docs: Spark's sequence(0, -1) would DESCEND
-        F.expr(
-            f"CASE WHEN size(__t) >= {int(n)} THEN "
-            f"transform(sequence(0, size(__t) - {int(n)}), "
-            f"i -> concat_ws(' ', slice(__t, i + 1, {int(n)}))) "
-            f"ELSE array() END"
-        ).alias("__grams"),
+    nn = int(n)
+    # a single-file parquet source arrives as ONE partition; the gram
+    # construction is the expensive expression, so spread it first
+    base = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("__id"),
+            X.token_count(text_col).alias("__len"),
+            X.ngrams(text_col, nn).alias("__grams"),
+        )
     )
     pos = base.select(
         "__id",
         "__len",
         F.posexplode("__grams").alias("__p", "__g"),
-    )
+    ).persist()
     dupes = (
         pos.groupBy("__id", "__g")
         .agg(F.count("*").alias("__c"))
         .filter(F.col("__c") >= 2)
         .select("__id", "__g")
     )
+    w = Window.partitionBy("__id").orderBy("__p")
+    lead_p = F.lead("__p").over(w)
+    contrib = F.when(
+        lead_p.isNotNull(), F.least(F.lit(nn), lead_p - F.col("__p"))
+    ).otherwise(F.lit(nn))
     covered = (
         pos.join(dupes, ["__id", "__g"])
-        .select(
-            "__id",
-            "__len",
-            F.explode(
-                F.sequence(
-                    F.col("__p"), F.col("__p") + F.lit(int(n) - 1)
-                )
-            ).alias("__cp"),
-        )
+        .select("__id", "__len", "__p")
+        .withColumn("__c", contrib)
         .groupBy("__id", "__len")
-        .agg(F.countDistinct("__cp").cast("long").alias("n_covered"))
+        .agg(F.sum("__c").cast("long").alias("n_covered"))
     )
     frac = F.when(
         F.col("__len") > 0,
@@ -1706,8 +1707,11 @@ def dup_ngram_coverage(
     ).otherwise(F.lit(0.0))
     if round_to is not None:
         frac = F.round(frac, int(round_to))
-    return (
-        base.select("__id", "__len")
+    out = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            X.token_count(text_col).alias("__len"),
+        )
         .join(covered, ["__id", "__len"], "left")
         .fillna({"n_covered": 0})
         .select(
@@ -1717,6 +1721,8 @@ def dup_ngram_coverage(
             frac.alias("dup_frac"),
         )
     )
+    out._tidyvec_persisted = [pos]
+    return out
 
 
 def substring_dup_spans(
