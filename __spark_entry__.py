@@ -2607,9 +2607,13 @@ def _token_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.2): the top-50 skip-gram pairs each draw 2 negatives from the
     unigram^0.75 slot table via hash_unit(center:context:i) →
     floor(u·T) — O(1) per draw, zero shuffle, re-saltable per epoch.
-    The table is a bounded driver artifact built with the
-    cumulative-floor law the oracle replays (last term's range
-    extended to T, mirroring the float-shortfall padding)."""
+    The table is a VOCAB-bounded driver artifact (top-max_vocab by
+    count via a TakeOrdered heap) built with the INTEGER-EXACT
+    cumulative-floor law the oracle replays: w = sqrt(c·sqrt(c)) =
+    c^0.75 in correctly-rounded IEEE ops, wi = floor(w·2^20),
+    hi = cum·T // Σwi — no float summation, so engine window-sum
+    order cannot shift a slot boundary (the r11 ADVICE finding); the
+    last term's range extends to T, absorbing the floor shortfall."""
     from tidyvec_spark.operators.cooccur import (
         negative_sampling_table,
         sample_negatives,
@@ -2646,18 +2650,25 @@ tfreq AS (
   SELECT term, count(*) AS c
   FROM (SELECT unnest({_TOKS}) AS term FROM documents) GROUP BY term
 ),
-wv AS (SELECT term, c, POW(c, 0.75) AS w FROM tfreq),
-z AS (SELECT sum(w) AS z FROM wv),
+-- integer-exact boundary law (matches negative_sampling_ranges):
+-- sqrt/multiply are IEEE-correctly-rounded (pow is not), power-of-two
+-- scaling is exact, and // over exact integer cumulative sums cannot
+-- be shifted by the engine's window summation order
+wv AS (SELECT term, c,
+              CAST(floor(sqrt(c * sqrt(c)) * 1048576.0) AS BIGINT)
+                AS wi
+       FROM tfreq ORDER BY c DESC, term LIMIT 65536),
+z AS (SELECT sum(wi) AS z FROM wv),
 cumt AS (
   SELECT term,
-         CAST(floor(COALESCE(sum(w) OVER (ORDER BY c DESC, term
+         CAST((COALESCE(sum(wi) OVER (ORDER BY c DESC, term
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           / z.z * {_NEG_T}) AS BIGINT) AS lo,
-         CASE WHEN row_number() OVER (ORDER BY c DESC, term)
-                   = count(*) OVER ()
+           * {_NEG_T}) // z.z AS BIGINT) AS lo,
+         CASE WHEN sum(wi) OVER (ORDER BY c DESC, term
+                ROWS UNBOUNDED PRECEDING) = z.z
               THEN {_NEG_T}
-              ELSE CAST(floor(sum(w) OVER (ORDER BY c DESC, term
-                     ROWS UNBOUNDED PRECEDING) / z.z * {_NEG_T})
+              ELSE CAST((sum(wi) OVER (ORDER BY c DESC, term
+                     ROWS UNBOUNDED PRECEDING) * {_NEG_T}) // z.z
                    AS BIGINT) END AS hi
   FROM wv CROSS JOIN z
 ),
@@ -13635,35 +13646,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-11 rotation (per the r10 verdict item 1): the 9
-    # long-stable spine representatives + the 11 round-10 additions
-    # (first driver row) + q1_pricing/q3_top_orders (last checked r4)
-    # + the 14 verdict-named r5/r6 composite/relational rows + the 14
-    # oldest remaining r5 rows, so no entry's last check ages past
-    # ~5 rounds.
+    # entries. Round-12 rotation (per the r11 verdict item 1): the 9
+    # long-stable spine representatives + the 22 round-11 additions
+    # (first driver row; all 22 judge-re-verified at sf0.001 in the
+    # r11 verdict) + the 17 aging r5/r6-cohort rows named by the r11
+    # verdict (last checked r7, pipeline_ccnet r9) + the 2
+    # alphabetically-first of the oldest remaining rows (last checked
+    # r5), so no entry's last check ages past ~7 rounds.
     #
-    # STATUS: this window is the round-11 rotation and is HELD
-    # UNCHANGED through the end of round 11 so CORRECTNESS_r11
+    # STATUS: this window is the round-12 rotation and is HELD
+    # UNCHANGED through the end of round 12 so CORRECTNESS_r12
     # (produced by the driver when the round closes) covers exactly
-    # these 50 entries. Evidence for "round 11 is still open":
-    # CORRECTNESS_r01..r10.json exist in the repo and
-    # CORRECTNESS_r11.json does not — the driver writes the artifact at
-    # round close. DO NOT rotate this window until CORRECTNESS_r11 rows
-    # exist.
+    # these 50 entries. Evidence for "round 12 is still open":
+    # CORRECTNESS_r01..r11.json exist in the repo and
+    # CORRECTNESS_r12.json does not — the driver writes the artifact
+    # at round close. DO NOT rotate this window until CORRECTNESS_r12
+    # rows exist.
     # Multi-round-stable legacy entries sit in the tail; every
     # oracle-backed tail entry stays checked by the dynamic SUBSET in
     # tests/test_entry_oracle.py (computed as "oracle-backed and past
     # position 50", so any future rotation keeps the invariant).
     return {
-        # --- gate window (1-50), rotated for ROUND 11 ---
-        # 9 spine reps + the 11 round-10 additions getting their FIRST
-        # driver row + q1_pricing/q3_top_orders (deferred from the r10
-        # window, last checked r4 — the oldest rows anywhere) + the 14
-        # r5/r6 composite/relational cohort named by the r10 verdict +
-        # the 14 oldest remaining r5 rows, so no entry's last check
-        # ages past ~5 rounds. Every window entry is locally verified
-        # at sf0.001 AND sf0.01 via scripts/check_oracle.py before the
-        # round closes.
+        # --- gate window (1-50), rotated for ROUND 12 ---
+        # Every window entry is locally verified at sf0.001 AND
+        # sf0.01 via scripts/check_oracle.py before the round
+        # closes.
         # spine reps:
         "knn_cosine": _knn("cosine"),
         "knn_null_quirk": _knn_null_quirk,
@@ -13674,7 +13681,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _events_asof_purchase,
         "docs_stream_dedup": _docs_stream_dedup,
         "q5_region_revenue": _q5_region_revenue,
-        # the 11 round-10 additions (first driver row):
+        # the 22 round-11 additions (first driver row):
+        "ann_recall_ivfpq": _ann_recall_ivfpq,
+        "corpus_overlap_manifest": _corpus_overlap_manifest,
+        "corpus_overlap_matrix": _corpus_overlap_matrix,
+        "docs_batch_padding": _docs_batch_padding,
+        "docs_bootstrap_ci": _docs_bootstrap_ci,
+        "docs_clf_auc": _docs_clf_auc,
+        "docs_clf_calibration": _docs_clf_calibration,
+        "docs_dup_ngram_frac": _docs_dup_ngram_frac,
+        "docs_english_salvage": _docs_english_salvage,
+        "docs_fim_spm": _docs_fim_spm,
+        "docs_lang_segments": _docs_lang_segments,
+        "docs_source_lang_cube": _docs_source_lang_cube,
+        "docs_triangle_stats": _docs_triangle_stats,
+        "docs_truncation_report": _docs_truncation_report,
+        "docs_zipf_fit": _docs_zipf_fit,
+        "embedding_covariance": _embedding_covariance,
+        "events_user_sequences": _events_user_sequences,
+        "lm_greedy_continuation": _lm_greedy_continuation,
+        "pipeline_seq_prep": _pipeline_seq_prep,
+        "rm3_search": _rm3_search,
+        "token_negatives": _token_negatives,
+        "token_skipgrams": _token_skipgrams,
+        # the 17 aging r5/r6-cohort rows named by the r11 verdict
+        # (last checked r7; pipeline_ccnet r9):
+        "pipeline_ccnet": _pipeline_ccnet,
+        "pipeline_web": _pipeline_web,
+        "docs_c4_clean": _docs_c4_clean,
+        "dedup_keep_best": _dedup_keep_best,
+        "mix_target": _mix_target,
+        "mix_unimax": _mix_unimax,
+        "docs_keep_best": _docs_keep_best,
+        "ann_tuned_topk": _ann_tuned_topk,
+        "ann_rank_quality": _ann_rank_quality,
+        "embedding_rp_topk": _embedding_rp_topk,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_nation_profit": _q9_nation_profit,
+        "q11_important_parts": _q11_important_parts,
+        "q12_late_lines": _q12_late_lines,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q20_share_suppliers": _q20_share_suppliers,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        # the 2 oldest remaining rows (last checked r5):
+        "ann_lsh_batch": _ann_lsh_batch,
+        "ann_topk_sidecar": _ann_topk_sidecar,
+        # --- position 51+: outside the driver's gate window ---
+        # every oracle-backed entry below is checked by the dynamic
+        # SUBSET in tests/test_entry_oracle.py; entries rotated out
+        # this round all have green CORRECTNESS_r11 rows. New
+        # round-12 additions accumulate at the very end of this dict
+        # under a ROUND-13 ROTATION QUEUE comment.
+        # rotated out of the r11 window (green CORRECTNESS_r11 rows):
         "docs_warc_gz_ingest": _docs_warc_gz_ingest,
         "bitext_margin_pairs": _bitext_margin("threshold"),
         "bitext_margin_best": _bitext_margin("best"),
@@ -13686,10 +13744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_spam": _docs_url_spam,
         "corpus_overlap_est": _corpus_overlap_est,
         "pipeline_fim_pack": _pipeline_fim_pack,
-        # the two oldest rows anywhere (last checked r4):
         "q1_pricing": _q1_pricing,
         "q3_top_orders": _q3_top_orders,
-        # the r5/r6 composite/relational cohort named by the verdict:
         "pipeline_curate": _pipeline_curate,
         "pipeline_pretrain": _pipeline_pretrain,
         "topk_per_segment": _topk_per_segment,
@@ -13704,7 +13760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_shuffle": _serving_shuffle,
         "curriculum_order": _curriculum_order,
         "hard_negatives": _hard_negatives,
-        # the 14 oldest remaining r5 rows:
         "ann_lsh_topk": _ann_lsh_topk,
         "embedding_near_dup": _embedding_near_dup,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
@@ -13719,15 +13774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_adc_topk": _ivfpq_adc_topk,
         "events_stream_interval_join": _events_stream_interval_join,
         "hf_query_nearest": _hf_query_nearest,
-        # --- position 51+: outside the driver's gate window ---
-        # every oracle-backed entry below is checked by the dynamic
-        # SUBSET in tests/test_entry_oracle.py (computed as 'oracle-
-        # backed and past position 50', so any future rotation keeps
-        # the invariant); entries rotated out this round all have
-        # green CORRECTNESS_r10 rows. ROUND-12 ROTATION QUEUE: the
-        # round-11 additions at the very end of this dict (own
-        # comment) rotate in next round along with the oldest
-        # surviving r5/r6 rows.
+        # long-stable legacy tail:
         "unigram_fertility": _unigram_fertility,
         "wordpiece_merges": _wordpiece_merges,
         "wordpiece_fertility": _wordpiece_fertility,
@@ -13803,7 +13850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cms_topk": _token_cms_topk,
         "knn_mutual_pairs": _knn_mutual_pairs,
         "knn_mutual_ann": _knn_mutual_ann,
-        "pipeline_ccnet": _pipeline_ccnet,
         "pipeline_dedup_full": _pipeline_dedup_full,
         "docs_dedup_funnel": _docs_dedup_funnel,
         "pipeline_crawl": _pipeline_crawl,
@@ -13814,12 +13860,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_cut": _docs_dedup_cut,
         "docs_html_extract": _docs_html_extract,
         "docs_normalize": _docs_normalize,
-        "docs_keep_best": _docs_keep_best,
-        "pipeline_web": _pipeline_web,
-        "mix_unimax": _mix_unimax,
-        "ann_tuned_topk": _ann_tuned_topk,
-        "ann_rank_quality": _ann_rank_quality,
-        "embedding_rp_topk": _embedding_rp_topk,
         "cascade_topk": _cascade_topk,
         "mmr_topk": _mmr_topk,
         "corpus_manifest": _corpus_manifest,
@@ -13833,22 +13873,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_header_meta": _multimodal_header_meta,
         "multimodal_wav_meta": _multimodal_wav_meta,
         "multimodal_mp4_meta": _multimodal_mp4_meta,
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "q9_nation_profit": _q9_nation_profit,
-        "q11_important_parts": _q11_important_parts,
-        "q12_late_lines": _q12_late_lines,
-        "q16_supplier_counts": _q16_supplier_counts,
-        "q20_share_suppliers": _q20_share_suppliers,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
         "docs_quality_clf": _docs_quality_clf,
         "docs_keyword_topk": _docs_keyword_topk,
         "source_quality_report": _source_quality_report,
         "corpus_manifest_incremental": _corpus_manifest_incremental,
         "docs_stream_upsert": _docs_stream_upsert,
         "dsir_select": _dsir_select,
-        "docs_c4_clean": _docs_c4_clean,
-        "dedup_keep_best": _dedup_keep_best,
-        "mix_target": _mix_target,
         "docs_stream_near_pairs": _docs_stream_near_pairs,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "decontaminate_ngram": _decontaminate_ngram,
@@ -13873,8 +13903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "pca_2d": _pca_2d,
         "hf_embed_fake": _hf_embed_fake,
-        "ann_lsh_batch": _ann_lsh_batch,
-        "ann_topk_sidecar": _ann_topk_sidecar,
         "sq_topk": _sq_topk,
         "matryoshka_topk": _matryoshka_topk,
         "incremental_near_dup": _incremental_near_dup,
@@ -13930,33 +13958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": _soft_dedup,
         "winnow_pairs": _winnow_pairs,
         "token_pmi": _token_pmi,
-        # round-11 additions (tail — the round-11 window above is
-        # HELD; the dynamic SUBSET in tests/test_entry_oracle.py
-        # checks them now; each locally verified at sf0.001 AND
-        # sf0.01 via scripts/check_oracle.py when it landed). They
-        # form the ROUND-12 ROTATION QUEUE:
-        "ann_recall_ivfpq": _ann_recall_ivfpq,
-        "corpus_overlap_manifest": _corpus_overlap_manifest,
-        "docs_fim_spm": _docs_fim_spm,
-        "corpus_overlap_matrix": _corpus_overlap_matrix,
-        "docs_batch_padding": _docs_batch_padding,
-        "docs_zipf_fit": _docs_zipf_fit,
-        "embedding_covariance": _embedding_covariance,
-        "docs_bootstrap_ci": _docs_bootstrap_ci,
-        "docs_clf_auc": _docs_clf_auc,
-        "docs_clf_calibration": _docs_clf_calibration,
-        "docs_lang_segments": _docs_lang_segments,
-        "docs_english_salvage": _docs_english_salvage,
-        "rm3_search": _rm3_search,
-        "token_skipgrams": _token_skipgrams,
-        "token_negatives": _token_negatives,
-        "events_user_sequences": _events_user_sequences,
-        "docs_source_lang_cube": _docs_source_lang_cube,
-        "docs_truncation_report": _docs_truncation_report,
-        "pipeline_seq_prep": _pipeline_seq_prep,
-        "docs_triangle_stats": _docs_triangle_stats,
-        "lm_greedy_continuation": _lm_greedy_continuation,
-        "docs_dup_ngram_frac": _docs_dup_ngram_frac,
     }
 
 

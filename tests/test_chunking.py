@@ -181,6 +181,11 @@ def test_segment_runs_islands_and_null_safety(spark):
         (1, 1, "en"), (1, 2, "en"), (1, 3, "de"),
         (1, 4, None), (1, 5, None), (1, 6, "en"),
         (2, 1, "fr"),
+        # leading NULL: lag() is NULL on the first row too, and
+        # eqNullSafe(NULL, NULL) is true — without the forced first-
+        # row change this run got seg_idx -1 and shifted all later
+        # runs (the r11 ADVICE medium finding)
+        (3, 1, None), (3, 2, None), (3, 3, "en"),
     ]
     df = spark.createDataFrame(rows, "id int, idx int, lab string")
     got = sorted(
@@ -193,6 +198,8 @@ def test_segment_runs_islands_and_null_safety(spark):
         (1, 2, None, 2, 4, 5),
         (1, 3, "en", 1, 6, 6),
         (2, 0, "fr", 1, 1, 1),
+        (3, 0, None, 2, 1, 2),
+        (3, 1, "en", 1, 3, 3),
     ]
 
 

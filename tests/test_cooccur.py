@@ -143,3 +143,66 @@ def test_negative_sampling_table_and_draws(spark):
         negative_sampling_table(docs, "text", table_size=0)
     with pytest.raises(ValueError, match="k must"):
         sample_negatives(pairs, "key", table, k=0)
+
+
+def test_negative_sampling_ranges_and_join_path(spark):
+    """negative_sampling_ranges: vocab-bounded driver artifact whose
+    slot ranges tile [0, T) exactly; max_vocab caps the collect on the
+    canonical (count desc, term) order; sample_negatives_join draws
+    identically to the literal-array path via a broadcast equi-join
+    with zero shuffles (the r11 ADVICE scale finding)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.operators.cooccur import (
+        negative_sampling_ranges,
+        negative_sampling_table,
+        sample_negatives,
+        sample_negatives_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["a"] * 80 + ["b"] * 16 + ["c"] * 4))],
+        "doc_id long, text string",
+    )
+    T = 1000
+    ranges = negative_sampling_ranges(docs, "text", table_size=T)
+    # ranges tile [0, T) contiguously in canonical order
+    assert ranges[0][1] == 0 and ranges[-1][2] == T
+    for (_, _, hi), (_, lo, _) in zip(ranges, ranges[1:]):
+        assert hi == lo
+    # the table view is the expansion of the ranges
+    table = negative_sampling_table(docs, "text", table_size=T)
+    for t, lo, hi in ranges:
+        assert table[lo:hi] == [t] * (hi - lo)
+
+    # max_vocab caps on (count desc, term): only 'a' and 'b' survive
+    capped = negative_sampling_ranges(
+        docs, "text", table_size=T, max_vocab=2
+    )
+    assert [t for t, _, _ in capped] == ["a", "b"]
+    assert capped[-1][2] == T  # last kept term absorbs the tail
+
+    # join path == literal-array path, and its plan is broadcast-only
+    pairs = spark.createDataFrame(
+        [(f"k{i}",) for i in range(100)], "key string"
+    )
+    via_arr = {(r["key"], r["neg_idx"]): r["neg"]
+               for r in sample_negatives(pairs, "key", table,
+                                         k=3, salt="s").collect()}
+    joined = sample_negatives_join(pairs, "key", ranges, T,
+                                   k=3, salt="s")
+    assert P.num_shuffles(joined) == 0
+    assert "BroadcastHashJoin" in P.join_strategies(joined)
+    via_join = {(r["key"], r["neg_idx"]): r["neg"]
+                for r in joined.collect()}
+    assert via_join == via_arr
+
+    # generic exponents have no engine-exact law: refuse them
+    with pytest.raises(ValueError, match="power"):
+        negative_sampling_table(docs, "text", power=0.5)
+    with pytest.raises(ValueError, match="max_vocab"):
+        negative_sampling_ranges(docs, "text", max_vocab=0)
+    with pytest.raises(ValueError, match="empty"):
+        sample_negatives_join(pairs, "key", [], T)

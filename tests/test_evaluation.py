@@ -168,12 +168,16 @@ def test_calibration_bins_identities(spark):
 
     from tidyvec_spark.operators.evaluation import calibration_bins
 
-    rows = [(0.05, 0), (0.08, 0), (0.95, 1), (0.99, 1), (1.0, 1)]
+    # -0.2 clamps into bin 0 (symmetric with the >= 1.0 top clamp —
+    # the r11 ADVICE finding: an uncalibrated scorer must not produce
+    # a negative bin index)
+    rows = [(0.05, 0), (0.08, 0), (-0.2, 0),
+            (0.95, 1), (0.99, 1), (1.0, 1)]
     df = spark.createDataFrame(rows, "s double, y int")
     got = {r["bin"]: r for r in
            calibration_bins(df, "s", "y", n_bins=10).collect()}
-    assert set(got) == {0, 9}  # 1.0 clamps into the last bin
-    assert got[0]["n"] == 2 and got[0]["frac_pos"] == 0.0
+    assert set(got) == {0, 9}  # out-of-range clamps at both ends
+    assert got[0]["n"] == 3 and got[0]["frac_pos"] == 0.0
     assert got[9]["n"] == 3 and got[9]["frac_pos"] == 1.0
     with pytest.raises(ValueError, match="n_bins"):
         calibration_bins(df, "s", "y", n_bins=0)

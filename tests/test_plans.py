@@ -777,3 +777,41 @@ def test_hll_overlap_scans_each_corpus_once(spark, qs):
     df = qs["corpus_overlap_est"](spark, SF)
     assert P.num_scans(df) == 3
     P.assert_no_cartesian(df)
+
+
+def test_whiten_fit_is_one_scan_one_collect(spark, monkeypatch):
+    """whiten_embeddings' fitting contract, pinned (r11 verdict's one
+    weak item): covariance AND per-dimension means come off ONE
+    covariance_stats aggregate (one corpus scan) read by ONE collect —
+    the old shape ran a SEPARATE F.avg job for the means, doubling the
+    dominant cost of the whitening pass at 100 TB. Also pin that the
+    projection frame itself is a single scan (pure mapInPandas, no
+    shuffle)."""
+    from tidyvec_spark.operators.reduce import (
+        covariance_stats,
+        whiten_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # the fit frame: one scan, and its d(d+1)/2 rows carry BOTH moments
+    assert P.num_scans(covariance_stats(emb, "embedding", 64)) == 1
+
+    calls = {"collect": 0, "first": 0}
+    # patch the CONCRETE DataFrame class (pyspark 4's pyspark.sql.
+    # DataFrame is an abstract parent whose subclass overrides collect)
+    DataFrame = type(emb)
+    orig_collect, orig_first = DataFrame.collect, DataFrame.first
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: calls.__setitem__("collect", calls["collect"] + 1)
+        or orig_collect(self),
+    )
+    monkeypatch.setattr(
+        DataFrame, "first",
+        lambda self: calls.__setitem__("first", calls["first"] + 1)
+        or orig_first(self),
+    )
+    w = whiten_embeddings(emb, "embedding", dim=64, id_cols=["vec_id"])
+    assert calls == {"collect": 1, "first": 0}
+    assert P.num_scans(w) == 1
+    assert P.num_shuffles(w) == 0

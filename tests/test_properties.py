@@ -570,9 +570,16 @@ def test_whiten_embeddings_identity_covariance(spark):
     # anisotropic: one dominant direction drowning the rest
     base = rng.randn(300, 4) @ np.diag([5.0, 1.0, 0.3, 0.1])
     rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    # NULL embeddings pass through with a NULL out_col (row-count
+    # preserving — the ADVICE r11 join-back-by-id contract), and are
+    # excluded from the fit like embedding_covariance documents.
+    rows += [(1000, None), (1001, None)]
     df = spark.createDataFrame(rows, "id long, embedding array<double>")
     w = whiten_embeddings(df, "embedding", dim=4, id_cols=["id"])
     assert w.columns == ["id", "whitened"]
+    assert w.count() == 302
+    nulls = w.filter(F.col("whitened").isNull()).select("id").collect()
+    assert sorted(r["id"] for r in nulls) == [1000, 1001]
     got = np.zeros((4, 4))
     for r in embedding_covariance(w, "whitened", dim=4).collect():
         got[r["i"], r["j"]] = got[r["j"], r["i"]] = r["cov"]

@@ -124,9 +124,14 @@ def segment_runs(
 
     w = Window.partitionBy(id_col).orderBy(idx_col)
     prev = F.lag(F.col(label_col)).over(w)
-    chg = F.when(
-        F.col(label_col).eqNullSafe(prev), F.lit(0)
-    ).otherwise(F.lit(1))
+    # the FIRST row always opens a run: lag() is NULL there, and a
+    # NULL first label would null-safe-equal it (chg=0 → seg_idx -1,
+    # shifting every later run) — force chg=1 at row_number 1
+    chg = F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(
+        F.when(
+            F.col(label_col).eqNullSafe(prev), F.lit(0)
+        ).otherwise(F.lit(1))
+    )
     run = (
         df.select(id_col, idx_col, label_col)
         .withColumn("__chg", chg)

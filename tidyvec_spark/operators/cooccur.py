@@ -38,9 +38,80 @@ from tidyvec_spark.functions.text import let, tokens
 __all__ = [
     "token_pmi_topk",
     "skipgram_pairs",
+    "negative_sampling_ranges",
     "negative_sampling_table",
     "sample_negatives",
+    "sample_negatives_join",
 ]
+
+# integer weight scale: floor(w · 2^20) — multiplying by a power of
+# two is EXACT in IEEE-754, so the integer weights (and therefore
+# every slot boundary) are reproducible bit-for-bit on any engine
+_W_SCALE = 1 << 20
+
+
+def negative_sampling_ranges(
+    df: DataFrame,
+    text_col: str,
+    table_size: int = 2048,
+    max_vocab: int = 65536,
+) -> list:
+    """Slot RANGES of the word2vec negative-sampling table (Mikolov
+    et al. 2013 §2.2): [(term, lo, hi)] in canonical (count desc,
+    term) order — term t owns slots [lo, hi) of a conceptual
+    ``table_size``-slot array, in proportion to ``count^0.75`` (0.75
+    flattens the unigram distribution so frequent terms are not ALL
+    the negatives).
+
+    The driver artifact is VOCABULARY-bounded, never table-bounded:
+    the collect is a distributed top-``max_vocab`` by count (a
+    TakeOrdered heap, no global sort), so word2vec's canonical
+    table_size = 1e8 costs the driver ≤ max_vocab ranges, not 1e8
+    slots. Truncation matches what the ^0.75 table effectively does
+    anyway — tail terms whose mass rounds below one slot never appear.
+
+    Boundary law, INTEGER-EXACT on every engine (the r11 ADVICE
+    float-ulp finding): w = sqrt(c·sqrt(c)) = c^0.75 uses only
+    IEEE-754 correctly-rounded ops (sqrt and multiply — pow() is NOT
+    correctly rounded and may differ across engines), the integer
+    weight is floor(w · 2^20) (power-of-two scaling is exact), and
+    hi_t = (Σ_{{≤t}} wi) · T // Σwi in arbitrary-precision integer
+    arithmetic — no float summation anywhere, so segment-tree vs
+    sequential window sums cannot shift a boundary. The SQL twin is
+    floor-div over HUGEINT cumulative sums; both engines agree
+    bit-for-bit at ANY scale, not just tested fixtures. The last term
+    absorbs the floor shortfall (its hi is forced to T)."""
+    import math
+
+    T = int(table_size)
+    if T < 1:
+        raise ValueError("table_size must be >= 1")
+    if int(max_vocab) < 1:
+        raise ValueError("max_vocab must be >= 1")
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__t"))
+        .limit(int(max_vocab))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("corpus has no tokens")
+    vocab = [(int(r["__c"]), r["__t"]) for r in rows]
+    wi = [
+        int(math.sqrt(c * math.sqrt(c)) * _W_SCALE) for c, _ in vocab
+    ]
+    z = sum(wi)
+    ranges: list = []
+    cum = 0
+    for (c, t), w in zip(vocab, wi):
+        lo = cum * T // z
+        cum += w
+        hi = T if cum == z else cum * T // z
+        if hi > lo:
+            ranges.append((t, lo, hi))
+    return ranges
 
 
 def negative_sampling_table(
@@ -48,47 +119,29 @@ def negative_sampling_table(
     text_col: str,
     power: float = 0.75,
     table_size: int = 2048,
+    max_vocab: int = 65536,
 ) -> list:
-    """word2vec negative-sampling table (Mikolov et al. 2013 §2.2):
-    each vocabulary term occupies slots of a ``table_size`` array in
-    proportion to ``count^power`` (0.75 flattens the unigram
-    distribution so frequent terms are not ALL the negatives), built
-    with the cumulative-floor law — term t in canonical (count desc,
-    term) order owns slots [floor(cum_{{t-1}}·T), floor(cum_t·T)).
-
-    The table is a BOUNDED driver artifact (like PQ codebooks): one
-    vocabulary-sized aggregation pass, then Python builds the T-slot
-    list. Terms whose probability mass rounds below one slot simply
-    never appear — exactly word2vec's behaviour. Feed it to
-    :func:`sample_negatives` for O(1)-per-draw distributed sampling."""
+    """The T-slot list view of :func:`negative_sampling_ranges` (same
+    canonical order, same integer-exact boundary law) — convenient
+    for :func:`sample_negatives`' literal-array lookup when
+    ``table_size`` is expression-sized (thousands). For word2vec's
+    canonical 1e8-slot table use the ranges + broadcast-join path
+    (:func:`sample_negatives_join`), which never materializes slots
+    on the driver. ``power`` must be 0.75 — the sqrt-based
+    engine-exact law has no generic-exponent form (pow() is not
+    correctly rounded in IEEE-754)."""
+    if float(power) != 0.75:
+        raise ValueError(
+            "only power=0.75 is supported (engine-exact sqrt law)"
+        )
     T = int(table_size)
-    if T < 1:
-        raise ValueError("table_size must be >= 1")
-    rows = (
-        df.select(F.explode(tokens(text_col)).alias("__t"))
-        .groupBy("__t")
-        .agg(F.count("*").alias("__c"))
-        .collect()
+    ranges = negative_sampling_ranges(
+        df, text_col, table_size=T, max_vocab=max_vocab
     )
-    if not rows:
-        raise ValueError("corpus has no tokens")
-    vocab = sorted(
-        ((int(r["__c"]), r["__t"]) for r in rows),
-        key=lambda x: (-x[0], x[1]),
-    )
-    weights = [c ** float(power) for c, _ in vocab]
-    z = sum(weights)
     table: list = []
-    cum_w = 0.0
-    for (c, t), w in zip(vocab, weights):
-        # (Σw)/z, NOT Σ(w/z): the one float law shared with the SQL
-        # oracle's window-sum-then-divide, so slot boundaries agree
-        # bit-for-bit
-        cum_w += w
-        hi = min(int(cum_w / z * T), T)
-        table.extend([t] * max(hi - len(table), 0))
-    while len(table) < T:  # float shortfall at the very end
-        table.append(vocab[-1][1])
+    for t, lo, hi in ranges:
+        table.extend([t] * (hi - lo))
+    assert len(table) == T
     return table
 
 
@@ -129,6 +182,60 @@ def sample_negatives(
     )
     slot = F.least(F.floor(u * T).cast("int"), F.lit(T - 1))
     return out.withColumn(out_col, F.element_at(arr, slot + 1))
+
+
+def sample_negatives_join(
+    df: DataFrame,
+    key_col,
+    ranges: list,
+    table_size: int,
+    k: int = 5,
+    salt: str = "",
+    out_col: str = "neg",
+    idx_col: str = "neg_idx",
+) -> DataFrame:
+    """The scale path of :func:`sample_negatives`: same draw law
+    (slot i = floor(hash_unit(key:i, salt) · T)), but the slot→term
+    lookup is a BROADCAST equi-join against the expanded ranges frame
+    instead of a T-element literal array in the plan — word2vec's
+    canonical table_size = 1e8 would otherwise be a 1e8-literal
+    expression (and a 1e8-entry driver list). The driver ships only
+    the vocabulary-bounded ``ranges``; slot expansion
+    (explode(sequence(lo, hi−1))) is distributed, and the T-row slots
+    frame broadcasts once per job, not once per plan node. One
+    BroadcastHashJoin, zero shuffle."""
+    from tidyvec_spark.operators.sampling import hash_unit
+
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    if not ranges:
+        raise ValueError("empty sampling ranges")
+    T = int(table_size)
+    spark = df.sparkSession
+    slots = spark.createDataFrame(
+        ranges, "__term string, __lo long, __hi long"
+    ).select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi") - 1)
+        ).alias("__slot"),
+        F.col("__term"),
+    )
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    out = df.withColumn(
+        idx_col, F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1)))
+    )
+    u = hash_unit(
+        F.concat(key.cast("string"), F.lit(":"),
+                 F.col(idx_col).cast("string")),
+        salt,
+    )
+    slot = F.least(F.floor(u * T).cast("long"), F.lit(T - 1))
+    return (
+        out.withColumn("__slot", slot)
+        .join(F.broadcast(slots), "__slot")
+        .withColumnRenamed("__term", out_col)
+        .drop("__slot")
+    )
 
 
 def skipgram_pairs(

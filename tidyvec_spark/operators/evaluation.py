@@ -103,13 +103,17 @@ def calibration_bins(
     ``n_bins`` equal-width bins, each reporting (bin, n, mean_score,
     frac_pos) — a calibrated scorer has mean_score ≈ frac_pos per bin,
     and the gap is what converts a good AUC into a usable keep
-    threshold. Scores ≥ 1.0 clamp into the last bin. One bounded
-    hash-agg; empty bins are simply absent."""
+    threshold. Out-of-range scores clamp symmetrically: ≥ 1.0 into
+    the last bin, < 0.0 into bin 0 (an uncalibrated scorer must not
+    produce negative bin indices). One bounded hash-agg; empty bins
+    are simply absent."""
     nb = int(n_bins)
     if nb < 1:
         raise ValueError("n_bins must be >= 1")
     s = F.col(score_col).cast("double")
-    b = F.least(F.floor(s * nb), F.lit(nb - 1)).cast("int")
+    b = F.least(
+        F.greatest(F.floor(s * nb), F.lit(0)), F.lit(nb - 1)
+    ).cast("int")
     ms = F.avg(s)
     fp = F.avg(F.col(label_col).cast("double"))
     if round_to is not None:

@@ -22,26 +22,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def embedding_covariance(
+def covariance_stats(
     df: DataFrame,
     emb_col: str,
     dim: int,
-    round_to: Optional[int] = None,
 ) -> DataFrame:
-    """Population covariance of an embedding column as the UPPER
-    TRIANGLE (i, j, cov), i ≤ j < ``dim`` — the spectral health
-    primitive behind anisotropy diagnosis (Ethayarajh 2019: contextual
-    embeddings concentrate in a narrow cone; Mu & Viswanath 2018
-    remove the top components) and the input to
-    :func:`whiten_embeddings`.
+    """The lazy moment aggregate behind :func:`embedding_covariance`
+    and :func:`whiten_embeddings`: upper-triangle rows
+    (i, j, n, sx, sy, sxy) with i ≤ j < ``dim`` where sx = Σx_i,
+    sy = Σx_j, sxy = Σx_i·x_j over non-NULL embeddings.
 
     ONE corpus scan: each Arrow batch contributes BLAS partials
     (n, Σx per dim, XᵀX upper triangle) via ``mapInPandas`` — never a
     row explosion into n·d² records — and the final aggregate is
     d(d+1)/2 rows regardless of corpus size, fully map-side-combined.
-    NULL embeddings are excluded (they carry no coordinates). Rows
-    with a different length than ``dim`` raise — a silent skip would
-    bias every entry."""
+    Covariance AND per-dimension means both read off this one frame:
+    cov(i,j) = sxy/n − (sx/n)(sy/n), μ_i = sx/n on the diagonal rows —
+    so a consumer that needs both (whitening) pays one scan, one
+    collect. Rows with a different length than ``dim`` raise — a
+    silent skip would bias every entry."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -86,7 +85,7 @@ def embedding_covariance(
                 }
             )
 
-    agg = (
+    return (
         df.select(F.col(emb_col).cast("array<double>").alias(col))
         .filter(F.col(col).isNotNull())
         .mapInPandas(partials, schema)
@@ -98,6 +97,23 @@ def embedding_covariance(
             F.sum("sxy").alias("sxy"),
         )
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    emb_col: str,
+    dim: int,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Population covariance of an embedding column as the UPPER
+    TRIANGLE (i, j, cov), i ≤ j < ``dim`` — the spectral health
+    primitive behind anisotropy diagnosis (Ethayarajh 2019: contextual
+    embeddings concentrate in a narrow cone; Mu & Viswanath 2018
+    remove the top components) and the input to
+    :func:`whiten_embeddings`. One corpus scan via
+    :func:`covariance_stats`; NULL embeddings are excluded (they carry
+    no coordinates)."""
+    agg = covariance_stats(df, emb_col, dim)
     cov = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (
         F.col("sy") / F.col("n")
     )
@@ -121,39 +137,38 @@ def whiten_embeddings(
     the rank-k cousin; ZCA is the full correction and stays closest
     to the original basis).
 
-    Two passes: :func:`embedding_covariance` + a mean aggregate (one
-    scan together — the d(d+1)/2 + d numbers are a BOUNDED driver
-    artifact, like PQ codebooks), eigendecomposition on the driver
-    (d×d, microseconds), then one map-side BLAS projection per Arrow
-    batch. ``eps`` floors the eigenvalues so near-singular directions
-    do not explode."""
+    ONE fitting scan, ONE collect: :func:`covariance_stats` already
+    carries the per-dimension sums (sx on the diagonal rows), so the
+    covariance matrix AND the mean vector both come off the same
+    d(d+1)/2-row collect — a BOUNDED driver artifact, like PQ
+    codebooks. Eigendecomposition on the driver (d×d, microseconds),
+    then one map-side BLAS projection per Arrow batch. ``eps`` floors
+    the eigenvalues so near-singular directions do not explode.
+
+    Rows whose embedding is NULL pass through with a NULL ``out_col``
+    (no coordinates to project) — the output has exactly one row per
+    input row, so joining whitened vectors back by id is lossless.
+    The fit itself excludes NULLs, matching
+    :func:`embedding_covariance`."""
     import numpy as np
     from pyspark.sql import types as T
 
     d = int(dim)
     id_cols = list(id_cols or [])
-    tri = embedding_covariance(df, emb_col, d).collect()
+    stats = covariance_stats(df, emb_col, d).collect()
     C = np.zeros((d, d))
-    for r in tri:
-        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
-    mean_row = (
-        df.filter(F.col(emb_col).isNotNull())
-        .select(
-            F.array(
-                *[
-                    F.avg(F.col(emb_col)[i].cast("double"))
-                    for i in range(d)
-                ]
-            ).alias("mu")
-        )
-        .first()
-    )
-    mu = np.asarray(mean_row["mu"], dtype=np.float64)
+    mu = np.zeros(d)
+    for r in stats:
+        n = r["n"]
+        cov = r["sxy"] / n - (r["sx"] / n) * (r["sy"] / n)
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = cov
+        if r["i"] == r["j"]:
+            mu[r["i"]] = r["sx"] / n
     lam, U = np.linalg.eigh(C)
     W = U @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + float(eps))) @ U.T
     fields = [df.schema[c] for c in id_cols]
     fields.append(
-        T.StructField(out_col, T.ArrayType(T.DoubleType(), False), False)
+        T.StructField(out_col, T.ArrayType(T.DoubleType(), False), True)
     )
     schema = T.StructType(fields)
     col = emb_col
@@ -162,15 +177,19 @@ def whiten_embeddings(
         import pandas as pd
 
         for pdf in batches:
-            pdf = pdf[pdf[col].notna()]
             if not len(pdf):
                 continue
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[col]]
-            )
-            Y = (X - mu) @ W.T
+            mask = pdf[col].notna().to_numpy()
             out = {c: pdf[c].values for c in id_cols}
-            out[out_col] = list(Y)
+            proj = [None] * len(pdf)
+            if mask.any():
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[col][mask]]
+                )
+                Y = (X - mu) @ W.T
+                for k, p in enumerate(np.flatnonzero(mask)):
+                    proj[p] = Y[k]
+            out[out_col] = pd.Series(proj, dtype="object")
             yield pd.DataFrame(out)
 
     return df.select(
