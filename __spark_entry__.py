@@ -10632,6 +10632,52 @@ SELECT i, j, ROUND(c, 4) AS cov FROM p
 """
 
 
+def _embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening end-to-end (operators/reduce.py::
+    whiten_embeddings — Mu & Viswanath 2018's full-rank correction),
+    pinned by its OUTPUT LAW: the whitened column's covariance is the
+    identity and its mean is zero — SQL-checkable without replaying
+    the eigendecomposition. The entry whitens the fixture embeddings
+    (one fitting scan + one collect of the d(d+1)/2 moment rows — the
+    r11 verdict's weak item, now plan-pinned), then reruns the SAME
+    covariance_stats aggregate ON the whitened output and emits
+    (i, j, cov_id, mean_zero): cov_id rounds to 1.0 on the diagonal /
+    0.0 off it at 3 decimals (eps=1e-6 floors eigenvalues ~1e-2, so
+    λ/(λ+eps) ≥ 0.9998), mean_zero rounds to 0.0 at 6 on diagonal
+    rows (W(μ−μ) is zero up to float). ``+ 0.0`` folds any -0.0 from
+    rounding a tiny negative into +0.0 on both engines."""
+    from tidyvec_spark.operators.reduce import (
+        covariance_stats,
+        whiten_embeddings,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    w = whiten_embeddings(e, "embedding", dim=64, id_cols=["vec_id"])
+    stats = covariance_stats(w, "whitened", 64)
+    cov = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (
+        F.col("sy") / F.col("n")
+    )
+    return stats.select(
+        "i",
+        "j",
+        (F.round(cov, 3) + F.lit(0.0)).alias("cov_id"),
+        F.when(
+            F.col("i") == F.col("j"),
+            F.round(F.col("sx") / F.col("n"), R) + F.lit(0.0),
+        ).alias("mean_zero"),
+    )
+
+
+_EMBEDDING_WHITEN_SQL = """
+WITH idx AS (SELECT CAST(unnest(range(64)) AS INT) AS i)
+SELECT a.i AS i, b.i AS j,
+       CAST(CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END AS DOUBLE)
+         AS cov_id,
+       CAST(CASE WHEN a.i = b.i THEN 0.0 END AS DOUBLE) AS mean_zero
+FROM idx a, idx b WHERE a.i <= b.i
+"""
+
+
 _BOOT_SALT = "r11bs"
 _BOOT_N = 200
 
@@ -13958,6 +14004,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": _soft_dedup,
         "winnow_pairs": _winnow_pairs,
         "token_pmi": _token_pmi,
+        # round-12 additions (tail — the round-12 window above is
+        # HELD; the dynamic SUBSET in tests/test_entry_oracle.py
+        # checks them now; each locally verified at sf0.001 AND
+        # sf0.01 via scripts/check_oracle.py when it landed). They
+        # form the ROUND-13 ROTATION QUEUE:
+        "embedding_whiten": _embedding_whiten,
     }
 
 
@@ -14243,4 +14295,6 @@ def oracle_sql() -> dict[str, str]:
         # kmeans_clusters / pca_2d / hf_embed_fake: no SQL twin
         # (iterative ML / nondeterministic-sign PCA / env-gated HF)
         # -> driver rows-only check
+        # round-12 additions:
+        "embedding_whiten": _EMBEDDING_WHITEN_SQL,
     }

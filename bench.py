@@ -289,6 +289,8 @@ BENCH_QUERIES = [
     "docs_triangle_stats",
     "lm_greedy_continuation",
     "docs_dup_ngram_frac",
+    # round-12 additions
+    "embedding_whiten",
 ]
 
 
