@@ -11976,12 +11976,18 @@ def _token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKEN_CMS_SQL = f"""
+def _token_cms_sql(salt: str) -> str:
+    """The engine-portable CMS build+probe law in SQL, parametrized by
+    salt — shared by token_cms_topk (direct scan build) and
+    token_cms_manifest (whose Spark side goes through manifest-stored
+    per-shard arrays; the summed shard counters equal the direct
+    corpus build BIT-FOR-BIT, so ONE oracle law pins both paths)."""
+    return f"""
 WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
 rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
 cms AS (
   SELECT r,
-    CAST(CONCAT('0x', substr(md5(CONCAT('cms7', CAST(r AS VARCHAR), ':',
+    CAST(CONCAT('0x', substr(md5(CONCAT('{salt}', CAST(r AS VARCHAR), ':',
       term)), 1, 8)) AS UBIGINT) % 256 AS bucket,
     count(*) AS cnt
   FROM tok, rows_
@@ -11991,7 +11997,7 @@ exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact
           FROM tok GROUP BY term),
 probe AS (
   SELECT e.term, e.n_exact, r.r,
-    CAST(CONCAT('0x', substr(md5(CONCAT('cms7', CAST(r.r AS VARCHAR), ':',
+    CAST(CONCAT('0x', substr(md5(CONCAT('{salt}', CAST(r.r AS VARCHAR), ':',
       e.term)), 1, 8)) AS UBIGINT) % 256 AS bucket
   FROM exact e, rows_ r
 ),
@@ -12004,6 +12010,58 @@ est AS (
 SELECT term, n_exact, n_est, n_est - n_exact AS overcount
 FROM est ORDER BY n_exact DESC, term LIMIT 20
 """
+
+
+_TOKEN_CMS_SQL = _token_cms_sql("cms7")
+
+
+def _token_cms_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-scan frequency triage from manifest-stored Count-Min
+    sketches (sources/maintenance.py::corpus_manifest(cms=True) +
+    operators/sketches.py::cms_from_manifest) — the counting twin of
+    corpus_overlap_manifest: each md5-shard's token CMS is stored as
+    an 8 KB array at ingest, the shard arrays sum element-wise into
+    the whole-corpus sketch EXACTLY, and the top-20 terms'
+    frequencies are then estimated WITHOUT re-scanning the token
+    stream. The oracle replays the direct scan build (one shared law,
+    _token_cms_sql) — a hash match proves the manifest path is
+    bit-identical to the scan path, overcount one-sided included.
+    The exact counts ride along as the audit scaffold, exactly like
+    corpus_overlap_manifest's exact side."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.sketches import (
+        cms_estimate,
+        cms_from_manifest,
+    )
+    from tidyvec_spark.sources.maintenance import corpus_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+    man = corpus_manifest(
+        docs, "doc_id", "text",
+        n_shards=8, digest=False, cms=True, cms_salt="cmsM",
+    )
+    cms = cms_from_manifest(man, width=256)
+    tok = docs.select(F.explode(X.tokens("text")).alias("term"))
+    exact = tok.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    est = cms_estimate(
+        exact.select("term"), "term", cms,
+        depth=4, width=256, salt="cmsM",
+    )
+    return (
+        exact.join(est, "term")
+        .select(
+            "term",
+            "n_exact",
+            F.col("n_est").cast("long").alias("n_est"),
+            (F.col("n_est") - F.col("n_exact")).cast("long").alias(
+                "overcount"
+            ),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+        .limit(20)
+    )
 
 
 def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14010,6 +14068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.01 via scripts/check_oracle.py when it landed). They
         # form the ROUND-13 ROTATION QUEUE:
         "embedding_whiten": _embedding_whiten,
+        "token_cms_manifest": _token_cms_manifest,
     }
 
 
@@ -14297,4 +14356,5 @@ def oracle_sql() -> dict[str, str]:
         # -> driver rows-only check
         # round-12 additions:
         "embedding_whiten": _EMBEDDING_WHITEN_SQL,
+        "token_cms_manifest": _token_cms_sql("cmsM"),
     }

@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "docs_dup_ngram_frac",
     # round-12 additions
     "embedding_whiten",
+    "token_cms_manifest",
 ]
 
 

@@ -488,6 +488,90 @@ def test_manifest_sketch_merge_lossless_and_zero_scan(spark, documents, tmp_path
         )
 
 
+def test_manifest_cms_merge_exact_and_zero_scan(spark, documents, tmp_path):
+    """r11 verdict item 4: per-shard Count-Min sketches in the
+    manifest, mirroring the HLL work.
+
+    - exactness: the manifest path (per-shard arrays → cms_from_
+      manifest) reproduces the direct-scan cms_build table BIT-FOR-BIT
+      (counter addition is the merge law — no estimation error in the
+      merge itself)
+    - merge law: combine_manifests element-wise-sums the cms arrays
+      of disjoint split manifests into the whole-corpus arrays
+    - zero-scan: frequency estimates answered from a WRITTEN manifest
+      never read the corpus text
+    - mixing cms-less and cms-bearing parts raises
+    """
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.functions.text import tokens
+    from tidyvec_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_from_manifest,
+    )
+    from tidyvec_spark.sources.maintenance import (
+        combine_manifests,
+        corpus_manifest,
+    )
+
+    docs = documents.select("doc_id", "text")
+    man = corpus_manifest(
+        docs, "doc_id", "text", n_shards=4, digest=False,
+        cms=True, cms_salt="s1",
+    )
+    tok = docs.select(F.explode(tokens("text")).alias("t"))
+    direct = sorted(
+        tuple(r) for r in cms_build(tok, "t", 4, 256, "s1").collect()
+    )
+    viaman = sorted(
+        (int(r["r"]), int(r["bucket"]), int(r["cnt"]))
+        for r in cms_from_manifest(man, width=256).collect()
+    )
+    assert viaman == direct
+
+    # disjoint-split merge == whole
+    parts = [
+        corpus_manifest(docs.filter(F.col("doc_id") % 2 == i),
+                        "doc_id", "text", n_shards=4, digest=False,
+                        cms=True, cms_salt="s1")
+        for i in (0, 1)
+    ]
+    merged = {r["shard"]: list(r["cms"])
+              for r in combine_manifests(*parts).collect()}
+    whole = {r["shard"]: list(r["cms"])
+             for r in corpus_manifest(docs, "doc_id", "text",
+                                      n_shards=4, cms=True,
+                                      cms_salt="s1").collect()}
+    assert merged == whole
+
+    # zero-scan probe from a WRITTEN manifest + never-undercount
+    mp = str(tmp_path / "man_cms")
+    man.write.parquet(mp)
+    stored = cms_from_manifest(spark.read.parquet(mp), width=256)
+    # probe terms are a LITERAL frame: the whole triage plan touches
+    # only the written manifest, never the corpus
+    probes = spark.createDataFrame(
+        [("the",), ("spark",), ("zzz_unseen",)], "t string"
+    )
+    est = cms_estimate(probes, "t", stored, 4, 256, "s1")
+    for cols in P.read_schemas(est):
+        assert "text" not in cols  # the corpus is never re-read
+    # never-undercount against the exact counts
+    exact = tok.groupBy("t").agg(F.count("*").alias("n"))
+    joined = probes.join(exact, "t", "left").fillna(0, ["n"]).join(est, "t")
+    assert joined.filter(F.col("n_est") < F.col("n")).count() == 0
+
+    with pytest.raises(ValueError, match="cms-less"):
+        combine_manifests(
+            parts[0],
+            corpus_manifest(docs, "doc_id", "text", n_shards=4,
+                            digest=False),
+        )
+
+
 def test_zipf_fit_recovers_power_law(spark):
     """zipf_fit: a corpus synthesized with an exact 1/rank frequency
     spectrum fits slope ~ -1 with r2 ~ 1; top_k caps the fitted head;

@@ -362,6 +362,44 @@ def _cms_bucket(width: int, salt: str):
     )
 
 
+def cms_from_manifest(
+    manifest: DataFrame,
+    width: int = 256,
+) -> DataFrame:
+    """Rebuild the (r, bucket, cnt) Count-Min table from a manifest's
+    per-shard ``cms`` arrays (``corpus_manifest(cms=True)``,
+    sources/maintenance.py) — ZERO corpus scans: the input is the
+    n_shards-row manifest, the shard arrays sum element-wise into the
+    whole-corpus sketch EXACTLY (counter addition is the merge law),
+    and the dense array unrolls back to the sparse table
+    :func:`cms_estimate` probes (index = r·width + bucket; zero
+    counters dropped — an absent bucket estimates 0 either way).
+    Frequency / heavy-hitter triage across stored corpora therefore
+    costs an n_shards-row fold, not a token-stream re-scan — the
+    counting twin of :func:`hll_overlap_from_sketches`."""
+    if int(width) < 1:
+        raise ValueError("width must be >= 1")
+    lst = F.collect_list("cms")
+    total = manifest.agg(
+        F.aggregate(
+            F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("__t")
+    )
+    return (
+        total.select(F.posexplode("__t").alias("i", "cnt"))
+        .filter(F.col("cnt") > 0)
+        .select(
+            ((F.col("i") - F.col("i") % int(width)) / int(width))
+            .cast("int")
+            .alias("r"),
+            (F.col("i") % int(width)).cast("long").alias("bucket"),
+            "cnt",
+        )
+    )
+
+
 def cms_merge(*tables: DataFrame) -> DataFrame:
     """Sum per (r, bucket) across sketch tables built with the same
     (depth, width, salt) — the union-then-one-groupBy merge law that

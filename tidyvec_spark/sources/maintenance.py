@@ -109,6 +109,10 @@ def corpus_manifest(
     digest: bool = True,
     sketch: bool = False,
     lg_k: int = 14,
+    cms: bool = False,
+    cms_depth: int = 4,
+    cms_width: int = 256,
+    cms_salt: str = "",
 ) -> DataFrame:
     """Content-addressable corpus manifest: per deterministic shard,
     (shard, n_docs, n_tokens, content_hash) — the artifact that makes
@@ -142,6 +146,21 @@ def corpus_manifest(
     ``hll_union_agg`` is associative/commutative like the other folds,
     so :func:`combine_manifests` extends naturally and incremental
     maintenance is unchanged.
+
+    With ``cms=True`` each shard row also carries the shard's
+    Count-Min sketch of its TOKEN stream as a flat
+    ``cms_depth·cms_width`` count array (index r·width + bucket; 4×256
+    longs = 8 KB/shard) — the counting twin of the HLL column: stored
+    at ingest, the summed shard arrays reproduce the whole-corpus CMS
+    EXACTLY (counter addition is the merge law, no estimation error in
+    the merge itself), so cross-corpus frequency / heavy-hitter triage
+    (:func:`~tidyvec_spark.operators.sketches.cms_from_manifest` →
+    ``cms_estimate``) runs with ZERO corpus scans. The bucket law is
+    :func:`~tidyvec_spark.operators.sketches.cms_build`'s
+    engine-portable md5 idiom, so any engine's manifest probes
+    identically. Token counting is a different grain than the per-doc
+    folds (an explode), so ``cms=True`` costs a second pass over the
+    text — paid once at ingest, saved on every later triage query.
     """
     from pyspark.sql import functions as F
 
@@ -172,12 +191,94 @@ def corpus_manifest(
             F.hll_sketch_agg(F.col("__h"), F.lit(int(lg_k))).alias("sketch")
         )
     raw = per_doc.groupBy("shard").agg(*aggs)
+    if cms:
+        raw = raw.join(
+            _shard_token_cms(
+                df, id_col, text_col, int(n_shards),
+                int(cms_depth), int(cms_width), cms_salt,
+            ),
+            "shard",
+            "left",
+        ).withColumn(
+            "cms",
+            F.coalesce(
+                F.col("cms"),
+                F.array_repeat(
+                    F.lit(0).cast("long"),
+                    int(cms_depth) * int(cms_width),
+                ),
+            ),
+        )
     if not digest:
         return raw
     cols = ["shard", "n_docs", "n_tokens", _manifest_digest(F)]
     if sketch:
         cols.append("sketch")
+    if cms:
+        cols.append("cms")
     return raw.select(*cols)
+
+
+def _shard_token_cms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+    depth: int,
+    width: int,
+    salt: str,
+) -> DataFrame:
+    """Per-shard token Count-Min counts as one flat array per shard
+    (index r·width + bucket) — :func:`corpus_manifest`'s cms column.
+    One token-grain pass: explode tokens × depth rows, count per
+    (shard, r, bucket) with full map-side partial aggregation (output
+    bounded by n_shards·depth·width rows), then assemble each shard's
+    ≤ depth·width observed counters into the dense array via a
+    bounded collect_list — never a per-token collect."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.hashing import md5_long
+    from tidyvec_spark.functions.text import tokens
+    from tidyvec_spark.operators.sketches import _cms_bucket
+
+    if depth < 1 or width < 1:
+        raise ValueError("cms_depth and cms_width must be >= 1")
+    tok = df.select(
+        F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.explode(tokens(text_col)).alias("__v"),
+    )
+    counts = (
+        tok.select(
+            "shard",
+            "__v",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+        )
+        .withColumn("bucket", _cms_bucket(width, salt))
+        .groupBy("shard", "r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    entries = F.map_from_entries(
+        F.collect_list(
+            F.struct(
+                (F.col("r") * width + F.col("bucket"))
+                .cast("int")
+                .alias("k"),
+                F.col("cnt").alias("v"),
+            )
+        )
+    )
+    return counts.groupBy("shard").agg(entries.alias("__m")).select(
+        "shard",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth * width - 1)),
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("__m"), i.cast("int")),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("cms"),
+    )
 
 
 def write_training_shards(
@@ -247,6 +348,14 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
     sketch equals the whole-corpus sketch — incremental ingest keeps
     the zero-scan overlap-triage capability. All parts must agree on
     having (or not having) the sketch column.
+
+    Parts built with ``cms=True`` merge their per-shard Count-Min
+    arrays by ELEMENT-WISE ADDITION (the fifth fold — CMS counters of
+    disjoint streams sum exactly, Cormode & Muthukrishnan 2005), so
+    the merged manifest's cms equals the whole-corpus build
+    bit-for-bit and zero-scan frequency triage survives incremental
+    ingest. Same all-or-none column rule as the HLL sketch; all parts
+    must share (depth, width, salt).
     """
     from functools import reduce
 
@@ -261,6 +370,13 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
             "the merged sketch would silently under-count the sketchless "
             "part; rebuild it with corpus_manifest(..., sketch=True)"
         )
+    with_cms = ["cms" in p.columns for p in parts]
+    if any(with_cms) and not all(with_cms):
+        raise ValueError(
+            "cannot merge cms-less and cms-bearing manifest parts: "
+            "the merged cms would silently under-count the cms-less "
+            "part; rebuild it with corpus_manifest(..., cms=True)"
+        )
     u = reduce(lambda a, b: a.unionByName(b), parts)
     aggs = [
         F.sum("n_docs").cast("long").alias("n_docs"),
@@ -272,6 +388,19 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
     if all(with_sketch):
         aggs.append(F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch"))
         cols.append("sketch")
+    if all(with_cms):
+        # per-shard list is parts-sized (bounded); fold by zip_with sum
+        lst = F.collect_list("cms")
+        aggs.append(
+            F.aggregate(
+                F.slice(
+                    lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))
+                ),
+                F.element_at(lst, 1),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("cms")
+        )
+        cols.append("cms")
     merged = u.groupBy("shard").agg(*aggs)
     return merged.select(*cols)
 
