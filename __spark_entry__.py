@@ -10262,6 +10262,76 @@ FROM st
 """
 
 
+def _docs_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (operators/graph.py::
+    node_clustering — Watts & Strogatz 1998's C_v) on the LCG link
+    graph: triangles_at_v / C(d_v, 2) per node — the node feature
+    that flags mirror-farm members (near-clique neighbourhoods → 1)
+    where docs_triangle_stats flags the corpus. The SAME degree-
+    oriented wedge/closure joins as the census (every triangle credits
+    its 3 vertices via one explode), so the O(m^1.5) skew bound is
+    unchanged; the oracle replays the identical orientation with the
+    apex kept through the closure."""
+    from tidyvec_spark.operators.graph import (
+        node_clustering,
+        synthetic_link_graph,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs, "doc_id", out_links=3)
+    return node_clustering(edges, round_to=R).withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+_DOCS_NODE_CLUSTERING_SQL = f"""
+WITH nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS a,
+         (doc_id * 7919 + j.j * 104729) % nn.n AS b
+  FROM (SELECT DISTINCT doc_id FROM documents), nn,
+       (SELECT unnest(range(1, 4)) AS j) j
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+fwd AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+              THEN u ELSE v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+              THEN v ELSE u END AS t
+  FROM und
+  JOIN deg du ON du.node = und.u
+  JOIN deg dv ON dv.node = und.v
+),
+tri AS (
+  SELECT p1.s AS a, p1.t AS b, p2.t AS c
+  FROM fwd p1
+  JOIN fwd p2 ON p1.s = p2.s AND p1.t < p2.t
+  JOIN und ON und.u = p1.t AND und.v = p2.t
+),
+tn AS (
+  SELECT node, count(*) AS nt
+  FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+  GROUP BY node
+)
+SELECT deg.node AS doc_id,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(tn.nt, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN ROUND(coalesce(tn.nt, 0) / (deg.d * (deg.d - 1) / 2.0),
+                       {R})
+            ELSE 0.0 END AS local_clustering
+FROM deg LEFT JOIN tn ON tn.node = deg.node
+"""
+
+
 def _docs_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection via deterministic synchronous label
     propagation (graph.py::label_propagation, Raghavan 2007) on the
@@ -14069,6 +14139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # form the ROUND-13 ROTATION QUEUE:
         "embedding_whiten": _embedding_whiten,
         "token_cms_manifest": _token_cms_manifest,
+        "docs_node_clustering": _docs_node_clustering,
     }
 
 
@@ -14357,4 +14428,5 @@ def oracle_sql() -> dict[str, str]:
         # round-12 additions:
         "embedding_whiten": _EMBEDDING_WHITEN_SQL,
         "token_cms_manifest": _token_cms_sql("cmsM"),
+        "docs_node_clustering": _DOCS_NODE_CLUSTERING_SQL,
     }

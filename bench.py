@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     # round-12 additions
     "embedding_whiten",
     "token_cms_manifest",
+    "docs_node_clustering",
 ]
 
 

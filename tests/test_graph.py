@@ -205,3 +205,35 @@ def test_triangle_stats_known_graphs(spark):
     )
     r = triangle_stats(pend).first()
     assert r["n_triangles"] == 1 and abs(r["global_clustering"] - 0.6) < 1e-9
+
+
+def test_node_clustering_known_graph(spark):
+    """node_clustering: exact local coefficients on a hand-checked
+    graph — a triangle {0,1,2} with a pendant 3 on node 0 — plus the
+    clique law (all coefficients 1.0) and degree-1 convention (0.0).
+    Cross-checked against triangle_stats: per-node triangle credits
+    sum to 3T."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.graph import node_clustering, triangle_stats
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in node_clustering(edges).collect()}
+    assert got[0]["degree"] == 3 and got[0]["n_triangles"] == 1
+    assert got[0]["local_clustering"] == round(1 / 3, 6)
+    assert got[1]["local_clustering"] == 1.0
+    assert got[2]["local_clustering"] == 1.0
+    assert got[3]["degree"] == 1 and got[3]["local_clustering"] == 0.0
+    t = triangle_stats(edges).first()["n_triangles"]
+    assert sum(r["n_triangles"] for r in got.values()) == 3 * t
+
+    # 4-clique: every node closes all its wedge pairs
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    for r in node_clustering(clique).collect():
+        assert r["degree"] == 3 and r["n_triangles"] == 3
+        assert r["local_clustering"] == 1.0

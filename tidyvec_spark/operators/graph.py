@@ -181,6 +181,50 @@ def triangle_stats(
     path enumeration + closure check. The same orientation is replayed
     in the SQL oracle.
     """
+    und, deg, fwd = _degree_oriented(edges, src, dst)
+    tri = _closed_wedges(und, fwd).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    stats = und.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+    )
+    out = (
+        stats.crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0)
+                    * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    round_to,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )
+    out._tidyvec_persisted = [und, fwd]
+    return out
+
+
+def _degree_oriented(edges: DataFrame, src: str, dst: str):
+    """The shared Schank & Wagner scaffolding behind
+    :func:`triangle_stats` and :func:`node_clustering`: canonical
+    undirected edges (u < v, deduped, persisted — two consumers),
+    undirected degrees, and the forward orientation from the
+    lower-(degree, id) endpoint (persisted — wedge enumeration
+    self-joins it), which caps every node's out-degree at ~√m so join
+    work is O(m^1.5) regardless of hub skew."""
     e = edges.select(
         F.col(src).cast("long").alias("a"),
         F.col(dst).cast("long").alias("b"),
@@ -218,41 +262,75 @@ def triangle_stats(
         .select("e.s", "e.t")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return und, deg, fwd
+
+
+def _closed_wedges(und: DataFrame, fwd: DataFrame) -> DataFrame:
+    """One row (a, b, c) per TRIANGLE: wedges enumerated at their
+    oriented apex ``a``, closed by the canonical-edge check — und is
+    already in u < v form, so (b, c) with b < c closes iff it is an
+    undirected edge. Each triangle appears exactly once (its unique
+    apex under the orientation)."""
     p1 = fwd.select(F.col("s").alias("a"), F.col("t").alias("b"))
     p2 = fwd.select(F.col("s").alias("a"), F.col("t").alias("c"))
     wedge = p1.join(p2, "a").filter(F.col("b") < F.col("c"))
-    # a wedge (b, c) with b < c closes iff (b, c) is an undirected
-    # edge — und is already in canonical u < v form
-    tri = wedge.join(
+    return wedge.join(
         und.select(F.col("u").alias("b"), F.col("v").alias("c")),
         ["b", "c"],
-    ).agg(F.count("*").cast("long").alias("n_triangles"))
-    stats = und.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
-        deg.agg(
-            F.count("*").cast("long").alias("n_nodes"),
-            F.sum(F.col("d") * (F.col("d") - 1) / 2)
-            .cast("long")
-            .alias("n_wedges"),
-        )
     )
-    out = (
-        stats.crossJoin(tri)
+
+
+def node_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient of the undirected view —
+    one row per node: (node, degree, n_triangles, local_clustering =
+    triangles_at_node / C(degree, 2)) — the standard spam-farm node
+    feature (Watts & Strogatz 1998's C_v): mirror-farm nodes sit in
+    near-cliques (coefficient → 1) while organic hubs bridge
+    otherwise-unconnected neighbours (coefficient → 0).
+    :func:`triangle_stats` is the census; this is its per-node
+    refinement, ONE extra groupBy over the SAME degree-oriented
+    wedge/closure joins: every triangle row (a, b, c) credits its
+    three vertices via a 3-element explode — never a per-node
+    neighborhood materialization, so the O(m^1.5) skew-proof bound is
+    unchanged. Degree-1 nodes have no wedge pairs: coefficient 0.0 by
+    convention."""
+    und, deg, fwd = _degree_oriented(edges, src, dst)
+    tri_nodes = (
+        _closed_wedges(und, fwd)
         .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    pairs = (F.col("d") * (F.col("d") - 1) / 2).cast("double")
+    out = (
+        deg.join(tri_nodes, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
             F.when(
-                F.col("n_wedges") > 0,
+                F.col("d") >= 2,
                 F.round(
-                    F.lit(3.0)
-                    * F.col("n_triangles").cast("double")
-                    / F.col("n_wedges").cast("double"),
+                    F.coalesce(F.col("n_triangles"), F.lit(0)).cast(
+                        "double"
+                    )
+                    / pairs,
                     round_to,
                 ),
             )
             .otherwise(F.lit(0.0))
-            .alias("global_clustering"),
+            .alias("local_clustering"),
         )
     )
     out._tidyvec_persisted = [und, fwd]
