@@ -118,3 +118,42 @@ def test_scoring_is_zero_shuffle(spark):
     w0, w = fit_quality_classifier(df, "text", "label", "id", num_buckets=64)
     out = classify_quality(df, "text", "id", w0, w)
     assert P.num_shuffles(out) == 0
+
+
+def test_ml_fit_agrees_with_driver_fit(spark):
+    """fit_quality_classifier_ml (the pyspark.ml LBFGS seam for
+    labeled sets past the driver bound): same feature law, same
+    (intercept, weights) shape, and ranking agreement with the
+    deterministic driver fit — AUC on the fixture within tolerance
+    and identical keep decisions through the SAME classify_quality
+    scoring surface. Objectives differ in constants, so coefficients
+    are close, never bit-equal (declared-ML, like kmeans)."""
+    from tidyvec_spark.operators.classifier import (
+        fit_quality_classifier_ml,
+    )
+    from tidyvec_spark.operators.evaluation import auc_score
+
+    df = _labeled_df(spark)
+    w0_d, w_d = fit_quality_classifier(
+        df, "text", "label", "id", num_buckets=64
+    )
+    w0_m, w_m = fit_quality_classifier_ml(
+        df, "text", "label", num_buckets=64
+    )
+    assert len(w_m) == len(w_d) == 64
+
+    def auc_of(w0, w):
+        scored = classify_quality(df, "text", "id", w0, w).join(
+            df.select("id", "label"), "id"
+        )
+        return auc_score(scored, "quality_prob", "label").first()["auc"]
+
+    auc_d, auc_m = auc_of(w0_d, w_d), auc_of(w0_m, w_m)
+    assert auc_d == 1.0  # the fixture is separable
+    assert abs(auc_m - auc_d) <= 0.05
+    # identical keep decisions on the clearly-separable fixture
+    keep_d = {r["id"]: r["keep"]
+              for r in classify_quality(df, "text", "id", w0_d, w_d).collect()}
+    keep_m = {r["id"]: r["keep"]
+              for r in classify_quality(df, "text", "id", w0_m, w_m).collect()}
+    assert keep_m == keep_d

@@ -53,6 +53,7 @@ __all__ = [
     "hashed_buckets_py",
     "fit_logreg_py",
     "fit_quality_classifier",
+    "fit_quality_classifier_ml",
     "classify_quality",
 ]
 
@@ -173,6 +174,71 @@ def fit_quality_classifier(
     return fit_logreg_py(
         labeled, ns=ns, num_buckets=num_buckets, iters=iters, lr=lr, l2=l2
     )
+
+
+def fit_quality_classifier_ml(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    ns: Sequence[int] = (1, 2),
+    num_buckets: int = 256,
+    iters: int = 64,
+    l2: float = 1e-3,
+) -> tuple[float, list[float]]:
+    """The DISTRIBUTED-training seam: ``pyspark.ml``'s LBFGS logistic
+    regression over the SAME binary-presence hashed features as
+    :func:`fit_quality_classifier` — for labeled sets past the driver
+    bound (the deterministic driver fit stays the oracle-checkable
+    default; this path trades bit-reproducibility for scale, like
+    ``cluster_embeddings`` does for k-means). The labeled frame never
+    reaches the driver: features are the map-side bucket expression
+    densified per row, and LBFGS aggregates gradients executor-side.
+
+    Returns the same (intercept, weights[num_buckets]) shape, so
+    :func:`classify_quality`'s zero-shuffle scoring surface is
+    IDENTICAL for both fits — only where the coefficient array comes
+    from changes, exactly the module-docstring promise. Agreement
+    with the driver fit is pinned by an AUC-tolerance pytest (the
+    objectives differ in constants, so coefficients are close, not
+    bit-equal)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    b = int(num_buckets)
+    per_n = [
+        hashed_ngram_buckets(text_col, n=int(n), num_buckets=b) for n in ns
+    ]
+    feats = per_n[0] if len(per_n) == 1 else F.concat(*per_n)
+    dense = let(
+        feats,
+        lambda fs: F.when(
+            F.size(fs) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(b - 1)),
+                lambda i: F.when(
+                    F.array_contains(fs, i.cast("long")),
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0)),
+            ),
+        ),
+    )
+    train = (
+        df.select(
+            F.col(label_col).cast("double").alias("label"),
+            dense.alias("__x"),
+        )
+        .filter(F.col("label").isNotNull() & F.col("__x").isNotNull())
+        .withColumn("features", array_to_vector(F.col("__x")))
+    )
+    lr = LogisticRegression(
+        maxIter=int(iters),
+        regParam=float(l2),
+        elasticNetParam=0.0,
+        standardization=False,
+        fitIntercept=True,
+    )
+    model = lr.fit(train)
+    return float(model.intercept), [float(x) for x in model.coefficients]
 
 
 def classify_quality(
