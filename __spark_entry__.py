@@ -5087,13 +5087,63 @@ FROM s
 
 _DOCS_CLF_CALIBRATION_TAIL = f"""
 c AS (
-  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+  SELECT CAST(least(greatest(floor(p * 10), 0), 9) AS INT) AS bin,
          CAST(count(*) AS BIGINT) AS n,
          ROUND(avg(p), {R}) AS mean_score,
          ROUND(avg(CAST(y AS DOUBLE)), {R}) AS frac_pos
   FROM j GROUP BY 1
 )
 SELECT bin, n, mean_score, frac_pos FROM c
+"""
+
+
+def _docs_clf_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the learned quality classifier on
+    the holdout (operators/evaluation.py::isotonic_calibration —
+    Zadrozny & Elkan 2002): the monotone curve that turns
+    docs_clf_calibration's reliability DIAGNOSIS into a usable
+    calibrated keep-probability per score bin. Fitted via the minimax
+    identity (Robertson–Wright–Dykstra: fitted_k = max_{i≤k} min_{j≥k}
+    weighted-avg(i..j)) — a closed form over the 10-bin frame, every
+    step one correctly-rounded division of exact integer sums, so the
+    oracle replays it EXACTLY; the corpus contributes one scan (the
+    bin aggregate; the ≤nb³ minimax rows are constants at any
+    scale)."""
+    from tidyvec_spark.operators.evaluation import isotonic_calibration
+
+    j = _clf_holdout_scores(spark, sf_dir)
+    return isotonic_calibration(j, "quality_prob", "y", n_bins=10,
+                                round_to=R)
+
+
+_DOCS_CLF_ISOTONIC_TAIL = f"""
+c AS (
+  SELECT CAST(least(greatest(floor(p * 10), 0), 9) AS INT) AS bin,
+         count(*) AS n, sum(y) AS npos
+  FROM j GROUP BY 1
+),
+cum AS (
+  SELECT bin, n, npos,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(npos) OVER (ORDER BY bin) AS cp
+  FROM c
+),
+pairs AS (
+  SELECT l.bin AS i, h.bin AS j_,
+         CAST(h.cp - (l.cp - l.npos) AS DOUBLE)
+           / CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS a
+  FROM cum l JOIN cum h ON l.bin <= h.bin
+),
+mk AS (
+  SELECT k.bin AS k, p.i, min(p.a) AS m
+  FROM pairs p JOIN cum k ON p.i <= k.bin AND k.bin <= p.j_
+  GROUP BY 1, 2
+),
+iso AS (SELECT k, max(m) AS cal FROM mk GROUP BY k)
+SELECT c.bin, CAST(c.n AS BIGINT) AS n,
+       ROUND(CAST(c.npos AS DOUBLE) / c.n, {R}) AS frac_pos,
+       ROUND(iso.cal, {R}) AS calibrated
+FROM c JOIN iso ON iso.k = c.bin
 """
 
 
@@ -14140,6 +14190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_whiten": _embedding_whiten,
         "token_cms_manifest": _token_cms_manifest,
         "docs_node_clustering": _docs_node_clustering,
+        "docs_clf_isotonic": _docs_clf_isotonic,
     }
 
 
@@ -14429,4 +14480,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_whiten": _EMBEDDING_WHITEN_SQL,
         "token_cms_manifest": _token_cms_sql("cmsM"),
         "docs_node_clustering": _DOCS_NODE_CLUSTERING_SQL,
+        "docs_clf_isotonic": _clf_eval_sql(_DOCS_CLF_ISOTONIC_TAIL),
     }

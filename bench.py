@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "embedding_whiten",
     "token_cms_manifest",
     "docs_node_clustering",
+    "docs_clf_isotonic",
 ]
 
 

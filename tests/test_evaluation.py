@@ -181,3 +181,54 @@ def test_calibration_bins_identities(spark):
     assert got[9]["n"] == 3 and got[9]["frac_pos"] == 1.0
     with pytest.raises(ValueError, match="n_bins"):
         calibration_bins(df, "s", "y", n_bins=0)
+
+
+def test_isotonic_calibration_pav_laws(spark):
+    """isotonic_calibration: reproduces textbook PAV pooling (adjacent
+    violators pool to their weighted mean), is monotone non-decreasing
+    by construction, respects bin WEIGHTS, matches frac_pos exactly
+    when the observed rates are already monotone, and clamps
+    out-of-range scores like calibration_bins."""
+    import pytest
+
+    from tidyvec_spark.operators.evaluation import isotonic_calibration
+
+    def mk(spec):
+        # spec: list of (bin, npos, n) at n_bins=10
+        rows = []
+        for b, npos, n in spec:
+            s = (b + 0.5) / 10
+            rows += [(s, 1)] * npos + [(s, 0)] * (n - npos)
+        return spark.createDataFrame(rows, "s double, y int")
+
+    # violator pooling: rates .3, .1 pool to .2; .4 stays
+    got = {r["bin"]: r for r in isotonic_calibration(
+        mk([(0, 3, 10), (1, 1, 10), (2, 4, 10)]), "s", "y",
+        n_bins=10, round_to=6).collect()}
+    assert [got[b]["calibrated"] for b in (0, 1, 2)] == [0.2, 0.2, 0.4]
+
+    # weights matter: same rates, heavier first bin pulls the pool down
+    got = {r["bin"]: r for r in isotonic_calibration(
+        mk([(0, 9, 30), (1, 1, 10), (2, 4, 10)]), "s", "y",
+        n_bins=10, round_to=6).collect()}
+    assert got[0]["calibrated"] == got[1]["calibrated"] == 0.25
+
+    # already-monotone rates are untouched; output is monotone
+    got = sorted((r["bin"], r["frac_pos"], r["calibrated"])
+                 for r in isotonic_calibration(
+                     mk([(1, 1, 10), (4, 5, 10), (8, 9, 10)]), "s", "y",
+                     n_bins=10, round_to=6).collect())
+    assert all(f == c for _, f, c in got)
+    cals = [c for _, _, c in got]
+    assert cals == sorted(cals)
+
+    # out-of-range scores clamp into the edge bins
+    edge = spark.createDataFrame(
+        [(-0.5, 0), (-0.1, 0), (1.5, 1), (1.0, 1)], "s double, y int"
+    )
+    got = {r["bin"]: r["n"] for r in
+           isotonic_calibration(edge, "s", "y", n_bins=10).collect()}
+    assert got == {0: 2, 9: 2}
+
+    with pytest.raises(ValueError, match="n_bins"):
+        isotonic_calibration(edge, "s", "y", n_bins=0)

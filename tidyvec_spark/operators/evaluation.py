@@ -129,6 +129,104 @@ def calibration_bins(
     )
 
 
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a scorer over
+    :func:`calibration_bins`' equal-width bins — the step that turns a
+    reliability DIAGNOSIS into a usable calibrated score (Zadrozny &
+    Elkan 2002): per bin, the isotonic fit of frac_pos weighted by
+    bin count, i.e. the monotone non-decreasing curve closest in
+    weighted L2 to the observed positive rates. Returns one row per
+    non-empty bin: (bin, n, frac_pos, calibrated).
+
+    The fit uses the MINIMAX identity (Robertson, Wright & Dykstra
+    1988: fitted_k = max_{i≤k} min_{j≥k} weightedavg(i..j)) instead of
+    iterative pool-adjacent-violators — a closed form over the
+    BIN-count-sized frame, so it is engine-portable SQL (the oracle
+    replays it exactly) and every arithmetic step is one
+    correctly-rounded division of exact integer sums. Cost: the corpus
+    contributes ONE scan (the bin aggregate, persisted — three
+    downstream references must not re-scan); the minimax runs over
+    ≤ n_bins³ rows, constants at any corpus size."""
+    from pyspark.sql import Window
+
+    nb = int(n_bins)
+    if nb < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor(s * nb), F.lit(0)), F.lit(nb - 1)
+    ).cast("int")
+    bins = (
+        df.filter(s.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col(label_col).cast("long")).cast("long").alias(
+                "npos"
+            ),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "bin",
+        "n",
+        "npos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("npos").over(w).alias("cp"),
+    ).persist()
+    lo = cum.select(
+        F.col("bin").alias("i"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("cp") - F.col("npos")).alias("cp_lo"),
+    )
+    hi = cum.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cp").alias("cp_hi"),
+    )
+    pairs = lo.join(hi, F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            (F.col("cp_hi") - F.col("cp_lo")).cast("double")
+            / (F.col("cn_hi") - F.col("cn_lo")).cast("double")
+        ).alias("a"),
+    )
+    ks = cum.select(F.col("bin").alias("k"), "n", "npos")
+    iso = (
+        pairs.join(
+            ks.select("k"),
+            (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j")),
+        )
+        .groupBy("k", "i")
+        .agg(F.min("a").alias("m"))
+        .groupBy("k")
+        .agg(F.max("m").alias("calibrated"))
+    )
+    frac = F.col("npos").cast("double") / F.col("n").cast("double")
+    cal = F.col("calibrated")
+    if round_to is not None:
+        frac, cal = F.round(frac, int(round_to)), F.round(
+            cal, int(round_to)
+        )
+    out = ks.join(iso, "k").select(
+        F.col("k").alias("bin"),
+        "n",
+        frac.alias("frac_pos"),
+        cal.alias("calibrated"),
+    )
+    out._tidyvec_persisted = [cum]
+    return out
+
+
 def topk_recall(
     approx: DataFrame,
     exact: DataFrame,
