@@ -1919,6 +1919,64 @@ _BM25_TERMS = sorted(set(_TFIDF_QTERMS))
 _BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
+def _rocchio_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback over embeddings
+    (operators/search.py::rocchio_topk — Rocchio 1971, the vector
+    twin of rm3_search's term expansion): cosine top-5 pull the query
+    toward their centroid, the bottom-5 push it away
+    (q' = q + 0.75·mean(fb) − 0.15·mean(nr)), and the corpus re-ranks
+    against q'. Fully distributed, zero driver collects: centroid
+    sums are INTEGER-EXACT (round(e_i·1e6) summed as int64 — the
+    engine-order-proof law), q' components round to 6 before the
+    re-rank, and both passes are single-scan top-k heaps over the
+    persisted initial-score frame."""
+    from tidyvec_spark.operators.search import rocchio_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return rocchio_topk(
+        e, "embedding", "vec_id", q, n=10, fb_k=5, nr_k=5,
+        alpha=1.0, beta=0.75, gamma=0.15, round_to=R,
+    )
+
+
+_ROCCHIO_SEARCH_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0),
+s0 AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      q.qv), {R}) AS sim
+  FROM embeddings e, q WHERE e.embedding IS NOT NULL
+),
+fb AS (SELECT vec_id, ev FROM s0 ORDER BY sim DESC, vec_id LIMIT 5),
+nr AS (SELECT vec_id, ev FROM s0 ORDER BY sim ASC, vec_id LIMIT 5),
+d AS (SELECT CAST(unnest(range(64)) AS INT) AS i),
+fbs AS (
+  SELECT d.i,
+         sum(CAST(round(fb.ev[d.i + 1] * 1000000) AS BIGINT)) AS s
+  FROM fb, d GROUP BY 1
+),
+nrs AS (
+  SELECT d.i,
+         sum(CAST(round(nr.ev[d.i + 1] * 1000000) AS BIGINT)) AS ns
+  FROM nr, d GROUP BY 1
+),
+q2 AS (
+  SELECT list(ROUND(1.0 * q.qv[f.i + 1]
+                    + 0.75 * (CAST(f.s AS DOUBLE) / 5000000.0)
+                    - 0.15 * (CAST(n2.ns AS DOUBLE) / 5000000.0),
+                    {R}) ORDER BY f.i) AS qv2
+  FROM fbs f JOIN nrs n2 ON f.i = n2.i, q
+)
+SELECT s0.vec_id,
+       ROUND(list_cosine_similarity(s0.ev, q2.qv2), {R}) AS similarity
+FROM s0, q2
+ORDER BY similarity DESC, vec_id
+LIMIT 10
+"""
+
+
 def _rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (operators/search.py::rm3_topk —
     Lavrenko & Croft 2001 / Abdul-Jaleel et al. 2004): BM25 top-5
@@ -14191,6 +14249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cms_manifest": _token_cms_manifest,
         "docs_node_clustering": _docs_node_clustering,
         "docs_clf_isotonic": _docs_clf_isotonic,
+        "rocchio_search": _rocchio_search,
     }
 
 
@@ -14481,4 +14540,5 @@ def oracle_sql() -> dict[str, str]:
         "token_cms_manifest": _token_cms_sql("cmsM"),
         "docs_node_clustering": _DOCS_NODE_CLUSTERING_SQL,
         "docs_clf_isotonic": _clf_eval_sql(_DOCS_CLF_ISOTONIC_TAIL),
+        "rocchio_search": _ROCCHIO_SEARCH_SQL,
     }

@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "token_cms_manifest",
     "docs_node_clustering",
     "docs_clf_isotonic",
+    "rocchio_search",
 ]
 
 

@@ -257,3 +257,59 @@ def test_rm3_expands_and_interpolates(spark, documents):
         rm3_topk(documents, "text", "doc_id", q, fb_k=0)
     with pytest.raises(ValueError, match="matched no"):
         rm3_topk(documents, "text", "doc_id", "zzzqqq")
+
+
+def test_rocchio_topk_matches_numpy_replay(spark, sf_dir):
+    """rocchio_topk: an independent numpy replay of the full law
+    (rounded initial cosine -> fb/nr selection with id tiebreak ->
+    integer-exact centroid sums -> q' -> rounded re-rank) produces the
+    identical top-10; gamma=0 skips the non-relevant branch; the
+    self-query stays on top; validation raises."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.search import rocchio_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    q = X[ids == 0][0]
+
+    def cos(M, v):
+        return (M @ v) / (np.linalg.norm(M, axis=1) * np.linalg.norm(v))
+
+    sim = np.round(cos(X, q), 6)
+    order = sorted(range(len(ids)), key=lambda i: (-sim[i], ids[i]))
+    fb = order[:5]
+    nr = sorted(range(len(ids)), key=lambda i: (sim[i], ids[i]))[:5]
+    s = np.rint(X[fb] * 1e6).astype(np.int64).sum(axis=0)
+    ns = np.rint(X[nr] * 1e6).astype(np.int64).sum(axis=0)
+    q2 = np.round(
+        1.0 * q + 0.75 * (s / 5_000_000.0) - 0.15 * (ns / 5_000_000.0), 6
+    )
+    sim2 = np.round(cos(X, q2), 6)
+    want = [
+        int(ids[i])
+        for i in sorted(range(len(ids)), key=lambda i: (-sim2[i], ids[i]))[:10]
+    ]
+
+    got = rocchio_topk(
+        emb, "embedding", "vec_id", [float(x) for x in q],
+        n=10, fb_k=5, nr_k=5, alpha=1.0, beta=0.75, gamma=0.15,
+    ).collect()
+    assert [r["vec_id"] for r in got] == want
+    assert got[0]["vec_id"] == 0  # alpha keeps the self-query on top
+
+    # gamma=0: no nr branch, still a valid ranking of n rows
+    g0 = rocchio_topk(
+        emb, "embedding", "vec_id", [float(x) for x in q],
+        n=5, fb_k=5, gamma=0.0,
+    ).collect()
+    assert len(g0) == 5 and g0[0]["vec_id"] == 0
+
+    with pytest.raises(ValueError, match="fb_k"):
+        rocchio_topk(emb, "embedding", "vec_id", [0.0] * 64, fb_k=0)
+    with pytest.raises(ValueError, match="n must"):
+        rocchio_topk(emb, "embedding", "vec_id", [0.0] * 64, n=0)

@@ -31,7 +31,14 @@ from pyspark.sql import types as T
 
 from tidyvec_spark.embedders.tfidf import tokens_expr
 
-__all__ = ["bm25_stats", "bm25_topk", "rm3_topk", "mmr_topk", "maxsim_topk"]
+__all__ = [
+    "bm25_stats",
+    "bm25_topk",
+    "rm3_topk",
+    "rocchio_topk",
+    "mmr_topk",
+    "maxsim_topk",
+]
 
 
 def _query_terms(query: str) -> list[str]:
@@ -599,3 +606,117 @@ def rerank_topk(
         .orderBy(F.desc("rr_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rocchio_topk(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    n: int = 10,
+    fb_k: int = 5,
+    nr_k: int = 0,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    gamma: float = 0.15,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback over EMBEDDINGS (Rocchio
+    1971; the vector twin of :func:`rm3_topk`'s term-based expansion):
+    run the query, move it toward the centroid of the top ``fb_k``
+    results and away from the centroid of the bottom ``nr_k``
+    (q' = α·q + β·mean(fb) − γ·mean(nr)), and re-rank the corpus by
+    cosine against q'.
+
+    Laws (identical in the SQL oracle):
+    - feedback / non-relevant sets: initial cosine ROUNDED to
+      ``round_to``, top fb_k by (sim desc, id) / bottom nr_k by
+      (sim asc, id) — round-before-top-k so tie structure is
+      engine-portable;
+    - centroid sums are INTEGER-EXACT: each component is
+      round(e_i · scale) summed as int64, so the engine's aggregation
+      order cannot move a bit (the negative-sampling boundary law);
+    - q'_i = round(α·q_i + β·(s_i / (fb_k·scale)) −
+      γ·(ns_i / (nr_k·scale)), round_to), each step one
+      correctly-rounded IEEE op in the same association both engines.
+
+    Fully distributed — NO driver collect (rm3 collects fb_k rows;
+    here even that is avoided): the initial score frame is persisted
+    (fb and nr branches must not re-scan), per-dimension sums are a
+    posexplode + d-row groupBy, q' assembles into one broadcast row,
+    and the re-rank is the same single-scan top-k heap as the first
+    pass. ``gamma``/``nr_k`` of 0 skip the non-relevant branch."""
+    from tidyvec_spark.functions.vector import array_lit, cosine_sim_expr
+
+    if int(fb_k) < 1:
+        raise ValueError("fb_k must be >= 1")
+    if int(n) < 1:
+        raise ValueError("n must be >= 1")
+    use_nr = float(gamma) != 0.0 and int(nr_k) > 0
+    qv = [float(x) for x in query_vec]
+    qlit = array_lit(qv)
+    s0 = (
+        df.filter(F.col(emb_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(emb_col).cast("array<double>").alias("__e"),
+            F.round(
+                cosine_sim_expr(F.col(emb_col).cast("array<double>"), qlit),
+                int(round_to),
+            ).alias("__sim"),
+        )
+        .persist()
+    )
+
+    def dim_sums(sel: DataFrame, name: str) -> DataFrame:
+        return (
+            sel.select(F.posexplode("__e").alias("i", "x"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * int(scale), 0).cast("long")
+                ).alias(name)
+            )
+        )
+
+    fb = s0.orderBy(F.desc("__sim"), F.asc(id_col)).limit(int(fb_k))
+    sums = dim_sums(fb, "s")
+    if use_nr:
+        nr = s0.orderBy(F.asc("__sim"), F.asc(id_col)).limit(int(nr_k))
+        sums = sums.join(dim_sums(nr, "ns"), "i")
+    qcomp = F.element_at(qlit, F.col("i") + 1)
+    q2 = F.lit(float(alpha)) * qcomp + F.lit(float(beta)) * (
+        F.col("s").cast("double") / F.lit(float(int(fb_k) * int(scale)))
+    )
+    if use_nr:
+        q2 = q2 - F.lit(float(gamma)) * (
+            F.col("ns").cast("double") / F.lit(float(int(nr_k) * int(scale)))
+        )
+    qrow = sums.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("i").alias("i"),
+                        F.round(q2, int(round_to)).alias("v"),
+                    )
+                )
+            ),
+            lambda st: st["v"],
+        ).alias("__q2")
+    )
+    out = (
+        s0.crossJoin(F.broadcast(qrow))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine_sim_expr(F.col("__e"), F.col("__q2")),
+                int(round_to),
+            ).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(int(n))
+    )
+    out._tidyvec_persisted = [s0]
+    return out
