@@ -6399,6 +6399,39 @@ def _corpus_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combine_manifests(ma, mb)
 
 
+def _docs_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest maintenance AT INGEST (sources/maintenance.py::
+    manifest_stream + manifest_from_parts): the corpus streams through
+    a landing directory one file per micro-batch (maxFilesPerTrigger=1
+    → 3 batches), foreachBatch appends each batch's RAW manifest part
+    exactly-once, and the final fold is a shard-row-sized merge —
+    NEVER a corpus re-scan. Because every fold is associative and
+    commutative, the streamed result must be bit-identical to the
+    one-shot manifest, which is exactly what the oracle computes (the
+    corpus_manifest law)."""
+    import tempfile
+
+    from tidyvec_spark.sources.maintenance import (
+        manifest_from_parts,
+        manifest_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="tv_stream_manifest_")
+    land = f"{base}/land"
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(land)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    manifest_stream(
+        stream, f"{base}/parts", f"{base}/ckpt",
+        "doc_id", "text", n_shards=8,
+    )
+    return manifest_from_parts(spark, f"{base}/parts")
+
+
 def _docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→text extraction (functions/quality.py::html_to_text_expr):
     the web-corpus ingestion stage ahead of every cleaner. The fixture
@@ -14250,6 +14283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_node_clustering": _docs_node_clustering,
         "docs_clf_isotonic": _docs_clf_isotonic,
         "rocchio_search": _rocchio_search,
+        "docs_stream_manifest": _docs_stream_manifest,
     }
 
 
@@ -14541,4 +14575,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_node_clustering": _DOCS_NODE_CLUSTERING_SQL,
         "docs_clf_isotonic": _clf_eval_sql(_DOCS_CLF_ISOTONIC_TAIL),
         "rocchio_search": _ROCCHIO_SEARCH_SQL,
+        "docs_stream_manifest": _CORPUS_MANIFEST_SQL,
     }

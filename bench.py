@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "docs_node_clustering",
     "docs_clf_isotonic",
     "rocchio_search",
+    "docs_stream_manifest",
 ]
 
 

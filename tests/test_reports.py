@@ -618,3 +618,46 @@ def test_dimensional_report_cube_levels(spark):
     assert len(out) == 4 + 2 + 3 + 1    # cells + src(a,b) + lang(en,de,NULL) + total
     with pytest.raises(ValueError, match="dims"):
         dimensional_report(df, [], [F.count("*").alias("n")])
+
+
+def test_manifest_stream_equals_batch_with_sketches(spark, documents, tmp_path):
+    """manifest_stream + manifest_from_parts: the manifest maintained
+    per micro-batch (3 files, maxFilesPerTrigger=1) folds to the same
+    digests, HLL estimates, and Count-Min arrays as the one-shot batch
+    manifest — sketch-at-ingest survives the streaming path because
+    every fold is associative and commutative."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.sources.maintenance import (
+        corpus_manifest,
+        manifest_from_parts,
+        manifest_stream,
+    )
+
+    docs = documents.select("doc_id", "text")
+    land = str(tmp_path / "land")
+    docs.repartition(3).write.mode("overwrite").parquet(land)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    manifest_stream(
+        stream, str(tmp_path / "parts"), str(tmp_path / "ckpt"),
+        "doc_id", "text", n_shards=4, sketch=True, cms=True,
+        cms_salt="sm",
+    )
+    streamed = manifest_from_parts(spark, str(tmp_path / "parts"))
+
+    def canon(m):
+        return {
+            r["shard"]: (r["content_hash"], r["n_docs"], r["n_tokens"],
+                         round(r["n_est"], 6), tuple(r["cms"]))
+            for r in m.select(
+                "*", F.hll_sketch_estimate("sketch").alias("n_est")
+            ).collect()
+        }
+
+    batch = corpus_manifest(docs, "doc_id", "text", n_shards=4,
+                            sketch=True, cms=True, cms_salt="sm")
+    assert canon(streamed) == canon(batch)

@@ -405,6 +405,57 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
     return merged.select(*cols)
 
 
+def manifest_stream(
+    stream_df: DataFrame,
+    parts_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 16,
+    sketch: bool = False,
+    cms: bool = False,
+    **kwargs,
+) -> None:
+    """Maintain the corpus manifest AT INGEST: every streaming
+    micro-batch appends its RAW (``digest=False``) manifest part to
+    ``parts_dir`` via ``foreachBatch`` — so the manifest (and its HLL /
+    Count-Min sketches, when enabled) is a free by-product of the
+    ingest stream, and :func:`manifest_from_parts` folds the parts
+    into the exact whole-corpus manifest WITHOUT ever re-scanning the
+    ingested data (every fold is associative and commutative). This is
+    the streaming form of the :func:`combine_manifests` incremental
+    path; ``availableNow`` drains current input and checkpointing
+    makes the append exactly-once per micro-batch."""
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        part = corpus_manifest(
+            bdf, id_col, text_col, n_shards=n_shards,
+            digest=False, sketch=sketch, cms=cms, **kwargs,
+        )
+        from pyspark.sql import functions as F
+
+        part.withColumn("batch_id", F.lit(int(bid))).write.mode(
+            "append"
+        ).parquet(parts_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def manifest_from_parts(spark: SparkSession, parts_dir: str) -> DataFrame:
+    """Fold a :func:`manifest_stream` parts directory into the
+    digested whole-corpus manifest — a shard-row-sized merge
+    (n_shards × n_batches raw rows in, n_shards digested rows out),
+    bit-identical to a one-shot :func:`corpus_manifest` over
+    everything the stream ingested."""
+    raw = spark.read.parquet(parts_dir).drop("batch_id")
+    return combine_manifests(raw)
+
+
 def merge_upsert(
     base: DataFrame,
     changes: DataFrame,
