@@ -2191,6 +2191,51 @@ FROM s
 """
 
 
+def _docs_quality_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source RANK calibration of the quality score (operators/
+    reports.py::rank_normalize_by_group) — docs_quality_zscore's
+    robust twin: pct = (rank−1)/(n−1) within source over the ROUNDED
+    score (round-before-rank, so tie structure is engine-portable),
+    ties sharing min rank. Z-scores import each source's distribution
+    shape; the rank transform is distribution-free — 'keep pct ≥ 0.9'
+    keeps the top 10% of EVERY source. One window shuffle on the
+    source key."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.reports import rank_normalize_by_group
+
+    docs = _read(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source",
+        F.round(X.quality_score("text"), R).alias("q"),
+    )
+    return rank_normalize_by_group(q, "q", "source", out_col="pct",
+                                   round_to=R)
+
+
+_DOCS_QUALITY_RANK_NORM_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS ttr0,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop0
+  FROM t
+),
+q AS (
+  SELECT doc_id, source,
+    ROUND(0.4 * least(1.0, n / 50.0) + 0.3 * ttr0
+          + 0.3 * least(1.0, stop0 * 4.0), {R}) AS q
+  FROM m
+)
+SELECT doc_id, source, q,
+  ROUND(CASE WHEN count(*) OVER (PARTITION BY source) > 1
+        THEN CAST(rank() OVER (PARTITION BY source ORDER BY q) - 1
+                  AS DOUBLE)
+             / (count(*) OVER (PARTITION BY source) - 1)
+        ELSE 0.0 END, {R}) AS pct
+FROM q
+"""
+
+
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.functions import text as X
 
@@ -14284,6 +14329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_isotonic": _docs_clf_isotonic,
         "rocchio_search": _rocchio_search,
         "docs_stream_manifest": _docs_stream_manifest,
+        "docs_quality_rank_norm": _docs_quality_rank_norm,
     }
 
 
@@ -14576,4 +14622,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_clf_isotonic": _clf_eval_sql(_DOCS_CLF_ISOTONIC_TAIL),
         "rocchio_search": _ROCCHIO_SEARCH_SQL,
         "docs_stream_manifest": _CORPUS_MANIFEST_SQL,
+        "docs_quality_rank_norm": _DOCS_QUALITY_RANK_NORM_SQL,
     }

@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "docs_clf_isotonic",
     "rocchio_search",
     "docs_stream_manifest",
+    "docs_quality_rank_norm",
 ]
 
 

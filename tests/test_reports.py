@@ -661,3 +661,50 @@ def test_manifest_stream_equals_batch_with_sketches(spark, documents, tmp_path):
     batch = corpus_manifest(docs, "doc_id", "text", n_shards=4,
                             sketch=True, cms=True, cms_salt="sm")
     assert canon(streamed) == canon(batch)
+
+
+def test_rank_normalize_by_group_laws(spark):
+    """rank_normalize_by_group: (rank-1)/(n-1) within group with ties
+    sharing min rank; distribution-free (any monotone transform of the
+    scores yields identical pct); single-row groups get 0.0; a global
+    pct threshold keeps the same FRACTION of every group even when one
+    group's raw scores dominate (the failure mode zscore cannot fix on
+    heavy tails)."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.reports import rank_normalize_by_group
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 10.0), ("a", 100.0),
+        ("b", 0.001), ("b", 0.002), ("b", 0.003), ("b", 0.004),
+        ("b", 0.005),
+        ("solo", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = sorted(
+        (r["g"], r["x"], r["pct"])
+        for r in rank_normalize_by_group(
+            df, "x", "g", round_to=6
+        ).collect()
+    )
+    a = [p for g, _, p in got if g == "a"]
+    assert a == [0.0, 0.25, 0.25, 0.75, 1.0]  # tie shares min rank
+    b = [p for g, _, p in got if g == "b"]
+    assert b == [0.0, 0.25, 0.5, 0.75, 1.0]
+    assert [p for g, _, p in got if g == "solo"] == [0.0]
+
+    # monotone-invariance: exp() the scores, identical pct
+    again = sorted(
+        (r["g"], r["pct"])
+        for r in rank_normalize_by_group(
+            df.withColumn("x", F.exp("x")), "x", "g", round_to=6
+        ).collect()
+    )
+    assert again == sorted((g, p) for g, _, p in got)
+
+    # the global threshold keeps the same fraction of both real groups
+    kept = [
+        (g, p) for g, _, p in got if p >= 0.75 and g in ("a", "b")
+    ]
+    assert sum(1 for g, _ in kept if g == "a") == 2
+    assert sum(1 for g, _ in kept if g == "b") == 2

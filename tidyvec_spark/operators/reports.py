@@ -202,6 +202,42 @@ def zscore_by_group(
     )
 
 
+def rank_normalize_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str = "pct",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-group RANK calibration — :func:`zscore_by_group`'s robust
+    twin: pct = (rank − 1) / (n_g − 1) within ``group_col``, ties
+    sharing the minimum rank. Z-scores still import each source's
+    distribution SHAPE (a heavy-tailed source pushes most of its rows
+    below z=0 and a few far above), so a global z-threshold keeps
+    different fractions per source; the rank transform is exactly
+    distribution-free — "keep pct ≥ 0.9" keeps the top 10% of EVERY
+    source regardless of shape or outliers.
+
+    The law is explicit ((rank−1)/(n−1), single-row groups → 0.0)
+    rather than percent_rank(), so the /0 case is pinned and the SQL
+    twin is unambiguous. Ties share a value (min rank), so the output
+    is a deterministic function of (group, value) — engine-portable
+    with no id tiebreak. One window shuffle on the group key; groups
+    bound the sort executor-sized at 100 TB."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col))
+    wg = Window.partitionBy(group_col)
+    n = F.count("*").over(wg)
+    pct = F.when(
+        n > 1,
+        (F.rank().over(w) - 1).cast("double") / (n - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        pct = F.round(pct, int(round_to))
+    return df.withColumn(out_col, pct)
+
+
 def vocab_growth(
     df: DataFrame,
     text_col: str,
