@@ -12597,6 +12597,79 @@ FROM t
 _FIM_SALT = "r10"
 
 
+_SC_SALT = "r12sc"
+
+
+def _docs_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption layout (operators/chunking.py::
+    span_corruption_report — Raffel et al. 2020 §3.1.4, the
+    encoder-decoder twin of the FIM split): per document, the noise
+    spans a span-corruption objective would mask — span starts drawn
+    by the hash ladder (hash_unit(id:p) < 0.12), lengths 1 +
+    floor(hash_unit(id:p:L)·3), overlapping/adjacent spans merged by
+    the exact gaps-and-islands interval union (one sentinel per merged
+    region, T5's contract). Deterministic end to end: the oracle
+    replays the identical ladder and islands."""
+    from tidyvec_spark.operators.chunking import span_corruption_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return span_corruption_report(
+        docs, "text", "doc_id", p_start=0.12, max_span=3,
+        salt=_SC_SALT, round_to=R,
+    )
+
+
+def _docs_span_corruption_sql() -> str:
+    u_start = _hu_sql(
+        _SC_SALT, "CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)"
+    )
+    u_len = _hu_sql(
+        _SC_SALT,
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':L'",
+    )
+    return f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+pos AS (
+  SELECT doc_id, n, CAST(u.p AS BIGINT) AS p
+  FROM t, LATERAL unnest(range(n)) AS u(p)
+  WHERE n > 0
+),
+st AS (
+  SELECT doc_id, p,
+         least(p + 1 + CAST(floor({u_len} * 3) AS BIGINT), n) AS e
+  FROM pos WHERE {u_start} < 0.12
+),
+isl AS (
+  SELECT doc_id, p, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM st
+),
+seg AS (
+  SELECT doc_id, p, e,
+         sum(CASE WHEN pme IS NULL OR p > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS s
+  FROM isl
+),
+g AS (
+  SELECT doc_id, s, min(p) AS lo, max(e) AS hi
+  FROM seg GROUP BY doc_id, s
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(hi - lo) AS n_masked
+  FROM g GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+       ROUND(CASE WHEN t.n > 0
+             THEN CAST(coalesce(a.n_masked, 0) AS DOUBLE) / t.n
+             ELSE 0.0 END, {R}) AS masked_frac
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _docs_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle transform (operators/chunking.py::fim_split
     — Bavarian et al. 2022 joint AR+FIM objective): half the corpus is
@@ -14330,6 +14403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rocchio_search": _rocchio_search,
         "docs_stream_manifest": _docs_stream_manifest,
         "docs_quality_rank_norm": _docs_quality_rank_norm,
+        "docs_span_corruption": _docs_span_corruption,
     }
 
 
@@ -14623,4 +14697,5 @@ def oracle_sql() -> dict[str, str]:
         "rocchio_search": _ROCCHIO_SEARCH_SQL,
         "docs_stream_manifest": _CORPUS_MANIFEST_SQL,
         "docs_quality_rank_norm": _DOCS_QUALITY_RANK_NORM_SQL,
+        "docs_span_corruption": _docs_span_corruption_sql(),
     }

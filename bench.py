@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "rocchio_search",
     "docs_stream_manifest",
     "docs_quality_rank_norm",
+    "docs_span_corruption",
 ]
 
 

@@ -225,3 +225,54 @@ def test_truncation_report_exact_costs(spark):
     assert r100["n_truncated"] == 0 and r100["tokens_lost"] == 0
     with pytest.raises(ValueError, match="lengths"):
         truncation_report(df, "n", [])
+
+
+def test_span_corruption_matches_python_replay(spark):
+    """span_corruption_report: an independent hashlib replay of the
+    full law (hash-ladder starts, clipped lengths, interval-union
+    merge) matches per document; empty docs report zeros; masked spans
+    never exceed the document; validation raises."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.chunking import span_corruption_report
+
+    salt, p_start, max_span = "t", 0.3, 3
+
+    def hu(key):
+        h = hashlib.md5((salt + key).encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32
+
+    def replay(doc_id, n):
+        islands = []
+        for p in range(n):
+            if hu(f"{doc_id}:{p}") < p_start:
+                L = 1 + int(hu(f"{doc_id}:{p}:L") * max_span)
+                e = min(p + L, n)
+                if islands and p <= islands[-1][1]:
+                    islands[-1][1] = max(islands[-1][1], e)
+                else:
+                    islands.append([p, e])
+        return len(islands), sum(e - p for p, e in islands)
+
+    rows = [(i, " ".join(f"w{j}" for j in range(cnt)))
+            for i, cnt in enumerate([0, 1, 5, 17, 40, 63])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_corruption_report(
+        df, "text", "doc_id", p_start=p_start, max_span=max_span,
+        salt=salt, round_to=6).collect()}
+    assert len(got) == 6
+    for i, cnt in enumerate([0, 1, 5, 17, 40, 63]):
+        ns, nm = replay(i, cnt)
+        r = got[i]
+        assert (r["n_tokens"], r["n_spans"], r["n_masked"]) == (cnt, ns, nm)
+        assert r["n_masked"] <= cnt
+        want_frac = round(nm / cnt, 6) if cnt else 0.0
+        assert r["masked_frac"] == want_frac
+
+    with pytest.raises(ValueError, match="p_start"):
+        span_corruption_report(df, "text", "doc_id", p_start=0.0)
+    with pytest.raises(ValueError, match="max_span"):
+        span_corruption_report(df, "text", "doc_id", max_span=0)

@@ -729,3 +729,104 @@ def length_buckets(
         )
         .orderBy("bucket")
     )
+
+
+def span_corruption_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    p_start: float = 0.12,
+    max_span: int = 3,
+    salt: str = "",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Deterministic T5-style noise-span layout (Raffel et al. 2020
+    §3.1.4 span corruption — the encoder-decoder twin of the FIM
+    split): per document, which token positions a span-corruption
+    objective would mask, as one report row (``id_col``, n_tokens,
+    n_spans, n_masked, masked_frac).
+
+    Laws (identical in the SQL oracle — no RNG, the hash ladder):
+    - a span STARTS at position p iff hash_unit(id:p) < ``p_start``;
+    - its length is 1 + floor(hash_unit(id:p:L) · ``max_span``),
+      clipped at the document end;
+    - overlapping or adjacent spans MERGE (exact interval union via
+      gaps-and-islands: a new island opens when p exceeds the running
+      max of previous span ends) — T5 replaces each merged region
+      with ONE sentinel, so n_spans counts islands, n_masked sums
+      island widths.
+
+    Shape: positions come from exploding sequence(0, n−1) (the token
+    STRINGS never leave the scan — only the count rides along), span
+    starts keep ~p_start of positions, and the island windows
+    partition by document — per-doc state only, 100 TB parallelism is
+    document-granular. Documents with no tokens or no drawn spans
+    report zeros."""
+    from pyspark.sql import Window
+
+    from tidyvec_spark.functions.text import tokens
+    from tidyvec_spark.operators.sampling import hash_unit
+
+    if not (0.0 < float(p_start) <= 1.0):
+        raise ValueError(f"p_start must be in (0, 1], got {p_start}")
+    if int(max_span) < 1:
+        raise ValueError(f"max_span must be >= 1, got {max_span}")
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("n")
+    )
+    pos = base.filter(F.col("n") > 0).select(
+        id_col,
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("p"),
+    )
+    key = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"),
+        F.col("p").cast("string"),
+    )
+    u_start = hash_unit(key, salt)
+    u_len = hash_unit(F.concat(key, F.lit(":L")), salt)
+    spans = pos.filter(u_start < float(p_start)).select(
+        id_col,
+        "p",
+        F.least(
+            F.col("p")
+            + 1
+            + F.floor(u_len * int(max_span)).cast("long"),
+            F.col("n"),
+        ).alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "__f",
+        F.when(
+            prev_max_end.isNull() | (F.col("p") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn("__s", F.sum("__f").over(w))
+    islands = flagged.groupBy(id_col, "__s").agg(
+        F.min("p").alias("lo"), F.max("e").alias("hi")
+    )
+    agg = islands.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("hi") - F.col("lo")).cast("long").alias("n_masked"),
+    )
+    frac = F.when(
+        F.col("n") > 0,
+        F.coalesce(F.col("n_masked"), F.lit(0)).cast("double")
+        / F.col("n").cast("double"),
+    ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        frac = F.round(frac, int(round_to))
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.col("n").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias(
+            "n_spans"
+        ),
+        F.coalesce(F.col("n_masked"), F.lit(0)).cast("long").alias(
+            "n_masked"
+        ),
+        frac.alias("masked_frac"),
+    )
