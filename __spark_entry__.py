@@ -4385,6 +4385,51 @@ def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (operators/
+    dedup.py::jaccard_prefix_pairs — Bayardo et al. 2007 AllPairs /
+    Xiao et al. 2008 PPJoin): every 3-gram-shingle pair with J ≥ 0.4,
+    no false negatives, indexing only each document's
+    |d| − ⌈t·|d|⌉ + 1 RAREST shingles (df asc, shingle asc order) —
+    the hot-shingle join rows that force ngram_jaccard_pairs' doc-freq
+    cap never arise. The ORACLE deliberately brute-forces the answer
+    through the FULL inverted index: a hash match proves the prefix
+    filter is lossless, not merely self-consistent."""
+    from tidyvec_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(
+        docs, "text", "doc_id", threshold=0.4, shingle_n=3, round_to=R,
+    )
+
+
+_DOCS_JACCARD_EXACT_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE),
+             {R}) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE) >= 0.4
+"""
+
+
 _NGRAM_JACCARD_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -14404,6 +14449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stream_manifest": _docs_stream_manifest,
         "docs_quality_rank_norm": _docs_quality_rank_norm,
         "docs_span_corruption": _docs_span_corruption,
+        "docs_jaccard_exact_pairs": _docs_jaccard_exact_pairs,
     }
 
 
@@ -14698,4 +14744,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_stream_manifest": _CORPUS_MANIFEST_SQL,
         "docs_quality_rank_norm": _DOCS_QUALITY_RANK_NORM_SQL,
         "docs_span_corruption": _docs_span_corruption_sql(),
+        "docs_jaccard_exact_pairs": _DOCS_JACCARD_EXACT_SQL,
     }

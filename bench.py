@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "docs_stream_manifest",
     "docs_quality_rank_norm",
     "docs_span_corruption",
+    "docs_jaccard_exact_pairs",
 ]
 
 

@@ -1286,3 +1286,56 @@ def test_dup_ngram_coverage_exact(spark):
     assert got[3]["n_tokens"] == 0 and got[3]["dup_frac"] == 0.0
     with pytest.raises(ValueError, match="n must"):
         dup_ngram_coverage(docs, "text", "doc_id", n=0)
+
+
+def test_jaccard_prefix_pairs_lossless_vs_bruteforce(spark):
+    """jaccard_prefix_pairs (AllPairs/PPJoin prefix filtering): equals
+    the brute-force all-pairs Jaccard exactly — the prefix index loses
+    no pair — on a corpus engineered with near-dups, exact dups, and
+    disjoint docs; unigram and shingle element laws both hold;
+    validation raises."""
+    import itertools
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.dedup import jaccard_prefix_pairs
+
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {
+        1: " ".join(vocab[:20]),
+        2: " ".join(vocab[:18] + ["x1", "x2"]),   # J(1,2)=18/22
+        3: " ".join(vocab[:20]),                   # exact dup of 1
+        4: " ".join(vocab[10:30]),                 # J(1,4)=10/30
+        5: "q1 q2 q3 q4 q5",                       # disjoint
+        6: " ".join(vocab[:5]),                    # subset, small
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+
+    def brute(t):
+        sets = {k: set(v.split()) for k, v in texts.items()}
+        out = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            i = len(sets[a] & sets[b])
+            j = i / (len(sets[a]) + len(sets[b]) - i)
+            if j >= t:
+                out[(a, b)] = round(j, 6)
+        return out
+
+    for t in (0.3, 0.5, 0.8, 1.0):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_prefix_pairs(
+                df, "text", "doc_id", threshold=t, round_to=6
+            ).collect()
+        }
+        assert got == brute(t), f"t={t}"
+    # the exact-dup pair is found at t=1.0 with J=1.0
+    assert brute(1.0) == {(1, 3): 1.0}
+
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_prefix_pairs(df, "text", "doc_id", threshold=0.0)
+    with pytest.raises(ValueError, match="shingle_n"):
+        jaccard_prefix_pairs(df, "text", "doc_id", shingle_n=0)

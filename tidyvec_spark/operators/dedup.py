@@ -2503,3 +2503,114 @@ def audio_near_dup_pairs(
     return _bitstring_banded_pairs(
         fps, int(windows), bands, max_hamming, complete=complete
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    shingle_n: Optional[int] = None,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join via PREFIX FILTERING
+    (Bayardo et al. 2007 AllPairs / Xiao et al. 2008 PPJoin) — every
+    pair with J ≥ ``threshold``, no false negatives, WITHOUT the full
+    inverted index :func:`ngram_jaccard_pairs` pays: under any total
+    token order shared by all documents, two sets with J ≥ t must
+    collide inside their first |d| − ⌈t·|d|⌉ + 1 tokens, so only that
+    prefix is indexed. With the canonical rarest-first order
+    (document frequency asc, token asc) the indexed tokens are also
+    the LEAST frequent, so candidate join groups stay small — the
+    exact-join complement of the MinHash/banding approximate path: at
+    t=0.8 only ~20% of each document enters the index, and the
+    stop-token join rows that force ngram_jaccard_pairs' doc-freq cap
+    never arise.
+
+    Pipeline (all equi-joins; per-doc windows only): distinct token
+    sets → df counts → per-doc (df, token) sort → prefix explode →
+    self-join on token → symmetric size filter (J ≥ t ⇒
+    min/max set sizes ≥ t) → exact verify on the full sets
+    (array_intersect). Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``shingle_n`` switches the set elements from word unigrams to
+    word n-gram shingles (the dedup-family convention) — far more
+    discriminative on templated corpora, where unigram vocabularies
+    overlap heavily.
+    """
+    from pyspark.sql import Window
+
+    from tidyvec_spark.functions.text import ngrams, tokens
+
+    t = float(threshold)
+    if not (0.0 < t <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if shingle_n is None:
+        elems = tokens(text_col)
+    else:
+        if int(shingle_n) < 1:
+            raise ValueError(f"shingle_n must be >= 1, got {shingle_n}")
+        elems = ngrams(text_col, int(shingle_n))
+    docs = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(elems).alias("ts"),
+        )
+        .withColumn("len", F.size("ts"))
+        .filter(F.col("len") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tok = docs.select("__id", "len", F.explode("ts").alias("t"))
+    dfreq = tok.groupBy("t").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("__id").orderBy(F.asc("__df"), F.asc("t"))
+    prefix_len = (
+        F.col("len") - F.ceil(F.lit(t) * F.col("len")) + 1
+    ).cast("int")
+    prefix = (
+        tok.join(dfreq, "t")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= prefix_len)
+        .select("__id", "len", "t")
+    )
+    a = prefix.select(
+        F.col("__id").alias("id_a"), F.col("len").alias("la"), "t"
+    )
+    b = prefix.select(
+        F.col("__id").alias("id_b"), F.col("len").alias("lb"), "t"
+    )
+    cands = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("la", "lb").cast("double")
+            / F.greatest("la", "lb").cast("double")
+            >= t
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = docs.select(
+        F.col("__id").alias("id_a"),
+        F.col("ts").alias("__ta"),
+        F.col("len").alias("la"),
+    )
+    sb = docs.select(
+        F.col("__id").alias("id_b"),
+        F.col("ts").alias("__tb"),
+        F.col("len").alias("lb"),
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    jac = inter.cast("double") / (
+        F.col("la") + F.col("lb") - inter
+    ).cast("double")
+    out_j = F.round(jac, int(round_to)) if round_to is not None else jac
+    # threshold on the RAW Jaccard (the ngram_jaccard convention);
+    # rounding is presentation only
+    out = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= t)
+        .select("id_a", "id_b", out_j.alias("jaccard"))
+    )
+    out._tidyvec_persisted = [docs]
+    return out
