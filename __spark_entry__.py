@@ -4536,14 +4536,14 @@ corpus AS (
 """
 
 
-def _minhash_ab_sql() -> str:
+def _minhash_ab_sql(k: int = 16) -> str:
     """The (a_i, b_i) universal-hash coefficients as a DuckDB list-of-list
     literal — same literals the Spark expression embeds (hashing.py)."""
     from tidyvec_spark.functions.hashing import minhash_coeffs
 
     return (
         "["
-        + ", ".join(f"[{a}, {b}]" for a, b in minhash_coeffs(16))
+        + ", ".join(f"[{a}, {b}]" for a, b in minhash_coeffs(int(k)))
         + "]"
     )
 
@@ -13243,6 +13243,94 @@ def _corpus_overlap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus Jaccard from manifest-stored MinHash signatures
+    (sources/maintenance.py::corpus_manifest(minhash=True) +
+    operators/sketches.py::minhash_jaccard_from_manifests — Broder
+    1997): the SIMILARITY member of the stored-sketch triad (HLL →
+    distinct, CMS → frequency). Each md5-shard stores the k=128
+    component minima of the Carter–Wegman family over the shard's
+    content hashes; component-wise min folds shards into the corpus
+    signature (min-of-mins IS the union), and ĵ = matching-minima/k —
+    zero corpus scans from stored manifests. The exact content-level
+    Jaccard rides alongside as the audit (std of ĵ ≈ sqrt(j(1−j)/k) ≈
+    0.04 at k=128 — the gap is the estimator's envelope, visible by
+    design). Entirely integer arithmetic: the oracle replays every
+    component bit-for-bit."""
+    from tidyvec_spark.operators.sketches import (
+        minhash_jaccard_from_manifests,
+    )
+    from tidyvec_spark.sources.maintenance import corpus_manifest
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 4 < 3)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    ma = corpus_manifest(a, "doc_id", "text", n_shards=8, digest=False,
+                         minhash=True, mh_k=128)
+    mb = corpus_manifest(b, "doc_id", "text", n_shards=8, digest=False,
+                         minhash=True, mh_k=128)
+    est = minhash_jaccard_from_manifests(ma, mb, round_to=R)
+    from tidyvec_spark.functions.hashing import md5_long
+
+    per_h = (
+        docs.select(
+            md5_long(F.col("text")).alias("__h"),
+            F.when(F.col("doc_id") % 4 < 3, 1).otherwise(0).alias("__ia"),
+            F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("__ib"),
+        )
+        .groupBy("__h")
+        .agg(F.max("__ia").alias("ia"), F.max("__ib").alias("ib"))
+    )
+    ex = per_h.agg(
+        F.round(
+            F.sum(F.col("ia") * F.col("ib")).cast("double")
+            / (
+                F.sum("ia") + F.sum("ib") - F.sum(F.col("ia") * F.col("ib"))
+            ).cast("double"),
+            R,
+        ).alias("jaccard_exact")
+    )
+    return est.crossJoin(ex)
+
+
+def _corpus_overlap_minhash_sql() -> str:
+    return f"""
+WITH c AS (SELECT i, l[i + 1] AS ab
+           FROM (SELECT {_minhash_ab_sql(128)} AS l),
+                range(0, 128) t(i)),
+ha AS (SELECT CAST({_hex60('text')} AS BIGINT) & 1073741823 AS hb
+       FROM documents WHERE doc_id % 4 < 3),
+hb_ AS (SELECT CAST({_hex60('text')} AS BIGINT) & 1073741823 AS hb
+        FROM documents WHERE doc_id % 3 = 0),
+siga AS (SELECT c.i, min((c.ab[1] * ha.hb + c.ab[2]) % 2147483647) AS m
+         FROM ha, c GROUP BY c.i),
+sigb AS (SELECT c.i, min((c.ab[1] * hb_.hb + c.ab[2]) % 2147483647) AS m
+         FROM hb_, c GROUP BY c.i),
+mh AS (
+  SELECT CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+         CAST(count(*) AS BIGINT) AS k
+  FROM siga a JOIN sigb b ON a.i = b.i
+),
+h AS (
+  SELECT substr(md5(text), 1, 15) AS hh,
+         max(CASE WHEN doc_id % 4 < 3 THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS ib
+  FROM documents GROUP BY 1
+),
+x AS (
+  SELECT ROUND(CAST(sum(ia * ib) AS DOUBLE)
+               / CAST(sum(ia) + sum(ib) - sum(ia * ib) AS DOUBLE),
+               {R}) AS jaccard_exact
+  FROM h
+)
+SELECT mh.n_match, mh.k,
+       ROUND(CAST(mh.n_match AS DOUBLE) / mh.k, {R}) AS jaccard_est,
+       x.jaccard_exact
+FROM mh, x
+"""
+
+
 _CORPUS_OVERLAP_MANIFEST_SQL = f"""
 WITH h AS (
   SELECT substr(md5(text), 1, 15) AS hh,
@@ -14450,6 +14538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_rank_norm": _docs_quality_rank_norm,
         "docs_span_corruption": _docs_span_corruption,
         "docs_jaccard_exact_pairs": _docs_jaccard_exact_pairs,
+        "corpus_overlap_minhash": _corpus_overlap_minhash,
     }
 
 
@@ -14745,4 +14834,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_rank_norm": _DOCS_QUALITY_RANK_NORM_SQL,
         "docs_span_corruption": _docs_span_corruption_sql(),
         "docs_jaccard_exact_pairs": _DOCS_JACCARD_EXACT_SQL,
+        "corpus_overlap_minhash": _corpus_overlap_minhash_sql(),
     }

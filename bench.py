@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "docs_quality_rank_norm",
     "docs_span_corruption",
     "docs_jaccard_exact_pairs",
+    "corpus_overlap_minhash",
 ]
 
 

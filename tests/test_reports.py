@@ -708,3 +708,60 @@ def test_rank_normalize_by_group_laws(spark):
     ]
     assert sum(1 for g, _ in kept if g == "a") == 2
     assert sum(1 for g, _ in kept if g == "b") == 2
+
+
+def test_manifest_minhash_merge_and_zero_scan(spark, documents, tmp_path):
+    """corpus_manifest(minhash=True): component-wise min is the union
+    law (merged split manifests == whole), the Jaccard estimate from
+    WRITTEN manifests never re-reads the corpus, identical corpora
+    estimate exactly 1.0, and disjoint corpora estimate ~0."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.operators.sketches import (
+        minhash_jaccard_from_manifests,
+    )
+    from tidyvec_spark.sources.maintenance import (
+        combine_manifests,
+        corpus_manifest,
+    )
+
+    docs = documents.select("doc_id", "text")
+    parts = [
+        corpus_manifest(docs.filter(F.col("doc_id") % 2 == i),
+                        "doc_id", "text", n_shards=4, digest=False,
+                        minhash=True, mh_k=32)
+        for i in (0, 1)
+    ]
+    merged = {r["shard"]: list(r["minhash"])
+              for r in combine_manifests(*parts).collect()}
+    whole = {r["shard"]: list(r["minhash"])
+             for r in corpus_manifest(docs, "doc_id", "text", n_shards=4,
+                                      minhash=True, mh_k=32).collect()}
+    assert merged == whole
+
+    # identical corpora -> every component matches -> est exactly 1.0
+    ma = corpus_manifest(docs, "doc_id", "text", n_shards=4,
+                         digest=False, minhash=True, mh_k=32)
+    pa, pb = str(tmp_path / "ma"), str(tmp_path / "mb")
+    ma.write.parquet(pa)
+    ma.write.parquet(pb)
+    est = minhash_jaccard_from_manifests(
+        spark.read.parquet(pa), spark.read.parquet(pb), round_to=6
+    )
+    for cols in P.read_schemas(est):
+        assert "text" not in cols  # zero corpus scans
+    r = est.first()
+    assert (r["n_match"], r["k"], r["jaccard_est"]) == (32, 32, 1.0)
+
+    # disjoint corpora share no content -> estimate at/near zero
+    da = docs.filter(F.col("doc_id") % 2 == 0)
+    db = docs.filter(F.col("doc_id") % 2 == 1)
+    r2 = minhash_jaccard_from_manifests(
+        corpus_manifest(da, "doc_id", "text", n_shards=4, digest=False,
+                        minhash=True, mh_k=32),
+        corpus_manifest(db, "doc_id", "text", n_shards=4, digest=False,
+                        minhash=True, mh_k=32),
+        round_to=6,
+    ).first()
+    assert r2["jaccard_est"] <= 0.2

@@ -400,6 +400,56 @@ def cms_from_manifest(
     )
 
 
+def minhash_jaccard_from_manifests(
+    ma: DataFrame,
+    mb: DataFrame,
+    col: str = "minhash",
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Cross-corpus Jaccard estimate from manifest-stored MinHash
+    signatures (``corpus_manifest(minhash=True)``,
+    sources/maintenance.py) — ZERO corpus scans: each side's shard
+    signatures fold component-wise-min into the corpus signature
+    (min-of-mins is the union law, Broder 1997), and the estimator is
+    the classic matching-minima fraction: ĵ = |{{i : sig_A[i] ==
+    sig_B[i]}}| / k, unbiased with std ≈ sqrt(j(1−j)/k). The
+    SIMILARITY member of the stored-sketch triad (HLL → distinct,
+    CMS → frequency); entirely integer arithmetic, so any engine
+    reproduces it bit-for-bit. Returns ONE row
+    (n_match, k, jaccard_est)."""
+    def corpus_sig(m: DataFrame, name: str) -> DataFrame:
+        lst = F.collect_list(col)
+        return m.agg(
+            F.aggregate(
+                F.slice(
+                    lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))
+                ),
+                F.element_at(lst, 1),
+                lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)),
+            ).alias(name)
+        )
+
+    sa, sb = corpus_sig(ma, "__sa"), corpus_sig(mb, "__sb")
+    n_match = F.aggregate(
+        F.zip_with(
+            F.col("__sa"),
+            F.col("__sb"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    k = F.size("__sa").cast("long")
+    est = n_match.cast("double") / k.cast("double")
+    if round_to is not None:
+        est = F.round(est, int(round_to))
+    return sa.crossJoin(sb).select(
+        n_match.alias("n_match"),
+        k.alias("k"),
+        est.alias("jaccard_est"),
+    )
+
+
 def cms_merge(*tables: DataFrame) -> DataFrame:
     """Sum per (r, bucket) across sketch tables built with the same
     (depth, width, salt) — the union-then-one-groupBy merge law that

@@ -113,6 +113,8 @@ def corpus_manifest(
     cms_depth: int = 4,
     cms_width: int = 256,
     cms_salt: str = "",
+    minhash: bool = False,
+    mh_k: int = 64,
 ) -> DataFrame:
     """Content-addressable corpus manifest: per deterministic shard,
     (shard, n_docs, n_tokens, content_hash) — the artifact that makes
@@ -161,6 +163,19 @@ def corpus_manifest(
     identically. Token counting is a different grain than the per-doc
     folds (an explode), so ``cms=True`` costs a second pass over the
     text — paid once at ingest, saved on every later triage query.
+
+    With ``minhash=True`` each shard row also carries the
+    k-permutation MinHash signature of the shard's CONTENT-hash set
+    (Broder 1997; the Carter–Wegman family hashing.py::minhash_coeffs
+    — the same literals the near-dup operators embed), completing the
+    stored-sketch triad: HLL answers DISTINCT triage, CMS answers
+    FREQUENCY, MinHash answers SIMILARITY (cross-corpus Jaccard =
+    matching-minima/k via
+    :func:`~tidyvec_spark.operators.sketches.minhash_jaccard_from_manifests`,
+    zero corpus scans). Component-wise min is the union law, so
+    :func:`combine_manifests` merges it exactly; the signature rides
+    the SAME per-doc aggregate as the count/hash folds — no extra
+    pass, unlike the token-grain CMS.
     """
     from pyspark.sql import functions as F
 
@@ -190,6 +205,24 @@ def corpus_manifest(
         aggs.append(
             F.hll_sketch_agg(F.col("__h"), F.lit(int(lg_k))).alias("sketch")
         )
+    if minhash:
+        from tidyvec_spark.functions.hashing import (
+            MINHASH_MASK,
+            MINHASH_P,
+            minhash_coeffs,
+        )
+
+        if int(mh_k) < 1:
+            raise ValueError("mh_k must be >= 1")
+        hb = F.col("__h").bitwiseAND(F.lit(MINHASH_MASK))
+        aggs.append(
+            F.array(
+                *[
+                    F.min((F.lit(a) * hb + F.lit(b)) % F.lit(MINHASH_P))
+                    for a, b in minhash_coeffs(int(mh_k))
+                ]
+            ).alias("minhash")
+        )
     raw = per_doc.groupBy("shard").agg(*aggs)
     if cms:
         raw = raw.join(
@@ -216,6 +249,8 @@ def corpus_manifest(
         cols.append("sketch")
     if cms:
         cols.append("cms")
+    if minhash:
+        cols.append("minhash")
     return raw.select(*cols)
 
 
@@ -377,6 +412,14 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
             "the merged cms would silently under-count the cms-less "
             "part; rebuild it with corpus_manifest(..., cms=True)"
         )
+    with_mh = ["minhash" in p.columns for p in parts]
+    if any(with_mh) and not all(with_mh):
+        raise ValueError(
+            "cannot merge minhash-less and minhash-bearing manifest "
+            "parts: the merged minhash would silently ignore the "
+            "minhash-less part; rebuild it with "
+            "corpus_manifest(..., minhash=True)"
+        )
     u = reduce(lambda a, b: a.unionByName(b), parts)
     aggs = [
         F.sum("n_docs").cast("long").alias("n_docs"),
@@ -401,6 +444,19 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
             ).alias("cms")
         )
         cols.append("cms")
+    if all(with_mh):
+        # component-wise min is the MinHash union law (Broder 1997)
+        mlst = F.collect_list("minhash")
+        aggs.append(
+            F.aggregate(
+                F.slice(
+                    mlst, F.lit(2), F.greatest(F.size(mlst) - 1, F.lit(0))
+                ),
+                F.element_at(mlst, 1),
+                lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)),
+            ).alias("minhash")
+        )
+        cols.append("minhash")
     merged = u.groupBy("shard").agg(*aggs)
     return merged.select(*cols)
 
