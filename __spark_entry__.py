@@ -13524,6 +13524,57 @@ FROM c
 """
 
 
+def _docs_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal audit-budget allocation (operators/sampling.py::
+    neyman_allocation — Neyman 1934): 100 audit slots split across
+    sources ∝ N_h·σ_h of the token count — minimum-variance mean
+    estimation under a fixed budget, the principled version of 'how
+    many docs do I audit per source?'. Integer-exact end to end:
+    σ rounds to 6 (absorbing accumulation-order ulps), weights scale
+    to int64, base = floor-div, leftover by largest remainder with
+    the (remainder desc, source asc) tie law — both engines agree
+    bit-for-bit and Σ alloc == 100 exactly."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.sampling import neyman_allocation
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", token_count("text").alias("ntok")
+    )
+    return neyman_allocation(docs, "ntok", "source", total_n=100,
+                             round_to=R)
+
+
+_DOCS_NEYMAN_ALLOC_SQL = f"""
+WITH d AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS ntok
+           FROM documents),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         ROUND(coalesce(stddev_pop(CAST(ntok AS DOUBLE)), 0.0), {R})
+           AS sigma
+  FROM d GROUP BY source
+),
+w AS (
+  SELECT source, n_rows, sigma,
+         CAST(round(sigma * n_rows * 1000000) AS BIGINT) AS wi
+  FROM s
+),
+z AS (SELECT sum(wi) AS z FROM w),
+b AS (
+  SELECT source, n_rows, sigma,
+         (100 * wi) // z.z AS base,
+         (100 * wi) % z.z AS rem
+  FROM w, z
+),
+l AS (SELECT 100 - sum(base) AS leftover FROM b)
+SELECT source, n_rows, sigma,
+       CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+                                                source ASC)
+                        <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM b, l
+"""
+
+
 def _docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted sampling without replacement (operators/
     sampling.py::weighted_sample_n — Efraimidis & Spirakis 2006 A-ES
@@ -14539,6 +14590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_span_corruption": _docs_span_corruption,
         "docs_jaccard_exact_pairs": _docs_jaccard_exact_pairs,
         "corpus_overlap_minhash": _corpus_overlap_minhash,
+        "docs_neyman_alloc": _docs_neyman_alloc,
     }
 
 
@@ -14835,4 +14887,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_span_corruption": _docs_span_corruption_sql(),
         "docs_jaccard_exact_pairs": _DOCS_JACCARD_EXACT_SQL,
         "corpus_overlap_minhash": _corpus_overlap_minhash_sql(),
+        "docs_neyman_alloc": _DOCS_NEYMAN_ALLOC_SQL,
     }

@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "docs_span_corruption",
     "docs_jaccard_exact_pairs",
     "corpus_overlap_minhash",
+    "docs_neyman_alloc",
 ]
 
 

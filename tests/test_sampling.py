@@ -541,3 +541,53 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
         bootstrap_ci(df, "id", "v", n_boot=1)
     with pytest.raises(ValueError, match="level"):
         bootstrap_ci(df, "id", "v", level=1.5)
+
+
+def test_neyman_allocation_laws(spark):
+    """neyman_allocation: allocations track N_h*sigma_h (the
+    minimum-variance law), sum EXACTLY to total_n via largest
+    remainder, zero-variance strata get zero, and validation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.sampling import neyman_allocation
+
+    rows = []
+    # stratum a: 100 rows, spread values (high sigma)
+    rows += [("a", float(v % 50)) for v in range(100)]
+    # stratum b: 100 rows, mild spread
+    rows += [("b", float(v % 5)) for v in range(100)]
+    # stratum c: constant (sigma 0 -> alloc 0)
+    rows += [("c", 7.0)] * 50
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r for r in
+           neyman_allocation(df, "x", "g", total_n=30).collect()}
+    assert sum(r["alloc"] for r in got.values()) == 30
+    assert got["c"]["sigma"] == 0.0 and got["c"]["alloc"] == 0
+    # exact independent replay of the integer law
+    wi = {g: round(got[g]["sigma"] * got[g]["n_rows"] * 1_000_000)
+          for g in got}
+    z = sum(wi.values())
+    base = {g: 30 * wi[g] // z for g in got}
+    rem = {g: 30 * wi[g] % z for g in got}
+    left = 30 - sum(base.values())
+    order = sorted(got, key=lambda g: (-rem[g], g))
+    want = {g: base[g] + (1 if order.index(g) < left else 0) for g in got}
+    assert {g: got[g]["alloc"] for g in got} == want
+    # high-variance stratum dominates the budget
+    assert got["a"]["alloc"] > 5 * got["b"]["alloc"]
+
+    # exact-total law under awkward shares: 3 equal strata, total 10
+    eq = spark.createDataFrame(
+        [(g, float(v)) for g in ("x", "y", "z") for v in range(10)],
+        "g string, x double",
+    )
+    alloc = {r["g"]: r["alloc"] for r in
+             neyman_allocation(eq, "x", "g", total_n=10).collect()}
+    assert sum(alloc.values()) == 10
+    # equal weights -> 4/3/3 with the (rem desc, stratum asc) tie law
+    assert sorted(alloc.values()) == [3, 3, 4]
+    assert alloc["x"] == 4  # tie resolves to the ascending stratum
+
+    with pytest.raises(ValueError, match="total_n"):
+        neyman_allocation(df, "x", "g", total_n=0)

@@ -37,6 +37,7 @@ __all__ = [
     "budget_sample",
     "keep_best_fraction",
     "hash_stratified_sample",
+    "neyman_allocation",
     "hash_unit",
     "stratified_fixed_n",
     "target_mix_fractions",
@@ -638,3 +639,93 @@ def cluster_balanced_sample(
         assigned, id_col, cent_id, int(n_per_cluster), salt=salt
     )
     return out if keep_cluster else out.drop(cent_id)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    value_col: str,
+    strata_col: str,
+    total_n: int,
+    round_to: int = 6,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Neyman OPTIMAL allocation of a sampling budget across strata
+    (Neyman 1934): alloc_h ∝ N_h·σ_h — minimum-variance estimation of
+    the population mean under a fixed total sample size, the
+    principled answer to "how many docs do I audit per source?"
+    (proportional allocation over-samples homogeneous strata; equal
+    allocation wastes budget on small ones). Returns one row per
+    stratum: (``strata_col``, n_rows, sigma, alloc) with
+    Σ alloc == ``total_n`` exactly.
+
+    Laws, INTEGER-EXACT end to end (the negative-sampling boundary
+    discipline): σ_h is the population stddev ROUNDED to ``round_to``
+    (absorbing engine accumulation-order ulps), the weight is
+    wi_h = round(σ_h·N_h·scale) as int64, base_h = total_n·wi_h // Σwi
+    and remainders assign the leftover by largest-remainder
+    (Hamilton) with the (remainder desc, stratum asc) tie law — no
+    float share ever reaches a floor boundary, so both engines agree
+    bit-for-bit at any scale. Zero-variance strata get weight 0 (one
+    observation determines them; Neyman's law, documented not
+    patched); if EVERY stratum has zero variance the allocation is
+    undefined and the plan errors at execution (ANSI zero division —
+    use proportional allocation instead). alloc_h can exceed N_h when variance
+    concentrates in a tiny stratum — callers sampling without
+    replacement should lower ``total_n`` or clamp explicitly.
+
+    Shape: one stratum-sized hash-agg over the corpus (persisted —
+    the leftover count and the rank both re-read it), then windows
+    over the tiny stratum table."""
+    from pyspark.sql import Window
+
+    if int(total_n) < 1:
+        raise ValueError("total_n must be >= 1")
+    t = int(total_n)
+    stats = (
+        df.groupBy(strata_col)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(
+                F.coalesce(
+                    F.stddev_pop(F.col(value_col).cast("double")),
+                    F.lit(0.0),
+                ),
+                int(round_to),
+            ).alias("sigma"),
+        )
+        .withColumn(
+            "__wi",
+            F.round(
+                F.col("sigma") * F.col("n_rows").cast("double")
+                * int(scale),
+                0,
+            ).cast("long"),
+        )
+        .persist()
+    )
+    z = stats.agg(F.sum("__wi").alias("__z"))
+    based = (
+        stats.crossJoin(F.broadcast(z))
+        .withColumn("__num", F.lit(t) * F.col("__wi"))
+        .withColumn("__base", F.expr("__num div __z"))
+        .withColumn("__rem", F.col("__num") % F.col("__z"))
+    )
+    left = based.agg((F.lit(t) - F.sum("__base")).alias("__left"))
+    rk = Window.orderBy(F.desc("__rem"), F.asc(strata_col))
+    out = (
+        based.crossJoin(F.broadcast(left))
+        .withColumn("__rk", F.row_number().over(rk))
+        .select(
+            strata_col,
+            "n_rows",
+            "sigma",
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+    out._tidyvec_persisted = [stats]
+    return out
