@@ -12343,14 +12343,15 @@ def _token_cms_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cms = cms_from_manifest(man, width=256)
     tok = docs.select(F.explode(X.tokens("text")).alias("term"))
+    # vocabulary-sized; referenced twice (probe values + audit join)
     exact = tok.groupBy("term").agg(
         F.count("*").cast("long").alias("n_exact")
-    )
+    ).persist()
     est = cms_estimate(
         exact.select("term"), "term", cms,
         depth=4, width=256, salt="cmsM",
     )
-    return (
+    out = (
         exact.join(est, "term")
         .select(
             "term",
@@ -12363,6 +12364,8 @@ def _token_cms_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_exact"), F.asc("term"))
         .limit(20)
     )
+    out._tidyvec_persisted = [exact]
+    return out
 
 
 def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

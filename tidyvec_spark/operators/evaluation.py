@@ -192,7 +192,7 @@ def isotonic_calibration(
         F.col("cn").alias("cn_hi"),
         F.col("cp").alias("cp_hi"),
     )
-    pairs = lo.join(hi, F.col("i") <= F.col("j")).select(
+    pairs = lo.join(F.broadcast(hi), F.col("i") <= F.col("j")).select(
         "i",
         "j",
         (
@@ -203,7 +203,7 @@ def isotonic_calibration(
     ks = cum.select(F.col("bin").alias("k"), "n", "npos")
     iso = (
         pairs.join(
-            ks.select("k"),
+            F.broadcast(ks.select("k")),
             (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j")),
         )
         .groupBy("k", "i")
