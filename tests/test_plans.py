@@ -815,3 +815,44 @@ def test_whiten_fit_is_one_scan_one_collect(spark, monkeypatch):
     assert calls == {"collect": 1, "first": 0}
     assert P.num_scans(w) == 1
     assert P.num_shuffles(w) == 0
+
+
+def test_round12_entry_plan_shapes(spark, qs):
+    """Round-12 additions, plan-pinned: the shapes that make them
+    100 TB-viable must not silently regress.
+
+    - rocchio_search: ONE corpus scan (both retrieval passes read the
+      persisted score frame), zero shuffles, no cartesian
+    - docs_quality_rank_norm: one scan, one window shuffle
+    - docs_span_corruption: positions explode from sequence() — the
+      token strings never leave the scan; per-doc windows only
+    - docs_jaccard_exact_pairs: every join is an equi-join (prefix
+      index + verify) — no cartesian, no nested-loop blow-up
+    - docs_clf_isotonic: the minimax non-equi joins stay broadcast
+      over bin-sized frames, never CartesianProduct
+    - docs_neyman_alloc: one corpus scan into a stratum-sized agg
+    """
+    df = qs["rocchio_search"](spark, SF)
+    assert P.num_scans(df) == 1
+    assert P.num_shuffles(df) == 0
+    P.assert_no_cartesian(df)
+
+    df = qs["docs_quality_rank_norm"](spark, SF)
+    assert P.num_scans(df) == 1
+    assert P.num_shuffles(df) == 1
+
+    df = qs["docs_span_corruption"](spark, SF)
+    assert P.num_scans(df) <= 2
+    P.assert_no_cartesian(df)
+
+    df = qs["docs_jaccard_exact_pairs"](spark, SF)
+    assert P.num_scans(df) == 1
+    P.assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in P.join_strategies(df)
+
+    df = qs["docs_clf_isotonic"](spark, SF)
+    P.assert_no_cartesian(df)
+
+    df = qs["docs_neyman_alloc"](spark, SF)
+    assert P.num_scans(df) == 1
+    P.assert_no_cartesian(df)
