@@ -10859,6 +10859,83 @@ FROM m
 _ZIPF_TOP_K = 500
 
 
+def _token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion of the top-20 tokens (operators/reports.py::
+    token_burstiness — Church & Gale 1995): variance-to-mean ratio of
+    the per-document count with zeros included — Poisson-scattered
+    tokens sit at VMR ≈ 1, clumped topical/template tokens ≫ 1. The
+    HOW-CLUMPED complement of Zipf (how often) and PMI (with what):
+    boilerplate lights up here before any dedup pass. All moments are
+    exact integer sums; the zero-count mass enters through N, never a
+    scan of absent (doc, term) pairs."""
+    from tidyvec_spark.operators.reports import token_burstiness
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_burstiness(docs, "text", "doc_id", k=20, round_to=R)
+
+
+_TOKEN_BURSTINESS_SQL = f"""
+WITH per AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+agg AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS df_docs,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM per GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+SELECT term, n_total, df_docs,
+       ROUND((CAST(ss AS DOUBLE) / nn
+              - (CAST(n_total AS DOUBLE) / nn)
+                * (CAST(n_total AS DOUBLE) / nn))
+             / (CAST(n_total AS DOUBLE) / nn), {R}) AS vmr
+FROM agg, n
+ORDER BY n_total DESC, term LIMIT 20
+"""
+
+
+def _source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary concentration (operators/reports.py::
+    source_token_gini): the Gini coefficient of each source's
+    token-count distribution — templated sources concentrate mass in
+    few terms (→1), organic prose spreads it; the Zipf-slope story as
+    one bounded, size-comparable number per source. Exact law with a
+    TOTAL rank order ((count asc, term asc)), integer sums, one
+    per-source window over the vocab-sized frame."""
+    from tidyvec_spark.operators.reports import source_token_gini
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_token_gini(docs, "text", "source", round_to=R)
+
+
+_SOURCE_TOKEN_GINI_SQL = f"""
+WITH c AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY source, term
+),
+r AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c ASC, term ASC) AS i
+  FROM c
+),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(i * c) AS BIGINT) AS ic
+  FROM r GROUP BY source
+)
+SELECT source, n_vocab, n_tokens,
+       ROUND(2.0 * ic / (CAST(n_vocab AS DOUBLE) * n_tokens)
+             - CAST(n_vocab + 1 AS DOUBLE) / n_vocab, {R}) AS gini
+FROM a
+"""
+
+
 def _docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law head fit (operators/reports.py::zipf_fit): OLS of
     ln(freq) ~ ln(rank) over the top-500 terms — the frequency-
@@ -14594,6 +14671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_exact_pairs": _docs_jaccard_exact_pairs,
         "corpus_overlap_minhash": _corpus_overlap_minhash,
         "docs_neyman_alloc": _docs_neyman_alloc,
+        "token_burstiness": _token_burstiness,
+        "source_token_gini": _source_token_gini,
     }
 
 
@@ -14891,4 +14970,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_jaccard_exact_pairs": _DOCS_JACCARD_EXACT_SQL,
         "corpus_overlap_minhash": _corpus_overlap_minhash_sql(),
         "docs_neyman_alloc": _DOCS_NEYMAN_ALLOC_SQL,
+        "token_burstiness": _TOKEN_BURSTINESS_SQL,
+        "source_token_gini": _SOURCE_TOKEN_GINI_SQL,
     }

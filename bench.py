@@ -301,6 +301,8 @@ BENCH_QUERIES = [
     "docs_jaccard_exact_pairs",
     "corpus_overlap_minhash",
     "docs_neyman_alloc",
+    "token_burstiness",
+    "source_token_gini",
 ]
 
 

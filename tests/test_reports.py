@@ -765,3 +765,56 @@ def test_manifest_minhash_merge_and_zero_scan(spark, documents, tmp_path):
         round_to=6,
     ).first()
     assert r2["jaccard_est"] <= 0.2
+
+
+def test_token_burstiness_hand_case(spark):
+    """token_burstiness: exact VMR on a hand-computed corpus — a
+    clumped token scores far above 1, an evenly-spread token scores
+    below 1, zeros enter through N; validation raises."""
+    import pytest
+
+    from tidyvec_spark.operators.reports import token_burstiness
+
+    # 4 docs: 'even' once per doc (VMR = 0 over equal counts);
+    # 'burst' 8 times in one doc only
+    rows = [
+        (1, "even burst burst burst burst burst burst burst burst"),
+        (2, "even"),
+        (3, "even"),
+        (4, "even"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r for r in
+           token_burstiness(df, "text", "doc_id", k=5,
+                            round_to=6).collect()}
+    # even: counts (1,1,1,1), mean 1, var 0 -> vmr 0
+    assert got["even"]["n_total"] == 4 and got["even"]["df_docs"] == 4
+    assert got["even"]["vmr"] == 0.0
+    # burst: counts (8,0,0,0): mean 2, E[x^2] 16, var 12 -> vmr 6
+    assert got["burst"]["n_total"] == 8 and got["burst"]["df_docs"] == 1
+    assert got["burst"]["vmr"] == 6.0
+
+    with pytest.raises(ValueError, match="k must"):
+        token_burstiness(df, "text", "doc_id", k=0)
+
+
+def test_source_token_gini_hand_case(spark):
+    """source_token_gini: exact Gini on hand-computed distributions —
+    a uniform vocabulary scores 0, a concentrated one approaches
+    (n-1)/n, and the rank order is total (deterministic under
+    ties)."""
+    from tidyvec_spark.operators.reports import source_token_gini
+
+    rows = [
+        # uniform: 4 distinct tokens, once each -> G = 0
+        ("u", "alpha beta gamma delta"),
+        # concentrated: 'z' 9x + 'a' 1x -> sorted counts (1,9):
+        # G = 2*(1*1+2*9)/(2*10) - 3/2 = 38/20 - 1.5 = 0.4
+        ("c", " ".join(["z"] * 9 + ["a"])),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r for r in
+           source_token_gini(df, "text", "source", round_to=6).collect()}
+    assert got["u"]["n_vocab"] == 4 and got["u"]["gini"] == 0.0
+    assert got["c"]["n_vocab"] == 2 and got["c"]["n_tokens"] == 10
+    assert got["c"]["gini"] == 0.4

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from tidyvec_spark.functions.text import tokens
 
 __all__ = [
+    "source_token_gini",
+    "token_burstiness",
     "vocab_growth",
     "zipf_fit",
     "dimensional_report",
@@ -517,3 +519,103 @@ def k_anonymity(
         )
         .withColumn("at_risk", F.col("n_ids") < int(k))
     )
+
+
+def token_burstiness(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Burstiness of the top-``k`` tokens: variance-to-mean ratio
+    (VMR) of the per-document count, zeros included — Church & Gale
+    1995's dispersion statistic. A Poisson-scattered token has
+    VMR ≈ 1; topical/templated tokens clump (VMR ≫ 1) while function
+    words spread evenly — the corpus-linguistic complement of PMI
+    (association) and Zipf (frequency): frequency says HOW OFTEN,
+    burstiness says HOW CLUMPED, and boilerplate/template corpora
+    light up here before any dedup pass.
+
+    Laws (exact; the SQL twin replays them): per token, total count
+    c, containing-doc count df_docs, and Σ(per-doc count)² are exact
+    integer sums; N is the full document count (docs without the
+    token contribute zeros through N, never a scan of absent pairs);
+    mean = c/N, var = Σx²/N − mean², vmr = var/mean. Top-k by
+    (c desc, term asc). One explode → (doc, term) count → term agg;
+    the 1-row N frame broadcasts."""
+    from tidyvec_spark.functions.text import tokens
+
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    per = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.explode(tokens(text_col)).alias("term"))
+        .groupBy("__id", "term")
+        .agg(F.count("*").alias("__c"))
+    )
+    agg = per.groupBy("term").agg(
+        F.sum("__c").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("df_docs"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__ss"),
+    )
+    n = df.select(F.count("*").cast("long").alias("__n"))
+    mean = F.col("n_total").cast("double") / F.col("__n").cast("double")
+    ex2 = F.col("__ss").cast("double") / F.col("__n").cast("double")
+    vmr = (ex2 - mean * mean) / mean
+    if round_to is not None:
+        vmr = F.round(vmr, int(round_to))
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .select("term", "n_total", "df_docs", vmr.alias("vmr"))
+        .orderBy(F.desc("n_total"), F.asc("term"))
+        .limit(int(k))
+    )
+
+
+def source_token_gini(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-source vocabulary concentration as the Gini coefficient of
+    the token-count distribution — the inequality view of lexical
+    diversity: a templated source concentrates its token mass in a
+    few terms (Gini → 1) where organic prose spreads it (the
+    Zipf-slope story as a single bounded number, comparable across
+    sources regardless of vocabulary size). Returns one row per
+    source: (source, n_vocab, n_tokens, gini).
+
+    Law (exact; SQL twin identical): with the source's vocab sorted
+    by (count asc, term asc) — a TOTAL order, so ranks are
+    deterministic — G = (2·Σ i·c_i)/(n·Σc) − (n+1)/n. Integer sums
+    throughout; single-token vocabularies get G = 0. One explode +
+    one (source, term) count + one per-source window over the
+    VOCAB-sized frame (never the corpus)."""
+    from pyspark.sql import Window
+
+    from tidyvec_spark.functions.text import tokens
+
+    counts = (
+        df.select(F.col(source_col).alias("source"),
+                  F.explode(tokens(text_col)).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("__c"), F.asc("term"))
+    ranked = counts.withColumn("__i", F.row_number().over(w))
+    out = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_vocab"),
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.sum(F.col("__i") * F.col("__c")).cast("long").alias("__ic"),
+    )
+    g = (
+        F.lit(2.0) * F.col("__ic").cast("double")
+        / (F.col("n_vocab").cast("double") * F.col("n_tokens").cast("double"))
+        - (F.col("n_vocab") + 1).cast("double")
+        / F.col("n_vocab").cast("double")
+    )
+    if round_to is not None:
+        g = F.round(g, int(round_to))
+    return out.select("source", "n_vocab", "n_tokens", g.alias("gini"))
