@@ -9451,6 +9451,71 @@ WINDOW w AS (
 """
 
 
+def _events_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inter-arrival-gap quantiles — the PRINCIPLED
+    session-timeout calibration: the 30-minute break every
+    sessionizer hardcodes should come from the actual gap
+    distribution (a bimodal gap histogram separates within-session
+    activity from returns; the p90/p99 knee is the timeout). Per
+    user, gaps between consecutive events (ns law, event_id
+    tiebreak), FLOORED TO SECONDS — the timeout question's
+    granularity, and the scale lever: quantiles are computed exactly
+    over the (gap_second, count) HISTOGRAM, whose size is bounded by
+    the time-value domain, never the event count — no global per-gap
+    sort anywhere. Quantile law: index floor((n−1)·q)+1 into the
+    cumulative histogram (type-1 / lower order statistic), identical
+    in the oracle. Returns (q, n_gaps, gap_seconds) for q ∈
+    {0.5, 0.9, 0.99}."""
+    from tidyvec_spark.operators.reports import histogram_quantiles
+    from tidyvec_spark.streaming import event_ns_of
+
+    ev = _read(spark, sf_dir, "events")
+    ev = ev.withColumn("__ns", event_ns_of(ev, "ts"))
+    w = Window.partitionBy("user_id").orderBy("__ns", "event_id")
+    gap_s = F.floor(
+        (F.col("__ns") - F.lag("__ns").over(w)) / F.lit(1_000_000_000)
+    ).cast("long")
+    gaps = ev.select(gap_s.alias("gap_s"))
+    return histogram_quantiles(gaps, "gap_s", qs=(0.5, 0.9, 0.99)).select(
+        "q",
+        F.col("n").alias("n_gaps"),
+        F.col("value").alias("gap_seconds"),
+    )
+
+
+_EVENTS_GAP_QUANTILES_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ns FROM events
+),
+g AS (
+  SELECT CAST(floor((ns - lag(ns) OVER (PARTITION BY user_id
+                                        ORDER BY ns, event_id))
+              / 1000000000.0) AS BIGINT) AS gap_s
+  FROM e
+),
+h AS (SELECT gap_s, count(*) AS c FROM g WHERE gap_s IS NOT NULL
+      GROUP BY gap_s),
+ch AS (SELECT gap_s, c,
+              sum(c) OVER (ORDER BY gap_s
+                           ROWS UNBOUNDED PRECEDING) AS cum
+       FROM h),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+p AS (
+  SELECT t.n AS n_gaps,
+         min(CASE WHEN ch.cum >= floor((t.n - 1) * 0.5) + 1
+                  THEN ch.gap_s END) AS q50,
+         min(CASE WHEN ch.cum >= floor((t.n - 1) * 0.9) + 1
+                  THEN ch.gap_s END) AS q90,
+         min(CASE WHEN ch.cum >= floor((t.n - 1) * 0.99) + 1
+                  THEN ch.gap_s END) AS q99
+  FROM ch, t GROUP BY t.n
+)
+SELECT CAST(u.q AS DOUBLE) AS q, p.n_gaps,
+       CAST(u.v AS BIGINT) AS gap_seconds
+FROM p, LATERAL (VALUES (0.5, q50), (0.9, q90), (0.99, q99)) u(q, v)
+"""
+
+
 def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis: how many users progress view → click →
     purchase in TIMESTAMP order (each later step strictly after the
@@ -14673,6 +14738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neyman_alloc": _docs_neyman_alloc,
         "token_burstiness": _token_burstiness,
         "source_token_gini": _source_token_gini,
+        "events_gap_quantiles": _events_gap_quantiles,
     }
 
 
@@ -14972,4 +15038,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_neyman_alloc": _DOCS_NEYMAN_ALLOC_SQL,
         "token_burstiness": _TOKEN_BURSTINESS_SQL,
         "source_token_gini": _SOURCE_TOKEN_GINI_SQL,
+        "events_gap_quantiles": _EVENTS_GAP_QUANTILES_SQL,
     }

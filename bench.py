@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "docs_neyman_alloc",
     "token_burstiness",
     "source_token_gini",
+    "events_gap_quantiles",
 ]
 
 

@@ -818,3 +818,38 @@ def test_source_token_gini_hand_case(spark):
     assert got["u"]["n_vocab"] == 4 and got["u"]["gini"] == 0.0
     assert got["c"]["n_vocab"] == 2 and got["c"]["n_tokens"] == 10
     assert got["c"]["gini"] == 0.4
+
+
+def test_histogram_quantiles_exact_order_statistics(spark):
+    """histogram_quantiles: exact type-1 order statistics on a known
+    multiset (matches a sorted-list replay at every q), duplicates
+    handled through counts, q=0/q=1 give min/max, and validation
+    raises."""
+    import math
+
+    import pytest
+
+    from tidyvec_spark.operators.reports import histogram_quantiles
+
+    vals = [5, 1, 1, 9, 3, 3, 3, 7, 100, 2]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    qs = (0.0, 0.25, 0.5, 0.9, 1.0)
+    got = {r["q"]: (r["n"], r["value"]) for r in
+           histogram_quantiles(df, "x", qs=qs).collect()}
+    s = sorted(vals)
+    for q in qs:
+        k = math.floor((len(s) - 1) * q)
+        assert got[q] == (len(s), s[k]), q
+
+    # NULLs excluded
+    with_null = spark.createDataFrame(
+        [(1,), (None,), (3,)], "x long"
+    )
+    got = {r["q"]: r for r in
+           histogram_quantiles(with_null, "x", qs=(0.5,)).collect()}
+    assert got[0.5]["n"] == 2 and got[0.5]["value"] == 1
+
+    with pytest.raises(ValueError, match="qs"):
+        histogram_quantiles(df, "x", qs=())
+    with pytest.raises(ValueError, match="qs"):
+        histogram_quantiles(df, "x", qs=(1.5,))

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from tidyvec_spark.functions.text import tokens
 
 __all__ = [
+    "histogram_quantiles",
     "source_token_gini",
     "token_burstiness",
     "vocab_growth",
@@ -619,3 +620,53 @@ def source_token_gini(
     if round_to is not None:
         g = F.round(g, int(round_to))
     return out.select("source", "n_vocab", "n_tokens", g.alias("gini"))
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT quantiles of an integer-valued column via its value
+    HISTOGRAM — the scale-honest alternative to both a global per-row
+    sort (the naive exact path) and approx_percentile (whose result
+    depends on merge order): group by value (bounded by the VALUE
+    DOMAIN, never the row count), cumulative-sum the bounded
+    histogram, and pick index floor((n−1)·q)+1 (the type-1 / lower
+    order statistic — deterministic, engine-portable). Returns one
+    row per q: (q, n, value). NULL values are excluded; asking
+    quantiles of an empty frame returns NULL values with n = 0."""
+    qs = [float(q) for q in qs]
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("qs must be non-empty, all in [0, 1]")
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("long").alias("__v"))
+        .agg(F.count("*").alias("__c"))
+    )
+    cw = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(cw))
+    tot = hist.agg(F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__n"))
+    joined = cum.crossJoin(F.broadcast(tot))
+    aggs = [F.max("__n").alias("__nn")]
+    for i, q in enumerate(qs):
+        k = F.floor((F.col("__n") - 1).cast("double") * F.lit(q)) + 1
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= k, F.col("__v"))).alias(
+                f"__q{i}"
+            )
+        )
+    row = joined.agg(*aggs)
+    per = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.coalesce(F.col("__nn"), F.lit(0)).alias("n"),
+                F.col(f"__q{i}").alias("value"),
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return row.select(F.explode(per).alias("x")).select("x.*")
