@@ -10924,6 +10924,45 @@ FROM m
 _ZIPF_TOP_K = 500
 
 
+def _docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document (functions/quality.py::
+    readability_cols — Flesch 1948 / Kincaid et al. 1975): the classic
+    dictionary-free readability feature next to the Gopher/C4 rules —
+    boilerplate and keyword-stuffed spam score far off the prose band.
+    Deterministic laws ([.!?]+ sentence runs, whitespace words,
+    vowel-group syllables with a floor of 1) in ONE codegen
+    projection; documents with no sentence or no word grade NULL."""
+    from tidyvec_spark.functions.quality import readability_cols
+
+    docs = _read(spark, sf_dir, "documents")
+    cols = readability_cols("text")
+    return docs.select(
+        "doc_id", *cols[:3], F.round(cols[3], R).alias("flesch")
+    )
+
+
+_DOCS_READABILITY_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                              s -> trim(s) <> '')) AS BIGINT) AS n_sents,
+         CAST(len({_TOKS}) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform({_TOKS},
+              w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+           AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_sents, n_words,
+       coalesce(n_syllables, 0) AS n_syllables,
+       ROUND(CASE WHEN n_sents > 0 AND n_words > 0
+             THEN 206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+             END, {R}) AS flesch
+FROM m
+"""
+
+
 def _token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dispersion of the top-20 tokens (operators/reports.py::
     token_burstiness — Church & Gale 1995): variance-to-mean ratio of
@@ -14739,6 +14778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_burstiness": _token_burstiness,
         "source_token_gini": _source_token_gini,
         "events_gap_quantiles": _events_gap_quantiles,
+        "docs_readability": _docs_readability,
     }
 
 
@@ -15039,4 +15079,5 @@ def oracle_sql() -> dict[str, str]:
         "token_burstiness": _TOKEN_BURSTINESS_SQL,
         "source_token_gini": _SOURCE_TOKEN_GINI_SQL,
         "events_gap_quantiles": _EVENTS_GAP_QUANTILES_SQL,
+        "docs_readability": _DOCS_READABILITY_SQL,
     }

@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "token_burstiness",
     "source_token_gini",
     "events_gap_quantiles",
+    "docs_readability",
 ]
 
 

@@ -600,3 +600,33 @@ class TestConfusableFold:
             ).df().iloc[:, 0]
         )
         assert got == want
+
+
+def test_readability_cols_hand_case(spark):
+    """readability_cols: exact Flesch on hand-counted sentences /
+    words / vowel-group syllables; no-prose documents grade NULL;
+    the projection is zero-shuffle codegen."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark import plans as P
+    from tidyvec_spark.functions.quality import readability_cols
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, ""),
+            (3, "no terminal punctuation here"),
+        ],
+        "id long, text string",
+    )
+    out = df.select("id", *readability_cols("text"))
+    got = {r["id"]: r for r in out.collect()}
+    # 2 sentences, 6 one-syllable words:
+    # flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    r = got[1]
+    assert (r["n_sents"], r["n_words"], r["n_syllables"]) == (2, 6, 6)
+    assert abs(r["flesch"] - 119.19) < 1e-9
+    assert got[2]["flesch"] is None and got[2]["n_sents"] == 0
+    # 'punctuation' = vowel groups u,ua,io -> 3; hand total = 9
+    assert got[3]["n_syllables"] == 9
+    assert P.num_shuffles(out) == 0
