@@ -5581,6 +5581,158 @@ def _wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wordpiece_unk_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE gap of an English-trained WordPiece across
+    languages (operators/wordpiece.py::wordpiece_tokenize): the vocab
+    is trained on the lang='en' subset only, applied corpus-wide, and
+    each language reports its [UNK]-word rate — the number that says
+    which languages a tokenizer trained on the head of the corpus
+    actually covers (the BERT-era multilingual-vocab design question;
+    fertility says how EXPENSIVE covered text is, UNK rate says what
+    is NOT covered at all). A word segments to exactly one [UNK]
+    piece, so the [UNK] count in the pieces string IS the uncovered
+    word count. Hybrid oracle (the wordpiece_fertility pattern):
+    doc/word sums in real SQL, UNK sums from the pure-Python twin
+    sharing trainer, vocabulary, and greedy longest-match law."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.wordpiece import (
+        _wordpiece_train_local,
+        wordpiece_tokenize,
+        wordpiece_vocab,
+        wordpiece_word_freq,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    wf = {
+        r["sym"]: int(r["freq"])
+        for r in wordpiece_word_freq(
+            docs.filter(F.col("lang") == "en"), "text"
+        ).collect()
+    }
+    merges = _wordpiece_train_local(dict(wf), 12)
+    vocab = wordpiece_vocab(wf, merges)
+    tok = wordpiece_tokenize(docs, "text", vocab, out_col="__pc")
+    unk = F.size(
+        F.filter(
+            F.split(F.col("__pc"), " "), lambda p: p == "[UNK]"
+        )
+    ).cast("long")
+    per = tok.select(
+        "lang",
+        X.token_count("text").alias("__w"),
+        F.when(F.length("__pc") == 0, F.lit(0)).otherwise(unk).alias(
+            "__u"
+        ),
+    )
+    rate = F.when(
+        F.col("n_words") > 0,
+        F.round(
+            F.col("n_unk").cast("double") / F.col("n_words").cast("double"),
+            R,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__w").cast("long").alias("n_words"),
+            F.sum("__u").cast("long").alias("n_unk"),
+        )
+        .select("lang", "n_docs", "n_words", "n_unk", rate.alias("unk_rate"))
+    )
+
+
+def _wordpiece_unk_by_lang_sql() -> str:
+    """Hybrid oracle: doc/word sums in real SQL; per-lang [UNK] sums
+    from the pure-Python twin (en-trained vocab, greedy longest-match
+    — the wordpiece_fertility pattern)."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from tidyvec_spark.operators.wordpiece import (
+        _wordpiece_train_local,
+        wordpiece_vocab,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    split = _re.compile("[ \\t\\n\\x0b\\f\\r]+").split
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    langs = tbl["lang"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    wf: dict[str, int] = {}
+    for lg, t in zip(langs, texts):
+        if lg != "en" or t is None:
+            continue
+        for w in split(t.lower()):
+            if w:
+                sym = " ".join(
+                    c if i == 0 else "##" + c for i, c in enumerate(w)
+                )
+                wf[sym] = wf.get(sym, 0) + 1
+    merges = _wordpiece_train_local(dict(wf), 12)
+    vocab = wordpiece_vocab(wf, merges)
+
+    cache: dict[str, bool] = {}
+
+    def is_unk(w: str) -> bool:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        if len(w) > 100:
+            cache[w] = True
+            return True
+        start = 0
+        while start < len(w):
+            end = len(w)
+            found = None
+            while end > start:
+                piece = w[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                if piece in vocab:
+                    found = end
+                    break
+                end -= 1
+            if found is None:
+                cache[w] = True
+                return True
+            start = found
+        cache[w] = False
+        return False
+
+    unk_by_lang: dict[str, int] = {}
+    for lg, t in zip(langs, texts):
+        if t is None:
+            continue
+        u = 0
+        for w in split(t.lower()):
+            if w and is_unk(w):
+                u += 1
+        unk_by_lang[lg] = unk_by_lang.get(lg, 0) + u
+    vals = ", ".join(
+        f"('{lg}', {n})" for lg, n in sorted(unk_by_lang.items())
+    )
+    return f"""
+WITH u(lang, n_unk) AS (VALUES {vals}),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_words
+  FROM documents GROUP BY lang
+)
+SELECT s.lang, s.n_docs, s.n_words,
+       CAST(u.n_unk AS BIGINT) AS n_unk,
+       CASE WHEN s.n_words > 0
+            THEN ROUND(CAST(u.n_unk AS DOUBLE) / s.n_words, {R})
+            ELSE 0.0 END AS unk_rate
+FROM s JOIN u ON u.lang = s.lang
+"""
+
+
 def _wordpiece_fertility_sql() -> str:
     """Hybrid oracle (the unigram_fertility pattern): doc/word/BPE
     sums in real SQL; WordPiece piece sums from a pure-Python twin
@@ -14779,6 +14931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_gini": _source_token_gini,
         "events_gap_quantiles": _events_gap_quantiles,
         "docs_readability": _docs_readability,
+        "wordpiece_unk_by_lang": _wordpiece_unk_by_lang,
     }
 
 
@@ -15080,4 +15233,5 @@ def oracle_sql() -> dict[str, str]:
         "source_token_gini": _SOURCE_TOKEN_GINI_SQL,
         "events_gap_quantiles": _EVENTS_GAP_QUANTILES_SQL,
         "docs_readability": _DOCS_READABILITY_SQL,
+        "wordpiece_unk_by_lang": _wordpiece_unk_by_lang_sql(),
     }

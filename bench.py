@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "source_token_gini",
     "events_gap_quantiles",
     "docs_readability",
+    "wordpiece_unk_by_lang",
 ]
 
 

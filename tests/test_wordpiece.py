@@ -132,3 +132,47 @@ def test_vocab_from_merges_roundtrip(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         wordpiece_train(spark.range(1), "id", 0)
+
+
+def test_unk_rate_english_trained_vocab_flags_other_scripts(spark):
+    """The wordpiece_unk_by_lang contract on a controlled corpus: an
+    English-trained vocabulary covers English words (char coverage ->
+    never [UNK]) but words containing characters absent from the
+    training set are exactly the [UNK]s — the per-lang coverage gap
+    the entry reports."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.wordpiece import (
+        _wordpiece_train_local,
+        wordpiece_tokenize,
+        wordpiece_vocab,
+        wordpiece_word_freq,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat and the hat"),
+            (2, "en", "a cat sat"),
+            (3, "de", "the katze und der hut"),   # k/z/u/r unseen
+            (4, "el", "γειά σου κόσμε the cat"),  # greek chars: UNK
+        ],
+        "doc_id long, lang string, text string",
+    )
+    wf = {
+        r["sym"]: int(r["freq"])
+        for r in wordpiece_word_freq(
+            docs.filter(F.col("lang") == "en"), "text"
+        ).collect()
+    }
+    merges = _wordpiece_train_local(dict(wf), 4)
+    vocab = wordpiece_vocab(wf, merges)
+    tok = wordpiece_tokenize(docs, "text", vocab, out_col="pc")
+    unk = {
+        r["doc_id"]: r["pc"].split(" ").count("[UNK]")
+        for r in tok.collect()
+    }
+    assert unk[1] == 0 and unk[2] == 0        # training text covered
+    # every word with a character outside the training alphabet is
+    # exactly one [UNK]: katze/und/der/hut (k,z,u,r unseen), not 'the'
+    assert unk[3] == 4
+    assert unk[4] == 3                          # the 3 greek words only
