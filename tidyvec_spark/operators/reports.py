@@ -639,10 +639,14 @@ def histogram_quantiles(
     qs = [float(q) for q in qs]
     if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
         raise ValueError("qs must be non-empty, all in [0, 1]")
+    # the histogram is bounded by the value domain and referenced
+    # TWICE (cumulative ranks + the total) — persist so the corpus is
+    # scanned once, the hll_overlap one-scan discipline
     hist = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).cast("long").alias("__v"))
         .agg(F.count("*").alias("__c"))
+        .persist()
     )
     cw = Window.orderBy("__v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -669,4 +673,6 @@ def histogram_quantiles(
             for i, q in enumerate(qs)
         ]
     )
-    return row.select(F.explode(per).alias("x")).select("x.*")
+    out = row.select(F.explode(per).alias("x")).select("x.*")
+    out._tidyvec_persisted = [hist]
+    return out
