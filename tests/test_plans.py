@@ -856,3 +856,13 @@ def test_round12_entry_plan_shapes(spark, qs):
     df = qs["docs_neyman_alloc"](spark, SF)
     assert P.num_scans(df) == 1
     P.assert_no_cartesian(df)
+
+    # histogram quantiles: ONE corpus scan (the bounded histogram is
+    # persisted against its two references); readability pure map-side
+    df = qs["events_gap_quantiles"](spark, SF)
+    assert P.num_scans(df) == 1
+    P.assert_no_cartesian(df)
+
+    df = qs["docs_readability"](spark, SF)
+    assert P.num_scans(df) == 1
+    assert P.num_shuffles(df) == 0
