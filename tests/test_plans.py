@@ -866,3 +866,24 @@ def test_round12_entry_plan_shapes(spark, qs):
     df = qs["docs_readability"](spark, SF)
     assert P.num_scans(df) == 1
     assert P.num_shuffles(df) == 0
+
+
+def test_bench_and_plans_artifacts_consistent():
+    """Registry hygiene, pinned: every BENCH_QUERIES row is a registry
+    entry, the committed PLANS.json covers exactly the bench rows (a
+    missing row means bench.py was not re-run after adding an entry),
+    and every oracle_sql() key is a queries() key."""
+    import json
+    import os
+
+    import bench
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(bench.BENCH_QUERIES) <= set(qs)
+    assert set(oracles) <= set(qs)
+    plans_path = os.path.join(os.path.dirname(bench.__file__), "PLANS.json")
+    plans = json.load(open(plans_path))["plans"]
+    assert set(plans) == set(bench.BENCH_QUERIES), (
+        "PLANS.json is stale — re-run python bench.py"
+    )
