@@ -13579,6 +13579,164 @@ def _corpus_overlap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_triage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-sketch TRIAD in one composite: ONE manifest build
+    per corpus (sketch=True, cms=True, minhash=True — the HLL and
+    MinHash columns ride the same per-doc aggregate, the token CMS
+    adds its declared second pass) answers all three cross-corpus
+    triage questions with ZERO further corpus reads:
+
+    - DISTINCT overlap: hll_overlap_from_sketches — exact counts
+      emitted only if the sketch estimates agree (2%/5% gates, the
+      corpus_overlap_manifest convention);
+    - SIMILARITY: minhash_jaccard_from_manifests — matching-minima/k,
+      integer-exact, replayed bit-for-bit;
+    - FREQUENCY: cms_from_manifest + cms_estimate probing the token
+      'the' in corpus A, with the exact count and the one-sided
+      never-undercount flag riding alongside.
+
+    One row; every emitted value is exact or integer-exact, so the
+    oracle replays the whole triad."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.functions.hashing import md5_long
+    from tidyvec_spark.operators.sketches import (
+        cms_estimate,
+        cms_from_manifest,
+        hll_overlap_from_sketches,
+        minhash_jaccard_from_manifests,
+    )
+    from tidyvec_spark.sources.maintenance import corpus_manifest
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 4 < 3)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+
+    def man(c):
+        return corpus_manifest(
+            c, "doc_id", "text", n_shards=8, digest=False,
+            sketch=True, cms=True, cms_salt="cmsT",
+            minhash=True, mh_k=128,
+        )
+
+    ma, mb = man(a), man(b)
+    hll = hll_overlap_from_sketches(ma, mb)
+    mh = minhash_jaccard_from_manifests(ma, mb, round_to=R).select(
+        F.col("n_match").alias("mh_match"),
+        F.col("k").alias("mh_k"),
+        F.col("jaccard_est").alias("mh_jaccard_est"),
+    )
+    probe = spark.createDataFrame([("the",)], "term string")
+    fest = cms_estimate(
+        probe, "term", cms_from_manifest(ma, width=256),
+        depth=4, width=256, salt="cmsT",
+    ).select(F.col("n_est").cast("long").alias("the_est_a"))
+    the_exact = (
+        a.select(F.explode(X.tokens("text")).alias("t"))
+        .filter(F.col("t") == "the")
+        .agg(F.count("*").cast("long").alias("the_exact_a"))
+    )
+    per_h = (
+        docs.select(
+            md5_long(F.col("text")).alias("__h"),
+            F.when(F.col("doc_id") % 4 < 3, 1).otherwise(0).alias("__ia"),
+            F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("__ib"),
+        )
+        .groupBy("__h")
+        .agg(F.max("__ia").alias("ia"), F.max("__ib").alias("ib"))
+    )
+    ex = per_h.agg(
+        F.sum("ia").cast("long").alias("n_a"),
+        F.sum("ib").cast("long").alias("n_b"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias(
+            "n_intersection"
+        ),
+    ).withColumn(
+        "n_union", F.col("n_a") + F.col("n_b") - F.col("n_intersection")
+    )
+    tol = lambda e, x, t: (  # noqa: E731
+        F.abs(F.col(e) - F.col(x)) <= F.lit(t) * F.col(x)
+    )
+    return (
+        ex.crossJoin(hll)
+        .filter(
+            tol("n_a_est", "n_a", 0.02)
+            & tol("n_b_est", "n_b", 0.02)
+            & tol("n_union_est", "n_union", 0.02)
+            & tol("n_intersection_est", "n_intersection", 0.05)
+        )
+        .select("n_a", "n_b", "n_union", "n_intersection")
+        .crossJoin(mh)
+        .crossJoin(F.broadcast(fest))
+        .crossJoin(F.broadcast(the_exact))
+        .withColumn(
+            "the_ge_exact", F.col("the_est_a") >= F.col("the_exact_a")
+        )
+    )
+
+
+def _corpus_triage_manifest_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT substr(md5(text), 1, 15) AS hh,
+         max(CASE WHEN doc_id % 4 < 3 THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS ib
+  FROM documents GROUP BY 1
+),
+x AS (
+  SELECT CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b,
+         CAST(sum(ia * ib) AS BIGINT) AS n_intersection
+  FROM h
+),
+c AS (SELECT i, l[i + 1] AS ab
+      FROM (SELECT {_minhash_ab_sql(128)} AS l), range(0, 128) t(i)),
+ha AS (SELECT CAST({_hex60('text')} AS BIGINT) & 1073741823 AS hb
+       FROM documents WHERE doc_id % 4 < 3),
+hb_ AS (SELECT CAST({_hex60('text')} AS BIGINT) & 1073741823 AS hb
+        FROM documents WHERE doc_id % 3 = 0),
+siga AS (SELECT c.i, min((c.ab[1] * ha.hb + c.ab[2]) % 2147483647) AS m
+         FROM ha, c GROUP BY c.i),
+sigb AS (SELECT c.i, min((c.ab[1] * hb_.hb + c.ab[2]) % 2147483647) AS m
+         FROM hb_, c GROUP BY c.i),
+mh AS (
+  SELECT CAST(sum(CASE WHEN s1.m = s2.m THEN 1 ELSE 0 END) AS BIGINT)
+           AS mh_match,
+         CAST(count(*) AS BIGINT) AS mh_k
+  FROM siga s1 JOIN sigb s2 ON s1.i = s2.i
+),
+tok_a AS (SELECT unnest({_TOKS}) AS term FROM documents
+          WHERE doc_id % 4 < 3),
+rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cms AS (
+  SELECT r,
+    CAST(CONCAT('0x', substr(md5(CONCAT('cmsT', CAST(r AS VARCHAR), ':',
+      term)), 1, 8)) AS UBIGINT) % 256 AS bucket,
+    count(*) AS cnt
+  FROM tok_a, rows_ GROUP BY 1, 2
+),
+probe AS (
+  SELECT r.r,
+    CAST(CONCAT('0x', substr(md5(CONCAT('cmsT', CAST(r.r AS VARCHAR),
+      ':the')), 1, 8)) AS UBIGINT) % 256 AS bucket
+  FROM rows_ r
+),
+fest AS (
+  SELECT CAST(min(coalesce(c2.cnt, 0)) AS BIGINT) AS the_est_a
+  FROM probe p LEFT JOIN cms c2 ON c2.r = p.r AND c2.bucket = p.bucket
+),
+texact AS (SELECT CAST(count(*) AS BIGINT) AS the_exact_a
+           FROM tok_a WHERE term = 'the')
+SELECT x.n_a, x.n_b,
+       CAST(x.n_a + x.n_b - x.n_intersection AS BIGINT) AS n_union,
+       x.n_intersection,
+       mh.mh_match, mh.mh_k,
+       ROUND(CAST(mh.mh_match AS DOUBLE) / mh.mh_k, {R})
+         AS mh_jaccard_est,
+       fest.the_est_a, texact.the_exact_a,
+       fest.the_est_a >= texact.the_exact_a AS the_ge_exact
+FROM x, mh, fest, texact
+"""
+
+
 def _corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus Jaccard from manifest-stored MinHash signatures
     (sources/maintenance.py::corpus_manifest(minhash=True) +
@@ -14932,6 +15090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_quantiles": _events_gap_quantiles,
         "docs_readability": _docs_readability,
         "wordpiece_unk_by_lang": _wordpiece_unk_by_lang,
+        "corpus_triage_manifest": _corpus_triage_manifest,
     }
 
 
@@ -15234,4 +15393,5 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_quantiles": _EVENTS_GAP_QUANTILES_SQL,
         "docs_readability": _DOCS_READABILITY_SQL,
         "wordpiece_unk_by_lang": _wordpiece_unk_by_lang_sql(),
+        "corpus_triage_manifest": _corpus_triage_manifest_sql(),
     }

@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     "events_gap_quantiles",
     "docs_readability",
     "wordpiece_unk_by_lang",
+    "corpus_triage_manifest",
 ]
 
 
