@@ -9603,6 +9603,126 @@ WINDOW w AS (
 """
 
 
+def _events_gap_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT-TYPE cadence: exact p50/p90 of the gaps between a
+    user's consecutive events OF THE SAME TYPE (purchases recur on a
+    different clock than clicks — one global timeout hides that), via
+    histogram_quantiles' grouped path: the one-scan histogram is
+    per-(type, second) and the cumulative windows partition per type,
+    so each sort is value-domain-bounded. Same second-floor and
+    type-1 index laws as events_gap_quantiles. Returns
+    (event_type, q, n_gaps, gap_seconds)."""
+    from tidyvec_spark.operators.reports import histogram_quantiles
+    from tidyvec_spark.streaming import event_ns_of
+
+    ev = _read(spark, sf_dir, "events")
+    ev = ev.withColumn("__ns", event_ns_of(ev, "ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "__ns", "event_id"
+    )
+    gap_s = F.floor(
+        (F.col("__ns") - F.lag("__ns").over(w)) / F.lit(1_000_000_000)
+    ).cast("long")
+    gaps = ev.select("event_type", gap_s.alias("gap_s"))
+    return histogram_quantiles(
+        gaps, "gap_s", qs=(0.5, 0.9), by=["event_type"]
+    ).select(
+        "event_type",
+        "q",
+        F.col("n").alias("n_gaps"),
+        F.col("value").alias("gap_seconds"),
+    )
+
+
+_EVENTS_GAP_QUANTILES_BY_TYPE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events
+),
+g AS (
+  SELECT event_type,
+         CAST(floor((ns - lag(ns) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ns, event_id))
+              / 1000000000.0) AS BIGINT) AS gap_s
+  FROM e
+),
+h AS (SELECT event_type, gap_s, count(*) AS c FROM g
+      WHERE gap_s IS NOT NULL GROUP BY event_type, gap_s),
+ch AS (SELECT event_type, gap_s, c,
+              sum(c) OVER (PARTITION BY event_type ORDER BY gap_s
+                           ROWS UNBOUNDED PRECEDING) AS cum
+       FROM h),
+t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h
+      GROUP BY event_type),
+p AS (
+  SELECT ch.event_type, t.n AS n_gaps,
+         min(CASE WHEN ch.cum >= floor((t.n - 1) * 0.5) + 1
+                  THEN ch.gap_s END) AS q50,
+         min(CASE WHEN ch.cum >= floor((t.n - 1) * 0.9) + 1
+                  THEN ch.gap_s END) AS q90
+  FROM ch JOIN t ON t.event_type = ch.event_type
+  GROUP BY ch.event_type, t.n
+)
+SELECT event_type, CAST(u.q AS DOUBLE) AS q, p.n_gaps,
+       CAST(u.v AS BIGINT) AS gap_seconds
+FROM p, LATERAL (VALUES (0.5, q50), (0.9, q90)) u(q, v)
+"""
+
+
+def _events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov chain: P(next event type | current)
+    from each user's consecutive event pairs (ns order, event_id
+    tiebreak — the sessions law). The classic product-analytics /
+    anomaly-baseline view: bot traffic shows near-deterministic rows
+    (one transition ≈ 1.0), organic users spread; the matrix is also
+    the baseline behind sequence-likelihood scoring of user sessions.
+    Exact integer pair counts; probabilities are one rounded division
+    per cell, row-normalized over the SAME counts (Σp per row ≈ 1 by
+    construction). Output is |types|² ≤ 25 rows: (prev_type,
+    next_type, n, p). One window shuffle on user_id + one pair-sized
+    agg."""
+    from tidyvec_spark.streaming import event_ns_of
+
+    ev = _read(spark, sf_dir, "events")
+    ev = ev.withColumn("__ns", event_ns_of(ev, "ts"))
+    w = Window.partitionBy("user_id").orderBy("__ns", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wr = Window.partitionBy("prev_type")
+    p = F.round(
+        F.col("n").cast("double") / F.sum("n").over(wr).cast("double"), R
+    )
+    return pairs.select("prev_type", "next_type", "n", p.alias("p"))
+
+
+_EVENTS_TRANSITION_MATRIX_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events
+),
+pr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ns, event_id) AS prev_type,
+         event_type AS next_type
+  FROM e
+),
+c AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM pr WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY prev_type), {R}) AS p
+FROM c
+"""
+
+
 def _events_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact inter-arrival-gap quantiles — the PRINCIPLED
     session-timeout calibration: the 30-minute break every
@@ -15091,6 +15211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_readability": _docs_readability,
         "wordpiece_unk_by_lang": _wordpiece_unk_by_lang,
         "corpus_triage_manifest": _corpus_triage_manifest,
+        "events_transition_matrix": _events_transition_matrix,
+        "events_gap_quantiles_by_type": _events_gap_quantiles_by_type,
     }
 
 
@@ -15394,4 +15516,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_readability": _DOCS_READABILITY_SQL,
         "wordpiece_unk_by_lang": _wordpiece_unk_by_lang_sql(),
         "corpus_triage_manifest": _corpus_triage_manifest_sql(),
+        "events_transition_matrix": _EVENTS_TRANSITION_MATRIX_SQL,
+        "events_gap_quantiles_by_type": _EVENTS_GAP_QUANTILES_BY_TYPE_SQL,
     }

@@ -307,6 +307,8 @@ BENCH_QUERIES = [
     "docs_readability",
     "wordpiece_unk_by_lang",
     "corpus_triage_manifest",
+    "events_transition_matrix",
+    "events_gap_quantiles_by_type",
 ]
 
 

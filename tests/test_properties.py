@@ -588,3 +588,25 @@ def test_whiten_embeddings_identity_covariance(spark):
         *[F.avg(F.col("whitened")[i]).alias(f"m{i}") for i in range(4)]
     ).first()
     assert all(abs(mu[f"m{i}"]) < 1e-9 for i in range(4))
+
+
+def test_events_transition_matrix_laws(spark, sf_dir):
+    """events_transition_matrix: rows normalize to 1 (over rounded
+    cells within rounding error), counts sum to (events − users with
+    ≥1 event), every probability in (0, 1]."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    qs = entry.queries()
+    rows = qs["events_transition_matrix"](spark, sf_dir).collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0
+        by_prev.setdefault(r["prev_type"], []).append(r["p"])
+    for prev, ps in by_prev.items():
+        assert abs(sum(ps) - 1.0) < 1e-4, prev
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users

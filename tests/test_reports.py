@@ -853,3 +853,27 @@ def test_histogram_quantiles_exact_order_statistics(spark):
         histogram_quantiles(df, "x", qs=())
     with pytest.raises(ValueError, match="qs"):
         histogram_quantiles(df, "x", qs=(1.5,))
+
+
+def test_histogram_quantiles_grouped(spark):
+    """histogram_quantiles(by=...): per-group exact order statistics
+    match independent sorted-list replays; groups do not contaminate
+    each other; the ungrouped path is unchanged."""
+    import math
+
+    from tidyvec_spark.operators.reports import histogram_quantiles
+
+    data = {
+        "a": [1, 2, 3, 4, 100],
+        "b": [10] * 9 + [20],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {(r["g"], r["q"]): (r["n"], r["value"]) for r in
+           histogram_quantiles(df, "x", qs=(0.5, 0.9),
+                               by=["g"]).collect()}
+    for g, vs in data.items():
+        s = sorted(vs)
+        for q in (0.5, 0.9):
+            k = math.floor((len(s) - 1) * q)
+            assert got[(g, q)] == (len(s), s[k]), (g, q)

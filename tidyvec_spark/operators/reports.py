@@ -626,6 +626,7 @@ def histogram_quantiles(
     df: DataFrame,
     value_col: str,
     qs: Sequence[float] = (0.5, 0.9, 0.99),
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """EXACT quantiles of an integer-valued column via its value
     HISTOGRAM — the scale-honest alternative to both a global per-row
@@ -634,26 +635,41 @@ def histogram_quantiles(
     DOMAIN, never the row count), cumulative-sum the bounded
     histogram, and pick index floor((n−1)·q)+1 (the type-1 / lower
     order statistic — deterministic, engine-portable). Returns one
-    row per q: (q, n, value). NULL values are excluded; asking
-    quantiles of an empty frame returns NULL values with n = 0."""
+    row per q: (q, n, value), or per (group × q) with ``by`` — grouped
+    quantiles share the one-scan histogram, with the cumulative
+    window and totals partitioned per group (each group's histogram
+    is value-domain-bounded, so the window sorts stay executor-sized
+    at 100 TB). NULL values are excluded; a group with no values is
+    simply absent."""
     qs = [float(q) for q in qs]
     if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
         raise ValueError("qs must be non-empty, all in [0, 1]")
+    by = list(by)
     # the histogram is bounded by the value domain and referenced
     # TWICE (cumulative ranks + the total) — persist so the corpus is
     # scanned once, the hll_overlap one-scan discipline
     hist = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).cast("long").alias("__v"))
+        .groupBy(*by, F.col(value_col).cast("long").alias("__v"))
         .agg(F.count("*").alias("__c"))
         .persist()
     )
-    cw = Window.orderBy("__v").rowsBetween(
+    cw = (
+        Window.partitionBy(*by) if by else Window
+    ).orderBy("__v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = hist.withColumn("__cum", F.sum("__c").over(cw))
-    tot = hist.agg(F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__n"))
-    joined = cum.crossJoin(F.broadcast(tot))
+    if by:
+        tot = hist.groupBy(*by).agg(
+            F.sum("__c").cast("long").alias("__n")
+        )
+        joined = cum.join(F.broadcast(tot), by)
+    else:
+        tot = hist.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__n")
+        )
+        joined = cum.crossJoin(F.broadcast(tot))
     aggs = [F.max("__n").alias("__nn")]
     for i, q in enumerate(qs):
         k = F.floor((F.col("__n") - 1).cast("double") * F.lit(q)) + 1
@@ -662,7 +678,7 @@ def histogram_quantiles(
                 f"__q{i}"
             )
         )
-    row = joined.agg(*aggs)
+    row = joined.groupBy(*by).agg(*aggs) if by else joined.agg(*aggs)
     per = F.array(
         *[
             F.struct(
@@ -673,6 +689,6 @@ def histogram_quantiles(
             for i, q in enumerate(qs)
         ]
     )
-    out = row.select(F.explode(per).alias("x")).select("x.*")
+    out = row.select(*by, F.explode(per).alias("x")).select(*by, "x.*")
     out._tidyvec_persisted = [hist]
     return out
