@@ -2186,7 +2186,7 @@ s AS (
   FROM q
 )
 SELECT doc_id, source, ROUND(q, {R}) AS q,
-  ROUND(CASE WHEN sd > 0 THEN (q - mu) / sd ELSE 0.0 END, {R}) AS z
+  ROUND(CASE WHEN sd > 0 THEN (q - mu) / sd ELSE 0.0 END, {R}) + 0.0 AS z
 FROM s
 """
 
@@ -7368,7 +7368,7 @@ tc AS (
 )
 SELECT pc.term_a, pc.term_b, pc.n_ab,
        ROUND(ln(CAST(pc.n_ab * n.nd AS DOUBLE)
-                / CAST(ta.n_t * tb.n_t AS DOUBLE)), {R}) AS pmi
+                / CAST(ta.n_t * tb.n_t AS DOUBLE)), {R}) + 0.0 AS pmi
 FROM pc, n
 JOIN tc ta ON ta.tok = pc.term_a
 JOIN tc tb ON tb.tok = pc.term_b
@@ -8286,7 +8286,7 @@ s AS (
 SELECT label, n_a, n_b,
        ROUND(CASE WHEN ({na}) > 0 AND ({nb}) > 0
              THEN ({dot}) / sqrt({na}) / sqrt({nb})
-             ELSE 0.0 END, {R}) AS drift
+             ELSE 0.0 END, {R}) + 0.0 AS drift
 FROM s
 """
 
@@ -11267,7 +11267,7 @@ SELECT term, n_total, df_docs,
        ROUND((CAST(ss AS DOUBLE) / nn
               - (CAST(n_total AS DOUBLE) / nn)
                 * (CAST(n_total AS DOUBLE) / nn))
-             / (CAST(n_total AS DOUBLE) / nn), {R}) AS vmr
+             / (CAST(n_total AS DOUBLE) / nn), {R}) + 0.0 AS vmr
 FROM agg, n
 ORDER BY n_total DESC, term LIMIT 20
 """
@@ -11343,11 +11343,12 @@ top AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_terms,
        ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)),
-                        ln(CAST(rnk AS DOUBLE))), {R}) AS slope,
+                        ln(CAST(rnk AS DOUBLE))), {R}) + 0.0 AS slope,
        ROUND(regr_intercept(ln(CAST(cnt AS DOUBLE)),
-                            ln(CAST(rnk AS DOUBLE))), {R}) AS intercept,
+                            ln(CAST(rnk AS DOUBLE))), {R}) + 0.0
+         AS intercept,
        ROUND(regr_r2(ln(CAST(cnt AS DOUBLE)),
-                     ln(CAST(rnk AS DOUBLE))), {R}) AS r2
+                     ln(CAST(rnk AS DOUBLE))), {R}) + 0.0 AS r2
 FROM top
 """
 
@@ -11382,7 +11383,7 @@ p AS (
   WHERE a.i <= b.i
   GROUP BY a.i, b.i
 )
-SELECT i, j, ROUND(c, 4) AS cov FROM p
+SELECT i, j, ROUND(c, 4) + 0.0 AS cov FROM p
 """
 
 
@@ -14144,8 +14145,9 @@ def _docs_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources ∝ N_h·σ_h of the token count — minimum-variance mean
     estimation under a fixed budget, the principled version of 'how
     many docs do I audit per source?'. Integer-exact end to end:
-    σ rounds to 6 (absorbing accumulation-order ulps), weights scale
-    to int64, base = floor-div, leftover by largest remainder with
+    σ rounds to 6 (absorbing accumulation-order ulps), weights
+    accumulate in DECIMAL(38,0) / HUGEINT (int64 overflows at huge
+    strata), base = floor-div, leftover by largest remainder with
     the (remainder desc, source asc) tie law — both engines agree
     bit-for-bit and Σ alloc == 100 exactly."""
     from tidyvec_spark.functions.text import token_count
@@ -14168,8 +14170,12 @@ s AS (
   FROM d GROUP BY source
 ),
 w AS (
+  -- round(σ·1e6) is a small exact integer; the ×n_rows multiply runs
+  -- in HUGEINT so wi never overflows (mirrors the Spark side's
+  -- DECIMAL(38,0) accumulation). wi/base/rem stay intermediates;
+  -- every OUTPUT column is BIGINT.
   SELECT source, n_rows, sigma,
-         CAST(round(sigma * n_rows * 1000000) AS BIGINT) AS wi
+         CAST(round(sigma * 1000000) AS HUGEINT) * n_rows AS wi
   FROM s
 ),
 z AS (SELECT sum(wi) AS z FROM w),
@@ -14311,7 +14317,7 @@ WITH s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
 t AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
 p AS (SELECT s.id AS sa, t.id AS tb,
-             ROUND(list_cosine_similarity(s.v, t.v), {R}) AS sim
+             ROUND(list_cosine_similarity(s.v, t.v), {R}) + 0.0 AS sim
       FROM s, t),
 fe AS (SELECT sa, tb, sim FROM (
   SELECT sa, tb, sim,
@@ -14661,7 +14667,8 @@ t AS (
 )
 SELECT j.source,
        ROUND(sum((nc / tc + 1e-6 - nr / tr - 1e-6)
-                 * ln((nc / tc + 1e-6) / (nr / tr + 1e-6))), {R}) AS psi,
+                 * ln((nc / tc + 1e-6) / (nr / tr + 1e-6))), {R}) + 0.0
+         AS psi,
        CAST(min(tr) AS BIGINT) AS n_ref,
        CAST(min(tc) AS BIGINT) AS n_cur
 FROM j JOIN t USING (source)

@@ -398,6 +398,13 @@ def main() -> None:
                 }
             except Exception:
                 plan_metrics[name] = {}
+            # persist the wall time per plan too: the driver's
+            # BENCH_r*.json keeps only a truncated stdout tail (~68 of
+            # 268 queries visible in r12), so PLANS.json is the durable
+            # round-over-round record of EVERY query's timing
+            w = timings.get(name)
+            if w is not None and w != float("inf"):
+                plan_metrics[name]["wall_s"] = w
             spark.catalog.clearCache()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

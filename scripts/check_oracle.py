@@ -23,8 +23,24 @@ TABLES = (
 )
 
 
+def _has_negzero(v):
+    if isinstance(v, float):
+        return v == 0.0 and math.copysign(1.0, v) < 0
+    if isinstance(v, (list, tuple)):
+        return any(_has_negzero(x) for x in v)
+    return False
+
+
 def canon(rows, columns):
-    """Order-insensitive canonical form: sort columns by name, then rows."""
+    """Order-insensitive canonical form: sort columns by name, then rows.
+
+    Signed zeros are DELIBERATELY distinguished (str(-0.0) != str(0.0)):
+    the driver's value hash is bit-sensitive, and DuckDB's ROUND
+    preserves the sign bit on a tiny negative rounding to zero while
+    Spark's does not — folding them here (as this script did through
+    r12) made local verification pass queries the driver then
+    hash-failed (embedding_covariance, r12). Oracles must fold -0.0
+    themselves (``+ 0.0`` after ROUND) on BOTH engines."""
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
@@ -35,9 +51,7 @@ def canon(rows, columns):
                 if math.isnan(v):
                     v = "NaN"
                 else:
-                    v = round(v, 9)
-                    if v == 0:
-                        v = 0.0  # -0.0 == 0.0
+                    v = round(v, 9)  # round() preserves the zero sign
             vals.append((type(v).__name__ if v is not None else "none", str(v)))
         out.append(tuple(vals))
     out.sort()
@@ -114,6 +128,24 @@ def main():
         wide = [c for c, t in zip(d_cols, d_types) if "HUGEINT" in t.upper()]
         if wide:
             print(f"✗ {name}: ORACLE HUGEINT columns {wide} — add CAST(... AS BIGINT)")
+            failures.append(name)
+            continue
+        # flag -0.0 in EITHER engine even when both agree: the sign of
+        # a rounded zero is an engine implementation detail (DuckDB
+        # ROUND keeps it, Spark HALF_UP drops it), so any -0.0 output
+        # is one engine-version away from a driver hash fail — oracles
+        # must fold it (+ 0.0 after ROUND) on both sides.
+        negz = [
+            (eng, i)
+            for eng, rows in (("spark", s_rows), ("duck", d_rows))
+            for i, row in enumerate(rows)
+            if any(_has_negzero(v) for v in row)
+        ]
+        if negz:
+            print(
+                f"✗ {name}: SIGNED ZERO (-0.0) in output "
+                f"{[(e, i) for e, i in negz[:5]]} — fold with '+ 0.0'"
+            )
             failures.append(name)
             continue
         sc, sv = canon(s_rows, s_cols)

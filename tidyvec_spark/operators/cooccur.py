@@ -196,14 +196,17 @@ def sample_negatives_join(
 ) -> DataFrame:
     """The scale path of :func:`sample_negatives`: same draw law
     (slot i = floor(hash_unit(key:i, salt) · T)), but the slot→term
-    lookup is a BROADCAST equi-join against the expanded ranges frame
-    instead of a T-element literal array in the plan — word2vec's
-    canonical table_size = 1e8 would otherwise be a 1e8-literal
-    expression (and a 1e8-entry driver list). The driver ships only
-    the vocabulary-bounded ``ranges``; slot expansion
-    (explode(sequence(lo, hi−1))) is distributed, and the T-row slots
-    frame broadcasts once per job, not once per plan node. One
-    BroadcastHashJoin, zero shuffle."""
+    lookup is a BROADCAST equi-join on a COARSE GRID instead of a
+    T-element literal array in the plan. Exploding all T slots would
+    put T rows on the driver via the broadcast build side — word2vec's
+    canonical table_size = 1e8 would be a multi-GB driver collect. So
+    slots are never materialized: the slot space is cut into ≤ 2^16
+    equal cells, each range (term, lo, hi) is listed under every cell
+    it overlaps (≤ |vocab| + 2^16 pairs TOTAL, since ranges tile the
+    slot space), the row joins by its slot's cell, and a lo ≤ slot < hi
+    filter picks the unique covering range. Broadcast build side is
+    O(vocab + grid) rows INDEPENDENT of T; one BroadcastHashJoin, zero
+    shuffle."""
     from tidyvec_spark.operators.sampling import hash_unit
 
     if int(k) < 1:
@@ -211,14 +214,23 @@ def sample_negatives_join(
     if not ranges:
         raise ValueError("empty sampling ranges")
     T = int(table_size)
+    grid = 1 << 16
+    cell_w = max(1, -(-T // grid))
     spark = df.sparkSession
-    slots = spark.createDataFrame(
-        ranges, "__term string, __lo long, __hi long"
-    ).select(
-        F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi") - 1)
-        ).alias("__slot"),
-        F.col("__term"),
+    cells = (
+        spark.createDataFrame(ranges, "__term string, __lo long, __hi long")
+        .filter(F.col("__hi") > F.col("__lo"))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.expr(f"__lo div {cell_w}"),
+                    F.expr(f"(__hi - 1) div {cell_w}"),
+                )
+            ).alias("__cell"),
+            "__term",
+            "__lo",
+            "__hi",
+        )
     )
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     out = df.withColumn(
@@ -232,9 +244,14 @@ def sample_negatives_join(
     slot = F.least(F.floor(u * T).cast("long"), F.lit(T - 1))
     return (
         out.withColumn("__slot", slot)
-        .join(F.broadcast(slots), "__slot")
+        .withColumn("__cell", F.expr(f"__slot div {cell_w}"))
+        .join(F.broadcast(cells), "__cell")
+        .filter(
+            (F.col("__slot") >= F.col("__lo"))
+            & (F.col("__slot") < F.col("__hi"))
+        )
         .withColumnRenamed("__term", out_col)
-        .drop("__slot")
+        .drop("__slot", "__cell", "__lo", "__hi")
     )
 
 
@@ -354,12 +371,15 @@ def token_pmi_topk(
             "term_a",
             "term_b",
             "n_ab",
-            F.round(
-                F.log(
-                    (F.col("n_ab") * F.lit(int(n_docs))).cast("double")
-                    / (F.col("__na") * F.col("__nb")).cast("double")
-                ),
-                round_to,
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_ab") * F.lit(int(n_docs))).cast("double")
+                        / (F.col("__na") * F.col("__nb")).cast("double")
+                    ),
+                    round_to,
+                )
+                + F.lit(0.0)
             ).alias("pmi"),
         )
     )

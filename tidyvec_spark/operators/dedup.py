@@ -2563,8 +2563,25 @@ def jaccard_prefix_pairs(
     tok = docs.select("__id", "len", F.explode("ts").alias("t"))
     dfreq = tok.groupBy("t").agg(F.count("*").alias("__df"))
     w = Window.partitionBy("__id").orderBy(F.asc("__df"), F.asc("t"))
+    # ⌈t·len⌉ computed EXACTLY over integers (the negative-sampling-slot
+    # discipline): a float multiply can land one ulp ABOVE an integer
+    # t·len and ceil then overshoots, shortening the prefix by one — a
+    # false negative violating the documented guarantee. Scale t to
+    # int64 with an exact floor (t_int ≤ t·SCALE, Fraction is the exact
+    # binary value of the double), then ceil-div in integers: the
+    # resulting prefix is never shorter than the true one (a longer
+    # prefix only adds candidates; the exact verify discards them).
+    from fractions import Fraction
+
+    _SCALE = 1_000_000_000
+    t_int = int(Fraction(t) * _SCALE)  # floor: Fraction//1 semantics
     prefix_len = (
-        F.col("len") - F.ceil(F.lit(t) * F.col("len")) + 1
+        F.col("len")
+        - F.expr(
+            f"(CAST({t_int} AS BIGINT) * CAST(len AS BIGINT)"
+            f" + {_SCALE - 1}) div {_SCALE}"
+        )
+        + 1
     ).cast("int")
     prefix = (
         tok.join(dfreq, "t")
@@ -2581,10 +2598,13 @@ def jaccard_prefix_pairs(
     cands = (
         a.join(b, "t")
         .filter(F.col("id_a") < F.col("id_b"))
+        # same integer-exact discipline: J ≥ t ⇒ min/max ≥ t ⇒
+        # min·SCALE ≥ t·SCALE·max ≥ t_int·max, so this never drops a
+        # qualifying pair (la, lb ≤ ~1e6 tokens keeps the product
+        # well inside int64)
         .filter(
-            F.least("la", "lb").cast("double")
-            / F.greatest("la", "lb").cast("double")
-            >= t
+            F.least("la", "lb").cast("long") * F.lit(_SCALE)
+            >= F.lit(t_int) * F.greatest("la", "lb").cast("long")
         )
         .select("id_a", "id_b")
         .distinct()

@@ -118,7 +118,11 @@ def embedding_covariance(
         F.col("sy") / F.col("n")
     )
     if round_to is not None:
-        cov = F.round(cov, int(round_to))
+        # + 0.0 folds IEEE -0.0 (a tiny negative covariance rounding to
+        # zero) into +0.0 — DuckDB's ROUND preserves the sign bit while
+        # Spark's BigDecimal HALF_UP does not, so without the fold the
+        # two engines emit bit-different zeros for the same value.
+        cov = F.round(cov, int(round_to)) + F.lit(0.0)
     return agg.select("i", "j", cov.alias("cov"))
 
 

@@ -194,7 +194,10 @@ def zscore_by_group(
         (F.col(value_col) - F.col("__mu")) / F.col("__sd"),
     ).otherwise(F.lit(0.0))
     if round_to is not None:
-        z = F.round(z, int(round_to))
+        # + 0.0 folds a -0.0 (tiny negative z rounding to zero) into
+        # +0.0 — keeps the output bit-identical to engines whose ROUND
+        # preserves the zero sign (the embedding_covariance lesson)
+        z = F.round(z, int(round_to)) + F.lit(0.0)
     return (
         df.join(
             F.broadcast(stats),
@@ -413,7 +416,7 @@ def psi_drift(
     out = (
         withtot.groupBy(*keys)
         .agg(
-            F.round(F.sum(term), round_to).alias("psi"),
+            (F.round(F.sum(term), round_to) + F.lit(0.0)).alias("psi"),
             F.first("__tr").alias("n_ref"),
             F.first("__tc").alias("n_cur"),
         )
@@ -565,7 +568,7 @@ def token_burstiness(
     ex2 = F.col("__ss").cast("double") / F.col("__n").cast("double")
     vmr = (ex2 - mean * mean) / mean
     if round_to is not None:
-        vmr = F.round(vmr, int(round_to))
+        vmr = F.round(vmr, int(round_to)) + F.lit(0.0)
     return (
         agg.crossJoin(F.broadcast(n))
         .select("term", "n_total", "df_docs", vmr.alias("vmr"))

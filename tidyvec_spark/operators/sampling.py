@@ -661,11 +661,13 @@ def neyman_allocation(
     Laws, INTEGER-EXACT end to end (the negative-sampling boundary
     discipline): σ_h is the population stddev ROUNDED to ``round_to``
     (absorbing engine accumulation-order ulps), the weight is
-    wi_h = round(σ_h·N_h·scale) as int64, base_h = total_n·wi_h // Σwi
-    and remainders assign the leftover by largest-remainder
-    (Hamilton) with the (remainder desc, stratum asc) tie law — no
-    float share ever reaches a floor boundary, so both engines agree
-    bit-for-bit at any scale. Zero-variance strata get weight 0 (one
+    wi_h = round(σ_h·scale)·N_h accumulated in DECIMAL(38,0) (int64
+    overflows at N_h ~1e12 · σ ~1e4; requires σ·scale < 2^53 so the
+    pre-round double is exact), base_h = total_n·wi_h // Σwi and
+    remainders assign the leftover by largest-remainder (Hamilton)
+    with the (remainder desc, stratum asc) tie law — no float share
+    ever reaches a floor boundary, so both engines agree bit-for-bit
+    at any scale (the oracle accumulates in HUGEINT). Zero-variance strata get weight 0 (one
     observation determines them; Neyman's law, documented not
     patched); if EVERY stratum has zero variance the allocation is
     undefined and the plan errors at execution (ANSI zero division —
@@ -694,20 +696,31 @@ def neyman_allocation(
             ).alias("sigma"),
         )
         .withColumn(
+            # σ·scale is mathematically an integer (σ is rounded to
+            # round_to ≤ 6 dp, scale = 10^6); round() kills the float
+            # ulp, then the ×n_rows multiply runs in DECIMAL(38,0) —
+            # an int64 __wi overflows at n_rows ~1e12 · σ ~1e4 (the
+            # h_sum manifest pattern). Requires σ·scale < 2^53 so the
+            # pre-round double is exact (σ < ~9e9 at scale 10^6).
             "__wi",
-            F.round(
-                F.col("sigma") * F.col("n_rows").cast("double")
-                * int(scale),
-                0,
-            ).cast("long"),
+            (
+                F.round(F.col("sigma") * int(scale), 0)
+                .cast("decimal(19,0)")
+                * F.col("n_rows").cast("decimal(19,0)")
+            ).cast("decimal(38,0)"),
         )
         .persist()
     )
-    z = stats.agg(F.sum("__wi").alias("__z"))
+    z = stats.agg(F.sum("__wi").cast("decimal(38,0)").alias("__z"))
     based = (
         stats.crossJoin(F.broadcast(z))
-        .withColumn("__num", F.lit(t) * F.col("__wi"))
-        .withColumn("__base", F.expr("__num div __z"))
+        .withColumn(
+            "__num",
+            (F.lit(t).cast("decimal(19,0)") * F.col("__wi")).cast(
+                "decimal(38,0)"
+            ),
+        )
+        .withColumn("__base", F.expr("__num div __z").cast("long"))
         .withColumn("__rem", F.col("__num") % F.col("__z"))
     )
     left = based.agg((F.lit(t) - F.sum("__base")).alias("__left"))

@@ -480,8 +480,16 @@ def manifest_stream(
     into the exact whole-corpus manifest WITHOUT ever re-scanning the
     ingested data (every fold is associative and commutative). This is
     the streaming form of the :func:`combine_manifests` incremental
-    path; ``availableNow`` drains current input and checkpointing
-    makes the append exactly-once per micro-batch."""
+    path; ``availableNow`` drains current input.
+
+    ``foreachBatch`` is only at-least-once: if the job commits but the
+    checkpoint does not (a crash in between), the batch REPLAYS on
+    restart. A plain append would then double-count that batch's
+    n_docs/n_tokens and double its HLL/CMS contributions in the fold.
+    So each batch writes its part under ``parts_dir/batch_id=<bid>``
+    with DYNAMIC partition overwrite — a replay overwrites its own
+    partition instead of appending a duplicate, making the write
+    idempotent and the end-to-end pipeline effectively exactly-once."""
     def _batch(bdf: DataFrame, bid: int) -> None:
         part = corpus_manifest(
             bdf, id_col, text_col, n_shards=n_shards,
@@ -489,9 +497,13 @@ def manifest_stream(
         )
         from pyspark.sql import functions as F
 
-        part.withColumn("batch_id", F.lit(int(bid))).write.mode(
-            "append"
-        ).parquet(parts_dir)
+        (
+            part.withColumn("batch_id", F.lit(int(bid)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(parts_dir)
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(_batch)
