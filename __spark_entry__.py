@@ -5167,6 +5167,76 @@ def _clf_holdout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(labs, "doc_id").filter(F.col("doc_id") % 5 != 0)
 
 
+def _docs_clf_ml_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-vs-driver training agreement (operators/
+    classifier.py::fit_quality_classifier_ml — the pyspark.ml LBFGS
+    seam over the SAME hashed-presence features as the deterministic
+    driver fit): both models train on the 20%% labeled split and score
+    the 80%% holdout; the entry emits ONE row (auc_driver, auc_ml,
+    auc_abs_diff) so the driver exercises the distributed path
+    end-to-end every rotation. Rows-only by declaration (like
+    kmeans_clusters): LBFGS minimizes a different-constants objective
+    with executor-side float reduction order, so coefficients are
+    close, not bit-equal — the pinned law is |ΔAUC| small (the pytest
+    bounds it at 0.02; the driver row pins schema + rowcount).
+    Plan: the labeled split collects once for the driver fit (bounded
+    by its nature), LBFGS aggregates executor-side; scoring is the
+    zero-shuffle map pass both times."""
+    from tidyvec_spark.operators.classifier import (
+        classify_quality,
+        fit_quality_classifier,
+        fit_quality_classifier_ml,
+    )
+    from tidyvec_spark.operators.evaluation import auc_score
+
+    docs = _read(spark, sf_dir, "documents")
+    label = (
+        F.array_contains(F.split(F.lower("text"), r"\s+"), "spark")
+        .cast("int")
+        .alias("y")
+    )
+    labeled = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", label, "text"
+    ).persist()
+    w0d, wd = fit_quality_classifier(
+        labeled, "text", "y", "doc_id", num_buckets=_CLF_B,
+    )
+    w0m, wm = fit_quality_classifier_ml(
+        labeled, "text", "y", num_buckets=_CLF_B,
+    )
+    # ONE persisted holdout frame feeds both scoring passes AND both
+    # label joins — 2 corpus scans total (labeled + holdout), not 4
+    hold = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", label, "text"
+    ).persist()
+
+    def _auc(w0, w, name):
+        scored = classify_quality(
+            hold, "text", "doc_id", w0, w, round_to=R
+        )
+        return (
+            auc_score(
+                scored.join(hold.select("doc_id", "y"), "doc_id"),
+                "quality_prob", "y", round_to=R,
+            )
+            .select(F.col("auc").alias(name))
+        )
+
+    out = (
+        _auc(w0d, wd, "auc_driver")
+        .crossJoin(F.broadcast(_auc(w0m, wm, "auc_ml")))
+        .select(
+            "auc_driver",
+            "auc_ml",
+            F.round(
+                F.abs(F.col("auc_driver") - F.col("auc_ml")), R
+            ).alias("auc_abs_diff"),
+        )
+    )
+    out._tidyvec_persisted = [labeled, hold]
+    return out
+
+
 def _docs_clf_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC of the learned quality classifier on the holdout
     (operators/evaluation.py::auc_score — Mann–Whitney with average
@@ -12822,6 +12892,120 @@ def _token_cms_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _corpus_membership_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-scan membership triage from manifest-stored Bloom bitmaps
+    (sources/maintenance.py::corpus_manifest(bloom=True) +
+    operators/sketches.py::bloom_from_manifest → bloom_member_probe) —
+    the MEMBERSHIP member completing the stored-sketch quartet
+    (HLL → distinct, CMS → frequency, MinHash → similarity): "is this
+    contaminated token probably in corpus A?" answered off an 8 KB/
+    shard stored artifact, zero corpus-A scans at probe time. Corpus A
+    = doc_id < 250; probes = corpus B's top-10 tokens (count desc,
+    term asc) + 5 synthetic absent tokens. Laws the oracle replays
+    bit-for-bit: probe positions are the CMS md5 idiom with width =
+    2^16 (engine-portable), per-shard bitmaps OR-fold into the corpus
+    bitmap (exact union — Bloom 1970), and the one-sided guarantee
+    NEVER-FALSE-NEGATIVE is visible in the output: every probe with
+    in_a = 1 must carry maybe_in_a = 1 (a 0 is a proof of absence; the
+    synthetic absents pin the other side at this bitmap occupancy).
+    Plan: manifest build is the declared in-entry cost (production
+    manifests are stored at ingest, the corpus_triage_manifest
+    convention); the probe side touches only B's vocab agg."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.sketches import (
+        bloom_from_manifest,
+        bloom_member_probe,
+    )
+    from tidyvec_spark.sources.maintenance import corpus_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") < 250)
+    b = docs.filter(F.col("doc_id") >= 250)
+    man = corpus_manifest(
+        a, "doc_id", "text",
+        n_shards=8, digest=False, bloom=True, bloom_salt="blm",
+    )
+    bm = bloom_from_manifest(man)
+    btop = (
+        b.select(F.explode(X.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_b"))
+        .orderBy(F.desc("n_b"), F.asc("term"))
+        .limit(10)
+    )
+    absent = spark.createDataFrame(
+        [(f"zzabsent{i}", 0) for i in range(5)], "term string, n_b long"
+    )
+    probes = btop.unionByName(absent).persist()
+    probed = bloom_member_probe(
+        probes, "term", bm, 1 << 16, k=4, salt="blm",
+        out_col="maybe_in_a",
+    )
+    atok = (
+        a.select(F.explode(X.tokens("text")).alias("term"))
+        .distinct()
+        .withColumn("in_a", F.lit(1))
+    )
+    out = (
+        probes.join(probed, "term")
+        .join(F.broadcast(atok), "term", "left")
+        .select(
+            "term",
+            "n_b",
+            F.coalesce("in_a", F.lit(0)).cast("int").alias("in_a"),
+            F.col("maybe_in_a").cast("int").alias("maybe_in_a"),
+        )
+    )
+    out._tidyvec_persisted = [probes]
+    return out
+
+
+_CORPUS_MEMBERSHIP_MANIFEST_SQL = f"""
+WITH atok AS (
+  SELECT DISTINCT t FROM (
+    SELECT unnest({_TOKS}) AS t FROM documents WHERE doc_id < 250
+  )
+),
+rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+bits AS (
+  SELECT DISTINCT
+    CAST(CONCAT('0x', substr(md5(CONCAT('blm', CAST(r AS VARCHAR), ':',
+      t)), 1, 8)) AS UBIGINT) % 65536 AS p
+  FROM atok, rows_
+),
+btop AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_b
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents
+        WHERE doc_id >= 250)
+  GROUP BY term ORDER BY n_b DESC, term LIMIT 10
+),
+probes AS (
+  SELECT term, n_b FROM btop
+  UNION ALL
+  SELECT 'zzabsent' || CAST(i AS VARCHAR) AS term, CAST(0 AS BIGINT)
+  FROM (SELECT unnest([0, 1, 2, 3, 4]) AS i)
+),
+pp AS (
+  SELECT term, n_b, r,
+    CAST(CONCAT('0x', substr(md5(CONCAT('blm', CAST(r AS VARCHAR), ':',
+      term)), 1, 8)) AS UBIGINT) % 65536 AS p
+  FROM probes, rows_
+),
+mp AS (
+  SELECT term, n_b,
+         CAST(min(CASE WHEN bits.p IS NOT NULL THEN 1 ELSE 0 END)
+              AS INT) AS maybe_in_a
+  FROM pp LEFT JOIN bits ON bits.p = pp.p
+  GROUP BY 1, 2
+)
+SELECT mp.term, mp.n_b,
+       CAST(CASE WHEN a2.t IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS in_a,
+       mp.maybe_in_a
+FROM mp LEFT JOIN atok a2 ON a2.t = mp.term
+"""
+
+
 def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-dup discovery end to end (operators/dedup.py::
     image_near_dup_pairs): REAL pixel decode → perceptual average-hash
@@ -14884,28 +15068,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-12 rotation (per the r11 verdict item 1): the 9
-    # long-stable spine representatives + the 22 round-11 additions
-    # (first driver row; all 22 judge-re-verified at sf0.001 in the
-    # r11 verdict) + the 17 aging r5/r6-cohort rows named by the r11
-    # verdict (last checked r7, pipeline_ccnet r9) + the 2
-    # alphabetically-first of the oldest remaining rows (last checked
-    # r5), so no entry's last check ages past ~7 rounds.
+    # entries. Round-13 rotation (per the r12 verdict item 3): the 9
+    # long-stable spine representatives + the 19 round-12 additions
+    # (first driver row; all 19 judge-re-verified at sf0.001 AND
+    # sf0.01 in the r12 verdict) + embedding_covariance (the one r12
+    # red row, held until its green driver row lands — the signed-zero
+    # fix is in, see tests/test_signed_zero.py) + the 21 oldest
+    # surviving rows (last checked r5), so no entry's last check ages
+    # past ~8 rounds.
     #
-    # STATUS: this window is the round-12 rotation and is HELD
-    # UNCHANGED through the end of round 12 so CORRECTNESS_r12
+    # STATUS: this window is the round-13 rotation and is HELD
+    # UNCHANGED through the end of round 13 so CORRECTNESS_r13
     # (produced by the driver when the round closes) covers exactly
-    # these 50 entries. Evidence for "round 12 is still open":
-    # CORRECTNESS_r01..r11.json exist in the repo and
-    # CORRECTNESS_r12.json does not — the driver writes the artifact
-    # at round close. DO NOT rotate this window until CORRECTNESS_r12
+    # these 50 entries. Evidence for "round 13 is still open":
+    # CORRECTNESS_r01..r12.json exist in the repo and
+    # CORRECTNESS_r13.json does not — the driver writes the artifact
+    # at round close. DO NOT rotate this window until CORRECTNESS_r13
     # rows exist.
     # Multi-round-stable legacy entries sit in the tail; every
     # oracle-backed tail entry stays checked by the dynamic SUBSET in
     # tests/test_entry_oracle.py (computed as "oracle-backed and past
     # position 50", so any future rotation keeps the invariant).
     return {
-        # --- gate window (1-50), rotated for ROUND 12 ---
+        # --- gate window (1-50), rotated for ROUND 13 ---
         # Every window entry is locally verified at sf0.001 AND
         # sf0.01 via scripts/check_oracle.py before the round
         # closes.
@@ -14919,7 +15104,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _events_asof_purchase,
         "docs_stream_dedup": _docs_stream_dedup,
         "q5_region_revenue": _q5_region_revenue,
-        # the 22 round-11 additions (first driver row):
+        # the 19 round-12 additions (first driver row; all 19
+        # judge-re-verified at sf0.001 AND sf0.01 in the r12
+        # verdict):
+        "embedding_whiten": _embedding_whiten,
+        "token_cms_manifest": _token_cms_manifest,
+        "docs_node_clustering": _docs_node_clustering,
+        "docs_clf_isotonic": _docs_clf_isotonic,
+        "rocchio_search": _rocchio_search,
+        "docs_stream_manifest": _docs_stream_manifest,
+        "docs_quality_rank_norm": _docs_quality_rank_norm,
+        "docs_span_corruption": _docs_span_corruption,
+        "docs_jaccard_exact_pairs": _docs_jaccard_exact_pairs,
+        "corpus_overlap_minhash": _corpus_overlap_minhash,
+        "docs_neyman_alloc": _docs_neyman_alloc,
+        "token_burstiness": _token_burstiness,
+        "source_token_gini": _source_token_gini,
+        "events_gap_quantiles": _events_gap_quantiles,
+        "docs_readability": _docs_readability,
+        "wordpiece_unk_by_lang": _wordpiece_unk_by_lang,
+        "corpus_triage_manifest": _corpus_triage_manifest,
+        "events_transition_matrix": _events_transition_matrix,
+        "events_gap_quantiles_by_type": _events_gap_quantiles_by_type,
+        # the r12 red row, held in the window until its green driver
+        # row lands (r12 verdict item 1): the hash fail was a DuckDB
+        # -0.0 vs Spark +0.0 on 64 negative-rounds-to-zero cells;
+        # both sides now fold the sign (+ 0.0 after ROUND) and the
+        # fix is pinned by tests/test_signed_zero.py:
+        "embedding_covariance": _embedding_covariance,
+        # the 21 oldest surviving driver rows (last checked r5 —
+        # staler than the r6/r7 cohort the r12 verdict named; sq_topk,
+        # the 22nd r5 row, waits one round for the covariance redo
+        # seat):
+        "bucketed_join_segments": _bucketed_join_segments,
+        "corpus_rollup": _corpus_rollup,
+        "decontaminate_corpus": _decontaminate_corpus,
+        "docs_chunks": _docs_chunks,
+        "docs_length_quantiles": _docs_length_quantiles,
+        "docs_pack": _docs_pack,
+        "docs_pivot_sources": _docs_pivot_sources,
+        "docs_quality_flags": _docs_quality_flags,
+        "docs_redact": _docs_redact,
+        "docs_repetition": _docs_repetition,
+        "docs_stream_budget": _docs_stream_budget,
+        "embedding_health": _embedding_health,
+        "embedding_pool_labels": _embedding_pool_labels,
+        "hybrid_rrf": _hybrid_rrf,
+        "incremental_near_dup": _incremental_near_dup,
+        "matryoshka_topk": _matryoshka_topk,
+        "mix_temperature": _mix_temperature,
+        "sample_fixed_per_lang": _sample_fixed_per_lang,
+        "skew_agg_langs": _skew_agg_langs,
+        "skew_join_events": _skew_join_events,
+        "split_leakage_free": _split_leakage_free,
+        # --- position 51+: outside the driver's gate window ---
+        # every oracle-backed entry below is checked by the dynamic
+        # SUBSET in tests/test_entry_oracle.py; entries rotated out
+        # this round all have green CORRECTNESS_r12 rows. New
+        # round-13 additions accumulate at the very end of this dict
+        # under a ROUND-14 ROTATION QUEUE comment.
         "ann_recall_ivfpq": _ann_recall_ivfpq,
         "corpus_overlap_manifest": _corpus_overlap_manifest,
         "corpus_overlap_matrix": _corpus_overlap_matrix,
@@ -14935,15 +15178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_triangle_stats": _docs_triangle_stats,
         "docs_truncation_report": _docs_truncation_report,
         "docs_zipf_fit": _docs_zipf_fit,
-        "embedding_covariance": _embedding_covariance,
         "events_user_sequences": _events_user_sequences,
         "lm_greedy_continuation": _lm_greedy_continuation,
         "pipeline_seq_prep": _pipeline_seq_prep,
         "rm3_search": _rm3_search,
         "token_negatives": _token_negatives,
         "token_skipgrams": _token_skipgrams,
-        # the 17 aging r5/r6-cohort rows named by the r11 verdict
-        # (last checked r7; pipeline_ccnet r9):
         "pipeline_ccnet": _pipeline_ccnet,
         "pipeline_web": _pipeline_web,
         "docs_c4_clean": _docs_c4_clean,
@@ -14961,16 +15201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_counts": _q16_supplier_counts,
         "q20_share_suppliers": _q20_share_suppliers,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
-        # the 2 oldest remaining rows (last checked r5):
         "ann_lsh_batch": _ann_lsh_batch,
         "ann_topk_sidecar": _ann_topk_sidecar,
-        # --- position 51+: outside the driver's gate window ---
-        # every oracle-backed entry below is checked by the dynamic
-        # SUBSET in tests/test_entry_oracle.py; entries rotated out
-        # this round all have green CORRECTNESS_r11 rows. New
-        # round-12 additions accumulate at the very end of this dict
-        # under a ROUND-13 ROTATION QUEUE comment.
-        # rotated out of the r11 window (green CORRECTNESS_r11 rows):
         "docs_warc_gz_ingest": _docs_warc_gz_ingest,
         "bitext_margin_pairs": _bitext_margin("threshold"),
         "bitext_margin_best": _bitext_margin("best"),
@@ -15012,7 +15244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_adc_topk": _ivfpq_adc_topk,
         "events_stream_interval_join": _events_stream_interval_join,
         "hf_query_nearest": _hf_query_nearest,
-        # long-stable legacy tail:
         "unigram_fertility": _unigram_fertility,
         "wordpiece_merges": _wordpiece_merges,
         "wordpiece_fertility": _wordpiece_fertility,
@@ -15142,27 +15373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_2d": _pca_2d,
         "hf_embed_fake": _hf_embed_fake,
         "sq_topk": _sq_topk,
-        "matryoshka_topk": _matryoshka_topk,
-        "incremental_near_dup": _incremental_near_dup,
-        "split_leakage_free": _split_leakage_free,
-        "decontaminate_corpus": _decontaminate_corpus,
-        "mix_temperature": _mix_temperature,
-        "sample_fixed_per_lang": _sample_fixed_per_lang,
-        "docs_quality_flags": _docs_quality_flags,
-        "docs_repetition": _docs_repetition,
-        "docs_redact": _docs_redact,
-        "docs_chunks": _docs_chunks,
-        "docs_pack": _docs_pack,
-        "docs_length_quantiles": _docs_length_quantiles,
-        "docs_pivot_sources": _docs_pivot_sources,
-        "hybrid_rrf": _hybrid_rrf,
-        "embedding_pool_labels": _embedding_pool_labels,
-        "embedding_health": _embedding_health,
-        "corpus_rollup": _corpus_rollup,
-        "bucketed_join_segments": _bucketed_join_segments,
-        "skew_join_events": _skew_join_events,
-        "skew_agg_langs": _skew_agg_langs,
-        "docs_stream_budget": _docs_stream_budget,
         "bpe_merges": _bpe_merges,
         "docs_pagerank": _docs_pagerank,
         "dedup_recall_simhash": _dedup_recall_simhash,
@@ -15196,30 +15406,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": _soft_dedup,
         "winnow_pairs": _winnow_pairs,
         "token_pmi": _token_pmi,
-        # round-12 additions (tail — the round-12 window above is
-        # HELD; the dynamic SUBSET in tests/test_entry_oracle.py
-        # checks them now; each locally verified at sf0.001 AND
-        # sf0.01 via scripts/check_oracle.py when it landed). They
-        # form the ROUND-13 ROTATION QUEUE:
-        "embedding_whiten": _embedding_whiten,
-        "token_cms_manifest": _token_cms_manifest,
-        "docs_node_clustering": _docs_node_clustering,
-        "docs_clf_isotonic": _docs_clf_isotonic,
-        "rocchio_search": _rocchio_search,
-        "docs_stream_manifest": _docs_stream_manifest,
-        "docs_quality_rank_norm": _docs_quality_rank_norm,
-        "docs_span_corruption": _docs_span_corruption,
-        "docs_jaccard_exact_pairs": _docs_jaccard_exact_pairs,
-        "corpus_overlap_minhash": _corpus_overlap_minhash,
-        "docs_neyman_alloc": _docs_neyman_alloc,
-        "token_burstiness": _token_burstiness,
-        "source_token_gini": _source_token_gini,
-        "events_gap_quantiles": _events_gap_quantiles,
-        "docs_readability": _docs_readability,
-        "wordpiece_unk_by_lang": _wordpiece_unk_by_lang,
-        "corpus_triage_manifest": _corpus_triage_manifest,
-        "events_transition_matrix": _events_transition_matrix,
-        "events_gap_quantiles_by_type": _events_gap_quantiles_by_type,
+        # --- ROUND-14 ROTATION QUEUE: round-13 additions, verified
+        # locally at sf0.001 + sf0.01, first driver row next round ---
+        "corpus_membership_manifest": _corpus_membership_manifest,
+        # rows-only by declaration (LBFGS, like kmeans_clusters):
+        "docs_clf_ml_agreement": _docs_clf_ml_agreement,
     }
 
 
@@ -15508,6 +15699,7 @@ def oracle_sql() -> dict[str, str]:
         # round-12 additions:
         "embedding_whiten": _EMBEDDING_WHITEN_SQL,
         "token_cms_manifest": _token_cms_sql("cmsM"),
+        "corpus_membership_manifest": _CORPUS_MEMBERSHIP_MANIFEST_SQL,
         "docs_node_clustering": _DOCS_NODE_CLUSTERING_SQL,
         "docs_clf_isotonic": _clf_eval_sql(_DOCS_CLF_ISOTONIC_TAIL),
         "rocchio_search": _ROCCHIO_SEARCH_SQL,

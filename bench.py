@@ -309,6 +309,9 @@ BENCH_QUERIES = [
     "corpus_triage_manifest",
     "events_transition_matrix",
     "events_gap_quantiles_by_type",
+    # round-13 additions
+    "corpus_membership_manifest",
+    "docs_clf_ml_agreement",
 ]
 
 

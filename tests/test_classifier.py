@@ -157,3 +157,22 @@ def test_ml_fit_agrees_with_driver_fit(spark):
     keep_m = {r["id"]: r["keep"]
               for r in classify_quality(df, "text", "id", w0_m, w_m).collect()}
     assert keep_m == keep_d
+
+
+def test_entry_ml_agreement_within_tolerance(spark):
+    """The driver-registry seam: docs_clf_ml_agreement must emit ONE
+    row whose |AUC(driver fit) − AUC(LBFGS fit)| on the fixture
+    holdout stays within 0.02 — the declared-ML agreement bound the
+    rows-only driver row cannot itself enforce."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["docs_clf_ml_agreement"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["auc_driver"] is not None and r["auc_ml"] is not None
+    assert r["auc_abs_diff"] <= 0.02, r

@@ -887,3 +887,26 @@ def test_bench_and_plans_artifacts_consistent():
     assert set(plans) == set(bench.BENCH_QUERIES), (
         "PLANS.json is stale — re-run python bench.py"
     )
+
+
+def test_round13_entry_plan_shapes(spark, qs):
+    """Round-13 additions, plan-pinned.
+
+    - corpus_membership_manifest: the manifest BUILD is the declared
+      in-entry cost (two token/doc passes over corpus A — production
+      manifests are stored at ingest); the PROBE side adds only B's
+      vocab agg and A's distinct-token audit join. 4 scans total, no
+      cartesian, and the one-row bitmap reaches the probes as a
+      broadcast, never a shuffle of the probe frame.
+    - docs_clf_ml_agreement: the two scoring passes are map-side over
+      the held-out corpus; AUC's rank statistics aggregate bounded
+      distinct-score frames. No cartesian beyond the two 1-row AUC
+      cross joins.
+    """
+    df = qs["corpus_membership_manifest"](spark, SF)
+    assert P.num_scans(df) <= 4
+    P.assert_no_cartesian(df)
+
+    df = qs["docs_clf_ml_agreement"](spark, SF)
+    assert P.num_scans(df) <= 3
+    assert P.num_shuffles(df) <= 4

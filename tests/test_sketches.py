@@ -216,3 +216,116 @@ def test_hll_overlap_matrix_all_pairs(spark):
     r02 = got[("g0", "g2")]
     assert r02["n_intersection_est"] < 0.02 * 9000  # clamped near zero
     assert 0.0 <= r02["jaccard_est"] <= 1.0
+
+
+class TestBloomManifest:
+    """Per-shard Bloom bitmaps in the corpus manifest — the MEMBERSHIP
+    member of the stored-sketch quartet (corpus_manifest(bloom=True),
+    bloom_from_manifest, bloom_member_probe)."""
+
+    BITS, K, SALT = 1 << 12, 4, "tblm"
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (i, f"alpha beta gamma tok{i % 37} tok{i % 11} delta")
+            for i in range(200)
+        ]
+        return spark.createDataFrame(rows, "id long, text string")
+
+    def _manifest(self, corpus, **kw):
+        from tidyvec_spark.sources.maintenance import corpus_manifest
+
+        return corpus_manifest(
+            corpus, "id", "text", n_shards=4, digest=False,
+            bloom=True, bloom_bits=self.BITS, bloom_k=self.K,
+            bloom_salt=self.SALT, **kw,
+        )
+
+    def test_never_false_negative(self, spark, corpus):
+        """The one-sided Bloom law: EVERY token the corpus contains
+        probes 1 through the folded manifest bitmap."""
+        from tidyvec_spark.functions.text import tokens
+        from tidyvec_spark.operators.sketches import (
+            bloom_from_manifest,
+            bloom_member_probe,
+        )
+
+        bm = bloom_from_manifest(self._manifest(corpus))
+        toks = corpus.select(F.explode(tokens("text")).alias("t")).distinct()
+        probed = bloom_member_probe(
+            toks, "t", bm, self.BITS, k=self.K, salt=self.SALT
+        )
+        n = toks.count()
+        assert probed.filter(F.col("maybe_present") == 1).count() == n
+
+    def test_absent_values_mostly_absent(self, spark, corpus):
+        """A 0 is a proof of absence; at this occupancy (~50 distinct
+        tokens × 4 bits in 4096) absent probes should test 0 too."""
+        from tidyvec_spark.operators.sketches import (
+            bloom_from_manifest,
+            bloom_member_probe,
+        )
+
+        bm = bloom_from_manifest(self._manifest(corpus))
+        absent = spark.createDataFrame(
+            [(f"zz_missing_{i}",) for i in range(50)], "t string"
+        )
+        pos = (
+            bloom_member_probe(
+                absent, "t", bm, self.BITS, k=self.K, salt=self.SALT
+            )
+            .filter(F.col("maybe_present") == 1)
+            .count()
+        )
+        assert pos <= 2  # fpp at this occupancy is ~(50*4/4096)^4 ≈ 5e-6
+
+    def test_combine_manifests_or_fold_equals_whole_build(self, corpus):
+        """Bitwise OR is the exact union law: folding the halves'
+        manifests reproduces the whole-corpus bitmaps bit-for-bit."""
+        from tidyvec_spark.sources.maintenance import combine_manifests
+
+        h1 = self._manifest(corpus.filter(F.col("id") % 2 == 0))
+        h2 = self._manifest(corpus.filter(F.col("id") % 2 == 1))
+        whole = {
+            r["shard"]: r["bloom"]
+            for r in self._manifest(corpus).select("shard", "bloom").collect()
+        }
+        folded = {
+            r["shard"]: r["bloom"]
+            for r in combine_manifests(h1, h2)
+            .select("shard", "bloom")
+            .collect()
+        }
+        assert folded == whole
+
+    def test_mixed_bloom_parts_refused(self, corpus):
+        from tidyvec_spark.sources.maintenance import (
+            combine_manifests,
+            corpus_manifest,
+        )
+
+        with_b = self._manifest(corpus)
+        without = corpus_manifest(
+            corpus, "id", "text", n_shards=4, digest=False
+        )
+        with pytest.raises(ValueError, match="bloom"):
+            combine_manifests(with_b, without)
+
+    def test_probe_validation(self, spark, corpus):
+        from tidyvec_spark.operators.sketches import (
+            bloom_from_manifest,
+            bloom_member_probe,
+        )
+        from tidyvec_spark.sources.maintenance import corpus_manifest
+
+        bm = bloom_from_manifest(self._manifest(corpus))
+        vals = spark.createDataFrame([("x",)], "t string")
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_member_probe(vals, "t", bm, 100, k=4)
+        with pytest.raises(ValueError, match="k must be"):
+            bloom_member_probe(vals, "t", bm, 4096, k=0)
+        with pytest.raises(ValueError, match="multiple of 64"):
+            corpus_manifest(
+                corpus, "id", "text", bloom=True, bloom_bits=100
+            )

@@ -38,6 +38,8 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_estimate",
+    "bloom_from_manifest",
+    "bloom_member_probe",
 ]
 
 
@@ -490,4 +492,83 @@ def cms_estimate(
     return (
         probed.groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
+    )
+
+
+def bloom_from_manifest(
+    manifest: DataFrame,
+    col: str = "bloom",
+) -> DataFrame:
+    """Fold a manifest's per-shard Bloom bitmaps
+    (``corpus_manifest(bloom=True)``, sources/maintenance.py) into the
+    ONE whole-corpus bitmap — ZERO corpus scans: the input is the
+    n_shards-row manifest and bitwise OR is the exact union law
+    (Bloom 1970), so the folded bitmap equals building one bitmap over
+    the whole token stream bit-for-bit. The MEMBERSHIP member of the
+    stored-sketch quartet (HLL → distinct, CMS → frequency,
+    MinHash → similarity): "is this contaminated n-gram probably in
+    corpus A?" answered off a stored few-KB artifact. Returns one row
+    with the packed ``num_bits/64``-long array."""
+    lst = F.collect_list(col)
+    return manifest.agg(
+        F.aggregate(
+            F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda acc, x: F.zip_with(acc, x, lambda p, q: p.bitwiseOR(q)),
+        ).alias("__bloom")
+    )
+
+
+def bloom_member_probe(
+    values: DataFrame,
+    value_col: str,
+    bitmap: DataFrame,
+    num_bits: int,
+    k: int = 4,
+    salt: str = "",
+    out_col: str = "maybe_present",
+) -> DataFrame:
+    """Probe every row of ``values`` against a
+    :func:`bloom_from_manifest` bitmap: ``out_col`` = 1 iff ALL ``k``
+    probe bits are set — NEVER a false negative (any token the corpus
+    contains tests 1; only spurious 1s occur, at the bitmap's
+    occupancy-determined rate), the one-sided law that makes Bloom
+    triage trustworthy for contamination screening: a 0 is a proof of
+    absence. The probe positions replay the build's engine-portable
+    md5 law (``_cms_bucket`` with width = ``num_bits``), so any
+    engine's stored manifest answers identically. Cost scales with the
+    query set — the one-row bitmap broadcasts; the corpus is never
+    touched. NULL probe values are dropped (never tokenized into the
+    build either)."""
+    if int(num_bits) < 64 or int(num_bits) % 64 != 0:
+        raise ValueError("num_bits must be a positive multiple of 64")
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    probes = values.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col),
+        F.col(value_col).cast("string").alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("r"),
+    )
+    pos = _cms_bucket(int(num_bits), salt)
+    probed = (
+        probes.withColumn("__p", pos)
+        .crossJoin(F.broadcast(bitmap))
+        .select(
+            value_col,
+            F.when(
+                F.element_at(
+                    F.col("__bloom"),
+                    (F.expr("__p DIV 64") + 1).cast("int"),
+                ).bitwiseAND(
+                    F.expr("shiftleft(1L, cast(__p % 64 AS int))")
+                )
+                != 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("__bit"),
+        )
+    )
+    return probed.groupBy(value_col).agg(
+        F.min("__bit").cast("int").alias(out_col)
     )

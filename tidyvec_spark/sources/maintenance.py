@@ -115,6 +115,10 @@ def corpus_manifest(
     cms_salt: str = "",
     minhash: bool = False,
     mh_k: int = 64,
+    bloom: bool = False,
+    bloom_bits: int = 1 << 16,
+    bloom_k: int = 4,
+    bloom_salt: str = "",
 ) -> DataFrame:
     """Content-addressable corpus manifest: per deterministic shard,
     (shard, n_docs, n_tokens, content_hash) — the artifact that makes
@@ -176,6 +180,24 @@ def corpus_manifest(
     :func:`combine_manifests` merges it exactly; the signature rides
     the SAME per-doc aggregate as the count/hash folds — no extra
     pass, unlike the token-grain CMS.
+
+    With ``bloom=True`` each shard row also carries a Bloom bitmap of
+    the shard's TOKEN stream as ``bloom_bits/64`` packed longs
+    (2^16 bits · k=4 = 8 KB/shard by default) — the MEMBERSHIP member
+    of the stored-sketch family, completing the triage quartet
+    (HLL → distinct, CMS → frequency, MinHash → similarity,
+    Bloom → membership): "is this contaminated n-gram probably in
+    corpus A?" answered with ZERO corpus scans via
+    :func:`~tidyvec_spark.operators.sketches.bloom_from_manifest` →
+    ``bloom_member_probe``. Bitwise OR is the union law (Bloom 1970 —
+    set-bit union of disjoint streams is exact, so the folded bitmap
+    equals the whole-corpus build bit-for-bit and NEVER false-negates;
+    only the false-positive rate degrades as the union fills), so
+    :func:`combine_manifests` extends with a sixth fold. The k probe
+    positions use the same engine-portable md5 idiom as the CMS bucket
+    law (``_cms_bucket`` with width = ``bloom_bits``), so any engine's
+    manifest probes identically. Token grain, like CMS — a second text
+    pass paid once at ingest.
     """
     from pyspark.sql import functions as F
 
@@ -242,6 +264,23 @@ def corpus_manifest(
                 ),
             ),
         )
+    if bloom:
+        raw = raw.join(
+            _shard_token_bloom(
+                df, id_col, text_col, int(n_shards),
+                int(bloom_bits), int(bloom_k), bloom_salt,
+            ),
+            "shard",
+            "left",
+        ).withColumn(
+            "bloom",
+            F.coalesce(
+                F.col("bloom"),
+                F.array_repeat(
+                    F.lit(0).cast("long"), int(bloom_bits) // 64
+                ),
+            ),
+        )
     if not digest:
         return raw
     cols = ["shard", "n_docs", "n_tokens", _manifest_digest(F)]
@@ -251,6 +290,8 @@ def corpus_manifest(
         cols.append("cms")
     if minhash:
         cols.append("minhash")
+    if bloom:
+        cols.append("bloom")
     return raw.select(*cols)
 
 
@@ -313,6 +354,74 @@ def _shard_token_cms(
                 F.lit(0).cast("long"),
             ),
         ).alias("cms"),
+    )
+
+
+def _shard_token_bloom(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+    num_bits: int,
+    k: int,
+    salt: str,
+) -> DataFrame:
+    """Per-shard token Bloom bitmap as ``num_bits/64`` packed longs —
+    :func:`corpus_manifest`'s bloom column. One token-grain pass:
+    explode tokens × k probe rows, set-bit positions via the SAME
+    engine-portable md5 law as the CMS bucket (``_cms_bucket`` with
+    width = ``num_bits``), ``bit_or``-fold per (shard, word) with full
+    map-side partial aggregation (output bounded by
+    n_shards · num_bits/64 rows), then assemble each shard's observed
+    words into the dense array via a bounded collect_list — never a
+    per-token collect (the ``bloom_bitmap_words`` shape from
+    operators/bloom.py, densified per shard for storage)."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.functions.hashing import md5_long
+    from tidyvec_spark.functions.text import tokens
+    from tidyvec_spark.operators.sketches import _cms_bucket
+
+    if num_bits < 64 or num_bits % 64 != 0:
+        raise ValueError("bloom_bits must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("bloom_k must be >= 1")
+    n_words = num_bits // 64
+    tok = df.select(
+        F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.explode(tokens(text_col)).alias("__v"),
+    )
+    words = (
+        tok.select(
+            "shard",
+            "__v",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("r"),
+        )
+        .withColumn("__p", _cms_bucket(num_bits, salt))
+        .select(
+            "shard",
+            F.expr("__p DIV 64").cast("int").alias("__wi"),
+            F.expr("shiftleft(1L, cast(__p % 64 AS int))").alias("__m"),
+        )
+        .groupBy("shard", "__wi")
+        .agg(F.bit_or("__m").alias("__w"))
+    )
+    entries = F.map_from_entries(
+        F.collect_list(
+            F.struct(F.col("__wi").alias("k"), F.col("__w").alias("v"))
+        )
+    )
+    return words.groupBy("shard").agg(entries.alias("__m")).select(
+        "shard",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("__m"), i.cast("int")),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("bloom"),
     )
 
 
@@ -420,6 +529,14 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
             "minhash-less part; rebuild it with "
             "corpus_manifest(..., minhash=True)"
         )
+    with_bloom = ["bloom" in p.columns for p in parts]
+    if any(with_bloom) and not all(with_bloom):
+        raise ValueError(
+            "cannot merge bloom-less and bloom-bearing manifest "
+            "parts: the merged bloom would silently false-negate on "
+            "the bloom-less part; rebuild it with "
+            "corpus_manifest(..., bloom=True)"
+        )
     u = reduce(lambda a, b: a.unionByName(b), parts)
     aggs = [
         F.sum("n_docs").cast("long").alias("n_docs"),
@@ -457,6 +574,22 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
             ).alias("minhash")
         )
         cols.append("minhash")
+    if all(with_bloom):
+        # bitwise OR of set bits is the Bloom union law (Bloom 1970) —
+        # exact, so never-false-negative survives the merge
+        blst = F.collect_list("bloom")
+        aggs.append(
+            F.aggregate(
+                F.slice(
+                    blst, F.lit(2), F.greatest(F.size(blst) - 1, F.lit(0))
+                ),
+                F.element_at(blst, 1),
+                lambda acc, x: F.zip_with(
+                    acc, x, lambda p, q: p.bitwiseOR(q)
+                ),
+            ).alias("bloom")
+        )
+        cols.append("bloom")
     merged = u.groupBy("shard").agg(*aggs)
     return merged.select(*cols)
 
