@@ -15066,6 +15066,419 @@ def entry(spark: SparkSession) -> DataFrame:
     return _tfidf_search(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------
+# ROUND-13 wave: evaluation depth (PR-AUC, Brier/ECE), monitoring
+# (CUSUM change-point, JS-divergence mixing matrix, per-source token
+# entropy, zone-map prune audit), retrieval (QL-Dirichlet), and the
+# n-gram coverage curve.
+# ---------------------------------------------------------------------
+
+
+def _docs_clf_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision of the learned quality classifier on
+    the holdout (operators/evaluation.py::pr_auc_score — the
+    non-interpolated PR-AUC, tie-aware block form): the headline
+    number when positives are rare, where ROC AUC is flattered by the
+    true-negative mass. Same distinct-score rank-statistics shape as
+    docs_clf_auc — bounded hash-agg + one cumulative window, never a
+    per-row sort."""
+    from tidyvec_spark.operators.evaluation import pr_auc_score
+
+    j = _clf_holdout_scores(spark, sf_dir)
+    return pr_auc_score(j, "quality_prob", "y", round_to=R)
+
+
+_DOCS_CLF_PR_AUC_TAIL = f"""
+g AS (SELECT p, count(*) AS n_eq, sum(y) AS np FROM j GROUP BY p),
+o AS (
+  SELECT np,
+         sum(n_eq) OVER (ORDER BY p DESC) AS tp_fp,
+         sum(np) OVER (ORDER BY p DESC) AS tp
+  FROM g
+),
+s AS (
+  SELECT max(tp) AS npos, max(tp_fp) - max(tp) AS nneg,
+         sum(CAST(np AS DOUBLE) * CAST(tp AS DOUBLE)
+             / CAST(tp_fp AS DOUBLE)) AS S
+  FROM o
+)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       CASE WHEN npos > 0
+            THEN ROUND(S / npos, {R}) + 0.0 END AS pr_auc
+FROM s
+"""
+
+
+def _docs_clf_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + expected calibration error of the learned
+    classifier on the holdout (operators/evaluation.py::brier_ece —
+    Brier 1950; Naeini et al. 2015): the two one-number calibration
+    summaries over the SAME equal-width bins as docs_clf_calibration,
+    in ONE bin-sized aggregate (the squared error rides the bin
+    moments)."""
+    from tidyvec_spark.operators.evaluation import brier_ece
+
+    j = _clf_holdout_scores(spark, sf_dir)
+    return brier_ece(j, "quality_prob", "y", n_bins=10, round_to=R)
+
+
+_DOCS_CLF_BRIER_ECE_TAIL = f"""
+b AS (
+  SELECT CAST(least(greatest(floor(p * 10), 0), 9) AS INT) AS bin,
+         count(*) AS n, sum(p) AS ss, sum(y) AS sy,
+         sum((p - y) * (p - y)) AS sq
+  FROM j GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS n,
+       ROUND(sum(sq) / sum(n), {R}) AS brier,
+       ROUND(sum(n * abs(ss / n - CAST(sy AS DOUBLE) / n)) / sum(n),
+             {R}) AS ece
+FROM b
+"""
+
+
+def _events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point monitor on the hourly event rate
+    (operators/reports.py::cusum_alarms — Page 1954): S_t = max(0,
+    S_{{t-1}} + n_t − k) alarms on a SUSTAINED small rate shift long
+    before any per-hour 3σ rule, with k = μ + σ/2 and h = 4σ derived
+    from the series' own exact integer moments (μ, σ from Σn, Σn² —
+    never stddev_pop, whose internal accumulation differs across
+    engines). The recursion never runs: the prefix-min identity turns
+    it into two cumulative windows over the hour-grain (bounded)
+    series, and all accumulation is int64 at scale 10^6 — bit-exact
+    on both engines."""
+    from tidyvec_spark.operators.reports import cusum_alarms
+    from tidyvec_spark.streaming.pipelines import event_ts_of
+
+    ev = _read(spark, sf_dir, "events")
+    # the hour-grain frame feeds BOTH the moments pass and the series
+    # — persist so the corpus is scanned once (bounded: one row/hour)
+    hrs = (
+        ev.select(
+            F.date_trunc("hour", event_ts_of(ev))
+            .cast("long")
+            .alias("bucket_s")
+        )
+        .groupBy("bucket_s")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    stats = hrs.agg(
+        F.count("*").cast("long").alias("__c"),
+        F.sum("n").cast("long").alias("__sn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("__sn2"),
+    ).select(
+        (F.col("__sn").cast("double") / F.col("__c")).alias("__mu"),
+        F.sqrt(
+            F.col("__sn2").cast("double") / F.col("__c")
+            - (F.col("__sn").cast("double") / F.col("__c"))
+            * (F.col("__sn").cast("double") / F.col("__c"))
+        ).alias("__sd"),
+    ).select(
+        F.round(F.col("__mu") + F.lit(0.5) * F.col("__sd"), R).alias("__k"),
+        F.round(F.lit(4.0) * F.col("__sd"), R).alias("__h"),
+    )
+    series = hrs.crossJoin(F.broadcast(stats))
+    out = cusum_alarms(
+        series, "n", "bucket_s", F.col("__k"), F.col("__h"), round_to=R
+    )
+    out._tidyvec_persisted = [hrs]
+    return out
+
+
+_EVENTS_CUSUM_SQL = f"""
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(n) AS BIGINT) AS sn,
+         CAST(sum(n * n) AS BIGINT) AS sn2
+  FROM h
+),
+kh AS (
+  SELECT
+    CAST(round(ROUND(CAST(sn AS DOUBLE) / c
+      + 0.5 * sqrt(CAST(sn2 AS DOUBLE) / c
+                   - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c)),
+      {R}) * 1000000) AS BIGINT) AS ki,
+    CAST(round(ROUND(4.0 * sqrt(CAST(sn2 AS DOUBLE) / c
+      - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c)),
+      {R}) * 1000000) AS BIGINT) AS hi
+  FROM st
+),
+p AS (
+  SELECT bucket_s, n, hi,
+         sum(n * 1000000 - ki) OVER (ORDER BY bucket_s) AS pp
+  FROM h, kh
+),
+s AS (
+  SELECT bucket_s, n, hi,
+         pp - least(CAST(0 AS BIGINT),
+                    min(pp) OVER (ORDER BY bucket_s)) AS si
+  FROM p
+)
+SELECT bucket_s, n,
+       ROUND(CAST(si AS DOUBLE) / 1000000, {R}) AS cusum,
+       CAST(CASE WHEN si > hi THEN 1 ELSE 0 END AS INT) AS alarm
+FROM s
+"""
+
+
+def _source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the sources' unigram
+    distributions (operators/reports.py::js_divergence_matrix — Lin
+    1991), restricted to the global top-50 terms and renormalized —
+    THE mixing-decision matrix: near-zero JSD sources are
+    substitutes, a source far from all others adds coverage. One
+    corpus scan; every downstream frame is bounded by
+    |sources|²·top_k."""
+    from tidyvec_spark.operators.reports import js_divergence_matrix
+
+    docs = _read(spark, sf_dir, "documents")
+    return js_divergence_matrix(docs, "text", "source", top_k=50,
+                                round_to=R)
+
+
+_SOURCE_JS_DIVERGENCE_SQL = f"""
+WITH tok AS (SELECT source AS g, unnest({_TOKS}) AS t FROM documents),
+sup AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS n FROM tok GROUP BY t
+    ORDER BY n DESC, t LIMIT 50
+  )
+),
+per AS (
+  SELECT g, tok.t AS t, count(*) AS c
+  FROM tok JOIN sup ON sup.t = tok.t GROUP BY 1, 2
+),
+mass AS (SELECT g, sum(c) AS m FROM per GROUP BY g),
+pg AS (
+  SELECT per.g, per.t, CAST(c AS DOUBLE) / CAST(m AS DOUBLE) AS p
+  FROM per JOIN mass USING (g)
+),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b
+  FROM mass a, mass b WHERE a.g < b.g
+),
+grid AS (SELECT group_a, group_b, t FROM pairs, sup),
+j AS (
+  SELECT group_a, group_b,
+         coalesce(pa.p, CAST(0 AS DOUBLE)) AS pa,
+         coalesce(pb.p, CAST(0 AS DOUBLE)) AS pb
+  FROM grid
+  LEFT JOIN pg pa ON pa.g = grid.group_a AND pa.t = grid.t
+  LEFT JOIN pg pb ON pb.g = grid.group_b AND pb.t = grid.t
+)
+SELECT group_a, group_b,
+       ROUND(sum(
+         CASE WHEN pa > 0
+              THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END / 2
+         + CASE WHEN pb > 0
+                THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END / 2
+       ), {R}) + 0.0 AS jsd
+FROM j GROUP BY 1, 2
+"""
+
+
+def _source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy in bits/token
+    (operators/reports.py::token_entropy_by_group — Shannon 1948):
+    the information-density companion of Gini (concentration) and
+    Zipf (head shape); a source whose entropy drops release over
+    release is recycling material. Exact integer counts; one explode
+    → vocab agg → source agg."""
+    from tidyvec_spark.operators.reports import token_entropy_by_group
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_entropy_by_group(docs, "text", "source", round_to=R)
+
+
+_SOURCE_TOKEN_ENTROPY_SQL = f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+per AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS v
+  FROM per GROUP BY source
+)
+SELECT per.source, n AS n_tokens, v AS vocab,
+       ROUND(-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)),
+             {R}) + 0.0 AS entropy
+FROM per JOIN tot USING (source)
+GROUP BY 1, 2, 3
+"""
+
+
+def _layout_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit (operators/reports.py::zone_prune_audit)
+    — the measurement behind the sort/Z-order layout decision: for a
+    range predicate 10 ≤ value ≤ 20, a RANGE layout (ntile(64) over
+    the value order — exactly what a sorted rewrite's file boundaries
+    are) scans a handful of units while the ARRIVAL layout (md5 of the
+    id, the engine's shard law) scans ALL of them — identical row
+    counts, ~60× different file-open cost at 100 TB. Units' (min, max)
+    are precisely the parquet footer stats a scan prunes on."""
+    from pyspark.sql import Window
+
+    from tidyvec_spark.functions.hashing import md5_long
+    from tidyvec_spark.operators.reports import zone_prune_audit
+
+    ev = _read(spark, sf_dir, "events")
+    layouts = {
+        "range": F.ntile(64).over(
+            Window.orderBy(F.col("value").cast("double"), F.col("event_id"))
+        ),
+        "arrival": F.pmod(
+            md5_long(F.col("event_id").cast("string")), F.lit(64)
+        ),
+    }
+    return zone_prune_audit(ev, "value", layouts, 10.0, 20.0, round_to=R)
+
+
+_LAYOUT_PRUNE_AUDIT_SQL = f"""
+WITH e AS (
+  SELECT event_id, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+u AS (
+  SELECT 'range' AS layout,
+         ntile(64) OVER (ORDER BY v, event_id) AS unit, v
+  FROM e
+  UNION ALL
+  SELECT 'arrival' AS layout,
+         CAST({_hex60("CAST(event_id AS VARCHAR)")} % 64 AS BIGINT)
+           AS unit, v
+  FROM e
+),
+per AS (
+  SELECT layout, unit, count(*) AS n, min(v) AS lo, max(v) AS hi
+  FROM u GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CAST(sum(CASE WHEN lo <= 20.0 AND hi >= 10.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_candidate_units,
+       ROUND(CAST(sum(CASE WHEN lo <= 20.0 AND hi >= 10.0 THEN 1
+                      ELSE 0 END) AS DOUBLE) / count(*), {R})
+         AS frac_units_scanned,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN lo <= 20.0 AND hi >= 10.0 THEN n ELSE 0 END)
+            AS BIGINT) AS n_candidate_rows,
+       ROUND(CAST(sum(CASE WHEN lo <= 20.0 AND hi >= 10.0 THEN n
+                      ELSE 0 END) AS DOUBLE) / sum(n), {R})
+         AS frac_rows_scanned
+FROM per GROUP BY layout
+"""
+
+
+_QL_TERMS = ("join", "query", "spark", "table")  # sorted, the query law
+
+
+def _ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (operators/
+    search.py::ql_dirichlet_topk — Zhai & Lafferty 2001, the Lucene
+    LMDirichletSimilarity formulation): the language-modeling
+    complement of BM25 in the ranking cascade; per matched term
+    max(0, ln(1 + tf/(μ·p_c)) + ln(μ/(dl+μ))), μ = 1000. Same
+    one-aggregation + top-n-heaps plan as bm25_search; constants from
+    ONE corpus pass (precomputable at index build)."""
+    from tidyvec_spark.operators.search import ql_dirichlet_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return ql_dirichlet_topk(
+        docs, "text", "doc_id", "spark table join query",
+        n=10, mu=1000.0, round_to=R,
+    )
+
+
+def _ql_search_sql() -> str:
+    # the per-term score chain is written in SORTED term order so the
+    # float fold order matches the Spark expression exactly
+    terms = _QL_TERMS
+    cf_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS cf{i}"
+        for i, t in enumerate(terms)
+    )
+    tc_cols = ",\n         ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tc{i}"
+        for i, t in enumerate(terms)
+    )
+    parts = "\n       + ".join(
+        f"CASE WHEN tc{i} > 0 THEN greatest("
+        f"ln(1 + CAST(tc{i} AS DOUBLE) / (1000.0 * (CAST(cf.cf{i} AS DOUBLE)"
+        f" / cf.total))) + ln(1000.0 / (dl + 1000.0)), CAST(0 AS DOUBLE))"
+        f" ELSE CAST(0 AS DOUBLE) END"
+        for i in range(len(terms))
+    )
+    matched = " OR ".join(f"tc{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+cf AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         {cf_cols}
+  FROM tok
+),
+per AS (
+  SELECT doc_id, count(*) AS dl,
+         {tc_cols}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND({parts}, {R}) AS score
+FROM per, cf
+WHERE {matched}
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def _docs_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram coverage curve (operators/reports.py::
+    ngram_coverage_curve): the fraction of total bigram mass covered
+    by the top-k bigrams at k ∈ {{10, 100, 1000}} — the boilerplate-
+    concentration curve that moves before pairwise dedup finds the
+    culprits. One corpus scan; one top-max(k) heap; exact integer
+    counts under the (count desc, gram asc) order."""
+    from tidyvec_spark.operators.reports import ngram_coverage_curve
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_coverage_curve(docs, "text", n=2, ks=(10, 100, 1000),
+                                round_to=R)
+
+
+_DOCS_NGRAM_COVERAGE_SQL = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+g AS (
+  SELECT s, count(*) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> array_to_string(t[i:i+1], ' ')))
+      AS s
+    FROM toks WHERE len(t) >= 2
+  ) GROUP BY s
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM g),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, s) AS rk
+  FROM g ORDER BY c DESC, s LIMIT 1000
+),
+cum AS (SELECT rk, sum(c) OVER (ORDER BY rk) AS cum FROM top),
+ks AS (SELECT CAST(unnest([10, 100, 1000]) AS INT) AS k)
+SELECT k, n_total,
+       CAST(coalesce(mx, 0) AS BIGINT) AS n_covered,
+       ROUND(CAST(coalesce(mx, 0) AS DOUBLE) / n_total, {R})
+         AS coverage
+FROM (
+  SELECT k, max(cum.cum) AS mx
+  FROM ks LEFT JOIN cum ON cum.rk <= ks.k
+  GROUP BY k
+), tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round-13 rotation (per the r12 verdict item 3): the 9
@@ -15411,6 +15824,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_membership_manifest": _corpus_membership_manifest,
         # rows-only by declaration (LBFGS, like kmeans_clusters):
         "docs_clf_ml_agreement": _docs_clf_ml_agreement,
+        # the round-13 analytics wave (all oracle-backed):
+        "docs_clf_pr_auc": _docs_clf_pr_auc,
+        "docs_clf_brier_ece": _docs_clf_brier_ece,
+        "events_cusum": _events_cusum,
+        "source_js_divergence": _source_js_divergence,
+        "source_token_entropy": _source_token_entropy,
+        "layout_prune_audit": _layout_prune_audit,
+        "ql_search": _ql_search,
+        "docs_ngram_coverage": _docs_ngram_coverage,
     }
 
 
@@ -15700,6 +16122,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_whiten": _EMBEDDING_WHITEN_SQL,
         "token_cms_manifest": _token_cms_sql("cmsM"),
         "corpus_membership_manifest": _CORPUS_MEMBERSHIP_MANIFEST_SQL,
+        "docs_clf_pr_auc": _clf_eval_sql(_DOCS_CLF_PR_AUC_TAIL),
+        "docs_clf_brier_ece": _clf_eval_sql(_DOCS_CLF_BRIER_ECE_TAIL),
+        "events_cusum": _EVENTS_CUSUM_SQL,
+        "source_js_divergence": _SOURCE_JS_DIVERGENCE_SQL,
+        "source_token_entropy": _SOURCE_TOKEN_ENTROPY_SQL,
+        "layout_prune_audit": _LAYOUT_PRUNE_AUDIT_SQL,
+        "ql_search": _ql_search_sql(),
+        "docs_ngram_coverage": _DOCS_NGRAM_COVERAGE_SQL,
         "docs_node_clustering": _DOCS_NODE_CLUSTERING_SQL,
         "docs_clf_isotonic": _clf_eval_sql(_DOCS_CLF_ISOTONIC_TAIL),
         "rocchio_search": _ROCCHIO_SEARCH_SQL,

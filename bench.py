@@ -312,6 +312,14 @@ BENCH_QUERIES = [
     # round-13 additions
     "corpus_membership_manifest",
     "docs_clf_ml_agreement",
+    "docs_clf_pr_auc",
+    "docs_clf_brier_ece",
+    "events_cusum",
+    "source_js_divergence",
+    "source_token_entropy",
+    "layout_prune_audit",
+    "ql_search",
+    "docs_ngram_coverage",
 ]
 
 

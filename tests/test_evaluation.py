@@ -232,3 +232,71 @@ def test_isotonic_calibration_pav_laws(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         isotonic_calibration(edge, "s", "y", n_bins=0)
+
+
+def test_pr_auc_matches_tie_aware_block_reference(spark):
+    """AP = Σ_g ΔR_g·P_g over descending score groups — the
+    non-interpolated, tie-aware block form (what sklearn's
+    average_precision_score computes), replayed in plain Python."""
+    from tidyvec_spark.operators.evaluation import pr_auc_score
+
+    rows = [(0.9, 1), (0.8, 0), (0.8, 1), (0.7, 0),
+            (0.6, 1), (0.5, 0), (0.5, 0), (0.3, 1)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = pr_auc_score(df, "p", "y").first()
+    npos = sum(y for _, y in rows)
+    ap, prev_r, tp, tot = 0.0, 0.0, 0, 0
+    for s in sorted({p for p, _ in rows}, reverse=True):
+        grp = [y for p, y in rows if p == s]
+        tp += sum(grp)
+        tot += len(grp)
+        r = tp / npos
+        ap += (r - prev_r) * (tp / tot)
+        prev_r = r
+    assert got["n_pos"] == npos
+    assert got["n_neg"] == len(rows) - npos
+    assert got["pr_auc"] == pytest.approx(ap, abs=1e-12)
+
+
+def test_pr_auc_degenerate_no_positives_is_null(spark):
+    from tidyvec_spark.operators.evaluation import pr_auc_score
+
+    df = spark.createDataFrame([(0.9, 0), (0.1, 0)], "p double, y int")
+    assert pr_auc_score(df, "p", "y").first()["pr_auc"] is None
+
+
+def test_pr_auc_perfect_ranker_is_one(spark):
+    from tidyvec_spark.operators.evaluation import pr_auc_score
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "p double, y int"
+    )
+    assert pr_auc_score(df, "p", "y").first()["pr_auc"] == 1.0
+
+
+def test_brier_ece_hand_case(spark):
+    from tidyvec_spark.operators.evaluation import brier_ece
+
+    rows = [(0.9, 1), (0.8, 0), (0.8, 1), (0.7, 0),
+            (0.6, 1), (0.5, 0), (0.5, 0), (0.3, 1)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = brier_ece(df, "p", "y", n_bins=10).first()
+    brier = sum((p - y) ** 2 for p, y in rows) / len(rows)
+    # equal-width bins over [0,1): bin = min(floor(p*10), 9)
+    bins: dict = {}
+    for p, y in rows:
+        bins.setdefault(min(int(p * 10), 9), []).append((p, y))
+    ece = sum(
+        len(v)
+        * abs(sum(p for p, _ in v) / len(v) - sum(y for _, y in v) / len(v))
+        for v in bins.values()
+    ) / len(rows)
+    assert got["n"] == len(rows)
+    assert got["brier"] == pytest.approx(brier, abs=1e-12)
+    assert got["ece"] == pytest.approx(ece, abs=1e-12)
+    # a perfectly calibrated constant scorer: ece == 0, brier == p(1-p)
+    half = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "p double, y int"
+    )
+    g2 = brier_ece(half, "p", "y").first()
+    assert g2["ece"] == 0.0 and g2["brier"] == pytest.approx(0.25)

@@ -910,3 +910,20 @@ def test_round13_entry_plan_shapes(spark, qs):
     df = qs["docs_clf_ml_agreement"](spark, SF)
     assert P.num_scans(df) <= 3
     assert P.num_shuffles(df) <= 4
+
+    # the analytics wave: every corpus-reading entry is one scan
+    # (js_divergence persists its (group, term) frame; everything
+    # else is a single agg/window chain); none plans a cartesian
+    for name, max_scans in (
+        ("events_cusum", 1),
+        ("source_js_divergence", 1),
+        ("source_token_entropy", 1),
+        ("docs_ngram_coverage", 1),
+        ("ql_search", 1),
+        ("layout_prune_audit", 2),   # one pass per layout
+        ("docs_clf_pr_auc", 2),      # clf fit split + holdout score
+        ("docs_clf_brier_ece", 2),
+    ):
+        df = qs[name](spark, SF)
+        assert P.num_scans(df) <= max_scans, name
+        P.assert_no_cartesian(df)

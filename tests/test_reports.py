@@ -1,5 +1,6 @@
 """vocab_growth (Heaps-curve) report tests."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.text import tokens
@@ -877,3 +878,126 @@ def test_histogram_quantiles_grouped(spark):
         for q in (0.5, 0.9):
             k = math.floor((len(s) - 1) * q)
             assert got[(g, q)] == (len(s), s[k]), (g, q)
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    """The prefix-min identity S_t = P_t − min(0, min_{i≤t} P_i) must
+    reproduce Page's recursion S_t = max(0, S_{t-1} + x_t − k)
+    exactly, including the alarm decisions."""
+    from tidyvec_spark.operators.reports import cusum_alarms
+
+    xs = [5, 5, 5, 9, 9, 9, 9, 2, 2, 5, 5, 12, 12, 12]
+    k, h = 6.0, 8.0
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "t int, x double"
+    )
+    got = {
+        r["t"]: (r["cusum"], r["alarm"])
+        for r in cusum_alarms(
+            df, "x", "t", F.lit(k), F.lit(h), round_to=6
+        ).collect()
+    }
+    s = 0.0
+    for i, x in enumerate(xs):
+        s = max(0.0, s + x - k)
+        assert got[i] == (round(s, 6), int(s > h)), (i, s, got[i])
+    # evidence accumulates: the sustained +3 shift alarms even though
+    # no single point is extreme
+    assert any(a for _, a in got.values())
+
+
+def test_cusum_never_negative_and_resets(spark):
+    from tidyvec_spark.operators.reports import cusum_alarms
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 1.0), (2, 100.0), (3, 1.0)], "t int, x double"
+    )
+    rows = cusum_alarms(df, "x", "t", F.lit(10.0), F.lit(1e9)).collect()
+    assert all(r["cusum"] >= 0.0 for r in rows)
+    # below-k ticks drain the statistic back toward 0
+    by_t = {r["t"]: r["cusum"] for r in rows}
+    assert by_t[3] < by_t[2]
+
+
+def test_token_entropy_hand_cases(spark):
+    from tidyvec_spark.operators.reports import token_entropy_by_group
+
+    df = spark.createDataFrame(
+        [("u", "a b c d"), ("u", "a b c d"),   # uniform over 4 → 2 bits
+         ("one", "x x x x")],                  # single type → 0 bits
+        "g string, text string",
+    )
+    got = {r["g"]: r for r in
+           token_entropy_by_group(df, "text", "g", round_to=6).collect()}
+    assert got["u"]["entropy"] == pytest.approx(2.0)
+    assert got["u"]["vocab"] == 4 and got["u"]["n_tokens"] == 8
+    assert got["one"]["entropy"] == 0.0
+    import math
+    assert math.copysign(1.0, got["one"]["entropy"]) > 0  # never -0.0
+
+
+def test_js_divergence_laws(spark):
+    """Identical distributions → 0; disjoint vocabularies → ln 2 (the
+    JSD maximum); symmetric in construction (a < b ordering)."""
+    import math
+
+    from tidyvec_spark.operators.reports import js_divergence_matrix
+
+    df = spark.createDataFrame(
+        [("s1", "a a a b c"), ("s1", "a b"),
+         ("s2", "a a a b c"), ("s2", "a b"),
+         ("s3", "x y z x y z w w")],
+        "src string, text string",
+    )
+    got = {(r["group_a"], r["group_b"]): r["jsd"] for r in
+           js_divergence_matrix(df, "text", "src", top_k=100,
+                                round_to=6).collect()}
+    assert got[("s1", "s2")] == 0.0
+    assert got[("s1", "s3")] == pytest.approx(math.log(2), abs=1e-6)
+    assert got[("s2", "s3")] == got[("s1", "s3")]
+    assert len(got) == 3  # every pair present, disjoint ones included
+    assert all(0.0 <= v <= math.log(2) + 1e-9 for v in got.values())
+
+
+def test_zone_prune_audit_sorted_vs_hash(spark):
+    from pyspark.sql import Window
+
+    from tidyvec_spark.operators.reports import zone_prune_audit
+
+    ev = spark.range(1000).select(
+        F.col("id").alias("eid"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    layouts = {
+        "sorted": F.ntile(10).over(Window.orderBy("v", "eid")),
+        "hash": F.pmod(F.xxhash64("eid"), F.lit(10)),
+    }
+    got = {r["layout"]: r for r in
+           zone_prune_audit(ev, "v", layouts, 0, 9, round_to=6).collect()}
+    # the range layout prunes 9/10 units for a 10% selective predicate;
+    # the hash layout prunes nothing — same rows, 10× the file opens
+    assert got["sorted"]["n_candidate_units"] == 1
+    assert got["sorted"]["frac_rows_scanned"] == pytest.approx(0.1)
+    assert got["hash"]["n_candidate_units"] == 10
+    assert got["hash"]["frac_units_scanned"] == 1.0
+    with pytest.raises(ValueError):
+        zone_prune_audit(ev, "v", {}, 0, 9)
+
+
+def test_ngram_coverage_curve_hand_case(spark):
+    from tidyvec_spark.operators.reports import ngram_coverage_curve
+
+    df = spark.createDataFrame(
+        [("a b a b a b x y",), ("a b a b q r",)], "text string"
+    )
+    # bigrams: 'a b'×5, 'b a'×4? recount: doc1 a b,b a,a b,b a,a b,b x,x y
+    #          doc2 a b,b a,a b,b q,q r → 'a b'=5,'b a'=3,'b x','x y','b q','q r'
+    got = {r["k"]: r for r in
+           ngram_coverage_curve(df, "text", n=2, ks=(1, 3, 100),
+                                round_to=6).collect()}
+    assert got[1]["n_total"] == 12
+    assert got[1]["n_covered"] == 5
+    assert got[3]["n_covered"] == 5 + 3 + 1  # top-3 by (count desc, gram asc)
+    assert got[100]["coverage"] == 1.0
+    with pytest.raises(ValueError):
+        ngram_coverage_curve(df, "text", ks=())

@@ -313,3 +313,59 @@ def test_rocchio_topk_matches_numpy_replay(spark, sf_dir):
         rocchio_topk(emb, "embedding", "vec_id", [0.0] * 64, fb_k=0)
     with pytest.raises(ValueError, match="n must"):
         rocchio_topk(emb, "embedding", "vec_id", [0.0] * 64, n=0)
+
+
+def test_ql_dirichlet_matches_reference_and_laws(spark):
+    """Per-term law replayed in plain Python (Zhai & Lafferty 2001,
+    Lucene LMDirichletSimilarity form), plus the conventions: docs
+    matching no term dropped, collection-absent terms skipped, OOV
+    query raises, ties break (score desc, id asc)."""
+    import math
+
+    import pytest
+
+    from tidyvec_spark.operators.search import ql_dirichlet_topk
+
+    rows = [
+        (1, "spark join spark join spark"),
+        (2, "spark table"),
+        (3, "other words entirely here"),
+        (4, "join join join join join join join join"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mu = 10.0
+    got = {r["doc_id"]: r["score"] for r in
+           ql_dirichlet_topk(df, "text", "doc_id", "spark join",
+                             n=10, mu=mu, round_to=6).collect()}
+    toks = {i: t.split() for i, t in rows}
+    total = sum(len(v) for v in toks.values())
+    cf = {t: sum(v.count(t) for v in toks.values())
+          for t in ("join", "spark")}
+    exp = {}
+    for i, v in toks.items():
+        s = 0.0
+        matched = False
+        for t in ("join", "spark"):  # sorted term order = the fold order
+            tf = v.count(t)
+            if tf > 0:
+                matched = True
+                s += max(
+                    0.0,
+                    math.log(1 + tf / (mu * (cf[t] / total)))
+                    + math.log(mu / (len(v) + mu)),
+                )
+        if matched:
+            exp[i] = round(s, 6)
+    assert got == exp
+    assert 3 not in got  # no-match doc dropped
+
+    # collection-absent query terms are skipped, not /0
+    got2 = ql_dirichlet_topk(
+        df, "text", "doc_id", "spark zzznothere", n=10, mu=mu
+    ).collect()
+    assert {r["doc_id"] for r in got2} == {1, 2}
+
+    with pytest.raises(ValueError, match="no query term"):
+        ql_dirichlet_topk(df, "text", "doc_id", "zzznothere", n=5)
+    with pytest.raises(ValueError, match="mu"):
+        ql_dirichlet_topk(df, "text", "doc_id", "spark", n=5, mu=0.0)

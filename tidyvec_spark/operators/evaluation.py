@@ -25,6 +25,8 @@ __all__ = [
     "tune_lsh_params",
     "auc_score",
     "calibration_bins",
+    "pr_auc_score",
+    "brier_ece",
 ]
 
 
@@ -478,3 +480,126 @@ def tune_lsh_params(
             return spec_of(nbits, h, r, planes)
     best = max(results, key=lambda t: t[3])
     return spec_of(best[1], best[2], best[3], best[4])
+
+
+def pr_auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """EXACT average precision (the non-interpolated PR-AUC,
+    Zhu 2004's AP identity; what sklearn's average_precision_score
+    computes): AP = Σ_g (R_g − R_{g−1}) · P_g over score groups g in
+    DESCENDING score order, where P_g / R_g are precision / recall at
+    the END of the tie group — the tie-aware block form, so rounded
+    scores (the engine's convention) change nothing. AP is the right
+    headline when positives are rare: ROC AUC is dominated by the
+    huge true-negative mass exactly where a keep-classifier's mistakes
+    are invisible; AP weighs every false positive at full price.
+    Returns ONE row (n_pos, n_neg, pr_auc); degenerate inputs (no
+    positives) yield NULL.
+
+    Shape: one hash-agg per DISTINCT score (bounded far below row
+    count when scores are rounded), one cumulative window over the
+    distinct-score rows, then a 1-row reduction — never a per-row
+    global sort. Every count is an exact integer; the only floats are
+    the final per-group P·ΔR products."""
+    from pyspark.sql import Window
+
+    g = (
+        df.select(
+            F.col(score_col).cast("double").alias("__s"),
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__s")
+        .agg(
+            F.count("*").alias("n_eq"),
+            F.sum("__y").alias("np"),
+        )
+    )
+    w = Window.orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    o = g.select(
+        "__s",
+        "np",
+        F.sum("n_eq").over(w).alias("tp_fp"),
+        F.sum("np").over(w).alias("tp"),
+    )
+    s = o.agg(
+        F.max("tp").alias("npos"),
+        (F.max("tp_fp") - F.max("tp")).alias("nneg"),
+        F.sum(
+            F.col("np").cast("double")
+            * F.col("tp").cast("double")
+            / F.col("tp_fp").cast("double")
+        ).alias("S"),
+    )
+    ap = F.when(F.col("npos") > 0, F.col("S") / F.col("npos"))
+    if round_to is not None:
+        ap = F.round(ap, int(round_to)) + F.lit(0.0)
+    return s.select(
+        F.col("npos").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        ap.alias("pr_auc"),
+    )
+
+
+def brier_ece(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """The two one-number calibration summaries next to
+    :func:`calibration_bins`' full table: the BRIER SCORE
+    (Brier 1950 — mean squared error of the probability,
+    decomposable into calibration + refinement, proper so it cannot
+    be gamed by hedging) and EXPECTED CALIBRATION ERROR
+    (Naeini et al. 2015 — the bin-count-weighted mean |mean_score −
+    frac_pos| over the SAME equal-width bins as calibration_bins, so
+    the two reports never disagree about binning). Returns ONE row
+    (n, brier, ece).
+
+    Shape: one corpus scan into the bin-sized hash-agg; Brier's
+    per-row square rides the same aggregate as the bin moments
+    (sum of squares is associative), so no second pass."""
+    nb = int(n_bins)
+    if nb < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor(s * nb), F.lit(0)), F.lit(nb - 1)
+    ).cast("int")
+    binned = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("__b"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(s).alias("ss"),
+            F.sum(y).alias("sy"),
+            F.sum((s - y) * (s - y)).alias("sq"),
+        )
+    )
+    out = binned.agg(
+        F.sum("n").cast("long").alias("n"),
+        (F.sum("sq") / F.sum("n")).alias("__brier"),
+        (
+            F.sum(
+                F.col("n").cast("double")
+                * F.abs(
+                    F.col("ss") / F.col("n") - F.col("sy") / F.col("n")
+                )
+            )
+            / F.sum("n")
+        ).alias("__ece"),
+    )
+    brier, ece = F.col("__brier"), F.col("__ece")
+    if round_to is not None:
+        brier = F.round(brier, int(round_to))
+        ece = F.round(ece, int(round_to))
+    return out.select("n", brier.alias("brier"), ece.alias("ece"))

@@ -30,6 +30,11 @@ __all__ = [
     "k_anonymity",
     "ngram_novelty",
     "zscore_by_group",
+    "cusum_alarms",
+    "js_divergence_matrix",
+    "token_entropy_by_group",
+    "zone_prune_audit",
+    "ngram_coverage_curve",
 ]
 
 
@@ -694,4 +699,362 @@ def histogram_quantiles(
     )
     out = row.select(*by, F.explode(per).alias("x")).select(*by, "x.*")
     out._tidyvec_persisted = [hist]
+    return out
+
+
+def cusum_alarms(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    k_col,
+    h_col,
+    scale: int = 1_000_000,
+    round_to: int | None = None,
+) -> DataFrame:
+    """One-sided upper CUSUM change-point monitor (Page 1954):
+    S_t = max(0, S_{t-1} + x_t − k), alarm when S_t > h — the
+    sequential drift detector that flags a SUSTAINED small shift in a
+    monitored series (event rate, quality mean, ingest volume) long
+    before a per-point 3σ rule does, because evidence accumulates
+    instead of resetting every tick.
+
+    The recursion never runs: S_t = P_t − min(0, min_{i≤t} P_i) with
+    P_t = Σ_{i≤t}(x_i − k) — the prefix-min identity turns the
+    sequential scan into TWO cumulative windows over the (bounded,
+    time-grain) series, so the operator is a plan, not a loop.
+
+    INTEGER-EXACT (the negative-sampling boundary discipline): x, k
+    and h scale by ``scale`` to int64 before any accumulation, so the
+    running sums carry no float error and both engines agree
+    bit-for-bit — a float prefix sum would drift across engines in the
+    last ulp right at the alarm boundary. ``k_col``/``h_col`` are
+    Columns (typically rounded data-derived constants broadcast from a
+    1-row stats frame), letting the whole monitor stay ONE lazy plan.
+
+    Returns one row per input row: (``order_col``, ``value_col``,
+    cusum, alarm). The window is unpartitioned by design — the series
+    is time-grain-bounded (hours/days), never row-grain."""
+    from pyspark.sql import Window
+
+    x_int = F.round(F.col(value_col).cast("double") * scale, 0).cast(
+        "long"
+    )
+    k_int = F.round(k_col.cast("double") * scale, 0).cast("long")
+    h_int = F.round(h_col.cast("double") * scale, 0).cast("long")
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = F.sum(x_int - k_int).over(w)
+    stepped = df.withColumn("__p", p).withColumn("__h", h_int)
+    s_int = F.col("__p") - F.least(
+        F.lit(0).cast("long"), F.min("__p").over(w)
+    )
+    cusum = s_int.cast("double") / scale
+    if round_to is not None:
+        cusum = F.round(cusum, int(round_to))
+    return stepped.select(
+        order_col,
+        value_col,
+        cusum.alias("cusum"),
+        (s_int > F.col("__h")).cast("int").alias("alarm"),
+    )
+
+
+def token_entropy_by_group(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-group unigram Shannon entropy in BITS/TOKEN
+    (Shannon 1948): H_g = −Σ_t p_t·log2(p_t) over each group's token
+    distribution — the information-density companion of
+    :func:`source_token_gini` (concentration) and :func:`zipf_fit`
+    (head shape): templated/boilerplate sources carry few bits per
+    token, organic prose sits near the language's ~10-bit unigram
+    ceiling, and a source whose entropy DROPS release-over-release is
+    recycling material. Returns (``group_col``, n_tokens, vocab,
+    entropy); 2^entropy is the unigram perplexity.
+
+    Every count is an exact integer (per-(group, term) hash-agg,
+    map-side partial); only the final Σ p·log2 p fold is float —
+    rounded to ``round_to``, the psi_drift convention. One explode →
+    one vocab-sized agg → one group-sized agg."""
+    per = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .groupBy("__g", "__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    tot = per.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    ent = -F.sum(p * F.log2(p))
+    if round_to is not None:
+        ent = F.round(ent, int(round_to)) + F.lit(0.0)
+    return (
+        per.join(F.broadcast(tot), "__g")
+        .groupBy("__g", "__n", "vocab")
+        .agg(ent.alias("entropy"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").alias("n_tokens"),
+            "vocab",
+            "entropy",
+        )
+    )
+
+
+def js_divergence_matrix(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_k: int = 200,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the groups' unigram
+    distributions, restricted to the global top-``top_k`` terms (freq
+    desc, term asc) and renormalized within them — the symmetric,
+    bounded (≤ ln 2), never-infinite distance KL is not, and THE
+    mixing-decision matrix: two sources with tiny JSD are near-
+    substitutes (down-weight one), a source far from every other adds
+    coverage. Lin 1991: JSD(p,q) = ½KL(p‖m) + ½KL(q‖m), m = ½(p+q),
+    with 0·ln 0 = 0 — a term one side lacks still contributes the
+    present side's ½·p·ln 2, so disjoint-vocabulary groups read ln 2,
+    never a dropped pair.
+
+    Returns (group_a, group_b, jsd) for group_a < group_b — ALL pairs,
+    including vocabulary-disjoint ones. The restriction to a SHARED
+    top-k support keeps the law exact and the frames bounded: counts
+    are exact integers, each group's denominator is its mass ON that
+    support, and the evaluation frame is |pairs|·k rows (pairs ×
+    support, two bounded broadcasts) — never vocabulary-squared. One
+    corpus scan; the support resolves via top-k heaps, never a global
+    vocab sort. Groups with ZERO mass on the support are excluded
+    from ``pairs`` (their restricted distribution is undefined)."""
+    if int(top_k) < 1:
+        raise ValueError("top_k must be >= 1")
+    # ONE corpus scan: the (group, term) count frame is the only thing
+    # that reads the corpus; it persists (bounded by vocab·|groups|)
+    # and the support, masses and both per-pair distributions all
+    # derive from it
+    per_full = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .groupBy("__g", "__t")
+        .agg(F.count("*").alias("__c"))
+        .persist()
+    )
+    support = (
+        per_full.groupBy("__t")
+        .agg(F.sum("__c").alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("__t"))
+        .limit(int(top_k))
+        .select("__t")
+    )
+    per = per_full.join(F.broadcast(support), "__t")
+    mass = per.groupBy("__g").agg(F.sum("__c").cast("long").alias("__m"))
+    pg = per.join(F.broadcast(mass), "__g").select(
+        "__g",
+        "__t",
+        (F.col("__c").cast("double") / F.col("__m").cast("double")).alias(
+            "__p"
+        ),
+    )
+    groups = mass.select("__g")
+    pairs = groups.select(F.col("__g").alias("group_a")).join(
+        F.broadcast(groups.select(F.col("__g").alias("group_b"))),
+        F.col("group_a") < F.col("group_b"),
+    )
+    grid = pairs.crossJoin(F.broadcast(support))
+    pa = pg.select(
+        F.col("__g").alias("group_a"), "__t", F.col("__p").alias("__pa")
+    )
+    pb = pg.select(
+        F.col("__g").alias("group_b"), "__t", F.col("__p").alias("__pb")
+    )
+    j = (
+        grid.join(F.broadcast(pa), ["group_a", "__t"], "left")
+        .join(F.broadcast(pb), ["group_b", "__t"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            F.coalesce("__pa", F.lit(0.0)).alias("__pa"),
+            F.coalesce("__pb", F.lit(0.0)).alias("__pb"),
+        )
+    )
+    m = (F.col("__pa") + F.col("__pb")) / 2.0
+
+    def half(p):
+        # 0·ln 0 = 0 (and never a /0 against m under ANSI)
+        return F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) / 2.0
+
+    jsd = F.sum(half(F.col("__pa")) + half(F.col("__pb")))
+    if round_to is not None:
+        jsd = F.round(jsd, int(round_to)) + F.lit(0.0)
+    out = j.groupBy("group_a", "group_b").agg(jsd.alias("jsd"))
+    out._tidyvec_persisted = [per_full]
+    return out
+
+
+def zone_prune_audit(
+    df: DataFrame,
+    value_col: str,
+    layouts: dict,
+    lo: float,
+    hi: float,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Zone-map (min/max file-statistics) PRUNING audit: for each
+    candidate physical layout, how much of the table would a range
+    predicate ``lo ≤ value ≤ hi`` actually skip? ``layouts`` maps a
+    layout name to a unit-assignment Column — the stand-in for "which
+    file would this row land in" (e.g. ``ntile(64)`` over the sort key
+    simulates a range-partitioned rewrite EXACTLY; a hash of the key
+    simulates arrival order). Per layout: each unit's (min, max) of
+    ``value_col`` — precisely the parquet footer stats a scan prunes
+    on — and a unit is a CANDIDATE iff [min, max] overlaps [lo, hi].
+
+    This is the measurement behind the Z-order/sort-layout decision
+    (the ops twin of ``sources/layout.py``): a sorted layout reads a
+    handful of files for a selective range, a hash layout reads ALL of
+    them with identical row counts — the difference is invisible in
+    row metrics and dominant in 100 TB scan cost. Returns one row per
+    layout: (layout, n_units, n_candidate_units, frac_units_scanned,
+    n_rows, n_candidate_rows, frac_rows_scanned).
+
+    Shape per layout: one unit-grain hash-agg (units bounded by the
+    layout fan-out, never row count) + a unit-count reduction."""
+    if not layouts:
+        raise ValueError("layouts must be non-empty")
+    lo, hi = float(lo), float(hi)
+    outs = []
+    v = F.col(value_col).cast("double")
+    for name, unit in layouts.items():
+        per = (
+            df.filter(v.isNotNull())
+            .select(unit.alias("__u"), v.alias("__v"))
+            .groupBy("__u")
+            .agg(
+                F.count("*").cast("long").alias("__n"),
+                F.min("__v").alias("__lo"),
+                F.max("__v").alias("__hi"),
+            )
+        )
+        cand = (F.col("__lo") <= F.lit(hi)) & (F.col("__hi") >= F.lit(lo))
+        outs.append(
+            per.agg(
+                F.lit(name).alias("layout"),
+                F.count("*").cast("long").alias("n_units"),
+                F.sum(F.when(cand, 1).otherwise(0))
+                .cast("long")
+                .alias("n_candidate_units"),
+                F.sum("__n").cast("long").alias("n_rows"),
+                F.sum(F.when(cand, F.col("__n")).otherwise(0))
+                .cast("long")
+                .alias("n_candidate_rows"),
+            )
+        )
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    fu = F.col("n_candidate_units").cast("double") / F.col(
+        "n_units"
+    ).cast("double")
+    fr = F.col("n_candidate_rows").cast("double") / F.col("n_rows").cast(
+        "double"
+    )
+    if round_to is not None:
+        fu, fr = F.round(fu, int(round_to)), F.round(fr, int(round_to))
+    return u.select(
+        "layout",
+        "n_units",
+        "n_candidate_units",
+        fu.alias("frac_units_scanned"),
+        "n_rows",
+        "n_candidate_rows",
+        fr.alias("frac_rows_scanned"),
+    )
+
+
+def ngram_coverage_curve(
+    df: DataFrame,
+    text_col: str,
+    n: int = 2,
+    ks: Sequence[int] = (10, 100, 1000),
+    round_to: int | None = None,
+) -> DataFrame:
+    """How much of the corpus's n-gram MASS the top-k n-grams cover,
+    at several k — the boilerplate-concentration curve next to
+    :func:`zipf_fit` (head shape) and :func:`source_token_gini`
+    (per-source concentration): organic prose needs a huge k to cover
+    half its bigram mass; a templated crawl covers it with dozens —
+    and the curve moves BEFORE any pairwise dedup finds the culprits.
+    Returns one row per k: (k, n_total, n_covered, coverage), counts
+    exact integers under the (count desc, gram asc) total order.
+
+    Shape: one explode → vocab-bounded hash-agg → ONE top-max(k) heap
+    selection (TakeOrderedAndProject) → one cumulative window over
+    max(k) rows — the corpus is scanned once regardless of |ks|."""
+    from tidyvec_spark.functions.text import ngrams
+
+    ks = sorted(int(k) for k in ks)
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be non-empty positive ints")
+    # the gram-count frame feeds BOTH the total and the top-k heap —
+    # persist (vocab-bounded) so the corpus is scanned once
+    g = (
+        df.select(F.explode(ngrams(text_col, int(n))).alias("__g"))
+        .groupBy("__g")
+        .agg(F.count("*").alias("__c"))
+        .persist()
+    )
+    tot = g.agg(F.sum("__c").cast("long").alias("n_total"))
+    top = (
+        g.orderBy(F.desc("__c"), F.asc("__g"))
+        .limit(ks[-1])
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("__c"), F.asc("__g"))
+            ),
+        )
+        .withColumn(
+            "__cum",
+            F.sum("__c").over(
+                Window.orderBy("__rk").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    kdf = top.sparkSession.createDataFrame([(k,) for k in ks], "k int")
+    cov = (
+        kdf.join(F.broadcast(top), F.col("__rk") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.max("__cum").cast("long").alias("n_covered"))
+    )
+    frac = F.coalesce(F.col("n_covered"), F.lit(0)).cast(
+        "double"
+    ) / F.col("n_total").cast("double")
+    if round_to is not None:
+        frac = F.round(frac, int(round_to))
+    out = (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_total",
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias(
+                "n_covered"
+            ),
+            frac.alias("coverage"),
+        )
+    )
+    out._tidyvec_persisted = [g]
     return out

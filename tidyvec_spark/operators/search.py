@@ -38,6 +38,8 @@ __all__ = [
     "rocchio_topk",
     "mmr_topk",
     "maxsim_topk",
+    "ql_dirichlet_topk",
+    "ql_stats",
 ]
 
 
@@ -151,6 +153,120 @@ def bm25_topk(
         per_doc.filter(matched)
         .select(F.col("_id").alias(id_col), score.alias(score_col))
         .filter(F.col(score_col) >= F.lit(float(min_score)))
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(int(n))
+    )
+
+
+def ql_stats(
+    df: DataFrame, content_col: str, terms: "Sequence[str]"
+) -> dict:
+    """Corpus constants for :func:`ql_dirichlet_topk`: total token
+    count and COLLECTION frequency (total occurrences, not document
+    frequency — the language-model smoothing mass) for each of
+    ``terms`` — one aggregation pass, one driver row of
+    len(terms)+1 numbers (the :func:`bm25_stats` shape)."""
+    toks = df.select(F.explode(tokens_expr(content_col)).alias("term"))
+    row = toks.agg(
+        F.count("*").alias("total"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(
+                f"cf{i}"
+            )
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    return {
+        "total": int(row["total"]),
+        "cf": {t: int(row[f"cf{i}"] or 0) for i, t in enumerate(terms)},
+    }
+
+
+def ql_dirichlet_topk(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    query: str,
+    n: int = 10,
+    mu: float = 2000.0,
+    stats: dict | None = None,
+    round_to: int | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Top-n documents by Dirichlet-smoothed QUERY LIKELIHOOD (Zhai &
+    Lafferty 2001; the Lucene LMDirichletSimilarity formulation) — the
+    language-modeling complement of :func:`bm25_topk`: BM25 rewards
+    term saturation, QL asks "how probable is this query under the
+    document's smoothed unigram model", which behaves differently on
+    short documents and verbose queries and is the standard second
+    ranker in a cascade.
+
+    Per matched term (tf > 0, the inverted-index convention):
+    s_t = max(0, ln(1 + tf / (μ·p_c(t))) + ln(μ / (dl + μ))), with
+    p_c(t) = cf_t / total_tokens the collection model and the
+    non-negative clamp Lucene's (a term can otherwise score slightly
+    negative on very long documents). Query terms absent from the
+    whole collection (cf = 0) are skipped — their smoothed probability
+    is undefined and Lucene drops them too. Documents matching no
+    query term are dropped. Ties break (score desc, id asc), the
+    engine-wide knn law.
+
+    ``stats`` (from :func:`ql_stats`) skips the constants pass; the
+    production path precomputes it at index build. Shape: ONE
+    conditional-sum aggregation per doc (map-side partial), top-n
+    heaps — the bm25_topk plan with different per-term math."""
+    terms = _query_terms(query)
+    if stats is None:
+        stats = ql_stats(df, content_col, terms)
+    total = stats["total"]
+    if total <= 0:
+        raise ValueError("empty collection: no tokens to model")
+    live = [t for t in terms if stats["cf"].get(t, 0) > 0]
+    if not live:
+        raise ValueError(
+            f"no query term of {terms!r} occurs in the collection"
+        )
+    p_c = {t: stats["cf"][t] / total for t in live}
+    mu = float(mu)
+    if mu <= 0:
+        raise ValueError("mu must be > 0")
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_expr(content_col)).alias("term"),
+    )
+    per_doc = toks.groupBy("_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(
+                f"_tc{i}"
+            )
+            for i, t in enumerate(live)
+        ],
+    )
+    dnorm = F.log(
+        F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu))
+    )
+    score = None
+    for i, t in enumerate(live):
+        tc = F.col(f"_tc{i}").cast("double")
+        part = F.when(
+            F.col(f"_tc{i}") > 0,
+            F.greatest(
+                F.log(F.lit(1.0) + tc / F.lit(mu * p_c[t])) + dnorm,
+                F.lit(0.0),
+            ),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    if round_to is not None:
+        score = F.round(score, int(round_to))
+    matched = None
+    for i in range(len(live)):
+        has = F.col(f"_tc{i}") > 0
+        matched = has if matched is None else (matched | has)
+    return (
+        per_doc.filter(matched)
+        .select(F.col("_id").alias(id_col), score.alias(score_col))
         .orderBy(F.desc(score_col), F.asc(id_col))
         .limit(int(n))
     )
