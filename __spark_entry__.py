@@ -15479,6 +15479,344 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------
+# ROUND-13 wave 2: the manifest length-histogram (the DISTRIBUTION
+# stored sketch), Unicode-script composition, robust per-source
+# length calibration, and per-source exact-dup attribution.
+# ---------------------------------------------------------------------
+
+_LENHIST_EDGES = (0, 8, 16, 32, 64, 128, 256, 512, 1024, 4096, 16384, 65536)
+
+
+def _corpus_lenhist_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-scan length-DISTRIBUTION triage from manifest-stored
+    histograms (sources/maintenance.py::corpus_manifest(lenhist=True)
+    + operators/sketches.py::lenhist_from_manifest →
+    lenhist_quantile_bounds): each shard stores 13 counts over FIXED
+    integer edges (the psi_drift fixed-bins argument — comparable
+    across corpora and releases), element-wise addition folds them
+    exactly (combine_manifests' CMS law over length buckets), and the
+    p50/p90 BRACKETS come off the stored counts alone — "did the
+    length profile shift" answered without touching either corpus.
+    The entry builds manifests for the two fixture halves, folds
+    them, and emits the histogram with the quantile-holding flags;
+    the oracle replays the binning + ceil(q·N) type-1 rank law from
+    the raw documents, so a hash match proves the stored-fold path
+    equals the direct scan."""
+    from tidyvec_spark.operators.sketches import (
+        lenhist_from_manifest,
+        lenhist_quantile_bounds,
+    )
+    from tidyvec_spark.sources.maintenance import (
+        combine_manifests,
+        corpus_manifest,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    ma = corpus_manifest(
+        docs.filter(F.col("doc_id") < 250), "doc_id", "text",
+        n_shards=8, digest=False, lenhist=True,
+        lenhist_edges=_LENHIST_EDGES,
+    )
+    mb = corpus_manifest(
+        docs.filter(F.col("doc_id") >= 250), "doc_id", "text",
+        n_shards=8, digest=False, lenhist=True,
+        lenhist_edges=_LENHIST_EDGES,
+    )
+    hist = lenhist_from_manifest(
+        combine_manifests(ma, mb), _LENHIST_EDGES
+    ).persist()
+    qb = lenhist_quantile_bounds(hist, (0.5, 0.9)).select("q", "bucket")
+    out = (
+        hist.join(F.broadcast(qb), "bucket", "left")
+        .groupBy("bucket", "lo", "hi", "n")
+        .agg(
+            F.max(F.when(F.col("q") == 0.5, 1).otherwise(0))
+            .cast("int")
+            .alias("holds_p50"),
+            F.max(F.when(F.col("q") == 0.9, 1).otherwise(0))
+            .cast("int")
+            .alias("holds_p90"),
+        )
+    )
+    out._tidyvec_persisted = [hist]
+    return out
+
+
+_CORPUS_LENHIST_MANIFEST_SQL = f"""
+WITH nt AS (SELECT len({_TOKS}) AS n FROM documents),
+bk AS (
+  SELECT (CASE WHEN n > 0 THEN 1 ELSE 0 END
+            + CASE WHEN n > 8 THEN 1 ELSE 0 END
+            + CASE WHEN n > 16 THEN 1 ELSE 0 END
+            + CASE WHEN n > 32 THEN 1 ELSE 0 END
+            + CASE WHEN n > 64 THEN 1 ELSE 0 END
+            + CASE WHEN n > 128 THEN 1 ELSE 0 END
+            + CASE WHEN n > 256 THEN 1 ELSE 0 END
+            + CASE WHEN n > 512 THEN 1 ELSE 0 END
+            + CASE WHEN n > 1024 THEN 1 ELSE 0 END
+            + CASE WHEN n > 4096 THEN 1 ELSE 0 END
+            + CASE WHEN n > 16384 THEN 1 ELSE 0 END
+            + CASE WHEN n > 65536 THEN 1 ELSE 0 END) AS bucket
+  FROM nt
+),
+h0 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM bk GROUP BY 1),
+bounds(bucket, lo, hi) AS (
+  VALUES (0, NULL, 0),
+         (1, 0, 8),
+         (2, 8, 16),
+         (3, 16, 32),
+         (4, 32, 64),
+         (5, 64, 128),
+         (6, 128, 256),
+         (7, 256, 512),
+         (8, 512, 1024),
+         (9, 1024, 4096),
+         (10, 4096, 16384),
+         (11, 16384, 65536),
+         (12, 65536, NULL)
+),
+h AS (
+  SELECT bounds.bucket, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+         coalesce(h0.n, 0) AS n
+  FROM bounds LEFT JOIN h0 USING (bucket)
+),
+cum AS (SELECT bucket, n, sum(n) OVER (ORDER BY bucket) AS c FROM h),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM h),
+rk AS (
+  SELECT q, (CAST(round(q * 1000000) AS BIGINT) * nn + 999999)
+             // 1000000 AS rank
+  FROM (SELECT unnest([0.5, 0.9]) AS q), tot
+),
+qb AS (
+  SELECT q, min(bucket) AS bucket
+  FROM rk JOIN cum ON cum.c >= rk.rank
+  GROUP BY q
+)
+SELECT h.bucket, h.lo, h.hi, h.n,
+       CAST(max(CASE WHEN qb.q = 0.5 THEN 1 ELSE 0 END) AS INT)
+         AS holds_p50,
+       CAST(max(CASE WHEN qb.q = 0.9 THEN 1 ELSE 0 END) AS INT)
+         AS holds_p90
+FROM h LEFT JOIN qb ON qb.bucket = h.bucket
+GROUP BY 1, 2, 3, 4
+"""
+
+
+_SCRIPT_SNIPPETS = (
+    "съешь же ещё этих мягких французских булок",
+    "γνωρίζω από την κόψη του σπαθιού την τρομερή",
+    "漢字 かな カナ 한글 혼합 텍스트 示例",
+    "المنهاج التعليمي الجديد للمدارس الرسمية",
+)
+
+
+def _docs_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document (functions/quality.py::
+    script_ratio_cols): Latin/Cyrillic/Greek/Arabic/CJK/digit
+    character ratios as ONE codegen projection — the writing-system
+    detector that catches mixed-script confusable spam and
+    wrong-alphabet mojibake a statistical lang-id never sees. The
+    ASCII fixture carries no non-Latin text, so both engines build
+    the SAME synthetic multilingual variants (doc_id < 40 → one of
+    four BMP snippets repeated doc_id%3+1 times — the dedup-clone
+    union pattern); laws are BMP-only by design so Java-regex
+    UTF-16 counting and RE2 codepoint counting agree exactly."""
+    from tidyvec_spark.functions.quality import script_ratio_cols
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    cases = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN '{sn}'"
+        for i, sn in enumerate(_SCRIPT_SNIPPETS)
+    ) + " END"
+    synth = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.expr(
+            f"repeat({cases} || ' ', CAST(doc_id % 3 + 1 AS INT))"
+        ).alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") < 100).unionByName(synth)
+    return corpus.select("doc_id", *script_ratio_cols("text"))
+
+
+def _docs_script_mix_sql() -> str:
+    # data-dependent-free twin of functions/quality.py::
+    # script_ratio_cols — same BMP ranges, same count law; the Spark
+    # side's Java-regex \\uXXXX escapes become RE2's \\x{XXXX}
+    from tidyvec_spark.functions.quality import _SCRIPT_RANGES
+
+    cases = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN '{sn}'"
+        for i, sn in enumerate(_SCRIPT_SNIPPETS)
+    ) + " END"
+
+    def re2(rng: str) -> str:
+        out, i = [], 0
+        while i < len(rng):
+            if rng[i] == "\\" and i + 1 < len(rng) and rng[i + 1] == "u":
+                out.append("\\x{" + rng[i + 2:i + 6] + "}")
+                i += 6
+            else:
+                out.append(rng[i])
+                i += 1
+        return "".join(out)
+
+    cols = ",\n       ".join(
+        "CASE WHEN length(text) > 0 THEN "
+        "ROUND(CAST(length(text) - length(regexp_replace(text, "
+        + f"'[{re2(rng)}]', '', 'g')) AS DOUBLE) / length(text), 6) END"
+        + f" AS {name}_ratio"
+        for name, rng in _SCRIPT_RANGES.items()
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id,
+         repeat({cases} || ' ', CAST(doc_id % 3 + 1 AS INT)) AS text
+  FROM documents WHERE doc_id < 40
+)
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+       {cols}
+FROM corpus
+"""
+
+
+def _docs_length_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROBUST length calibration (operators/reports.py::
+    robust_zscore_by_group — Hampel 1974 median/MAD, the outlier-proof
+    twin of docs_quality_zscore's mean/σ): one 10^7-char page drags a
+    mean threshold, not a median one. Both statistics are exact order
+    statistics off the per-source VALUE histogram (bounded by the
+    length domain, never row count; type-1 rank (n−1) div 2 + 1), the
+    MAD histogram derives from the value histogram without a second
+    corpus scan, and the oracle replays the law exactly."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.reports import robust_zscore_by_group
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("ntok")
+    )
+    return robust_zscore_by_group(
+        docs, "ntok", "source", out_col="rz", round_to=R
+    ).select("doc_id", "source", "ntok", "rz")
+
+
+_DOCS_LENGTH_ROBUST_Z_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS ntok
+  FROM documents
+),
+h AS (SELECT source, ntok AS v, count(*) AS c FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT source, v, c,
+         sum(c) OVER (PARTITION BY source ORDER BY v) AS cc
+  FROM h
+),
+tot AS (SELECT source, sum(c) AS n FROM h GROUP BY source),
+med AS (
+  SELECT cum.source, min(v) AS med
+  FROM cum JOIN tot USING (source)
+  WHERE cc >= (n - 1) // 2 + 1
+  GROUP BY 1
+),
+dh AS (
+  SELECT h.source, abs(v - med) AS dv, sum(c) AS c
+  FROM h JOIN med USING (source) GROUP BY 1, 2
+),
+dcum AS (
+  SELECT source, dv, c,
+         sum(c) OVER (PARTITION BY source ORDER BY dv) AS cc
+  FROM dh
+),
+mad AS (
+  SELECT dcum.source, min(dv) AS mad
+  FROM dcum JOIN tot USING (source)
+  WHERE cc >= (n - 1) // 2 + 1
+  GROUP BY 1
+)
+SELECT doc_id, d.source, ntok,
+       ROUND(CASE WHEN mad > 0
+                  THEN (ntok - med) / (1.4826 * mad)
+                  ELSE 0.0 END, {R}) + 0.0 AS rz
+FROM d JOIN med USING (source) JOIN mad USING (source)
+"""
+
+
+def _source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication attribution (the dashboard rollup
+    of operators/dedup.py::exact_dup_groups' canonical law): for each
+    source, the share of its documents whose whitespace-collapsed
+    lowercase content appears MORE THAN ONCE corpus-wide — which
+    ingest feed is paying for the dedup pass, the question the global
+    dup count cannot answer. A synthetic 'mirror' source (doc_id < 50
+    re-keyed, both engines build the same union) exists so the answer
+    is non-trivial at any SF: mirror reads 100% duplicated and every
+    source it copied from shows its share. One key-grain groupBy +
+    one join back + one source-sized rollup."""
+    from tidyvec_spark.operators.dedup import normalized_text_key
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    mirror = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    # keyed is the NARROW (source, 16-byte key) frame — persisted so
+    # the synthetic union's two document scans run once, not twice
+    # (it feeds the group-size agg AND the join-back)
+    corpus = (
+        docs.unionByName(mirror)
+        .select("source", normalized_text_key("text").alias("__h"))
+        .persist()
+    )
+    sizes = corpus.groupBy("__h").agg(F.count("*").alias("__n"))
+    rate = F.round(
+        F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).cast("double")
+        / F.count("*").cast("double"),
+        R,
+    )
+    out = (
+        corpus.join(sizes, "__h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            rate.alias("dup_rate"),
+        )
+    )
+    out._tidyvec_persisted = [corpus]
+    return out
+
+
+_SOURCE_DUP_RATE_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, 'mirror' AS source, text
+  FROM documents WHERE doc_id < 50
+),
+k AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM corpus
+),
+sz AS (SELECT h, count(*) AS n FROM k GROUP BY h)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       ROUND(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), {R}) AS dup_rate
+FROM k JOIN sz USING (h)
+GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round-13 rotation (per the r12 verdict item 3): the 9
@@ -15833,6 +16171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_prune_audit": _layout_prune_audit,
         "ql_search": _ql_search,
         "docs_ngram_coverage": _docs_ngram_coverage,
+        "corpus_lenhist_manifest": _corpus_lenhist_manifest,
+        "docs_script_mix": _docs_script_mix,
+        "docs_length_robust_z": _docs_length_robust_z,
+        "source_dup_rate": _source_dup_rate,
     }
 
 
@@ -16130,6 +16472,10 @@ def oracle_sql() -> dict[str, str]:
         "layout_prune_audit": _LAYOUT_PRUNE_AUDIT_SQL,
         "ql_search": _ql_search_sql(),
         "docs_ngram_coverage": _DOCS_NGRAM_COVERAGE_SQL,
+        "corpus_lenhist_manifest": _CORPUS_LENHIST_MANIFEST_SQL,
+        "docs_script_mix": _docs_script_mix_sql(),
+        "docs_length_robust_z": _DOCS_LENGTH_ROBUST_Z_SQL,
+        "source_dup_rate": _SOURCE_DUP_RATE_SQL,
         "docs_node_clustering": _DOCS_NODE_CLUSTERING_SQL,
         "docs_clf_isotonic": _clf_eval_sql(_DOCS_CLF_ISOTONIC_TAIL),
         "rocchio_search": _ROCCHIO_SEARCH_SQL,

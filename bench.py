@@ -320,6 +320,10 @@ BENCH_QUERIES = [
     "layout_prune_audit",
     "ql_search",
     "docs_ngram_coverage",
+    "corpus_lenhist_manifest",
+    "docs_script_mix",
+    "docs_length_robust_z",
+    "source_dup_rate",
 ]
 
 

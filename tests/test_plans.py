@@ -923,6 +923,12 @@ def test_round13_entry_plan_shapes(spark, qs):
         ("layout_prune_audit", 2),   # one pass per layout
         ("docs_clf_pr_auc", 2),      # clf fit split + holdout score
         ("docs_clf_brier_ece", 2),
+        # wave 2: 2-scan shapes are all declared (two manifests /
+        # synthetic-union branches / hist-fit + output projection)
+        ("corpus_lenhist_manifest", 2),
+        ("docs_script_mix", 2),
+        ("docs_length_robust_z", 2),
+        ("source_dup_rate", 2),
     ):
         df = qs[name](spark, SF)
         assert P.num_scans(df) <= max_scans, name

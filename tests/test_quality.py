@@ -630,3 +630,24 @@ def test_readability_cols_hand_case(spark):
     # 'punctuation' = vowel groups u,ua,io -> 3; hand total = 9
     assert got[3]["n_syllables"] == 9
     assert P.num_shuffles(out) == 0
+
+
+def test_script_ratio_cols_laws(spark):
+    """BMP script counting: per-script char counts over mixed text,
+    NULL ratios on empty text, ratios sum ≤ 1."""
+    from tidyvec_spark.functions.quality import script_ratio_cols
+
+    rows = [
+        ("hello мир 123",),   # 5 latin, 3 cyrillic, 3 digit, 2 spaces
+        ("漢字かな",),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = df.select(*script_ratio_cols("t")).collect()
+    r0 = got[0]
+    assert r0["n_chars"] == 13
+    assert r0["latin_ratio"] == round(5 / 13, 6)
+    assert r0["cyrillic_ratio"] == round(3 / 13, 6)
+    assert r0["digit_ratio"] == round(3 / 13, 6)
+    assert got[1]["cjk_ratio"] == 1.0
+    assert got[2]["latin_ratio"] is None  # empty text: nothing to grade

@@ -1001,3 +1001,23 @@ def test_ngram_coverage_curve_hand_case(spark):
     assert got[100]["coverage"] == 1.0
     with pytest.raises(ValueError):
         ngram_coverage_curve(df, "text", ks=())
+
+
+def test_robust_zscore_median_mad_replay(spark):
+    """median/MAD off the value histogram must equal the plain-Python
+    order statistics (type-1 rank (n−1) div 2 + 1), outliers get large
+    |rz| where mean/σ would have been dragged, and zero-MAD groups
+    read 0.0."""
+    from tidyvec_spark.operators.reports import robust_zscore_by_group
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 100]] + [("b", 5)]
+    df = spark.createDataFrame(rows, "g string, x int")
+    got = {(r["g"], r["x"]): r["rz"] for r in
+           robust_zscore_by_group(df, "x", "g", round_to=6).collect()}
+    # group a: med = sorted[ (8-1)//2 ] = 4; |x-4| sorted → mad = 2
+    assert got[("a", 4)] == 0.0
+    assert got[("a", 100)] == round((100 - 4) / (1.4826 * 2), 6)
+    assert got[("b", 5)] == 0.0  # degenerate group
+    # robustness: the outlier barely moves the center — the z of a
+    # typical point stays O(1)
+    assert abs(got[("a", 5)]) < 1.0

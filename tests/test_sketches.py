@@ -329,3 +329,78 @@ class TestBloomManifest:
             corpus_manifest(
                 corpus, "id", "text", bloom=True, bloom_bits=100
             )
+
+
+class TestLenhistManifest:
+    """Per-shard length histograms in the manifest — the DISTRIBUTION
+    stored sketch (corpus_manifest(lenhist=True), lenhist_from_manifest,
+    lenhist_quantile_bounds)."""
+
+    EDGES = (0, 4, 8, 16, 32)
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(i, " ".join(["tok"] * (i % 40 + 1))) for i in range(200)]
+        return spark.createDataFrame(rows, "id long, text string")
+
+    def _man(self, corpus):
+        from tidyvec_spark.sources.maintenance import corpus_manifest
+
+        return corpus_manifest(
+            corpus, "id", "text", n_shards=4, digest=False,
+            lenhist=True, lenhist_edges=self.EDGES,
+        )
+
+    def test_fold_equals_whole_and_counts_exact(self, spark, corpus):
+        from tidyvec_spark.operators.sketches import lenhist_from_manifest
+        from tidyvec_spark.sources.maintenance import combine_manifests
+
+        h1 = self._man(corpus.filter(F.col("id") % 2 == 0))
+        h2 = self._man(corpus.filter(F.col("id") % 2 == 1))
+        hist = {
+            r["bucket"]: r["n"]
+            for r in lenhist_from_manifest(
+                combine_manifests(h1, h2), self.EDGES
+            ).collect()
+        }
+        # exact replay: bucket = Σ [ntok > edge]
+        exp: dict = {b: 0 for b in range(len(self.EDGES) + 1)}
+        for i in range(200):
+            nt = i % 40 + 1
+            exp[sum(1 for e in self.EDGES if nt > e)] += 1
+        assert hist == exp
+
+    def test_quantile_brackets_contain_exact_quantiles(self, spark, corpus):
+        import math
+
+        from tidyvec_spark.operators.sketches import (
+            lenhist_from_manifest,
+            lenhist_quantile_bounds,
+        )
+
+        hist = lenhist_from_manifest(self._man(corpus), self.EDGES)
+        got = {r["q"]: (r["lo"], r["hi"])
+               for r in lenhist_quantile_bounds(hist, (0.5, 0.9)).collect()}
+        vals = sorted(i % 40 + 1 for i in range(200))
+        for q in (0.5, 0.9):
+            v = vals[math.ceil(q * len(vals)) - 1]
+            lo, hi = got[q]
+            assert (lo is None or v > lo) and (hi is None or v <= hi), (
+                q, v, lo, hi)
+
+    def test_mixed_parts_refused_and_validation(self, spark, corpus):
+        from tidyvec_spark.operators.sketches import lenhist_from_manifest
+        from tidyvec_spark.sources.maintenance import (
+            combine_manifests,
+            corpus_manifest,
+        )
+
+        plain = corpus_manifest(corpus, "id", "text", n_shards=4,
+                                digest=False)
+        with pytest.raises(ValueError, match="lenhist"):
+            combine_manifests(self._man(corpus), plain)
+        with pytest.raises(ValueError, match="increasing"):
+            corpus_manifest(corpus, "id", "text", lenhist=True,
+                            lenhist_edges=(8, 8, 4))
+        with pytest.raises(ValueError, match="increasing"):
+            lenhist_from_manifest(self._man(corpus), (4, 0))

@@ -33,6 +33,7 @@ from tidyvec_spark.functions.text import (
 
 __all__ = [
     "readability_cols",
+    "script_ratio_cols",
     "dedup_lines_within_expr",
     "html_to_text_expr",
     "normalize_text_expr",
@@ -657,3 +658,45 @@ def readability_cols(c: ColumnOrName) -> list[Column]:
         syll.alias("n_syllables"),
         flesch.alias("flesch"),
     ]
+
+
+# BMP codepoint ranges per script — the engine-portable subset: both
+# Spark (Java regex, UTF-16 code units) and DuckDB (RE2, codepoints)
+# count BMP characters identically, and length() agrees on BMP-only
+# text; astral (surrogate-pair) scripts are deliberately out of scope.
+_SCRIPT_RANGES = {
+    "latin": "A-Za-z\u00C0-\u024F",
+    "cyrillic": "\u0400-\u04FF",
+    "greek": "\u0370-\u03FF",
+    "arabic": "\u0600-\u06FF",
+    "cjk": "\u3040-\u30FF\u4E00-\u9FFF\uAC00-\uD7AF",
+    "digit": "0-9",
+}
+
+
+def script_ratio_cols(c: ColumnOrName) -> list[Column]:
+    """Unicode-SCRIPT composition as pure map-side columns:
+    (n_chars, latin_ratio, cyrillic_ratio, greek_ratio, arabic_ratio,
+    cjk_ratio, digit_ratio) — the cheap writing-system detector that
+    catches what a statistical lang-id model is never shown: mixed-
+    script spam (Latin text stuffed with Cyrillic confusables), wrong-
+    alphabet mojibake surviving encoding checks, and CJK content
+    mislabeled by a whitespace-token lang-id. Per script S the count
+    is length(text) − length(regexp_replace(text, [S], '')) — one
+    codegen projection, zero shuffle, zero Python; ratios are over the
+    total character count and NULL on empty text (nothing to grade).
+
+    Restricted to BMP ranges BY DESIGN: Java regex counts UTF-16 code
+    units and RE2 counts codepoints, which agree exactly on the BMP —
+    so the law is engine-portable (the oracle replays it verbatim).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    n = F.length(col)
+    out = [n.alias("n_chars")]
+    for name, rng in _SCRIPT_RANGES.items():
+        cnt = n - F.length(F.regexp_replace(col, f"[{rng}]", ""))
+        ratio = F.when(
+            n > 0, F.round(cnt.cast("double") / n.cast("double"), 6)
+        )
+        out.append(ratio.alias(f"{name}_ratio"))
+    return out

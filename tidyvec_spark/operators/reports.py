@@ -31,6 +31,7 @@ __all__ = [
     "ngram_novelty",
     "zscore_by_group",
     "cusum_alarms",
+    "robust_zscore_by_group",
     "js_divergence_matrix",
     "token_entropy_by_group",
     "zone_prune_audit",
@@ -1057,4 +1058,76 @@ def ngram_coverage_curve(
         )
     )
     out._tidyvec_persisted = [g]
+    return out
+
+
+def robust_zscore_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str = "rz",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-group ROBUST standard score for an INTEGER-valued column:
+    rz = (x − median_g) / (1.4826·MAD_g) — :func:`zscore_by_group`'s
+    outlier-proof twin (Hampel 1974; 1.4826 makes MAD consistent with
+    σ under normality): one 10^7-char page or a burst of empty docs
+    drags a mean/σ threshold far more than a median/MAD one, which is
+    exactly the failure mode of web-scale length/quality gating.
+
+    Both statistics are EXACT order statistics off the per-group VALUE
+    HISTOGRAM (the :func:`histogram_quantiles` discipline, type-1 rank
+    floor((n−1)/2)+1): the histogram is bounded by the value domain —
+    never the row count — and the |x − med| histogram DERIVES from the
+    value histogram (regroup, no second corpus scan), so the whole fit
+    is one corpus scan + bounded frames; the output projection is the
+    second, map-side pass. Zero-MAD groups (≥half the mass on the
+    median) get rz = 0.0 — no robust spread evidence, the
+    zscore_by_group degenerate-group convention."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(g.alias("__g"), F.col(value_col).cast("long").alias("__v"))
+        .agg(F.count("*").alias("__c"))
+        .persist()
+    )
+    def _median(h, vcol):
+        cw = Window.partitionBy("__g").orderBy(vcol).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = h.withColumn("__cum", F.sum("__c").over(cw))
+        tot = h.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+        rank = (F.expr("(__n - 1) div 2") + 1).alias("__rank")
+        return (
+            cum.join(F.broadcast(tot.select("__g", rank)), "__g")
+            .filter(F.col("__cum") >= F.col("__rank"))
+            .groupBy("__g")
+            .agg(F.min(vcol).cast("long").alias("__med"))
+        )
+    med = _median(hist, F.col("__v"))
+    dev = (
+        hist.join(F.broadcast(med), "__g")
+        .groupBy("__g", F.abs(F.col("__v") - F.col("__med")).alias("__d"))
+        .agg(F.sum("__c").alias("__c"))
+    )
+    mad = _median(dev, F.col("__d")).withColumnRenamed("__med", "__mad")
+    stats = med.join(mad, "__g")
+    rz = F.when(
+        F.col("__mad") > 0,
+        (F.col(value_col).cast("double") - F.col("__med"))
+        / (F.lit(1.4826) * F.col("__mad").cast("double")),
+    ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        rz = F.round(rz, int(round_to)) + F.lit(0.0)
+    out = (
+        df.join(
+            F.broadcast(stats),
+            F.col(group_col).eqNullSafe(F.col("__g")),
+        )
+        .withColumn(out_col, rz)
+        .drop("__g", "__med", "__mad")
+    )
+    out._tidyvec_persisted = [hist]
     return out

@@ -40,6 +40,8 @@ __all__ = [
     "cms_estimate",
     "bloom_from_manifest",
     "bloom_member_probe",
+    "lenhist_from_manifest",
+    "lenhist_quantile_bounds",
 ]
 
 
@@ -571,4 +573,83 @@ def bloom_member_probe(
     )
     return probed.groupBy(value_col).agg(
         F.min("__bit").cast("int").alias(out_col)
+    )
+
+
+def lenhist_from_manifest(
+    manifest: DataFrame,
+    edges,
+    col: str = "lenhist",
+) -> DataFrame:
+    """Fold a manifest's per-shard length histograms
+    (``corpus_manifest(lenhist=True)``, sources/maintenance.py) into
+    the whole-corpus histogram — ZERO corpus scans: element-wise
+    addition is the exact merge law, so the folded counts equal a
+    direct scan's bit-for-bit. Returns one row per bucket:
+    (bucket, lo, hi, n) with lo exclusive / hi inclusive per the
+    Σ [x > edge] binning law (lo = NULL on the first bucket,
+    hi = NULL on the last — unbounded ends)."""
+    edges = [int(e) for e in edges]
+    if edges != sorted(set(edges)):
+        raise ValueError("edges must be strictly increasing")
+    lst = F.collect_list(col)
+    total = manifest.agg(
+        F.aggregate(
+            F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+        ).alias("__t")
+    )
+    lo = [None] + edges
+    hi = edges + [None]
+    spark = manifest.sparkSession
+    bounds = spark.createDataFrame(
+        [(i, lo[i], hi[i]) for i in range(len(edges) + 1)],
+        "bucket int, lo long, hi long",
+    )
+    return (
+        total.select(F.posexplode("__t").alias("bucket", "n"))
+        .join(F.broadcast(bounds), "bucket")
+        .select("bucket", "lo", "hi", F.col("n").cast("long").alias("n"))
+    )
+
+
+def lenhist_quantile_bounds(
+    hist: DataFrame,
+    qs,
+) -> DataFrame:
+    """Quantile BRACKETS from a :func:`lenhist_from_manifest`
+    histogram: for each q, the (lo, hi] bucket containing the
+    ceil(q·N)-th value under the type-1 order-statistic law — the
+    zero-scan answer to "which length band holds the p90" (the exact
+    value needs the corpus; the bracket needs 13 stored counts, and a
+    release-over-release BRACKET move is already the alarm). Returns
+    (q, rank, lo, hi)."""
+    from pyspark.sql import Window
+
+    qs = [float(q) for q in qs]
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("qs must be in (0, 1]")
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("__cum", F.sum("n").over(w))
+    tot = hist.agg(F.sum("n").cast("long").alias("__n"))
+    qdf = hist.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+    # rank = ceil(q·N) integer-exactly: q has ≤6 decimals by convention
+    ranked = qdf.crossJoin(F.broadcast(tot)).select(
+        "q",
+        F.expr(
+            "CAST((CAST(round(q * 1000000) AS BIGINT) * __n + 999999)"
+            " div 1000000 AS BIGINT)"
+        ).alias("rank"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(cum), F.col("__cum") >= F.col("rank"), "left"
+        )
+        .groupBy("q", "rank")
+        .agg(F.min_by(F.struct("bucket", "lo", "hi"), "bucket").alias("__b"))
+        .select("q", "rank", F.col("__b.bucket").alias("bucket"),
+                F.col("__b.lo").alias("lo"), F.col("__b.hi").alias("hi"))
     )

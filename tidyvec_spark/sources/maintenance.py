@@ -119,6 +119,9 @@ def corpus_manifest(
     bloom_bits: int = 1 << 16,
     bloom_k: int = 4,
     bloom_salt: str = "",
+    lenhist: bool = False,
+    lenhist_edges: tuple = (0, 8, 16, 32, 64, 128, 256, 512,
+                            1024, 4096, 16384, 65536),
 ) -> DataFrame:
     """Content-addressable corpus manifest: per deterministic shard,
     (shard, n_docs, n_tokens, content_hash) — the artifact that makes
@@ -198,6 +201,19 @@ def corpus_manifest(
     law (``_cms_bucket`` with width = ``bloom_bits``), so any engine's
     manifest probes identically. Token grain, like CMS — a second text
     pass paid once at ingest.
+
+    With ``lenhist=True`` each shard row also carries the shard's
+    DOCUMENT-LENGTH histogram over the fixed integer
+    ``lenhist_edges`` (k edges → k+1 buckets; bucket = Σ [n_tokens >
+    edge], the psi_drift binning law — integer comparisons, so any
+    engine buckets identically) — the DISTRIBUTION member of the
+    stored-sketch family: "did this corpus's length profile shift?"
+    and "which length bucket holds the p90?" answered with ZERO
+    corpus scans, off counts that fold by ELEMENT-WISE ADDITION
+    (exact, like CMS) in :func:`combine_manifests`. FIXED edges are
+    what make histograms comparable across corpora and releases (the
+    psi_drift argument); the column rides the SAME per-doc aggregate
+    as the count/hash folds — no extra pass.
     """
     from pyspark.sql import functions as F
 
@@ -226,6 +242,24 @@ def corpus_manifest(
     if sketch:
         aggs.append(
             F.hll_sketch_agg(F.col("__h"), F.lit(int(lg_k))).alias("sketch")
+        )
+    if lenhist:
+        edges = [int(e) for e in lenhist_edges]
+        if edges != sorted(set(edges)):
+            raise ValueError("lenhist_edges must be strictly increasing")
+        bucket = None
+        for e in edges:
+            step = F.when(F.col("__nt") > e, 1).otherwise(0)
+            bucket = step if bucket is None else bucket + step
+        aggs.append(
+            F.array(
+                *[
+                    F.sum(
+                        F.when(bucket == i, F.lit(1)).otherwise(F.lit(0))
+                    ).cast("long")
+                    for i in range(len(edges) + 1)
+                ]
+            ).alias("lenhist")
         )
     if minhash:
         from tidyvec_spark.functions.hashing import (
@@ -292,6 +326,8 @@ def corpus_manifest(
         cols.append("minhash")
     if bloom:
         cols.append("bloom")
+    if lenhist:
+        cols.append("lenhist")
     return raw.select(*cols)
 
 
@@ -529,6 +565,14 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
             "minhash-less part; rebuild it with "
             "corpus_manifest(..., minhash=True)"
         )
+    with_lh = ["lenhist" in p.columns for p in parts]
+    if any(with_lh) and not all(with_lh):
+        raise ValueError(
+            "cannot merge lenhist-less and lenhist-bearing manifest "
+            "parts: the merged histogram would silently under-count "
+            "the lenhist-less part; rebuild it with "
+            "corpus_manifest(..., lenhist=True)"
+        )
     with_bloom = ["bloom" in p.columns for p in parts]
     if any(with_bloom) and not all(with_bloom):
         raise ValueError(
@@ -574,6 +618,20 @@ def combine_manifests(*parts: DataFrame) -> DataFrame:
             ).alias("minhash")
         )
         cols.append("minhash")
+    if all(with_lh):
+        # element-wise addition: histogram counts of disjoint corpora
+        # sum exactly (the CMS merge law over length buckets)
+        hlst = F.collect_list("lenhist")
+        aggs.append(
+            F.aggregate(
+                F.slice(
+                    hlst, F.lit(2), F.greatest(F.size(hlst) - 1, F.lit(0))
+                ),
+                F.element_at(hlst, 1),
+                lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+            ).alias("lenhist")
+        )
+        cols.append("lenhist")
     if all(with_bloom):
         # bitwise OR of set bits is the Bloom union law (Bloom 1970) —
         # exact, so never-false-negative survives the merge
