@@ -15817,6 +15817,127 @@ GROUP BY source
 """
 
 
+def _corpus_psi_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-scan cross-corpus length-distribution drift
+    (operators/sketches.py::lenhist_psi over two
+    corpus_manifest(lenhist=True) artifacts): PSI between the stored
+    13-count histograms of the two fixture halves — the
+    release-over-release monitor that decides whether a new snapshot
+    needs a full diff, off two few-hundred-byte stored frames. The
+    law is reports.psi_drift's verbatim (same eps smoothing, same
+    <0.1/0.25 reading) applied to stored counts; manifest BUILD is the
+    declared in-entry cost (the corpus_triage_manifest convention —
+    production manifests are stored at ingest)."""
+    from tidyvec_spark.operators.sketches import (
+        lenhist_from_manifest,
+        lenhist_psi,
+    )
+    from tidyvec_spark.sources.maintenance import corpus_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def hist(part):
+        man = corpus_manifest(
+            part, "doc_id", "text", n_shards=8, digest=False,
+            lenhist=True, lenhist_edges=_LENHIST_EDGES,
+        )
+        return lenhist_from_manifest(man, _LENHIST_EDGES)
+
+    ref = hist(docs.filter(F.col("doc_id") < 250))
+    cur = hist(docs.filter(F.col("doc_id") >= 250))
+    return lenhist_psi(ref, cur, round_to=R)
+
+
+_CORPUS_PSI_MANIFEST_SQL = f"""
+WITH nt AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+bk AS (
+  SELECT (doc_id < 250) AS ref,
+         (CASE WHEN n > 0 THEN 1 ELSE 0 END
+              + CASE WHEN n > 8 THEN 1 ELSE 0 END
+              + CASE WHEN n > 16 THEN 1 ELSE 0 END
+              + CASE WHEN n > 32 THEN 1 ELSE 0 END
+              + CASE WHEN n > 64 THEN 1 ELSE 0 END
+              + CASE WHEN n > 128 THEN 1 ELSE 0 END
+              + CASE WHEN n > 256 THEN 1 ELSE 0 END
+              + CASE WHEN n > 512 THEN 1 ELSE 0 END
+              + CASE WHEN n > 1024 THEN 1 ELSE 0 END
+              + CASE WHEN n > 4096 THEN 1 ELSE 0 END
+              + CASE WHEN n > 16384 THEN 1 ELSE 0 END
+              + CASE WHEN n > 65536 THEN 1 ELSE 0 END) AS bucket
+  FROM nt
+),
+buckets AS (SELECT CAST(unnest(range(13)) AS INT) AS bucket),
+h AS (
+  -- ref = NULL marks the LEFT JOIN's empty-bucket row: it must count
+  -- into NEITHER side (an explicit = comparison; a bare ELSE would
+  -- credit every empty bucket to the current corpus)
+  SELECT buckets.bucket,
+         CAST(coalesce(sum(CASE WHEN ref = true THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS nr,
+         CAST(coalesce(sum(CASE WHEN ref = false THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS nc
+  FROM buckets LEFT JOIN bk USING (bucket)
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(nr) AS DOUBLE) AS tr, CAST(sum(nc) AS DOUBLE) AS tc,
+             CAST(sum(nr) AS BIGINT) AS n_ref,
+             CAST(sum(nc) AS BIGINT) AS n_cur
+      FROM h)
+SELECT ROUND(sum((nc / tc + 1e-6 - nr / tr - 1e-6)
+                 * ln((nc / tc + 1e-6) / (nr / tr + 1e-6))), {R}) + 0.0
+         AS psi,
+       min(n_ref) AS n_ref,
+       min(n_cur) AS n_cur
+FROM h, t
+"""
+
+
+def _embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation-ratio effective rank (operators/reduce.py::
+    effective_rank — Roy & Vetterli 2007): (Σλ)²/Σλ² = trace(C)²/‖C‖_F²
+    computed WITHOUT any eigendecomposition — trace is the diagonal
+    covariance sum, the Frobenius norm comes off the same d(d+1)/2
+    upper-triangle rows (off-diagonals count twice) — so the whole
+    dimensional-collapse diagnostic is embedding_covariance's one scan
+    plus a 2080-row aggregate, and the oracle replays it over the SAME
+    4-dp-rounded covariances."""
+    from tidyvec_spark.operators.reduce import effective_rank
+
+    e = _read(spark, sf_dir, "embeddings")
+    return effective_rank(e, "embedding", dim=64, cov_round=4,
+                          round_to=R)
+
+
+_EMBEDDING_EFFECTIVE_RANK_SQL = f"""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+idx AS (SELECT CAST(unnest(range(64)) AS INT) AS i),
+p AS (
+  SELECT a.i, b.i AS j,
+         avg(v[a.i + 1] * v[b.i + 1])
+           - avg(v[a.i + 1]) * avg(v[b.i + 1]) AS c
+  FROM e, idx a, idx b
+  WHERE a.i <= b.i
+  GROUP BY a.i, b.i
+),
+cv AS (SELECT i, j, ROUND(c, 4) + 0.0 AS cov FROM p),
+agg AS (
+  SELECT sum(CASE WHEN i = j THEN cov END) AS trace,
+         sum((CASE WHEN i = j THEN 1.0 ELSE 2.0 END) * cov * cov)
+           AS frob_sq
+  FROM cv
+)
+SELECT CAST(64 AS INT) AS dim,
+       ROUND(trace, {R}) + 0.0 AS trace,
+       ROUND(frob_sq, {R}) AS frob_sq,
+       ROUND(CASE WHEN frob_sq > 0 THEN trace * trace / frob_sq END,
+             {R}) AS effective_rank
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round-13 rotation (per the r12 verdict item 3): the 9
@@ -16175,6 +16296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_script_mix": _docs_script_mix,
         "docs_length_robust_z": _docs_length_robust_z,
         "source_dup_rate": _source_dup_rate,
+        "corpus_psi_manifest": _corpus_psi_manifest,
+        "embedding_effective_rank": _embedding_effective_rank,
     }
 
 
@@ -16476,6 +16599,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_script_mix": _docs_script_mix_sql(),
         "docs_length_robust_z": _DOCS_LENGTH_ROBUST_Z_SQL,
         "source_dup_rate": _SOURCE_DUP_RATE_SQL,
+        "corpus_psi_manifest": _CORPUS_PSI_MANIFEST_SQL,
+        "embedding_effective_rank": _EMBEDDING_EFFECTIVE_RANK_SQL,
         "docs_node_clustering": _DOCS_NODE_CLUSTERING_SQL,
         "docs_clf_isotonic": _clf_eval_sql(_DOCS_CLF_ISOTONIC_TAIL),
         "rocchio_search": _ROCCHIO_SEARCH_SQL,

@@ -324,6 +324,8 @@ BENCH_QUERIES = [
     "docs_script_mix",
     "docs_length_robust_z",
     "source_dup_rate",
+    "corpus_psi_manifest",
+    "embedding_effective_rank",
 ]
 
 

@@ -126,7 +126,11 @@ def test_every_query_has_oracle_or_is_declared_ml():
     rows_only = qs - oracles
     # only genuinely non-SQL-expressible ops may skip the oracle
     # (model fits; bpe_merges is deterministic and carries a
-    # precomputed-VALUES oracle since round 8)
+    # precomputed-VALUES oracle since round 8; docs_clf_ml_agreement
+    # is the LBFGS seam — executor-reduction float order makes the
+    # distributed fit close-not-bit-equal, pinned instead by the
+    # |ΔAUC| ≤ 0.02 pytest in test_classifier.py)
     assert rows_only <= {
-        "kmeans_clusters", "pca_2d", "hf_embed_fake"
+        "kmeans_clusters", "pca_2d", "hf_embed_fake",
+        "docs_clf_ml_agreement",
     }, rows_only

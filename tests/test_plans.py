@@ -929,6 +929,8 @@ def test_round13_entry_plan_shapes(spark, qs):
         ("docs_script_mix", 2),
         ("docs_length_robust_z", 2),
         ("source_dup_rate", 2),
+        ("corpus_psi_manifest", 2),      # one manifest per half
+        ("embedding_effective_rank", 1),
     ):
         df = qs[name](spark, SF)
         assert P.num_scans(df) <= max_scans, name

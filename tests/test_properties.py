@@ -610,3 +610,28 @@ def test_events_transition_matrix_laws(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n"] for r in rows) == n_events - n_users
+
+
+def test_effective_rank_bounds_and_collapse(spark):
+    """Participation ratio: an isotropic cloud reads ≈ d; a rank-1
+    line reads ≈ 1; always within [1, d] (Roy & Vetterli 2007)."""
+    import numpy as np
+
+    from tidyvec_spark.operators.reduce import effective_rank
+
+    rng = np.random.default_rng(7)
+    iso = rng.normal(size=(400, 8))
+    d1 = np.outer(rng.normal(size=400), np.ones(8))
+    rows_iso = [(i, [float(x) for x in iso[i]]) for i in range(400)]
+    rows_d1 = [(i, [float(x) for x in d1[i]]) for i in range(400)]
+    schema = "id long, embedding array<double>"
+    pr_iso = effective_rank(
+        spark.createDataFrame(rows_iso, schema), "embedding", 8,
+        cov_round=6, round_to=6,
+    ).first()["effective_rank"]
+    pr_d1 = effective_rank(
+        spark.createDataFrame(rows_d1, schema), "embedding", 8,
+        cov_round=6, round_to=6,
+    ).first()["effective_rank"]
+    assert 6.0 < pr_iso <= 8.0
+    assert 1.0 <= pr_d1 < 1.2

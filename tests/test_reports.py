@@ -646,21 +646,25 @@ def test_manifest_stream_equals_batch_with_sketches(spark, documents, tmp_path):
     manifest_stream(
         stream, str(tmp_path / "parts"), str(tmp_path / "ckpt"),
         "doc_id", "text", n_shards=4, sketch=True, cms=True,
-        cms_salt="sm",
+        cms_salt="sm", bloom=True, bloom_bits=4096, bloom_salt="sb",
+        lenhist=True, lenhist_edges=(0, 8, 32),
     )
     streamed = manifest_from_parts(spark, str(tmp_path / "parts"))
 
     def canon(m):
         return {
             r["shard"]: (r["content_hash"], r["n_docs"], r["n_tokens"],
-                         round(r["n_est"], 6), tuple(r["cms"]))
+                         round(r["n_est"], 6), tuple(r["cms"]),
+                         tuple(r["bloom"]), tuple(r["lenhist"]))
             for r in m.select(
                 "*", F.hll_sketch_estimate("sketch").alias("n_est")
             ).collect()
         }
 
     batch = corpus_manifest(docs, "doc_id", "text", n_shards=4,
-                            sketch=True, cms=True, cms_salt="sm")
+                            sketch=True, cms=True, cms_salt="sm",
+                            bloom=True, bloom_bits=4096, bloom_salt="sb",
+                            lenhist=True, lenhist_edges=(0, 8, 32))
     assert canon(streamed) == canon(batch)
 
 

@@ -404,3 +404,40 @@ class TestLenhistManifest:
                             lenhist_edges=(8, 8, 4))
         with pytest.raises(ValueError, match="increasing"):
             lenhist_from_manifest(self._man(corpus), (4, 0))
+
+
+def test_lenhist_psi_zero_and_shift(spark):
+    """PSI over stored histograms: identical halves → 0 exactly
+    (eps-smoothed identical proportions); a length shift reads > 0.25
+    ('shifted'). Signed zero never escapes (+ 0.0 fold)."""
+    import math
+
+    from tidyvec_spark.operators.sketches import (
+        lenhist_from_manifest,
+        lenhist_psi,
+    )
+    from tidyvec_spark.sources.maintenance import corpus_manifest
+
+    EDGES = (0, 4, 8, 16)
+    short = spark.createDataFrame(
+        [(i, " ".join(["t"] * 3)) for i in range(100)],
+        "id long, text string",
+    )
+    long_ = spark.createDataFrame(
+        [(i, " ".join(["t"] * 30)) for i in range(100)],
+        "id long, text string",
+    )
+
+    def hist(df):
+        return lenhist_from_manifest(
+            corpus_manifest(df, "id", "text", n_shards=2, digest=False,
+                            lenhist=True, lenhist_edges=EDGES),
+            EDGES,
+        )
+
+    same = lenhist_psi(hist(short), hist(short), round_to=6).first()
+    assert same["psi"] == 0.0
+    assert math.copysign(1.0, same["psi"]) > 0
+    assert same["n_ref"] == same["n_cur"] == 100
+    shift = lenhist_psi(hist(short), hist(long_), round_to=6).first()
+    assert shift["psi"] > 0.25

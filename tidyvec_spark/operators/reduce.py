@@ -126,6 +126,52 @@ def embedding_covariance(
     return agg.select("i", "j", cov.alias("cov"))
 
 
+def effective_rank(
+    df: DataFrame,
+    emb_col: str,
+    dim: int,
+    cov_round: int = 4,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Participation-ratio EFFECTIVE RANK of the embedding space:
+    PR = (Σλ)² / Σλ² = trace(C)² / ‖C‖_F² (Roy & Vetterli 2007;
+    the participation ratio of statistical physics) — the one-number
+    dimensional-collapse diagnostic: an isotropic d-dim cloud reads
+    ≈ d, an anisotropic cone (Ethayarajh 2019's contextual-embedding
+    pathology) reads a small fraction of d, and a DROP release-over-
+    release means the embedder started wasting dimensions.
+
+    Computed WITHOUT any eigendecomposition: trace(C) is the diagonal
+    sum and ‖C‖_F² = Σ_ij C_ij² comes off the same d(d+1)/2 upper-
+    triangle covariance rows (off-diagonal entries count twice) — so
+    the whole diagnostic is :func:`embedding_covariance`'s ONE corpus
+    scan plus a 2080-row aggregate, and the SQL twin replays it
+    exactly over the same ``cov_round``-rounded covariances. Returns
+    ONE row (dim, trace, frob_sq, effective_rank)."""
+    cov = embedding_covariance(df, emb_col, dim, round_to=cov_round)
+    diag = F.when(F.col("i") == F.col("j"), F.col("cov"))
+    w = F.when(F.col("i") == F.col("j"), F.lit(1.0)).otherwise(F.lit(2.0))
+    agg = cov.agg(
+        F.sum(diag).alias("trace"),
+        F.sum(w * F.col("cov") * F.col("cov")).alias("frob_sq"),
+    )
+    pr = F.when(
+        F.col("frob_sq") > 0,
+        F.col("trace") * F.col("trace") / F.col("frob_sq"),
+    )
+    trace, fro = F.col("trace"), F.col("frob_sq")
+    if round_to is not None:
+        trace = F.round(trace, int(round_to)) + F.lit(0.0)
+        fro = F.round(fro, int(round_to))
+        pr = F.round(pr, int(round_to))
+    return agg.select(
+        F.lit(int(dim)).alias("dim"),
+        trace.alias("trace"),
+        fro.alias("frob_sq"),
+        pr.alias("effective_rank"),
+    )
+
+
 def whiten_embeddings(
     df: DataFrame,
     emb_col: str,

@@ -42,6 +42,7 @@ __all__ = [
     "bloom_member_probe",
     "lenhist_from_manifest",
     "lenhist_quantile_bounds",
+    "lenhist_psi",
 ]
 
 
@@ -653,3 +654,53 @@ def lenhist_quantile_bounds(
         .select("q", "rank", F.col("__b.bucket").alias("bucket"),
                 F.col("__b.lo").alias("lo"), F.col("__b.hi").alias("hi"))
     )
+
+
+def lenhist_psi(
+    hist_ref: DataFrame,
+    hist_cur: DataFrame,
+    eps: float = 1e-6,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Population Stability Index between two
+    :func:`lenhist_from_manifest` histograms — ZERO-scan distribution
+    drift between stored corpora: PSI = Σ_buckets (p_cur − p_ref) ·
+    ln(p_cur / p_ref) over the SHARED fixed edges (the
+    ``reports.psi_drift`` law verbatim — same eps smoothing, same
+    reading: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted), computed
+    from two 13-row stored-count frames instead of two corpus scans.
+    The release-over-release length-drift monitor a crawl owner runs
+    BEFORE deciding whether the new snapshot needs a full diff.
+    Returns ONE row (psi, n_ref, n_cur)."""
+    r = hist_ref.select(
+        F.col("bucket"), F.col("n").alias("__nr")
+    )
+    c = hist_cur.select(F.col("bucket"), F.col("n").alias("__nc"))
+    # the joined bucket frame is ≤ |buckets| rows but its lineage runs
+    # back through two manifest builds — persist so totals + the PSI
+    # fold read it once, not twice each
+    j = r.join(c, "bucket", "full").select(
+        F.coalesce("__nr", F.lit(0)).alias("__nr"),
+        F.coalesce("__nc", F.lit(0)).alias("__nc"),
+    ).persist()
+    tot = j.agg(
+        F.sum("__nr").cast("long").alias("__tr"),
+        F.sum("__nc").cast("long").alias("__tc"),
+    )
+    pr = F.coalesce(
+        F.try_divide(F.col("__nr"), F.col("__tr")), F.lit(0.0)
+    ) + F.lit(float(eps))
+    pc = F.coalesce(
+        F.try_divide(F.col("__nc"), F.col("__tc")), F.lit(0.0)
+    ) + F.lit(float(eps))
+    term = (pc - pr) * F.log(pc / pr)
+    psi = F.sum(term)
+    if round_to is not None:
+        psi = F.round(psi, int(round_to)) + F.lit(0.0)
+    out = j.crossJoin(F.broadcast(tot)).agg(
+        psi.alias("psi"),
+        F.first("__tr").alias("n_ref"),
+        F.first("__tc").alias("n_cur"),
+    )
+    out._tidyvec_persisted = [j]
+    return out
