@@ -15938,6 +15938,173 @@ FROM agg
 """
 
 
+def _events_cusum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped CUSUM (operators/reports.py::cusum_alarms(by=...)): one
+    independent Page monitor per event type on its own hourly rate —
+    purchases drift on a different clock and baseline than clicks, so
+    one global CUSUM dilutes a type-local shift (the same argument
+    that grouped events_gap_quantiles_by_type). Per-type k = μ_t +
+    σ_t/2 and h = 4σ_t from each type's own exact integer moments;
+    the windows partition on the type key, all accumulation int64 at
+    scale 10^6 — bit-exact on both engines, hour-grain bounded."""
+    from tidyvec_spark.operators.reports import cusum_alarms
+    from tidyvec_spark.streaming.pipelines import event_ts_of
+
+    ev = _read(spark, sf_dir, "events")
+    hrs = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", event_ts_of(ev))
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .groupBy("event_type", "bucket_s")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    stats = (
+        hrs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("__c"),
+            F.sum("n").cast("long").alias("__sn"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("__sn2"),
+        )
+        .select(
+            "event_type",
+            (F.col("__sn").cast("double") / F.col("__c")).alias("__mu"),
+            F.sqrt(
+                F.col("__sn2").cast("double") / F.col("__c")
+                - (F.col("__sn").cast("double") / F.col("__c"))
+                * (F.col("__sn").cast("double") / F.col("__c"))
+            ).alias("__sd"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("__mu") + F.lit(0.5) * F.col("__sd"), R)
+            .alias("__k"),
+            F.round(F.lit(4.0) * F.col("__sd"), R).alias("__h"),
+        )
+    )
+    series = hrs.join(F.broadcast(stats), "event_type")
+    out = cusum_alarms(
+        series, "n", "bucket_s", F.col("__k"), F.col("__h"),
+        round_to=R, by=["event_type"],
+    )
+    out._tidyvec_persisted = [hrs]
+    return out
+
+
+_EVENTS_CUSUM_BY_TYPE_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(n) AS BIGINT) AS sn,
+         CAST(sum(n * n) AS BIGINT) AS sn2
+  FROM h GROUP BY 1
+),
+kh AS (
+  SELECT event_type,
+    CAST(round(ROUND(CAST(sn AS DOUBLE) / c
+      + 0.5 * sqrt(CAST(sn2 AS DOUBLE) / c
+                   - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c)),
+      {R}) * 1000000) AS BIGINT) AS ki,
+    CAST(round(ROUND(4.0 * sqrt(CAST(sn2 AS DOUBLE) / c
+      - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c)),
+      {R}) * 1000000) AS BIGINT) AS hi
+  FROM st
+),
+p AS (
+  SELECT h.event_type, bucket_s, n, hi,
+         sum(n * 1000000 - ki) OVER (PARTITION BY h.event_type
+                                     ORDER BY bucket_s) AS pp
+  FROM h JOIN kh USING (event_type)
+),
+s AS (
+  SELECT event_type, bucket_s, n, hi,
+         pp - least(CAST(0 AS BIGINT),
+                    min(pp) OVER (PARTITION BY event_type
+                                  ORDER BY bucket_s)) AS si
+  FROM p
+)
+SELECT event_type, bucket_s, n,
+       ROUND(CAST(si AS DOUBLE) / 1000000, {R}) AS cusum,
+       CAST(CASE WHEN si > hi THEN 1 ELSE 0 END AS INT) AS alarm
+FROM s
+"""
+
+
+def _docs_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified train/val/test split (operators/
+    sampling.py::split_stratified_exact): 8/1/1 WITHIN EVERY source —
+    floor(n·w/W) per split plus largest-remainder leftovers (the
+    Hamilton law shared with neyman_allocation, tie = split order),
+    rows ordered by (hash_unit(id, salt), id) so assignment is a pure
+    function of the id: engine-, partitioning- and re-run-stable. The
+    per-row hash gate (mix_sample_langs) hits ratios only in
+    expectation; this is the hard-count version an eval-budget spec
+    means. One window shuffle on the source key."""
+    from tidyvec_spark.operators.sampling import split_stratified_exact
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return split_stratified_exact(
+        docs, "doc_id", "source", weights=(8, 1, 1),
+        names=("train", "val", "test"), salt="sp13",
+    ).select("doc_id", "source", "split")
+
+
+_DOCS_SPLIT_STRATIFIED_SQL = f"""
+WITH d AS (SELECT doc_id, source FROM documents),
+cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+tgt AS (
+  -- exact Hamilton targets for weights (8,1,1), W=10: bases + the
+  -- leftover by (remainder desc, split order asc); cut0/cut1 are the
+  -- cumulative boundaries (cut2 = n always)
+  SELECT source, n,
+         (n * 8) // 10 AS b0, (n * 1) // 10 AS b1, (n * 1) // 10 AS b2,
+         (n * 8) % 10 AS r0, (n * 1) % 10 AS r1, (n * 1) % 10 AS r2
+  FROM cnt
+),
+ext AS (
+  -- remainder rank with ties to the LOWER split index (the Spark
+  -- law: a later split beats i only strictly; an earlier one beats
+  -- on ties too)
+  SELECT source, n, b0, b1, b2,
+         n - (b0 + b1 + b2) AS leftover,
+         1 + (CASE WHEN r1 > r0 THEN 1 ELSE 0 END)
+           + (CASE WHEN r2 > r0 THEN 1 ELSE 0 END) AS k0,
+         1 + (CASE WHEN r0 >= r1 THEN 1 ELSE 0 END)
+           + (CASE WHEN r2 > r1 THEN 1 ELSE 0 END) AS k1,
+         1 + (CASE WHEN r0 >= r2 THEN 1 ELSE 0 END)
+           + (CASE WHEN r1 >= r2 THEN 1 ELSE 0 END) AS k2
+  FROM tgt
+),
+cut AS (
+  SELECT source,
+         b0 + (CASE WHEN k0 <= leftover THEN 1 ELSE 0 END) AS c0,
+         b0 + b1 + (CASE WHEN k0 <= leftover THEN 1 ELSE 0 END)
+                 + (CASE WHEN k1 <= leftover THEN 1 ELSE 0 END) AS c1
+  FROM ext
+),
+rk AS (
+  SELECT doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY {_hu_sql("sp13")}, doc_id) AS r
+  FROM d
+)
+SELECT doc_id, rk.source,
+       CASE WHEN r <= c0 THEN 'train'
+            WHEN r <= c1 THEN 'val'
+            ELSE 'test' END AS split
+FROM rk JOIN cut USING (source)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round-13 rotation (per the r12 verdict item 3): the 9
@@ -16298,6 +16465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dup_rate": _source_dup_rate,
         "corpus_psi_manifest": _corpus_psi_manifest,
         "embedding_effective_rank": _embedding_effective_rank,
+        "events_cusum_by_type": _events_cusum_by_type,
+        "docs_split_stratified": _docs_split_stratified,
     }
 
 
@@ -16601,6 +16770,8 @@ def oracle_sql() -> dict[str, str]:
         "source_dup_rate": _SOURCE_DUP_RATE_SQL,
         "corpus_psi_manifest": _CORPUS_PSI_MANIFEST_SQL,
         "embedding_effective_rank": _EMBEDDING_EFFECTIVE_RANK_SQL,
+        "events_cusum_by_type": _EVENTS_CUSUM_BY_TYPE_SQL,
+        "docs_split_stratified": _DOCS_SPLIT_STRATIFIED_SQL,
         "docs_node_clustering": _DOCS_NODE_CLUSTERING_SQL,
         "docs_clf_isotonic": _clf_eval_sql(_DOCS_CLF_ISOTONIC_TAIL),
         "rocchio_search": _ROCCHIO_SEARCH_SQL,

@@ -326,6 +326,8 @@ BENCH_QUERIES = [
     "source_dup_rate",
     "corpus_psi_manifest",
     "embedding_effective_rank",
+    "events_cusum_by_type",
+    "docs_split_stratified",
 ]
 
 

@@ -931,6 +931,8 @@ def test_round13_entry_plan_shapes(spark, qs):
         ("source_dup_rate", 2),
         ("corpus_psi_manifest", 2),      # one manifest per half
         ("embedding_effective_rank", 1),
+        ("events_cusum_by_type", 1),
+        ("docs_split_stratified", 2),    # stratum counts + output pass
     ):
         df = qs[name](spark, SF)
         assert P.num_scans(df) <= max_scans, name

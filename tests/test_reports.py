@@ -1025,3 +1025,22 @@ def test_robust_zscore_median_mad_replay(spark):
     # robustness: the outlier barely moves the center — the z of a
     # typical point stays O(1)
     assert abs(got[("a", 5)]) < 1.0
+
+
+def test_cusum_grouped_runs_independent_monitors(spark):
+    from tidyvec_spark.operators.reports import cusum_alarms
+
+    rows = [("a", t, 5.0 + (5.0 if t >= 5 else 0.0)) for t in range(10)]
+    rows += [("b", t, 5.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    got = {(r["g"], r["t"]): (r["cusum"], r["alarm"]) for r in
+           cusum_alarms(df, "x", "t", F.lit(6.0), F.lit(8.0),
+                        round_to=6, by=["g"]).collect()}
+    # group b never accumulates (x < k throughout)
+    assert all(got[("b", t)] == (0.0, 0) for t in range(10))
+    # group a: after the shift at t=5, +4/tick → alarm from t=7 on
+    s = 0.0
+    for t in range(10):
+        x = 5.0 + (5.0 if t >= 5 else 0.0)
+        s = max(0.0, s + x - 6.0)
+        assert got[("a", t)] == (round(s, 6), int(s > 8.0)), t

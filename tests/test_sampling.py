@@ -591,3 +591,67 @@ def test_neyman_allocation_laws(spark):
 
     with pytest.raises(ValueError, match="total_n"):
         neyman_allocation(df, "x", "g", total_n=0)
+
+
+class TestSplitStratifiedExact:
+    """sampling.split_stratified_exact — exact Hamilton counts per
+    stratum, hash-deterministic assignment."""
+
+    def _df(self, spark, sizes):
+        rows = [
+            (f"{g}_{i}", g)
+            for g, n in sizes.items()
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "id string, g string")
+
+    def test_exact_counts_per_stratum(self, spark):
+        from tidyvec_spark.operators.sampling import split_stratified_exact
+
+        sizes = {"a": 100, "b": 17, "c": 3}
+        out = split_stratified_exact(
+            self._df(spark, sizes), "id", "g", weights=(8, 1, 1),
+            names=("train", "val", "test"), salt="t",
+        )
+        got = {
+            (r["g"], r["split"]): r["n"]
+            for r in out.groupBy("g", "split").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        # Hamilton replay: base = n*w//10; leftover by remainder desc,
+        # split order asc
+        for g, n in sizes.items():
+            bases = [n * w // 10 for w in (8, 1, 1)]
+            rems = [n * w % 10 for w in (8, 1, 1)]
+            left = n - sum(bases)
+            order = sorted(range(3), key=lambda i: (-rems[i], i))
+            for i in order[:left]:
+                bases[i] += 1
+            for i, name in enumerate(("train", "val", "test")):
+                assert got.get((g, name), 0) == bases[i], (g, name)
+
+    def test_deterministic_and_partition_stable(self, spark):
+        from tidyvec_spark.operators.sampling import split_stratified_exact
+
+        df = self._df(spark, {"a": 50, "b": 20})
+        a = {r["id"]: r["split"] for r in split_stratified_exact(
+            df, "id", "g", salt="s").collect()}
+        b = {r["id"]: r["split"] for r in split_stratified_exact(
+            df.repartition(7), "id", "g", salt="s").collect()}
+        assert a == b
+        c = {r["id"]: r["split"] for r in split_stratified_exact(
+            df, "id", "g", salt="DIFFERENT").collect()}
+        assert a != c  # a re-salt is a fresh split
+
+    def test_validation(self, spark):
+        import pytest as pt
+
+        from tidyvec_spark.operators.sampling import split_stratified_exact
+
+        df = self._df(spark, {"a": 5})
+        with pt.raises(ValueError, match="align"):
+            split_stratified_exact(df, "id", "g", weights=(1, 1),
+                                   names=("x",))
+        with pt.raises(ValueError, match="non-negative"):
+            split_stratified_exact(df, "id", "g", weights=(-1, 2),
+                                   names=("x", "y"))

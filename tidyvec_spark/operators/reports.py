@@ -711,6 +711,7 @@ def cusum_alarms(
     h_col,
     scale: int = 1_000_000,
     round_to: int | None = None,
+    by: "Sequence[str]" = (),
 ) -> DataFrame:
     """One-sided upper CUSUM change-point monitor (Page 1954):
     S_t = max(0, S_{t-1} + x_t − k), alarm when S_t > h — the
@@ -732,17 +733,22 @@ def cusum_alarms(
     Columns (typically rounded data-derived constants broadcast from a
     1-row stats frame), letting the whole monitor stay ONE lazy plan.
 
-    Returns one row per input row: (``order_col``, ``value_col``,
-    cusum, alarm). The window is unpartitioned by design — the series
-    is time-grain-bounded (hours/days), never row-grain."""
+    Returns one row per input row: (``by``..., ``order_col``,
+    ``value_col``, cusum, alarm). With ``by`` the monitor runs one
+    independent CUSUM per group (per event type, per source...), the
+    windows partitioned on the group key; either way each series is
+    time-grain-bounded (hours/days), never row-grain."""
     from pyspark.sql import Window
 
+    by = list(by)
     x_int = F.round(F.col(value_col).cast("double") * scale, 0).cast(
         "long"
     )
     k_int = F.round(k_col.cast("double") * scale, 0).cast("long")
     h_int = F.round(h_col.cast("double") * scale, 0).cast("long")
-    w = Window.orderBy(order_col).rowsBetween(
+    w = (
+        Window.partitionBy(*by) if by else Window
+    ).orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
     p = F.sum(x_int - k_int).over(w)
@@ -754,6 +760,7 @@ def cusum_alarms(
     if round_to is not None:
         cusum = F.round(cusum, int(round_to))
     return stepped.select(
+        *by,
         order_col,
         value_col,
         cusum.alias("cusum"),

@@ -48,6 +48,7 @@ __all__ = [
     "unimax_fractions",
     "unimax_sample",
     "weighted_sample_n",
+    "split_stratified_exact",
 ]
 
 
@@ -742,3 +743,94 @@ def neyman_allocation(
     )
     out._tidyvec_persisted = [stats]
     return out
+
+
+def split_stratified_exact(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: "Sequence[int]" = (8, 1, 1),
+    names: "Sequence[str]" = ("train", "val", "test"),
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic STRATIFIED split with EXACT per-stratum counts:
+    every stratum contributes floor(n_s·w_i/W) rows to split i plus
+    largest-remainder leftovers (the Hamilton law shared with
+    :func:`neyman_allocation`, tie = split order) — so a 80/10/10
+    split means 80/10/10 IN EVERY STRATUM, not in expectation. A
+    hash-ranked row order (hash_unit(id, salt), id) makes assignment
+    a pure function of the id and salt: re-running on a re-partitioned
+    or re-sorted copy yields byte-identical splits, and adding a new
+    stratum never reshuffles existing ones (each stratum ranks
+    independently). The per-row hash gate (mix_sample_langs) only
+    hits ratios in expectation; leakage-free splitting by GROUP is
+    :func:`~tidyvec_spark.operators.dedup.split_leakage_free` — this
+    is the exact-count per-stratum third member.
+
+    Integer-exact end to end: weights are ints, boundaries are
+    cumulative largest-remainder counts, rank is a window over
+    (stratum, hash, id). One window shuffle on the stratum key; the
+    per-stratum count frame is bounded by |strata|."""
+    from pyspark.sql import Window
+
+    weights = [int(w) for w in weights]
+    names = [str(n) for n in names]
+    if len(weights) != len(names) or not weights:
+        raise ValueError("weights and names must align and be non-empty")
+    if any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ValueError("weights must be non-negative with positive sum")
+    W = sum(weights)
+    k = len(weights)
+
+    counts = df.groupBy(F.col(strata_col).alias("__g")).agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    # exact per-stratum targets: base = n·w_i div W, then remainders
+    # r_i = n·w_i mod W assign the leftover by (r desc, i asc)
+    bases = [F.expr(f"(__n * {w}) div {W}") for w in weights]
+    rems = [F.expr(f"(__n * {w}) % {W}") for w in weights]
+    left = F.col("__n") - sum(bases[1:], bases[0])
+    # rank the k remainders: split i gets +1 iff its remainder-rank
+    # (1-based, ties to lower i) ≤ leftover
+    extra = []
+    for i in range(k):
+        ahead = []
+        for j in range(k):
+            if j == i:
+                continue
+            beats = (
+                (rems[j] > rems[i]) if j > i else (rems[j] >= rems[i])
+            )
+            ahead.append(F.when(beats, 1).otherwise(0))
+        rank_i = sum(ahead[1:], ahead[0]) + 1 if ahead else F.lit(1)
+        extra.append(F.when(rank_i <= left, 1).otherwise(0))
+    cuts = []
+    acc = None
+    for i in range(k):
+        c = bases[i] + extra[i]
+        acc = c if acc is None else acc + c
+        cuts.append(acc.cast("long").alias(f"__cut{i}"))
+    bounds = counts.select("__g", *cuts)
+
+    u = hash_unit(F.col(id_col).cast("string"), salt)
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        u.asc(), F.col(id_col).asc()
+    )
+    ranked = df.withColumn("__rk", F.row_number().over(w_rank))
+    label = None
+    for i in range(k - 1, -1, -1):
+        cond = F.col("__rk") <= F.col(f"__cut{i}")
+        label = (
+            F.when(cond, F.lit(names[i]))
+            if label is None
+            else F.when(cond, F.lit(names[i])).otherwise(label)
+        )
+    return (
+        ranked.join(
+            F.broadcast(bounds),
+            F.col(strata_col).eqNullSafe(F.col("__g")),
+        )
+        .withColumn(out_col, label)
+        .drop("__rk", "__g", *[f"__cut{i}" for i in range(k)])
+    )
