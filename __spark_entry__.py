@@ -16105,6 +16105,201 @@ FROM rk JOIN cut USING (source)
 """
 
 
+def _events_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) rate-anomaly ranking (operators/reports.py::
+    robust_zscore_by_group over per-type DAILY counts) — the
+    outlier-proof twin of events_anomaly's mean/σ z: one traffic-spike
+    day inflates a mean/σ threshold enough to hide the next spike,
+    while the median/MAD baseline barely moves (Iglewicz & Hoaglin
+    1993 recommend exactly this for outlier labeling). Emits the
+    top-10 (|rz| desc, type asc, day asc) day-type cells — rounded
+    BEFORE the top-k so tie structure is engine-portable. Day grain:
+    the fixture's hourly counts are too sparse for a meaningful MAD
+    (mostly 1s); days carry real variance at every SF."""
+    from tidyvec_spark.operators.reports import robust_zscore_by_group
+    from tidyvec_spark.streaming.pipelines import event_ts_of
+
+    ev = _read(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", event_ts_of(ev))
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .groupBy("event_type", "bucket_s")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rz = robust_zscore_by_group(
+        days, "n", "event_type", out_col="rz", round_to=R
+    )
+    return (
+        rz.select("event_type", "bucket_s", "n", "rz")
+        .orderBy(
+            F.desc(F.abs(F.col("rz"))),
+            F.asc("event_type"),
+            F.asc("bucket_s"),
+        )
+        .limit(10)
+    )
+
+
+_EVENTS_ANOMALY_ROBUST_SQL = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+h AS (SELECT event_type, n AS v, count(*) AS c FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cc
+  FROM h
+),
+tot AS (SELECT event_type, sum(c) AS cnt FROM h GROUP BY 1),
+med AS (
+  SELECT cum.event_type, min(v) AS med
+  FROM cum JOIN tot USING (event_type)
+  WHERE cc >= (cnt - 1) // 2 + 1
+  GROUP BY 1
+),
+dh AS (
+  SELECT h.event_type, abs(v - med) AS dv, sum(c) AS c
+  FROM h JOIN med USING (event_type) GROUP BY 1, 2
+),
+dcum AS (
+  SELECT event_type, dv, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY dv) AS cc
+  FROM dh
+),
+mad AS (
+  SELECT dcum.event_type, min(dv) AS mad
+  FROM dcum JOIN tot USING (event_type)
+  WHERE cc >= (cnt - 1) // 2 + 1
+  GROUP BY 1
+),
+rz AS (
+  SELECT d.event_type, bucket_s, n,
+         ROUND(CASE WHEN mad > 0
+                    THEN (n - med) / (1.4826 * mad)
+                    ELSE 0.0 END, {R}) + 0.0 AS rz
+  FROM d JOIN med USING (event_type) JOIN mad USING (event_type)
+)
+SELECT event_type, bucket_s, n, rz
+FROM rz ORDER BY abs(rz) DESC, event_type, bucket_s LIMIT 10
+"""
+
+
+def _corpus_freq_drift_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-scan cross-corpus FREQUENCY drift from manifest-stored
+    Count-Min sketches (corpus_manifest(cms=True) ×2 →
+    cms_from_manifest → cms_estimate): for the corpus's top-10 terms,
+    the stored-sketch frequency estimate in each half plus the
+    log-ratio ln((est_cur+1)/(est_ref+1)) — "did 'cookie banner'
+    explode between snapshots?" answered off two stored 8 KB/shard
+    artifacts, completing the zero-scan drift suite next to
+    corpus_psi_manifest (lengths) and corpus_overlap_minhash
+    (similarity). Exact counts ride along as the audit scaffold; the
+    manifest builds are the declared in-entry cost (the
+    corpus_triage_manifest convention)."""
+    from tidyvec_spark.functions import text as X
+    from tidyvec_spark.operators.sketches import (
+        cms_estimate,
+        cms_from_manifest,
+    )
+    from tidyvec_spark.sources.maintenance import corpus_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def half_cms(part):
+        man = corpus_manifest(
+            part, "doc_id", "text",
+            n_shards=8, digest=False, cms=True, cms_salt="cfd",
+        )
+        return cms_from_manifest(man, width=256)
+
+    cms_a = half_cms(docs.filter(F.col("doc_id") < 250))
+    cms_b = half_cms(docs.filter(F.col("doc_id") >= 250))
+    probes = (
+        docs.select(F.explode(X.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+        .limit(10)
+        .persist()
+    )
+    ea = cms_estimate(
+        probes.select("term"), "term", cms_a,
+        depth=4, width=256, salt="cfd", est_col="est_ref",
+    )
+    eb = cms_estimate(
+        probes.select("term"), "term", cms_b,
+        depth=4, width=256, salt="cfd", est_col="est_cur",
+    )
+    out = (
+        probes.join(ea, "term")
+        .join(eb, "term")
+        .select(
+            "term",
+            "n_exact",
+            F.col("est_ref").cast("long").alias("est_ref"),
+            F.col("est_cur").cast("long").alias("est_cur"),
+            (
+                F.round(
+                    F.log(
+                        (F.col("est_cur") + F.lit(1)).cast("double")
+                        / (F.col("est_ref") + F.lit(1)).cast("double")
+                    ),
+                    R,
+                )
+                + F.lit(0.0)
+            ).alias("log_ratio"),
+        )
+    )
+    out._tidyvec_persisted = [probes]
+    return out
+
+
+_CORPUS_FREQ_DRIFT_MANIFEST_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cmsa AS (
+  SELECT r, CAST(CONCAT('0x', substr(md5(CONCAT('cfd', CAST(r AS VARCHAR), ':', term)), 1, 8)) AS UBIGINT) % 256 AS bucket, count(*) AS cnt
+  FROM tok, rows_ WHERE doc_id < 250 GROUP BY 1, 2
+),
+cmsb AS (
+  SELECT r, CAST(CONCAT('0x', substr(md5(CONCAT('cfd', CAST(r AS VARCHAR), ':', term)), 1, 8)) AS UBIGINT) % 256 AS bucket, count(*) AS cnt
+  FROM tok, rows_ WHERE doc_id >= 250 GROUP BY 1, 2
+),
+top AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+  FROM tok GROUP BY term ORDER BY n_exact DESC, term LIMIT 10
+),
+probe AS (
+  SELECT term, n_exact, r, CAST(CONCAT('0x', substr(md5(CONCAT('cfd', CAST(r AS VARCHAR), ':', term)), 1, 8)) AS UBIGINT) % 256 AS bucket
+  FROM top, rows_
+),
+ea AS (
+  SELECT term, n_exact,
+         CAST(min(coalesce(a.cnt, 0)) AS BIGINT) AS est_ref
+  FROM probe LEFT JOIN cmsa a
+    ON a.r = probe.r AND a.bucket = probe.bucket
+  GROUP BY 1, 2
+),
+eb AS (
+  SELECT term, CAST(min(coalesce(b.cnt, 0)) AS BIGINT) AS est_cur
+  FROM probe LEFT JOIN cmsb b
+    ON b.r = probe.r AND b.bucket = probe.bucket
+  GROUP BY 1
+)
+SELECT ea.term, n_exact, est_ref, est_cur,
+       ROUND(ln((est_cur + 1.0) / (est_ref + 1.0)), {R}) + 0.0
+         AS log_ratio
+FROM ea JOIN eb ON eb.term = ea.term
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round-13 rotation (per the r12 verdict item 3): the 9
@@ -16467,6 +16662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_effective_rank": _embedding_effective_rank,
         "events_cusum_by_type": _events_cusum_by_type,
         "docs_split_stratified": _docs_split_stratified,
+        "events_anomaly_robust": _events_anomaly_robust,
+        "corpus_freq_drift_manifest": _corpus_freq_drift_manifest,
     }
 
 
@@ -16772,6 +16969,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_effective_rank": _EMBEDDING_EFFECTIVE_RANK_SQL,
         "events_cusum_by_type": _EVENTS_CUSUM_BY_TYPE_SQL,
         "docs_split_stratified": _DOCS_SPLIT_STRATIFIED_SQL,
+        "events_anomaly_robust": _EVENTS_ANOMALY_ROBUST_SQL,
+        "corpus_freq_drift_manifest": _CORPUS_FREQ_DRIFT_MANIFEST_SQL,
         "docs_node_clustering": _DOCS_NODE_CLUSTERING_SQL,
         "docs_clf_isotonic": _clf_eval_sql(_DOCS_CLF_ISOTONIC_TAIL),
         "rocchio_search": _ROCCHIO_SEARCH_SQL,

@@ -328,6 +328,8 @@ BENCH_QUERIES = [
     "embedding_effective_rank",
     "events_cusum_by_type",
     "docs_split_stratified",
+    "events_anomaly_robust",
+    "corpus_freq_drift_manifest",
 ]
 
 

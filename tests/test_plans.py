@@ -933,6 +933,11 @@ def test_round13_entry_plan_shapes(spark, qs):
         ("embedding_effective_rank", 1),
         ("events_cusum_by_type", 1),
         ("docs_split_stratified", 2),    # stratum counts + output pass
+        ("events_anomaly_robust", 2),    # hist fit + output pass
+        # two manifests BUILT in-entry by declaration (per-doc + token
+        # pass each) + the probe-terms scan — the triage convention;
+        # production manifests are stored, making the probe zero-scan
+        ("corpus_freq_drift_manifest", 5),
     ):
         df = qs[name](spark, SF)
         assert P.num_scans(df) <= max_scans, name
