@@ -16300,6 +16300,275 @@ FROM ea JOIN eb ON eb.term = ea.term
 """
 
 
+def _ann_recall_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of BINARY-quantized search (operators/bq.py::
+    bq_encode_expr + operators/evaluation.py::topk_recall): per-query
+    Hamming top-3 over the 1-bit codes measured against the exact
+    cosine top-3 — the missing recall row of the compression ladder
+    (ann_recall_lsh and ann_recall_ivfpq cover the other rungs):
+    32× scan-byte compression is only worth its recall price if you
+    MEASURE the price. Candidate generation is the integer-codegen
+    bit_count(xor) over packed longs; the evaluation join is
+    k×|queries| rows."""
+    from tidyvec_spark.operators.bq import bq_encode_expr
+    from tidyvec_spark.operators.evaluation import topk_recall
+    from tidyvec_spark.operators.nearest import similarity_join_exact
+
+    # ONE persisted (id, vector, code) frame feeds the code join AND
+    # the exact ground truth — the corpus is scanned once
+    base = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", bq_encode_expr("embedding", 64).alias("__code")
+    ).persist()
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("__code").alias("__qc")
+    )
+    c = base.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("__code").alias("__cc")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("__qc"),
+            F.col("__cc"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.asc("__h"), F.asc("cid"))
+    approx = (
+        c.join(F.broadcast(q))
+        .withColumn("__h", ham)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("qid", "cid")
+    )
+    left = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    right = base.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    exact = similarity_join_exact(
+        F.broadcast(left), right, "qv", "cv", method="cosine", k=3,
+        left_id="qid", right_id="cid", round_to=R,
+    ).select("qid", "cid")
+    out = topk_recall(approx, exact, "qid", "cid", k=3, round_to=R)
+    out._tidyvec_persisted = [base]
+    return out
+
+
+_ANN_RECALL_BQ_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+codes AS (SELECT vec_id, {_BQ_CODE_SQL} AS code FROM e),
+q AS (SELECT vec_id AS qid, code AS qc FROM codes WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, code AS cc FROM codes WHERE vec_id >= 5),
+approx AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, bit_count(xor(qc, cc)) AS h FROM q, c
+  ) QUALIFY row_number() OVER (PARTITION BY qid ORDER BY h, cid) <= 3
+),
+qv AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < 5),
+cv AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id >= 5),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROUND(list_cosine_similarity(cvec, qvec), {R}) AS similarity
+    FROM qv, cv
+  ) QUALIFY row_number() OVER (PARTITION BY qid
+                               ORDER BY similarity DESC, cid) <= 3
+),
+hits AS (
+  SELECT exact.qid, count(*) AS n_hits
+  FROM exact JOIN approx ON exact.qid = approx.qid
+                        AND exact.cid = approx.cid
+  GROUP BY exact.qid
+)
+SELECT q2.qid, CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(hits.n_hits, 0) / 3.0, {R}) AS recall
+FROM (SELECT DISTINCT qid FROM exact) q2
+LEFT JOIN hits ON q2.qid = hits.qid
+"""
+
+
+def _source_winsorized_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized vs raw mean document length per source
+    (operators/reports.py::winsorized_mean_by_group — Tukey/Dixon
+    1960): the robust location dashboard next to docs_length_robust_z's
+    per-row calibration — one 10^7-char page moves a raw mean
+    arbitrarily, the winsorized mean by at most the p95 clamp. Clamp
+    bounds are exact type-1 order statistics with the INTEGER-EXACT
+    rank law ((n−1)·q_int div 10^6 + 1), and both means come off the
+    value histogram itself — one corpus scan, value-domain-bounded
+    frames, engine-exact up to the final rounded division."""
+    from tidyvec_spark.functions.text import token_count
+    from tidyvec_spark.operators.reports import winsorized_mean_by_group
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", token_count("text").alias("ntok")
+    )
+    return winsorized_mean_by_group(
+        docs, "ntok", "source", lower=0.05, upper=0.95, round_to=R
+    )
+
+
+_SOURCE_WINSORIZED_LEN_SQL = f"""
+WITH d AS (
+  SELECT source, CAST(len({_TOKS}) AS BIGINT) AS ntok FROM documents
+),
+h AS (SELECT source, ntok AS v, count(*) AS c FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT source, v, c,
+         sum(c) OVER (PARTITION BY source ORDER BY v) AS cc
+  FROM h
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+lo AS (
+  SELECT cum.source, min(v) AS lo_clamp
+  FROM cum JOIN tot USING (source)
+  WHERE cc >= ((n - 1) * 50000) // 1000000 + 1
+  GROUP BY 1
+),
+hi AS (
+  SELECT cum.source, min(v) AS hi_clamp
+  FROM cum JOIN tot USING (source)
+  WHERE cc >= ((n - 1) * 950000) // 1000000 + 1
+  GROUP BY 1
+),
+agg AS (
+  SELECT h.source, lo_clamp, hi_clamp,
+         CAST(sum(c) AS BIGINT) AS n,
+         sum(v * c) AS sv,
+         sum(least(greatest(v, lo_clamp), hi_clamp) * c) AS sw
+  FROM h JOIN lo USING (source) JOIN hi USING (source)
+  GROUP BY 1, 2, 3
+)
+SELECT source, n, CAST(lo_clamp AS BIGINT) AS lo_clamp,
+       CAST(hi_clamp AS BIGINT) AS hi_clamp,
+       ROUND(CAST(sv AS DOUBLE) / n, {R}) AS raw_mean,
+       ROUND(CAST(sw AS DOUBLE) / n, {R}) AS winsorized_mean
+FROM agg
+"""
+
+
+def _events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert quantiles per funnel step (the TIME dimension
+    events_funnel's counts lack): for users progressing view → click
+    → purchase in timestamp order (exactly events_funnel's chained
+    conditional-min laws), the p50/p90 of each step's delay in
+    seconds via operators/reports.py::histogram_quantiles — exact
+    type-1 order statistics over the delay-value histogram, never a
+    per-row sort. 'Conversion takes a median 2 minutes but p90 2
+    days' is the signal the completion COUNT hides."""
+    from tidyvec_spark.operators.reports import histogram_quantiles
+    from tidyvec_spark.streaming import event_ns_of
+
+    ev = _read(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", event_ns_of(ev, "ts").alias("__ns")
+    ).withColumn("ts_s", F.expr("__ns DIV 1000000000")).drop("__ns")
+    t1 = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_s"))
+        ).alias("t1")
+    )
+    t2 = (
+        e.join(t1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_s") > F.col("t1")),
+                    F.col("ts_s"),
+                )
+            ).alias("t2")
+        )
+    )
+    t3 = (
+        e.join(t2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_s") > F.col("t2")),
+                    F.col("ts_s"),
+                )
+            ).alias("t3")
+        )
+    )
+    t3 = t3.persist()  # both delay branches read it
+    delays = (
+        t3.filter(F.col("t2").isNotNull())
+        .select(
+            F.lit("view_to_click").alias("step"),
+            (F.col("t2") - F.col("t1")).alias("delay_s"),
+        )
+        .unionByName(
+            t3.filter(F.col("t3").isNotNull()).select(
+                F.lit("click_to_purchase").alias("step"),
+                (F.col("t3") - F.col("t2")).alias("delay_s"),
+            )
+        )
+    )
+    out = histogram_quantiles(
+        delays, "delay_s", qs=(0.5, 0.9), by=["step"]
+    ).select("step", "q", "n", F.col("value").cast("long").alias("value"))
+    out._tidyvec_persisted = [t3]
+    return out
+
+
+_EVENTS_FUNNEL_LATENCY_SQL = """
+WITH e AS (
+  -- floor, not round: Spark's ns DIV 1e9 truncates (the
+  -- events_gap_quantiles idiom); CAST(epoch(ts) AS BIGINT) would
+  -- round half-even and disagree on fractional-second timestamps
+  SELECT user_id, event_type,
+         CAST(floor(epoch_ns(ts) / 1000000000.0) AS BIGINT) AS ts_s
+  FROM events
+),
+t1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_s END) AS t1
+  FROM e GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, t1,
+         min(CASE WHEN event_type = 'click' AND ts_s > t1
+                  THEN ts_s END) AS t2
+  FROM e JOIN t1 USING (user_id) GROUP BY 1, 2
+),
+t3 AS (
+  SELECT e.user_id, t1, t2,
+         min(CASE WHEN event_type = 'purchase' AND ts_s > t2
+                  THEN ts_s END) AS t3
+  FROM e JOIN t2 USING (user_id) GROUP BY 1, 2, 3
+),
+delays AS (
+  SELECT 'view_to_click' AS step, t2 - t1 AS delay_s
+  FROM t3 WHERE t2 IS NOT NULL
+  UNION ALL
+  SELECT 'click_to_purchase' AS step, t3 - t2 AS delay_s
+  FROM t3 WHERE t3 IS NOT NULL
+),
+h AS (SELECT step, delay_s AS v, count(*) AS c FROM delays GROUP BY 1, 2),
+cum AS (
+  SELECT step, v, c,
+         sum(c) OVER (PARTITION BY step ORDER BY v) AS cc
+  FROM h
+),
+tot AS (SELECT step, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+SELECT cum.step, qs.q, tot.n,
+       CAST(min(v) AS BIGINT) AS value
+FROM cum JOIN tot USING (step), qs
+WHERE cc >= CAST(floor((n - 1) * q) AS BIGINT) + 1
+GROUP BY 1, 2, 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round-13 rotation (per the r12 verdict item 3): the 9
@@ -16664,6 +16933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_stratified": _docs_split_stratified,
         "events_anomaly_robust": _events_anomaly_robust,
         "corpus_freq_drift_manifest": _corpus_freq_drift_manifest,
+        "ann_recall_bq": _ann_recall_bq,
+        "source_winsorized_len": _source_winsorized_len,
+        "events_funnel_latency": _events_funnel_latency,
     }
 
 
@@ -16971,6 +17243,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_split_stratified": _DOCS_SPLIT_STRATIFIED_SQL,
         "events_anomaly_robust": _EVENTS_ANOMALY_ROBUST_SQL,
         "corpus_freq_drift_manifest": _CORPUS_FREQ_DRIFT_MANIFEST_SQL,
+        "ann_recall_bq": _ANN_RECALL_BQ_SQL,
+        "source_winsorized_len": _SOURCE_WINSORIZED_LEN_SQL,
+        "events_funnel_latency": _EVENTS_FUNNEL_LATENCY_SQL,
         "docs_node_clustering": _DOCS_NODE_CLUSTERING_SQL,
         "docs_clf_isotonic": _clf_eval_sql(_DOCS_CLF_ISOTONIC_TAIL),
         "rocchio_search": _ROCCHIO_SEARCH_SQL,

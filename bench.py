@@ -330,6 +330,9 @@ BENCH_QUERIES = [
     "docs_split_stratified",
     "events_anomaly_robust",
     "corpus_freq_drift_manifest",
+    "ann_recall_bq",
+    "source_winsorized_len",
+    "events_funnel_latency",
 ]
 
 

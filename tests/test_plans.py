@@ -934,6 +934,9 @@ def test_round13_entry_plan_shapes(spark, qs):
         ("events_cusum_by_type", 1),
         ("docs_split_stratified", 2),    # stratum counts + output pass
         ("events_anomaly_robust", 2),    # hist fit + output pass
+        ("ann_recall_bq", 1),            # one persisted (id,vec,code)
+        ("source_winsorized_len", 1),
+        ("events_funnel_latency", 3),    # the chained funnel shape
         # two manifests BUILT in-entry by declaration (per-doc + token
         # pass each) + the probe-terms scan — the triage convention;
         # production manifests are stored, making the probe zero-scan

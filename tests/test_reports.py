@@ -1044,3 +1044,26 @@ def test_cusum_grouped_runs_independent_monitors(spark):
         x = 5.0 + (5.0 if t >= 5 else 0.0)
         s = max(0.0, s + x - 6.0)
         assert got[("a", t)] == (round(s, 6), int(s > 8.0)), t
+
+
+def test_winsorized_mean_clamps_outlier(spark):
+    """Exact type-1 clamp bounds + histogram-side means: the 10^6
+    outlier moves the raw mean by ~50000 and the winsorized mean to
+    the interior average; degenerate tiny groups clamp to themselves."""
+    from tidyvec_spark.operators.reports import winsorized_mean_by_group
+
+    rows = [("a", v) for v in list(range(1, 20)) + [10**6]] + [("b", 7)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r["g"]: r for r in winsorized_mean_by_group(
+        df, "x", "g", 0.05, 0.95, round_to=6).collect()}
+    a = got["a"]
+    vals = sorted(v for g, v in rows if g == "a")
+    # ranks: lo = ((20-1)*50000)//1e6 + 1 = 1 → vals[0]; hi = 19 → vals[18]
+    assert (a["lo_clamp"], a["hi_clamp"]) == (vals[0], vals[18])
+    cl = [min(max(v, a["lo_clamp"]), a["hi_clamp"]) for v in vals]
+    assert a["raw_mean"] == round(sum(vals) / 20, 6)
+    assert a["winsorized_mean"] == round(sum(cl) / 20, 6)
+    assert got["b"]["winsorized_mean"] == 7.0
+    import pytest as pt
+    with pt.raises(ValueError, match="lower < upper"):
+        winsorized_mean_by_group(df, "x", "g", 0.9, 0.1)

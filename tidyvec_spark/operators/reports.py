@@ -32,6 +32,7 @@ __all__ = [
     "zscore_by_group",
     "cusum_alarms",
     "robust_zscore_by_group",
+    "winsorized_mean_by_group",
     "js_divergence_matrix",
     "token_entropy_by_group",
     "zone_prune_audit",
@@ -1135,6 +1136,89 @@ def robust_zscore_by_group(
         )
         .withColumn(out_col, rz)
         .drop("__g", "__med", "__mad")
+    )
+    out._tidyvec_persisted = [hist]
+    return out
+
+
+def winsorized_mean_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-group WINSORIZED mean of an INTEGER-valued column: clamp
+    each value into [p_lower, p_upper] (exact type-1 order statistics)
+    before averaging — the robust location estimate for dashboards
+    where :func:`robust_zscore_by_group` is the per-row calibrator:
+    one 10^7-char page moves a raw mean arbitrarily far, the
+    winsorized mean by at most the clamp bound (Tukey; Dixon 1960).
+    Returns one row per group: (``group_col``, n, lo_clamp, hi_clamp,
+    raw_mean, winsorized_mean).
+
+    Exactness: the clamp bounds use the :func:`histogram_quantiles`
+    type-1 rank law computed INTEGER-EXACTLY (rank = (n−1)·q_int div
+    10^6 + 1 with q_int = round(q·10^6) — a float (n−1)·q can land one
+    ulp off an integer boundary), and BOTH means come off the value
+    histogram itself (Σ v·c and Σ clamp(v)·c over exact integer
+    counts) — so the whole report is ONE corpus scan into a
+    value-domain-bounded frame, and any engine replays it
+    bit-for-bit up to the final rounded division."""
+    from pyspark.sql import Window
+
+    lo_q, hi_q = float(lower), float(upper)
+    if not (0.0 <= lo_q < hi_q <= 1.0):
+        raise ValueError("need 0 <= lower < upper <= 1")
+    lo_i, hi_i = round(lo_q * 1_000_000), round(hi_q * 1_000_000)
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"),
+                 F.col(value_col).cast("long").alias("__v"))
+        .agg(F.count("*").alias("__c"))
+        .persist()
+    )
+    cw = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(cw))
+    tot = hist.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+
+    def bound(q_int, name):
+        rank = F.expr(f"((__n - 1) * {q_int}) div 1000000") + 1
+        return (
+            cum.join(F.broadcast(tot), "__g")
+            .filter(F.col("__cum") >= rank)
+            .groupBy("__g")
+            .agg(F.min("__v").cast("long").alias(name))
+        )
+
+    bounds = bound(lo_i, "lo_clamp").join(bound(hi_i, "hi_clamp"), "__g")
+    clamped = F.least(
+        F.greatest(F.col("__v"), F.col("lo_clamp")), F.col("hi_clamp")
+    )
+    agg = (
+        hist.join(F.broadcast(bounds), "__g")
+        .groupBy("__g", "lo_clamp", "hi_clamp")
+        .agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.sum(F.col("__v") * F.col("__c")).alias("__sv"),
+            F.sum(clamped * F.col("__c")).alias("__sw"),
+        )
+    )
+    raw = F.col("__sv").cast("double") / F.col("n").cast("double")
+    win = F.col("__sw").cast("double") / F.col("n").cast("double")
+    if round_to is not None:
+        raw = F.round(raw, int(round_to))
+        win = F.round(win, int(round_to))
+    out = agg.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "lo_clamp",
+        "hi_clamp",
+        raw.alias("raw_mean"),
+        win.alias("winsorized_mean"),
     )
     out._tidyvec_persisted = [hist]
     return out
