@@ -169,9 +169,16 @@ def test_entry_ml_agreement_within_tolerance(spark):
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
 
-    rows = entry.queries()["docs_clf_ml_agreement"](
+    df = entry.queries()["docs_clf_ml_agreement"](
         spark, "/root/testdata/sf0.001"
-    ).collect()
+    )
+    rows = df.collect()
+    # release the entry's persisted frames: the session is shared and
+    # a leaked cache makes Spark substitute InMemoryRelation into
+    # matching subtrees of LATER tests' plans (breaking plan pins)
+    from tidyvec_spark.operators.dedup import release
+
+    release(df)
     assert len(rows) == 1
     r = rows[0]
     assert r["auc_driver"] is not None and r["auc_ml"] is not None

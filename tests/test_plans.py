@@ -892,6 +892,13 @@ def test_bench_and_plans_artifacts_consistent():
 def test_round13_entry_plan_shapes(spark, qs):
     """Round-13 additions, plan-pinned.
 
+    Cache state is CLEARED first: the session is shared across test
+    files, and a frame another test left persisted makes Spark's
+    CacheManager substitute InMemoryRelation into MATCHING subtrees
+    here — cached size statistics can then flip join strategies and
+    change the shuffle/scan counts these pins assert (observed once
+    when the classifier-entry test's persisted holdout leaked in).
+
     - corpus_membership_manifest: the manifest BUILD is the declared
       in-entry cost (two token/doc passes over corpus A — production
       manifests are stored at ingest); the PROBE side adds only B's
@@ -903,6 +910,8 @@ def test_round13_entry_plan_shapes(spark, qs):
       distinct-score frames. No cartesian beyond the two 1-row AUC
       cross joins.
     """
+    spark.catalog.clearCache()
+
     df = qs["corpus_membership_manifest"](spark, SF)
     assert P.num_scans(df) <= 4
     P.assert_no_cartesian(df)
