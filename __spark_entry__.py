@@ -15170,10 +15170,19 @@ def _events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).cast("long").alias("__sn2"),
     ).select(
         (F.col("__sn").cast("double") / F.col("__c")).alias("__mu"),
+        # clamp the variance residue at 0: for a near-constant
+        # large-count series sn2/c - (sn/c)^2 can be fractionally
+        # negative in float, where Spark sqrt returns NaN but DuckDB
+        # RAISES OutOfRangeException — an engine-divergent failure at
+        # the oracle boundary (r13 ADVICE). greatest(...,0.0) on BOTH
+        # engine sides keeps the law identical.
         F.sqrt(
-            F.col("__sn2").cast("double") / F.col("__c")
-            - (F.col("__sn").cast("double") / F.col("__c"))
-            * (F.col("__sn").cast("double") / F.col("__c"))
+            F.greatest(
+                F.col("__sn2").cast("double") / F.col("__c")
+                - (F.col("__sn").cast("double") / F.col("__c"))
+                * (F.col("__sn").cast("double") / F.col("__c")),
+                F.lit(0.0),
+            )
         ).alias("__sd"),
     ).select(
         F.round(F.col("__mu") + F.lit(0.5) * F.col("__sd"), R).alias("__k"),
@@ -15200,13 +15209,17 @@ st AS (
   FROM h
 ),
 kh AS (
+  -- variance clamped at 0 (greatest) exactly like the Spark side:
+  -- DuckDB sqrt RAISES on a fractionally-negative float residue
   SELECT
     CAST(round(ROUND(CAST(sn AS DOUBLE) / c
-      + 0.5 * sqrt(CAST(sn2 AS DOUBLE) / c
-                   - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c)),
+      + 0.5 * sqrt(greatest(CAST(sn2 AS DOUBLE) / c
+                   - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c),
+                   0.0)),
       {R}) * 1000000) AS BIGINT) AS ki,
-    CAST(round(ROUND(4.0 * sqrt(CAST(sn2 AS DOUBLE) / c
-      - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c)),
+    CAST(round(ROUND(4.0 * sqrt(greatest(CAST(sn2 AS DOUBLE) / c
+      - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c),
+      0.0)),
       {R}) * 1000000) AS BIGINT) AS hi
   FROM st
 ),
@@ -15641,8 +15654,14 @@ def _docs_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs_script_mix_sql() -> str:
     # data-dependent-free twin of functions/quality.py::
-    # script_ratio_cols — same BMP ranges, same count law; the Spark
-    # side's Java-regex \\uXXXX escapes become RE2's \\x{XXXX}
+    # script_ratio_cols — same BMP ranges, same count law.
+    # _SCRIPT_RANGES values are PARSED Python strings (actual Unicode
+    # characters, no literal backslash-u), so the RE2 conversion must
+    # work from CODEPOINTS: every non-ASCII char becomes \x{XXXX} so
+    # the emitted oracle SQL is pure ASCII regardless of how DuckDB's
+    # parser treats raw multibyte bytes inside a regex class. (The r13
+    # ADVICE flagged the prior \\u-escape scanner as dead code — it
+    # scanned for a backslash that is never present.)
     from tidyvec_spark.functions.quality import _SCRIPT_RANGES
 
     cases = "CASE doc_id % 4 " + " ".join(
@@ -15651,15 +15670,10 @@ def _docs_script_mix_sql() -> str:
     ) + " END"
 
     def re2(rng: str) -> str:
-        out, i = [], 0
-        while i < len(rng):
-            if rng[i] == "\\" and i + 1 < len(rng) and rng[i + 1] == "u":
-                out.append("\\x{" + rng[i + 2:i + 6] + "}")
-                i += 6
-            else:
-                out.append(rng[i])
-                i += 1
-        return "".join(out)
+        return "".join(
+            ch if ord(ch) < 0x80 else "\\x{%04X}" % ord(ch)
+            for ch in rng
+        )
 
     cols = ",\n       ".join(
         "CASE WHEN length(text) > 0 THEN "
@@ -15972,10 +15986,15 @@ def _events_cusum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             (F.col("__sn").cast("double") / F.col("__c")).alias("__mu"),
+            # variance clamped at 0 — see _events_cusum (r13 ADVICE:
+            # DuckDB sqrt raises on a fractionally-negative residue)
             F.sqrt(
-                F.col("__sn2").cast("double") / F.col("__c")
-                - (F.col("__sn").cast("double") / F.col("__c"))
-                * (F.col("__sn").cast("double") / F.col("__c"))
+                F.greatest(
+                    F.col("__sn2").cast("double") / F.col("__c")
+                    - (F.col("__sn").cast("double") / F.col("__c"))
+                    * (F.col("__sn").cast("double") / F.col("__c")),
+                    F.lit(0.0),
+                )
             ).alias("__sd"),
         )
         .select(
@@ -16008,13 +16027,16 @@ st AS (
   FROM h GROUP BY 1
 ),
 kh AS (
+  -- variance clamped at 0 (greatest) exactly like the Spark side
   SELECT event_type,
     CAST(round(ROUND(CAST(sn AS DOUBLE) / c
-      + 0.5 * sqrt(CAST(sn2 AS DOUBLE) / c
-                   - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c)),
+      + 0.5 * sqrt(greatest(CAST(sn2 AS DOUBLE) / c
+                   - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c),
+                   0.0)),
       {R}) * 1000000) AS BIGINT) AS ki,
-    CAST(round(ROUND(4.0 * sqrt(CAST(sn2 AS DOUBLE) / c
-      - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c)),
+    CAST(round(ROUND(4.0 * sqrt(greatest(CAST(sn2 AS DOUBLE) / c
+      - (CAST(sn AS DOUBLE) / c) * (CAST(sn AS DOUBLE) / c),
+      0.0)),
       {R}) * 1000000) AS BIGINT) AS hi
   FROM st
 ),

@@ -668,6 +668,46 @@ def test_manifest_stream_equals_batch_with_sketches(spark, documents, tmp_path):
     assert canon(streamed) == canon(batch)
 
 
+def test_manifest_stream_replay_is_idempotent(spark, documents, tmp_path):
+    """The foreachBatch body (manifest_batch_writer) invoked TWICE
+    with the SAME batch id — the exact at-least-once crash replay
+    Structured Streaming can deliver — leaves the folded manifest
+    unchanged: the replay overwrites its own batch_id=<bid> partition
+    (dynamic partition overwrite) instead of appending a duplicate
+    part that would double-count n_docs/n_tokens and double the
+    HLL/CMS contributions. Also pins that a replay of ONE batch never
+    clobbers the OTHER batch's partition (dynamic, not full-table,
+    overwrite)."""
+    from tidyvec_spark.sources.maintenance import (
+        manifest_batch_writer,
+        manifest_from_parts,
+    )
+
+    docs = documents.select("doc_id", "text")
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1")
+    writer = manifest_batch_writer(
+        str(tmp_path / "parts"), "doc_id", "text", n_shards=4,
+        sketch=True, cms=True, cms_salt="sm",
+    )
+
+    def canon():
+        m = manifest_from_parts(spark, str(tmp_path / "parts"))
+        return {
+            r["shard"]: (r["content_hash"], r["n_docs"], r["n_tokens"],
+                         tuple(r["cms"]))
+            for r in m.collect()
+        }
+
+    writer(b0, 0)
+    writer(b1, 1)
+    clean = canon()
+    writer(b1, 1)  # crash replay: same data, SAME batch id
+    assert canon() == clean
+    writer(b0, 0)  # replay of the other batch too
+    assert canon() == clean
+
+
 def test_rank_normalize_by_group_laws(spark):
     """rank_normalize_by_group: (rank-1)/(n-1) within group with ties
     sharing min rank; distribution-free (any monotone transform of the

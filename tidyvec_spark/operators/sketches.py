@@ -542,7 +542,19 @@ def bloom_member_probe(
     engine's stored manifest answers identically. Cost scales with the
     query set — the one-row bitmap broadcasts; the corpus is never
     touched. NULL probe values are dropped (never tokenized into the
-    build either)."""
+    build either).
+
+    **Build/probe parameter coupling (the never-false-negative claim
+    holds ONLY under it):** ``num_bits``, ``k``, and ``salt`` must
+    EQUAL the ``corpus_manifest(bloom_bits=, bloom_k=, bloom_salt=)``
+    build values. A larger probe ``k`` tests bits the build never set,
+    a different ``salt`` or ``num_bits`` probes different positions —
+    all three silently false-negate. The manifest stores only the
+    bitmap, so ``k``/``salt`` drift cannot be detected here (keep them
+    alongside the manifest path in your pipeline config); a
+    ``num_bits`` mismatch IS structurally detectable (the bitmap
+    carries ``num_bits/64`` words) and raises at execution time via
+    the assert below instead of false-negating."""
     if int(num_bits) < 64 or int(num_bits) % 64 != 0:
         raise ValueError("num_bits must be a positive multiple of 64")
     if int(k) < 1:
@@ -553,19 +565,41 @@ def bloom_member_probe(
         F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("r"),
     )
     pos = _cms_bucket(int(num_bits), salt)
+    words = int(num_bits) // 64
+    guard = F.assert_true(
+        F.size(F.col("__bloom")) == F.lit(words),
+        F.concat(
+            F.lit(
+                "bloom_member_probe: bitmap word count "
+            ),
+            F.size(F.col("__bloom")).cast("string"),
+            F.lit(
+                f" != num_bits/64 = {words} — the probe num_bits does"
+                " not match the manifest build's bloom_bits; a"
+                " mismatched probe would silently false-negate"
+            ),
+        ),
+    )
     probed = (
         probes.withColumn("__p", pos)
         .crossJoin(F.broadcast(bitmap))
         .select(
             value_col,
+            # the guard rides INSIDE the output expression (a dropped
+            # column would be pruned by Catalyst and never evaluate):
+            # assert_true yields NULL when the word count matches, so
+            # the when() arm is always taken — or the job fails loudly
             F.when(
-                F.element_at(
-                    F.col("__bloom"),
-                    (F.expr("__p DIV 64") + 1).cast("int"),
-                ).bitwiseAND(
-                    F.expr("shiftleft(1L, cast(__p % 64 AS int))")
-                )
-                != 0,
+                guard.isNull()
+                & (
+                    F.element_at(
+                        F.col("__bloom"),
+                        (F.expr("__p DIV 64") + 1).cast("int"),
+                    ).bitwiseAND(
+                        F.expr("shiftleft(1L, cast(__p % 64 AS int))")
+                    )
+                    != 0
+                ),
                 1,
             )
             .otherwise(0)
@@ -589,23 +623,49 @@ def lenhist_from_manifest(
     direct scan's bit-for-bit. Returns one row per bucket:
     (bucket, lo, hi, n) with lo exclusive / hi inclusive per the
     Σ [x > edge] binning law (lo = NULL on the first bucket,
-    hi = NULL on the last — unbounded ends)."""
+    hi = NULL on the last — unbounded ends).
+
+    **Build/fold edge coupling:** ``edges`` must EQUAL the
+    ``corpus_manifest(lenhist_edges=)`` build edges — the manifest
+    stores only the counts array, so the VALUES of drifted same-count
+    edges cannot be detected (keep the edge list alongside the
+    manifest path); a COUNT mismatch is structurally detectable
+    (the stored array has ``len(edges)+1`` buckets) and raises at
+    execution time instead of silently dropping/missing buckets in
+    the bucket join below."""
     edges = [int(e) for e in edges]
     if edges != sorted(set(edges)):
         raise ValueError("edges must be strictly increasing")
+    n_buckets = len(edges) + 1
     lst = F.collect_list(col)
+    folded = F.aggregate(
+        F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+    )
+    # the guard rides inside the output expression (a dropped column
+    # would be pruned and never evaluate): assert_true yields NULL on
+    # a matching bucket count, so the when() arm is always taken
+    guard = F.assert_true(
+        F.size(folded) == F.lit(n_buckets),
+        F.concat(
+            F.lit("lenhist_from_manifest: stored histogram has "),
+            F.size(folded).cast("string"),
+            F.lit(
+                f" buckets but edges imply {n_buckets} — the fold"
+                " edges do not match the manifest build's"
+                " lenhist_edges"
+            ),
+        ),
+    )
     total = manifest.agg(
-        F.aggregate(
-            F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))),
-            F.element_at(lst, 1),
-            lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
-        ).alias("__t")
+        F.when(guard.isNull(), folded).alias("__t")
     )
     lo = [None] + edges
     hi = edges + [None]
     spark = manifest.sparkSession
     bounds = spark.createDataFrame(
-        [(i, lo[i], hi[i]) for i in range(len(edges) + 1)],
+        [(i, lo[i], hi[i]) for i in range(n_buckets)],
         "bucket int, lo long, hi long",
     )
     return (

@@ -680,7 +680,48 @@ def manifest_stream(
     So each batch writes its part under ``parts_dir/batch_id=<bid>``
     with DYNAMIC partition overwrite — a replay overwrites its own
     partition instead of appending a duplicate, making the write
-    idempotent and the end-to-end pipeline effectively exactly-once."""
+    idempotent and the end-to-end pipeline effectively exactly-once.
+
+    **Migrating a pre-partitioned ``parts_dir``:** earlier versions
+    appended part files at the ``parts_dir`` ROOT (no ``batch_id=``
+    directories). A directory holding BOTH root files and partition
+    directories is not readable as one consistent dataset by Spark,
+    so restarting an old stream against its old ``parts_dir`` is not
+    supported: either start a fresh ``parts_dir`` (and a fresh
+    checkpoint), or move each legacy part file into its own
+    ``batch_id=<n>/`` subdirectory (any distinct non-colliding ``n``
+    below the stream's next batch id preserves the fold — batch_id is
+    dropped before :func:`manifest_from_parts` folds) before the
+    first restart under this layout."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            manifest_batch_writer(
+                parts_dir, id_col, text_col, n_shards=n_shards,
+                sketch=sketch, cms=cms, **kwargs,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def manifest_batch_writer(
+    parts_dir: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 16,
+    sketch: bool = False,
+    cms: bool = False,
+    **kwargs,
+):
+    """The :func:`manifest_stream` ``foreachBatch`` body, exposed so
+    the replay law is directly testable: invoking the returned
+    callable twice with the SAME batch id (the at-least-once crash
+    replay) must leave the folded manifest unchanged — the replay
+    overwrites its own ``batch_id=<bid>`` partition via dynamic
+    partition overwrite instead of appending a duplicate part."""
     def _batch(bdf: DataFrame, bid: int) -> None:
         part = corpus_manifest(
             bdf, id_col, text_col, n_shards=n_shards,
@@ -696,13 +737,7 @@ def manifest_stream(
             .parquet(parts_dir)
         )
 
-    q = (
-        stream_df.writeStream.foreachBatch(_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return _batch
 
 
 def manifest_from_parts(spark: SparkSession, parts_dir: str) -> DataFrame:
