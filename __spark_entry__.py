@@ -16593,29 +16593,31 @@ GROUP BY 1, 2, 3
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-13 rotation (per the r12 verdict item 3): the 9
-    # long-stable spine representatives + the 19 round-12 additions
-    # (first driver row; all 19 judge-re-verified at sf0.001 AND
-    # sf0.01 in the r12 verdict) + embedding_covariance (the one r12
-    # red row, held until its green driver row lands — the signed-zero
-    # fix is in, see tests/test_signed_zero.py) + the 21 oldest
-    # surviving rows (last checked r5), so no entry's last check ages
-    # past ~8 rounds.
+    # entries. Round-14 rotation (per the r13 verdict item 1): the 9
+    # long-stable spine representatives + the 23 round-13 additions
+    # (first driver row; all 22 oracle-backed ones judge-re-verified
+    # at sf0.001 AND sf0.01 in the r13 verdict, the 23rd is the
+    # declared rows-only LBFGS agreement row) + the 18 oldest
+    # surviving rows (sq_topk, last checked r5, plus 17 of the 21
+    # oracle-backed r6-cohort rows), so no entry's last check ages
+    # past ~8 rounds. The 4 deferred r6 rows (bq_rerank_topk,
+    # bq_topk_sidecar, events_skew_profile, events_zorder) lead the
+    # r15 rotation.
     #
-    # STATUS: this window is the round-13 rotation and is HELD
-    # UNCHANGED through the end of round 13 so CORRECTNESS_r13
+    # STATUS: this window is the round-14 rotation and is HELD
+    # UNCHANGED through the end of round 14 so CORRECTNESS_r14
     # (produced by the driver when the round closes) covers exactly
-    # these 50 entries. Evidence for "round 13 is still open":
-    # CORRECTNESS_r01..r12.json exist in the repo and
-    # CORRECTNESS_r13.json does not — the driver writes the artifact
-    # at round close. DO NOT rotate this window until CORRECTNESS_r13
+    # these 50 entries. Evidence for "round 14 is still open":
+    # CORRECTNESS_r01..r13.json exist in the repo and
+    # CORRECTNESS_r14.json does not — the driver writes the artifact
+    # at round close. DO NOT rotate this window until CORRECTNESS_r14
     # rows exist.
     # Multi-round-stable legacy entries sit in the tail; every
     # oracle-backed tail entry stays checked by the dynamic SUBSET in
     # tests/test_entry_oracle.py (computed as "oracle-backed and past
     # position 50", so any future rotation keeps the invariant).
     return {
-        # --- gate window (1-50), rotated for ROUND 13 ---
+        # --- gate window (1-50), rotated for ROUND 14 ---
         # Every window entry is locally verified at sf0.001 AND
         # sf0.01 via scripts/check_oracle.py before the round
         # closes.
@@ -16629,9 +16631,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _events_asof_purchase,
         "docs_stream_dedup": _docs_stream_dedup,
         "q5_region_revenue": _q5_region_revenue,
-        # the 19 round-12 additions (first driver row; all 19
-        # judge-re-verified at sf0.001 AND sf0.01 in the r12
-        # verdict):
+        # the 23 round-13 additions (first driver row; the 22
+        # oracle-backed ones judge-re-verified at sf0.001 AND sf0.01
+        # in the r13 verdict; docs_clf_ml_agreement is rows-only by
+        # declaration — LBFGS, like kmeans_clusters):
+        "corpus_membership_manifest": _corpus_membership_manifest,
+        "docs_clf_ml_agreement": _docs_clf_ml_agreement,
+        "docs_clf_pr_auc": _docs_clf_pr_auc,
+        "docs_clf_brier_ece": _docs_clf_brier_ece,
+        "events_cusum": _events_cusum,
+        "source_js_divergence": _source_js_divergence,
+        "source_token_entropy": _source_token_entropy,
+        "layout_prune_audit": _layout_prune_audit,
+        "ql_search": _ql_search,
+        "docs_ngram_coverage": _docs_ngram_coverage,
+        "corpus_lenhist_manifest": _corpus_lenhist_manifest,
+        "docs_script_mix": _docs_script_mix,
+        "docs_length_robust_z": _docs_length_robust_z,
+        "source_dup_rate": _source_dup_rate,
+        "corpus_psi_manifest": _corpus_psi_manifest,
+        "embedding_effective_rank": _embedding_effective_rank,
+        "events_cusum_by_type": _events_cusum_by_type,
+        "docs_split_stratified": _docs_split_stratified,
+        "events_anomaly_robust": _events_anomaly_robust,
+        "corpus_freq_drift_manifest": _corpus_freq_drift_manifest,
+        "ann_recall_bq": _ann_recall_bq,
+        "source_winsorized_len": _source_winsorized_len,
+        "events_funnel_latency": _events_funnel_latency,
+        # the 18 oldest surviving driver rows: sq_topk (last checked
+        # r5 — deferred one round by the r13 covariance redo seat) +
+        # 17 of the 21 oracle-backed r6-cohort rows (the 3 rows-only
+        # r6 rows kmeans_clusters/pca_2d/hf_embed_fake stay in the
+        # tail — a window seat spends stronger oracle evidence):
+        "sq_topk": _sq_topk,
+        "ann_recall_lsh": _ann_recall_lsh,
+        "bq_hamming_topk": _bq_hamming_topk,
+        "corpus_diff": _corpus_diff,
+        "decontaminate_ngram": _decontaminate_ngram,
+        "docs_ccnet_buckets": _docs_ccnet_buckets,
+        "docs_lm_perplexity": _docs_lm_perplexity,
+        "docs_stream_ingest": _docs_stream_ingest,
+        "docs_stream_near_pairs": _docs_stream_near_pairs,
+        "events_props_stats": _events_props_stats,
+        "events_retention": _events_retention,
+        "events_rolling_1h": _events_rolling_1h,
+        "q13_order_histogram": _q13_order_histogram,
+        "q15_top_supplier": _q15_top_supplier,
+        "q17_small_quantity": _q17_small_quantity,
+        "q22_churned_value": _q22_churned_value,
+        "q8_market_share": _q8_market_share,
+        "wds_roundtrip": _wds_roundtrip,
+        # --- position 51+: outside the driver's gate window ---
+        # every oracle-backed entry below is checked by the dynamic
+        # SUBSET in tests/test_entry_oracle.py; entries rotated out
+        # this round all have green CORRECTNESS_r13 rows. New
+        # round-14 additions accumulate at the very end of this dict
+        # under a ROUND-15 ROTATION QUEUE comment.
+        # the round-13 window cohort (all 50 green in
+        # CORRECTNESS_r13; the spine reps stay in the window):
         "embedding_whiten": _embedding_whiten,
         "token_cms_manifest": _token_cms_manifest,
         "docs_node_clustering": _docs_node_clustering,
@@ -16651,16 +16708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_triage_manifest": _corpus_triage_manifest,
         "events_transition_matrix": _events_transition_matrix,
         "events_gap_quantiles_by_type": _events_gap_quantiles_by_type,
-        # the r12 red row, held in the window until its green driver
-        # row lands (r12 verdict item 1): the hash fail was a DuckDB
-        # -0.0 vs Spark +0.0 on 64 negative-rounds-to-zero cells;
-        # both sides now fold the sign (+ 0.0 after ROUND) and the
-        # fix is pinned by tests/test_signed_zero.py:
         "embedding_covariance": _embedding_covariance,
-        # the 21 oldest surviving driver rows (last checked r5 —
-        # staler than the r6/r7 cohort the r12 verdict named; sq_topk,
-        # the 22nd r5 row, waits one round for the covariance redo
-        # seat):
         "bucketed_join_segments": _bucketed_join_segments,
         "corpus_rollup": _corpus_rollup,
         "decontaminate_corpus": _decontaminate_corpus,
@@ -16682,12 +16730,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_agg_langs": _skew_agg_langs,
         "skew_join_events": _skew_join_events,
         "split_leakage_free": _split_leakage_free,
-        # --- position 51+: outside the driver's gate window ---
-        # every oracle-backed entry below is checked by the dynamic
-        # SUBSET in tests/test_entry_oracle.py; entries rotated out
-        # this round all have green CORRECTNESS_r12 rows. New
-        # round-13 additions accumulate at the very end of this dict
-        # under a ROUND-14 ROTATION QUEUE comment.
+        # the 4 deferred oracle-backed r6 rows — FIRST INTO THE R15
+        # WINDOW (oldest surviving driver rows after this rotation):
+        "bq_rerank_topk": _bq_rerank_topk,
+        "bq_topk_sidecar": _bq_topk_sidecar,
+        "events_skew_profile": _events_skew_profile,
+        "events_zorder": _events_zorder,
         "ann_recall_ivfpq": _ann_recall_ivfpq,
         "corpus_overlap_manifest": _corpus_overlap_manifest,
         "corpus_overlap_matrix": _corpus_overlap_matrix,
@@ -16873,31 +16921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest_incremental": _corpus_manifest_incremental,
         "docs_stream_upsert": _docs_stream_upsert,
         "dsir_select": _dsir_select,
-        "docs_stream_near_pairs": _docs_stream_near_pairs,
-        "docs_lm_perplexity": _docs_lm_perplexity,
-        "decontaminate_ngram": _decontaminate_ngram,
-        "q8_market_share": _q8_market_share,
-        "q15_top_supplier": _q15_top_supplier,
-        "q22_churned_value": _q22_churned_value,
-        "q13_order_histogram": _q13_order_histogram,
-        "q17_small_quantity": _q17_small_quantity,
-        "docs_stream_ingest": _docs_stream_ingest,
-        "docs_ccnet_buckets": _docs_ccnet_buckets,
-        "bq_hamming_topk": _bq_hamming_topk,
-        "bq_rerank_topk": _bq_rerank_topk,
-        "ann_recall_lsh": _ann_recall_lsh,
-        "bq_topk_sidecar": _bq_topk_sidecar,
-        "wds_roundtrip": _wds_roundtrip,
-        "events_skew_profile": _events_skew_profile,
-        "corpus_diff": _corpus_diff,
-        "events_rolling_1h": _events_rolling_1h,
-        "events_retention": _events_retention,
-        "events_props_stats": _events_props_stats,
-        "events_zorder": _events_zorder,
         "kmeans_clusters": _kmeans_clusters,
         "pca_2d": _pca_2d,
         "hf_embed_fake": _hf_embed_fake,
-        "sq_topk": _sq_topk,
         "bpe_merges": _bpe_merges,
         "docs_pagerank": _docs_pagerank,
         "dedup_recall_simhash": _dedup_recall_simhash,
@@ -16931,33 +16957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": _soft_dedup,
         "winnow_pairs": _winnow_pairs,
         "token_pmi": _token_pmi,
-        # --- ROUND-14 ROTATION QUEUE: round-13 additions, verified
-        # locally at sf0.001 + sf0.01, first driver row next round ---
-        "corpus_membership_manifest": _corpus_membership_manifest,
-        # rows-only by declaration (LBFGS, like kmeans_clusters):
-        "docs_clf_ml_agreement": _docs_clf_ml_agreement,
-        # the round-13 analytics wave (all oracle-backed):
-        "docs_clf_pr_auc": _docs_clf_pr_auc,
-        "docs_clf_brier_ece": _docs_clf_brier_ece,
-        "events_cusum": _events_cusum,
-        "source_js_divergence": _source_js_divergence,
-        "source_token_entropy": _source_token_entropy,
-        "layout_prune_audit": _layout_prune_audit,
-        "ql_search": _ql_search,
-        "docs_ngram_coverage": _docs_ngram_coverage,
-        "corpus_lenhist_manifest": _corpus_lenhist_manifest,
-        "docs_script_mix": _docs_script_mix,
-        "docs_length_robust_z": _docs_length_robust_z,
-        "source_dup_rate": _source_dup_rate,
-        "corpus_psi_manifest": _corpus_psi_manifest,
-        "embedding_effective_rank": _embedding_effective_rank,
-        "events_cusum_by_type": _events_cusum_by_type,
-        "docs_split_stratified": _docs_split_stratified,
-        "events_anomaly_robust": _events_anomaly_robust,
-        "corpus_freq_drift_manifest": _corpus_freq_drift_manifest,
-        "ann_recall_bq": _ann_recall_bq,
-        "source_winsorized_len": _source_winsorized_len,
-        "events_funnel_latency": _events_funnel_latency,
     }
 
 
