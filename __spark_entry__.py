@@ -5179,6 +5179,11 @@ def _docs_clf_ml_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     with executor-side float reduction order, so coefficients are
     close, not bit-equal — the pinned law is |ΔAUC| small (the pytest
     bounds it at 0.02; the driver row pins schema + rowcount).
+    maxIter is capped at 16 for the entry (r13 verdict item 8): the
+    agreement law needs AUC convergence, not machine-precision
+    coefficients — at sf0.1 the capped fit's AUC matches the 64-iter
+    fit to 4 decimals at a fraction of the wall time, so the gate
+    rotation stays cheap.
     Plan: the labeled split collects once for the driver fit (bounded
     by its nature), LBFGS aggregates executor-side; scoring is the
     zero-shuffle map pass both times."""
@@ -5202,7 +5207,7 @@ def _docs_clf_ml_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled, "text", "y", "doc_id", num_buckets=_CLF_B,
     )
     w0m, wm = fit_quality_classifier_ml(
-        labeled, "text", "y", num_buckets=_CLF_B,
+        labeled, "text", "y", num_buckets=_CLF_B, iters=16,
     )
     # ONE persisted holdout frame feeds both scoring passes AND both
     # label joins — 2 corpus scans total (labeled + holdout), not 4
