@@ -16596,6 +16596,207 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- round-14 additions ---
+
+_KM_K, _KM_T, _KM_DIM, _KM_S, _KM_SALT = 4, 3, 64, 1_000_000, "km14"
+
+
+def _kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's OWN deterministic k-means (operators/cluster.py::
+    kmeans_lloyd — Lloyd 1982, fixed iterations): md5-top-k seeded
+    centers, integer-scaled coordinates (+2 shift keeps every unit
+    non-negative so div has no floor ambiguity), argmin as the MIN of
+    one int64 encoding d2*k+cid (tie = smallest center), and
+    round-half-up rational center updates (2s+n) div 2n — every step
+    exact integer arithmetic, so the full assignment table is
+    SQL-replayable, which Hartigan–Wong (kmeans_clusters, rows-only
+    since r1) never was. Plan: ONE corpus scan into the persisted
+    int64 frame; each of the 3 iterations is a map-side assignment
+    against literal centers + a groupBy whose output is k·(dim+1)
+    integers — the same driver-sized reduce pyspark.ml performs."""
+    from tidyvec_spark.operators.cluster import kmeans_lloyd
+
+    e = _read(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(
+        e, "embedding", "vec_id", k=_KM_K, iterations=_KM_T,
+        dim=_KM_DIM, scale=_KM_S, salt=_KM_SALT, round_to=R,
+    )
+
+
+def _kmeans_lloyd_sql() -> str:
+    k, t, d, s = _KM_K, _KM_T, _KM_DIM, _KM_S
+    hu = _hu_sql(_KM_SALT, "CAST(id AS VARCHAR)")
+    dist = " + ".join(
+        f"(p.x[{i + 1}] - c.cv[{i + 1}]) * (p.x[{i + 1}] - c.cv[{i + 1}])"
+        for i in range(d)
+    )
+    upd = ", ".join(
+        f"CAST((2 * SUM(p.x[{i + 1}]) + COUNT(*)) // (2 * COUNT(*))"
+        " AS BIGINT)"
+        for i in range(d)
+    )
+    steps = []
+    for it in range(1, t + 1):
+        steps.append(f"""
+a{it} AS (
+  SELECT p.id, CAST(MIN(({dist}) * {k} + c.cid) % {k} AS INT) AS cl
+  FROM pts p, c{it - 1} c
+  GROUP BY p.id
+),
+c{it} AS (
+  SELECT a.cl AS cid, [{upd}] AS cv
+  FROM a{it} a JOIN pts p USING (id)
+  GROUP BY a.cl
+)""")
+    return f"""
+WITH pts AS (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        e -> CAST(round((e + 2.0) * CAST({s} AS DOUBLE))
+                                  AS BIGINT)) AS x
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+c0 AS (
+  SELECT rn - 1 AS cid, x AS cv FROM (
+    SELECT x, row_number() OVER (ORDER BY {hu}, id) AS rn FROM pts
+  ) WHERE rn <= {k}
+),{",".join(steps)}
+SELECT p.id AS vec_id,
+       CAST(MIN(({dist}) * {k} + c.cid) % {k} AS INT) AS cluster,
+       ROUND(CAST(MIN(({dist}) * {k} + c.cid) // {k} AS DOUBLE)
+             / (CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE)), {R}) + 0.0
+         AS dist2
+FROM pts p, c{t} c
+GROUP BY p.id
+"""
+
+
+_DOREMI_STEPS, _DOREMI_ETA_DEN, _DOREMI_TOTAL = 8, 10, 1_000_000
+
+
+def _mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style learned domain weights (operators/sampling.py::
+    doremi_weights — Xie et al. 2023): the mixing family's LEARNED
+    member next to temperature/target/unimax/Neyman/rank-weighted.
+    Domains are sources; the quality classifier's per-document
+    log-loss on the holdout stands in for the paper's proxy-model
+    excess loss (reference = the global mean). Eight linearized
+    multiplicative-weights steps (w *= 1 + eta*excess, eta = 1/10,
+    excess clipped at one nat) with largest-remainder renormalization
+    each step — all exact integer arithmetic over the bounded
+    per-source frame, so the oracle replays it exactly; exp() never
+    appears (its last ULP differs across engines). Two corpus scans
+    by declaration (labeled fit + holdout score, the
+    docs_clf_pr_auc shape); the MW loop costs |sources| rows
+    regardless of corpus size."""
+    from tidyvec_spark.operators.classifier import (
+        classify_quality,
+        fit_quality_classifier,
+    )
+    from tidyvec_spark.operators.sampling import doremi_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    label = (
+        F.array_contains(F.split(F.lower("text"), r"\s+"), "spark")
+        .cast("int")
+        .alias("y")
+    )
+    labeled = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", label, "text"
+    )
+    w0, w = fit_quality_classifier(
+        labeled, "text", "y", "doc_id", num_buckets=_CLF_B,
+    )
+    scored = classify_quality(docs, "text", "doc_id", w0, w, round_to=R)
+    j = scored.join(
+        docs.select("doc_id", "source", label), "doc_id"
+    ).filter(F.col("doc_id") % 5 != 0)
+    # clamp the ROUNDED score away from {0,1} before ln — both literals
+    # are parsed decimal strings, so the clamped double is identical on
+    # both engines
+    p = F.least(
+        F.greatest(F.col("quality_prob"), F.lit(0.000001)),
+        F.lit(0.999999),
+    )
+    loss = F.when(F.col("y") == 1, -F.log(p)).otherwise(
+        -F.log(F.lit(1.0) - p)
+    )
+    per_doc = j.select("source", loss.alias("__loss"))
+    return doremi_weights(
+        per_doc, "source", "__loss", steps=_DOREMI_STEPS,
+        eta_den=_DOREMI_ETA_DEN, total=_DOREMI_TOTAL, round_to=R,
+    )
+
+
+def _mix_doremi_sql() -> str:
+    tot, den_mul = _DOREMI_TOTAL, _DOREMI_ETA_DEN * _DOREMI_TOTAL
+    clamp = (
+        "least(greatest(p, CAST(0.000001 AS DOUBLE)),"
+        " CAST(0.999999 AS DOUBLE))"
+    )
+    steps = []
+    for it in range(1, _DOREMI_STEPS + 1):
+        steps.append(f"""
+r{it} AS (SELECT *, (w * ({den_mul} + exc)) // {den_mul} AS raw
+          FROM w{it - 1}),
+t{it} AS (SELECT *, sum(raw) OVER () AS tt FROM r{it}),
+f{it} AS (SELECT *, (raw * {tot}) // tt AS fl,
+                 (raw * {tot}) % tt AS rem FROM t{it}),
+s{it} AS (SELECT *, sum(fl) OVER () AS flsum,
+                 row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+          FROM f{it}),
+w{it} AS (SELECT source, n_docs, s, exc,
+                 CAST(fl + CASE WHEN rk <= {tot} - flsum THEN 1 ELSE 0 END
+                      AS BIGINT) AS w
+          FROM s{it})""")
+    return f"""
+WITH scored AS ({_docs_quality_clf_sql()}),
+lab AS (
+  SELECT doc_id, source,
+         CASE WHEN list_contains({_TOKS}, 'spark') THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+j AS (
+  SELECT sc.quality_prob AS p, lab.y, lab.source
+  FROM scored sc JOIN lab USING (doc_id)
+  WHERE doc_id % 5 <> 0
+),
+l AS (
+  SELECT source,
+         CAST(round(CAST({tot} AS DOUBLE) *
+           (CASE WHEN y = 1 THEN -ln({clamp})
+                 ELSE -ln(1.0 - {clamp}) END)) AS BIGINT) AS li
+  FROM j
+),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(li) AS BIGINT) AS s
+  FROM l GROUP BY source
+),
+g AS (
+  SELECT *, CAST(sum(s) OVER () AS BIGINT) AS sg,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS ng,
+         CAST(count(*) OVER () AS BIGINT) AS D,
+         row_number() OVER (ORDER BY source ASC) AS rn
+  FROM a
+),
+w0 AS (
+  SELECT source, n_docs, s,
+         least(greatest(s // n_docs - sg // ng, 0), {tot}) AS exc,
+         {tot} // D + CASE WHEN rn <= {tot} % D THEN 1 ELSE 0 END AS w
+  FROM g
+),{",".join(steps)}
+SELECT source, n_docs,
+       ROUND(CAST(s AS DOUBLE) / n_docs / CAST({tot} AS DOUBLE), {R})
+         + 0.0 AS mean_loss,
+       ROUND(CAST(exc AS DOUBLE) / CAST({tot} AS DOUBLE), {R})
+         + 0.0 AS excess,
+       ROUND(CAST(w AS DOUBLE) / CAST({tot} AS DOUBLE), {R})
+         + 0.0 AS weight
+FROM w{_DOREMI_STEPS}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round-14 rotation (per the r13 verdict item 1): the 9
@@ -16962,6 +17163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": _soft_dedup,
         "winnow_pairs": _winnow_pairs,
         "token_pmi": _token_pmi,
+        # --- ROUND-15 ROTATION QUEUE: round-14 additions, verified
+        # locally at sf0.001 + sf0.01, first driver row next round ---
+        "kmeans_lloyd": _kmeans_lloyd,
+        "mix_doremi": _mix_doremi,
     }
 
 
@@ -17289,4 +17494,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_triage_manifest": _corpus_triage_manifest_sql(),
         "events_transition_matrix": _EVENTS_TRANSITION_MATRIX_SQL,
         "events_gap_quantiles_by_type": _EVENTS_GAP_QUANTILES_BY_TYPE_SQL,
+        # round-14 additions:
+        "kmeans_lloyd": _kmeans_lloyd_sql(),
+        "mix_doremi": _mix_doremi_sql(),
     }

@@ -333,6 +333,9 @@ BENCH_QUERIES = [
     "ann_recall_bq",
     "source_winsorized_len",
     "events_funnel_latency",
+    # round-14 additions
+    "kmeans_lloyd",
+    "mix_doremi",
 ]
 
 

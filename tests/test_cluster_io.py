@@ -130,3 +130,73 @@ def test_jsonl_ingest_quarantines_corrupt_lines(spark, tmp_path):
     assert bad.count() == 2
     assert "_corrupt_record" not in clean.columns
     raw.unpersist()
+
+
+def test_kmeans_lloyd_laws(spark, embeddings):
+    """kmeans_lloyd: deterministic fixed-iteration Lloyd in exact
+    integer arithmetic — re-running gives IDENTICAL assignments (the
+    property cluster_embeddings/pyspark.ml cannot give), every
+    embedded row is assigned exactly once, cluster ids live in [0, k),
+    dist2 is non-negative, and the result is invariant to input
+    partitioning (the integer law sees only values, never order)."""
+    from tidyvec_spark.operators.cluster import kmeans_lloyd
+
+    out1 = kmeans_lloyd(
+        embeddings, "embedding", "vec_id", k=4, iterations=2,
+        salt="t", round_to=6,
+    )
+    rows1 = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in out1.collect()}
+    n_emb = embeddings.filter("embedding IS NOT NULL").count()
+    assert len(rows1) == n_emb
+    assert all(0 <= c < 4 for c, _ in rows1.values())
+    assert all(d >= 0.0 for _, d in rows1.values())
+    assert len({c for c, _ in rows1.values()}) >= 2  # actually clusters
+
+    # identical re-run
+    out2 = kmeans_lloyd(
+        embeddings, "embedding", "vec_id", k=4, iterations=2,
+        salt="t", round_to=6,
+    )
+    assert {r["vec_id"]: (r["cluster"], r["dist2"])
+            for r in out2.collect()} == rows1
+
+    # partition invariance
+    out3 = kmeans_lloyd(
+        embeddings.repartition(7), "embedding", "vec_id", k=4,
+        iterations=2, salt="t", round_to=6,
+    )
+    assert {r["vec_id"]: (r["cluster"], r["dist2"])
+            for r in out3.collect()} == rows1
+
+    # more iterations never increase within-cluster inertia (Lloyd's
+    # monotone descent — on the integer lattice the rounding is 1e-6
+    # per coordinate, far below the inertia gap)
+    def inertia(iters):
+        out = kmeans_lloyd(
+            embeddings, "embedding", "vec_id", k=4, iterations=iters,
+            salt="t",
+        )
+        return sum(r["dist2"] for r in out.collect())
+
+    assert inertia(3) <= inertia(1) + 1e-6
+
+    for h in out1._tidyvec_persisted + out2._tidyvec_persisted + \
+            out3._tidyvec_persisted:
+        h.unpersist()
+    spark.catalog.clearCache()
+
+
+def test_kmeans_lloyd_errors(spark):
+    import pytest
+
+    from tidyvec_spark.operators.cluster import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k ="):
+        kmeans_lloyd(df, "embedding", "vec_id", k=5, dim=2)
+    with pytest.raises(ValueError, match="k must"):
+        kmeans_lloyd(df, "embedding", "vec_id", k=0, dim=2)
+    with pytest.raises(ValueError, match="iterations"):
+        kmeans_lloyd(df, "embedding", "vec_id", k=2, iterations=-1, dim=2)

@@ -954,3 +954,30 @@ def test_round13_entry_plan_shapes(spark, qs):
         df = qs[name](spark, SF)
         assert P.num_scans(df) <= max_scans, name
         P.assert_no_cartesian(df)
+
+
+def test_round14_entry_plan_shapes(spark, qs):
+    """Round-14 additions, plan-pinned (cache cleared first — see
+    test_round13_entry_plan_shapes).
+
+    - kmeans_lloyd: the T iteration reduces happen at CONSTRUCTION
+      against the persisted int64 frame (k·(dim+1) integers to the
+      driver each — the pyspark.ml KMeans shape); the RETURNED
+      assignment is one map-side expression over that frame: 1 scan,
+      ZERO shuffles, no cartesian.
+    - mix_doremi: 2 scans by declaration (classifier fit split +
+      holdout score, the docs_clf_pr_auc shape); the 8 MW steps are
+      windows over the |sources|-row frame, so shuffle count stays
+      O(1) regardless of corpus size.
+    """
+    spark.catalog.clearCache()
+
+    df = qs["kmeans_lloyd"](spark, SF)
+    assert P.num_scans(df) <= 1
+    assert P.num_shuffles(df) == 0
+    P.assert_no_cartesian(df)
+
+    df = qs["mix_doremi"](spark, SF)
+    assert P.num_scans(df) <= 2
+    assert P.num_shuffles(df) <= 3
+    P.assert_no_cartesian(df)

@@ -655,3 +655,76 @@ class TestSplitStratifiedExact:
         with pt.raises(ValueError, match="non-negative"):
             split_stratified_exact(df, "id", "g", weights=(-1, 2),
                                    names=("x", "y"))
+
+
+def test_doremi_weights_laws(spark):
+    """doremi_weights: uniform losses give (near-)uniform weights;
+    weight mass flows monotonically to the high-excess domain over
+    steps; the weights sum EXACTLY to 1 in 1/total units after every
+    renormalization; all-integer law is partition-invariant."""
+    from tidyvec_spark.operators.sampling import doremi_weights
+
+    # three domains, b has clearly higher loss
+    rows = (
+        [("a", 0.10)] * 40 + [("b", 0.90)] * 40 + [("c", 0.12)] * 40
+    )
+    df = spark.createDataFrame(rows, "source string, loss double")
+    out = {
+        r["source"]: r
+        for r in doremi_weights(
+            df, "source", "loss", steps=8, round_to=6
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    # exact simplex: weights are integer multiples of 1e-6 summing to 1
+    assert round(sum(r["weight"] for r in out.values()), 6) == 1.0
+    assert out["b"]["weight"] > out["a"]["weight"]
+    assert out["b"]["weight"] > out["c"]["weight"]
+    assert out["b"]["excess"] > 0.0
+    assert out["a"]["excess"] == 0.0  # below the global mean
+    assert out["a"]["n_docs"] == 40
+
+    # more steps -> more mass on the excess domain (monotone in T)
+    w4 = {
+        r["source"]: r["weight"]
+        for r in doremi_weights(
+            df, "source", "loss", steps=4, round_to=6
+        ).collect()
+    }
+    assert out["b"]["weight"] >= w4["b"]
+
+    # uniform losses -> uniform weights (exactly, n divides total)
+    uni = spark.createDataFrame(
+        [("a", 0.5)] * 10 + [("b", 0.5)] * 10, "source string, loss double"
+    )
+    got = {
+        r["source"]: r["weight"]
+        for r in doremi_weights(uni, "source", "loss", steps=8,
+                                round_to=6).collect()
+    }
+    assert got == {"a": 0.5, "b": 0.5}
+
+    # partition invariance
+    out2 = {
+        r["source"]: (r["weight"], r["excess"], r["mean_loss"])
+        for r in doremi_weights(
+            df.repartition(5), "source", "loss", steps=8, round_to=6
+        ).collect()
+    }
+    assert out2 == {
+        k: (v["weight"], v["excess"], v["mean_loss"]) for k, v in out.items()
+    }
+
+    # zero steps -> the uniform largest-remainder start
+    w0 = {
+        r["source"]: r["weight"]
+        for r in doremi_weights(df, "source", "loss", steps=0,
+                                round_to=6).collect()
+    }
+    # 1_000_000 // 3 = 333333 rem 1 -> 'a' (first by domain asc) +1
+    assert w0 == {"a": 0.333334, "b": 0.333333, "c": 0.333333}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="steps"):
+        doremi_weights(df, "source", "loss", steps=-1)

@@ -11,6 +11,14 @@ R/core.R:363-364). Exact assignment parity with R's Hartigan-Wong +
 nstart=10 is not achievable (different algorithm); tests assert
 cluster-count / NULL-handling invariants and agreement scores instead
 (SURVEY.md §5.4).
+
+:func:`kmeans_lloyd` is the engine's OWN deterministic k-means: a
+fixed-iteration Lloyd (1982) whose every step is exact integer
+arithmetic, so assignments are reproducible across runs,
+partitionings, and engines — the property pyspark.ml's KMeans (and
+R's Hartigan–Wong) cannot give, and the reason curation decisions
+built on cluster membership ("drop cluster 3, it's boilerplate") can
+be replayed bit-identically by a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -61,3 +69,139 @@ def cluster_embeddings(
         out = pred.unionByName(nulls)
     res = vf._wrap(out)
     return res
+
+
+def kmeans_lloyd(
+    df,
+    embedding_col: str,
+    id_col: str,
+    k: int = 4,
+    iterations: int = 3,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    shift: float = 2.0,
+    salt: str = "",
+    round_to: int | None = None,
+):
+    """Deterministic fixed-iteration Lloyd k-means (Lloyd 1982) in
+    exact integer arithmetic — the oracle-replayable twin of
+    :func:`cluster_embeddings` (which keeps the pyspark.ml path for
+    parity with the reference's stats::kmeans, R/core.R:337-367).
+
+    Every step is a pure integer law, so the result is independent of
+    partitioning, parallelism, and engine:
+
+    - coordinates are scaled to int64 units once:
+      ``xi = round((x + shift) * scale)`` (``shift`` makes every unit
+      non-negative so integer division below has no floor/truncate
+      ambiguity);
+    - initial centers are the ``k`` rows ranked first by
+      ``(hash_unit(id, salt), id)`` — the md5 top-k convention, a pure
+      function of the ids;
+    - assignment encodes (distance², center) into ONE int64,
+      ``enc = d2 * k + cid``, whose MIN is the argmin with ties broken
+      by smallest center id — no float comparison anywhere;
+    - the center update is round-half-up rational arithmetic,
+      ``c' = (2 * sum + n) div (2 * n)`` per dimension; clusters that
+      receive no points die (their id never reappears).
+
+    100 TB shape: the points frame is scanned once into a persisted
+    int64 form; each iteration is one map-side assignment expression
+    (k zip_with/aggregate folds against LITERAL center arrays — no
+    join) plus one groupBy whose output is k × (dim+1) integers, the
+    same driver-sized reduce pyspark.ml's KMeans performs per
+    iteration. Only those k·(dim+1) integers ever reach the driver.
+
+    Returns one row per embedded input row: ``(id_col, cluster int,
+    dist2 double)`` where dist2 is the squared distance to the final
+    center in ORIGINAL units (descaled by scale², rounded to
+    ``round_to``).
+    """
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    if int(iterations) < 0:
+        raise ValueError("iterations must be >= 0")
+    from tidyvec_spark.operators.sampling import hash_unit
+
+    kk, d, s = int(k), int(dim), int(scale)
+    pts = (
+        df.filter(F.col(embedding_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(embedding_col).cast("array<double>"),
+                lambda e: F.round((e + F.lit(float(shift))) * s, 0).cast(
+                    "long"
+                ),
+            ).alias("__x"),
+        )
+        .persist()
+    )
+
+    # initial centers: md5-top-k of the ids (bounded collect, k rows)
+    init = (
+        pts.orderBy(hash_unit(F.col(id_col), salt), F.col(id_col))
+        .limit(kk)
+        .select("__x")
+        .collect()
+    )
+    if len(init) < kk:
+        pts.unpersist()
+        raise ValueError(
+            f"k = {kk} exceeds the number of embedded rows ({len(init)})"
+        )
+    centers: dict[int, list[int]] = {
+        cid: [int(v) for v in row["__x"]] for cid, row in enumerate(init)
+    }
+
+    def _enc_expr(cents: dict[int, list[int]]):
+        # min over centers of d2*k + cid — evaluated entirely map-side
+        # against literal center arrays
+        encs = []
+        for cid in sorted(cents):
+            cv = F.array(*[F.lit(v) for v in cents[cid]])
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col("__x"), cv, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            encs.append(d2 * kk + F.lit(cid))
+        return encs[0] if len(encs) == 1 else F.least(*encs)
+
+    for _ in range(int(iterations)):
+        agg = (
+            pts.withColumn("__c", (_enc_expr(centers) % kk).cast("int"))
+            .groupBy("__c")
+            .agg(
+                F.count("*").cast("long").alias("__n"),
+                *[
+                    F.sum(F.element_at("__x", i + 1)).alias(f"__s{i}")
+                    for i in range(d)
+                ],
+            )
+            .collect()  # bounded: k rows of dim+1 integers
+        )
+        centers = {
+            int(r["__c"]): [
+                (2 * int(r[f"__s{i}"]) + int(r["__n"]))
+                // (2 * int(r["__n"]))
+                for i in range(d)
+            ]
+            for r in agg
+        }
+
+    enc = _enc_expr(centers)
+    dist2 = F.expr(f"__enc div {kk}").cast("double") / F.lit(
+        float(s) * float(s)
+    )
+    if round_to is not None:
+        dist2 = F.round(dist2, int(round_to)) + F.lit(0.0)
+    out = pts.withColumn("__enc", enc).select(
+        id_col,
+        (F.col("__enc") % kk).cast("int").alias("cluster"),
+        dist2.alias("dist2"),
+    )
+    out._tidyvec_persisted = [pts]
+    return out

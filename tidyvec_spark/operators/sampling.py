@@ -834,3 +834,127 @@ def split_stratified_exact(
         .withColumn(out_col, label)
         .drop("__rk", "__g", *[f"__cut{i}" for i in range(k)])
     )
+
+
+def doremi_weights(
+    per_doc: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    steps: int = 8,
+    eta_den: int = 10,
+    total: int = 1_000_000,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Learned domain mixture weights in the DoReMi style (Xie et al.
+    2023): starting uniform, repeatedly upweight domains whose loss
+    EXCEEDS the global mean — the multiplicative-weights play that
+    gives the mixing family (temperature / target / unimax / Neyman /
+    rank-weighted) its learned member. ``per_doc`` carries one row per
+    document with its domain and a proxy per-document loss (here: the
+    quality classifier's log-loss stands in for the paper's
+    proxy-vs-reference excess loss).
+
+    Engine-portable by construction — every step is exact integer
+    arithmetic on a bounded per-domain frame:
+
+    - per-document losses are scaled once to int64 (``round(loss *
+      total)``), so domain sums are exact in any order;
+    - the excess is integer floor-div means,
+      ``max(0, S_d div n_d - S_g div n_g)``, CLIPPED at ``total``
+      (one nat) — the paper's per-step update clipping, which also
+      bounds every intermediate below 2^63;
+    - the update is the LINEARIZED multiplicative weights rule
+      ``w' = w * (eta_den*total + excess) div (eta_den*total)``
+      (i.e. w *= 1 + eta*excess with eta = 1/eta_den) — the linear MW
+      variant replaces exp() whose last ULP differs across engines;
+    - each step renormalizes to ``sum = total`` by largest remainder
+      (the Hamilton law shared with neyman_allocation /
+      split_stratified_exact; remainder ties broken by domain asc).
+
+    100 TB shape: ONE corpus-scan aggregate produces the per-domain
+    (sum, count) frame; the ``steps`` window passes run over
+    |domains| rows regardless of corpus size, and applying the learned
+    weights downstream is the same zero-shuffle salted-hash filter as
+    every other mix entry.
+
+    Returns one row per domain: (``domain_col``, n_docs, mean_loss,
+    excess, weight) with weight summing exactly to 1 over domains
+    (in ``1/total`` units).
+    """
+    if int(steps) < 0:
+        raise ValueError("steps must be >= 0")
+    if int(eta_den) < 1 or int(total) < 1:
+        raise ValueError("eta_den and total must be >= 1")
+    tot, den = int(total), int(eta_den) * int(total)
+    w_all = Window.partitionBy()
+    w_dom = Window.orderBy(F.col(domain_col).asc())
+
+    li = F.round(F.col(loss_col).cast("double") * tot, 0).cast("long")
+    g = (
+        per_doc.select(F.col(domain_col), li.alias("__l"))
+        .groupBy(domain_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__l").cast("long").alias("__s"),
+        )
+        .withColumn("__sg", F.sum("__s").over(w_all))
+        .withColumn("__ng", F.sum("n_docs").over(w_all))
+        .withColumn(
+            "__exc",
+            F.least(
+                F.greatest(
+                    F.expr("__s div n_docs") - F.expr("__sg div __ng"),
+                    F.lit(0).cast("long"),
+                ),
+                F.lit(tot).cast("long"),
+            ),
+        )
+        .withColumn("__D", F.count("*").over(w_all))
+        .withColumn("__rn", F.row_number().over(w_dom))
+        .withColumn(
+            "__w",
+            (
+                F.expr(f"{tot} div __D")
+                + F.when(F.col("__rn") <= F.expr(f"{tot} % __D"), 1)
+                .otherwise(0)
+            ).cast("long"),
+        )
+    )
+    w_rem = Window.orderBy(F.col("__rem").desc(), F.col(domain_col).asc())
+    for _ in range(int(steps)):
+        g = (
+            g.withColumn(
+                "__raw", F.expr(f"(__w * ({den} + __exc)) div {den}")
+            )
+            .withColumn("__tot", F.sum("__raw").over(w_all))
+            .withColumn("__fl", F.expr(f"(__raw * {tot}) div __tot"))
+            .withColumn("__rem", F.expr(f"(__raw * {tot}) % __tot"))
+            .withColumn("__flsum", F.sum("__fl").over(w_all))
+            .withColumn("__rk", F.row_number().over(w_rem))
+            .withColumn(
+                "__w",
+                (
+                    F.col("__fl")
+                    + F.when(
+                        F.col("__rk") <= F.lit(tot) - F.col("__flsum"), 1
+                    ).otherwise(0)
+                ).cast("long"),
+            )
+        )
+    mean_loss = F.col("__s").cast("double") / F.col("n_docs") / F.lit(
+        float(tot)
+    )
+    excess = F.col("__exc").cast("double") / F.lit(float(tot))
+    weight = F.col("__w").cast("double") / F.lit(float(tot))
+    if round_to is not None:
+        r = int(round_to)
+        mean_loss = F.round(mean_loss, r) + F.lit(0.0)
+        excess = F.round(excess, r) + F.lit(0.0)
+        weight = F.round(weight, r) + F.lit(0.0)
+    return g.select(
+        domain_col,
+        "n_docs",
+        mean_loss.alias("mean_loss"),
+        excess.alias("excess"),
+        weight.alias("weight"),
+    )
