@@ -16671,6 +16671,294 @@ GROUP BY p.id
 """
 
 
+def _embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise cosine of the embedding cloud (operators/
+    reduce.py::embedding_anisotropy — Ethayarajh 2019): the
+    directional-bias number beside embedding_effective_rank's
+    dimensional-collapse ratio. Never all-pairs: the pair mean is
+    (‖Σu‖² − Σ‖u‖²)/(n(n−1)) over unit rows — one scan, no join;
+    rows quantize once to int64 so the cross-row sums are exact in
+    any partitioning, and the quadratic reduction accumulates in
+    DECIMAL(38,0)."""
+    from tidyvec_spark.operators.reduce import embedding_anisotropy
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_anisotropy(e, "embedding", round_to=R)
+
+
+_EMBEDDING_ANISOTROPY_SQL = f"""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS x
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+nrm AS (
+  SELECT x, sqrt(list_sum(list_transform(x, v -> v * v))) AS nm FROM e
+),
+idx AS (SELECT CAST(unnest(range(64)) AS INT) AS d),
+ud AS (
+  SELECT d,
+         CAST(round(x[d + 1] / nm * CAST(1000000 AS DOUBLE)) AS BIGINT)
+           AS ui
+  FROM nrm, idx
+),
+pd AS (
+  SELECT d, CAST(sum(ui) AS BIGINT) AS sd,
+         CAST(sum(ui * ui) AS BIGINT) AS qd,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM ud GROUP BY d
+),
+ag AS (
+  SELECT CAST(sum(CAST(sd AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0)))
+              - sum(CAST(qd AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num,
+         CAST(max(nd) AS BIGINT) AS n
+  FROM pd
+)
+SELECT n AS n_vectors,
+       CASE WHEN n > 1 THEN
+         ROUND(CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+               / (CAST(1000000 AS DOUBLE) * CAST(1000000 AS DOUBLE)),
+               {R}) + 0.0
+       END AS anisotropy
+FROM ag
+"""
+
+
+def _source_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Kolmogorov–Smirnov distance of the length
+    distribution vs the pooled corpus (operators/reports.py::
+    ks_distance_by_group): the worst-case CDF gap beside
+    source_psi_drift's binned average and source_js_divergence's
+    top-k divergence — a localized bump one source grows (a new
+    template, a truncation bug) moves its KS by the bump's full mass
+    while PSI dilutes it across bins. Integer-exact cumulative counts
+    cross-multiplied in DECIMAL(38,0); one corpus scan, every later
+    frame bounded by |sources| × |length domain|."""
+    from tidyvec_spark.operators.reports import ks_distance_by_group
+
+    docs = _read(spark, sf_dir, "documents")
+    return ks_distance_by_group(docs, "n_chars", "source", round_to=R)
+
+
+_SOURCE_KS_DISTANCE_SQL = f"""
+WITH h AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+),
+vals AS (
+  SELECT v, CAST(sum(cv) OVER (ORDER BY v) AS BIGINT) AS cumg,
+         CAST(sum(cv) OVER () AS BIGINT) AS ng
+  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM h GROUP BY v)
+),
+grp AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM h GROUP BY 1),
+grid AS (SELECT * FROM grp, vals),
+j AS (
+  SELECT g.source, g.v, g.ns, g.ng, g.cumg,
+         CAST(sum(COALESCE(h.c, 0)) OVER (
+           PARTITION BY g.source ORDER BY g.v) AS BIGINT) AS cums
+  FROM grid g LEFT JOIN h ON h.source = g.source AND h.v = g.v
+),
+per AS (
+  SELECT source, max(ns) AS n2, max(ng) AS ng2,
+         max(abs(CAST(cums AS HUGEINT) * ng
+                 - CAST(cumg AS HUGEINT) * ns)) AS d
+  FROM j GROUP BY source
+)
+SELECT source, CAST(n2 AS BIGINT) AS n,
+       ROUND(CAST(d AS DOUBLE)
+             / (CAST(n2 AS DOUBLE) * CAST(ng2 AS DOUBLE)), {R}) AS ks
+FROM per
+"""
+
+
+def _docs_clf_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction sets for the quality classifier
+    (operators/evaluation.py::conformal_eval — Vovk et al. 2005;
+    Angelopoulos & Bates 2021): calibrate the nonconformity threshold
+    on the doc_id%5==1 slice of the holdout, evaluate coverage and
+    set size on the rest — the distribution-free "keep with a
+    ≥90% coverage certificate" upgrade over the raw 0.5 cut that
+    docs_clf_auc/pr_auc/brier_ece diagnose but never guarantee.
+    Integer-exact rank law for qhat, pre-rounded scores everywhere;
+    the classifier fit + holdout scoring is the declared 2-scan
+    docs_clf_pr_auc shape — the scored holdout is persisted because
+    conformal_eval reads it twice (calibration histogram, then test
+    aggregation)."""
+    from tidyvec_spark.operators.evaluation import conformal_eval
+
+    j = _clf_holdout_scores(spark, sf_dir).withColumn(
+        "__cal", F.col("doc_id") % 5 == 1
+    ).persist()
+    out = conformal_eval(
+        j, "quality_prob", "y", "__cal", alpha=0.1, round_to=R
+    )
+    out._tidyvec_persisted = [j]
+    return out
+
+
+def _docs_clf_conformal_sql() -> str:
+    return f"""
+WITH scored AS ({_docs_quality_clf_sql()}),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN list_contains({_TOKS}, 'spark') THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+j AS (
+  SELECT sc.doc_id, sc.quality_prob AS p, lab.y
+  FROM scored sc JOIN lab USING (doc_id)
+  WHERE doc_id % 5 <> 0
+),
+cal AS (
+  SELECT CASE WHEN y = 1 THEN CAST(1.0 AS DOUBLE) - p ELSE p END AS s
+  FROM j WHERE doc_id % 5 = 1
+),
+hist AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY s),
+rk AS (
+  SELECT s, sum(c) OVER (ORDER BY s) AS cum, sum(c) OVER () AS ncal
+  FROM hist
+),
+q AS (
+  SELECT CAST(ncal AS BIGINT) AS n_cal,
+         COALESCE(
+           min(CASE WHEN cum >= ((ncal + 1) * 900000 + 999999)
+                                // 1000000 THEN s END),
+           CAST(2.0 AS DOUBLE)) AS qhat
+  FROM rk GROUP BY ncal
+),
+t AS (SELECT p, y FROM j WHERE doc_id % 5 <> 1),
+a AS (
+  SELECT n_cal, qhat, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN (y = 1 AND CAST(1.0 AS DOUBLE) - p <= qhat)
+                         OR (y = 0 AND p <= qhat)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS cov,
+         CAST(sum((CASE WHEN CAST(1.0 AS DOUBLE) - p <= qhat
+                   THEN 1 ELSE 0 END)
+                + (CASE WHEN p <= qhat THEN 1 ELSE 0 END))
+              AS BIGINT) AS sz
+  FROM t, q GROUP BY 1, 2
+)
+SELECT n_cal, qhat, n_test,
+       ROUND(CAST(cov AS DOUBLE) / n_test, {R}) AS coverage,
+       ROUND(CAST(sz AS DOUBLE) / n_test, {R}) AS avg_set_size
+FROM a
+"""
+
+
+def _events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared hour-grain per-type series for the monitoring entries
+    (the events_cusum_by_type frame): one corpus scan, bounded by
+    types × hours."""
+    from tidyvec_spark.streaming.pipelines import event_ts_of
+
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", event_ts_of(ev))
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .groupBy("event_type", "bucket_s")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-exact EWMA burst monitor on the per-type hourly rate
+    (operators/reports.py::ewma_dyadic): alpha = 1/2 makes every
+    weight a power of two, so each term and every partial sum is an
+    exact dyadic double — bit-identical across engines and fold
+    orders with NO integer scaling — and the spike flag (n > 2·ewma
+    of the PRIOR 16 hours, a one-step-ahead forecast the observation
+    never contributed to) catches the single burst hour that
+    events_cusum's drift integral deliberately smooths over. Truncated
+    at 16 lags (tail weight 2^-16); warm-up rows emit NULL by law.
+    One scan, one window shuffle on the type key."""
+    from tidyvec_spark.operators.reports import ewma_dyadic
+
+    hrs = _events_hourly_by_type(spark, sf_dir)
+    return ewma_dyadic(
+        hrs, "n", "bucket_s", by=["event_type"], window=16, round_to=R
+    )
+
+
+def _events_ewma_sql() -> str:
+    terms = " + ".join(
+        f"lag(CAST(n AS DOUBLE), {j}) OVER w * {2.0 ** -j!r}"
+        for j in range(1, 17)
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+e AS (
+  SELECT event_type, bucket_s, n,
+         ROUND(CASE WHEN lag(n, 16) OVER w IS NOT NULL
+                    THEN {terms} END, {R}) AS ewma
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_s)
+)
+SELECT event_type, bucket_s, n, ewma,
+       CASE WHEN ewma IS NOT NULL THEN
+         CAST(CAST(n AS DOUBLE) > CAST(2.0 AS DOUBLE) * ewma AS INT)
+       END AS spike
+FROM e
+"""
+
+
+def _events_seasonal_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast error per event type (operators/
+    reports.py::seasonal_naive_error — Hyndman & Koehler 2006 MASE):
+    lag-24 same-hour-yesterday forecast vs the lag-1 naive on the
+    hourly series — mase < 1 certifies the daily shape the
+    calendar-blind monitors (CUSUM, EWMA) ignore, and a rising mase
+    means the shape broke. Integer-exact absolute-error sums; each
+    ratio is one division of exact integers (mase cross-multiplied in
+    DECIMAL(38,0)). One scan, one window shuffle."""
+    from tidyvec_spark.operators.reports import seasonal_naive_error
+
+    hrs = _events_hourly_by_type(spark, sf_dir)
+    return seasonal_naive_error(
+        hrs, "n", "bucket_s", by=["event_type"], season=24, round_to=R
+    )
+
+
+_EVENTS_SEASONAL_ERROR_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+l AS (
+  SELECT event_type,
+         abs(n - lag(n, 1) OVER w) AS e1,
+         abs(n - lag(n, 24) OVER w) AS es
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_s)
+),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(e1) AS BIGINT) AS s1, CAST(count(e1) AS BIGINT) AS c1,
+         CAST(sum(es) AS BIGINT) AS ss, CAST(count(es) AS BIGINT) AS cs
+  FROM l GROUP BY 1
+)
+SELECT event_type, n,
+       ROUND(CASE WHEN c1 > 0 THEN CAST(s1 AS DOUBLE) / c1 END, {R})
+         AS mae_naive,
+       ROUND(CASE WHEN cs > 0 THEN CAST(ss AS DOUBLE) / cs END, {R})
+         AS mae_seasonal,
+       ROUND(CASE WHEN s1 > 0 AND cs > 0 THEN
+               CAST(CAST(ss AS HUGEINT) * c1 AS DOUBLE)
+               / CAST(CAST(s1 AS HUGEINT) * cs AS DOUBLE)
+             END, {R}) AS mase
+FROM a
+"""
+
+
 _DOREMI_STEPS, _DOREMI_ETA_DEN, _DOREMI_TOTAL = 8, 10, 1_000_000
 
 
@@ -17167,6 +17455,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally at sf0.001 + sf0.01, first driver row next round ---
         "kmeans_lloyd": _kmeans_lloyd,
         "mix_doremi": _mix_doremi,
+        "embedding_anisotropy": _embedding_anisotropy,
+        "source_ks_distance": _source_ks_distance,
+        "docs_clf_conformal": _docs_clf_conformal,
+        "events_ewma": _events_ewma,
+        "events_seasonal_error": _events_seasonal_error,
     }
 
 
@@ -17497,4 +17790,9 @@ def oracle_sql() -> dict[str, str]:
         # round-14 additions:
         "kmeans_lloyd": _kmeans_lloyd_sql(),
         "mix_doremi": _mix_doremi_sql(),
+        "embedding_anisotropy": _EMBEDDING_ANISOTROPY_SQL,
+        "source_ks_distance": _SOURCE_KS_DISTANCE_SQL,
+        "docs_clf_conformal": _docs_clf_conformal_sql(),
+        "events_ewma": _events_ewma_sql(),
+        "events_seasonal_error": _EVENTS_SEASONAL_ERROR_SQL,
     }

@@ -336,6 +336,11 @@ BENCH_QUERIES = [
     # round-14 additions
     "kmeans_lloyd",
     "mix_doremi",
+    "embedding_anisotropy",
+    "source_ks_distance",
+    "docs_clf_conformal",
+    "events_ewma",
+    "events_seasonal_error",
 ]
 
 

@@ -300,3 +300,60 @@ def test_brier_ece_hand_case(spark):
     )
     g2 = brier_ece(half, "p", "y").first()
     assert g2["ece"] == 0.0 and g2["brier"] == pytest.approx(0.25)
+
+
+def test_conformal_eval_laws(spark):
+    """conformal_eval: hand-replay of the rank law on a tiny case; the
+    marginal coverage guarantee on an exchangeable split; the
+    degenerate tiny-calibration case emits full sets (qhat=2.0,
+    coverage 1, set size 2); alpha validation."""
+    import pytest
+
+    from tidyvec_spark.operators.evaluation import conformal_eval
+
+    # calibration: 4 rows, all y=1 with p = .9/.8/.7/.6 -> s = .1/.2/.3/.4
+    # k = ceil(5 * 0.9) = 5 > 4... use alpha=0.3: k = ceil(5*.7) = 4 ->
+    # qhat = 4th smallest = 0.4
+    rows = [
+        (0.9, 1, True), (0.8, 1, True), (0.7, 1, True), (0.6, 1, True),
+        # test: y=1,p=.65 -> s=.35 <= .4 covered; 0 in set iff p<=.4: no
+        (0.65, 1, False),
+        # y=0,p=.3 -> in0 (.3<=.4) covered; in1 iff .7<=.4: no -> size 1
+        (0.30, 0, False),
+        # y=1,p=.5 -> s=.5 > .4 NOT covered; in0: .5>.4 no -> size 0
+        (0.50, 1, False),
+    ]
+    df = spark.createDataFrame(rows, "p double, y int, cal boolean")
+    r = conformal_eval(df, "p", "y", "cal", alpha=0.3, round_to=6).collect()[0]
+    assert r["n_cal"] == 4 and r["qhat"] == 0.4
+    assert r["n_test"] == 3
+    assert r["coverage"] == round(2 / 3, 6)
+    assert r["avg_set_size"] == round(2 / 3, 6)  # sizes 1,1,0
+
+    # k > n_cal -> full sets
+    tiny = spark.createDataFrame(
+        [(0.9, 1, True), (0.5, 1, False), (0.5, 0, False)],
+        "p double, y int, cal boolean",
+    )
+    r = conformal_eval(tiny, "p", "y", "cal", alpha=0.1).collect()[0]
+    assert r["qhat"] == 2.0 and r["coverage"] == 1.0
+    assert r["avg_set_size"] == 2.0
+
+    # marginal coverage guarantee on an exchangeable well-specified
+    # split: p is the true P(y=1), so coverage >= 1 - alpha in
+    # expectation; 0.04 slack over 1000 test rows
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    big = [
+        (round(float(p), 6), int(rng.rand() < p), i < 500)
+        for i, p in enumerate(rng.rand(1500))
+    ]
+    bdf = spark.createDataFrame(big, "p double, y int, cal boolean")
+    r = conformal_eval(bdf, "p", "y", "cal", alpha=0.1, round_to=6).collect()[0]
+    assert r["n_cal"] == 500 and r["n_test"] == 1000
+    assert r["coverage"] >= 0.86
+    assert 1.0 <= r["avg_set_size"] <= 2.0
+
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_eval(df, "p", "y", "cal", alpha=1.5)

@@ -981,3 +981,17 @@ def test_round14_entry_plan_shapes(spark, qs):
     assert P.num_scans(df) <= 2
     assert P.num_shuffles(df) <= 3
     P.assert_no_cartesian(df)
+
+    # the analytics wave: single-scan one-pass shapes except the
+    # declared 2-scan classifier fit+score (conformal persists the
+    # scored holdout because it reads it twice)
+    for name, max_scans in (
+        ("embedding_anisotropy", 1),
+        ("source_ks_distance", 1),
+        ("docs_clf_conformal", 2),
+        ("events_ewma", 1),
+        ("events_seasonal_error", 1),
+    ):
+        df = qs[name](spark, SF)
+        assert P.num_scans(df) <= max_scans, name
+        P.assert_no_cartesian(df)

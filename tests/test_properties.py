@@ -635,3 +635,50 @@ def test_effective_rank_bounds_and_collapse(spark):
     ).first()["effective_rank"]
     assert 6.0 < pr_iso <= 8.0
     assert 1.0 <= pr_d1 < 1.2
+
+
+def test_embedding_anisotropy_laws(spark):
+    """Anisotropy (mean pairwise cosine, Ethayarajh 2019): identical
+    vectors read 1; a balanced ± pair of directions reads ≈ -1/(n-1)
+    summed to ~0-ish (exactly -1/3 for 2+2 opposed); an isotropic-ish
+    random cloud reads ≈ 0; the closed form equals the brute-force
+    pair mean; partition-invariant; single vector yields NULL."""
+    import itertools
+
+    import numpy as np
+
+    from tidyvec_spark.operators.reduce import embedding_anisotropy
+
+    def run(vecs, parts=1):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "id long, embedding array<double>",
+        ).repartition(parts)
+        return embedding_anisotropy(df, "embedding", round_to=6).collect()[0]
+
+    # all-identical: every pairwise cosine is 1
+    r = run([[1.0, 2.0, 3.0]] * 5)
+    assert r["n_vectors"] == 5 and abs(r["anisotropy"] - 1.0) < 2e-6
+
+    # two opposed pairs: pairwise cosines are +1 (2 pairs) and -1
+    # (4 pairs) -> mean = (2-4)/6 = -1/3
+    r = run([[1.0, 0.0], [1.0, 0.0], [-1.0, 0.0], [-1.0, 0.0]])
+    assert abs(r["anisotropy"] - (-1.0 / 3.0)) < 2e-6
+
+    # closed form == brute force on a random cloud
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8)
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    brute = np.mean(
+        [u[i] @ u[j] for i, j in itertools.permutations(range(20), 2)]
+    )
+    r = run([list(v) for v in vecs])
+    assert abs(r["anisotropy"] - brute) < 1e-5  # 1e-6 quantization grain
+
+    # partition invariance (the integer law sees values, not order)
+    r2 = run([list(v) for v in vecs], parts=7)
+    assert r2["anisotropy"] == r["anisotropy"]
+
+    # n = 1 -> NULL (no pairs)
+    r = run([[1.0, 2.0]])
+    assert r["n_vectors"] == 1 and r["anisotropy"] is None

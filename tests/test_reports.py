@@ -1107,3 +1107,114 @@ def test_winsorized_mean_clamps_outlier(spark):
     import pytest as pt
     with pt.raises(ValueError, match="lower < upper"):
         winsorized_mean_by_group(df, "x", "g", 0.9, 0.1)
+
+
+def test_ks_distance_by_group_laws(spark):
+    """ks_distance_by_group: hand-computed sup-CDF-gap on a tiny case;
+    a single group equals the pooled corpus exactly (ks = 0); ks is in
+    [0, 1]; partition-invariant; brute-force CDF replay on a random
+    case."""
+    from tidyvec_spark.operators.reports import ks_distance_by_group
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 3), ("b", 3), ("b", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in
+           ks_distance_by_group(df, "v", "g", round_to=6).collect()}
+    # CDF_a = (2/3, 1, 1), CDF_b = (0, 0, 1), CDF_all = (1/3, 1/2, 1)
+    assert out["a"]["n"] == 3 and out["a"]["ks"] == 0.5
+    assert out["b"]["n"] == 3 and out["b"]["ks"] == 0.5
+
+    from pyspark.sql import functions as F
+
+    solo = ks_distance_by_group(
+        df.withColumn("g", F.lit("x")), "v", "g", round_to=6,
+    ).collect()
+    assert len(solo) == 1 and solo[0]["ks"] == 0.0
+
+    # brute-force replay + partition invariance
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    data = [("g%d" % (i % 4), int(v)) for i, v in
+            enumerate(rng.randint(0, 30, size=200))]
+    df2 = spark.createDataFrame(data, "g string, v long")
+    got = {r["g"]: r["ks"] for r in
+           ks_distance_by_group(df2, "v", "g", round_to=6).collect()}
+    vals = sorted({v for _, v in data})
+    allv = np.array([v for _, v in data])
+    for g in sorted({g for g, _ in data}):
+        gv = np.array([v for gg, v in data if gg == g])
+        sup = max(
+            abs((gv <= t).mean() - (allv <= t).mean()) for t in vals
+        )
+        assert abs(got[g] - sup) < 1e-9, g
+        assert 0.0 <= got[g] <= 1.0
+    got2 = {r["g"]: r["ks"] for r in
+            ks_distance_by_group(df2.repartition(7), "v", "g",
+                                 round_to=6).collect()}
+    assert got2 == got
+    spark.catalog.clearCache()
+
+
+def test_ewma_dyadic_laws(spark):
+    """ewma_dyadic: first window-1 rows are NULL warm-up; a constant
+    series smooths to v·(1 − 2^-window) EXACTLY (dyadic arithmetic);
+    a single burst hour flips spike on that row only; groups smooth
+    independently; window validation."""
+    import pytest
+
+    from tidyvec_spark.operators.reports import ewma_dyadic
+
+    rows = [("a", t, 64) for t in range(21)]
+    rows[18] = ("a", 18, 1000)                  # burst
+    rows += [("b", t, 8) for t in range(17)]    # second group
+    df = spark.createDataFrame(rows, "g string, t long, n long")
+    out = {(r["g"], r["t"]): r for r in ewma_dyadic(
+        df, "n", "t", by=["g"], window=16).collect()}
+    # one-step-ahead forecast: the first `window` rows are warm-up
+    assert all(out[("a", t)]["ewma"] is None for t in range(16))
+    # constant 64 history: forecast = 64 * (1 - 2^-16) exactly
+    assert out[("a", 16)]["ewma"] == 64.0 * (1.0 - 2.0 ** -16)
+    assert out[("a", 16)]["spike"] == 0
+    # the burst row scores against the PRIOR baseline it never joined
+    assert out[("a", 18)]["spike"] == 1
+    # next row: baseline now carries 1000/2 -> 64 is no spike
+    assert out[("a", 19)]["spike"] == 0
+    # group b independent: constant 8
+    assert out[("b", 16)]["ewma"] == 8.0 * (1.0 - 2.0 ** -16)
+
+    with pytest.raises(ValueError, match="window"):
+        ewma_dyadic(df, "n", "t", window=0)
+
+
+def test_seasonal_naive_error_laws(spark):
+    """seasonal_naive_error: a perfectly periodic series has
+    mae_seasonal = 0 and mase = 0 while the lag-1 naive suffers; a
+    trending series favors the lag-1 naive (mase > 1); constant
+    series -> NULL mase (perfect naive denominator); hand replay."""
+    import pytest
+
+    from tidyvec_spark.operators.reports import seasonal_naive_error
+
+    period = [10, 50, 90]
+    rows = [("p", t, period[t % 3]) for t in range(12)]
+    rows += [("tr", t, 10 * t) for t in range(12)]   # pure trend
+    rows += [("c", t, 7) for t in range(12)]         # constant
+    df = spark.createDataFrame(rows, "g string, t long, n long")
+    out = {r["g"]: r for r in seasonal_naive_error(
+        df, "n", "t", by=["g"], season=3, round_to=6).collect()}
+
+    p = out["p"]
+    assert p["n"] == 12 and p["mae_seasonal"] == 0.0 and p["mase"] == 0.0
+    assert p["mae_naive"] > 0.0
+
+    tr = out["tr"]
+    # trend: lag-1 error = 10, lag-3 error = 30 -> mase = 3
+    assert tr["mae_naive"] == 10.0 and tr["mae_seasonal"] == 30.0
+    assert tr["mase"] == 3.0
+
+    c = out["c"]
+    assert c["mae_naive"] == 0.0 and c["mase"] is None
+
+    with pytest.raises(ValueError, match="season"):
+        seasonal_naive_error(df, "n", "t", season=0)

@@ -603,3 +603,97 @@ def brier_ece(
         brier = F.round(brier, int(round_to))
         ece = F.round(ece, int(round_to))
     return out.select("n", brier.alias("brier"), ece.alias("ece"))
+
+
+def conformal_eval(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    cal_col: str,
+    alpha: float = 0.1,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Split conformal prediction for the binary quality classifier
+    (Vovk et al. 2005; Angelopoulos & Bates 2021 §1): calibrate a
+    nonconformity threshold ``qhat`` on held-out labeled rows, then
+    emit PREDICTION SETS with the distribution-free marginal
+    guarantee P(y ∈ set) ≥ 1 − alpha — the principled upgrade from
+    "keep if p ≥ 0.5" to "keep with a coverage certificate", which is
+    what a curation SLA actually wants.
+
+    Laws (binary, score s(x,1) = 1 − p, s(x,0) = p):
+
+    - ``qhat`` is the k-th smallest calibration nonconformity with
+      k = ceil((n_cal+1)(1−alpha)) — computed integer-exactly as
+      ``((n_cal+1)·a_num + a_den − 1) div a_den`` with alpha read as
+      a ratio of 10^6 (the UNSMOOTHED conformal quantile; if
+      k > n_cal every set is {0,1} and qhat reads 2.0);
+    - the k-th smallest is an exact order statistic over the DISTINCT
+      nonconformity values (cum-count ≥ k), never a per-row sort;
+    - a test row's set contains label y iff s(x,y) ≤ qhat; the row is
+      COVERED iff it contains the true label.
+
+    Scores arrive pre-rounded (the classifier emits 6-dp
+    probabilities), so 1−p, the comparisons, and every count are
+    engine-identical. Two passes over ``df`` (calibration histogram,
+    then test aggregation against the broadcast one-row qhat); the
+    intermediate is bounded by the distinct-score domain.
+
+    Returns ONE row: (n_cal, qhat, n_test, coverage, avg_set_size).
+    """
+    a_den = 1_000_000
+    a_num = round((1.0 - float(alpha)) * a_den)
+    if not (0 <= a_num <= a_den):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    p = F.col(score_col)
+    y = F.col(label_col)
+    s = F.when(y == 1, F.lit(1.0) - p).otherwise(p)
+
+    cal = df.filter(F.col(cal_col)).select(s.alias("__s"))
+    hist = cal.groupBy("__s").agg(F.count("*").cast("long").alias("__c"))
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = hist.withColumn(
+        "__cum", F.sum("__c").over(w_cum).cast("long")
+    ).withColumn("__ncal", F.sum("__c").over(w_all).cast("long"))
+    k = F.expr(f"((__ncal + 1) * {a_num} + {a_den} - 1) div {a_den}")
+    qhat = ranked.groupBy("__ncal").agg(
+        F.min(F.when(F.col("__cum") >= k, F.col("__s"))).alias("__q")
+    ).select(
+        F.col("__ncal").alias("n_cal"),
+        # k > n_cal (tiny calibration set): nothing reaches rank k,
+        # the conformal convention is the degenerate full set
+        F.coalesce(F.col("__q"), F.lit(2.0)).alias("qhat"),
+    )
+
+    test = df.filter(~F.col(cal_col)).select(
+        p.alias("__p"), y.alias("__y")
+    )
+    j = test.crossJoin(F.broadcast(qhat))
+    in1 = (F.lit(1.0) - F.col("__p")) <= F.col("qhat")
+    in0 = F.col("__p") <= F.col("qhat")
+    covered = (
+        ((F.col("__y") == 1) & in1) | ((F.col("__y") == 0) & in0)
+    )
+    agg = j.groupBy("n_cal", "qhat").agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(covered.cast("long")).cast("long").alias("__cov"),
+        F.sum(
+            in1.cast("long") + in0.cast("long")
+        ).cast("long").alias("__sz"),
+    )
+    coverage = F.col("__cov").cast("double") / F.col("n_test")
+    avg_size = F.col("__sz").cast("double") / F.col("n_test")
+    if round_to is not None:
+        r = int(round_to)
+        coverage = F.round(coverage, r)
+        avg_size = F.round(avg_size, r)
+    return agg.select(
+        "n_cal", "qhat", "n_test",
+        coverage.alias("coverage"),
+        avg_size.alias("avg_set_size"),
+    )

@@ -389,3 +389,68 @@ def random_projection_py(
             acc += float(x) * w
         out.append(acc * s)
     return out
+
+
+def embedding_anisotropy(
+    df: DataFrame,
+    emb_col: str,
+    scale: int = 1_000_000,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Mean pairwise cosine similarity of the embedding cloud —
+    Ethayarajh 2019's ANISOTROPY number, the directional-bias
+    complement of :func:`effective_rank`'s dimensional-collapse ratio
+    (a cone can use all d dimensions yet point one way; ~0 means
+    directions balance, → 1 means every vector says the same thing and
+    cosine retrieval loses its contrast).
+
+    Never all-pairs: over unit-normalized rows ``u_i``, the pair mean
+    has the closed form ``(‖Σu‖² − Σ‖u_i‖²) / (n(n−1))`` — ONE scan,
+    no join. Engine-exactness: each row is normalized (a per-row
+    IEEE-deterministic fold + sqrt + divide), then quantized ONCE to
+    int64 (``round(u·scale)``), so the cross-row sums the identity
+    needs are exact integers in any order/partitioning; the two
+    quadratic reductions accumulate in DECIMAL(38,0) (``Σ_d S_d²``
+    reaches n²·scale²·d — past int64 by ~n=1200 already). Quantization
+    perturbs each coordinate by ≤ 5e-7, so the estimate is exact to
+    ~1e-6 — the output grain.
+
+    Returns ONE row: (n_vectors, anisotropy)."""
+    s = int(scale)
+    x = F.col(emb_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(x, lambda v: v * v),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    u = F.transform(x, lambda v: F.round(v / norm * s, 0).cast("long"))
+    ex = (
+        df.filter(F.col(emb_col).isNotNull())
+        .select(F.posexplode(u).alias("d", "ui"))
+    )
+    per_dim = ex.groupBy("d").agg(
+        F.sum("ui").alias("sd"),                      # Σ_i u_id  (exact)
+        F.sum(F.col("ui") * F.col("ui")).alias("qd"),  # Σ_i u_id² (exact)
+        F.count("*").alias("nd"),
+    )
+    dec = "decimal(38,0)"
+    agg = per_dim.agg(
+        (
+            F.sum(F.col("sd").cast(dec) * F.col("sd").cast(dec))
+            - F.sum(F.col("qd").cast(dec))
+        ).alias("__num"),
+        F.max("nd").cast("long").alias("__n"),
+    )
+    a = F.when(
+        F.col("__n") > 1,
+        F.col("__num").cast("double")
+        / (F.col("__n") * (F.col("__n") - F.lit(1))).cast("double")
+        / F.lit(float(s) * float(s)),
+    )
+    if round_to is not None:
+        a = F.round(a, int(round_to)) + F.lit(0.0)
+    return agg.select(
+        F.col("__n").alias("n_vectors"), a.alias("anisotropy")
+    )

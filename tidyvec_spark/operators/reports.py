@@ -37,6 +37,9 @@ __all__ = [
     "token_entropy_by_group",
     "zone_prune_audit",
     "ngram_coverage_curve",
+    "ks_distance_by_group",
+    "ewma_dyadic",
+    "seasonal_naive_error",
 ]
 
 
@@ -1222,3 +1225,211 @@ def winsorized_mean_by_group(
     )
     out._tidyvec_persisted = [hist]
     return out
+
+
+def ks_distance_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov distance against the
+    GLOBAL distribution: ``ks = sup_v |CDF_g(v) − CDF_all(v)|`` — the
+    worst-case-gap drift number beside the bin-sum metrics (PSI is a
+    weighted average over bins, JSD a divergence over the top-k
+    support; KS is the single largest CDF gap, the statistic that
+    spikes when one source's length/score distribution develops a
+    bump PSI smears away). Comparing against the pooled corpus
+    (including the group itself) biases each ks toward 0 by the
+    group's own mass share — fine for ranking sources against each
+    other, which is the monitoring question.
+
+    Integer-exact: both CDFs are cumulative INTEGER counts over the
+    shared observed-value grid (the sup over a step function is
+    attained at an observed value), compared cross-multiplied in
+    DECIMAL(38,0) — ``|cum_g·N − cum_all·n_g|`` — so the max and the
+    final single division are engine- and partition-stable.
+
+    One corpus scan into the (group, value) count frame; every later
+    frame is bounded by |groups| × |value domain|, never row count
+    (the groups × values grid materializes via a broadcast, not a
+    shuffle). Returns (``group_col``, n, ks)."""
+    h = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count("*").cast("long").alias("__c"))
+        .persist()
+    )
+    w_all = Window.partitionBy()
+    w_v = Window.orderBy(value_col)
+    vals = (
+        h.groupBy(value_col)
+        .agg(F.sum("__c").cast("long").alias("__cv"))
+        .withColumn("__cumg", F.sum("__cv").over(w_v).cast("long"))
+        .withColumn("__ng", F.sum("__cv").over(w_all).cast("long"))
+        .drop("__cv")
+    )
+    groups = h.groupBy(group_col).agg(
+        F.sum("__c").cast("long").alias("__ns")
+    )
+    grid = groups.crossJoin(F.broadcast(vals))
+    w_g = Window.partitionBy(group_col).orderBy(value_col)
+    dec = "decimal(38,0)"
+    j = (
+        grid.join(h, [group_col, value_col], "left")
+        .withColumn(
+            "__cums",
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(w_g)
+            .cast("long"),
+        )
+        .withColumn(
+            "__diff",
+            F.abs(
+                F.col("__cums").cast(dec) * F.col("__ng").cast(dec)
+                - F.col("__cumg").cast(dec) * F.col("__ns").cast(dec)
+            ),
+        )
+    )
+    per = j.groupBy(group_col).agg(
+        F.max("__ns").alias("__gn"),
+        F.max("__ng").alias("__tot"),
+        F.max("__diff").alias("__d"),
+    )
+    ks = F.col("__d").cast("double") / (
+        F.col("__gn").cast("double") * F.col("__tot").cast("double")
+    )
+    if round_to is not None:
+        ks = F.round(ks, int(round_to))
+    out = per.select(
+        group_col, F.col("__gn").alias("n"), ks.alias("ks")
+    )
+    out._tidyvec_persisted = [h]
+    return out
+
+
+def ewma_dyadic(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    by: Sequence[str] = (),
+    window: int = 16,
+    round_to: int | None = None,
+) -> DataFrame:
+    """One-step-ahead exponentially weighted forecast with
+    alpha = 1/2, engine-exact by construction: ``ewma_t =
+    sum_{1<=j<=window} v_{t-j} / 2^j`` — the PRIOR rows only, so the
+    spike test below compares an observation against a baseline it
+    did not contribute to (an inclusive smoother with alpha = 1/2
+    gives the current row half the mass, and no burst can ever exceed
+    2x its own average). Every weight is a POWER OF TWO, so each term
+    and every partial sum is an exact dyadic double (integer counts
+    below 2^40 never round against the 2^-window grain), making the
+    forecast bit-identical across engines, partitionings and fold
+    orders without integer scaling. The geometric tail beyond
+    ``window`` lags is truncated (weight 2^-window ≈ 1.5e-5 of the
+    step at the default 16) — the price of exactness, far below any
+    alerting threshold.
+
+    The EWMA ratio is the fast-reacting local-baseline monitor next
+    to :func:`cusum_alarms`' drift detector: CUSUM integrates small
+    sustained shifts, ``spike`` (``v > 2 * ewma``) catches the single
+    burst hour against the recent level. Rows whose window is not yet
+    full (fewer than ``window`` predecessors in their group) emit
+    NULL — a warm-up law, not a renormalized estimate.
+
+    Lags run over the OBSERVED rows of each group in ``order_col``
+    order (gaps in the grid are a densification concern upstream).
+    One window shuffle on the group key; everything else map-side.
+
+    Returns ``by`` + (``order_col``, ``value_col``, ewma, spike)."""
+    if not (1 <= int(window) <= 40):
+        raise ValueError("window must be in [1, 40]")
+    w = (
+        Window.partitionBy(*[F.col(b) for b in by]).orderBy(order_col)
+        if by
+        else Window.partitionBy().orderBy(order_col)
+    )
+    v = F.col(value_col).cast("double")
+    terms = None
+    for j in range(1, int(window) + 1):
+        t = F.lag(v, j).over(w) * F.lit(2.0 ** -j)
+        terms = t if terms is None else terms + t
+    full = F.lag(v, int(window)).over(w).isNotNull()
+    ewma = F.when(full, terms)
+    if round_to is not None:
+        ewma = F.round(ewma, int(round_to))
+    out = df.select(
+        *by, order_col, value_col, ewma.alias("ewma")
+    ).withColumn(
+        "spike",
+        F.when(
+            F.col("ewma").isNotNull(),
+            (v > F.lit(2.0) * F.col("ewma")).cast("int"),
+        ),
+    )
+    return out
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    by: Sequence[str] = (),
+    season: int = 24,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Seasonal-naive forecast error per group (Hyndman & Koehler
+    2006's MASE convention): compare the lag-``season`` forecast
+    (same hour yesterday) against the lag-1 naive on the observed
+    series — ``mase < 1`` certifies the series HAS the seasonality a
+    calendar-blind monitor (CUSUM, EWMA) ignores, and a rising mase
+    release-over-release means the daily shape broke. Integer-exact:
+    both sums of absolute integer errors are int64, the three ratios
+    are each ONE division of exact integers (mase cross-multiplied:
+    ``(sae_s·c_1) / (sae_1·c_s)``), so engines agree bit-for-bit.
+    One window shuffle on the group key. NULL mase when the lag-1
+    naive is perfect (sae_1 = 0) or either lag never materializes.
+
+    Returns ``by`` + (n, mae_naive, mae_seasonal, mase)."""
+    if int(season) < 1:
+        raise ValueError("season must be >= 1")
+    w = (
+        Window.partitionBy(*[F.col(b) for b in by]).orderBy(order_col)
+        if by
+        else Window.partitionBy().orderBy(order_col)
+    )
+    v = F.col(value_col).cast("long")
+    e1 = F.abs(v - F.lag(v, 1).over(w))
+    es = F.abs(v - F.lag(v, int(season)).over(w))
+    base = df.select(*by, e1.alias("__e1"), es.alias("__es"))
+    agg = base.groupBy(*[F.col(b) for b in by] if by else []).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__e1").cast("long").alias("__s1"),
+        F.count("__e1").cast("long").alias("__c1"),
+        F.sum("__es").cast("long").alias("__ss"),
+        F.count("__es").cast("long").alias("__cs"),
+    )
+    dec = "decimal(38,0)"
+    mae1 = F.when(
+        F.col("__c1") > 0, F.col("__s1").cast("double") / F.col("__c1")
+    )
+    maes = F.when(
+        F.col("__cs") > 0, F.col("__ss").cast("double") / F.col("__cs")
+    )
+    mase = F.when(
+        (F.col("__s1") > 0) & (F.col("__cs") > 0),
+        (F.col("__ss").cast(dec) * F.col("__c1").cast(dec)).cast("double")
+        / (F.col("__s1").cast(dec) * F.col("__cs").cast(dec))
+        .cast("double"),
+    )
+    if round_to is not None:
+        r = int(round_to)
+        mae1, maes, mase = (
+            F.round(mae1, r), F.round(maes, r), F.round(mase, r)
+        )
+    return agg.select(
+        *by, "n",
+        mae1.alias("mae_naive"),
+        maes.alias("mae_seasonal"),
+        mase.alias("mase"),
+    )
