@@ -3256,6 +3256,57 @@ FROM hashed GROUP BY h HAVING count(*) > 1
 """
 
 
+def _docs_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup cluster-size distribution (operators/dedup.py::
+    dup_cluster_stats): one row per observed cluster size with its
+    cluster count, doc count, and corpus share — the dedup PLANNING
+    view ("47% of docs in clusters ≥100" is boilerplate, "one 2M-copy
+    cluster" is a crawler trap) that drop_exact_dups' flat removal
+    count hides. Corpus = documents + clones of the first 50
+    (+10000) + second clones of the first 20 (+20000), so sizes 1/2/3
+    all materialize. One scan, hash groupBy, then a size-domain-
+    bounded second groupBy."""
+    from tidyvec_spark.operators.dedup import dup_cluster_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 20000).alias("doc_id"), "text"
+        )
+    )
+    return dup_cluster_stats(corpus, "text", "doc_id", round_to=R)
+
+
+_DOCS_DUP_CLUSTER_STATS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 20
+),
+hashed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM corpus
+),
+cl AS (SELECT h, CAST(count(*) AS BIGINT) AS size FROM hashed GROUP BY h),
+sz AS (
+  SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(size * count(*) AS BIGINT) AS n_docs
+  FROM cl GROUP BY size
+)
+SELECT size, n_clusters, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE),
+             {R}) AS doc_share
+FROM sz
+"""
+
+
 def _dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup *sink* side: keep the lowest-id representative of each
     exact-dup group, pass uniques through (dedup.drop_exact_dups)."""
@@ -15911,6 +15962,92 @@ FROM h, t
 """
 
 
+def _corpus_ks_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-scan cross-corpus KS distance (operators/sketches.py::
+    lenhist_ks over two corpus_manifest(lenhist=True) artifacts): the
+    worst-case CDF gap between the stored 13-count length histograms
+    of the two fixture halves — corpus_psi_manifest's companion the
+    way source_ks_distance accompanies source_psi_drift: PSI averages
+    drift across buckets, bucket-KS is the largest single gap (a
+    PROVEN lower bound on the value-level KS since CDFs are compared
+    at the stored edges). Integer-exact cumulative counts
+    cross-multiplied in DECIMAL(38,0); manifest BUILD is the declared
+    in-entry cost (the corpus_triage_manifest convention — production
+    manifests are stored at ingest; the probe itself reads two 13-row
+    frames)."""
+    from tidyvec_spark.operators.sketches import (
+        lenhist_from_manifest,
+        lenhist_ks,
+    )
+    from tidyvec_spark.sources.maintenance import corpus_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def hist(part):
+        man = corpus_manifest(
+            part, "doc_id", "text", n_shards=8, digest=False,
+            lenhist=True, lenhist_edges=_LENHIST_EDGES,
+        )
+        return lenhist_from_manifest(man, _LENHIST_EDGES)
+
+    ref = hist(docs.filter(F.col("doc_id") < 250))
+    cur = hist(docs.filter(F.col("doc_id") >= 250))
+    return lenhist_ks(ref, cur, round_to=R)
+
+
+_CORPUS_KS_MANIFEST_SQL = f"""
+WITH nt AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+bk AS (
+  SELECT (doc_id < 250) AS ref,
+         (CASE WHEN n > 0 THEN 1 ELSE 0 END
+              + CASE WHEN n > 8 THEN 1 ELSE 0 END
+              + CASE WHEN n > 16 THEN 1 ELSE 0 END
+              + CASE WHEN n > 32 THEN 1 ELSE 0 END
+              + CASE WHEN n > 64 THEN 1 ELSE 0 END
+              + CASE WHEN n > 128 THEN 1 ELSE 0 END
+              + CASE WHEN n > 256 THEN 1 ELSE 0 END
+              + CASE WHEN n > 512 THEN 1 ELSE 0 END
+              + CASE WHEN n > 1024 THEN 1 ELSE 0 END
+              + CASE WHEN n > 4096 THEN 1 ELSE 0 END
+              + CASE WHEN n > 16384 THEN 1 ELSE 0 END
+              + CASE WHEN n > 65536 THEN 1 ELSE 0 END) AS bucket
+  FROM nt
+),
+buckets AS (SELECT CAST(unnest(range(13)) AS INT) AS bucket),
+h AS (
+  -- ref = NULL marks the LEFT JOIN's empty-bucket row: it counts
+  -- into NEITHER side (explicit = arms, the corpus_psi_manifest law)
+  SELECT buckets.bucket,
+         CAST(coalesce(sum(CASE WHEN ref = true THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS nr,
+         CAST(coalesce(sum(CASE WHEN ref = false THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS nc
+  FROM buckets LEFT JOIN bk USING (bucket)
+  GROUP BY 1
+),
+k AS (
+  SELECT bucket, nr, nc,
+         sum(nr) OVER (ORDER BY bucket) AS cr,
+         sum(nc) OVER (ORDER BY bucket) AS cc,
+         sum(nr) OVER () AS tr, sum(nc) OVER () AS tc
+  FROM h
+),
+a AS (
+  SELECT CAST(max(tr) AS BIGINT) AS n_ref,
+         CAST(max(tc) AS BIGINT) AS n_cur,
+         max(abs(CAST(cr AS HUGEINT) * tc - CAST(cc AS HUGEINT) * tr))
+           AS d
+  FROM k
+)
+SELECT n_ref, n_cur,
+       ROUND(CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+               CAST(d AS DOUBLE)
+               / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))
+             END, {R}) AS ks
+FROM a
+"""
+
+
 def _embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Participation-ratio effective rank (operators/reduce.py::
     effective_rank — Roy & Vetterli 2007): (Σλ)²/Σλ² = trace(C)²/‖C‖_F²
@@ -16770,6 +16907,154 @@ FROM per
 """
 
 
+def _embedding_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity-sampling k-means coreset (operators/cluster.py::
+    kmeans_coreset — Bachem, Lucic & Krause 2017) off the
+    deterministic Lloyd assignment: keep ~100 rows with probability ∝
+    dist2 + mean(dist2) and carry the 1/f inverse-probability weight,
+    so downstream clustering/tuning runs on the weighted coreset
+    instead of the corpus — the 100 TB answer to "re-tune k without
+    re-scanning". Every law integer-exact on the 6-dp Lloyd
+    distances; the full chain (integer Lloyd → sensitivities →
+    salted-hash admission) replays in SQL by construction."""
+    from tidyvec_spark.operators.cluster import kmeans_coreset
+
+    a = _kmeans_lloyd(spark, sf_dir)
+    return kmeans_coreset(a, "vec_id", m=100, salt="cs14", round_to=R)
+
+
+def _embedding_coreset_sql() -> str:
+    hu = _hu_sql("cs14", "CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH km AS (SELECT * FROM ({_kmeans_lloyd_sql()})),
+d AS (
+  SELECT vec_id, cluster,
+         CAST(round(dist2 * 1000000) AS BIGINT) AS di
+  FROM km
+),
+t AS (
+  SELECT CAST(sum(di) AS BIGINT) AS sd, CAST(count(*) AS BIGINT) AS n
+  FROM d
+),
+s AS (
+  SELECT vec_id, cluster,
+         di + greatest(sd // n, 1) AS si,
+         sd + n * greatest(sd // n, 1) AS ss
+  FROM d, t
+),
+f AS (
+  SELECT vec_id, cluster,
+         ROUND(least(CAST(100 AS DOUBLE)
+                     * (CAST(si AS DOUBLE) / CAST(ss AS DOUBLE)),
+                     CAST(1.0 AS DOUBLE)), 9) AS f
+  FROM s
+)
+SELECT vec_id, cluster,
+       ROUND(CAST(1.0 AS DOUBLE) / f, {R}) AS weight
+FROM f WHERE {hu} < f
+"""
+
+
+def _docs_length_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy-tail index of document length (operators/
+    reports.py::hill_tail_index — Hill 1975): alpha from the top-10
+    order statistics — HOW heavy each source's long-document tail is
+    (alpha ≈ 1: the longest docs carry a constant fraction of all
+    tokens at any scale; alpha > 2: budgetable), the
+    packing/truncation-budget number docs_length_quantiles' width
+    report cannot give. Log-ratios quantized once to int64 so the
+    per-source mean is fold-order exact; one scan, one window
+    shuffle."""
+    from tidyvec_spark.operators.reports import hill_tail_index
+
+    docs = _read(spark, sf_dir, "documents")
+    return hill_tail_index(
+        docs, "n_chars", "source", "doc_id", k=10, round_to=R
+    )
+
+
+_DOCS_LENGTH_TAIL_SQL = f"""
+WITH v AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v
+  FROM documents WHERE n_chars > 0
+),
+rk AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY v DESC, doc_id ASC) AS rn
+  FROM v
+),
+xr AS (
+  SELECT source, rn, v,
+         max(CASE WHEN rn = 11 THEN v END) OVER (PARTITION BY source)
+           AS xref
+  FROM rk WHERE rn <= 11
+),
+l AS (
+  SELECT source, xref,
+         CAST(round(ln(CAST(v AS DOUBLE) / CAST(xref AS DOUBLE))
+                    * 1000000) AS BIGINT) AS li
+  FROM xr WHERE xref IS NOT NULL AND rn <= 10
+),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(max(xref) AS BIGINT) AS x_ref,
+         CAST(sum(li) AS BIGINT) AS sl
+  FROM l GROUP BY source
+)
+SELECT source, k_used, x_ref,
+       ROUND(CAST(sl AS DOUBLE) / CAST(k_used AS DOUBLE) / CAST(1000000 AS DOUBLE),
+             {R}) AS hill,
+       ROUND(CASE WHEN sl > 0 THEN
+               CAST(1.0 AS DOUBLE)
+               / (CAST(sl AS DOUBLE) / CAST(k_used AS DOUBLE)
+                  / CAST(1000000 AS DOUBLE))
+             END, {R}) AS alpha
+FROM a
+"""
+
+
+_DOREMI_SAMPLE_SALT = "drm14"
+
+
+def _mix_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned mixture APPLIED (operators/sampling.py::
+    doremi_sample): mix_doremi's weights become per-source keep
+    fractions r_d = weight_d / observed_share_d (most
+    under-represented source kept whole), admitted by the
+    deterministic salted-md5 gate every mix entry shares —
+    train → weights → resample, end to end in one lazy plan. The
+    weights pipeline is the declared mix_doremi shape; the apply adds
+    one source-count aggregate and a zero-shuffle map-side filter."""
+    from tidyvec_spark.operators.sampling import doremi_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    w = _mix_doremi(spark, sf_dir).select("source", "weight")
+    out = doremi_sample(
+        docs.select("doc_id", "source"), "doc_id", "source", w,
+        salt=_DOREMI_SAMPLE_SALT,
+    )
+    return out.select("doc_id", "source")
+
+
+def _mix_doremi_sample_sql() -> str:
+    hu = _hu_sql(_DOREMI_SAMPLE_SALT)
+    return f"""
+WITH dw AS (SELECT * FROM ({_mix_doremi_sql()})),
+cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cnt),
+r AS (
+  SELECT dw.source,
+         dw.weight / (CAST(cnt.n AS DOUBLE) / (SELECT nn FROM tot)) AS r
+  FROM dw JOIN cnt USING (source)
+),
+f AS (SELECT source, ROUND(r / (SELECT max(r) FROM r), 9) AS f FROM r),
+u AS (SELECT doc_id, source, {hu} AS u FROM documents)
+SELECT u.doc_id, u.source FROM u JOIN f USING (source) WHERE u.u < f.f
+"""
+
+
 def _docs_clf_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split conformal prediction sets for the quality classifier
     (operators/evaluation.py::conformal_eval — Vovk et al. 2005;
@@ -17460,6 +17745,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_conformal": _docs_clf_conformal,
         "events_ewma": _events_ewma,
         "events_seasonal_error": _events_seasonal_error,
+        "corpus_ks_manifest": _corpus_ks_manifest,
+        "docs_dup_cluster_stats": _docs_dup_cluster_stats,
+        "mix_doremi_sample": _mix_doremi_sample,
+        "embedding_coreset": _embedding_coreset,
+        "docs_length_tail": _docs_length_tail,
     }
 
 
@@ -17795,4 +18085,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_clf_conformal": _docs_clf_conformal_sql(),
         "events_ewma": _events_ewma_sql(),
         "events_seasonal_error": _EVENTS_SEASONAL_ERROR_SQL,
+        "corpus_ks_manifest": _CORPUS_KS_MANIFEST_SQL,
+        "docs_dup_cluster_stats": _DOCS_DUP_CLUSTER_STATS_SQL,
+        "mix_doremi_sample": _mix_doremi_sample_sql(),
+        "embedding_coreset": _embedding_coreset_sql(),
+        "docs_length_tail": _DOCS_LENGTH_TAIL_SQL,
     }

@@ -341,6 +341,11 @@ BENCH_QUERIES = [
     "docs_clf_conformal",
     "events_ewma",
     "events_seasonal_error",
+    "corpus_ks_manifest",
+    "docs_dup_cluster_stats",
+    "mix_doremi_sample",
+    "embedding_coreset",
+    "docs_length_tail",
 ]
 
 

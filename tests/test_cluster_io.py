@@ -200,3 +200,45 @@ def test_kmeans_lloyd_errors(spark):
         kmeans_lloyd(df, "embedding", "vec_id", k=0, dim=2)
     with pytest.raises(ValueError, match="iterations"):
         kmeans_lloyd(df, "embedding", "vec_id", k=2, iterations=-1, dim=2)
+
+
+def test_kmeans_coreset_laws(spark, embeddings):
+    """kmeans_coreset: expected sample size ~ m; weights = 1/f >= 1;
+    far points (larger dist2) get smaller weights (higher admission
+    probability); deterministic re-run; the persisted-handle
+    propagates from the Lloyd assignment."""
+    from tidyvec_spark.operators.cluster import kmeans_coreset, kmeans_lloyd
+
+    a = kmeans_lloyd(
+        embeddings, "embedding", "vec_id", k=4, iterations=2,
+        salt="t", round_to=6,
+    )
+    cs = kmeans_coreset(a, "vec_id", m=100, salt="cs", round_to=6)
+    rows = cs.collect()
+    assert 50 < len(rows) < 200          # E[|S|] ~ 100
+    assert all(r["weight"] >= 1.0 for r in rows)
+
+    # deterministic: identical re-run
+    a2 = kmeans_lloyd(
+        embeddings, "embedding", "vec_id", k=4, iterations=2,
+        salt="t", round_to=6,
+    )
+    cs2 = kmeans_coreset(a2, "vec_id", m=100, salt="cs", round_to=6)
+    assert sorted((r["vec_id"], r["weight"]) for r in cs2.collect()) == \
+        sorted((r["vec_id"], r["weight"]) for r in rows)
+
+    # monotone law: within the sample, a larger dist2 never has a
+    # LARGER weight (f is monotone increasing in dist2)
+    d = {r["vec_id"]: r["dist2"] for r in a.collect()}
+    sampled = sorted(rows, key=lambda r: d[r["vec_id"]])
+    for lo, hi in zip(sampled, sampled[1:]):
+        assert hi["weight"] <= lo["weight"] + 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError, match="m must"):
+        kmeans_coreset(a, "vec_id", m=0)
+
+    for h in cs._tidyvec_persisted + cs2._tidyvec_persisted:
+        h.unpersist()
+    spark.catalog.clearCache()

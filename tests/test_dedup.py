@@ -1339,3 +1339,24 @@ def test_jaccard_prefix_pairs_lossless_vs_bruteforce(spark):
         jaccard_prefix_pairs(df, "text", "doc_id", threshold=0.0)
     with pytest.raises(ValueError, match="shingle_n"):
         jaccard_prefix_pairs(df, "text", "doc_id", shingle_n=0)
+
+
+def test_dup_cluster_stats_laws(spark):
+    """dup_cluster_stats: hand case — 3 singletons, one pair, one
+    triple → rows (1,3,3), (2,1,2), (3,1,3); doc_share sums to 1;
+    normalization folds case/whitespace into the same cluster."""
+    from tidyvec_spark.operators.dedup import dup_cluster_stats
+
+    rows = [
+        (1, "alpha"), (2, "beta"), (3, "gamma"),
+        (4, "dup  one"), (5, "DUP ONE"),              # pair via norm
+        (6, "tri"), (7, " tri "), (8, "TRI"),         # triple via norm
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["size"]: r for r in
+           dup_cluster_stats(df, "text", "doc_id", round_to=6).collect()}
+    assert (got[1]["n_clusters"], got[1]["n_docs"]) == (3, 3)
+    assert (got[2]["n_clusters"], got[2]["n_docs"]) == (1, 2)
+    assert (got[3]["n_clusters"], got[3]["n_docs"]) == (1, 3)
+    assert round(sum(r["doc_share"] for r in got.values()), 6) == 1.0
+    assert got[2]["doc_share"] == 0.25

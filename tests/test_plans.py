@@ -991,6 +991,15 @@ def test_round14_entry_plan_shapes(spark, qs):
         ("docs_clf_conformal", 2),
         ("events_ewma", 1),
         ("events_seasonal_error", 1),
+        # wave 2: 2-scan = one manifest per half (the psi convention);
+        # 3-scan = the dup-clone union fixture (operator itself is one
+        # hash groupBy); 4-scan = the declared composite (doremi's
+        # fit+score plus the count agg and the admission filter pass)
+        ("corpus_ks_manifest", 2),
+        ("docs_dup_cluster_stats", 3),
+        ("mix_doremi_sample", 4),
+        ("embedding_coreset", 1),   # rides the persisted Lloyd frame
+        ("docs_length_tail", 1),
     ):
         df = qs[name](spark, SF)
         assert P.num_scans(df) <= max_scans, name

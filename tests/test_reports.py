@@ -1218,3 +1218,47 @@ def test_seasonal_naive_error_laws(spark):
 
     with pytest.raises(ValueError, match="season"):
         seasonal_naive_error(df, "n", "t", season=0)
+
+
+def test_hill_tail_index_laws(spark):
+    """hill_tail_index: an exact Pareto(alpha) top tail recovers alpha
+    (on synthetic order statistics x_(i) = C·i^(-1/alpha) the Hill
+    estimator is alpha^-1·mean(ln((k+1)/i)) — replay it by hand);
+    all-equal top values -> hill 0, alpha NULL; groups with <= k
+    positive values are omitted; k validation."""
+    import math
+
+    import pytest
+
+    from tidyvec_spark.operators.reports import hill_tail_index
+
+    k = 10
+    alpha_true = 2.0
+    # x_(i) = 1e6 * i^(-1/alpha), i = 1..k+1 (integers, descending)
+    xs = [int(1e6 * i ** (-1.0 / alpha_true)) for i in range(1, k + 2)]
+    rows = [("par", i, v) for i, v in enumerate(xs)]
+    rows += [("flat", i, 500) for i in range(k + 5)]
+    rows += [("tiny", i, 100 + i) for i in range(5)]   # < k+1 values
+    df = spark.createDataFrame(rows, "g string, doc_id long, v long")
+    out = {r["g"]: r for r in hill_tail_index(
+        df, "v", "g", "doc_id", k=k, round_to=6).collect()}
+
+    # hand replay of the exact law on the integer xs
+    want = round(
+        sum(round(math.log(xs[i] / xs[k]) * 1e6) for i in range(k))
+        / k / 1e6, 6,
+    )
+    assert out["par"]["k_used"] == k and out["par"]["x_ref"] == xs[k]
+    assert out["par"]["hill"] == want
+    # finite-k deterministic expectation: on x_(i) = C·i^(-1/alpha)
+    # the Hill mean is (ln(k+1) − ln(k!)/k)/alpha, NOT 1/alpha — the
+    # estimator's small-k bias (≈ 0.4437 at k=10, alpha=2)
+    exact = (math.log(k + 1) - math.lgamma(k + 1) / k) / alpha_true
+    assert abs(out["par"]["hill"] - exact) < 1e-3
+    assert abs(out["par"]["alpha"] - 1.0 / exact) < 1e-2
+
+    assert out["flat"]["hill"] == 0.0 and out["flat"]["alpha"] is None
+    assert "tiny" not in out
+
+    with pytest.raises(ValueError, match="k must"):
+        hill_tail_index(df, "v", "g", "doc_id", k=0)

@@ -728,3 +728,44 @@ def test_doremi_weights_laws(spark):
 
     with pytest.raises(ValueError, match="steps"):
         doremi_weights(df, "source", "loss", steps=-1)
+
+
+def test_doremi_sample_laws(spark):
+    """doremi_sample: the most under-represented domain (relative to
+    its learned weight) is kept whole; domains absent from the weights
+    frame are dropped; selections nest under the same salt; output
+    share moves TOWARD the learned weight."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.sampling import doremi_sample
+
+    rows = [("a", i) for i in range(900)] + [
+        ("b", i) for i in range(900, 1000)
+    ] + [("z", i) for i in range(1000, 1050)]
+    df = spark.createDataFrame(
+        [(g, i) for g, i in rows], "source string, doc_id long"
+    )
+    w = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.5)], "source string, weight double"
+    )
+    out = doremi_sample(df, "doc_id", "source", w, salt="t")
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # b is most under-represented (share 100/1050 vs weight .5): whole
+    assert got["b"] == 100
+    # unlisted z dropped entirely
+    assert "z" not in got
+    # a downsampled toward parity: expect ~100, certainly < 900
+    assert 50 < got["a"] < 200
+
+    # nesting: same salt, smaller effective fractions via weight skew
+    w2 = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.8)], "source string, weight double"
+    )
+    ids1 = {r["doc_id"] for r in out.filter("source = 'a'").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in doremi_sample(df, "doc_id", "source", w2, salt="t")
+        .filter("source = 'a'").collect()
+    }
+    assert ids2 <= ids1  # nested admission under the same salt

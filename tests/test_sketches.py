@@ -441,3 +441,33 @@ def test_lenhist_psi_zero_and_shift(spark):
     assert same["n_ref"] == same["n_cur"] == 100
     shift = lenhist_psi(hist(short), hist(long_), round_to=6).first()
     assert shift["psi"] > 0.25
+
+
+def test_lenhist_ks_laws(spark):
+    """lenhist_ks: identical histograms -> 0; fully disjoint mass ->
+    hand-computed sup gap; empty side -> NULL; matches a hand CDF
+    replay on an asymmetric case."""
+    def hist(counts):
+        return spark.createDataFrame(
+            [(i, None, None, int(n)) for i, n in enumerate(counts)],
+            "bucket int, lo long, hi long, n long",
+        )
+
+    from tidyvec_spark.operators.sketches import lenhist_ks
+
+    a = hist([5, 10, 5])
+    r = lenhist_ks(a, hist([5, 10, 5]), round_to=6).collect()[0]
+    assert (r["n_ref"], r["n_cur"], r["ks"]) == (20, 20, 0.0)
+
+    # all ref mass in bucket 0, all cur mass in bucket 2:
+    # CDFs (1,1,1) vs (0,0,1) -> sup = 1
+    r = lenhist_ks(hist([9, 0, 0]), hist([0, 0, 7]), round_to=6).collect()[0]
+    assert r["ks"] == 1.0
+
+    # hand replay: ref (4,4,2) cum (4,8,10); cur (1,3,6) cum (1,4,10)
+    # diffs |4*10-1*10|=30, |8*10-4*10|=40, 0 -> 40/100 = 0.4
+    r = lenhist_ks(hist([4, 4, 2]), hist([1, 3, 6]), round_to=6).collect()[0]
+    assert r["ks"] == 0.4
+
+    r = lenhist_ks(hist([0, 0, 0]), hist([1, 2, 3]), round_to=6).collect()[0]
+    assert r["n_ref"] == 0 and r["ks"] is None

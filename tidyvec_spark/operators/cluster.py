@@ -205,3 +205,70 @@ def kmeans_lloyd(
     )
     out._tidyvec_persisted = [pts]
     return out
+
+
+def kmeans_coreset(
+    assign,
+    id_col: str,
+    m: int = 100,
+    salt: str = "",
+    round_to: int | None = None,
+):
+    """Sensitivity-sampling CORESET from a :func:`kmeans_lloyd`
+    assignment (Bachem, Lucic & Krause 2017's practical lightweight
+    scheme): keep each point with probability proportional to its
+    sensitivity ``s_i = dist2_i + mean(dist2)`` — the
+    distance-plus-uniform blend that upper-bounds every point's
+    influence on ANY k-means objective — and carry the inverse-
+    probability weight ``1/f_i`` so weighted k-means on the coreset
+    approximates the full-data objective. THE 100 TB move: downstream
+    clustering/tuning runs on ~``m`` weighted rows instead of the
+    corpus, with points near their center (who cannot change any
+    solution much) sampled away first.
+
+    Deterministic end to end: dist2 arrives 6-dp-rounded from the
+    integer Lloyd, is rescaled ONCE to int64, and every sum/mean is
+    exact integer arithmetic (the uniform term ``max(sum div n, 1)``
+    floors at 1 so a fully-degenerate cloud still samples uniformly);
+    the admission probability rounds at 9 decimals before the
+    salted-md5 gate (the mix-entry convention). Expected sample size
+    ≈ ``m`` (exact only when no f_i clips at 1).
+
+    Returns (``id_col``, cluster, weight) for the sampled rows."""
+    if int(m) < 1:
+        raise ValueError("m must be >= 1")
+    from pyspark.sql import Window
+
+    from tidyvec_spark.operators.sampling import hash_unit
+
+    w_all = Window.partitionBy()
+    d = assign.select(
+        id_col, "cluster",
+        F.round(F.col("dist2") * 1_000_000, 0).cast("long").alias("__d"),
+    )
+    d = (
+        d.withColumn("__sd", F.sum("__d").over(w_all).cast("long"))
+        .withColumn("__n", F.count("*").over(w_all).cast("long"))
+        .withColumn(
+            "__u", F.greatest(F.expr("__sd div __n"), F.lit(1).cast("long"))
+        )
+    )
+    si = F.col("__d") + F.col("__u")
+    ss = F.col("__sd") + F.col("__n") * F.col("__u")
+    f = F.round(
+        F.least(
+            F.lit(float(m)) * (si.cast("double") / ss.cast("double")),
+            F.lit(1.0),
+        ),
+        9,
+    )
+    weight = F.lit(1.0) / F.col("__f")
+    if round_to is not None:
+        weight = F.round(weight, int(round_to))
+    out = (
+        d.withColumn("__f", f)
+        .filter(hash_unit(F.col(id_col), salt) < F.col("__f"))
+        .select(id_col, "cluster", weight.alias("weight"))
+    )
+    out._tidyvec_persisted = getattr(assign, "_tidyvec_persisted", [])
+    return out

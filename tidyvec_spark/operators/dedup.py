@@ -2634,3 +2634,49 @@ def jaccard_prefix_pairs(
     )
     out._tidyvec_persisted = [docs]
     return out
+
+
+def dup_cluster_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    key_fn=None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Cluster-SIZE distribution of exact duplicates: one row per
+    observed cluster size — (size, n_clusters, n_docs, doc_share) —
+    the dedup PLANNING view the pairwise operators never show.
+    "47% of docs sit in clusters of ≥100" and "the top cluster holds
+    2M copies of one page" are different problems (boilerplate blast
+    radius vs a crawler trap) demanding different fixes, and both hide
+    inside drop_exact_dups' flat removal count.
+
+    ``key_fn`` plugs the canonicalization law (default
+    :func:`normalized_text_key`, like :func:`exact_dup_groups`).
+    Integer-exact: sizes and counts are exact; doc_share is ONE
+    division of exact integers per row.
+
+    Shape: one scan → hash groupBy (map-side partials, the
+    exact_dup_groups shuffle) → a second groupBy on the size key whose
+    input is already one row per CLUSTER and whose output is bounded
+    by the distinct-size domain. Singleton clusters are included
+    (size 1 is the healthy row — its doc_share is the corpus'
+    unique fraction)."""
+    from pyspark.sql import Window
+
+    key_fn = key_fn or normalized_text_key
+    sizes = (
+        df.withColumn("__h", key_fn(text_col))
+        .groupBy("__h")
+        .agg(F.count("*").cast("long").alias("size"))
+    )
+    out = sizes.groupBy("size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    ).withColumn(
+        "n_docs", (F.col("size") * F.col("n_clusters")).cast("long")
+    )
+    w_all = Window.partitionBy()
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all)
+    if round_to is not None:
+        share = F.round(share, int(round_to))
+    return out.withColumn("doc_share", share)

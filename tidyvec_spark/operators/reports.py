@@ -40,6 +40,7 @@ __all__ = [
     "ks_distance_by_group",
     "ewma_dyadic",
     "seasonal_naive_error",
+    "hill_tail_index",
 ]
 
 
@@ -1432,4 +1433,75 @@ def seasonal_naive_error(
         mae1.alias("mae_naive"),
         maes.alias("mae_seasonal"),
         mase.alias("mase"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-group Hill estimator of the heavy-tail index (Hill 1975):
+    ``hill = mean_{i<=k} ln(x_(i) / x_(k+1))`` over the top-k order
+    statistics, ``alpha = 1/hill`` — HOW heavy each group's upper tail
+    is, the number that decides packing/truncation budgets (alpha ≈ 1
+    means the longest documents carry a constant fraction of all
+    tokens at any scale; alpha > 2 means the tail is budgetable) where
+    the quantile reports only say how WIDE it is.
+
+    Engine-exact the doremi_weights way: each of the k log-ratios is
+    quantized ONCE to int64 (``round(ln(x_i/x_ref)·10^6)``), so the
+    per-group mean is exact integer arithmetic regardless of fold
+    order. Order statistics come from a (value desc, id) row_number —
+    the value SEQUENCE is the sorted multiset, so ties need no law
+    beyond determinism of the values themselves. Groups with fewer
+    than ``k+1`` positive values are omitted (no (k+1)-th reference
+    order statistic); alpha is NULL when the top-(k+1) values are all
+    equal (hill = 0, no tail information).
+
+    One scan; one window shuffle on the group key; the log frame is
+    ``|groups|·k`` rows. Returns (``group_col``, k_used, x_ref, hill,
+    alpha)."""
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    kk = int(k)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__v").desc(), F.col(id_col).asc()
+    )
+    top = (
+        df.filter(F.col(value_col) > 0)
+        .select(group_col, id_col, F.col(value_col).cast("long").alias("__v"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk + 1)
+    )
+    wg = Window.partitionBy(group_col)
+    top = top.withColumn(
+        "__xref",
+        F.max(F.when(F.col("__rn") == kk + 1, F.col("__v"))).over(wg),
+    ).filter(F.col("__xref").isNotNull() & (F.col("__rn") <= kk))
+    li = F.round(
+        F.log(F.col("__v").cast("double") / F.col("__xref").cast("double"))
+        * 1_000_000,
+        0,
+    ).cast("long")
+    agg = top.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.max("__xref").cast("long").alias("x_ref"),
+        F.sum(li).cast("long").alias("__sl"),
+    )
+    hill = (
+        F.col("__sl").cast("double")
+        / F.col("k_used").cast("double")
+        / F.lit(1_000_000.0)
+    )
+    alpha = F.when(F.col("__sl") > 0, F.lit(1.0) / hill)
+    if round_to is not None:
+        r = int(round_to)
+        hill, alpha = F.round(hill, r), F.round(alpha, r)
+    return agg.select(
+        group_col, "k_used", "x_ref",
+        hill.alias("hill"), alpha.alias("alpha"),
     )

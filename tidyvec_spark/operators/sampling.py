@@ -958,3 +958,57 @@ def doremi_weights(
         excess.alias("excess"),
         weight.alias("weight"),
     )
+
+
+def doremi_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: DataFrame,
+    salt: str = "",
+) -> DataFrame:
+    """Apply :func:`doremi_weights` to the corpus — the learned
+    mixture's ADMISSION filter, completing the train→weights→resample
+    loop the same way :func:`target_mix_sample` applies an explicit
+    spec: keep fractions ``r_d = weight_d / observed_share_d`` scaled
+    so the most UNDER-represented domain (relative to its learned
+    weight) is kept whole, then the deterministic salted-md5 per-row
+    gate shared by every mix entry.
+
+    ``weights`` is the (domain, weight) frame from
+    :func:`doremi_weights` (any simplex frame works). Domains absent
+    from it are dropped — weight 0 — matching target_mix_sample's
+    unlisted-stratum law. Fractions round at 9 decimals before the
+    ``hash_unit`` comparison (the temperature_fractions convention) so
+    the admission boundary is engine-identical.
+
+    Shape: one domain-count aggregate over the corpus + the bounded
+    weights join (broadcast; |domains| rows), then a ZERO-shuffle
+    map-side filter — the weights loop never touches per-row data."""
+    w_all = Window.partitionBy()
+    cnt = df.groupBy(F.col(domain_col).alias("__dom")).agg(
+        F.count("*").cast("long").alias("__n")
+    ).withColumn("__tot", F.sum("__n").over(w_all).cast("double"))
+    r = weights.select(
+        F.col(domain_col).alias("__dom"), F.col("weight").alias("__w")
+    ).join(cnt, "__dom").select(
+        "__dom",
+        (
+            F.col("__w")
+            / (F.col("__n").cast("double") / F.col("__tot"))
+        ).alias("__r"),
+    )
+    f = r.select(
+        "__dom",
+        F.round(F.col("__r") / F.max("__r").over(w_all), 9).alias("__f"),
+    )
+    u = hash_unit(F.col(id_col), salt)
+    return (
+        df.withColumn("__u", u)
+        .join(
+            F.broadcast(f),
+            F.col(domain_col) == F.col("__dom"),
+        )
+        .filter(F.col("__u") < F.col("__f"))
+        .select(*df.columns)
+    )

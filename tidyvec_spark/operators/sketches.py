@@ -43,6 +43,7 @@ __all__ = [
     "lenhist_from_manifest",
     "lenhist_quantile_bounds",
     "lenhist_psi",
+    "lenhist_ks",
 ]
 
 
@@ -764,3 +765,59 @@ def lenhist_psi(
     )
     out._tidyvec_persisted = [j]
     return out
+
+
+def lenhist_ks(
+    hist_ref: DataFrame,
+    hist_cur: DataFrame,
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Kolmogorov–Smirnov distance between two
+    :func:`lenhist_from_manifest` histograms — the ZERO-scan
+    worst-case-gap companion of :func:`lenhist_psi`: PSI averages the
+    drift across buckets, KS is the single largest CDF gap, the
+    number that jumps when one release grows a localized length bump
+    PSI smears away. Over the SHARED fixed edges the bucket-level KS
+    lower-bounds the value-level statistic (the CDFs are compared at
+    the edges only) — the right reading for a stored-sketch triage
+    gate: a large bucket-KS PROVES drift, a small one sends you to a
+    full diff only if PSI also moved.
+
+    Integer-exact like ``reports.ks_distance_by_group``: cumulative
+    stored counts compared cross-multiplied in DECIMAL(38,0), one
+    division at the end. Two 13-row frames in, ONE row
+    (n_ref, n_cur, ks) out; the corpus is never touched."""
+    from pyspark.sql import Window
+
+    r = hist_ref.select(F.col("bucket"), F.col("n").alias("__nr"))
+    c = hist_cur.select(F.col("bucket"), F.col("n").alias("__nc"))
+    w_cum = Window.orderBy("bucket")
+    w_all = Window.partitionBy()
+    dec = "decimal(38,0)"
+    j = (
+        r.join(c, "bucket")
+        .withColumn("__cr", F.sum("__nr").over(w_cum).cast("long"))
+        .withColumn("__cc", F.sum("__nc").over(w_cum).cast("long"))
+        .withColumn("__tr", F.sum("__nr").over(w_all).cast("long"))
+        .withColumn("__tc", F.sum("__nc").over(w_all).cast("long"))
+        .withColumn(
+            "__diff",
+            F.abs(
+                F.col("__cr").cast(dec) * F.col("__tc").cast(dec)
+                - F.col("__cc").cast(dec) * F.col("__tr").cast(dec)
+            ),
+        )
+    )
+    agg = j.agg(
+        F.max("__tr").alias("n_ref"),
+        F.max("__tc").alias("n_cur"),
+        F.max("__diff").alias("__d"),
+    )
+    ks = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.col("__d").cast("double")
+        / (F.col("n_ref").cast("double") * F.col("n_cur").cast("double")),
+    )
+    if round_to is not None:
+        ks = F.round(ks, int(round_to))
+    return agg.select("n_ref", "n_cur", ks.alias("ks"))
