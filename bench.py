@@ -370,6 +370,32 @@ def main() -> None:
 
     qs = entry.queries()
 
+    def _between_queries() -> None:
+        # intra-plan persists (LSH signature tables) are scoped to
+        # their query; dropping them between queries keeps executor
+        # memory flat. clearCache only covers CATALOG-registered
+        # caches: localCheckpoint() blocks (pagerank, connected
+        # components, LPA) live at the RDD layer and stay pinned as
+        # long as the Python-side DataFrame objects hold py4j refs —
+        # measured in this round's baseline, they accumulated to 20+
+        # leaked persistent RDDs after a few queries, squeezing
+        # execution memory until checkpoint-heavy queries ran 2-3×
+        # slower in later sweeps (docs_pagerank 16.8 s -> 43.9 s
+        # within one bench run). Python gc drops the refs, explicit
+        # unpersist releases whatever survives, and the JVM gc then
+        # reclaims the freed blocks — persistent-RDD count stays 0
+        # between queries (~0.3 s, outside the timed window).
+        import gc as _gc
+
+        spark.catalog.clearCache()
+        _gc.collect()
+        it = (
+            spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        )
+        while it.hasNext():
+            it.next().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+
     # Untimed warm-up at the smallest SF: first execution of each plan
     # pays one-time Janino/whole-stage-codegen compilation (measured
     # 6-13s for the wide md5-fold kernels) that is amortized to zero on
@@ -387,7 +413,7 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass
-            spark.catalog.clearCache()
+            _between_queries()
 
     # median-of-3 over INTERLEAVED sweeps (r13 verdict item 3):
     # GC/virtualized-I/O hiccups on this shared VM are temporally
@@ -405,11 +431,7 @@ def main() -> None:
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             trials[name].append(time.perf_counter() - t0)
-            # intra-plan persists (LSH signature tables) are scoped to
-            # their query; dropping them between queries keeps executor
-            # memory flat
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
+            _between_queries()
     timings = {
         k: round(sorted(v)[len(v) // 2], 3) for k, v in trials.items()
     }
