@@ -100,7 +100,18 @@ _KW_SQL = (
 )
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Inputs below this size arriving as ONE parquet file are treated as
+# unsplittable-small for the `par=` normalizer in `_read` (a single
+# row group cannot be split by byte-range, so the scan — and every
+# map-side stage fused onto it — otherwise runs on ONE core no matter
+# the cluster size). Production corpora are many-file / multi-row-
+# group and pass through untouched.
+_PAR_SMALL_BYTES = 64 << 20
+
+
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, par: bool = False
+) -> DataFrame:
     if name == "events":
         # events.ts arrives as TIMESTAMP(µs) (read as TIMESTAMP_NTZ) in
         # current fixtures, TIMESTAMP(NANOS) (readable only as int64 ns
@@ -110,7 +121,33 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # agree with DuckDB's naive-timestamp epoch() semantics.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if par:
+        # Opt-in INPUT-parallelism normalizer for entries whose first
+        # stage does heavy per-row expression work (md5 feature
+        # hashing, HOF vector kernels, payload synthesis+decode): the
+        # local fixtures are one small single-row-group file, so the
+        # scan stage is serial however many cores the session has —
+        # guide §2.5 "input skew: one huge unsplittable file ...
+        # repartition immediately after the read". The round-robin
+        # exchange is deterministic (sort-before-repartition is on by
+        # default) and fires ONLY for a single small file; a
+        # production-shaped input (many files / large row groups)
+        # passes through with no added exchange. Only entries whose
+        # results are partitioning-invariant opt in (per-row outputs,
+        # top-k, integer-exact aggregations — re-verified against the
+        # DuckDB oracle at both gate scales after the change).
+        try:
+            small = (
+                os.path.isfile(path)
+                and os.path.getsize(path) < _PAR_SMALL_BYTES
+            )
+        except OSError:
+            small = False
+        if small:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1299,7 +1336,7 @@ def _embedding_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         random_projection_py,
     )
 
-    e = _read(spark, sf_dir, "embeddings")
+    e = _read(spark, sf_dir, "embeddings", par=True)
     proj = e.select(
         "vec_id",
         random_projection_expr("embedding", 64, 16).alias("pv"),
@@ -1662,7 +1699,7 @@ def _ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codebooks_from_rows,
     )
 
-    e = _read(spark, sf_dir, "embeddings").select(
+    e = _read(spark, sf_dir, "embeddings", par=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     seeds = [
@@ -1752,7 +1789,7 @@ def _ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = _ivfpq_adc_topk(spark, sf_dir).select(
         F.lit(0).alias("qid"), "vec_id"
     )
-    e = _read(spark, sf_dir, "embeddings").select(
+    e = _read(spark, sf_dir, "embeddings", par=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = _query_vec(spark, sf_dir)
@@ -2239,7 +2276,7 @@ FROM q
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.functions import text as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", par=True)
     return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
 
 
@@ -3014,7 +3051,7 @@ def _multimodal_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     header parsers: this one touches every sample."""
     from tidyvec_spark.operators.multimodal import audio_pcm_stats
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = _read(spark, sf_dir, "documents", par=True).select("doc_id")
     frames = (F.lit(100) + F.col("doc_id") % 400).cast("long")
     data_size = frames * 2  # mono, 16-bit
 
@@ -3752,7 +3789,7 @@ def _docs_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB quality pass is a single scan."""
     from tidyvec_spark.functions import quality as Q
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", par=True)
     return docs.select(
         "doc_id",
         F.round(Q.duplicate_line_ratio("text"), R).alias("dup_line_ratio"),
@@ -4077,7 +4114,7 @@ def _sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical floor(+0.5) tie rule."""
     from tidyvec_spark.operators.sq import sq_encode, sq_fit, sq_topk
 
-    e = _read(spark, sf_dir, "embeddings").select(
+    e = _read(spark, sf_dir, "embeddings", par=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     mins, maxs = sq_fit(e, "embedding", dim=64)
@@ -8341,7 +8378,7 @@ def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute bit-identical doubles before rounding. Cosine is scale-
     invariant, so raw sums stand in for centroids (no division by n).
     """
-    e = _read(spark, sf_dir, "embeddings").select(
+    e = _read(spark, sf_dir, "embeddings", par=True).select(
         "label",
         (F.col("vec_id") % 2).alias("__half"),
         F.col("embedding").cast("array<double>").alias("__v"),
@@ -11631,7 +11668,7 @@ def _docs_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.functions import quality as Q
     from tidyvec_spark.functions import text as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", par=True)
     ens = Q.quality_ensemble(
         hard_gates={
             "gopher": Q.gopher_keep("text", min_words=20),
@@ -12835,7 +12872,7 @@ def _token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.functions import text as X
     from tidyvec_spark.operators.sketches import cms_build, cms_estimate
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", par=True)
     tok = docs.select(F.explode(X.tokens("text")).alias("term"))
     cms = cms_build(tok, "term", depth=4, width=256, salt="cms7")
     exact = tok.groupBy("term").agg(F.count("*").alias("n_exact"))
@@ -13263,7 +13300,7 @@ def _knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter stays one n·k self-join."""
     from tidyvec_spark.operators.mining import mutual_topk_pairs
 
-    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _read(spark, sf_dir, "embeddings", par=True).select("vec_id", "embedding")
     return mutual_topk_pairs(
         e, "vec_id", "embedding", k=5, method="cosine", round_to=R
     )
@@ -16753,7 +16790,7 @@ def _kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers — the same driver-sized reduce pyspark.ml performs."""
     from tidyvec_spark.operators.cluster import kmeans_lloyd
 
-    e = _read(spark, sf_dir, "embeddings")
+    e = _read(spark, sf_dir, "embeddings", par=True)
     return kmeans_lloyd(
         e, "embedding", "vec_id", k=_KM_K, iterations=_KM_T,
         dim=_KM_DIM, scale=_KM_S, salt=_KM_SALT, round_to=R,
@@ -17028,7 +17065,7 @@ def _mix_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     one source-count aggregate and a zero-shuffle map-side filter."""
     from tidyvec_spark.operators.sampling import doremi_sample
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", par=True)
     w = _mix_doremi(spark, sf_dir).select("source", "weight")
     out = doremi_sample(
         docs.select("doc_id", "source"), "doc_id", "source", w,
@@ -17268,7 +17305,7 @@ def _mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tidyvec_spark.operators.sampling import doremi_weights
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", par=True)
     label = (
         F.array_contains(F.split(F.lower("text"), r"\s+"), "spark")
         .cast("int")

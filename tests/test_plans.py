@@ -181,7 +181,9 @@ def test_curation_ops_stay_map_side(spark, qs):
     'one scan' claim — pin their shuffle budgets."""
     from tidyvec_spark import plans as P
 
-    assert P.num_shuffles(qs["docs_quality_flags"](spark, SF)) == 0
+    # quality_flags opts into the input-parallelism round-robin spread
+    # (_read(par=True)); keyed data movement stays zero
+    assert P.num_data_shuffles(qs["docs_quality_flags"](spark, SF)) == 0
     assert P.num_shuffles(qs["docs_redact"](spark, SF)) == 0
     assert P.num_shuffles(qs["docs_chunks"](spark, SF)) == 0
     # temperature: the keep-filter itself is map-side (the fraction fit
@@ -328,7 +330,8 @@ def test_round6_map_side_passes(spark, qs):
         ("docs_keep_best", 1),
     ):
         df = qs[name](spark, SF)
-        assert P.num_shuffles(df) <= max_sh, name
+        # data shuffles: rp_topk opts into the par= round-robin spread
+        assert P.num_data_shuffles(df) <= max_sh, name
         P.assert_no_cartesian(df)
 
 
@@ -419,7 +422,8 @@ def test_round7_plan_shapes(spark, qs):
         ("docs_keyword_topk", 5),
     ):
         df = qs[name](spark, SF)
-        assert P.num_shuffles(df) <= max_sh, name
+        # data shuffles: embedding_drift opts into the par= spread
+        assert P.num_data_shuffles(df) <= max_sh, name
         P.assert_no_cartesian(df)
 
 
@@ -477,7 +481,8 @@ def test_session2_round7_plan_shapes(spark, qs):
         ("docs_vocab_growth", 3),    # token agg + 1-row joins
     ):
         df = qs[name](spark, SF)
-        assert P.num_shuffles(df) <= max_sh, name
+        # data shuffles: quality_ensemble opts into the par= spread
+        assert P.num_data_shuffles(df) <= max_sh, name
         P.assert_no_cartesian(df)
     # ensemble/url scans must not read the embedding-wide columns
     for name in ("docs_quality_ensemble", "docs_url_canonical"):
@@ -611,7 +616,8 @@ def test_decode_and_governance_plan_shapes(spark, qs):
     mutual-kNN: the decode and audit passes are pure scans; the dedup
     and governance aggregations are single bounded shuffles."""
     # byte decode stages: mapInPandas over a projection — ZERO shuffle
-    assert P.num_shuffles(qs["multimodal_pcm_stats"](spark, SF)) == 0
+    # pcm_stats opts into the par= round-robin spread (decode kernel)
+    assert P.num_data_shuffles(qs["multimodal_pcm_stats"](spark, SF)) == 0
     assert P.num_shuffles(qs["multimodal_image_ahash"](spark, SF)) == 0
     # encoding audit: pure codegen length-diff projection
     assert P.num_shuffles(qs["docs_mojibake"](spark, SF)) == 0
@@ -635,7 +641,7 @@ def test_decode_and_governance_plan_shapes(spark, qs):
     # 2 = window exchange + canonical-pair groupBy; a reversed-key
     # self-join formulation would re-run the scoring lineage and show
     # up here as extra exchanges + a sort-merge join
-    assert P.num_shuffles(mk) <= 2
+    assert P.num_data_shuffles(mk) <= 2  # + the par= round-robin spread
     assert "SortMergeJoin" not in P.join_strategies(mk)
 
 
@@ -974,12 +980,13 @@ def test_round14_entry_plan_shapes(spark, qs):
 
     df = qs["kmeans_lloyd"](spark, SF)
     assert P.num_scans(df) <= 1
-    assert P.num_shuffles(df) == 0
+    # zero keyed shuffles; the par= round-robin spread is not counted
+    assert P.num_data_shuffles(df) == 0
     P.assert_no_cartesian(df)
 
     df = qs["mix_doremi"](spark, SF)
     assert P.num_scans(df) <= 2
-    assert P.num_shuffles(df) <= 3
+    assert P.num_data_shuffles(df) <= 3  # + the par= round-robin spread
     P.assert_no_cartesian(df)
 
     # the analytics wave: single-scan one-pass shapes except the
@@ -1004,3 +1011,34 @@ def test_round14_entry_plan_shapes(spark, qs):
         df = qs[name](spark, SF)
         assert P.num_scans(df) <= max_scans, name
         P.assert_no_cartesian(df)
+
+
+def test_par_read_normalizer(spark, tmp_path):
+    """The opt-in input-parallelism normalizer (round 14): a SINGLE
+    parquet file under the small-input threshold gains exactly one
+    round-robin REPARTITION_BY_NUM exchange (so heavy per-row kernels
+    fused onto an unsplittable one-row-group scan use every core);
+    a production-shaped many-file input passes through untouched; and
+    num_data_shuffles never counts the normalizer exchange."""
+    single = entry._read(spark, SF, "documents", par=True)
+    txt = P.explain_str(single)
+    assert "RoundRobinPartitioning" in txt
+    assert P.num_shuffles(single) == 1
+    assert P.num_data_shuffles(single) == 0
+
+    # many-file layout (a directory, not a file): no exchange added
+    multi_dir = str(tmp_path / "multi")
+    spark.read.parquet(f"{SF}/documents.parquet").repartition(2).write.parquet(
+        multi_dir
+    )
+    import os as _os
+    import shutil as _shutil
+
+    _shutil.move(multi_dir, str(tmp_path / "documents.parquet"))
+    multi = entry._read(spark, str(tmp_path), "documents", par=True)
+    assert "RoundRobinPartitioning" not in P.explain_str(multi)
+    assert P.num_shuffles(multi) == 0
+
+    # keyed exchanges still count as data shuffles
+    agg = single.groupBy("lang").count()
+    assert P.num_data_shuffles(agg) == 1

@@ -104,6 +104,29 @@ def num_shuffles(df: DataFrame) -> int:
     return len(re.findall(r"(?<![A-Za-z])(?:Shuffle)?Exchange\b", tree))
 
 
+def num_data_shuffles(df: DataFrame) -> int:
+    """Exchanges excluding opt-in input-parallelism round-robin
+    repartitions (``_read(par=True)``).
+
+    A ``RoundRobinPartitioning`` exchange with ``REPARTITION_BY_NUM``
+    exists only to re-spread an unsplittable single-file scan across
+    cores (guide §2.5 "one huge unsplittable file"); it moves no keyed
+    data and disappears on production many-file inputs, so shuffle-
+    budget pins count it separately from real keyed exchanges."""
+    tree = _sections(df)[0]
+    ids = set(re.findall(r"(?<![A-Za-z])(?:Shuffle)?Exchange \((\d+)\)", tree))
+    if not ids:
+        return num_shuffles(df)  # simple mode: cannot classify
+    rr = set(
+        re.findall(
+            r"\((\d+)\) Exchange\s*\nInput[^\n]*\n"
+            r"Arguments: RoundRobinPartitioning",
+            explain_str(df),
+        )
+    )
+    return len(ids - rr)
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans — wider is better (fewer
     interpreter boundaries).
