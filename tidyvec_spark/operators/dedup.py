@@ -1187,10 +1187,14 @@ def connected_components(
         # component) — exactly the silent wrong answer the
         # non-convergence raise below exists to prevent
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    # partitioned by the per-round join key before the dedup aggregate:
+    # every min-label round joins this cached side on `es`, so cluster
+    # it once instead of re-shuffling it every round (r14, guide §2.4)
     edges = (
         pairs.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
         .union(pairs.select(F.col(dst).alias("es"), F.col(src).alias("ed")))
-        .distinct()
+        .repartition(F.col("es"))
+        .dropDuplicates(["es", "ed"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
@@ -2424,7 +2428,7 @@ def _bitstring_banded_pairs(
     the shared candidate/verify stage behind the visual and audio
     near-dup operators: band = substring, candidates from the banded
     equi-join (pigeonhole-complete below ``bands`` bits), Hamming
-    verified with a codegen character compare over pairs only. When
+    verified with packed-word xor+bit_count over pairs only. When
     ``complete`` (the default) the banding must cover the verify
     threshold — ``max_hamming < bands`` — or the call raises; with
     ``complete=False`` pairs past bands-1 bits are returned only on a
@@ -2433,21 +2437,42 @@ def _bitstring_banded_pairs(
     computes once, not once per side per band. Input: (id, fp)."""
     _validate_banding(bits, bands, max_hamming, complete)
     bw = bits // int(bands)
-    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    nw = (int(bits) + 31) // 32
+    # pack the '0'/'1' string into 32-bit integer words ONCE per row,
+    # map-side, before the self-join (r14, guide §2.3/§4.1): the
+    # per-pair Hamming verify becomes `nw` xor+bit_count codegen ops
+    # instead of a `bits`-step interpreted HOF of substring compares,
+    # and the band-exploded join ships 8·nw bytes of words per side
+    # instead of the `bits`-char string — same integer Hamming, ~4×
+    # fewer shuffle bytes per candidate at bits=64
+    words = [
+        F.expr(
+            f"cast(conv(substring(fp, {i * 32 + 1},"
+            f" {min(32, int(bits) - i * 32)}), 2, 10) as bigint)"
+        ).alias(f"__w{i}")
+        for i in range(nw)
+    ]
+    fps = fps.select("id", "fp", *words).persist(StorageLevel.MEMORY_AND_DISK)
     banded = fps.select(
         "id",
         "fp",
+        *[f"__w{i}" for i in range(nw)],
         F.explode(F.sequence(F.lit(0), F.lit(int(bands) - 1))).alias("__b"),
     ).withColumn("__bv", F.expr(f"substring(fp, __b * {bw} + 1, {bw})"))
     a = banded.select(
-        F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "__b", "__bv"
+        F.col("id").alias("id_a"),
+        *[F.col(f"__w{i}").alias(f"__wa{i}") for i in range(nw)],
+        "__b",
+        "__bv",
     )
     b = banded.select(
-        F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "__b", "__bv"
+        F.col("id").alias("id_b"),
+        *[F.col(f"__w{i}").alias(f"__wb{i}") for i in range(nw)],
+        "__b",
+        "__bv",
     )
     ham = F.expr(
-        f"size(filter(sequence(1, {bits}),"
-        " i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1)))"
+        " + ".join(f"bit_count(__wa{i} ^ __wb{i})" for i in range(nw))
     )
     return _with_persisted(
         a.join(b, on=["__b", "__bv"])

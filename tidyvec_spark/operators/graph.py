@@ -79,9 +79,16 @@ def pagerank(
         raise ValueError(f"damping must be in [0, 1], got {damping}")
     base_u = ((d_den - d_num) * int(scale)) // d_den  # (1-d) in units
 
+    # hash-partition the static edge side by the per-round join key
+    # BEFORE persisting: the dedup aggregate runs on that partitioning
+    # (keys ⊇ partition key, no second exchange) and every one of the
+    # `iterations` joins below then reads a side that already satisfies
+    # its required distribution — without this the cached edge list is
+    # re-shuffled once per round (r14, guide §2.4)
     out = (
         edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
-        .distinct()
+        .repartition(F.col("es"))
+        .dropDuplicates(["es", "ed"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     outdeg = out.groupBy(F.col("es").alias("id")).agg(
@@ -260,6 +267,10 @@ def _degree_oriented(edges: DataFrame, src: str, dst: str):
             .alias("e")
         )
         .select("e.s", "e.t")
+        # clustered on the wedge apex before persisting: the wedge
+        # enumeration self-joins this frame on s, so one build-time
+        # exchange replaces two at use (r14, guide §2.4)
+        .repartition(F.col("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return und, deg, fwd
@@ -411,10 +422,15 @@ def label_propagation(
     from pyspark.sql import Window
 
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # partitioned by the per-round join key before the dedup aggregate
+    # (same exchange-elimination move as pagerank's edge side above):
+    # each of the `rounds` joins reads the cached side pre-clustered
+    # on b instead of re-shuffling it every round (r14, guide §2.4)
     und = (
         fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .repartition(F.col("b"))
+        .dropDuplicates(["a", "b"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
