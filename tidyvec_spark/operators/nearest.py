@@ -33,7 +33,9 @@ from tidyvec_spark.collection import VecFrame
 from tidyvec_spark.functions.vector import (
     METHODS,
     array_lit,
+    dot_expr,
     keyword_score_expr,
+    l2_norm_expr,
     similarity_expr,
 )
 
@@ -235,6 +237,16 @@ def similarity_join_lsh(
 
     nbits = len(planes)
     l = left.withColumn("__bucket", hyperplane_bucket_expr(left_vec, planes))
+    if method == "cosine":
+        # hoist the per-ROW norms out of the per-PAIR kernel (r14,
+        # guide §2.3/§1.2): cosine's denominator is a property of each
+        # side alone, but cosine_sim_expr recomputes both norms per
+        # candidate — 3 array traversals per pair. Computing them
+        # map-side before the join (and before the multiprobe explode,
+        # so once per row, not once per probe) leaves ONE traversal
+        # (the dot product) per candidate. Bit-identical: same norm
+        # values, same denom = na*nb product, same guarded division.
+        l = l.withColumn("__lnorm", l2_norm_expr(left_vec))
     if probe_hamming >= 1:
         # explode each left row into its probe buckets: bucket XOR each
         # single-bit mask (plus itself) — Hamming-1 ball, map-side
@@ -250,14 +262,25 @@ def similarity_join_lsh(
             "__bucket", F.col("__bucket").bitwiseXOR(F.col("__m"))
         ).drop("__m")
     r = right.withColumn("__bucket", hyperplane_bucket_expr(right_vec, planes))
+    if method == "cosine":
+        r = r.withColumn("__rnorm", l2_norm_expr(right_vec))
     la, ra = l.alias("l"), r.alias("r")
-    sim = similarity_expr(F.col(f"l.{left_vec}"), F.col(f"r.{right_vec}"), method)
+    if method == "cosine":
+        denom = F.col("l.__lnorm") * F.col("r.__rnorm")
+        sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            dot_expr(F.col(f"l.{left_vec}"), F.col(f"r.{right_vec}")) / denom
+        )
+    else:
+        sim = similarity_expr(
+            F.col(f"l.{left_vec}"), F.col(f"r.{right_vec}"), method
+        )
     if round_to is not None:
         sim = F.round(sim, round_to)
     pair = (
         la.join(ra, F.col("l.__bucket") == F.col("r.__bucket"))
         .drop("__bucket")
         .withColumn(score_col, sim)
+        .drop("__lnorm", "__rnorm")
     )
     if threshold is not None:
         # BEFORE the probe-dedup: the score is a pure function of the
