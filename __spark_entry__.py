@@ -5250,9 +5250,18 @@ def _clf_holdout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     w0, w = fit_quality_classifier(
         labeled, "text", "y", "doc_id", num_buckets=_CLF_B,
     )
-    scored = classify_quality(docs, "text", "doc_id", w0, w, round_to=R)
-    labs = docs.select("doc_id", label)
-    return scored.join(labs, "doc_id").filter(F.col("doc_id") % 5 != 0)
+    # score + label are BOTH map-side functions of the same row: one
+    # scan with the label carried through classify_quality, instead of
+    # scoring the full corpus and joining a second scan's labels back
+    # on doc_id (r14, guide §2.4 — the join was an avoidable shuffle;
+    # the holdout filter also now prunes BEFORE scoring, so the 20%
+    # training split is never scored just to be dropped)
+    hold = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "text", label
+    )
+    return classify_quality(
+        hold, "text", "doc_id", w0, w, round_to=R, carry=["y"]
+    )
 
 
 def _docs_clf_ml_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7759,11 +7768,25 @@ def _dedup_ladder_frames(spark: SparkSession, sf_dir: str, method: str = "verify
     scored = cut.withColumn(
         "n_tokens", X.token_count("text").cast("long")
     )
+    # rungs 1-4 feed THREE consumers: the minhash signature build
+    # (materialized eagerly by near_dup_groups' connected components),
+    # keep-best's score join, and keep-best's final anti-join — without
+    # a persist the exact/line/cut chain (4+ shuffles) recomputes once
+    # per consumer (r14, guide §5: reuse beats recompute; the
+    # production pipeline checkpoints between rungs anyway). The eager
+    # component build populates the cache; the handle rides on `best`
+    # for release after the terminal action (dedup.py convention).
+    from pyspark import StorageLevel
+
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     comps = near_dup_groups(
         scored, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
         threshold=0.5, method=method,
     )
     best = drop_near_dups_keep_best(scored, comps, "doc_id", "n_tokens")
+    best._tidyvec_persisted = getattr(comps, "_tidyvec_persisted", []) + [
+        scored
+    ]
     return lined, ex, wd, gl, cut, best
 
 
@@ -17317,10 +17340,14 @@ def _mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     w0, w = fit_quality_classifier(
         labeled, "text", "y", "doc_id", num_buckets=_CLF_B,
     )
-    scored = classify_quality(docs, "text", "doc_id", w0, w, round_to=R)
-    j = scored.join(
-        docs.select("doc_id", "source", label), "doc_id"
-    ).filter(F.col("doc_id") % 5 != 0)
+    # one scan: score with source+label carried through the map pass
+    # instead of joining a second scan back on doc_id (r14, guide §2.4)
+    hold = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "text", "source", label
+    )
+    j = classify_quality(
+        hold, "text", "doc_id", w0, w, round_to=R, carry=["source", "y"]
+    )
     # clamp the ROUNDED score away from {0,1} before ln — both literals
     # are parsed decimal strings, so the clamped double is identical on
     # both engines

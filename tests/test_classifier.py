@@ -183,3 +183,39 @@ def test_entry_ml_agreement_within_tolerance(spark):
     r = rows[0]
     assert r["auc_driver"] is not None and r["auc_ml"] is not None
     assert r["auc_abs_diff"] <= 0.02, r
+
+
+def test_fit_from_jvm_buckets_bit_identical_to_text_path(spark):
+    """fit_quality_classifier now collects JVM-hashed bucket arrays
+    (executor-side featurization, r14) instead of raw text; binary
+    presence features depend only on each doc's bucket SET, so the
+    coefficients must stay bit-identical to the driver-hashed text
+    path — the contract that keeps every oracle's literal weights
+    valid."""
+    df = _labeled_df(spark)
+    w0_new, w_new = fit_quality_classifier(
+        df, "text", "label", "id", num_buckets=64
+    )
+    rows = (
+        df.select("id", F.col("label").cast("int"), "text")
+        .orderBy(F.asc("id"))
+        .collect()
+    )
+    labeled = [(int(r[1]), r[2]) for r in rows if r[1] is not None]
+    w0_old, w_old = fit_logreg_py(labeled, num_buckets=64)
+    assert w0_new == w0_old
+    assert w_new == w_old
+
+
+def test_classify_quality_carry_passthrough(spark):
+    """carry= appends input columns unchanged after (id, prob, keep) —
+    the one-scan score+label shape the clf entries use (r14)."""
+    df = _labeled_df(spark)
+    w0, w = fit_quality_classifier(df, "text", "label", "id", num_buckets=64)
+    out = classify_quality(
+        df, "text", "id", w0, w, round_to=6, carry=["label"]
+    )
+    assert out.columns == ["id", "quality_prob", "keep", "label"]
+    got = {r["id"]: r["label"] for r in out.collect()}
+    want = {r["id"]: r["label"] for r in df.collect()}
+    assert got == want

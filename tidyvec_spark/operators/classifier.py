@@ -52,6 +52,7 @@ from tidyvec_spark.operators.importance import hashed_ngram_buckets
 __all__ = [
     "hashed_buckets_py",
     "fit_logreg_py",
+    "fit_logreg_buckets_py",
     "fit_quality_classifier",
     "fit_quality_classifier_ml",
     "classify_quality",
@@ -95,36 +96,28 @@ def hashed_buckets_py(
     return out
 
 
-def fit_logreg_py(
-    labeled: Sequence[tuple[int, str]],
-    ns: Sequence[int] = (1, 2),
+def fit_logreg_buckets_py(
+    labeled: Sequence[tuple[int, Sequence[int]]],
     num_buckets: int = 256,
     iters: int = 64,
     lr: float = 1.0,
     l2: float = 1e-3,
 ) -> tuple[float, list[float]]:
-    """Deterministic full-batch logistic regression on BINARY
-    presence features: x[b] = 1 iff any n-gram of the document hashes
-    to bucket b (bounded [0,1] per coordinate, so a fixed learning
-    rate is well-behaved). Presence beats normalized counts for
-    sparse lexical signals — a single decisive token is not diluted
-    by document length.
+    """The numpy core of :func:`fit_logreg_py`, taking PRE-HASHED
+    per-document bucket lists instead of raw text. Binary presence
+    features only consult the SET of buckets per document, so any
+    feature producer that agrees with :func:`hashed_buckets_py` on
+    the bucket set (the Spark expression does, bit-for-bit) yields
+    the identical X matrix and therefore bit-identical coefficients.
 
-    ``labeled`` must arrive in a deterministic order (sort by id
-    upstream): fixed order + fixed float64 ops + fixed iteration count
-    means the same inputs produce bit-identical coefficients anywhere
-    — that reproducibility is what lets a SQL oracle replay the
-    scoring with literal weights.
-
-    Documents with no n-grams carry no evidence and are skipped.
-    Returns (intercept, weights[num_buckets]).
+    Documents with an empty bucket list carry no evidence and are
+    skipped, same as the text path. Returns (intercept, weights).
     """
     import numpy as np
 
     b = int(num_buckets)
     xs, ys = [], []
-    for label, text in labeled:
-        occ = hashed_buckets_py(text, ns=ns, num_buckets=b)
+    for label, occ in labeled:
         if not occ:
             continue
         v = np.zeros(b, dtype=np.float64)
@@ -150,6 +143,40 @@ def fit_logreg_py(
     return float(w0), [float(x) for x in w]
 
 
+def fit_logreg_py(
+    labeled: Sequence[tuple[int, str]],
+    ns: Sequence[int] = (1, 2),
+    num_buckets: int = 256,
+    iters: int = 64,
+    lr: float = 1.0,
+    l2: float = 1e-3,
+) -> tuple[float, list[float]]:
+    """Deterministic full-batch logistic regression on BINARY
+    presence features: x[b] = 1 iff any n-gram of the document hashes
+    to bucket b (bounded [0,1] per coordinate, so a fixed learning
+    rate is well-behaved). Presence beats normalized counts for
+    sparse lexical signals — a single decisive token is not diluted
+    by document length.
+
+    ``labeled`` must arrive in a deterministic order (sort by id
+    upstream): fixed order + fixed float64 ops + fixed iteration count
+    means the same inputs produce bit-identical coefficients anywhere
+    — that reproducibility is what lets a SQL oracle replay the
+    scoring with literal weights.
+
+    Documents with no n-grams carry no evidence and are skipped.
+    Returns (intercept, weights[num_buckets]).
+    """
+    b = int(num_buckets)
+    occs = [
+        (label, hashed_buckets_py(text, ns=ns, num_buckets=b))
+        for label, text in labeled
+    ]
+    return fit_logreg_buckets_py(
+        occs, num_buckets=b, iters=iters, lr=lr, l2=l2
+    )
+
+
 def fit_quality_classifier(
     df: DataFrame,
     text_col: str,
@@ -161,18 +188,37 @@ def fit_quality_classifier(
     lr: float = 1.0,
     l2: float = 1e-3,
 ) -> tuple[float, list[float]]:
-    """Fit from a LABELED Spark frame: collect (label, text) sorted by
-    ``id_col`` — the labeled split is driver-bounded by its nature (see
-    module docstring) — and run :func:`fit_logreg_py`. Returns
-    (intercept, weights) ready for :func:`classify_quality`."""
+    """Fit from a LABELED Spark frame: collect (label, buckets) sorted
+    by ``id_col`` — the labeled split is driver-bounded by its nature
+    (see module docstring) — and run :func:`fit_logreg_buckets_py`.
+
+    The n-gram hashing runs EXECUTOR-SIDE as the same map-side bucket
+    expression scoring uses (``importance.hashed_ngram_buckets``, the
+    documented bit-for-bit twin of :func:`hashed_buckets_py`), so the
+    driver's only work is the bounded numpy fit — it no longer md5s
+    every n-gram of the labeled split in single-threaded Python, and
+    the collect ships small int arrays instead of document text.
+    Binary presence features depend only on each document's bucket
+    SET, so the X matrix — and therefore the coefficients — are
+    bit-identical to the text-collect path (pinned by pytest).
+    Returns (intercept, weights) ready for :func:`classify_quality`."""
+    b = int(num_buckets)
+    per_n = [
+        hashed_ngram_buckets(text_col, n=int(n), num_buckets=b) for n in ns
+    ]
+    feats = per_n[0] if len(per_n) == 1 else F.concat(*per_n)
     rows = (
-        df.select(F.col(id_col), F.col(label_col).cast("int"), F.col(text_col))
+        df.select(
+            F.col(id_col),
+            F.col(label_col).cast("int"),
+            feats.alias("__bs"),
+        )
         .orderBy(F.asc(id_col))
         .collect()
     )
     labeled = [(int(r[1]), r[2]) for r in rows if r[1] is not None]
-    return fit_logreg_py(
-        labeled, ns=ns, num_buckets=num_buckets, iters=iters, lr=lr, l2=l2
+    return fit_logreg_buckets_py(
+        labeled, num_buckets=b, iters=iters, lr=lr, l2=l2
     )
 
 
@@ -250,6 +296,7 @@ def classify_quality(
     ns: Sequence[int] = (1, 2),
     threshold: float = 0.5,
     round_to: Optional[int] = None,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """Score every document with the trained model — ZERO-shuffle
     map-side pass: ``p = sigmoid(w0 + sum_b weights[b])`` over the
@@ -260,7 +307,11 @@ def classify_quality(
     n-grams are dropped (no evidence).
 
     Returns (``id_col``, quality_prob, keep) — ``keep`` thresholds the
-    RAW probability (round-to is presentation only).
+    RAW probability (round-to is presentation only). ``carry`` names
+    extra input columns to pass through unchanged, so a caller that
+    needs the score NEXT TO another map-side derivation of the same
+    row (a label, a length) gets both in ONE scan instead of scoring
+    and re-deriving on two scans joined on ``id_col``.
     """
     b = len(weights)
     arr = F.array(*[F.lit(float(x)) for x in weights])
@@ -289,6 +340,7 @@ def classify_quality(
             F.col(id_col),
             p_out.alias("quality_prob"),
             keep.alias("keep"),
+            *[F.col(c) for c in carry],
         )
         .filter(F.col("quality_prob").isNotNull())
     )
