@@ -288,3 +288,42 @@ def test_pq_reconstruction_err_expr_matches_numpy(spark):
         )
     )
     assert abs(got[1] - round(want, 6)) <= 1e-6
+
+
+def test_pq_reconstruction_sql_path_matches_column_path(spark):
+    """The string-name input builds the expression as one JVM-parsed
+    SQL text (r14 construction-cost fix); it must stay bit-identical
+    to the Column-builder path — same fold order, same rounded
+    per-centroid distances."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.pq import (
+        pq_codebooks_from_rows,
+        pq_reconstruction_err_expr,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = pq_codebooks_from_rows([r[1] for r in rows[:8]], m=4)
+    got_sql = {
+        r["vec_id"]: r["e"]
+        for r in df.select(
+            "vec_id",
+            F.round(
+                pq_reconstruction_err_expr("embedding", books), 6
+            ).alias("e"),
+        ).collect()
+    }
+    got_col = {
+        r["vec_id"]: r["e"]
+        for r in df.select(
+            "vec_id",
+            F.round(
+                pq_reconstruction_err_expr(F.col("embedding"), books), 6
+            ).alias("e"),
+        ).collect()
+    }
+    assert got_sql == got_col

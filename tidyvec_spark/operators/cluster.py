@@ -156,19 +156,24 @@ def kmeans_lloyd(
 
     def _enc_expr(cents: dict[int, list[int]]):
         # min over centers of d2*k + cid — evaluated entirely map-side
-        # against literal center arrays
+        # against literal center arrays. Built as ONE JVM-parsed SQL
+        # text: the Column-builder loop costs k·dim py4j round trips
+        # per build and the expression is rebuilt every iteration
+        # (r14, guide §7.3 — the same construction-cost fix as
+        # pq_reconstruction_err_expr). All-integer arithmetic, so the
+        # BIGINT literals are exact and the tree is value-identical
+        # to the Column form (pinned by pytest).
         encs = []
         for cid in sorted(cents):
-            cv = F.array(*[F.lit(v) for v in cents[cid]])
-            d2 = F.aggregate(
-                F.zip_with(
-                    F.col("__x"), cv, lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+            arr = ", ".join(f"{int(v)}L" for v in cents[cid])
+            encs.append(
+                f"(aggregate(zip_with(__x, array({arr}), "
+                f"(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+                f"(acc, x) -> acc + x) * {kk} + {cid})"
             )
-            encs.append(d2 * kk + F.lit(cid))
-        return encs[0] if len(encs) == 1 else F.least(*encs)
+        return F.expr(
+            encs[0] if len(encs) == 1 else f"least({', '.join(encs)})"
+        )
 
     for _ in range(int(iterations)):
         agg = (

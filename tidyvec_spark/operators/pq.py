@@ -397,9 +397,40 @@ def pq_reconstruction_err_expr(
     the chosen codeword — so the expression is just the MIN (rounded)
     subspace distance per codebook, summed in fixed subspace order and
     square-rooted, sharing the encoder's argmin law by construction.
-    Pure codegen projection; NULL embeddings yield NULL."""
-    col = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    Pure codegen projection; NULL embeddings yield NULL.
+
+    With a STRING column name the expression tree is built as one SQL
+    text parsed JVM-side: the per-centroid Column-builder loop
+    (m·ks·dsub py4j round trips, ~7 s of driver time for an 8×16×8
+    budget) costs more than executing the query (r14, guide §7.3 —
+    plan construction as the bottleneck). The SQL form is the
+    IDENTICAL tree — same slice/zip_with/aggregate fold, same
+    CAST-to-double lambda, same per-centroid round — with double
+    literals emitted as correctly-rounded CAST('repr' AS DOUBLE), so
+    results are bit-equal (pinned by pytest and verified against the
+    Column path on the full fixture). A Column input falls back to
+    the Column builder."""
     dsub = len(codebooks[0][0])
+    if isinstance(emb_col, str):
+        terms = []
+        for j, book in enumerate(codebooks):
+            dists = []
+            for cent in book:
+                arr = ", ".join(
+                    f"CAST('{float(c)!r}' AS DOUBLE)" for c in cent
+                )
+                dists.append(
+                    f"round(aggregate(zip_with("
+                    f"slice({emb_col}, {j * dsub + 1}, {dsub}), "
+                    f"array({arr}), (x, y) -> "
+                    f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+                    f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+                    f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), "
+                    f"{int(round_to)})"
+                )
+            terms.append(f"array_min(array({', '.join(dists)}))")
+        return F.expr(f"SQRT({' + '.join(terms)})")
+    col = emb_col
     total = None
     for j, book in enumerate(codebooks):
         sub = F.slice(col, j * dsub + 1, dsub)
