@@ -1195,7 +1195,14 @@ def connected_components(
         .union(pairs.select(F.col(dst).alias("es"), F.col(src).alias("ed")))
         .repartition(F.col("es"))
         .dropDuplicates(["es", "ed"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # lineage cut, not just persist: the pair generator's plan is
+        # DEEP (banded self-join over signatures) and every min-label
+        # round's plan embedded it, so the analyzer re-walked it per
+        # round — pure driver planning cost (r14, guide §7.3; same
+        # fix as pagerank). es-hash partitioning is preserved by the
+        # checkpointed scan, so each round's edge-side join still
+        # runs with no added Exchange (guide §2.4).
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("es").alias("id"))
@@ -1223,7 +1230,9 @@ def connected_components(
         labels = stepped.drop("__prev")
         if changed == 0:
             break
-    edges.unpersist()
+    # edges is a localCheckpoint: its blocks are freed when the RDD is
+    # garbage-collected (labels' lineage was cut every round, so the
+    # returned frame holds no reference to it)
     if changed != 0:
         # exhausting the iteration cap with labels still moving means the
         # returned labels are NOT components (e.g. a transitive chain

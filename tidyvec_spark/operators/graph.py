@@ -85,11 +85,20 @@ def pagerank(
     # `iterations` joins below then reads a side that already satisfies
     # its required distribution — without this the cached edge list is
     # re-shuffled once per round (r14, guide §2.4)
+    # localCheckpoint instead of persist: a persisted frame keeps its
+    # FULL logical plan, and every one of the `iterations` round plans
+    # below embeds that deep subtree — at 10 rounds the analyzer was
+    # re-walking the whole edge-build tree per round, ~0.7 s of pure
+    # driver planning each (measured: rounds-build 6.9 s → 3.1 s with
+    # the cut; r14, guide §7.3/§3.3 "materialise to truncate the
+    # plan"). The checkpointed scan preserves the es-hash partitioning
+    # (verified: the per-round join still reads the edge side with no
+    # added Exchange), so the §2.4 exchange-elimination holds.
     out = (
         edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
         .repartition(F.col("es"))
         .dropDuplicates(["es", "ed"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     outdeg = out.groupBy(F.col("es").alias("id")).agg(
         F.count("*").alias("outdeg")
@@ -108,7 +117,7 @@ def pagerank(
             F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
             F.coalesce("indeg", F.lit(0)).alias("indeg"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)  # same plan-truncation as `out`
     )
     # eager=False: the iteration count is FIXED (no convergence read
     # between rounds, unlike connected_components), so there is
@@ -145,13 +154,10 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    # NOTE: `out`/`nodes` stay persisted — with lazy checkpoints
-    # nothing has materialized yet when we return, so unpersisting
-    # here would drop the cache intent BEFORE the caller's action and
-    # recompute the edge build once per round. The cache is bounded
-    # (edge list + one row per node) and evicts under pressure
-    # (MEMORY_AND_DISK); callers running many graphs per session can
-    # spark.catalog.clearCache() between them.
+    # NOTE: `out`/`nodes` are lazy localCheckpoints — they materialize
+    # at the caller's first action and their blocks are freed when the
+    # RDDs are garbage-collected (or by a session's explicit
+    # persistent-RDD sweep, as bench.py does between queries).
     return (
         ranks.select("id", "rank_u")
         .join(nodes, "id")
@@ -431,7 +437,12 @@ def label_propagation(
         .filter(F.col("a") != F.col("b"))
         .repartition(F.col("b"))
         .dropDuplicates(["a", "b"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # lineage cut, not just persist: every round's plan embeds
+        # this subtree, and with a deep edge build (minhash pairs)
+        # the analyzer re-walked it per round (r14, guide §7.3 —
+        # same fix as pagerank above); b-hash partitioning is
+        # preserved by the checkpointed scan
+        .localCheckpoint(eager=False)
     )
     labels = (
         und.select(F.col("a").alias("id"))
