@@ -275,3 +275,34 @@ def test_semdedup_and_balanced_sample_skip_null_embeddings(spark):
         ).collect()
     }
     assert kept == {1, 2}  # the NULL row is excluded, not quota'd
+
+
+def test_hyperplane_bucket_sql_path_matches_column_path(spark):
+    """The string-name input builds the bucket expression as one
+    JVM-parsed SQL text (r14 construction-cost fix); buckets must be
+    identical to the Column-builder path for every row."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.ann import hyperplane_bucket_expr
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)
+    ] + [(999, None)]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    planes = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    got_sql = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", hyperplane_bucket_expr("v", planes).alias("b")
+        ).collect()
+    }
+    got_col = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", hyperplane_bucket_expr(F.col("v"), planes).alias("b")
+        ).collect()
+    }
+    assert got_sql == got_col

@@ -55,7 +55,25 @@ def random_planes(
 
 def hyperplane_bucket_expr(emb_col, planes: Sequence[Sequence[float]]) -> Column:
     """LSH bucket id: bit i = (emb · plane_i >= 0). Map-side, no shuffle;
-    ``nbits`` JVM-side dot products per row."""
+    ``nbits`` JVM-side dot products per row.
+
+    With a string column name the tree is built as ONE JVM-parsed SQL
+    text — the per-plane Column-builder loop costs nbits·dim py4j
+    round trips (~0.5 s at 8×64) per entry construction (r14, guide
+    §7.3, same fix as pq_reconstruction_err_expr). Identical tree:
+    same zip_with/aggregate dot fold, doubles as correctly-rounded
+    CAST('repr' AS DOUBLE), exact BIGINT bit weights."""
+    if isinstance(emb_col, str) and emb_col.isidentifier():
+        bits = ["CAST(0 AS BIGINT)"]
+        for i, plane in enumerate(planes):
+            arr = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in plane)
+            bits.append(
+                f"(CASE WHEN aggregate(zip_with({emb_col}, array({arr}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0 "
+                f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(bits))
     col = F.col(emb_col) if isinstance(emb_col, str) else emb_col
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
