@@ -1253,9 +1253,11 @@ def _dedup_recall_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = embedding_near_dup_pairs(
         allv, "embedding", "vec_id", threshold=0.98
     ).select("id_a", "id_b").persist()
+    # persist: the approx side feeds the semi-join AND its own count
+    # (r14, guide §5 — same as dedup_recall_lsh)
     lsh = lsh_near_dup_pairs(
         allv, "embedding", "vec_id", planes=_ann_planes(), threshold=0.98
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     hit = truth.join(lsh, ["id_a", "id_b"], "left_semi")
     return (
         truth.agg(F.count("*").cast("long").alias("n_true"))
@@ -12418,10 +12420,12 @@ def _dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "doc_id", shingle_n=3, threshold=0.5,
         max_doc_freq=None,
     ).select("id_a", "id_b")
+    # the approx side feeds the semi-join AND its own count — persist
+    # so the banded join runs once, not twice (r14, guide §5)
     lsh = minhash_lsh_pairs(
         corpus, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
         threshold=0.5,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     t = truth.persist()
     hit = t.join(lsh, ["id_a", "id_b"], "left_semi")
     return (
@@ -12533,9 +12537,11 @@ def _dedup_recall_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "doc_id", shingle_n=3, threshold=0.5,
         max_doc_freq=None,
     ).select("id_a", "id_b")
+    # persist: the approx side feeds the semi-join AND its own count
+    # (r14, guide §5 — same as dedup_recall_lsh)
     sh = simhash_pairs(
         corpus, "text", "doc_id", bits=48, bands=4, max_hamming=6
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     t = truth.persist()
     hit = t.join(sh, ["id_a", "id_b"], "left_semi")
     return (

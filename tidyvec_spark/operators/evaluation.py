@@ -252,9 +252,13 @@ def topk_recall(
     a = approx.select(
         F.col(query_col).alias("__q"), F.col(id_col).alias("__i")
     ).distinct()
+    # e feeds BOTH the hit join and the query universe — without a
+    # persist the exact search (the expensive side) runs twice (r14,
+    # guide §5); the cache is k×|queries| rows and the handle rides
+    # the result for release after the terminal action
     e = exact.select(
         F.col(query_col).alias("__q"), F.col(id_col).alias("__i")
-    ).distinct()
+    ).distinct().persist()
     hits = (
         a.join(e, ["__q", "__i"])
         .groupBy("__q")
@@ -264,7 +268,7 @@ def topk_recall(
     rec = F.col("n_hits").cast("double") / F.lit(float(k))
     if round_to is not None:
         rec = F.round(rec, round_to)
-    return (
+    out = (
         queries.join(hits, "__q", "left")
         .fillna({"n_hits": 0})
         .select(
@@ -273,6 +277,8 @@ def topk_recall(
             rec.alias("recall"),
         )
     )
+    out._tidyvec_persisted = [e]
+    return out
 
 
 def mean_recall(
@@ -324,9 +330,11 @@ def rank_quality(
         F.col(id_col).alias("__i"),
         F.col(rank_col).cast("long").alias("__r"),
     ).filter(F.col("__r") <= k)
+    # same double-use persist as topk_recall: e feeds the hit join AND
+    # the per-query base (r14, guide §5)
     e = exact.select(
         F.col(query_col).alias("__q"), F.col(id_col).alias("__i")
-    ).distinct()
+    ).distinct().persist()
     hits = (
         a.join(e, ["__q", "__i"])
         .groupBy("__q")
@@ -360,6 +368,7 @@ def rank_quality(
             F.round("rr", round_to).alias("rr"),
             F.round("ndcg", round_to).alias("ndcg"),
         )
+    out._tidyvec_persisted = [e]
     return out
 
 
