@@ -14045,7 +14045,11 @@ def _corpus_triage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             minhash=True, mh_k=128,
         )
 
-    ma, mb = man(a), man(b)
+    # the manifests are consumed by THREE probes (HLL overlap, minhash
+    # jaccard, CMS probe) — without a persist each probe re-runs the
+    # manifest BUILD's corpus scans (r14, guide §5); the cached frames
+    # are 8 shard rows each and ride the result for release
+    ma, mb = man(a).persist(), man(b).persist()
     hll = hll_overlap_from_sketches(ma, mb)
     mh = minhash_jaccard_from_manifests(ma, mb, round_to=R).select(
         F.col("n_match").alias("mh_match"),
@@ -14083,7 +14087,7 @@ def _corpus_triage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tol = lambda e, x, t: (  # noqa: E731
         F.abs(F.col(e) - F.col(x)) <= F.lit(t) * F.col(x)
     )
-    return (
+    out = (
         ex.crossJoin(hll)
         .filter(
             tol("n_a_est", "n_a", 0.02)
@@ -14099,6 +14103,8 @@ def _corpus_triage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the_ge_exact", F.col("the_est_a") >= F.col("the_exact_a")
         )
     )
+    out._tidyvec_persisted = [ma, mb]
+    return out
 
 
 def _corpus_triage_manifest_sql() -> str:
