@@ -12904,11 +12904,16 @@ def _token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents", par=True)
     tok = docs.select(F.explode(X.tokens("text")).alias("term"))
     cms = cms_build(tok, "term", depth=4, width=256, salt="cms7")
-    exact = tok.groupBy("term").agg(F.count("*").alias("n_exact"))
+    # vocabulary-sized; referenced twice (probe values + audit join) —
+    # without the persist the scan+tokenize+groupBy subtree runs once
+    # per reference (same fix as token_cms_manifest's exact side)
+    exact = (
+        tok.groupBy("term").agg(F.count("*").alias("n_exact")).persist()
+    )
     est = cms_estimate(
         exact.select("term"), "term", cms, depth=4, width=256, salt="cms7"
     )
-    return (
+    out = (
         exact.join(est, "term")
         .select(
             "term",
@@ -12921,6 +12926,8 @@ def _token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_exact"), F.asc("term"))
         .limit(20)
     )
+    out._tidyvec_persisted = [exact]
+    return out
 
 
 def _token_cms_sql(salt: str) -> str:
