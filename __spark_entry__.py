@@ -8408,36 +8408,57 @@ def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 2).alias("__half"),
         F.col("embedding").cast("array<double>").alias("__v"),
     )
-    unit = [
-        F.round(F.element_at("__v", i + 1) * F.lit(1e6), 0).cast("long")
-        for i in range(_DRIFT_DIM)
-    ]
+    # The 2+2·64 aggregates and the 3·64-term cosine fold are emitted
+    # as JVM-parsed SQL text (the pq_reconstruction/kmeans_lloyd
+    # pattern): the per-Column builder loop cost ~2.8 s of py4j round
+    # trips at construct time for a 1 s query. Same operator tree,
+    # bit-identical doubles (left-to-right chains preserved; 1e6 is
+    # the exact double literal 1000000.0D).
+    d = _DRIFT_DIM
+
+    def unit(i: int) -> str:
+        return (
+            f"CAST(round(element_at(__v, {i + 1}) * 1000000.0D, 0)"
+            " AS BIGINT)"
+        )
+
     aggs = [
-        F.count(F.when(F.col("__half") == 0, 1)).cast("long").alias("n_a"),
-        F.count(F.when(F.col("__half") == 1, 1)).cast("long").alias("n_b"),
+        "count(CASE WHEN __half = 0 THEN 1 END) AS n_a",
+        "count(CASE WHEN __half = 1 THEN 1 END) AS n_b",
     ]
-    for i in range(_DRIFT_DIM):
+    for i in range(d):
         aggs.append(
-            F.sum(F.when(F.col("__half") == 0, unit[i]).otherwise(F.lit(0)))
-            .alias(f"__a{i}")
+            f"sum(CASE WHEN __half = 0 THEN {unit(i)} ELSE 0 END)"
+            f" AS __a{i}"
         )
         aggs.append(
-            F.sum(F.when(F.col("__half") == 1, unit[i]).otherwise(F.lit(0)))
-            .alias(f"__b{i}")
+            f"sum(CASE WHEN __half = 1 THEN {unit(i)} ELSE 0 END)"
+            f" AS __b{i}"
         )
-    g = e.groupBy("label").agg(*aggs)
-    dot = na = nb = None
-    for i in range(_DRIFT_DIM):
-        a = F.col(f"__a{i}").cast("double")
-        b = F.col(f"__b{i}").cast("double")
-        dot = a * b if dot is None else dot + a * b
-        na = a * a if na is None else na + a * a
-        nb = b * b if nb is None else nb + b * b
-    drift = F.when(
-        (na > 0) & (nb > 0), dot / F.sqrt(na) / F.sqrt(nb)
-    ).otherwise(F.lit(0.0))
-    return g.select(
-        "label", "n_a", "n_b", F.round(drift, R).alias("drift")
+    g = e.groupBy("label").agg(
+        F.expr(f"struct({', '.join(aggs)})").alias("__s")
+    )
+    dot = " + ".join(
+        f"CAST(__s.__a{i} AS DOUBLE) * CAST(__s.__b{i} AS DOUBLE)"
+        for i in range(d)
+    )
+    na = " + ".join(
+        f"CAST(__s.__a{i} AS DOUBLE) * CAST(__s.__a{i} AS DOUBLE)"
+        for i in range(d)
+    )
+    nb = " + ".join(
+        f"CAST(__s.__b{i} AS DOUBLE) * CAST(__s.__b{i} AS DOUBLE)"
+        for i in range(d)
+    )
+    drift = (
+        f"CASE WHEN ({na}) > 0 AND ({nb}) > 0"
+        f" THEN ({dot}) / sqrt({na}) / sqrt({nb}) ELSE 0.0D END"
+    )
+    return g.selectExpr(
+        "label",
+        "__s.n_a AS n_a",
+        "__s.n_b AS n_b",
+        f"round({drift}, {R}) AS drift",
     )
 
 

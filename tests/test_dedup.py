@@ -320,6 +320,29 @@ def test_two_phase_components_deep_chain(spark):
     assert got == {i: 0 for i in range(40)}
 
 
+def test_two_phase_round_frames_are_materialized(spark):
+    # r14 optimization: each round localCheckpoints BOTH star outputs
+    # (the small-star references its input four times — self-union for
+    # the bidirectional set, then both sides of the neighborhood join
+    # — so an un-materialized large-star would re-run its shuffles up
+    # to 4x per round). Pin the two guarantees the round structure
+    # relies on: (a) a long path that needs several alternation rounds
+    # still resolves exactly through the lazily-checkpointed
+    # intermediate, and (b) the returned frame's plan is fully
+    # lineage-cut — no Join survives into the result (every round's
+    # work was materialized, the final plan reads checkpoint scans).
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    comps = dedup.connected_components_two_phase(pairs)
+    got = {r["id"]: r["component"] for r in comps.collect()}
+    assert got == {i: 0 for i in range(n)}
+    plan = comps._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
 def test_two_phase_components_string_ids(spark):
     pairs = spark.createDataFrame(
         [("b", "c"), ("c", "d"), ("x", "y")], ["id_a", "id_b"]

@@ -1326,7 +1326,15 @@ def connected_components_two_phase(
 
     sig = _signature(edges)
     for _ in range(int(max_iterations)):
-        stepped = _star(_star(edges, large=True), large=False).localCheckpoint(
+        # the small-star references its input FOUR times (self-union
+        # for bi, then bi on both sides of the neighborhood join); an
+        # un-materialized large-star output would therefore re-run its
+        # two shuffles up to 4× per round. The lazy localCheckpoint
+        # caches the large-star's edge set on first computation inside
+        # the round's job, so every reference past the first reads
+        # blocks — and the round plan stays O(1) deep.
+        mid = _star(edges, large=True).localCheckpoint(eager=False)
+        stepped = _star(mid, large=False).localCheckpoint(
             eager=True
         )
         new_sig = _signature(stepped)
