@@ -161,6 +161,36 @@ class TestLabelPropagation:
             }
             assert again == {5: 5, 9: 5}
 
+    def test_string_ids_tie_and_majority(self, spark):
+        # r14: the per-round argmax is min(struct(-count, community)) —
+        # the count lives in the negated numeric field, the label in
+        # the second struct field, so ANY orderable label type must
+        # keep working. Pin string ids through both laws: tie -> the
+        # lexicographically smallest label; majority -> count beats a
+        # smaller label with fewer votes (triangle holds against a
+        # single bridge vote from "aaa").
+        from tidyvec_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame(
+            [("bb", "cc")], "src STRING, dst STRING"
+        )
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(edges, rounds=2).collect()
+        }
+        assert got == {"bb": "bb", "cc": "bb"}
+        tri = spark.createDataFrame(
+            [("xx", "yy"), ("yy", "zz"), ("xx", "zz"), ("aaa", "xx")],
+            "src STRING, dst STRING",
+        )
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(tri, rounds=4).collect()
+        }
+        # the xx/yy/zz triangle's internal majority keeps community
+        # "xx" for all three despite aaa's smaller label bridging in
+        assert got["yy"] == "xx" and got["zz"] == "xx"
+
     def test_rounds_zero_is_identity(self, spark):
         from tidyvec_spark.operators.graph import label_propagation
 

@@ -1204,11 +1204,15 @@ def connected_components(
         # runs with no added Exchange (guide §2.4).
         .localCheckpoint(eager=False)
     )
+    # lazy: the first round's join is the materializing action, so the
+    # label init does not spend a driver job of its own (the lazy
+    # checkpoint already has its LogicalRDD plan, so analyzer depth is
+    # O(1) either way — eagerness only decides WHICH action computes it)
     labels = (
         edges.select(F.col("es").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     changed = 0
     for _ in range(int(max_iterations)):
@@ -1217,6 +1221,10 @@ def connected_components(
             .groupBy(F.col("ed").alias("id"))
             .agg(F.min("lbl").alias("nmin"))
         )
+        # lazy checkpoint + the convergence count as its materializing
+        # action: one job per round instead of two (the eager form ran
+        # a materialization job, then a second job re-reading the
+        # blocks just to count changes)
         stepped = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -1224,7 +1232,7 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
                 F.col("lbl").alias("__prev"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("lbl") != F.col("__prev")).count()
         labels = stepped.drop("__prev")
@@ -1286,7 +1294,8 @@ def connected_components_two_phase(
         .filter(F.col("lo") != F.col("hi"))
         .select(F.least("lo", "hi").alias("lo"), F.greatest("lo", "hi").alias("hi"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the first _signature call is the materializing action
+        .localCheckpoint(eager=False)
     )
 
     def _signature(e: DataFrame):
@@ -1334,8 +1343,11 @@ def connected_components_two_phase(
         # the round's job, so every reference past the first reads
         # blocks — and the round plan stays O(1) deep.
         mid = _star(edges, large=True).localCheckpoint(eager=False)
+        # lazy: the signature aggregate is the materializing action —
+        # one job per round instead of an eager materialization plus a
+        # cache-reading signature job
         stepped = _star(mid, large=False).localCheckpoint(
-            eager=True
+            eager=False
         )
         new_sig = _signature(stepped)
         edges = stepped

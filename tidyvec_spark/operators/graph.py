@@ -415,7 +415,9 @@ def label_propagation(
 
     Scale shape per round: ONE join of the label table to the
     undirected edge list + ONE (node, label) count + a per-node
-    argmax window — the same bounded recurrence as a PageRank round;
+    argmax aggregate (min over (−count, label) structs — partial
+    map-side combining, no window sort) — the same bounded recurrence
+    as a PageRank round;
     label state is one (id, label) row per node and lineage is cut
     per round. Labels start as the node's own id, so the output
     community key is the smallest id that won each node's
@@ -425,8 +427,6 @@ def label_propagation(
     """
     if int(rounds) < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
-    from pyspark.sql import Window
-
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # partitioned by the per-round join key before the dedup aggregate
     # (same exchange-elimination move as pagerank's edge side above):
@@ -450,20 +450,31 @@ def label_propagation(
         .select("id", F.col("id").alias("community"))
         .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("id").orderBy(
-        F.desc("c"), F.asc("community")
-    )
     for _ in range(int(rounds)):
         neigh = und.join(
             labels, und["b"] == labels["id"]
         ).select(F.col("a").alias("id"), "community")
         votes = neigh.unionByName(labels)  # self-vote
+        # the argmax (most votes, then SMALLEST label) as min(struct):
+        # min(struct(-c, community)) picks the identical winner the
+        # previous row_number window did — count desc via the exact
+        # integer negation, label asc via struct lexicographic order —
+        # but it is a plain aggregate: partial (map-side) combining
+        # applies before the id exchange and the per-partition window
+        # SORT disappears (r14, guide §2.3).
         labels = (
             votes.groupBy("id", "community")
             .agg(F.count("*").alias("c"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("id", "community")
+            .groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"),
+                        F.col("community").alias("community"),
+                    )
+                ).alias("__w")
+            )
+            .select("id", F.col("__w.community").alias("community"))
             .localCheckpoint(eager=False)
         )
     # deliberately NOT unpersisting `und` here: the whole function is
