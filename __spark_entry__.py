@@ -5149,7 +5149,10 @@ def _docs_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit_quality_classifier,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    # par: the scoring pass is a heavy map kernel (one md5 per
+    # unigram+bigram per doc); without the spread a single-file scan
+    # runs it on ONE core (change 2, guide §2.6)
+    docs = _read(spark, sf_dir, "documents", par=True)
     labeled = docs.filter(F.col("doc_id") % 5 == 0).select(
         "doc_id",
         F.array_contains(F.split(F.lower("text"), r"\s+"), "spark")
@@ -5240,7 +5243,10 @@ def _clf_holdout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit_quality_classifier,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    # par: the scoring pass is a heavy map kernel (one md5 per
+    # unigram+bigram per doc); without the spread a single-file scan
+    # runs it on ONE core (change 2, guide §2.6)
+    docs = _read(spark, sf_dir, "documents", par=True)
     label = (
         F.array_contains(F.split(F.lower("text"), r"\s+"), "spark")
         .cast("int")
@@ -5293,7 +5299,9 @@ def _docs_clf_ml_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tidyvec_spark.operators.evaluation import auc_score
 
-    docs = _read(spark, sf_dir, "documents")
+    # par: both scoring passes are heavy md5 map kernels over a
+    # single-file scan (change 2, guide §2.6)
+    docs = _read(spark, sf_dir, "documents", par=True)
     label = (
         F.array_contains(F.split(F.lower("text"), r"\s+"), "spark")
         .cast("int")

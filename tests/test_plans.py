@@ -924,7 +924,9 @@ def test_round13_entry_plan_shapes(spark, qs):
 
     df = qs["docs_clf_ml_agreement"](spark, SF)
     assert P.num_scans(df) <= 3
-    assert P.num_shuffles(df) <= 4
+    # keyed shuffles only: the r14 par= round-robin spread adds one
+    # keyless exchange that num_data_shuffles deliberately excludes
+    assert P.num_data_shuffles(df) <= 4
 
     # the analytics wave: every corpus-reading entry is one scan
     # (js_divergence persists its (group, term) frame; everything

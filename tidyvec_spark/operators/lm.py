@@ -80,11 +80,9 @@ def greedy_continuation(
     appended (a token with no outgoing bigram stops early).
 
     Shape: the argmax-next table is computed ONCE (vocabulary-sized
-    groupBy + one rank-1 window over per-prev groups), then ``steps``
+    groupBy + one per-prev argmax aggregate), then ``steps``
     broadcast self-joins extend all seeds in lockstep — the iteration
     is over a VOCAB-sized table, the corpus is scanned once."""
-    from pyspark.sql import Window
-
     if int(steps) < 1:
         raise ValueError("steps must be >= 1")
     bg = bigram_counts(df, text_col).select(
@@ -92,11 +90,24 @@ def greedy_continuation(
         F.split(F.col("bigram"), " ")[1].alias("w2"),
         "c2",
     )
-    w = Window.partitionBy("w1").orderBy(F.desc("c2"), F.asc("w2"))
+    # argmax (count desc, token asc) as min(struct(-count, token)) —
+    # same winner as the previous rank-1 window under the same tie
+    # law, but a plain aggregate: partial map-side combining collapses
+    # each partition to one candidate per prev token before the
+    # exchange and the per-partition window sort disappears (r14,
+    # guide §2.3; the label_propagation argmax pattern).
     best = (
-        bg.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("w1").alias("prev"), F.col("w2").alias("nxt"))
+        bg.groupBy("w1")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c2")).alias("nc"), F.col("w2").alias("w2")
+                )
+            ).alias("__b")
+        )
+        .select(
+            F.col("w1").alias("prev"), F.col("__b.w2").alias("nxt")
+        )
         .persist()
     )
     cur = seeds.select(
