@@ -2407,7 +2407,7 @@ def _docs_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.functions import text as X
     from tidyvec_spark.operators.chunking import segment_runs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", par=True)
     lined = docs.select(
         "doc_id",
         F.posexplode(
@@ -7448,7 +7448,7 @@ def _maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-10."""
     from tidyvec_spark.operators.search import maxsim_topk
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", par=True)
     return maxsim_topk(
         docs, "text", "doc_id", _MAXSIM_QUERY,
         dim=_MAXSIM_DIM, n=10, max_doc_tokens=_MAXSIM_DOC_TOKENS,
@@ -13246,7 +13246,7 @@ def _docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut law, the slicing, and the chunk hashes bit-for-bit."""
     from tidyvec_spark.operators.chunking import cdc_chunks
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _read(spark, sf_dir, "documents", par=True).select("doc_id", "text")
     return cdc_chunks(docs, "text", "doc_id", window=8, divisor=64)
 
 

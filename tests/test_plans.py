@@ -456,13 +456,15 @@ def test_session_late_round7_plan_shapes(spark, qs):
     soft dedup are bounded key-aggs/joins with no cartesian."""
     for name, max_sh in (
         ("docs_blocklist", 0),
-        ("maxsim_topk", 0),
+        ("maxsim_topk", 0),  # keyed shuffles; opts into the par= spread (r14)
         ("packing_report", 2),  # bucket agg + the n_buckets-row sort
         ("token_pmi", 4),
         ("winnow_pairs", 5),    # fp distinct + hot agg + pair agg, all fp-sized
     ):
         df = qs[name](spark, SF)
-        assert P.num_shuffles(df) <= max_sh, name
+        # data shuffles: the keyless par= round-robin spread is
+        # excluded by design (the change-2 pin convention)
+        assert P.num_data_shuffles(df) <= max_sh, name
         P.assert_no_cartesian(df)
     P.assert_no_cartesian(qs["soft_dedup"](spark, SF))
 
@@ -707,8 +709,10 @@ def test_round8_entry_plan_shapes(spark, qs):
     df = qs["decontaminate_fuzzy"](spark, SF)
     P.assert_no_cartesian(df)
 
+    # keyed shuffles only — cdc opts into the keyless par= round-robin
+    # spread (r14), which num_data_shuffles excludes by design
     df = qs["docs_cdc_chunks"](spark, SF)
-    assert P.num_shuffles(df) == 0
+    assert P.num_data_shuffles(df) == 0
 
     df = qs["multimodal_image_quality"](spark, SF)
     assert P.num_shuffles(df) == 0
