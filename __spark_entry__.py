@@ -3392,7 +3392,7 @@ def _pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.operators.dedup import drop_exact_dups
     from tidyvec_spark.operators.sampling import budget_sample
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", par=True)
     kept = docs.filter(Q.gopher_keep("text", min_words=20))
     deduped = drop_exact_dups(kept, "text", "doc_id")
     budgeted = budget_sample(
