@@ -20,14 +20,14 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tidyvec_spark.functions import text as X
-from tidyvec_spark.partitioning import ensure_parallelism
+from tidyvec_spark.partitioning import cut_lineage, ensure_parallelism
 from tidyvec_spark.functions.hashing import (
     band_hash,
     hamming64,
@@ -1202,7 +1202,7 @@ def connected_components(
         # fix as pagerank). es-hash partitioning is preserved by the
         # checkpointed scan, so each round's edge-side join still
         # runs with no added Exchange (guide §2.4).
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     # lazy: the first round's join is the materializing action, so the
     # label init does not spend a driver job of its own (the lazy
@@ -1212,7 +1212,7 @@ def connected_components(
         edges.select(F.col("es").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     changed = 0
     for _ in range(int(max_iterations)):
@@ -1232,7 +1232,7 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
                 F.col("lbl").alias("__prev"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         changed = stepped.filter(F.col("lbl") != F.col("__prev")).count()
         labels = stepped.drop("__prev")
@@ -1295,7 +1295,7 @@ def connected_components_two_phase(
         .select(F.least("lo", "hi").alias("lo"), F.greatest("lo", "hi").alias("hi"))
         .distinct()
         # lazy: the first _signature call is the materializing action
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
 
     def _signature(e: DataFrame):
@@ -1334,26 +1334,39 @@ def connected_components_two_phase(
         )
 
     sig = _signature(edges)
+    converged = False
     for _ in range(int(max_iterations)):
         # the small-star references its input FOUR times (self-union
         # for bi, then bi on both sides of the neighborhood join); an
         # un-materialized large-star output would therefore re-run its
         # two shuffles up to 4× per round. The lazy localCheckpoint
-        # caches the large-star's edge set on first computation inside
-        # the round's job, so every reference past the first reads
-        # blocks — and the round plan stays O(1) deep.
-        mid = _star(edges, large=True).localCheckpoint(eager=False)
+        # computes the large-star's edge set once per executor block
+        # (on local[*] that is exactly once; on a multi-executor
+        # cluster independent downstream stages can still schedule an
+        # un-cached block's partition elsewhere and recompute it — a
+        # perf detail, never a correctness one) and keeps the round
+        # plan O(1) deep.
+        mid = _star(edges, large=True).transform(cut_lineage)
         # lazy: the signature aggregate is the materializing action —
         # one job per round instead of an eager materialization plus a
         # cache-reading signature job
-        stepped = _star(mid, large=False).localCheckpoint(
-            eager=False
-        )
+        stepped = _star(mid, large=False).transform(cut_lineage)
         new_sig = _signature(stepped)
         edges = stepped
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # exhausting the cap without the signature fixpoint means the
+        # edge set is still contracting: emitting it as components
+        # would silently mislabel — mirror connected_components' loud
+        # non-convergence guard (r14 ADVICE). O(log n) round growth
+        # makes this unreachable in practice below max_iterations=50.
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge in "
+            f"{max_iterations} iterations; raise max_iterations"
+        )
     # fixpoint: union of stars, center = component min
     members = edges.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
     centers = edges.select(
@@ -1903,6 +1916,7 @@ def substring_dedup_cut(
     id_col: str,
     k: int = 20,
     min_docs: int = 2,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """The ACT half of :func:`substring_dup_spans` — Lee et al. 2022's
     dedup policy: every duplicated >= ``k``-token region survives only
@@ -1925,6 +1939,13 @@ def substring_dedup_cut(
     sized) table back to the token table and filters each token array
     in place — zero token-level explode, zero corpus-width shuffle,
     and untouched documents never leave the map side.
+
+    ``carry`` names extra input columns passed through unchanged (they
+    ride the per-doc token cache, a few bytes per row) — a caller that
+    needs a per-document metadata value NEXT TO the cut text (the
+    funnel report's per-stage char counts) gets both without re-running
+    the upstream chain a second time. ``carry=()`` leaves the plan
+    byte-identical to the pre-seam operator.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -1936,6 +1957,7 @@ def substring_dedup_cut(
             F.col(id_col).alias("__id"),
             F.col(text_col).alias("__orig"),
             X.tokens(text_col).alias("__ts"),
+            *[F.col(c) for c in carry],
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1997,6 +2019,7 @@ def substring_dedup_cut(
             F.coalesce(F.size("__cuts"), F.lit(0))
             .cast("long")
             .alias("n_cut"),
+            *[F.col(c) for c in carry],
         ),
         [toks, wins],
     )

@@ -117,10 +117,16 @@ def num_data_shuffles(df: DataFrame) -> int:
     ids = set(re.findall(r"(?<![A-Za-z])(?:Shuffle)?Exchange \((\d+)\)", tree))
     if not ids:
         return num_shuffles(df)  # simple mode: cannot classify
+    # require the REPARTITION_BY_NUM shuffle origin too: an accidental
+    # data-motion repartition(n) inside an operator also prints
+    # RoundRobinPartitioning, but only the deliberate `_read(par=True)`
+    # spread carries the explicit-number origin marker — without the
+    # extra token such a repartition would silently pass shuffle-budget
+    # pins (r14 ADVICE)
     rr = set(
         re.findall(
             r"\((\d+)\) Exchange\s*\nInput[^\n]*\n"
-            r"Arguments: RoundRobinPartitioning",
+            r"Arguments: RoundRobinPartitioning\(\d+\), REPARTITION_BY_NUM",
             explain_str(df),
         )
     )
