@@ -267,3 +267,41 @@ def test_node_clustering_known_graph(spark):
     for r in node_clustering(clique).collect():
         assert r["degree"] == 3 and r["n_triangles"] == 3
         assert r["local_clustering"] == 1.0
+
+
+def test_reliable_checkpoint_path_matches_local(spark, edge_df, tmp_path):
+    """use_reliable_checkpoints routes every iterative lineage cut
+    through DataFrame.checkpoint into a durable dir (the 100 TB
+    preemptible-cluster escape hatch — localCheckpoint blocks die with
+    their executor); results must be identical and checkpoint files
+    must actually land in the directory."""
+    import os
+
+    from tidyvec_spark import partitioning as P
+    from tidyvec_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    local_pr = sorted(map(tuple, pagerank(edge_df, iterations=5).collect()))
+    local_cc = sorted(map(tuple, connected_components(pairs).collect()))
+
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    P.use_reliable_checkpoints(ckpt_dir)
+    try:
+        rel_pr = sorted(
+            map(tuple, pagerank(edge_df, iterations=5).collect())
+        )
+        rel_cc = sorted(map(tuple, connected_components(pairs).collect()))
+    finally:
+        P.use_reliable_checkpoints(None)
+
+    assert rel_pr == local_pr
+    assert rel_cc == local_cc
+    # the reliable path really wrote durable checkpoint data
+    found = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckpt_dir)
+        for f in files
+    ]
+    assert found, "no checkpoint files written to the reliable dir"

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.text import tokens
+from tidyvec_spark.partitioning import cut_lineage
 
 __all__ = [
     "bpe_train",
@@ -173,7 +174,7 @@ def bpe_train(
                 "freq",
             )
             if (i + 1) % checkpoint_every == 0:
-                merged = merged.localCheckpoint(eager=True)
+                merged = cut_lineage(merged, eager=True)
             else:
                 merged = merged.persist()
                 merged.count()
@@ -305,7 +306,7 @@ def bpe_apply(
     for i in range(chunk_size, len(merges), chunk_size):
         # truncate lineage between chunks: each projection starts from
         # materialized rows, keeping plan depth == one chunk
-        cur = cur.localCheckpoint(eager=True).withColumn(
+        cur = cut_lineage(cur, eager=True).withColumn(
             out_col, bpe_apply_expr(out_col, merges[i : i + chunk_size])
         )
     return cur

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from tidyvec_spark.partitioning import cut_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -98,7 +100,7 @@ def pagerank(
         edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
         .repartition(F.col("es"))
         .dropDuplicates(["es", "ed"])
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     outdeg = out.groupBy(F.col("es").alias("id")).agg(
         F.count("*").alias("outdeg")
@@ -117,7 +119,7 @@ def pagerank(
             F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
             F.coalesce("indeg", F.lit(0)).alias("indeg"),
         )
-        .localCheckpoint(eager=False)  # same plan-truncation as `out`
+        .transform(cut_lineage)  # same plan-truncation as `out`
     )
     # eager=False: the iteration count is FIXED (no convergence read
     # between rounds, unlike connected_components), so there is
@@ -127,7 +129,7 @@ def pagerank(
     # round-trips matter more)
     ranks = nodes.select(
         "id", "outdeg", F.lit(int(scale)).cast("long").alias("rank_u")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     for _ in range(int(iterations)):
         contrib = (
             out.join(ranks, out["es"] == ranks["id"])
@@ -152,7 +154,7 @@ def pagerank(
                     )
                 ).cast("long").alias("rank_u"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     # NOTE: `out`/`nodes` are lazy localCheckpoints — they materialize
     # at the caller's first action and their blocks are freed when the
@@ -442,13 +444,13 @@ def label_propagation(
         # the analyzer re-walked it per round (r14, guide §7.3 —
         # same fix as pagerank above); b-hash partitioning is
         # preserved by the checkpointed scan
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     labels = (
         und.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("community"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     for _ in range(int(rounds)):
         neigh = und.join(
@@ -475,7 +477,7 @@ def label_propagation(
                 ).alias("__w")
             )
             .select("id", F.col("__w.community").alias("community"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     # deliberately NOT unpersisting `und` here: the whole function is
     # lazy, so an unpersist now would drop the cache intent BEFORE the

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tidyvec_spark.functions.text import tokens
+from tidyvec_spark.partitioning import cut_lineage
 from tidyvec_spark.operators.bpe import _pair_pattern
 
 __all__ = [
@@ -223,7 +224,7 @@ def wordpiece_train(
                 "freq",
             )
             if (i + 1) % checkpoint_every == 0:
-                merged = merged.localCheckpoint()
+                merged = cut_lineage(merged, eager=True)
             old, vocab = vocab, merged.persist()
             vocab.count()
             old.unpersist()
