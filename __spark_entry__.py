@@ -5006,7 +5006,11 @@ def _docs_stream_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify — verification stays a downstream batch join)."""
     import tempfile
 
-    from tidyvec_spark.streaming import near_dup_pairs_stream, run_available_now
+    from tidyvec_spark.streaming import (
+        near_dup_pairs_stream,
+        run_available_now,
+        stream_shuffle_partitions,
+    )
 
     d = tempfile.mkdtemp(prefix="tv_stream_pairs_")
     _dup_corpus(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(d)
@@ -5015,6 +5019,7 @@ def _docs_stream_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         near_dup_pairs_stream(stream, "text", "doc_id"), table,
         output_mode="append",
+        shuffle_partitions=stream_shuffle_partitions(spark, d),
     )
     return spark.table(table).distinct()
 
@@ -10229,6 +10234,7 @@ def _events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly_rollup,
         read_event_stream,
         run_available_now,
+        stream_shuffle_partitions,
     )
 
     d = tempfile.mkdtemp(prefix="tv_stream_hourly_")
@@ -10238,7 +10244,10 @@ def _events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = read_event_stream(spark, d)
     table = f"events_stream_hourly_{next(_STREAM_RUN_SEQ)}"
-    run_available_now(hourly_rollup(stream, watermark="2 hours"), table)
+    run_available_now(
+        hourly_rollup(stream, watermark="2 hours"), table,
+        shuffle_partitions=stream_shuffle_partitions(spark, d),
+    )
     return spark.table(table)
 
 
@@ -10255,6 +10264,7 @@ def _events_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidyvec_spark.streaming import (
         read_event_stream,
         run_available_now,
+        stream_shuffle_partitions,
         zscore_anomaly_stream,
     )
 
@@ -10266,7 +10276,8 @@ def _events_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, d)
     table = f"events_stream_anomaly_{next(_STREAM_RUN_SEQ)}"
     run_available_now(
-        zscore_anomaly_stream(stream), table, output_mode="append"
+        zscore_anomaly_stream(stream), table, output_mode="append",
+        shuffle_partitions=stream_shuffle_partitions(spark, d),
     )
     return spark.table(table)
 
@@ -10346,6 +10357,7 @@ def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream,
         run_available_now,
         sessionize_stream,
+        stream_shuffle_partitions,
     )
 
     d = tempfile.mkdtemp(prefix="tv_stream_sess_")
@@ -10355,7 +10367,10 @@ def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = read_event_stream(spark, d)
     table = f"events_stream_sess_{next(_STREAM_RUN_SEQ)}"
-    run_available_now(sessionize_stream(stream), table, output_mode="append")
+    run_available_now(
+        sessionize_stream(stream), table, output_mode="append",
+        shuffle_partitions=stream_shuffle_partitions(spark, d),
+    )
     return spark.table(table)
 
 
@@ -10412,6 +10427,7 @@ def _events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join_stream,
         read_event_stream,
         run_available_now,
+        stream_shuffle_partitions,
     )
 
     d = tempfile.mkdtemp(prefix="tv_stream_ij_")
@@ -10430,7 +10446,10 @@ def _events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["event_id"],
     )
     table = f"events_stream_ij_{next(_STREAM_RUN_SEQ)}"
-    run_available_now(joined, table)
+    run_available_now(
+        joined, table,
+        shuffle_partitions=stream_shuffle_partitions(spark, d),
+    )
     return (
         spark.table(table)
         .groupBy(F.col("l_event_id").alias("event_id"))
@@ -10458,7 +10477,11 @@ def _docs_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from tidyvec_spark.streaming import run_available_now, stateful_dedup_stream
+    from tidyvec_spark.streaming import (
+        run_available_now,
+        stateful_dedup_stream,
+        stream_shuffle_partitions,
+    )
 
     d = tempfile.mkdtemp(prefix="tv_stream_dedup_")
     shutil.copy(
@@ -10470,6 +10493,7 @@ def _docs_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         stateful_dedup_stream(stream, "text", "doc_id"), table,
         output_mode="update",
+        shuffle_partitions=stream_shuffle_partitions(spark, d),
     )
     return (
         spark.table(table)
@@ -10499,6 +10523,7 @@ def _docs_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tidyvec_spark.streaming import (
         run_available_now,
+        stream_shuffle_partitions,
         upsert_latest_stream,
     )
 
@@ -10524,6 +10549,7 @@ def _docs_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_latest_stream(stream, "doc_id", "version", ["fp"]),
         table,
         output_mode="update",
+        shuffle_partitions=stream_shuffle_partitions(spark, d),
     )
     packed = (
         spark.table(table)
@@ -10568,7 +10594,11 @@ def _docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from tidyvec_spark.operators.dedup import normalized_text_key
-    from tidyvec_spark.streaming import ingest_dedup_stream, run_available_now
+    from tidyvec_spark.streaming import (
+        ingest_dedup_stream,
+        run_available_now,
+        stream_shuffle_partitions,
+    )
 
     index = (
         _read(spark, sf_dir, "documents")
@@ -10585,6 +10615,7 @@ def _docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         ingest_dedup_stream(stream, index, "text", "doc_id"), table,
         output_mode="update",
+        shuffle_partitions=stream_shuffle_partitions(spark, d),
     )
     return (
         spark.table(table)
@@ -10620,7 +10651,11 @@ def _docs_stream_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from tidyvec_spark.streaming import budget_filter_stream, run_available_now
+    from tidyvec_spark.streaming import (
+        budget_filter_stream,
+        run_available_now,
+        stream_shuffle_partitions,
+    )
 
     d = tempfile.mkdtemp(prefix="tv_stream_budget_")
     shutil.copy(
@@ -10635,6 +10670,7 @@ def _docs_stream_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         table,
         output_mode="append",
+        shuffle_partitions=stream_shuffle_partitions(spark, d),
     )
     return spark.table(table).select("doc_id", "lang", "n_chars")
 
@@ -11855,6 +11891,7 @@ def _events_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy_hitters_stream,
         read_event_stream,
         run_available_now,
+        stream_shuffle_partitions,
     )
 
     ev = _read(spark, sf_dir, "events")
@@ -11870,6 +11907,7 @@ def _events_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy_hitters_stream(stream, "user_id", capacity=n_keys + 10),
         table,
         output_mode="update",
+        shuffle_partitions=stream_shuffle_partitions(spark, d),
     )
     return (
         spark.table(table)

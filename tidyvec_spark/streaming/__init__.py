@@ -28,6 +28,7 @@ from tidyvec_spark.streaming.pipelines import (
     pin_utc_session,
     read_event_stream,
     run_available_now,
+    stream_shuffle_partitions,
     session_rollup,
     sessionize_stream,
     stateful_dedup_stream,
@@ -49,6 +50,7 @@ __all__ = [
     "pin_utc_session",
     "read_event_stream",
     "run_available_now",
+    "stream_shuffle_partitions",
     "session_rollup",
     "sessionize_stream",
     "stateful_dedup_stream",

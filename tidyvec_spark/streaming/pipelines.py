@@ -15,6 +15,8 @@ arithmetic agrees with engines that treat naive timestamps as UTC
 
 from __future__ import annotations
 
+import os
+
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -851,24 +853,74 @@ def upsert_latest_stream(
     )
 
 
+def stream_shuffle_partitions(
+    spark: SparkSession,
+    input_dir: str,
+    bytes_per_partition: int = 32 * 1024 * 1024,
+) -> int:
+    """Shuffle/state-store partition count for a streaming query over a
+    landing directory, sized by the DATA rather than the core count:
+    every state partition costs a state-store instance, a task launch,
+    and (for ``applyInPandasWithState``) a Python worker round trip
+    PER MICRO-BATCH, so a 2 MB staged file should not pay for the
+    session default of one-per-core. ``ceil(bytes / 32 MB)`` keeps the
+    count proportional to input (a 100 TB landing prefix saturates the
+    cap), capped at the session's configured shuffle partitions so a
+    real cluster's tuning is never exceeded. Falls back to the session
+    default when the directory cannot be sized locally (object-store
+    paths size themselves through their own listing at scale)."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(input_dir)
+            for f in files
+        )
+    except OSError:
+        return default
+    if total <= 0:
+        return default
+    return max(1, min(default, -(-total // int(bytes_per_partition))))
+
+
 def run_available_now(
-    stream_df: DataFrame, table_name: str, output_mode: Optional[str] = None
+    stream_df: DataFrame,
+    table_name: str,
+    output_mode: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
 ) -> None:
     """Drain all currently-available input through the streaming engine
     into an in-memory table (test/dev harness; production sinks are
     parquet/Kafka/Delta via the same writeStream call). ``output_mode``
     overrides the aggregation-based default — custom stateful operators
-    declare their own mode (e.g. ``update``)."""
+    declare their own mode (e.g. ``update``).
+
+    ``shuffle_partitions`` pins the streaming query's shuffle/state
+    partition count (captured by the engine at first query start; see
+    :func:`stream_shuffle_partitions` for data-driven sizing). The
+    session conf is restored afterwards, so surrounding batch work is
+    untouched. Results are partition-count independent — only the
+    per-micro-batch fixed cost (state stores, task launches, Python
+    workers) changes."""
     if output_mode is None:
         output_mode = "complete" if _has_aggregation(stream_df) else "append"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", int(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _has_aggregation(df: DataFrame) -> bool:
