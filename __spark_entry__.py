@@ -7718,7 +7718,7 @@ def _pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian, no token-level exchange in the cut rebuild; components
     run the iterative min-label propagation over the (tiny) pair
     graph only."""
-    _, _, _, _, _, best = _dedup_ladder_frames(spark, sf_dir)
+    best = _dedup_ladder_frames(spark, sf_dir)[-1]
     return best.select("doc_id", "n_tokens", F.md5("text").alias("fp"))
 
 
@@ -7732,14 +7732,28 @@ def _pipeline_dedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-dense corpus, bucket grouping ~flat at 2.4 s). The oracle is
     the same chained SQL with the pair stage swapped for the
     bucket-star law."""
-    _, _, _, _, _, best = _dedup_ladder_frames(spark, sf_dir, method="bucket")
+    best = _dedup_ladder_frames(spark, sf_dir, method="bucket")[-1]
     return best.select("doc_id", "n_tokens", F.md5("text").alias("fp"))
 
 
-def _dedup_ladder_frames(spark: SparkSession, sf_dir: str, method: str = "verify"):
+def _dedup_ladder_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    method: str = "verify",
+    funnel_lens: bool = False,
+):
     """The five-rung ladder's stage frames, shared by the composite
     result entry, its bucket-grouping twin, and the funnel report:
-    (lined, ex, wd, gl, cut, best)."""
+    (lined, ex, wd, gl, cut, scored, best).
+
+    ``funnel_lens=True`` threads per-stage char lengths through the
+    chain for the funnel report (r15, guide §1.2 "don't compute things
+    twice"): ``wd`` carries ``__l1`` (chars after exact dedup — the
+    stage-1 text is byte-identical to the stage-2 input) and
+    ``cut``/``scored`` carry ``__l3`` (chars after global line dedup,
+    passed through the cut via its ``carry=`` seam). The default
+    leaves every frame — and therefore both pipeline entries' plans —
+    exactly as before."""
     from tidyvec_spark.functions import text as X
     from tidyvec_spark.functions.quality import dedup_lines_within_expr
     from tidyvec_spark.operators.dedup import (
@@ -7773,13 +7787,32 @@ def _dedup_ladder_frames(spark: SparkSession, sf_dir: str, method: str = "verify
         F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"),
     )
     ex = drop_exact_dups(lined, "text", "doc_id")
-    wd = ex.select(
-        "doc_id", dedup_lines_within_expr("text").alias("text")
-    )
+    if funnel_lens:
+        # persisted BEFORE the eager component pass below, so the
+        # scored chain (which flows through this exact subtree)
+        # populates the cache as a side effect of its one computation —
+        # the funnel's stage-1/2 aggregate then reads blocks instead of
+        # re-running the exact-dedup prefix. ONE mid-chain cache, not
+        # the five-stage full persist that measured 2× worse in r14.
+        wd = ex.select(
+            "doc_id",
+            dedup_lines_within_expr("text").alias("text"),
+            F.length("text").alias("__l1"),
+        ).persist()
+    else:
+        wd = ex.select(
+            "doc_id", dedup_lines_within_expr("text").alias("text")
+        )
     gl = dedup_lines_global(wd, "text", "doc_id").select("doc_id", "text")
-    cut = substring_dedup_cut(gl, "text", "doc_id", k=8).select(
-        "doc_id", "text"
-    )
+    if funnel_lens:
+        gl3 = gl.withColumn("__l3", F.length("text"))
+        cut = substring_dedup_cut(
+            gl3, "text", "doc_id", k=8, carry=("__l3",)
+        ).select("doc_id", "text", "__l3")
+    else:
+        cut = substring_dedup_cut(gl, "text", "doc_id", k=8).select(
+            "doc_id", "text"
+        )
     scored = cut.withColumn(
         "n_tokens", X.token_count("text").cast("long")
     )
@@ -7801,8 +7834,8 @@ def _dedup_ladder_frames(spark: SparkSession, sf_dir: str, method: str = "verify
     best = drop_near_dups_keep_best(scored, comps, "doc_id", "n_tokens")
     best._tidyvec_persisted = getattr(comps, "_tidyvec_persisted", []) + [
         scored
-    ]
-    return lined, ex, wd, gl, cut, best
+    ] + ([wd] if funnel_lens else [])
+    return lined, ex, wd, gl, cut, scored, best
 
 
 def _pipeline_dedup_full_sql(
@@ -12403,37 +12436,74 @@ def _docs_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder — docs and characters surviving after each of the five
     rungs (exact drops DOCS; within-doc/global/cut rewrite CONTENT so
     chars fall while docs hold; keep-best drops docs again). The
-    report a curation run publishes next to its output. Each stage
-    frame persists (the production pipeline checkpoints between rungs
-    anyway), so the chain is computed once, not once per stage
-    count."""
-    lined, ex, wd, gl, cut, best = _dedup_ladder_frames(spark, sf_dir)
-    stages = [
-        ("0_input", lined),
-        ("1_exact", ex),
-        ("2_lines_within", wd),
-        ("3_lines_global", gl),
-        ("4_substring_cut", cut),
-    ]
-    parts = []
-    for name, frame in stages:
-        parts.append(
-            frame.persist().agg(
-                F.lit(name).alias("stage"),
-                F.count("*").cast("long").alias("n_docs"),
-                F.sum(F.length("text")).cast("long").alias("n_chars"),
-            )
-        )
-    parts.append(
-        best.agg(
-            F.lit("5_keep_best").alias("stage"),
+    report a curation run publishes next to its output.
+
+    One-pass shape (r15, guide §1.2/§5 — the r14 form unioned SIX
+    per-stage aggregates whose union branches each re-ran their chain
+    prefix; the full-persist alternative measured 2× worse): per-stage
+    char lengths ride the chain itself (``funnel_lens`` threads
+    ``__l1``/``__l3`` through the ladder), the mid-chain ``wd`` cache
+    is populated for free by the eager component pass, and stages that
+    share a row set (1+2 on ``wd``; 3+4 on ``scored`` — global line
+    dedup may drop emptied docs, the cut never drops) are computed by
+    ONE aggregate each, exploded into their two report rows. Executes:
+    one raw scan (stage 0, pre-dedup docs incl. the ones stage 1
+    drops) + three cache-fed aggregates, instead of five chain-prefix
+    recomputes."""
+    lined, ex, wd, gl, cut, scored, best = _dedup_ladder_frames(
+        spark, sf_dir, funnel_lens=True
+    )
+
+    def _one(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(name).alias("stage"),
             F.count("*").cast("long").alias("n_docs"),
             F.sum(F.length("text")).cast("long").alias("n_chars"),
         )
+
+    def _two(frame, name_a, chars_a, name_b, chars_b) -> DataFrame:
+        pair = F.explode(
+            F.array(
+                F.struct(
+                    F.lit(name_a).alias("stage"),
+                    F.col("__n").alias("n_docs"),
+                    F.col("__ca").alias("n_chars"),
+                ),
+                F.struct(
+                    F.lit(name_b).alias("stage"),
+                    F.col("__n").alias("n_docs"),
+                    F.col("__cb").alias("n_chars"),
+                ),
+            )
+        )
+        return (
+            frame.agg(
+                F.count("*").cast("long").alias("__n"),
+                F.sum(chars_a).cast("long").alias("__ca"),
+                F.sum(chars_b).cast("long").alias("__cb"),
+            )
+            .select(pair.alias("__x"))
+            .select("__x.*")
+        )
+
+    s0 = _one("0_input", lined)
+    # stage 1's text is byte-identical to stage 2's input, so one pass
+    # over the (cache-fed) wd frame yields both rows
+    s12 = _two(
+        wd, "1_exact", F.col("__l1"), "2_lines_within", F.length("text")
     )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # the cut rewrites content but never drops docs, so stages 3 and 4
+    # share scored's row set; __l3 is the post-global-line-dedup length
+    s34 = _two(
+        scored,
+        "3_lines_global",
+        F.col("__l3"),
+        "4_substring_cut",
+        F.length("text"),
+    )
+    s5 = _one("5_keep_best", best)
+    out = s0.unionByName(s12).unionByName(s34).unionByName(s5)
+    out._tidyvec_persisted = getattr(best, "_tidyvec_persisted", [])
     return out
 
 
