@@ -28,6 +28,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Session-level I/O + shuffle tuning (guide §9 / §2.2), landed at the
+# START of the r15 optimization round so every measurement this round
+# runs on the production-shaped config (r14 verdict item 2). Nothing
+# here is a local[32] constant — each value is either driven by the
+# driver's env knobs or a BYTE target that adapts to data size:
+#  - shuffle.partitions stays $SPARK_GRAFT_CPUS (set in main());
+#  - parallelismFirst=false makes AQE coalesce post-shuffle partitions
+#    by the advisory BYTE size instead of stopping at default
+#    parallelism: sf0.1's KB-scale shuffles collapse to 1-2 tasks
+#    (less dispatch overhead), while a 100 TB shuffle keeps thousands
+#    of ~64 MB partitions — the guide §2.2 "fewer, larger reduce
+#    partitions" rule expressed as data-adaptive config;
+#  - maxPartitionBytes=512m cuts the map-task count feeding shuffles
+#    on large sequential scans (guide §6.1); single-small-file local
+#    inputs are unaffected (the _read(par=True) spread handles those);
+#  - preferSortMergeJoin=false lets the planner use shuffled-hash
+#    joins when a per-partition build side fits (guide §3.1), and the
+#    AQE threshold below converts planned sort-merge joins to
+#    shuffled-hash at runtime when every post-shuffle partition is
+#    small — both skip the per-partition sort, neither changes results.
+SESSION_CONFS = {
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.sql.files.maxPartitionBytes": "512m",
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
+}
+
 # headline set: one per engine area (vector scan, similarity join,
 # tf-idf fit+search, text analysis, dedup join, relational aggs/joins,
 # window, time-series)
@@ -354,7 +382,7 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("tidyvec_spark_bench")
         .config("spark.sql.shuffle.partitions", CPUS)
@@ -364,8 +392,10 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "32g")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for k, v in SESSION_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()

@@ -29,7 +29,9 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    spark = (
+    from bench import SESSION_CONFS
+
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("explain_dump")
         .config("spark.sql.shuffle.partitions", "8")
@@ -40,8 +42,12 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
-        .getOrCreate()
     )
+    # the bench's session tuning, so dumped plans match what the bench
+    # actually runs (preferSortMergeJoin affects the static plan)
+    for k, v in SESSION_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()

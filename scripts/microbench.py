@@ -25,7 +25,9 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    spark = (
+    from bench import SESSION_CONFS
+
+    builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("microbench")
         .config("spark.sql.shuffle.partitions", CPUS)
@@ -35,8 +37,12 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "32g")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # same session confs as bench.py so micro A/Bs predict the bench
+    if os.environ.get("SPARK_GRAFT_NO_TUNING") != "1":
+        for k, v in SESSION_CONFS.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
