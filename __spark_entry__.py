@@ -5019,7 +5019,6 @@ def _docs_stream_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         near_dup_pairs_stream(stream, "text", "doc_id"), table,
         output_mode="append",
-        shuffle_partitions=stream_shuffle_partitions(spark, d),
     )
     return spark.table(table).distinct()
 
@@ -10400,10 +10399,7 @@ def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = read_event_stream(spark, d)
     table = f"events_stream_sess_{next(_STREAM_RUN_SEQ)}"
-    run_available_now(
-        sessionize_stream(stream), table, output_mode="append",
-        shuffle_partitions=stream_shuffle_partitions(spark, d),
-    )
+    run_available_now(sessionize_stream(stream), table, output_mode="append")
     return spark.table(table)
 
 
@@ -10479,10 +10475,7 @@ def _events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["event_id"],
     )
     table = f"events_stream_ij_{next(_STREAM_RUN_SEQ)}"
-    run_available_now(
-        joined, table,
-        shuffle_partitions=stream_shuffle_partitions(spark, d),
-    )
+    run_available_now(joined, table)
     return (
         spark.table(table)
         .groupBy(F.col("l_event_id").alias("event_id"))
@@ -10526,7 +10519,6 @@ def _docs_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         stateful_dedup_stream(stream, "text", "doc_id"), table,
         output_mode="update",
-        shuffle_partitions=stream_shuffle_partitions(spark, d),
     )
     return (
         spark.table(table)
@@ -10582,7 +10574,6 @@ def _docs_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_latest_stream(stream, "doc_id", "version", ["fp"]),
         table,
         output_mode="update",
-        shuffle_partitions=stream_shuffle_partitions(spark, d),
     )
     packed = (
         spark.table(table)
@@ -10648,7 +10639,6 @@ def _docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         ingest_dedup_stream(stream, index, "text", "doc_id"), table,
         output_mode="update",
-        shuffle_partitions=stream_shuffle_partitions(spark, d),
     )
     return (
         spark.table(table)
