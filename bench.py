@@ -34,12 +34,6 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # here is a local[32] constant — each value is either driven by the
 # driver's env knobs or a BYTE target that adapts to data size:
 #  - shuffle.partitions stays $SPARK_GRAFT_CPUS (set in main());
-#  - parallelismFirst=false makes AQE coalesce post-shuffle partitions
-#    by the advisory BYTE size instead of stopping at default
-#    parallelism: sf0.1's KB-scale shuffles collapse to 1-2 tasks
-#    (less dispatch overhead), while a 100 TB shuffle keeps thousands
-#    of ~64 MB partitions — the guide §2.2 "fewer, larger reduce
-#    partitions" rule expressed as data-adaptive config;
 #  - maxPartitionBytes=512m cuts the map-task count feeding shuffles
 #    on large sequential scans (guide §6.1); single-small-file local
 #    inputs are unaffected (the _read(par=True) spread handles those);
@@ -48,9 +42,17 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #    AQE threshold below converts planned sort-merge joins to
 #    shuffled-hash at runtime when every post-shuffle partition is
 #    small — both skip the per-partition sort, neither changes results.
+#
+# Measured and REJECTED (r15 bisect, OPTIMIZATION_r15.md):
+# coalescePartitions.parallelismFirst=false + advisory sizing — it
+# coalesces every mid-size shuffle to 1-2 partitions at this SF, which
+# serializes compute-heavy post-shuffle stages (ngram_jaccard_pairs
+# 3.5 s -> 5.2 s median; the shingle-pair verify ran on one core).
+# Spark's parallelismFirst default exists exactly for this case, and at
+# real scale totalBytes/parallelism exceeds the advisory anyway, so the
+# two modes converge there — keeping the default loses nothing at
+# 100 TB and keeps local compute parallel.
 SESSION_CONFS = {
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.sql.files.maxPartitionBytes": "512m",
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
