@@ -12006,15 +12006,23 @@ def _pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read(spark, sf_dir, "documents")
-    with_url = docs.select(
-        "doc_id", "text", canonicalize_url(_synth_url_expr()).alias("curl")
+    # decide with small rows, move big rows once (guide §8; r15): the
+    # r14 shape ran min() over a Window partitioned by canonical URL,
+    # shuffling EVERY page's full text through the curl exchange just
+    # to compare doc_ids. The winner set is metadata — curl derives
+    # from doc_id alone here, and in a real crawl it is a short string
+    # column — so aggregate (curl → min doc_id) with map-side partial
+    # combining and semi-join the ids back: the text column never
+    # enters an exchange for rung 1 (the id set broadcasts under AQE).
+    winners = (
+        docs.select(
+            "doc_id", canonicalize_url(_synth_url_expr()).alias("curl")
+        )
+        .groupBy("curl")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    w = Window.partitionBy("curl")
-    s1 = (
-        with_url.withColumn("__min", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("__min"))
-        .drop("__min", "curl")
-    )
+    s1 = docs.join(winners, "doc_id", "left_semi")
     ens = Q.quality_ensemble(
         hard_gates={
             "gopher": Q.gopher_keep("text", min_words=20),
