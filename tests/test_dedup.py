@@ -767,6 +767,41 @@ def test_substring_dedup_cut_preserves_untouched_text(spark):
     assert got[2] == ("x x y y", 6)
 
 
+def test_substring_dedup_cut_carry_passthrough(spark):
+    """carry= threads extra input columns through the cut unchanged
+    (the funnel's per-stage length seam, r15) while every cut result —
+    text, n_tokens, n_cut — stays identical to the carry-free call."""
+    from pyspark.sql import functions as F
+
+    from tidyvec_spark.operators.dedup import substring_dedup_cut
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", 11),
+            (2, "x x a b c d e f y y", 22),
+            (3, "z z z z", 33),
+        ],
+        "doc_id bigint, text string, tag int",
+    ).withColumn("__l", F.length("text"))
+    plain = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_cut"])
+        for r in substring_dedup_cut(docs, "text", "doc_id", k=4).collect()
+    }
+    carried = substring_dedup_cut(
+        docs, "text", "doc_id", k=4, carry=("tag", "__l")
+    ).collect()
+    assert set(carried[0].asDict()) == {
+        "doc_id", "text", "n_tokens", "n_cut", "tag", "__l"
+    }
+    want_tag = {1: 11, 2: 22, 3: 33}
+    for r in carried:
+        assert (r["text"], r["n_tokens"], r["n_cut"]) == plain[r["doc_id"]]
+        assert r["tag"] == want_tag[r["doc_id"]]
+    # carried length is the INPUT text's length, untouched by the cut
+    lens = {r["doc_id"]: r["__l"] for r in carried}
+    assert lens == {1: 15, 2: 19, 3: 7}
+
+
 def test_shared_line_matrix(spark):
     from tidyvec_spark.operators.dedup import shared_line_matrix
 
